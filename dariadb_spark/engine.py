@@ -1,0 +1,171 @@
+"""TsEngine — the facade mirroring the reference's ``Engine`` class
+(libdariadb/engine.h, class Engine : IMeasStorage), re-expressed as thin
+wrappers over declarative DataFrame plans against either an in-memory
+measurements DataFrame or a :class:`ParquetTsStore`.
+
+Verb mapping (reference symbol → method):
+  Engine::append            → append
+  Engine::readInterval      → read_interval
+  Engine::foreach           → foreach
+  Engine::readTimePoint     → read_time_point
+  Engine::currentValue      → current_value
+  Engine::minMaxTime        → min_max_time
+  Engine::loadMinMax        → load_min_max
+  Engine::stat              → stat
+  statistic/calculator.h    → calc (statistic functions by name)
+  scheme (scheme/scheme.h)  → series catalog name↔id resolution
+  Engine::subscribe         → subscribe (streaming module)
+  Engine::eraseOld          → erase_old
+  Engine::compress_all/compact → compact
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from dariadb_spark.functions.statistics import apply_functions
+from dariadb_spark.model import MEAS_FIELDS, measurements
+from dariadb_spark.operators.asof import current_value as _current_value
+from dariadb_spark.operators.asof import read_time_point as _read_time_point
+from dariadb_spark.operators.downsample import downsample as _downsample
+from dariadb_spark.operators.interval import read_interval as _read_interval
+from dariadb_spark.operators.stats import min_max_time as _min_max_time
+from dariadb_spark.operators.stats import stat_block as _stat_block
+from dariadb_spark.scheme import SeriesCatalog
+from dariadb_spark.sources.parquet_store import ParquetTsStore
+
+
+class TsEngine:
+    """Facade over a measurements source.
+
+    Construct with one of:
+      * ``TsEngine.from_dataframe(spark, df)`` — query an existing frame;
+      * ``TsEngine.open(spark, path)`` — writable parquet-backed store;
+      * ``TsEngine.from_events(spark, sf_dir)`` — driver fixture mapping.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: Callable[[], DataFrame],
+        store: ParquetTsStore | None = None,
+    ):
+        self.spark = spark
+        self._source = source
+        self.store = store
+        self.scheme = SeriesCatalog(spark)
+
+    # -- constructors ----------------------------------------------------
+    @classmethod
+    def from_dataframe(cls, spark: SparkSession, df: DataFrame) -> "TsEngine":
+        return cls(spark, lambda: df)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "TsEngine":
+        store = ParquetTsStore(spark, path)
+        return cls(spark, store.read, store)
+
+    @classmethod
+    def from_events(cls, spark: SparkSession, sf_dir: str) -> "TsEngine":
+        return cls(spark, lambda: measurements(spark, sf_dir))
+
+    # -- source ----------------------------------------------------------
+    def meas(self) -> DataFrame:
+        return self._source()
+
+    # -- write path ------------------------------------------------------
+    def append(self, rows: DataFrame | Iterable[tuple]) -> int:
+        """Engine::append — ingest a DataFrame or iterable of
+        (id, time_ms, value, flag) tuples; returns rows written."""
+        if self.store is None:
+            raise ValueError("append requires a writable store (TsEngine.open)")
+        if not isinstance(rows, DataFrame):
+            rows = self.spark.createDataFrame(
+                [Row(id=int(i), time=int(t), value=float(v), flag=int(fl))
+                 for (i, t, v, fl) in rows],
+                "id bigint, time bigint, value double, flag bigint",
+            )
+        return self.store.append(rows.select(*MEAS_FIELDS))
+
+    # -- read path -------------------------------------------------------
+    def read_interval(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        return _read_interval(self.meas(), ids, from_ms, to_ms, flag)
+
+    def foreach(
+        self,
+        callback: Callable[[Row], None],
+        ids: list[int] | None,
+        from_ms: int,
+        to_ms: int,
+        flag: int = 0,
+    ) -> None:
+        """Engine::foreach — push-based visitor (IReadCallback). Streams
+        partitions through the driver iterator; use read_interval for
+        distributed processing."""
+        for row in self.read_interval(ids, from_ms, to_ms, flag).toLocalIterator():
+            callback(row)
+
+    def read_time_point(
+        self, ids: list[int], time_point_ms: int, flag: int = 0
+    ) -> DataFrame:
+        return _read_time_point(self.spark, self.meas(), ids, time_point_ms, flag)
+
+    def current_value(self, ids: list[int] | None = None, flag: int = 0) -> DataFrame:
+        return _current_value(self.meas(), ids, flag)
+
+    def min_max_time(self, ids: list[int] | None = None) -> DataFrame:
+        return _min_max_time(self.meas(), ids)
+
+    def load_min_max(self) -> DataFrame:
+        return _min_max_time(self.meas(), None)
+
+    def stat(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        return _stat_block(self.meas(), ids, from_ms, to_ms, flag)
+
+    def calc(
+        self,
+        names: list[str],
+        ids: list[int] | None,
+        from_ms: int,
+        to_ms: int,
+        flag: int = 0,
+    ) -> DataFrame:
+        """Calculator::apply — named statistic functions per series."""
+        return apply_functions(self.meas(), names, ids, from_ms, to_ms, flag)
+
+    def downsample(
+        self,
+        interval: str,
+        ids: list[int] | None = None,
+        from_ms: int | None = None,
+        to_ms: int | None = None,
+        flag: int = 0,
+    ) -> DataFrame:
+        return _downsample(self.meas(), interval, ids, from_ms, to_ms, flag)
+
+    # -- maintenance -----------------------------------------------------
+    def erase_old(self, cutoff_ms: int) -> None:
+        if self.store is None:
+            raise ValueError("erase_old requires a writable store")
+        self.store.erase_old(cutoff_ms)
+
+    def compact(self) -> None:
+        if self.store is None:
+            raise ValueError("compact requires a writable store")
+        self.store.compact()
+
+    # -- streaming -------------------------------------------------------
+    def subscribe(self, ids, flag, callback, **kwargs):
+        from dariadb_spark.streaming.subscribe import subscribe as _subscribe
+
+        if self.store is None:
+            raise ValueError("subscribe requires a parquet-backed store")
+        return _subscribe(
+            self.spark, str(self.store.data_dir), ids, flag, callback, **kwargs
+        )

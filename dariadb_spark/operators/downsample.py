@@ -1,0 +1,74 @@
+"""Interval bucketing / downsampling — reference ``libdariadb/timeutil.h``
+named calendar intervals ("minute30", "hour", "day", "week", "month") and
+the scheme-level downsampling that stores ``param.average.hour``-style
+derived series (scheme/scheme.cpp, SURVEY.md §2.5 W1/W2).
+
+Fixed-width intervals bucket by pure int64 arithmetic on the epoch-ms
+``time`` column — identical in Spark and DuckDB, no timezone/calendar
+ambiguity. Calendar intervals (month) go through ``date_trunc`` on a UTC
+timestamp reconstructed from ms, then back to ms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import flag_predicate, ids_predicate, interval_predicate
+
+MS = {"second": 1_000, "minute": 60_000, "minute30": 1_800_000,
+      "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
+
+#: calendar intervals → date_trunc unit
+CALENDAR = {"month": "month", "year": "year"}
+
+
+def bucket_column(interval: str) -> Column:
+    """Bucket start (epoch ms) for a named interval, over col ``time``."""
+    if interval in MS:
+        width = MS[interval]
+        return (F.col("time") - F.col("time") % width).alias("bucket_ms")
+    if interval in CALENDAR:
+        unit = CALENDAR[interval]
+        return F.unix_millis(
+            F.date_trunc(unit, F.timestamp_millis(F.col("time")))
+        ).alias("bucket_ms")
+    raise ValueError(f"unknown interval {interval!r}")
+
+
+def bucket_sql(interval: str) -> str:
+    """DuckDB rendering of :func:`bucket_column` (UTC semantics)."""
+    if interval in MS:
+        return f"(time - time % {MS[interval]})"
+    if interval in CALENDAR:
+        return f"epoch_ms(date_trunc('{CALENDAR[interval]}', make_timestamp(time * 1000)))"
+    raise ValueError(f"unknown interval {interval!r}")
+
+
+def downsample(
+    meas: DataFrame,
+    interval: str,
+    ids: list[int] | None = None,
+    from_ms: int | None = None,
+    to_ms: int | None = None,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series per-bucket aggregate block (the derived-series payload:
+    avg/min/max/sum/count). Partial aggregation is map-side; the single
+    shuffle is on (id, bucket) — the natural key a 100 TB rollup would
+    also partition its output by."""
+    cond = ids_predicate(ids) & flag_predicate(flag)
+    if from_ms is not None and to_ms is not None:
+        cond = cond & interval_predicate(from_ms, to_ms)
+    return (
+        meas.where(cond)
+        .groupBy(F.col("id"), bucket_column(interval))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("id", "bucket_ms")
+    )

@@ -1,0 +1,36 @@
+"""Interval scan — the reference's ``Engine::readInterval(QueryInterval)``
+(libdariadb/engine.cpp) / ``foreach``.
+
+The reference assembles per-layer cursors (mem/WAL/pages), k-way merges
+them by time and filters per point (storage/readers.cpp, MergeSortReader).
+On Spark the whole pipeline is one declarative plan: parquet scan with the
+id/time/flag predicates pushed to the reader (row-group pruning = the
+``.pagei`` min/max index), then a sort. Catalyst owns layer-merge, pruning
+and decompression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dariadb_spark.model import flag_predicate, ids_predicate, interval_predicate
+
+
+def read_interval(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """All measurements of ``ids`` with ``from <= time <= to`` matching
+    ``flag``, time-ordered per series (the MeasArray contract)."""
+    return (
+        meas.where(
+            ids_predicate(ids)
+            & interval_predicate(from_ms, to_ms)
+            & flag_predicate(flag)
+        )
+        .select("id", "time", "value", "flag")
+        .orderBy("id", "time")
+    )

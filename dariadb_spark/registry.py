@@ -1,0 +1,252 @@
+"""Named query registry — the driver-facing correctness surface.
+
+Every SURVEY.md §2 operator row registers here as a (Spark plan, DuckDB
+oracle SQL) pair with *identical* semantics and column names/types, so the
+driver's row-count + schema + value-hash compare is meaningful. Queries are
+parameterized with fixed constants (same at every scale factor) chosen to
+exercise boundary semantics: ids that exist at sf0.001's small domain, one
+id that exists nowhere (_NO_DATA synthesis), closed interval ends, flag
+bitmask filtering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dariadb_spark.functions.statistics import FUNCTION_REGISTRY, apply_functions
+from dariadb_spark.model import (
+    FLAGS_NO_DATA,
+    MEAS_CTE_SQL,
+    flag_predicate_sql,
+    measurements,
+)
+from dariadb_spark.operators.asof import current_value, read_time_point
+from dariadb_spark.operators.downsample import bucket_sql, downsample
+from dariadb_spark.operators.interval import read_interval
+from dariadb_spark.operators.stats import min_max_time, stat_block
+
+# --- fixed query parameters (valid at every scale factor) -----------------
+# user_id domain is 0..14 at sf0.001 (grows with sf); events span
+# 2024-01-01 .. 2024-01-30. All times epoch-ms UTC.
+IDS = list(range(15))
+ASOF_IDS = [0, 1, 2, 3, 4, 5, 6, 7, 9999]  # 9999 exists nowhere → _NO_DATA
+FROM_MS = 1_704_412_800_000  # 2024-01-05 00:00:00 UTC
+TO_MS = 1_705_708_800_000  # 2024-01-20 00:00:00 UTC (closed end)
+TP_MS = 1_705_276_800_000  # 2024-01-15 00:00:00 UTC
+ERASE_CUTOFF_MS = TP_MS
+FLAG_ERROR = 16
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: Optional[str]  # None → driver does rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
+    REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle)
+
+
+def _ids_sql(ids: list[int]) -> str:
+    return "(" + ", ".join(str(i) for i in ids) + ")"
+
+
+def _values_sql(ids: list[int]) -> str:
+    return ", ".join(f"({i})" for i in ids)
+
+
+# --- S4/F1-F3/O1: interval scan ------------------------------------------
+
+register(
+    "interval_scan",
+    lambda spark, sf: read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0),
+    f"""WITH {MEAS_CTE_SQL}
+SELECT id, time, value, flag FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+ORDER BY id, time""",
+)
+
+register(
+    "interval_scan_flag",
+    lambda spark, sf: read_interval(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, FLAG_ERROR
+    ),
+    f"""WITH {MEAS_CTE_SQL}
+SELECT id, time, value, flag FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+  AND {flag_predicate_sql(FLAG_ERROR)}
+ORDER BY id, time""",
+)
+
+# --- J1: as-of read with _NO_DATA synthesis ------------------------------
+
+register(
+    "timepoint_asof",
+    lambda spark, sf: read_time_point(
+        spark, measurements(spark, sf), ASOF_IDS, TP_MS, 0
+    ),
+    f"""WITH {MEAS_CTE_SQL},
+requested(id) AS (SELECT CAST(v AS BIGINT) FROM (VALUES {_values_sql(ASOF_IDS)}) t(v)),
+ranked AS (
+  SELECT id, time, value, flag,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY time DESC, value DESC, flag DESC) AS rn
+  FROM measurements
+  WHERE id IN {_ids_sql(ASOF_IDS)} AND time <= {TP_MS}
+)
+SELECT r.id AS id,
+       COALESCE(l.time, {TP_MS}) AS time,
+       COALESCE(l.value, 0.0) AS value,
+       COALESCE(l.flag, {FLAGS_NO_DATA}) AS flag
+FROM requested r LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) l ON r.id = l.id
+ORDER BY id""",
+)
+
+# --- A3: current value per series ----------------------------------------
+
+register(
+    "current_value",
+    lambda spark, sf: current_value(measurements(spark, sf), None, 0),
+    f"""WITH {MEAS_CTE_SQL},
+ranked AS (
+  SELECT id, time, value, flag,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY time DESC, value DESC, flag DESC) AS rn
+  FROM measurements
+)
+SELECT id, time, value, flag FROM ranked WHERE rn = 1 ORDER BY id""",
+)
+
+# --- A1/A2: min/max time -------------------------------------------------
+
+register(
+    "min_max_time",
+    lambda spark, sf: min_max_time(measurements(spark, sf), IDS),
+    f"""WITH {MEAS_CTE_SQL}
+SELECT id, min(time) AS min_time, max(time) AS max_time
+FROM measurements WHERE id IN {_ids_sql(IDS)}
+GROUP BY id ORDER BY id""",
+)
+
+register(
+    "load_min_max",
+    lambda spark, sf: min_max_time(measurements(spark, sf), None),
+    f"""WITH {MEAS_CTE_SQL}
+SELECT id, min(time) AS min_time, max(time) AS max_time
+FROM measurements GROUP BY id ORDER BY id""",
+)
+
+# --- A4: statistic block -------------------------------------------------
+
+register(
+    "stat_block",
+    lambda spark, sf: stat_block(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0),
+    f"""WITH {MEAS_CTE_SQL}
+SELECT id, count(value) AS cnt, min(time) AS min_time, max(time) AS max_time,
+       min(value) AS min_value, max(value) AS max_value,
+       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS mean_value
+FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY id ORDER BY id""",
+)
+
+# --- A5-A12: statistic functions (one named query each) ------------------
+
+def _make_fn_query(fname: str) -> QueryFn:
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        return apply_functions(
+            measurements(spark, sf), [fname], IDS, FROM_MS, TO_MS, 0
+        )
+
+    return q
+
+
+for _fname, (_, _oracle_agg) in FUNCTION_REGISTRY.items():
+    register(
+        f"fn_{_fname}",
+        _make_fn_query(_fname),
+        f"""WITH {MEAS_CTE_SQL}
+SELECT id, {_oracle_agg} AS {_fname}
+FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY id ORDER BY id""",
+    )
+
+# --- A12: full Calculator block (all functions in one pass) --------------
+
+register(
+    "fn_all",
+    lambda spark, sf: apply_functions(
+        measurements(spark, sf),
+        list(FUNCTION_REGISTRY),
+        IDS,
+        FROM_MS,
+        TO_MS,
+        0,
+    ),
+    f"""WITH {MEAS_CTE_SQL}
+SELECT id, {', '.join(f'{agg} AS {name}' for name, (_, agg) in FUNCTION_REGISTRY.items())}
+FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY id ORDER BY id""",
+)
+
+# --- W1/W2: interval buckets / downsample --------------------------------
+
+def _bucket_oracle(interval: str) -> str:
+    return f"""WITH {MEAS_CTE_SQL}
+SELECT id, {bucket_sql(interval)} AS bucket_ms, count(value) AS cnt,
+       round(avg(value), 4) AS avg_value, min(value) AS min_value,
+       max(value) AS max_value, round(sum(value), 4) AS sum_value
+FROM measurements
+GROUP BY id, bucket_ms ORDER BY id, bucket_ms"""
+
+
+for _interval in ("minute30", "hour", "day"):
+    register(
+        f"bucket_{_interval}",
+        (lambda iv: lambda spark, sf: downsample(measurements(spark, sf), iv))(
+            _interval
+        ),
+        _bucket_oracle(_interval),
+    )
+
+# --- T4: retention semantics (eraseOld survivors) ------------------------
+
+register(
+    "erase_old_check",
+    lambda spark, sf: _erase_old_check(spark, sf),
+    f"""WITH {MEAS_CTE_SQL}
+SELECT id, count(*) AS cnt, min(time) AS min_time
+FROM measurements WHERE time >= {ERASE_CUTOFF_MS}
+GROUP BY id ORDER BY id""",
+)
+
+
+def _erase_old_check(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        measurements(spark, sf)
+        .where(F.col("time") >= ERASE_CUTOFF_MS)
+        .groupBy("id")
+        .agg(F.count("*").alias("cnt"), F.min("time").alias("min_time"))
+        .orderBy("id")
+    )
+
+
+# --- flagship (driver smoke query) ---------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval scan + hourly downsample on the measurements view — the
+    minimal end-to-end slice exercising scan → filter → agg → sort."""
+    meas = measurements(spark, sf_dir)
+    return downsample(meas, "hour", IDS, FROM_MS, TO_MS, 0)

@@ -1,0 +1,51 @@
+"""Series catalog — the reference's scheme layer (scheme/scheme.h, class
+Scheme/IScheme): hierarchical dot-separated parameter names mapped to
+numeric series ids, persisted as JSON in the storage directory.
+
+Spark rendering: a tiny dimension DataFrame ``(id BIGINT, name STRING)``
+that is *broadcast* into any query that filters by name — at 100 TB the
+catalog stays a few MB while measurements shuffle-free resolve names via
+a broadcast hash join.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SeriesCatalog:
+    def __init__(self, spark: SparkSession, path: str | None = None):
+        self.spark = spark
+        self.path = Path(path) if path else None
+        self._name_to_id: dict[str, int] = {}
+        if self.path and self.path.exists():
+            self._name_to_id = json.loads(self.path.read_text())
+
+    # Scheme::addParam
+    def add_param(self, name: str) -> int:
+        if name in self._name_to_id:
+            return self._name_to_id[name]
+        new_id = max(self._name_to_id.values(), default=-1) + 1
+        self._name_to_id[name] = new_id
+        self._persist()
+        return new_id
+
+    # Scheme::idByParam
+    def id_by_param(self, name: str) -> int | None:
+        return self._name_to_id.get(name)
+
+    def _persist(self) -> None:
+        if self.path:
+            self.path.write_text(json.dumps(self._name_to_id))
+
+    def to_df(self) -> DataFrame:
+        rows = [(v, k) for k, v in self._name_to_id.items()] or []
+        return self.spark.createDataFrame(rows, "id bigint, name string")
+
+    def resolve(self, meas: DataFrame) -> DataFrame:
+        """Attach names via broadcast join (J2 in SURVEY.md §2.3)."""
+        return meas.join(F.broadcast(self.to_df()), "id", "left")

@@ -1,0 +1,127 @@
+"""Parquet-backed measurement store — the Spark-native rendering of the
+reference's 3-layer LSM pipeline (SURVEY.md §1.3).
+
+Reference storage (libdariadb/storage/):
+  * WAL (wal/wal_manager.cpp)        → small append-delta parquet files
+  * Pages + .pagei index (pages/)    → compacted parquet, sorted (id,time)
+    within files so row-group min/max stats prune by both id and time —
+    the exact role of the chunk index
+  * Dropper background WAL→page drop → ``compact()``
+  * eraseOld retention (engine.cpp)  → partition-pruned rewrite/drop
+  * Manifest                         → the filesystem listing (on a real
+    deployment this store is one Delta/Iceberg table and the transaction
+    log plays manifest/WAL; this class keeps the same interface)
+
+Layout: ``<root>/data/p_date=YYYY-MM-DD/part-*.parquet`` — hive-partitioned
+by UTC day derived from the epoch-ms ``time`` column. Day partitioning
+bounds every interval query to the touched days (partition pruning) and
+makes retention a partition drop; at 100 TB each day is still split across
+many files so per-day parallelism is preserved.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import MEAS_FIELDS
+
+_DAY_MS = 86_400_000
+
+
+def _with_day(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "p_date", F.date_format(F.timestamp_millis(F.col("time")), "yyyy-MM-dd")
+    )
+
+
+class ParquetTsStore:
+    """Append/scan/compact/retention over a partitioned parquet directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.data_dir = self.root / "data"
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+
+    # -- S1: append (Engine::append) ------------------------------------
+    def append(self, meas: DataFrame) -> int:
+        """Append a measurements DataFrame (id,time,value,flag). Returns
+        the appended row count (the reference's Status.writed)."""
+        n = meas.count()
+        (
+            _with_day(meas.select(*MEAS_FIELDS))
+            .write.partitionBy("p_date")
+            .mode("append")
+            .parquet(str(self.data_dir))
+        )
+        return n
+
+    # -- scan -------------------------------------------------------------
+    def read(self) -> DataFrame:
+        """The live measurements DataFrame (partition-pruned by p_date when
+        filters on time are pushed; callers filter further)."""
+        if not any(self.data_dir.iterdir()):
+            return self.spark.createDataFrame(
+                [], "id bigint, time bigint, value double, flag bigint"
+            )
+        return self.spark.read.parquet(str(self.data_dir)).select(*MEAS_FIELDS)
+
+    # -- T5: compaction (Dropper / Engine::compress_all) ------------------
+    def compact(self, files_per_partition: int = 1) -> None:
+        """Rewrite each day partition into few files sorted by (id, time) —
+        the WAL→page drop: small append deltas become scan-optimal files
+        whose row-group stats prune on id and time."""
+        df = self.spark.read.parquet(str(self.data_dir))
+        tmp = self.root / "_compact_tmp"
+        (
+            df.repartition(files_per_partition, "p_date")
+            .sortWithinPartitions("p_date", "id", "time")
+            .write.partitionBy("p_date")
+            .mode("overwrite")
+            .parquet(str(tmp))
+        )
+        swap = self.root / "_old_data"
+        self.data_dir.rename(swap)
+        tmp.rename(self.data_dir)
+        shutil.rmtree(swap)
+
+    # -- T4: retention (Engine::eraseOld) ---------------------------------
+    def erase_old(self, cutoff_ms: int) -> None:
+        """Delete measurements with ``time < cutoff``. Whole days before
+        the cutoff are dropped without reading them (partition prune);
+        only the single boundary day is rewritten."""
+        cutoff_day = (cutoff_ms // _DAY_MS) * _DAY_MS
+        boundary = None
+        for part in sorted(self.data_dir.glob("p_date=*")):
+            day = part.name.split("=", 1)[1]
+            import datetime as _dt
+
+            day_ms = int(
+                _dt.datetime.strptime(day, "%Y-%m-%d")
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp()
+                * 1000
+            )
+            if day_ms + _DAY_MS <= cutoff_ms:
+                shutil.rmtree(part)  # fully expired day
+            elif day_ms == cutoff_day:
+                boundary = part
+        if boundary is not None:
+            kept = (
+                self.spark.read.parquet(str(boundary))
+                .where(F.col("time") >= cutoff_ms)
+                .select(*MEAS_FIELDS)
+            )
+            tmp = self.root / "_erase_tmp"
+            kept.write.mode("overwrite").parquet(str(tmp))
+            shutil.rmtree(boundary)
+            rewritten = self.spark.read.parquet(str(tmp))
+            if rewritten.limit(1).count() > 0:
+                _with_day(rewritten).write.partitionBy("p_date").mode(
+                    "append"
+                ).parquet(str(self.data_dir))
+            shutil.rmtree(tmp)

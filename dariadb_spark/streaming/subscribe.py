@@ -1,0 +1,84 @@
+"""Publish/subscribe — reference ``Engine::subscribe(ids, flag, callback)``
+(libdariadb/engine.cpp; storage/subscribe.h): every subsequent append whose
+measurement matches the id-set + flag bitmask is pushed to the callback.
+No replay of history.
+
+Spark rendering: a Structured Streaming file source over the store's data
+directory → the same F1/F3 predicates → ``foreachBatch`` fan-out. On a
+production deployment the source is the Delta/Iceberg table's change feed
+or a Kafka topic; the plan shape (filter → sink) is identical. The
+streaming current-value view keeps latest-per-id state with update-mode
+aggregation — the reference's eagerly-maintained currentValue cache.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dariadb_spark.model import flag_predicate, ids_predicate
+
+_MEAS_DDL = "id bigint, time bigint, value double, flag bigint"
+
+
+def subscribe(
+    spark: SparkSession,
+    data_dir: str,
+    ids: list[int] | None,
+    flag: int,
+    callback: Callable[[DataFrame, int], None],
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the subscription stream; each micro-batch of matching
+    measurements is handed to ``callback(batch_df, batch_id)``.
+
+    ``available_now=True`` drains what exists then stops (test mode);
+    the default runs continuously with small triggers.
+    """
+    stream = (
+        spark.readStream.schema(_MEAS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+        .where(ids_predicate(ids) & flag_predicate(flag))
+    )
+    writer = stream.writeStream.foreachBatch(callback)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
+
+
+def streaming_current_value(
+    spark: SparkSession,
+    data_dir: str,
+    query_name: str = "current_value_live",
+) -> StreamingQuery:
+    """Latest (time, value, flag) per id maintained incrementally; query the
+    in-memory table ``query_name`` for the live snapshot (update mode)."""
+    stream = (
+        spark.readStream.schema(_MEAS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    latest = stream.groupBy("id").agg(
+        F.max_by(F.struct("time", "value", "flag"), F.struct("time", "value")).alias(
+            "m"
+        )
+    ).select("id", "m.time", "m.value", "m.flag")
+    return (
+        latest.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,33 @@
+"""Every registered query with an oracle must hash-match DuckDB at sf0.01 —
+the same gate the driver applies (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dariadb_spark.registry import REGISTRY
+from tests.parity import compare, duckdb_connection
+
+_WITH_ORACLE = [n for n, s in REGISTRY.items() if s.oracle]
+
+
+@pytest.fixture(scope="module")
+def con(oracle_sf_dir):
+    c = duckdb_connection(oracle_sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(name, spark, oracle_sf_dir, con):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, oracle_sf_dir)
+    res = compare(name, df, con, spec.oracle)
+    assert res.ok, f"{name}: {res.problems[:5]}"
+    assert res.rows_spark > 0, f"{name}: empty result"
+
+
+def test_rows_only_queries_run(spark, oracle_sf_dir):
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            assert spec.fn(spark, oracle_sf_dir).count() >= 0, name
