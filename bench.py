@@ -1,0 +1,64 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style action so the full plan runs
+JVM-side without collecting rows to the driver. A warmup pass on sf0.001
+triggers JIT/codegen so measured numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dariadb_spark.registry import REGISTRY  # noqa: E402
+from dariadb_spark.session import get_spark  # noqa: E402
+
+#: headline queries: every registered query benches unless listed here.
+EXCLUDE: set[str] = set()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup_dir = "/root/testdata/sf0.001"
+    spark = get_spark("dariadb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in REGISTRY if n not in EXCLUDE]
+
+    for name in names:  # warmup: plan + codegen at tiny scale
+        try:
+            REGISTRY[name].fn(spark, warmup_dir).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""[EXT] deduplication operators over ``documents`` (X1 / north_star):
+
+* exact dedup — sha256 content-hash groupBy (the 100 TB-safe exact method:
+  hash once, shuffle 32-byte keys, never shuffle the text);
+* exact n-gram Jaccard near-dup — inverted-index (shingle) self-join, the
+  classical all-pairs similarity plan: pairs are generated only for
+  documents *sharing a shingle*, never a cross join;
+* MinHash + LSH near-dup — the approximate scale path: constant-size
+  signatures, banded bucketing, candidate verification (rows-only check:
+  recall < 1 by construction, so no exact SQL oracle);
+* SimHash near-dup — 64-bit fingerprints, chunk-collision candidate
+  generation, Hamming-distance verification (rows-only).
+
+Word 3-gram shingles are produced with identical 0-based/1-based index
+arithmetic in Spark and DuckDB so the oracle sees the same shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
+
+JACCARD_THRESHOLD = 0.5
+NGRAM = 3
+
+# MinHash parameters (fixed seeds → deterministic across runs).
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # 4 rows per band → catches pairs well below 0.5 jaccard
+# 31-bit hash domain and coefficients keep a*h+b < 2^62 — no int64
+# overflow under Spark's ANSI arithmetic.
+MERSENNE_P = (1 << 31) - 1
+_A = [1 + (2 * i + 1) * 0x9E3779B9 % (MERSENNE_P - 1) for i in range(MINHASH_PERMS)]
+_B = [(i + 1) * 0xC2B2AE3D % MERSENNE_P for i in range(MINHASH_PERMS)]
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 8  # 8-bit chunks → candidates share ≥1 chunk (hamming ≤ 7 guaranteed caught... banding heuristic)
+SIMHASH_MAX_HAMMING = 12
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles ARRAY<STRING>) — distinct word 3-grams."""
+    return (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= NGRAM)
+        .selectExpr(
+            "doc_id",
+            "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), "
+            "element_at(split(text, ' '), i + 2), "
+            "element_at(split(text, ' '), i + 3)))) AS shingles",
+        )
+    )
+
+
+_SHINGLE_CTE = """
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM t WHERE len(w) >= 3)"""
+
+
+# --- X1 exact dedup -------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-hash groups: one row per distinct text with its cardinality
+    and canonical (min) doc_id. ``dup_cnt > 1`` rows are the duplicates."""
+    return (
+        load_table(spark, sf, "documents")
+        .groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.count("*").alias("dup_cnt"), F.min("doc_id").alias("canonical_id"))
+        .orderBy("text_sha")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS text_sha, count(*) AS dup_cnt,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY sha256(text) ORDER BY text_sha"""
+
+
+# --- exact n-gram Jaccard all-pairs --------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _shingled(load_table(spark, sf, "documents"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("nsh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ic"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("ic") / (F.col("sa.nsh") + F.col("sb.nsh") - F.col("ic"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+sz AS (SELECT doc_id, len(shingles) AS nsh FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(ic / (sa.nsh + sb.nsh - ic), 4) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE ic / (sa.nsh + sb.nsh - ic) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+
+# --- MinHash + LSH (approximate scale path, rows-only) -------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """shingle → xxhash64 → 64 affine permutations min-folded into a
+    signature → 16 bands of 4 → bucket join for candidates → exact
+    Jaccard verification. Everything JVM-side (higher-order functions);
+    signatures are constant-size so the shuffle is O(docs), not
+    O(shingle instances) — this is the 100 TB plan.
+    """
+    sh = _shingled(load_table(spark, sf, "documents"))
+    # Explode shingles and fold each permutation as a codegen'd min()
+    # aggregate with map-side partial aggregation — the signature build is
+    # one shuffle of (doc, 64×int64), never materializing per-row lambda
+    # folds (higher-order folds are interpreted and get re-inlined by
+    # projection collapse — pathologically slow for 64 permutations).
+    hv = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).selectExpr("doc_id", f"pmod(xxhash64(s), {MERSENNE_P}) AS h")
+    sig = hv.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"pmod({a} * h + {b}, {MERSENNE_P})")).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(_A, _B))
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    band_exprs = ", ".join(
+        "struct({b} AS band, hash({cols}) AS bh)".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({band_exprs})) AS bb"
+    ).select("doc_id", "bb.band", "bb.bh")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Verify candidates with exact Jaccard (shingle sets joined back in).
+    sa = sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a", "size(shingles) AS na")
+    sb = sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b", "size(shingles) AS nb")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash (rows-only) --------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sum ±1 weighted by token
+    hash bit; candidates = docs sharing any 8-bit chunk of the fingerprint
+    (banding); verified by Hamming distance ≤ {SIMHASH_MAX_HAMMING}."""
+    docs = load_table(spark, sf, "documents")
+    # Explode tokens; per bit, a codegen'd sum(±1) aggregate (map-side
+    # partial agg); fp assembled from the 64 sums in one projection.
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).selectExpr("doc_id", "xxhash64(t) AS h")
+    bit_aggs = [
+        F.sum(F.expr(f"IF((h >> {i}) & 1 = 1, 1, -1)")).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    fp = (
+        toks.groupBy("doc_id")
+        .agg(*bit_aggs)
+        .selectExpr(
+            "doc_id",
+            "("
+            + " | ".join(
+                f"IF(b{i} > 0, shiftleft(1L, {i}), 0L)"
+                for i in range(SIMHASH_BITS)
+            )
+            + ") AS fp",
+        )
+    )
+    chunks = fp.selectExpr(
+        "doc_id",
+        "fp",
+        f"explode(transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
+        f"c -> named_struct('c', c, 'v', (fp >> (c * 8)) & 255))) AS ch",
+    ).select("doc_id", "fp", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+register("ext_dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
+register("ext_dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
+register("ext_dedup_minhash_lsh", dedup_minhash_lsh, None)
+register("ext_dedup_simhash", dedup_simhash, None)

@@ -1,0 +1,125 @@
+"""[EXT] multimodal columns (X4 / north_star): image/audio/video payloads
+as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` UDFs.
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake behind ``decode_media`` (clearly marked; swap in a real
+decoder by replacing that one function). Everything Spark-side — schema,
+partition behavior, UDF signature, batch shape — is real and tested.
+
+The fixture has no binary table, so ``media_table`` synthesizes one from
+``documents`` (payload = UTF-8 bytes of the text, media_type by doc_id
+mod 3) — deterministic, so the metadata query still has a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+#: schema of the multimodal table — what a real ingest would carry.
+MEDIA_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, payload BINARY, byte_len BIGINT"
+)
+
+#: decoded-frame schema produced by the mapInPandas decoder.
+FRAME_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, frame_idx INT, width INT, height INT, "
+    "n_channels INT"
+)
+
+
+def media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthesize the multimodal table: opaque binary payload + metadata."""
+    return load_table(spark, sf, "documents").selectExpr(
+        "doc_id",
+        f"element_at(array{MEDIA_TYPES!r}, CAST(doc_id % 3 AS INT) + 1) AS media_type",
+        "encode(text, 'UTF-8') AS payload",
+        "octet_length(encode(text, 'UTF-8')) AS byte_len",
+    )
+
+
+def decode_media(payload: bytes, media_type: str) -> list[tuple[int, int, int, int]]:
+    """STUB decoder — deterministic fake dimensions derived from the
+    payload hash. A real deployment replaces this body with PIL/ffmpeg:
+
+        raise NotImplementedError("install pillow/av and decode here")
+
+    Returns [(frame_idx, width, height, n_channels), ...].
+    """
+    digest = hashlib.sha256(payload).digest()
+    width = 16 * (1 + digest[0] % 64)  # 16..1024, multiple of 16
+    height = 16 * (1 + digest[1] % 64)
+    channels = 1 if media_type == "audio" else 3
+    n_frames = 1 if media_type == "image" else 1 + digest[2] % 4
+    return [(i, width, height, channels) for i in range(n_frames)]
+
+
+def media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode / frame-sample via mapInPandas: Arrow batches stream through
+    Python once, emitting one row per decoded frame. At 100 TB the input
+    is repartitioned so each task holds a bounded number of payloads —
+    decode parallelism == task parallelism, no shuffle of the binary
+    payloads themselves afterwards (only the small frame metadata)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                for idx, w, h, c in decode_media(bytes(payload), mtype):
+                    out.append((doc_id, mtype, idx, w, h, c))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "media_type", "frame_idx", "width", "height",
+                    "n_channels",
+                ],
+            )
+
+    return (
+        media_table(spark, sf)
+        .mapInPandas(decode_batches, FRAME_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed-metadata aggregate over the binary column (oracle-checked:
+    byte lengths and type histogram are decode-independent)."""
+    return (
+        media_table(spark, sf)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.min("byte_len").alias("min_bytes"),
+            F.max("byte_len").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+MEDIA_META_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         octet_length(encode(text)) AS byte_len
+  FROM documents)
+SELECT media_type, count(*) AS cnt, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       min(byte_len) AS min_bytes, max(byte_len) AS max_bytes
+FROM m GROUP BY media_type ORDER BY media_type"""
+
+
+register("ext_media_meta", media_meta, MEDIA_META_SQL)
+register("ext_media_frames", media_frames, None)

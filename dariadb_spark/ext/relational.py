@@ -1,0 +1,326 @@
+"""[EXT] relational operators over the TPC-H-ish star schema — joins,
+grouped aggregation, windows, rollup/cube, set ops, top-k, JSON scalar
+extraction. Absent from the reference (it has no relational surface,
+SURVEY.md §2.3 J3 / §2.6 O3 / §2.7 C4); Catalyst provides the physical
+strategies. Scale notes per query below: dims broadcast, filters pushed
+to the parquet scan, single shuffle on the aggregate key.
+
+Money aggregates are rounded to 2 decimals (|sum| ~1e9 at sf0.1 —
+accumulation-order noise ~1e-5 stays far below the rounding step);
+ratios/averages to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
+
+
+def _ntz(lit: str):
+    return F.expr(f"TIMESTAMP_NTZ '{lit}'")
+
+
+# --- TPC-H Q1-style pricing summary --------------------------------------
+
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan-heavy single-shuffle aggregate: filter pushed to parquet scan,
+    partial aggregation map-side, ~6 output groups."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= _ntz("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+# --- joined revenue by nation (broadcast dim chain) ----------------------
+
+def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """4-way join: lineitem⋈orders shuffles on orderkey; customer/nation/
+    region are broadcast (≤ a few MB even at 100 TB fact scale), so the
+    only big shuffle is the fact-fact join + final tiny agg."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz("1997-01-01 00:00:00"))
+    )
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("n_name")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS cnt
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name"""
+
+
+# --- top-k customers by revenue ------------------------------------------
+
+def topk_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate-then-top-k: the groupBy shrinks orders to one row per
+    customer before the rank, so the sort handles |customers| rows, not
+    |orders|; deterministic tiebreak on custkey."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey"), F.col("c_name"), F.col("revenue"), F.col("n_orders")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+TOPK_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, revenue, n_orders
+FROM (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) r JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10"""
+
+
+# --- semi / anti joins ----------------------------------------------------
+
+def customers_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers having ≥1 open ('O') order — left-semi join, aggregated
+    per market segment. Semi avoids materializing the join product."""
+    cust = load_table(spark, sf, "customer")
+    open_orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        cust.join(
+            open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMERS_SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS cnt
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+
+def customers_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with no 1995 orders — left-anti join against the
+    date-filtered fact, counted per nation (broadcast nation dim)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= _ntz("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz("1996-01-01 00:00:00"))
+    )
+    nation = load_table(spark, sf, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+CUSTOMERS_ANTI_SQL = """
+SELECT n_name, count(*) AS cnt
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+GROUP BY n_name ORDER BY n_name"""
+
+
+# --- rollup / cube --------------------------------------------------------
+
+def rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ROLLUP_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority"""
+
+
+def cube_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+CUBE_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus"""
+
+
+# --- analytic window: top-N orders per customer ---------------------------
+
+def top_orders_per_cust(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-per-group window (O3-style top-k): partition prune first
+    (custkey < 100) so the window state stays small."""
+    orders = load_table(spark, sf, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+TOP_ORDERS_PER_CUST_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders WHERE o_custkey < 100
+) WHERE rk <= 3
+ORDER BY o_custkey, rk"""
+
+
+# --- set operation: customers active in both years ------------------------
+
+def repeat_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+
+    def _year(y: int) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= _ntz(f"{y}-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ntz(f"{y + 1}-01-01 00:00:00"))
+        ).select("o_custkey")
+
+    return (
+        _year(1995).intersect(_year(1996)).orderBy("o_custkey")
+    )
+
+
+REPEAT_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+ORDER BY o_custkey"""
+
+
+# --- JSON scalar extraction on events ------------------------------------
+
+def events_json(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 scalar surface: get_json_object over the events props column,
+    aggregated. Stays fully JVM-side (no Python UDF)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.select(
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("k")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
+FROM events GROUP BY k ORDER BY k"""
+
+
+register("ext_pricing_summary", pricing_summary, PRICING_SUMMARY_SQL)
+register("ext_revenue_by_nation", revenue_by_nation, REVENUE_BY_NATION_SQL)
+register("ext_topk_customers", topk_customers, TOPK_CUSTOMERS_SQL)
+register("ext_customers_semi", customers_semi, CUSTOMERS_SEMI_SQL)
+register("ext_customers_anti", customers_anti, CUSTOMERS_ANTI_SQL)
+register("ext_rollup_orders", rollup_orders, ROLLUP_ORDERS_SQL)
+register("ext_cube_lineitem", cube_lineitem, CUBE_LINEITEM_SQL)
+register("ext_top_orders_per_cust", top_orders_per_cust, TOP_ORDERS_PER_CUST_SQL)
+register("ext_repeat_customers", repeat_customers, REPEAT_CUSTOMERS_SQL)
+register("ext_events_json", events_json, EVENTS_JSON_SQL)

@@ -1,0 +1,202 @@
+"""[EXT] similarity search over ``embeddings`` (X2 / north_star).
+
+* ``sim_topk_cosine`` — brute-force cosine top-k: the exact baseline.
+  The query set is broadcast; each partition of the corpus computes dot
+  products JVM-side (zip_with/aggregate — no Python), then a per-query
+  window keeps k. Cost is O(|queries| × |corpus|) — fine for a handful
+  of probes even at 100 TB because the corpus scan parallelizes and
+  nothing but (query, k) rows shuffle.
+* ``sim_ann_lsh`` — the approximate scale path: random-hyperplane LSH
+  (sign sketches) bucket the corpus; candidates share a bucket in ≥1 of
+  L tables; exact cosine re-ranks candidates. Recall < 1 by design →
+  rows-only check.
+* ``dedup_embedding_cosine`` — near-duplicate pairs by cosine ≥ τ over
+  the full corpus (the embedding-space dedup); exact oracle at test SF,
+  LSH-bucketed at scale.
+
+Float32 arrays are cast to double *before* any arithmetic in both engines
+(same IEEE ops in the same order → rounded results match exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+TOP_K = 10
+# Synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51 at
+# sf0.01), so the near-dup threshold is set where pairs actually exist.
+NEAR_DUP_COS = 0.4
+
+#: expressions shared by brute/LSH paths (arrays pre-cast to double)
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, e DOUBLE[], norm) with norm precomputed once."""
+    return (
+        load_table(spark, sf, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+        .selectExpr("vec_id", "e", f"sqrt({_DOT.format(a='e', b='e')}) AS norm")
+    )
+
+
+def sim_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS)).selectExpr(
+        "vec_id AS q_id", "e AS qe", "norm AS qnorm"
+    )
+    dot = _DOT.format(a="qe", b="e")
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id", "vec_id", f"round({dot} / (qnorm * norm), 4) AS cos_sim"
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+SIM_TOPK_COSINE_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
+q AS (SELECT vec_id AS q_id, e AS qe, norm AS qnorm FROM n
+      WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+pairs AS (
+  SELECT q_id, vec_id,
+         round(list_dot_product(qe, e) / (qnorm * norm), 4) AS cos_sim
+  FROM q, n WHERE vec_id != q_id),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM pairs)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY q_id, rk"""
+
+
+# --- embedding-space near-dup pairs --------------------------------------
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """All pairs with cosine ≥ τ. Exact all-pairs here (corpus² dot
+    products, JVM-side); at 100 TB swap the crossJoin for the LSH bucket
+    join below — the verification filter is identical."""
+    emb = _emb(spark, sf)
+    a = emb.selectExpr("vec_id AS vec_a", "e AS ea", "norm AS na")
+    b = emb.selectExpr("vec_id AS vec_b", "e AS eb", "norm AS nb")
+    dot = _DOT.format(a="ea", b="eb")
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .selectExpr("vec_a", "vec_b", f"round({dot} / (na * nb), 4) AS cos_sim")
+        .where(F.col("cos_sim") >= NEAR_DUP_COS)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 4) AS cos_sim
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 4) >= {NEAR_DUP_COS}
+ORDER BY vec_a, vec_b"""
+
+
+# --- LSH-bucketed ANN (rows-only) ----------------------------------------
+
+N_PLANES = 16  # one 16-bit sketch per table
+N_TABLES = 4
+
+
+def _hyperplanes(dim: int = 64) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG — no RNG state,
+    reproducible across runs/engines)."""
+    planes: list[list[list[float]]] = []
+    state = 0x2545F4914F6CDD1D
+    for _ in range(N_TABLES):
+        table = []
+        for _ in range(N_PLANES):
+            row = []
+            for _ in range(dim):
+                state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+                row.append(((state >> 33) / float(1 << 31)) - 1.0)  # ~U(-1,1)
+            table.append(row)
+        planes.append(table)
+    return planes
+
+
+def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k: per table, bucket = sign-bit sketch of 16 hyperplane
+    dots; query joins its bucket per table; exact cosine re-ranks the
+    union of candidates. Scale shape: corpus sketched once (linear scan),
+    bucket join replaces the cross join — candidates per query ≈
+    corpus / 2^16 × tables."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = _emb(spark, sf)
+    mats = [np.array(t) for t in _hyperplanes()]  # N_TABLES × (16, 64)
+    weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def sketch(vectors: pd.Series) -> pd.Series:
+        """Arrow-batched sign sketches: one (batch × dim) @ (dim × planes)
+        matmul per table — the whole batch sketched in a few BLAS calls."""
+        mat = np.stack(vectors.to_numpy())
+        per_table = [
+            ((mat @ m.T) > 0).astype(np.int64) @ weights for m in mats
+        ]
+        return pd.Series(np.stack(per_table, axis=1).tolist())
+
+    sketches = emb.select(
+        "vec_id", "e", "norm", sketch(F.col("e")).alias("sk")
+    ).select(
+        "vec_id",
+        "e",
+        "norm",
+        F.posexplode("sk").alias("tbl", "bucket"),
+    )
+    q = sketches.where(F.col("vec_id").isin(QUERY_VEC_IDS)).selectExpr(
+        "vec_id AS q_id", "e AS qe", "norm AS qnorm", "tbl", "bucket"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(sketches, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    dot = _DOT.format(a="qe", b="e")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.selectExpr(
+            "q_id", "vec_id", f"round({dot} / (qnorm * norm), 4) AS cos_sim"
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)
+register("ext_dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL)
+register("ext_sim_ann_lsh", sim_ann_lsh, None)

@@ -1,0 +1,188 @@
+"""[EXT] text-analysis operators over ``documents`` (X3 / north_star):
+token statistics, word frequencies, quality scoring, language histograms,
+document fingerprinting (min-hash-of-shingles, a winnowing-style rolling
+fingerprint), and an n-gram-heuristic language identifier (Pandas UDF,
+rows-only — the heuristic has no SQL oracle).
+
+Everything except lang-ID stays JVM-side via higher-order array functions
+— no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dariadb_spark.ext.dedup import _SHINGLE_CTE, _shingled
+from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
+
+STOPWORDS = ("a", "the")
+TOP_WORDS = 20
+
+
+# --- per-document token statistics ---------------------------------------
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token count, distinct count, type-token ratio, avg token length —
+    narrow per-row map, no shuffle at all (the scan is the cost)."""
+    return load_table(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "n_chars",
+        "size(split(text, ' ')) AS n_tokens",
+        "size(array_distinct(split(text, ' '))) AS n_distinct",
+        "round(size(array_distinct(split(text, ' '))) / size(split(text, ' ')), 4)"
+        " AS type_token_ratio",
+        "round(aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t)) "
+        "/ size(split(text, ' ')), 4) AS avg_token_len",
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = """
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, n_chars, len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_distinct,
+       round(len(list_distinct(w)) / len(w), 4) AS type_token_ratio,
+       round(list_sum(list_transform(w, t -> len(t))) / len(w), 4) AS avg_token_len
+FROM t ORDER BY doc_id"""
+
+
+# --- corpus word frequencies ---------------------------------------------
+
+def text_word_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Top words: explode → groupBy(word). At 100 TB the map-side partial
+    aggregation collapses each partition to |vocabulary| rows before the
+    shuffle, so the shuffle is tiny regardless of corpus size."""
+    return (
+        load_table(spark, sf, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(TOP_WORDS)
+    )
+
+
+TEXT_WORD_FREQ_SQL = f"""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {TOP_WORDS}"""
+
+
+# --- quality scoring ------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality block: length, stopword ratio, mean token length.
+    Mirrors the ratios LLM-data pipelines gate on."""
+    stop_pred = " OR ".join(f"x = '{s}'" for s in STOPWORDS)
+    return load_table(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "n_chars",
+        "size(split(text, ' ')) AS n_tokens",
+        f"round(size(filter(split(text, ' '), x -> {stop_pred})) "
+        "/ size(split(text, ' ')), 4) AS stopword_ratio",
+        "CASE WHEN n_chars < 100 THEN 'short' WHEN n_chars < 300 THEN 'medium' "
+        "ELSE 'long' END AS length_class",
+    ).orderBy("doc_id")
+
+
+_STOP_PRED_SQL = " OR ".join(f"x = '{s}'" for s in STOPWORDS)
+TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, n_chars, len(w) AS n_tokens,
+       round(len(list_filter(w, x -> {_STOP_PRED_SQL})) / len(w), 4) AS stopword_ratio,
+       CASE WHEN n_chars < 100 THEN 'short' WHEN n_chars < 300 THEN 'medium'
+            ELSE 'long' END AS length_class
+FROM t ORDER BY doc_id"""
+
+
+# --- language histogram ---------------------------------------------------
+
+def text_lang_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_LANG_HISTOGRAM_SQL = """
+SELECT lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang"""
+
+
+# --- document fingerprint (min-of-shingle-hashes) ------------------------
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style fingerprint: the lexicographic min of md5 over the
+    document's word 3-grams. md5 is identical across engines so the
+    oracle verifies the fingerprint bit-for-bit."""
+    return (
+        _shingled(load_table(spark, sf, "documents"))
+        .selectExpr(
+            "doc_id",
+            "array_min(transform(shingles, s -> md5(s))) AS fingerprint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+FROM s ORDER BY doc_id"""
+
+
+# --- language identification (heuristic, Pandas UDF, rows-only) ----------
+
+#: tiny per-language stopword profiles (public-knowledge function words).
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "es": ("el", "la", "de", "y", "un"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "zh": (),  # no-latin-stopword fallback bucket
+}
+
+
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram/stopword-heuristic language ID as an Arrow-batched Pandas
+    UDF (the pattern for model-scoring UDFs: vectorized, stateless,
+    per-batch). Rows-only check — the heuristic is not SQL-expressible."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def guess_lang(texts: pd.Series) -> pd.Series:
+        def guess(t: str) -> str:
+            toks = t.split(" ")
+            best, best_score = "zh", -1.0
+            for lang, stops in _LANG_PROFILES.items():
+                if not stops:
+                    continue
+                score = sum(tok in stops for tok in toks) / max(len(toks), 1)
+                if score > best_score:
+                    best, best_score = lang, score
+            return best if best_score > 0 else "zh"
+
+        return texts.map(guess)
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", "lang", guess_lang(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+register("ext_text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
+register("ext_text_word_freq", text_word_freq, TEXT_WORD_FREQ_SQL)
+register("ext_text_quality", text_quality, TEXT_QUALITY_SQL)
+register("ext_text_lang_histogram", text_lang_histogram, TEXT_LANG_HISTOGRAM_SQL)
+register("ext_text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
+register("ext_text_langid", text_langid, None)

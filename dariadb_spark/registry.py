@@ -250,3 +250,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimal end-to-end slice exercising scan → filter → agg → sort."""
     meas = measurements(spark, sf_dir)
     return downsample(meas, "hour", IDS, FROM_MS, TO_MS, 0)
+
+
+# --- [EXT] modules register on import (import last: they need register) --
+
+from dariadb_spark.ext import relational as _ext_rel  # noqa: E402,F401
+from dariadb_spark.ext import dedup as _ext_dedup  # noqa: E402,F401
+from dariadb_spark.ext import text as _ext_text  # noqa: E402,F401
+from dariadb_spark.ext import similarity as _ext_sim  # noqa: E402,F401
+from dariadb_spark.ext import multimodal as _ext_mm  # noqa: E402,F401

@@ -9,6 +9,7 @@ each query. ``get_spark`` is used by our own tests and ``bench.py``.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -38,7 +39,42 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # Non-settable in some deployment: leave it; plans still run,
             # only ns-parquet reads would fail and that surfaces loudly.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``dariadb_spark`` importable on executor Python workers.
+
+    Pandas-UDF closures are pickled by reference to this module, so the
+    workers must be able to import it — true on a cluster and equally on
+    an externally-built local session whose cwd is not the repo root.
+    ``addPyFile`` distributes a zip of the package and prepends it to the
+    workers' (and driver's) import path; done once per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dariadb_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"dariadb_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "dariadb_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+        sc._dariadb_pkg_shipped = True
+    except Exception:
+        pass  # already added under this name, or restricted deployment
 
 
 def get_spark(

@@ -32,10 +32,15 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    # Normalize missing values (NaN/None/NaT) to None so Spark's None and
+    # DuckDB's NaN compare equal, then row-sort by a repr key that is
+    # total over mixed None/str/num columns (rollup/cube emit NULL keys).
+    df = df.astype(object).where(pd.notna(df), None)
     if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
-            drop=True
+        order = sorted(
+            range(len(df)), key=lambda i: repr(tuple(df.iloc[i]))
         )
+        df = df.iloc[order].reset_index(drop=True)
     return df
 
 
