@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
@@ -36,30 +37,12 @@ _A = [1 + (2 * i + 1) * 0x9E3779B9 % (MERSENNE_P - 1) for i in range(MINHASH_PER
 _B = [(i + 1) * 0xC2B2AE3D % MERSENNE_P for i in range(MINHASH_PERMS)]
 
 SIMHASH_BITS = 64
-SIMHASH_CHUNKS = 8  # 8-bit chunks → candidates share ≥1 chunk (hamming ≤ 7 guaranteed caught... banding heuristic)
-SIMHASH_MAX_HAMMING = 12
-
-
-def _shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles ARRAY<STRING>) — distinct word 3-grams."""
-    return (
-        docs.where(F.size(F.split(F.col("text"), " ")) >= NGRAM)
-        .selectExpr(
-            "doc_id",
-            "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), "
-            "element_at(split(text, ' '), i + 2), "
-            "element_at(split(text, ' '), i + 3)))) AS shingles",
-        )
-    )
-
-
-_SHINGLE_CTE = """
-t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-s AS (SELECT doc_id,
-             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                            for i in range(1, len(w) - 1)]) AS shingles
-      FROM t WHERE len(w) >= 3)"""
+# 4 chunks of 16 bits: by pigeonhole every pair with Hamming ≤ 3 shares at
+# least one untouched chunk, so the bucket join is *complete* for the
+# threshold below — and 2^16 buckets keep candidate volume tiny.
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 16
+SIMHASH_MAX_HAMMING = 3
 
 
 # --- X1 exact dedup -------------------------------------------------------
@@ -86,7 +69,13 @@ FROM documents GROUP BY sha256(text) ORDER BY text_sha"""
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     sh = _shingled(load_table(spark, sf, "documents"))
     sizes = sh.select("doc_id", F.size("shingles").alias("nsh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    # Join/count on 64-bit shingle hashes, not strings: the self-join
+    # shuffles 8-byte keys instead of ~30-byte text, and the equality
+    # probe is an integer compare. Collisions (~|shingles|²/2⁶⁴) are
+    # billions of times rarer than the oracle's tolerance.
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).selectExpr(
+        "doc_id", "xxhash64(s) AS sh"
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -190,8 +179,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sum ±1 weighted by token
-    hash bit; candidates = docs sharing any 8-bit chunk of the fingerprint
-    (banding); verified by Hamming distance ≤ {SIMHASH_MAX_HAMMING}."""
+    hash bit; candidates = docs sharing any 16-bit chunk of the
+    fingerprint (complete for Hamming ≤ SIMHASH_MAX_HAMMING = chunks-1);
+    verified by exact bit_count Hamming distance."""
     docs = load_table(spark, sf, "documents")
     # Explode tokens; per bit, a codegen'd sum(±1) aggregate (map-side
     # partial agg); fp assembled from the 64 sums in one projection.
@@ -215,11 +205,12 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             + ") AS fp",
         )
     )
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
     chunks = fp.selectExpr(
         "doc_id",
         "fp",
         f"explode(transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
-        f"c -> named_struct('c', c, 'v', (fp >> (c * 8)) & 255))) AS ch",
+        f"c -> named_struct('c', c, 'v', (fp >> (c * {SIMHASH_CHUNK_BITS})) & {mask}))) AS ch",
     ).select("doc_id", "fp", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     a = chunks.alias("a")
     b = chunks.alias("b")

@@ -93,17 +93,51 @@ ORDER BY q_id, rk"""
 # --- embedding-space near-dup pairs --------------------------------------
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """All pairs with cosine ≥ τ. Exact all-pairs here (corpus² dot
-    products, JVM-side); at 100 TB swap the crossJoin for the LSH bucket
-    join below — the verification filter is identical."""
+    """All pairs with cosine ≥ τ — blocked matrix products.
+
+    The corpus matrix is broadcast into an Arrow-batched ``mapInPandas``;
+    each task multiplies its batch block against the full corpus with one
+    BLAS call (float64) and emits only the surviving (a < b, cos ≥ τ)
+    pairs — the shuffle carries results, never the O(n²) pair space.
+    At 100 TB the broadcast side becomes the LSH-bucketed candidate set
+    (``sim_ann_lsh``); the per-block verification is identical.
+    """
+    from collections.abc import Iterator
+
     emb = _emb(spark, sf)
-    a = emb.selectExpr("vec_id AS vec_a", "e AS ea", "norm AS na")
-    b = emb.selectExpr("vec_id AS vec_b", "e AS eb", "norm AS nb")
-    dot = _DOT.format(a="ea", b="eb")
+    # One collect of (ids, matrix): the broadcast "dimension" side. ~1 MB
+    # per 2k×64 vectors; at larger corpora this is the bucketed subset.
+    corpus = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in corpus], dtype=np.int64)
+    mat = np.array([r["e"] for r in corpus], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            block_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            v = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ mat.T  # (block, corpus)
+            # Slightly under-filter: the authoritative threshold is applied
+            # to the *rounded* value JVM-side, matching the oracle exactly.
+            keep = (sims >= NEAR_DUP_COS - 1e-4) & (
+                block_ids[:, None] < ids[None, :]
+            )
+            bi, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": block_ids[bi],
+                    "vec_b": ids[ci],
+                    "cos_raw": sims[bi, ci],
+                }
+            )
+
     return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .selectExpr("vec_a", "vec_b", f"round({dot} / (na * nb), 4) AS cos_sim")
+        emb.select("vec_id", "e")
+        .mapInPandas(block, "vec_a bigint, vec_b bigint, cos_raw double")
+        .select(
+            "vec_a", "vec_b", F.round(F.col("cos_raw"), 4).alias("cos_sim")
+        )
         .where(F.col("cos_sim") >= NEAR_DUP_COS)
         .orderBy("vec_a", "vec_b")
     )

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dariadb_spark.ext.dedup import _SHINGLE_CTE, _shingled
+from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
