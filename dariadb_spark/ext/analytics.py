@@ -1,0 +1,227 @@
+"""[EXT] analytic-window / set / distinct / scalar operators.
+
+These fill the SURVEY.md §2 rows the reference lacks entirely (W3 ranking
+and frame-spec windows, O3 set ops and top-k, A13 distinct aggregation,
+C4 scalar-function surface) — Catalyst provides the physical strategies;
+this module declares the plans and pairs each with a DuckDB oracle.
+
+Scale notes (100 TB): window functions shuffle once on the partition key
+(`id`), the same key the measurements table is clustered by, so at scale
+they run shuffle-free after a bucketed write; set ops on distinct keys are
+a single exchange of the already-deduplicated key set; the scalar surface
+is whole-stage-codegen'd expressions with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import MEAS_CTE_SQL, load_table, measurements
+from dariadb_spark.operators.interval import read_interval
+from dariadb_spark.registry import (
+    FROM_MS,
+    IDS,
+    TO_MS,
+    TP_MS,
+    _ids_sql,
+    register,
+)
+
+# Total per-id ordering: (time, value, flag) — rows with identical full
+# tuples are interchangeable, so every window result below is deterministic.
+_ORD = ("time", "value", "flag")
+
+
+# --- W3: frame-spec moving average + lag delta ----------------------------
+
+def moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """10-point trailing mean and first difference per series. One shuffle
+    on `id` (the storage clustering key → shuffle-free on a bucketed
+    table); the frame is evaluated in a single sorted pass per partition."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    w = Window.partitionBy("id").orderBy(*_ORD)
+    frame = w.rowsBetween(-9, Window.currentRow)
+    return meas.select(
+        "id",
+        "time",
+        "value",
+        # frame mean as round(sum,6)/count — bit-identical across engines
+        # (see downsample.py: round(avg,4) diverges on .xxxx5 boundaries,
+        # common here because frames hold ≤10 two-decimal values).
+        (
+            F.round(F.sum("value").over(frame), 6)
+            / F.count("value").over(frame)
+        ).alias("mov_avg10"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta"),
+    ).orderBy("id", "time", "value")
+
+
+MOVING_AVG_SQL = f"""WITH {MEAS_CTE_SQL}
+SELECT id, time, value,
+       (round(sum(value) OVER (PARTITION BY id ORDER BY time, value, flag
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+        / count(value) OVER (PARTITION BY id ORDER BY time, value, flag
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         AS mov_avg10,
+       round(value - lag(value, 1) OVER (PARTITION BY id
+                                         ORDER BY time, value, flag), 4)
+         AS delta
+FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+ORDER BY id, time, value"""
+
+
+# --- O3: top-k per series -------------------------------------------------
+
+def topk_per_series(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 values per id in the interval via ranked window — at scale
+    this is a partial top-k per partition then a merge (no full sort)."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    w = Window.partitionBy("id").orderBy(
+        F.desc("value"), F.col("time"), F.col("flag")
+    )
+    return (
+        meas.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("id", "rk", "time", "value", "flag")
+        .orderBy("id", "rk")
+    )
+
+
+TOPK_SQL = f"""WITH {MEAS_CTE_SQL},
+ranked AS (
+  SELECT id, time, value, flag,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY value DESC, time, flag) AS rk
+  FROM measurements
+  WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+)
+SELECT id, rk, time, value, flag FROM ranked WHERE rk <= 5 ORDER BY id, rk"""
+
+
+# --- O3: set operations on (id, day) activity sets ------------------------
+# Days where a series logged an error event vs days it logged a purchase;
+# intersect/except are nonempty at every sf because per-(id, day) event
+# density is scale-invariant in the fixture generator.
+
+_DAY = 86_400_000
+
+
+def _active_days(spark: SparkSession, sf: str, flag: int) -> DataFrame:
+    meas = measurements(spark, sf)
+    return (
+        read_interval(meas, None, FROM_MS, TO_MS, flag)
+        .select("id", (F.col("time") - F.col("time") % _DAY).alias("day_ms"))
+        .distinct()
+    )
+
+
+def _day_set_sql(flag: int) -> str:
+    return (
+        f"SELECT DISTINCT id, (time - time % {_DAY}) AS day_ms "
+        f"FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS} "
+        f"AND ((flag & {flag}) = {flag})"
+    )
+
+
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """(id, day) pairs active with BOTH error and purchase flags."""
+    a = _active_days(spark, sf, 16)
+    b = _active_days(spark, sf, 8)
+    return a.intersect(b).orderBy("id", "day_ms")
+
+
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """(id, day) pairs with an error but no purchase (EXCEPT DISTINCT)."""
+    a = _active_days(spark, sf, 16)
+    b = _active_days(spark, sf, 8)
+    return a.subtract(b).orderBy("id", "day_ms")
+
+
+SET_INTERSECT_SQL = f"""WITH {MEAS_CTE_SQL}
+{_day_set_sql(16)}
+INTERSECT
+{_day_set_sql(8)}
+ORDER BY id, day_ms"""
+
+SET_EXCEPT_SQL = f"""WITH {MEAS_CTE_SQL}
+{_day_set_sql(16)}
+EXCEPT
+{_day_set_sql(8)}
+ORDER BY id, day_ms"""
+
+
+# --- A13: distinct aggregation -------------------------------------------
+
+def distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct-series cardinality per flag. At 100 TB swap
+    `countDistinct` for `approx_count_distinct` (HLL, no expand) — exact
+    kept here for oracle parity."""
+    meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    return (
+        meas.groupBy("flag")
+        .agg(
+            F.countDistinct("id").alias("n_series"),
+            F.count("*").alias("n_points"),
+            F.countDistinct((F.col("time") - F.col("time") % _DAY)).alias(
+                "n_days"
+            ),
+        )
+        .orderBy("flag")
+    )
+
+
+DISTINCT_AGG_SQL = f"""WITH {MEAS_CTE_SQL}
+SELECT flag, count(DISTINCT id) AS n_series, count(*) AS n_points,
+       count(DISTINCT (time - time % {_DAY})) AS n_days
+FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY flag ORDER BY flag"""
+
+
+# --- C4: scalar-function surface (string / date / math) -------------------
+
+def scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """String (substring/upper/concat_ws/length), date (year/month), and
+    math (sqrt/abs) scalars over orders — all whole-stage-codegen'd JVM
+    expressions, no UDFs, single shuffle on the 2-column group key."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.substring("o_orderpriority", 1, 1).alias("prio_class"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.sqrt("o_totalprice")), 2).alias("sum_sqrt_price"),
+            F.round(
+                F.avg(F.abs(F.col("o_totalprice") - F.lit(100_000.0))), 2
+            ).alias("avg_abs_dev"),
+            F.max(
+                F.concat_ws("-", F.upper("o_orderstatus"), "o_orderpriority")
+            ).alias("max_tag"),
+            F.max(F.length("o_orderpriority")).alias("max_prio_len"),
+        )
+        .orderBy("prio_class", "yr")
+    )
+
+
+SCALAR_FUNCS_SQL = """
+SELECT substring(o_orderpriority, 1, 1) AS prio_class,
+       year(o_orderdate) AS yr,
+       count(*) AS n,
+       round(sum(sqrt(o_totalprice)), 2) AS sum_sqrt_price,
+       round(avg(abs(o_totalprice - 100000.0)), 2) AS avg_abs_dev,
+       max(concat_ws('-', upper(o_orderstatus), o_orderpriority)) AS max_tag,
+       max(length(o_orderpriority)) AS max_prio_len
+FROM orders
+GROUP BY prio_class, yr
+ORDER BY prio_class, yr"""
+
+
+register("ext_moving_avg", moving_avg, MOVING_AVG_SQL)
+register("ext_topk_per_series", topk_per_series, TOPK_SQL)
+register("ext_set_intersect", set_intersect, SET_INTERSECT_SQL)
+register("ext_set_except", set_except, SET_EXCEPT_SQL)
+register("ext_distinct_agg", distinct_agg, DISTINCT_AGG_SQL)
+register("ext_scalar_funcs", scalar_funcs, SCALAR_FUNCS_SQL)

@@ -37,7 +37,15 @@ def _r(col: Column) -> Column:
 
 #: name → (spark aggregate over `value`, duckdb aggregate SQL over `value`)
 FUNCTION_REGISTRY: dict[str, tuple[Callable[[], Column], str]] = {
-    "average": (lambda: _r(F.avg("value")), f"round(avg(value), {ROUND})"),
+    # average as round(sum,6)/count, NOT round(avg,4): fixture values are
+    # 2-decimal so true means land exactly on .xxxx5 rounding boundaries,
+    # where Spark (HALF_UP on shortest decimal repr) and DuckDB (binary
+    # rounding) disagree. The rounded sum is bit-identical across engines
+    # and IEEE division is deterministic → exact float equality.
+    "average": (
+        lambda: F.round(F.sum("value"), 6) / F.count("value"),
+        "(round(sum(value), 6) / count(value))",
+    ),
     "median": (
         lambda: _r(F.expr("percentile(value, 0.5)")),
         f"round(quantile_cont(value, 0.5), {ROUND})",

@@ -65,7 +65,15 @@ def downsample(
         .groupBy(F.col("id"), bucket_column(interval))
         .agg(
             F.count("value").alias("cnt"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # avg as round(sum,6)/count with NO final rounding: the rounded
+            # sum is bit-identical across engines (accumulation noise ~1e-8
+            # << 5e-7 boundary gap) and IEEE division is deterministic, so
+            # the quotient compares exactly. A final round(…,4) would
+            # diverge: fixture values are 2-decimal and bucket counts are
+            # powers of two, so averages land EXACTLY on .xxxx5 boundaries
+            # where Spark (HALF_UP on shortest decimal repr) and DuckDB
+            # (binary-value rounding) disagree.
+            (F.round(F.sum("value"), 6) / F.count("value")).alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.round(F.sum("value"), 4).alias("sum_value"),

@@ -54,7 +54,10 @@ def stat_block(
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("mean_value"),
+            # mean as round(sum,6)/count — bit-identical across engines;
+            # round(avg,4) diverges when 2-decimal inputs put the true
+            # mean exactly on a .xxxx5 boundary (see downsample.py).
+            (F.round(F.sum("value"), 6) / F.count("value")).alias("mean_value"),
         )
         .orderBy("id")
     )

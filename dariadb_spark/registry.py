@@ -152,7 +152,8 @@ register(
     f"""WITH {MEAS_CTE_SQL}
 SELECT id, count(value) AS cnt, min(time) AS min_time, max(time) AS max_time,
        min(value) AS min_value, max(value) AS max_value,
-       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS mean_value
+       round(sum(value), 4) AS sum_value,
+       (round(sum(value), 6) / count(value)) AS mean_value
 FROM measurements
 WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
 GROUP BY id ORDER BY id""",
@@ -204,13 +205,13 @@ GROUP BY id ORDER BY id""",
 def _bucket_oracle(interval: str) -> str:
     return f"""WITH {MEAS_CTE_SQL}
 SELECT id, {bucket_sql(interval)} AS bucket_ms, count(value) AS cnt,
-       round(avg(value), 4) AS avg_value, min(value) AS min_value,
+       (round(sum(value), 6) / count(value)) AS avg_value, min(value) AS min_value,
        max(value) AS max_value, round(sum(value), 4) AS sum_value
 FROM measurements
 GROUP BY id, bucket_ms ORDER BY id, bucket_ms"""
 
 
-for _interval in ("minute30", "hour", "day"):
+for _interval in ("minute30", "hour", "day", "week", "month"):
     register(
         f"bucket_{_interval}",
         (lambda iv: lambda spark, sf: downsample(measurements(spark, sf), iv))(
@@ -218,6 +219,46 @@ for _interval in ("minute30", "hour", "day"):
         ),
         _bucket_oracle(_interval),
     )
+
+# --- J2: scheme name→id resolution (broadcast catalog join) --------------
+# Reference: scheme/scheme.cpp (Scheme::idByParam/addParam) — hierarchical
+# dot-separated names to series ids. The catalog is tiny at any scale, so
+# the join is a broadcast hash join (no shuffle of the fact side).
+
+SCHEME_NAMES = [f"host{i // 4}.sensor{i % 4}.load" for i in range(15)]
+
+
+def _scheme_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.scheme import SeriesCatalog
+
+    cat = SeriesCatalog(spark)
+    for name in SCHEME_NAMES:  # ids assigned 0..14 in order (Scheme::addParam)
+        cat.add_param(name)
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    return (
+        cat.resolve(meas)
+        .groupBy("name")
+        .agg(
+            F.count("value").alias("cnt"),
+            (F.round(F.sum("value"), 6) / F.count("value")).alias("avg_value"),
+        )
+        .orderBy("name")
+    )
+
+
+register(
+    "scheme_resolve",
+    _scheme_resolve,
+    f"""WITH {MEAS_CTE_SQL},
+catalog(id, name) AS (VALUES {', '.join(f"({i}, '{n}')" for i, n in enumerate(SCHEME_NAMES))})
+SELECT c.name AS name, count(m.value) AS cnt,
+       (round(sum(m.value), 6) / count(m.value)) AS avg_value
+FROM measurements m JOIN catalog c ON m.id = c.id
+WHERE m.id IN {_ids_sql(IDS)} AND m.time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY c.name ORDER BY name""",
+)
 
 # --- T4: retention semantics (eraseOld survivors) ------------------------
 
@@ -255,6 +296,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- [EXT] modules register on import (import last: they need register) --
 
 from dariadb_spark.ext import relational as _ext_rel  # noqa: E402,F401
+from dariadb_spark.ext import analytics as _ext_analytics  # noqa: E402,F401
 from dariadb_spark.ext import dedup as _ext_dedup  # noqa: E402,F401
 from dariadb_spark.ext import text as _ext_text  # noqa: E402,F401
 from dariadb_spark.ext import similarity as _ext_sim  # noqa: E402,F401
