@@ -231,6 +231,105 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- IVF-bucketed ANN (deterministic → exact oracle) ----------------------
+
+K_CELLS = 16  # inverted-file cells
+N_PROBE = 4  # cells probed per query
+
+
+def sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-k: the corpus is partitioned into K cells by nearest
+    centroid; a query probes its N_PROBE nearest cells and re-ranks with
+    exact cosine — the classic inverted-file index (cost drops from
+    O(|corpus|) to ~N_PROBE/K of it per query).
+
+    Centroids here are the first K corpus vectors (deterministic seed —
+    production would run MLlib KMeans; the plan shape is identical).
+    Assignment scores are rounded to 4 decimals with centroid-id
+    tie-break, so cell assignment is bit-deterministic and the whole
+    operator has an exact DuckDB oracle — unlike the LSH path.
+
+    Scale shape: centroids broadcast (K×dim is KBs at any corpus size);
+    assignment is one linear scan; the candidate join shuffles on cell id
+    with per-cell candidate lists ~|corpus|/K.
+    """
+    emb = _emb(spark, sf)
+    cent = emb.where(F.col("vec_id") < K_CELLS).selectExpr(
+        "vec_id AS cid", "e AS ce", "norm AS cnorm"
+    )
+    dotc = _DOT.format(a="e", b="ce")
+    scored = emb.crossJoin(F.broadcast(cent)).selectExpr(
+        "vec_id",
+        "e",
+        "norm",
+        "cid",
+        f"round({dotc} / (norm * cnorm), 4) AS ccos",
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    ranked_cells = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked_cells.where(F.col("rn") == 1).select(
+        "vec_id", "e", "norm", "cid"
+    )
+    probes = (
+        ranked_cells.where(
+            F.col("vec_id").isin(QUERY_VEC_IDS) & (F.col("rn") <= N_PROBE)
+        )
+        .selectExpr("vec_id AS q_id", "e AS qe", "norm AS qnorm", "cid")
+    )
+    dot = _DOT.format(a="qe", b="e")
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id", "vec_id", f"round({dot} / (qnorm * norm), 4) AS cos_sim"
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+SIM_ANN_IVF_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
+cent AS (SELECT vec_id AS cid, e AS ce, norm AS cnorm FROM n
+         WHERE vec_id < {K_CELLS}),
+scored AS (
+  SELECT n.vec_id, n.e, n.norm, c.cid,
+         round(list_dot_product(n.e, c.ce) / (n.norm * c.cnorm), 4) AS ccos
+  FROM n, cent c),
+ranked_cells AS (
+  SELECT vec_id, e, norm, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid ASC) AS rn
+  FROM scored),
+assigned AS (SELECT vec_id, e, norm, cid FROM ranked_cells WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS q_id, e AS qe, norm AS qnorm, cid
+  FROM ranked_cells
+  WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))}) AND rn <= {N_PROBE}),
+cand AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_dot_product(p.qe, a.e) / (p.qnorm * a.norm), 4) AS cos_sim
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id != p.q_id),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM cand)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY q_id, rk"""
+
+
 register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)
+register("ext_sim_ann_ivf", sim_ann_ivf, SIM_ANN_IVF_SQL)
 register("ext_dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL)
 register("ext_sim_ann_lsh", sim_ann_lsh, None)
