@@ -1,0 +1,211 @@
+"""TsEngine lifecycle tests — the Spark rendering of the reference's
+shared round-trip property (unittests/test_common.cpp,
+dariadb_test::storage_test_check): append a deterministic grid of
+measurements, then assert every query verb returns exactly what the grid
+implies — interval reads complete and time-sorted, as-of reads correct at
+boundaries with _NO_DATA synthesis, current/min-max/statistics matching
+hand-computed values — plus compaction/retention/subscribe semantics the
+reference exercises in engine_test.cpp / wal_test / pages_test.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dariadb_spark.engine import TsEngine
+from dariadb_spark.model import FLAGS_NO_DATA
+
+T0 = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC
+STEP = 21_600_000  # 6 h → 20 steps span 5 UTC days
+N_IDS = 5
+N_STEPS = 20
+FLAG_CYCLE = [1, 2, 4, 8, 16]
+
+
+def _grid() -> list[tuple[int, int, float, int]]:
+    return [
+        (i, T0 + k * STEP, float(i * 100 + k), FLAG_CYCLE[k % 5])
+        for i in range(N_IDS)
+        for k in range(N_STEPS)
+    ]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = TsEngine.open(spark, str(tmp_path_factory.mktemp("store")))
+    grid = _grid()
+    # three appends → several small files per day partition (the WAL-ish
+    # state compact() later folds up)
+    for part in (grid[:30], grid[30:70], grid[70:]):
+        assert eng.append(part) == len(part)
+    return eng
+
+
+def test_read_interval_complete_and_sorted(engine):
+    rows = engine.read_interval(None, T0, T0 + N_STEPS * STEP).collect()
+    assert [(r.id, r.time, r.value, r.flag) for r in rows] == sorted(_grid())
+
+
+def test_read_interval_closed_ends(engine):
+    # from/to land exactly on sample times: both ends must be included
+    rows = engine.read_interval([1], T0 + STEP, T0 + 3 * STEP).collect()
+    assert [r.time for r in rows] == [T0 + k * STEP for k in (1, 2, 3)]
+
+
+def test_read_interval_flag_bitmask(engine):
+    rows = engine.read_interval(None, T0, T0 + N_STEPS * STEP, flag=16).collect()
+    assert len(rows) == N_IDS * (N_STEPS // 5)
+    assert all(r.flag & 16 == 16 for r in rows)
+    # flag=0 means no filter, not "flag equals zero"
+    assert (
+        len(engine.read_interval(None, T0, T0 + N_STEPS * STEP, flag=0).collect())
+        == N_IDS * N_STEPS
+    )
+
+
+def test_read_time_point_asof_and_no_data(engine):
+    tp = T0 + 5 * STEP + 1  # just after step 5
+    rows = {r.id: r for r in engine.read_time_point([0, 3, 999], tp).collect()}
+    assert set(rows) == {0, 3, 999}  # one row per REQUESTED id, always
+    for i in (0, 3):
+        assert rows[i].time == T0 + 5 * STEP
+        assert rows[i].value == float(i * 100 + 5)
+    assert rows[999].time == tp
+    assert rows[999].value == 0.0
+    assert rows[999].flag == FLAGS_NO_DATA
+
+
+def test_read_time_point_boundary_and_before_first(engine):
+    # tp exactly ON a sample time: that sample is the as-of value (<=)
+    rows = {r.id: r for r in engine.read_time_point([2], T0 + 4 * STEP).collect()}
+    assert rows[2].value == 204.0
+    # tp before every sample → _NO_DATA even for existing series
+    rows = {r.id: r for r in engine.read_time_point([2], T0 - 1).collect()}
+    assert rows[2].flag == FLAGS_NO_DATA
+
+
+def test_current_value_and_min_max(engine):
+    cur = {r.id: r for r in engine.current_value().collect()}
+    assert len(cur) == N_IDS
+    for i in range(N_IDS):
+        assert cur[i].time == T0 + (N_STEPS - 1) * STEP
+        assert cur[i].value == float(i * 100 + N_STEPS - 1)
+    mm = {r.id: r for r in engine.min_max_time().collect()}
+    for i in range(N_IDS):
+        assert (mm[i].min_time, mm[i].max_time) == (
+            T0,
+            T0 + (N_STEPS - 1) * STEP,
+        )
+
+
+def test_stat_and_calc_match_hand_computed(engine):
+    vals = [float(1 * 100 + k) for k in range(N_STEPS)]
+    st = {r.id: r for r in engine.stat([1], T0, T0 + N_STEPS * STEP).collect()}[1]
+    assert st.cnt == N_STEPS
+    assert st.min_value == min(vals) and st.max_value == max(vals)
+    assert st.sum_value == round(sum(vals), 4)
+    calc = engine.calc(
+        ["average", "sigma", "count", "nonsense"], [1], T0, T0 + N_STEPS * STEP
+    ).collect()[0]
+    assert calc.average == pytest.approx(sum(vals) / len(vals))
+    mean = sum(vals) / len(vals)
+    assert calc.sigma == pytest.approx(
+        round(math.sqrt(sum((v - mean) ** 2 for v in vals) / len(vals)), 4)
+    )
+    assert calc["count"] == N_STEPS  # Row.count is the tuple method
+    assert "nonsense" not in calc.__fields__  # unknown names ignored
+    with pytest.raises(ValueError):
+        engine.calc(["nonsense"], [1], T0, T0 + N_STEPS * STEP)
+
+
+def test_foreach_visits_every_row(engine):
+    seen: list[tuple] = []
+    engine.foreach(
+        lambda r: seen.append((r.id, r.time, r.value, r.flag)),
+        None,
+        T0,
+        T0 + N_STEPS * STEP,
+    )
+    assert seen == sorted(_grid())
+
+
+def test_compact_preserves_results_and_shrinks_files(engine):
+    store = engine.store
+    before_files = len(list(store.data_dir.rglob("*.parquet")))
+    before_rows = engine.read_interval(None, 0, 2**60).collect()
+    store.compact()
+    after_files = len(list(store.data_dir.rglob("*.parquet")))
+    assert after_files <= before_files
+    assert after_files == len(list(store.data_dir.glob("p_date=*")))  # 1/day
+    assert engine.read_interval(None, 0, 2**60).collect() == before_rows
+
+
+def test_erase_old_partition_drop_and_boundary_rewrite(spark, tmp_path):
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(_grid())
+    cutoff = T0 + 10 * STEP + 1  # mid-day-3: days 1-2 dropped, day 3 rewritten
+    eng.erase_old(cutoff)
+    rows = eng.read_interval(None, 0, 2**60).collect()
+    expect = sorted(t for t in _grid() if t[1] >= cutoff)
+    assert [(r.id, r.time, r.value, r.flag) for r in rows] == expect
+    # fully-expired day partitions are gone without a rewrite
+    days = {p.name for p in eng.store.data_dir.glob("p_date=*")}
+    assert "p_date=2024-01-01" not in days and "p_date=2024-01-02" not in days
+
+
+def test_subscribe_pushes_only_matching(spark, tmp_path):
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(_grid())
+    got: list[tuple] = []
+    q = eng.subscribe(
+        [0, 1],
+        16,
+        lambda df, _bid: got.extend(
+            (r.id, r.time, r.value, r.flag) for r in df.collect()
+        ),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    expect = sorted(
+        t for t in _grid() if t[0] in (0, 1) and (t[3] & 16) == 16
+    )
+    assert sorted(got) == expect
+
+
+def test_streaming_current_value_matches_batch(spark, tmp_path):
+    from dariadb_spark.streaming.subscribe import streaming_current_value
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(_grid())
+    q = streaming_current_value(spark, str(eng.store.data_dir), "cv_test")
+    q.awaitTermination(120)
+    live = sorted(map(tuple, spark.table("cv_test").collect()))
+    batch = sorted(map(tuple, eng.current_value().collect()))
+    assert live == batch
+
+
+def test_scheme_catalog_roundtrip(spark, tmp_path):
+    from dariadb_spark.scheme import SeriesCatalog
+
+    cat = SeriesCatalog(spark, str(tmp_path / "scheme.json"))
+    a = cat.add_param("host0.cpu0.load")
+    b = cat.add_param("host0.cpu1.load")
+    assert cat.add_param("host0.cpu0.load") == a  # idempotent
+    assert cat.id_by_param("host0.cpu1.load") == b
+    assert cat.id_by_param("missing") is None
+    # persisted catalog reloads with the same mapping
+    cat2 = SeriesCatalog(spark, str(tmp_path / "scheme.json"))
+    assert cat2.id_by_param("host0.cpu1.load") == b
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            [(a, T0, 1.0, 1), (b, T0, 2.0, 1), (12345, T0, 3.0, 1)],
+            "id bigint, time bigint, value double, flag bigint",
+        ),
+    )
+    named = {r.id: r.name for r in cat.resolve(eng.meas()).collect()}
+    assert named[a] == "host0.cpu0.load"
+    assert named[12345] is None  # uncataloged series keep flowing (left join)
