@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dariadb_spark.model import flag_predicate, ids_predicate, interval_predicate
+from dariadb_spark.model import flag_predicate, ids_predicate, pushdown_time_bounds
 
 ROUND = 4
 
@@ -88,7 +88,7 @@ def apply_functions(
     return (
         meas.where(
             ids_predicate(ids)
-            & interval_predicate(from_ms, to_ms)
+            & pushdown_time_bounds(meas, from_ms, to_ms)
             & flag_predicate(flag)
         )
         .groupBy("id")

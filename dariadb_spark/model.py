@@ -30,6 +30,9 @@ FLAGS_NO_DATA: int = 0xFFFFFFFF  # 4294967295
 
 MEAS_FIELDS = ("id", "time", "value", "flag")
 
+#: raw parquet event-time column (ns) carried for scan-pruning pushdown
+RAW_TS = "_raw_ts"
+
 #: event_type → flag bitmask code (FIXTURES.md canonical mapping).
 EVENT_FLAG_CASE_SQL = (
     "CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
@@ -59,16 +62,22 @@ def measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     ts_type = dict(events.dtypes)["ts"]
-    if ts_type == "bigint":
-        time_col = F.expr("ts DIV 1000000")
-    else:  # pre-truncated timestamp (µs/ms) — e.g. rewritten fixtures
-        time_col = F.unix_millis(F.col("ts"))
-    return events.select(
+    cols = [
         F.col("user_id").alias("id"),
-        time_col.alias("time"),
+        None,  # time, filled below
         F.col("value").alias("value"),
         F.expr(EVENT_FLAG_CASE_SQL).alias("flag"),
-    )
+    ]
+    if ts_type == "bigint":
+        cols[1] = F.expr("ts DIV 1000000").alias("time")
+        # Keep the raw ns column: `time` is a derived expression Catalyst
+        # cannot invert, so time-range predicates on it never reach the
+        # parquet scan. Operators add an equivalent bound on _raw_ts
+        # (pushdown_time_bounds) and project it away before returning.
+        cols.append(F.col("ts").alias(RAW_TS))
+    else:  # pre-truncated timestamp (µs/ms) — e.g. rewritten fixtures
+        cols[1] = F.unix_millis(F.col("ts")).alias("time")
+    return events.select(*cols)
 
 
 def flag_predicate(flag: int) -> Column:
@@ -88,11 +97,28 @@ def flag_predicate_sql(flag: int) -> str:
     return f"((flag & {flag}) = {flag})"
 
 
-def interval_predicate(from_ms: int, to_ms: int) -> Column:
+def pushdown_time_bounds(
+    meas: DataFrame, from_ms: int | None, to_ms: int | None
+) -> Column:
     """Closed-interval containment ``from <= time <= to`` (reference:
-    libdariadb/meas.h, Meas::inInterval; SURVEY.md §7.3.3 pins closed ends
-    and the oracle uses BETWEEN, identical semantics)."""
-    return F.col("time").between(F.lit(from_ms), F.lit(to_ms))
+    libdariadb/meas.h, Meas::inInterval; SURVEY.md §7.3.3 pins closed
+    ends, matching the oracle's BETWEEN), plus — when the frame still
+    carries the raw parquet ``ts`` column — the equivalent bound on it,
+    so the range reaches the scan as a PushedFilter (parquet row-group
+    min/max pruning, the reference's ``.pagei`` chunk index role).
+    ``time = ts DIV 1e6`` (floor), hence
+    ``time ∈ [a, b] ⟺ ts ∈ [a·1e6, b·1e6 + 999999]``."""
+    cond = F.lit(True)
+    if from_ms is not None:
+        cond = cond & (F.col("time") >= F.lit(from_ms))
+    if to_ms is not None:
+        cond = cond & (F.col("time") <= F.lit(to_ms))
+    if RAW_TS in meas.columns:
+        if from_ms is not None:
+            cond = cond & (F.col(RAW_TS) >= F.lit(from_ms * 1_000_000))
+        if to_ms is not None:
+            cond = cond & (F.col(RAW_TS) <= F.lit(to_ms * 1_000_000 + 999_999))
+    return cond
 
 
 def ids_predicate(ids: list[int] | None) -> Column:

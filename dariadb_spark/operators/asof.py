@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dariadb_spark.model import FLAGS_NO_DATA, flag_predicate, ids_predicate
+from dariadb_spark.model import (
+    FLAGS_NO_DATA,
+    flag_predicate,
+    ids_predicate,
+    pushdown_time_bounds,
+)
 
 def _latest_order():
     """Deterministic per-id "latest first": time desc, then value/flag desc."""
@@ -53,7 +58,7 @@ def read_time_point(
     latest = _latest_per_id(
         meas.where(
             ids_predicate(ids)
-            & (F.col("time") <= F.lit(time_point_ms))
+            & pushdown_time_bounds(meas, None, time_point_ms)
             & flag_predicate(flag)
         )
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dariadb_spark.model import flag_predicate, ids_predicate, interval_predicate
+from dariadb_spark.model import flag_predicate, ids_predicate, pushdown_time_bounds
 
 MS = {"second": 1_000, "minute": 60_000, "minute30": 1_800_000,
       "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
@@ -58,8 +58,8 @@ def downsample(
     shuffle is on (id, bucket) — the natural key a 100 TB rollup would
     also partition its output by."""
     cond = ids_predicate(ids) & flag_predicate(flag)
-    if from_ms is not None and to_ms is not None:
-        cond = cond & interval_predicate(from_ms, to_ms)
+    if from_ms is not None or to_ms is not None:
+        cond = cond & pushdown_time_bounds(meas, from_ms, to_ms)
     return (
         meas.where(cond)
         .groupBy(F.col("id"), bucket_column(interval))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from dariadb_spark.model import flag_predicate, ids_predicate, interval_predicate
+from dariadb_spark.model import flag_predicate, ids_predicate, pushdown_time_bounds
 
 
 def read_interval(
@@ -28,7 +28,7 @@ def read_interval(
     return (
         meas.where(
             ids_predicate(ids)
-            & interval_predicate(from_ms, to_ms)
+            & pushdown_time_bounds(meas, from_ms, to_ms)
             & flag_predicate(flag)
         )
         .select("id", "time", "value", "flag")

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dariadb_spark.model import flag_predicate, ids_predicate, interval_predicate
+from dariadb_spark.model import flag_predicate, ids_predicate, pushdown_time_bounds
 
 
 def min_max_time(meas: DataFrame, ids: list[int] | None = None) -> DataFrame:
@@ -43,7 +43,7 @@ def stat_block(
     return (
         meas.where(
             ids_predicate(ids)
-            & interval_predicate(from_ms, to_ms)
+            & pushdown_time_bounds(meas, from_ms, to_ms)
             & flag_predicate(flag)
         )
         .groupBy("id")

@@ -275,9 +275,11 @@ GROUP BY id ORDER BY id""",
 def _erase_old_check(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from dariadb_spark.model import pushdown_time_bounds
+
+    meas = measurements(spark, sf)
     return (
-        measurements(spark, sf)
-        .where(F.col("time") >= ERASE_CUTOFF_MS)
+        meas.where(pushdown_time_bounds(meas, ERASE_CUTOFF_MS, None))
         .groupBy("id")
         .agg(F.count("*").alias("cnt"), F.min("time").alias("min_time"))
         .orderBy("id")
