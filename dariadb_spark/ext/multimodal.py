@@ -121,5 +121,28 @@ SELECT media_type, count(*) AS cnt, CAST(sum(byte_len) AS BIGINT) AS total_bytes
 FROM m GROUP BY media_type ORDER BY media_type"""
 
 
+# The stub decoder derives dimensions from sha256(payload) bytes, and the
+# payload is the UTF-8 text — DuckDB's sha256() lets the oracle replay the
+# derivation exactly (hex-pair → byte), so even the decode plumbing is
+# hash-checked. A real codec would drop this oracle (rows-only).
+MEDIA_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         sha256(text) AS h
+  FROM documents),
+d AS (
+  SELECT doc_id, media_type,
+         16 * (1 + CAST(('0x' || h[1:2]) AS INT) % 64) AS width,
+         16 * (1 + CAST(('0x' || h[3:4]) AS INT) % 64) AS height,
+         CASE WHEN media_type = 'audio' THEN 1 ELSE 3 END AS n_channels,
+         CASE WHEN media_type = 'image' THEN 1
+              ELSE 1 + CAST(('0x' || h[5:6]) AS INT) % 4 END AS n_frames
+  FROM m)
+SELECT doc_id, media_type, CAST(unnest(range(n_frames)) AS INT) AS frame_idx,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height, n_channels
+FROM d ORDER BY doc_id, frame_idx"""
+
+
 register("ext_media_meta", media_meta, MEDIA_META_SQL)
-register("ext_media_frames", media_frames, None)
+register("ext_media_frames", media_frames, MEDIA_FRAMES_SQL)

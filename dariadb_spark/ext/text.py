@@ -2,7 +2,7 @@
 token statistics, word frequencies, quality scoring, language histograms,
 document fingerprinting (min-hash-of-shingles, a winnowing-style rolling
 fingerprint), and an n-gram-heuristic language identifier (Pandas UDF,
-rows-only — the heuristic has no SQL oracle).
+with a SQL oracle replaying the heuristic).
 
 Everything except lang-ID stays JVM-side via higher-order array functions
 — no Python in the hot path.
@@ -153,7 +153,7 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 def text_langid(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram/stopword-heuristic language ID as an Arrow-batched Pandas
     UDF (the pattern for model-scoring UDFs: vectorized, stateless,
-    per-batch). Rows-only check — the heuristic is not SQL-expressible."""
+    per-batch); TEXT_LANGID_SQL replays the heuristic for the oracle."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -180,9 +180,38 @@ def text_langid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _profile_pred(lang: str) -> str:
+    return ", ".join(f"'{s}'" for s in _LANG_PROFILES[lang])
+
+
+# The heuristic IS SQL-expressible (integer token counts, IEEE int/int
+# division, argmax with ties broken by profile order en→de→es→fr — the
+# same "first strict max wins" the Python loop implements), so the
+# Pandas-UDF implementation gets an exact oracle after all.
+TEXT_LANGID_SQL = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+    len(list_filter(w, x -> x IN ({_profile_pred('en')}))) / greatest(len(w), 1) AS s_en,
+    len(list_filter(w, x -> x IN ({_profile_pred('de')}))) / greatest(len(w), 1) AS s_de,
+    len(list_filter(w, x -> x IN ({_profile_pred('es')}))) / greatest(len(w), 1) AS s_es,
+    len(list_filter(w, x -> x IN ({_profile_pred('fr')}))) / greatest(len(w), 1) AS s_fr
+  FROM t),
+pred AS (
+  SELECT lang,
+    CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'zh'
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM sc)
+SELECT lang, lang_pred, count(*) AS cnt
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
+
+
 register("ext_text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
 register("ext_text_word_freq", text_word_freq, TEXT_WORD_FREQ_SQL)
 register("ext_text_quality", text_quality, TEXT_QUALITY_SQL)
 register("ext_text_lang_histogram", text_lang_histogram, TEXT_LANG_HISTOGRAM_SQL)
 register("ext_text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
-register("ext_text_langid", text_langid, None)
+register("ext_text_langid", text_langid, TEXT_LANGID_SQL)
