@@ -161,6 +161,18 @@ class TsEngine:
         self.store.compact()
 
     # -- streaming -------------------------------------------------------
+    def streaming_stat_blocks(self, interval: str = "hour", **kwargs):
+        """Incremental per-(id, bucket) Statistic maintenance with explicit
+        operator state (streaming/stateful.py) — the eager-cache pattern
+        of the reference's currentValue, generalized to stat blocks."""
+        from dariadb_spark.streaming.stateful import (
+            streaming_stat_blocks as _ssb,
+        )
+
+        if self.store is None:
+            raise ValueError("streaming requires a parquet-backed store")
+        return _ssb(self.spark, str(self.store.data_dir), interval, **kwargs)
+
     def subscribe(self, ids, flag, callback, **kwargs):
         from dariadb_spark.streaming.subscribe import subscribe as _subscribe
 

@@ -187,6 +187,26 @@ def test_streaming_current_value_matches_batch(spark, tmp_path):
     assert live == batch
 
 
+def test_streaming_stat_blocks_matches_batch_downsample(spark, tmp_path):
+    from dariadb_spark.streaming.stateful import streaming_stat_blocks
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(_grid())
+    q = streaming_stat_blocks(
+        spark, str(eng.store.data_dir), "day", "stat_blocks_test"
+    )
+    q.awaitTermination(120)
+    live = sorted(
+        (r.id, r.bucket_ms, r.cnt, r.min_value, r.max_value, r.sum_value)
+        for r in spark.table("stat_blocks_test").collect()
+    )
+    batch = sorted(
+        (r.id, r.bucket_ms, r.cnt, r.min_value, r.max_value, r.sum_value)
+        for r in eng.downsample("day").collect()
+    )
+    assert live == batch
+
+
 def test_scheme_catalog_roundtrip(spark, tmp_path):
     from dariadb_spark.scheme import SeriesCatalog
 
