@@ -1,0 +1,115 @@
+"""Property-based parity — randomized storage_test_check.
+
+Hypothesis generates adversarial measurement sets (duplicate (id, time)
+pairs, high flag bits, empty series, boundary-landing intervals) and every
+query verb is checked against an independent pure-Python oracle — cases
+the deterministic fixtures can't reach.
+
+Values are generated as multiples of 0.25 so every sum/mean is exactly
+representable in a double: the engine/oracle comparison is exact, with no
+accumulation-order tolerance to hide bugs behind.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dariadb_spark.engine import TsEngine
+from dariadb_spark.model import FLAGS_NO_DATA
+
+T0 = 1_700_000_000_000
+STEP = 1_000
+
+meas_lists = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # id
+        st.integers(0, 40).map(lambda s: T0 + s * STEP),  # time
+        st.integers(-4000, 4000).map(lambda x: x / 4.0),  # value (exact)
+        st.sampled_from([0, 1, 2, 3, 8, 16, 17, 2**31, 2**32 - 1]),  # flag
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _engine(spark, rows) -> TsEngine:
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    return TsEngine.from_dataframe(spark, df)
+
+
+def _flag_ok(f: int, q: int) -> bool:
+    return q == 0 or (f & q) == q
+
+
+@given(rows=meas_lists, lo=st.integers(0, 40), hi=st.integers(0, 40),
+       flag=st.sampled_from([0, 1, 3, 16]))
+@_SETTINGS
+def test_read_interval_property(spark, rows, lo, hi, flag):
+    from_ms, to_ms = T0 + min(lo, hi) * STEP, T0 + max(lo, hi) * STEP
+    got = [
+        (r.id, r.time, r.value, r.flag)
+        for r in _engine(spark, rows).read_interval(
+            None, from_ms, to_ms, flag
+        ).collect()
+    ]
+    expect = sorted(
+        t for t in rows if from_ms <= t[1] <= to_ms and _flag_ok(t[3], flag)
+    )
+    # engine orders by (id, time); rows tied on both are emitted in any
+    # order — compare fully-sorted lists (same multiset, same key order)
+    assert sorted(got) == expect
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in expect]
+
+
+@given(rows=meas_lists, tp_slot=st.integers(-1, 41),
+       flag=st.sampled_from([0, 1, 16]))
+@_SETTINGS
+def test_read_time_point_property(spark, rows, tp_slot, flag):
+    tp = T0 + tp_slot * STEP
+    ids = [0, 1, 2, 3, 4, 5, 77]  # 77 never exists
+    got = {
+        r.id: (r.time, r.value, r.flag)
+        for r in _engine(spark, rows).read_time_point(ids, tp, flag).collect()
+    }
+    assert set(got) == set(ids)  # cardinality contract: every requested id
+    for i in ids:
+        cand = [
+            t for t in rows if t[0] == i and t[1] <= tp and _flag_ok(t[3], flag)
+        ]
+        if cand:
+            best = max(cand, key=lambda t: (t[1], t[2], t[3]))
+            assert got[i] == (best[1], best[2], best[3])
+        else:
+            assert got[i] == (tp, 0.0, FLAGS_NO_DATA)
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_min_max_and_stat_property(spark, rows):
+    eng = _engine(spark, rows)
+    mm = {r.id: (r.min_time, r.max_time) for r in eng.min_max_time().collect()}
+    by_id: dict[int, list] = {}
+    for t in rows:
+        by_id.setdefault(t[0], []).append(t)
+    assert set(mm) == set(by_id)
+    for i, ts in by_id.items():
+        assert mm[i] == (min(t[1] for t in ts), max(t[1] for t in ts))
+    st_rows = {
+        r.id: r for r in eng.stat(None, T0, T0 + 40 * STEP).collect()
+    }
+    for i, ts in by_id.items():
+        vals = [t[2] for t in ts]
+        assert st_rows[i].cnt == len(vals)
+        assert st_rows[i].min_value == min(vals)
+        assert st_rows[i].max_value == max(vals)
+        assert st_rows[i].sum_value == sum(vals)  # exact: 0.25-multiples
+        assert st_rows[i].mean_value == sum(vals) / len(vals)
