@@ -149,6 +149,24 @@ class TsEngine:
     ) -> DataFrame:
         return _downsample(self.meas(), interval, ids, from_ms, to_ms, flag)
 
+    def downsample_to_series(
+        self, fn_name: str, interval: str, append: bool = False
+    ) -> DataFrame:
+        """W2 derived-series downsampling (scheme/scheme.cpp): aggregate
+        each series per bucket with ``fn_name`` and emit measurement rows
+        under derived catalog names ``<name>.<fn>.<interval>``. With
+        ``append=True`` the derived series are persisted to the store."""
+        from dariadb_spark.operators.downsample import (
+            downsample_to_series as _dts,
+        )
+
+        rows = _dts(self.meas(), self.scheme, fn_name, interval)
+        if append:
+            if self.store is None:
+                raise ValueError("append=True requires a writable store")
+            self.store.append(rows)
+        return rows
+
     # -- maintenance -----------------------------------------------------
     def erase_old(self, cutoff_ms: int) -> None:
         if self.store is None:

@@ -45,6 +45,62 @@ def bucket_sql(interval: str) -> str:
     raise ValueError(f"unknown interval {interval!r}")
 
 
+def downsample_to_series(
+    meas: DataFrame,
+    catalog,
+    fn_name: str,
+    interval: str,
+) -> DataFrame:
+    """W2 scheme-level downsampling: aggregate each source series per
+    bucket with one named statistic function and emit the result as NEW
+    measurement rows whose ids live under derived scheme names —
+    ``<source_name>.<fn>.<interval>`` (reference: scheme/scheme.cpp derived
+    parameters like ``param.average.hour``). The output is a valid
+    measurements frame (id/time/value/flag) appendable to any store: a
+    rollup pipeline at 100 TB writes it partitioned by the same day key.
+
+    ``catalog`` is a :class:`~dariadb_spark.scheme.SeriesCatalog`; source
+    ids missing from it get a synthetic ``series<id>`` name first, so the
+    operator is total. Derived rows carry flag=0 (they are synthesized,
+    not sourced).
+    """
+    from dariadb_spark.functions.statistics import FUNCTION_REGISTRY
+
+    if fn_name not in FUNCTION_REGISTRY:
+        raise ValueError(f"unknown statistic function {fn_name!r}")
+    src_ids = sorted(r.id for r in meas.select("id").distinct().collect())
+    known = {v: k for k, v in catalog._name_to_id.items()}
+    # Bind ALL source ids under names first, so derived-id allocation
+    # starts above every existing series id (a derived series must never
+    # collide with a source id, and add_param allocates max+1).
+    names = {}
+    for sid in src_ids:
+        base = known.get(sid)
+        if base is None:
+            base = f"series{sid}"
+            catalog.register(base, sid)
+        names[sid] = base
+    mapping = [  # (source_id, derived_id)
+        (sid, catalog.add_param(f"{names[sid]}.{fn_name}.{interval}"))
+        for sid in src_ids
+    ]
+    map_df = meas.sparkSession.createDataFrame(
+        mapping, "id bigint, derived_id bigint"
+    )
+    agg = (
+        meas.groupBy("id", bucket_column(interval))
+        .agg(FUNCTION_REGISTRY[fn_name][0]().alias("value"))
+        .join(F.broadcast(map_df), "id")
+        .select(
+            F.col("derived_id").alias("id"),
+            F.col("bucket_ms").alias("time"),
+            F.col("value").cast("double").alias("value"),
+            F.lit(0).cast("bigint").alias("flag"),
+        )
+    )
+    return agg
+
+
 def downsample(
     meas: DataFrame,
     interval: str,

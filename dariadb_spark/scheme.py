@@ -38,6 +38,21 @@ class SeriesCatalog:
     def id_by_param(self, name: str) -> int | None:
         return self._name_to_id.get(name)
 
+    def register(self, name: str, series_id: int) -> int:
+        """Bind ``name`` to an externally-assigned id (pre-existing series
+        whose ids the storage already fixed); subsequent add_param
+        allocations stay above it."""
+        existing = self._name_to_id.get(name)
+        if existing is not None:
+            if existing != series_id:
+                raise ValueError(
+                    f"{name!r} already bound to id {existing}, not {series_id}"
+                )
+            return existing
+        self._name_to_id[name] = int(series_id)
+        self._persist()
+        return series_id
+
     def _persist(self) -> None:
         if self.path:
             self.path.write_text(json.dumps(self._name_to_id))

@@ -207,6 +207,32 @@ def test_streaming_stat_blocks_matches_batch_downsample(spark, tmp_path):
     assert live == batch
 
 
+def test_downsample_to_series_derived_names(spark, tmp_path):
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(_grid())
+    derived = eng.downsample_to_series("average", "day", append=True)
+    # derived scheme names registered, one per source series
+    did = eng.scheme.id_by_param("series1.average.day")
+    assert did is not None
+    day = 86_400_000
+    rows = {
+        r.time: r.value
+        for r in eng.read_interval([did], 0, 2**60).collect()
+        if True
+    }
+    # hand-computed day means for id=1: 4 samples/day, 5 days
+    for d in range(5):
+        day_start = T0 + d * day
+        vals = [
+            float(100 + k)
+            for k in range(N_STEPS)
+            if day_start <= T0 + k * STEP < day_start + day
+        ]
+        assert rows[day_start] == sum(vals) / len(vals)
+    # derived rows are flag=0 synthesized measurements
+    assert all(r.flag == 0 for r in derived.collect())
+
+
 def test_scheme_catalog_roundtrip(spark, tmp_path):
     from dariadb_spark.scheme import SeriesCatalog
 
