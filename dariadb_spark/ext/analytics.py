@@ -219,6 +219,75 @@ GROUP BY prio_class, yr
 ORDER BY prio_class, yr"""
 
 
+# --- sessionization (gaps-and-islands) ------------------------------------
+
+SESSION_GAP_MS = 30 * 60_000  # 30 min of silence ends a session
+
+
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series activity sessions: a gap > 30 min starts a new session;
+    one output row per session with start/end/count. Classic
+    gaps-and-islands via lag + running sum — one shuffle on ``id`` (the
+    clustering key), everything else window passes within the partition.
+    Session boundaries depend only on the sorted time sequence, so
+    equal-time tie order cannot change the result."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    w = Window.partitionBy("id").orderBy(*_ORD)
+    run = Window.partitionBy("id").orderBy(*_ORD).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = meas.select(
+        "id",
+        "time",
+        "value",
+        "flag",  # kept: the running-sum window orders by the full tuple
+        F.when(
+            F.col("time") - F.lag("time", 1).over(w) > SESSION_GAP_MS, 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).select("id", "time", F.sum("is_new").over(run).alias("session_no"))
+    return (
+        sessions.groupBy("id", "session_no")
+        .agg(
+            F.min("time").alias("session_start"),
+            F.max("time").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "id",
+            "session_no",
+            "session_start",
+            "session_end",
+            (F.col("session_end") - F.col("session_start")).alias("duration_ms"),
+            "n_events",
+        )
+        .orderBy("id", "session_no")
+    )
+
+
+SESSIONIZE_SQL = f"""WITH {MEAS_CTE_SQL},
+pts AS (
+  SELECT id, time, value, flag,
+         CASE WHEN time - lag(time, 1) OVER (PARTITION BY id
+                ORDER BY time, value, flag) > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM measurements
+  WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}),
+s AS (
+  -- running sum uses the SAME total order as the gap detection: with
+  -- ties on time alone the tie-group member carrying is_new=1 could
+  -- land anywhere in the group and split it across sessions
+  SELECT id, time,
+         sum(is_new) OVER (PARTITION BY id ORDER BY time, value, flag
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM pts)
+SELECT id, session_no, min(time) AS session_start, max(time) AS session_end,
+       max(time) - min(time) AS duration_ms, count(*) AS n_events
+FROM s GROUP BY id, session_no ORDER BY id, session_no"""
+
+
+register("ext_sessionize", sessionize, SESSIONIZE_SQL)
 register("ext_moving_avg", moving_avg, MOVING_AVG_SQL)
 register("ext_topk_per_series", topk_per_series, TOPK_SQL)
 register("ext_set_intersect", set_intersect, SET_INTERSECT_SQL)

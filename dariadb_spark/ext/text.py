@@ -209,7 +209,74 @@ SELECT lang, lang_pred, count(*) AS cnt
 FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
 
 
+# --- tf-idf top terms -----------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k terms per document by tf·idf. Plan: explode → per-(doc, word)
+    counts (one shuffle), document frequency per word (map-side partial
+    agg over the tiny vocabulary, broadcast back), rank per doc. At
+    100 TB the vocabulary side stays broadcast and the only big shuffle
+    is the (doc, word) count — linear in corpus token count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("doc_len"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word", "doc_len").agg(
+        F.count("*").alias("cnt")
+    )
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            (F.col("cnt") / F.col("doc_len"))
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "rk", "word", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS doc_len,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, doc_len, count(*) AS cnt
+       FROM w GROUP BY doc_id, word, doc_len),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word,
+         round((cnt / doc_len) * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+  FROM tf JOIN df USING (word), n),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word ASC) AS rk
+  FROM scored)
+SELECT doc_id, rk, word, tfidf FROM ranked WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rk"""
+
+
 register("ext_text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
+register("ext_text_tfidf", text_tfidf, TEXT_TFIDF_SQL)
 register("ext_text_word_freq", text_word_freq, TEXT_WORD_FREQ_SQL)
 register("ext_text_quality", text_quality, TEXT_QUALITY_SQL)
 register("ext_text_lang_histogram", text_lang_histogram, TEXT_LANG_HISTOGRAM_SQL)
