@@ -223,7 +223,9 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf, "documents")
-    n_docs = docs.count()
+    # corpus size as a broadcast scalar IN the plan — a driver-side
+    # .count() would be a separate full-scan job per invocation
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     words = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("doc_len"),
@@ -233,14 +235,18 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("cnt")
     )
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "word").select(
-        "doc_id",
-        "word",
-        F.round(
-            (F.col("cnt") / F.col("doc_len"))
-            * F.log(F.lit(float(n_docs)) / F.col("df")),
-            4,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                (F.col("cnt") / F.col("doc_len"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("word").asc()
