@@ -314,7 +314,49 @@ SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
 FROM events GROUP BY k ORDER BY k"""
 
 
+# --- part × supplier margin rollup ---------------------------------------
+
+def part_supplier_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact scan with TWO broadcast dimension joins (part, supplier) plus
+    the supplier's nation — covers the remaining fixture tables. The only
+    shuffle is the final (p_brand, n_name) aggregate; part/supplier stay
+    broadcast at any fact scale (dimension growth is sub-linear)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    margin = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(margin), 2).alias("total_margin"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("p_brand", "supp_nation")
+    )
+
+
+PART_SUPPLIER_MARGIN_SQL = """
+SELECT p_brand, n_name AS supp_nation, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity), 2) AS total_margin,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY p_brand, supp_nation
+ORDER BY p_brand, supp_nation"""
+
+
 register("ext_pricing_summary", pricing_summary, PRICING_SUMMARY_SQL)
+register("ext_part_supplier_margin", part_supplier_margin, PART_SUPPLIER_MARGIN_SQL)
 register("ext_revenue_by_nation", revenue_by_nation, REVENUE_BY_NATION_SQL)
 register("ext_topk_customers", topk_customers, TOPK_CUSTOMERS_SQL)
 register("ext_customers_semi", customers_semi, CUSTOMERS_SEMI_SQL)

@@ -281,7 +281,40 @@ SELECT doc_id, rk, word, tfidf FROM ranked WHERE rk <= {TFIDF_TOP_K}
 ORDER BY doc_id, rk"""
 
 
+# --- BPE-ish token counting ----------------------------------------------
+
+#: greedy ≤4-char chunks per character class — a deterministic stand-in
+#: for subword tokenization (real BPE needs a learned merge table; the
+#: plan shape — regexp_extract_all + size, all codegen'd — is identical).
+BPE_PATTERN = "[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"
+
+
+def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document (the two counts an
+    LLM-data pipeline gates on); pure per-row projection, no shuffle."""
+    return load_table(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_ws_tokens",
+        f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS n_bpe_tokens",
+        f"size(array_distinct(regexp_extract_all(text, '{BPE_PATTERN}', 0)))"
+        " AS n_distinct_bpe",
+        f"round(size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) "
+        "/ size(split(text, ' ')), 4) AS bpe_per_word",
+    ).orderBy("doc_id")
+
+
+TEXT_BPE_TOKENS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                  regexp_extract_all(text, '{BPE_PATTERN}') AS bpe
+           FROM documents)
+SELECT doc_id, len(w) AS n_ws_tokens, len(bpe) AS n_bpe_tokens,
+       len(list_distinct(bpe)) AS n_distinct_bpe,
+       round(len(bpe) / len(w), 4) AS bpe_per_word
+FROM t ORDER BY doc_id"""
+
+
 register("ext_text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
+register("ext_text_bpe_tokens", text_bpe_tokens, TEXT_BPE_TOKENS_SQL)
 register("ext_text_tfidf", text_tfidf, TEXT_TFIDF_SQL)
 register("ext_text_word_freq", text_word_freq, TEXT_WORD_FREQ_SQL)
 register("ext_text_quality", text_quality, TEXT_QUALITY_SQL)
