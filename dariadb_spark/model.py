@@ -33,6 +33,28 @@ MEAS_FIELDS = ("id", "time", "value", "flag")
 #: raw parquet event-time column (ns) carried for scan-pruning pushdown
 RAW_TS = "_raw_ts"
 
+#: hive day-partition column (yyyy-MM-dd) carried by ParquetTsStore reads
+#: for partition-pruning pushdown
+RAW_DAY = "_p_date"
+
+_DAY_MS = 86_400_000
+
+#: ms range whose UTC day renders as a 4-digit year (0001..9999); bounds
+#: outside it (e.g. the 2**60 "whole history" sentinel) simply skip the
+#: day-pruning predicate — correct, just unpruned.
+_DAY_STR_MIN = -62_135_596_800_000
+_DAY_STR_MAX = 253_402_300_799_000
+
+
+def _day_str(ms: int) -> str | None:
+    if not (_DAY_STR_MIN <= ms <= _DAY_STR_MAX):
+        return None
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        (ms // _DAY_MS) * 86_400, tz=_dt.timezone.utc
+    ).strftime("%Y-%m-%d")
+
 #: event_type → flag bitmask code (FIXTURES.md canonical mapping).
 EVENT_FLAG_CASE_SQL = (
     "CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
@@ -118,6 +140,17 @@ def pushdown_time_bounds(
             cond = cond & (F.col(RAW_TS) >= F.lit(from_ms * 1_000_000))
         if to_ms is not None:
             cond = cond & (F.col(RAW_TS) <= F.lit(to_ms * 1_000_000 + 999_999))
+    if RAW_DAY in meas.columns:
+        # hive PARTITION pruning: a bound on `time` does not imply one on
+        # the p_date directory key, so without this every day directory is
+        # listed and footer-read. yyyy-MM-dd compares lexicographically ==
+        # chronologically, and the filter lands in PartitionFilters.
+        lo = _day_str(from_ms) if from_ms is not None else None
+        hi = _day_str(to_ms) if to_ms is not None else None
+        if lo is not None:
+            cond = cond & (F.col(RAW_DAY) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(RAW_DAY) <= F.lit(hi))
     return cond
 
 

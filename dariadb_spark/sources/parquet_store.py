@@ -62,13 +62,20 @@ class ParquetTsStore:
 
     # -- scan -------------------------------------------------------------
     def read(self) -> DataFrame:
-        """The live measurements DataFrame (partition-pruned by p_date when
-        filters on time are pushed; callers filter further)."""
+        """The live measurements DataFrame. The hive partition column is
+        carried along (as ``_p_date``) so ``pushdown_time_bounds`` can add
+        the day-range bound that actually prunes partition directories —
+        a bound on ``time`` alone prunes row groups but NOT the directory
+        listing. Operators project it away before returning."""
         if not any(self.data_dir.iterdir()):
             return self.spark.createDataFrame(
                 [], "id bigint, time bigint, value double, flag bigint"
             )
-        return self.spark.read.parquet(str(self.data_dir)).select(*MEAS_FIELDS)
+        from dariadb_spark.model import RAW_DAY
+
+        return self.spark.read.parquet(str(self.data_dir)).select(
+            *MEAS_FIELDS, F.col("p_date").alias(RAW_DAY)
+        )
 
     # -- T5: compaction (Dropper / Engine::compress_all) ------------------
     def compact(self, files_per_partition: int = 1) -> None:

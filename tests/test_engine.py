@@ -155,6 +155,27 @@ def test_erase_old_partition_drop_and_boundary_rewrite(spark, tmp_path):
     assert "p_date=2024-01-01" not in days and "p_date=2024-01-02" not in days
 
 
+def test_store_interval_scan_prunes_partitions(engine):
+    """Day partitions outside the queried interval must be pruned at the
+    directory level (PartitionFilters), not just via row-group stats —
+    at scale this is the difference between listing 7 and 3650 dirs."""
+    import re
+
+    plan = engine.read_interval(
+        None, T0 + 4 * STEP, T0 + 7 * STEP  # day 2 only (6h steps)
+    )._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    # the day-range bounds must actually be IN the partition filter —
+    # the 'PartitionFilters:' label alone prints even when it's empty
+    assert ">= 2024-01-02" in m.group(1) and "<= 2024-01-02" in m.group(1)
+    # and the result is still exactly right
+    rows = engine.read_interval(None, T0 + 4 * STEP, T0 + 7 * STEP).collect()
+    assert [r.time for r in rows if r.id == 0] == [
+        T0 + k * STEP for k in (4, 5, 6, 7)
+    ]
+
+
 def test_subscribe_pushes_only_matching(spark, tmp_path):
     eng = TsEngine.open(spark, str(tmp_path / "s"))
     eng.append(_grid())
