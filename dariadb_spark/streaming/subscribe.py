@@ -57,6 +57,63 @@ def subscribe(
     return writer.start()
 
 
+def streaming_downsample(
+    spark: SparkSession,
+    data_dir: str,
+    interval: str = "hour",
+    watermark: str = "1 day",
+    query_name: str = "downsample_live",
+) -> StreamingQuery:
+    """W1/W2 as a *built-in* streaming windowed aggregate: tumbling
+    event-time window per series with a watermark bounding state (T3).
+    The reference has no watermark concept (it accepts arbitrarily late
+    appends via merge-on-read); the watermark here is the deployment
+    knob trading state size against late-data acceptance — for exact
+    reference semantics use streaming/stateful.py (unbounded state) or
+    reconcile with the batch downsample.
+
+    Buckets are fixed-width epoch-ms arithmetic identical to the batch
+    operator, so complete-mode output equals `downsample()` on the same
+    data (asserted in tests)."""
+    from dariadb_spark.operators.downsample import MS
+
+    width_ms = MS[interval]
+    stream = (
+        spark.readStream.schema(_MEAS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    agg = (
+        stream.withColumn("ts", F.timestamp_millis(F.col("time")))
+        .withWatermark("ts", watermark)
+        .groupBy("id", F.window("ts", f"{width_ms} milliseconds"))
+        .agg(
+            F.count("value").alias("cnt"),
+            (F.round(F.sum("value"), 6) / F.count("value")).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "id",
+            F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+            "cnt",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_current_value(
     spark: SparkSession,
     data_dir: str,

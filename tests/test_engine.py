@@ -228,6 +228,20 @@ def test_streaming_stat_blocks_matches_batch_downsample(spark, tmp_path):
     assert live == batch
 
 
+def test_streaming_downsample_matches_batch(spark, tmp_path):
+    from dariadb_spark.streaming.subscribe import streaming_downsample
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(_grid())
+    q = streaming_downsample(
+        spark, str(eng.store.data_dir), "day", query_name="ds_live_test"
+    )
+    q.awaitTermination(120)
+    live = sorted(map(tuple, spark.table("ds_live_test").collect()))
+    batch = sorted(map(tuple, eng.downsample("day").collect()))
+    assert live == batch
+
+
 def test_downsample_to_series_derived_names(spark, tmp_path):
     eng = TsEngine.open(spark, str(tmp_path / "s"))
     eng.append(_grid())
