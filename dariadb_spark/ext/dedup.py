@@ -233,7 +233,104 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- near-dup connected components / canonical selection ------------------
+
+CC_MAX_ITERS = 30
+
+
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster the near-dup pair graph into components and pick each
+    document's canonical representative (the component's min doc_id) —
+    the step a dedup pipeline runs after pair generation, so "A≈B, B≈C"
+    collapses to one kept document even when A≉C directly.
+
+    Iterative min-label propagation (the standard distributed CC used by
+    GraphFrames): each round, every node takes the min label among itself
+    and its neighbors; converges in O(component diameter) rounds. Each
+    round is one join + one aggregate, both shuffling on doc_id; edges
+    are cached once (they'd otherwise re-run the pair join per round).
+    The driver-side loop runs O(diameter) *Spark jobs* — the work inside
+    each stays distributed; near-dup clusters have tiny diameters.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr.alias("n"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} rounds")
+    out = (
+        labels.select("doc_id", F.col("label").alias("canonical_id"))
+        .orderBy("doc_id")
+    )
+    edges.unpersist()
+    return out
+
+
+# DuckDB oracle: undirected reachability via recursive CTE (UNION set
+# semantics terminate it); canonical = min over the reachable set, which
+# for an undirected graph IS the connected component.
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+e0 AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+sz AS (SELECT doc_id, len(shingles) AS nsh FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+  FROM e0 a JOIN e0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE ic / (sa.nsh + sb.nsh - ic) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT src AS doc_id, min(node) AS canonical_id
+FROM reach GROUP BY src ORDER BY doc_id"""
+
+
 register("ext_dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
+register("ext_dedup_components", dedup_components, DEDUP_COMPONENTS_SQL)
 register("ext_dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 register("ext_dedup_minhash_lsh", dedup_minhash_lsh, None)
 register("ext_dedup_simhash", dedup_simhash, None)
