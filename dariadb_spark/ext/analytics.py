@@ -219,6 +219,49 @@ GROUP BY prio_class, yr
 ORDER BY prio_class, yr"""
 
 
+# --- as-of join between two series streams --------------------------------
+
+def asof_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Enrich every error event with the user's latest purchase value
+    at-or-before it — the merge_asof pattern via operators/asof_join.py
+    (union + window, one shuffle, no range-join explosion)."""
+    from dariadb_spark.operators.asof_join import asof_join
+
+    meas = measurements(spark, sf)
+    errors = read_interval(meas, IDS, FROM_MS, TO_MS, 16)
+    purchases = read_interval(meas, IDS, FROM_MS, TO_MS, 8)
+    return asof_join(errors, purchases, "last_purchase", "purchase_time")
+
+
+ASOF_JOIN_SQL = f"""WITH {MEAS_CTE_SQL},
+l AS (SELECT id, time, value, flag FROM measurements
+      WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+        AND ((flag & 16) = 16)),
+r AS (SELECT id, time, value FROM measurements
+      WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+        AND ((flag & 8) = 8)),
+u AS (
+  SELECT id, time, value, flag, 1 AS side,
+         CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rt FROM l
+  UNION ALL
+  SELECT id, time, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), 0,
+         value, time FROM r),
+j AS (
+  SELECT id, time, value, flag, side,
+         last_value(rv IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY time, side, rv, rt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+         last_value(rt IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY time, side, rv, rt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_time
+  FROM u)
+SELECT id, time, value, flag, last_purchase, purchase_time
+FROM j WHERE side = 1 ORDER BY id, time, value, flag"""
+
+
+register("ext_asof_join", asof_join_q, ASOF_JOIN_SQL)
+
+
 # --- sessionization (gaps-and-islands) ------------------------------------
 
 SESSION_GAP_MS = 30 * 60_000  # 30 min of silence ends a session

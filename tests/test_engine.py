@@ -268,6 +268,25 @@ def test_downsample_to_series_derived_names(spark, tmp_path):
     assert all(r.flag == 0 for r in derived.collect())
 
 
+def test_asof_join_semantics(spark):
+    from dariadb_spark.operators.asof_join import asof_join
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, time bigint, value double, flag bigint"
+        )
+
+    left = mk([(1, 100, 10.0, 1), (1, 200, 20.0, 1), (2, 100, 30.0, 1)])
+    right = mk([(1, 100, 7.0, 2), (1, 150, 8.0, 2), (9, 50, 9.0, 2)])
+    out = {
+        (r.id, r.time): (r.rv, r.rt)
+        for r in asof_join(left, right, "rv", "rt").collect()
+    }
+    assert out[(1, 100)] == (7.0, 100)  # simultaneous right row IS visible
+    assert out[(1, 200)] == (8.0, 150)  # latest at-or-before
+    assert out[(2, 100)] == (None, None)  # no right rows for this id
+
+
 def test_scheme_catalog_roundtrip(spark, tmp_path):
     from dariadb_spark.scheme import SeriesCatalog
 
