@@ -220,6 +220,17 @@ for _interval in ("minute30", "hour", "day", "week", "month"):
         _bucket_oracle(_interval),
     )
 
+
+def _salted_bucket_hour(spark: SparkSession, sf: str) -> DataFrame:
+    from dariadb_spark.plans.skew import salted_downsample
+
+    return salted_downsample(measurements(spark, sf), "hour")
+
+
+# skew-safe two-stage variant — shares the UNSALTED oracle, proving the
+# salted plan is value-identical (plans/skew.py)
+register("bucket_hour_salted", _salted_bucket_hour, _bucket_oracle("hour"))
+
 # --- J2: scheme name→id resolution (broadcast catalog join) --------------
 # Reference: scheme/scheme.cpp (Scheme::idByParam/addParam) — hierarchical
 # dot-separated names to series ids. The catalog is tiny at any scale, so
