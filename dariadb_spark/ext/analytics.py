@@ -23,7 +23,6 @@ from dariadb_spark.registry import (
     FROM_MS,
     IDS,
     TO_MS,
-    TP_MS,
     _ids_sql,
     register,
 )

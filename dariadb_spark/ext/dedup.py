@@ -329,8 +329,93 @@ SELECT src AS doc_id, min(node) AS canonical_id
 FROM reach GROUP BY src ORDER BY doc_id"""
 
 
+# --- end-to-end corpus curation -------------------------------------------
+
+CURATE_MIN_CHARS = 120
+CURATE_MAX_STOPWORD_RATIO = 0.12
+CURATE_LANGS = ("en", "de", "fr")
+
+
+def curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data curation pipeline — what this engine
+    exists to run at 100 TB: quality gate (length + stopword ratio) →
+    language filter → near-dup collapse keeping one canonical doc per
+    cluster (via the CC labels) → per-(lang, source) corpus stats.
+
+    Composition stays declarative: the quality/language filters fuse
+    into the document scan; only the dedup-components sub-plan adds
+    its own (bounded) shuffles.
+    """
+    docs = load_table(spark, sf, "documents")
+    labels = dedup_components(spark, sf)  # doc_id -> canonical_id
+    kept = (
+        docs.join(labels, "doc_id", "left")
+        .where(
+            (F.coalesce(F.col("canonical_id"), F.col("doc_id")) == F.col("doc_id"))
+            & (F.col("n_chars") >= CURATE_MIN_CHARS)
+            & F.col("lang").isin(*CURATE_LANGS)
+            & (
+                F.size(
+                    F.filter(
+                        F.split("text", " "),
+                        lambda x: (x == "a") | (x == "the"),
+                    )
+                )
+                / F.size(F.split("text", " "))
+                <= CURATE_MAX_STOPWORD_RATIO
+            )
+        )
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CURATE_CORPUS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+e0 AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+sz AS (SELECT doc_id, len(shingles) AS nsh FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+  FROM e0 a JOIN e0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE ic / (sa.nsh + sb.nsh - ic) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+labels AS (SELECT src AS doc_id, min(node) AS canonical_id
+           FROM reach GROUP BY src),
+kept AS (
+  SELECT d.lang, d.source, d.doc_id, d.n_chars
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+  WHERE COALESCE(l.canonical_id, d.doc_id) = d.doc_id
+    AND d.n_chars >= {CURATE_MIN_CHARS}
+    AND d.lang IN {CURATE_LANGS!r}
+    AND len(list_filter(string_split(d.text, ' '),
+            x -> x = 'a' OR x = 'the'))
+        / len(string_split(d.text, ' ')) <= {CURATE_MAX_STOPWORD_RATIO})
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id
+FROM kept GROUP BY lang, source ORDER BY lang, source"""
+
+
 register("ext_dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
 register("ext_dedup_components", dedup_components, DEDUP_COMPONENTS_SQL)
+register("ext_curate_corpus", curate_corpus, CURATE_CORPUS_SQL)
 register("ext_dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 register("ext_dedup_minhash_lsh", dedup_minhash_lsh, None)
 register("ext_dedup_simhash", dedup_simhash, None)
