@@ -251,6 +251,11 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     are cached once (they'd otherwise re-run the pair join per round).
     The driver-side loop runs O(diameter) *Spark jobs* — the work inside
     each stays distributed; near-dup clusters have tiny diameters.
+
+    Convergence check: labels only ever decrease under min-propagation,
+    so sum(label) strictly decreases until the fixed point — comparing
+    the scalar sum per round replaces the old-vs-new join + count
+    (one agg over the cached labels instead of an extra shuffle join).
     """
     pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
     edges = (
@@ -264,6 +269,7 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(CC_MAX_ITERS):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -282,16 +288,12 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} rounds")
     out = (
