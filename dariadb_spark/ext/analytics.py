@@ -329,6 +329,46 @@ SELECT id, session_no, min(time) AS session_start, max(time) AS session_end,
 FROM s GROUP BY id, session_no ORDER BY id, session_no"""
 
 
+# --- pivot: wide per-series flag matrix -----------------------------------
+
+_FLAG_COLS = [
+    (1, "n_click"), (2, "n_view"), (4, "n_signup"),
+    (8, "n_purchase"), (16, "n_error"),
+]
+
+
+def pivot_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Long→wide reshape via Spark's pivot with an EXPLICIT value list —
+    without it Spark runs an extra distinct-values job and the output
+    schema becomes data-dependent (a schema drift hazard at 100 TB).
+    Single shuffle on id; each cell is a map-side partial count."""
+    meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    piv = (
+        meas.groupBy("id")
+        .pivot("flag", [f for f, _ in _FLAG_COLS])
+        .count()
+    )
+    return piv.select(
+        "id",
+        *[
+            F.coalesce(F.col(str(f)), F.lit(0)).cast("bigint").alias(n)
+            for f, n in _FLAG_COLS
+        ],
+    ).orderBy("id")
+
+
+PIVOT_FLAGS_SQL = f"""WITH {MEAS_CTE_SQL}
+SELECT id,
+       count(*) FILTER (WHERE flag = 1) AS n_click,
+       count(*) FILTER (WHERE flag = 2) AS n_view,
+       count(*) FILTER (WHERE flag = 4) AS n_signup,
+       count(*) FILTER (WHERE flag = 8) AS n_purchase,
+       count(*) FILTER (WHERE flag = 16) AS n_error
+FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY id ORDER BY id"""
+
+
+register("ext_pivot_flags", pivot_flags, PIVOT_FLAGS_SQL)
 register("ext_sessionize", sessionize, SESSIONIZE_SQL)
 register("ext_moving_avg", moving_avg, MOVING_AVG_SQL)
 register("ext_topk_per_series", topk_per_series, TOPK_SQL)

@@ -361,6 +361,42 @@ register("ext_revenue_by_nation", revenue_by_nation, REVENUE_BY_NATION_SQL)
 register("ext_topk_customers", topk_customers, TOPK_CUSTOMERS_SQL)
 register("ext_customers_semi", customers_semi, CUSTOMERS_SEMI_SQL)
 register("ext_customers_anti", customers_anti, CUSTOMERS_ANTI_SQL)
+# --- A13: explicit GROUPING SETS (beyond rollup/cube shorthands) ----------
+
+def grouping_sets_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Hand-picked grouping sets — (year, priority), (year), grand total —
+    with GROUPING() flags so subtotal rows are distinguishable from
+    genuine NULL groups. Declared in SQL (the DataFrame rollup/cube
+    shorthands can't express an arbitrary set list); one Expand + one
+    shuffle, same physical shape as rollup."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+SELECT year(o_orderdate) AS yr, o_orderpriority AS prio,
+       CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_yr,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders_gs
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                        (year(o_orderdate)), ())
+ORDER BY g_yr, g_prio, yr, prio"""
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT year(o_orderdate) AS yr, o_orderpriority AS prio,
+       CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_yr,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                        (year(o_orderdate)), ())
+ORDER BY g_yr, g_prio, yr, prio"""
+
+
+register("ext_grouping_sets", grouping_sets_orders, GROUPING_SETS_SQL)
 register("ext_rollup_orders", rollup_orders, ROLLUP_ORDERS_SQL)
 register("ext_cube_lineitem", cube_lineitem, CUBE_LINEITEM_SQL)
 register("ext_top_orders_per_cust", top_orders_per_cust, TOP_ORDERS_PER_CUST_SQL)

@@ -1,0 +1,106 @@
+"""[EXT] deterministic sampling / dataset-split operators for training-data
+pipelines (north_star): every document is assigned to train/val/test (or
+kept/dropped by a stratified sampler) by a *pure arithmetic hash of its id*
+— no RNG, no state, so the assignment is reproducible across engines, runs,
+and scales, and expressible identically in Spark and the DuckDB oracle.
+
+The hash is Knuth's multiplicative scheme ``(key · 2654435761) mod 2³²``
+(golden-ratio multiplier; "The Art of Computer Programming" vol. 3 §6.4) —
+chosen over xxhash64/murmur because those have no DuckDB twin (see
+dedup.py's rows-only caveat) while this is two integer ops in any engine.
+doc_id < 2³¹ keeps the product inside int64, so Spark's ANSI arithmetic
+never overflows.
+
+Scale notes (100 TB): split assignment is a stateless per-row projection —
+no shuffle at all until the final stats aggregate (tiny key space); the
+sampler is a pushable filter. Neither touches the document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
+
+KNUTH = 2654435761
+MOD32 = 1 << 32
+
+TRAIN_PCT = 90  # train < 90 ≤ val < 95 ≤ test
+VAL_PCT = 95
+
+SAMPLE_SEED_OFFSET = 12345  # decorrelates the sampler from the splitter
+SAMPLE_PCT = 10
+
+
+def _pct(key: Column, offset: int = 0) -> Column:
+    return ((key + offset) * KNUTH) % MOD32 % 100
+
+
+def _pct_sql(key: str, offset: int = 0) -> str:
+    return f"((({key} + {offset}) * {KNUTH}) % {MOD32}) % 100"
+
+
+def split_assign(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Add a ``split`` column (train/val/test, 90/5/5) keyed on ``key``."""
+    pct = _pct(F.col(key))
+    return docs.withColumn(
+        "split",
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < VAL_PCT, "val")
+        .otherwise("test"),
+    )
+
+
+def split_train_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(lang, split) corpus stats after deterministic 90/5/5
+    assignment — the final sanity check a dataset build runs before
+    writing shards."""
+    docs = split_assign(load_table(spark, sf, "documents"))
+    return (
+        docs.groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN {_pct_sql('doc_id')} < {TRAIN_PCT} THEN 'train'
+              WHEN {_pct_sql('doc_id')} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT lang, split, count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM assigned GROUP BY lang, split ORDER BY lang, split"""
+
+
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~10% sample, uniform within every stratum because the
+    hash is independent of lang/source — a pushable filter (no shuffle)
+    that any 100 TB job can apply at the scan."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.where(_pct(F.col("doc_id"), SAMPLE_SEED_OFFSET) < SAMPLE_PCT)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_pct_sql('doc_id', SAMPLE_SEED_OFFSET)} < {SAMPLE_PCT}
+ORDER BY doc_id"""
+
+
+register("ext_split_train_test", split_train_test, SPLIT_SQL)
+register("ext_sample_stratified", sample_stratified, SAMPLE_SQL)

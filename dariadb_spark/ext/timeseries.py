@@ -1,0 +1,420 @@
+"""[EXT] time-series analytics the reference's users run downstream of its
+query verbs — rate/derivative, grid regularization (LOCF gap-fill), linear
+interpolation, value histograms, bounded-window context joins, and built-in
+session windows. None exist in the reference (its surface stops at interval
+scans and per-interval statistics, SURVEY.md §2.4/§2.5); each is declared
+Spark-first and paired with an exact DuckDB oracle.
+
+Scale notes (100 TB):
+
+* every operator shuffles at most once on ``id`` (the storage clustering
+  key → shuffle-free after a bucketed write) or on ``(id, bucket)``;
+* the grid generators (`sequence`/`explode`) run distributed per id — no
+  driver-side materialization;
+* the context join is the *bucketed range join*: both sides bucket by the
+  window width, candidates join on ``(id, bucket±1)`` equality, the exact
+  range predicate filters after — no BroadcastNestedLoop cross product,
+  candidate volume is O(|events| · density) instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import MEAS_CTE_SQL, measurements
+from dariadb_spark.operators.interval import read_interval
+from dariadb_spark.registry import (
+    FROM_MS,
+    IDS,
+    TO_MS,
+    _ids_sql,
+    _values_sql,
+    register,
+)
+
+HOUR_MS = 3_600_000
+GRID_STEP_MS = 1_800_000  # 30 min interpolation grid
+RANGE_W_MS = 900_000  # 15 min context window
+SESSION_GAP_MS = 1_800_000  # session_window gap (30 min)
+
+HIST_WIDTH = 50.0  # value-histogram bucket width
+
+# Shared deduplication: one sample per (id, time), last-write-wins by the
+# (value, flag) total order — the O2 overlap policy (operators/asof.py).
+_DEDUP_RN = (
+    "row_number() OVER (PARTITION BY id, time "
+    "ORDER BY value DESC, flag DESC)"
+)
+
+
+def _dedup_samples(meas: DataFrame) -> DataFrame:
+    w = Window.partitionBy("id", "time").orderBy(
+        F.desc("value"), F.desc("flag")
+    )
+    return (
+        meas.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _interval_sql(ids: list[int] | None = IDS) -> str:
+    ids_part = f"id IN {_ids_sql(ids)} AND " if ids else ""
+    return f"{ids_part}time BETWEEN {FROM_MS} AND {TO_MS}"
+
+
+# --- rate / derivative ----------------------------------------------------
+
+def rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series first derivative in value-units/second — the PromQL
+    ``rate()`` analog over irregular samples. Samples are deduplicated to
+    one per (id, time) first so dt > 0 always; one shuffle on id, then a
+    single sorted window pass."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    s = _dedup_samples(meas)
+    w = Window.partitionBy("id").orderBy("time")
+    prev_t = F.lag("time", 1).over(w)
+    prev_v = F.lag("value", 1).over(w)
+    return (
+        s.select(
+            "id",
+            "time",
+            "value",
+            (F.col("time") - prev_t).alias("dt_ms"),
+            F.round(
+                ((F.col("value") - prev_v) / (F.col("time") - prev_t))
+                * 1000.0,
+                6,
+            ).alias("rate_per_s"),
+        )
+        .where(F.col("dt_ms").isNotNull())
+        .orderBy("id", "time")
+    )
+
+
+RATE_SQL = f"""WITH {MEAS_CTE_SQL},
+s AS (SELECT id, time, value FROM (
+        SELECT id, time, value, flag, {_DEDUP_RN} AS rn
+        FROM measurements WHERE {_interval_sql()}) WHERE rn = 1),
+d AS (
+  SELECT id, time, value,
+         time - lag(time, 1) OVER (PARTITION BY id ORDER BY time) AS dt_ms,
+         lag(value, 1) OVER (PARTITION BY id ORDER BY time) AS prev_v
+  FROM s)
+SELECT id, time, value, dt_ms,
+       round(((value - prev_v) / dt_ms) * 1000.0, 6) AS rate_per_s
+FROM d WHERE dt_ms IS NOT NULL ORDER BY id, time"""
+
+
+# --- LOCF gap-fill onto an hourly grid ------------------------------------
+
+def gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Regularize each series onto the hourly grid covering the query
+    interval, carrying the last observation forward (LOCF) across empty
+    buckets. The grid is generated distributed (sequence+explode per id);
+    observed buckets keep their last sample by the (time, value, flag)
+    total order; the fill is one IGNORE NULLS window pass per id."""
+    spark_ids = spark.createDataFrame([(i,) for i in IDS], "id bigint")
+    grid = spark_ids.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(FROM_MS), F.lit(TO_MS), F.lit(HOUR_MS))
+        ).alias("bucket_ms"),
+    )
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    wb = Window.partitionBy("id", "bucket_ms").orderBy(
+        F.desc("time"), F.desc("value"), F.desc("flag")
+    )
+    obs = (
+        meas.withColumn("bucket_ms", F.col("time") - F.col("time") % HOUR_MS)
+        .withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("id", "bucket_ms", F.col("value").alias("obs_value"))
+    )
+    wf = Window.partitionBy("id").orderBy("bucket_ms").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(obs, ["id", "bucket_ms"], "left")
+        .select(
+            "id",
+            "bucket_ms",
+            F.last("obs_value", ignorenulls=True).over(wf).alias("locf_value"),
+            F.when(F.col("obs_value").isNull(), 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("is_observed"),
+        )
+        .orderBy("id", "bucket_ms")
+    )
+
+
+GAP_FILL_SQL = f"""WITH {MEAS_CTE_SQL},
+ids(id) AS (SELECT CAST(v AS BIGINT) FROM (VALUES {_values_sql(IDS)}) t(v)),
+grid AS (SELECT id, CAST(g AS BIGINT) AS bucket_ms
+         FROM ids CROSS JOIN generate_series({FROM_MS}, {TO_MS}, {HOUR_MS}) gs(g)),
+obs AS (SELECT id, bucket_ms, value AS obs_value FROM (
+          SELECT id, (time - time % {HOUR_MS}) AS bucket_ms, value,
+                 row_number() OVER (PARTITION BY id, (time - time % {HOUR_MS})
+                                    ORDER BY time DESC, value DESC, flag DESC) AS rn
+          FROM measurements WHERE {_interval_sql()}) WHERE rn = 1)
+SELECT g.id AS id, g.bucket_ms AS bucket_ms,
+       last_value(o.obs_value IGNORE NULLS) OVER (
+         PARTITION BY g.id ORDER BY g.bucket_ms
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+       CAST(CASE WHEN o.obs_value IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_observed
+FROM grid g LEFT JOIN obs o ON g.id = o.id AND g.bucket_ms = o.bucket_ms
+ORDER BY id, bucket_ms"""
+
+
+# --- linear interpolation at grid points ----------------------------------
+
+def interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear interpolation of each series at 30-min grid points: for each
+    grid time t, the surrounding samples (prev ≤ t ≤ next) are found with
+    the union+two-window-passes plan — samples and grid points union into
+    one stream, a forward IGNORE NULLS pass carries prev, a backward pass
+    carries next; NO range join, one shuffle on id. Grid points outside
+    the sampled range yield NULL (no extrapolation); exact-time hits
+    return the sample value."""
+    spark_ids = spark.createDataFrame([(i,) for i in IDS], "id bigint")
+    grid = spark_ids.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(FROM_MS), F.lit(TO_MS), F.lit(GRID_STEP_MS))
+        ).alias("t"),
+    )
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    s = _dedup_samples(meas)
+    sam = s.select(
+        "id", F.col("time").alias("t"), F.lit(0).alias("side"),
+        F.col("value").alias("v"),
+    )
+    gr = grid.select(
+        "id", "t", F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    u = sam.unionByName(gr)
+    # forward pass: samples sort BEFORE grid points at equal t (side asc),
+    # so an exact-time sample is its own prev
+    wf = Window.partitionBy("id").orderBy("t", "side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # backward pass: grid sorts BEFORE samples at equal t (side desc), so
+    # an exact-time sample is also its own next
+    wb = Window.partitionBy("id").orderBy(
+        F.col("t").asc(), F.col("side").desc()
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t_if_sample = F.when(F.col("side") == 0, F.col("t"))
+    enriched = u.select(
+        "id",
+        "t",
+        "side",
+        F.last("v", ignorenulls=True).over(wf).alias("prev_v"),
+        F.last(t_if_sample, ignorenulls=True).over(wf).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(wb).alias("next_v"),
+        F.first(t_if_sample, ignorenulls=True).over(wb).alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("prev_t").isNull() | F.col("next_t").isNull(), F.lit(None))
+        .when(F.col("next_t") == F.col("prev_t"), F.col("prev_v"))
+        .otherwise(
+            F.round(
+                F.col("prev_v")
+                + (
+                    (F.col("next_v") - F.col("prev_v"))
+                    * (F.col("t") - F.col("prev_t"))
+                )
+                / (F.col("next_t") - F.col("prev_t")),
+                6,
+            )
+        )
+    )
+    return (
+        enriched.where(F.col("side") == 1)
+        .select(
+            "id",
+            F.col("t").alias("grid_ms"),
+            "prev_t",
+            "next_t",
+            interp.cast("double").alias("interp_value"),
+        )
+        .orderBy("id", "grid_ms")
+    )
+
+
+INTERPOLATE_SQL = f"""WITH {MEAS_CTE_SQL},
+ids(id) AS (SELECT CAST(v AS BIGINT) FROM (VALUES {_values_sql(IDS)}) t(v)),
+sam AS (SELECT id, time AS t, 0 AS side, value AS v FROM (
+          SELECT id, time, value, flag, {_DEDUP_RN} AS rn
+          FROM measurements WHERE {_interval_sql()}) WHERE rn = 1),
+grid AS (SELECT id, CAST(g AS BIGINT) AS t, 1 AS side,
+                CAST(NULL AS DOUBLE) AS v
+         FROM ids CROSS JOIN generate_series({FROM_MS}, {TO_MS}, {GRID_STEP_MS}) gs(g)),
+u AS (SELECT * FROM sam UNION ALL SELECT * FROM grid),
+enriched AS (
+  SELECT id, t, side,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY t, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY t, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY t ASC, side DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY t ASC, side DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM u)
+SELECT id, t AS grid_ms, prev_t, next_t,
+       CAST(CASE
+         WHEN prev_t IS NULL OR next_t IS NULL THEN NULL
+         WHEN next_t = prev_t THEN prev_v
+         ELSE round(prev_v + ((next_v - prev_v) * (t - prev_t))
+                    / (next_t - prev_t), 6)
+       END AS DOUBLE) AS interp_value
+FROM enriched WHERE side = 1 ORDER BY id, grid_ms"""
+
+
+# --- value histogram ------------------------------------------------------
+
+def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width value histogram over the interval (all series): one
+    codegen'd bucket expression + one shuffle on the ~10-bucket key —
+    map-side partial aggregation makes this scan-bound at any scale."""
+    meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    bucket = F.floor(F.col("value") / HIST_WIDTH).cast("bigint")
+    return (
+        meas.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("id").alias("n_series"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * HIST_WIDTH)
+        .select(
+            "bucket", "bucket_lo", "n_points", "n_series",
+            "min_value", "max_value",
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_SQL = f"""WITH {MEAS_CTE_SQL}
+SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(floor(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH} AS bucket_lo,
+       count(*) AS n_points,
+       count(DISTINCT id) AS n_series,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY bucket ORDER BY bucket"""
+
+
+# --- bucketed range join (bounded-window context) -------------------------
+
+def range_context(spark: SparkSession, sf: str) -> DataFrame:
+    """For every error event, aggregate the same-series events in the 15
+    minutes leading up to it (inclusive; the error sees itself). The range
+    join is bucketed: context events key by floor(t/W), each error probes
+    buckets {b-1, b} — with bucket width = window width the two buckets
+    COVER the range exactly, and each context row matches through exactly
+    one bucket (its own), so no dedup pass is needed. Equality join on
+    (id, bucket) → sort-merge/hash, never a nested-loop cross product."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    errors = meas.where(F.col("flag").bitwiseAND(16) == 16)
+    ctx = meas.select(
+        "id",
+        F.col("time").alias("c_time"),
+        F.col("value").alias("c_value"),
+        F.floor(F.col("time") / RANGE_W_MS).alias("b"),
+    )
+    err_b = errors.withColumn(
+        "b0", F.floor(F.col("time") / RANGE_W_MS)
+    ).withColumn(
+        "b", F.explode(F.array(F.col("b0") - 1, F.col("b0")))
+    ).drop("b0")
+    joined = err_b.join(ctx, ["id", "b"]).where(
+        F.col("c_time").between(
+            F.col("time") - RANGE_W_MS, F.col("time")
+        )
+    )
+    return (
+        joined.groupBy("id", "time", "value", "flag")
+        .agg(
+            F.count("*").alias("n_ctx"),
+            F.round(F.sum("c_value"), 4).alias("sum_ctx_value"),
+        )
+        .orderBy("id", "time", "value", "flag")
+    )
+
+
+RANGE_CONTEXT_SQL = f"""WITH {MEAS_CTE_SQL},
+m AS (SELECT id, time, value, flag FROM measurements WHERE {_interval_sql()})
+SELECT e.id AS id, e.time AS time, e.value AS value, e.flag AS flag,
+       count(*) AS n_ctx, round(sum(c.value), 4) AS sum_ctx_value
+FROM m e JOIN m c
+  ON c.id = e.id AND c.time BETWEEN e.time - {RANGE_W_MS} AND e.time
+WHERE (e.flag & 16) = 16
+GROUP BY e.id, e.time, e.value, e.flag
+ORDER BY id, time, value, flag"""
+
+
+# --- built-in session windows ---------------------------------------------
+
+def session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series sessions via Spark's built-in ``session_window`` (the
+    same primitive the streaming path uses with a watermark): events
+    closer than the 30-min gap merge; window end = last event + gap.
+    Cross-checked against the gaps-and-islands formulation in the oracle
+    (and against ext_sessionize, which builds islands by hand)."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    return (
+        meas.groupBy(
+            "id",
+            F.session_window(
+                F.timestamp_millis(F.col("time")), "30 minutes"
+            ).alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events",
+        )
+        .orderBy("id", "session_start_ms")
+    )
+
+
+SESSION_WINDOW_SQL = f"""WITH {MEAS_CTE_SQL},
+pts AS (
+  -- total (time, value, flag) order: with ties on time alone, the lag
+  -- and running-sum sorts could disagree on which tie-group member
+  -- carries is_new=1 and split the group (see ext_sessionize)
+  SELECT id, time, value, flag,
+         CASE WHEN time - lag(time, 1) OVER (PARTITION BY id
+                   ORDER BY time, value, flag) >= {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM measurements WHERE {_interval_sql()}),
+s AS (
+  SELECT id, time,
+         sum(is_new) OVER (PARTITION BY id ORDER BY time, value, flag
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM pts)
+SELECT id, min(time) AS session_start_ms,
+       max(time) + {SESSION_GAP_MS} AS session_end_ms,
+       count(*) AS n_events
+FROM s GROUP BY id, session_no ORDER BY id, session_start_ms"""
+
+
+register("ext_rate", rate, RATE_SQL)
+register("ext_gap_fill", gap_fill, GAP_FILL_SQL)
+register("ext_interpolate", interpolate, INTERPOLATE_SQL)
+register("ext_histogram", value_histogram, HISTOGRAM_SQL)
+register("ext_range_context", range_context, RANGE_CONTEXT_SQL)
+register("ext_session_window", session_window_agg, SESSION_WINDOW_SQL)

@@ -314,3 +314,5 @@ from dariadb_spark.ext import dedup as _ext_dedup  # noqa: E402,F401
 from dariadb_spark.ext import text as _ext_text  # noqa: E402,F401
 from dariadb_spark.ext import similarity as _ext_sim  # noqa: E402,F401
 from dariadb_spark.ext import multimodal as _ext_mm  # noqa: E402,F401
+from dariadb_spark.ext import timeseries as _ext_ts  # noqa: E402,F401
+from dariadb_spark.ext import sampling as _ext_sampling  # noqa: E402,F401
