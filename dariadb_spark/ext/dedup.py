@@ -256,6 +256,10 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     so sum(label) strictly decreases until the fixed point — comparing
     the scalar sum per round replaces the old-vs-new join + count
     (one agg over the cached labels instead of an extra shuffle join).
+    (Composing two lazy propagation steps per check was tried and is
+    SLOWER: the intermediate label set feeds both sides of the next
+    join, and uncached it evaluates twice — the extra work outweighs
+    the saved driver action.)
     """
     pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
     edges = (
@@ -269,15 +273,14 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(CC_MAX_ITERS):
+    def _propagate(lbl):
         nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
+            edges.join(lbl, edges.src == lbl.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.alias("l")
+        return (
+            lbl.alias("l")
             .join(nbr.alias("n"), "doc_id", "left")
             .select(
                 "doc_id",
@@ -286,8 +289,11 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
                     F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
                 ).alias("label"),
             )
-            .cache()
         )
+
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        new_labels = _propagate(labels).cache()
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
