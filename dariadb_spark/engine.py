@@ -149,6 +149,33 @@ class TsEngine:
     ) -> DataFrame:
         return _downsample(self.meas(), interval, ids, from_ms, to_ms, flag)
 
+    def rate(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        """Per-series derivative (value-units/sec) between adjacent
+        samples (operators/resample.py)."""
+        from dariadb_spark.operators.resample import rate as _rate
+
+        return _rate(self.meas(), ids, from_ms, to_ms, flag)
+
+    def gap_fill(
+        self, ids: list[int], from_ms: int, to_ms: int, step_ms: int,
+        flag: int = 0,
+    ) -> DataFrame:
+        """LOCF regularization onto a fixed grid (operators/resample.py)."""
+        from dariadb_spark.operators.resample import gap_fill as _gf
+
+        return _gf(self.meas(), ids, from_ms, to_ms, step_ms, flag)
+
+    def interpolate(
+        self, ids: list[int], from_ms: int, to_ms: int, step_ms: int,
+        flag: int = 0,
+    ) -> DataFrame:
+        """Linear interpolation at grid points (operators/resample.py)."""
+        from dariadb_spark.operators.resample import interpolate as _ip
+
+        return _ip(self.meas(), ids, from_ms, to_ms, step_ms, flag)
+
     def downsample_to_series(
         self, fn_name: str, interval: str, append: bool = False
     ) -> DataFrame:

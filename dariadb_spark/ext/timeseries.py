@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 from dariadb_spark.model import MEAS_CTE_SQL, measurements
 from dariadb_spark.operators.interval import read_interval
+from dariadb_spark.operators.resample import (
+    gap_fill as _gap_fill,
+    interpolate as _interpolate,
+    rate as _rate,
+)
 from dariadb_spark.registry import (
     FROM_MS,
     IDS,
@@ -48,17 +53,6 @@ _DEDUP_RN = (
 )
 
 
-def _dedup_samples(meas: DataFrame) -> DataFrame:
-    w = Window.partitionBy("id", "time").orderBy(
-        F.desc("value"), F.desc("flag")
-    )
-    return (
-        meas.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-
-
 def _interval_sql(ids: list[int] | None = IDS) -> str:
     ids_part = f"id IN {_ids_sql(ids)} AND " if ids else ""
     return f"{ids_part}time BETWEEN {FROM_MS} AND {TO_MS}"
@@ -68,29 +62,8 @@ def _interval_sql(ids: list[int] | None = IDS) -> str:
 
 def rate(spark: SparkSession, sf: str) -> DataFrame:
     """Per-series first derivative in value-units/second — the PromQL
-    ``rate()`` analog over irregular samples. Samples are deduplicated to
-    one per (id, time) first so dt > 0 always; one shuffle on id, then a
-    single sorted window pass."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
-    s = _dedup_samples(meas)
-    w = Window.partitionBy("id").orderBy("time")
-    prev_t = F.lag("time", 1).over(w)
-    prev_v = F.lag("value", 1).over(w)
-    return (
-        s.select(
-            "id",
-            "time",
-            "value",
-            (F.col("time") - prev_t).alias("dt_ms"),
-            F.round(
-                ((F.col("value") - prev_v) / (F.col("time") - prev_t))
-                * 1000.0,
-                6,
-            ).alias("rate_per_s"),
-        )
-        .where(F.col("dt_ms").isNotNull())
-        .orderBy("id", "time")
-    )
+    ``rate()`` analog over irregular samples (operators/resample.py)."""
+    return _rate(measurements(spark, sf), IDS, FROM_MS, TO_MS)
 
 
 RATE_SQL = f"""WITH {MEAS_CTE_SQL},
@@ -110,44 +83,10 @@ FROM d WHERE dt_ms IS NOT NULL ORDER BY id, time"""
 # --- LOCF gap-fill onto an hourly grid ------------------------------------
 
 def gap_fill(spark: SparkSession, sf: str) -> DataFrame:
-    """Regularize each series onto the hourly grid covering the query
-    interval, carrying the last observation forward (LOCF) across empty
-    buckets. The grid is generated distributed (sequence+explode per id);
-    observed buckets keep their last sample by the (time, value, flag)
-    total order; the fill is one IGNORE NULLS window pass per id."""
-    spark_ids = spark.createDataFrame([(i,) for i in IDS], "id bigint")
-    grid = spark_ids.select(
-        "id",
-        F.explode(
-            F.sequence(F.lit(FROM_MS), F.lit(TO_MS), F.lit(HOUR_MS))
-        ).alias("bucket_ms"),
-    )
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
-    wb = Window.partitionBy("id", "bucket_ms").orderBy(
-        F.desc("time"), F.desc("value"), F.desc("flag")
-    )
-    obs = (
-        meas.withColumn("bucket_ms", F.col("time") - F.col("time") % HOUR_MS)
-        .withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") == 1)
-        .select("id", "bucket_ms", F.col("value").alias("obs_value"))
-    )
-    wf = Window.partitionBy("id").orderBy("bucket_ms").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        grid.join(obs, ["id", "bucket_ms"], "left")
-        .select(
-            "id",
-            "bucket_ms",
-            F.last("obs_value", ignorenulls=True).over(wf).alias("locf_value"),
-            F.when(F.col("obs_value").isNull(), 0)
-            .otherwise(1)
-            .cast("bigint")
-            .alias("is_observed"),
-        )
-        .orderBy("id", "bucket_ms")
-    )
+    """Hourly-grid LOCF regularization (operators/resample.py): grid
+    generated distributed, observed buckets keep their last sample by
+    the (time, value, flag) total order, one IGNORE NULLS pass per id."""
+    return _gap_fill(measurements(spark, sf), IDS, FROM_MS, TO_MS, HOUR_MS)
 
 
 GAP_FILL_SQL = f"""WITH {MEAS_CTE_SQL},
@@ -172,76 +111,10 @@ ORDER BY id, bucket_ms"""
 # --- linear interpolation at grid points ----------------------------------
 
 def interpolate(spark: SparkSession, sf: str) -> DataFrame:
-    """Linear interpolation of each series at 30-min grid points: for each
-    grid time t, the surrounding samples (prev ≤ t ≤ next) are found with
-    the union+two-window-passes plan — samples and grid points union into
-    one stream, a forward IGNORE NULLS pass carries prev, a backward pass
-    carries next; NO range join, one shuffle on id. Grid points outside
-    the sampled range yield NULL (no extrapolation); exact-time hits
-    return the sample value."""
-    spark_ids = spark.createDataFrame([(i,) for i in IDS], "id bigint")
-    grid = spark_ids.select(
-        "id",
-        F.explode(
-            F.sequence(F.lit(FROM_MS), F.lit(TO_MS), F.lit(GRID_STEP_MS))
-        ).alias("t"),
-    )
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
-    s = _dedup_samples(meas)
-    sam = s.select(
-        "id", F.col("time").alias("t"), F.lit(0).alias("side"),
-        F.col("value").alias("v"),
-    )
-    gr = grid.select(
-        "id", "t", F.lit(1).alias("side"),
-        F.lit(None).cast("double").alias("v"),
-    )
-    u = sam.unionByName(gr)
-    # forward pass: samples sort BEFORE grid points at equal t (side asc),
-    # so an exact-time sample is its own prev
-    wf = Window.partitionBy("id").orderBy("t", "side").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # backward pass: grid sorts BEFORE samples at equal t (side desc), so
-    # an exact-time sample is also its own next
-    wb = Window.partitionBy("id").orderBy(
-        F.col("t").asc(), F.col("side").desc()
-    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    t_if_sample = F.when(F.col("side") == 0, F.col("t"))
-    enriched = u.select(
-        "id",
-        "t",
-        "side",
-        F.last("v", ignorenulls=True).over(wf).alias("prev_v"),
-        F.last(t_if_sample, ignorenulls=True).over(wf).alias("prev_t"),
-        F.first("v", ignorenulls=True).over(wb).alias("next_v"),
-        F.first(t_if_sample, ignorenulls=True).over(wb).alias("next_t"),
-    )
-    interp = (
-        F.when(F.col("prev_t").isNull() | F.col("next_t").isNull(), F.lit(None))
-        .when(F.col("next_t") == F.col("prev_t"), F.col("prev_v"))
-        .otherwise(
-            F.round(
-                F.col("prev_v")
-                + (
-                    (F.col("next_v") - F.col("prev_v"))
-                    * (F.col("t") - F.col("prev_t"))
-                )
-                / (F.col("next_t") - F.col("prev_t")),
-                6,
-            )
-        )
-    )
-    return (
-        enriched.where(F.col("side") == 1)
-        .select(
-            "id",
-            F.col("t").alias("grid_ms"),
-            "prev_t",
-            "next_t",
-            interp.cast("double").alias("interp_value"),
-        )
-        .orderBy("id", "grid_ms")
+    """Linear interpolation at 30-min grid points via the union +
+    two-window-passes plan — no range join (operators/resample.py)."""
+    return _interpolate(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, GRID_STEP_MS
     )
 
 

@@ -309,3 +309,30 @@ def test_scheme_catalog_roundtrip(spark, tmp_path):
     named = {r.id: r.name for r in cat.resolve(eng.meas()).collect()}
     assert named[a] == "host0.cpu0.load"
     assert named[12345] is None  # uncataloged series keep flowing (left join)
+
+
+def test_resample_verbs_hand_computed(engine):
+    """rate / gap_fill / interpolate on the deterministic grid: 6 h sample
+    step, value = id*100 + k → rate is the constant 1/STEP·1000 per second,
+    a 3 h grid alternates observed/filled buckets, and 3 h-midpoint
+    interpolation lands exactly halfway between adjacent values."""
+    span = (N_STEPS - 1) * STEP
+    half = STEP // 2  # 3 h
+
+    rows = engine.rate([1], T0, T0 + span).collect()
+    assert len(rows) == N_STEPS - 1
+    expect_rate = round((1.0 / STEP) * 1000.0, 6)
+    assert all(r.dt_ms == STEP and r.rate_per_s == expect_rate for r in rows)
+
+    rows = engine.gap_fill([1], T0, T0 + span, half).collect()
+    assert len(rows) == 2 * (N_STEPS - 1) + 1
+    for j, r in enumerate(rows):
+        assert r.bucket_ms == T0 + j * half
+        assert r.is_observed == (1 if j % 2 == 0 else 0)
+        assert r.locf_value == 100.0 + j // 2
+
+    rows = engine.interpolate([2], T0, T0 + span, half).collect()
+    assert len(rows) == 2 * (N_STEPS - 1) + 1
+    for j, r in enumerate(rows):
+        expected = 200.0 + j / 2  # exact at samples, midpoint between them
+        assert r.interp_value == expected, (j, r)
