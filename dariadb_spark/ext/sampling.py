@@ -102,5 +102,63 @@ WHERE {_pct_sql('doc_id', SAMPLE_SEED_OFFSET)} < {SAMPLE_PCT}
 ORDER BY doc_id"""
 
 
+# --- token-budget shard packing -------------------------------------------
+
+SHARD_TOKENS = 2_000  # target token budget per training shard
+
+
+def pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign documents to contiguous training shards of ~SHARD_TOKENS
+    whitespace tokens per language: docs are laid out in doc_id order and
+    a shard boundary falls wherever the running token total crosses a
+    budget multiple — ``shard = floor(cumsum_before / budget)``. This is
+    the deterministic contiguous-packing rule (order-dependent greedy
+    first-fit is NOT distributable; this is, and it's what sharded
+    dataset writers actually do). One window pass per lang partition,
+    then a tiny aggregate; the text column is never shuffled — only
+    (lang, doc_id, n_tokens)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard = F.floor(
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / SHARD_TOKENS
+    )
+    return (
+        docs.withColumn("shard", shard)
+        .groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+PACK_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+assigned AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(floor(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {SHARD_TOKENS}) AS BIGINT) AS shard
+  FROM d)
+SELECT lang, shard, count(*) AS n_docs, sum(n_tokens) AS shard_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM assigned GROUP BY lang, shard ORDER BY lang, shard"""
+
+
 register("ext_split_train_test", split_train_test, SPLIT_SQL)
 register("ext_sample_stratified", sample_stratified, SAMPLE_SQL)
+register("ext_pack_shards", pack_shards, PACK_SHARDS_SQL)

@@ -329,6 +329,41 @@ SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
 ORDER BY q_id, rk"""
 
 
+# --- per-label centroids (k-means M-step / IVF coarse training) -----------
+
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean vector in long (label, dim, centroid) form — the
+    k-means M-step a distributed IVF/clustering trainer runs each round.
+    posexplode keeps everything JVM-side; the shuffle key (label, dim)
+    has |labels|·64 groups with map-side partial sums, so shuffle bytes
+    are O(groups), independent of corpus size. Long form beats re-packing
+    into arrays here: the consumer (next E-step) broadcasts it anyway."""
+    emb = load_table(spark, sf, "embeddings").selectExpr(
+        "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+    )
+    d = emb.select("label", F.posexplode("e").alias("dim", "x"))
+    return (
+        d.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.sum("x"), 6) / F.count("*")).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# fixture embeddings are 64-dim at every scale factor (DuckDB's
+# generate_series cannot reference the row's len(vec) laterally)
+EMBEDDING_CENTROIDS_SQL = """
+WITH ed AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+x AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim, vec[i] AS x
+      FROM ed CROSS JOIN generate_series(1, 64) gs(i))
+SELECT label, dim, count(*) AS n,
+       round(sum(x), 6) / count(*) AS centroid
+FROM x GROUP BY label, dim ORDER BY label, dim"""
+
+
+register("ext_embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL)
 register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)
 register("ext_sim_ann_ivf", sim_ann_ivf, SIM_ANN_IVF_SQL)
 register("ext_dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL)

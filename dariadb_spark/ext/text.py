@@ -313,6 +313,102 @@ SELECT doc_id, len(w) AS n_ws_tokens, len(bpe) AS n_bpe_tokens,
 FROM t ORDER BY doc_id"""
 
 
+# --- BM25 keyword ranking -------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("dup", "merge", "spark")  # mixed-selectivity terms
+BM25_TOP_K = 20
+
+
+def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank documents against a fixed keyword query with BM25 (the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant). Plan shape matches
+    tf-idf: one shuffle for per-(doc, term) counts, document frequencies
+    and the corpus scalars (N, avgdl) fold in as broadcasts, then a
+    per-query-term sum and global top-k. The query-term filter lands
+    BEFORE the big count shuffle, so only matching postings move."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    # corpus scalars inside the plan (no separate driver-side jobs);
+    # avgdl via the round(sum,6)/count recipe so both engines agree
+    scalars = docs.select(
+        F.size(F.split("text", " ")).alias("dl")
+    ).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.round(F.sum("dl"), 6) / F.count("*")).alias("avgdl"),
+    )
+    words = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).where(F.col("word").isin(*BM25_QUERY))
+    tf = words.groupBy("doc_id", "word", "dl").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avgdl")))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 4).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOP_K)
+        .select("rk", "doc_id", "bm25")
+        .orderBy("rk")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+TEXT_BM25_SQL = f"""
+WITH scalars AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         round(sum(len(string_split(text, ' '))), 6) / count(*) AS avgdl
+  FROM documents),
+w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, dl, count(*) AS tf
+       FROM w WHERE word IN ({_BM25_TERMS_SQL})
+       GROUP BY doc_id, word, dl),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+contrib AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {BM25_K1 + 1.0})
+           / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (dl / avgdl)))
+           AS c
+  FROM tf JOIN df USING (word), scalars),
+scored AS (SELECT doc_id, round(sum(c), 4) AS bm25
+           FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk
+  FROM scored)
+SELECT rk, doc_id, bm25 FROM ranked WHERE rk <= {BM25_TOP_K} ORDER BY rk"""
+
+
+register("ext_text_bm25", text_bm25, TEXT_BM25_SQL)
 register("ext_text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
 register("ext_text_bpe_tokens", text_bpe_tokens, TEXT_BPE_TOKENS_SQL)
 register("ext_text_tfidf", text_tfidf, TEXT_TFIDF_SQL)
