@@ -139,3 +139,45 @@ def streaming_current_value(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    data_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    query_name: str = "sessions_live",
+) -> StreamingQuery:
+    """Per-series activity sessions maintained incrementally with the
+    built-in ``session_window`` — the streaming twin of the batch
+    `ext_session_window` query (ext/timeseries.py): events closer than
+    ``gap`` merge, window end = last event + gap. State per (id, open
+    session) is bounded by the watermark: sessions older than it close
+    and evict (T3 policy knob — the reference instead accepts all late
+    appends via merge-on-read; reconcile with the batch query for exact
+    reference semantics)."""
+    stream = (
+        spark.readStream.schema(_MEAS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    agg = (
+        stream.withColumn("ts", F.timestamp_millis(F.col("time")))
+        .withWatermark("ts", watermark)
+        .groupBy("id", F.session_window(F.col("ts"), gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -336,3 +336,51 @@ def test_resample_verbs_hand_computed(engine):
     for j, r in enumerate(rows):
         expected = 200.0 + j / 2  # exact at samples, midpoint between them
         assert r.interp_value == expected, (j, r)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Bursts 10 min apart merge into one session; a 3 h-later straggler
+    opens a second — the streaming session_window output must equal the
+    same aggregation run in batch over the identical store."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.streaming.subscribe import streaming_sessionize
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    minute = 60_000
+    rows = []
+    for i in range(3):
+        base = T0 + i * 2 * 3_600_000
+        rows += [
+            (i, base, 1.0, 1),
+            (i, base + 10 * minute, 2.0, 2),
+            (i, base + 20 * minute, 3.0, 4),
+            (i, base + 3 * 3_600_000, 4.0, 8),
+        ]
+    eng.append(rows)
+    q = streaming_sessionize(spark, str(eng.store.data_dir), query_name="sess_test")
+    q.awaitTermination(120)
+    live = sorted(map(tuple, spark.table("sess_test").collect()))
+    batch = sorted(
+        map(
+            tuple,
+            eng.meas()
+            .groupBy(
+                "id",
+                F.session_window(
+                    F.timestamp_millis(F.col("time")), "30 minutes"
+                ).alias("sw"),
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "id",
+                F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+                F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+                "n_events",
+            )
+            .collect(),
+        )
+    )
+    assert live == batch
+    assert len(live) == 6  # 2 sessions per id
+    assert sorted(r[3] for r in live) == [1, 1, 1, 3, 3, 3]
