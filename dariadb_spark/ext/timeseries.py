@@ -285,6 +285,150 @@ SELECT id, min(time) AS session_start_ms,
 FROM s GROUP BY id, session_no ORDER BY id, session_start_ms"""
 
 
+# --- trailing-window z-score anomaly detection ----------------------------
+
+ZSCORE_WINDOW = 20  # trailing samples
+ZSCORE_MIN_N = 10
+ZSCORE_THRESHOLD = 3.0
+
+
+def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Flag samples whose value deviates > 3σ from the trailing-20-sample
+    mean of their own series (the classic online anomaly score, as a
+    batch plan). One shuffle on id, one sorted window pass. Mean and
+    variance come from round(sum,6)-ed moments — the float-parity recipe
+    (see downsample.py) — so the oracle's arithmetic is bit-identical:
+    var = E[x²] − E[x]², clamped at 0 for the all-equal-window case."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    w = Window.partitionBy("id").orderBy("time", "value", "flag").rowsBetween(
+        -ZSCORE_WINDOW, -1
+    )
+    n = F.count("value").over(w)
+    mean = F.round(F.sum("value").over(w), 6) / n
+    ex2 = F.round(F.sum(F.col("value") * F.col("value")).over(w), 6) / n
+    std = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
+    scored = meas.select(
+        "id",
+        "time",
+        "value",
+        "flag",
+        n.alias("n_trail"),
+        F.when(std > 0, F.round((F.col("value") - mean) / std, 4)).alias("z"),
+    )
+    return (
+        scored.where(
+            (F.col("n_trail") >= ZSCORE_MIN_N)
+            & (F.abs(F.col("z")) > ZSCORE_THRESHOLD)
+        )
+        .orderBy("id", "time", "value", "flag")
+    )
+
+
+ANOMALY_ZSCORE_SQL = f"""WITH {MEAS_CTE_SQL},
+scored AS (
+  SELECT id, time, value, flag,
+         count(value) OVER tw AS n_trail,
+         CASE WHEN sqrt(greatest(
+                round(sum(value * value) OVER tw, 6) / count(value) OVER tw
+                - (round(sum(value) OVER tw, 6) / count(value) OVER tw)
+                  * (round(sum(value) OVER tw, 6) / count(value) OVER tw),
+                0.0)) > 0
+              THEN round((value - round(sum(value) OVER tw, 6)
+                            / count(value) OVER tw)
+                   / sqrt(greatest(
+                       round(sum(value * value) OVER tw, 6)
+                         / count(value) OVER tw
+                       - (round(sum(value) OVER tw, 6)
+                            / count(value) OVER tw)
+                         * (round(sum(value) OVER tw, 6)
+                              / count(value) OVER tw),
+                       0.0)), 4)
+         END AS z
+  FROM measurements
+  WHERE {_interval_sql()}
+  WINDOW tw AS (PARTITION BY id ORDER BY time, value, flag
+                ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING))
+SELECT id, time, value, flag, n_trail, z FROM scored
+WHERE n_trail >= {ZSCORE_MIN_N} AND abs(z) > {ZSCORE_THRESHOLD}
+ORDER BY id, time, value, flag"""
+
+
+# --- pairwise series correlation matrix -----------------------------------
+
+def series_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation between every pair of the queried series over
+    their hourly means — the correlation-matrix building block. Bucketing
+    first shrinks T points to T/3600s rows per series; the pair join is
+    then quadratic only in |ids| (inherent to a correlation matrix), tiny
+    relative to the scan. Correlation is assembled from round(sum,6)-ed
+    raw moments rather than corr() so both engines compute bit-identical
+    doubles from identical inputs."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    hourly = (
+        meas.groupBy(
+            "id", (F.col("time") - F.col("time") % HOUR_MS).alias("bucket_ms")
+        )
+        .agg((F.round(F.sum("value"), 6) / F.count("value")).alias("x"))
+    )
+    a = hourly.selectExpr("id AS id_a", "bucket_ms", "x AS xa")
+    b = hourly.selectExpr("id AS id_b", "bucket_ms", "x AS xb")
+    j = a.join(b, "bucket_ms").where(F.col("id_a") < F.col("id_b"))
+    mom = j.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.sum("xa"), 6).alias("sx"),
+        F.round(F.sum("xb"), 6).alias("sy"),
+        F.round(F.sum(F.col("xa") * F.col("xb")), 6).alias("sxy"),
+        F.round(F.sum(F.col("xa") * F.col("xa")), 6).alias("sxx"),
+        F.round(F.sum(F.col("xb") * F.col("xb")), 6).alias("syy"),
+    )
+    denom = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        mom.select(
+            "id_a",
+            "id_b",
+            F.col("n").cast("bigint").alias("n_buckets"),
+            F.when(
+                denom > 0,
+                F.round(
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / denom,
+                    4,
+                ),
+            ).alias("corr"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SERIES_CORRELATION_SQL = f"""WITH {MEAS_CTE_SQL},
+hourly AS (
+  SELECT id, (time - time % {HOUR_MS}) AS bucket_ms,
+         round(sum(value), 6) / count(value) AS x
+  FROM measurements WHERE {_interval_sql()}
+  GROUP BY id, bucket_ms),
+mom AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(count(*) AS DOUBLE) AS n,
+         round(sum(a.x), 6) AS sx, round(sum(b.x), 6) AS sy,
+         round(sum(a.x * b.x), 6) AS sxy,
+         round(sum(a.x * a.x), 6) AS sxx,
+         round(sum(b.x * b.x), 6) AS syy
+  FROM hourly a JOIN hourly b
+    ON a.bucket_ms = b.bucket_ms AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, CAST(n AS BIGINT) AS n_buckets,
+       CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+       END AS corr
+FROM mom ORDER BY id_a, id_b"""
+
+
+register("ext_anomaly_zscore", anomaly_zscore, ANOMALY_ZSCORE_SQL)
+register("ext_series_correlation", series_correlation, SERIES_CORRELATION_SQL)
 register("ext_rate", rate, RATE_SQL)
 register("ext_gap_fill", gap_fill, GAP_FILL_SQL)
 register("ext_interpolate", interpolate, INTERPOLATE_SQL)
