@@ -427,6 +427,106 @@ SELECT id_a, id_b, CAST(n AS BIGINT) AS n_buckets,
 FROM mom ORDER BY id_a, id_b"""
 
 
+# --- time-weighted average ------------------------------------------------
+
+def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series time-weighted mean over the interval: each sample's
+    value is weighted by how long it remained current (LOCF weighting,
+    the standard irregular-sampling mean) — ``Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N−t₀)``.
+    One shuffle on id: a lead() pass for the hold duration, then one
+    aggregate. Equal-timestamp duplicates need no pre-dedup: within a
+    (time, value, flag) tie group every member but the last holds for
+    0 ms — the total order makes that deterministic in both engines."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    w = Window.partitionBy("id").orderBy("time", "value", "flag")
+    seg = meas.select(
+        "id",
+        "time",
+        "value",
+        (F.lead("time", 1).over(w) - F.col("time")).alias("dt"),
+    )
+    return (
+        seg.groupBy("id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            (F.max("time") - F.min("time")).alias("span_ms"),
+            F.round(F.sum(F.col("value") * F.col("dt")), 6).alias("wsum"),
+        )
+        .where(F.col("span_ms") > 0)
+        .select(
+            "id",
+            "n_samples",
+            "span_ms",
+            (F.col("wsum") / F.col("span_ms")).alias("twa"),
+        )
+        .orderBy("id")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = f"""WITH {MEAS_CTE_SQL},
+seg AS (
+  SELECT id, time, value,
+         lead(time, 1) OVER (PARTITION BY id
+                             ORDER BY time, value, flag) - time AS dt
+  FROM measurements WHERE {_interval_sql()}),
+agg AS (
+  SELECT id, count(*) AS n_samples,
+         max(time) - min(time) AS span_ms,
+         round(sum(value * dt), 6) AS wsum
+  FROM seg GROUP BY id)
+SELECT id, n_samples, span_ms, wsum / span_ms AS twa
+FROM agg WHERE span_ms > 0 ORDER BY id"""
+
+
+# --- cascaded rollup (hour → day aggregate reuse) -------------------------
+
+def rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily rollup computed FROM the hourly rollup (count/sum/min/max
+    compose; avg re-derives from the summed moments) — the hypertable
+    continuous-aggregate pattern: at 100 TB the daily job reads ~1/3600th
+    of the raw bytes by consuming the hourly materialization. The oracle
+    aggregates the raw measurements directly, so a hash-match PROVES the
+    cascade is value-identical to single-pass aggregation (the
+    round(sum,6) recipe absorbs the differing accumulation order)."""
+    meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    hourly = meas.groupBy(
+        "id", (F.col("time") - F.col("time") % HOUR_MS).alias("hour_ms")
+    ).agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum_raw"),  # unrounded: rounding is final-step
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    day_ms = 24 * HOUR_MS
+    return (
+        hourly.groupBy(
+            "id",
+            (F.col("hour_ms") - F.col("hour_ms") % day_ms).alias("bucket_ms"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            (F.round(F.sum("sum_raw"), 6) / F.sum("cnt")).alias("avg_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.round(F.sum("sum_raw"), 4).alias("sum_value"),
+        )
+        .orderBy("id", "bucket_ms")
+    )
+
+
+_DAY_MS_LOCAL = 24 * HOUR_MS
+ROLLUP_CASCADE_SQL = f"""WITH {MEAS_CTE_SQL}
+SELECT id, (time - time % {_DAY_MS_LOCAL}) AS bucket_ms,
+       count(value) AS cnt,
+       round(sum(value), 6) / count(value) AS avg_value,
+       min(value) AS min_value, max(value) AS max_value,
+       round(sum(value), 4) AS sum_value
+FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY id, bucket_ms ORDER BY id, bucket_ms"""
+
+
+register("ext_time_weighted_avg", time_weighted_avg, TIME_WEIGHTED_AVG_SQL)
+register("ext_rollup_cascade", rollup_cascade, ROLLUP_CASCADE_SQL)
 register("ext_anomaly_zscore", anomaly_zscore, ANOMALY_ZSCORE_SQL)
 register("ext_series_correlation", series_correlation, SERIES_CORRELATION_SQL)
 register("ext_rate", rate, RATE_SQL)
