@@ -113,3 +113,158 @@ def test_min_max_and_stat_property(spark, rows):
         assert st_rows[i].max_value == max(vals)
         assert st_rows[i].sum_value == sum(vals)  # exact: 0.25-multiples
         assert st_rows[i].mean_value == sum(vals) / len(vals)
+
+
+# --- resample verbs (operators/resample.py) -------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _r6(x: float) -> float:
+    """Spark F.round semantics for doubles: HALF_UP on the shortest
+    decimal representation (Python's round() is banker's — diverges on
+    exact .xxxxxx5 values like 0.25/32)."""
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _lww(rows):
+    """One sample per (id, time): max (value, flag) wins (dedup_lww)."""
+    best = {}
+    for t in rows:
+        k = (t[0], t[1])
+        if k not in best or (t[2], t[3]) > (best[k][2], best[k][3]):
+            best[k] = t
+    return best
+
+
+@given(rows=meas_lists, lo=st.integers(0, 40), hi=st.integers(0, 40))
+@_SETTINGS
+def test_rate_property(spark, rows, lo, hi):
+    from_ms, to_ms = T0 + min(lo, hi) * STEP, T0 + max(lo, hi) * STEP
+    got = [
+        (r.id, r.time, r.value, r.dt_ms, r.rate_per_s)
+        for r in _engine(spark, rows).rate(None, from_ms, to_ms).collect()
+    ]
+    samples = sorted(
+        t for t in _lww(t for t in rows if from_ms <= t[1] <= to_ms).values()
+    )
+    expect = []
+    by_id: dict[int, list] = {}
+    for t in samples:
+        by_id.setdefault(t[0], []).append(t)
+    for i, ts in sorted(by_id.items()):
+        for prev, cur in zip(ts, ts[1:]):
+            dt = cur[1] - prev[1]
+            expect.append(
+                (i, cur[1], cur[2], dt, _r6((cur[2] - prev[2]) / dt * 1000.0))
+            )
+    assert got == expect
+
+
+@given(rows=meas_lists, span=st.integers(1, 40),
+       step=st.sampled_from([500, 1_000, 3_000, 7_000]))
+@_SETTINGS
+def test_gap_fill_property(spark, rows, span, step):
+    from_ms, to_ms = T0, T0 + span * STEP
+    ids = [0, 1, 2]
+    got = [
+        (r.id, r.bucket_ms, r.locf_value, r.is_observed)
+        for r in _engine(spark, rows)
+        .gap_fill(ids, from_ms, to_ms, step)
+        .collect()
+    ]
+    expect = []
+    for i in ids:
+        in_range = [t for t in rows if t[0] == i and from_ms <= t[1] <= to_ms]
+        # last sample per bucket by the (time, value, flag) total order
+        per_bucket: dict[int, tuple] = {}
+        for t in in_range:
+            b = t[1] - t[1] % step
+            if b not in per_bucket or (t[1], t[2], t[3]) > (
+                per_bucket[b][1], per_bucket[b][2], per_bucket[b][3]
+            ):
+                per_bucket[b] = t
+        locf = None
+        for b in range(from_ms, to_ms + 1, step):
+            obs = per_bucket.get(b)
+            if obs is not None:
+                locf = obs[2]
+            expect.append((i, b, locf, 1 if obs is not None else 0))
+    assert got == expect
+
+
+@given(rows=meas_lists, span=st.integers(1, 40),
+       step=st.sampled_from([500, 1_000, 3_000]))
+@_SETTINGS
+def test_interpolate_property(spark, rows, span, step):
+    from_ms, to_ms = T0, T0 + span * STEP
+    ids = [0, 1]
+    got = [
+        (r.id, r.grid_ms, r.prev_t, r.next_t, r.interp_value)
+        for r in _engine(spark, rows)
+        .interpolate(ids, from_ms, to_ms, step)
+        .collect()
+    ]
+    expect = []
+    for i in ids:
+        s = sorted(
+            t
+            for t in _lww(
+                t for t in rows
+                if t[0] == i and from_ms <= t[1] <= to_ms
+            ).values()
+        )
+        for g in range(from_ms, to_ms + 1, step):
+            prevs = [t for t in s if t[1] <= g]
+            nexts = [t for t in s if t[1] >= g]
+            prev = prevs[-1] if prevs else None
+            nxt = nexts[0] if nexts else None
+            if prev is None or nxt is None:
+                v = None
+            elif nxt[1] == prev[1]:
+                v = prev[2]
+            else:
+                v = _r6(
+                    prev[2]
+                    + ((nxt[2] - prev[2]) * (g - prev[1])) / (nxt[1] - prev[1])
+                )
+            expect.append(
+                (i, g, prev[1] if prev else None, nxt[1] if nxt else None, v)
+            )
+    assert got == expect
+
+
+# --- connected components: both execution paths vs brute force ------------
+
+pair_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda p: p[0] < p[1]
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(pairs=pair_lists)
+@_SETTINGS
+def test_cc_both_paths_match_brute_force(spark, pairs):
+    import dariadb_spark.ext.dedup as dd
+
+    if not pairs:
+        return
+    pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    uf = sorted(map(tuple, dd._cc_union_find(spark, pdf).collect()))
+    lp = sorted(map(tuple, dd._cc_label_propagation(spark, pdf).collect()))
+    # brute force: repeated relaxation to the transitive fixed point
+    label = {n: n for p in pairs for n in p}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    expect = sorted(label.items())
+    assert uf == expect
+    assert lp == expect
