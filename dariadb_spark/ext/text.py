@@ -234,7 +234,9 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     tf = words.groupBy("doc_id", "word", "doc_len").agg(
         F.count("*").alias("cnt")
     )
-    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are already unique per (doc_id, word): a plain count gives
+    # the document frequency without countDistinct's two-phase expand
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "word")
         .crossJoin(F.broadcast(n))
@@ -345,7 +347,9 @@ def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("word"),
     ).where(F.col("word").isin(*BM25_QUERY))
     tf = words.groupBy("doc_id", "word", "dl").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are already unique per (doc_id, word): a plain count gives
+    # the document frequency without countDistinct's two-phase expand
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     contrib = (
         tf.join(F.broadcast(df_), "word")
         .crossJoin(F.broadcast(scalars))

@@ -60,3 +60,43 @@ def test_pivot_schema_is_fixed(spark, sf_dir):
     assert df.columns == [
         "id", "n_click", "n_view", "n_signup", "n_purchase", "n_error",
     ]
+
+
+def test_bucketed_store_elides_shuffles(spark, tmp_path):
+    """Bucketed-by-id layout (plans/bucketing.py) must remove the
+    exchange from every per-series plan shape: groupBy("id") aggregation
+    and Window.partitionBy("id") both run with ZERO Exchange nodes —
+    the co-location SCALE.md §1/§2 designs for at 100 TB."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.plans.bucketing import write_bucketed
+
+    meas = spark.range(0, 5_000).select(
+        (F.col("id") % 40).alias("id"),
+        (F.col("id") * 1_000).alias("time"),
+        (F.col("id") % 97 / 4.0).alias("value"),
+        F.lit(1).alias("flag"),
+    )
+    t = write_bucketed(
+        meas, "meas_bucketed_test", 4, path=str(tmp_path / "bucketed")
+    )
+    try:
+        agg = t.groupBy("id").agg(F.sum("value").alias("s"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert agg_plan.count("Exchange") == 0, agg_plan
+
+        w = Window.partitionBy("id").orderBy("time")
+        win = t.select("id", "time", F.lag("value").over(w).alias("prev"))
+        win_plan = win._jdf.queryExecution().executedPlan().toString()
+        assert win_plan.count("Exchange") == 0, win_plan
+
+        # and the results are still correct
+        got = {r.id: r.s for r in agg.collect()}
+        exp = {
+            r.id: r.s
+            for r in meas.groupBy("id").agg(F.sum("value").alias("s")).collect()
+        }
+        assert got == exp
+    finally:
+        spark.sql("DROP TABLE IF EXISTS meas_bucketed_test")
