@@ -525,6 +525,156 @@ FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS}
 GROUP BY id, bucket_ms ORDER BY id, bucket_ms"""
 
 
+# --- hopping (sliding) window downsample ----------------------------------
+
+HOP_WIDTH_MS = HOUR_MS
+HOP_SLIDE_MS = 1_800_000  # 30-min slide → every event lands in 2 windows
+
+
+def hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 1 h windows sliding every 30 min via the built-in
+    ``window(ts, width, slide)`` — the smoothing variant of W1 tumbling
+    buckets (each event contributes to width/slide windows; Spark's
+    Expand replicates rows once per covering window before the single
+    (id, window) shuffle). Oracle: a hopping window IS the union of
+    width/slide shifted tumbling grids — two shifted bucketings."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    return (
+        meas.groupBy(
+            "id",
+            F.window(
+                F.timestamp_millis(F.col("time")),
+                f"{HOP_WIDTH_MS} milliseconds",
+                f"{HOP_SLIDE_MS} milliseconds",
+            ).alias("w"),
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            (F.round(F.sum("value"), 6) / F.count("value")).alias("avg_value"),
+        )
+        .select(
+            "id",
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "cnt",
+            "avg_value",
+        )
+        .orderBy("id", "win_start_ms")
+    )
+
+
+HOPPING_WINDOW_SQL = f"""WITH {MEAS_CTE_SQL},
+shifted AS (
+  SELECT id, time, value,
+         ((time - off) - (time - off) % {HOP_WIDTH_MS}) + off AS win_start_ms
+  FROM measurements
+  CROSS JOIN (VALUES (0), ({HOP_SLIDE_MS})) offs(off)
+  WHERE {_interval_sql()})
+SELECT id, win_start_ms, count(value) AS cnt,
+       round(sum(value), 6) / count(value) AS avg_value
+FROM shifted GROUP BY id, win_start_ms ORDER BY id, win_start_ms"""
+
+
+# --- unpivot / melt -------------------------------------------------------
+
+def unpivot_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape with the built-in ``unpivot`` (melt) — the
+    inverse of ext_pivot_flags, run on its output so the pair
+    round-trips. Unpivot is a zero-shuffle Expand projection."""
+    from dariadb_spark.ext.analytics import pivot_flags
+
+    wide = pivot_flags(spark, sf)
+    return (
+        wide.unpivot(
+            "id",
+            ["n_click", "n_view", "n_signup", "n_purchase", "n_error"],
+            "event_kind",
+            "cnt",
+        )
+        .where(F.col("cnt") > 0)
+        .orderBy("id", "event_kind")
+    )
+
+
+_UNPIVOT_ARMS = " UNION ALL ".join(
+    f"SELECT id, '{n}' AS event_kind, count(*) FILTER (WHERE flag = {f}) AS cnt "
+    f"FROM m GROUP BY id"
+    for f, n in [(1, "n_click"), (2, "n_view"), (4, "n_signup"),
+                 (8, "n_purchase"), (16, "n_error")]
+)
+UNPIVOT_FLAGS_SQL = f"""WITH {MEAS_CTE_SQL},
+m AS (SELECT id, flag FROM measurements
+      WHERE time BETWEEN {FROM_MS} AND {TO_MS}),
+long AS ({_UNPIVOT_ARMS})
+SELECT id, event_kind, cnt FROM long WHERE cnt > 0
+ORDER BY id, event_kind"""
+
+
+# --- windowed EWMA (exact, generated lag chain) ---------------------------
+
+EWMA_ALPHA = 0.9  # per-step decay
+EWMA_K = 20  # window length
+
+#: decay weights folded in Python once and injected as identical literals
+#: into BOTH engines — repr() round-trips doubles exactly
+_EWMA_W = [EWMA_ALPHA ** k for k in range(EWMA_K)]
+
+
+def ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially weighted moving average over the trailing 20
+    samples. The recursive EWMA is not window-expressible; the windowed
+    form is — as an explicit Σ wₖ·lag(value, k) chain generated
+    programmatically for both engines (fixed left-to-right addition
+    order → bit-identical doubles; weights are shared Python-folded
+    literals). One shuffle on id; 20 lags evaluate in one sorted pass."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    s = _interval_dedup(meas)
+    w = Window.partitionBy("id").orderBy("time")
+    num = None
+    den = None
+    for k, wk in enumerate(_EWMA_W):
+        lagged = F.lag("value", k).over(w) if k else F.col("value")
+        term = F.when(lagged.isNotNull(), F.lit(wk) * lagged).otherwise(0.0)
+        wterm = F.when(lagged.isNotNull(), F.lit(wk)).otherwise(0.0)
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return (
+        s.select("id", "time", "value", F.round(num / den, 6).alias("ewma"))
+        .orderBy("id", "time")
+    )
+
+
+def _interval_dedup(meas: DataFrame) -> DataFrame:
+    from dariadb_spark.operators.resample import dedup_lww
+
+    return dedup_lww(meas)
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    nums, dens = [], []
+    for k, wk in enumerate(_EWMA_W):
+        lag = f"lag(value, {k}) OVER w" if k else "value"
+        nums.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {wk!r} * {lag} ELSE 0.0 END"
+        )
+        dens.append(f"CASE WHEN {lag} IS NOT NULL THEN {wk!r} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+EWMA_SQL = f"""WITH {MEAS_CTE_SQL},
+s AS (SELECT id, time, value FROM (
+        SELECT id, time, value, flag, {_DEDUP_RN} AS rn
+        FROM measurements WHERE {_interval_sql()}) WHERE rn = 1)
+SELECT id, time, value,
+       round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+FROM s
+WINDOW w AS (PARTITION BY id ORDER BY time)
+ORDER BY id, time"""
+
+
+register("ext_hopping_window", hopping_window, HOPPING_WINDOW_SQL)
+register("ext_unpivot_flags", unpivot_flags, UNPIVOT_FLAGS_SQL)
+register("ext_ewma", ewma, EWMA_SQL)
 register("ext_time_weighted_avg", time_weighted_avg, TIME_WEIGHTED_AVG_SQL)
 register("ext_rollup_cascade", rollup_cascade, ROLLUP_CASCADE_SQL)
 register("ext_anomaly_zscore", anomaly_zscore, ANOMALY_ZSCORE_SQL)
