@@ -381,10 +381,16 @@ def series_correlation(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.col("xa") * F.col("xa")), 6).alias("sxx"),
         F.round(F.sum(F.col("xb") * F.col("xb")), 6).alias("syy"),
     )
-    denom = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # clamp each variance factor at 0: a constant-over-buckets series has
+    # true variance 0 but rounding noise can land at −1e-9, where DuckDB's
+    # sqrt raises and Spark silently NaNs (found by the sf0.1 parity sweep)
+    vx = F.greatest(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
+    vy = F.greatest(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0)
+    )
+    denom = F.sqrt(vx * vy)
     return (
         mom.select(
             "id_a",
@@ -420,9 +426,11 @@ mom AS (
     ON a.bucket_ms = b.bucket_ms AND a.id < b.id
   GROUP BY a.id, b.id)
 SELECT id_a, id_b, CAST(n AS BIGINT) AS n_buckets,
-       CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+       CASE WHEN sqrt(greatest(n * sxx - sx * sx, 0.0)
+                      * greatest(n * syy - sy * sy, 0.0)) > 0
             THEN round((n * sxy - sx * sy)
-                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+                       / sqrt(greatest(n * sxx - sx * sx, 0.0)
+                              * greatest(n * syy - sy * sy, 0.0)), 4)
        END AS corr
 FROM mom ORDER BY id_a, id_b"""
 
