@@ -66,13 +66,34 @@ FROM documents GROUP BY sha256(text) ORDER BY text_sha"""
 
 # --- exact n-gram Jaccard all-pairs --------------------------------------
 
+#: corpora at or below this document count use the plain inverted-index
+#: plan — fewer stages wins when candidate volume is tiny (measured
+#: 3.4 s vs 4.8 s at sf0.1's 5k docs). Above it, prefix filtering takes
+#: over: its candidate reduction is what survives the 100 TB posting-list
+#: blowup. Both paths are exact and value-identical (cross-checked in
+#: tests).
+NGRAM_PREFIX_DOC_THRESHOLD = 100_000
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    sh = _shingled(load_table(spark, sf, "documents"))
+    """Exact all-pairs Jaccard ≥ t. Adaptive like a broadcast join: the
+    plan is chosen from the corpus row count (a metadata-only parquet
+    job) — plain inverted index for small corpora, PREFIX FILTERING at
+    scale (see the two helpers)."""
+    docs = load_table(spark, sf, "documents")
+    if docs.count() <= NGRAM_PREFIX_DOC_THRESHOLD:
+        return _ngram_jaccard_inverted(docs)
+    return _ngram_jaccard_prefix(docs)
+
+
+def _ngram_jaccard_inverted(docs: DataFrame) -> DataFrame:
+    """Full inverted-index self-join: pairs generate only for documents
+    sharing a shingle; per-pair intersection counts via groupBy. Join
+    and count on 64-bit shingle hashes, not strings: 8-byte shuffle
+    keys; collisions (~|vocab|²/2⁶⁴) are billions of times below the
+    oracle's tolerance."""
+    sh = _shingled(docs)
     sizes = sh.select("doc_id", F.size("shingles").alias("nsh"))
-    # Join/count on 64-bit shingle hashes, not strings: the self-join
-    # shuffles 8-byte keys instead of ~30-byte text, and the equality
-    # probe is an integer compare. Collisions (~|shingles|²/2⁶⁴) are
-    # billions of times rarer than the oracle's tolerance.
     ex = sh.select("doc_id", F.explode("shingles").alias("s")).selectExpr(
         "doc_id", "xxhash64(s) AS sh"
     )
@@ -89,6 +110,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _ngram_jaccard_prefix(docs: DataFrame) -> DataFrame:
+    """PREFIX FILTERING (the PPJoin/all-pairs-similarity family, Bayardo
+    et al. WWW'07): shingle hashes are sorted into a global canonical
+    order and only each document's first ``n − ⌈t·n⌉ + 1`` hashes are
+    posted to the inverted index — any pair with J ≥ t MUST collide
+    inside both prefixes (if the first common element in canonical order
+    sat outside A's prefix, the whole intersection would fit in A's
+    suffix of ⌈t·n⌉−1 elements, below the ⌈t·n⌉ overlap J ≥ t forces).
+    Candidates then verify exactly with array_intersect on the full hash
+    arrays. At t=0.5 the index explode halves and — the point at scale —
+    the quadratic per-posting pair blowup moves from every shingle to
+    only prefix shingles.
+    """
+    sh = _shingled(docs)
+    hs = sh.selectExpr(
+        "doc_id",
+        "array_sort(transform(shingles, s -> xxhash64(s))) AS hs",
+    ).selectExpr(
+        "doc_id",
+        "hs",
+        "size(hs) AS n",
+        f"slice(hs, 1, size(hs) "
+        f"- CAST(ceil({JACCARD_THRESHOLD} * size(hs)) AS INT) + 1) AS prefix",
+    ).cache()  # read 3× (index + both verify sides): without the cache
+    # each projection re-runs the shingling scan — exchange reuse only
+    # covers identical subtrees, and these differ
+    posts = hs.select("doc_id", F.explode("prefix").alias("h"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    va = hs.selectExpr("doc_id AS doc_a", "hs AS hs_a", "n AS na")
+    vb = hs.selectExpr("doc_id AS doc_b", "hs AS hs_b", "n AS nb")
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -31,3 +31,18 @@ def test_rows_only_queries_run(spark, oracle_sf_dir):
     for name, spec in REGISTRY.items():
         if spec.oracle is None:
             assert spec.fn(spark, oracle_sf_dir).count() >= 0, name
+
+
+def test_ngram_jaccard_paths_identical(spark, oracle_sf_dir):
+    """The adaptive dispatch (inverted index vs prefix filtering) must be
+    invisible in results: both plans produce the identical pair set."""
+    from dariadb_spark.ext.dedup import (
+        _ngram_jaccard_inverted,
+        _ngram_jaccard_prefix,
+    )
+    from dariadb_spark.model import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    inv = sorted(map(tuple, _ngram_jaccard_inverted(docs).collect()))
+    pre = sorted(map(tuple, _ngram_jaccard_prefix(docs).collect()))
+    assert inv == pre and len(inv) > 0
