@@ -181,3 +181,59 @@ def streaming_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    data_dir: str,
+    left_flag: int,
+    right_flag: int,
+    lookback_ms: int,
+    watermark: str = "1 day",
+    query_name: str = "interval_join_live",
+) -> StreamingQuery:
+    """Stream-stream interval join: each left-flag event joins the
+    same-series right-flag events from its trailing ``lookback_ms``
+    window — the streaming twin of the batch bucketed range join
+    (ext/timeseries.py range_context). Spark requires BOTH sides
+    watermarked plus a time-range join condition so it can bound the
+    join state; state per side ≈ watermark-window of rows, independent
+    of stream length. Append-mode output (rows emit once both
+    watermarks pass the join window)."""
+    def side(flag: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(_MEAS_DDL)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(data_dir)
+            .where(flag_predicate(flag))
+            .select(
+                F.col("id").alias(f"{prefix}_id"),
+                F.col("time").alias(f"{prefix}_time"),
+                F.col("value").alias(f"{prefix}_value"),
+                F.timestamp_millis(F.col("time")).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    left = side(left_flag, "l")
+    right = side(right_flag, "r")
+    joined = left.join(
+        right,
+        (F.col("l_id") == F.col("r_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback_ms} MILLISECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).select(
+        F.col("l_id").alias("id"),
+        F.col("l_time").alias("time"),
+        F.col("l_value").alias("value"),
+        F.col("r_time").alias("ctx_time"),
+        F.col("r_value").alias("ctx_value"),
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -384,3 +384,55 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert live == batch
     assert len(live) == 6  # 2 sessions per id
     assert sorted(r[3] for r in live) == [1, 1, 1, 3, 3, 3]
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (errors ⋈ trailing
+    purchases) must emit exactly the pairs the equivalent batch range
+    join produces over the same store."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.streaming.subscribe import streaming_interval_join
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    minute = 60_000
+    rows = []
+    for i in range(3):
+        base = T0 + i * 3_600_000
+        rows += [
+            (i, base, 10.0, 8),               # purchase
+            (i, base + 5 * minute, 11.0, 8),  # purchase
+            (i, base + 10 * minute, 1.0, 16),  # error ← joins both
+            (i, base + 40 * minute, 2.0, 16),  # error ← joins none (>15 min)
+        ]
+    eng.append(rows)
+    q = streaming_interval_join(
+        spark, str(eng.store.data_dir), 16, 8, 15 * minute,
+        query_name="ssj_test",
+    )
+    q.awaitTermination(120)
+    live = sorted(map(tuple, spark.table("ssj_test").collect()))
+    meas = eng.meas()
+    errs = meas.where(F.col("flag").bitwiseAND(16) == 16).select(
+        F.col("id"), F.col("time"), F.col("value")
+    )
+    purch = meas.where(F.col("flag").bitwiseAND(8) == 8).select(
+        F.col("id").alias("p_id"),
+        F.col("time").alias("ctx_time"),
+        F.col("value").alias("ctx_value"),
+    )
+    batch = sorted(
+        map(
+            tuple,
+            errs.join(
+                purch,
+                (F.col("id") == F.col("p_id"))
+                & (F.col("ctx_time") >= F.col("time") - 15 * minute)
+                & (F.col("ctx_time") <= F.col("time")),
+            )
+            .select("id", "time", "value", "ctx_time", "ctx_value")
+            .collect(),
+        )
+    )
+    assert live == batch
+    assert len(live) == 6  # 2 purchases × first error × 3 ids
