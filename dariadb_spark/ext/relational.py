@@ -396,6 +396,70 @@ GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
 ORDER BY g_yr, g_prio, yr, prio"""
 
 
+# --- salted skew-proof join (plans/skew.py) -------------------------------
+
+def salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """orders ⋈ customer through plans/skew.py's salted_join — a hot
+    custkey spreads over 16 tasks instead of one straggler. Shares the
+    UNSALTED oracle: hash-match proves salting is value-invisible."""
+    from dariadb_spark.plans.skew import salted_join
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(orders, cust, "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c_nationkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+
+# --- dataset profiling ----------------------------------------------------
+
+def profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass dataset profile (the pre-flight check a pipeline runs
+    before training): row count, per-column null counts, distinct
+    cardinalities, length stats. Single scan, map-side partials, one
+    1-row result — scan-bound at any scale (swap countDistinct for
+    approx_count_distinct at 100 TB; exact kept for the oracle)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.countDistinct("doc_id").alias("distinct_ids"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.round(F.sum("n_chars"), 6) / F.count("*")).alias("avg_chars"),
+    )
+
+
+PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+       count(DISTINCT doc_id) AS distinct_ids,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(sum(n_chars), 6) / count(*) AS avg_chars
+FROM documents"""
+
+
+register("ext_join_salted", salted_join_revenue, SALTED_JOIN_SQL)
+register("ext_profile_documents", profile_documents, PROFILE_SQL)
 register("ext_grouping_sets", grouping_sets_orders, GROUPING_SETS_SQL)
 register("ext_rollup_orders", rollup_orders, ROLLUP_ORDERS_SQL)
 register("ext_cube_lineitem", cube_lineitem, CUBE_LINEITEM_SQL)

@@ -27,6 +27,33 @@ def _salt(n: int) -> Column:
     return F.pmod(F.xxhash64("time", "value", "flag"), F.lit(n)).alias("_salt")
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Skew-proof equi-join: the big side salts each row into one of
+    ``n_salts`` sub-keys (deterministic hash of the whole row, no RNG),
+    the small side replicates once per salt value, and the join runs on
+    (key, salt) — a hot key's rows spread over n_salts tasks instead of
+    one straggler. Same row multiset as the plain join (each big row
+    meets each matching small row in exactly its own salt slice).
+
+    This is the manual fallback for joins AQE skew-splitting can't
+    reach (e.g. a skewed BROADCAST probe side, or pre-3.2 sort-merge);
+    the registered query proves value-identity by sharing the unsalted
+    oracle."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("bigint").alias("_salt")
+    )
+    replicated_small = small.crossJoin(F.broadcast(salts))
+    return salted_big.join(replicated_small, [key, "_salt"]).drop("_salt")
+
+
 def salted_downsample(
     meas: DataFrame, interval: str, n_salts: int = DEFAULT_SALTS
 ) -> DataFrame:
