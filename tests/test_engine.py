@@ -436,3 +436,44 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     )
     assert live == batch
     assert len(live) == 6  # 2 purchases × first error × 3 ids
+
+
+def test_streaming_rollup_incremental_merge_and_compact(spark, tmp_path):
+    """The WAL-analog rollup layer: two separate ingest rounds append
+    partials via checkpointed availableNow runs; merge-on-read equals the
+    batch downsample after each round; compaction shrinks the partials
+    layer without changing a single value."""
+    import glob
+
+    from dariadb_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        streaming_rollup,
+    )
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    grid = _grid()
+
+    def run_round():
+        q = streaming_rollup(spark, str(eng.store.data_dir), rollup_dir, ckpt, "day")
+        q.awaitTermination(120)
+
+    eng.append(grid[:40])
+    run_round()
+    live1 = sorted(map(tuple, read_rollup(spark, rollup_dir).collect()))
+    batch1 = sorted(map(tuple, eng.downsample("day").collect()))
+    assert live1 == batch1
+
+    eng.append(grid[40:])
+    run_round()  # checkpoint: only the NEW files process this round
+    live2 = sorted(map(tuple, read_rollup(spark, rollup_dir).collect()))
+    batch2 = sorted(map(tuple, eng.downsample("day").collect()))
+    assert live2 == batch2
+
+    n_files_before = len(glob.glob(f"{rollup_dir}/*.parquet"))
+    compact_rollup(spark, rollup_dir)
+    n_files_after = len(glob.glob(f"{rollup_dir}/*.parquet"))
+    assert n_files_after < n_files_before
+    assert sorted(map(tuple, read_rollup(spark, rollup_dir).collect())) == batch2
