@@ -50,15 +50,20 @@ class ParquetTsStore:
     # -- S1: append (Engine::append) ------------------------------------
     def append(self, meas: DataFrame) -> int:
         """Append a measurements DataFrame (id,time,value,flag). Returns
-        the appended row count (the reference's Status.writed)."""
-        n = meas.count()
+        the appended row count (the reference's Status.writed), observed
+        DURING the write action — a separate ``count()`` would re-run the
+        whole input pipeline a second time."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
             _with_day(meas.select(*MEAS_FIELDS))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .write.partitionBy("p_date")
             .mode("append")
             .parquet(str(self.data_dir))
         )
-        return n
+        return obs.get["n"]
 
     # -- scan -------------------------------------------------------------
     def read(self) -> DataFrame:
