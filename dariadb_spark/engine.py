@@ -176,6 +176,35 @@ class TsEngine:
 
         return _ip(self.meas(), ids, from_ms, to_ms, step_ms, flag)
 
+    def anomaly_zscore(
+        self, ids: list[int] | None, from_ms: int, to_ms: int,
+        window: int = 20, min_n: int = 10, threshold: float = 3.0,
+        flag: int = 0,
+    ) -> DataFrame:
+        """Trailing-window z-score outliers (ext/timeseries.py)."""
+        from dariadb_spark.ext.timeseries import anomaly_zscore_op
+
+        return anomaly_zscore_op(
+            self.meas(), ids, from_ms, to_ms, window, min_n, threshold, flag
+        )
+
+    def time_weighted_avg(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        """LOCF-weighted mean per series (ext/timeseries.py)."""
+        from dariadb_spark.ext.timeseries import time_weighted_avg_op
+
+        return time_weighted_avg_op(self.meas(), ids, from_ms, to_ms, flag)
+
+    def ewma(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        """Windowed exponentially-weighted moving average
+        (ext/timeseries.py; α=0.9 over the trailing 20 samples)."""
+        from dariadb_spark.ext.timeseries import ewma_op
+
+        return ewma_op(self.meas(), ids, from_ms, to_ms, flag)
+
     def downsample_to_series(
         self, fn_name: str, interval: str, append: bool = False
     ) -> DataFrame:

@@ -292,16 +292,26 @@ ZSCORE_MIN_N = 10
 ZSCORE_THRESHOLD = 3.0
 
 
-def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
-    """Flag samples whose value deviates > 3σ from the trailing-20-sample
-    mean of their own series (the classic online anomaly score, as a
-    batch plan). One shuffle on id, one sorted window pass. Mean and
-    variance come from round(sum,6)-ed moments — the float-parity recipe
-    (see downsample.py) — so the oracle's arithmetic is bit-identical:
-    var = E[x²] − E[x]², clamped at 0 for the all-equal-window case."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+def anomaly_zscore_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    window: int = ZSCORE_WINDOW,
+    min_n: int = ZSCORE_MIN_N,
+    threshold: float = ZSCORE_THRESHOLD,
+    flag: int = 0,
+) -> DataFrame:
+    """Flag samples whose value deviates > threshold·σ from the trailing
+    window mean of their own series (the classic online anomaly score,
+    as a batch plan; also a TsEngine verb). One shuffle on id, one
+    sorted window pass. Mean and variance come from round(sum,6)-ed
+    moments — the float-parity recipe (see downsample.py) — so the
+    oracle's arithmetic is bit-identical: var = E[x²] − E[x]², clamped
+    at 0 for the all-equal-window case."""
+    meas = read_interval(meas, ids, from_ms, to_ms, flag)
     w = Window.partitionBy("id").orderBy("time", "value", "flag").rowsBetween(
-        -ZSCORE_WINDOW, -1
+        -window, -1
     )
     n = F.count("value").over(w)
     mean = F.round(F.sum("value").over(w), 6) / n
@@ -317,11 +327,14 @@ def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         scored.where(
-            (F.col("n_trail") >= ZSCORE_MIN_N)
-            & (F.abs(F.col("z")) > ZSCORE_THRESHOLD)
+            (F.col("n_trail") >= min_n) & (F.abs(F.col("z")) > threshold)
         )
         .orderBy("id", "time", "value", "flag")
     )
+
+
+def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    return anomaly_zscore_op(measurements(spark, sf), IDS, FROM_MS, TO_MS)
 
 
 ANOMALY_ZSCORE_SQL = f"""WITH {MEAS_CTE_SQL},
@@ -437,15 +450,22 @@ FROM mom ORDER BY id_a, id_b"""
 
 # --- time-weighted average ------------------------------------------------
 
-def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+def time_weighted_avg_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
     """Per-series time-weighted mean over the interval: each sample's
     value is weighted by how long it remained current (LOCF weighting,
     the standard irregular-sampling mean) — ``Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N−t₀)``.
-    One shuffle on id: a lead() pass for the hold duration, then one
-    aggregate. Equal-timestamp duplicates need no pre-dedup: within a
-    (time, value, flag) tie group every member but the last holds for
-    0 ms — the total order makes that deterministic in both engines."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    Also a TsEngine verb. One shuffle on id: a lead() pass for the hold
+    duration, then one aggregate. Equal-timestamp duplicates need no
+    pre-dedup: within a (time, value, flag) tie group every member but
+    the last holds for 0 ms — the total order makes that deterministic
+    in both engines."""
+    meas = read_interval(meas, ids, from_ms, to_ms, flag)
     w = Window.partitionBy("id").orderBy("time", "value", "flag")
     seg = meas.select(
         "id",
@@ -469,6 +489,10 @@ def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    return time_weighted_avg_op(measurements(spark, sf), IDS, FROM_MS, TO_MS)
 
 
 TIME_WEIGHTED_AVG_SQL = f"""WITH {MEAS_CTE_SQL},
@@ -634,7 +658,18 @@ def ewma(spark: SparkSession, sf: str) -> DataFrame:
     programmatically for both engines (fixed left-to-right addition
     order → bit-identical doubles; weights are shared Python-folded
     literals). One shuffle on id; 20 lags evaluate in one sorted pass."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    return ewma_op(measurements(spark, sf), IDS, FROM_MS, TO_MS)
+
+
+def ewma_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Parameterized EWMA core (also a TsEngine verb) — see :func:`ewma`."""
+    meas = read_interval(meas, ids, from_ms, to_ms, flag)
     s = _interval_dedup(meas)
     w = Window.partitionBy("id").orderBy("time")
     num = None

@@ -477,3 +477,46 @@ def test_streaming_rollup_incremental_merge_and_compact(spark, tmp_path):
     n_files_after = len(glob.glob(f"{rollup_dir}/*.parquet"))
     assert n_files_after < n_files_before
     assert sorted(map(tuple, read_rollup(spark, rollup_dir).collect())) == batch2
+
+
+def test_analytic_verbs_hand_computed(spark):
+    """anomaly_zscore / time_weighted_avg / ewma as TsEngine verbs,
+    against hand-computed values on purpose-built series."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # anomaly: 20 alternating 10/12 samples (mean 11, var exactly 1),
+    # then a 100.0 spike → z = (100-11)/1 = 89; the alternation itself
+    # never crosses |z| > 3
+    rows = [(5, T0 + k * 1000, 10.0 if k % 2 == 0 else 12.0, 1) for k in range(20)]
+    rows.append((5, T0 + 20_000, 100.0, 1))
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(rows, "id bigint, time bigint, value double, flag bigint"),
+    )
+    anom = eng.anomaly_zscore([5], T0, T0 + 30_000).collect()
+    assert [(r.time, r.z) for r in anom] == [(T0 + 20_000, 89.0)]
+
+    # twa: holds of 1 s @10 and 2 s @20 over a 3 s span → (10·1+20·2)/3
+    rows = [(7, T0, 10.0, 1), (7, T0 + 1000, 20.0, 1), (7, T0 + 3000, 30.0, 1)]
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(rows, "id bigint, time bigint, value double, flag bigint"),
+    )
+    twa = eng.time_weighted_avg([7], T0, T0 + 3000).collect()
+    assert len(twa) == 1 and abs(twa[0].twa - 50_000 / 3000) < 1e-9
+
+    # ewma over values 1,2,3: (3 + 0.9·2 + 0.81·1) / (1 + 0.9 + 0.81)
+    rows = [(9, T0 + k * 1000, float(k + 1), 1) for k in range(3)]
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(rows, "id bigint, time bigint, value double, flag bigint"),
+    )
+    got = [r.ewma for r in eng.ewma([9], T0, T0 + 3000).collect()]
+    expect = []
+    for j in range(3):
+        num = sum(0.9 ** k * (j + 1 - k) for k in range(j + 1))
+        den = sum(0.9 ** k for k in range(j + 1))
+        expect.append(
+            float(Decimal(repr(num / den)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+        )
+    assert got == expect
