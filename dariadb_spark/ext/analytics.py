@@ -329,6 +329,69 @@ SELECT id, session_no, min(time) AS session_start, max(time) AS session_end,
 FROM s GROUP BY id, session_no ORDER BY id, session_no"""
 
 
+# --- W3: value CDF (percent_rank / cume_dist) -----------------------------
+
+def value_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical CDF position of every sample within its own series —
+    percent_rank (ties share rank) and cume_dist, both rank-only window
+    functions: one shuffle on id, exact rational values ((rank−1)/(n−1),
+    identical integer division in both engines, no rounding needed)."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    w = Window.partitionBy("id").orderBy("value")
+    return meas.select(
+        "id",
+        "time",
+        "value",
+        "flag",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("id", "time", "value", "flag")
+
+
+VALUE_CDF_SQL = f"""WITH {MEAS_CTE_SQL}
+SELECT id, time, value, flag,
+       percent_rank() OVER (PARTITION BY id ORDER BY value) AS pct_rank,
+       cume_dist() OVER (PARTITION BY id ORDER BY value) AS cume
+FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+ORDER BY id, time, value, flag"""
+
+
+# --- A13: per-series mode (most frequent value) ---------------------------
+
+def series_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Most frequent value per series (count desc, value asc tiebreak) —
+    two aggregations, both with map-side partials; the candidate set
+    after the first groupBy is |distinct values| per id, tiny."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    counts = meas.groupBy("id", "value").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", F.col("value").alias("mode_value"), F.col("cnt").alias("mode_cnt"))
+        .orderBy("id")
+    )
+
+
+SERIES_MODE_SQL = f"""WITH {MEAS_CTE_SQL},
+counts AS (
+  SELECT id, value, count(*) AS cnt FROM measurements
+  WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+  GROUP BY id, value),
+ranked AS (
+  SELECT id, value, cnt,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cnt DESC, value ASC) AS rk
+  FROM counts)
+SELECT id, value AS mode_value, cnt AS mode_cnt
+FROM ranked WHERE rk = 1 ORDER BY id"""
+
+
+register("ext_value_cdf", value_cdf, VALUE_CDF_SQL)
+register("ext_series_mode", series_mode, SERIES_MODE_SQL)
+
+
 # --- pivot: wide per-series flag matrix -----------------------------------
 
 _FLAG_COLS = [
