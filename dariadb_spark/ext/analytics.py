@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dariadb_spark.model import MEAS_CTE_SQL, load_table, measurements
+from dariadb_spark.operators.downsample import floor_bucket, floor_bucket_sql
 from dariadb_spark.operators.interval import read_interval
 from dariadb_spark.registry import (
     FROM_MS,
@@ -111,14 +112,14 @@ def _active_days(spark: SparkSession, sf: str, flag: int) -> DataFrame:
     meas = measurements(spark, sf)
     return (
         read_interval(meas, None, FROM_MS, TO_MS, flag)
-        .select("id", (F.col("time") - F.col("time") % _DAY).alias("day_ms"))
+        .select("id", floor_bucket(F.col("time"), _DAY).alias("day_ms"))
         .distinct()
     )
 
 
 def _day_set_sql(flag: int) -> str:
     return (
-        f"SELECT DISTINCT id, (time - time % {_DAY}) AS day_ms "
+        f"SELECT DISTINCT id, {floor_bucket_sql('time', _DAY)} AS day_ms "
         f"FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS} "
         f"AND ((flag & {flag}) = {flag})"
     )
@@ -163,7 +164,7 @@ def distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.countDistinct("id").alias("n_series"),
             F.count("*").alias("n_points"),
-            F.countDistinct((F.col("time") - F.col("time") % _DAY)).alias(
+            F.countDistinct(floor_bucket(F.col("time"), _DAY)).alias(
                 "n_days"
             ),
         )
@@ -173,7 +174,7 @@ def distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 DISTINCT_AGG_SQL = f"""WITH {MEAS_CTE_SQL}
 SELECT flag, count(DISTINCT id) AS n_series, count(*) AS n_points,
-       count(DISTINCT (time - time % {_DAY})) AS n_days
+       count(DISTINCT {floor_bucket_sql("time", _DAY)}) AS n_days
 FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS}
 GROUP BY flag ORDER BY flag"""
 
@@ -321,8 +322,8 @@ s AS (
   -- ties on time alone the tie-group member carrying is_new=1 could
   -- land anywhere in the group and split it across sessions
   SELECT id, time,
-         sum(is_new) OVER (PARTITION BY id ORDER BY time, value, flag
-                           ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(is_new) OVER (PARTITION BY id ORDER BY time, value, flag
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM pts)
 SELECT id, session_no, min(time) AS session_start, max(time) AS session_end,
        max(time) - min(time) AS duration_ms, count(*) AS n_events

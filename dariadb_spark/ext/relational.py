@@ -449,7 +449,7 @@ def profile_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 PROFILE_SQL = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
        count(DISTINCT doc_id) AS distinct_ids,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources,

@@ -78,7 +78,7 @@ WITH assigned AS (
               ELSE 'test' END AS split
   FROM documents)
 SELECT lang, split, count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM assigned GROUP BY lang, split ORDER BY lang, split"""
 
@@ -154,7 +154,8 @@ assigned AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            / {SHARD_TOKENS}) AS BIGINT) AS shard
   FROM d)
-SELECT lang, shard, count(*) AS n_docs, sum(n_tokens) AS shard_tokens,
+SELECT lang, shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM assigned GROUP BY lang, shard ORDER BY lang, shard"""
 

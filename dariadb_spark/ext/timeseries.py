@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dariadb_spark.model import MEAS_CTE_SQL, measurements
+from dariadb_spark.operators.downsample import floor_bucket, floor_bucket_sql
 from dariadb_spark.operators.interval import read_interval
 from dariadb_spark.operators.resample import (
     gap_fill as _gap_fill,
@@ -94,8 +95,10 @@ ids(id) AS (SELECT CAST(v AS BIGINT) FROM (VALUES {_values_sql(IDS)}) t(v)),
 grid AS (SELECT id, CAST(g AS BIGINT) AS bucket_ms
          FROM ids CROSS JOIN generate_series({FROM_MS}, {TO_MS}, {HOUR_MS}) gs(g)),
 obs AS (SELECT id, bucket_ms, value AS obs_value FROM (
-          SELECT id, (time - time % {HOUR_MS}) AS bucket_ms, value,
-                 row_number() OVER (PARTITION BY id, (time - time % {HOUR_MS})
+          -- grid-origin bucketing (mirrors operators/resample.py): the
+          -- filtered times satisfy time >= {FROM_MS}, so plain % floors
+          SELECT id, (time - (time - {FROM_MS}) % {HOUR_MS}) AS bucket_ms, value,
+                 row_number() OVER (PARTITION BY id, (time - (time - {FROM_MS}) % {HOUR_MS})
                                     ORDER BY time DESC, value DESC, flag DESC) AS rn
           FROM measurements WHERE {_interval_sql()}) WHERE rn = 1)
 SELECT g.id AS id, g.bucket_ms AS bucket_ms,
@@ -379,7 +382,7 @@ def series_correlation(spark: SparkSession, sf: str) -> DataFrame:
     meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     hourly = (
         meas.groupBy(
-            "id", (F.col("time") - F.col("time") % HOUR_MS).alias("bucket_ms")
+            "id", floor_bucket(F.col("time"), HOUR_MS).alias("bucket_ms")
         )
         .agg((F.round(F.sum("value"), 6) / F.count("value")).alias("x"))
     )
@@ -424,7 +427,7 @@ def series_correlation(spark: SparkSession, sf: str) -> DataFrame:
 
 SERIES_CORRELATION_SQL = f"""WITH {MEAS_CTE_SQL},
 hourly AS (
-  SELECT id, (time - time % {HOUR_MS}) AS bucket_ms,
+  SELECT id, {floor_bucket_sql("time", HOUR_MS)} AS bucket_ms,
          round(sum(value), 6) / count(value) AS x
   FROM measurements WHERE {_interval_sql()}
   GROUP BY id, bucket_ms),
@@ -522,7 +525,7 @@ def rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     round(sum,6) recipe absorbs the differing accumulation order)."""
     meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
     hourly = meas.groupBy(
-        "id", (F.col("time") - F.col("time") % HOUR_MS).alias("hour_ms")
+        "id", floor_bucket(F.col("time"), HOUR_MS).alias("hour_ms")
     ).agg(
         F.count("value").alias("cnt"),
         F.sum("value").alias("sum_raw"),  # unrounded: rounding is final-step
@@ -533,7 +536,7 @@ def rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     return (
         hourly.groupBy(
             "id",
-            (F.col("hour_ms") - F.col("hour_ms") % day_ms).alias("bucket_ms"),
+            floor_bucket(F.col("hour_ms"), day_ms).alias("bucket_ms"),
         )
         .agg(
             F.sum("cnt").alias("cnt"),
@@ -548,7 +551,7 @@ def rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
 
 _DAY_MS_LOCAL = 24 * HOUR_MS
 ROLLUP_CASCADE_SQL = f"""WITH {MEAS_CTE_SQL}
-SELECT id, (time - time % {_DAY_MS_LOCAL}) AS bucket_ms,
+SELECT id, {floor_bucket_sql("time", _DAY_MS_LOCAL)} AS bucket_ms,
        count(value) AS cnt,
        round(sum(value), 6) / count(value) AS avg_value,
        min(value) AS min_value, max(value) AS max_value,

@@ -23,11 +23,25 @@ MS = {"second": 1_000, "minute": 60_000, "minute30": 1_800_000,
 CALENDAR = {"month": "month", "year": "year"}
 
 
+def floor_bucket(col: Column, width_ms: int) -> Column:
+    """Fixed-width bucket start with FLOOR semantics over the full int64
+    ms domain. ``time - time % w`` truncates toward zero (Spark's ``%``
+    takes the dividend's sign), so a pre-1970 sample would land in the
+    bucket *after* it; ``pmod`` keeps the floor for negative times too.
+    Stays inside whole-stage codegen (pmod is a JVM builtin)."""
+    return col - F.pmod(col, F.lit(width_ms))
+
+
+def floor_bucket_sql(expr: str, width_ms: int) -> str:
+    """DuckDB rendering of :func:`floor_bucket` (no pmod builtin — the
+    double-mod idiom gives the same floored remainder for any sign)."""
+    return f"({expr} - (({expr} % {width_ms}) + {width_ms}) % {width_ms})"
+
+
 def bucket_column(interval: str) -> Column:
     """Bucket start (epoch ms) for a named interval, over col ``time``."""
     if interval in MS:
-        width = MS[interval]
-        return (F.col("time") - F.col("time") % width).alias("bucket_ms")
+        return floor_bucket(F.col("time"), MS[interval]).alias("bucket_ms")
     if interval in CALENDAR:
         unit = CALENDAR[interval]
         return F.unix_millis(
@@ -39,7 +53,7 @@ def bucket_column(interval: str) -> Column:
 def bucket_sql(interval: str) -> str:
     """DuckDB rendering of :func:`bucket_column` (UTC semantics)."""
     if interval in MS:
-        return f"(time - time % {MS[interval]})"
+        return floor_bucket_sql("time", MS[interval])
     if interval in CALENDAR:
         return f"epoch_ms(date_trunc('{CALENDAR[interval]}', make_timestamp(time * 1000)))"
     raise ValueError(f"unknown interval {interval!r}")

@@ -93,9 +93,16 @@ def gap_fill(
     wb = Window.partitionBy("id", "bucket_ms").orderBy(
         F.desc("time"), F.desc("value"), F.desc("flag")
     )
+    # Bucket relative to the GRID ORIGIN, not the epoch: the grid points
+    # are from_ms + k*step, so an unaligned from_ms (from_ms % step != 0)
+    # with epoch-aligned buckets would never join — every bucket would
+    # silently come back unobserved. pmod keeps floor semantics even if a
+    # caller passes samples before from_ms.
     obs = (
         obs_src.withColumn(
-            "bucket_ms", F.col("time") - F.col("time") % step_ms
+            "bucket_ms",
+            F.col("time")
+            - F.pmod(F.col("time") - F.lit(from_ms), F.lit(step_ms)),
         )
         .withColumn("rn", F.row_number().over(wb))
         .where(F.col("rn") == 1)

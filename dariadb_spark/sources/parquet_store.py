@@ -39,7 +39,23 @@ def _with_day(df: DataFrame) -> DataFrame:
 
 
 class ParquetTsStore:
-    """Append/scan/compact/retention over a partitioned parquet directory."""
+    """Append/scan/compact/retention over a partitioned parquet directory.
+
+    Concurrency contract (the manifest-free analog of a Delta/Iceberg
+    transaction log — on a real deployment swap this class for one table
+    and the log subsumes all of this):
+
+    * ``append()`` concurrent with ``read()``/``subscribe`` is safe at
+      FILE granularity: Spark commits parquet files by rename, so a
+      directory listing never observes half a file. A multi-day append
+      is NOT atomic as a whole — a reader listing mid-commit can see
+      some of its days only. ``read_snapshot()`` pins one listing for
+      multi-action queries so the frame can't change between its jobs.
+    * ``compact()`` / ``erase_old()`` rewrite directories in place and
+      require a single-maintainer window: no concurrent append, and
+      concurrent readers may fail mid-swap and must retry (rename-aside
+      order guarantees no data loss on a crash — the aside dir survives).
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -80,6 +96,28 @@ class ParquetTsStore:
 
         return self.spark.read.parquet(str(self.data_dir)).select(
             *MEAS_FIELDS, F.col("p_date").alias(RAW_DAY)
+        )
+
+    def read_snapshot(self) -> DataFrame:
+        """Like :meth:`read`, but pinned to the file listing taken NOW:
+        a query planned from this frame sees exactly these files even if
+        ``append()`` commits more while the query's jobs run (Spark
+        re-lists a directory-scoped scan per action; an explicit file
+        list does not). Use for any multi-action read concurrent with a
+        writer."""
+        files = sorted(
+            str(p) for p in self.data_dir.glob("p_date=*/*.parquet")
+        )
+        if not files:
+            return self.spark.createDataFrame(
+                [], "id bigint, time bigint, value double, flag bigint"
+            )
+        from dariadb_spark.model import RAW_DAY
+
+        return (
+            self.spark.read.option("basePath", str(self.data_dir))
+            .parquet(*files)
+            .select(*MEAS_FIELDS, F.col("p_date").alias(RAW_DAY))
         )
 
     # -- T5: compaction (Dropper / Engine::compress_all) ------------------

@@ -2,16 +2,26 @@
 downsampling (scheme/scheme.cpp derived ``param.average.hour`` series)
 kept up to date ON INGEST, rendered with dariadb's own storage idea:
 
-* each streaming micro-batch appends ALGEBRAIC PARTIAL aggregates
-  (cnt/sum/min/max per (id, bucket)) to an append-only parquet dir —
-  the WAL layer (storage/wal/wal_manager.cpp analog: raw, unmerged,
-  bounded-size appends);
+* each streaming micro-batch writes ALGEBRAIC PARTIAL aggregates
+  (cnt/sum/min/max per (id, bucket)) into its own ``batch_id=<id>``
+  subdirectory of an append-only parquet dir — the WAL layer
+  (storage/wal/wal_manager.cpp analog: raw, unmerged, bounded-size
+  appends);
 * readers MERGE ON READ: partials re-aggregate associatively, so the
   view is always exact regardless of how many partials a bucket has
   (storage/readers.cpp MergeSortReader analog);
 * ``compact_rollup`` folds all partials into one partial per bucket —
   the Dropper's WAL→page conversion (storage/dropper.cpp analog) —
   shrinking read amplification without changing any value.
+
+Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE — after a failure
+Spark replays the last micro-batch with the SAME ``batch_id`` and the
+same input rows. A blind ``mode("append")`` would therefore double-count
+replayed partials; writing each batch to its own ``batch_id=<id>``
+subdir with ``mode("overwrite")`` makes the replay idempotent (the
+rerun replaces its own previous output, end-to-end exactly-once).
+Readers list the tree with ``recursiveFileLookup`` (no partition-column
+inference), so batch subdirs and compacted top-level files coexist.
 
 At 100 TB: per-batch partials are tiny (one row per touched (id,
 bucket)); merge-on-read cost grows with partial count, which compaction
@@ -27,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from dariadb_spark.operators.downsample import MS
+from dariadb_spark.operators.downsample import MS, floor_bucket
 
 _MEAS_DDL = "id bigint, time bigint, value double, flag bigint"
 _PARTIAL_COLS = ("id", "bucket_ms", "_cnt", "_sum", "_min", "_max")
@@ -37,7 +47,7 @@ def _partials(batch: DataFrame, width_ms: int) -> DataFrame:
     return (
         batch.groupBy(
             "id",
-            (F.col("time") - F.col("time") % width_ms).alias("bucket_ms"),
+            floor_bucket(F.col("time"), width_ms).alias("bucket_ms"),
         )
         .agg(
             F.count("value").alias("_cnt"),
@@ -45,6 +55,20 @@ def _partials(batch: DataFrame, width_ms: int) -> DataFrame:
             F.min("value").alias("_min"),
             F.max("value").alias("_max"),
         )
+    )
+
+
+def _read_partials(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """List the whole partial tree (batch subdirs + compacted files)
+    without partition inference — ``batch_id=`` is a write-idempotency
+    address, not a data column."""
+    return (
+        spark.read.schema(
+            "id bigint, bucket_ms bigint, _cnt bigint, _sum double, "
+            "_min double, _max double"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(rollup_dir)
     )
 
 
@@ -56,8 +80,9 @@ def streaming_rollup(
     interval: str = "hour",
 ) -> StreamingQuery:
     """Maintain the append-only partials layer from the ingest stream.
-    Exactly-once per micro-batch via the streaming checkpoint; each
-    batch writes one partial row per touched (id, bucket)."""
+    Idempotent per micro-batch: the batch's partials land in
+    ``batch_id=<id>/`` with overwrite, so an at-least-once replay
+    replaces rather than duplicates (see module docstring)."""
     width_ms = MS[interval]
     stream = (
         spark.readStream.schema(_MEAS_DDL)
@@ -67,7 +92,9 @@ def streaming_rollup(
     )
 
     def write_partials(batch: DataFrame, batch_id: int) -> None:
-        _partials(batch, width_ms).write.mode("append").parquet(rollup_dir)
+        _partials(batch, width_ms).select(*_PARTIAL_COLS).write.mode(
+            "overwrite"
+        ).parquet(f"{rollup_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(write_partials)
@@ -80,7 +107,7 @@ def streaming_rollup(
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Merge-on-read: re-aggregate partials associatively into the exact
     rollup block (same columns/values as the batch ``downsample()``)."""
-    p = spark.read.parquet(rollup_dir)
+    p = _read_partials(spark, rollup_dir)
     return (
         p.groupBy("id", "bucket_ms")
         .agg(
@@ -96,14 +123,21 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
 
 def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
     """Fold all partials into one partial per (id, bucket) — raw moments
-    kept raw so the layer stays mergeable. Write-new-then-swap keeps the
-    dir readable at every moment (crash before swap = stale-but-valid)."""
+    kept raw so the layer stays mergeable.
+
+    Swap order: write the merged layer to a tmp dir, rename the live dir
+    ASIDE, move tmp into place, then delete the aside dir. A crash
+    between the two renames leaves the aside dir intact (recoverable by
+    renaming it back), never a lost layer. The swap is still not atomic
+    for CONCURRENT readers — a reader listing mid-swap can fail and must
+    retry; single-compactor + retry-on-read is the documented contract
+    (same as ParquetTsStore.compact)."""
     import shutil
     import uuid
 
-    p = spark.read.parquet(rollup_dir)
     merged = (
-        p.groupBy("id", "bucket_ms")
+        _read_partials(spark, rollup_dir)
+        .groupBy("id", "bucket_ms")
         .agg(
             F.sum("_cnt").alias("_cnt"),
             F.sum("_sum").alias("_sum"),
@@ -112,7 +146,13 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
         )
         .select(*_PARTIAL_COLS)
     )
-    tmp = f"{rollup_dir}__compact_{uuid.uuid4().hex[:8]}"
-    merged.repartition(1).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(rollup_dir)
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{rollup_dir}__compact_{token}"
+    # one partial per bucket is small by construction (bounded by the
+    # bucket-key cardinality, not raw rows); at larger key domains drop
+    # the coalesce and let the write keep its natural partitioning
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    aside = f"{rollup_dir}__old_{token}"
+    shutil.move(rollup_dir, aside)
     shutil.move(tmp, rollup_dir)
+    shutil.rmtree(aside)

@@ -127,10 +127,15 @@ def streaming_current_value(
         .option("recursiveFileLookup", "true")
         .parquet(data_dir)
     )
+    # ordering key must be the FULL (time, value, flag) tuple — the same
+    # LWW total order the batch current_value uses; ordering by
+    # (time, value) alone could surface a different flag on exact
+    # (time, value) ties and disagree with the batch verb
     latest = stream.groupBy("id").agg(
-        F.max_by(F.struct("time", "value", "flag"), F.struct("time", "value")).alias(
-            "m"
-        )
+        F.max_by(
+            F.struct("time", "value", "flag"),
+            F.struct("time", "value", "flag"),
+        ).alias("m")
     ).select("id", "m.time", "m.value", "m.flag")
     return (
         latest.writeStream.outputMode("complete")

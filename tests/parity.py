@@ -72,6 +72,17 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
         for i, (x, y) in enumerate(zip(a, b)):
             if x is None and y is None:
                 continue
+            # Driver-strict: the driver hashes typed values, so int64 vs
+            # float64 (e.g. DuckDB HUGEINT surfacing as float) must FAIL
+            # here even though Python's 0 == 0.0. (round-1 escape: two
+            # queries shipped green locally and hash-failed at the driver)
+            if x is None or y is None or type(x) is not type(y):
+                res.ok = False
+                res.problems.append(
+                    f"{col}[{i}] dtype: spark={type(x).__name__}({x!r}) "
+                    f"oracle={type(y).__name__}({y!r})"
+                )
+                break
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue

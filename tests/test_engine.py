@@ -472,9 +472,13 @@ def test_streaming_rollup_incremental_merge_and_compact(spark, tmp_path):
     batch2 = sorted(map(tuple, eng.downsample("day").collect()))
     assert live2 == batch2
 
-    n_files_before = len(glob.glob(f"{rollup_dir}/*.parquet"))
+    n_files_before = len(
+        glob.glob(f"{rollup_dir}/**/*.parquet", recursive=True)
+    )
     compact_rollup(spark, rollup_dir)
-    n_files_after = len(glob.glob(f"{rollup_dir}/*.parquet"))
+    n_files_after = len(
+        glob.glob(f"{rollup_dir}/**/*.parquet", recursive=True)
+    )
     assert n_files_after < n_files_before
     assert sorted(map(tuple, read_rollup(spark, rollup_dir).collect())) == batch2
 
@@ -520,3 +524,82 @@ def test_analytic_verbs_hand_computed(spark):
             float(Decimal(repr(num / den)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
         )
     assert got == expect
+
+
+def test_gap_fill_unaligned_origin(spark):
+    """gap_fill with a from_ms NOT aligned to step_ms: buckets are keyed
+    relative to the GRID ORIGIN, so every sample still lands in its
+    bucket. (Regression: epoch-aligned bucketing made every join key
+    miss and the whole grid came back is_observed=0 / locf NULL.)"""
+    span = (N_STEPS - 1) * STEP
+    half = STEP // 2  # 3 h
+    assert (T0 - 1000) % half != 0
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            _grid(), "id bigint, time bigint, value double, flag bigint"
+        ),
+    )
+    rows = eng.gap_fill([1], T0 - 1000, T0 + span, half).collect()
+    # grid = origin + k*step; samples sit 1000 ms into every even bucket
+    assert len(rows) == 2 * (N_STEPS - 1) + 1
+    assert sum(r.is_observed for r in rows) == N_STEPS
+    for j, r in enumerate(rows):
+        assert r.bucket_ms == (T0 - 1000) + j * half
+        assert r.is_observed == (1 if j % 2 == 0 else 0)
+        assert r.locf_value == 100.0 + j // 2
+
+
+def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the same micro-batch
+    (fresh checkpoint, same input files, same batch_id) must REPLACE its
+    previous partials, not append a second copy that double-counts."""
+    from dariadb_spark.streaming.rollup import read_rollup, streaming_rollup
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(_grid())
+    rollup_dir = str(tmp_path / "rollup")
+
+    for round_no in (1, 2):  # second run = a replay of batch 0
+        q = streaming_rollup(
+            spark,
+            str(eng.store.data_dir),
+            rollup_dir,
+            str(tmp_path / f"ckpt{round_no}"),
+            "day",
+        )
+        q.awaitTermination(120)
+    live = sorted(map(tuple, read_rollup(spark, rollup_dir).collect()))
+    batch = sorted(map(tuple, eng.downsample("day").collect()))
+    assert live == batch
+
+
+def test_read_snapshot_isolated_from_append(spark, tmp_path):
+    """read_snapshot pins the file listing: rows appended after the
+    snapshot is taken are invisible to it, while a fresh read() sees
+    them — the single-writer/many-reader contract."""
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    grid = _grid()
+    eng.append(grid[:50])
+    snap = eng.store.read_snapshot()
+    assert snap.count() == 50
+    eng.append(grid[50:])
+    assert snap.count() == 50  # re-running the snapshot plan: unchanged
+    assert eng.store.read().count() == len(grid)
+
+
+def test_streaming_current_value_tie_break_matches_batch(spark, tmp_path):
+    """Rows tied on (time, value) but differing in flag: the streaming
+    max_by must use the same (time, value, flag) total order as the
+    batch verb, so both return the max-flag row."""
+    from dariadb_spark.streaming.subscribe import streaming_current_value
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(
+        [(0, T0, 1.0, 9), (0, T0, 1.0, 5), (1, T0, 2.0, 3), (1, T0, 2.0, 7)]
+    )
+    q = streaming_current_value(spark, str(eng.store.data_dir), "cv_tie_test")
+    q.awaitTermination(120)
+    live = sorted(map(tuple, spark.table("cv_tie_test").collect()))
+    batch = sorted(map(tuple, eng.current_value().collect()))
+    assert live == batch == [(0, T0, 1.0, 9), (1, T0, 2.0, 7)]

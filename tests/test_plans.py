@@ -100,3 +100,15 @@ def test_bucketed_store_elides_shuffles(spark, tmp_path):
         assert got == exp
     finally:
         spark.sql("DROP TABLE IF EXISTS meas_bucketed_test")
+
+
+def test_check_window_is_first_50_registered():
+    """The driver hash-checks the FIRST 50 registered queries; pin the
+    window so an accidental registration reorder can't silently evict a
+    query from the hard correctness signal."""
+    from dariadb_spark.registry import _CHECK_WINDOW, REGISTRY
+
+    assert len(_CHECK_WINDOW) == 50
+    assert len(set(_CHECK_WINDOW)) == 50
+    assert list(REGISTRY)[:50] == _CHECK_WINDOW
+    assert len(REGISTRY) >= 88
