@@ -6,10 +6,13 @@
   classical all-pairs similarity plan: pairs are generated only for
   documents *sharing a shingle*, never a cross join;
 * MinHash + LSH near-dup — the approximate scale path: constant-size
-  signatures, banded bucketing, candidate verification (rows-only check:
-  recall < 1 by construction, so no exact SQL oracle);
-* SimHash near-dup — 64-bit fingerprints, chunk-collision candidate
-  generation, Hamming-distance verification (rows-only).
+  signatures, banded bucketing, candidate verification. Deterministic
+  md5-derived hashing makes the WHOLE pipeline (candidates included)
+  mirrorable in ANSI SQL → exact DuckDB oracle, no recall caveat in the
+  check itself;
+* SimHash near-dup — 60-bit fingerprints, chunk-collision candidate
+  generation (complete for Hamming ≤ 3 by pigeonhole), Hamming
+  verification — same md5 hashing, same exact oracle.
 
 Word 3-gram shingles are produced with identical 0-based/1-based index
 arithmetic in Spark and DuckDB so the oracle sees the same shingle sets.
@@ -36,13 +39,31 @@ MERSENNE_P = (1 << 31) - 1
 _A = [1 + (2 * i + 1) * 0x9E3779B9 % (MERSENNE_P - 1) for i in range(MINHASH_PERMS)]
 _B = [(i + 1) * 0xC2B2AE3D % MERSENNE_P for i in range(MINHASH_PERMS)]
 
-SIMHASH_BITS = 64
-# 4 chunks of 16 bits: by pigeonhole every pair with Hamming ≤ 3 shares at
+SIMHASH_BITS = 60
+# 4 chunks of 15 bits: by pigeonhole every pair with Hamming ≤ 3 shares at
 # least one untouched chunk, so the bucket join is *complete* for the
-# threshold below — and 2^16 buckets keep candidate volume tiny.
+# threshold below — and 2^15 buckets keep candidate volume tiny.
 SIMHASH_CHUNKS = 4
-SIMHASH_CHUNK_BITS = 16
+SIMHASH_CHUNK_BITS = 15
 SIMHASH_MAX_HAMMING = 3
+
+
+# --- engine-agnostic 60-bit string hash -----------------------------------
+# The low 15 hex digits of md5 parsed as an unsigned 60-bit integer — the
+# SAME value in Spark (conv base 16 → 10) and DuckDB ('0x…' cast), verified
+# value-for-value in tests. xxhash64 would hash tokens a few × faster at
+# 100 TB but has no DuckDB twin; this hash keeps the ENTIRE minhash/simhash
+# candidate generation mirrorable in the oracle, upgrading both queries
+# from rows-only to fully hash-checked. (Token hashing is a small slice of
+# these plans — the shuffles dominate — so the trade is cheap; swap the
+# expression for xxhash64 if oracle-independent throughput ever wins.)
+
+def _h60_spark(col: str) -> str:
+    return f"CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _h60_duck(col: str) -> str:
+    return f"CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT)"
 
 
 # --- X1 exact dedup -------------------------------------------------------
@@ -184,14 +205,20 @@ WHERE ic / (sa.nsh + sb.nsh - ic) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
 
-# --- MinHash + LSH (approximate scale path, rows-only) -------------------
+# --- MinHash + LSH (approximate scale path, exact oracle) -----------------
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """shingle → xxhash64 → 64 affine permutations min-folded into a
-    signature → 16 bands of 4 → bucket join for candidates → exact
-    Jaccard verification. Everything JVM-side (higher-order functions);
+    """shingle → 60-bit md5 hash → 64 affine permutations min-folded into
+    a signature → 16 bands of 4 → bucket join for candidates → exact
+    Jaccard verification. Everything JVM-side (codegen'd expressions);
     signatures are constant-size so the shuffle is O(docs), not
     O(shingle instances) — this is the 100 TB plan.
+
+    Every stage is deterministic integer/md5 arithmetic expressible in
+    ANSI SQL, so the DuckDB oracle mirrors the WHOLE pipeline — including
+    candidate generation — and the hash check is exact (no recall caveat;
+    bands join on the raw 4-tuples of minhash values, not an
+    engine-specific hash of them).
     """
     sh = _shingled(load_table(spark, sf, "documents"))
     # Explode shingles and fold each permutation as a codegen'd min()
@@ -201,36 +228,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # projection collapse — pathologically slow for 64 permutations).
     hv = sh.select(
         "doc_id", F.explode("shingles").alias("s")
-    ).selectExpr("doc_id", f"pmod(xxhash64(s), {MERSENNE_P}) AS h")
+    ).selectExpr("doc_id", f"{_h60_spark('s')} % {MERSENNE_P} AS h")
     sig = hv.groupBy("doc_id").agg(
         *[
-            F.min(F.expr(f"pmod({a} * h + {b}, {MERSENNE_P})")).alias(f"m{i}")
+            F.min(F.expr(f"({a} * h + {b}) % {MERSENNE_P}")).alias(f"m{i}")
             for i, (a, b) in enumerate(zip(_A, _B))
         ]
     )
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     band_exprs = ", ".join(
-        "struct({b} AS band, hash({cols}) AS bh)".format(
+        "struct({b} AS band, {cols})".format(
             b=b,
             cols=", ".join(
-                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+                f"m{b * rows_per_band + r} AS r{r}"
+                for r in range(rows_per_band)
             ),
         )
         for b in range(MINHASH_BANDS)
     )
     bands = sig.selectExpr(
         "doc_id", f"explode(array({band_exprs})) AS bb"
-    ).select("doc_id", "bb.band", "bb.bh")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    ).select("doc_id", "bb.*")
+    key = ["band"] + [f"r{r}" for r in range(rows_per_band)]
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.withColumnRenamed("doc_id", "doc_a")
+        .join(bands.withColumnRenamed("doc_id", "doc_b"), key)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Verify candidates with exact Jaccard (shingle sets joined back in).
@@ -247,19 +271,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --- SimHash (rows-only) --------------------------------------------------
+_RPB = MINHASH_PERMS // MINHASH_BANDS
+_SIG_COLS = ",\n       ".join(
+    f"min(({_A[i]} * h + {_B[i]}) % {MERSENNE_P}) AS m{i}"
+    for i in range(MINHASH_PERMS)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, {cols} FROM sig".format(
+        b=b,
+        cols=", ".join(f"m{b * _RPB + r} AS r{r}" for r in range(_RPB)),
+    )
+    for b in range(MINHASH_BANDS)
+)
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_SHINGLE_CTE},
+hv AS (SELECT doc_id, {_h60_duck('u.sg')} % {MERSENNE_P} AS h
+       FROM (SELECT doc_id, unnest(shingles) AS sg FROM s) u),
+sig AS (SELECT doc_id, {_SIG_COLS}
+        FROM hv GROUP BY doc_id),
+bands AS (
+{_BAND_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band
+          AND {' AND '.join(f'a.r{r} = b.r{r}' for r in range(_RPB))}
+          AND a.doc_id < b.doc_id),
+v AS (SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS ic,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand c
+      JOIN s sa ON c.doc_a = sa.doc_id
+      JOIN s sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, round(ic / (na + nb - ic), 4) AS jaccard
+FROM v WHERE ic / (na + nb - ic) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+
+# --- SimHash (exact oracle) -----------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, sum ±1 weighted by token
-    hash bit; candidates = docs sharing any 16-bit chunk of the
+    """60-bit SimHash over word tokens: per bit, sum ±1 weighted by token
+    hash bit; candidates = docs sharing any 15-bit chunk of the
     fingerprint (complete for Hamming ≤ SIMHASH_MAX_HAMMING = chunks-1);
-    verified by exact bit_count Hamming distance."""
+    verified by exact bit_count Hamming distance. The md5-derived token
+    hash (see ``_h60_spark``) makes fingerprints — and therefore the
+    whole output — reproducible in DuckDB, so the oracle mirrors the
+    full pipeline and the check is an exact hash match."""
     docs = load_table(spark, sf, "documents")
     # Explode tokens; per bit, a codegen'd sum(±1) aggregate (map-side
-    # partial agg); fp assembled from the 64 sums in one projection.
+    # partial agg); fp assembled from the 60 sums in one projection.
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
-    ).selectExpr("doc_id", "xxhash64(t) AS h")
+    ).selectExpr("doc_id", f"{_h60_spark('t')} AS h")
     bit_aggs = [
         F.sum(F.expr(f"IF((h >> {i}) & 1 = 1, 1, -1)")).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
@@ -297,12 +360,40 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("bigint").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_BIT_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(SIMHASH_BITS)
+)
+_FP_ASSEMBLY = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+    for i in range(SIMHASH_BITS)
+)
+_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+h AS (SELECT doc_id, {_h60_duck('t')} AS h FROM toks),
+bits AS (SELECT doc_id, {_BIT_SUMS}
+         FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, ({_FP_ASSEMBLY}) AS fp FROM bits),
+chunks AS (SELECT doc_id, fp, cs.c,
+                  (fp >> (cs.c * {SIMHASH_CHUNK_BITS})) & {_CHUNK_MASK} AS v
+           FROM fp, (SELECT unnest([{', '.join(map(str, range(SIMHASH_CHUNKS)))}]) AS c) cs),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.fp AS fa, b.fp AS fb
+         FROM chunks a JOIN chunks b
+           ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b"""
 
 
 # --- near-dup connected components / canonical selection ------------------
@@ -546,5 +637,5 @@ register("ext_dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
 register("ext_dedup_components", dedup_components, DEDUP_COMPONENTS_SQL)
 register("ext_curate_corpus", curate_corpus, CURATE_CORPUS_SQL)
 register("ext_dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
-register("ext_dedup_minhash_lsh", dedup_minhash_lsh, None)
-register("ext_dedup_simhash", dedup_simhash, None)
+register("ext_dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL)
+register("ext_dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL)

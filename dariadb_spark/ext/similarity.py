@@ -8,8 +8,9 @@
   nothing but (query, k) rows shuffle.
 * ``sim_ann_lsh`` — the approximate scale path: random-hyperplane LSH
   (sign sketches) bucket the corpus; candidates share a bucket in ≥1 of
-  L tables; exact cosine re-ranks candidates. Recall < 1 by design →
-  rows-only check.
+  L tables; exact cosine re-ranks candidates. Recall < 1 vs brute force
+  by design, but the pipeline itself is deterministic (fixed LCG
+  hyperplanes) and fully mirrored in the DuckDB oracle → exact check.
 * ``dedup_embedding_cosine`` — near-duplicate pairs by cosine ≥ τ over
   the full corpus (the embedding-space dedup); exact oracle at test SF,
   LSH-bucketed at scale.
@@ -154,7 +155,7 @@ WHERE a.vec_id < b.vec_id
 ORDER BY vec_a, vec_b"""
 
 
-# --- LSH-bucketed ANN (rows-only) ----------------------------------------
+# --- LSH-bucketed ANN (exact oracle via inlined hyperplanes) --------------
 
 N_PLANES = 16  # one 16-bit sketch per table
 N_TABLES = 4
@@ -182,7 +183,14 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     dots; query joins its bucket per table; exact cosine re-ranks the
     union of candidates. Scale shape: corpus sketched once (linear scan),
     bucket join replaces the cross join — candidates per query ≈
-    corpus / 2^16 × tables."""
+    corpus / 2^16 × tables.
+
+    The hyperplanes are fixed LCG output, so the DuckDB oracle inlines
+    them as literals and mirrors the ENTIRE pipeline — sketching,
+    bucketing, candidate join, re-rank — making the check an exact hash
+    match with no recall caveat. (Only caveat: numpy's blocked matmul vs
+    DuckDB's sequential dot could disagree on the sign of a dot product
+    within ~1e-16 of zero — probability ~1e-8 on this fixture.)"""
     from pyspark.sql.functions import pandas_udf
 
     emb = _emb(spark, sf)
@@ -229,6 +237,49 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("q_id", "vec_id", "cos_sim", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+def _planes_values_sql() -> str:
+    """The LCG hyperplanes as SQL literals (repr = shortest round-trip
+    decimal → DuckDB parses back the identical float64)."""
+    return ",\n".join(
+        f"({t}, {p}, [{', '.join(repr(x) for x in row)}])"
+        for t, table in enumerate(_hyperplanes())
+        for p, row in enumerate(table)
+    )
+
+
+SIM_ANN_LSH_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
+planes(tbl, p, w) AS (VALUES
+{_planes_values_sql()}),
+sk AS (
+  SELECT n.vec_id, p.tbl,
+         CAST(sum(CASE WHEN list_dot_product(n.e, p.w) > 0
+                       THEN (CAST(1 AS BIGINT) << p.p)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM n CROSS JOIN planes p
+  GROUP BY n.vec_id, p.tbl),
+q AS (SELECT vec_id AS q_id, tbl, bucket FROM sk
+      WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+cand AS (SELECT DISTINCT q.q_id, s.vec_id
+         FROM q JOIN sk s ON q.tbl = s.tbl AND q.bucket = s.bucket
+         WHERE s.vec_id != q.q_id),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_dot_product(nq.e, nv.e) / (nq.norm * nv.norm), 4)
+           AS cos_sim
+  FROM cand c
+  JOIN n nq ON c.q_id = nq.vec_id
+  JOIN n nv ON c.vec_id = nv.vec_id),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM scored)
+SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
+ORDER BY q_id, rk"""
 
 
 # --- IVF-bucketed ANN (deterministic → exact oracle) ----------------------
@@ -367,4 +418,4 @@ register("ext_embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL
 register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)
 register("ext_sim_ann_ivf", sim_ann_ivf, SIM_ANN_IVF_SQL)
 register("ext_dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL)
-register("ext_sim_ann_lsh", sim_ann_lsh, None)
+register("ext_sim_ann_lsh", sim_ann_lsh, SIM_ANN_LSH_SQL)
