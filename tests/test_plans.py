@@ -112,3 +112,66 @@ def test_check_window_is_first_50_registered():
     assert len(set(_CHECK_WINDOW)) == 50
     assert list(REGISTRY)[:50] == _CHECK_WINDOW
     assert len(REGISTRY) >= 88
+
+
+def test_salted_paths_bound_skew_on_hot_key(spark):
+    """Actually-skewed input (one series owns 50% of all rows): the salted
+    first stage must fan the hot (id, bucket) group out over many salt
+    sub-groups — bounding any single task's input — while staying
+    value-identical to the straight plans. (Round-1 gap: the salted
+    queries only ever saw uniform fixture data.)"""
+    from dariadb_spark.operators.downsample import downsample
+    from dariadb_spark.plans.skew import _salt, salted_downsample, salted_join
+
+    hot = 10_000
+    t0 = 1_704_067_200_000
+    rows = [(0, t0 + i * 250, float(i % 97), 1) for i in range(hot)] + [
+        (1 + (i % 40), t0 + i * 1_000, float(i % 89), 2) for i in range(hot)
+    ]
+    meas = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+
+    # value identity under skew
+    plain = sorted(map(tuple, downsample(meas, "hour").collect()))
+    salted = sorted(map(tuple, salted_downsample(meas, "hour").collect()))
+    assert salted == plain
+
+    # fan-out bound: the hot key's rows split across the 16 salts so the
+    # biggest salted sub-group is a small fraction of the hot key's rows
+    from pyspark.sql import functions as F
+    from dariadb_spark.operators.downsample import bucket_column
+
+    sub = (
+        meas.where(F.col("id") == 0)
+        .groupBy(F.col("id"), bucket_column("hour"), _salt(16))
+        .count()
+    )
+    per_bucket = dict(
+        (tuple(r[:2]), r)
+        for r in sub.groupBy("id", "bucket_ms")
+        .agg(
+            F.max("count").alias("mx"),
+            F.sum("count").alias("total"),
+            F.count("*").alias("n_salts"),
+        )
+        .collect()
+    )
+    for (_, _), r in per_bucket.items():
+        assert r.n_salts > 8  # hot bucket actually fans out
+        assert r.mx <= r.total * 0.25  # no sub-group re-concentrates
+
+    # salted join: identical multiset vs the plain join on the same skew
+    dim = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(41)], "id bigint, name string"
+    )
+    plain_j = sorted(
+        map(tuple, meas.join(dim, "id").select("id", "time", "name").collect())
+    )
+    salted_j = sorted(
+        map(
+            tuple,
+            salted_join(meas, dim, "id").select("id", "time", "name").collect(),
+        )
+    )
+    assert salted_j == plain_j

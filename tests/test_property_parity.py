@@ -176,10 +176,13 @@ def test_gap_fill_property(spark, rows, span, step):
     expect = []
     for i in ids:
         in_range = [t for t in rows if t[0] == i and from_ms <= t[1] <= to_ms]
-        # last sample per bucket by the (time, value, flag) total order
+        # last sample per bucket by the (time, value, flag) total order;
+        # buckets are keyed relative to the GRID ORIGIN (from_ms), not
+        # the epoch — the grid is from_ms + k*step, so an epoch-aligned
+        # model would mismatch whenever from_ms % step != 0
         per_bucket: dict[int, tuple] = {}
         for t in in_range:
-            b = t[1] - t[1] % step
+            b = t[1] - (t[1] - from_ms) % step
             if b not in per_bucket or (t[1], t[2], t[3]) > (
                 per_bucket[b][1], per_bucket[b][2], per_bucket[b][3]
             ):
