@@ -1,0 +1,233 @@
+"""[EXT] corpus-curation signals beyond dedup/quality basics — the three
+checks a large-scale training-data build runs between raw crawl and
+tokenization:
+
+* ``ext_decontaminate`` — train/eval n-gram overlap (decontamination):
+  find training documents sharing any word 3-gram with a held-out eval
+  slice, with per-document contamination fractions. The eval side of the
+  join is tiny (a benchmark suite), so at 100 TB it broadcasts and the
+  train side streams through one scan + one semi-join-shaped aggregate.
+* ``ext_text_gopher_quality`` — repetition/quality rules in the spirit
+  of the Gopher/RefinedWeb filters (unique-word fraction, most-frequent-
+  bigram dominance, mean word length), aggregated per language with a
+  pass-rate. Per-doc metrics are array expressions fused into the scan;
+  only the bigram-dominance rule adds a (doc, bigram) shuffle.
+* ``ext_text_ngram_lm`` — corpus bigram statistics with conditional
+  probabilities P(w2|w1): the n-gram LM building block (KenLM-style
+  perplexity filters start exactly here). One shuffle on (w1, w2);
+  unigram totals re-aggregate from the bigram counts — vocabulary-sized,
+  no second pass over the corpus.
+
+All three are pure DataFrame plans with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dariadb_spark.ext.dedup import _h60_duck, _h60_spark
+from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
+from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
+
+#: eval slice: every 50th doc_id — deterministic, scale-invariant (~2%).
+HOLDOUT_MOD = 50
+
+# Gopher-ish thresholds, tuned so the synthetic fixture yields a mix of
+# pass and fail at every scale factor.
+MIN_UNIQUE_WORD_FRAC = 0.45
+MAX_TOP_BIGRAM_FRAC = 0.10
+MIN_MEAN_WORD_LEN = 3.0
+
+#: bigram LM: keep pairs seen at least this often (prunes the long tail
+#: the way a count-cutoff LM does).
+LM_MIN_COUNT = 20
+
+
+# --- train/eval decontamination -------------------------------------------
+
+def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per contaminated training doc: how many of its distinct 3-gram
+    shingles appear anywhere in the eval slice, and the contaminated
+    fraction. Join on the engine-agnostic 60-bit shingle hash (8-byte
+    keys — the text never shuffles); the eval shingle set is distinct-ed
+    first, so the join is |train shingles| × (tiny broadcast)."""
+    sh = _shingled(load_table(spark, sf, "documents"))
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    ).selectExpr("doc_id", "n_shingles", f"{_h60_spark('s')} AS h")
+    hold = (
+        ex.where(F.col("doc_id") % HOLDOUT_MOD == 0)
+        .select("h")
+        .distinct()
+    )
+    train = ex.where(F.col("doc_id") % HOLDOUT_MOD != 0)
+    return (
+        train.join(F.broadcast(hold), "h")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.countDistinct("h").alias("n_contaminated"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 4
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, len(shingles) AS n_shingles, {_h60_duck('u.sg')} AS h
+       FROM (SELECT doc_id, shingles, unnest(shingles) AS sg FROM s) u),
+hold AS (SELECT DISTINCT h FROM ex WHERE doc_id % {HOLDOUT_MOD} = 0)
+SELECT e.doc_id, e.n_shingles,
+       count(DISTINCT e.h) AS n_contaminated,
+       round(count(DISTINCT e.h) / e.n_shingles, 4) AS contaminated_frac
+FROM ex e JOIN hold ON e.h = hold.h
+WHERE e.doc_id % {HOLDOUT_MOD} != 0
+GROUP BY e.doc_id, e.n_shingles
+ORDER BY doc_id"""
+
+
+# --- Gopher-style repetition / quality rules ------------------------------
+
+def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language pass rates for three repetition/quality rules. The
+    unique-word and word-length metrics are array expressions evaluated
+    in the scan; the top-bigram dominance needs the per-doc bigram mode,
+    one (doc, bigram) shuffle — same shape as tf-idf."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    w = "split(text, ' ')"
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"size({w}) AS n_words",
+        f"round(size(array_distinct({w})) / size({w}), 6) AS uniq_frac",
+        f"round(aggregate({w}, 0L, (acc, t) -> acc + length(t)) / size({w}), 6)"
+        " AS mean_word_len",
+    )
+    bigrams = docs.selectExpr(
+        "doc_id",
+        f"explode(zip_with(slice({w}, 1, size({w}) - 1), "
+        f"slice({w}, 2, size({w}) - 1), (x, y) -> concat(x, ' ', y))) AS bg",
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count") / F.sum("count"), 6).alias("top_bigram_frac")
+        )
+    )
+    scored = base.join(top_bg, "doc_id").withColumn(
+        "pass",
+        (F.col("uniq_frac") >= MIN_UNIQUE_WORD_FRAC)
+        & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("pass"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            (F.round(F.sum("uniq_frac"), 6) / F.count("*")).alias(
+                "avg_uniq_frac"
+            ),
+            (F.round(F.sum("top_bigram_frac"), 6) / F.count("*")).alias(
+                "avg_top_bigram_frac"
+            ),
+            (F.round(F.sum("mean_word_len"), 6) / F.count("*")).alias(
+                "avg_mean_word_len"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_GOPHER_QUALITY_SQL = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT doc_id, lang, len(w) AS n_words,
+         round(len(list_distinct(w)) / len(w), 6) AS uniq_frac,
+         round(list_sum(list_transform(w, t -> len(t))) / len(w), 6)
+           AS mean_word_len
+  FROM d),
+bg AS (SELECT doc_id, u.b AS bg
+       FROM (SELECT doc_id,
+                    unnest([w[i] || ' ' || w[i+1]
+                            for i in range(1, len(w))]) AS b
+             FROM d) u),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+top_bg AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_frac
+           FROM bgc GROUP BY doc_id),
+scored AS (
+  SELECT b.lang, b.uniq_frac, t.top_bigram_frac, b.mean_word_len,
+         (b.uniq_frac >= {MIN_UNIQUE_WORD_FRAC}
+          AND t.top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}
+          AND b.mean_word_len >= {MIN_MEAN_WORD_LEN}) AS pass
+  FROM base b JOIN top_bg t ON b.doc_id = t.doc_id)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(sum(uniq_frac), 6) / count(*) AS avg_uniq_frac,
+       round(sum(top_bigram_frac), 6) / count(*) AS avg_top_bigram_frac,
+       round(sum(mean_word_len), 6) / count(*) AS avg_mean_word_len
+FROM scored GROUP BY lang ORDER BY lang"""
+
+
+# --- corpus bigram LM statistics ------------------------------------------
+
+def text_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram counts and conditional probabilities P(w2|w1) over the
+    corpus, pruned by a count cutoff. The unigram denominators
+    re-aggregate FROM the bigram counts (w1 totals over first positions)
+    — vocabulary-sized, no second corpus pass."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    w = "split(text, ' ')"
+    bi = docs.selectExpr(
+        f"explode(zip_with(slice({w}, 1, size({w}) - 1), "
+        f"slice({w}, 2, size({w}) - 1), (x, y) -> struct(x AS w1, y AS w2)))"
+        " AS b"
+    ).select("b.w1", "b.w2")
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    totals = Window.partitionBy("w1")
+    return (
+        counts.withColumn("c1", F.sum("c12").over(totals))
+        .where(F.col("c12") >= LM_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_cond"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+TEXT_NGRAM_LM_SQL = f"""
+WITH d AS (SELECT string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+bi AS (SELECT u.b[1] AS w1, u.b[2] AS w2
+       FROM (SELECT unnest([[w[i], w[i+1]]
+                           for i in range(1, len(w))]) AS b
+             FROM d) u),
+counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+with_tot AS (
+  SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM counts)
+SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+       round(c12 / c1, 6) AS p_cond
+FROM with_tot WHERE c12 >= {LM_MIN_COUNT} ORDER BY w1, w2"""
+
+
+register("ext_decontaminate", decontaminate, DECONTAMINATE_SQL)
+register("ext_text_gopher_quality", text_gopher_quality, TEXT_GOPHER_QUALITY_SQL)
+register("ext_text_ngram_lm", text_ngram_lm, TEXT_NGRAM_LM_SQL)

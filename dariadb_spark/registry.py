@@ -316,6 +316,7 @@ from dariadb_spark.ext import similarity as _ext_sim  # noqa: E402,F401
 from dariadb_spark.ext import multimodal as _ext_mm  # noqa: E402,F401
 from dariadb_spark.ext import timeseries as _ext_ts  # noqa: E402,F401
 from dariadb_spark.ext import sampling as _ext_sampling  # noqa: E402,F401
+from dariadb_spark.ext import curation as _ext_curation  # noqa: E402,F401
 
 # --- driver check-window ordering ----------------------------------------
 # The driver's correctness harness checks the FIRST 50 registered queries
