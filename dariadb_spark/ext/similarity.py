@@ -414,7 +414,112 @@ SELECT label, dim, count(*) AS n,
 FROM x GROUP BY label, dim ORDER BY label, dim"""
 
 
+# --- Lloyd's k-means (iterative, with an UNROLLED exact oracle) ------------
+
+KMEANS_K = 8
+_KM_DIM = 64  # fixture embedding dim (see EMBEDDING_CENTROIDS_SQL note)
+
+
+def sim_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Two Lloyd rounds of cosine k-means over the corpus: assign to the
+    nearest of K centroids (init = first K vectors), recompute centroids
+    as per-cluster dimension means, re-assign. Output = the final
+    (vec_id, cid, score) assignment.
+
+    Scale shape — the MLlib pattern: centroids live DRIVER-side between
+    iterations (K×dim doubles — KBs at any corpus size) and are inlined
+    into the assignment expression as literals, so each E-step is a
+    ZERO-shuffle projection (argmax over K codegen'd dot products via
+    ``array_max`` on (score, −cid) structs); each M-step is one tiny
+    (cid, dim)-key aggregate. Per-iteration cost = 1 corpus scan + 1
+    vocabulary-sized shuffle, independent of K-means round count.
+
+    Exactness: assignment scores are round(·,4) with cid tie-break and
+    dimension means use the round(sum,6)/count recipe, so BOTH Lloyd
+    rounds unroll into deterministic SQL — the oracle replays the whole
+    iteration, which is the usual "iterative algorithms are rows-only"
+    escape hatch closed. Python-side centroid math (sequential
+    sum-of-squares + sqrt) is bit-identical to the engines' sequential
+    list folds; repr() round-trips every float into the next stage.
+    """
+    emb = _emb(spark, sf).select("vec_id", "e", "norm")
+    init = emb.where(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    cent = [(int(r["vec_id"]), [float(x) for x in r["e"]]) for r in init]
+
+    def _cnorm(ce: list[float]) -> float:
+        s = 0.0
+        for x in ce:  # sequential left-to-right == the engines' folds
+            s += x * x
+        return s ** 0.5
+
+    def _assign(frame: DataFrame, centroids) -> DataFrame:
+        structs = ", ".join(
+            "struct(round({dot} / (norm * {cn}), 4) AS s, {nc} AS nc, {cid} AS cid)".format(
+                dot=_DOT.format(
+                    a="e", b=f"array({', '.join(repr(x) for x in ce)})"
+                ),
+                cn=repr(_cnorm(ce)),
+                nc=-cid,
+                cid=cid,
+            )
+            for cid, ce in centroids
+        )
+        return frame.selectExpr(
+            "vec_id",
+            "e",
+            f"array_max(array({structs})) AS best",
+        ).select(
+            "vec_id",
+            "e",
+            F.col("best.cid").alias("cid"),
+            F.col("best.s").alias("score"),
+        )
+
+    a1 = _assign(emb, cent)
+    means = (
+        a1.select("cid", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg((F.round(F.sum("x"), 6) / F.count("*")).alias("cx"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cx"])
+    cent1 = [
+        (cid, [dims[p] for p in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+    return _assign(emb, cent1).select("vec_id", "cid", "score").orderBy("vec_id")
+
+
+SIM_KMEANS_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
+c0 AS (SELECT vec_id AS cid, e AS ce, norm AS cnorm FROM n
+       WHERE vec_id < {KMEANS_K}),
+a1 AS (SELECT vec_id, e, cid FROM (
+  SELECT n.vec_id, n.e, c.cid,
+         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           round(list_dot_product(n.e, c.ce) / (n.norm * c.cnorm), 4) DESC,
+           c.cid ASC) AS rn
+  FROM n, c0 c) WHERE rn = 1),
+u1 AS (SELECT cid, gs.i AS pos, round(sum(e[gs.i]), 6) / count(*) AS cx
+       FROM a1 CROSS JOIN generate_series(1, {_KM_DIM}) gs(i)
+       GROUP BY cid, gs.i),
+c1 AS (SELECT cid, list(cx ORDER BY pos) AS ce FROM u1 GROUP BY cid),
+c1n AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cnorm FROM c1),
+a2 AS (SELECT vec_id, cid, s AS score FROM (
+  SELECT n.vec_id, c.cid,
+         round(list_dot_product(n.e, c.ce) / (n.norm * c.cnorm), 4) AS s,
+         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           round(list_dot_product(n.e, c.ce) / (n.norm * c.cnorm), 4) DESC,
+           c.cid ASC) AS rn
+  FROM n, c1n c) WHERE rn = 1)
+SELECT vec_id, cid, score FROM a2 ORDER BY vec_id"""
+
+
 register("ext_embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL)
+register("ext_sim_kmeans", sim_kmeans, SIM_KMEANS_SQL)
 register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)
 register("ext_sim_ann_ivf", sim_ann_ivf, SIM_ANN_IVF_SQL)
 register("ext_dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL)
