@@ -26,6 +26,7 @@ from dariadb_spark.model import MEAS_CTE_SQL, measurements
 from dariadb_spark.operators.downsample import floor_bucket, floor_bucket_sql
 from dariadb_spark.operators.interval import read_interval
 from dariadb_spark.operators.resample import (
+    dedup_lww,
     gap_fill as _gap_fill,
     interpolate as _interpolate,
     rate as _rate,
@@ -718,6 +719,96 @@ WINDOW w AS (PARTITION BY id ORDER BY time)
 ORDER BY id, time"""
 
 
+# --- OHLC bars (first/last/extremes per bucket) ---------------------------
+
+def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series hourly OHLC bars — the financial/sensor downsample that
+    keeps first (open), extremes (high/low) and last (close) instead of
+    moments. Spark side: single groupBy with ``min_by``/``max_by`` on the
+    full (time, value, flag) total order — one shuffle, NO window sort
+    (the scale-right plan: partial min_by/max_by combine map-side). The
+    oracle replays it as first/last-value windows, proving the agg and
+    window formulations agree."""
+    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    ord_key = F.struct("time", "value", "flag")
+    return (
+        meas.groupBy("id", floor_bucket(F.col("time"), HOUR_MS).alias("bucket_ms"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count("*").alias("n_samples"),
+        )
+        .orderBy("id", "bucket_ms")
+    )
+
+
+OHLC_SQL = f"""WITH {MEAS_CTE_SQL},
+b AS (
+  SELECT id, {floor_bucket_sql('time', HOUR_MS)} AS bucket_ms, time, value, flag
+  FROM measurements WHERE {_interval_sql()}),
+w AS (
+  SELECT id, bucket_ms, value,
+         row_number() OVER (PARTITION BY id, bucket_ms
+                            ORDER BY time, value, flag) AS rn_a,
+         row_number() OVER (PARTITION BY id, bucket_ms
+                            ORDER BY time DESC, value DESC, flag DESC) AS rn_d
+  FROM b)
+SELECT id, bucket_ms,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_samples
+FROM w GROUP BY id, bucket_ms ORDER BY id, bucket_ms"""
+
+
+# --- counter-reset-aware rate (PromQL increase/rate semantics) ------------
+
+def counter_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Monotone-counter rate with reset handling: a negative delta means
+    the counter restarted, so the increase is the new value itself (the
+    PromQL ``rate()`` convention). One window pass per series."""
+    s = dedup_lww(read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0))
+    w = Window.partitionBy("id").orderBy("time")
+    prev_t = F.lag("time", 1).over(w)
+    prev_v = F.lag("value", 1).over(w)
+    delta = F.col("value") - prev_v
+    increase = F.when(delta < 0, F.col("value")).otherwise(delta)
+    return (
+        s.select(
+            "id",
+            "time",
+            "value",
+            (F.col("time") - prev_t).alias("dt_ms"),
+            F.round(increase, 6).alias("increase"),
+            F.round(increase / (F.col("time") - prev_t) * 1000.0, 6).alias(
+                "rate_per_s"
+            ),
+        )
+        .where(F.col("dt_ms").isNotNull())
+        .orderBy("id", "time")
+    )
+
+
+COUNTER_RATE_SQL = f"""WITH {MEAS_CTE_SQL},
+s AS (SELECT id, time, value FROM (
+        SELECT id, time, value, flag, {_DEDUP_RN} AS rn
+        FROM measurements WHERE {_interval_sql()}) WHERE rn = 1),
+d AS (
+  SELECT id, time, value,
+         time - lag(time, 1) OVER (PARTITION BY id ORDER BY time) AS dt_ms,
+         value - lag(value, 1) OVER (PARTITION BY id ORDER BY time) AS delta
+  FROM s)
+SELECT id, time, value, dt_ms,
+       round(CASE WHEN delta < 0 THEN value ELSE delta END, 6) AS increase,
+       round(CASE WHEN delta < 0 THEN value ELSE delta END / dt_ms * 1000.0, 6)
+         AS rate_per_s
+FROM d WHERE dt_ms IS NOT NULL ORDER BY id, time"""
+
+
+register("ext_ohlc", ohlc_bars, OHLC_SQL)
+register("ext_counter_rate", counter_rate, COUNTER_RATE_SQL)
 register("ext_hopping_window", hopping_window, HOPPING_WINDOW_SQL)
 register("ext_unpivot_flags", unpivot_flags, UNPIVOT_FLAGS_SQL)
 register("ext_ewma", ewma, EWMA_SQL)

@@ -242,3 +242,43 @@ def streaming_interval_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_exact(
+    spark: SparkSession,
+    data_dir: str,
+    query_name: str = "dedup_live",
+    watermark: str | None = None,
+) -> StreamingQuery:
+    """Exact streaming deduplication: emit each distinct
+    (id, time, value, flag) row once — the ingest-side twin of the batch
+    exact-dedup operator (a re-sent WAL batch or at-least-once producer
+    must not double-ingest).
+
+    With ``watermark=None`` state is unbounded (exact reference
+    merge-on-read semantics — every historical duplicate is caught).
+    Passing e.g. ``"1 day"`` switches to
+    ``dropDuplicatesWithinWatermark``: state holds only the watermark
+    window — the 100 TB deployment knob, catching the actual failure
+    mode (replays arrive close to the original) with bounded memory."""
+    stream = (
+        spark.readStream.schema(_MEAS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    if watermark is None:
+        deduped = stream.dropDuplicates(["id", "time", "value", "flag"])
+    else:
+        deduped = stream.withColumn(
+            "ts", F.timestamp_millis(F.col("time"))
+        ).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["id", "time", "value", "flag"]
+        ).drop("ts")
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

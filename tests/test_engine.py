@@ -603,3 +603,28 @@ def test_streaming_current_value_tie_break_matches_batch(spark, tmp_path):
     live = sorted(map(tuple, spark.table("cv_tie_test").collect()))
     batch = sorted(map(tuple, eng.current_value().collect()))
     assert live == batch == [(0, T0, 1.0, 9), (1, T0, 2.0, 7)]
+
+
+def test_streaming_dedup_exact_matches_batch_distinct(spark, tmp_path):
+    """Duplicated appends (an at-least-once producer replay): the
+    streaming dedup emits each distinct row exactly once — equal to
+    batch DISTINCT over the same store, in both state modes."""
+    from dariadb_spark.streaming.subscribe import streaming_dedup_exact
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    grid = _grid()
+    eng.append(grid)
+    eng.append(grid[:40])  # replayed slice → exact duplicates on disk
+    batch = sorted(map(tuple, eng.store.read().select(
+        "id", "time", "value", "flag").distinct().collect()))
+    assert len(batch) == len(grid)
+
+    q = streaming_dedup_exact(spark, str(eng.store.data_dir), "dedup_t1")
+    q.awaitTermination(120)
+    assert sorted(map(tuple, spark.table("dedup_t1").collect())) == batch
+
+    q = streaming_dedup_exact(
+        spark, str(eng.store.data_dir), "dedup_t2", watermark="30 days"
+    )
+    q.awaitTermination(120)
+    assert sorted(map(tuple, spark.table("dedup_t2").collect())) == batch
