@@ -205,6 +205,24 @@ class TsEngine:
 
         return ewma_op(self.meas(), ids, from_ms, to_ms, flag)
 
+    def ohlc(
+        self, width_ms: int, ids: list[int] | None, from_ms: int,
+        to_ms: int, flag: int = 0,
+    ) -> DataFrame:
+        """Per-bucket open/high/low/close bars (ext/timeseries.py)."""
+        from dariadb_spark.ext.timeseries import ohlc_op
+
+        return ohlc_op(self.meas(), width_ms, ids, from_ms, to_ms, flag)
+
+    def counter_rate(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        """Counter-reset-aware rate, PromQL semantics
+        (ext/timeseries.py)."""
+        from dariadb_spark.ext.timeseries import counter_rate_op
+
+        return counter_rate_op(self.meas(), ids, from_ms, to_ms, flag)
+
     def downsample_to_series(
         self, fn_name: str, interval: str, append: bool = False
     ) -> DataFrame:

@@ -721,18 +721,24 @@ ORDER BY id, time"""
 
 # --- OHLC bars (first/last/extremes per bucket) ---------------------------
 
-def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-series hourly OHLC bars — the financial/sensor downsample that
-    keeps first (open), extremes (high/low) and last (close) instead of
-    moments. Spark side: single groupBy with ``min_by``/``max_by`` on the
-    full (time, value, flag) total order — one shuffle, NO window sort
-    (the scale-right plan: partial min_by/max_by combine map-side). The
-    oracle replays it as first/last-value windows, proving the agg and
-    window formulations agree."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+def ohlc_op(
+    meas: DataFrame,
+    width_ms: int,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series OHLC bars over fixed-width buckets — the financial/
+    sensor downsample that keeps first (open), extremes (high/low) and
+    last (close) instead of moments. Single groupBy with ``min_by``/
+    ``max_by`` on the full (time, value, flag) total order — one shuffle,
+    NO window sort (the scale-right plan: partial min_by/max_by combine
+    map-side)."""
+    s = read_interval(meas, ids, from_ms, to_ms, flag)
     ord_key = F.struct("time", "value", "flag")
     return (
-        meas.groupBy("id", floor_bucket(F.col("time"), HOUR_MS).alias("bucket_ms"))
+        s.groupBy("id", floor_bucket(F.col("time"), width_ms).alias("bucket_ms"))
         .agg(
             F.min_by("value", ord_key).alias("open"),
             F.max("value").alias("high"),
@@ -742,6 +748,12 @@ def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id", "bucket_ms")
     )
+
+
+def ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC bars (see :func:`ohlc_op`). The oracle replays the agg
+    as first/last-value windows, proving both formulations agree."""
+    return ohlc_op(measurements(spark, sf), HOUR_MS, IDS, FROM_MS, TO_MS, 0)
 
 
 OHLC_SQL = f"""WITH {MEAS_CTE_SQL},
@@ -765,11 +777,17 @@ FROM w GROUP BY id, bucket_ms ORDER BY id, bucket_ms"""
 
 # --- counter-reset-aware rate (PromQL increase/rate semantics) ------------
 
-def counter_rate(spark: SparkSession, sf: str) -> DataFrame:
+def counter_rate_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
     """Monotone-counter rate with reset handling: a negative delta means
     the counter restarted, so the increase is the new value itself (the
     PromQL ``rate()`` convention). One window pass per series."""
-    s = dedup_lww(read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0))
+    s = dedup_lww(read_interval(meas, ids, from_ms, to_ms, flag))
     w = Window.partitionBy("id").orderBy("time")
     prev_t = F.lag("time", 1).over(w)
     prev_v = F.lag("value", 1).over(w)
@@ -789,6 +807,11 @@ def counter_rate(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("dt_ms").isNotNull())
         .orderBy("id", "time")
     )
+
+
+def counter_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Registered query over the fixture (see :func:`counter_rate_op`)."""
+    return counter_rate_op(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
 
 
 COUNTER_RATE_SQL = f"""WITH {MEAS_CTE_SQL},

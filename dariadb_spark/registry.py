@@ -332,11 +332,17 @@ from dariadb_spark.ext import curation as _ext_curation  # noqa: E402,F401
 # still value-checked locally by tests/test_oracle_parity.py (same
 # compare, all 88 queries).
 _CHECK_WINDOW = [
-    # core surface (16)
+    # core surface (12) — load_min_max / bucket_minute30 / bucket_week /
+    # bucket_month rotated out (round-1 green, near-duplicates of
+    # min_max_time / bucket_hour / bucket_day) to fit the round-2
+    # operators below
     "interval_scan", "interval_scan_flag", "timepoint_asof", "current_value",
-    "min_max_time", "load_min_max", "stat_block", "fn_all",
-    "bucket_minute30", "bucket_hour", "bucket_day", "bucket_week",
-    "bucket_month", "bucket_hour_salted", "scheme_resolve", "erase_old_check",
+    "min_max_time", "stat_block", "fn_all",
+    "bucket_hour", "bucket_day",
+    "bucket_hour_salted", "scheme_resolve", "erase_old_check",
+    # round-2 additions (4): iterative k-means + the curation trio
+    "ext_sim_kmeans", "ext_decontaminate", "ext_text_gopher_quality",
+    "ext_text_ngram_lm",
     # round-1 hash-fails, fixed this round (2)
     "ext_profile_documents", "ext_sessionize",
     # dedup (6)

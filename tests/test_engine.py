@@ -628,3 +628,50 @@ def test_streaming_dedup_exact_matches_batch_distinct(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(map(tuple, spark.table("dedup_t2").collect())) == batch
+
+
+def test_ohlc_and_counter_rate_hand_computed(spark):
+    """OHLC bars and counter-reset rate on purpose-built series."""
+    minute = 60_000
+    rows = [  # one series, one hour bucket: open=5, high=9, low=2, close=7
+        (3, T0 + 1 * minute, 5.0, 1),
+        (3, T0 + 10 * minute, 9.0, 1),
+        (3, T0 + 20 * minute, 2.0, 1),
+        (3, T0 + 30 * minute, 7.0, 1),
+        # second bucket: single sample → open=high=low=close
+        (3, T0 + 70 * minute, 4.0, 1),
+    ]
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            rows, "id bigint, time bigint, value double, flag bigint"
+        ),
+    )
+    bars = eng.ohlc(3_600_000, [3], T0, T0 + 2 * 3_600_000).collect()
+    assert [
+        (r.bucket_ms, r.open, r.high, r.low, r.close, r.n_samples)
+        for r in bars
+    ] == [
+        (T0, 5.0, 9.0, 2.0, 7.0, 4),
+        (T0 + 3_600_000, 4.0, 4.0, 4.0, 4.0, 1),
+    ]
+
+    # counter: 10 → 25 → 3 (reset!) → 8; increases 15, 3, 5
+    rows = [
+        (4, T0, 10.0, 1),
+        (4, T0 + 1000, 25.0, 1),
+        (4, T0 + 2000, 3.0, 1),
+        (4, T0 + 3000, 8.0, 1),
+    ]
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            rows, "id bigint, time bigint, value double, flag bigint"
+        ),
+    )
+    cr = eng.counter_rate([4], T0, T0 + 10_000).collect()
+    assert [(r.time, r.increase, r.rate_per_s) for r in cr] == [
+        (T0 + 1000, 15.0, 15.0),
+        (T0 + 2000, 3.0, 3.0),
+        (T0 + 3000, 5.0, 5.0),
+    ]

@@ -175,3 +175,34 @@ def test_salted_paths_bound_skew_on_hot_key(spark):
         )
     )
     assert salted_j == plain_j
+
+
+def test_kmeans_estep_is_zero_shuffle(spark, oracle_sf_dir):
+    """The k-means assignment inlines driver-side centroids as literals,
+    so the final E-step plan has NO aggregation exchange — the only
+    Exchange allowed is the presentation orderBy's range partitioning."""
+    from dariadb_spark.ext.similarity import sim_kmeans
+
+    plan = (
+        sim_kmeans(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
+    assert "array_max" in plan
+
+
+def test_decontaminate_eval_side_broadcasts(spark, oracle_sf_dir):
+    """The eval shingle set must reach the train side as a broadcast —
+    a shuffled join here would move the whole training corpus's shingle
+    stream through an extra exchange at 100 TB."""
+    from dariadb_spark.ext.curation import decontaminate
+
+    plan = (
+        decontaminate(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
