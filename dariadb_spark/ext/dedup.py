@@ -417,7 +417,7 @@ CC_DRIVER_EDGE_THRESHOLD = 1_000_000
 #: size — so they persist() once per (session, dataset); single slot, a
 #: different dataset evicts the previous. This is exactly what a real
 #: pipeline does: materialize the label table once, join it everywhere.
-_LABELS_MEMO: dict[tuple[int, str], DataFrame] = {}
+_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
@@ -435,7 +435,9 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     propagation (the standard GraphFrames-style CC) takes over; at
     100 TB with billions of candidate pairs that is the path taken.
     """
-    key = (id(spark), sf)
+    # applicationId (not id(spark)): object addresses can be reused by a
+    # later session, which would hand out a DataFrame bound to a dead one
+    key = (spark.sparkContext.applicationId, sf)
     memo = _LABELS_MEMO.get(key)
     if memo is not None:
         return memo

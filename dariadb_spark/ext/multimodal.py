@@ -144,5 +144,71 @@ SELECT doc_id, media_type, CAST(unnest(range(n_frames)) AS INT) AS frame_idx,
 FROM d ORDER BY doc_id, frame_idx"""
 
 
+RESIZE_MAX_SIDE = 224  # fit-within target (preserve aspect, never upscale)
+
+
+def media_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize planning over decoded frames: target dimensions that fit
+    each frame inside RESIZE_MAX_SIDE² preserving aspect ratio (never
+    upscaling) + the scale factor — the arithmetic a preprocessing
+    pipeline runs before the actual pixel resample. Runs on the
+    mapInPandas decode output; the resize math itself is JVM expressions
+    (the pixel work would live in the same decode UDF — stubbed like
+    ``decode_media``)."""
+    frames = media_frames(spark, sf)
+    maxd = F.greatest(F.col("width"), F.col("height"))
+    scale = F.when(
+        maxd <= RESIZE_MAX_SIDE, F.lit(1.0)
+    ).otherwise(F.lit(float(RESIZE_MAX_SIDE)) / maxd)
+    return (
+        frames.select(
+            "doc_id",
+            "media_type",
+            "frame_idx",
+            "width",
+            "height",
+            F.round(scale, 6).alias("scale"),
+            F.floor(F.col("width") * F.round(scale, 6))
+            .cast("int")
+            .alias("target_w"),
+            F.floor(F.col("height") * F.round(scale, 6))
+            .cast("int")
+            .alias("target_h"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         sha256(text) AS h
+  FROM documents),
+d AS (
+  SELECT doc_id, media_type,
+         16 * (1 + CAST(('0x' || h[1:2]) AS INT) % 64) AS width,
+         16 * (1 + CAST(('0x' || h[3:4]) AS INT) % 64) AS height,
+         CASE WHEN media_type = 'image' THEN 1
+              ELSE 1 + CAST(('0x' || h[5:6]) AS INT) % 4 END AS n_frames
+  FROM m),
+f AS (
+  SELECT doc_id, media_type,
+         CAST(unnest(range(n_frames)) AS INT) AS frame_idx,
+         CAST(width AS INT) AS width, CAST(height AS INT) AS height
+  FROM d),
+s AS (
+  SELECT *, round(CASE WHEN greatest(width, height) <= {RESIZE_MAX_SIDE}
+                       THEN 1.0
+                       ELSE {float(RESIZE_MAX_SIDE)} / greatest(width, height)
+                  END, 6) AS scale
+  FROM f)
+SELECT doc_id, media_type, frame_idx, width, height, scale,
+       CAST(floor(width * scale) AS INT) AS target_w,
+       CAST(floor(height * scale) AS INT) AS target_h
+FROM s ORDER BY doc_id, frame_idx"""
+
+
 register("ext_media_meta", media_meta, MEDIA_META_SQL)
 register("ext_media_frames", media_frames, MEDIA_FRAMES_SQL)
+register("ext_media_resize_plan", media_resize_plan, MEDIA_RESIZE_SQL)

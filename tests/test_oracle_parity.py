@@ -72,7 +72,7 @@ def test_components_memo_reused_by_curate(spark, oracle_sf_dir):
     labels = D.dedup_components(spark, oracle_sf_dir)
     assert D.dedup_components(spark, oracle_sf_dir) is labels
     # the composed pipeline sees the same object through the memo
-    key = (id(spark), oracle_sf_dir)
+    key = (spark.sparkContext.applicationId, oracle_sf_dir)
     assert D._LABELS_MEMO[key] is labels
     rows = D.curate_corpus(spark, oracle_sf_dir).collect()
     assert len(rows) > 0
