@@ -675,3 +675,31 @@ def test_ohlc_and_counter_rate_hand_computed(spark):
         (T0 + 2000, 3.0, 3.0),
         (T0 + 3000, 5.0, 5.0),
     ]
+
+
+def test_downsample_floors_negative_times(spark):
+    """Pre-1970 (negative epoch-ms) samples must land in the bucket that
+    STARTS at or before them — pmod floor semantics, not Spark's
+    truncate-toward-zero %. (ADVICE round 1: `time - time % width` put
+    negative times in the bucket after them.)"""
+    hour = 3_600_000
+    rows = [
+        (0, -hour - 1, 1.0, 1),   # → bucket [-2h, -1h)
+        (0, -hour, 2.0, 1),       # exactly on a boundary → bucket -1h
+        (0, -1, 3.0, 1),          # → bucket [-1h, 0)
+        (0, 0, 4.0, 1),           # → bucket 0
+        (0, 1, 5.0, 1),           # → bucket 0
+    ]
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            rows, "id bigint, time bigint, value double, flag bigint"
+        ),
+    )
+    got = {r.bucket_ms: (r.cnt, r.min_value, r.max_value)
+           for r in eng.downsample("hour").collect()}
+    assert got == {
+        -2 * hour: (1, 1.0, 1.0),
+        -hour: (2, 2.0, 3.0),
+        0: (2, 4.0, 5.0),
+    }
