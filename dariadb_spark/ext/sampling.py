@@ -160,6 +160,95 @@ SELECT lang, shard, count(*) AS n_docs,
 FROM assigned GROUP BY lang, shard ORDER BY lang, shard"""
 
 
+# --- temperature-balanced multilingual sampling ---------------------------
+
+TEMP_SEED_OFFSET = 777_777  # decorrelates from splitter + sampler
+TEMP_TARGET_FRAC = 0.2  # expected kept fraction of the whole corpus
+#: α = 0.5 (p_l ∝ n_l^α) — sqrt specifically: it is CORRECTLY ROUNDED in
+#: IEEE 754 (unlike pow(x, 0.7), whose libm results can differ by an ulp
+#: between engines), so the per-language rates match DuckDB bit-for-bit.
+
+
+def sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature sampling across languages (the XLM-R/mT5 rebalance):
+    keep documents with probability r_l chosen so each language's share
+    of the sample follows p_l ∝ sqrt(n_l) instead of n_l — upweighting
+    low-resource languages — with the total kept fraction ≈
+    TEMP_TARGET_FRAC. Deterministic: the keep decision is the Knuth hash
+    of doc_id against the per-language rate, so the sample is stable
+    across runs/engines.
+
+    Plan shape: language counts are a vocabulary-sized aggregate,
+    broadcast back; the keep decision is then a pushable per-row filter
+    — the corpus scans once, the text never shuffles."""
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = counts.agg(
+        F.sum("n_l").alias("n_total"),
+        F.round(F.sum(F.sqrt("n_l")), 6).alias("sum_sqrt"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.least(
+            F.lit(1.0),
+            F.lit(TEMP_TARGET_FRAC)
+            * F.col("n_total")
+            * F.sqrt("n_l")
+            / F.col("sum_sqrt")
+            / F.col("n_l"),
+        ).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .where(
+            _pct_f(F.col("doc_id"), TEMP_SEED_OFFSET)
+            < F.col("rate") * 100.0
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("min_doc_id"))
+        .join(rates, "lang")
+        .select(
+            "lang",
+            "n_l",
+            F.round("rate", 6).alias("rate"),
+            "n_sampled",
+            "min_doc_id",
+        )
+        .orderBy("lang")
+    )
+
+
+def _pct_f(key: Column, offset: int) -> Column:
+    """Hash percentile as a fine-grained fraction in [0, 100): modulo
+    10⁶ scaled down, so fractional per-language rates resolve (the
+    coarse ``% 100`` bucket would quantize rates to whole percents)."""
+    return (((key + offset) * KNUTH) % MOD32 % 1_000_000) / 10_000.0
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total,
+               round(sum(sqrt(n_l)), 6) AS sum_sqrt FROM counts),
+rates AS (
+  SELECT lang, n_l,
+         least(1.0, {TEMP_TARGET_FRAC} * n_total * sqrt(n_l)
+                    / sum_sqrt / n_l) AS rate
+  FROM counts, tot),
+kept AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE ((((d.doc_id + {TEMP_SEED_OFFSET}) * {KNUTH}) % {MOD32})
+         % 1000000) / 10000.0 < r.rate * 100.0)
+SELECT k.lang, r.n_l, round(r.rate, 6) AS rate,
+       count(*) AS n_sampled, min(k.doc_id) AS min_doc_id
+FROM kept k JOIN rates r ON k.lang = r.lang
+GROUP BY k.lang, r.n_l, r.rate ORDER BY k.lang"""
+
+
 register("ext_split_train_test", split_train_test, SPLIT_SQL)
+register("ext_sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_SQL)
 register("ext_sample_stratified", sample_stratified, SAMPLE_SQL)
 register("ext_pack_shards", pack_shards, PACK_SHARDS_SQL)
