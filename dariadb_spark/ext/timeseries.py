@@ -830,8 +830,74 @@ SELECT id, time, value, dt_ms,
 FROM d WHERE dt_ms IS NOT NULL ORDER BY id, time"""
 
 
+# --- robust per-series statistics -----------------------------------------
+
+def robust_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlier-resistant per-series statistics: median, MAD (median
+    absolute deviation), IQR, and the p05/p95-winsorized mean — what a
+    monitoring pipeline uses instead of mean/sigma when spikes pollute
+    the plain moments. Two aggregates on the ``id`` clustering key (the
+    quantile pass, then the deviation pass over the joined medians) —
+    both shuffle-free on a bucketed-by-id table.
+
+    Parity recipe: every quantile is round(·,4) before reuse, the
+    winsorized mean is round(sum,6)/count over values clipped against
+    the ROUNDED bounds — all downstream arithmetic is then identical
+    IEEE ops on identical doubles in both engines."""
+    base = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    q = base.groupBy("id").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med"),
+        F.round(F.expr("percentile(value, 0.05)"), 4).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("q3"),
+    )
+    clip = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        base.join(q, "id")
+        .groupBy("id", "med", "q1", "q3")
+        .agg(
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 4).alias(
+                "mad"
+            ),
+            (F.round(F.sum(clip), 6) / F.count("*")).alias("winsorized_mean"),
+        )
+        .select(
+            "id",
+            "med",
+            "mad",
+            "q1",
+            "q3",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            "winsorized_mean",
+        )
+        .orderBy("id")
+    )
+
+
+ROBUST_STATS_SQL = f"""WITH {MEAS_CTE_SQL},
+base AS (SELECT id, value FROM measurements WHERE {_interval_sql()}),
+q AS (
+  SELECT id,
+         round(quantile_cont(value, 0.5), 4) AS med,
+         round(quantile_cont(value, 0.05), 4) AS p05,
+         round(quantile_cont(value, 0.95), 4) AS p95,
+         round(quantile_cont(value, 0.25), 4) AS q1,
+         round(quantile_cont(value, 0.75), 4) AS q3
+  FROM base GROUP BY id)
+SELECT b.id AS id, q.med AS med,
+       round(quantile_cont(abs(b.value - q.med), 0.5), 4) AS mad,
+       q.q1 AS q1, q.q3 AS q3, q.q3 - q.q1 AS iqr,
+       round(sum(least(greatest(b.value, q.p05), q.p95)), 6) / count(*)
+         AS winsorized_mean
+FROM base b JOIN q ON b.id = q.id
+GROUP BY b.id, q.med, q.q1, q.q3, q.p05, q.p95
+ORDER BY id"""
+
+
 register("ext_ohlc", ohlc_bars, OHLC_SQL)
 register("ext_counter_rate", counter_rate, COUNTER_RATE_SQL)
+register("ext_robust_stats", robust_stats, ROBUST_STATS_SQL)
 register("ext_hopping_window", hopping_window, HOPPING_WINDOW_SQL)
 register("ext_unpivot_flags", unpivot_flags, UNPIVOT_FLAGS_SQL)
 register("ext_ewma", ewma, EWMA_SQL)
