@@ -262,6 +262,79 @@ FROM j WHERE side = 1 ORDER BY id, time, value, flag"""
 register("ext_asof_join", asof_join_q, ASOF_JOIN_SQL)
 
 
+# --- nearest-as-of join with tolerance ------------------------------------
+
+NEAREST_TOL_MS = 12 * 3_600_000  # ±12 h (fixture series are hours apart)
+
+
+def asof_nearest_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Enrich every error event with the CLOSEST purchase within ±12 h
+    (before or after; tie → earlier) — merge_asof(direction="nearest")
+    via operators/asof_join.py nearest_join (union + two window passes,
+    one shuffle, no range join)."""
+    from dariadb_spark.operators.asof_join import nearest_join
+    from dariadb_spark.operators.resample import dedup_lww
+
+    meas = measurements(spark, sf)
+    errors = read_interval(meas, IDS, FROM_MS, TO_MS, 16)
+    purchases = dedup_lww(read_interval(meas, IDS, FROM_MS, TO_MS, 8))
+    return nearest_join(errors, purchases, NEAREST_TOL_MS)
+
+
+ASOF_NEAREST_SQL = f"""WITH {MEAS_CTE_SQL},
+l AS (SELECT id, time, value, flag FROM measurements
+      WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+        AND ((flag & 16) = 16)),
+r AS (SELECT id, time, value FROM (
+        SELECT id, time, value,
+               row_number() OVER (PARTITION BY id, time
+                                  ORDER BY value DESC, flag DESC) AS rn
+        FROM measurements
+        WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+          AND ((flag & 8) = 8)) WHERE rn = 1),
+u AS (
+  SELECT id, time AS t, 1 AS side, value, flag,
+         CAST(NULL AS DOUBLE) AS rv FROM l
+  UNION ALL
+  SELECT id, time, 0, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+         value FROM r),
+enr AS (
+  SELECT id, t, side, value, flag,
+         last_value(rv IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY t, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY t, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(rv IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY t ASC, side DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
+           PARTITION BY id ORDER BY t ASC, side DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM u),
+picked AS (
+  SELECT id, t, value, flag,
+         (prev_t IS NOT NULL AND t - prev_t <= {NEAREST_TOL_MS}) AS prev_ok,
+         (next_t IS NOT NULL AND next_t - t <= {NEAREST_TOL_MS}) AS next_ok,
+         prev_t, prev_v, next_t, next_v
+  FROM enr WHERE side = 1),
+sel AS (
+  SELECT id, t, value, flag,
+         CASE WHEN prev_ok AND (NOT next_ok OR t - prev_t <= next_t - t)
+              THEN prev_t WHEN next_ok THEN next_t END AS nearest_time,
+         CASE WHEN prev_ok AND (NOT next_ok OR t - prev_t <= next_t - t)
+              THEN prev_v WHEN next_ok THEN next_v END AS nearest_value
+  FROM picked)
+SELECT id, t AS time, value, flag, nearest_time, nearest_value,
+       CASE WHEN nearest_time IS NOT NULL
+            THEN abs(t - nearest_time) END AS dist_ms
+FROM sel ORDER BY id, time, value, flag"""
+
+
+register("ext_asof_nearest", asof_nearest_q, ASOF_NEAREST_SQL)
+
+
 # --- sessionization (gaps-and-islands) ------------------------------------
 
 SESSION_GAP_MS = 30 * 60_000  # 30 min of silence ends a session

@@ -65,3 +65,70 @@ def asof_join(
         .drop("_side")
         .orderBy("id", "time", "value", "flag")
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance_ms: int,
+) -> DataFrame:
+    """For each left row: the right row of the same id whose time is
+    CLOSEST (before or after) within ``tolerance_ms``; ties between an
+    equally-distant earlier and later sample resolve to the EARLIER one
+    (pandas ``merge_asof(direction="nearest")`` semantics). Rows with no
+    right sample in tolerance keep NULLs.
+
+    Same union+two-window-passes shape as interpolation: a forward
+    IGNORE NULLS pass carries the previous right sample, a backward pass
+    the next — one shuffle on ``id``, linear state, no range join. The
+    right side must be unique per (id, time) (apply ``dedup_lww`` first);
+    an exactly-simultaneous right row is distance 0 via the prev pass.
+    """
+    lt = left.select(
+        "id", F.col("time").alias("t"), F.lit(1).alias("_side"),
+        "value", "flag",
+        F.lit(None).cast("double").alias("_rv"),
+    )
+    rt = right.select(
+        "id", F.col("time").alias("t"), F.lit(0).alias("_side"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("bigint").alias("flag"),
+        F.col("value").alias("_rv"),
+    )
+    u = lt.unionByName(rt)
+    t_if_right = F.when(F.col("_side") == 0, F.col("t"))
+    wf = Window.partitionBy("id").orderBy("t", "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = Window.partitionBy("id").orderBy(
+        F.col("t").asc(), F.col("_side").desc()
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    enriched = u.select(
+        "id", "t", "_side", "value", "flag",
+        F.last("_rv", ignorenulls=True).over(wf).alias("prev_v"),
+        F.last(t_if_right, ignorenulls=True).over(wf).alias("prev_t"),
+        F.first("_rv", ignorenulls=True).over(wb).alias("next_v"),
+        F.first(t_if_right, ignorenulls=True).over(wb).alias("next_t"),
+    )
+    d_prev = F.col("t") - F.col("prev_t")  # >= 0
+    d_next = F.col("next_t") - F.col("t")  # >= 0
+    prev_ok = F.col("prev_t").isNotNull() & (d_prev <= tolerance_ms)
+    next_ok = F.col("next_t").isNotNull() & (d_next <= tolerance_ms)
+    use_prev = prev_ok & (~next_ok | (d_prev <= d_next))  # tie → earlier
+    nearest_t = F.when(use_prev, F.col("prev_t")).when(next_ok, F.col("next_t"))
+    nearest_v = F.when(use_prev, F.col("prev_v")).when(next_ok, F.col("next_v"))
+    return (
+        enriched.where(F.col("_side") == 1)
+        .select(
+            "id",
+            F.col("t").alias("time"),
+            "value",
+            "flag",
+            nearest_t.alias("nearest_time"),
+            nearest_v.alias("nearest_value"),
+            F.when(
+                nearest_t.isNotNull(), F.abs(F.col("t") - nearest_t)
+            ).alias("dist_ms"),
+        )
+        .orderBy("id", "time", "value", "flag")
+    )
