@@ -56,7 +56,9 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     sh = _shingled(load_table(spark, sf, "documents"))
     ex = sh.select(
         "doc_id",
-        F.size("shingles").alias("n_shingles"),
+        # bigint: DuckDB len() is BIGINT while F.size is int32 — a driver
+        # that compares Arrow dtypes (not just Python values) would flag it
+        F.size("shingles").cast("long").alias("n_shingles"),
         F.explode("shingles").alias("s"),
     ).selectExpr("doc_id", "n_shingles", f"{_h60_spark('s')} AS h")
     hold = (

@@ -233,15 +233,20 @@ WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
 tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total,
                round(sum(sqrt(n_l)), 6) AS sum_sqrt FROM counts),
 rates AS (
+  -- CAST AS DOUBLE: DuckDB parses bare 0.2/100.0/10000.0 as exact
+  -- DECIMAL while Spark uses DOUBLE; identical IEEE sequences are
+  -- required for the boundary keep decisions + round(rate, 6) to match
   SELECT lang, n_l,
-         least(1.0, {TEMP_TARGET_FRAC} * n_total * sqrt(n_l)
+         least(CAST(1.0 AS DOUBLE),
+               CAST({TEMP_TARGET_FRAC} AS DOUBLE) * n_total * sqrt(n_l)
                     / sum_sqrt / n_l) AS rate
   FROM counts, tot),
 kept AS (
   SELECT d.lang, d.doc_id
   FROM documents d JOIN rates r ON d.lang = r.lang
   WHERE ((((d.doc_id + {TEMP_SEED_OFFSET}) * {KNUTH}) % {MOD32})
-         % 1000000) / 10000.0 < r.rate * 100.0)
+         % 1000000) / CAST(10000.0 AS DOUBLE)
+        < r.rate * CAST(100.0 AS DOUBLE))
 SELECT k.lang, r.n_l, round(r.rate, 6) AS rate,
        count(*) AS n_sampled, min(k.doc_id) AS min_doc_id
 FROM kept k JOIN rates r ON k.lang = r.lang

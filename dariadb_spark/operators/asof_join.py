@@ -54,12 +54,22 @@ def asof_join(
         .orderBy("time", "_side", "_rv", "_rt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry (value, time) as ONE struct through a single IGNORE NULLS
+    # pass: two independent passes over _rv and _rt would disagree when a
+    # right row has a NULL value (the value pass skips it, the time pass
+    # doesn't), pairing a value and a time from different right rows
+    carried = F.last(
+        F.when(
+            F.col("_side") == 0, F.struct(F.col("_rv"), F.col("_rt"))
+        ),
+        ignorenulls=True,
+    ).over(w)
     return (
         lt.unionByName(rt)
         .select(
             "id", "time", "value", "flag", "_side",
-            F.last("_rv", ignorenulls=True).over(w).alias(value_alias),
-            F.last("_rt", ignorenulls=True).over(w).alias(time_alias),
+            carried["_rv"].alias(value_alias),
+            carried["_rt"].alias(time_alias),
         )
         .where(F.col("_side") == 1)
         .drop("_side")
@@ -96,19 +106,27 @@ def nearest_join(
         F.col("value").alias("_rv"),
     )
     u = lt.unionByName(rt)
-    t_if_right = F.when(F.col("_side") == 0, F.col("t"))
+    # one struct per direction (not independent _rv / t passes): a right
+    # row with NULL value must contribute its time AND its null value as
+    # one unit, never a time from one row paired with a value from another
+    r_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("t").alias("rt"), F.col("_rv").alias("rv")),
+    )
     wf = Window.partitionBy("id").orderBy("t", "_side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     wb = Window.partitionBy("id").orderBy(
         F.col("t").asc(), F.col("_side").desc()
     ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev = F.last(r_struct, ignorenulls=True).over(wf)
+    nxt = F.first(r_struct, ignorenulls=True).over(wb)
     enriched = u.select(
         "id", "t", "_side", "value", "flag",
-        F.last("_rv", ignorenulls=True).over(wf).alias("prev_v"),
-        F.last(t_if_right, ignorenulls=True).over(wf).alias("prev_t"),
-        F.first("_rv", ignorenulls=True).over(wb).alias("next_v"),
-        F.first(t_if_right, ignorenulls=True).over(wb).alias("next_t"),
+        prev["rv"].alias("prev_v"),
+        prev["rt"].alias("prev_t"),
+        nxt["rv"].alias("next_v"),
+        nxt["rt"].alias("next_t"),
     )
     d_prev = F.col("t") - F.col("prev_t")  # >= 0
     d_next = F.col("next_t") - F.col("t")  # >= 0

@@ -121,22 +121,77 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     )
 
 
-def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
-    """Fold all partials into one partial per (id, bucket) — raw moments
+def last_committed_batch(checkpoint_dir: str) -> int:
+    """Highest micro-batch id the streaming checkpoint has COMMITTED
+    (Structured Streaming writes ``<checkpoint>/commits/<batchId>`` only
+    after the batch's foreachBatch completed and the offset is sealed).
+    Returns -1 when nothing has committed yet."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    best = -1
+    if os.path.isdir(commits):
+        for name in os.listdir(commits):
+            if name.isdigit():
+                best = max(best, int(name))
+    return best
+
+
+def compact_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Fold partials into one partial per (id, bucket) — raw moments
     kept raw so the layer stays mergeable.
 
-    Swap order: write the merged layer to a tmp dir, rename the live dir
-    ASIDE, move tmp into place, then delete the aside dir. A crash
-    between the two renames leaves the aside dir intact (recoverable by
-    renaming it back), never a lost layer. The swap is still not atomic
-    for CONCURRENT readers — a reader listing mid-swap can fail and must
-    retry; single-compactor + retry-on-read is the documented contract
-    (same as ParquetTsStore.compact)."""
+    Replay safety: foreachBatch is at-least-once, so a batch dir can
+    exist whose checkpoint commit never landed (crash between the
+    parquet write and the commit file). Folding such a dir and deleting
+    it would double-count when the restarted stream replays the batch on
+    top of the compacted layer. With ``checkpoint_dir`` given, only
+    ``batch_id=N`` dirs with ``N <= last_committed_batch()`` are folded —
+    uncommitted dirs are left in place, where the replay's
+    ``mode("overwrite")`` keeps them idempotent. Without
+    ``checkpoint_dir`` every dir folds; that is only safe after a clean
+    stream stop (the original, still-supported contract).
+
+    Swap order: write the merged layer to a tmp dir, move the folded
+    inputs ASIDE, move tmp into place, then delete the aside dir. A
+    crash between the moves leaves the aside dir intact (recoverable),
+    never a lost layer. The swap is still not atomic for CONCURRENT
+    readers — a reader listing mid-swap can fail and must retry;
+    single-compactor + retry-on-read is the documented contract (same
+    as ParquetTsStore.compact)."""
+    import os
     import shutil
     import uuid
 
+    cutoff = (
+        last_committed_batch(checkpoint_dir)
+        if checkpoint_dir is not None
+        else None
+    )
+    foldable: list[str] = []
+    for name in sorted(os.listdir(rollup_dir)):
+        path = os.path.join(rollup_dir, name)
+        if name.startswith("batch_id="):
+            bid = name.split("=", 1)[1]
+            if cutoff is not None and (not bid.isdigit() or int(bid) > cutoff):
+                continue  # uncommitted (or alien) — replay may recreate it
+            foldable.append(path)
+        elif name.startswith("compacted_") or name.endswith(".parquet"):
+            foldable.append(path)  # prior compact output always folds
+    if len(foldable) < 2:
+        return  # nothing to merge
+
     merged = (
-        _read_partials(spark, rollup_dir)
+        spark.read.schema(
+            "id bigint, bucket_ms bigint, _cnt bigint, _sum double, "
+            "_min double, _max double"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(*foldable)
         .groupBy("id", "bucket_ms")
         .agg(
             F.sum("_cnt").alias("_cnt"),
@@ -153,6 +208,8 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
     # the coalesce and let the write keep its natural partitioning
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     aside = f"{rollup_dir}__old_{token}"
-    shutil.move(rollup_dir, aside)
-    shutil.move(tmp, rollup_dir)
+    os.makedirs(aside)
+    for path in foldable:
+        shutil.move(path, aside)
+    shutil.move(tmp, os.path.join(rollup_dir, f"compacted_{token}"))
     shutil.rmtree(aside)

@@ -287,6 +287,29 @@ def test_asof_join_semantics(spark):
     assert out[(2, 100)] == (None, None)  # no right rows for this id
 
 
+def test_asof_and_nearest_null_right_values_stay_paired(spark):
+    """Round-2 ADVICE regression: a right row with a NULL value must
+    contribute its (time, value) as ONE unit. With independent IGNORE
+    NULLS passes the value pass skips the null row while the time pass
+    counts it, pairing a stale value with a newer time."""
+    from dariadb_spark.operators.asof_join import asof_join, nearest_join
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, time bigint, value double, flag bigint"
+        )
+
+    left = mk([(1, 300, 10.0, 1)])
+    right = mk([(1, 100, 7.0, 2), (1, 250, None, 2)])
+
+    a = asof_join(left, right, "rv", "rt").collect()[0]
+    # latest right row at-or-before 300 is (250, NULL) — both fields from it
+    assert (a.rt, a.rv) == (250, None)
+
+    n = nearest_join(left, right, tolerance_ms=1000).collect()[0]
+    assert (n.nearest_time, n.nearest_value, n.dist_ms) == (250, None, 50)
+
+
 def test_scheme_catalog_roundtrip(spark, tmp_path):
     from dariadb_spark.scheme import SeriesCatalog
 
@@ -481,6 +504,61 @@ def test_streaming_rollup_incremental_merge_and_compact(spark, tmp_path):
     )
     assert n_files_after < n_files_before
     assert sorted(map(tuple, read_rollup(spark, rollup_dir).collect())) == batch2
+
+
+def test_rollup_compact_skips_uncommitted_batch(spark, tmp_path):
+    """At-least-once replay race (round-2 ADVICE): a batch dir written
+    but never checkpoint-committed must NOT be folded by compaction —
+    otherwise the restarted stream's replay recreates it and its
+    partials double-count on top of the compacted layer. With the
+    checkpoint dir passed, compact folds only committed batches; the
+    replay's overwrite of the surviving dir stays idempotent."""
+    import glob
+    import shutil
+
+    from dariadb_spark.streaming.rollup import (
+        compact_rollup,
+        last_committed_batch,
+        read_rollup,
+        streaming_rollup,
+    )
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    grid = _grid()
+
+    eng.append(grid[:40])
+    q = streaming_rollup(spark, str(eng.store.data_dir), rollup_dir, ckpt, "day")
+    q.awaitTermination(120)
+    eng.append(grid[40:])
+    q = streaming_rollup(spark, str(eng.store.data_dir), rollup_dir, ckpt, "day")
+    q.awaitTermination(120)
+    committed = last_committed_batch(ckpt)
+    assert committed >= 1
+
+    # simulate the crash: batch_id=<committed+1> written, commit file never
+    # landed (clone a real batch dir so the partials are well-formed)
+    uncommitted = f"{rollup_dir}/batch_id={committed + 1}"
+    shutil.copytree(f"{rollup_dir}/batch_id={committed}", uncommitted)
+    before = sorted(map(tuple, read_rollup(spark, rollup_dir).collect()))
+
+    compact_rollup(spark, rollup_dir, checkpoint_dir=ckpt)
+    # the uncommitted dir survived; committed dirs folded away
+    assert glob.glob(f"{uncommitted}/*.parquet")
+    assert not glob.glob(f"{rollup_dir}/batch_id={committed}")
+    assert sorted(map(tuple, read_rollup(spark, rollup_dir).collect())) == before
+
+    # the replay: same batch id, same rows, mode("overwrite") — values
+    # must not double-count on top of the compacted layer (materialize
+    # the rows first: the real replay recomputes from source, it does
+    # not lazily read the dir it is overwriting)
+    replay_df = spark.read.parquet(uncommitted)
+    rows = replay_df.collect()
+    spark.createDataFrame(rows, replay_df.schema).write.mode(
+        "overwrite"
+    ).parquet(uncommitted)
+    assert sorted(map(tuple, read_rollup(spark, rollup_dir).collect())) == before
 
 
 def test_analytic_verbs_hand_computed(spark):
