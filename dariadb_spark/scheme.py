@@ -53,6 +53,24 @@ class SeriesCatalog:
         self._persist()
         return series_id
 
+    def register_bulk(self, mapping: DataFrame) -> None:
+        """Absorb a :func:`~dariadb_spark.operators.downsample.
+        derived_id_mapping` frame: bind every (base, id) and
+        (dname, derived_id) pair not yet in the catalog. The collect is
+        catalog-sized (one row per series, never per measurement); a
+        deployment whose catalog outgrows the driver keeps the mapping
+        as a table and skips this sync."""
+        rows = mapping.select("id", "base", "dname", "derived_id").collect()
+        for r in rows:
+            for name, sid in ((r.base, r.id), (r.dname, r.derived_id)):
+                existing = self._name_to_id.get(name)
+                if existing is not None and existing != int(sid):
+                    raise ValueError(
+                        f"{name!r} already bound to id {existing}, not {sid}"
+                    )
+                self._name_to_id[name] = int(sid)
+        self._persist()
+
     def _persist(self) -> None:
         if self.path:
             self.path.write_text(json.dumps(self._name_to_id))

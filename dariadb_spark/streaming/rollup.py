@@ -121,6 +121,39 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     )
 
 
+def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming parity (round-2 VERDICT item 3): run the
+    REAL incremental pipeline — two checkpointed availableNow streaming
+    runs over the fixture split at a fixed timestamp, then a
+    committed-batch-guarded compaction — and return the merge-on-read
+    rollup. The oracle is the plain batch ``downsample('day')`` SQL:
+    partials re-aggregate associatively, so streaming ingest must
+    reproduce the batch block bit-for-bit under the round(sum,6)/count
+    recipe. Upgrades T1/T3/T5 (streaming maintenance, SURVEY §2.8) from
+    pytest-only to a hash-checked driver CORRECTNESS row.
+
+    The scratch dirs live under the OS tmp dir for the life of the
+    process (the returned DataFrame lazily reads the rollup dir, so it
+    cannot be deleted here)."""
+    import tempfile
+
+    from dariadb_spark.model import measurements
+
+    base = tempfile.mkdtemp(prefix="dariadb_stream_parity_")
+    data_dir = f"{base}/data"
+    rollup_dir = f"{base}/rollup"
+    ckpt = f"{base}/ckpt"
+    split_ms = 1_705_276_800_000  # 2024-01-15 — mid-fixture
+    m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
+
+    m.where(F.col("time") < split_ms).write.parquet(data_dir)
+    streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day").awaitTermination(600)
+    m.where(F.col("time") >= split_ms).write.mode("append").parquet(data_dir)
+    streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day").awaitTermination(600)
+    compact_rollup(spark, rollup_dir, checkpoint_dir=ckpt)
+    return read_rollup(spark, rollup_dir)
+
+
 def last_committed_batch(checkpoint_dir: str) -> int:
     """Highest micro-batch id the streaming checkpoint has COMMITTED
     (Structured Streaming writes ``<checkpoint>/commits/<batchId>`` only

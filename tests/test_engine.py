@@ -266,6 +266,15 @@ def test_downsample_to_series_derived_names(spark, tmp_path):
         assert rows[day_start] == sum(vals) / len(vals)
     # derived rows are flag=0 synthesized measurements
     assert all(r.flag == 0 for r in derived.collect())
+    # rerun is idempotent: the distributed allocator resolves the derived
+    # names to their EXISTING catalog ids (no fresh allocation drift)
+    again = eng.downsample_to_series("average", "day")
+    assert did in {r.id for r in again.select("id").distinct().collect()}
+    assert eng.scheme.id_by_param("series1.average.day") == did
+    # first-run allocation sat strictly above every then-existing source id
+    grid_max = max(r[0] for r in _grid())
+    first_ids = {r.id for r in derived.select("id").distinct().collect()}
+    assert min(first_ids) > grid_max
 
 
 def test_asof_join_semantics(spark):
