@@ -1,0 +1,120 @@
+"""Scale-stress bench for the ADAPTIVE fallback paths — the branches the
+100 TB design rests on but that fixture scale factors never trigger:
+
+* ``_cc_label_propagation`` — distributed connected components, taken
+  above ``CC_DRIVER_EDGE_THRESHOLD`` (1M pair-graph edges). Stressed
+  with a synthetic 1.2M-edge / 1.2M-node hub graph (12k star
+  components, diameter 2 → min-label propagation converges in ~3
+  rounds, which is the shape a dedup pair graph has: shallow, not
+  chain-like).
+* ``_ngram_jaccard_prefix`` — PPJoin-style prefix filtering, taken
+  above ``NGRAM_PREFIX_DOC_THRESHOLD`` (100k documents). Stressed with
+  a synthetic 120k-doc corpus built as 60k near-duplicate pairs (each
+  even/odd pair shares 10 of 11 word 3-gram shingles → Jaccard 10/12 ≈
+  0.83 ≥ 0.5), so candidate generation, verification, AND the expected
+  pair count are all exercised end-to-end.
+
+Prints ONE JSON line mirroring bench.py's shape:
+{"metric": "stress_wall_clock", "value": total_sec, "unit": "sec",
+ "queries": {...}, "edges": N, "docs": N}. Wall-times are recorded in
+BASELINE.md; correctness of both paths vs their small-scale twins is
+pinned by tests (tests/test_dedup.py cross-checks), this file measures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import dariadb_spark.registry  # noqa: E402,F401  (ext import order: entering
+# an ext module before the registry finishes its ext-import block hits the
+# documented circular-import edge; loading the registry first settles it)
+from dariadb_spark.session import get_spark  # noqa: E402
+
+CC_EDGES = 1_200_000
+CC_HUB = 100  # nodes per star component
+PPJOIN_DOCS = 120_000
+
+
+def stress_cc(spark) -> tuple[float, int]:
+    from dariadb_spark.ext.dedup import (
+        CC_DRIVER_EDGE_THRESHOLD,
+        _cc_label_propagation,
+    )
+
+    assert CC_EDGES > CC_DRIVER_EDGE_THRESHOLD
+    # star components: node i → hub (i // CC_HUB) * CC_HUB
+    pairs = spark.range(CC_EDGES).selectExpr(
+        f"(id DIV {CC_HUB}) * {CC_HUB} AS doc_a", "id AS doc_b"
+    ).where("doc_a <> doc_b")
+    t0 = time.perf_counter()
+    labels = _cc_label_propagation(spark, pairs)
+    n = labels.count()
+    secs = time.perf_counter() - t0
+    # every node labeled with its component min = its hub
+    bad = labels.where(
+        F.col("canonical_id") != (F.col("doc_id") - F.col("doc_id") % CC_HUB)
+    ).count()
+    assert bad == 0, f"{bad} nodes mislabeled"
+    assert n == CC_EDGES  # every node in 0..CC_EDGES-1 is labeled
+    return secs, n
+
+
+def stress_ppjoin(spark) -> tuple[float, int]:
+    from dariadb_spark.ext.dedup import (
+        NGRAM_PREFIX_DOC_THRESHOLD,
+        _ngram_jaccard_prefix,
+    )
+
+    assert PPJOIN_DOCS > NGRAM_PREFIX_DOC_THRESHOLD
+    # 13 words per doc; even/odd neighbors share the first 12 words
+    # (10 common shingles of each one's 11) and differ in the last →
+    # J = 10/12 ≈ 0.83. Word ids are globally unique per pair, so
+    # cross-pair shingle collisions are impossible and the expected
+    # near-dup pair count is exactly PPJOIN_DOCS / 2.
+    docs = spark.range(PPJOIN_DOCS).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 11), "
+        "j -> concat('w', CAST((id DIV 2) * 100 + j AS STRING))), "
+        "concat('t', CAST(id AS STRING))) AS text",
+    )
+    t0 = time.perf_counter()
+    n = _ngram_jaccard_prefix(docs).count()
+    secs = time.perf_counter() - t0
+    assert n == PPJOIN_DOCS // 2, f"expected {PPJOIN_DOCS // 2} pairs, got {n}"
+    return secs, n
+
+
+def main() -> None:
+    spark = get_spark("dariadb-bench-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    cc_s, cc_n = stress_cc(spark)
+    pp_s, pp_n = stress_ppjoin(spark)
+    print(
+        json.dumps(
+            {
+                "metric": "stress_wall_clock",
+                "value": round(cc_s + pp_s, 4),
+                "unit": "sec",
+                "queries": {
+                    "cc_label_propagation_1m2_edges": round(cc_s, 4),
+                    "ppjoin_prefix_120k_docs": round(pp_s, 4),
+                },
+                "edges": CC_EDGES,
+                "docs": PPJOIN_DOCS,
+                "cc_labels": cc_n,
+                "ppjoin_pairs": pp_n,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
