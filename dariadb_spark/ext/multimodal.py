@@ -50,9 +50,10 @@ def media_table(spark: SparkSession, sf: str) -> DataFrame:
 
 def decode_media(payload: bytes, media_type: str) -> list[tuple[int, int, int, int]]:
     """STUB decoder — deterministic fake dimensions derived from the
-    payload hash. A real deployment replaces this body with PIL/ffmpeg:
-
-        raise NotImplementedError("install pillow/av and decode here")
+    payload hash, so the registered query keeps a SQL oracle. The REAL
+    codec path is :func:`decode_media_real` (PIL when installed, stdlib
+    PNG header parse otherwise) — same signature, swappable via
+    ``decode_frames(..., decoder=decode_media_real)``.
 
     Returns [(frame_idx, width, height, n_channels), ...].
     """
@@ -64,12 +65,56 @@ def decode_media(payload: bytes, media_type: str) -> list[tuple[int, int, int, i
     return [(i, width, height, channels) for i in range(n_frames)]
 
 
-def media_frames(spark: SparkSession, sf: str) -> DataFrame:
-    """Decode / frame-sample via mapInPandas: Arrow batches stream through
-    Python once, emitting one row per decoded frame. At 100 TB the input
-    is repartitioned so each task holds a bounded number of payloads —
+#: PNG color type → sample channels (PNG spec §11.2.2, public W3C REC)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_media_real(
+    payload: bytes, media_type: str
+) -> list[tuple[int, int, int, int]]:
+    """REAL codec branch: PIL when installed (any format it reads,
+    multi-frame aware); otherwise a stdlib parse of the PNG IHDR header
+    (signature + width/height/color-type — enough for the frame-metadata
+    contract without any dependency). Raises ValueError for payloads
+    neither path can decode, so callers can route to the stub or a
+    quarantine lane. Same return shape as :func:`decode_media`."""
+    try:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            n_frames = int(getattr(im, "n_frames", 1))
+            channels = len(im.getbands())
+            return [
+                (i, im.width, im.height, channels) for i in range(n_frames)
+            ]
+    except ImportError:
+        pass
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        import struct
+
+        width, height = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        return [(0, width, height, _PNG_CHANNELS[color_type])]
+    raise ValueError(
+        f"cannot decode {media_type!r} payload: install pillow or "
+        "provide PNG bytes"
+    )
+
+
+def decode_frames(media: DataFrame, decoder=None) -> DataFrame:
+    """The decode plumbing over ANY media frame (doc_id, media_type,
+    payload, ...): mapInPandas, Arrow batches stream through Python once,
+    emitting one row per decoded frame. At 100 TB the input is
+    repartitioned so each task holds a bounded number of payloads —
     decode parallelism == task parallelism, no shuffle of the binary
-    payloads themselves afterwards (only the small frame metadata)."""
+    payloads themselves afterwards (only the small frame metadata).
+
+    ``decoder`` defaults to the deterministic stub (oracle-checkable);
+    pass :func:`decode_media_real` to run the PIL/PNG codec path through
+    the identical plumbing."""
+    decode = decoder or decode_media
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,7 +122,7 @@ def media_frames(spark: SparkSession, sf: str) -> DataFrame:
             for doc_id, mtype, payload in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
-                for idx, w, h, c in decode_media(bytes(payload), mtype):
+                for idx, w, h, c in decode(bytes(payload), mtype):
                     out.append((doc_id, mtype, idx, w, h, c))
             yield pd.DataFrame(
                 out,
@@ -87,11 +132,15 @@ def media_frames(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             )
 
-    return (
-        media_table(spark, sf)
-        .mapInPandas(decode_batches, FRAME_SCHEMA)
-        .orderBy("doc_id", "frame_idx")
+    return media.mapInPandas(decode_batches, FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
     )
+
+
+def media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame metadata for the synthesized fixture media table (stub
+    decoder → SQL-oracle-checkable; see :func:`decode_frames`)."""
+    return decode_frames(media_table(spark, sf))
 
 
 def media_meta(spark: SparkSession, sf: str) -> DataFrame:
