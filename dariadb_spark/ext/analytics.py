@@ -462,6 +462,99 @@ SELECT id, value AS mode_value, cnt AS mode_cnt
 FROM ranked WHERE rk = 1 ORDER BY id"""
 
 
+# --- retention cohorts + ordered funnel (event analytics) -----------------
+
+_DAY_MS = 86_400_000
+
+
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic cohort retention: bucket every user by their FIRST active
+    day, then count distinct users per (cohort_day, day_offset). Two
+    shuffles — the per-user min (on id, the clustering key) and the final
+    small-key-space count; the broadcast of the per-user cohort table
+    keeps the fact side shuffle-free for the join. At 100 TB the cohort
+    table is |users| rows (dimension-sized), exactly a broadcast dim."""
+    meas = measurements(spark, sf)
+    days = meas.select(
+        "id", (F.col("time") - F.pmod(F.col("time"), F.lit(_DAY_MS))).alias("day")
+    )
+    cohort = days.groupBy("id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(cohort), "id")
+        .groupBy(
+            "cohort_day",
+            ((F.col("day") - F.col("cohort_day")) / _DAY_MS)
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+RETENTION_SQL = f"""WITH {MEAS_CTE_SQL},
+days AS (SELECT id, time - ((time % {_DAY_MS}) + {_DAY_MS}) % {_DAY_MS} AS day
+         FROM measurements),
+cohort AS (SELECT id, min(day) AS cohort_day FROM days GROUP BY id)
+SELECT c.cohort_day AS cohort_day,
+       CAST((d.day - c.cohort_day) / {_DAY_MS} AS BIGINT) AS day_offset,
+       count(DISTINCT d.id) AS n_users
+FROM days d JOIN cohort c ON d.id = c.id
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset"""
+
+#: funnel stages as flag codes (FIXTURES.md): view → click → purchase
+_FUNNEL = (2, 1, 8)
+
+
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered three-stage funnel: a user converts stage n only with an
+    event of that stage AT OR AFTER their earliest stage-(n-1)
+    conversion time (strictly ordered funnels are this with >). Each
+    stage is one conditional aggregate over the fact table joined to the
+    previous stage's per-user times — the broadcast-dim shape again; no
+    window over the raw events."""
+    meas = measurements(spark, sf)
+    s1 = meas.where(F.col("flag") == _FUNNEL[0]).groupBy("id").agg(
+        F.min("time").alias("t1")
+    )
+    s2 = (
+        meas.where(F.col("flag") == _FUNNEL[1])
+        .join(F.broadcast(s1), "id")
+        .where(F.col("time") >= F.col("t1"))
+        .groupBy("id")
+        .agg(F.min("time").alias("t2"))
+    )
+    s3 = (
+        meas.where(F.col("flag") == _FUNNEL[2])
+        .join(F.broadcast(s2), "id")
+        .where(F.col("time") >= F.col("t2"))
+        .groupBy("id")
+        .agg(F.min("time").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("stage1_users"))
+        .crossJoin(s2.agg(F.count("*").alias("stage2_users")))
+        .crossJoin(s3.agg(F.count("*").alias("stage3_users")))
+    )
+
+
+FUNNEL_SQL = f"""WITH {MEAS_CTE_SQL},
+s1 AS (SELECT id, min(time) AS t1 FROM measurements
+       WHERE flag = {_FUNNEL[0]} GROUP BY id),
+s2 AS (SELECT m.id, min(m.time) AS t2 FROM measurements m
+       JOIN s1 ON m.id = s1.id
+       WHERE m.flag = {_FUNNEL[1]} AND m.time >= s1.t1 GROUP BY m.id),
+s3 AS (SELECT m.id, min(m.time) AS t3 FROM measurements m
+       JOIN s2 ON m.id = s2.id
+       WHERE m.flag = {_FUNNEL[2]} AND m.time >= s2.t2 GROUP BY m.id)
+SELECT (SELECT count(*) FROM s1) AS stage1_users,
+       (SELECT count(*) FROM s2) AS stage2_users,
+       (SELECT count(*) FROM s3) AS stage3_users"""
+
+
+register("ext_retention_cohorts", retention_cohorts, RETENTION_SQL)
+register("ext_funnel_conversion", funnel_conversion, FUNNEL_SQL)
 register("ext_value_cdf", value_cdf, VALUE_CDF_SQL)
 register("ext_series_mode", series_mode, SERIES_MODE_SQL)
 

@@ -253,7 +253,55 @@ FROM kept k JOIN rates r ON k.lang = r.lang
 GROUP BY k.lang, r.n_l, r.rate ORDER BY k.lang"""
 
 
+# --- deterministic per-stratum reservoir (exact k) ------------------------
+
+RESERVOIR_K = 20
+RESERVOIR_SEED_OFFSET = 424_242  # decorrelates from the other samplers
+
+
+def sample_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k-per-stratum sample (the "give me exactly 20 docs per
+    language" ask rate-based sampling can't answer): rank documents
+    inside each language by their Knuth hash and keep the first k. The
+    hash order is a uniform random permutation to any observer but pure
+    arithmetic to the engines, so the sample is reproducible and
+    oracle-checkable. One shuffle on lang (the rank window); the text
+    column is never read. At 100 TB with a hot stratum, rank via
+    per-partition top-k first (the same two-stage trick as
+    salted_downsample) — k rows survive per partition before the final
+    window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    key = F.pmod(
+        (F.col("doc_id") + F.lit(RESERVOIR_SEED_OFFSET)) * F.lit(KNUTH),
+        F.lit(MOD32),
+    )
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+SAMPLE_RESERVOIR_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id + {RESERVOIR_SEED_OFFSET}) * {KNUTH}) % {MOD32},
+                    doc_id
+         ) AS rk
+  FROM documents)
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {RESERVOIR_K}
+ORDER BY lang, rk"""
+
+
 register("ext_split_train_test", split_train_test, SPLIT_SQL)
+register("ext_sample_reservoir", sample_reservoir, SAMPLE_RESERVOIR_SQL)
 register("ext_sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_SQL)
 register("ext_sample_stratified", sample_stratified, SAMPLE_SQL)
 register("ext_pack_shards", pack_shards, PACK_SHARDS_SQL)

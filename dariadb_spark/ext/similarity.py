@@ -518,6 +518,65 @@ a2 AS (SELECT vec_id, cid, s AS score FROM (
 SELECT vec_id, cid, score FROM a2 ORDER BY vec_id"""
 
 
+# --- int8 embedding quantization ------------------------------------------
+
+def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization stats per vector — the compression
+    step an ANN index applies before storing 100 TB of embeddings
+    (scale = 127/max|x|, q = round(x·scale)). Stateless per-row JVM
+    expressions (transform/aggregate on the array column): zero
+    shuffle, zero Python. Outputs are integer-exact (sum of quantized
+    ints, clip count) plus one deterministic double (the scale), so
+    cross-engine parity is bitwise rather than tolerance-based."""
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.selectExpr(
+            "vec_id",
+            "CAST(size(embedding) AS BIGINT) AS n_dims",
+            "CAST(127.0 AS DOUBLE)"
+            " / array_max(transform(embedding,"
+            " x -> abs(CAST(x AS DOUBLE)))) AS scale",
+            "embedding",
+        )
+        .selectExpr(
+            "vec_id",
+            "n_dims",
+            "scale",
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS q",
+        )
+        .selectExpr(
+            "vec_id",
+            "n_dims",
+            "round(scale, 6) AS scale",
+            "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sum_q",
+            "CAST(size(filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_clipped",
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """WITH base AS (
+  SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS n_dims,
+         CAST(127.0 AS DOUBLE)
+           / list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings),
+quant AS (
+  SELECT vec_id, n_dims, scale,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * scale)
+                                  AS BIGINT)) AS q
+  FROM base)
+SELECT vec_id, n_dims, round(scale, 6) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_clipped
+FROM quant ORDER BY vec_id"""
+
+
+register("ext_embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_SQL)
 register("ext_embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL)
 register("ext_sim_kmeans", sim_kmeans, SIM_KMEANS_SQL)
 register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)

@@ -895,6 +895,82 @@ GROUP BY b.id, q.med, q.q1, q.q3, q.p05, q.p95
 ORDER BY id"""
 
 
+# --- CUSUM changepoint detection ------------------------------------------
+
+def changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint score per series: the classic max-|cumulative
+    deviation from the mean| statistic, with the argmax timestamp — the
+    location a level shift most likely occurred (Page 1954's cumulative
+    sum test, the standard first-pass changepoint detector).
+
+    Exact-integer formulation for cross-engine parity: with values on a
+    2-decimal fixture grid, v_cents = round(100·value) is integer, and
+    the deviation statistic multiplied through by n —
+    ``D_k = n·S_k − k·T`` (S_k = prefix sum of cents, T = total cents) —
+    is pure BIGINT arithmetic: no float accumulation order anywhere.
+    The reported score rescales once: max|D_k| / (100·n). One window
+    shuffle on id (the clustering key); prefix sums are linear state.
+    """
+    base = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w_ord = (
+        Window.partitionBy("id")
+        .orderBy("time", "value", "flag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("id")
+    scored = base.select(
+        "id",
+        "time",
+        F.sum(cents).over(w_ord).alias("s_k"),
+        F.row_number()
+        .over(Window.partitionBy("id").orderBy("time", "value", "flag"))
+        .cast("long")
+        .alias("k"),
+        F.sum(cents).over(w_all).alias("t_total"),
+        F.count("*").over(w_all).alias("n"),
+    ).withColumn(
+        "abs_d", F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("t_total"))
+    )
+    pick = Window.partitionBy("id").orderBy(
+        F.col("abs_d").desc(), F.col("time").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "id",
+            "n",
+            (F.col("abs_d") / (F.col("n") * 100.0)).alias("cusum_score"),
+            F.col("time").alias("changepoint_time"),
+        )
+        .orderBy("id")
+    )
+
+
+CUSUM_SQL = f"""WITH {MEAS_CTE_SQL},
+base AS (SELECT id, time, value, flag,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM measurements WHERE {_interval_sql()}),
+pre AS (
+  SELECT id, time,
+         sum(cents) OVER (PARTITION BY id ORDER BY time, value, flag
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY time, value, flag)
+              AS BIGINT) AS k,
+         sum(cents) OVER (PARTITION BY id) AS t_total,
+         count(*) OVER (PARTITION BY id) AS n
+  FROM base),
+scored AS (
+  SELECT id, time, n, abs(n * s_k - k * t_total) AS abs_d,
+         row_number() OVER (PARTITION BY id ORDER BY abs(n * s_k - k * t_total) DESC,
+                            time ASC) AS rn
+  FROM pre)
+SELECT id, n, abs_d / (n * 100.0) AS cusum_score, time AS changepoint_time
+FROM scored WHERE rn = 1 ORDER BY id"""
+
+
+register("ext_changepoint_cusum", changepoint_cusum, CUSUM_SQL)
 register("ext_ohlc", ohlc_bars, OHLC_SQL)
 register("ext_counter_rate", counter_rate, COUNTER_RATE_SQL)
 register("ext_robust_stats", robust_stats, ROBUST_STATS_SQL)

@@ -316,6 +316,44 @@ def _streaming_rollup_parity(spark: SparkSession, sf: str) -> DataFrame:
 
 register("streaming_rollup_parity", _streaming_rollup_parity, _bucket_oracle("day"))
 
+# --- W2: derived-series downsample with distributed id allocation --------
+
+def _derived_series(spark: SparkSession, sf: str) -> DataFrame:
+    """scheme/scheme.cpp derived parameters (``param.average.day``) as a
+    driver-checked query: a FRESH catalog per call, so every source id
+    binds a synthetic ``series<id>`` name and every derived id allocates
+    distributedly above the source-id max — semantics the oracle
+    reproduces exactly (join + row_number over the name order)."""
+    from dariadb_spark.operators.downsample import downsample_to_series
+    from dariadb_spark.scheme import SeriesCatalog
+
+    cat = SeriesCatalog(spark)
+    return downsample_to_series(
+        measurements(spark, sf), cat, "average", "day", sync_catalog=False
+    ).orderBy("id", "time")
+
+
+register(
+    "ext_derived_series",
+    _derived_series,
+    f"""WITH {MEAS_CTE_SQL},
+ids AS (SELECT DISTINCT id FROM measurements),
+mx AS (SELECT CAST(max(id) AS BIGINT) AS max_id FROM ids),
+alloc AS (
+  SELECT id, max_id + row_number() OVER (
+      ORDER BY concat('series', CAST(id AS VARCHAR), '.average.day')
+  ) AS derived_id
+  FROM ids, mx),
+agg AS (
+  SELECT id, {bucket_sql('day')} AS bucket_ms,
+         (round(sum(value), 6) / count(value)) AS value
+  FROM measurements GROUP BY id, bucket_ms)
+SELECT a.derived_id AS id, g.bucket_ms AS time,
+       CAST(g.value AS DOUBLE) AS value, CAST(0 AS BIGINT) AS flag
+FROM agg g JOIN alloc a ON g.id = a.id
+ORDER BY id, time""",
+)
+
 # --- [EXT] modules register on import (import last: they need register) --
 
 from dariadb_spark.ext import relational as _ext_rel  # noqa: E402,F401
@@ -350,25 +388,28 @@ CHECK_WINDOW = [
     "ext_counter_rate", "ext_robust_stats", "ext_hopping_window",
     "ext_unpivot_flags", "ext_series_correlation", "ext_interpolate",
     "ext_histogram", "ext_range_context", "ext_sample_temperature",
-    # round-3 additions
-    "streaming_rollup_parity",
+    # round-3 additions (7) — driver-checked from day one (the round-2
+    # lesson: never ship a query outside the window)
+    "streaming_rollup_parity", "ext_derived_series", "ext_sample_reservoir",
+    "ext_retention_cohorts", "ext_funnel_conversion",
+    "ext_changepoint_cusum", "ext_embedding_quantize",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # rotation padding (24): round-1-green queries not re-attested since
-    # r1 (relational/analytics/timeseries EXT surface + the two bucket
-    # grains rotated out in r2)
+    # rotation padding (18): round-1-green queries not re-attested since
+    # r1 (relational/analytics EXT surface, one per family — the
+    # family-redundant rows rotate in a later round) + the calendar
+    # bucket grain rotated out in r2
     "ext_pricing_summary", "ext_revenue_by_nation",
     "ext_part_supplier_margin", "ext_repeat_customers",
     "ext_customers_semi", "ext_customers_anti", "ext_asof_join",
     "ext_join_salted", "ext_events_json", "ext_scalar_funcs",
-    "ext_distinct_agg", "ext_grouping_sets", "ext_rollup_orders",
-    "ext_cube_lineitem", "ext_set_intersect", "ext_set_except",
-    "ext_topk_customers", "ext_top_orders_per_cust", "ext_topk_per_series",
-    "ext_moving_avg", "ext_value_cdf", "ext_series_mode",
-    "ext_pivot_flags", "bucket_month",
+    "ext_distinct_agg", "ext_rollup_orders",
+    "ext_cube_lineitem", "ext_set_intersect",
+    "ext_topk_customers", "ext_top_orders_per_cust",
+    "ext_moving_avg", "bucket_month",
 ]
 
 
