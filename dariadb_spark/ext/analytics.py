@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from dariadb_spark.model import MEAS_CTE_SQL, load_table, measurements
 from dariadb_spark.operators.downsample import floor_bucket, floor_bucket_sql
-from dariadb_spark.operators.interval import read_interval
+from dariadb_spark.operators.interval import scan_interval
 from dariadb_spark.registry import (
     FROM_MS,
     IDS,
@@ -39,7 +39,7 @@ def moving_avg(spark: SparkSession, sf: str) -> DataFrame:
     """10-point trailing mean and first difference per series. One shuffle
     on `id` (the storage clustering key → shuffle-free on a bucketed
     table); the frame is evaluated in a single sorted pass per partition."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     w = Window.partitionBy("id").orderBy(*_ORD)
     frame = w.rowsBetween(-9, Window.currentRow)
     return meas.select(
@@ -77,7 +77,7 @@ ORDER BY id, time, value"""
 def topk_per_series(spark: SparkSession, sf: str) -> DataFrame:
     """Top-5 values per id in the interval via ranked window — at scale
     this is a partial top-k per partition then a merge (no full sort)."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     w = Window.partitionBy("id").orderBy(
         F.desc("value"), F.col("time"), F.col("flag")
     )
@@ -111,7 +111,7 @@ _DAY = 86_400_000
 def _active_days(spark: SparkSession, sf: str, flag: int) -> DataFrame:
     meas = measurements(spark, sf)
     return (
-        read_interval(meas, None, FROM_MS, TO_MS, flag)
+        scan_interval(meas, None, FROM_MS, TO_MS, flag)
         .select("id", floor_bucket(F.col("time"), _DAY).alias("day_ms"))
         .distinct()
     )
@@ -158,7 +158,7 @@ def distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Exact distinct-series cardinality per flag. At 100 TB swap
     `countDistinct` for `approx_count_distinct` (HLL, no expand) — exact
     kept here for oracle parity."""
-    meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
     return (
         meas.groupBy("flag")
         .agg(
@@ -228,8 +228,8 @@ def asof_join_q(spark: SparkSession, sf: str) -> DataFrame:
     from dariadb_spark.operators.asof_join import asof_join
 
     meas = measurements(spark, sf)
-    errors = read_interval(meas, IDS, FROM_MS, TO_MS, 16)
-    purchases = read_interval(meas, IDS, FROM_MS, TO_MS, 8)
+    errors = scan_interval(meas, IDS, FROM_MS, TO_MS, 16)
+    purchases = scan_interval(meas, IDS, FROM_MS, TO_MS, 8)
     return asof_join(errors, purchases, "last_purchase", "purchase_time")
 
 
@@ -276,8 +276,8 @@ def asof_nearest_q(spark: SparkSession, sf: str) -> DataFrame:
     from dariadb_spark.operators.resample import dedup_lww
 
     meas = measurements(spark, sf)
-    errors = read_interval(meas, IDS, FROM_MS, TO_MS, 16)
-    purchases = dedup_lww(read_interval(meas, IDS, FROM_MS, TO_MS, 8))
+    errors = scan_interval(meas, IDS, FROM_MS, TO_MS, 16)
+    purchases = dedup_lww(scan_interval(meas, IDS, FROM_MS, TO_MS, 8))
     return nearest_join(errors, purchases, NEAREST_TOL_MS)
 
 
@@ -347,7 +347,7 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
     clustering key), everything else window passes within the partition.
     Session boundaries depend only on the sorted time sequence, so
     equal-time tie order cannot change the result."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     w = Window.partitionBy("id").orderBy(*_ORD)
     run = Window.partitionBy("id").orderBy(*_ORD).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -410,7 +410,7 @@ def value_cdf(spark: SparkSession, sf: str) -> DataFrame:
     percent_rank (ties share rank) and cume_dist, both rank-only window
     functions: one shuffle on id, exact rational values ((rank−1)/(n−1),
     identical integer division in both engines, no rounding needed)."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     w = Window.partitionBy("id").orderBy("value")
     return meas.select(
         "id",
@@ -437,7 +437,7 @@ def series_mode(spark: SparkSession, sf: str) -> DataFrame:
     """Most frequent value per series (count desc, value asc tiebreak) —
     two aggregations, both with map-side partials; the candidate set
     after the first groupBy is |distinct values| per id, tiny."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     counts = meas.groupBy("id", "value").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("value"))
     return (
@@ -572,7 +572,7 @@ def pivot_flags(spark: SparkSession, sf: str) -> DataFrame:
     without it Spark runs an extra distinct-values job and the output
     schema becomes data-dependent (a schema drift hazard at 100 TB).
     Single shuffle on id; each cell is a map-side partial count."""
-    meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
     piv = (
         meas.groupBy("id")
         .pivot("flag", [f for f, _ in _FLAG_COLS])

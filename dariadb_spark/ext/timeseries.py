@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from dariadb_spark.model import MEAS_CTE_SQL, measurements
 from dariadb_spark.operators.downsample import floor_bucket, floor_bucket_sql
-from dariadb_spark.operators.interval import read_interval
+from dariadb_spark.operators.interval import scan_interval
 from dariadb_spark.operators.resample import (
     dedup_lww,
     gap_fill as _gap_fill,
@@ -162,7 +162,7 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-width value histogram over the interval (all series): one
     codegen'd bucket expression + one shuffle on the ~10-bucket key —
     map-side partial aggregation makes this scan-bound at any scale."""
-    meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
     bucket = F.floor(F.col("value") / HIST_WIDTH).cast("bigint")
     return (
         meas.groupBy(bucket.alias("bucket"))
@@ -202,7 +202,7 @@ def range_context(spark: SparkSession, sf: str) -> DataFrame:
     COVER the range exactly, and each context row matches through exactly
     one bucket (its own), so no dedup pass is needed. Equality join on
     (id, bucket) → sort-merge/hash, never a nested-loop cross product."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     errors = meas.where(F.col("flag").bitwiseAND(16) == 16)
     ctx = meas.select(
         "id",
@@ -249,7 +249,7 @@ def session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     closer than the 30-min gap merge; window end = last event + gap.
     Cross-checked against the gaps-and-islands formulation in the oracle
     (and against ext_sessionize, which builds islands by hand)."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     return (
         meas.groupBy(
             "id",
@@ -313,7 +313,7 @@ def anomaly_zscore_op(
     moments — the float-parity recipe (see downsample.py) — so the
     oracle's arithmetic is bit-identical: var = E[x²] − E[x]², clamped
     at 0 for the all-equal-window case."""
-    meas = read_interval(meas, ids, from_ms, to_ms, flag)
+    meas = scan_interval(meas, ids, from_ms, to_ms, flag)
     w = Window.partitionBy("id").orderBy("time", "value", "flag").rowsBetween(
         -window, -1
     )
@@ -380,7 +380,7 @@ def series_correlation(spark: SparkSession, sf: str) -> DataFrame:
     relative to the scan. Correlation is assembled from round(sum,6)-ed
     raw moments rather than corr() so both engines compute bit-identical
     doubles from identical inputs."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     hourly = (
         meas.groupBy(
             "id", floor_bucket(F.col("time"), HOUR_MS).alias("bucket_ms")
@@ -469,7 +469,7 @@ def time_weighted_avg_op(
     pre-dedup: within a (time, value, flag) tie group every member but
     the last holds for 0 ms — the total order makes that deterministic
     in both engines."""
-    meas = read_interval(meas, ids, from_ms, to_ms, flag)
+    meas = scan_interval(meas, ids, from_ms, to_ms, flag)
     w = Window.partitionBy("id").orderBy("time", "value", "flag")
     seg = meas.select(
         "id",
@@ -524,7 +524,7 @@ def rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     aggregates the raw measurements directly, so a hash-match PROVES the
     cascade is value-identical to single-pass aggregation (the
     round(sum,6) recipe absorbs the differing accumulation order)."""
-    meas = read_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
     hourly = meas.groupBy(
         "id", floor_bucket(F.col("time"), HOUR_MS).alias("hour_ms")
     ).agg(
@@ -574,7 +574,7 @@ def hopping_window(spark: SparkSession, sf: str) -> DataFrame:
     Expand replicates rows once per covering window before the single
     (id, window) shuffle). Oracle: a hopping window IS the union of
     width/slide shifted tumbling grids — two shifted bucketings."""
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     return (
         meas.groupBy(
             "id",
@@ -673,7 +673,7 @@ def ewma_op(
     flag: int = 0,
 ) -> DataFrame:
     """Parameterized EWMA core (also a TsEngine verb) — see :func:`ewma`."""
-    meas = read_interval(meas, ids, from_ms, to_ms, flag)
+    meas = scan_interval(meas, ids, from_ms, to_ms, flag)
     s = _interval_dedup(meas)
     w = Window.partitionBy("id").orderBy("time")
     num = None
@@ -735,7 +735,7 @@ def ohlc_op(
     ``max_by`` on the full (time, value, flag) total order — one shuffle,
     NO window sort (the scale-right plan: partial min_by/max_by combine
     map-side)."""
-    s = read_interval(meas, ids, from_ms, to_ms, flag)
+    s = scan_interval(meas, ids, from_ms, to_ms, flag)
     ord_key = F.struct("time", "value", "flag")
     return (
         s.groupBy("id", floor_bucket(F.col("time"), width_ms).alias("bucket_ms"))
@@ -787,7 +787,7 @@ def counter_rate_op(
     """Monotone-counter rate with reset handling: a negative delta means
     the counter restarted, so the increase is the new value itself (the
     PromQL ``rate()`` convention). One window pass per series."""
-    s = dedup_lww(read_interval(meas, ids, from_ms, to_ms, flag))
+    s = dedup_lww(scan_interval(meas, ids, from_ms, to_ms, flag))
     w = Window.partitionBy("id").orderBy("time")
     prev_t = F.lag("time", 1).over(w)
     prev_v = F.lag("value", 1).over(w)
@@ -844,7 +844,7 @@ def robust_stats(spark: SparkSession, sf: str) -> DataFrame:
     winsorized mean is round(sum,6)/count over values clipped against
     the ROUNDED bounds — all downstream arithmetic is then identical
     IEEE ops on identical doubles in both engines."""
-    base = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    base = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     q = base.groupBy("id").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("med"),
         F.round(F.expr("percentile(value, 0.05)"), 4).alias("p05"),
@@ -911,7 +911,7 @@ def changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     The reported score rescales once: max|D_k| / (100·n). One window
     shuffle on id (the clustering key); prefix sums are linear state.
     """
-    base = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    base = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     cents = F.round(F.col("value") * 100).cast("long")
     w_ord = (
         Window.partitionBy("id")

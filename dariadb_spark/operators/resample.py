@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dariadb_spark.operators.interval import read_interval
+from dariadb_spark.operators.interval import scan_interval
 
 
 def dedup_lww(meas: DataFrame) -> DataFrame:
@@ -42,7 +42,7 @@ def rate(
 ) -> DataFrame:
     """Per-series first derivative (value-units/second) between adjacent
     samples — the PromQL ``rate()`` analog over irregular timestamps."""
-    s = dedup_lww(read_interval(meas, ids, from_ms, to_ms, flag))
+    s = dedup_lww(scan_interval(meas, ids, from_ms, to_ms, flag))
     w = Window.partitionBy("id").orderBy("time")
     prev_t = F.lag("time", 1).over(w)
     prev_v = F.lag("value", 1).over(w)
@@ -89,7 +89,7 @@ def gap_fill(
     forward (LOCF) across empty buckets. ``is_observed`` = 0 marks
     filled rows; ``locf_value`` is NULL before the first sample."""
     grid = _grid(meas, ids, from_ms, to_ms, step_ms, "bucket_ms")
-    obs_src = read_interval(meas, ids, from_ms, to_ms, flag)
+    obs_src = scan_interval(meas, ids, from_ms, to_ms, flag)
     wb = Window.partitionBy("id", "bucket_ms").orderBy(
         F.desc("time"), F.desc("value"), F.desc("flag")
     )
@@ -143,7 +143,7 @@ def interpolate(
     Grid points outside the sampled range yield NULL — no extrapolation;
     exact-time hits return the sample value."""
     grid = _grid(meas, ids, from_ms, to_ms, step_ms, "t")
-    s = dedup_lww(read_interval(meas, ids, from_ms, to_ms, flag))
+    s = dedup_lww(scan_interval(meas, ids, from_ms, to_ms, flag))
     sam = s.select(
         "id", F.col("time").alias("t"), F.lit(0).alias("side"),
         F.col("value").alias("v"),

@@ -244,10 +244,14 @@ def _scheme_resolve(spark: SparkSession, sf: str) -> DataFrame:
 
     from dariadb_spark.scheme import SeriesCatalog
 
+    from dariadb_spark.operators.interval import scan_interval
+
     cat = SeriesCatalog(spark)
     for name in SCHEME_NAMES:  # ids assigned 0..14 in order (Scheme::addParam)
         cat.add_param(name)
-    meas = read_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    # unsorted scan: the groupBy below re-shuffles, a MeasArray sort here
+    # would be a thrown-away exchange
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
     return (
         cat.resolve(meas)
         .groupBy("name")
