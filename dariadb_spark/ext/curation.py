@@ -230,6 +230,83 @@ SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
 FROM with_tot WHERE c12 >= {LM_MIN_COUNT} ORDER BY w1, w2"""
 
 
+# --- LM-based OOV document filter -----------------------------------------
+
+#: keep a document iff at most half its bigrams are outside the pruned LM
+#: (integer comparison 2·n_oov ≤ n_bigrams — no float boundary anywhere)
+OOV_KEEP_NUM = 2
+
+
+def lm_oov_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-model-based quality filtering (the CCNet/Gopher "score
+    each doc against a corpus LM" step, with OOV fraction standing in
+    for perplexity so the statistic stays transcendental-free and
+    engine-exact): a document's bigrams are checked against the pruned
+    corpus bigram LM; docs whose out-of-vocabulary fraction exceeds 1/2
+    are dropped. The LM is vocabulary-sized → broadcast; the corpus
+    streams through one scan + one per-doc aggregate."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    w = "split(text, ' ')"
+    bi = docs.selectExpr(
+        "doc_id",
+        f"explode(zip_with(slice({w}, 1, size({w}) - 1), "
+        f"slice({w}, 2, size({w}) - 1), (x, y) -> struct(x AS w1, y AS w2)))"
+        " AS b",
+    ).select("doc_id", "b.w1", "b.w2")
+    lm = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= LM_MIN_COUNT)
+        .select("w1", "w2", F.lit(1).alias("_known"))
+    )
+    return (
+        bi.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("_known").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_bigrams"), 6).alias("oov_frac"),
+            F.when(
+                OOV_KEEP_NUM * F.col("n_oov") <= F.col("n_bigrams"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_OOV_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+bi AS (SELECT doc_id, u.b[1] AS w1, u.b[2] AS w2
+       FROM (SELECT doc_id, unnest([[w[i], w[i+1]]
+                                    for i in range(1, len(w))]) AS b
+             FROM d) u),
+lm AS (SELECT w1, w2 FROM (
+         SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2)
+       WHERE c12 >= {LM_MIN_COUNT}),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN l.w1 IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM bi b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  GROUP BY b.doc_id)
+SELECT doc_id, n_bigrams, CAST(n_oov AS BIGINT) AS n_oov,
+       round(n_oov / n_bigrams, 6) AS oov_frac,
+       CAST(CASE WHEN {OOV_KEEP_NUM} * n_oov <= n_bigrams
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM scored ORDER BY doc_id"""
+
+
+register("ext_lm_oov_filter", lm_oov_filter, LM_OOV_SQL)
 register("ext_decontaminate", decontaminate, DECONTAMINATE_SQL)
 register("ext_text_gopher_quality", text_gopher_quality, TEXT_GOPHER_QUALITY_SQL)
 register("ext_text_ngram_lm", text_ngram_lm, TEXT_NGRAM_LM_SQL)

@@ -970,6 +970,62 @@ SELECT id, n, abs_d / (n * 100.0) AS cusum_score, time AS changepoint_time
 FROM scored WHERE rn = 1 ORDER BY id"""
 
 
+# --- hour-of-day seasonal profile -----------------------------------------
+
+def seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Diurnal seasonality extraction: per (id, hour-of-day) mean and the
+    deviation of each hour from the series' overall mean — the naive
+    seasonal component of an STL-style decomposition, computed with pure
+    int64 bucket arithmetic (time is epoch-ms UTC, so hour-of-day is
+    ``time mod day / hour`` — no calendar/timezone functions). Two
+    aggregates over the same scan (per-hour and per-series), joined on
+    id; both shuffle partial-aggregated keys only."""
+    base = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    # integer division end-to-end: DuckDB CAST(double AS BIGINT) ROUNDS
+    # while Spark's cast truncates, so a float quotient here would shift
+    # boundary samples into the next hour on one engine only
+    hod = F.expr("pmod(time, 86400000) DIV 3600000")
+    per_hour = base.groupBy("id", hod.alias("hour_of_day")).agg(
+        F.count("value").alias("cnt"),
+        (F.round(F.sum("value"), 6) / F.count("value")).alias("hour_mean"),
+    )
+    overall = base.groupBy("id").agg(
+        (F.round(F.sum("value"), 6) / F.count("value")).alias("series_mean")
+    )
+    return (
+        per_hour.join(F.broadcast(overall), "id")
+        .select(
+            "id",
+            "hour_of_day",
+            "cnt",
+            "hour_mean",
+            F.round(F.col("hour_mean") - F.col("series_mean"), 6).alias(
+                "seasonal_dev"
+            ),
+        )
+        .orderBy("id", "hour_of_day")
+    )
+
+
+SEASONAL_SQL = f"""WITH {MEAS_CTE_SQL},
+base AS (SELECT id, time, value FROM measurements WHERE {_interval_sql()}),
+per_hour AS (
+  SELECT id,
+         (((time % 86400000) + 86400000) % 86400000) // 3600000
+           AS hour_of_day,
+         count(value) AS cnt,
+         (round(sum(value), 6) / count(value)) AS hour_mean
+  FROM base GROUP BY id, hour_of_day),
+overall AS (
+  SELECT id, (round(sum(value), 6) / count(value)) AS series_mean
+  FROM base GROUP BY id)
+SELECT p.id AS id, p.hour_of_day, p.cnt, p.hour_mean,
+       round(p.hour_mean - o.series_mean, 6) AS seasonal_dev
+FROM per_hour p JOIN overall o ON p.id = o.id
+ORDER BY id, hour_of_day"""
+
+
+register("ext_seasonal_profile", seasonal_profile, SEASONAL_SQL)
 register("ext_changepoint_cusum", changepoint_cusum, CUSUM_SQL)
 register("ext_ohlc", ohlc_bars, OHLC_SQL)
 register("ext_counter_rate", counter_rate, COUNTER_RATE_SQL)

@@ -397,22 +397,23 @@ CHECK_WINDOW = [
     "streaming_rollup_parity", "ext_derived_series", "ext_sample_reservoir",
     "ext_retention_cohorts", "ext_funnel_conversion",
     "ext_changepoint_cusum", "ext_embedding_quantize",
+    "ext_seasonal_profile", "ext_lm_oov_filter",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # rotation padding (18): round-1-green queries not re-attested since
+    # rotation padding (16): round-1-green queries not re-attested since
     # r1 (relational/analytics EXT surface, one per family — the
     # family-redundant rows rotate in a later round) + the calendar
     # bucket grain rotated out in r2
     "ext_pricing_summary", "ext_revenue_by_nation",
     "ext_part_supplier_margin", "ext_repeat_customers",
-    "ext_customers_semi", "ext_customers_anti", "ext_asof_join",
+    "ext_customers_semi", "ext_asof_join",
     "ext_join_salted", "ext_events_json", "ext_scalar_funcs",
     "ext_distinct_agg", "ext_rollup_orders",
     "ext_cube_lineitem", "ext_set_intersect",
-    "ext_topk_customers", "ext_top_orders_per_cust",
+    "ext_topk_customers",
     "ext_moving_avg", "bucket_month",
 ]
 
