@@ -1025,6 +1025,45 @@ FROM per_hour p JOIN overall o ON p.id = o.id
 ORDER BY id, hour_of_day"""
 
 
+# --- rolling median (robust smoother) -------------------------------------
+
+ROLL_FRAME = 9  # trailing frame: current row + 9 preceding
+
+
+def rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling median over a 10-sample trailing frame — the robust
+    smoother (median filter) used where a moving average would chase
+    outliers. Exact `percentile` as a window aggregate: selection-based,
+    so there is NO accumulation-order float noise to round away —
+    cross-engine parity is exact up to the shared linear-interpolation
+    formula (rounded at 4, same as fn_median). One shuffle on id."""
+    base = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    w = (
+        Window.partitionBy("id")
+        .orderBy("time", "value", "flag")
+        .rowsBetween(-ROLL_FRAME, Window.currentRow)
+    )
+    return base.select(
+        "id",
+        "time",
+        "value",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias(
+            "roll_median"
+        ),
+    ).orderBy("id", "time", "value")
+
+
+ROLLING_MEDIAN_SQL = f"""WITH {MEAS_CTE_SQL}
+SELECT id, time, value,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY id ORDER BY time, value, flag
+         ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW), 4)
+         AS roll_median
+FROM measurements WHERE {_interval_sql()}
+ORDER BY id, time, value"""
+
+
+register("ext_rolling_median", rolling_median, ROLLING_MEDIAN_SQL)
 register("ext_seasonal_profile", seasonal_profile, SEASONAL_SQL)
 register("ext_changepoint_cusum", changepoint_cusum, CUSUM_SQL)
 register("ext_ohlc", ohlc_bars, OHLC_SQL)

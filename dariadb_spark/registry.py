@@ -301,6 +301,67 @@ def _erase_old_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- T5: manifest/fsck observability (per-partition stats) ----------------
+
+_DAY_MS_ = 86_400_000
+
+
+def _partition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The fsck/manifest view (storage/manifest.cpp analog): per
+    day-partition row counts, series counts, and time bounds, plus the
+    containment invariant a store fsck asserts (every row's time inside
+    its partition's day). Pure map-side bucket arithmetic + one small-key
+    aggregate; this is the query an operator dashboards at 100 TB to
+    spot skewed or torn partitions."""
+    from pyspark.sql import functions as F
+
+    meas = measurements(spark, sf)
+    day = (F.col("time") - F.pmod(F.col("time"), F.lit(_DAY_MS_))).alias(
+        "day_ms"
+    )
+    return (
+        meas.groupBy(day)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("id").alias("n_series"),
+            F.min("time").alias("min_time"),
+            F.max("time").alias("max_time"),
+        )
+        .select(
+            "day_ms",
+            "n_rows",
+            "n_series",
+            "min_time",
+            "max_time",
+            F.when(
+                (F.col("min_time") >= F.col("day_ms"))
+                & (F.col("max_time") < F.col("day_ms") + _DAY_MS_),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("bounds_ok"),
+        )
+        .orderBy("day_ms")
+    )
+
+
+register(
+    "partition_stats",
+    _partition_stats,
+    f"""WITH {MEAS_CTE_SQL},
+p AS (
+  SELECT time - ((time % {_DAY_MS_}) + {_DAY_MS_}) % {_DAY_MS_} AS day_ms,
+         id, time
+  FROM measurements)
+SELECT day_ms, count(*) AS n_rows, count(DISTINCT id) AS n_series,
+       min(time) AS min_time, max(time) AS max_time,
+       CAST(CASE WHEN min(time) >= day_ms
+                  AND max(time) < day_ms + {_DAY_MS_}
+            THEN 1 ELSE 0 END AS BIGINT) AS bounds_ok
+FROM p GROUP BY day_ms ORDER BY day_ms""",
+)
+
 # --- flagship (driver smoke query) ---------------------------------------
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,17 +459,17 @@ CHECK_WINDOW = [
     "ext_retention_cohorts", "ext_funnel_conversion",
     "ext_changepoint_cusum", "ext_embedding_quantize",
     "ext_seasonal_profile", "ext_lm_oov_filter",
+    "ext_rolling_median", "partition_stats",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # rotation padding (16): round-1-green queries not re-attested since
+    # rotation padding (14): round-1-green queries not re-attested since
     # r1 (relational/analytics EXT surface, one per family — the
     # family-redundant rows rotate in a later round) + the calendar
     # bucket grain rotated out in r2
     "ext_pricing_summary", "ext_revenue_by_nation",
-    "ext_part_supplier_margin", "ext_repeat_customers",
     "ext_customers_semi", "ext_asof_join",
     "ext_join_salted", "ext_events_json", "ext_scalar_funcs",
     "ext_distinct_agg", "ext_rollup_orders",
