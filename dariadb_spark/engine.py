@@ -223,6 +223,64 @@ class TsEngine:
 
         return counter_rate_op(self.meas(), ids, from_ms, to_ms, flag)
 
+    def changepoint_cusum(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        """Per-series CUSUM changepoint score + argmax location
+        (ext/timeseries.py; integer-exact Page statistic)."""
+        from dariadb_spark.ext.timeseries import changepoint_cusum_op
+
+        return changepoint_cusum_op(self.meas(), ids, from_ms, to_ms, flag)
+
+    def seasonal_profile(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        """Hour-of-day seasonal means and deviations per series
+        (ext/timeseries.py)."""
+        from dariadb_spark.ext.timeseries import seasonal_profile_op
+
+        return seasonal_profile_op(self.meas(), ids, from_ms, to_ms, flag)
+
+    def rolling_median(
+        self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        """10-sample trailing median filter per series
+        (ext/timeseries.py)."""
+        from dariadb_spark.ext.timeseries import rolling_median_op
+
+        return rolling_median_op(self.meas(), ids, from_ms, to_ms, flag)
+
+    def partition_stats(self) -> DataFrame:
+        """Manifest/fsck view: per day-partition counts, time bounds,
+        and the containment invariant (registry.partition_stats shape)."""
+        from pyspark.sql import functions as F
+
+        day_ms = 86_400_000
+        meas = self.meas()
+        day = (F.col("time") - F.pmod(F.col("time"), F.lit(day_ms))).alias(
+            "day_ms"
+        )
+        return (
+            meas.groupBy(day)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("id").alias("n_series"),
+                F.min("time").alias("min_time"),
+                F.max("time").alias("max_time"),
+            )
+            .withColumn(
+                "bounds_ok",
+                F.when(
+                    (F.col("min_time") >= F.col("day_ms"))
+                    & (F.col("max_time") < F.col("day_ms") + day_ms),
+                    1,
+                )
+                .otherwise(0)
+                .cast("long"),
+            )
+            .orderBy("day_ms")
+        )
+
     def downsample_to_series(
         self, fn_name: str, interval: str, append: bool = False
     ) -> DataFrame:

@@ -897,7 +897,13 @@ ORDER BY id"""
 
 # --- CUSUM changepoint detection ------------------------------------------
 
-def changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+def changepoint_cusum_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
     """CUSUM changepoint score per series: the classic max-|cumulative
     deviation from the mean| statistic, with the argmax timestamp — the
     location a level shift most likely occurred (Page 1954's cumulative
@@ -911,7 +917,7 @@ def changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     The reported score rescales once: max|D_k| / (100·n). One window
     shuffle on id (the clustering key); prefix sums are linear state.
     """
-    base = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
     cents = F.round(F.col("value") * 100).cast("long")
     w_ord = (
         Window.partitionBy("id")
@@ -948,6 +954,13 @@ def changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Registered fixture query (see :func:`changepoint_cusum_op`)."""
+    return changepoint_cusum_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, 0
+    )
+
+
 CUSUM_SQL = f"""WITH {MEAS_CTE_SQL},
 base AS (SELECT id, time, value, flag,
                 CAST(round(value * 100) AS BIGINT) AS cents
@@ -972,7 +985,13 @@ FROM scored WHERE rn = 1 ORDER BY id"""
 
 # --- hour-of-day seasonal profile -----------------------------------------
 
-def seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+def seasonal_profile_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
     """Diurnal seasonality extraction: per (id, hour-of-day) mean and the
     deviation of each hour from the series' overall mean — the naive
     seasonal component of an STL-style decomposition, computed with pure
@@ -980,7 +999,7 @@ def seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
     ``time mod day / hour`` — no calendar/timezone functions). Two
     aggregates over the same scan (per-hour and per-series), joined on
     id; both shuffle partial-aggregated keys only."""
-    base = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
     # integer division end-to-end: DuckDB CAST(double AS BIGINT) ROUNDS
     # while Spark's cast truncates, so a float quotient here would shift
     # boundary samples into the next hour on one engine only
@@ -1007,6 +1026,11 @@ def seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Registered fixture query (see :func:`seasonal_profile_op`)."""
+    return seasonal_profile_op(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+
+
 SEASONAL_SQL = f"""WITH {MEAS_CTE_SQL},
 base AS (SELECT id, time, value FROM measurements WHERE {_interval_sql()}),
 per_hour AS (
@@ -1030,14 +1054,20 @@ ORDER BY id, hour_of_day"""
 ROLL_FRAME = 9  # trailing frame: current row + 9 preceding
 
 
-def rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+def rolling_median_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
     """Rolling median over a 10-sample trailing frame — the robust
     smoother (median filter) used where a moving average would chase
     outliers. Exact `percentile` as a window aggregate: selection-based,
     so there is NO accumulation-order float noise to round away —
     cross-engine parity is exact up to the shared linear-interpolation
     formula (rounded at 4, same as fn_median). One shuffle on id."""
-    base = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
     w = (
         Window.partitionBy("id")
         .orderBy("time", "value", "flag")
@@ -1051,6 +1081,11 @@ def rolling_median(spark: SparkSession, sf: str) -> DataFrame:
             "roll_median"
         ),
     ).orderBy("id", "time", "value")
+
+
+def rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Registered fixture query (see :func:`rolling_median_op`)."""
+    return rolling_median_op(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
 
 
 ROLLING_MEDIAN_SQL = f"""WITH {MEAS_CTE_SQL}

@@ -277,6 +277,47 @@ def test_downsample_to_series_derived_names(spark, tmp_path):
     assert min(first_ids) > grid_max
 
 
+def test_changepoint_seasonal_rolling_hand_computed(spark):
+    """Round-3 verbs on purpose-built series: a clean level shift puts
+    the CUSUM argmax exactly at the step; hour-of-day means recover the
+    planted diurnal pattern; the rolling median tracks the plateau."""
+    step_rows = [(7, T0 + k * 1000, 10.0 if k < 10 else 20.0, 1) for k in range(20)]
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            step_rows, "id bigint, time bigint, value double, flag bigint"
+        ),
+    )
+    cp = eng.changepoint_cusum([7], T0, T0 + 60_000).collect()[0]
+    # D_k = n*S_k - k*T peaks at the step boundary (k=10, the last 10.0):
+    # |20*10000 - 10*30000| cents = 100000 -> score 100000/(20*100) = 50
+    assert cp.changepoint_time == T0 + 9 * 1000
+    assert cp.cusum_score == 50.0
+
+    hour = 3_600_000
+    diurnal = [
+        (8, T0 + d * 86_400_000 + h * hour, 100.0 if h == 0 else 200.0, 1)
+        for d in range(3)
+        for h in (0, 1)
+    ]
+    eng2 = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            diurnal, "id bigint, time bigint, value double, flag bigint"
+        ),
+    )
+    prof = {
+        r.hour_of_day: (r.hour_mean, r.seasonal_dev)
+        for r in eng2.seasonal_profile([8], 0, 2**60).collect()
+    }
+    assert prof[0] == (100.0, -50.0) and prof[1] == (200.0, 50.0)
+
+    med = eng.rolling_median([7], T0, T0 + 60_000).collect()
+    # by the 15th sample the trailing-10 frame is majority 20.0
+    assert med[-1].roll_median == 20.0
+    assert med[0].roll_median == 10.0
+
+
 def test_decode_media_real_png(spark):
     """The real-codec branch (round-2 VERDICT item 6) decodes ACTUAL
     image bytes — a 3×2 RGB PNG built in-test — both directly and

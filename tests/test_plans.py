@@ -35,6 +35,20 @@ def test_resample_filters_reach_scan(spark, sf_dir, name):
     assert "LessThanOrEqual(ts," in pushed, pushed
 
 
+@pytest.mark.parametrize(
+    "name", ["ext_moving_avg", "ext_changepoint_cusum", "ext_seasonal_profile"]
+)
+def test_aggregating_scans_have_no_wasted_sort_exchange(spark, sf_dir, name):
+    """Round-3 guard: operators that aggregate/window immediately after
+    the interval scan must take scan_interval, not read_interval — the
+    MeasArray sort's range-partition exchange would be discarded by the
+    very next hash exchange (one full wasted shuffle of the scan).
+    rangepartitioning appears ONLY for the final presentation orderBy,
+    i.e. at most once per plan."""
+    plan = _plan(spark, sf_dir, name)
+    assert len(re.findall(r"rangepartitioning", plan)) <= 1, plan
+
+
 def test_range_context_is_equality_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_range_context")
     assert "BroadcastNestedLoopJoin" not in plan, plan
