@@ -207,25 +207,14 @@ ORDER BY doc_a, doc_b"""
 
 # --- MinHash + LSH (approximate scale path, exact oracle) -----------------
 
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """shingle → 60-bit md5 hash → 64 affine permutations min-folded into
-    a signature → 16 bands of 4 → bucket join for candidates → exact
-    Jaccard verification. Everything JVM-side (codegen'd expressions);
-    signatures are constant-size so the shuffle is O(docs), not
-    O(shingle instances) — this is the 100 TB plan.
+def _minhash_bands(sh: DataFrame) -> tuple[DataFrame, list[str]]:
+    """(doc_id, band, r0..r{rpb-1}) LSH band rows + the band join key.
 
-    Every stage is deterministic integer/md5 arithmetic expressible in
-    ANSI SQL, so the DuckDB oracle mirrors the WHOLE pipeline — including
-    candidate generation — and the hash check is exact (no recall caveat;
-    bands join on the raw 4-tuples of minhash values, not an
-    engine-specific hash of them).
-    """
-    sh = _shingled(load_table(spark, sf, "documents"))
-    # Explode shingles and fold each permutation as a codegen'd min()
-    # aggregate with map-side partial aggregation — the signature build is
-    # one shuffle of (doc, 64×int64), never materializing per-row lambda
-    # folds (higher-order folds are interpreted and get re-inlined by
-    # projection collapse — pathologically slow for 64 permutations).
+    Explodes shingles and folds each permutation as a codegen'd min()
+    aggregate with map-side partial aggregation — the signature build is
+    one shuffle of (doc, 64×int64), never materializing per-row lambda
+    folds (higher-order folds are interpreted and get re-inlined by
+    projection collapse — pathologically slow for 64 permutations)."""
     hv = sh.select(
         "doc_id", F.explode("shingles").alias("s")
     ).selectExpr("doc_id", f"{_h60_spark('s')} % {MERSENNE_P} AS h")
@@ -249,7 +238,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     bands = sig.selectExpr(
         "doc_id", f"explode(array({band_exprs})) AS bb"
     ).select("doc_id", "bb.*")
-    key = ["band"] + [f"r{r}" for r in range(rows_per_band)]
+    return bands, ["band"] + [f"r{r}" for r in range(rows_per_band)]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """shingle → 60-bit md5 hash → 64 affine permutations min-folded into
+    a signature → 16 bands of 4 → bucket join for candidates → exact
+    Jaccard verification. Everything JVM-side (codegen'd expressions);
+    signatures are constant-size so the shuffle is O(docs), not
+    O(shingle instances) — this is the 100 TB plan.
+
+    Every stage is deterministic integer/md5 arithmetic expressible in
+    ANSI SQL, so the DuckDB oracle mirrors the WHOLE pipeline — including
+    candidate generation — and the hash check is exact (no recall caveat;
+    bands join on the raw 4-tuples of minhash values, not an
+    engine-specific hash of them).
+    """
+    sh = _shingled(load_table(spark, sf, "documents"))
+    bands, key = _minhash_bands(sh)
     cand = (
         bands.withColumnRenamed("doc_id", "doc_a")
         .join(bands.withColumnRenamed("doc_id", "doc_b"), key)
@@ -305,6 +311,79 @@ v AS (SELECT c.doc_a, c.doc_b,
 SELECT doc_a, doc_b, round(ic / (na + nb - ic), 4) AS jaccard
 FROM v WHERE ic / (na + nb - ic) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
+
+
+# --- MinHash cross-split fuzzy decontamination ----------------------------
+
+#: same eval carve-out as curation.decontaminate (doc_id % 50 == 0);
+#: defined here because curation imports this module (no back-import)
+FUZZY_HOLDOUT_MOD = 50
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-duplicate train/eval decontamination (the fuzzy complement of
+    curation.decontaminate's exact shingle overlap): training documents
+    whose MinHash bands collide with an eval document and whose exact
+    Jaccard verifies ≥ t are flagged, aggregated per training doc with
+    the worst-match statistics. The band join is train×eval only — at
+    100 TB the eval side's band table is benchmark-sized and broadcasts,
+    so the corpus is one scan + one signature shuffle, same as LSH dedup.
+    """
+    sh = _shingled(load_table(spark, sf, "documents"))
+    bands, key = _minhash_bands(sh)
+    ev = bands.where(F.col("doc_id") % FUZZY_HOLDOUT_MOD == 0)
+    tr = bands.where(F.col("doc_id") % FUZZY_HOLDOUT_MOD != 0)
+    cand = (
+        tr.withColumnRenamed("doc_id", "train_id")
+        .join(
+            F.broadcast(ev.withColumnRenamed("doc_id", "eval_id")), key
+        )
+        .select("train_id", "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    st = sh.selectExpr("doc_id AS train_id", "shingles AS sh_t", "size(shingles) AS nt")
+    se = sh.selectExpr("doc_id AS eval_id", "shingles AS sh_e", "size(shingles) AS ne")
+    inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_e")))
+    jac = inter / (F.col("nt") + F.col("ne") - inter)
+    return (
+        cand.join(st, "train_id")
+        .join(F.broadcast(se), "eval_id")
+        .where(jac >= JACCARD_THRESHOLD)
+        .groupBy("train_id")
+        .agg(
+            F.count("*").alias("n_eval_matches"),
+            F.round(F.max(jac), 4).alias("max_jaccard"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+        .orderBy("train_id")
+    )
+
+
+DECONTAMINATE_FUZZY_SQL = f"""
+WITH {_SHINGLE_CTE},
+hv AS (SELECT doc_id, {_h60_duck('u.sg')} % {MERSENNE_P} AS h
+       FROM (SELECT doc_id, unnest(shingles) AS sg FROM s) u),
+sig AS (SELECT doc_id, {_SIG_COLS}
+        FROM hv GROUP BY doc_id),
+bands AS (
+{_BAND_SELECTS}),
+cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+         FROM bands t JOIN bands e
+           ON t.band = e.band
+          AND {' AND '.join(f't.r{r} = e.r{r}' for r in range(_RPB))}
+          AND t.doc_id % {FUZZY_HOLDOUT_MOD} <> 0
+          AND e.doc_id % {FUZZY_HOLDOUT_MOD} = 0),
+v AS (SELECT c.train_id, c.eval_id,
+             len(list_intersect(st.shingles, se.shingles)) AS ic,
+             len(st.shingles) AS nt, len(se.shingles) AS ne
+      FROM cand c
+      JOIN s st ON c.train_id = st.doc_id
+      JOIN s se ON c.eval_id = se.doc_id)
+SELECT train_id, count(*) AS n_eval_matches,
+       round(max(ic / (nt + ne - ic)), 4) AS max_jaccard,
+       min(eval_id) AS first_eval_id
+FROM v WHERE ic / (nt + ne - ic) >= {JACCARD_THRESHOLD}
+GROUP BY train_id ORDER BY train_id"""
 
 
 # --- SimHash (exact oracle) -----------------------------------------------
@@ -662,3 +741,4 @@ register("ext_curate_corpus", curate_corpus, CURATE_CORPUS_SQL)
 register("ext_dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 register("ext_dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL)
 register("ext_dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL)
+register("ext_decontaminate_fuzzy", decontaminate_fuzzy, DECONTAMINATE_FUZZY_SQL)
