@@ -91,6 +91,88 @@ SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
 ORDER BY q_id, rk"""
 
 
+# --- k-NN label classification --------------------------------------------
+
+KNN_K = 10
+
+
+def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN classification: each query vector takes the majority label
+    of its KNN_K cosine-nearest neighbors (tie → smaller label — fully
+    deterministic). Composes the broadcast-query × linear-scan top-k
+    plan with a tiny per-query vote aggregate; the labeled corpus never
+    shuffles more than the top-k path already does. At 100 TB the
+    neighbor stage swaps for the IVF/LSH bucketed variants unchanged —
+    the vote is downstream of whichever candidate generator runs."""
+    emb = _emb(spark, sf)
+    labels = load_table(spark, sf, "embeddings").select("vec_id", "label")
+    q = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS)).selectExpr(
+        "vec_id AS q_id", "e AS qe", "norm AS qnorm"
+    )
+    dot = _DOT.format(a="qe", b="e")
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id", "vec_id", f"round({dot} / (qnorm * norm), 4) AS cos_sim"
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    nbrs = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_K)
+        .join(F.broadcast(labels), "vec_id")
+    )
+    votes = nbrs.groupBy("q_id", "label").agg(
+        F.count("*").alias("votes"),
+        F.round(F.max("cos_sim"), 4).alias("best_sim"),
+    )
+    pick = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("label").cast("long").alias("pred_label"),
+            "votes",
+            "best_sim",
+        )
+        .orderBy("q_id")
+    )
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
+q AS (SELECT vec_id AS q_id, e AS qe, norm AS qnorm FROM n
+      WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+pairs AS (
+  SELECT q_id, vec_id, label,
+         round(list_dot_product(qe, e) / (qnorm * norm), 4) AS cos_sim
+  FROM q, n WHERE vec_id != q_id),
+nbrs AS (
+  SELECT q_id, vec_id, label, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM pairs),
+votes AS (
+  SELECT q_id, label, count(*) AS votes,
+         round(max(cos_sim), 4) AS best_sim
+  FROM nbrs WHERE rk <= {KNN_K} GROUP BY q_id, label),
+picked AS (
+  SELECT q_id, label, votes, best_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM votes)
+SELECT q_id, CAST(label AS BIGINT) AS pred_label, votes, best_sim
+FROM picked WHERE rn = 1 ORDER BY q_id"""
+
+
 # --- embedding-space near-dup pairs --------------------------------------
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -577,6 +659,7 @@ FROM quant ORDER BY vec_id"""
 
 
 register("ext_embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_SQL)
+register("ext_knn_classify", knn_classify, KNN_CLASSIFY_SQL)
 register("ext_embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL)
 register("ext_sim_kmeans", sim_kmeans, SIM_KMEANS_SQL)
 register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)

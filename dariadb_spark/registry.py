@@ -460,6 +460,7 @@ CHECK_WINDOW = [
     "ext_changepoint_cusum", "ext_embedding_quantize",
     "ext_seasonal_profile", "ext_lm_oov_filter",
     "ext_rolling_median", "partition_stats", "ext_decontaminate_fuzzy",
+    "ext_knn_classify",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
@@ -469,7 +470,7 @@ CHECK_WINDOW = [
     # r1 (relational/analytics EXT surface, one per family — the
     # family-redundant rows rotate in a later round) + the calendar
     # bucket grain rotated out in r2
-    "ext_pricing_summary", "ext_revenue_by_nation",
+    "ext_pricing_summary",
     "ext_asof_join",
     "ext_join_salted", "ext_events_json", "ext_scalar_funcs",
     "ext_distinct_agg", "ext_rollup_orders",
