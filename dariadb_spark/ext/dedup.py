@@ -313,6 +313,75 @@ FROM v WHERE ic / (na + nb - ic) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
 
+# --- exact substring-span dedup (word 8-gram spans) -----------------------
+
+SPAN_NGRAM = 8  # word-window length for span fingerprints
+SPAN_MIN_DOCS = 2
+
+
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact dedup (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" step doc-level dedup
+    misses): fingerprint every WORD 8-GRAM WINDOW and report spans that
+    recur across documents — boilerplate, licenses, templates — with
+    occurrence counts and the earliest position. Linear in token count
+    (sliding windows via zip_with over shifted slices, same trick as
+    shingling); the groupBy shuffles 8-byte span hashes, never text.
+    At 100 TB this IS the scalable span-dedup plan: hash spans, count,
+    and join the heavy spans back to cut them from documents."""
+    docs = load_table(spark, sf, "documents")
+    w = "split(text, ' ')"
+    n = f"size({w})"
+    # positions 0..n-SPAN_NGRAM: windows built by zipping 8 shifted
+    # slices pairwise-concatenated (each slice evaluates once per row)
+    span_expr = f"slice({w}, 1, {n} - {SPAN_NGRAM - 1})"
+    for off in range(1, SPAN_NGRAM):
+        span_expr = (
+            f"zip_with({span_expr}, slice({w}, {off + 1}, {n} - {SPAN_NGRAM - 1}), "
+            "(x, y) -> concat(x, ' ', y))"
+        )
+    spans = (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= SPAN_NGRAM)
+        .selectExpr("doc_id", f"explode({span_expr}) AS s")
+        .selectExpr("doc_id", "xxhash64(s) AS h")
+    )
+    # Final shape is hash-free (xxhash64 has no DuckDB twin): the oracle
+    # groups by the span STRING, this side by its 64-bit hash — identical
+    # partitions up to the documented ~|spans|²/2⁶⁴ collision odds.
+    return (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .groupBy("n_docs", "n_occurrences")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.min("first_doc").alias("min_first_doc"),
+        )
+        .orderBy("n_docs", "n_occurrences")
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_NGRAM}),
+sp AS (SELECT doc_id, unnest([
+         list_aggregate(w[i : i + {SPAN_NGRAM - 1}], 'string_agg', ' ')
+         for i in range(1, len(w) - {SPAN_NGRAM - 2})]) AS s
+       FROM d),
+g AS (SELECT s, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+             min(doc_id) AS first_doc
+      FROM sp GROUP BY s)
+SELECT n_docs, n_occurrences, count(*) AS n_spans,
+       min(first_doc) AS min_first_doc
+FROM g WHERE n_docs >= {SPAN_MIN_DOCS}
+GROUP BY n_docs, n_occurrences
+ORDER BY n_docs, n_occurrences"""
+
+
 # --- MinHash cross-split fuzzy decontamination ----------------------------
 
 #: same eval carve-out as curation.decontaminate (doc_id % 50 == 0);
@@ -749,3 +818,4 @@ register("ext_dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL
 register("ext_dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL)
 register("ext_dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL)
 register("ext_decontaminate_fuzzy", decontaminate_fuzzy, DECONTAMINATE_FUZZY_SQL)
+register("ext_dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_SQL)
