@@ -381,6 +381,21 @@ def _streaming_rollup_parity(spark: SparkSession, sf: str) -> DataFrame:
 
 register("streaming_rollup_parity", _streaming_rollup_parity, _bucket_oracle("day"))
 
+
+def _streaming_cv_parity(spark: SparkSession, sf: str) -> DataFrame:
+    from dariadb_spark.streaming.rollup import streaming_current_value_parity
+
+    return streaming_current_value_parity(spark, sf)
+
+
+# same oracle as the batch current_value verb — the streaming snapshot
+# must be value-identical
+register(
+    "streaming_current_value_parity",
+    _streaming_cv_parity,
+    REGISTRY["current_value"].oracle,
+)
+
 # --- W2: derived-series downsample with distributed id allocation --------
 
 def _derived_series(spark: SparkSession, sf: str) -> DataFrame:
@@ -461,6 +476,7 @@ CHECK_WINDOW = [
     "ext_seasonal_profile", "ext_lm_oov_filter",
     "ext_rolling_median", "partition_stats", "ext_decontaminate_fuzzy",
     "ext_knn_classify", "ext_dedup_substring_spans",
+    "streaming_current_value_parity",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
@@ -470,7 +486,6 @@ CHECK_WINDOW = [
     # r1 (relational/analytics EXT surface, one per family — the
     # family-redundant rows rotate in a later round) + the calendar
     # bucket grain rotated out in r2
-    "ext_pricing_summary",
     "ext_asof_join",
     "ext_join_salted", "ext_events_json", "ext_scalar_funcs",
     "ext_distinct_agg",

@@ -154,6 +154,33 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rollup(spark, rollup_dir)
 
 
+def streaming_current_value_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-visible T2 parity (current-value maintenance,
+    engine.cpp's eager per-series cache): run the streaming max_by
+    aggregation — the same micro-batch pipeline ``subscribe`` maintains
+    live — over the fixture via an availableNow run into an in-memory
+    snapshot, and return it. Oracle = the batch ``current_value`` SQL:
+    the stream's LWW total order (time, value, flag) must reproduce the
+    batch verb exactly. (The multi-round INCREMENTAL behavior is pinned
+    by tests/test_engine.py's checkpointed two-append test; the memory
+    sink cannot restart from a checkpoint, so the driver query runs one
+    pass.)"""
+    import tempfile
+
+    from dariadb_spark.model import measurements
+    from dariadb_spark.streaming.subscribe import streaming_current_value
+
+    base = tempfile.mkdtemp(prefix="dariadb_cv_parity_")
+    data_dir = f"{base}/data"
+    qname = "cv_parity_" + base.rsplit("_", 1)[-1]
+    m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
+    m.write.parquet(data_dir)
+    streaming_current_value(spark, data_dir, qname).awaitTermination(600)
+    return spark.table(qname).orderBy("id")
+
+
 def last_committed_batch(checkpoint_dir: str) -> int:
     """Highest micro-batch id the streaming checkpoint has COMMITTED
     (Structured Streaming writes ``<checkpoint>/commits/<batchId>`` only
