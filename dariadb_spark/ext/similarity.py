@@ -462,6 +462,96 @@ SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
 ORDER BY q_id, rk"""
 
 
+# --- ANN recall evaluation (IVF vs exact ground truth) --------------------
+
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force top-k —
+    the metric every ANN deployment reports before trading scan cost
+    for probes. Composes the two existing plans and joins their result
+    sets (query-count-sized — trivially broadcast); at 100 TB this runs
+    over a sampled query set while the index serves the rest, same
+    shape."""
+    exact = sim_topk_cosine(spark, sf).select("q_id", "vec_id")
+    ivf = sim_ann_ivf(spark, sf).select("q_id", "vec_id")
+    hits = (
+        exact.join(ivf, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "k",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("k"), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+_QIDS = ", ".join(map(str, QUERY_VEC_IDS))
+ANN_RECALL_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
+x_q AS (SELECT vec_id AS q_id, e AS qe, norm AS qnorm FROM n
+        WHERE vec_id IN ({_QIDS})),
+x_pairs AS (
+  SELECT q_id, vec_id,
+         round(list_dot_product(qe, e) / (qnorm * norm), 4) AS cos_sim
+  FROM x_q, n WHERE vec_id != q_id),
+x_ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM x_pairs),
+x_top AS (SELECT q_id, vec_id FROM x_ranked WHERE rk <= {TOP_K}),
+i_cent AS (SELECT vec_id AS cid, e AS ce, norm AS cnorm FROM n
+           WHERE vec_id < {K_CELLS}),
+i_scored AS (
+  SELECT n.vec_id, n.e, n.norm, c.cid,
+         round(list_dot_product(n.e, c.ce) / (n.norm * c.cnorm), 4) AS ccos
+  FROM n, i_cent c),
+i_ranked_cells AS (
+  SELECT vec_id, e, norm, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid ASC) AS rn
+  FROM i_scored),
+i_assigned AS (SELECT vec_id, e, norm, cid FROM i_ranked_cells WHERE rn = 1),
+i_probes AS (
+  SELECT vec_id AS q_id, e AS qe, norm AS qnorm, cid
+  FROM i_ranked_cells
+  WHERE vec_id IN ({_QIDS}) AND rn <= {N_PROBE}),
+i_cand AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_dot_product(p.qe, a.e) / (p.qnorm * a.norm), 4) AS cos_sim
+  FROM i_probes p JOIN i_assigned a USING (cid)
+  WHERE a.vec_id != p.q_id),
+i_ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM i_cand),
+i_top AS (SELECT q_id, vec_id FROM i_ranked WHERE rk <= {TOP_K}),
+hits AS (
+  SELECT x.q_id, count(*) AS n_hits
+  FROM x_top x JOIN i_top i ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+  GROUP BY x.q_id),
+ks AS (SELECT q_id, count(*) AS k FROM x_top GROUP BY q_id)
+SELECT ks.q_id AS q_id, ks.k AS k,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / ks.k, 4) AS recall_at_k
+FROM ks LEFT JOIN hits h ON ks.q_id = h.q_id
+ORDER BY q_id"""
+
+
+register("ext_ann_recall_eval", ann_recall_eval, ANN_RECALL_SQL)
+
+
 # --- per-label centroids (k-means M-step / IVF coarse training) -----------
 
 def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:

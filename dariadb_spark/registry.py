@@ -476,7 +476,7 @@ CHECK_WINDOW = [
     "ext_seasonal_profile", "ext_lm_oov_filter",
     "ext_rolling_median", "partition_stats", "ext_decontaminate_fuzzy",
     "ext_knn_classify", "ext_dedup_substring_spans",
-    "streaming_current_value_parity",
+    "streaming_current_value_parity", "ext_ann_recall_eval",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
@@ -488,7 +488,6 @@ CHECK_WINDOW = [
     # bucket grain rotated out in r2
     "ext_asof_join",
     "ext_join_salted", "ext_events_json", "ext_scalar_funcs",
-    "ext_distinct_agg",
     "ext_cube_lineitem", "ext_set_intersect",
     "ext_topk_customers",
     "ext_moving_avg", "bucket_month",
