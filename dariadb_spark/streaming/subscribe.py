@@ -188,6 +188,31 @@ def streaming_sessionize(
     )
 
 
+def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible T3 parity (watermarked session windows): run the
+    REAL streaming sessionizer — the session_window aggregation with a
+    watermark, availableNow — over the fixture slice the batch
+    ``ext_session_window`` query covers, and return the final session
+    table. Oracle = that batch query's gaps-and-islands SQL: the
+    incremental session merge must reproduce batch sessions exactly
+    (the fixture has no late data beyond the 1-day watermark, so no
+    sessions evict early)."""
+    import tempfile
+
+    from dariadb_spark.model import measurements
+    from dariadb_spark.operators.interval import scan_interval
+    from dariadb_spark.registry import FROM_MS, IDS, TO_MS
+
+    base = tempfile.mkdtemp(prefix="dariadb_sess_parity_")
+    data_dir = f"{base}/data"
+    qname = "sess_parity_" + base.rsplit("_", 1)[-1]
+    scan_interval(
+        measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
+    ).write.parquet(data_dir)
+    streaming_sessionize(spark, data_dir, query_name=qname).awaitTermination(600)
+    return spark.table(qname).orderBy("id", "session_start_ms")
+
+
 def streaming_interval_join(
     spark: SparkSession,
     data_dir: str,
