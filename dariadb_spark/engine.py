@@ -251,35 +251,16 @@ class TsEngine:
         return rolling_median_op(self.meas(), ids, from_ms, to_ms, flag)
 
     def partition_stats(self) -> DataFrame:
-        """Manifest/fsck view: per day-partition counts, time bounds,
-        and the containment invariant (registry.partition_stats shape)."""
-        from pyspark.sql import functions as F
+        """Manifest/fsck view (operators/stats.py partition_stats_op):
+        per-partition counts + time bounds; on a store-backed engine the
+        physical ``_p_date`` column is present, so ``bounds_ok`` checks
+        every row's time-derived day against its ACTUAL partition dir —
+        a file moved/written into the wrong ``p_date=`` dir reports 0."""
+        from dariadb_spark.operators.stats import partition_stats_op
 
-        day_ms = 86_400_000
-        meas = self.meas()
-        day = (F.col("time") - F.pmod(F.col("time"), F.lit(day_ms))).alias(
-            "day_ms"
-        )
-        return (
-            meas.groupBy(day)
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.countDistinct("id").alias("n_series"),
-                F.min("time").alias("min_time"),
-                F.max("time").alias("max_time"),
-            )
-            .withColumn(
-                "bounds_ok",
-                F.when(
-                    (F.col("min_time") >= F.col("day_ms"))
-                    & (F.col("max_time") < F.col("day_ms") + day_ms),
-                    1,
-                )
-                .otherwise(0)
-                .cast("long"),
-            )
-            .orderBy("day_ms")
-        )
+        # store-backed engines' meas() already carries _p_date (the op
+        # keys on its presence); frame-backed engines emit stats only
+        return partition_stats_op(self.meas())
 
     def downsample_to_series(
         self, fn_name: str, interval: str, append: bool = False

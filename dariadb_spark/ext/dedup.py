@@ -418,7 +418,11 @@ def decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicates(["train_id", "eval_id"])
     )
     st = sh.selectExpr("doc_id AS train_id", "shingles AS sh_t", "size(shingles) AS nt")
-    se = sh.selectExpr("doc_id AS eval_id", "shingles AS sh_e", "size(shingles) AS ne")
+    # the broadcast verify side must be the FILTERED eval slice — the
+    # join key would filter only after a full-corpus broadcast built
+    se = sh.where(F.col("doc_id") % FUZZY_HOLDOUT_MOD == 0).selectExpr(
+        "doc_id AS eval_id", "shingles AS sh_e", "size(shingles) AS ne"
+    )
     inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_e")))
     jac = inter / (F.col("nt") + F.col("ne") - inter)
     return (

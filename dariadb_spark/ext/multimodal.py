@@ -79,24 +79,35 @@ def decode_media_real(
     neither path can decode, so callers can route to the stub or a
     quarantine lane. Same return shape as :func:`decode_media`."""
     try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io
 
-        from PIL import Image
-
-        with Image.open(io.BytesIO(payload)) as im:
-            n_frames = int(getattr(im, "n_frames", 1))
-            channels = len(im.getbands())
-            return [
-                (i, im.width, im.height, channels) for i in range(n_frames)
-            ]
-    except ImportError:
-        pass
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                n_frames = int(getattr(im, "n_frames", 1))
+                channels = len(im.getbands())
+                return [
+                    (i, im.width, im.height, channels)
+                    for i in range(n_frames)
+                ]
+        except Exception:
+            # PIL raises UnidentifiedImageError/OSError on undecodable
+            # bytes — fall through to the PNG header parse so the
+            # ValueError contract below holds with or without pillow
+            pass
+    if (
+        len(payload) >= 26
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+        and payload[25] in _PNG_CHANNELS
+    ):
         import struct
 
         width, height = struct.unpack(">II", payload[16:24])
-        color_type = payload[25]
-        return [(0, width, height, _PNG_CHANNELS[color_type])]
+        return [(0, width, height, _PNG_CHANNELS[payload[25]])]
     raise ValueError(
         f"cannot decode {media_type!r} payload: install pillow or "
         "provide PNG bytes"

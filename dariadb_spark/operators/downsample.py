@@ -81,10 +81,15 @@ def derived_id_mapping(
     from pyspark.sql import Window
 
     cat_df = catalog.to_df()  # (id, name) — catalog-sized
+    # one base name per id: a catalog may bind several names (aliases)
+    # to the same series id, and joining all of them would fan each
+    # source id into multiple derived rows, double-counting the output;
+    # min(name) picks one deterministically
+    base_names = cat_df.groupBy("id").agg(F.min("name").alias("name"))
     named = (
         meas.select("id")
         .distinct()
-        .join(F.broadcast(cat_df), "id", "left")
+        .join(F.broadcast(base_names), "id", "left")
         .select(
             "id",
             F.coalesce(

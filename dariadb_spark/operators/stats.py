@@ -61,3 +61,41 @@ def stat_block(
         )
         .orderBy("id")
     )
+
+
+def partition_stats_op(meas: DataFrame) -> DataFrame:
+    """Manifest/fsck view (storage/manifest.cpp analog): per
+    day-partition row counts, series counts, and time bounds. When the
+    PHYSICAL partition column ``_p_date`` is present (ParquetTsStore
+    reads carry it), a ``bounds_ok`` flag verifies every row's
+    time-derived UTC day renders to its physical partition — the real
+    torn-partition check (a file landed in the wrong ``p_date=`` dir).
+    Partition-less sources have no physical placement to validate, so
+    the column is omitted rather than emitting a tautology."""
+    from dariadb_spark.model import RAW_DAY
+
+    day_ms = 86_400_000
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_series"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+    ]
+    if RAW_DAY in meas.columns:
+        derived_day = F.date_format(
+            F.timestamp_millis(F.col("time")), "yyyy-MM-dd"
+        )
+        return (
+            meas.groupBy(F.col(RAW_DAY).alias("p_date"))
+            .agg(
+                *aggs,
+                F.min((derived_day == F.col(RAW_DAY)).cast("long")).alias(
+                    "bounds_ok"
+                ),
+            )
+            .orderBy("p_date")
+        )
+    day = (F.col("time") - F.pmod(F.col("time"), F.lit(day_ms))).alias(
+        "day_ms"
+    )
+    return meas.groupBy(day).agg(*aggs).orderBy("day_ms")

@@ -308,42 +308,15 @@ _DAY_MS_ = 86_400_000
 
 def _partition_stats(spark: SparkSession, sf: str) -> DataFrame:
     """The fsck/manifest view (storage/manifest.cpp analog): per
-    day-partition row counts, series counts, and time bounds, plus the
-    containment invariant a store fsck asserts (every row's time inside
-    its partition's day). Pure map-side bucket arithmetic + one small-key
-    aggregate; this is the query an operator dashboards at 100 TB to
-    spot skewed or torn partitions."""
-    from pyspark.sql import functions as F
+    day-partition row counts, series counts, and time bounds — the
+    query an operator dashboards at 100 TB to spot skewed or torn
+    partitions. On this partition-less fixture source the op emits
+    stats only; on a ParquetTsStore read it adds the physical
+    ``bounds_ok`` torn-partition check (see
+    ``operators.stats.partition_stats_op`` and the TsEngine verb)."""
+    from dariadb_spark.operators.stats import partition_stats_op
 
-    meas = measurements(spark, sf)
-    day = (F.col("time") - F.pmod(F.col("time"), F.lit(_DAY_MS_))).alias(
-        "day_ms"
-    )
-    return (
-        meas.groupBy(day)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.countDistinct("id").alias("n_series"),
-            F.min("time").alias("min_time"),
-            F.max("time").alias("max_time"),
-        )
-        .select(
-            "day_ms",
-            "n_rows",
-            "n_series",
-            "min_time",
-            "max_time",
-            F.when(
-                (F.col("min_time") >= F.col("day_ms"))
-                & (F.col("max_time") < F.col("day_ms") + _DAY_MS_),
-                1,
-            )
-            .otherwise(0)
-            .cast("long")
-            .alias("bounds_ok"),
-        )
-        .orderBy("day_ms")
-    )
+    return partition_stats_op(measurements(spark, sf))
 
 
 register(
@@ -355,10 +328,7 @@ p AS (
          id, time
   FROM measurements)
 SELECT day_ms, count(*) AS n_rows, count(DISTINCT id) AS n_series,
-       min(time) AS min_time, max(time) AS max_time,
-       CAST(CASE WHEN min(time) >= day_ms
-                  AND max(time) < day_ms + {_DAY_MS_}
-            THEN 1 ELSE 0 END AS BIGINT) AS bounds_ok
+       min(time) AS min_time, max(time) AS max_time
 FROM p GROUP BY day_ms ORDER BY day_ms""",
 )
 
@@ -490,7 +460,7 @@ CHECK_WINDOW = [
     "ext_counter_rate", "ext_robust_stats", "ext_hopping_window",
     "ext_unpivot_flags", "ext_series_correlation", "ext_interpolate",
     "ext_histogram", "ext_range_context", "ext_sample_temperature",
-    # round-3 additions (7) — driver-checked from day one (the round-2
+    # round-3 additions (17) — driver-checked from day one (the round-2
     # lesson: never ship a query outside the window)
     "streaming_rollup_parity", "ext_derived_series", "ext_sample_reservoir",
     "ext_retention_cohorts", "ext_funnel_conversion",
@@ -505,7 +475,7 @@ CHECK_WINDOW = [
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # rotation padding (14): round-1-green queries not re-attested since
+    # rotation padding (8): round-1-green queries not re-attested since
     # r1 (relational/analytics EXT surface, one per family — the
     # family-redundant rows rotate in a later round) + the calendar
     # bucket grain rotated out in r2

@@ -61,14 +61,19 @@ class SeriesCatalog:
         deployment whose catalog outgrows the driver keeps the mapping
         as a table and skips this sync."""
         rows = mapping.select("id", "base", "dname", "derived_id").collect()
+        # validate the WHOLE batch before mutating: a mid-loop conflict
+        # must not leave the in-memory catalog half-applied and diverged
+        # from the persisted JSON
+        staged: dict[str, int] = {}
         for r in rows:
             for name, sid in ((r.base, r.id), (r.dname, r.derived_id)):
-                existing = self._name_to_id.get(name)
+                existing = self._name_to_id.get(name, staged.get(name))
                 if existing is not None and existing != int(sid):
                     raise ValueError(
                         f"{name!r} already bound to id {existing}, not {sid}"
                     )
-                self._name_to_id[name] = int(sid)
+                staged[name] = int(sid)
+        self._name_to_id.update(staged)
         self._persist()
 
     def _persist(self) -> None:

@@ -277,6 +277,36 @@ def test_downsample_to_series_derived_names(spark, tmp_path):
     assert min(first_ids) > grid_max
 
 
+def test_partition_stats_detects_torn_partition(spark, tmp_path):
+    """The fsck flag must catch a file physically placed in the WRONG
+    p_date dir (the torn-partition case a time-derived check can never
+    see): move one day's parquet into another day's directory and the
+    moved rows' derived day no longer renders to their partition."""
+    import glob
+    import shutil
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    eng.append(_grid())
+    clean = {r.p_date: r.bounds_ok for r in eng.partition_stats().collect()}
+    assert clean and all(v == 1 for v in clean.values())
+
+    days = sorted(glob.glob(str(tmp_path / "s" / "data" / "p_date=*")))
+    assert len(days) >= 2
+    victim = glob.glob(f"{days[0]}/*.parquet")[0]
+    shutil.move(victim, days[1])
+    torn = {r.p_date: r.bounds_ok for r in eng.partition_stats().collect()}
+    bad_day = days[1].rsplit("=", 1)[-1]
+    assert torn[bad_day] == 0
+    # frame-backed engines have no physical placement → no bounds_ok col
+    eng2 = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            _grid(), "id bigint, time bigint, value double, flag bigint"
+        ),
+    )
+    assert "bounds_ok" not in eng2.partition_stats().columns
+
+
 def test_changepoint_seasonal_rolling_hand_computed(spark):
     """Round-3 verbs on purpose-built series: a clean level shift puts
     the CUSUM argmax exactly at the step; hour-of-day means recover the
