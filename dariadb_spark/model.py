@@ -78,9 +78,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical measurements DataFrame derived from ``events``.
 
-    ``ts`` arrives as int64 nanoseconds (nanosAsLong); ``ts DIV 1000000``
-    floors to ms exactly like DuckDB's ``epoch_ms``. Integer division —
-    not ``/`` — because float division loses precision above 2**53.
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark surfaces
+    differently across builds — handle every shape it can arrive in:
+
+    * ``bigint`` — raw int64 nanos (builds honoring
+      ``spark.sql.legacy.parquet.nanosAsLong``): ``ts DIV 1000000``
+      floors to ms exactly like DuckDB's ``epoch_ms``. Integer division —
+      not ``/`` — because float division loses precision above 2**53.
+    * ``timestamp_ntz`` — newer builds read NANOS as a no-timezone
+      timestamp truncated (floored) to µs; ``unix_millis`` after an
+      NTZ→LTZ cast (identity on the wall clock: session tz is pinned to
+      UTC by ``ensure_runtime_confs``) floors µs→ms, composing to the
+      same ns→ms floor as ``epoch_ms``.
+    * ``timestamp`` (LTZ) — pre-truncated fixtures: ``unix_millis``.
+
+    In every case the raw column is kept as ``_raw_ts``: `time` is a
+    derived expression Catalyst cannot invert, so time-range predicates
+    on it never reach the parquet scan. Operators add an equivalent bound
+    on ``_raw_ts`` (:func:`pushdown_time_bounds`) and project it away
+    before returning.
     """
     events = load_table(spark, sf_dir, "events")
     ts_type = dict(events.dtypes)["ts"]
@@ -89,15 +105,13 @@ def measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
         None,  # time, filled below
         F.col("value").alias("value"),
         F.expr(EVENT_FLAG_CASE_SQL).alias("flag"),
+        F.col("ts").alias(RAW_TS),
     ]
     if ts_type == "bigint":
         cols[1] = F.expr("ts DIV 1000000").alias("time")
-        # Keep the raw ns column: `time` is a derived expression Catalyst
-        # cannot invert, so time-range predicates on it never reach the
-        # parquet scan. Operators add an equivalent bound on _raw_ts
-        # (pushdown_time_bounds) and project it away before returning.
-        cols.append(F.col("ts").alias(RAW_TS))
-    else:  # pre-truncated timestamp (µs/ms) — e.g. rewritten fixtures
+    elif ts_type == "timestamp_ntz":
+        cols[1] = F.unix_millis(F.col("ts").cast("timestamp")).alias("time")
+    else:  # "timestamp" (LTZ)
         cols[1] = F.unix_millis(F.col("ts")).alias("time")
     return events.select(*cols)
 
@@ -135,11 +149,35 @@ def pushdown_time_bounds(
         cond = cond & (F.col("time") >= F.lit(from_ms))
     if to_ms is not None:
         cond = cond & (F.col("time") <= F.lit(to_ms))
-    if RAW_TS in meas.columns:
-        if from_ms is not None:
-            cond = cond & (F.col(RAW_TS) >= F.lit(from_ms * 1_000_000))
-        if to_ms is not None:
-            cond = cond & (F.col(RAW_TS) <= F.lit(to_ms * 1_000_000 + 999_999))
+    raw_type = dict(meas.dtypes).get(RAW_TS)
+    if raw_type is not None:
+        # Bounds only for sane wall-clock values: a sentinel like 2**60
+        # would overflow the int64 ns/µs literal — skip the scan-pruning
+        # predicate there (correct, just unpruned; `time` bound still
+        # applies).
+        def _sane(ms: int | None) -> int | None:
+            if ms is None or not (_DAY_STR_MIN <= ms <= _DAY_STR_MAX):
+                return None
+            return ms
+
+        lo, hi = _sane(from_ms), _sane(to_ms)
+        if raw_type == "bigint":  # raw int64 ns: time = ts DIV 1e6
+            if lo is not None:
+                cond = cond & (F.col(RAW_TS) >= F.lit(lo * 1_000_000))
+            if hi is not None:
+                cond = cond & (F.col(RAW_TS) <= F.lit(hi * 1_000_000 + 999_999))
+        else:  # timestamp[_ntz] at µs: time = floor(µs / 1000)
+            def _ts_lit(us: int) -> Column:
+                lit = F.timestamp_micros(F.lit(us))  # LTZ from epoch-µs
+                if raw_type == "timestamp_ntz":
+                    # session tz is UTC → NTZ wall clock == UTC instant
+                    lit = lit.cast("timestamp_ntz")
+                return lit
+
+            if lo is not None:
+                cond = cond & (F.col(RAW_TS) >= _ts_lit(lo * 1_000))
+            if hi is not None:
+                cond = cond & (F.col(RAW_TS) <= _ts_lit(hi * 1_000 + 999))
     if RAW_DAY in meas.columns:
         # hive PARTITION pruning: a bound on `time` does not imply one on
         # the p_date directory key, so without this every day directory is

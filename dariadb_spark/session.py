@@ -17,9 +17,11 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     # Deterministic wall-clock semantics: all timestamps interpreted in UTC.
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent;
-    # read the raw int64 nanos instead (engine-wide rule: time is int64 ms,
-    # derived as `ts DIV 1_000_000` — matches DuckDB epoch_ms()).
+    # events.parquet carries TIMESTAMP(NANOS). Builds honoring this legacy
+    # conf surface it as raw int64 nanos; newer builds ignore it and read
+    # TIMESTAMP_NTZ floored to µs. model.measurements() handles both (the
+    # engine-wide rule stays: time is int64 ms, ns→ms floor, matching
+    # DuckDB epoch_ms()).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow transfer for any pandas interchange / pandas UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -10,6 +10,7 @@ reference exercises in engine_test.cpp / wal_test / pages_test.
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import pytest
@@ -293,9 +294,13 @@ def test_partition_stats_detects_torn_partition(spark, tmp_path):
     days = sorted(glob.glob(str(tmp_path / "s" / "data" / "p_date=*")))
     assert len(days) >= 2
     victim = glob.glob(f"{days[0]}/*.parquet")[0]
-    shutil.move(victim, days[1])
+    # both dirs may hold same-named part files (same write job) — rename
+    shutil.move(victim, f"{days[1]}/torn-{victim.rsplit('/', 1)[-1]}")
     torn = {r.p_date: r.bounds_ok for r in eng.partition_stats().collect()}
-    bad_day = days[1].rsplit("=", 1)[-1]
+    # partition_stats keys by datetime.date (Spark's partition-type
+    # inference for p_date=YYYY-MM-DD dirs) — match that, don't cast.
+    bad_day = datetime.date.fromisoformat(days[1].rsplit("=", 1)[-1])
+    assert isinstance(next(iter(torn)), datetime.date)
     assert torn[bad_day] == 0
     # frame-backed engines have no physical placement → no bounds_ok col
     eng2 = TsEngine.from_dataframe(
