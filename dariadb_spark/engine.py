@@ -262,6 +262,17 @@ class TsEngine:
         # keys on its presence); frame-backed engines emit stats only
         return partition_stats_op(self.meas())
 
+    def partition_file_stats(self) -> DataFrame:
+        """File-level fsck view (operators/stats.py
+        partition_file_stats_op — the ``.pagei`` index analog, reference
+        storage/pages/page_manager.cpp): per-file counts + time bounds;
+        on a store-backed engine ``bounds_ok`` localizes a torn
+        partition to the exact FILE sitting in the wrong ``p_date=``
+        dir, which is what a repair job needs to move/rewrite."""
+        from dariadb_spark.operators.stats import partition_file_stats_op
+
+        return partition_file_stats_op(self.meas())
+
     def downsample_to_series(
         self, fn_name: str, interval: str, append: bool = False
     ) -> DataFrame:

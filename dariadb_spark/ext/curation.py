@@ -306,6 +306,67 @@ SELECT doc_id, n_bigrams, CAST(n_oov AS BIGINT) AS n_oov,
 FROM scored ORDER BY doc_id"""
 
 
+# --- right-to-be-forgotten source purge (governance) ----------------------
+
+#: sources tombstoned by a takedown / opt-out request
+FORGET_SOURCES = ("src3", "src7")
+
+
+def forget_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-be-forgotten purge audit: tombstone entire sources and
+    report, per language, how many documents survive, how many are
+    purged, and how many embedding vectors the purge cascades to
+    (vec_id keyed to doc_id — the derived artifact must go when its
+    source text goes). The doc side is a scan-stage filter (the
+    tombstone list is a literal IN, pushed to the parquet scan); the
+    cascade is an equi-join against the purged slice only — at 100 TB
+    the purged set is the small side and broadcasts."""
+    docs = load_table(spark, sf, "documents")
+    emb_ids = load_table(spark, sf, "embeddings").select("vec_id")
+    tomb = F.col("source").isin(*FORGET_SOURCES)
+    purged = docs.where(tomb)
+    cascades = (
+        purged.join(emb_ids, purged.doc_id == emb_ids.vec_id, "inner")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_vec_purged"))
+    )
+    per_lang = docs.groupBy("lang").agg(
+        F.sum((~tomb).cast("long")).alias("n_kept"),
+        F.sum(tomb.cast("long")).alias("n_purged"),
+    )
+    return (
+        per_lang.join(cascades, "lang", "left")
+        .select(
+            "lang",
+            "n_kept",
+            "n_purged",
+            F.coalesce("n_vec_purged", F.lit(0)).alias("n_vec_purged"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FORGET_IN_SQL = ", ".join(f"'{s}'" for s in FORGET_SOURCES)
+FORGET_SOURCE_SQL = f"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN source NOT IN ({_FORGET_IN_SQL})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN source IN ({_FORGET_IN_SQL})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+  FROM documents GROUP BY lang),
+cascades AS (
+  SELECT d.lang, count(*) AS n_vec_purged
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.source IN ({_FORGET_IN_SQL})
+  GROUP BY d.lang)
+SELECT p.lang, p.n_kept, p.n_purged,
+       COALESCE(c.n_vec_purged, 0) AS n_vec_purged
+FROM per_lang p LEFT JOIN cascades c ON p.lang = c.lang
+ORDER BY p.lang"""
+
+
+register("ext_forget_source", forget_source, FORGET_SOURCE_SQL)
 register("ext_lm_oov_filter", lm_oov_filter, LM_OOV_SQL)
 register("ext_decontaminate", decontaminate, DECONTAMINATE_SQL)
 register("ext_text_gopher_quality", text_gopher_quality, TEXT_GOPHER_QUALITY_SQL)

@@ -207,8 +207,8 @@ ORDER BY doc_a, doc_b"""
 
 # --- MinHash + LSH (approximate scale path, exact oracle) -----------------
 
-def _minhash_bands(sh: DataFrame) -> tuple[DataFrame, list[str]]:
-    """(doc_id, band, r0..r{rpb-1}) LSH band rows + the band join key.
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m63) minhash signature rows.
 
     Explodes shingles and folds each permutation as a codegen'd min()
     aggregate with map-side partial aggregation — the signature build is
@@ -218,12 +218,17 @@ def _minhash_bands(sh: DataFrame) -> tuple[DataFrame, list[str]]:
     hv = sh.select(
         "doc_id", F.explode("shingles").alias("s")
     ).selectExpr("doc_id", f"{_h60_spark('s')} % {MERSENNE_P} AS h")
-    sig = hv.groupBy("doc_id").agg(
+    return hv.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"({a} * h + {b}) % {MERSENNE_P}")).alias(f"m{i}")
             for i, (a, b) in enumerate(zip(_A, _B))
         ]
     )
+
+
+def _minhash_bands(sh: DataFrame) -> tuple[DataFrame, list[str]]:
+    """(doc_id, band, r0..r{rpb-1}) LSH band rows + the band join key."""
+    sig = _minhash_sig(sh)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     band_exprs = ", ".join(
         "struct({b} AS band, {cols})".format(
@@ -311,6 +316,96 @@ v AS (SELECT c.doc_a, c.doc_b,
 SELECT doc_a, doc_b, round(ic / (na + nb - ic), 4) AS jaccard
 FROM v WHERE ic / (na + nb - ic) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
+
+
+# --- minhash estimator-quality eval ---------------------------------------
+
+def minhash_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimator-quality eval for the minhash pipeline: for every LSH
+    candidate pair (NO jaccard threshold — sub-threshold candidates are
+    exactly what this audits), the signature-agreement estimate
+    ĵ = |{i : mᵃᵢ = mᵇᵢ}| / 64 next to the exact shingle Jaccard and
+    the absolute error. This is the query that justifies the band/row
+    parameters before a 100 TB run: candidates are LSH-bounded, the
+    estimate is a 64-term comparison on two already-built signatures,
+    and the exact side joins shingle sets back only for the candidate
+    pairs — the same bounded cost as the dedup verification step."""
+    sh = _shingled(load_table(spark, sf, "documents"))
+    sig = _minhash_sig(sh)
+    bands, key = _minhash_bands(sh)
+    cand = (
+        bands.withColumnRenamed("doc_id", "doc_a")
+        .join(bands.withColumnRenamed("doc_id", "doc_b"), key)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(MINHASH_PERMS)
+    )
+    est = cand.join(siga, "doc_a").join(sigb, "doc_b").select(
+        "doc_a", "doc_b", (matches / float(MINHASH_PERMS)).alias("jac_est")
+    )
+    sa = sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a", "size(shingles) AS na")
+    sb = sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b", "size(shingles) AS nb")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        est.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jac_exact"),
+            F.round("jac_est", 4).alias("jac_est"),
+            F.round(F.abs(F.col("jac_est") - jac), 4).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+    for i in range(MINHASH_PERMS)
+)
+MINHASH_JACCARD_EST_SQL = f"""
+WITH {_SHINGLE_CTE},
+hv AS (SELECT doc_id, {_h60_duck('u.sg')} % {MERSENNE_P} AS h
+       FROM (SELECT doc_id, unnest(shingles) AS sg FROM s) u),
+sig AS (SELECT doc_id, {_SIG_COLS}
+        FROM hv GROUP BY doc_id),
+bands AS (
+{_BAND_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band
+          AND {' AND '.join(f'a.r{r} = b.r{r}' for r in range(_RPB))}
+          AND a.doc_id < b.doc_id),
+est AS (SELECT c.doc_a, c.doc_b,
+               ({_EST_MATCH_SQL}) / {MINHASH_PERMS}.0 AS jac_est
+        FROM cand c
+        JOIN sig a ON c.doc_a = a.doc_id
+        JOIN sig b ON c.doc_b = b.doc_id),
+v AS (SELECT e.doc_a, e.doc_b, e.jac_est,
+             len(list_intersect(sa.shingles, sb.shingles)) AS ic,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM est e
+      JOIN s sa ON e.doc_a = sa.doc_id
+      JOIN s sb ON e.doc_b = sb.doc_id)
+SELECT doc_a, doc_b,
+       round(ic / (na + nb - ic), 4) AS jac_exact,
+       round(jac_est, 4) AS jac_est,
+       round(abs(jac_est - ic / (na + nb - ic)), 4) AS abs_err
+FROM v ORDER BY doc_a, doc_b"""
 
 
 # --- exact substring-span dedup (word 8-gram spans) -----------------------
@@ -820,6 +915,7 @@ register("ext_dedup_components", dedup_components, DEDUP_COMPONENTS_SQL)
 register("ext_curate_corpus", curate_corpus, CURATE_CORPUS_SQL)
 register("ext_dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 register("ext_dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL)
+register("ext_minhash_jaccard_est", minhash_jaccard_est, MINHASH_JACCARD_EST_SQL)
 register("ext_dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL)
 register("ext_decontaminate_fuzzy", decontaminate_fuzzy, DECONTAMINATE_FUZZY_SQL)
 register("ext_dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_SQL)

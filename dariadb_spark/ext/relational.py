@@ -355,6 +355,51 @@ GROUP BY p_brand, supp_nation
 ORDER BY p_brand, supp_nation"""
 
 
+# --- year-over-year revenue growth per nation -----------------------------
+
+def revenue_yoy(spark: SparkSession, sf: str) -> DataFrame:
+    """Nation × year revenue with year-over-year growth via a lag
+    window. orders⋈customer shuffles on custkey once; nation broadcasts;
+    the window runs over the tiny (nation, year) aggregate — 25×7 rows
+    regardless of fact scale, so the lag costs nothing at 100 TB. The
+    growth ratio is computed from the ROUNDED yearly revenue so the lag
+    inputs are bit-identical across engines."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("revenue", 1).over(w)
+    return yearly.select(
+        "n_name",
+        "o_year",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    ).orderBy("n_name", "o_year")
+
+
+REVENUE_YOY_SQL = """
+WITH yearly AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate))
+SELECT n_name, o_year, revenue,
+       round((revenue - lag(revenue, 1) OVER w)
+             / lag(revenue, 1) OVER w, 6) AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+ORDER BY n_name, o_year"""
+
+
+register("ext_revenue_yoy", revenue_yoy, REVENUE_YOY_SQL)
 register("ext_pricing_summary", pricing_summary, PRICING_SUMMARY_SQL)
 register("ext_part_supplier_margin", part_supplier_margin, PART_SUPPLIER_MARGIN_SQL)
 register("ext_revenue_by_nation", revenue_by_nation, REVENUE_BY_NATION_SQL)

@@ -748,6 +748,82 @@ SELECT vec_id, n_dims, round(scale, 6) AS scale,
 FROM quant ORDER BY vec_id"""
 
 
+# --- embedding hygiene: norm distribution + outliers ----------------------
+
+def embedding_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-hygiene audit: per-label L2-norm distribution (count,
+    mean, population stddev) plus how many vectors sit outside
+    mean ± 2σ — the zero-vector / exploding-norm check run before any
+    ANN indexing or dedup at scale. Two passes over a (vec_id, norm)
+    projection: a 10-row per-label aggregate broadcast back onto the
+    norms for the outlier count — the corpus shuffles nothing but its
+    label column, and at 100 TB both passes are map-side partial aggs.
+
+    Norms and stats are rounded BEFORE the outlier comparison so the
+    band edges are bit-identical across engines (same rule as
+    downsample.py's round-then-divide mean)."""
+    dot = _DOT.format(a="e", b="e")
+    norms = (
+        load_table(spark, sf, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
+        )
+        .selectExpr("vec_id", "label", f"round(sqrt({dot}), 6) AS norm")
+    )
+    stats = norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        (F.round(F.sum("norm"), 6) / F.count("*")).alias("mean_norm"),
+        F.round(F.stddev_pop("norm"), 6).alias("sd_norm"),
+    )
+    flagged = (
+        norms.join(F.broadcast(stats), "label")
+        .withColumn(
+            "is_outlier",
+            (
+                (F.col("norm") < F.col("mean_norm") - 2 * F.col("sd_norm"))
+                | (F.col("norm") > F.col("mean_norm") + 2 * F.col("sd_norm"))
+            ).cast("long"),
+        )
+        .groupBy("label")
+        .agg(F.sum("is_outlier").alias("n_outlier"))
+    )
+    return (
+        stats.join(flagged, "label")
+        .select(
+            "label",
+            "n",
+            F.round("mean_norm", 6).alias("mean_norm"),
+            "sd_norm",
+            "n_outlier",
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_SQL = """
+WITH emb AS (SELECT vec_id, label,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings),
+n AS (SELECT vec_id, label, round(sqrt(list_dot_product(e, e)), 6) AS norm
+      FROM emb),
+stats AS (SELECT label, count(*) AS n,
+                 round(sum(norm), 6) / count(*) AS mean_norm,
+                 round(stddev_pop(norm), 6) AS sd_norm
+          FROM n GROUP BY label),
+flagged AS (
+  SELECT n.label,
+         CAST(sum(CASE WHEN n.norm < s.mean_norm - 2 * s.sd_norm
+                         OR n.norm > s.mean_norm + 2 * s.sd_norm
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+  FROM n JOIN stats s ON n.label = s.label GROUP BY n.label)
+SELECT s.label, s.n, round(s.mean_norm, 6) AS mean_norm, s.sd_norm,
+       f.n_outlier
+FROM stats s JOIN flagged f ON s.label = f.label ORDER BY s.label"""
+
+
+register("ext_embedding_norm", embedding_norm, EMBEDDING_NORM_SQL)
 register("ext_embedding_quantize", embedding_quantize, EMBEDDING_QUANTIZE_SQL)
 register("ext_knn_classify", knn_classify, KNN_CLASSIFY_SQL)
 register("ext_embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL)

@@ -412,6 +412,94 @@ ranked AS (
 SELECT rk, doc_id, bm25 FROM ranked WHERE rk <= {BM25_TOP_K} ORDER BY rk"""
 
 
+# --- lexical entropy (quality signal) ------------------------------------
+
+def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon word entropy (bits) — the lexical-diversity
+    signal curation pipelines gate on next to type-token ratio (low
+    entropy ⇒ repetitive/templated text). Computed entirely in the scan
+    stage with higher-order array functions: per distinct word d,
+    p = count(d)/n, entropy = -Σ p·ln(p)/ln(2). O(n·distinct) per row,
+    ZERO shuffle — at 100 TB this is a pure map over the corpus.
+    ``ln`` on both engines (tfidf precedent), rounded at 6."""
+    w = "split(text, ' ')"
+    # counts of each distinct word, computed against the full array
+    counts = (
+        f"transform(array_distinct({w}), "
+        f"d -> size(filter({w}, x -> x = d)))"
+    )
+    n = f"size({w})"
+    ent = (
+        f"round(-aggregate({counts}, 0D, "
+        f"(acc, c) -> acc + (c / {n}) * ln(c / {n})) / ln(2), 6)"
+    )
+    return load_table(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "lang",
+        f"{n} AS n_tokens",
+        f"size(array_distinct({w})) AS n_distinct",
+        f"{ent} AS entropy_bits",
+    ).orderBy("doc_id")
+
+
+TEXT_ENTROPY_SQL = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, lang, w, len(w) AS n,
+             list_transform(list_distinct(w),
+                            d -> len(list_filter(w, x -> x = d))) AS cnts
+      FROM t)
+SELECT doc_id, lang, n AS n_tokens, len(list_distinct(w)) AS n_distinct,
+       round(-list_sum(list_transform(cnts, c -> (c / n) * ln(c / n)))
+             / ln(2), 6) AS entropy_bits
+FROM c ORDER BY doc_id"""
+
+
+# --- policy-term redaction (PII-masking plumbing) ------------------------
+
+#: terms redacted by the masking policy. The fixture corpus is synthetic
+#: DB-jargon with no real PII, so the policy list is a term set standing
+#: in for the email/phone/ID regexes a deployment would configure — the
+#: plumbing (tokenized match → mask → count → fingerprint the redacted
+#: text) is what the operator provides.
+REDACT_TERMS = ("customer", "value", "key")
+
+
+def text_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Redact policy terms from each document and fingerprint the result:
+    per doc the masked token count and an md5 of the redacted text (the
+    audit artifact — prove redaction ran without storing the original).
+    Pure scan-stage array expressions, zero shuffle, so at 100 TB it
+    runs at read bandwidth alongside any other per-doc signal."""
+    in_list = ", ".join(f"'{t}'" for t in REDACT_TERMS)
+    w = "split(text, ' ')"
+    masked = (
+        f"transform({w}, x -> CASE WHEN x IN ({in_list}) "
+        f"THEN '[MASKED]' ELSE x END)"
+    )
+    return (
+        load_table(spark, sf, "documents")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"size(filter({w}, x -> x IN ({in_list}))) AS n_masked",
+            f"md5(array_join({masked}, ' ')) AS masked_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REDACT_IN_SQL = ", ".join(f"'{t}'" for t in REDACT_TERMS)
+TEXT_REDACT_SQL = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, lang,
+       len(list_filter(w, x -> x IN ({_REDACT_IN_SQL}))) AS n_masked,
+       md5(list_aggregate(list_transform(w,
+             x -> CASE WHEN x IN ({_REDACT_IN_SQL})
+                       THEN '[MASKED]' ELSE x END),
+           'string_agg', ' ')) AS masked_md5
+FROM t ORDER BY doc_id"""
+
+
 register("ext_text_bm25", text_bm25, TEXT_BM25_SQL)
 register("ext_text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
 register("ext_text_bpe_tokens", text_bpe_tokens, TEXT_BPE_TOKENS_SQL)
@@ -421,3 +509,5 @@ register("ext_text_quality", text_quality, TEXT_QUALITY_SQL)
 register("ext_text_lang_histogram", text_lang_histogram, TEXT_LANG_HISTOGRAM_SQL)
 register("ext_text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
 register("ext_text_langid", text_langid, TEXT_LANGID_SQL)
+register("ext_text_entropy", text_entropy, TEXT_ENTROPY_SQL)
+register("ext_text_redact", text_redact, TEXT_REDACT_SQL)

@@ -99,3 +99,42 @@ def partition_stats_op(meas: DataFrame) -> DataFrame:
         "day_ms"
     )
     return meas.groupBy(day).agg(*aggs).orderBy("day_ms")
+
+
+def partition_file_stats_op(meas: DataFrame) -> DataFrame:
+    """Per-FILE fsck view — the ``.pagei`` page-index analog (reference:
+    storage/pages/page_manager.cpp keeps per-page (id, minTime, maxTime)
+    entries so fsck/repack can name the offending PAGE, not just the
+    day). Groups by ``input_file_name()`` basename: per-file row count,
+    series count, and time bounds — evaluated at the scan, one map-side
+    combine, no row shuffle beyond the tiny per-file aggregate.
+
+    When the physical ``_p_date`` partition column is present
+    (ParquetTsStore reads), each file also carries its partition dir and
+    a ``bounds_ok`` flag (every row's time-derived UTC day == the dir) —
+    so a torn partition is localized to the exact file that landed in
+    the wrong ``p_date=`` directory."""
+    from dariadb_spark.model import RAW_DAY
+
+    fname = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_series"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+    ]
+    if RAW_DAY in meas.columns:
+        derived_day = F.date_format(
+            F.timestamp_millis(F.col("time")), "yyyy-MM-dd"
+        )
+        return (
+            meas.groupBy(F.col(RAW_DAY).alias("p_date"), fname)
+            .agg(
+                *aggs,
+                F.min((derived_day == F.col(RAW_DAY)).cast("long")).alias(
+                    "bounds_ok"
+                ),
+            )
+            .orderBy("p_date", "file")
+        )
+    return meas.groupBy(fname).agg(*aggs).orderBy("file")

@@ -332,6 +332,31 @@ SELECT day_ms, count(*) AS n_rows, count(DISTINCT id) AS n_series,
 FROM p GROUP BY day_ms ORDER BY day_ms""",
 )
 
+
+def _partition_file_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """File-level fsck view (operators/stats.py partition_file_stats_op
+    — the ``.pagei`` page-index analog): per input FILE row counts,
+    series counts, and time bounds via ``input_file_name()``. The
+    fixture tables are single-file parquet (TESTDATA.md), so the oracle
+    states the known basename as a constant; the multi-file semantics —
+    including ``bounds_ok`` naming the exact file torn across a
+    ``p_date=`` dir — are exercised on a ParquetTsStore by
+    tests/test_engine.py."""
+    from dariadb_spark.operators.stats import partition_file_stats_op
+
+    return partition_file_stats_op(measurements(spark, sf))
+
+
+register(
+    "partition_file_stats",
+    _partition_file_stats,
+    f"""WITH {MEAS_CTE_SQL}
+SELECT 'events.parquet' AS file, count(*) AS n_rows,
+       count(DISTINCT id) AS n_series,
+       min(time) AS min_time, max(time) AS max_time
+FROM measurements""",
+)
+
 # --- flagship (driver smoke query) ---------------------------------------
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,42 +473,35 @@ if "ext_session_window" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-3 composition: the 12 round-2 additions that have NEVER had a
-# driver CORRECTNESS row go first (VERDICT r2 top item), then the round-3
-# additions, then the always-on core surface (the reference verbs), then
-# rotation padding drawn from queries whose only green row is round-1.
+# Round-5 composition (VERDICT r3 item 2): the 7 round-5 additions go
+# first (never ship a query outside the window), then ALL 27 queries
+# whose only driver-green row is round 1 — after this round no query's
+# attestation is older than round 4 — then the always-on core surface,
+# then 3 padding slots from the (fully r4-attested) round-2 family.
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
-    # never driver-checked round-2 tail (12) — highest signal
-    "ext_asof_nearest", "ext_media_resize_plan", "ext_ohlc",
-    "ext_counter_rate", "ext_robust_stats", "ext_hopping_window",
-    "ext_unpivot_flags", "ext_series_correlation", "ext_interpolate",
-    "ext_histogram", "ext_range_context", "ext_sample_temperature",
-    # round-3 additions (17) — driver-checked from day one (the round-2
-    # lesson: never ship a query outside the window)
-    "streaming_rollup_parity", "ext_derived_series", "ext_sample_reservoir",
-    "ext_retention_cohorts", "ext_funnel_conversion",
-    "ext_changepoint_cusum", "ext_embedding_quantize",
-    "ext_seasonal_profile", "ext_lm_oov_filter",
-    "ext_rolling_median", "partition_stats", "ext_decontaminate_fuzzy",
-    "ext_knn_classify", "ext_dedup_substring_spans",
-    "streaming_current_value_parity", "ext_ann_recall_eval",
-    "streaming_sessionize_parity",
+    # round-5 additions (7) — driver-checked from day one
+    "partition_file_stats", "ext_text_entropy", "ext_text_redact",
+    "ext_embedding_norm", "ext_forget_source", "ext_revenue_yoy",
+    "ext_minhash_jaccard_est",
+    # round-1-only-attested rotation block (27) — clears the stale set
+    "fn_average", "fn_median", "fn_percentile90", "fn_percentile99",
+    "fn_sigma", "fn_minimum", "fn_maximum", "fn_count", "fn_sum",
+    "bucket_minute30", "bucket_week",
+    "ext_pricing_summary", "ext_revenue_by_nation",
+    "ext_part_supplier_margin", "ext_customers_semi", "ext_customers_anti",
+    "ext_distinct_agg", "ext_grouping_sets", "ext_rollup_orders",
+    "ext_pivot_flags", "ext_series_mode", "ext_set_intersect",
+    "ext_set_except", "ext_value_cdf", "ext_topk_per_series",
+    "ext_top_orders_per_cust", "ext_repeat_customers",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # rotation padding (8): round-1-green queries not re-attested since
-    # r1 (relational/analytics EXT surface, one per family — the
-    # family-redundant rows rotate in a later round) + the calendar
-    # bucket grain rotated out in r2
-    "ext_asof_join",
-    "ext_join_salted", "ext_events_json", "ext_scalar_funcs",
-    "ext_cube_lineitem",
-    "ext_topk_customers",
-    "ext_moving_avg", "bucket_month",
+    # rotation padding (3): oldest round-2 attestations, one per family
+    "ext_dedup_exact", "ext_sim_topk_cosine", "ext_text_tfidf",
 ]
 
 

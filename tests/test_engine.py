@@ -302,6 +302,16 @@ def test_partition_stats_detects_torn_partition(spark, tmp_path):
     bad_day = datetime.date.fromisoformat(days[1].rsplit("=", 1)[-1])
     assert isinstance(next(iter(torn)), datetime.date)
     assert torn[bad_day] == 0
+    # file-level fsck (.pagei analog) localizes the torn FILE: exactly
+    # one file reports bounds_ok=0, it is the moved one, and it sits in
+    # the wrong p_date dir — the repair job knows what to move back.
+    by_file = eng.partition_file_stats().collect()
+    bad_files = [r for r in by_file if r.bounds_ok == 0]
+    assert len(bad_files) == 1
+    assert bad_files[0].file.startswith("torn-")
+    assert bad_files[0].p_date == bad_day
+    # every other file in the store is still self-consistent
+    assert all(r.bounds_ok == 1 for r in by_file if r.file != bad_files[0].file)
     # frame-backed engines have no physical placement → no bounds_ok col
     eng2 = TsEngine.from_dataframe(
         spark,
@@ -310,6 +320,7 @@ def test_partition_stats_detects_torn_partition(spark, tmp_path):
         ),
     )
     assert "bounds_ok" not in eng2.partition_stats().columns
+    assert "bounds_ok" not in eng2.partition_file_stats().columns
 
 
 def test_changepoint_seasonal_rolling_hand_computed(spark):

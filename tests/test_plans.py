@@ -133,11 +133,11 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # the round-2 tail that has never had a driver CORRECTNESS row leads
-    assert CHECK_WINDOW[0] == "ext_asof_nearest"
+    # the round-5 additions (never driver-checked before) lead
+    assert CHECK_WINDOW[0] == "partition_file_stats"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
-    assert len(REGISTRY) >= 98
+    assert len(REGISTRY) >= 122
 
 
 def test_salted_paths_bound_skew_on_hot_key(spark):
