@@ -114,6 +114,68 @@ def streaming_downsample(
     )
 
 
+def streaming_downsample_append(
+    spark: SparkSession,
+    data_dir: str,
+    interval: str = "hour",
+    watermark: str = "2 hours",
+    query_name: str = "downsample_append",
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """The APPEND-mode twin of :func:`streaming_downsample`: each
+    (id, bucket) row is emitted exactly once, when the event-time
+    watermark passes the bucket end — the production shape for a
+    downstream sink that can't upsert. This is where the T3 late-data
+    policy actually bites (complete mode re-emits everything, so
+    lateness is invisible there):
+
+    * a row later than its bucket but NEWER than the watermark merges
+      into the still-open bucket state (kept);
+    * a row OLDER than the watermark is dropped at ingest — its bucket
+      has already been finalized and emitted (the trade documented in
+      SCALE.md §5: state size vs late acceptance; the batch path is the
+      reconciliation of record, exactly like the reference's
+      merge-on-read accepts any lateness).
+
+    ``max_files_per_trigger`` bounds each micro-batch so a backlog
+    replays as many ordered batches — the watermark advances batch by
+    batch, which is what lets tests (and reprocessing audits) drive a
+    controlled out-of-order sequence through the real engine.
+    """
+    from dariadb_spark.operators.downsample import MS
+
+    width_ms = MS[interval]
+    stream = (
+        spark.readStream.schema(_MEAS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(data_dir)
+    )
+    agg = (
+        stream.withColumn("ts", F.timestamp_millis(F.col("time")))
+        .withWatermark("ts", watermark)
+        .groupBy("id", F.window("ts", f"{width_ms} milliseconds"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "id",
+            F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+            "cnt",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_current_value(
     spark: SparkSession,
     data_dir: str,

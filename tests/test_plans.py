@@ -62,6 +62,26 @@ def test_revenue_by_nation_dims_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+@pytest.mark.parametrize(
+    "name,min_bhj",
+    [
+        ("ext_part_supplier_margin", 3),  # part/supplier/nation dims
+        ("ext_revenue_yoy", 1),  # nation dim
+        ("ext_embedding_norm", 1),  # 10-row per-label stats side
+        ("ext_decontaminate_fuzzy", 1),  # eval-slice band table side
+    ],
+)
+def test_dimension_joins_stay_broadcast(spark, sf_dir, name, min_bhj):
+    """VERDICT r3 item 8: pin every dimension-join plan as broadcast so
+    a silent AQE/threshold change can't turn it into a full shuffle
+    join unnoticed — at 100 TB each of these builds is KBs-to-MBs while
+    the probe side is the fact table."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("BroadcastHashJoin") >= min_bhj, (name, plan)
+    assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    assert "CartesianProduct" not in plan, (name, plan)
+
+
 def test_scheme_resolve_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scheme_resolve")
     assert "BroadcastHashJoin" in plan, plan
