@@ -226,9 +226,8 @@ def _minhash_sig(sh: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_bands(sh: DataFrame) -> tuple[DataFrame, list[str]]:
+def _bands_from_sig(sig: DataFrame) -> tuple[DataFrame, list[str]]:
     """(doc_id, band, r0..r{rpb-1}) LSH band rows + the band join key."""
-    sig = _minhash_sig(sh)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     band_exprs = ", ".join(
         "struct({b} AS band, {cols})".format(
@@ -244,6 +243,11 @@ def _minhash_bands(sh: DataFrame) -> tuple[DataFrame, list[str]]:
         "doc_id", f"explode(array({band_exprs})) AS bb"
     ).select("doc_id", "bb.*")
     return bands, ["band"] + [f"r{r}" for r in range(rows_per_band)]
+
+
+def _minhash_bands(sh: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Shingles → signature → LSH band rows (compat wrapper)."""
+    return _bands_from_sig(_minhash_sig(sh))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -331,8 +335,11 @@ def minhash_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
     and the exact side joins shingle sets back only for the candidate
     pairs — the same bounded cost as the dedup verification step."""
     sh = _shingled(load_table(spark, sf, "documents"))
+    # ONE signature subtree feeds the band join and both estimate sides;
+    # Spark's ReusedExchange dedups the identical signature shuffles
+    # (measured: caching it buys nothing), so the plan stays stateless
     sig = _minhash_sig(sh)
-    bands, key = _minhash_bands(sh)
+    bands, key = _bands_from_sig(sig)
     cand = (
         bands.withColumnRenamed("doc_id", "doc_a")
         .join(bands.withColumnRenamed("doc_id", "doc_b"), key)
