@@ -407,6 +407,23 @@ def _register_streaming_sessionize_parity() -> None:
         REGISTRY["ext_session_window"].oracle,
     )
 
+
+def _streaming_anomaly_parity(spark: SparkSession, sf: str) -> DataFrame:
+    from dariadb_spark.streaming.stateful import streaming_anomaly_parity
+
+    return streaming_anomaly_parity(spark, sf)
+
+
+def _register_streaming_anomaly_parity() -> None:
+    # deferred: oracle = the batch ext_anomaly_zscore SQL (ext module
+    # imports at the bottom of this file); the applyInPandasWithState
+    # fold must reproduce the batch window plan exactly
+    register(
+        "streaming_anomaly_parity",
+        _streaming_anomaly_parity,
+        REGISTRY["ext_anomaly_zscore"].oracle,
+    )
+
 # --- W2: derived-series downsample with distributed id allocation --------
 
 def _derived_series(spark: SparkSession, sf: str) -> DataFrame:
@@ -462,6 +479,8 @@ from dariadb_spark.ext import curation as _ext_curation  # noqa: E402,F401
 # harness_ordered) may not have the ext registrations yet.
 if "ext_session_window" in REGISTRY:
     _register_streaming_sessionize_parity()
+if "ext_anomaly_zscore" in REGISTRY:
+    _register_streaming_anomaly_parity()
 
 # --- driver check-window ordering ----------------------------------------
 # The driver's correctness harness hash-checks the FIRST 50 queries it sees
@@ -500,8 +519,11 @@ CHECK_WINDOW = [
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # rotation padding (3): oldest round-2 attestations, one per family
-    "ext_dedup_exact", "ext_sim_topk_cosine", "ext_text_tfidf",
+    # round-5 late addition: custom-stateful streaming parity (never
+    # ship a query outside the window)
+    "streaming_anomaly_parity",
+    # rotation padding (2): oldest round-2 attestations
+    "ext_dedup_exact", "ext_sim_topk_cosine",
 ]
 
 

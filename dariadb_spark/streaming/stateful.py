@@ -102,6 +102,166 @@ def _make_state_fold(bucket_width: int) -> Callable:
     return update
 
 
+#: emitted alert row schema — matches the batch anomaly_zscore_op output
+ALERT_DDL = (
+    "id BIGINT, time BIGINT, value DOUBLE, flag BIGINT, "
+    "n_trail BIGINT, z DOUBLE"
+)
+
+#: alert state: the trailing tail of the series, ≤ window points
+_ALERT_STATE_DDL = (
+    "times ARRAY<BIGINT>, values ARRAY<DOUBLE>, flags ARRAY<BIGINT>"
+)
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """Spark/DuckDB ``round()`` (BigDecimal HALF_UP on the exact binary
+    value of the double) — Python's builtin ``round`` is HALF_EVEN and
+    would diverge on .5 boundaries."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-places)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _make_alert_fold(window: int, min_n: int, threshold: float) -> Callable:
+    """Per-series online z-score alert fold. State = the last ``window``
+    (time, value, flag) points; each new point is scored against the
+    trailing window that PRECEDES it — arithmetic identical to the
+    batch ``anomaly_zscore_op`` (round(sum,6)/n moments, HALF_UP
+    rounding), so a time-ordered replay reproduces the batch alerts
+    bit-for-bit. Late data is scored against the state as-of arrival
+    (already-emitted alerts are never retracted); the batch path is the
+    reconciliation of record — SCALE.md §5's policy."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (series_id,) = key
+        if state.exists:
+            times, values, flags = (list(c) for c in state.get)
+        else:
+            times, values, flags = [], [], []
+        tail = list(zip(times, values, flags))
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(t), float(v), int(f))
+                for t, v, f in zip(pdf["time"], pdf["value"], pdf["flag"])
+            )
+        # batch semantics order points by (time, value, flag) per series
+        rows.sort()
+        out: list[tuple] = []
+        for t, v, f in rows:
+            trail = tail[-window:]
+            n = len(trail)
+            if n >= min_n:
+                s = 0.0
+                s2 = 0.0
+                for _, tv, _ in trail:  # ascending order, like the
+                    s += tv             # window frame's running sum
+                    s2 += tv * tv
+                mean = _round_half_up(s, 6) / n
+                ex2 = _round_half_up(s2, 6) / n
+                std = math.sqrt(max(ex2 - mean * mean, 0.0))
+                if std > 0:
+                    z = _round_half_up((v - mean) / std, 4)
+                    if abs(z) > threshold:
+                        out.append((int(series_id), t, v, f, n, z))
+            tail.append((t, v, f))
+            if len(tail) > window:
+                tail = tail[-window:]
+        state.update(
+            (
+                [t for t, _, _ in tail],
+                [v for _, v, _ in tail],
+                [f for _, _, f in tail],
+            )
+        )
+        yield pd.DataFrame(
+            out, columns=["id", "time", "value", "flag", "n_trail", "z"]
+        )
+
+    return update
+
+
+def streaming_anomaly_alerts(
+    spark: SparkSession,
+    data_dir: str,
+    window: int = 20,
+    min_n: int = 10,
+    threshold: float = 3.0,
+    query_name: str = "anomaly_alerts_live",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Start the online anomaly-alert stream — the push half of the
+    reference's subscribe pattern pointed at a quality gate: every
+    appended point is scored against its own series' trailing window
+    and alert rows land in the in-memory table ``query_name``.
+
+    Plan shape: file/Delta stream → one shuffle on ``id`` (stable state
+    partitioning) → Arrow-batched state fold holding ≤ window points
+    per series — state is |series| × window regardless of throughput."""
+    reader = (
+        spark.readStream.schema(_MEAS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(data_dir)
+    updated = stream.groupBy("id").applyInPandasWithState(
+        _make_alert_fold(window, min_n, threshold),
+        outputStructType=ALERT_DDL,
+        stateStructType=_ALERT_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible custom-stateful parity: run the REAL
+    applyInPandasWithState alert stream over the fixture slice the
+    batch ``ext_anomaly_zscore`` query covers and return the alert
+    table. Oracle = that query's SQL — the explicit-state fold must
+    reproduce the batch window plan exactly (same trailing-20 moments,
+    same HALF_UP rounding, same (time, value, flag) total order)."""
+    import tempfile
+
+    from dariadb_spark.model import measurements
+    from dariadb_spark.operators.interval import scan_interval
+    from dariadb_spark.registry import FROM_MS, IDS, TO_MS
+
+    base = tempfile.mkdtemp(prefix="dariadb_alert_parity_")
+    data_dir = f"{base}/data"
+    qname = "alert_parity_" + base.rsplit("_", 1)[-1]
+    # ONE sorted file → the availableNow replay feeds each series its
+    # points in (time, value, flag) order, the precondition for exact
+    # batch parity (out-of-order arrival is policy-scored, not parity)
+    scan_interval(
+        measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
+    ).orderBy("id", "time", "value", "flag").coalesce(1).write.parquet(
+        data_dir
+    )
+    streaming_anomaly_alerts(spark, data_dir, query_name=qname).awaitTermination(
+        600
+    )
+    return spark.table(qname).orderBy("id", "time", "value", "flag")
+
+
 def streaming_stat_blocks(
     spark: SparkSession,
     data_dir: str,

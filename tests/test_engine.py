@@ -308,6 +308,43 @@ def test_streaming_watermark_late_data_policy(spark, tmp_path):
     assert not any(s == 99.0 for _, s in got.values())
 
 
+def test_streaming_anomaly_alerts_incremental_state(spark, tmp_path):
+    """The custom-stateful alert fold must carry its trailing window
+    ACROSS micro-batches: 30 flat points arrive in batch 1, a spike in
+    batch 2 — the spike can only be scored against state saved from
+    batch 1 (its own batch holds nothing else). Flat points never
+    alert; the spike does, with a full 20-point trail."""
+    import os
+    import shutil
+
+    from dariadb_spark.streaming.stateful import streaming_anomaly_alerts
+
+    base = 1_704_067_200_000
+    flat = [(5, base + k * 1000, 10.0 + (k % 3) * 0.1, 1) for k in range(30)]
+    spike = [(5, base + 30_000, 100.0, 1)]
+    stream_dir = tmp_path / "alert_stream"
+    stream_dir.mkdir()
+    for i, rows in enumerate((flat, spike)):
+        staging = str(tmp_path / f"astage_{i}")
+        spark.createDataFrame(
+            rows, "id bigint, time bigint, value double, flag bigint"
+        ).coalesce(1).write.parquet(staging)
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        dst = str(stream_dir / f"abatch_{i}.parquet")
+        shutil.move(f"{staging}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = streaming_anomaly_alerts(
+        spark, str(stream_dir), query_name="alert_inc_test",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    alerts = spark.table("alert_inc_test").collect()
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert (a.id, a.time, a.value) == (5, base + 30_000, 100.0)
+    assert a.n_trail == 20 and a.z > 3.0
+
+
 def test_downsample_to_series_derived_names(spark, tmp_path):
     eng = TsEngine.open(spark, str(tmp_path / "s"))
     eng.append(_grid())
