@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
 from dariadb_spark.functions.statistics import apply_functions
 from dariadb_spark.model import MEAS_FIELDS, measurements
@@ -94,6 +95,25 @@ class TsEngine:
         self, ids: list[int] | None, from_ms: int, to_ms: int, flag: int = 0
     ) -> DataFrame:
         return _read_interval(self.meas(), ids, from_ms, to_ms, flag)
+
+    def read_interval_by_pattern(
+        self, pattern: str, from_ms: int, to_ms: int, flag: int = 0
+    ) -> DataFrame:
+        """J2+F1–F3 composed: resolve a hierarchical name glob
+        (``host1.*``) through the catalog and scan the matching series —
+        a broadcast join against the matched catalog slice, so the id
+        set never round-trips through the driver (the scale-safe form of
+        ``read_interval(ids=...)`` when names drive the query). Returns
+        (id, name, time, value, flag) time-ordered per series."""
+        from dariadb_spark.operators.interval import scan_interval
+
+        matched = self.scheme.match(pattern)
+        scanned = scan_interval(self.meas(), None, from_ms, to_ms, flag)
+        return (
+            scanned.join(F.broadcast(matched), "id")
+            .select("id", "name", "time", "value", "flag")
+            .orderBy("id", "time", "value", "flag")
+        )
 
     def foreach(
         self,

@@ -275,6 +275,52 @@ WHERE m.id IN {_ids_sql(IDS)} AND m.time BETWEEN {FROM_MS} AND {TO_MS}
 GROUP BY c.name ORDER BY name""",
 )
 
+_DAY_MS_ = 86_400_000
+
+
+def _scheme_pattern_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 hierarchical lookup (scheme/scheme.h dot-tree): resolve the
+    glob ``host1.*`` through the catalog and aggregate the matching
+    series per (name, day). The matched catalog slice joins broadcast;
+    the matched id set never materializes on the driver — the
+    scale-safe form of name-driven querying."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.operators.interval import scan_interval
+    from dariadb_spark.scheme import SeriesCatalog
+
+    cat = SeriesCatalog(spark)
+    for name in SCHEME_NAMES:
+        cat.add_param(name)
+    meas = scan_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    day = (
+        F.col("time") - F.pmod(F.col("time"), F.lit(_DAY_MS_))
+    ).alias("day_ms")
+    return (
+        meas.join(F.broadcast(cat.match("host1.*")), "id")
+        .groupBy("name", day)
+        .agg(
+            F.count("value").alias("cnt"),
+            (F.round(F.sum("value"), 6) / F.count("value")).alias("avg_value"),
+        )
+        .orderBy("name", "day_ms")
+    )
+
+
+register(
+    "scheme_pattern_scan",
+    _scheme_pattern_scan,
+    f"""WITH {MEAS_CTE_SQL},
+catalog(id, name) AS (VALUES {', '.join(f"({i}, '{n}')" for i, n in enumerate(SCHEME_NAMES))})
+SELECT c.name AS name,
+       m.time - ((m.time % {_DAY_MS_}) + {_DAY_MS_}) % {_DAY_MS_} AS day_ms,
+       count(m.value) AS cnt,
+       (round(sum(m.value), 6) / count(m.value)) AS avg_value
+FROM measurements m JOIN catalog c ON m.id = c.id
+WHERE c.name LIKE 'host1.%' AND m.time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY 1, 2 ORDER BY name, day_ms""",
+)
+
 # --- T4: retention semantics (eraseOld survivors) ------------------------
 
 register(
@@ -302,8 +348,6 @@ def _erase_old_check(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- T5: manifest/fsck observability (per-partition stats) ----------------
-
-_DAY_MS_ = 86_400_000
 
 
 def _partition_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -519,11 +563,11 @@ CHECK_WINDOW = [
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # round-5 late addition: custom-stateful streaming parity (never
-    # ship a query outside the window)
-    "streaming_anomaly_parity",
-    # rotation padding (2): oldest round-2 attestations
-    "ext_dedup_exact", "ext_sim_topk_cosine",
+    # round-5 late additions: custom-stateful streaming parity + scheme
+    # glob lookup (never ship a query outside the window)
+    "streaming_anomaly_parity", "scheme_pattern_scan",
+    # rotation padding (1): oldest round-2 attestation
+    "ext_dedup_exact",
 ]
 
 

@@ -87,3 +87,27 @@ class SeriesCatalog:
     def resolve(self, meas: DataFrame) -> DataFrame:
         """Attach names via broadcast join (J2 in SURVEY.md §2.3)."""
         return meas.join(F.broadcast(self.to_df()), "id", "left")
+
+    @staticmethod
+    def _glob_to_like(pattern: str) -> str:
+        out = []
+        for ch in pattern:
+            if ch == "*":
+                out.append("%")
+            elif ch == "?":
+                out.append("_")
+            elif ch in ("%", "_", "\\"):
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def match(self, pattern: str) -> DataFrame:
+        """(id, name) rows whose name matches the hierarchical glob
+        ``pattern`` (``host1.*``, ``*.sensor0.load`` — the reference's
+        dot-tree lookup, scheme/scheme.h). Evaluated on the catalog
+        DataFrame, so it composes as a broadcast build side at any
+        scale; the matched id set never materializes on the driver."""
+        return self.to_df().where(
+            F.col("name").like(self._glob_to_like(pattern))
+        )

@@ -576,6 +576,50 @@ def test_scheme_catalog_roundtrip(spark, tmp_path):
     assert named[12345] is None  # uncataloged series keep flowing (left join)
 
 
+def test_scheme_pattern_match_and_scan(spark, tmp_path):
+    """Hierarchical glob lookup (scheme/scheme.h dot-tree): the catalog
+    match resolves globs on the DataFrame side, and the engine verb
+    composes it with the interval scan as a broadcast join."""
+    from dariadb_spark.scheme import SeriesCatalog
+
+    cat = SeriesCatalog(spark)
+    names = [f"host{h}.cpu{c}.load" for h in range(3) for c in range(2)]
+    ids = {n: cat.add_param(n) for n in names}
+    assert {r.name for r in cat.match("host1.*").collect()} == {
+        "host1.cpu0.load", "host1.cpu1.load",
+    }
+    assert {r.name for r in cat.match("*.cpu0.load").collect()} == {
+        f"host{h}.cpu0.load" for h in range(3)
+    }
+    assert {r.name for r in cat.match("host?.cpu1.load").collect()} == {
+        f"host{h}.cpu1.load" for h in range(3)
+    }
+    # literal % / _ in a name never acts as a wildcard
+    cat.add_param("weird%name")
+    assert [r.name for r in cat.match("weird%name").collect()] == [
+        "weird%name"
+    ]
+    assert cat.match("weirdXname").count() == 0
+    eng = TsEngine.from_dataframe(
+        spark,
+        spark.createDataFrame(
+            [(ids[n], T0 + k * 1000, float(k), 1)
+             for n in names for k in range(3)],
+            "id bigint, time bigint, value double, flag bigint",
+        ),
+    )
+    eng.scheme = cat
+    rows = eng.read_interval_by_pattern("host1.*", T0, T0 + 60_000).collect()
+    assert len(rows) == 6  # 2 matched series × 3 points
+    assert {r.name for r in rows} == {
+        "host1.cpu0.load", "host1.cpu1.load",
+    }
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r.time)
+    assert all(ts == sorted(ts) for ts in by_id.values())
+
+
 def test_resample_verbs_hand_computed(engine):
     """rate / gap_fill / interpolate on the deterministic grid: 6 h sample
     step, value = id*100 + k → rate is the constant 1/STEP·1000 per second,
