@@ -308,6 +308,63 @@ def test_streaming_watermark_late_data_policy(spark, tmp_path):
     assert not any(s == 99.0 for _, s in got.values())
 
 
+def test_streaming_anomaly_alerts_batch_split_invariant(spark, tmp_path):
+    """Alerts are a pure fold over the per-series time order, so HOW the
+    ordered stream is chopped into micro-batches must not matter: one
+    big batch and five small ones produce identical alert sets (the
+    state hand-off is exact, not approximate)."""
+    import os
+    import shutil
+
+    from dariadb_spark.streaming.stateful import streaming_anomaly_alerts
+
+    base = 1_704_067_200_000
+    # two series with planted spikes at different points
+    rows = []
+    for sid in (3, 4):
+        for k in range(50):
+            v = 10.0 + (k % 5) * 0.2
+            if (sid, k) in ((3, 35), (4, 48)):
+                v = 200.0
+            rows.append((sid, base + k * 1000, v, 1))
+    rows.sort(key=lambda r: (r[1], r[0]))  # global time order
+
+    def run(splits: int, tag: str) -> set:
+        d = tmp_path / f"split_{tag}"
+        d.mkdir()
+        chunk = (len(rows) + splits - 1) // splits
+        for i in range(splits):
+            part_rows = rows[i * chunk : (i + 1) * chunk]
+            if not part_rows:
+                continue
+            staging = str(tmp_path / f"sstage_{tag}_{i}")
+            spark.createDataFrame(
+                part_rows, "id bigint, time bigint, value double, flag bigint"
+            ).coalesce(1).write.parquet(staging)
+            part = next(
+                p for p in os.listdir(staging) if p.endswith(".parquet")
+            )
+            dst = str(d / f"b{i}.parquet")
+            shutil.move(f"{staging}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        q = streaming_anomaly_alerts(
+            spark, str(d), query_name=f"alert_split_{tag}",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        return {
+            (r.id, r.time, r.value, r.n_trail, r.z)
+            for r in spark.table(f"alert_split_{tag}").collect()
+        }
+
+    one = run(1, "one")
+    five = run(5, "five")
+    assert one == five
+    assert {(i, t) for i, t, *_ in one} == {
+        (3, base + 35_000), (4, base + 48_000),
+    }
+
+
 def test_streaming_anomaly_alerts_incremental_state(spark, tmp_path):
     """The custom-stateful alert fold must carry its trailing window
     ACROSS micro-batches: 30 flat points arrive in batch 1, a spike in
