@@ -62,6 +62,26 @@ def test_revenue_by_nation_dims_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+@pytest.mark.parametrize("name", ["ext_text_entropy", "ext_text_redact"])
+def test_scan_stage_text_signals_have_no_agg_shuffle(spark, sf_dir, name):
+    """The round-5 per-doc text signals are pure maps over the corpus —
+    at 100 TB they must run at read bandwidth. Only the presentation
+    orderBy may exchange (rangepartitioning ≤ 1); any hashpartitioning
+    exchange means an accidental aggregation shuffle crept in."""
+    plan = _plan(spark, sf_dir, name)
+    assert "hashpartitioning" not in plan, plan
+    assert len(re.findall(r"rangepartitioning", plan)) <= 1, plan
+
+
+def test_forget_source_tombstone_filter_pushed(spark, sf_dir):
+    """The governance purge's tombstone list is a literal IN — it must
+    reach the documents scan as a PushedFilter (at 100 TB the purged
+    slice is read-pruned, not post-filtered)."""
+    plan = _plan(spark, sf_dir, "ext_forget_source")
+    pushed = "".join(re.findall(r"PushedFilters: \[[^\n]*", plan))
+    assert "In(source" in pushed or "EqualTo(source" in pushed, pushed
+
+
 @pytest.mark.parametrize(
     "name,min_bhj",
     [
