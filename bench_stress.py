@@ -91,25 +91,71 @@ def stress_ppjoin(spark) -> tuple[float, int]:
     return secs, n
 
 
+ALERT_ROWS = 1_000_000
+ALERT_SERIES = 1_000
+
+
+def stress_alert_fold(spark) -> tuple[float, int]:
+    """The custom-stateful alert fold at throughput scale: 1M points /
+    1000 series through the REAL applyInPandasWithState stream (one
+    availableNow pass), with one spike planted per series → exactly
+    ALERT_SERIES alerts expected. Measures the Arrow state-fold path the
+    100 TB subscribe→alert design rests on (state = 20 points/series
+    regardless of row count)."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.streaming.stateful import streaming_anomaly_alerts
+
+    base = 1_704_067_200_000
+    per = ALERT_ROWS // ALERT_SERIES
+    d = tempfile.mkdtemp(prefix="dariadb_alert_stress_")
+    try:
+        spark.range(ALERT_ROWS).selectExpr(
+            f"id % {ALERT_SERIES} AS id",
+            f"{base} + (id DIV {ALERT_SERIES}) * 1000 AS time",
+            # flat 10.0±0.4 noise, one 200.0 spike per series at its
+            # second-to-last point
+            f"CAST(CASE WHEN id DIV {ALERT_SERIES} = {per - 2} THEN 200.0 "
+            f"ELSE 10.0 + ((id DIV {ALERT_SERIES}) % 5) * 0.2 END "
+            "AS DOUBLE) AS value",
+            "CAST(1 AS BIGINT) AS flag",
+        ).write.parquet(f"{d}/data")
+        t0 = time.perf_counter()
+        q = streaming_anomaly_alerts(
+            spark, f"{d}/data", query_name="alert_stress"
+        )
+        q.awaitTermination(600)
+        n = spark.table("alert_stress").count()
+        secs = time.perf_counter() - t0
+        assert n == ALERT_SERIES, f"expected {ALERT_SERIES} alerts, got {n}"
+        return secs, n
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("dariadb-bench-stress")
     spark.sparkContext.setLogLevel("ERROR")
     cc_s, cc_n = stress_cc(spark)
     pp_s, pp_n = stress_ppjoin(spark)
+    al_s, al_n = stress_alert_fold(spark)
     print(
         json.dumps(
             {
                 "metric": "stress_wall_clock",
-                "value": round(cc_s + pp_s, 4),
+                "value": round(cc_s + pp_s + al_s, 4),
                 "unit": "sec",
                 "queries": {
                     "cc_label_propagation_1m2_edges": round(cc_s, 4),
                     "ppjoin_prefix_120k_docs": round(pp_s, 4),
+                    "alert_fold_1m_rows": round(al_s, 4),
                 },
                 "edges": CC_EDGES,
                 "docs": PPJOIN_DOCS,
                 "cc_labels": cc_n,
                 "ppjoin_pairs": pp_n,
+                "alerts": al_n,
             }
         )
     )
