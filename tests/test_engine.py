@@ -141,6 +141,12 @@ def test_compact_preserves_results_and_shrinks_files(engine):
     assert after_files <= before_files
     assert after_files == len(list(store.data_dir.glob("p_date=*")))  # 1/day
     assert engine.read_interval(None, 0, 2**60).collect() == before_rows
+    # the .pagei-analog file stats track the COMPACTED layout: one file
+    # per day partition, every file self-consistent, totals preserved
+    pfs = engine.partition_file_stats().collect()
+    assert len(pfs) == after_files
+    assert all(r.bounds_ok == 1 for r in pfs)
+    assert sum(r.n_rows for r in pfs) == len(before_rows)
 
 
 def test_erase_old_partition_drop_and_boundary_rewrite(spark, tmp_path):

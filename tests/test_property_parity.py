@@ -271,3 +271,42 @@ def test_cc_both_paths_match_brute_force(spark, pairs):
     expect = sorted(label.items())
     assert uf == expect
     assert lp == expect
+
+
+# --- scheme glob translation --------------------------------------------
+
+_name_chars = st.text(
+    alphabet="abz019.%_\\*?", min_size=0, max_size=12
+)
+
+
+@given(names=st.lists(_name_chars, min_size=1, max_size=8, unique=True))
+@_SETTINGS
+def test_scheme_glob_matches_fnmatch_semantics(spark, names):
+    """SeriesCatalog.match must agree with a pure-Python glob oracle for
+    EVERY catalog name — including names containing the LIKE
+    metacharacters % and _ (which the translation must escape) and
+    patterns built from the names themselves."""
+    import re
+
+    from dariadb_spark.scheme import SeriesCatalog
+
+    cat = SeriesCatalog(spark)
+    for n in names:
+        cat.add_param(n)
+
+    def py_glob_match(pattern: str, s: str) -> bool:
+        rx = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pattern
+        )
+        return re.fullmatch(rx, s) is not None
+
+    # patterns: each literal name, plus prefix-star variants of the first
+    patterns = list(names[:3])
+    patterns.append(names[0][: max(len(names[0]) // 2, 0)] + "*")
+    patterns.append("*")
+    for pattern in patterns:
+        got = {r.name for r in cat.match(pattern).collect()}
+        want = {n for n in names if py_glob_match(pattern, n)}
+        assert got == want, (pattern, got, want)
