@@ -536,38 +536,34 @@ if "ext_anomaly_zscore" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-5 composition (VERDICT r3 item 2): the 7 round-5 additions go
-# first (never ship a query outside the window), then ALL 27 queries
-# whose only driver-green row is round 1 — after this round no query's
-# attestation is older than round 4 — then the always-on core surface,
-# then 3 padding slots from the (fully r4-attested) round-2 family.
+# Round-6 composition (VERDICT r5 item 1): ALL 37 queries whose latest
+# driver-green row is round 2 (`tools/attestation_ledger.py --stale 3` —
+# the dedup/similarity/text/timeseries families) rotate in, plus the
+# always-on 13-query core surface = exactly 50, zero padding. After this
+# round no query's attestation is older than round 4 and the rotation
+# reaches steady state (every query re-attested at most every 3 rounds).
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
-    # round-5 additions (7) — driver-checked from day one
-    "partition_file_stats", "ext_text_entropy", "ext_text_redact",
-    "ext_embedding_norm", "ext_forget_source", "ext_revenue_yoy",
-    "ext_minhash_jaccard_est",
-    # round-1-only-attested rotation block (27) — clears the stale set
-    "fn_average", "fn_median", "fn_percentile90", "fn_percentile99",
-    "fn_sigma", "fn_minimum", "fn_maximum", "fn_count", "fn_sum",
-    "bucket_minute30", "bucket_week",
-    "ext_pricing_summary", "ext_revenue_by_nation",
-    "ext_part_supplier_margin", "ext_customers_semi", "ext_customers_anti",
-    "ext_distinct_agg", "ext_grouping_sets", "ext_rollup_orders",
-    "ext_pivot_flags", "ext_series_mode", "ext_set_intersect",
-    "ext_set_except", "ext_value_cdf", "ext_topk_per_series",
-    "ext_top_orders_per_cust", "ext_repeat_customers",
+    # round-2-latest rotation block (37) — clears the stale set
+    "ext_anomaly_zscore", "ext_curate_corpus", "ext_decontaminate",
+    "ext_dedup_components", "ext_dedup_embedding_cosine",
+    "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
+    "ext_embedding_centroids", "ext_ewma", "ext_gap_fill",
+    "ext_media_frames", "ext_media_meta", "ext_pack_shards",
+    "ext_profile_documents", "ext_rate", "ext_rollup_cascade",
+    "ext_sample_stratified", "ext_session_window", "ext_sessionize",
+    "ext_sim_ann_ivf", "ext_sim_ann_lsh", "ext_sim_kmeans",
+    "ext_sim_topk_cosine", "ext_split_train_test", "ext_text_bm25",
+    "ext_text_bpe_tokens", "ext_text_fingerprint", "ext_text_gopher_quality",
+    "ext_text_lang_histogram", "ext_text_langid", "ext_text_ngram_lm",
+    "ext_text_quality", "ext_text_tfidf", "ext_text_token_stats",
+    "ext_text_word_freq", "ext_time_weighted_avg",
     # core reference surface (13) — continuously verified every round
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
     "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
     "scheme_resolve", "erase_old_check",
-    # round-5 late additions: custom-stateful streaming parity + scheme
-    # glob lookup (never ship a query outside the window)
-    "streaming_anomaly_parity", "scheme_pattern_scan",
-    # rotation padding (1): oldest round-2 attestation
-    "ext_dedup_exact",
 ]
 
 

@@ -173,8 +173,9 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # the round-5 additions (never driver-checked before) lead
-    assert CHECK_WINDOW[0] == "partition_file_stats"
+    # round-6 rotation: the r2-stale block leads, 13-core closes
+    assert CHECK_WINDOW[0] == "ext_anomaly_zscore"
+    assert CHECK_WINDOW[-1] == "erase_old_check"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 122
