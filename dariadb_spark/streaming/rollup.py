@@ -132,26 +132,30 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe. Upgrades T1/T3/T5 (streaming maintenance, SURVEY §2.8) from
     pytest-only to a hash-checked driver CORRECTNESS row.
 
-    The scratch dirs live under the OS tmp dir for the life of the
-    process (the returned DataFrame lazily reads the rollup dir, so it
-    cannot be deleted here)."""
+    The merge-on-read result is localized (it is bucket-count-sized)
+    and the scratch tree removed before returning."""
+    import shutil
     import tempfile
 
     from dariadb_spark.model import measurements
+    from dariadb_spark.streaming.scratch import localize_and_cleanup
 
     base = tempfile.mkdtemp(prefix="dariadb_stream_parity_")
     data_dir = f"{base}/data"
     rollup_dir = f"{base}/rollup"
     ckpt = f"{base}/ckpt"
     split_ms = 1_705_276_800_000  # 2024-01-15 — mid-fixture
-    m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
-
-    m.where(F.col("time") < split_ms).write.parquet(data_dir)
-    streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day").awaitTermination(600)
-    m.where(F.col("time") >= split_ms).write.mode("append").parquet(data_dir)
-    streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day").awaitTermination(600)
-    compact_rollup(spark, rollup_dir, checkpoint_dir=ckpt)
-    return read_rollup(spark, rollup_dir)
+    try:
+        m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
+        m.where(F.col("time") < split_ms).write.parquet(data_dir)
+        streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day").awaitTermination(600)
+        m.where(F.col("time") >= split_ms).write.mode("append").parquet(data_dir)
+        streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day").awaitTermination(600)
+        compact_rollup(spark, rollup_dir, checkpoint_dir=ckpt)
+        return localize_and_cleanup(spark, read_rollup(spark, rollup_dir), base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
 
 
 def streaming_current_value_parity(
@@ -167,18 +171,26 @@ def streaming_current_value_parity(
     by tests/test_engine.py's checkpointed two-append test; the memory
     sink cannot restart from a checkpoint, so the driver query runs one
     pass.)"""
+    import shutil
     import tempfile
 
     from dariadb_spark.model import measurements
+    from dariadb_spark.streaming.scratch import localize_and_cleanup
     from dariadb_spark.streaming.subscribe import streaming_current_value
 
     base = tempfile.mkdtemp(prefix="dariadb_cv_parity_")
     data_dir = f"{base}/data"
     qname = "cv_parity_" + base.rsplit("_", 1)[-1]
-    m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
-    m.write.parquet(data_dir)
-    streaming_current_value(spark, data_dir, qname).awaitTermination(600)
-    return spark.table(qname).orderBy("id")
+    try:
+        m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
+        m.write.parquet(data_dir)
+        streaming_current_value(spark, data_dir, qname).awaitTermination(600)
+        return localize_and_cleanup(
+            spark, spark.table(qname).orderBy("id"), base, qname
+        )
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
 
 
 def last_committed_batch(checkpoint_dir: str) -> int:

@@ -306,27 +306,38 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Oracle = that query's SQL — the explicit-state fold must
     reproduce the batch window plan exactly (same trailing-20 moments,
     same HALF_UP rounding, same (time, value, flag) total order)."""
+    import shutil
     import tempfile
 
     from dariadb_spark.model import measurements
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
+    from dariadb_spark.streaming.scratch import localize_and_cleanup
 
     base = tempfile.mkdtemp(prefix="dariadb_alert_parity_")
     data_dir = f"{base}/data"
     qname = "alert_parity_" + base.rsplit("_", 1)[-1]
-    # ONE sorted file → the availableNow replay feeds each series its
-    # points in (time, value, flag) order, the precondition for exact
-    # batch parity (out-of-order arrival is policy-scored, not parity)
-    scan_interval(
-        measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
-    ).orderBy("id", "time", "value", "flag").coalesce(1).write.parquet(
-        data_dir
-    )
-    streaming_anomaly_alerts(spark, data_dir, query_name=qname).awaitTermination(
-        600
-    )
-    return spark.table(qname).orderBy("id", "time", "value", "flag")
+    try:
+        # ONE sorted file → the availableNow replay feeds each series its
+        # points in (time, value, flag) order, the precondition for exact
+        # batch parity (out-of-order arrival is policy-scored, not parity)
+        scan_interval(
+            measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
+        ).orderBy("id", "time", "value", "flag").coalesce(1).write.parquet(
+            data_dir
+        )
+        streaming_anomaly_alerts(
+            spark, data_dir, query_name=qname
+        ).awaitTermination(600)
+        return localize_and_cleanup(
+            spark,
+            spark.table(qname).orderBy("id", "time", "value", "flag"),
+            base,
+            qname,
+        )
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
 
 
 def streaming_stat_blocks(

@@ -259,20 +259,33 @@ def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental session merge must reproduce batch sessions exactly
     (the fixture has no late data beyond the 1-day watermark, so no
     sessions evict early)."""
+    import shutil
     import tempfile
 
     from dariadb_spark.model import measurements
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
+    from dariadb_spark.streaming.scratch import localize_and_cleanup
 
     base = tempfile.mkdtemp(prefix="dariadb_sess_parity_")
     data_dir = f"{base}/data"
     qname = "sess_parity_" + base.rsplit("_", 1)[-1]
-    scan_interval(
-        measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
-    ).write.parquet(data_dir)
-    streaming_sessionize(spark, data_dir, query_name=qname).awaitTermination(600)
-    return spark.table(qname).orderBy("id", "session_start_ms")
+    try:
+        scan_interval(
+            measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
+        ).write.parquet(data_dir)
+        streaming_sessionize(
+            spark, data_dir, query_name=qname
+        ).awaitTermination(600)
+        return localize_and_cleanup(
+            spark,
+            spark.table(qname).orderBy("id", "session_start_ms"),
+            base,
+            qname,
+        )
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
 
 
 def streaming_interval_join(
