@@ -401,6 +401,90 @@ SELECT 'events.parquet' AS file, count(*) AS n_rows,
 FROM measurements""",
 )
 
+
+def _partition_file_stats_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-FILE fsck check over a REAL multi-file ParquetTsStore
+    (VERDICT r5 item 4 — the single-file fixture oracle above proves
+    whole-table bounds only): materialize the interval slice into a
+    temp store as TWO deterministic appends (id={IDS[0]} vs the rest,
+    each repartitioned by UTC day → exactly one file per (append, day)
+    dir), run ``partition_file_stats_op`` over the store read (which
+    carries the physical ``_p_date``, so ``bounds_ok`` is the real
+    torn-file check), and key each file row by its within-day stats
+    rank — file NAMES are writer-generated UUIDs, but the per-file
+    grouping, counts, bounds, and placement check all hash
+    deterministically. Scratch store removed before returning."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.model import ids_predicate, pushdown_time_bounds
+    from dariadb_spark.operators.stats import partition_file_stats_op
+    from dariadb_spark.sources.parquet_store import ParquetTsStore
+    from dariadb_spark.streaming.scratch import localize_and_cleanup
+
+    base = tempfile.mkdtemp(prefix="dariadb_fstats_multi_")
+    try:
+        meas = measurements(spark, sf)
+        sl = meas.where(
+            ids_predicate(IDS) & pushdown_time_bounds(meas, FROM_MS, TO_MS)
+        ).select("id", "time", "value", "flag")
+        day = F.date_format(F.timestamp_millis(F.col("time")), "yyyy-MM-dd")
+        store = ParquetTsStore(spark, base)
+        store.append(sl.where(F.col("id") == IDS[0]).repartition(day))
+        store.append(sl.where(F.col("id") != IDS[0]).repartition(day))
+        stats = partition_file_stats_op(store.read())
+        w = Window.partitionBy("p_date").orderBy(
+            "n_series", "n_rows", "min_time", "max_time"
+        )
+        out = (
+            stats.withColumn(
+                "file_rank", F.row_number().over(w).cast("long")
+            )
+            .select(
+                # partition-dir inference types the day as DATE; the
+                # oracle (and the store's logical layout) speak
+                # yyyy-MM-dd strings
+                F.col("p_date").cast("string").alias("p_date"),
+                "file_rank",
+                "n_rows",
+                "n_series",
+                "min_time",
+                "max_time",
+                "bounds_ok",
+            )
+            .orderBy("p_date", "file_rank")
+        )
+        return localize_and_cleanup(spark, out, base)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+
+
+register(
+    "partition_file_stats_multi",
+    _partition_file_stats_multi,
+    f"""WITH {MEAS_CTE_SQL},
+s AS (SELECT id, time,
+        strftime(make_timestamp(time * 1000), '%Y-%m-%d') AS p_date,
+        CASE WHEN id = {IDS[0]} THEN 0 ELSE 1 END AS grp
+      FROM measurements
+      WHERE id IN ({', '.join(map(str, IDS))})
+        AND time BETWEEN {FROM_MS} AND {TO_MS}),
+f AS (SELECT p_date, grp, count(*) AS n_rows,
+        count(DISTINCT id) AS n_series,
+        min(time) AS min_time, max(time) AS max_time
+      FROM s GROUP BY p_date, grp)
+SELECT p_date,
+       row_number() OVER (PARTITION BY p_date
+         ORDER BY n_series, n_rows, min_time, max_time) AS file_rank,
+       n_rows, n_series, min_time, max_time,
+       CAST(1 AS BIGINT) AS bounds_ok
+FROM f ORDER BY p_date, file_rank""",
+)
+
 # --- flagship (driver smoke query) ---------------------------------------
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,15 +620,20 @@ if "ext_anomaly_zscore" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-6 composition (VERDICT r5 item 1): ALL 37 queries whose latest
-# driver-green row is round 2 (`tools/attestation_ledger.py --stale 3` —
-# the dedup/similarity/text/timeseries families) rotate in, plus the
-# always-on 13-query core surface = exactly 50, zero padding. After this
-# round no query's attestation is older than round 4 and the rotation
-# reaches steady state (every query re-attested at most every 3 rounds).
-# Everything outside the window is still value-checked locally by
-# tests/test_oracle_parity.py (same compare, all queries).
+# Round-6 composition (VERDICT r5 items 1+4): the new multi-file fsck
+# query leads (never ship a query outside the window), then ALL 37
+# queries whose latest driver-green row is round 2
+# (`tools/attestation_ledger.py --stale 3` — the dedup/similarity/text/
+# timeseries families), then the core surface minus `bucket_hour_salted`
+# (its straight twin `bucket_hour` stays; the salted plan is re-attested
+# next rotation and remains locally hash-checked every pytest run) =
+# exactly 50. After this round no query's attestation is older than
+# round 4 and the rotation reaches steady state. Everything outside the
+# window is still value-checked locally by tests/test_oracle_parity.py
+# (same compare, all queries).
 CHECK_WINDOW = [
+    # round-6 addition — driver-checked from day one
+    "partition_file_stats_multi",
     # round-2-latest rotation block (37) — clears the stale set
     "ext_anomaly_zscore", "ext_curate_corpus", "ext_decontaminate",
     "ext_dedup_components", "ext_dedup_embedding_cosine",
@@ -559,10 +648,10 @@ CHECK_WINDOW = [
     "ext_text_lang_histogram", "ext_text_langid", "ext_text_ngram_lm",
     "ext_text_quality", "ext_text_tfidf", "ext_text_token_stats",
     "ext_text_word_freq", "ext_time_weighted_avg",
-    # core reference surface (13) — continuously verified every round
+    # core reference surface (12 of 13 this round; see header comment)
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
-    "fn_all", "bucket_hour", "bucket_day", "bucket_hour_salted",
+    "fn_all", "bucket_hour", "bucket_day",
     "scheme_resolve", "erase_old_check",
 ]
 

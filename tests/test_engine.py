@@ -541,6 +541,24 @@ def test_downsample_to_series_derived_names(spark, tmp_path):
     assert min(first_ids) > grid_max
 
 
+def test_fixture_events_is_single_file_named_events_parquet():
+    """The `partition_file_stats` oracle states 'events.parquet' as a
+    constant because every fixture events table is one plain parquet
+    FILE of that name (TESTDATA.md). If the fixtures are ever
+    regenerated as multi-file datasets this assumption must fail HERE,
+    loudly, not as a silent driver hash mismatch (ADVICE r5). The
+    multi-file semantics have their own driver query
+    (`partition_file_stats_multi`, over a real partitioned store)."""
+    import glob
+    import os
+
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "no testdata fixtures found"
+    for d in dirs:
+        p = f"{d}/events.parquet"
+        assert os.path.isfile(p), f"{p} is not a single plain file"
+
+
 def test_partition_stats_detects_torn_partition(spark, tmp_path):
     """The fsck flag must catch a file physically placed in the WRONG
     p_date dir (the torn-partition case a time-derived check can never

@@ -173,8 +173,10 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-6 rotation: the r2-stale block leads, 13-core closes
-    assert CHECK_WINDOW[0] == "ext_anomaly_zscore"
+    # round-6: new multi-file fsck query leads, then the r2-stale
+    # rotation block, core closes
+    assert CHECK_WINDOW[0] == "partition_file_stats_multi"
+    assert CHECK_WINDOW[1] == "ext_anomaly_zscore"
     assert CHECK_WINDOW[-1] == "erase_old_check"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
