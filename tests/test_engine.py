@@ -203,6 +203,63 @@ def test_subscribe_pushes_only_matching(spark, tmp_path):
     assert sorted(got) == expect
 
 
+def test_subscribe_no_replay_across_five_batches(spark, tmp_path):
+    """Upstream ``Engine::subscribe`` pushes appends made AFTER the
+    subscription — never history (SURVEY §2.8 T1, no-replay contract).
+    Spark rendering: the checkpoint is the subscription cursor. Five
+    append→drain micro-batches through one checkpoint; the id/flag
+    predicate changes mid-stream (drains 4-5 use a WIDER filter that
+    matches earlier batches' rows) — yet rows from batches already
+    drained are never delivered again, because the checkpoint has
+    consumed their files. Only the not-yet-consumed appends flow
+    through the new predicate."""
+    eng = TsEngine.open(spark, str(tmp_path / "s"))
+    ckpt = str(tmp_path / "ckpt")
+    t0 = 1_704_067_200_000
+    batches = [
+        [(sid, t0 + b * 60_000 + sid, float(b * 10 + sid), 1 << (b % 3))
+         for sid in range(4)]
+        for b in range(5)
+    ]
+    delivered: list[list[tuple]] = []
+    for b, rows in enumerate(batches):
+        eng.append(rows)
+        got: list[tuple] = []
+        # drains 1-3: only series 0-1, flag bit 1; drains 4-5: ALL
+        # series, flag 0 (pass-everything — would match every
+        # historical row if replay happened)
+        ids, flag = ([0, 1], 1) if b < 3 else (None, 0)
+        q = eng.subscribe(
+            ids,
+            flag,
+            lambda df, _bid: got.extend(
+                (r.id, r.time, r.value, r.flag) for r in df.collect()
+            ),
+            checkpoint=ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        delivered.append(sorted(got))
+    # ≥5 micro-batches total were processed (one per drain minimum)
+    assert len(delivered) == 5
+    # narrow-predicate drains: only matching rows of THAT batch
+    for b in range(3):
+        expect = sorted(
+            t for t in batches[b] if t[0] in (0, 1) and (t[3] & 1) == 1
+        )
+        assert delivered[b] == expect, b
+    # wide-predicate drains: every row of THAT batch — and nothing from
+    # batches 0-2, though flag=0/ids=None matches all of them
+    for b in (3, 4):
+        assert delivered[b] == sorted(batches[b]), b
+    all_delivered = {r for d in delivered for r in d}
+    replayed = {
+        t for b in range(3) for t in batches[b]
+        if not (t[0] in (0, 1) and (t[3] & 1) == 1)
+    } & all_delivered
+    assert not replayed
+
+
 def test_streaming_current_value_matches_batch(spark, tmp_path):
     from dariadb_spark.streaming.subscribe import streaming_current_value
 
