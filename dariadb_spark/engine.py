@@ -52,11 +52,12 @@ class TsEngine:
         spark: SparkSession,
         source: Callable[[], DataFrame],
         store: ParquetTsStore | None = None,
+        scheme: SeriesCatalog | None = None,
     ):
         self.spark = spark
         self._source = source
         self.store = store
-        self.scheme = SeriesCatalog(spark)
+        self.scheme = scheme if scheme is not None else SeriesCatalog(spark)
 
     # -- constructors ----------------------------------------------------
     @classmethod
@@ -64,9 +65,24 @@ class TsEngine:
         return cls(spark, lambda: df)
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str) -> "TsEngine":
+    def open(
+        cls, spark: SparkSession, path: str, catalog: str = "json"
+    ) -> "TsEngine":
+        """``catalog="json"`` keeps the scheme as an ephemeral driver
+        dict (reference scheme.json layout via ``SeriesCatalog(path)``
+        when persistence is wanted); ``catalog="table"`` persists it as
+        a parquet table under ``<path>/scheme`` whose read path is a
+        cluster-side scan (:class:`~dariadb_spark.scheme.
+        TableSeriesCatalog`) — the at-scale J2 deployment shape."""
+        from dariadb_spark.scheme import TableSeriesCatalog
+
         store = ParquetTsStore(spark, path)
-        return cls(spark, store.read, store)
+        scheme = (
+            TableSeriesCatalog(spark, str(store.root / "scheme"))
+            if catalog == "table"
+            else None
+        )
+        return cls(spark, store.read, store, scheme=scheme)
 
     @classmethod
     def from_events(cls, spark: SparkSession, sf_dir: str) -> "TsEngine":

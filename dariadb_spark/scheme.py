@@ -11,6 +11,7 @@ a broadcast hash join.
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,3 +112,64 @@ class SeriesCatalog:
         return self.to_df().where(
             F.col("name").like(self._glob_to_like(pattern))
         )
+
+
+class TableSeriesCatalog(SeriesCatalog):
+    """Parquet-TABLE-backed catalog — the at-scale rendering of the
+    scheme layer, as code rather than prose: the (id, name) dimension
+    persists as a parquet table whose READ path is a cluster-side table
+    scan (``to_df()`` → ``spark.read.parquet``), so ``resolve()`` and
+    ``match()`` (inherited untouched — they compose on ``to_df()``)
+    build their broadcast side straight from storage without
+    round-tripping the catalog through driver memory.
+
+    Mutations keep the parent's driver-side dict as the write view —
+    one entry per SERIES, bounded by cardinality, not data volume.
+    Persistence is SNAPSHOT-VERSIONED (``v-00000001/`` …): each persist
+    writes a fresh immutable version dir and readers pin the latest at
+    plan time, so a catalog write never invalidates the parquet files
+    an in-flight lazy plan references (an in-place overwrite does —
+    FAILED_READ_FILE mid-query; this is the same reason Delta/Iceberg
+    commit new files and only then move the log pointer). Old versions
+    beyond a small retention window are pruned. A deployment whose
+    series set outgrows the driver registers in bulk by writing the
+    next version dir directly with a distributed job; the read-side
+    interface, the hot path at query time, is already fully
+    distributed."""
+
+    _SCHEMA = "id bigint, name string"
+    _KEEP_VERSIONS = 4
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)  # root holding v-NNNNNNNN parquet dirs
+        self._name_to_id = {}
+        latest = self._versions()[-1] if self._versions() else None
+        if latest is not None:
+            self._name_to_id = {
+                r.name: int(r.id)
+                for r in self._read_version(latest).collect()
+            }
+
+    def _versions(self) -> list[Path]:
+        return sorted(
+            p for p in self.path.glob("v-*") if (p / "_SUCCESS").exists()
+        )
+
+    def _read_version(self, version_dir: Path) -> DataFrame:
+        return self.spark.read.schema(self._SCHEMA).parquet(str(version_dir))
+
+    def _persist(self) -> None:
+        versions = self._versions()
+        n = int(versions[-1].name[2:]) + 1 if versions else 1
+        self.spark.createDataFrame(
+            [(v, k) for k, v in self._name_to_id.items()], self._SCHEMA
+        ).coalesce(1).write.parquet(str(self.path / f"v-{n:08d}"))
+        for stale in self._versions()[: -self._KEEP_VERSIONS]:
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def to_df(self) -> DataFrame:
+        versions = self._versions()
+        if not versions:
+            return self.spark.createDataFrame([], self._SCHEMA)
+        return self._read_version(versions[-1])

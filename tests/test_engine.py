@@ -788,18 +788,33 @@ def test_asof_and_nearest_null_right_values_stay_paired(spark):
     assert (n.nearest_time, n.nearest_value, n.dist_ms) == (250, None, 50)
 
 
-def test_scheme_catalog_roundtrip(spark, tmp_path):
-    from dariadb_spark.scheme import SeriesCatalog
+@pytest.mark.parametrize("backend", ["json", "table"])
+def test_scheme_catalog_roundtrip(spark, tmp_path, backend):
+    """Identical lifecycle through BOTH catalog backends: the driver-dict
+    JSON catalog and the parquet-table-backed one (whose to_df/resolve/
+    match read path is a cluster-side table scan — the at-scale J2
+    shape, VERDICT r5 item 7)."""
+    from dariadb_spark.scheme import SeriesCatalog, TableSeriesCatalog
 
-    cat = SeriesCatalog(spark, str(tmp_path / "scheme.json"))
+    def make():
+        if backend == "json":
+            return SeriesCatalog(spark, str(tmp_path / "scheme.json"))
+        return TableSeriesCatalog(spark, str(tmp_path / "scheme_tbl"))
+
+    cat = make()
     a = cat.add_param("host0.cpu0.load")
     b = cat.add_param("host0.cpu1.load")
     assert cat.add_param("host0.cpu0.load") == a  # idempotent
     assert cat.id_by_param("host0.cpu1.load") == b
     assert cat.id_by_param("missing") is None
     # persisted catalog reloads with the same mapping
-    cat2 = SeriesCatalog(spark, str(tmp_path / "scheme.json"))
+    cat2 = make()
     assert cat2.id_by_param("host0.cpu1.load") == b
+    # glob match works identically over both to_df renderings
+    assert {r.name for r in cat2.match("host0.*").collect()} == {
+        "host0.cpu0.load",
+        "host0.cpu1.load",
+    }
     eng = TsEngine.from_dataframe(
         spark,
         spark.createDataFrame(
@@ -810,6 +825,31 @@ def test_scheme_catalog_roundtrip(spark, tmp_path):
     named = {r.id: r.name for r in cat.resolve(eng.meas()).collect()}
     assert named[a] == "host0.cpu0.load"
     assert named[12345] is None  # uncataloged series keep flowing (left join)
+
+
+def test_table_catalog_through_engine_lifecycle(spark, tmp_path):
+    """TsEngine.open(catalog='table'): derived-series registration and
+    name-pattern scans run against the parquet-backed scheme, and a
+    reopened engine sees the persisted catalog (the JSON default keeps
+    its ephemeral semantics)."""
+    from dariadb_spark.scheme import TableSeriesCatalog
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"), catalog="table")
+    assert isinstance(eng.scheme, TableSeriesCatalog)
+    eng.append(_grid())
+    for sid in range(3):
+        eng.scheme.register(f"host0.sensor{sid}.load", sid)
+    rows = eng.read_interval_by_pattern(
+        "host0.sensor*.load", T0, T0 + 3 * STEP
+    ).collect()
+    assert {r.id for r in rows} == {0, 1, 2}
+    # reopen: the table-backed scheme survives the process boundary
+    eng2 = TsEngine.open(spark, str(tmp_path / "s"), catalog="table")
+    assert eng2.scheme.id_by_param("host0.sensor2.load") == 2
+    derived = eng2.downsample_to_series("average", "day")
+    assert eng2.scheme.id_by_param("host0.sensor0.load.average.day") in {
+        r.id for r in derived.select("id").distinct().collect()
+    }
 
 
 def test_scheme_pattern_match_and_scan(spark, tmp_path):
