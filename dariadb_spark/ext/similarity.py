@@ -759,9 +759,14 @@ def embedding_norm(spark: SparkSession, sf: str) -> DataFrame:
     norms for the outlier count — the corpus shuffles nothing but its
     label column, and at 100 TB both passes are map-side partial aggs.
 
-    Norms and stats are rounded BEFORE the outlier comparison so the
-    band edges are bit-identical across engines (same rule as
-    downsample.py's round-then-divide mean)."""
+    Rounding rule (ADVICE r5 — state exactly what the code does): the
+    per-vector ``norm`` and the ``sd_norm`` entering the band comparison
+    are round(·,6); ``mean_norm`` in the band is the UNROUNDED quotient
+    round(sum,6)/n — both engines build the band from those same three
+    expressions in the same order, which is what makes its edges
+    bit-identical (mean_norm is additionally round(·,6)'d in the FINAL
+    projection only). Do not round mean_norm before the comparison on
+    one engine without the other."""
     dot = _DOT.format(a="e", b="e")
     norms = (
         load_table(spark, sf, "embeddings")

@@ -162,9 +162,15 @@ def pushdown_time_bounds(
 
         lo, hi = _sane(from_ms), _sane(to_ms)
         if raw_type == "bigint":  # raw int64 ns: time = ts DIV 1e6
-            if lo is not None:
+            # tighter clamp than _sane: the ns literal itself must fit
+            # int64 (ms past ~year 2262 × 1e6 overflows; Spark would then
+            # emit a decimal literal — comparison still correct via
+            # widening, but the parquet row-group pushdown is silently
+            # lost, and int64 ts values can't exceed this anyway, so
+            # dropping the bound predicate loses nothing)
+            if lo is not None and lo * 1_000_000 >= -(2**63):
                 cond = cond & (F.col(RAW_TS) >= F.lit(lo * 1_000_000))
-            if hi is not None:
+            if hi is not None and hi * 1_000_000 + 999_999 <= 2**63 - 1:
                 cond = cond & (F.col(RAW_TS) <= F.lit(hi * 1_000_000 + 999_999))
         else:  # timestamp[_ntz] at µs: time = floor(µs / 1000)
             def _ts_lit(us: int) -> Column:

@@ -275,3 +275,42 @@ def test_decontaminate_eval_side_broadcasts(spark, oracle_sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_raw_ns_bound_literals_stay_int64(spark):
+    """ADVICE r5: an ms bound past ~year 2262 × 1e6 overflows int64; the
+    engine must then DROP the raw-ns scan predicate (every int64 ts
+    trivially satisfies it) rather than emit a decimal literal that
+    silently loses the parquet pushdown. In-range bounds keep both ns
+    literals; filtering semantics are identical either way."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.model import RAW_TS, pushdown_time_bounds
+
+    ns_max_ms = (2**63 - 1 - 999_999) // 1_000_000  # ≈ year 2262
+    df = spark.range(3).select(
+        F.col("id").alias("time"), (F.col("id") * 1_000_000).alias(RAW_TS)
+    )
+
+    def literals_ok(cond) -> bool:
+        import re as _re
+
+        return all(
+            -(2**63) <= int(tok) <= 2**63 - 1
+            for tok in _re.findall(r"-?\d+", str(cond))
+        )
+
+    # bounds past the ns ceiling (but inside the _sane wall-clock range):
+    # no oversized literal anywhere in the expression
+    huge = ns_max_ms + 1
+    cond = pushdown_time_bounds(df, -huge, huge)
+    assert literals_ok(cond), str(cond)
+    assert df.where(cond).count() == 3  # time bound still applies, all pass
+    # in-range bounds: the ns predicates ARE present (value × 1e6)
+    cond2 = pushdown_time_bounds(df, 1, 2)
+    assert "1000000" in str(cond2), str(cond2)
+    assert [r.time for r in df.where(cond2).collect()] == [1, 2]
+    # exact ceiling boundary: still representable, still emitted
+    cond3 = pushdown_time_bounds(df, None, ns_max_ms)
+    assert literals_ok(cond3), str(cond3)
+    assert str(ns_max_ms * 1_000_000 + 999_999) in str(cond3)

@@ -348,3 +348,99 @@ def test_round_half_up_vec_matches_scalar(xs, places):
     want = [_round_half_up(x, places) for x in xs]
     for x, g, w in zip(xs, got, want):
         assert g == w, (x, places, g, w)
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(0, 40),  # time slot (duplicates/ties likely)
+            st.integers(-10_000, 10_000),  # value in cents → 2-decimal
+            st.integers(0, 3),  # flag
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    splits=st.lists(st.integers(1, 30), min_size=1, max_size=6),
+)
+@_SETTINGS
+def test_alert_fold_matches_naive_reference(raw, splits):
+    """The cumsum-vectorized alert fold must reproduce a naive
+    per-point reference fold (the definitional semantics: trail =
+    preceding `window` points by arrival, fresh ascending sums, HALF_UP
+    moments) — alerts AND carried state — across arbitrary micro-batch
+    splits. Values are 2-decimal (fixture-shaped): their window sums sit
+    ~0.5 ulp-of-1e-6 away from rounding boundaries, exactly the regime
+    the round(·,6) recipe guarantees engine-identical moments in."""
+    import pandas as pd
+
+    from dariadb_spark.streaming.stateful import (
+        _make_alert_fold,
+        _round_half_up,
+    )
+
+    window, min_n, threshold = 5, 2, 1.0
+    rows = [(t, c / 100.0, f) for t, c, f in raw]
+
+    # naive reference
+    tail: list[tuple] = []
+    expected: list[tuple] = []
+    batches: list[list[tuple]] = []
+    i = 0
+    for w in splits:
+        if i >= len(rows):
+            break
+        batches.append(sorted(rows[i : i + w]))
+        i += w
+    if i < len(rows):
+        batches.append(sorted(rows[i:]))
+    import math
+
+    for batch in batches:
+        for t, v, f in batch:
+            trail = tail[-window:]
+            n = len(trail)
+            if n >= min_n:
+                s = 0.0
+                s2 = 0.0
+                for _, tv, _ in trail:
+                    s += tv
+                    s2 += tv * tv
+                mean = _round_half_up(s, 6) / n
+                ex2 = _round_half_up(s2, 6) / n
+                std = math.sqrt(max(ex2 - mean * mean, 0.0))
+                if std > 0:
+                    z = _round_half_up((v - mean) / std, 4)
+                    if abs(z) > threshold:
+                        expected.append((9, t, v, f, n, z))
+            tail.append((t, v, f))
+            if len(tail) > window:
+                tail = tail[-window:]
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    fold = _make_alert_fold(window, min_n, threshold)
+    state = _FakeState()
+    got: list[tuple] = []
+    for batch in batches:
+        pdf = pd.DataFrame(batch, columns=["time", "value", "flag"]).astype(
+            {"time": "int64", "value": "float64", "flag": "int64"}
+        )
+        for out in fold((9,), iter([pdf]), state):
+            got.extend(tuple(r) for r in out.itertuples(index=False, name=None))
+    assert got == expected
+    assert state.get is not None
+    st_times, st_values, st_flags = state.get
+    assert list(zip(st_times, st_values, st_flags)) == tail
