@@ -500,6 +500,82 @@ SELECT doc_id, lang,
 FROM t ORDER BY doc_id"""
 
 
+# --- PII pattern detection (the find half of the governance pair) --------
+
+#: detector regexes — valid (and count-identical) under both Java regex
+#: (Spark) and RE2 (DuckDB): no backtracking-ambiguous constructs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def text_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII pattern detection — per-doc counts of email / IPv4 /
+    SSN-shaped spans plus a ``has_pii`` flag: the detection half of the
+    governance pair (``text_redact`` masks policy terms; this FINDS
+    regex-shaped identifiers to route docs into the redact/forget
+    pipeline). The fixture corpus is synthetic DB-jargon with no natural
+    PII, so the probe first PLANTS deterministic spans in a derived
+    column — every 3rd doc an email + IPv4, every 7th an SSN, same
+    expression in both engines — and the detector runs against that
+    known ground truth. Pure scan-stage ``regexp_count``, zero shuffle:
+    at 100 TB this is a map over the corpus at read bandwidth."""
+    docs = load_table(spark, sf, "documents")
+    aug = (
+        "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user',"
+        " CAST(doc_id AS STRING), '@example.com from 10.0.',"
+        " CAST(doc_id % 250 AS STRING), '.', CAST(doc_id % 200 AS STRING))"
+        " WHEN doc_id % 7 = 0 THEN concat(text, ' id 123-45-',"
+        " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+        " ELSE text END"
+    )
+    return (
+        docs.selectExpr("doc_id", "lang", f"{aug} AS aug")
+        .select(
+            "doc_id",
+            "lang",
+            F.regexp_count(F.col("aug"), F.lit(PII_EMAIL_RE))
+            .cast("bigint")
+            .alias("n_email"),
+            F.regexp_count(F.col("aug"), F.lit(PII_IPV4_RE))
+            .cast("bigint")
+            .alias("n_ipv4"),
+            F.regexp_count(F.col("aug"), F.lit(PII_SSN_RE))
+            .cast("bigint")
+            .alias("n_ssn"),
+        )
+        .withColumn(
+            "has_pii",
+            (
+                (F.col("n_email") + F.col("n_ipv4") + F.col("n_ssn")) > 0
+            ).cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PII_SCAN_SQL = f"""
+WITH a AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user',
+                CAST(doc_id AS VARCHAR), '@example.com from 10.0.',
+                CAST(doc_id % 250 AS VARCHAR), '.',
+                CAST(doc_id % 200 AS VARCHAR))
+              WHEN doc_id % 7 = 0 THEN concat(text, ' id 123-45-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+              ELSE text END AS aug
+  FROM documents)
+SELECT doc_id, lang,
+       len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(aug, '{PII_IPV4_RE}')) AS n_ipv4,
+       len(regexp_extract_all(aug, '{PII_SSN_RE}')) AS n_ssn,
+       CAST(len(regexp_extract_all(aug, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(aug, '{PII_IPV4_RE}'))
+            + len(regexp_extract_all(aug, '{PII_SSN_RE}')) > 0
+            AS BIGINT) AS has_pii
+FROM a ORDER BY doc_id"""
+
+
 register("ext_text_bm25", text_bm25, TEXT_BM25_SQL)
 register("ext_text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
 register("ext_text_bpe_tokens", text_bpe_tokens, TEXT_BPE_TOKENS_SQL)
@@ -511,3 +587,4 @@ register("ext_text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL)
 register("ext_text_langid", text_langid, TEXT_LANGID_SQL)
 register("ext_text_entropy", text_entropy, TEXT_ENTROPY_SQL)
 register("ext_text_redact", text_redact, TEXT_REDACT_SQL)
+register("ext_text_pii_scan", text_pii_scan, TEXT_PII_SCAN_SQL)

@@ -620,20 +620,20 @@ if "ext_anomaly_zscore" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-6 composition (VERDICT r5 items 1+4): the new multi-file fsck
-# query leads (never ship a query outside the window), then ALL 37
-# queries whose latest driver-green row is round 2
+# Round-6 composition (VERDICT r5 items 1+4): the two round-6 additions
+# lead (never ship a query outside the window), then ALL 37 queries
+# whose latest driver-green row is round 2
 # (`tools/attestation_ledger.py --stale 3` — the dedup/similarity/text/
 # timeseries families), then the core surface minus `bucket_hour_salted`
-# (its straight twin `bucket_hour` stays; the salted plan is re-attested
-# next rotation and remains locally hash-checked every pytest run) =
-# exactly 50. After this round no query's attestation is older than
-# round 4 and the rotation reaches steady state. Everything outside the
-# window is still value-checked locally by tests/test_oracle_parity.py
-# (same compare, all queries).
+# and `bucket_day` (both r5-attested; their straight twin `bucket_hour`
+# stays, and both rotate back next round while remaining locally
+# hash-checked every pytest run) = exactly 50. After this round no
+# query's attestation is older than round 4 and the rotation reaches
+# steady state. Everything outside the window is still value-checked
+# locally by tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
-    # round-6 addition — driver-checked from day one
-    "partition_file_stats_multi",
+    # round-6 additions — driver-checked from day one
+    "partition_file_stats_multi", "ext_text_pii_scan",
     # round-2-latest rotation block (37) — clears the stale set
     "ext_anomaly_zscore", "ext_curate_corpus", "ext_decontaminate",
     "ext_dedup_components", "ext_dedup_embedding_cosine",
@@ -648,10 +648,10 @@ CHECK_WINDOW = [
     "ext_text_lang_histogram", "ext_text_langid", "ext_text_ngram_lm",
     "ext_text_quality", "ext_text_tfidf", "ext_text_token_stats",
     "ext_text_word_freq", "ext_time_weighted_avg",
-    # core reference surface (12 of 13 this round; see header comment)
+    # core reference surface (11 of 13 this round; see header comment)
     "interval_scan", "interval_scan_flag", "timepoint_asof",
     "current_value", "min_max_time", "load_min_max", "stat_block",
-    "fn_all", "bucket_hour", "bucket_day",
+    "fn_all", "bucket_hour",
     "scheme_resolve", "erase_old_check",
 ]
 

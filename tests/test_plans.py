@@ -62,9 +62,11 @@ def test_revenue_by_nation_dims_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["ext_text_entropy", "ext_text_redact"])
+@pytest.mark.parametrize(
+    "name", ["ext_text_entropy", "ext_text_redact", "ext_text_pii_scan"]
+)
 def test_scan_stage_text_signals_have_no_agg_shuffle(spark, sf_dir, name):
-    """The round-5 per-doc text signals are pure maps over the corpus —
+    """The round-5/6 per-doc text signals are pure maps over the corpus —
     at 100 TB they must run at read bandwidth. Only the presentation
     orderBy may exchange (rangepartitioning ≤ 1); any hashpartitioning
     exchange means an accidental aggregation shuffle crept in."""
@@ -173,10 +175,11 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-6: new multi-file fsck query leads, then the r2-stale
-    # rotation block, core closes
+    # round-6: the two new queries lead, then the r2-stale rotation
+    # block, core closes
     assert CHECK_WINDOW[0] == "partition_file_stats_multi"
-    assert CHECK_WINDOW[1] == "ext_anomaly_zscore"
+    assert CHECK_WINDOW[1] == "ext_text_pii_scan"
+    assert CHECK_WINDOW[2] == "ext_anomaly_zscore"
     assert CHECK_WINDOW[-1] == "erase_old_check"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
