@@ -72,10 +72,14 @@ def _make_state_fold(bucket_width: int) -> Callable:
             t = pdf["time"].to_numpy(np.int64)
             v = pdf["value"].to_numpy(np.float64)
             b = t - t % bucket_width  # numpy % matches Python floor-mod
-            # stable sort groups rows by bucket WITHOUT reordering within
-            # a bucket, so the reduceat segment folds below accumulate in
-            # arrival order — bit-identical to the per-point loop they
-            # replaced (and to the batch plan's per-partition fold)
+            # stable sort groups rows by bucket without reordering within
+            # a bucket; cnt/min/max are accumulation-order-insensitive
+            # (exact), while reduceat segment SUMS use numpy's internal
+            # blocking — associativity differences vs a strict
+            # left-to-right fold are last-ulp-scale, the same class as
+            # Spark's own partition-merge order, and absorbed by the
+            # round(sum,·)/cnt recipe wherever stat blocks are compared
+            # cross-engine (rollup.py derives avg at read time)
             order = np.argsort(b, kind="stable")
             b, v = b[order], v[order]
             starts = np.concatenate(([0], np.nonzero(np.diff(b))[0] + 1))

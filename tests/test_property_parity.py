@@ -444,3 +444,100 @@ def test_alert_fold_matches_naive_reference(raw, splits):
     assert state.get is not None
     st_times, st_values, st_flags = state.get
     assert list(zip(st_times, st_values, st_flags)) == tail
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(-100, 100),  # time (negative: floor-mod buckets)
+            st.integers(-10_000, 10_000),  # value in cents
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    width=st.sampled_from([7, 10, 25]),
+    nbatches=st.integers(1, 4),
+)
+@_SETTINGS
+def test_stat_fold_matches_naive_reference(raw, width, nbatches):
+    """The reduceat-vectorized stat-block fold must reproduce the naive
+    per-point dict fold — per-bucket (cnt, min, max, sum) accumulation in
+    arrival order, floor-mod bucketing for negative times — across any
+    micro-batch split, including buckets re-opened by later batches."""
+    import pandas as pd
+
+    from dariadb_spark.streaming.stateful import _make_state_fold
+
+    rows = [(t, c / 100.0) for t, c in raw]
+    chunk = (len(rows) + nbatches - 1) // nbatches
+    batches = [rows[i : i + chunk] for i in range(0, len(rows), chunk)]
+
+    # naive reference — the fold's documented contract: each batch folds
+    # its own buckets sequentially IN ARRIVAL ORDER, then batch partials
+    # merge into carried state (cnt+=, min/max, sum+=). Merging per
+    # batch (not per point) is part of the contract: it's what makes
+    # partials associative across micro-batch splits.
+    acc: dict[int, list] = {}
+    emitted: list[set] = []
+    for batch in batches:
+        part: dict[int, list] = {}
+        for t, v in batch:
+            b = t - t % width
+            slot = part.get(b)
+            if slot is None:
+                part[b] = [1, v, v, v]
+            else:
+                slot[0] += 1
+                slot[1] = min(slot[1], v)
+                slot[2] = max(slot[2], v)
+                slot[3] += v
+        for b, (c, lo, hi, s) in part.items():
+            slot = acc.get(b)
+            if slot is None:
+                acc[b] = [c, lo, hi, s]
+            else:
+                slot[0] += c
+                slot[1] = min(slot[1], lo)
+                slot[2] = max(slot[2], hi)
+                slot[3] += s
+        emitted.append(
+            {b: (acc[b][0], acc[b][1], acc[b][2], acc[b][3]) for b in part}
+        )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    fold = _make_state_fold(width)
+    state = _FakeState()
+    for batch, want in zip(batches, emitted):
+        pdf = pd.DataFrame(batch, columns=["time", "value"]).astype(
+            {"time": "int64", "value": "float64"}
+        )
+        (out,) = list(fold((3,), iter([pdf]), state))
+        got = {
+            r.bucket_ms: (r.cnt, r.min_value, r.max_value, r.sum_value)
+            for r in out.itertuples(index=False)
+        }
+        assert set(got) == set(want)
+        for b in want:
+            gc, glo, ghi, gs = got[b]
+            wc, wlo, whi, ws = want[b]
+            # cnt/min/max are accumulation-order-insensitive → exact;
+            # sums may differ from a strict sequential fold in the last
+            # ulps (numpy blocked accumulation — the same class of
+            # difference as Spark's partition-merge order, absorbed by
+            # the round(sum,·)/cnt recipe at every comparison surface)
+            assert (gc, glo, ghi) == (wc, wlo, whi), b
+            assert gs == ws or abs(gs - ws) <= 1e-9 * max(1.0, abs(ws)), b
