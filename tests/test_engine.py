@@ -551,12 +551,18 @@ def test_parity_queries_clean_their_scratch_dirs(spark, sf_dir):
     from dariadb_spark.streaming.rollup import streaming_current_value_parity
     from dariadb_spark.streaming.stateful import streaming_anomaly_parity
 
+    from dariadb_spark.registry import REGISTRY
+
     pattern = f"{tempfile.gettempdir()}/dariadb_*_parity_*"
-    before = set(glob.glob(pattern))
+    fstats_pattern = f"{tempfile.gettempdir()}/dariadb_fstats_multi_*"
+    before = set(glob.glob(pattern)) | set(glob.glob(fstats_pattern))
     views_before = {v.name for v in spark.catalog.listTables()}
     assert streaming_current_value_parity(spark, sf_dir).count() > 0
     assert streaming_anomaly_parity(spark, sf_dir).count() >= 0
-    assert set(glob.glob(pattern)) == before
+    assert REGISTRY["partition_file_stats_multi"].fn(spark, sf_dir).count() > 0
+    assert (
+        set(glob.glob(pattern)) | set(glob.glob(fstats_pattern))
+    ) == before
     leaked = {
         v.name for v in spark.catalog.listTables()
     } - views_before
