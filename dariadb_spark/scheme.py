@@ -173,3 +173,47 @@ class TableSeriesCatalog(SeriesCatalog):
         if not versions:
             return self.spark.createDataFrame([], self._SCHEMA)
         return self._read_version(versions[-1])
+
+    def register_bulk(self, mapping: DataFrame) -> None:
+        """Distributed override of the parent's collect-based bulk
+        registration: the derived-id mapping never lands on the driver.
+        Validation (a name bound to two different ids, within the batch
+        or against the existing table) and the merge both run as one
+        Spark job; the result is written as the next catalog version.
+        Only the driver CACHE refresh collects — catalog-sized by
+        definition, and the read-side interface never needs it (a
+        deployment doing pure bulk+resolve can skip scalar lookups
+        entirely)."""
+        pairs = (
+            mapping.selectExpr("id AS id", "base AS name")
+            .unionByName(
+                mapping.selectExpr("derived_id AS id", "dname AS name")
+            )
+            .dropDuplicates(["name", "id"])
+        )
+        merged = self.to_df().unionByName(pairs).dropDuplicates(
+            ["name", "id"]
+        )
+        conflict = (
+            merged.groupBy("name")
+            .agg(F.count("*").alias("k"))
+            .where(F.col("k") > 1)
+            .limit(1)
+            .collect()
+        )
+        if conflict:
+            name = conflict[0]["name"]
+            ids = sorted(
+                r.id
+                for r in merged.where(F.col("name") == name).collect()
+            )
+            raise ValueError(f"{name!r} bound to multiple ids {ids}")
+        # conflict-free ⇒ (name, id) pairs are unique per name
+        versions = self._versions()
+        n = int(versions[-1].name[2:]) + 1 if versions else 1
+        merged.coalesce(1).write.parquet(str(self.path / f"v-{n:08d}"))
+        for stale in self._versions()[: -self._KEEP_VERSIONS]:
+            shutil.rmtree(stale, ignore_errors=True)
+        self._name_to_id = {
+            r.name: int(r.id) for r in self.to_df().collect()
+        }

@@ -833,6 +833,39 @@ def test_scheme_catalog_roundtrip(spark, tmp_path, backend):
     assert named[12345] is None  # uncataloged series keep flowing (left join)
 
 
+def test_table_catalog_register_bulk_distributed(spark, tmp_path):
+    """TableSeriesCatalog.register_bulk merges and validates the
+    derived-id mapping as a Spark job (the parent collects it): pairs
+    land in the next catalog version, a rerun with identical pairs is
+    idempotent, and a name→different-id conflict (vs the table or
+    within the batch) raises without writing a new version."""
+    from dariadb_spark.scheme import TableSeriesCatalog
+
+    cat = TableSeriesCatalog(spark, str(tmp_path / "cat"))
+    cat.register("s0", 0)
+    mapping = spark.createDataFrame(
+        [(0, "s0", "s0.avg.day", 100), (1, "s1", "s1.avg.day", 101)],
+        "id bigint, base string, dname string, derived_id bigint",
+    )
+    cat.register_bulk(mapping)
+    assert cat.id_by_param("s1.avg.day") == 101
+    assert cat.id_by_param("s1") == 1
+    n_versions = len(cat._versions())
+    cat.register_bulk(mapping)  # idempotent rerun: no conflict
+    assert cat.id_by_param("s0.avg.day") == 100
+    # fresh reload sees the merged table
+    cat2 = TableSeriesCatalog(spark, str(tmp_path / "cat"))
+    assert cat2.id_by_param("s1.avg.day") == 101
+    # conflict: s1 already bound to 1
+    bad = spark.createDataFrame(
+        [(7, "s1", "s1.avg.hour", 102)],
+        "id bigint, base string, dname string, derived_id bigint",
+    )
+    with pytest.raises(ValueError, match="s1"):
+        cat2.register_bulk(bad)
+    assert cat2.id_by_param("s1.avg.hour") is None
+
+
 def test_table_catalog_through_engine_lifecycle(spark, tmp_path):
     """TsEngine.open(catalog='table'): derived-series registration and
     name-pattern scans run against the parquet-backed scheme, and a
