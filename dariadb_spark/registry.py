@@ -413,7 +413,11 @@ def _partition_file_stats_multi(spark: SparkSession, sf: str) -> DataFrame:
     torn-file check), and key each file row by its within-day stats
     rank — file NAMES are writer-generated UUIDs, but the per-file
     grouping, counts, bounds, and placement check all hash
-    deterministically. Scratch store removed before returning."""
+    deterministically. Scratch store removed before returning. At scale
+    the op runs directly on the production store
+    (``TsEngine.partition_file_stats``, one map-side agg per file); the
+    temp store here exists only to hand the driver a deterministic
+    multi-file fixture to hash."""
     import shutil
     import tempfile
 

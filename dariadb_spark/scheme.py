@@ -133,8 +133,10 @@ class TableSeriesCatalog(SeriesCatalog):
     parquet files an in-flight lazy plan references (an in-place
     overwrite does — FAILED_READ_FILE mid-query; this is the same
     reason Delta/Iceberg commit new files and only then move the log
-    pointer). Old versions beyond a small retention window are
-    pruned."""
+    pointer). Old versions beyond a small retention window are pruned.
+    Writes follow the store's single-maintainer contract (one catalog
+    writer at a time — concurrent writers could race a version number);
+    readers are always safe on any committed version."""
 
     _SCHEMA = "id bigint, name string"
     _KEEP_VERSIONS = 4
