@@ -138,7 +138,10 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from dariadb_spark.model import measurements
-    from dariadb_spark.streaming.scratch import localize_and_cleanup
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="dariadb_stream_parity_")
     data_dir = f"{base}/data"
@@ -148,9 +151,16 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
         m.where(F.col("time") < split_ms).write.parquet(data_dir)
-        streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day").awaitTermination(600)
+        # 15-series harness slice → small state layer (see scratch.py);
+        # the checkpoint pins partitioning at first start, so both runs
+        # are wrapped for consistency
+        with parity_stream_partitions(spark):
+            q = streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day")
+        q.awaitTermination(600)
         m.where(F.col("time") >= split_ms).write.mode("append").parquet(data_dir)
-        streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day").awaitTermination(600)
+        with parity_stream_partitions(spark):
+            q = streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day")
+        q.awaitTermination(600)
         compact_rollup(spark, rollup_dir, checkpoint_dir=ckpt)
         return localize_and_cleanup(spark, read_rollup(spark, rollup_dir), base)
     except BaseException:
@@ -175,7 +185,10 @@ def streaming_current_value_parity(
     import tempfile
 
     from dariadb_spark.model import measurements
-    from dariadb_spark.streaming.scratch import localize_and_cleanup
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
     from dariadb_spark.streaming.subscribe import streaming_current_value
 
     base = tempfile.mkdtemp(prefix="dariadb_cv_parity_")
@@ -184,7 +197,10 @@ def streaming_current_value_parity(
     try:
         m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
         m.write.parquet(data_dir)
-        streaming_current_value(spark, data_dir, qname).awaitTermination(600)
+        # 15-series harness slice → small state layer (see scratch.py)
+        with parity_stream_partitions(spark):
+            q = streaming_current_value(spark, data_dir, qname)
+        q.awaitTermination(600)
         return localize_and_cleanup(
             spark, spark.table(qname).orderBy("id"), base, qname
         )

@@ -10,13 +10,33 @@ across repeated bench/test sweeps (VERDICT r5 item 5 / ADVICE r5).
 parity outputs are tens-to-hundreds of rows) result into a driver-local
 DataFrame whose lineage no longer references the scratch files, then
 removes the dir and drops the sink view in a ``finally``.
+
+:func:`parity_stream_partitions` sizes the streaming state layer to the
+parity workload: the harness streams cover ≤15 series, but a stream
+started under the session-wide OLAP default (32 shuffle partitions)
+instantiates 32 state-store partitions — each with its own Python
+worker round-trip, store init and commit — for a 15-group fold.
+Stage-level timing (tools/time_anomaly_parity.py, VERDICT r6 item 1)
+showed ``addBatch`` dropping ~2× (1.3–1.8 s → 0.6–1.1 s warm) when the
+state partitions match the group cardinality. Production entry points
+(`streaming_anomaly_alerts`, `streaming_rollup`, …) are untouched and
+inherit the session conf — at 100 TB the series set is large and the
+session default (or a larger explicit setting) is correct.
 """
 
 from __future__ import annotations
 
 import shutil
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Hard ceiling on rows materialized through the driver by
+#: :func:`localize_and_cleanup`. Parity results are tens-to-hundreds of
+#: rows; anything beyond this is a misuse of the localize path (VERDICT
+#: r6 item 2) and must fail loudly, not OOM the driver.
+MAX_LOCALIZED_ROWS = 100_000
 
 
 def localize_and_cleanup(
@@ -24,12 +44,27 @@ def localize_and_cleanup(
     df: DataFrame,
     scratch_dir: str,
     view_name: str | None = None,
+    max_rows: int = MAX_LOCALIZED_ROWS,
 ) -> DataFrame:
     """Return a local-relation copy of ``df`` (row order preserved),
     deleting ``scratch_dir`` and dropping ``view_name`` afterwards even
-    if the collect fails."""
+    if the collect fails.
+
+    Driver-materialization guard: at most ``max_rows`` rows are ever
+    collected (the fetch is ``limit(max_rows + 1)``, so driver memory
+    is bounded *before* the check, not after) and exceeding the ceiling
+    raises ``ValueError``. This path is for parity/harness results that
+    are small by construction; a production query returns its (lazy)
+    DataFrame directly and never localizes."""
     try:
-        return spark.createDataFrame(df.collect(), df.schema)
+        rows = df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"localize_and_cleanup: result exceeds {max_rows} rows; "
+                "this driver-materialization path is for small parity "
+                "results — return the lazy DataFrame instead"
+            )
+        return spark.createDataFrame(rows, df.schema)
     finally:
         if view_name is not None:
             try:
@@ -37,3 +72,25 @@ def localize_and_cleanup(
             except Exception:
                 pass  # sink view may not exist if the stream failed early
         shutil.rmtree(scratch_dir, ignore_errors=True)
+
+
+@contextmanager
+def parity_stream_partitions(
+    spark: SparkSession, n: int = 4
+) -> Iterator[None]:
+    """Scope ``spark.sql.shuffle.partitions`` to ``n`` while a parity
+    stream STARTS (Structured Streaming pins its state partitioning
+    from the session conf at stream start; later restores don't affect
+    a running stream). The previous value is always restored.
+
+    Harness-only: the bench/test sweeps run queries sequentially on one
+    session, so the temporary session-conf mutation cannot leak into a
+    concurrent query's plan. A production deployment sizes state
+    partitions once, at stream creation, to its real series
+    cardinality."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

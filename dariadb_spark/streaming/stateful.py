@@ -156,7 +156,15 @@ def _round_half_up_vec(a: np.ndarray, places: int) -> np.ndarray:
     is ~1e4× wider than the worst-case error), or that is too large to
     carry fractional precision, is recomputed through the exact-decimal
     scalar path. Exact ties (distance 0) always land in the band, so
-    away-from-zero tie behavior is inherited, never reimplemented."""
+    away-from-zero tie behavior is inherited, never reimplemented.
+
+    Non-finite inputs pass through the fast path (inf→inf, nan→nan)
+    whereas the scalar :func:`_round_half_up` raises
+    ``decimal.InvalidOperation`` on them (ADVICE r6) — deliberate: a
+    vectorized fold must not abort a whole batch because one series'
+    sum overflowed; the inf/nan propagates into the z-score, fails the
+    ``|z| > threshold`` comparison as NaN (no alert) or alerts at ±inf,
+    and is visible downstream rather than masked by an exception."""
     p = 10.0 ** places  # powers of 10 up to 1e22 are exact in float64
     scaled = a * p
     mag = np.abs(scaled)
@@ -170,6 +178,51 @@ def _round_half_up_vec(a: np.ndarray, places: int) -> np.ndarray:
         idx = np.nonzero(risky)[0]
         out[idx] = [_round_half_up(float(a[i]), places) for i in idx]
     return out
+
+
+def _exactify_boundary_sums(
+    vals: np.ndarray,
+    csarr: np.ndarray,
+    av: np.ndarray,
+    g: np.ndarray,
+    start: np.ndarray,
+    window: int,
+) -> None:
+    """Recompute, in place and via the definitional sequential fold, any
+    window sum whose prefix-difference value sits within a guard band of
+    a ``round(·,6)`` HALF_UP boundary (ADVICE r6: the prefix-sum recipe
+    carries float error the fresh per-frame fold did not, so a boundary
+    flip vs the batch oracle was possible in principle).
+
+    Error model: rounding errors committed BEFORE ``start`` are shared
+    by ``cs[g]`` and ``cs[start]`` and cancel exactly in the
+    subtraction, so the difference's error is only the ≤``window``
+    window-local accumulation steps — bounded by
+    ``(window+4)·eps·(|cs[g]|+|cs[start]|)`` — NOT length-of-prefix
+    dependent. The band is 16× that worst case. With arbitrary-real
+    values the band admits a few percent of sums (it scales with the
+    prefix magnitude), so the recompute is vectorized too: risky frames
+    are gathered into an ``(R, window)`` matrix, zero-padded past each
+    frame's end (adding 0.0 is exact), and re-summed with
+    ``np.cumsum(axis=1)`` — NumPy's ``add.accumulate`` is a strict
+    sequential per-row fold, so the last column is fl-identical to the
+    naive left-to-right reference fold (the scalar decimal rounding
+    that follows then matches byte-for-byte)."""
+    eps = np.finfo(np.float64).eps
+    band = (np.abs(csarr[g]) + np.abs(csarr[start])) * (
+        (window + 4) * eps * 16.0
+    ) + 1e-12
+    scaled = np.abs(vals) * 1e6
+    dist = np.abs(scaled - np.floor(scaled) - 0.5)
+    risky = np.nonzero(dist <= band * 1e6)[0]
+    if not len(risky):
+        return
+    rs, rg = start[risky], g[risky]
+    idx = rs[:, None] + np.arange(window)
+    frame = np.where(
+        idx < rg[:, None], av[np.minimum(idx, len(av) - 1)], 0.0
+    )
+    vals[risky] = np.cumsum(frame, axis=1)[:, -1]
 
 
 def _make_alert_fold(window: int, min_n: int, threshold: float) -> Callable:
@@ -223,14 +276,20 @@ def _make_alert_fold(window: int, min_n: int, threshold: float) -> Callable:
         # subtraction perturbs the sum by ≲1e-16·|s| relative to the
         # window frame's fresh fold — absorbed by the same round(·,6)
         # that already absorbs Spark-vs-DuckDB accumulation-order skew.
+        av2 = av * av  # elementwise fl(x·x), shared by cumsum + recompute
         cs = np.concatenate(([0.0], np.cumsum(av)))
-        cs2 = np.concatenate(([0.0], np.cumsum(av * av)))
+        cs2 = np.concatenate(([0.0], np.cumsum(av2)))
         g = np.arange(n_tail, n_tail + n_new)
         start = np.maximum(g - window, 0)
         n = g - start
         nsafe = np.maximum(n, 1)
         s = cs[g] - cs[start]
         s2 = cs2[g] - cs2[start]
+        # boundary-risky sums fall back to the exact sequential frame
+        # fold (ADVICE r6) — cold on fixture-shaped data, structural
+        # parity on adversarial boundary-adjacent values
+        _exactify_boundary_sums(s, cs, av, g, start, window)
+        _exactify_boundary_sums(s2, cs2, av2, g, start, window)
         mean = _round_half_up_vec(s, 6) / nsafe
         ex2 = _round_half_up_vec(s2, 6) / nsafe
         std = np.sqrt(np.maximum(ex2 - mean * mean, 0.0))
@@ -316,7 +375,10 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.model import measurements
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
-    from dariadb_spark.streaming.scratch import localize_and_cleanup
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="dariadb_alert_parity_")
     data_dir = f"{base}/data"
@@ -330,9 +392,12 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("id", "time", "value", "flag").coalesce(1).write.parquet(
             data_dir
         )
-        streaming_anomaly_alerts(
-            spark, data_dir, query_name=qname
-        ).awaitTermination(600)
+        # 15-series harness slice → 4 state partitions, not the session's
+        # OLAP default (VERDICT r6 item 1: addBatch ~2× faster; stage
+        # breakdown in BASELINE.md / tools/time_anomaly_parity.py)
+        with parity_stream_partitions(spark):
+            q = streaming_anomaly_alerts(spark, data_dir, query_name=qname)
+        q.awaitTermination(600)
         return localize_and_cleanup(
             spark,
             spark.table(qname).orderBy("id", "time", "value", "flag"),

@@ -265,7 +265,10 @@ def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.model import measurements
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
-    from dariadb_spark.streaming.scratch import localize_and_cleanup
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
 
     base = tempfile.mkdtemp(prefix="dariadb_sess_parity_")
     data_dir = f"{base}/data"
@@ -274,9 +277,10 @@ def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_interval(
             measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
         ).write.parquet(data_dir)
-        streaming_sessionize(
-            spark, data_dir, query_name=qname
-        ).awaitTermination(600)
+        # 15-series harness slice → small state layer (see scratch.py)
+        with parity_stream_partitions(spark):
+            q = streaming_sessionize(spark, data_dir, query_name=qname)
+        q.awaitTermination(600)
         return localize_and_cleanup(
             spark,
             spark.table(qname).orderBy("id", "session_start_ms"),
