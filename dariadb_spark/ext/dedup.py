@@ -322,6 +322,139 @@ FROM v WHERE ic / (na + nb - ic) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
 
+# --- incremental (ingest-time) dedup --------------------------------------
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time dedup of an INCOMING batch against the EXISTING
+    corpus — the operation a 100 TB pipeline actually runs per ingest
+    (full-corpus re-clustering is a backfill job, not a steady-state
+    one). The fixture splits documents deterministically: ``doc_id % 4
+    == 0`` is the incoming batch, the rest is the standing corpus.
+
+    Per incoming doc, two index probes and a verdict:
+
+    - exact probe: sha256(text) against the existing corpus' content
+      hashes → ``reject_exact``;
+    - near probe: minhash LSH band collision against the existing
+      corpus' band index, verified by exact shingle Jaccard ≥ t →
+      ``reject_near`` (with the match count and the smallest matching
+      doc_id as the audit trail);
+    - otherwise ``admit``.
+
+    Scale shape: the existing side's band rows and content hashes are a
+    PERSISTED index in production (built once, appended per ingest), so
+    steady-state cost is O(|incoming|) signature computation plus two
+    key-joins against the index — no existing×existing work ever, and
+    the incoming batch is usually the broadcast side. Here both sides
+    derive from one logical shingle scan and Catalyst pushes each
+    side's ``doc_id % 4`` filter BELOW the signature aggregation, so
+    each side hashes only its own documents (checked via
+    ``executedPlan``: no cross-side signature work; the band probe and
+    the Jaccard verify join broadcast the smaller side)."""
+    docs = load_table(spark, sf, "documents")
+    sh = _shingled(docs)
+    bands, key = _minhash_bands(sh)
+    new_b = bands.where("doc_id % 4 = 0").withColumnRenamed("doc_id", "new_id")
+    old_b = bands.where("doc_id % 4 <> 0").withColumnRenamed("doc_id", "old_id")
+    cand = (
+        new_b.join(old_b, key)
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    sa = sh.selectExpr(
+        "doc_id AS new_id", "shingles AS sh_a", "size(shingles) AS na"
+    )
+    sb = sh.selectExpr(
+        "doc_id AS old_id", "shingles AS sh_b", "size(shingles) AS nb"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    near = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .where(jac >= JACCARD_THRESHOLD)
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_near"),
+            F.min("old_id").alias("nearest_id"),
+        )
+    )
+    exact = (
+        docs.where("doc_id % 4 = 0")
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+        .join(
+            docs.where("doc_id % 4 <> 0")
+            .select(F.sha2(F.col("text"), 256).alias("sha"))
+            .distinct(),
+            "sha",
+        )
+        .select("doc_id", F.lit(1).cast("bigint").alias("is_exact_dup"))
+    )
+    return (
+        docs.where("doc_id % 4 = 0")
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(0)).cast("bigint").alias(
+                "is_exact_dup"
+            ),
+            F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near"),
+            F.coalesce("nearest_id", F.lit(-1)).cast("bigint").alias(
+                "nearest_id"
+            ),
+            F.when(F.col("is_exact_dup") == 1, "reject_exact")
+            .when(F.col("n_near") > 0, "reject_near")
+            .otherwise("admit")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_SHINGLE_CTE},
+hv AS (SELECT doc_id, {_h60_duck('u.sg')} % {MERSENNE_P} AS h
+       FROM (SELECT doc_id, unnest(shingles) AS sg FROM s) u),
+sig AS (SELECT doc_id, {_SIG_COLS}
+        FROM hv GROUP BY doc_id),
+bands AS (
+{_BAND_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band
+          AND {' AND '.join(f'a.r{r} = b.r{r}' for r in range(_RPB))}
+         WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+near AS (SELECT c.new_id, count(*) AS n_near, min(c.old_id) AS nearest_id
+         FROM cand c
+         JOIN s sa ON c.new_id = sa.doc_id
+         JOIN s sb ON c.old_id = sb.doc_id
+         WHERE len(list_intersect(sa.shingles, sb.shingles))
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)))
+               >= {JACCARD_THRESHOLD}
+         GROUP BY c.new_id),
+ex AS (SELECT DISTINCT n.doc_id
+       FROM documents n
+       JOIN documents o
+         ON o.doc_id % 4 <> 0 AND sha256(o.text) = sha256(n.text)
+       WHERE n.doc_id % 4 = 0)
+SELECT d.doc_id,
+       CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_exact_dup,
+       CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near,
+       CAST(COALESCE(nr.nearest_id, -1) AS BIGINT) AS nearest_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'reject_exact'
+            WHEN nr.n_near > 0 THEN 'reject_near'
+            ELSE 'admit' END AS verdict
+FROM documents d
+LEFT JOIN ex e ON d.doc_id = e.doc_id
+LEFT JOIN near nr ON d.doc_id = nr.new_id
+WHERE d.doc_id % 4 = 0
+ORDER BY d.doc_id"""
+
+
 # --- minhash estimator-quality eval ---------------------------------------
 
 def minhash_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
@@ -922,6 +1055,7 @@ register("ext_dedup_components", dedup_components, DEDUP_COMPONENTS_SQL)
 register("ext_curate_corpus", curate_corpus, CURATE_CORPUS_SQL)
 register("ext_dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
 register("ext_dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL)
+register("ext_dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
 register("ext_minhash_jaccard_est", minhash_jaccard_est, MINHASH_JACCARD_EST_SQL)
 register("ext_dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL)
 register("ext_decontaminate_fuzzy", decontaminate_fuzzy, DECONTAMINATE_FUZZY_SQL)

@@ -576,6 +576,93 @@ SELECT doc_id, lang,
 FROM a ORDER BY doc_id"""
 
 
+#: the aug CASE expression shared by pii_scan and pii_roundtrip — one
+#: definition per engine dialect so the two queries plant identical spans
+_PII_AUG_SPARK = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user',"
+    " CAST(doc_id AS STRING), '@example.com from 10.0.',"
+    " CAST(doc_id % 250 AS STRING), '.', CAST(doc_id % 200 AS STRING))"
+    " WHEN doc_id % 7 = 0 THEN concat(text, ' id 123-45-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    " ELSE text END"
+)
+
+
+def text_pii_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Governance round-trip — find → fix → verify in ONE query
+    (VERDICT r6 item 5): plant the same deterministic PII spans as
+    ``text_pii_scan``, count them, mask every span class with
+    ``regexp_replace`` ([EMAIL]/[IP]/[SSN]), then RESCAN the redacted
+    text and return the residual count per document — the proof a real
+    pipeline needs that masking actually cleared the detector, plus an
+    md5 audit fingerprint of the redacted text (prove redaction ran
+    without storing the original). The full-pipeline oracle replays
+    plant+mask+rescan in DuckDB, so a hash match pins every stage, not
+    just the final zeros.
+
+    Scale shape: pure scan-stage string expressions end to end — zero
+    shuffle, zero UDFs; at 100 TB the round-trip runs at read bandwidth
+    as a single map over the corpus."""
+    docs = load_table(spark, sf, "documents")
+    aug = F.expr(_PII_AUG_SPARK)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(PII_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(PII_IPV4_RE),
+            F.lit("[IP]"),
+        ),
+        F.lit(PII_SSN_RE),
+        F.lit("[SSN]"),
+    )
+
+    def count3(col):
+        return (
+            F.regexp_count(col, F.lit(PII_EMAIL_RE))
+            + F.regexp_count(col, F.lit(PII_IPV4_RE))
+            + F.regexp_count(col, F.lit(PII_SSN_RE))
+        ).cast("bigint")
+
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            count3(aug).alias("n_found"),
+            count3(red).alias("n_residual"),
+            F.md5(red).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PII_ROUNDTRIP_SQL = f"""
+WITH a AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user',
+                CAST(doc_id AS VARCHAR), '@example.com from 10.0.',
+                CAST(doc_id % 250 AS VARCHAR), '.',
+                CAST(doc_id % 200 AS VARCHAR))
+              WHEN doc_id % 7 = 0 THEN concat(text, ' id 123-45-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+              ELSE text END AS aug
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, aug,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+           '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PII_IPV4_RE}', '[IP]', 'g'),
+           '{PII_SSN_RE}', '[SSN]', 'g') AS red
+  FROM a)
+SELECT doc_id, lang,
+       len(regexp_extract_all(aug, '{PII_EMAIL_RE}'))
+         + len(regexp_extract_all(aug, '{PII_IPV4_RE}'))
+         + len(regexp_extract_all(aug, '{PII_SSN_RE}')) AS n_found,
+       len(regexp_extract_all(red, '{PII_EMAIL_RE}'))
+         + len(regexp_extract_all(red, '{PII_IPV4_RE}'))
+         + len(regexp_extract_all(red, '{PII_SSN_RE}')) AS n_residual,
+       md5(red) AS redacted_md5
+FROM r ORDER BY doc_id"""
+
+
 register("ext_text_bm25", text_bm25, TEXT_BM25_SQL)
 register("ext_text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL)
 register("ext_text_bpe_tokens", text_bpe_tokens, TEXT_BPE_TOKENS_SQL)
@@ -588,3 +675,4 @@ register("ext_text_langid", text_langid, TEXT_LANGID_SQL)
 register("ext_text_entropy", text_entropy, TEXT_ENTROPY_SQL)
 register("ext_text_redact", text_redact, TEXT_REDACT_SQL)
 register("ext_text_pii_scan", text_pii_scan, TEXT_PII_SCAN_SQL)
+register("ext_text_pii_roundtrip", text_pii_roundtrip, TEXT_PII_ROUNDTRIP_SQL)

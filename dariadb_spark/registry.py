@@ -624,39 +624,44 @@ if "ext_anomaly_zscore" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-6 composition (VERDICT r5 items 1+4): the two round-6 additions
+# Round-7 composition (VERDICT r6 item 2): the two round-7 additions
 # lead (never ship a query outside the window), then ALL 37 queries
-# whose latest driver-green row is round 2
-# (`tools/attestation_ledger.py --stale 3` — the dedup/similarity/text/
-# timeseries families), then the core surface minus `bucket_hour_salted`
-# and `bucket_day` (both r5-attested; their straight twin `bucket_hour`
-# stays, and both rotate back next round while remaining locally
-# hash-checked every pytest run) = exactly 50. After this round no
-# query's attestation is older than round 4 and the rotation reaches
-# steady state. Everything outside the window is still value-checked
-# locally by tests/test_oracle_parity.py (same compare, all queries).
+# whose latest driver-green row is round 4 (`tools/attestation_ledger.py
+# --stale 2` — they'd hit the --stale 3 line next round; includes the
+# three streaming parities whose harness changed this round), then
+# `bucket_day` + `bucket_hour_salted` (owed re-attestation from the r6
+# rotation), then 9 round-5-latest queries prioritized by this round's
+# code churn (`streaming_anomaly_parity` — guard-banded fold + state
+# sizing — and `ext_text_redact`, the mask half of the new roundtrip)
+# and by breadth (bucket family, fn_* spot checks, exact dedup,
+# partition stats, minhash estimator) = exactly 50. The remaining 28
+# r5-latest queries rotate in round 8, a round before their stale
+# line. Everything outside the window is still value-checked locally
+# by tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
-    # round-6 additions — driver-checked from day one
-    "partition_file_stats_multi", "ext_text_pii_scan",
-    # round-2-latest rotation block (37) — clears the stale set
-    "ext_anomaly_zscore", "ext_curate_corpus", "ext_decontaminate",
-    "ext_dedup_components", "ext_dedup_embedding_cosine",
-    "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
-    "ext_embedding_centroids", "ext_ewma", "ext_gap_fill",
-    "ext_media_frames", "ext_media_meta", "ext_pack_shards",
-    "ext_profile_documents", "ext_rate", "ext_rollup_cascade",
-    "ext_sample_stratified", "ext_session_window", "ext_sessionize",
-    "ext_sim_ann_ivf", "ext_sim_ann_lsh", "ext_sim_kmeans",
-    "ext_sim_topk_cosine", "ext_split_train_test", "ext_text_bm25",
-    "ext_text_bpe_tokens", "ext_text_fingerprint", "ext_text_gopher_quality",
-    "ext_text_lang_histogram", "ext_text_langid", "ext_text_ngram_lm",
-    "ext_text_quality", "ext_text_tfidf", "ext_text_token_stats",
-    "ext_text_word_freq", "ext_time_weighted_avg",
-    # core reference surface (11 of 13 this round; see header comment)
-    "interval_scan", "interval_scan_flag", "timepoint_asof",
-    "current_value", "min_max_time", "load_min_max", "stat_block",
-    "fn_all", "bucket_hour",
-    "scheme_resolve", "erase_old_check",
+    # round-7 additions — driver-checked from day one
+    "ext_text_pii_roundtrip", "ext_dedup_incremental",
+    # round-4-latest rotation block (37) — clears next round's stale set
+    "bucket_month", "ext_ann_recall_eval", "ext_asof_join",
+    "ext_asof_nearest", "ext_changepoint_cusum", "ext_counter_rate",
+    "ext_cube_lineitem", "ext_decontaminate_fuzzy",
+    "ext_dedup_substring_spans", "ext_derived_series",
+    "ext_embedding_quantize", "ext_events_json", "ext_funnel_conversion",
+    "ext_histogram", "ext_hopping_window", "ext_interpolate",
+    "ext_join_salted", "ext_knn_classify", "ext_lm_oov_filter",
+    "ext_media_resize_plan", "ext_moving_avg", "ext_ohlc",
+    "ext_range_context", "ext_retention_cohorts", "ext_robust_stats",
+    "ext_rolling_median", "ext_sample_reservoir", "ext_sample_temperature",
+    "ext_scalar_funcs", "ext_seasonal_profile", "ext_series_correlation",
+    "ext_topk_customers", "ext_unpivot_flags", "partition_stats",
+    "streaming_current_value_parity", "streaming_rollup_parity",
+    "streaming_sessionize_parity",
+    # owed from the r6 rotation
+    "bucket_day", "bucket_hour_salted",
+    # round-5-latest fillers: churned-this-round first, then breadth
+    "streaming_anomaly_parity", "ext_text_redact",
+    "ext_minhash_jaccard_est", "ext_dedup_exact", "bucket_minute30",
+    "bucket_week", "fn_average", "fn_count", "partition_file_stats",
 ]
 
 

@@ -78,3 +78,14 @@ def test_components_memo_reused_by_curate(spark, oracle_sf_dir):
     assert len(rows) > 0
     D._LABELS_MEMO.clear()
     labels.unpersist()
+
+
+def test_pii_roundtrip_clears_all_spans(spark, oracle_sf_dir):
+    """The governance guarantee itself (not just oracle parity): after
+    masking, the detector finds ZERO residual spans in every document,
+    and the fixture genuinely planted spans to clear."""
+    from dariadb_spark.ext.text import text_pii_roundtrip
+
+    rows = text_pii_roundtrip(spark, oracle_sf_dir).collect()
+    assert sum(r.n_found for r in rows) > 0
+    assert all(r.n_residual == 0 for r in rows)

@@ -175,15 +175,17 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-6: the two new queries lead, then the r2-stale rotation
-    # block, core closes
-    assert CHECK_WINDOW[0] == "partition_file_stats_multi"
-    assert CHECK_WINDOW[1] == "ext_text_pii_scan"
-    assert CHECK_WINDOW[2] == "ext_anomaly_zscore"
-    assert CHECK_WINDOW[-1] == "erase_old_check"
+    # round-7: the two new queries lead, then the r4-stale rotation
+    # block, the owed bucket pair, churn-prioritized r5 fillers close
+    assert CHECK_WINDOW[0] == "ext_text_pii_roundtrip"
+    assert CHECK_WINDOW[1] == "ext_dedup_incremental"
+    assert CHECK_WINDOW[2] == "bucket_month"
+    assert "bucket_day" in CHECK_WINDOW and "bucket_hour_salted" in CHECK_WINDOW
+    assert "streaming_anomaly_parity" in CHECK_WINDOW  # churned this round
+    assert CHECK_WINDOW[-1] == "partition_file_stats"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
-    assert len(REGISTRY) >= 122
+    assert len(REGISTRY) >= 128
 
 
 def test_salted_paths_bound_skew_on_hot_key(spark):
