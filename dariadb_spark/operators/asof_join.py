@@ -116,11 +116,19 @@ def nearest_join(
     wf = Window.partitionBy("id").orderBy("t", "_side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # "next" = nearest following non-null. Expressed as last() over the
+    # REVERSED running frame, NOT first() over (currentRow,
+    # unboundedFollowing): Spark's UnboundedFollowing frame recomputes
+    # its aggregate from scratch per row — O(n²) per partition, found
+    # hung at 43k rows/series by bench_stress (round 7) — while the
+    # running frame is the incremental O(n) processor. Scan order over
+    # the reversed ordering visits the same rows, so last(ignorenulls)
+    # picks the identical row first(ignorenulls) would.
     wb = Window.partitionBy("id").orderBy(
-        F.col("t").asc(), F.col("_side").desc()
-    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        F.col("t").desc(), F.col("_side").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.last(r_struct, ignorenulls=True).over(wf)
-    nxt = F.first(r_struct, ignorenulls=True).over(wb)
+    nxt = F.last(r_struct, ignorenulls=True).over(wb)
     enriched = u.select(
         "id", "t", "_side", "value", "flag",
         prev["rv"].alias("prev_v"),

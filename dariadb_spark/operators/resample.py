@@ -156,9 +156,15 @@ def interpolate(
     wf = Window.partitionBy("id").orderBy("t", "side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # "next sample" = last() over the REVERSED running frame, NOT
+    # first() over (currentRow, unboundedFollowing): Spark's
+    # UnboundedFollowing frame re-aggregates from each row to partition
+    # end — O(n²) per partition, found hung at 43k grid rows/series by
+    # bench_stress (round 7); the reversed running frame is the
+    # incremental O(n) processor and picks the identical row.
     wb = Window.partitionBy("id").orderBy(
-        F.col("t").asc(), F.col("side").desc()
-    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        F.col("t").desc(), F.col("side").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t_if_sample = F.when(F.col("side") == 0, F.col("t"))
     enriched = u.select(
         "id",
@@ -166,8 +172,8 @@ def interpolate(
         "side",
         F.last("v", ignorenulls=True).over(wf).alias("prev_v"),
         F.last(t_if_sample, ignorenulls=True).over(wf).alias("prev_t"),
-        F.first("v", ignorenulls=True).over(wb).alias("next_v"),
-        F.first(t_if_sample, ignorenulls=True).over(wb).alias("next_t"),
+        F.last("v", ignorenulls=True).over(wb).alias("next_v"),
+        F.last(t_if_sample, ignorenulls=True).over(wb).alias("next_t"),
     )
     interp = (
         F.when(F.col("prev_t").isNull() | F.col("next_t").isNull(), F.lit(None))
