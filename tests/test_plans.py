@@ -319,3 +319,25 @@ def test_raw_ns_bound_literals_stay_int64(spark):
     cond3 = pushdown_time_bounds(df, None, ns_max_ms)
     assert literals_ok(cond3), str(cond3)
     assert str(ns_max_ms * 1_000_000 + 999_999) in str(cond3)
+
+
+def test_no_unbounded_following_frames(spark, sf_dir):
+    """Regression guard for the round-7 O(n²) finding: Spark's
+    UnboundedFollowing window frame processor re-aggregates from every
+    row to the partition end, so a (currentRow, unboundedFollowing)
+    frame is quadratic per partition — it hung interpolate at 43k grid
+    rows/series (bench_stress). "Next non-null" must be expressed as
+    last(ignorenulls) over the REVERSED running frame instead. Pin the
+    physical plans of every window-backward operator."""
+    from dariadb_spark.registry import REGISTRY
+
+    for q in ("ext_interpolate", "ext_asof_nearest", "ext_asof_join"):
+        plan = (
+            REGISTRY[q]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        flat = plan.lower().replace(" ", "")
+        assert "unboundedfollowing" not in flat, q
