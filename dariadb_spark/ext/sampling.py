@@ -300,8 +300,81 @@ FROM ranked WHERE rk <= {RESERVOIR_K}
 ORDER BY lang, rk"""
 
 
+# --- per-source mixture planning ------------------------------------------
+
+#: target token budget for the mixture — sized BELOW the sf0.01 corpus
+#: (~28k tokens) so the oracle exercises fractional sampling rates, not
+#: just the rate=1.0 cap
+MIX_TOKEN_BUDGET = 10_000.0
+
+
+def corpus_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture planning per SOURCE — the audit table a training run's
+    data recipe is built from (the Pile/DoReMi-style worksheet):
+    natural token share per source, the temperature-rebalanced mixture
+    weight (w_s ∝ sqrt(n_tokens) — sqrt for the same bit-exact
+    cross-engine reason as ``sample_temperature``), and the per-source
+    sampling rate + expected token yield against a fixed token budget
+    (rates cap at 1.0 — a source can't yield more than it has; capped
+    sources under-fill the budget, visible in the expected column).
+
+    Complements ``sample_temperature`` (per-DOC keep decisions): this
+    is the PLAN — what a pipeline reviews and version-controls before
+    any sampling runs.
+
+    Plan shape: one token-count aggregate per source (map-side
+    combined, |sources| rows), then window arithmetic over that tiny
+    aggregate table — the corpus scans once, the text never shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    tot_tokens = F.sum("n_tokens").over(w)
+    sum_w = F.round(F.sum(F.sqrt("n_tokens")).over(w), 6)
+    mix_frac = F.round(F.sqrt("n_tokens") / sum_w, 6)
+    rate = F.least(
+        F.lit(1.0),
+        F.round(
+            mix_frac * F.lit(MIX_TOKEN_BUDGET) / F.col("n_tokens"), 6
+        ),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / tot_tokens, 6).alias("nat_frac"),
+        mix_frac.alias("mix_frac"),
+        rate.alias("sample_rate"),
+        F.round(rate * F.col("n_tokens"), 2).alias("expected_tokens"),
+    ).orderBy("source")
+
+
+CORPUS_MIXTURE_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+enr AS (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens / sum(n_tokens) OVER (), 6) AS nat_frac,
+         round(sqrt(n_tokens)
+               / round(sum(sqrt(n_tokens)) OVER (), 6), 6) AS mix_frac
+  FROM per_src)
+SELECT source, n_docs, n_tokens, nat_frac, mix_frac,
+       least(1.0, round(mix_frac * {MIX_TOKEN_BUDGET} / n_tokens, 6))
+         AS sample_rate,
+       round(least(1.0, round(mix_frac * {MIX_TOKEN_BUDGET} / n_tokens, 6))
+             * n_tokens, 2) AS expected_tokens
+FROM enr ORDER BY source"""
+
+
 register("ext_split_train_test", split_train_test, SPLIT_SQL)
 register("ext_sample_reservoir", sample_reservoir, SAMPLE_RESERVOIR_SQL)
 register("ext_sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_SQL)
 register("ext_sample_stratified", sample_stratified, SAMPLE_SQL)
 register("ext_pack_shards", pack_shards, PACK_SHARDS_SQL)
+register("ext_corpus_mixture", corpus_mixture, CORPUS_MIXTURE_SQL)

@@ -651,23 +651,24 @@ if "ext_anomaly_zscore" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-7 composition (VERDICT r6 item 2): the two round-7 additions
+# Round-7 composition (VERDICT r6 item 2): the three round-7 additions
 # lead (never ship a query outside the window), then ALL 37 queries
 # whose latest driver-green row is round 4 (`tools/attestation_ledger.py
 # --stale 2` — they'd hit the --stale 3 line next round; includes the
 # three streaming parities whose harness changed this round), then
 # `bucket_day` + `bucket_hour_salted` (owed re-attestation from the r6
-# rotation), then 9 round-5-latest queries prioritized by this round's
+# rotation), then 8 round-5-latest queries prioritized by this round's
 # code churn (`streaming_anomaly_parity` — guard-banded fold + state
 # sizing — and `ext_text_redact`, the mask half of the new roundtrip)
 # and by breadth (bucket family, fn_* spot checks, exact dedup,
-# partition stats, minhash estimator) = exactly 50. The remaining 28
-# r5-latest queries rotate in round 8, a round before their stale
-# line. Everything outside the window is still value-checked locally
-# by tests/test_oracle_parity.py (same compare, all queries).
+# minhash estimator) = exactly 50. The remaining 29 r5-latest queries
+# (incl. `partition_file_stats`, whose multi-file twin is in-window)
+# rotate in round 8, a round before their stale line. Everything
+# outside the window is still value-checked locally by
+# tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
     # round-7 additions — driver-checked from day one
-    "ext_text_pii_roundtrip", "ext_dedup_incremental",
+    "ext_text_pii_roundtrip", "ext_dedup_incremental", "ext_corpus_mixture",
     # round-4-latest rotation block (37) — clears next round's stale set
     "bucket_month", "ext_ann_recall_eval", "ext_asof_join",
     "ext_asof_nearest", "ext_changepoint_cusum", "ext_counter_rate",
@@ -688,7 +689,7 @@ CHECK_WINDOW = [
     # round-5-latest fillers: churned-this-round first, then breadth
     "streaming_anomaly_parity", "ext_text_redact",
     "ext_minhash_jaccard_est", "ext_dedup_exact", "bucket_minute30",
-    "bucket_week", "fn_average", "fn_count", "partition_file_stats",
+    "bucket_week", "fn_average", "fn_count",
 ]
 
 
