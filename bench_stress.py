@@ -188,6 +188,134 @@ def stress_alert_fold_inprocess() -> tuple[float, int]:
     return secs, alerts
 
 
+INC_EXISTING = 100_000
+INC_INCOMING = 10_000
+
+
+def stress_incremental_probe(spark) -> tuple[float, float, dict]:
+    """The incremental-dedup steady-state claim, demonstrated: the
+    existing corpus' index (minhash band rows + shingle sets + content
+    hashes) is built ONCE and persisted; each ingest batch then pays
+    only O(|incoming|) signature computation plus key-joins against the
+    index. 100k existing docs; 10k incoming of which 100 are exact
+    copies, 4900 near-copies (12 of 13 words shared → J = 10/12 ≈ 0.83,
+    well above the 0.5 threshold), and 5000 novel. Index-build and
+    probe are timed separately — the probe time is the per-ingest cost.
+
+    The md5-derived hashing is deterministic, so the verdict counts are
+    FIXED for this data: sha probing never misses (100 exact rejects);
+    LSH banding at J≈0.83 has a ~3e-5 per-pair miss probability frozen
+    in by the fixed permutations (expected ≲1 of 4900 missed — the
+    assert allows a handful)."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.dedup import (
+        JACCARD_THRESHOLD,
+        _minhash_bands,
+        _shingled,
+    )
+
+    existing = spark.range(INC_EXISTING).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 11), "
+        "j -> concat('w', CAST(id * 100 + j AS STRING))), "
+        "concat('t', CAST(id AS STRING))) AS text",
+    )
+    incoming = spark.range(INC_INCOMING).selectExpr(
+        "id + 1000000 AS doc_id",
+        f"""CASE
+          WHEN id < 100 THEN concat_ws(' ',
+            transform(sequence(0, 11),
+              j -> concat('w', CAST((id * 20 + 7) * 100 + j AS STRING))),
+            concat('t', CAST(id * 20 + 7 AS STRING)))
+          WHEN id < 5000 THEN concat_ws(' ',
+            transform(sequence(0, 11),
+              j -> concat('w', CAST((id * 20) * 100 + j AS STRING))),
+            concat('x', CAST(id AS STRING)))
+          ELSE concat_ws(' ', transform(sequence(0, 12),
+            j -> concat('u', CAST((id + 2000000) * 100 + j AS STRING))))
+        END AS text""",
+    )
+    d = tempfile.mkdtemp(prefix="dariadb_inc_probe_")
+    try:
+        # ---- index build (once per corpus, amortized over ingests) ----
+        t0 = time.perf_counter()
+        sh_old = _shingled(existing)
+        bands_old, key = _minhash_bands(sh_old)
+        bands_old.write.parquet(f"{d}/bands")
+        sh_old.write.parquet(f"{d}/shingles")
+        existing.selectExpr("sha2(text, 256) AS sha").distinct().write.parquet(
+            f"{d}/sha"
+        )
+        t_index = time.perf_counter() - t0
+
+        # ---- per-ingest probe (the steady-state cost) ----
+        t0 = time.perf_counter()
+        sh_new = _shingled(incoming)
+        bands_new, _ = _minhash_bands(sh_new)
+        cand = (
+            bands_new.withColumnRenamed("doc_id", "new_id")
+            .join(
+                spark.read.parquet(f"{d}/bands").withColumnRenamed(
+                    "doc_id", "old_id"
+                ),
+                key,
+            )
+            .select("new_id", "old_id")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        sa = sh_new.selectExpr(
+            "doc_id AS new_id", "shingles AS sh_a", "size(shingles) AS na"
+        )
+        sb = spark.read.parquet(f"{d}/shingles").selectExpr(
+            "doc_id AS old_id", "shingles AS sh_b", "size(shingles) AS nb"
+        )
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        near = (
+            cand.join(sa, "new_id")
+            .join(sb, "old_id")
+            .where(jac >= JACCARD_THRESHOLD)
+            .select("new_id")
+            .distinct()
+        )
+        exact = (
+            incoming.selectExpr("doc_id", "sha2(text, 256) AS sha")
+            .join(spark.read.parquet(f"{d}/sha"), "sha")
+            .select("doc_id")
+        )
+        verdicts = (
+            incoming.select("doc_id")
+            .join(
+                exact.withColumn("is_exact", F.lit(1)), "doc_id", "left"
+            )
+            .join(
+                near.withColumnRenamed("new_id", "doc_id").withColumn(
+                    "is_near", F.lit(1)
+                ),
+                "doc_id",
+                "left",
+            )
+            .selectExpr(
+                "CASE WHEN is_exact = 1 THEN 'reject_exact' "
+                "WHEN is_near = 1 THEN 'reject_near' "
+                "ELSE 'admit' END AS verdict"
+            )
+            .groupBy("verdict")
+            .count()
+        )
+        counts = {r.verdict: r["count"] for r in verdicts.collect()}
+        t_probe = time.perf_counter() - t0
+        assert counts.get("reject_exact", 0) == 100, counts
+        assert 4890 <= counts.get("reject_near", 0) <= 4900, counts
+        assert 5000 <= counts.get("admit", 0) <= 5010, counts
+        assert sum(counts.values()) == INC_INCOMING, counts
+        return t_index, t_probe, counts
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 GRID_IDS = 1_000
 GRID_STEP_MS = 60_000  # 1-minute grid
 GRID_DAYS = 30
@@ -259,6 +387,7 @@ def main() -> None:
     al_s, al_n = stress_alert_fold(spark)
     fold_s, fold_alerts = stress_alert_fold_inprocess()
     gf_s, ip_s, grid_rows = stress_grid_generators(spark)
+    idx_s, probe_s, inc_counts = stress_incremental_probe(spark)
     print(
         json.dumps(
             {
@@ -272,8 +401,11 @@ def main() -> None:
                     "alert_fold_inprocess_1m_rows": round(fold_s, 4),
                     "gap_fill_grid_43m_rows": round(gf_s, 4),
                     "interpolate_grid_43m_rows": round(ip_s, 4),
+                    "incremental_index_build_100k": round(idx_s, 4),
+                    "incremental_probe_10k": round(probe_s, 4),
                 },
                 "grid_rows": grid_rows,
+                "incremental_verdicts": inc_counts,
                 "edges": CC_EDGES,
                 "docs": PPJOIN_DOCS,
                 "cc_labels": cc_n,
