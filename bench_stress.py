@@ -265,6 +265,11 @@ def stress_incremental_probe(spark) -> tuple[float, float, dict]:
             .select("new_id", "old_id")
             .dropDuplicates(["new_id", "old_id"])
         )
+        # the steady-state plan property: the incoming batch's band rows
+        # BROADCAST, so the (much larger) persisted index streams
+        # through the candidate join without ever shuffling
+        cand_plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in cand_plan, cand_plan
         sa = sh_new.selectExpr(
             "doc_id AS new_id", "shingles AS sh_a", "size(shingles) AS na"
         )
