@@ -2,16 +2,26 @@
 
 Replays the exact parity pipeline with a stopwatch between stages:
   1. scratch write  — scan_interval + orderBy + coalesce(1) parquet write
-  2. stream run     — readStream → applyInPandasWithState → memory sink
-                      (availableNow trigger, awaitTermination)
+  2. stream start/run — readStream → applyInPandasWithState → memory sink
+                      (availableNow trigger, awaitTermination), with the
+                      per-batch ``durationMs`` breakdown (addBatch is the
+                      actual execution; the rest is offset/commit-log +
+                      planning startup cost)
   3. localize       — orderBy + collect into a local relation
   4. cleanup        — rmtree + dropTempView
+
+Findings recorded in BASELINE.md ("streaming_anomaly_parity stage
+breakdown"). ``STREAM_SHUFFLE_PARTS`` overrides the state-partition
+count for A/B runs — the measurement that motivated
+``parity_stream_partitions`` (scratch.py): 4 partitions ~2× faster
+addBatch than the session's 32 for the 15-series parity slice.
 
 Run:  python tools/time_anomaly_parity.py [sf_dir] [repeats]
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
@@ -42,8 +52,6 @@ def run_once(spark, sf_dir: str) -> dict[str, float]:
         t1 = time.perf_counter()
         stages["scratch_write"] = t1 - t0
 
-        import os
-
         nparts = os.environ.get("STREAM_SHUFFLE_PARTS")
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         if nparts:
@@ -57,10 +65,12 @@ def run_once(spark, sf_dir: str) -> dict[str, float]:
         q.awaitTermination(600)
         t3 = time.perf_counter()
         stages["stream_run"] = t3 - t2
-        import json
-
         for p in q.recentProgress:
-            d = p["durationMs"] if isinstance(p, dict) else json.loads(p.json)["durationMs"]
+            d = p["durationMs"] if isinstance(p, dict) else None
+            if d is None:
+                import json
+
+                d = json.loads(p.json)["durationMs"]
             print("  batch durationMs:", d)
 
         rows = (
@@ -71,13 +81,14 @@ def run_once(spark, sf_dir: str) -> dict[str, float]:
         t4 = time.perf_counter()
         stages["localize"] = t4 - t3
         stages["rows"] = len(rows)
+        t5 = time.perf_counter()
     finally:
         try:
             spark.catalog.dropTempView(qname)
         except Exception:
             pass
         shutil.rmtree(base, ignore_errors=True)
-    stages["cleanup"] = time.perf_counter() - t4
+    stages["cleanup"] = time.perf_counter() - t5
     stages["total"] = time.perf_counter() - t0
     return stages
 
