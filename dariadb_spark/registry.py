@@ -583,6 +583,35 @@ def _register_streaming_anomaly_parity() -> None:
         REGISTRY["ext_anomaly_zscore"].oracle,
     )
 
+
+def _streaming_interval_join_parity(spark: SparkSession, sf: str) -> DataFrame:
+    from dariadb_spark.streaming.subscribe import (
+        streaming_interval_join_parity,
+    )
+
+    return streaming_interval_join_parity(spark, sf)
+
+
+def _register_streaming_interval_join_parity() -> None:
+    # The watermarked stream-stream T-join (round-7 upgrade from
+    # pytest-only to driver-checked): errors ⋈ trailing-15-min context,
+    # aggregated per error event. Oracle = the batch range join over
+    # the same slice (closed [t−W, t] bounds, context side pass-all).
+    register(
+        "streaming_interval_join_parity",
+        _streaming_interval_join_parity,
+        f"""WITH {MEAS_CTE_SQL},
+m AS (SELECT id, time, value, flag FROM measurements
+      WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS})
+SELECT e.id AS id, e.time AS time, e.value AS value,
+       count(*) AS n_ctx, round(sum(c.value), 4) AS sum_ctx_value
+FROM m e JOIN m c
+  ON c.id = e.id AND c.time BETWEEN e.time - 900000 AND e.time
+WHERE (e.flag & {FLAG_ERROR}) = {FLAG_ERROR}
+GROUP BY e.id, e.time, e.value
+ORDER BY id, time, value""",
+    )
+
 # --- W2: derived-series downsample with distributed id allocation --------
 
 def _derived_series(spark: SparkSession, sf: str) -> DataFrame:
@@ -640,6 +669,8 @@ if "ext_session_window" in REGISTRY:
     _register_streaming_sessionize_parity()
 if "ext_anomaly_zscore" in REGISTRY:
     _register_streaming_anomaly_parity()
+if "streaming_anomaly_parity" in REGISTRY:
+    _register_streaming_interval_join_parity()
 
 # --- driver check-window ordering ----------------------------------------
 # The driver's correctness harness hash-checks the FIRST 50 queries it sees
@@ -651,24 +682,25 @@ if "ext_anomaly_zscore" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-7 composition (VERDICT r6 item 2): the three round-7 additions
+# Round-7 composition (VERDICT r6 item 2): the four round-7 additions
 # lead (never ship a query outside the window), then ALL 37 queries
 # whose latest driver-green row is round 4 (`tools/attestation_ledger.py
 # --stale 2` — they'd hit the --stale 3 line next round; includes the
 # three streaming parities whose harness changed this round), then
 # `bucket_day` + `bucket_hour_salted` (owed re-attestation from the r6
-# rotation), then 8 round-5-latest queries prioritized by this round's
+# rotation), then 7 round-5-latest queries prioritized by this round's
 # code churn (`streaming_anomaly_parity` — guard-banded fold + state
 # sizing — and `ext_text_redact`, the mask half of the new roundtrip)
-# and by breadth (bucket family, fn_* spot checks, exact dedup,
-# minhash estimator) = exactly 50. The remaining 29 r5-latest queries
-# (incl. `partition_file_stats`, whose multi-file twin is in-window)
-# rotate in round 8, a round before their stale line. Everything
-# outside the window is still value-checked locally by
+# and by breadth (bucket family, fn_average spot check, exact dedup,
+# minhash estimator) = exactly 50. The remaining 30 r5-latest queries
+# (incl. `partition_file_stats`/`fn_count`, whose family twins are
+# in-window) rotate in round 8, a round before their stale line.
+# Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
     # round-7 additions — driver-checked from day one
     "ext_text_pii_roundtrip", "ext_dedup_incremental", "ext_corpus_mixture",
+    "streaming_interval_join_parity",
     # round-4-latest rotation block (37) — clears next round's stale set
     "bucket_month", "ext_ann_recall_eval", "ext_asof_join",
     "ext_asof_nearest", "ext_changepoint_cusum", "ext_counter_rate",
@@ -689,7 +721,7 @@ CHECK_WINDOW = [
     # round-5-latest fillers: churned-this-round first, then breadth
     "streaming_anomaly_parity", "ext_text_redact",
     "ext_minhash_jaccard_est", "ext_dedup_exact", "bucket_minute30",
-    "bucket_week", "fn_average", "fn_count",
+    "bucket_week", "fn_average",
 ]
 
 

@@ -348,6 +348,64 @@ def streaming_interval_join(
     )
 
 
+def streaming_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible stream-stream join parity (the T-join surface,
+    upgraded from pytest-only to a hash-checked driver query in round
+    7): run the REAL watermarked interval join — error events ⋈ the
+    same-series events of their trailing 15 minutes — over the fixture
+    slice via one availableNow pass, then aggregate the emitted pairs
+    per error event. Oracle = the equivalent batch range-join SQL
+    (the `ext_range_context` shape without the flag column the stream
+    join doesn't carry): the stream's closed [t−W, t] join bounds and
+    inner-join eager emission must reproduce the batch pair set
+    exactly. The pair aggregation runs on the memory sink (batch), so
+    what is hash-checked is the full pair multiset, not a lossy
+    summary."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.timeseries import RANGE_W_MS
+    from dariadb_spark.model import measurements
+    from dariadb_spark.operators.interval import scan_interval
+    from dariadb_spark.registry import FLAG_ERROR, FROM_MS, IDS, TO_MS
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
+
+    base = tempfile.mkdtemp(prefix="dariadb_ssj_parity_")
+    data_dir = f"{base}/data"
+    qname = "ssj_parity_" + base.rsplit("_", 1)[-1]
+    try:
+        scan_interval(
+            measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
+        ).write.parquet(data_dir)
+        # 15-series harness slice → small state layer (see scratch.py)
+        with parity_stream_partitions(spark):
+            q = streaming_interval_join(
+                spark,
+                data_dir,
+                left_flag=FLAG_ERROR,
+                right_flag=0,  # pass-all context side (F3 semantics)
+                lookback_ms=RANGE_W_MS,
+                query_name=qname,
+            )
+        q.awaitTermination(600)
+        agg = (
+            spark.table(qname)
+            .groupBy("id", "time", "value")
+            .agg(
+                F.count("*").alias("n_ctx"),
+                F.round(F.sum("ctx_value"), 4).alias("sum_ctx_value"),
+            )
+            .orderBy("id", "time", "value")
+        )
+        return localize_and_cleanup(spark, agg, base, qname)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+
+
 def streaming_dedup_exact(
     spark: SparkSession,
     data_dir: str,
