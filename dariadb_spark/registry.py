@@ -592,6 +592,26 @@ def _streaming_interval_join_parity(spark: SparkSession, sf: str) -> DataFrame:
     return streaming_interval_join_parity(spark, sf)
 
 
+def _streaming_dedup_parity(spark: SparkSession, sf: str) -> DataFrame:
+    from dariadb_spark.streaming.subscribe import streaming_dedup_parity
+
+    return streaming_dedup_parity(spark, sf)
+
+
+def _register_streaming_dedup_parity() -> None:
+    # Ingest idempotence (round-7 upgrade from pytest-only): the slice
+    # is written twice (at-least-once replay) and the streaming exact
+    # dedup must emit each distinct row exactly once.
+    register(
+        "streaming_dedup_parity",
+        _streaming_dedup_parity,
+        f"""WITH {MEAS_CTE_SQL}
+SELECT DISTINCT id, time, value, flag FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+ORDER BY id, time, value, flag""",
+    )
+
+
 def _register_streaming_interval_join_parity() -> None:
     # The watermarked stream-stream T-join (round-7 upgrade from
     # pytest-only to driver-checked): errors ⋈ trailing-15-min context,
@@ -671,6 +691,7 @@ if "ext_anomaly_zscore" in REGISTRY:
     _register_streaming_anomaly_parity()
 if "streaming_anomaly_parity" in REGISTRY:
     _register_streaming_interval_join_parity()
+    _register_streaming_dedup_parity()
 
 # --- driver check-window ordering ----------------------------------------
 # The driver's correctness harness hash-checks the FIRST 50 queries it sees
@@ -682,25 +703,26 @@ if "streaming_anomaly_parity" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-7 composition (VERDICT r6 item 2): the four round-7 additions
+# Round-7 composition (VERDICT r6 item 2): the five round-7 additions
 # lead (never ship a query outside the window), then ALL 37 queries
 # whose latest driver-green row is round 4 (`tools/attestation_ledger.py
 # --stale 2` — they'd hit the --stale 3 line next round; includes the
 # three streaming parities whose harness changed this round), then
 # `bucket_day` + `bucket_hour_salted` (owed re-attestation from the r6
-# rotation), then 7 round-5-latest queries prioritized by this round's
+# rotation), then 6 round-5-latest queries prioritized by this round's
 # code churn (`streaming_anomaly_parity` — guard-banded fold + state
 # sizing — and `ext_text_redact`, the mask half of the new roundtrip)
-# and by breadth (bucket family, fn_average spot check, exact dedup,
-# minhash estimator) = exactly 50. The remaining 30 r5-latest queries
-# (incl. `partition_file_stats`/`fn_count`, whose family twins are
-# in-window) rotate in round 8, a round before their stale line.
-# Everything outside the window is still value-checked locally by
-# tests/test_oracle_parity.py (same compare, all queries).
+# and by breadth (bucket family, exact dedup, minhash estimator) =
+# exactly 50. The remaining 31 r5-latest queries (incl.
+# `partition_file_stats` and the `fn_*` scalars, whose family twins
+# `partition_file_stats_multi`/`fn_all` are r6-attested) rotate in
+# round 8, a round before their stale line. Everything outside the
+# window is still value-checked locally by tests/test_oracle_parity.py
+# (same compare, all queries).
 CHECK_WINDOW = [
     # round-7 additions — driver-checked from day one
     "ext_text_pii_roundtrip", "ext_dedup_incremental", "ext_corpus_mixture",
-    "streaming_interval_join_parity",
+    "streaming_interval_join_parity", "streaming_dedup_parity",
     # round-4-latest rotation block (37) — clears next round's stale set
     "bucket_month", "ext_ann_recall_eval", "ext_asof_join",
     "ext_asof_nearest", "ext_changepoint_cusum", "ext_counter_rate",
@@ -721,7 +743,7 @@ CHECK_WINDOW = [
     # round-5-latest fillers: churned-this-round first, then breadth
     "streaming_anomaly_parity", "ext_text_redact",
     "ext_minhash_jaccard_est", "ext_dedup_exact", "bucket_minute30",
-    "bucket_week", "fn_average",
+    "bucket_week",
 ]
 
 

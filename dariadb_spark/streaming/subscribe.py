@@ -406,6 +406,46 @@ def streaming_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFram
         raise
 
 
+def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ingest-idempotence parity (round 7): write the
+    fixture slice TWICE (the at-least-once replay failure mode the
+    operator exists for), run the REAL streaming exact-dedup over the
+    doubled store, and return the emitted rows. Oracle = ``SELECT
+    DISTINCT`` over the single slice: every row must come through
+    exactly once despite arriving twice — the fifth-plus streaming
+    surface under the hash gate, previously pytest-only."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.model import measurements
+    from dariadb_spark.operators.interval import scan_interval
+    from dariadb_spark.registry import FROM_MS, IDS, TO_MS
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
+
+    base = tempfile.mkdtemp(prefix="dariadb_dedup_parity_")
+    data_dir = f"{base}/data"
+    qname = "dedup_parity_" + base.rsplit("_", 1)[-1]
+    try:
+        sl = scan_interval(measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0)
+        sl.write.parquet(data_dir)
+        sl.write.mode("append").parquet(data_dir)  # the replay
+        with parity_stream_partitions(spark):
+            q = streaming_dedup_exact(spark, data_dir, qname)
+        q.awaitTermination(600)
+        return localize_and_cleanup(
+            spark,
+            spark.table(qname).orderBy("id", "time", "value", "flag"),
+            base,
+            qname,
+        )
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+
+
 def streaming_dedup_exact(
     spark: SparkSession,
     data_dir: str,

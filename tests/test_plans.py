@@ -175,16 +175,17 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-7: the four new queries lead, then the r4-stale rotation
+    # round-7: the five new queries lead, then the r4-stale rotation
     # block, the owed bucket pair, churn-prioritized r5 fillers close
     assert CHECK_WINDOW[0] == "ext_text_pii_roundtrip"
     assert CHECK_WINDOW[1] == "ext_dedup_incremental"
     assert CHECK_WINDOW[2] == "ext_corpus_mixture"
     assert CHECK_WINDOW[3] == "streaming_interval_join_parity"
-    assert CHECK_WINDOW[4] == "bucket_month"
+    assert CHECK_WINDOW[4] == "streaming_dedup_parity"
+    assert CHECK_WINDOW[5] == "bucket_month"
     assert "bucket_day" in CHECK_WINDOW and "bucket_hour_salted" in CHECK_WINDOW
     assert "streaming_anomaly_parity" in CHECK_WINDOW  # churned this round
-    assert CHECK_WINDOW[-1] == "fn_average"
+    assert CHECK_WINDOW[-1] == "bucket_week"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 128
