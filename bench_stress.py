@@ -188,6 +188,110 @@ def stress_alert_fold_inprocess() -> tuple[float, int]:
     return secs, alerts
 
 
+ANN_CORPUS = 500_000
+ANN_QUERIES = 10
+
+
+def stress_ann_lsh(spark) -> tuple[float, int, int]:
+    """The LSH-ANN scale path (X2) above fixture size: 500k synthetic
+    64-dim vectors sketched with the SAME fixed hyperplane tables the
+    registry query uses, 10 queries each planted with one near-twin
+    (cos ≈ 0.999; all other pairs decorrelate to |cos| ≲ 0.6 by
+    construction). Measures the full pipeline — Arrow-batched sketch,
+    bucket join, exact-cosine re-rank — and asserts both RESULT quality
+    (the twin is the top-1 for ≥ 9 of 10 queries; per-table bucket-match
+    probability at this cos is ~0.93, miss-all-4-tables ~2e-5, frozen
+    in by the deterministic planes) and SELECTIVITY (candidates per
+    query ≈ corpus/2^16 × 4 tables — thousands of× below brute force).
+
+    Joins on the raw 16-bit sketch; the production query additionally
+    masks to the adaptive low-K bits (K = 15 at this corpus size —
+    nearly identical here; the mask exists so SMALL corpora aren't
+    over-partitioned, see sim_ann_lsh). This stress is what exposed
+    the round-7 all-negative-hyperplane bug (see _hyperplanes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from dariadb_spark.ext.similarity import _DOT, _hyperplanes
+
+    # chaotic double-sine hash (GLSL-style): a plain linear-phase sine
+    # ALIASES — offsets near multiples of 2π/c produce near-duplicate
+    # vectors (found empirically: cos > 0.9999999 at id offset 203441),
+    # which is exactly what a dedup corpus must not contain by accident
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "sin(sin(CAST(id AS DOUBLE) * 12.9898 + j * 78.233)"
+        " * 43758.5453))"
+    )
+    twin = (
+        "transform(sequence(0, 63), j -> "
+        f"sin(sin(CAST(id - {ANN_CORPUS} AS DOUBLE) * 12.9898"
+        " + j * 78.233) * 43758.5453) + 0.001 * sin(CAST(j AS DOUBLE)))"
+    )
+    emb = (
+        spark.range(ANN_CORPUS + ANN_QUERIES)
+        .selectExpr(
+            "id AS vec_id",
+            f"CASE WHEN id >= {ANN_CORPUS} THEN {twin} ELSE {base} END AS e",
+        )
+        .selectExpr(
+            "vec_id", "e", f"sqrt({_DOT.format(a='e', b='e')}) AS norm"
+        )
+    )
+    mats = [np.array(t) for t in _hyperplanes()]
+    weights = 1 << np.arange(16, dtype=np.int64)
+
+    # no type hints: the module-level `from __future__ import annotations`
+    # turns them into strings the UDF type-hint resolver can't evaluate
+    # with function-local imports; explicit SCALAR eval type instead
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("array<bigint>", PandasUDFType.SCALAR)
+    def sketch(vectors):
+        mat = np.stack(vectors.to_numpy())
+        per_table = [
+            ((mat @ m.T) > 0).astype(np.int64) @ weights for m in mats
+        ]
+        return pd.Series(np.stack(per_table, axis=1).tolist())
+
+    t0 = time.perf_counter()
+    sketches = emb.select(
+        "vec_id", "e", "norm", sketch(F.col("e")).alias("sk")
+    ).select("vec_id", "e", "norm", F.posexplode("sk").alias("tbl", "bucket"))
+    q = sketches.where(F.col("vec_id") < ANN_QUERIES).selectExpr(
+        "vec_id AS q_id", "e AS qe", "norm AS qnorm", "tbl", "bucket"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(sketches.where(F.col("vec_id") >= ANN_QUERIES), ["tbl", "bucket"])
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    dot = _DOT.format(a="qe", b="e")
+    scored = cand.selectExpr(
+        "q_id", "vec_id", f"{dot} / (qnorm * norm) AS cos_sim"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    top1 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    )
+    n_cand = scored.count()
+    secs = time.perf_counter() - t0
+    hits = sum(1 for r in top1 if r.vec_id == ANN_CORPUS + r.q_id)
+    assert hits >= 9, [(r.q_id, r.vec_id, r.cos_sim) for r in top1]
+    # selectivity: ~corpus/2^16 × 4 tables ≈ 30-ish per query with
+    # healthy planes (measured 64). The pre-fix all-negative planes
+    # (see _hyperplanes docstring) produced ~46k per query — this
+    # bound is the at-scale regression tripwire for that bug class.
+    assert n_cand < ANN_QUERIES * 1_000, n_cand
+    return secs, hits, n_cand
+
+
 INC_EXISTING = 100_000
 INC_INCOMING = 10_000
 
@@ -393,6 +497,7 @@ def main() -> None:
     fold_s, fold_alerts = stress_alert_fold_inprocess()
     gf_s, ip_s, grid_rows = stress_grid_generators(spark)
     idx_s, probe_s, inc_counts = stress_incremental_probe(spark)
+    ann_s, ann_hits, ann_cand = stress_ann_lsh(spark)
     print(
         json.dumps(
             {
@@ -408,9 +513,12 @@ def main() -> None:
                     "interpolate_grid_43m_rows": round(ip_s, 4),
                     "incremental_index_build_100k": round(idx_s, 4),
                     "incremental_probe_10k": round(probe_s, 4),
+                    "ann_lsh_500k_corpus": round(ann_s, 4),
                 },
                 "grid_rows": grid_rows,
                 "incremental_verdicts": inc_counts,
+                "ann_top1_hits": ann_hits,
+                "ann_candidates": ann_cand,
                 "edges": CC_EDGES,
                 "docs": PPJOIN_DOCS,
                 "cc_labels": cc_n,

@@ -245,7 +245,18 @@ N_TABLES = 4
 
 def _hyperplanes(dim: int = 64) -> list[list[list[float]]]:
     """Deterministic pseudo-random hyperplanes (fixed LCG — no RNG state,
-    reproducible across runs/engines)."""
+    reproducible across runs/engines).
+
+    Round-7 fix, found by the at-scale ANN stress (bench_stress): the
+    original scaling ``(state >> 33) / 2^31 - 1`` spans ``[-1, 0)`` —
+    every component NEGATIVE, so all planes pointed into one orthant
+    (mean pairwise |cos| ≈ 0.7) and the 16-bit sketch collapsed to a
+    few effective bits: per-table bucket-collision probability ~5.5e-2
+    instead of the ~1.5e-5 a uniform 2^16 sketch gives — a ~4000×
+    candidate blowup at corpus scale, invisible at fixture size and to
+    the oracle (which shares the planes). ``(state >> 32) / 2^31 - 1``
+    spans ``[-1, 1)``; measured post-fix collision ~1.5e-5 (uniform)
+    and mean plane |cos| ~0.09 (random-direction baseline)."""
     planes: list[list[list[float]]] = []
     state = 0x2545F4914F6CDD1D
     for _ in range(N_TABLES):
@@ -254,7 +265,7 @@ def _hyperplanes(dim: int = 64) -> list[list[list[float]]]:
             row = []
             for _ in range(dim):
                 state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-                row.append(((state >> 33) / float(1 << 31)) - 1.0)  # ~U(-1,1)
+                row.append(((state >> 32) / float(1 << 31)) - 1.0)  # ~U(-1,1)
             table.append(row)
         planes.append(table)
     return planes
@@ -272,12 +283,28 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     bucketing, candidate join, re-rank — making the check an exact hash
     match with no recall caveat. (Only caveat: numpy's blocked matmul vs
     DuckDB's sequential dot could disagree on the sign of a dot product
-    within ~1e-16 of zero — probability ~1e-8 on this fixture.)"""
+    within ~1e-16 of zero — probability ~1e-8 on this fixture.)
+
+    ADAPTIVE SKETCH WIDTH (round 7): the bucket key is the LOW
+    ``K = clamp(ceil(log2(n)) − 4, 4, 16)`` bits of the 16-plane
+    sketch, with ``n`` the corpus count — expected bucket occupancy
+    ~2⁴ per table at ANY scale, so candidates per query stay ~constant
+    (≈ 16 × tables) from the 500-vector fixture to a 500k corpus and
+    beyond. With the round-7 orthant fix making buckets genuinely
+    uniform, a fixed 16-bit key would over-partition small corpora
+    (500 vectors / 65536 buckets → zero candidates) exactly as it
+    under-partitioned huge ones pre-fix. Same count-driven adaptivity
+    as the dedup family; the oracle computes K from the same count."""
+    import math
+
     from pyspark.sql.functions import pandas_udf
 
     emb = _emb(spark, sf)
     mats = [np.array(t) for t in _hyperplanes()]  # N_TABLES × (16, 64)
     weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+    n_corpus = emb.count()
+    k_bits = max(4, min(N_PLANES, math.ceil(math.log2(max(n_corpus, 2))) - 4))
+    mask = (1 << k_bits) - 1
 
     @pandas_udf("array<bigint>")
     def sketch(vectors: pd.Series) -> pd.Series:
@@ -296,7 +323,7 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "e",
         "norm",
         F.posexplode("sk").alias("tbl", "bucket"),
-    )
+    ).withColumn("bucket", F.col("bucket").bitwiseAND(F.lit(mask)))
     q = sketches.where(F.col("vec_id").isin(QUERY_VEC_IDS)).selectExpr(
         "vec_id AS q_id", "e AS qe", "norm AS qnorm", "tbl", "bucket"
     )
@@ -336,13 +363,17 @@ WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
 planes(tbl, p, w) AS (VALUES
 {_planes_values_sql()}),
-sk AS (
+kb AS (SELECT CAST(pow(2, GREATEST(4, LEAST({N_PLANES},
+              CAST(ceil(log2(count(*))) AS INT) - 4))) AS BIGINT) AS m
+       FROM emb),
+sk0 AS (
   SELECT n.vec_id, p.tbl,
          CAST(sum(CASE WHEN list_dot_product(n.e, p.w) > 0
                        THEN (CAST(1 AS BIGINT) << p.p)
                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
   FROM n CROSS JOIN planes p
   GROUP BY n.vec_id, p.tbl),
+sk AS (SELECT vec_id, tbl, bucket % (SELECT m FROM kb) AS bucket FROM sk0),
 q AS (SELECT vec_id AS q_id, tbl, bucket FROM sk
       WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
 cand AS (SELECT DISTINCT q.q_id, s.vec_id

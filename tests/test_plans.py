@@ -344,3 +344,26 @@ def test_no_unbounded_following_frames(spark, sf_dir):
         )
         flat = plan.lower().replace(" ", "")
         assert "unboundedfollowing" not in flat, q
+
+
+def test_lsh_hyperplanes_are_direction_diverse():
+    """Regression pin for the round-7 hyperplane-range bug: the LCG
+    scaling once produced components in [-1, 0) — every plane in one
+    orthant (mean pairwise |cos| ≈ 0.7), collapsing the 16-bit sketch
+    to a few effective bits and blowing candidate volume ~4000× at
+    corpus scale (found by bench_stress's 500k-vector ANN stress;
+    invisible at fixture size and to the oracle, which shares the
+    planes). Healthy random 64-d directions have mean pairwise
+    |cos| ≈ 0.09 — pin a generous ceiling, plus sign balance."""
+    import numpy as np
+
+    from dariadb_spark.ext.similarity import _hyperplanes
+
+    for table in _hyperplanes():
+        m = np.array(table)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = np.abs(mn @ mn.T)
+        np.fill_diagonal(c, 0.0)
+        assert c.mean() < 0.2, c.mean()
+        # components must straddle zero (the bug made them all-negative)
+        assert 0.4 < (m > 0).mean() < 0.6
