@@ -415,7 +415,14 @@ def sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: centroids broadcast (K×dim is KBs at any corpus size);
     assignment is one linear scan; the candidate join shuffles on cell id
-    with per-cell candidate lists ~|corpus|/K.
+    with per-cell candidate lists ~|corpus|/K. K is a DEPLOYMENT KNOB
+    that must grow with the corpus: the standard sizing is K ≈ √n (per
+    FAISS practice), making per-query probe cost N_PROBE·n/K ≈
+    N_PROBE·√n — sublinear — while centroids stay broadcastable
+    (√(10⁹)·64 doubles ≈ 16 MB). The fixture pins K = 16 so the cell
+    structure (multiple occupied cells, probes crossing cell
+    boundaries) is actually exercised at 500 vectors; the measured
+    at-scale ANN path is the LSH variant (bench_stress, 500k vectors).
     """
     emb = _emb(spark, sf)
     cent = emb.where(F.col("vec_id") < K_CELLS).selectExpr(
