@@ -711,14 +711,16 @@ if "streaming_anomaly_parity" in REGISTRY:
 # `bucket_day` + `bucket_hour_salted` (owed re-attestation from the r6
 # rotation), then 6 round-5-latest queries prioritized by this round's
 # code churn (`streaming_anomaly_parity` — guard-banded fold + state
-# sizing — and `ext_text_redact`, the mask half of the new roundtrip)
-# and by breadth (bucket family, exact dedup, minhash estimator) =
-# exactly 50. The remaining 31 r5-latest queries (incl.
-# `partition_file_stats` and the `fn_*` scalars, whose family twins
-# `partition_file_stats_multi`/`fn_all` are r6-attested) rotate in
-# round 8, a round before their stale line. Everything outside the
-# window is still value-checked locally by tests/test_oracle_parity.py
-# (same compare, all queries).
+# sizing — `ext_text_redact`, the mask half of the new roundtrip, and
+# `ext_sim_ann_lsh`, whose values changed with the round-7 hyperplane
+# fix + adaptive sketch width) and by breadth (bucket_minute30, exact
+# dedup, minhash estimator) = exactly 50. The remaining 31 r5-latest
+# queries (incl. `partition_file_stats`, `bucket_week` and the `fn_*`
+# scalars, whose family twins `partition_file_stats_multi`/
+# `bucket_hour`/`fn_all` are r6-attested) rotate in round 8, a round
+# before their stale line. Everything outside the window is still
+# value-checked locally by tests/test_oracle_parity.py (same compare,
+# all queries).
 CHECK_WINDOW = [
     # round-7 additions — driver-checked from day one
     "ext_text_pii_roundtrip", "ext_dedup_incremental", "ext_corpus_mixture",
@@ -743,7 +745,7 @@ CHECK_WINDOW = [
     # round-5-latest fillers: churned-this-round first, then breadth
     "streaming_anomaly_parity", "ext_text_redact",
     "ext_minhash_jaccard_est", "ext_dedup_exact", "bucket_minute30",
-    "bucket_week",
+    "ext_sim_ann_lsh",
 ]
 
 

@@ -185,7 +185,8 @@ def test_check_window_is_first_50_harness_queries():
     assert CHECK_WINDOW[5] == "bucket_month"
     assert "bucket_day" in CHECK_WINDOW and "bucket_hour_salted" in CHECK_WINDOW
     assert "streaming_anomaly_parity" in CHECK_WINDOW  # churned this round
-    assert CHECK_WINDOW[-1] == "bucket_week"
+    assert "ext_sim_ann_lsh" in CHECK_WINDOW  # values changed this round
+    assert CHECK_WINDOW[-1] == "ext_sim_ann_lsh"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 128
