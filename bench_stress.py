@@ -188,6 +188,99 @@ def stress_alert_fold_inprocess() -> tuple[float, int]:
     return secs, alerts
 
 
+SIMHASH_DOCS = 100_000
+SIMHASH_CLONES = 100
+
+
+def stress_simhash_volume(spark) -> tuple[float, int, int]:
+    """SimHash chunk-collision candidate volume above fixture scale —
+    the claim under test (ext/dedup.py): 4 chunks of 15 bits keep the
+    candidate join ~n²/2¹⁵ per chunk (≈ 600k pairs at 100k docs, vs
+    5e9 all-pairs) while remaining COMPLETE for Hamming ≤ 3. 100k docs
+    of 13 globally-unique words (fingerprints ~uniform 60-bit, odd
+    token count → no zero bit-sums, fully deterministic) plus 100
+    planted exact clones (identical token multiset → identical
+    fingerprint → Hamming 0). Asserts recall (exactly the 100 planted
+    pairs survive, each at Hamming 0) and the candidate bound."""
+    from dariadb_spark.ext.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_CHUNK_BITS,
+        SIMHASH_CHUNKS,
+        SIMHASH_MAX_HAMMING,
+        _h60_spark,
+    )
+
+    docs = spark.range(SIMHASH_DOCS + SIMHASH_CLONES).selectExpr(
+        "id AS doc_id",
+        # clones re-derive the BASE doc's words → identical fingerprint
+        f"concat_ws(' ', transform(sequence(0, 12), j -> concat('w', "
+        f"CAST((CASE WHEN id >= {SIMHASH_DOCS} THEN id - {SIMHASH_DOCS} "
+        f"ELSE id END) * 100 + j AS STRING)))) AS text",
+    )
+    t0 = time.perf_counter()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).selectExpr("doc_id", f"{_h60_spark('t')} AS h")
+    bit_aggs = [
+        F.sum(F.expr(f"IF((h >> {i}) & 1 = 1, 1, -1)")).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    fp = (
+        toks.groupBy("doc_id")
+        .agg(*bit_aggs)
+        .selectExpr(
+            "doc_id",
+            "("
+            + " | ".join(
+                f"IF(b{i} > 0, shiftleft(1L, {i}), 0L)"
+                for i in range(SIMHASH_BITS)
+            )
+            + ") AS fp",
+        )
+    )
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunks = fp.selectExpr(
+        "doc_id",
+        "fp",
+        f"explode(transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
+        f"c -> named_struct('c', c, 'v', "
+        f"(fp >> (c * {SIMHASH_CHUNK_BITS})) & {mask}))) AS ch",
+    ).select(
+        "doc_id", "fp", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agg = cand.selectExpr(
+        "count(*) AS n_cand",
+        f"sum(CASE WHEN hamming <= {SIMHASH_MAX_HAMMING} THEN 1 ELSE 0 END)"
+        " AS n_dup",
+        f"sum(CASE WHEN hamming <= {SIMHASH_MAX_HAMMING} AND hamming = 0 "
+        f"AND doc_b = doc_a + {SIMHASH_DOCS} THEN 1 ELSE 0 END) AS n_planted",
+    ).collect()[0]
+    secs = time.perf_counter() - t0
+    assert agg.n_dup == SIMHASH_CLONES == agg.n_planted, (
+        agg.n_dup, agg.n_planted
+    )
+    # ~n²/2^15 per chunk × 4 chunks ≈ 600k at 100k docs; well under 2M
+    assert agg.n_cand < 2_000_000, agg.n_cand
+    return secs, int(agg.n_cand), int(agg.n_dup)
+
+
 ANN_CORPUS = 500_000
 ANN_QUERIES = 10
 
@@ -498,6 +591,7 @@ def main() -> None:
     gf_s, ip_s, grid_rows = stress_grid_generators(spark)
     idx_s, probe_s, inc_counts = stress_incremental_probe(spark)
     ann_s, ann_hits, ann_cand = stress_ann_lsh(spark)
+    sh_s, sh_cand, sh_dup = stress_simhash_volume(spark)
     print(
         json.dumps(
             {
@@ -514,11 +608,14 @@ def main() -> None:
                     "incremental_index_build_100k": round(idx_s, 4),
                     "incremental_probe_10k": round(probe_s, 4),
                     "ann_lsh_500k_corpus": round(ann_s, 4),
+                    "simhash_volume_100k_docs": round(sh_s, 4),
                 },
                 "grid_rows": grid_rows,
                 "incremental_verdicts": inc_counts,
                 "ann_top1_hits": ann_hits,
                 "ann_candidates": ann_cand,
+                "simhash_candidates": sh_cand,
+                "simhash_dups": sh_dup,
                 "edges": CC_EDGES,
                 "docs": PPJOIN_DOCS,
                 "cc_labels": cc_n,
