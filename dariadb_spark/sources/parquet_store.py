@@ -55,6 +55,18 @@ class ParquetTsStore:
       require a single-maintainer window: no concurrent append, and
       concurrent readers may fail mid-swap and must retry (rename-aside
       order guarantees no data loss on a crash — the aside dir survives).
+    * ``append()`` concurrent with ``append()`` from SEPARATE driver
+      processes is NOT safe with the default Hadoop committer: both
+      jobs stage under the same ``<path>/_temporary`` tree, and the
+      first committer's cleanup can silently drop the other job's
+      in-flight task files. Within ONE application, appends issued
+      sequentially (this class's usage) are fine. A multi-ingest
+      deployment must either serialize appends per store (the
+      single-writer discipline ``TableSeriesCatalog`` enforces for the
+      catalog) or — the real answer at 100 TB — use the Delta/Iceberg
+      swap, whose optimistic transaction log makes concurrent appends
+      first-class. Documented rather than reimplemented: a homegrown
+      commit protocol here would be rebuilding that log badly.
     """
 
     def __init__(self, spark: SparkSession, root: str):
