@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dariadb_spark.ext.dedup import _h60_duck, _h60_spark
+from dariadb_spark.ext.hashes import _h60_duck, _h60_spark
 from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register

@@ -57,13 +57,10 @@ SIMHASH_MAX_HAMMING = 3
 # from rows-only to fully hash-checked. (Token hashing is a small slice of
 # these plans — the shuffles dominate — so the trade is cheap; swap the
 # expression for xxhash64 if oracle-independent throughput ever wins.)
+# Defined in ext/hashes.py (a registry-free leaf) so sibling ext modules
+# can import them without the ext ↔ registry import cycle.
 
-def _h60_spark(col: str) -> str:
-    return f"CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
-
-
-def _h60_duck(col: str) -> str:
-    return f"CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT)"
+from dariadb_spark.ext.hashes import _h60_duck, _h60_spark  # noqa: E402,F401
 
 
 # --- X1 exact dedup -------------------------------------------------------

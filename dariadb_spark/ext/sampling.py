@@ -300,6 +300,65 @@ FROM ranked WHERE rk <= {RESERVOIR_K}
 ORDER BY lang, rk"""
 
 
+# --- deterministic weighted sample without replacement (A-ExpJ) -----------
+
+WEIGHTED_K = 5
+WEIGHTED_SEED_OFFSET = 777_001  # decorrelates from the other samplers
+
+
+def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k-per-source sample with inclusion probability proportional
+    to document length — Efraimidis-Spirakis priority sampling ("Weighted
+    random sampling with a reservoir", IPL 2006): each doc gets priority
+    ``u^(1/w)`` for uniform ``u`` and weight ``w``; the k largest
+    priorities per stratum are a weighted sample without replacement.
+    Ranked in the equivalent log form ``ln(u)/w`` (monotone in the
+    priority, avoids pow's underflow for large weights). ``u`` is the
+    Knuth hash of doc_id mapped into (0,1) — pure arithmetic, so the
+    sample is reproducible and fully oracle-checkable like the uniform
+    reservoir above.
+
+    Scale: identical shape to ``sample_reservoir`` — one rank window per
+    stratum over a projection that never reads the text; with a hot
+    stratum, pre-reduce with per-partition top-k before the window (the
+    priorities are mergeable: the global top-k is the top-k of partial
+    top-ks, same property a distributed reservoir relies on)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    u = (
+        F.pmod(
+            (F.col("doc_id") + F.lit(WEIGHTED_SEED_OFFSET)) * F.lit(KNUTH),
+            F.lit(MOD32),
+        )
+        + F.lit(0.5)
+    ) / F.lit(MOD32)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(key.desc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= WEIGHTED_K)
+        .select("source", "doc_id", "n_chars", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST(((doc_id + {WEIGHTED_SEED_OFFSET}) * {KNUTH}) % {MOD32}
+              AS DOUBLE) + CAST(0.5 AS DOUBLE)) / {MOD32}) / n_chars AS k
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY k DESC, doc_id ASC) AS rk
+  FROM keyed)
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {WEIGHTED_K}
+ORDER BY source, rk"""
+
+
 # --- per-source mixture planning ------------------------------------------
 
 #: target token budget for the mixture — sized BELOW the sf0.01 corpus
@@ -376,5 +435,6 @@ register("ext_split_train_test", split_train_test, SPLIT_SQL)
 register("ext_sample_reservoir", sample_reservoir, SAMPLE_RESERVOIR_SQL)
 register("ext_sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_SQL)
 register("ext_sample_stratified", sample_stratified, SAMPLE_SQL)
+register("ext_sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL)
 register("ext_pack_shards", pack_shards, PACK_SHARDS_SQL)
 register("ext_corpus_mixture", corpus_mixture, CORPUS_MIXTURE_SQL)

@@ -1,0 +1,216 @@
+"""[EXT] deterministic streaming-style sketches over ``documents``
+(north_star "novel sketch" surface): a count-min sketch for heavy-hitter
+frequency estimation and a k-minimum-values (KMV) sketch for distinct
+counting — both built from the engine-agnostic 60-bit md5 hash so the
+ENTIRE sketch pipeline (hashing, bucketing, estimation) replays in the
+DuckDB oracle and is fully hash-checked, not just rows-only.
+
+Why sketches at 100 TB: both are *mergeable* summaries whose size is
+independent of corpus size. The CMS build is an additive groupBy onto
+``depth × width`` (= 1024) cells — the map-side partial aggregation
+collapses every partition to ≤1024 rows before the shuffle, so the
+shuffle volume is O(partitions × width), not O(tokens). The KMV sketch
+is the k smallest distinct hash values — per-partition partial k-mins
+merge by taking the k smallest of the union (here expressed as
+distinct → per-group window; the distinct shuffle is the same one an
+exact count would need, and the docstring on :func:`sketch_kmv_distinct`
+spells out the threshold-prefilter variant for cardinalities where even
+the distinct set is too big to rank).
+
+Both sketches intentionally use small parameters (width 256 × depth 4;
+k = 64) so the fixtures exercise the *error* path — CMS overcounts from
+real bucket collisions and KMV relative error are part of the checked
+result, proving the estimator math, not just the happy path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dariadb_spark.ext.hashes import _h60_duck, _h60_spark
+from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+KMV_K = 64
+
+# Word bigrams (occurrences for CMS, distinct for KMV) — the corpus has a
+# ~31-word vocabulary per language, far too small to stress a sketch, but
+# ~900 distinct bigrams per language. Built from two shifted slices
+# zipped pairwise (linear in token count — see ext/shingles.py for why
+# the transform(sequence(...)) form is O(n²)).
+_BG_SPARK = (
+    "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+    "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+    "(x, y) -> concat(x, ' ', y))"
+)
+
+_BG_CTE = """
+tok AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT lang, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+       FROM tok WHERE len(w) >= 2)"""
+
+
+def _bigram_occurrences(docs: DataFrame) -> DataFrame:
+    """(lang, bg) — one row per bigram OCCURRENCE (not distinct)."""
+    return docs.where(F.size(F.split(F.col("text"), " ")) >= 2).selectExpr(
+        "lang", f"explode({_BG_SPARK}) AS bg"
+    )
+
+
+# --- count-min sketch heavy hitters --------------------------------------
+
+def sketch_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min estimate vs exact count for the top-K corpus bigrams.
+
+    Build: bigram occurrences → exact per-bigram counts (ONE shuffle with
+    map-side combine; |vocab| rows survive) → because CMS is additive,
+    the sketch is then built from the *counts* table, not the token
+    stream: each of the ~4.5k vocab rows lands in ``CMS_DEPTH`` cells
+    ``h60(depth || ':' || bg) mod CMS_WIDTH`` and the per-cell sums are a
+    1024-row table. Estimation joins the top-K candidates' coordinates
+    back against the broadcast sketch and takes the min over depths —
+    the classic CMS read, with every overcount caused by genuine bucket
+    collisions visible in the checked output.
+
+    At 100 TB nothing changes shape: the counts shuffle is the only
+    corpus-sized exchange (identical to what exact heavy-hitters needs),
+    and the sketch/candidate joins touch KB-sized broadcast tables. For
+    a one-pass no-exact-counts variant the same cell expression applies
+    directly to the token stream — the groupBy(depth, bucket) then
+    map-side-combines to ≤1024 rows per partition, which is the whole
+    point of the sketch.
+    """
+    docs = load_table(spark, sf, "documents")
+    counts = (
+        _bigram_occurrences(docs)
+        .groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    depths = spark.range(CMS_DEPTH).select(F.col("id").alias("depth"))
+    cell_hash = _h60_spark("concat(cast(depth AS string), ':', bg)")
+    cell = f"{cell_hash} % {CMS_WIDTH}"
+    sketch = (
+        counts.crossJoin(F.broadcast(depths))
+        .selectExpr("depth", f"{cell} AS bucket", "cnt")
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("bcnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("bg")).limit(CMS_TOPK)
+    return (
+        top.crossJoin(F.broadcast(depths))
+        .selectExpr("bg", "cnt", "depth", f"{cell} AS bucket")
+        .join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("bg", "cnt")
+        .agg(F.min("bcnt").alias("cms_est"))
+        .selectExpr(
+            "bg",
+            "cnt AS exact_cnt",
+            "cms_est",
+            "cms_est - cnt AS overcount",
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("bg"))
+    )
+
+
+_CMS_CELL_DUCK = (
+    _h60_duck("concat(CAST(depth AS VARCHAR), ':', bg)") + f" % {CMS_WIDTH}"
+)
+
+SKETCH_CMS_TOPK_SQL = f"""
+WITH {_BG_CTE},
+counts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+depths AS (SELECT unnest(range({CMS_DEPTH})) AS depth),
+cells AS (SELECT depth, {_CMS_CELL_DUCK} AS bucket, cnt FROM counts, depths),
+sketch AS (SELECT depth, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+           FROM cells GROUP BY depth, bucket),
+top AS (SELECT bg, cnt FROM counts ORDER BY cnt DESC, bg ASC LIMIT {CMS_TOPK}),
+coords AS (SELECT bg, cnt, depth, {_CMS_CELL_DUCK} AS bucket FROM top, depths)
+SELECT c.bg AS bg, c.cnt AS exact_cnt, min(s.bcnt) AS cms_est,
+       min(s.bcnt) - c.cnt AS overcount
+FROM coords c JOIN sketch s ON c.depth = s.depth AND c.bucket = s.bucket
+GROUP BY c.bg, c.cnt
+ORDER BY exact_cnt DESC, bg ASC"""
+
+
+# --- k-minimum-values distinct estimate ----------------------------------
+
+def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-bigram estimate per language vs the exact count.
+
+    The sketch is the ``KMV_K`` smallest distinct 60-bit hashes per
+    group; with the k-th smallest at fraction ``u = h_k / 2^60`` of the
+    hash space, the classic unbiased estimate is ``(k-1) / u``. The
+    checked output carries exact count, estimate, and relative error —
+    the estimator math is part of the contract.
+
+    Scale: the distinct on (lang, bigram) is the same shuffle an exact
+    ``count(DISTINCT)`` needs (map-side partial dedup applies); ranking
+    k smallest hashes per group is a per-group window over the distinct
+    set. When even the distinct set is too large to rank (billions of
+    values per group), pre-filter ``h < 2^60 · (c·k / n_lower)`` for any
+    cardinality lower bound ``n_lower`` — survivors are expected
+    ``c·k`` rows and the window runs on those; the k-th min is unchanged
+    because KMV only ever looks at the smallest hashes. The sketch is
+    mergeable (k smallest of a union = k smallest of partial k-mins),
+    which is what makes it a per-partition partial aggregate at cluster
+    scale.
+    """
+    docs = load_table(spark, sf, "documents")
+    distinct_bg = (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+        .selectExpr("lang", f"explode(array_distinct({_BG_SPARK})) AS bg")
+        .distinct()
+    )
+    hashed = distinct_bg.selectExpr("lang", "bg", f"{_h60_spark('bg')} AS h")
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("bg"))
+    kth = (
+        hashed.select("lang", "h", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == KMV_K)
+        .selectExpr("lang", "h AS kth_h")
+    )
+    exact = distinct_bg.groupBy("lang").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    return (
+        exact.join(kth, "lang")
+        .selectExpr(
+            "lang",
+            "exact_distinct",
+            f"round(({KMV_K} - 1) * pow(2.0d, 60.0d) / kth_h, 4) AS kmv_est",
+        )
+        .selectExpr(
+            "lang",
+            "exact_distinct",
+            "kmv_est",
+            "round(abs(kmv_est - exact_distinct) / exact_distinct * 100, 2)"
+            " AS rel_err_pct",
+        )
+        .orderBy("lang")
+    )
+
+
+SKETCH_KMV_DISTINCT_SQL = f"""
+WITH {_BG_CTE},
+d AS (SELECT DISTINCT lang, bg FROM bg),
+h AS (SELECT lang, bg, {_h60_duck('bg')} AS h FROM d),
+ranked AS (SELECT lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h ASC, bg ASC) AS rn
+           FROM h),
+kth AS (SELECT lang, h AS kth_h FROM ranked WHERE rn = {KMV_K}),
+exact AS (SELECT lang, count(*) AS exact_distinct FROM d GROUP BY lang),
+est AS (SELECT e.lang AS lang, e.exact_distinct AS exact_distinct,
+               round(({KMV_K} - 1) * pow(2.0, 60.0) / k.kth_h, 4) AS kmv_est
+        FROM exact e JOIN kth k ON e.lang = k.lang)
+SELECT lang, exact_distinct, kmv_est,
+       round(abs(kmv_est - exact_distinct) / exact_distinct * 100, 2)
+         AS rel_err_pct
+FROM est ORDER BY lang"""
+
+
+register("ext_sketch_cms_topk", sketch_cms_topk, SKETCH_CMS_TOPK_SQL)
+register("ext_sketch_kmv_distinct", sketch_kmv_distinct, SKETCH_KMV_DISTINCT_SQL)

@@ -681,6 +681,7 @@ from dariadb_spark.ext import multimodal as _ext_mm  # noqa: E402,F401
 from dariadb_spark.ext import timeseries as _ext_ts  # noqa: E402,F401
 from dariadb_spark.ext import sampling as _ext_sampling  # noqa: E402,F401
 from dariadb_spark.ext import curation as _ext_curation  # noqa: E402,F401
+from dariadb_spark.ext import sketches as _ext_sketches  # noqa: E402,F401
 
 # ext_session_window exists now — register the streaming parity twin.
 # Guarded: a UDF worker re-entering this module mid-import (see
@@ -703,19 +704,21 @@ if "streaming_anomaly_parity" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-7 composition (VERDICT r6 item 2): the five round-7 additions
-# lead (never ship a query outside the window), then ALL 37 queries
-# whose latest driver-green row is round 4 (`tools/attestation_ledger.py
+# Round-7 composition (VERDICT r6 item 2): the eight round-7 additions
+# lead (never ship a query outside the window — three sketch/sampling
+# queries joined late in the round: CMS heavy hitters, KMV distinct,
+# A-ExpJ weighted sample), then ALL 37 queries whose latest
+# driver-green row is round 4 (`tools/attestation_ledger.py
 # --stale 2` — they'd hit the --stale 3 line next round; includes the
 # three streaming parities whose harness changed this round), then
 # `bucket_day` + `bucket_hour_salted` (owed re-attestation from the r6
-# rotation), then 6 round-5-latest queries prioritized by this round's
+# rotation), then 3 round-5-latest queries prioritized by this round's
 # code churn (`streaming_anomaly_parity` — guard-banded fold + state
 # sizing — `ext_text_redact`, the mask half of the new roundtrip, and
 # `ext_sim_ann_lsh`, whose values changed with the round-7 hyperplane
-# fix + adaptive sketch width) and by breadth (bucket_minute30, exact
-# dedup, minhash estimator) = exactly 50. The remaining 31 r5-latest
-# queries (incl. `partition_file_stats`, `bucket_week` and the `fn_*`
+# fix + adaptive sketch width) = exactly 50. The remaining 34
+# r5-latest queries (incl. `partition_file_stats`, `bucket_week`,
+# `bucket_minute30`, exact dedup, the minhash estimator and the `fn_*`
 # scalars, whose family twins `partition_file_stats_multi`/
 # `bucket_hour`/`fn_all` are r6-attested) rotate in round 8, a round
 # before their stale line. Everything outside the window is still
@@ -725,6 +728,7 @@ CHECK_WINDOW = [
     # round-7 additions — driver-checked from day one
     "ext_text_pii_roundtrip", "ext_dedup_incremental", "ext_corpus_mixture",
     "streaming_interval_join_parity", "streaming_dedup_parity",
+    "ext_sketch_cms_topk", "ext_sketch_kmv_distinct", "ext_sample_weighted",
     # round-4-latest rotation block (37) — clears next round's stale set
     "bucket_month", "ext_ann_recall_eval", "ext_asof_join",
     "ext_asof_nearest", "ext_changepoint_cusum", "ext_counter_rate",
@@ -742,10 +746,8 @@ CHECK_WINDOW = [
     "streaming_sessionize_parity",
     # owed from the r6 rotation
     "bucket_day", "bucket_hour_salted",
-    # round-5-latest fillers: churned-this-round first, then breadth
-    "streaming_anomaly_parity", "ext_text_redact",
-    "ext_minhash_jaccard_est", "ext_dedup_exact", "bucket_minute30",
-    "ext_sim_ann_lsh",
+    # round-5-latest fillers: churned this round
+    "streaming_anomaly_parity", "ext_text_redact", "ext_sim_ann_lsh",
 ]
 
 
