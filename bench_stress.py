@@ -581,6 +581,63 @@ def stress_grid_generators(spark) -> tuple[float, float, int]:
     return gf_s, ip_s, GRID_IDS * buckets
 
 
+CMS_TOKENS = 10_000_000
+CMS_TAIL_VOCAB = 100_000
+
+
+def stress_cms_onepass(spark) -> tuple[float, int, int]:
+    """The one-pass count-min build ext/sketches.py documents as the
+    100 TB path: cells computed directly from the token stream (no
+    intermediate exact counts), relying on map-side combine to collapse
+    every partition to ≤ depth×width cells before the exchange. Stressed
+    with 10M synthetic tokens (30% mass on one hot token + 100k-value
+    tail — the skew that would break a naive groupBy(token) pipeline's
+    reducer but is invisible to the sketch, whose cells are uniform by
+    construction). Verified: per-depth cell mass sums to exactly the
+    token count (additivity), and the hot token's min-over-depths
+    estimate is ≥ its exact count (one-sided error)."""
+    from dariadb_spark.ext.hashes import _h60_spark
+    from dariadb_spark.ext.sketches import CMS_DEPTH, CMS_WIDTH
+
+    fanout = ", ".join(f"{d}L" for d in range(CMS_DEPTH))
+    cell = (
+        _h60_spark("concat(cast(depth AS string), ':', tok)")
+        + f" % {CMS_WIDTH}"
+    )
+    tokens = spark.range(CMS_TOKENS).selectExpr(
+        "CASE WHEN id % 10 < 3 THEN 'hot' "
+        f"ELSE concat('t', id % {CMS_TAIL_VOCAB}) END AS tok"
+    )
+    t0 = time.perf_counter()
+    sketch = (
+        tokens.selectExpr("tok", f"explode(array({fanout})) AS depth")
+        .selectExpr("depth", f"{cell} AS bucket")
+        .groupBy("depth", "bucket")
+        .count()
+    )
+    rows = sketch.collect()
+    cms_s = time.perf_counter() - t0
+    per_depth: dict[int, int] = {}
+    for r in rows:
+        per_depth[r["depth"]] = per_depth.get(r["depth"], 0) + r["count"]
+    assert all(v == CMS_TOKENS for v in per_depth.values()), per_depth
+    # hot-token probe: min over its CMS_DEPTH cells ≥ exact 30% mass
+    probe = {
+        (r["depth"], r["bucket"]): r["count"] for r in rows
+    }
+    hot_cell = (
+        _h60_spark("concat(cast(depth AS string), ':', 'hot')")
+        + f" % {CMS_WIDTH}"
+    )
+    hot_cells = spark.range(CMS_DEPTH).selectExpr(
+        "id AS depth", f"{hot_cell} AS bucket"
+    ).collect()
+    est = min(probe[(r["depth"], r["bucket"])] for r in hot_cells)
+    exact_hot = CMS_TOKENS * 3 // 10
+    assert est >= exact_hot, (est, exact_hot)
+    return cms_s, len(rows), est
+
+
 def main() -> None:
     spark = get_spark("dariadb-bench-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -592,6 +649,7 @@ def main() -> None:
     idx_s, probe_s, inc_counts = stress_incremental_probe(spark)
     ann_s, ann_hits, ann_cand = stress_ann_lsh(spark)
     sh_s, sh_cand, sh_dup = stress_simhash_volume(spark)
+    cms_s, cms_cells, cms_hot_est = stress_cms_onepass(spark)
     print(
         json.dumps(
             {
@@ -609,7 +667,10 @@ def main() -> None:
                     "incremental_probe_10k": round(probe_s, 4),
                     "ann_lsh_500k_corpus": round(ann_s, 4),
                     "simhash_volume_100k_docs": round(sh_s, 4),
+                    "cms_onepass_10m_tokens": round(cms_s, 4),
                 },
+                "cms_cells": cms_cells,
+                "cms_hot_est": cms_hot_est,
                 "grid_rows": grid_rows,
                 "incremental_verdicts": inc_counts,
                 "ann_top1_hits": ann_hits,

@@ -91,18 +91,22 @@ def sketch_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("bg")
         .agg(F.count("*").alias("cnt"))
     )
-    depths = spark.range(CMS_DEPTH).select(F.col("id").alias("depth"))
+    # Depth fan-out as a generator (explode of a 4-literal array), not a
+    # crossJoin with a 4-row table — the join form plans as a
+    # BroadcastNestedLoopJoin node; the generator stays inside
+    # whole-stage codegen with no join machinery at all.
+    depth_fanout = f"explode(array({', '.join(f'{d}L' for d in range(CMS_DEPTH))})) AS depth"
     cell_hash = _h60_spark("concat(cast(depth AS string), ':', bg)")
     cell = f"{cell_hash} % {CMS_WIDTH}"
     sketch = (
-        counts.crossJoin(F.broadcast(depths))
+        counts.selectExpr("bg", "cnt", depth_fanout)
         .selectExpr("depth", f"{cell} AS bucket", "cnt")
         .groupBy("depth", "bucket")
         .agg(F.sum("cnt").alias("bcnt"))
     )
     top = counts.orderBy(F.desc("cnt"), F.asc("bg")).limit(CMS_TOPK)
     return (
-        top.crossJoin(F.broadcast(depths))
+        top.selectExpr("bg", "cnt", depth_fanout)
         .selectExpr("bg", "cnt", "depth", f"{cell} AS bucket")
         .join(F.broadcast(sketch), ["depth", "bucket"])
         .groupBy("bg", "cnt")

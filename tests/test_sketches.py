@@ -55,6 +55,25 @@ def test_kmv_sketch_is_mergeable():
     assert np.array_equal(full, merged)
 
 
+def test_cms_plan_shape(spark, sf_dir):
+    # Depth fan-out must be a generator (explode), not a join with a
+    # 4-row table (plans as BroadcastNestedLoopJoin); the sketch probe
+    # must be a broadcast hash join — the sketch is ≤1024 rows by
+    # construction, shuffling the candidates against it would be absurd.
+    from dariadb_spark.ext.sketches import sketch_cms_topk
+
+    df = sketch_cms_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode fan-out
+    assert "BroadcastHashJoin" in plan  # the sketch probe
+
+
 def test_weighted_sample_shape_and_skew(spark, sf_dir):
     from dariadb_spark.ext.sampling import WEIGHTED_K, sample_weighted
     from dariadb_spark.model import load_table
