@@ -55,6 +55,114 @@ def test_kmv_sketch_is_mergeable():
     assert np.array_equal(full, merged)
 
 
+def _py_h60(s: str) -> int:
+    # Third, engine-independent implementation of the 60-bit md5 hash —
+    # guards the Spark conv(substr(md5)) arithmetic against the "both
+    # engines wrong the same way" blind spot the DuckDB twin can't cover.
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cms_matches_pure_python_reference(spark, sf_dir, cms_rows):
+    # Rebuild the whole sketch in plain Python (hashlib + dict) from the
+    # raw fixture and compare every estimate.
+    from dariadb_spark.ext.sketches import CMS_DEPTH, CMS_WIDTH
+    from dariadb_spark.model import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    counts: dict[str, int] = {}
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            bg = w[i] + " " + w[i + 1]
+            counts[bg] = counts.get(bg, 0) + 1
+    cells: dict[tuple[int, int], int] = {}
+    for bg, c in counts.items():
+        for d in range(CMS_DEPTH):
+            cell = (d, _py_h60(f"{d}:{bg}") % CMS_WIDTH)
+            cells[cell] = cells.get(cell, 0) + c
+    for r in cms_rows:
+        assert counts[r.bg] == r.exact_cnt, r.bg
+        ref_est = min(
+            cells[(d, _py_h60(f"{d}:{r.bg}") % CMS_WIDTH)]
+            for d in range(CMS_DEPTH)
+        )
+        assert ref_est == r.cms_est, (r.bg, ref_est, r.cms_est)
+
+
+def test_kmv_matches_pure_python_reference(spark, sf_dir):
+    # Same third-implementation check for KMV: distinct bigrams, hashlib
+    # hashes, k-th smallest, the (k-1)/u_k estimate — all in plain Python.
+    from dariadb_spark.ext.sketches import KMV_K, sketch_kmv_distinct
+    from dariadb_spark.model import load_table
+
+    per_lang: dict[str, set] = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        w = r.text.split(" ")
+        bgs = per_lang.setdefault(r.lang, set())
+        for i in range(len(w) - 1):
+            bgs.add(w[i] + " " + w[i + 1])
+    for row in sketch_kmv_distinct(spark, sf_dir).collect():
+        bgs = per_lang[row.lang]
+        assert len(bgs) == row.exact_distinct, row.lang
+        kth = sorted(_py_h60(bg) for bg in bgs)[KMV_K - 1]
+        ref_est = round((KMV_K - 1) * 2.0**60 / kth, 4)
+        assert ref_est == row.kmv_est, (row.lang, ref_est, row.kmv_est)
+
+
+def test_cms_shard_sketches_merge_to_global(spark, sf_dir):
+    # The claim SCALE.md makes for the 100 TB path: per-shard sketches
+    # merge by cell-wise addition into exactly the global sketch.
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.ext.hashes import _h60_spark
+    from dariadb_spark.ext.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+    from dariadb_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fanout = ", ".join(f"{d}L" for d in range(CMS_DEPTH))
+    cell = (
+        _h60_spark("concat(cast(depth AS string), ':', bg)")
+        + f" % {CMS_WIDTH}"
+    )
+    # build per-shard sketches then merge vs the global build
+    occ = docs.selectExpr("doc_id % 3 AS shard", "text").where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    ).selectExpr(
+        "shard",
+        "explode(zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+        "(x, y) -> concat(x, ' ', y))) AS bg",
+    )
+    per_shard = (
+        occ.selectExpr("shard", "bg", f"explode(array({fanout})) AS depth")
+        .selectExpr("shard", "depth", f"{cell} AS bucket")
+        .groupBy("shard", "depth", "bucket")
+        .count()
+    )
+    merged = {
+        (r.depth, r.bucket): r.total
+        for r in per_shard.groupBy("depth", "bucket")
+        .agg(F.sum("count").alias("total"))
+        .collect()
+    }
+    global_sketch = {
+        (r.depth, r.bucket): r.cnt
+        for r in occ.selectExpr("bg", f"explode(array({fanout})) AS depth")
+        .selectExpr("depth", f"{cell} AS bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert merged == global_sketch and len(merged) > 0
+
+
 def test_cms_plan_shape(spark, sf_dir):
     # Depth fan-out must be a generator (explode), not a join with a
     # 4-row table (plans as BroadcastNestedLoopJoin); the sketch probe
