@@ -752,6 +752,38 @@ def test_decode_media_real_png(spark):
         decode_media_real(b"not an image", "image")
 
 
+def test_phash_banding_is_complete(spark, sf_dir):
+    """The pigeonhole claim behind the chunked candidate join: every
+    pair within PHASH_MAX_HAMMING must be found. Brute-force all fp
+    pairs at sf0.001 (500 docs → 125k Python XORs) and compare to the
+    banded pipeline's output exactly."""
+    from itertools import combinations
+
+    from dariadb_spark.ext.multimodal import (
+        _phash_fingerprints,
+        PHASH_MAX_HAMMING,
+        media_phash_dedup,
+    )
+    from dariadb_spark.model import load_table
+
+    fps = {
+        r.doc_id: r.fp
+        for r in _phash_fingerprints(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= PHASH_MAX_HAMMING
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in media_phash_dedup(spark, sf_dir).collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
 def test_asof_join_semantics(spark):
     from dariadb_spark.operators.asof_join import asof_join
 
