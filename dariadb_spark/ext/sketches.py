@@ -216,5 +216,144 @@ SELECT lang, exact_distinct, kmv_est,
 FROM est ORDER BY lang"""
 
 
+# --- KMV sketch algebra: union / intersection estimates -------------------
+
+def sketch_kmv_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-operation estimates from MERGED sketches, per language pair:
+    ``|A ∪ B|`` from the union sketch (k smallest of the combined
+    per-group sketches — never touching the full distinct sets again)
+    and ``|A ∩ B|`` by inclusion-exclusion over the three estimates.
+
+    The fixture languages share most bigrams, which makes this a
+    discriminating check rather than a toy: a naive ``|A| + |B|`` merge
+    would read ~1800 where the true union is ~900 — the union sketch
+    must track the overlap it cannot see directly, and the checked
+    relative error shows it does.
+
+    Scale: this is THE reason KMV earns its place at 100 TB — per-day /
+    per-shard sketches are k-row tables; any cross-product of set
+    algebra (union across days, overlap between crawls) runs on k-row
+    inputs, never re-scanning the corpus. The merge is the same
+    k-smallest-of-union the mergeability test pins."""
+    docs = load_table(spark, sf, "documents")
+    distinct_bg = (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+        .selectExpr("lang", f"explode(array_distinct({_BG_SPARK})) AS bg")
+        .distinct()
+    )
+    hashed = distinct_bg.selectExpr("lang", "bg", f"{_h60_spark('bg')} AS h")
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("bg"))
+    sk = (
+        hashed.select("lang", "h", "bg", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= KMV_K)
+    )
+    est = f"round(({KMV_K} - 1) * pow(2.0d, 60.0d) / kth_h, 4)"
+    kth_single = sk.where(F.col("rn") == KMV_K).selectExpr(
+        "lang", f"round(({KMV_K} - 1) * pow(2.0d, 60.0d) / h, 4) AS est"
+    )
+    langs = distinct_bg.select("lang").distinct()
+    pairs = (
+        langs.alias("a")
+        .crossJoin(langs.alias("b"))
+        .where(F.col("a.lang") < F.col("b.lang"))
+        .selectExpr("a.lang AS lang_a", "b.lang AS lang_b")
+    )
+    members = pairs.selectExpr(
+        "lang_a", "lang_b", "explode(array(lang_a, lang_b)) AS lang"
+    )
+    # union sketch = k smallest of the two member sketches' distinct hashes
+    wp = Window.partitionBy("lang_a", "lang_b").orderBy(F.asc("h"))
+    kth_union = (
+        members.join(sk.select("lang", "h"), "lang")
+        .select("lang_a", "lang_b", "h")
+        .distinct()
+        .select(
+            "lang_a", "lang_b", "h", F.row_number().over(wp).alias("rn")
+        )
+        .where(F.col("rn") == KMV_K)
+        .selectExpr("lang_a", "lang_b", "h AS kth_h")
+    )
+    exact_union = (
+        members.join(distinct_bg, "lang")
+        .select("lang_a", "lang_b", "bg")
+        .distinct()
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("exact_union"))
+    )
+    da, db = distinct_bg.alias("da"), distinct_bg.alias("db")
+    exact_int = (
+        da.join(db, F.col("da.bg") == F.col("db.bg"))
+        .where(F.col("da.lang") < F.col("db.lang"))
+        .selectExpr("da.lang AS lang_a", "db.lang AS lang_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    ea = kth_single.selectExpr("lang AS lang_a", "est AS est_a")
+    eb = kth_single.selectExpr("lang AS lang_b", "est AS est_b")
+    return (
+        exact_union.join(kth_union, ["lang_a", "lang_b"])
+        .join(exact_int, ["lang_a", "lang_b"])
+        .join(F.broadcast(ea), "lang_a")
+        .join(F.broadcast(eb), "lang_b")
+        .selectExpr(
+            "lang_a",
+            "lang_b",
+            "exact_union",
+            f"{est} AS kmv_union_est",
+            "exact_intersect",
+            f"round(est_a + est_b - {est}, 4) AS kmv_intersect_est",
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+_KMV_EST_DUCK = f"round(({KMV_K} - 1) * pow(2.0, 60.0) / kth_h, 4)"
+
+SKETCH_KMV_UNION_SQL = f"""
+WITH {_BG_CTE},
+d AS (SELECT DISTINCT lang, bg FROM bg),
+h AS (SELECT lang, bg, {_h60_duck('bg')} AS h FROM d),
+sk AS (SELECT lang, h, rn FROM (
+         SELECT lang, h,
+                row_number() OVER (PARTITION BY lang ORDER BY h ASC, bg ASC)
+                  AS rn
+         FROM h)
+       WHERE rn <= {KMV_K}),
+single AS (SELECT lang,
+                  round(({KMV_K} - 1) * pow(2.0, 60.0) / h, 4) AS est
+           FROM sk WHERE rn = {KMV_K}),
+langs AS (SELECT DISTINCT lang FROM d),
+pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+          FROM langs a JOIN langs b ON a.lang < b.lang),
+members AS (SELECT lang_a, lang_b, unnest([lang_a, lang_b]) AS lang
+            FROM pairs),
+mh AS (SELECT DISTINCT m.lang_a, m.lang_b, s.h
+       FROM members m JOIN sk s ON m.lang = s.lang),
+ku AS (SELECT lang_a, lang_b, h AS kth_h FROM (
+         SELECT lang_a, lang_b, h,
+                row_number() OVER (PARTITION BY lang_a, lang_b
+                                   ORDER BY h ASC) AS rn
+         FROM mh)
+       WHERE rn = {KMV_K}),
+eu AS (SELECT lang_a, lang_b, count(DISTINCT d.bg) AS exact_union
+       FROM members m JOIN d ON m.lang = d.lang
+       GROUP BY lang_a, lang_b),
+ei AS (SELECT da.lang AS lang_a, db.lang AS lang_b,
+              count(*) AS exact_intersect
+       FROM d da JOIN d db ON da.bg = db.bg AND da.lang < db.lang
+       GROUP BY da.lang, db.lang)
+SELECT eu.lang_a AS lang_a, eu.lang_b AS lang_b, eu.exact_union,
+       {_KMV_EST_DUCK} AS kmv_union_est,
+       ei.exact_intersect,
+       round(sa.est + sb.est - {_KMV_EST_DUCK}, 4) AS kmv_intersect_est
+FROM eu
+JOIN ku USING (lang_a, lang_b)
+JOIN ei USING (lang_a, lang_b)
+JOIN single sa ON sa.lang = eu.lang_a
+JOIN single sb ON sb.lang = eu.lang_b
+ORDER BY lang_a, lang_b"""
+
+
 register("ext_sketch_cms_topk", sketch_cms_topk, SKETCH_CMS_TOPK_SQL)
 register("ext_sketch_kmv_distinct", sketch_kmv_distinct, SKETCH_KMV_DISTINCT_SQL)
+register("ext_sketch_kmv_union", sketch_kmv_union, SKETCH_KMV_UNION_SQL)

@@ -704,33 +704,35 @@ if "streaming_anomaly_parity" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-7 composition (VERDICT r6 item 2): the nine round-7 additions
-# lead (never ship a query outside the window — four sketch/sampling/
-# multimodal queries joined late in the round: CMS heavy hitters, KMV
-# distinct, A-ExpJ weighted sample, perceptual-hash media dedup), then
-# ALL 37 queries whose latest driver-green row is round 4
-# (`tools/attestation_ledger.py --stale 2` — they'd hit the --stale 3
-# line next round; includes the three streaming parities whose harness
-# changed this round), then `bucket_day` + `bucket_hour_salted` (owed
-# re-attestation from the r6 rotation), then 2 round-5-latest queries
-# prioritized by this round's code churn (`streaming_anomaly_parity` —
-# guard-banded fold + state sizing — and `ext_sim_ann_lsh`, whose
-# values changed with the round-7 hyperplane fix + adaptive sketch
-# width) = exactly 50. The remaining 35 r5-latest queries (incl.
-# `partition_file_stats`, `bucket_week`, `bucket_minute30`,
-# `ext_text_redact` — whose changed mask behavior the in-window
-# roundtrip composes end-to-end — exact dedup, the minhash estimator
-# and the `fn_*` scalars, whose family twins
-# `partition_file_stats_multi`/`bucket_hour`/`fn_all` are r6-attested)
-# rotate in round 8, a round before their stale line. Everything
-# outside the window is still value-checked locally by
-# tests/test_oracle_parity.py (same compare, all queries).
+# Round-7 composition (VERDICT r6 item 2): the ten round-7 additions
+# lead (never ship a NEW query outside the window — five sketch/
+# sampling/multimodal queries joined late in the round: CMS heavy
+# hitters, KMV distinct + union algebra, A-ExpJ weighted sample,
+# perceptual-hash media dedup), then ALL 37 queries whose latest
+# driver-green row is round 4 (`tools/attestation_ledger.py
+# --stale 2` — they'd hit the --stale 3 line next round; includes the
+# three streaming parities whose harness changed this round), then
+# `bucket_day` + `bucket_hour_salted` (owed re-attestation from the r6
+# rotation), then `streaming_anomaly_parity` (the r6 verdict's one
+# weak grade — guard-banded fold + state sizing this round, owed a
+# driver re-attestation above all other fillers) = exactly 50. The
+# remaining 36 r5-latest queries (incl. `partition_file_stats`,
+# `bucket_week`, `bucket_minute30`, `ext_text_redact` — whose changed
+# mask behavior the in-window roundtrip composes end-to-end —
+# `ext_sim_ann_lsh` — whose r7 hyperplane-fix values are hash-checked
+# locally every pytest run and which hits its stale line exactly when
+# r8 rotates it in — exact dedup, the minhash estimator and the
+# `fn_*` scalars, whose family twins `partition_file_stats_multi`/
+# `bucket_hour`/`fn_all` are r6-attested) rotate in round 8, a round
+# before their stale line. Everything outside the window is still
+# value-checked locally by tests/test_oracle_parity.py (same compare,
+# all queries).
 CHECK_WINDOW = [
     # round-7 additions — driver-checked from day one
     "ext_text_pii_roundtrip", "ext_dedup_incremental", "ext_corpus_mixture",
     "streaming_interval_join_parity", "streaming_dedup_parity",
     "ext_sketch_cms_topk", "ext_sketch_kmv_distinct", "ext_sample_weighted",
-    "ext_media_phash_dedup",
+    "ext_media_phash_dedup", "ext_sketch_kmv_union",
     # round-4-latest rotation block (37) — clears next round's stale set
     "bucket_month", "ext_ann_recall_eval", "ext_asof_join",
     "ext_asof_nearest", "ext_changepoint_cusum", "ext_counter_rate",
@@ -748,8 +750,8 @@ CHECK_WINDOW = [
     "streaming_sessionize_parity",
     # owed from the r6 rotation
     "bucket_day", "bucket_hour_salted",
-    # round-5-latest fillers: churned this round
-    "streaming_anomaly_parity", "ext_sim_ann_lsh",
+    # round-5-latest filler: the r6 verdict's one weak grade, re-attested
+    "streaming_anomaly_parity",
 ]
 
 

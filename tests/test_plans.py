@@ -175,8 +175,8 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-7: the nine new queries lead, then the r4-stale rotation
-    # block, the owed bucket pair, churn-prioritized r5 fillers close
+    # round-7: the ten new queries lead, then the r4-stale rotation
+    # block, the owed bucket pair, the weak-grade re-attestation closes
     assert CHECK_WINDOW[0] == "ext_text_pii_roundtrip"
     assert CHECK_WINDOW[1] == "ext_dedup_incremental"
     assert CHECK_WINDOW[2] == "ext_corpus_mixture"
@@ -186,11 +186,10 @@ def test_check_window_is_first_50_harness_queries():
     assert CHECK_WINDOW[6] == "ext_sketch_kmv_distinct"
     assert CHECK_WINDOW[7] == "ext_sample_weighted"
     assert CHECK_WINDOW[8] == "ext_media_phash_dedup"
-    assert CHECK_WINDOW[9] == "bucket_month"
+    assert CHECK_WINDOW[9] == "ext_sketch_kmv_union"
+    assert CHECK_WINDOW[10] == "bucket_month"
     assert "bucket_day" in CHECK_WINDOW and "bucket_hour_salted" in CHECK_WINDOW
-    assert "streaming_anomaly_parity" in CHECK_WINDOW  # churned this round
-    assert "ext_sim_ann_lsh" in CHECK_WINDOW  # values changed this round
-    assert CHECK_WINDOW[-1] == "ext_sim_ann_lsh"
+    assert CHECK_WINDOW[-1] == "streaming_anomaly_parity"  # r6 weak grade
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 128
