@@ -163,6 +163,52 @@ def test_cms_shard_sketches_merge_to_global(spark, sf_dir):
     assert merged == global_sketch and len(merged) > 0
 
 
+def test_streaming_cms_matches_batch(spark, sf_dir, tmp_path):
+    # The sketch is a streaming-maintainable summary: ingesting the
+    # corpus in two separate file drops through the complete-mode
+    # streaming aggregation must land on EXACTLY the batch cell table —
+    # batching must be invisible (additivity under incremental folds).
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.ext.hashes import _h60_spark
+    from dariadb_spark.ext.sketches import (
+        _BG_SPARK,
+        _bigram_occurrences,
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+    from dariadb_spark.model import load_table
+    from dariadb_spark.streaming.sketch import streaming_cms_cells
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path / "docs_stream")
+    docs.where("doc_id % 2 = 0").write.parquet(d)
+    docs.where("doc_id % 2 = 1").write.mode("append").parquet(d)
+
+    q = streaming_cms_cells(spark, d, "cms_stream_test")
+    q.awaitTermination(300)
+    streamed = {
+        (r.depth, r.bucket): r["count"]
+        for r in spark.table("cms_stream_test").collect()
+    }
+
+    fanout = ", ".join(f"{x}L" for x in range(CMS_DEPTH))
+    cell = (
+        _h60_spark("concat(cast(depth AS string), ':', bg)")
+        + f" % {CMS_WIDTH}"
+    )
+    batch = {
+        (r.depth, r.bucket): r.cnt
+        for r in _bigram_occurrences(docs)
+        .selectExpr("bg", f"explode(array({fanout})) AS depth")
+        .selectExpr("depth", f"{cell} AS bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_cms_plan_shape(spark, sf_dir):
     # Depth fan-out must be a generator (explode), not a join with a
     # 4-row table (plans as BroadcastNestedLoopJoin); the sketch probe
