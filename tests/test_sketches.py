@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -207,6 +208,80 @@ def test_streaming_cms_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_quantile_hist_oracle_parity_and_dense_bound(spark, oracle_sf_dir):
+    # Staged operator (round-8 window candidate): spark output must
+    # hash-match its DuckDB twin, and at sf0.01 group sizes every bin on
+    # the quantile path is populated, so the value error must be within
+    # one bin width (the dense-bin contract; sf0.001's sparse p99 tail
+    # is the documented exception and is covered by the parity compare).
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        QH_BINS,
+        SKETCH_QUANTILE_HIST_SQL,
+        sketch_quantile_hist,
+    )
+    from dariadb_spark.model import measurements
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/events.parquet')"
+    )
+    rows = sketch_quantile_hist(spark, oracle_sf_dir).collect()
+    oracle = con.execute(SKETCH_QUANTILE_HIST_SQL).fetchall()
+    con.close()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, oracle))
+    widths = {
+        r.flag: (r.hi - r.lo) / QH_BINS
+        for r in measurements(spark, oracle_sf_dir)
+        .groupBy("flag")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        assert r.abs_err <= widths[r.flag] + 1e-9, (r, widths[r.flag])
+
+
+def test_quantile_hist_shards_merge_to_global(spark, sf_dir):
+    # Bin-wise addition of per-shard histograms equals the global
+    # histogram — the mergeability the sketch's 100 TB story rests on.
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.ext.sketches import QH_BINS
+    from dariadb_spark.model import measurements
+
+    m = measurements(spark, sf_dir).select("flag", "value", "id")
+    stats = m.groupBy("flag").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bin_expr = (
+        f"CAST(least({QH_BINS - 1}, floor((value - lo) / "
+        f"((hi - lo) / {QH_BINS}))) AS BIGINT) AS bin"
+    )
+    binned = m.join(F.broadcast(stats), "flag").selectExpr(
+        "flag", "id", bin_expr
+    )
+    global_hist = {
+        (r.flag, r.bin): r.cnt
+        for r in binned.groupBy("flag", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    per_shard = (
+        binned.withColumn("shard", F.expr("id % 3"))
+        .groupBy("shard", "flag", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = {
+        (r.flag, r.bin): r.total
+        for r in per_shard.groupBy("flag", "bin")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    assert merged == global_hist and len(merged) > 0
 
 
 def test_cms_plan_shape(spark, sf_dir):
