@@ -1,26 +1,35 @@
-"""[EXT] deterministic streaming-style sketches over ``documents``
-(north_star "novel sketch" surface): a count-min sketch for heavy-hitter
-frequency estimation and a k-minimum-values (KMV) sketch for distinct
-counting — both built from the engine-agnostic 60-bit md5 hash so the
-ENTIRE sketch pipeline (hashing, bucketing, estimation) replays in the
-DuckDB oracle and is fully hash-checked, not just rows-only.
+"""[EXT] deterministic mergeable sketches (north_star "novel sketch"
+surface), all built from the engine-agnostic 60-bit md5 hash so every
+pipeline (hashing, bucketing, ranking, estimation) replays in the
+DuckDB oracle and is fully hash-checked, not just rows-only:
 
-Why sketches at 100 TB: both are *mergeable* summaries whose size is
-independent of corpus size. The CMS build is an additive groupBy onto
-``depth × width`` (= 1024) cells — the map-side partial aggregation
-collapses every partition to ≤1024 rows before the shuffle, so the
-shuffle volume is O(partitions × width), not O(tokens). The KMV sketch
-is the k smallest distinct hash values — per-partition partial k-mins
-merge by taking the k smallest of the union (here expressed as
-distinct → per-group window; the distinct shuffle is the same one an
-exact count would need, and the docstring on :func:`sketch_kmv_distinct`
-spells out the threshold-prefilter variant for cardinalities where even
-the distinct set is too big to rank).
+* count-min sketch — heavy-hitter frequency estimation over document
+  bigrams (``sketch_cms_topk``; streaming-maintained twin in
+  streaming/sketch.py; one-pass 10M-token build measured in
+  bench_stress);
+* k-minimum-values — distinct counting per group
+  (``sketch_kmv_distinct``) plus set-operation algebra over merged
+  sketches: union estimates and inclusion-exclusion intersections
+  (``sketch_kmv_union``);
+* mergeable equi-width histogram — quantile estimation per group
+  (``sketch_quantile_hist``; staged for the round-8 driver window).
 
-Both sketches intentionally use small parameters (width 256 × depth 4;
-k = 64) so the fixtures exercise the *error* path — CMS overcounts from
-real bucket collisions and KMV relative error are part of the checked
-result, proving the estimator math, not just the happy path.
+Why sketches at 100 TB: each is a *mergeable* summary whose size is
+independent of corpus size (≤1024 CMS cells, k = 64 hashes, ≤128 bins)
+— per-shard/per-day summaries combine by cell addition, k-smallest-of-
+union, and bin addition respectively (each pinned by a merge test), so
+corpus-wide answers never re-scan the corpus. The CMS build's map-side
+partial aggregation collapses every partition to ≤1024 rows before the
+shuffle — shuffle volume O(partitions × width), not O(tokens); the KMV
+distinct is the same shuffle an exact count-distinct needs, with a
+threshold-prefilter variant (see ``sketch_kmv_distinct``) when even
+the distinct set is too big to rank.
+
+Parameters are intentionally small (width 256 × depth 4; k = 64; 128
+bins) so the fixtures exercise the *error* paths — CMS overcounts from
+real bucket collisions, KMV relative error, and the histogram's
+sparse-tail failure mode are part of the checked results, proving the
+estimator math rather than just the happy path.
 """
 
 from __future__ import annotations
