@@ -61,12 +61,15 @@ class ParquetTsStore:
       first committer's cleanup can silently drop the other job's
       in-flight task files. Within ONE application, appends issued
       sequentially (this class's usage) are fine. A multi-ingest
-      deployment must either serialize appends per store (the
-      single-writer discipline ``TableSeriesCatalog`` enforces for the
-      catalog) or — the real answer at 100 TB — use the Delta/Iceberg
-      swap, whose optimistic transaction log makes concurrent appends
-      first-class. Documented rather than reimplemented: a homegrown
-      commit protocol here would be rebuilding that log badly.
+      deployment passes ``append(..., isolated=True)`` — per-append
+      unique staging + uniquely-named renames, no shared state between
+      writers (contract pinned by
+      ``test_isolated_appends_are_concurrent_safe``); the trade (crash
+      mid-publish leaves a partial, never corrupt, append) is on the
+      method docstring. Full multi-writer ATOMICITY — not just
+      isolation — is the Delta/Iceberg swap, whose transaction log
+      makes concurrent appends first-class; a homegrown commit log
+      here would be rebuilding that badly.
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -76,21 +79,50 @@ class ParquetTsStore:
         self.data_dir.mkdir(parents=True, exist_ok=True)
 
     # -- S1: append (Engine::append) ------------------------------------
-    def append(self, meas: DataFrame) -> int:
+    def append(self, meas: DataFrame, isolated: bool = False) -> int:
         """Append a measurements DataFrame (id,time,value,flag). Returns
         the appended row count (the reference's Status.writed), observed
         DURING the write action — a separate ``count()`` would re-run the
-        whole input pipeline a second time."""
+        whole input pipeline a second time.
+
+        ``isolated=True`` is the multi-ingest path (the executable form
+        of the append-vs-append hazard documented on the class): the
+        write stages under a per-append unique directory and the part
+        files are then renamed into the day partitions under unique
+        names — concurrent appends never share a ``_temporary`` tree or
+        a file name, from any number of driver processes. The trade,
+        stated explicitly: the default committer makes a whole append
+        visible atomically at job commit, while the isolated path
+        publishes file-by-file — a crash mid-publish leaves a PARTIAL
+        append visible (never a corrupt file; renames are atomic).
+        That is at-least-once ingest territory, which the streaming
+        exact-dedup path exists to absorb; full multi-writer atomicity
+        is the Delta/Iceberg swap's job, not a hand-rolled log here."""
         from pyspark.sql import Observation
 
         obs = Observation()
-        (
+        writer = (
             _with_day(meas.select(*MEAS_FIELDS))
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .write.partitionBy("p_date")
-            .mode("append")
-            .parquet(str(self.data_dir))
         )
+        if not isolated:
+            writer.mode("append").parquet(str(self.data_dir))
+            return obs.get["n"]
+        import os
+        import uuid
+
+        token = uuid.uuid4().hex
+        stage = self.root / f"stage-{token}"
+        try:
+            writer.mode("errorifexists").parquet(str(stage))
+            for pdir in sorted(stage.glob("p_date=*")):
+                dest = self.data_dir / pdir.name
+                dest.mkdir(parents=True, exist_ok=True)
+                for f in sorted(pdir.glob("*.parquet")):
+                    os.rename(f, dest / f"{token}-{f.name}")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         return obs.get["n"]
 
     # -- scan -------------------------------------------------------------

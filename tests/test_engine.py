@@ -149,6 +149,42 @@ def test_compact_preserves_results_and_shrinks_files(engine):
     assert sum(r.n_rows for r in pfs) == len(before_rows)
 
 
+def test_isolated_appends_are_concurrent_safe(spark, tmp_path):
+    """The executable form of the append-vs-append hazard: 4 threads
+    appending disjoint slices concurrently with ``isolated=True`` must
+    land every row exactly once (unique staging dirs + uniquely-named
+    renames — nothing shared between writers), leave no stage-* litter,
+    and keep the store readable. The default path stays documented-only
+    for cross-process use (same app sequential appends are its
+    contract)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dariadb_spark.sources.parquet_store import ParquetTsStore
+
+    store = ParquetTsStore(spark, str(tmp_path / "s"))
+    t0 = 1_704_067_200_000
+    per = 500
+
+    def one(i: int) -> int:
+        rows = spark.range(per).selectExpr(
+            f"CAST({i} AS BIGINT) AS id",
+            f"{t0} + id * 1000 AS time",
+            "CAST(id AS DOUBLE) AS value",
+            "CAST(1 AS BIGINT) AS flag",
+        )
+        return store.append(rows, isolated=True)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        counts = list(ex.map(one, range(4)))
+    assert counts == [per] * 4
+    got = store.read().groupBy("id").count().collect()
+    assert {r.id: r["count"] for r in got} == {i: per for i in range(4)}
+    assert not list((tmp_path / "s").glob("stage-*"))
+    # every value exactly once per id (no dropped or doubled files)
+    tot = store.read().groupBy().sum("value").collect()[0][0]
+    assert tot == 4 * (per - 1) * per / 2
+
+
 def test_erase_old_partition_drop_and_boundary_rewrite(spark, tmp_path):
     eng = TsEngine.open(spark, str(tmp_path / "s"))
     eng.append(_grid())
