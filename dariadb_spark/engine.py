@@ -93,9 +93,13 @@ class TsEngine:
         return self._source()
 
     # -- write path ------------------------------------------------------
-    def append(self, rows: DataFrame | Iterable[tuple]) -> int:
+    def append(
+        self, rows: DataFrame | Iterable[tuple], isolated: bool = False
+    ) -> int:
         """Engine::append — ingest a DataFrame or iterable of
-        (id, time_ms, value, flag) tuples; returns rows written."""
+        (id, time_ms, value, flag) tuples; returns rows written.
+        ``isolated=True`` selects the multi-ingest-safe write path (see
+        ``ParquetTsStore.append`` for the contract and its trade)."""
         if self.store is None:
             raise ValueError("append requires a writable store (TsEngine.open)")
         if not isinstance(rows, DataFrame):
@@ -104,7 +108,7 @@ class TsEngine:
                  for (i, t, v, fl) in rows],
                 "id bigint, time bigint, value double, flag bigint",
             )
-        return self.store.append(rows.select(*MEAS_FIELDS))
+        return self.store.append(rows.select(*MEAS_FIELDS), isolated=isolated)
 
     # -- read path -------------------------------------------------------
     def read_interval(

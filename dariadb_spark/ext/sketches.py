@@ -243,7 +243,11 @@ def sketch_kmv_union(spark: SparkSession, sf: str) -> DataFrame:
     per-shard sketches are k-row tables; any cross-product of set
     algebra (union across days, overlap between crawls) runs on k-row
     inputs, never re-scanning the corpus. The merge is the same
-    k-smallest-of-union the mergeability test pins."""
+    k-smallest-of-union the mergeability test pins. (The lang-pair
+    enumeration is a GENUINE |groups|² cross product of a tiny distinct
+    set — the one place a BroadcastNestedLoopJoin in the plan is the
+    right operator, unlike literal fan-outs, which use explode; see
+    SCALE.md §7 lesson 3.)"""
     docs = load_table(spark, sf, "documents")
     distinct_bg = (
         docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
@@ -427,10 +431,14 @@ def sketch_quantile_hist(spark: SparkSession, sf: str) -> DataFrame:
     cum = binned.select(
         "flag", "bin", "cnt", F.sum("cnt").over(wc).alias("cum")
     )
-    ps = spark.createDataFrame([(p,) for p in QH_PS], "p DOUBLE")
+    p_fanout = (
+        "explode(array("
+        + ", ".join(f"CAST({p} AS DOUBLE)" for p in QH_PS)
+        + ")) AS p"
+    )
     est = (
         cum.join(F.broadcast(stats), "flag")
-        .crossJoin(F.broadcast(ps))
+        .selectExpr("*", p_fanout)
         .where("cum >= p * n AND cum - cnt < p * n")
         .selectExpr(
             "flag",
@@ -502,6 +510,158 @@ SELECT e.flag AS flag, e.p AS p, e.exact, t.qh_est,
 FROM exact e JOIN est t ON e.flag = t.flag AND e.p = t.p
 ORDER BY flag, p"""
 SKETCH_QUANTILE_HIST_SQL = SKETCH_QUANTILE_HIST_SQL.replace(
+    "{MEAS_CTE_SQL}", MEAS_CTE_SQL
+)
+
+
+# --- HDR-style log₂×16 quantile sketch ------------------------------------
+# STAGED like sketch_quantile_hist. The equi-width histogram's documented
+# weakness is value-space error on wide ranges; this is the industry
+# answer for positive heavy-tailed measures (latency percentiles): log₂
+# buckets × 16 linear sub-buckets → bucket width ≤ value/16, so the
+# in-bucket error is BOUNDED RELATIVE (≤ 1/16), range-independent, and
+# the bucket count stays ≤ 16·log₂(max) regardless of data. The binning
+# is INTEGER-EXACT in both engines — ``length(bin(x))`` is an exact
+# floor(log₂) (no transcendental whose ULP could flip a bin assignment
+# cross-engine), shifts/masks do the rest.
+
+HDR_SUB_BITS = 4  # 16 sub-buckets per octave
+HDR_PS = QH_PS
+
+
+def sketch_quantile_hdr(spark: SparkSession, sf: str) -> DataFrame:
+    """HDR-histogram quantile estimates per flag group (positive values
+    scaled to exact centi-units; a production deployment shifts or
+    splits signed measures first — HDR is for magnitudes).
+
+    Same plan as the equi-width sketch (per-group bucket counts with
+    map-side combine, cumulative window, in-bucket interpolation), with
+    bucket ids: ``x`` itself below 16, else ``(e−3)·16 + 4-bit
+    mantissa`` for ``x ∈ [2^e, 2^(e+1))`` — monotone in value, exact
+    integer edges ``(16+sub)·2^(e−4)``. Mergeable by bucket-count
+    addition like every sketch here. The sparse-tail rank-gap caveat of
+    the linear layout applies unchanged (documented there); everywhere
+    else the error is ≤ 1/16 RELATIVE regardless of the value range —
+    the property the linear layout cannot offer."""
+    from dariadb_spark.model import measurements
+
+    sub = 1 << HDR_SUB_BITS
+    m = measurements(spark, sf).where("value > 0").selectExpr(
+        "flag", "CAST(round(value * 100, 0) AS BIGINT) AS x"
+    )
+    bucket = (
+        f"CASE WHEN x < {sub} THEN x "
+        f"ELSE (length(bin(x)) - {HDR_SUB_BITS}) * {sub} "
+        f"  + (shiftright(x, length(bin(x)) - {HDR_SUB_BITS + 1}) "
+        f"     & {sub - 1}) END"
+    )
+    lo_edge = (
+        f"CASE WHEN bucket < {sub} THEN bucket "
+        f"ELSE shiftleft({sub} + bucket % {sub}, "
+        f"CAST(bucket / {sub} AS INT) - 1) END"
+    )
+    width = (
+        f"CASE WHEN bucket < {sub} THEN 1L "
+        f"ELSE shiftleft(1L, CAST(bucket / {sub} AS INT) - 1) END"
+    )
+    binned = (
+        m.selectExpr("flag", f"{bucket} AS bucket")
+        .groupBy("flag", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .selectExpr(
+            "flag", "bucket", "cnt",
+            f"{lo_edge} AS lo_edge", f"{width} AS width",
+        )
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("flag")
+    cum = binned.select(
+        "*",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    p_fanout = (
+        "explode(array("
+        + ", ".join(f"CAST({p} AS DOUBLE)" for p in HDR_PS)
+        + ")) AS p"
+    )
+    est = (
+        cum.selectExpr("*", p_fanout)
+        .where("cum >= p * n AND cum - cnt < p * n")
+        .selectExpr(
+            "flag", "p",
+            "round((lo_edge + width * least(1.0d, greatest(0.0d, "
+            "(p * n - (cum - cnt)) / cnt))) / 100.0d, 4) AS hdr_est",
+        )
+    )
+    mv = measurements(spark, sf).where("value > 0").select("flag", "value")
+    exact_cols = mv.groupBy("flag").agg(
+        *[
+            F.expr(f"round(percentile(value, {p}), 4)").alias(f"e{i}")
+            for i, p in enumerate(HDR_PS)
+        ]
+    )
+    exact = exact_cols.selectExpr(
+        "flag",
+        f"stack({len(HDR_PS)}, "
+        + ", ".join(
+            f"CAST({p} AS DOUBLE), e{i}" for i, p in enumerate(HDR_PS)
+        )
+        + ") AS (p, exact)",
+    )
+    return (
+        exact.join(est, ["flag", "p"])
+        .selectExpr(
+            "flag", "p", "exact", "hdr_est",
+            "round(abs(hdr_est - exact) / exact * 100, 2) AS rel_err_pct",
+        )
+        .orderBy("flag", "p")
+    )
+
+
+SKETCH_QUANTILE_HDR_SQL = f"""
+WITH {{MEAS_CTE_SQL}},
+m AS (SELECT flag, value, CAST(round(value * 100, 0) AS BIGINT) AS x
+      FROM measurements WHERE value > 0),
+b AS (SELECT flag,
+             CASE WHEN x < 16 THEN x
+                  ELSE (length(bin(x)) - 4) * 16
+                       + ((x >> (length(bin(x)) - 5)) & 15) END AS bucket
+      FROM m),
+e AS (SELECT flag, bucket,
+             CASE WHEN bucket < 16 THEN bucket
+                  ELSE (16 + bucket % 16) << (bucket // 16 - 1) END AS lo_edge,
+             CASE WHEN bucket < 16 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << (bucket // 16 - 1) END AS width,
+             count(*) AS cnt
+      FROM b GROUP BY flag, bucket),
+cum AS (SELECT *, sum(cnt) OVER (PARTITION BY flag ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY flag) AS n
+        FROM e),
+ps AS (SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in HDR_PS)}])
+         AS p),
+est AS (SELECT flag, p,
+               round((lo_edge + width * least(1.0, greatest(0.0,
+                     (p * n - (cum - cnt)) / cnt))) / 100.0, 4) AS hdr_est
+        FROM cum, ps WHERE cum >= p * n AND cum - cnt < p * n),
+exact0 AS (SELECT flag,
+  {", ".join(f"round(quantile_cont(value, {p}), 4) AS e{i}"
+             for i, p in enumerate(HDR_PS))}
+  FROM m GROUP BY flag),
+exact AS (
+  {" UNION ALL ".join(
+      f"SELECT flag, CAST({p} AS DOUBLE) AS p, e{i} AS exact FROM exact0"
+      for i, p in enumerate(HDR_PS))})
+SELECT e.flag AS flag, e.p AS p, e.exact, t.hdr_est,
+       round(abs(t.hdr_est - e.exact) / e.exact * 100, 2) AS rel_err_pct
+FROM exact e JOIN est t ON e.flag = t.flag AND e.p = t.p
+ORDER BY flag, p"""
+SKETCH_QUANTILE_HDR_SQL = SKETCH_QUANTILE_HDR_SQL.replace(
     "{MEAS_CTE_SQL}", MEAS_CTE_SQL
 )
 

@@ -820,6 +820,43 @@ def test_phash_banding_is_complete(spark, sf_dir):
     assert banded == brute and len(brute) > 0
 
 
+def test_phash_matches_pure_python_reference(spark, sf_dir):
+    """Third-implementation check (hashlib, plain dicts) of the whole
+    fingerprint: bigrams → 60-bin histogram → mean-threshold aHash —
+    same blind-spot coverage the CMS/KMV sketches have in
+    tests/test_sketches.py."""
+    import hashlib
+
+    from dariadb_spark.ext.multimodal import PHASH_BINS, _phash_fingerprints
+    from dariadb_spark.model import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    spark_fps = {
+        r.doc_id: r.fp
+        for r in _phash_fingerprints(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    for doc_id, text in docs.items():
+        w = text.split(" ")
+        if len(w) < 2:
+            assert doc_id not in spark_fps
+            continue
+        hist = [0] * PHASH_BINS
+        for i in range(len(w) - 1):
+            bg = w[i] + " " + w[i + 1]
+            h = int(hashlib.md5(bg.encode()).hexdigest()[:15], 16)
+            hist[h % PHASH_BINS] += 1
+        n = len(w) - 1
+        ref = sum(
+            1 << q for q in range(PHASH_BINS) if PHASH_BINS * hist[q] > n
+        )
+        assert ref == spark_fps[doc_id], doc_id
+
+
 def test_asof_join_semantics(spark):
     from dariadb_spark.operators.asof_join import asof_join
 

@@ -245,6 +245,55 @@ def test_quantile_hist_oracle_parity_and_dense_bound(spark, oracle_sf_dir):
         assert r.abs_err <= widths[r.flag] + 1e-9, (r, widths[r.flag])
 
 
+def test_quantile_hdr_parity_and_relative_bound(spark, oracle_sf_dir):
+    # The HDR layout's claim: bounded RELATIVE error (bucket width ≤
+    # value/16), range-independent. At sf0.01 group sizes every p lands
+    # in a populated bucket → assert ≤ 2/16 (one bucket + rank slack);
+    # measured 0.92% max. Parity = same compare the driver would run.
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        SKETCH_QUANTILE_HDR_SQL,
+        sketch_quantile_hdr,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/events.parquet')"
+    )
+    rows = sketch_quantile_hdr(spark, oracle_sf_dir).collect()
+    oracle = con.execute(SKETCH_QUANTILE_HDR_SQL).fetchall()
+    con.close()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, oracle))
+    assert len(rows) == 15
+    for r in rows:
+        assert r.rel_err_pct <= 100 * 2 / 16, r
+
+
+def test_hdr_bucket_arithmetic_matches_python():
+    # The integer-exact binning against a plain-Python reference
+    # (bit_length), including edge containment: every x lies in
+    # [lo_edge, lo_edge + width) of its bucket and ids are monotone.
+    sub = 16
+    prev = (0, 0)  # (x, bucket)
+    for x in sorted(list(range(1, 2000)) + [49002, 2**40 - 1, 2**40]):
+        if x < sub:
+            b = x
+        else:
+            e = x.bit_length() - 1
+            b = (e - 3) * 16 + ((x >> (e - 4)) & 15)
+        if b < sub:
+            lo, w = b, 1
+        else:
+            lo = (16 + b % 16) << (b // 16 - 1)
+            w = 1 << (b // 16 - 1)
+        assert lo <= x < lo + w, (x, b, lo, w)
+        assert b >= prev[1], (x, b, prev)  # monotone in x
+        prev = (x, b)
+        assert w * 16 <= max(lo, 16), (x, w, lo)  # rel width ≤ 1/16
+
+
 def test_quantile_hist_shards_merge_to_global(spark, sf_dir):
     # Bin-wise addition of per-shard histograms equals the global
     # histogram — the mergeability the sketch's 100 TB story rests on.
