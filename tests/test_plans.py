@@ -158,6 +158,33 @@ def test_bucketed_store_elides_shuffles(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS meas_bucketed_test")
 
 
+def test_no_cartesian_product_in_any_registered_plan(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan: a CartesianProduct
+    is never acceptable (an all-pairs blowup at scale); BNLJ is allowed
+    only because every current occurrence is a deliberate tiny-build
+    pattern (1-row aggregate or |groups|²-of-a-distinct-set cross —
+    audited by hand round 7), so it's not asserted globally — targeted
+    pins (CMS, decontaminate, …) guard the cases that must not regress.
+    Streaming parity harnesses and store-writing queries are skipped:
+    building their DataFrame executes streams/writes — their plans are
+    covered by their own tests."""
+    from dariadb_spark.registry import REGISTRY
+
+    skip_prefixes = ("streaming_",)
+    skip = {"partition_file_stats_multi", "erase_old_check"}
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name.startswith(skip_prefixes) or name in skip:
+            continue
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_check_window_is_first_50_harness_queries():
     """The driver hash-checks the FIRST 50 queries from
     __spark_entry__.queries(); pin the harness-facing ordering so an

@@ -173,7 +173,6 @@ def test_streaming_cms_matches_batch(spark, sf_dir, tmp_path):
 
     from dariadb_spark.ext.hashes import _h60_spark
     from dariadb_spark.ext.sketches import (
-        _BG_SPARK,
         _bigram_occurrences,
         CMS_DEPTH,
         CMS_WIDTH,
@@ -350,6 +349,40 @@ def test_cms_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the explode fan-out
     assert "BroadcastHashJoin" in plan  # the sketch probe
+
+
+def test_weighted_sample_rank_monotone_in_weight(spark):
+    # A-ExpJ direction pin: raising ONE doc's weight (all else equal)
+    # must never worsen its rank — the bug class this catches is an
+    # inverted sort (ASC vs DESC on ln(u)/w), which still yields exactly
+    # k rows per stratum and can pass shape tests while sampling
+    # length-AVERSE. Synthetic frame, one stratum, doc 7's weight swept.
+    from dariadb_spark.ext.sampling import sample_weighted
+    import dariadb_spark.ext.sampling as sampling_mod
+    from unittest import mock
+
+    def rank_of(doc_id: int, weights: dict[int, int]) -> int | None:
+        rows_df = spark.createDataFrame(
+            [("s", d, w) for d, w in weights.items()],
+            "source string, doc_id long, n_chars long",
+        )
+        with mock.patch.object(
+            sampling_mod, "load_table", lambda _s, _sf, _n: rows_df
+        ):
+            out = sample_weighted(spark, "ignored").collect()
+        return next((r.rk for r in out if r.doc_id == doc_id), None)
+
+    base = {d: 300 for d in range(20)}
+    ranks = []
+    for w in (1, 300, 30_000, 3_000_000):
+        ranks.append(rank_of(7, {**base, 7: w}))
+    # ranks improve (numerically decrease) or doc enters the sample as
+    # its weight grows; never the reverse.
+    seen = [r for r in ranks if r is not None]
+    assert seen == sorted(seen, reverse=True) or len(set(seen)) == 1, ranks
+    assert ranks[-1] is not None and ranks[-1] <= min(
+        r for r in ranks if r is not None
+    ), ranks
 
 
 def test_weighted_sample_shape_and_skew(spark, sf_dir):
