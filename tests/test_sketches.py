@@ -244,6 +244,41 @@ def test_quantile_hist_oracle_parity_and_dense_bound(spark, oracle_sf_dir):
         assert r.abs_err <= widths[r.flag] + 1e-9, (r, widths[r.flag])
 
 
+def test_kmv_union_matches_pure_python_reference(spark, sf_dir):
+    # Same hashlib third-implementation check as the other sketches,
+    # over the full union/intersection algebra: per-lang k-min sketches,
+    # merged-union k-th minimum, inclusion-exclusion — all in plain
+    # Python, compared value-for-value.
+    from dariadb_spark.ext.sketches import KMV_K, sketch_kmv_union
+    from dariadb_spark.model import load_table
+
+    per_lang: dict[str, set] = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        w = r.text.split(" ")
+        bgs = per_lang.setdefault(r.lang, set())
+        for i in range(len(w) - 1):
+            bgs.add(w[i] + " " + w[i + 1])
+    hashes = {
+        lang: sorted(_py_h60(bg) for bg in bgs)
+        for lang, bgs in per_lang.items()
+    }
+    sketches = {lang: h[:KMV_K] for lang, h in hashes.items()}
+
+    def est(kth: int) -> float:
+        return round((KMV_K - 1) * 2.0**60 / kth, 4)
+
+    for row in sketch_kmv_union(spark, sf_dir).collect():
+        a, b = row.lang_a, row.lang_b
+        assert len(per_lang[a] | per_lang[b]) == row.exact_union
+        assert len(per_lang[a] & per_lang[b]) == row.exact_intersect
+        union_kth = sorted(set(sketches[a]) | set(sketches[b]))[KMV_K - 1]
+        assert est(union_kth) == row.kmv_union_est, (a, b)
+        ref_int = round(
+            est(sketches[a][-1]) + est(sketches[b][-1]) - est(union_kth), 4
+        )
+        assert ref_int == row.kmv_intersect_est, (a, b)
+
+
 def test_quantile_hdr_parity_and_relative_bound(spark, oracle_sf_dir):
     # The HDR layout's claim: bounded RELATIVE error (bucket width ≤
     # value/16), range-independent. At sf0.01 group sizes every p lands
