@@ -695,6 +695,79 @@ def stress_kmv_prefilter(spark) -> tuple[float, float, int]:
     return full_s, pre_s, n_surv
 
 
+BUCKET_ROWS = 20_000_000
+BUCKET_SERIES = 1_000
+BUCKET_N = 32
+
+
+def stress_bucketed_layout(spark) -> tuple[float, float, float]:
+    """plans/bucketing.py's claim with a wall-clock, not just a plan
+    assertion: on a bucketed-by-id / sorted-(id,time) table, per-series
+    WINDOW operators run with zero Exchange (and an already-satisfied
+    sort). The window is the op where the win is real — a groupBy's
+    map-side combine already shrinks its shuffle to ~|ids| rows, but a
+    window must move ALL rows to their series' task. 20M rows / 1000
+    series: lag-diff count on plain parquet (full 20M-row shuffle +
+    sort) vs the bucketed table (neither). Results asserted identical;
+    the bucketed write itself is timed as the amortized one-off cost."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.plans.bucketing import write_bucketed
+
+    d = tempfile.mkdtemp(prefix="dariadb_bucket_stress_")
+    table = "bucket_stress_meas"
+    try:
+        meas = spark.range(BUCKET_ROWS).selectExpr(
+            f"id % {BUCKET_SERIES} AS id",
+            f"1704067200000 + (id DIV {BUCKET_SERIES}) * 1000 AS time",
+            "CAST(id % 997 AS DOUBLE) AS value",
+            "CAST(1 AS BIGINT) AS flag",
+        )
+        meas.write.parquet(f"{d}/plain")
+        t0 = time.perf_counter()
+        bucketed = write_bucketed(
+            meas, table, BUCKET_N, path=f"{d}/bucketed"
+        )
+        write_s = time.perf_counter() - t0
+
+        def lag_diff_count(df):
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("id").orderBy("time")
+            return (
+                df.withColumn("prev", F.lag("value").over(w))
+                .where("value < prev")
+                .groupBy("id")
+                .count()
+            )
+
+        plain = spark.read.parquet(f"{d}/plain")
+        t0 = time.perf_counter()
+        r_plain = {r.id: r["count"] for r in lag_diff_count(plain).collect()}
+        plain_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r_bucket = {
+            r.id: r["count"] for r in lag_diff_count(bucketed).collect()
+        }
+        bucket_s = time.perf_counter() - t0
+        assert r_plain == r_bucket and len(r_plain) == BUCKET_SERIES
+        plan = (
+            lag_diff_count(bucketed)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        )
+        # the window itself must not exchange; the final tiny groupBy may
+        assert "Exchange hashpartitioning(id" not in plan.split("Window")[0]
+        return write_s, plain_s, bucket_s
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("dariadb-bench-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -708,6 +781,7 @@ def main() -> None:
     sh_s, sh_cand, sh_dup = stress_simhash_volume(spark)
     cms_s, cms_cells, cms_hot_est = stress_cms_onepass(spark)
     kmv_full_s, kmv_pre_s, kmv_surv = stress_kmv_prefilter(spark)
+    bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
     print(
         json.dumps(
             {
@@ -728,6 +802,9 @@ def main() -> None:
                     "cms_onepass_10m_tokens": round(cms_s, 4),
                     "kmv_fullrank_20m": round(kmv_full_s, 4),
                     "kmv_prefilter_20m": round(kmv_pre_s, 4),
+                    "bucketed_write_20m": round(bk_write_s, 4),
+                    "window_plain_20m": round(bk_plain_s, 4),
+                    "window_bucketed_20m": round(bk_bucket_s, 4),
                 },
                 "cms_cells": cms_cells,
                 "cms_hot_est": cms_hot_est,
