@@ -18,7 +18,11 @@ tokenization:
   unigram totals re-aggregate from the bigram counts — vocabulary-sized,
   no second pass over the corpus.
 
-All three are pure DataFrame plans with exact DuckDB oracles.
+All pure DataFrame plans with exact DuckDB oracles. Round 7 adds two
+more surfaces here: ``ext_forget_source`` / ``ext_lm_oov_filter``
+registered earlier, and ``bloom_decontaminate`` — the Bloom-filter
+rendering of decontamination for eval suites too big to broadcast
+exactly (staged for the round-8 driver window; see its section below).
 """
 
 from __future__ import annotations
@@ -364,6 +368,155 @@ SELECT p.lang, p.n_kept, p.n_purged,
        COALESCE(c.n_vec_purged, 0) AS n_vec_purged
 FROM per_lang p LEFT JOIN cascades c ON p.lang = c.lang
 ORDER BY p.lang"""
+
+
+# --- Bloom-filter decontamination (staged for the round-8 window) ---------
+# The broadcast-size answer when the eval suite grows: instead of
+# broadcasting the full distinct shingle-hash set, broadcast a Bloom
+# filter — a bit array sized BLOOM_BITS_PER_KEY bits/key (16 KB per
+# ~8k eval shingles vs 8 bytes/key for the exact set, and the array is
+# MERGEABLE across eval suites by word-wise OR, the same property every
+# sketch here has). The probe is one broadcast join on the word index +
+# a bitmask test per hash function. Bloom guarantees NO false negatives
+# — every truly contaminated doc is flagged — and the checked output
+# carries the exact verdict next to the Bloom verdict so the false
+# positives (the price of the 4× smaller broadcast) are visible and
+# measured, not assumed. Position arithmetic is the minhash pattern:
+# reduce the 60-bit hash mod the Mersenne prime, then k 32-bit affine
+# maps — every product fits int64 in both engines.
+
+BLOOM_K = 8
+BLOOM_BITS_PER_KEY = 16
+_BLOOM_P = (1 << 31) - 1
+_BLOOM_A = [
+    1 + (2 * i + 7) * 0x9E3779B9 % (_BLOOM_P - 1) for i in range(BLOOM_K)
+]
+_BLOOM_B = [(i + 3) * 0x85EBCA6B % _BLOOM_P for i in range(BLOOM_K)]
+
+
+def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per train doc with any Bloom hit: shingle count, Bloom-flagged
+    count, exact contaminated count — exact ≤ bloom always (no false
+    negatives), and rows with ``n_exact = 0`` are the measured false
+    positives. The filter is sized adaptively: m = 16 bits per distinct
+    eval shingle, rounded to whole 63-bit words (bit 63 stays clear: DuckDB
+    checks signed shift overflow on 1<<63 and Spark would wrap silently) (both engines compute
+    the same m from the same count)."""
+    sh = _shingled(load_table(spark, sf, "documents"))
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    ).selectExpr(
+        "doc_id", "n_shingles", f"{_h60_spark('s')} % {_BLOOM_P} AS h"
+    )
+    hold = ex.where(F.col("doc_id") % HOLDOUT_MOD == 0).select("h").distinct()
+    m_df = hold.agg(
+        (
+            F.ceil(F.count("*") * BLOOM_BITS_PER_KEY / 63) * 63
+        ).cast("long").alias("m")
+    )
+    k_fanout = (
+        "explode(array("
+        + ", ".join(
+            f"({a}L * h + {b}L) % {_BLOOM_P}L"
+            for a, b in zip(_BLOOM_A, _BLOOM_B)
+        )
+        + ")) AS q"
+    )
+    words = (
+        hold.join(F.broadcast(m_df))
+        .selectExpr("m", k_fanout)
+        .selectExpr("(q % m) DIV 63 AS word", "CAST(q % m AS INT) % 63 AS bit")
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("bits"))
+    )
+    train = ex.where(F.col("doc_id") % HOLDOUT_MOD != 0)
+    probes = (
+        train.select("doc_id", "n_shingles", "h")
+        .distinct()
+        .join(F.broadcast(m_df))
+        .selectExpr("doc_id", "n_shingles", "h", "m", k_fanout)
+        .selectExpr(
+            "doc_id", "n_shingles", "h",
+            "(q % m) DIV 63 AS word", "CAST(q % m AS INT) % 63 AS bit",
+        )
+        .join(F.broadcast(words), "word", "left")
+        .selectExpr(
+            "doc_id", "n_shingles", "h",
+            "CASE WHEN bits IS NULL THEN 0 "
+            "WHEN (bits & shiftleft(1L, bit)) = 0 THEN 0 ELSE 1 END AS hit",
+        )
+        .groupBy("doc_id", "n_shingles", "h")
+        .agg(F.min("hit").alias("all_set"))
+    )
+    bloom_hits = (
+        probes.where("all_set = 1")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_bloom"))
+    )
+    exact = (
+        train.join(F.broadcast(hold), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_exact"))
+    )
+    return (
+        bloom_hits.join(exact, "doc_id", "left")
+        .selectExpr(
+            "doc_id", "n_shingles", "n_bloom",
+            "COALESCE(n_exact, 0L) AS n_exact",
+            "CAST(COALESCE(n_exact, 0L) = 0 AS INT) AS is_false_positive",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_FAN_DUCK = (
+    "unnest(["
+    + ", ".join(
+        f"({a} * h + {b}) % {_BLOOM_P}"
+        for a, b in zip(_BLOOM_A, _BLOOM_B)
+    )
+    + "]) AS q"
+)
+
+BLOOM_DECONTAMINATE_SQL = f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, len(shingles) AS n_shingles,
+              {_h60_duck('u.sg')} % {_BLOOM_P} AS h
+       FROM (SELECT doc_id, shingles, unnest(shingles) AS sg FROM s) u),
+hold AS (SELECT DISTINCT h FROM ex WHERE doc_id % {HOLDOUT_MOD} = 0),
+mm AS (SELECT CAST(ceil(count(*) * {BLOOM_BITS_PER_KEY} / 63) * 63 AS BIGINT)
+         AS m FROM hold),
+pos AS (SELECT {_BLOOM_FAN_DUCK}, m FROM hold, mm),
+words AS (SELECT (q % m) // 63 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST((q % m) % 63 AS INT))
+                   AS bits
+          FROM pos GROUP BY word),
+train AS (SELECT DISTINCT doc_id, n_shingles, h FROM ex
+          WHERE doc_id % {HOLDOUT_MOD} != 0),
+tp AS (SELECT doc_id, n_shingles, h, {_BLOOM_FAN_DUCK}, m FROM train, mm),
+tpw AS (SELECT doc_id, n_shingles, h,
+               (q % m) // 63 AS word,
+               CAST((q % m) % 63 AS INT) AS bit
+        FROM tp),
+hits AS (SELECT t.doc_id, t.n_shingles, t.h,
+                min(CASE WHEN w.bits IS NULL THEN 0
+                         WHEN (w.bits & (CAST(1 AS BIGINT) << t.bit)) = 0
+                         THEN 0 ELSE 1 END) AS all_set
+         FROM tpw t LEFT JOIN words w ON t.word = w.word
+         GROUP BY t.doc_id, t.n_shingles, t.h),
+bloom AS (SELECT doc_id, n_shingles, count(*) AS n_bloom
+          FROM hits WHERE all_set = 1 GROUP BY doc_id, n_shingles),
+exact AS (SELECT e.doc_id, count(DISTINCT e.h) AS n_exact
+          FROM (SELECT doc_id, h FROM ex
+                WHERE doc_id % {HOLDOUT_MOD} != 0) e
+          JOIN hold ON e.h = hold.h GROUP BY e.doc_id)
+SELECT b.doc_id, b.n_shingles, b.n_bloom,
+       COALESCE(x.n_exact, 0) AS n_exact,
+       CAST(COALESCE(x.n_exact, 0) = 0 AS INT) AS is_false_positive
+FROM bloom b LEFT JOIN exact x ON b.doc_id = x.doc_id
+ORDER BY b.doc_id"""
 
 
 register("ext_forget_source", forget_source, FORGET_SOURCE_SQL)

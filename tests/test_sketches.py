@@ -328,6 +328,104 @@ def test_hdr_bucket_arithmetic_matches_python():
         assert w * 16 <= max(lo, 16), (x, w, lo)  # rel width ≤ 1/16
 
 
+def test_bloom_decontaminate_parity_and_guarantees(spark, oracle_sf_dir):
+    # Staged operator: DuckDB parity plus Bloom's defining guarantees —
+    # NO false negatives (every exactly-contaminated doc is flagged with
+    # n_bloom ≥ n_exact) and a nonzero measured false-positive path (the
+    # filter is sized to exercise its error, like every sketch here).
+    import duckdb
+
+    from dariadb_spark.ext.curation import (
+        BLOOM_DECONTAMINATE_SQL,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    rows = bloom_decontaminate(spark, oracle_sf_dir).collect()
+    oracle = con.execute(BLOOM_DECONTAMINATE_SQL).fetchall()
+    con.close()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, oracle))
+    by_doc = {r.doc_id: r for r in rows}
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in decontaminate(spark, oracle_sf_dir).collect()
+    }
+    for doc_id, n_exact in exact.items():  # no false negatives
+        assert doc_id in by_doc, doc_id
+        assert by_doc[doc_id].n_bloom >= n_exact, doc_id
+        assert by_doc[doc_id].n_exact == n_exact, doc_id
+    fps = [r for r in rows if r.is_false_positive]
+    assert 0 < len(fps) <= len(rows) // 5  # error path live, rate sane
+
+
+def test_bloom_filter_matches_pure_python_reference(spark, sf_dir):
+    # hashlib + plain-int replication of the whole filter: eval hashes →
+    # k affine positions → 63-bit words, then every train-side probe.
+    from dariadb_spark.ext.curation import (
+        _BLOOM_A,
+        _BLOOM_B,
+        _BLOOM_P,
+        BLOOM_BITS_PER_KEY,
+        HOLDOUT_MOD,
+        bloom_decontaminate,
+    )
+    from dariadb_spark.model import load_table
+
+    def shingle_hashes(text: str) -> set[int]:
+        w = text.split(" ")
+        out = set()
+        for i in range(len(w) - 2):
+            s = " ".join(w[i : i + 3])
+            out.add(_py_h60(s) % _BLOOM_P)
+        return out
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    hold = set()
+    for d, t in docs.items():
+        if d % HOLDOUT_MOD == 0:
+            hold |= shingle_hashes(t)
+    import math
+
+    m = math.ceil(len(hold) * BLOOM_BITS_PER_KEY / 63) * 63
+    words: dict[int, int] = {}
+    for h in hold:
+        for a, b in zip(_BLOOM_A, _BLOOM_B):
+            q = (a * h + b) % _BLOOM_P % m
+            words[q // 63] = words.get(q // 63, 0) | (1 << (q % 63))
+
+    def bloom_hit(h: int) -> bool:
+        return all(
+            words.get(((a * h + b) % _BLOOM_P % m) // 63, 0)
+            >> (((a * h + b) % _BLOOM_P % m) % 63)
+            & 1
+            for a, b in zip(_BLOOM_A, _BLOOM_B)
+        )
+
+    ref = {}
+    for d, t in docs.items():
+        if d % HOLDOUT_MOD == 0:
+            continue
+        hs = shingle_hashes(t)
+        if not hs:
+            continue
+        n_bloom = sum(1 for h in hs if bloom_hit(h))
+        if n_bloom:
+            ref[d] = (n_bloom, sum(1 for h in hs if h in hold))
+    got = {
+        r.doc_id: (r.n_bloom, r.n_exact)
+        for r in bloom_decontaminate(spark, sf_dir).collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
 def test_quantile_hist_shards_merge_to_global(spark, sf_dir):
     # Bin-wise addition of per-shard histograms equals the global
     # histogram — the mergeability the sketch's 100 TB story rests on.
