@@ -1,0 +1,134 @@
+"""[EXT] BPE tokenizer induction — learn byte-pair-encoding merge rules
+from the corpus, the step a training-data pipeline runs before any
+token counting is meaningful. Three merge rounds unrolled with an exact
+DuckDB oracle (the same unrolled-iteration pattern as the 2-round
+k-means in ext/similarity.py), frequency-weighted over word TYPES.
+
+STAGED for the round-8 driver window (round-7's is full); parity and a
+pure-Python greedy-BPE reference are pinned in tests/test_tokenizer.py.
+
+Scale (100 TB): BPE learning never touches the corpus after the word
+count — it iterates over the word-frequency TABLE (vocabulary-sized,
+Zipf-bounded; this is how production tokenizer trainers work). The
+corpus-sized work is exactly one explode + groupBy(word), shared with
+``ext_text_word_freq``. Each merge round is then: a pair-count
+aggregate over vocab rows (map-side combined), a 1-row argmax, and a
+per-row string rewrite — all declarative, no driver round-trips (the
+argmax joins back as a broadcast 1-row table, the sanctioned
+tiny-build BroadcastNestedLoopJoin pattern).
+
+The merge-application encoding is the part that must be EXACT: symbols
+are joined with DOUBLE bars and the sequence is wrapped in them
+(``||a||b||c||``); the pair (x, y) rewrites via
+``replace(seq, '|x||y|', '|xy|')``. Each match consumes one bar of
+each flanking double boundary, so adjacent occurrences (``a a a`` with
+pair ``(a, a)``) remain non-overlapping in the ORIGINAL string and
+left-to-right ``replace`` — identical semantics in Spark and DuckDB,
+probed in tests — performs exactly greedy BPE merging: mid-symbol
+matches are impossible (every pattern symbol is fully bar-delimited)
+and ``a a a → [aa, a]``, not ``[aa, aa]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import load_table
+
+BPE_ROUNDS = 3
+
+#: chars → '||a||b||c||' (double-bar boundaries, see module docstring).
+#: regexp backref syntax differs: $1 (Spark) vs \1 + 'g' flag (DuckDB).
+_SYM_SPARK = "concat('||', regexp_replace(word, '(.)', '$1||'))"
+_SYM_DUCK = "'||' || regexp_replace(word, '(.)', '\\1||', 'g')"
+
+#: symbol list of a sequence: split on '||', drop the empty ends.
+_SYMS = "filter(split(seq, '\\\\|\\\\|'), x -> x != '')"
+_SYMS_DUCK = "list_filter(string_split(seq, '||'), x -> x != '')"
+
+
+def _pair_rounds_spark(docs: DataFrame):
+    """Returns (merges_df) — one row per learned merge round."""
+    words = (
+        docs.selectExpr("explode(split(text, ' ')) AS word")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .selectExpr("freq", f"{_SYM_SPARK} AS seq")
+    )
+    merges = None
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            words.selectExpr(
+                "freq",
+                f"explode(zip_with(slice({_SYMS}, 1, size({_SYMS}) - 1), "
+                f"slice({_SYMS}, 2, size({_SYMS}) - 1), "
+                "(x, y) -> concat(x, ' ', y))) AS pair",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .selectExpr(
+                f"{r}L AS round",
+                "pair",
+                "replace(pair, ' ', '') AS merged",
+                "pair_count",
+            )
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        # apply the round's merge to every sequence
+        words = words.crossJoin(
+            F.broadcast(best.selectExpr("pair AS _p", "merged AS _m"))
+        ).selectExpr(
+            "freq",
+            "replace(seq, concat('|', replace(_p, ' ', '||'), '|'), "
+            "concat('|', _m, '|')) AS seq",
+        )
+    return merges.orderBy("round")
+
+
+def bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """The learned merge table: (round, pair, merged, pair_count)."""
+    return _pair_rounds_spark(load_table(spark, sf, "documents"))
+
+
+def _round_ctes_duck() -> str:
+    parts = [
+        """w0 AS (SELECT count(*) AS freq, {sym} AS seq
+       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       GROUP BY word)""".format(sym=_SYM_DUCK)
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT u.pr AS pair, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq,
+               unnest([s[i] || ' ' || s[i + 1]
+                       for i in range(1, len(s))]) AS pr
+        FROM (SELECT freq, {_SYMS_DUCK} AS s FROM {prev})) u
+  GROUP BY u.pr),
+b{r} AS (SELECT CAST({r} AS BIGINT) AS round, pair,
+                replace(pair, ' ', '') AS merged, pair_count
+         FROM p{r} ORDER BY pair_count DESC, pair ASC LIMIT 1),
+w{r} AS (SELECT freq,
+                replace(seq, '|' || replace(b.pair, ' ', '||') || '|',
+                        '|' || b.merged || '|') AS seq
+         FROM {prev}, b{r} b)"""
+        )
+    return ",\n".join(parts)
+
+
+BPE_LEARN_SQL = (
+    "WITH "
+    + _round_ctes_duck()
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT round, pair, merged, pair_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)

@@ -1,0 +1,91 @@
+"""BPE tokenizer induction (ext/tokenizer.py, staged): DuckDB parity,
+a pure-Python greedy-BPE reference, and the boundary-encoding edge
+cases the double-bar merge-application trick must get exactly right."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+
+def _py_bpe(freq: dict[str, int], rounds: int):
+    """Reference greedy BPE: per round, weighted pair counts → best pair
+    (count DESC, pair ASC) → greedy left-to-right merge in every word."""
+    vocab = {w: list(w) for w in freq}
+    merges = []
+    for r in range(rounds):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        top = max(pc.values())
+        best = min(
+            (p for p, c in pc.items() if c == top),
+            key=lambda p: " ".join(p),
+        )
+        merges.append((r + 1, " ".join(best), "".join(best), pc[best]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_learn_oracle_parity_and_python_reference(spark, oracle_sf_dir):
+    import duckdb
+
+    from dariadb_spark.ext.tokenizer import (
+        BPE_LEARN_SQL,
+        BPE_ROUNDS,
+        bpe_learn,
+    )
+    from dariadb_spark.model import load_table
+
+    rows = [tuple(r) for r in bpe_learn(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(BPE_LEARN_SQL).fetchall()]
+    con.close()
+    assert rows == oracle
+    freq: Counter = Counter()
+    for r in load_table(spark, oracle_sf_dir, "documents").collect():
+        freq.update(r.text.split(" "))
+    ref, _ = _py_bpe(dict(freq), BPE_ROUNDS)
+    assert rows == ref
+
+
+@pytest.mark.parametrize(
+    "corpus",
+    [
+        # overlap: (a,a) must merge greedily → [aa, a]; filler keeps
+        # pairs available for all BPE_ROUNDS rounds
+        ["aaa aaa aaa qrstu qrstu"],
+        ["abab abab abab vwxyz"],  # learned symbol reused across rounds
+        ["xy xy xy xyz mnopq"],  # merged symbol never split mid-symbol
+    ],
+)
+def test_bpe_merge_application_matches_reference(spark, corpus, tmp_path):
+    # The double-bar replace encoding vs the definitional greedy merge,
+    # on the adversarial shapes (adjacent overlapping pairs, symbols
+    # that are substrings of other symbols).
+    from dariadb_spark.ext.tokenizer import BPE_ROUNDS, bpe_learn
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    freq: Counter = Counter(w for t in corpus for w in t.split(" "))
+    ref, _ = _py_bpe(dict(freq), BPE_ROUNDS)
+    got = [tuple(r) for r in bpe_learn(spark, str(tmp_path / "docs")).collect()]
+    # bpe_learn loads <sf>/documents.parquet; we wrote it above
+    assert got == ref, (got, ref)
