@@ -132,3 +132,105 @@ BPE_LEARN_SQL = (
     )
     + "\nORDER BY round"
 )
+
+
+def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the learned merges and report per-language token economy:
+    whitespace words, post-BPE tokens, characters, and the tokens-per-
+    word ratio — the number a budget planner actually wants from a
+    tokenizer. The application is vocabulary-routed: documents join
+    their words against the REWRITTEN vocab table (word → token count
+    after all merges), a broadcast join on the Zipf-bounded vocab — the
+    per-document text is never re-symbolized."""
+    docs = load_table(spark, sf, "documents")
+    words = (
+        docs.selectExpr("explode(split(text, ' ')) AS word")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .selectExpr("word", "freq", f"{_SYM_SPARK} AS seq")
+    )
+    merges = None
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            words.selectExpr(
+                "freq",
+                f"explode(zip_with(slice({_SYMS}, 1, size({_SYMS}) - 1), "
+                f"slice({_SYMS}, 2, size({_SYMS}) - 1), "
+                "(x, y) -> concat(x, ' ', y))) AS pair",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1)
+        words = words.crossJoin(
+            F.broadcast(
+                best.selectExpr(
+                    "pair AS _p", "replace(pair, ' ', '') AS _m"
+                )
+            )
+        ).selectExpr(
+            "word", "freq",
+            "replace(seq, concat('|', replace(_p, ' ', '||'), '|'), "
+            "concat('|', _m, '|')) AS seq",
+        )
+    tokens = words.selectExpr("word", f"size({_SYMS}) AS n_tokens")
+    per_word = docs.selectExpr(
+        "lang", "explode(split(text, ' ')) AS word"
+    ).join(F.broadcast(tokens), "word")
+    return (
+        per_word.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .selectExpr(
+            "lang", "n_words", "n_bpe_tokens", "n_chars",
+            "round(n_bpe_tokens / n_words, 4) AS tokens_per_word",
+        )
+        .orderBy("lang")
+    )
+
+
+def _token_round_ctes_duck() -> str:
+    """Like the learn CTEs, but sequences stay keyed by ``word`` so the
+    final rewritten vocab can route per-document token counts."""
+    parts = []
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"wv{r - 1}"
+        parts.append(
+            f"""pv{r} AS (
+  SELECT u.pr AS pair, sum(freq) AS pair_count
+  FROM (SELECT freq,
+               unnest([s[i] || ' ' || s[i + 1]
+                       for i in range(1, len(s))]) AS pr
+        FROM (SELECT freq, {_SYMS_DUCK} AS s FROM {prev})) u
+  GROUP BY u.pr),
+bv{r} AS (SELECT pair, replace(pair, ' ', '') AS merged FROM pv{r}
+          ORDER BY pair_count DESC, pair ASC LIMIT 1),
+wv{r} AS (SELECT word, freq,
+                 replace(seq, '|' || replace(b.pair, ' ', '||') || '|',
+                         '|' || b.merged || '|') AS seq
+          FROM {prev}, bv{r} b)"""
+        )
+    return ",\n".join(parts)
+
+
+BPE_TOKEN_STATS_SQL = f"""
+WITH wv0 AS (SELECT word, count(*) AS freq, {_SYM_DUCK} AS seq
+             FROM (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM documents)
+             GROUP BY word),
+{_token_round_ctes_duck()},
+tok AS (SELECT word,
+               len(list_filter(string_split(seq, '||'), x -> x != ''))
+                 AS n_tokens
+        FROM wv{BPE_ROUNDS}),
+perw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         FROM documents)
+SELECT p.lang, count(*) AS n_words,
+       CAST(sum(t.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(p.word)) AS BIGINT) AS n_chars,
+       round(sum(t.n_tokens) / count(*), 4) AS tokens_per_word
+FROM perw p JOIN tok t ON p.word = t.word
+GROUP BY p.lang ORDER BY p.lang"""

@@ -64,6 +64,32 @@ def test_bpe_learn_oracle_parity_and_python_reference(spark, oracle_sf_dir):
     assert rows == ref
 
 
+def test_bpe_token_stats_parity_and_bounds(spark, oracle_sf_dir):
+    # Learn → apply → count: parity with the DuckDB twin, plus the
+    # structural bounds — after merges, per-word token counts sit
+    # strictly between 1 and the character count, so corpus-wide
+    # n_words < n_bpe_tokens < n_chars.
+    import duckdb
+
+    from dariadb_spark.ext.tokenizer import (
+        BPE_TOKEN_STATS_SQL,
+        bpe_token_stats,
+    )
+
+    rows = bpe_token_stats(spark, oracle_sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = con.execute(BPE_TOKEN_STATS_SQL).fetchall()
+    con.close()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, oracle))
+    for r in rows:
+        assert r.n_words < r.n_bpe_tokens < r.n_chars, r
+        assert 1.0 < r.tokens_per_word, r
+
+
 @pytest.mark.parametrize(
     "corpus",
     [
