@@ -36,6 +36,12 @@ _SETTINGS = settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # No example database: a pytest run killed mid-property-test (e.g.
+    # a CI timeout) would otherwise persist the in-flight example and
+    # every later run replays/shrinks it — with Spark-backed properties
+    # that turned a 70 s test into a 10+ minute one (observed round 7).
+    # Failures here are deterministic enough to re-find from the seed.
+    database=None,
 )
 
 
