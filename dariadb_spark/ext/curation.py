@@ -401,7 +401,8 @@ def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     positives. The filter is sized adaptively: m = 16 bits per distinct
     eval shingle, rounded to whole 63-bit words (bit 63 stays clear: DuckDB
     checks signed shift overflow on 1<<63 and Spark would wrap silently) (both engines compute
-    the same m from the same count)."""
+    the same m from the same count), and clamped to at least one word so
+    an empty holdout cannot zero the modulus."""
     sh = _shingled(load_table(spark, sf, "documents"))
     ex = sh.select(
         "doc_id",
@@ -411,9 +412,14 @@ def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "n_shingles", f"{_h60_spark('s')} % {_BLOOM_P} AS h"
     )
     hold = ex.where(F.col("doc_id") % HOLDOUT_MOD == 0).select("h").distinct()
+    # greatest(.., 63): an EMPTY holdout would size m = 0 and every
+    # ``q % m`` divides by zero — Spark returns NULL (all probes miss)
+    # while DuckDB raises; one clamped word keeps the engines agreeing
+    # (no holdout bits set → zero Bloom hits, the right answer) (r7
+    # ADVICE).
     m_df = hold.agg(
-        (
-            F.ceil(F.count("*") * BLOOM_BITS_PER_KEY / 63) * 63
+        F.greatest(
+            F.ceil(F.count("*") * BLOOM_BITS_PER_KEY / 63) * 63, F.lit(63)
         ).cast("long").alias("m")
     )
     k_fanout = (
@@ -486,8 +492,9 @@ ex AS (SELECT doc_id, len(shingles) AS n_shingles,
               {_h60_duck('u.sg')} % {_BLOOM_P} AS h
        FROM (SELECT doc_id, shingles, unnest(shingles) AS sg FROM s) u),
 hold AS (SELECT DISTINCT h FROM ex WHERE doc_id % {HOLDOUT_MOD} = 0),
-mm AS (SELECT CAST(ceil(count(*) * {BLOOM_BITS_PER_KEY} / 63) * 63 AS BIGINT)
-         AS m FROM hold),
+mm AS (SELECT greatest(
+           CAST(ceil(count(*) * {BLOOM_BITS_PER_KEY} / 63) * 63 AS BIGINT),
+           63) AS m FROM hold),
 pos AS (SELECT {_BLOOM_FAN_DUCK}, m FROM hold, mm),
 words AS (SELECT (q % m) // 63 AS word,
                  bit_or(CAST(1 AS BIGINT) << CAST((q % m) % 63 AS INT))

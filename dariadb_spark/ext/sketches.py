@@ -172,6 +172,10 @@ def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     mergeable (k smallest of a union = k smallest of partial k-mins),
     which is what makes it a per-partition partial aggregate at cluster
     scale.
+
+    Groups with fewer than ``KMV_K`` distinct values have no k-th hash;
+    they are emitted with a NULL estimate next to their exact count
+    (below k the "sketch" IS the exact distinct set).
     """
     docs = load_table(spark, sf, "documents")
     distinct_bg = (
@@ -189,8 +193,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     exact = distinct_bg.groupBy("lang").agg(
         F.count("*").alias("exact_distinct")
     )
+    # LEFT join (r7 ADVICE): a group with fewer than KMV_K distinct
+    # values has no rn == k row; it must still appear, carrying its
+    # exact count with a NULL estimate (the sketch's own contract —
+    # below k the sketch IS the exact distinct set, no estimate needed).
     return (
-        exact.join(kth, "lang")
+        exact.join(kth, "lang", "left")
         .selectExpr(
             "lang",
             "exact_distinct",
@@ -218,7 +226,7 @@ kth AS (SELECT lang, h AS kth_h FROM ranked WHERE rn = {KMV_K}),
 exact AS (SELECT lang, count(*) AS exact_distinct FROM d GROUP BY lang),
 est AS (SELECT e.lang AS lang, e.exact_distinct AS exact_distinct,
                round(({KMV_K} - 1) * pow(2.0, 60.0) / k.kth_h, 4) AS kmv_est
-        FROM exact e JOIN kth k ON e.lang = k.lang)
+        FROM exact e LEFT JOIN kth k ON e.lang = k.lang)
 SELECT lang, exact_distinct, kmv_est,
        round(abs(kmv_est - exact_distinct) / exact_distinct * 100, 2)
          AS rel_err_pct
@@ -243,7 +251,12 @@ def sketch_kmv_union(spark: SparkSession, sf: str) -> DataFrame:
     per-shard sketches are k-row tables; any cross-product of set
     algebra (union across days, overlap between crawls) runs on k-row
     inputs, never re-scanning the corpus. The merge is the same
-    k-smallest-of-union the mergeability test pins. (The lang-pair
+    k-smallest-of-union the mergeability test pins. PRECONDITION: every
+    member group (and hence every pair union) carries at least
+    ``KMV_K`` distinct values — a smaller group has no k-th hash and
+    its pairs drop from the output (the fixture languages each carry
+    ~900 distinct bigrams; `sketch_kmv_distinct` is the entry point
+    that handles the below-k case explicitly). (The lang-pair
     enumeration is a GENUINE |groups|² cross product of a tiny distinct
     set — the one place a BroadcastNestedLoopJoin in the plan is the
     right operator, unlike literal fan-outs, which use explode; see
@@ -417,8 +430,12 @@ def sketch_quantile_hist(spark: SparkSession, sf: str) -> DataFrame:
         m.join(F.broadcast(stats), "flag")
         .selectExpr(
             "flag",
+            # greatest(.., 1e-12): a constant-valued group has hi = lo
+            # and a 0-width bin — Spark would yield NaN (then bin 127
+            # via least) while DuckDB yields NULL; the epsilon floor
+            # makes both engines bin the whole group at 0 (r7 ADVICE).
             f"CAST(least({QH_BINS - 1}, floor((value - lo) / "
-            f"((hi - lo) / {QH_BINS}))) AS BIGINT) AS bin",
+            f"greatest((hi - lo) / {QH_BINS}, 1e-12))) AS BIGINT) AS bin",
         )
         .groupBy("flag", "bin")
         .agg(F.count("*").alias("cnt"))
@@ -480,7 +497,7 @@ stats AS (SELECT flag, min(value) AS lo, max(value) AS hi,
 binned AS (
   SELECT m.flag,
          CAST(least({QH_BINS - 1}, floor((m.value - s.lo) /
-              ((s.hi - s.lo) / {QH_BINS}))) AS BIGINT) AS bin,
+              greatest((s.hi - s.lo) / {QH_BINS}, 1e-12))) AS BIGINT) AS bin,
          count(*) AS cnt
   FROM m JOIN stats s ON m.flag = s.flag
   GROUP BY m.flag, bin),

@@ -48,10 +48,21 @@ _SYMS = "filter(split(seq, '\\\\|\\\\|'), x -> x != '')"
 _SYMS_DUCK = "list_filter(string_split(seq, '||'), x -> x != '')"
 
 
+#: The bar-delimited encoding requires bar-free words: a literal '|'
+#: inside a word would corrupt the symbol boundaries and produce wrong
+#: merges IDENTICALLY in both engines (parity can't catch it — r7
+#: ADVICE). Enforced, not assumed: both engines drop such words from
+#: the vocabulary before symbolization (token-stats' vocab join then
+#: excludes them from the per-word counts too, consistently).
+_BAR_FREE_SPARK = "word NOT LIKE '%|%'"
+_BAR_FREE_DUCK = "word NOT LIKE '%|%'"
+
+
 def _pair_rounds_spark(docs: DataFrame):
     """Returns (merges_df) — one row per learned merge round."""
     words = (
         docs.selectExpr("explode(split(text, ' ')) AS word")
+        .where(_BAR_FREE_SPARK)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .selectExpr("freq", f"{_SYM_SPARK} AS seq")
@@ -99,7 +110,8 @@ def _round_ctes_duck() -> str:
     parts = [
         """w0 AS (SELECT count(*) AS freq, {sym} AS seq
        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       GROUP BY word)""".format(sym=_SYM_DUCK)
+       WHERE {bar_free}
+       GROUP BY word)""".format(sym=_SYM_DUCK, bar_free=_BAR_FREE_DUCK)
     ]
     for r in range(1, BPE_ROUNDS + 1):
         prev = f"w{r - 1}"
@@ -145,6 +157,7 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     words = (
         docs.selectExpr("explode(split(text, ' ')) AS word")
+        .where(_BAR_FREE_SPARK)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .selectExpr("word", "freq", f"{_SYM_SPARK} AS seq")
@@ -220,6 +233,7 @@ BPE_TOKEN_STATS_SQL = f"""
 WITH wv0 AS (SELECT word, count(*) AS freq, {_SYM_DUCK} AS seq
              FROM (SELECT unnest(string_split(text, ' ')) AS word
                    FROM documents)
+             WHERE {_BAR_FREE_DUCK}
              GROUP BY word),
 {_token_round_ctes_duck()},
 tok AS (SELECT word,
