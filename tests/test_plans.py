@@ -202,24 +202,30 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-7: the ten new queries lead, then the r4-stale rotation
-    # block, the owed bucket pair, the weak-grade re-attestation closes
-    assert CHECK_WINDOW[0] == "ext_text_pii_roundtrip"
-    assert CHECK_WINDOW[1] == "ext_dedup_incremental"
-    assert CHECK_WINDOW[2] == "ext_corpus_mixture"
-    assert CHECK_WINDOW[3] == "streaming_interval_join_parity"
-    assert CHECK_WINDOW[4] == "streaming_dedup_parity"
-    assert CHECK_WINDOW[5] == "ext_sketch_cms_topk"
-    assert CHECK_WINDOW[6] == "ext_sketch_kmv_distinct"
-    assert CHECK_WINDOW[7] == "ext_sample_weighted"
-    assert CHECK_WINDOW[8] == "ext_media_phash_dedup"
-    assert CHECK_WINDOW[9] == "ext_sketch_kmv_union"
-    assert CHECK_WINDOW[10] == "bucket_month"
-    assert "bucket_day" in CHECK_WINDOW and "bucket_hour_salted" in CHECK_WINDOW
-    assert CHECK_WINDOW[-1] == "streaming_anomaly_parity"  # r6 weak grade
+    # round-8: the changed-values LSH re-attestation leads (r7 VERDICT
+    # "what's wrong" #1), then the seven new queries, the r5-stale
+    # rotation block, and six core-verb fillers close
+    assert CHECK_WINDOW[0] == "ext_sim_ann_lsh"
+    assert CHECK_WINDOW[1] == "ext_sketch_quantile_hist"
+    assert CHECK_WINDOW[2] == "ext_sketch_quantile_hdr"
+    assert CHECK_WINDOW[3] == "ext_sketch_quantile"
+    assert CHECK_WINDOW[4] == "ext_decontaminate_bloom"
+    assert CHECK_WINDOW[5] == "ext_bpe_learn"
+    assert CHECK_WINDOW[6] == "ext_bpe_token_stats"
+    assert CHECK_WINDOW[7] == "streaming_sketch_parity"
+    assert CHECK_WINDOW[8] == "bucket_minute30"
+    # every r5-latest query from the attestation ledger is in-window
+    for stale in ("fn_average", "fn_sum", "partition_file_stats",
+                  "scheme_pattern_scan", "ext_text_redact", "bucket_week"):
+        assert stale in CHECK_WINDOW, stale
+    # the core reference verbs close the window
+    assert CHECK_WINDOW[-6:] == [
+        "interval_scan", "interval_scan_flag", "timepoint_asof",
+        "current_value", "min_max_time", "stat_block",
+    ]
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
-    assert len(REGISTRY) >= 128
+    assert len(REGISTRY) >= 143
 
 
 def test_salted_paths_bound_skew_on_hot_key(spark):

@@ -536,3 +536,70 @@ def test_weighted_sample_shape_and_skew(spark, sf_dir):
     corpus_mean = docs.groupBy().avg("n_chars").collect()[0][0]
     sample_mean = float(np.mean([r.n_chars for r in rows]))
     assert sample_mean > corpus_mean
+
+
+def test_sketch_quantile_selection_rule_crossover(spark, tmp_path):
+    # The unified entry point's CONTRACT is the routing rule: a group
+    # containing zeros/negatives takes the equi-width histogram, an
+    # all-positive group takes HDR. The fixture is all-positive, so the
+    # crossover needs a synthetic store with one signed and one
+    # positive group.
+    import datetime
+
+    from dariadb_spark.ext.sketches import sketch_quantile
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(800):
+        ts = base + datetime.timedelta(seconds=i)
+        # 'click' → flag 1: signed ramp crossing zero
+        rows.append((i, ts, 1, "click", float(i - 400) / 3.0, "{}"))
+        # 'view' → flag 2: positive heavy tail (geometric-ish)
+        rows.append((10_000 + i, ts, 2, "view", 0.5 + 1.013 ** i, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path / "sfq")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    out = sketch_quantile(spark, d).collect()
+    methods = {(r.flag, r.p): r.method for r in out}
+    assert all(m == "hist" for (f, _), m in methods.items() if f == 1)
+    assert all(m == "hdr" for (f, _), m in methods.items() if f == 2)
+    assert len(out) == 6
+
+
+def test_sketch_quantile_one_bucket_of_nearest_rank_bound(
+    spark, sf_dir, oracle_sf_dir
+):
+    # The operator's provable error contract, on BOTH fixture SFs
+    # (including sf0.001's sparse p99 tail, the r7 verdict's item 4):
+    # the estimate lies within one bucket width of the rank-⌈p·n⌉
+    # order statistic. The interpolated-exact comparison (the checked
+    # abs_err column) additionally carries the adjacent-order-stat
+    # spacing; THIS bound is the one that holds by construction.
+    import math
+    from collections import defaultdict
+
+    from dariadb_spark.ext.sketches import QH_BINS, sketch_quantile
+    from dariadb_spark.model import measurements
+
+    for sf in (sf_dir, oracle_sf_dir):
+        rows = sketch_quantile(spark, sf).collect()
+        assert len(rows) == 15
+        groups = defaultdict(list)
+        for r in measurements(spark, sf).select("flag", "value").collect():
+            groups[r.flag].append(r.value)
+        for g in groups.values():
+            g.sort()
+        for r in rows:
+            vals = groups[r.flag]
+            xr = vals[math.ceil(r.p * len(vals)) - 1]  # nearest-rank exact
+            if r.method == "hdr":
+                x = round(xr * 100)
+                width = (1 if x < 16 else 1 << (x.bit_length() - 5)) / 100
+            else:
+                width = (vals[-1] - vals[0]) / QH_BINS
+            assert abs(r.qsk_est - xr) <= width + 0.02, (sf, tuple(r), xr)
