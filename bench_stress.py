@@ -695,6 +695,71 @@ def stress_kmv_prefilter(spark) -> tuple[float, float, int]:
     return full_s, pre_s, n_surv
 
 
+HDR_ROWS = 20_000_000
+HDR_GROUPS = 4
+
+
+def stress_hdr_quantile_onepass(spark) -> tuple[float, int, float]:
+    """The HDR quantile sketch's two scale claims, measured not
+    asserted (the CMS/KMV stress pattern): (1) state stays bounded at
+    ≤ 16·log₂(max) buckets per group REGARDLESS of range — stressed
+    with 20M deterministic (Knuth-hash) values spanning 7 decades,
+    where the equi-width layout's 128 bins would be ~131k units wide
+    and p50 would collapse; (2) the one-pass build's shuffle carries
+    only (group, bucket) partial counts (same map-side-combine story as
+    the CMS cells). Verified: per-group bucket mass sums to the row
+    count (additivity), the bucket count honors the log bound, and the
+    p99 estimate lands within the 1/16-relative contract of the exact
+    percentile over all 20M rows."""
+    from dariadb_spark.ext.sketches import HDR_SUB_BITS
+
+    sub = 1 << HDR_SUB_BITS
+    m = spark.range(HDR_ROWS).selectExpr(
+        f"id % {HDR_GROUPS} AS g",
+        # deterministic wide-range positive ints: 1 .. 2^24 (7 decades)
+        "1 + pmod(id * 2654435761, 16777216) AS x",
+    )
+    bucket = (
+        f"CASE WHEN x < {sub} THEN x "
+        f"ELSE (length(bin(x)) - {HDR_SUB_BITS}) * {sub} "
+        f"  + (shiftright(x, length(bin(x)) - {HDR_SUB_BITS + 1}) "
+        f"     & {sub - 1}) END"
+    )
+    t0 = time.perf_counter()
+    cells = (
+        m.selectExpr("g", f"{bucket} AS bucket")
+        .groupBy("g", "bucket")
+        .count()
+        .collect()
+    )
+    hdr_s = time.perf_counter() - t0
+    per_g: dict[int, int] = {}
+    buckets_per_g: dict[int, int] = {}
+    for r in cells:
+        per_g[r.g] = per_g.get(r.g, 0) + r["count"]
+        buckets_per_g[r.g] = buckets_per_g.get(r.g, 0) + 1
+    assert all(v == HDR_ROWS // HDR_GROUPS for v in per_g.values()), per_g
+    assert all(v <= sub * 25 for v in buckets_per_g.values()), buckets_per_g
+    # p99 read for group 0 from the collected sketch vs exact percentile
+    g0 = sorted((r.bucket, r["count"]) for r in cells if r.g == 0)
+    n = per_g[0]
+    cum = 0
+    for b, cnt in g0:
+        cum += cnt
+        if cum >= 0.99 * n:
+            lo = b if b < sub else (sub + b % sub) << (b // sub - 1)
+            width = 1 if b < sub else 1 << (b // sub - 1)
+            frac = max(0.0, min(1.0, (0.99 * n - (cum - cnt)) / cnt))
+            est = lo + width * frac
+            break
+    exact = m.where("g = 0").selectExpr(
+        "percentile(x, 0.99) AS p"
+    ).collect()[0].p
+    rel_err = abs(est - exact) / exact
+    assert rel_err <= 2 / sub, (est, exact, rel_err)
+    return hdr_s, max(buckets_per_g.values()), round(rel_err * 100, 3)
+
+
 BUCKET_ROWS = 20_000_000
 BUCKET_SERIES = 1_000
 BUCKET_N = 32
@@ -781,6 +846,7 @@ def main() -> None:
     sh_s, sh_cand, sh_dup = stress_simhash_volume(spark)
     cms_s, cms_cells, cms_hot_est = stress_cms_onepass(spark)
     kmv_full_s, kmv_pre_s, kmv_surv = stress_kmv_prefilter(spark)
+    hdr_s, hdr_buckets, hdr_err = stress_hdr_quantile_onepass(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
     print(
         json.dumps(
@@ -802,6 +868,7 @@ def main() -> None:
                     "cms_onepass_10m_tokens": round(cms_s, 4),
                     "kmv_fullrank_20m": round(kmv_full_s, 4),
                     "kmv_prefilter_20m": round(kmv_pre_s, 4),
+                    "hdr_sketch_20m": round(hdr_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -809,6 +876,8 @@ def main() -> None:
                 "cms_cells": cms_cells,
                 "cms_hot_est": cms_hot_est,
                 "kmv_survivors": kmv_surv,
+                "hdr_max_buckets_per_group": hdr_buckets,
+                "hdr_p99_rel_err_pct": hdr_err,
                 "grid_rows": grid_rows,
                 "incremental_verdicts": inc_counts,
                 "ann_top1_hits": ann_hits,

@@ -933,3 +933,163 @@ register("ext_sketch_kmv_union", sketch_kmv_union, SKETCH_KMV_UNION_SQL)
 register("ext_sketch_quantile_hist", sketch_quantile_hist, SKETCH_QUANTILE_HIST_SQL)
 register("ext_sketch_quantile_hdr", sketch_quantile_hdr, SKETCH_QUANTILE_HDR_SQL)
 register("ext_sketch_quantile", sketch_quantile, SKETCH_QUANTILE_SQL)
+
+
+# --- hierarchical sketch rollup: daily HDR cells → global quantile --------
+# STAGED for the round-9 driver window (round-8's is full; same staging
+# the quantile sketches themselves went through). This is mergeability
+# as a first-class QUERY rather than a unit test: per-(id, day) HDR
+# bucket tables — the tiny materialized summaries a 100 TB deployment
+# would actually persist — are merged by plain count addition into the
+# per-id global sketch, and the p99 read off the MERGED cells is checked
+# against the exact percentile over the raw rows. At scale the daily
+# tables are O(groups × 16·log₂(max)) rows; month-end/over-all
+# percentiles are arithmetic over them, never a re-scan or re-sort of
+# the corpus — the property exact percentiles fundamentally lack.
+
+ROLLUP_P = 0.99
+
+
+def sketch_rollup_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per series: days covered, merged-sketch cell count, the exact
+    NEAREST-RANK p99 (the value at rank ⌈p·n⌉ — the classic discrete
+    quantile definition, replayed rank-for-rank in the oracle), the p99
+    read from the MERGED daily HDR cells, and the relative error.
+
+    Nearest-rank (not interpolated) is deliberate: the sketch's covering
+    bucket contains exactly the rank-⌈p·n⌉ order statistic, so against
+    THIS definition the relative error is ≤ 1/16 + interpolation slack
+    by construction — a hard contract the checked column carries — while
+    against `quantile_cont` a sparse per-series tail adds the
+    adjacent-order-stat gap (see `sketch_quantile`'s contract notes)."""
+    from dariadb_spark.model import measurements
+    from dariadb_spark.operators.downsample import bucket_column
+
+    sub = 1 << HDR_SUB_BITS
+    m = measurements(spark, sf).where("value > 0").select(
+        "id",
+        bucket_column("day"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("x"),
+    )
+    bucket = (
+        f"CASE WHEN x < {sub} THEN x "
+        f"ELSE (length(bin(x)) - {HDR_SUB_BITS}) * {sub} "
+        f"  + (shiftright(x, length(bin(x)) - {HDR_SUB_BITS + 1}) "
+        f"     & {sub - 1}) END"
+    )
+    daily = (
+        m.selectExpr("id", "bucket_ms", f"{bucket} AS bucket")
+        .groupBy("id", "bucket_ms", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = daily.groupBy("id", "bucket").agg(F.sum("cnt").alias("cnt"))
+    sizes = daily.groupBy("id").agg(
+        F.countDistinct("bucket_ms").alias("n_days"),
+        F.count("*").alias("n_daily_cells"),
+    )
+    lo_edge = (
+        f"CASE WHEN bucket < {sub} THEN bucket "
+        f"ELSE shiftleft({sub} + bucket % {sub}, "
+        f"CAST(bucket / {sub} AS INT) - 1) END"
+    )
+    width = (
+        f"CASE WHEN bucket < {sub} THEN 1L "
+        f"ELSE shiftleft(1L, CAST(bucket / {sub} AS INT) - 1) END"
+    )
+    wc = (
+        Window.partitionBy("id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    est = (
+        merged.selectExpr(
+            "id", "bucket", "cnt", f"{lo_edge} AS lo_edge", f"{width} AS width"
+        )
+        .select(
+            "*",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("id")).alias("n"),
+        )
+        .where(f"cum >= {ROLLUP_P} * n AND cum - cnt < {ROLLUP_P} * n")
+        .selectExpr(
+            "id",
+            "round((lo_edge + width * least(1.0d, greatest(0.0d, "
+            f"({ROLLUP_P} * n - (cum - cnt)) / cnt))) / 100.0d, 4)"
+            " AS rolled_p99",
+        )
+    )
+    wr = Window.partitionBy("id").orderBy("value")
+    exact = (
+        measurements(spark, sf)
+        .where("value > 0")
+        .select(
+            "id",
+            "value",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(Window.partitionBy("id")).alias("nn"),
+        )
+        .where(f"rn = CAST(ceil({ROLLUP_P} * nn) AS BIGINT)")
+        .selectExpr("id", "round(value, 4) AS exact_p99")
+    )
+    return (
+        exact.join(est, "id")
+        .join(sizes, "id")
+        .selectExpr(
+            "id", "n_days", "n_daily_cells", "exact_p99", "rolled_p99",
+            "round(abs(rolled_p99 - exact_p99) / exact_p99 * 100, 2)"
+            " AS rel_err_pct",
+        )
+        .orderBy("id")
+    )
+
+
+SKETCH_ROLLUP_QUANTILE_SQL = f"""
+WITH {{MEAS_CTE_SQL}},
+m AS (SELECT id,
+             (time - ((time % 86400000) + 86400000) % 86400000) AS bucket_ms,
+             CAST(round(value * 100, 0) AS BIGINT) AS x
+      FROM measurements WHERE value > 0),
+b AS (SELECT id, bucket_ms,
+             CASE WHEN x < 16 THEN x
+                  ELSE (length(bin(x)) - 4) * 16
+                       + ((x >> (length(bin(x)) - 5)) & 15) END AS bucket
+      FROM m),
+daily AS (SELECT id, bucket_ms, bucket, count(*) AS cnt
+          FROM b GROUP BY id, bucket_ms, bucket),
+merged AS (SELECT id, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+           FROM daily GROUP BY id, bucket),
+sizes AS (SELECT id, count(DISTINCT bucket_ms) AS n_days,
+                 count(*) AS n_daily_cells
+          FROM daily GROUP BY id),
+edges AS (SELECT id, bucket, cnt,
+                 CASE WHEN bucket < 16 THEN bucket
+                      ELSE (16 + bucket % 16) << (bucket // 16 - 1)
+                 END AS lo_edge,
+                 CASE WHEN bucket < 16 THEN CAST(1 AS BIGINT)
+                      ELSE CAST(1 AS BIGINT) << (bucket // 16 - 1)
+                 END AS width
+          FROM merged),
+cum AS (SELECT *, sum(cnt) OVER (PARTITION BY id ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY id) AS n
+        FROM edges),
+est AS (SELECT id,
+               round((lo_edge + width * least(1.0, greatest(0.0,
+                     ({ROLLUP_P} * n - (cum - cnt)) / cnt))) / 100.0, 4)
+                 AS rolled_p99
+        FROM cum
+        WHERE cum >= {ROLLUP_P} * n AND cum - cnt < {ROLLUP_P} * n),
+ranked AS (SELECT id, value,
+                  row_number() OVER (PARTITION BY id ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY id) AS nn
+           FROM measurements WHERE value > 0),
+exact AS (SELECT id, round(value, 4) AS exact_p99 FROM ranked
+          WHERE rn = CAST(ceil({ROLLUP_P} * nn) AS BIGINT))
+SELECT e.id AS id, s.n_days, s.n_daily_cells, e.exact_p99, t.rolled_p99,
+       round(abs(t.rolled_p99 - e.exact_p99) / e.exact_p99 * 100, 2)
+         AS rel_err_pct
+FROM exact e JOIN est t ON e.id = t.id JOIN sizes s ON e.id = s.id
+ORDER BY id"""
+SKETCH_ROLLUP_QUANTILE_SQL = SKETCH_ROLLUP_QUANTILE_SQL.replace(
+    "{MEAS_CTE_SQL}", MEAS_CTE_SQL
+)

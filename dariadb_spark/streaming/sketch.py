@@ -129,3 +129,62 @@ def streaming_sketch_parity(spark: SparkSession, docs_sf_dir: str):
     except BaseException:
         shutil.rmtree(base, ignore_errors=True)
         raise
+
+
+#: measurement stream schema (matches the store layout / parity slices).
+_MEAS_DDL = "id BIGINT, time BIGINT, value DOUBLE, flag BIGINT"
+
+
+def streaming_hdr_cells(
+    spark: SparkSession,
+    meas_dir: str,
+    query_name: str = "hdr_live",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain the HDR quantile sketch (ext/sketches.py log₂×16
+    layout) incrementally over a measurement stream — live latency/value
+    percentiles per flag group, queryable mid-ingest, the quantile twin
+    of :func:`streaming_cms_cells`.
+
+    STAGED for the round-9 driver window (round-8's is full): the
+    batch-equality contract is pinned in tests/test_sketches.py; the
+    driver upgrade replays it against the batch HDR bucket table like
+    every streaming parity before it.
+
+    Same state story as the CMS: the complete-mode aggregation's state
+    IS the sketch — ≤ 16·log₂(max) rows per group, bounded by
+    construction regardless of data volume or range, no watermark
+    needed (additive cells accept arbitrarily late rows exactly). Each
+    micro-batch map-side-combines to the bucket table before the state
+    update, so per-batch shuffle volume is O(partitions × buckets)."""
+    from dariadb_spark.ext.sketches import HDR_SUB_BITS
+
+    sub = 1 << HDR_SUB_BITS
+    bucket = (
+        f"CASE WHEN x < {sub} THEN x "
+        f"ELSE (length(bin(x)) - {HDR_SUB_BITS}) * {sub} "
+        f"  + (shiftright(x, length(bin(x)) - {HDR_SUB_BITS + 1}) "
+        f"     & {sub - 1}) END"
+    )
+    reader = (
+        spark.readStream.schema(_MEAS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    cells = (
+        reader.parquet(meas_dir)
+        .where("value > 0")
+        .selectExpr("flag", "CAST(round(value * 100, 0) AS BIGINT) AS x")
+        .selectExpr("flag", f"{bucket} AS bucket")
+        .groupBy("flag", "bucket")
+        .count()
+    )
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -603,3 +603,78 @@ def test_sketch_quantile_one_bucket_of_nearest_rank_bound(
             else:
                 width = (vals[-1] - vals[0]) / QH_BINS
             assert abs(r.qsk_est - xr) <= width + 0.02, (sf, tuple(r), xr)
+
+
+def test_streaming_hdr_matches_batch(spark, sf_dir, tmp_path):
+    # Staged r9 streaming surface (the CMS pattern): ingesting the
+    # measurement slice in two file drops, folded one-file-per-batch,
+    # must land on EXACTLY the batch HDR bucket table — additive cells
+    # make batching invisible.
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.ext.sketches import HDR_SUB_BITS
+    from dariadb_spark.model import measurements
+    from dariadb_spark.streaming.sketch import streaming_hdr_cells
+
+    meas = measurements(spark, sf_dir).select("id", "time", "value", "flag")
+    d = str(tmp_path / "meas_stream")
+    meas.where("id % 2 = 0").write.parquet(d)
+    meas.where("id % 2 = 1").write.mode("append").parquet(d)
+
+    q = streaming_hdr_cells(
+        spark, d, "hdr_stream_test", max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.flag, r.bucket): r["count"]
+        for r in spark.table("hdr_stream_test").collect()
+    }
+
+    sub = 1 << HDR_SUB_BITS
+    bucket = (
+        f"CASE WHEN x < {sub} THEN x "
+        f"ELSE (length(bin(x)) - {HDR_SUB_BITS}) * {sub} "
+        f"  + (shiftright(x, length(bin(x)) - {HDR_SUB_BITS + 1}) "
+        f"     & {sub - 1}) END"
+    )
+    batch = {
+        (r.flag, r.bucket): r.cnt
+        for r in meas.where("value > 0")
+        .selectExpr("flag", "CAST(round(value * 100, 0) AS BIGINT) AS x")
+        .selectExpr("flag", f"{bucket} AS bucket")
+        .groupBy("flag", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_sketch_rollup_quantile_parity_and_merge_semantics(
+    spark, oracle_sf_dir
+):
+    # Staged r9 operator: the daily→global HDR rollup. DuckDB parity
+    # (the compare the driver will run) plus the rollup's semantic
+    # claims: merged estimate within the relative contract of exact,
+    # and the per-day cell tables genuinely partition the merged one
+    # (sum of daily cells ≥ merged cells; multiple days covered).
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        SKETCH_ROLLUP_QUANTILE_SQL,
+        sketch_rollup_quantile,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/events.parquet')"
+    )
+    rows = sketch_rollup_quantile(spark, oracle_sf_dir).collect()
+    oracle = con.execute(SKETCH_ROLLUP_QUANTILE_SQL).fetchall()
+    con.close()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, oracle))
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_days > 1, r  # a real multi-day rollup, not one bucket
+        assert r.n_daily_cells >= r.n_days, r
+        assert r.rel_err_pct <= 100 * 2 / 16, r
