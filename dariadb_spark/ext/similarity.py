@@ -875,3 +875,171 @@ register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)
 register("ext_sim_ann_ivf", sim_ann_ivf, SIM_ANN_IVF_SQL)
 register("ext_dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL)
 register("ext_sim_ann_lsh", sim_ann_lsh, SIM_ANN_LSH_SQL)
+
+
+# --- product-quantization ANN (asymmetric distance computation) -----------
+# STAGED for the round-9 driver window (round-8's is full; the staging
+# every late operator goes through). PQ is the MEMORY half of the ANN
+# story the LSH/IVF variants leave open: the index stores M=4 sub-codes
+# per vector (4 bytes at K≤256) instead of 64 float64s (512 B) — 128×
+# smaller, which is what lets a 100 TB embedding corpus serve from RAM.
+# Queries never decompress the corpus: an M×K lookup table of
+# query-to-centroid sub-distances is built per query (KB-sized,
+# broadcast), and each corpus vector's estimated distance is M table
+# lookups summed — the classic asymmetric distance computation (ADC)
+# from Jégou et al., "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011).
+
+PQ_M = 4       # subspaces
+PQ_SUBDIM = 16  # dims per subspace (4 × 16 = the fixture's 64)
+PQ_K = 8       # centroids per subspace codebook
+
+#: squared L2 via norms (ssq + csq − 2·dot): every term is a sequential
+#: left-to-right fold in BOTH engines, greatest(·, 0) clamps the
+#: −1e−16-grade float residue a self-distance can leave (round would
+#: surface it as −0.0 and hash-diverge).
+_PQ_D2 = (
+    "round(greatest({ssq} + {csq} - 2 * "
+    + _DOT
+    + ", 0D), 4)"
+)
+
+
+def sim_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC top-k: learn per-subspace codebooks (init = first PQ_K
+    vectors' sub-vectors, one unrolled Lloyd refinement — the
+    sim_kmeans recipe), encode the corpus to PQ_M codes, then rank by
+    ADC-estimated squared L2 for each query. Output carries the exact
+    squared L2 next to the estimate — the quantization error is part of
+    the checked result, like every estimator here.
+
+    Fully declarative (no driver round-trips): codebooks are M×K-row
+    tables flowing through broadcast joins; the M-step is a
+    (m, cid, pos)-keyed aggregate over sub-vector dims. At 100 TB the
+    corpus-sized work is one encode scan (M broadcast-join argmins) and
+    the per-query cost is |corpus| lookup-sums over a broadcast
+    KB-sized LUT — no full-vector math ever touches the query path."""
+    emb = _emb(spark, sf).selectExpr(
+        "vec_id", "e", "norm * norm AS esq"
+    )
+    m_fanout = (
+        "explode(array("
+        + ", ".join(str(m) for m in range(PQ_M))
+        + ")) AS m"
+    )
+    subs = emb.selectExpr("vec_id", m_fanout, "e").selectExpr(
+        "vec_id", "m", f"slice(e, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub"
+    ).selectExpr(
+        "vec_id", "m", "sub",
+        _DOT.format(a="sub", b="sub") + " AS ssq",
+    )
+    c0 = subs.where(F.col("vec_id") < PQ_K).selectExpr(
+        "m", "vec_id AS cid", "sub AS ce", "ssq AS csq"
+    )
+    d2 = _PQ_D2.format(ssq="ssq", csq="csq", a="sub", b="ce")
+
+    def _assign(codebook: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.expr(d2).asc(), F.col("cid").asc()
+        )
+        return (
+            subs.join(F.broadcast(codebook), "m")
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+        )
+
+    a1 = _assign(c0).select("vec_id", "m", "cid", "sub")
+    c1 = (
+        a1.select("m", "cid", F.posexplode("sub").alias("pos", "x"))
+        .groupBy("m", "cid", "pos")
+        .agg((F.round(F.sum("x"), 6) / F.count("*")).alias("cx"))
+        .groupBy("m", "cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cx))),"
+                " s -> s.cx)"
+            ).alias("ce")
+        )
+        .selectExpr("m", "cid", "ce", _DOT.format(a="ce", b="ce") + " AS csq")
+    )
+    codes = _assign(c1).selectExpr("vec_id", "m", "cid AS code")
+    qids = ", ".join(map(str, QUERY_VEC_IDS))
+    lut = (
+        subs.where(f"vec_id IN ({qids})")
+        .selectExpr("vec_id AS q_id", "m", "sub", "ssq")
+        .join(F.broadcast(c1), "m")
+        .selectExpr("q_id", "m", "cid", f"{d2} AS pd")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("pq_d2").asc(), F.col("vec_id").asc()
+    )
+    top = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.cid),
+        )
+        .where("vec_id != q_id")
+        .groupBy("q_id", "vec_id")
+        .agg(F.expr("round(sum(pd), 4)").alias("pq_d2"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(f"rk <= {TOP_K}")
+    )
+    nq = emb.selectExpr("vec_id AS q_id", "e AS qe", "esq AS qsq")
+    nv = emb.selectExpr("vec_id", "e AS ve", "esq AS vsq")
+    exact = _PQ_D2.format(ssq="qsq", csq="vsq", a="qe", b="ve")
+    return (
+        top.join(F.broadcast(nq), "q_id")
+        .join(nv, "vec_id")
+        .selectExpr("q_id", "vec_id", "pq_d2", f"{exact} AS exact_d2", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+_PQ_QIDS = ", ".join(map(str, QUERY_VEC_IDS))
+_PQ_D2_DUCK = "round(greatest({ssq} + {csq} - 2 * list_dot_product({a}, {b}), 0), 4)"
+_PQ_A_DUCK = _PQ_D2_DUCK.format(ssq="s.ssq", csq="c.csq", a="s.sub", b="c.ce")
+
+SIM_ANN_PQ_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, list_dot_product(e, e) AS esq FROM emb),
+subs0 AS (SELECT vec_id, m,
+                 list_slice(e, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+          FROM emb, (SELECT unnest(range({PQ_M})) AS m)),
+subs AS (SELECT vec_id, m, sub, list_dot_product(sub, sub) AS ssq FROM subs0),
+c0 AS (SELECT m, vec_id AS cid, sub AS ce, ssq AS csq FROM subs
+       WHERE vec_id < {PQ_K}),
+a1 AS (SELECT vec_id, m, cid, sub FROM (
+  SELECT s.vec_id, s.m, c.cid, s.sub,
+         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           {_PQ_A_DUCK} ASC, c.cid ASC) AS rn
+  FROM subs s JOIN c0 c ON s.m = c.m) WHERE rn = 1),
+u1 AS (SELECT m, cid, gs.i AS pos, round(sum(sub[gs.i]), 6) / count(*) AS cx
+       FROM a1 CROSS JOIN generate_series(1, {PQ_SUBDIM}) gs(i)
+       GROUP BY m, cid, gs.i),
+c1 AS (SELECT m, cid, list(cx ORDER BY pos) AS ce FROM u1 GROUP BY m, cid),
+c1n AS (SELECT m, cid, ce, list_dot_product(ce, ce) AS csq FROM c1),
+codes AS (SELECT vec_id, m, cid AS code FROM (
+  SELECT s.vec_id, s.m, c.cid,
+         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           {_PQ_A_DUCK} ASC, c.cid ASC) AS rn
+  FROM subs s JOIN c1n c ON s.m = c.m) WHERE rn = 1),
+lut AS (SELECT s.vec_id AS q_id, s.m, c.cid, {_PQ_A_DUCK} AS pd
+        FROM subs s JOIN c1n c ON s.m = c.m
+        WHERE s.vec_id IN ({_PQ_QIDS})),
+est AS (SELECT l.q_id, co.vec_id, round(sum(l.pd), 4) AS pq_d2
+        FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.cid
+        WHERE co.vec_id != l.q_id
+        GROUP BY l.q_id, co.vec_id),
+ranked AS (SELECT q_id, vec_id, pq_d2,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY pq_d2 ASC, vec_id ASC) AS rk
+           FROM est)
+SELECT t.q_id, t.vec_id, t.pq_d2,
+       {_PQ_D2_DUCK.format(ssq="nq.esq", csq="nv.esq", a="nq.e", b="nv.e")}
+         AS exact_d2,
+       t.rk
+FROM ranked t
+JOIN n nq ON t.q_id = nq.vec_id
+JOIN n nv ON t.vec_id = nv.vec_id
+WHERE t.rk <= {TOP_K}
+ORDER BY q_id, rk"""

@@ -89,13 +89,15 @@ def streaming_sketch_parity(spark: SparkSession, docs_sf_dir: str):
     """Driver-visible CMS-maintenance parity (round 8, upgrading the
     r7 pytest-only batch-equality pin to a hash-checked CORRECTNESS
     row, the staging the interval-join/dedup parities went through):
-    land the documents fixture in THREE parquet drops, fold them
-    through the complete-mode streaming aggregation one file per
-    micro-batch (``maxFilesPerTrigger=1`` — the incremental path is
-    genuinely exercised, not a single-batch replay), and return the
-    standing cell table. Oracle = the one-shot batch cell build over
-    the same corpus (``STREAMING_CMS_CELLS_SQL`` in ext/sketches.py):
-    because CMS is additive, batching must be invisible."""
+    land the documents fixture in TWO parquet drops, fold them through
+    the complete-mode streaming aggregation one file per micro-batch
+    (``maxFilesPerTrigger=1`` — the incremental fold is genuinely
+    exercised, not a single-batch replay; two batches prove the
+    additivity exactly as well as N, at ~1.2 s fixed machinery per
+    batch), and return the standing cell table. Oracle = the one-shot
+    batch cell build over the same corpus (``STREAMING_CMS_CELLS_SQL``
+    in ext/sketches.py): because CMS is additive, batching must be
+    invisible."""
     import shutil
     import tempfile
 
@@ -110,11 +112,8 @@ def streaming_sketch_parity(spark: SparkSession, docs_sf_dir: str):
     qname = "cms_parity_" + base.rsplit("_", 1)[-1]
     try:
         docs = load_table(spark, docs_sf_dir, "documents")
-        docs.where("doc_id % 3 = 0").write.parquet(data_dir)
-        for res in (1, 2):
-            docs.where(f"doc_id % 3 = {res}").write.mode("append").parquet(
-                data_dir
-            )
+        docs.where("doc_id % 2 = 0").write.parquet(data_dir)
+        docs.where("doc_id % 2 = 1").write.mode("append").parquet(data_dir)
         with parity_stream_partitions(spark):
             q = streaming_cms_cells(
                 spark, data_dir, qname, max_files_per_trigger=1
