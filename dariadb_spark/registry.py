@@ -742,8 +742,12 @@ if "ext_sketch_cms_topk" in REGISTRY:
 # The last 6 slots re-attest the never-rotated CORE reference verbs
 # (r6-latest; the heart of the upstream API surface): interval scan ±
 # flag mask, as-of timepoint, current value, min/max time, stat block.
-# The 50 r6-latest queries left outside (minus these six) are the
-# planned r9 rotation block, a round before their stale line.
+# r9 plan, pre-computed: the 50 r6-latest queries minus the seven
+# re-attested here (six core verbs + `ext_sim_ann_lsh`) = 43 rotation
+# slots, plus the three staged r9 operators (`sketch_rollup_quantile`,
+# `sim_ann_pq`, the `streaming_hdr_cells` parity) ≈ 46 of 50 — rotate
+# them a round before their stale line and fill the rest with
+# never-freshest rows.
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
