@@ -726,7 +726,16 @@ def sketch_quantile(spark: SparkSession, sf: str) -> DataFrame:
     the rank-resolution floor."""
     from dariadb_spark.model import measurements
 
-    m = measurements(spark, sf).select("flag", "value")
+    return _sketch_quantile_frame(
+        measurements(spark, sf).select("flag", "value")
+    )
+
+
+def _sketch_quantile_frame(m: DataFrame) -> DataFrame:
+    """The `sketch_quantile` plan over any (flag, value) frame — split
+    out so the hypothesis property test can drive the selection rule
+    and the one-bucket bound on generated signed/positive stores
+    without writing fixture parquet per example."""
     stats = m.groupBy("flag").agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),

@@ -547,3 +547,58 @@ def test_stat_fold_matches_naive_reference(raw, width, nbatches):
             # the round(sum,·)/cnt recipe at every comparison surface)
             assert (gc, glo, ghi) == (wc, wlo, whi), b
             assert gs == ws or abs(gs - ws) <= 1e-9 * max(1.0, abs(ws)), b
+
+
+# --- unified quantile sketch: selection rule + provable bound -------------
+
+#: mixed-sign stores: values are exact quarters, flags give 1–3 groups;
+#: some groups all-positive (→ HDR route), some crossing zero (→ hist).
+_q_meas_lists = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2, 4]),  # flag group
+        st.integers(1, 16000).map(lambda x: x / 4.0),  # positive quarters
+        st.booleans(),  # negate? (applied per-flag below for clean routing)
+    ),
+    min_size=3,
+    max_size=60,
+)
+
+
+@given(rows=_q_meas_lists, neg_flags=st.sets(st.sampled_from([1, 2, 4])))
+@_SETTINGS
+def test_sketch_quantile_property(spark, rows, neg_flags):
+    """For ANY store: (a) the routing contract — all-positive groups
+    report method 'hdr', groups containing ≤0 report 'hist'; (b) the
+    provable bound — every estimate lies within one bucket width of the
+    rank-⌈p·n⌉ order statistic (pure-Python reference)."""
+    import math
+
+    from dariadb_spark.ext.sketches import (
+        QH_BINS,
+        QH_PS,
+        _sketch_quantile_frame,
+    )
+
+    # negate selected flag groups wholesale so routing is well-defined
+    data = [
+        (f, -v if f in neg_flags else v) for (f, v, _neg) in rows
+    ]
+    m = spark.createDataFrame(data, "flag bigint, value double")
+    out = _sketch_quantile_frame(m).collect()
+
+    groups: dict[int, list[float]] = {}
+    for f, v in data:
+        groups.setdefault(f, []).append(v)
+    for g in groups.values():
+        g.sort()
+    assert len(out) == len(groups) * len(QH_PS)
+    for r in out:
+        vals = groups[r.flag]
+        assert r.method == ("hdr" if vals[0] > 0 else "hist"), tuple(r)
+        xr = vals[math.ceil(r.p * len(vals)) - 1]
+        if r.method == "hdr":
+            x = round(xr * 100)
+            width = (1 if x < 16 else 1 << (x.bit_length() - 5)) / 100
+        else:
+            width = (vals[-1] - vals[0]) / QH_BINS
+        assert abs(r.qsk_est - xr) <= width + 1e-3, (tuple(r), xr, width)
