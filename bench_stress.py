@@ -695,6 +695,119 @@ def stress_kmv_prefilter(spark) -> tuple[float, float, int]:
     return full_s, pre_s, n_surv
 
 
+PQ_CORPUS = 500_000
+PQ_QUERIES = 10
+
+
+def stress_pq_encode(spark) -> tuple[float, int, int]:
+    """The PQ scale path (ext/similarity.py sim_ann_pq) above fixture
+    size: 500k synthetic 64-dim vectors (the LSH stress's double-sine
+    synth) encoded to M=4 sub-codes with DRIVER-INLINED codebooks — the
+    MLlib-style zero-shuffle E-step the operator's docstring commits to
+    at scale (centroids are K×M×16 doubles; the encode is one
+    scan-stage projection, no window, no join). 10 exact clones planted
+    as queries.
+
+    Asserts the properties that make PQ an index at 100 TB: (1) NO
+    FALSE NEGATIVES for clones — identical vectors encode to identical
+    codes (deterministic expressions), so every planted clone appears
+    in its query's full-code candidate bucket; (2) SELECTIVITY — the
+    4096 code combinations partition the corpus, candidates per query
+    ≈ corpus/4096 (measured, the coarse-filter role); (3) encode
+    throughput measured (the per-vector cost a 100 TB encode pays)."""
+    from dariadb_spark.ext.similarity import _DOT, PQ_K, PQ_M, PQ_SUBDIM
+
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "sin(sin(CAST(id AS DOUBLE) * 12.9898 + j * 78.233)"
+        " * 43758.5453))"
+    )
+    clone = (
+        "transform(sequence(0, 63), j -> "
+        f"sin(sin(CAST(id - {PQ_CORPUS} AS DOUBLE) * 12.9898"
+        " + j * 78.233) * 43758.5453))"
+    )
+    emb = spark.range(PQ_CORPUS + PQ_QUERIES).selectExpr(
+        "id AS vec_id",
+        f"CASE WHEN id >= {PQ_CORPUS} THEN {clone} ELSE {base} END AS e",
+    )
+
+    def _codebooks(cent):
+        """cent: {(m, cid): [16 floats]} → per-m argmin expressions."""
+        exprs = []
+        for m in range(PQ_M):
+            sub = f"slice(e, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+            structs = []
+            for cid in range(PQ_K):
+                ce = cent[(m, cid)]
+                lit = f"array({', '.join(repr(x) for x in ce)})"
+                csq = repr(sum(x * x for x in ce))
+                dot = _DOT.format(a=sub, b=lit)
+                # maximize 2·dot − csq ≡ minimize the sub-distance
+                structs.append(
+                    f"struct(2 * {dot} - {csq} AS s, {-cid} AS nc,"
+                    f" {cid} AS cid)"
+                )
+            exprs.append(
+                f"array_max(array({', '.join(structs)})).cid AS c{m}"
+            )
+        return exprs
+
+    # init codebooks from the first K corpus vectors' sub-slices
+    init_rows = emb.where(f"vec_id < {PQ_K}").orderBy("vec_id").collect()
+    cent0 = {
+        (m, int(r.vec_id)): [
+            float(x)
+            for x in r.e[m * PQ_SUBDIM: (m + 1) * PQ_SUBDIM]
+        ]
+        for r in init_rows
+        for m in range(PQ_M)
+    }
+    # one Lloyd refinement: assign (zero-shuffle argmin), re-mean
+    a1 = emb.where(f"vec_id < {PQ_CORPUS}").selectExpr(
+        "vec_id", "e", *_codebooks(cent0)
+    )
+    m_fanout = ", ".join(
+        f"struct({m} AS m, c{m} AS cid,"
+        f" slice(e, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM}) AS sub)"
+        for m in range(PQ_M)
+    )
+    means = (
+        a1.selectExpr(f"explode(array({m_fanout})) AS a")
+        .selectExpr("a.m", "a.cid", "posexplode(a.sub) AS (pos, x)")
+        .groupBy("m", "cid", "pos")
+        .agg((F.sum("x") / F.count("*")).alias("cx"))
+        .collect()
+    )
+    cent1: dict[tuple[int, int], list[float]] = {}
+    for r in means:
+        cent1.setdefault((int(r.m), int(r.cid)), [0.0] * PQ_SUBDIM)[
+            int(r.pos)
+        ] = float(r.cx)
+
+    # encode the corpus + queries: ONE scan-stage projection
+    t0 = time.perf_counter()
+    codes = emb.selectExpr("vec_id", *_codebooks(cent1))
+    codes.write.mode("overwrite").format("noop").save()
+    enc_s = time.perf_counter() - t0
+
+    code_cols = [f"c{m}" for m in range(PQ_M)]
+    qcodes = codes.where(f"vec_id >= {PQ_CORPUS}").selectExpr(
+        "vec_id AS q_id", *code_cols
+    )
+    cand = F.broadcast(qcodes).join(
+        codes.where(f"vec_id < {PQ_CORPUS}"), code_cols
+    )
+    rows = cand.select("q_id", "vec_id").collect()
+    n_cand = len(rows)
+    got = {(r.q_id, r.vec_id) for r in rows}
+    for q in range(PQ_QUERIES):
+        assert (PQ_CORPUS + q, q) in got, q  # clone shares all 4 codes
+    # selectivity: ~corpus/4096 per query; generous ceiling = 20×
+    assert n_cand < PQ_QUERIES * (PQ_CORPUS // 4096) * 20, n_cand
+    return enc_s, n_cand, len(cent1)
+
+
 HDR_ROWS = 20_000_000
 HDR_GROUPS = 4
 
@@ -847,6 +960,7 @@ def main() -> None:
     cms_s, cms_cells, cms_hot_est = stress_cms_onepass(spark)
     kmv_full_s, kmv_pre_s, kmv_surv = stress_kmv_prefilter(spark)
     hdr_s, hdr_buckets, hdr_err = stress_hdr_quantile_onepass(spark)
+    pq_s, pq_cand, pq_cent = stress_pq_encode(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
     print(
         json.dumps(
@@ -869,6 +983,7 @@ def main() -> None:
                     "kmv_fullrank_20m": round(kmv_full_s, 4),
                     "kmv_prefilter_20m": round(kmv_pre_s, 4),
                     "hdr_sketch_20m": round(hdr_s, 4),
+                    "pq_encode_500k": round(pq_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -878,6 +993,8 @@ def main() -> None:
                 "kmv_survivors": kmv_surv,
                 "hdr_max_buckets_per_group": hdr_buckets,
                 "hdr_p99_rel_err_pct": hdr_err,
+                "pq_candidates": pq_cand,
+                "pq_centroids": pq_cent,
                 "grid_rows": grid_rows,
                 "incremental_verdicts": inc_counts,
                 "ann_top1_hits": ann_hits,
