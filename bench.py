@@ -81,6 +81,27 @@ def main() -> None:
     # commits it, so the judge can diff all queries without BASELINE.md),
     # and the final stdout line is sized to fit the tail — headline
     # metric plus the slowest queries that fit a ~1400-char budget.
+    full, line = emit_payloads(timings, total, sf_val)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(line)
+    spark.stop()
+
+
+#: the driver records this many trailing stdout chars; the final JSON
+#: line must fit inside it WITH headroom for whatever Spark prints last.
+TAIL_CAPTURE = 2_000
+_LINE_BUDGET = 1_400
+
+
+def emit_payloads(timings, total, sf_val):
+    """(full BENCH_FULL.json dict, one-line stdout JSON) — split out so
+    tests can pin that the line parses and fits the tail capture for
+    any registry size."""
     full = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -88,37 +109,28 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-
     slim: dict[str, float] = {}
-    budget = 1400
+    budget = _LINE_BUDGET
     for name in sorted(timings, key=timings.get, reverse=True):
         entry_len = len(name) + len(f"{timings[name]:.2f}") + 4
         if budget - entry_len < 0:
             break
         budget -= entry_len
         slim[name] = round(timings[name], 2)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": slim,
-                "queries_note": f"slowest {len(slim)} of {len(timings)}; "
-                "complete map in BENCH_FULL.json",
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries": slim,
+            "queries_note": f"slowest {len(slim)} of {len(timings)}; "
+            "complete map in BENCH_FULL.json",
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
-    spark.stop()
+    return full, line
 
 
 if __name__ == "__main__":

@@ -404,3 +404,29 @@ def test_lsh_hyperplanes_are_direction_diverse():
         assert c.mean() < 0.2, c.mean()
         # components must straddle zero (the bug made them all-negative)
         assert 0.4 < (m > 0).mean() < 0.6
+
+
+def test_bench_emission_fits_driver_tail_capture():
+    """BENCH_r1–r7 all recorded "parsed": null because the single JSON
+    line outgrew the driver's ~2000-char stdout tail capture. Pin the
+    r8 fix: for the REAL registry (and a far larger synthetic one) the
+    stdout line parses and fits with headroom, and the full map
+    round-trips every query."""
+    import json as _json
+
+    import bench
+    from dariadb_spark.registry import REGISTRY
+
+    for names in (
+        list(REGISTRY),
+        [f"ext_very_long_query_name_number_{i:04d}" for i in range(400)],
+    ):
+        timings = {n: 0.1234 + (i % 7) for i, n in enumerate(names)}
+        full, line = bench.emit_payloads(timings, 99.9, 0.1)
+        assert len(line) <= bench.TAIL_CAPTURE - 400, len(line)
+        parsed = _json.loads(line)
+        assert parsed["n_queries"] == len(names)
+        assert set(full["queries"]) == set(names)
+        # the slim map leads with the slowest queries
+        slowest = max(timings, key=timings.get)
+        assert slowest in parsed["queries"]
