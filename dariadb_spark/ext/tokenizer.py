@@ -253,3 +253,60 @@ GROUP BY p.lang ORDER BY p.lang"""
 
 register("ext_bpe_learn", bpe_learn, BPE_LEARN_SQL)
 register("ext_bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL)
+
+
+def learn_bpe(docs: DataFrame, rounds: int) -> list[tuple[int, str, str, int]]:
+    """Production BPE learning for an ARBITRARY round count — the
+    library entry point behind the fixed-3-round oracled queries above
+    (those unroll so DuckDB can replay them; real tokenizers run
+    thousands of merges, which no unrolled oracle can express).
+
+    MLlib-style driver iteration: the corpus is touched ONCE (word
+    count); each round is a pair-count aggregate over the vocab-sized
+    frame, a 1-row argmax ``collect`` (the per-iteration driver
+    round-trip every iterative Spark algorithm pays), and a broadcast
+    merge rewrite. The vocab frame is checkpoint-free because each
+    round's plan grows by one replace() — for thousands of rounds,
+    ``localCheckpoint()`` every ~50 rounds caps lineage (documented
+    here, unnecessary at test scale).
+
+    Returns [(round, pair, merged, pair_count), ...] — same rows the
+    3-round ``bpe_learn`` query emits, pinned against the pure-Python
+    greedy reference at 10 rounds in tests/test_tokenizer.py."""
+    words = (
+        docs.selectExpr("explode(split(text, ' ')) AS word")
+        .where(_BAR_FREE_SPARK)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .selectExpr("freq", f"{_SYM_SPARK} AS seq")
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            words.selectExpr(
+                "freq",
+                f"explode(zip_with(slice({_SYMS}, 1, size({_SYMS}) - 1), "
+                f"slice({_SYMS}, 2, size({_SYMS}) - 1), "
+                "(x, y) -> concat(x, ' ', y))) AS pair",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1).collect()
+        )
+        if not top:  # every word is a single symbol — nothing to merge
+            break
+        pair, pair_count = top[0].pair, int(top[0].pair_count)
+        merged = pair.replace(" ", "")
+        merges.append((r, pair, merged, pair_count))
+        pat = "|" + pair.replace(" ", "||") + "|"
+        words = words.selectExpr(
+            "freq",
+            "replace(seq, {p}, {m}) AS seq".format(
+                p=repr(pat), m=repr("|" + merged + "|")
+            ),
+        )
+        if r % 50 == 0:  # cap lineage growth on long trainings
+            words = words.localCheckpoint(eager=True)
+    return merges

@@ -115,3 +115,29 @@ def test_bpe_merge_application_matches_reference(spark, corpus, tmp_path):
     got = [tuple(r) for r in bpe_learn(spark, str(tmp_path / "docs")).collect()]
     # bpe_learn loads <sf>/documents.parquet; we wrote it above
     assert got == ref, (got, ref)
+
+
+def test_learn_bpe_arbitrary_rounds_matches_python_reference(
+    spark, oracle_sf_dir
+):
+    # The production entry point at a round count NO unrolled oracle
+    # can express (10 rounds): merge-for-merge equal to the
+    # definitional Python implementation, and a strict continuation of
+    # the 3-round oracled query.
+    from collections import Counter
+
+    from dariadb_spark.ext.tokenizer import learn_bpe
+    from dariadb_spark.model import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    got = learn_bpe(docs, 10)
+
+    words = [
+        w
+        for (t,) in docs.select("text").collect()
+        for w in t.split(" ")
+        if "|" not in w
+    ]
+    ref, _ = _py_bpe(dict(Counter(words)), 10)
+    assert got == ref
+    assert len(got) == 10
