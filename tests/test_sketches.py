@@ -739,3 +739,129 @@ def test_sim_ann_pq_planted_clusters(spark, tmp_path):
         assert r.vec_id % n_clusters == r.q_id % n_clusters, tuple(r)
         # within-cluster: tiny true distance; cross-cluster would be ≥ 2·600
         assert r.exact_d2 < 50, tuple(r)
+
+
+# --- regressions for the r7 ADVICE edge fixes (fixtures never hit them) --
+
+def _docs_dir(spark, tmp_path, rows, name="sfdocs"):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    d = str(tmp_path / name)
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_kmv_small_group_emits_null_estimate(spark, tmp_path):
+    # A language with fewer than KMV_K distinct bigrams has no k-th
+    # hash; it must still appear with its exact count and NULL estimate
+    # — and both engines must agree (the pre-fix inner join silently
+    # dropped the group from Spark AND DuckDB identically).
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        KMV_K,
+        SKETCH_KMV_DISTINCT_SQL,
+        sketch_kmv_distinct,
+    )
+
+    big_words = " ".join(f"w{i}" for i in range(KMV_K + 40))
+    rows = [
+        (1, "a b a b a", "tiny", "s", 9),       # 2 distinct bigrams
+        (2, big_words, "big", "s", len(big_words)),  # > KMV_K distinct
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    got = {r.lang: r for r in sketch_kmv_distinct(spark, d).collect()}
+    assert set(got) == {"tiny", "big"}
+    assert got["tiny"].exact_distinct == 2
+    assert got["tiny"].kmv_est is None and got["tiny"].rel_err_pct is None
+    assert got["big"].kmv_est is not None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(SKETCH_KMV_DISTINCT_SQL).fetchall()))
+    con.close()
+    spark_rows = sorted(
+        tuple(r) for r in sketch_kmv_distinct(spark, d).collect()
+    )
+    assert spark_rows == oracle
+
+
+def test_bloom_empty_holdout_no_divide_by_zero(spark, tmp_path):
+    # No doc_id % HOLDOUT_MOD == 0 → empty holdout → the bit-array size
+    # clamps to one word instead of zeroing the modulus (pre-fix: Spark
+    # NULL-ed all probes while DuckDB raised). Zero rows, both engines,
+    # no error.
+    import duckdb
+
+    from dariadb_spark.ext.curation import (
+        BLOOM_DECONTAMINATE_SQL,
+        bloom_decontaminate,
+    )
+
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta", "en", "s", 35)
+        for i in range(1, 20)  # ids 1..19: none divisible by 50
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    assert bloom_decontaminate(spark, d).collect() == []
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert con.execute(BLOOM_DECONTAMINATE_SQL).fetchall() == []
+    con.close()
+
+
+def test_quantile_hist_constant_group_bins_identically(spark, tmp_path):
+    # A constant-valued flag group has hi == lo and a zero-width bin;
+    # the epsilon floor must make both engines bin the whole group at 0
+    # (pre-fix: Spark NaN → bin 127, DuckDB NULL — silent divergence).
+    import datetime
+
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        SKETCH_QUANTILE_HIST_SQL,
+        sketch_quantile_hist,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(seconds=i),
+            i,
+            "click" if i % 2 == 0 else "view",
+            7.25 if i % 2 == 0 else float(i),  # 'click' group constant
+            "{}",
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    d = str(tmp_path / "sfconst")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    got = sorted(tuple(r) for r in sketch_quantile_hist(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(SKETCH_QUANTILE_HIST_SQL).fetchall()))
+    con.close()
+    assert got == oracle
+    const_rows = [r for r in got if r[0] == 1]  # flag 1 = 'click'
+    assert len(const_rows) == 3
+    for flag, p, exact, est, abs_err in const_rows:
+        assert exact == 7.25 and est == 7.25 and abs_err == 0.0
