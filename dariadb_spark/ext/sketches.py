@@ -1102,3 +1102,20 @@ ORDER BY id"""
 SKETCH_ROLLUP_QUANTILE_SQL = SKETCH_ROLLUP_QUANTILE_SQL.replace(
     "{MEAS_CTE_SQL}", MEAS_CTE_SQL
 )
+
+
+# Batch HDR cell table over the measurements slice — the oracle the
+# STREAMING HDR maintenance (streaming/sketch.py streaming_hdr_parity,
+# staged r9) must land on exactly.
+STREAMING_HDR_CELLS_SQL = f"""
+WITH {MEAS_CTE_SQL},
+m AS (SELECT flag, CAST(round(value * 100, 0) AS BIGINT) AS x
+      FROM measurements WHERE value > 0),
+b AS (SELECT flag,
+             CASE WHEN x < 16 THEN x
+                  ELSE (length(bin(x)) - 4) * 16
+                       + ((x >> (length(bin(x)) - 5)) & 15) END AS bucket
+      FROM m)
+SELECT flag, bucket, count(*) AS cnt
+FROM b GROUP BY flag, bucket
+ORDER BY flag, bucket"""

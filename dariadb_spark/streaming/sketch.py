@@ -187,3 +187,45 @@ def streaming_hdr_cells(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hdr_parity(spark: SparkSession, sf_dir: str):
+    """Driver-visible HDR-maintenance parity, STAGED for round 9 (the
+    streaming_sketch_parity staging pattern): land the measurements
+    slice in TWO parquet drops, fold one file per micro-batch through
+    the complete-mode HDR aggregation, return the standing bucket
+    table. Oracle = the batch HDR cell build over the same rows
+    (``STREAMING_HDR_CELLS_SQL`` in ext/sketches.py) — additive cells
+    make batching invisible, same contract as the CMS twin."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.model import measurements
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
+
+    base = tempfile.mkdtemp(prefix="dariadb_hdr_parity_")
+    data_dir = f"{base}/meas"
+    qname = "hdr_parity_" + base.rsplit("_", 1)[-1]
+    try:
+        meas = measurements(spark, sf_dir).select(
+            "id", "time", "value", "flag"
+        )
+        meas.where("id % 2 = 0").write.parquet(data_dir)
+        meas.where("id % 2 = 1").write.mode("append").parquet(data_dir)
+        with parity_stream_partitions(spark):
+            q = streaming_hdr_cells(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        q.awaitTermination(600)
+        cells = (
+            spark.table(qname)
+            .selectExpr("flag", "bucket", "count AS cnt")
+            .orderBy("flag", "bucket")
+        )
+        return localize_and_cleanup(spark, cells, base, qname)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise

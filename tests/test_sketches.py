@@ -865,3 +865,25 @@ def test_quantile_hist_constant_group_bins_identically(spark, tmp_path):
     assert len(const_rows) == 3
     for flag, p, exact, est, abs_err in const_rows:
         assert exact == 7.25 and est == 7.25 and abs_err == 0.0
+
+
+def test_streaming_hdr_parity_matches_batch_oracle(spark, oracle_sf_dir):
+    # The staged r9 parity function end-to-end: two file drops folded
+    # one per micro-batch must equal the batch HDR cell oracle — the
+    # exact compare the driver will run when r9 registers it.
+    import duckdb
+
+    from dariadb_spark.ext.sketches import STREAMING_HDR_CELLS_SQL
+    from dariadb_spark.streaming.sketch import streaming_hdr_parity
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/events.parquet')"
+    )
+    rows = sorted(
+        tuple(r) for r in streaming_hdr_parity(spark, oracle_sf_dir).collect()
+    )
+    oracle = sorted(map(tuple, con.execute(STREAMING_HDR_CELLS_SQL).fetchall()))
+    con.close()
+    assert rows == oracle and len(rows) > 0

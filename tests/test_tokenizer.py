@@ -141,3 +141,39 @@ def test_learn_bpe_arbitrary_rounds_matches_python_reference(
     ref, _ = _py_bpe(dict(Counter(words)), 10)
     assert got == ref
     assert len(got) == 10
+
+
+def test_bpe_bar_words_dropped_identically(spark, tmp_path):
+    # The bar-delimited encoding's precondition is ENFORCED, not
+    # assumed (r7 ADVICE): a corpus word containing '|' is dropped from
+    # the vocabulary in both engines, so the learned merges equal those
+    # of the bar-free corpus — and parity still holds.
+    import duckdb
+
+    from dariadb_spark.ext.tokenizer import BPE_LEARN_SQL, bpe_learn
+
+    rows = [
+        (1, "aa bb aa bb aa", "en", "s", 14),
+        (2, "aa x|y aa bb x|y", "en", "s", 16),  # '|' words must drop
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    d = str(tmp_path / "sfbar")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = [tuple(r) for r in bpe_learn(spark, d).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(BPE_LEARN_SQL).fetchall()]
+    con.close()
+    assert got == oracle
+    # merges come from the bar-free vocab {aa: 5, bb: 3} only:
+    # round 1 merges ('a', 'a') with weight 5
+    assert got[0][1:] == ("a a", "aa", 5)
+    assert all("|" not in merged for (_r, _p, merged, _c) in got)
