@@ -1,0 +1,163 @@
+"""[EXT] trainable quality classifier — logistic regression over the
+embedding table by full-batch gradient descent, the fasttext-style
+scorer a training-data pipeline fits to triage documents before the
+expensive stages (north_star "quality scoring", learning variant).
+
+STAGED for the round-9 driver window (round-8's is full): two GD steps
+unroll into deterministic SQL exactly like the 2-round k-means
+(ext/similarity.py) — the "iterative algorithms are rows-only" escape
+hatch stays closed for training too.
+
+Spark-first shape (the MLlib LBFGS/GD skeleton): each step is ONE
+corpus scan producing 64 per-dimension gradient partial sums (posexplode
+→ groupBy(pos), map-side combined to ≤64 rows per partition), and the
+refreshed weight vector flows back as a broadcast single-row array — at
+100 TB a step costs one scan + a KB-sized broadcast, independent of the
+step count. No Python touches a row.
+
+Determinism recipe: gradients use the round(sum, 6)/n aggregate the
+k-means M-step pinned; dot products are sequential folds (identical in
+both engines); sigmoid/log go through round(·, 6)/round(·, 4) so a
+last-ulp exp/ln difference cannot flip a compared digit (same tolerance
+class as pow() in the KMV estimator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import load_table
+
+LR_ETA = 1.0
+LR_DIM = 64
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per GD step (0 = the zero init, 1, 2): log-loss, accuracy, and
+    weight-vector norm for the binary target ``label < 5`` — the
+    learning curve IS the checked result (loss must fall, accuracy must
+    beat the base rate; pinned in tests)."""
+    emb = load_table(spark, sf, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
+        "CAST(label < 5 AS INT) AS y",
+    )
+    n_row = emb.count()
+
+    def _grad(p_expr: str) -> list[float]:
+        """One full-batch gradient: 64 per-dim round(sum,6)/n values."""
+        rows = (
+            emb.selectExpr("e", "y", f"{p_expr} AS p")
+            .selectExpr("posexplode(e) AS (pos, x)", "p", "y")
+            .groupBy("pos")
+            .agg((F.round(F.sum(F.expr("x * (p - y)")), 6) / n_row).alias("g"))
+            .collect()
+        )
+        by_pos = {int(r.pos): float(r.g) for r in rows}
+        return [by_pos[i] for i in range(LR_DIM)]
+
+    def _lit(w: list[float]) -> str:
+        return f"array({', '.join(repr(x) for x in w)})"
+
+    def _metrics(step: int, w: list[float], p_expr: str):
+        wn = 0.0
+        for x in w:  # sequential fold == the engines' list folds
+            wn += x * x
+        return (
+            emb.selectExpr("y", f"{p_expr} AS p")
+            .selectExpr(
+                "y", "p",
+                "CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS pred",
+                "-(y * ln(p) + (1 - y) * ln(1 - p)) AS ll",
+            )
+            .groupBy()
+            .agg(
+                F.expr("round(avg(ll), 4)").alias("log_loss"),
+                F.expr("round(avg(CAST(pred = y AS DOUBLE)), 4)").alias(
+                    "accuracy"
+                ),
+            )
+            .selectExpr(
+                f"{step}L AS step", "log_loss", "accuracy",
+                f"round(sqrt({repr(wn)}), 4) AS w_norm",
+            )
+        )
+
+    p0 = "CAST(0.5 AS DOUBLE)"
+    w1 = [-LR_ETA * g for g in _grad(p0)]
+    def _p(w: list[float]) -> str:
+        # clamp into [1e-6, 1 - 1e-6]: a post-round p of exactly 0/1
+        # would make ln() blow up, identically in both engines
+        return (
+            "least(0.999999d, greatest(0.000001d, "
+            "round(1.0d / (1.0d + exp(-round("
+            + _DOT.format(a="e", b=_lit(w))
+            + ", 6))), 6)))"
+        )
+
+    p1 = _p(w1)
+    w2 = [a - LR_ETA * g for a, g in zip(w1, _grad(p1))]
+    p2 = _p(w2)
+    out = (
+        _metrics(0, [0.0] * LR_DIM, p0)
+        .unionByName(_metrics(1, w1, p1))
+        .unionByName(_metrics(2, w2, p2))
+        .orderBy("step")
+    )
+    return out
+
+
+TRAIN_QUALITY_LR_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                    CAST(label < 5 AS INT) AS y
+             FROM embeddings),
+n AS (SELECT count(*) AS n, sum(y) AS ny FROM emb),
+g1 AS (SELECT gs.i AS pos,
+              round(sum(e[gs.i] * (0.5 - y)), 6) / (SELECT n FROM n) AS g
+       FROM emb CROSS JOIN generate_series(1, {LR_DIM}) gs(i)
+       GROUP BY gs.i),  -- g IS the gradient at p = 0.5 (p - y = 0.5 - y)
+w1 AS (SELECT list(-{LR_ETA} * g ORDER BY pos) AS w FROM g1),
+p1 AS (SELECT e, y,
+              least(0.999999, greatest(0.000001,
+                    round(1.0 / (1.0 + exp(-round(
+                          list_dot_product(e, (SELECT w FROM w1)), 6))), 6)))
+                AS p
+       FROM emb),
+g2 AS (SELECT gs.i AS pos,
+              round(sum(e[gs.i] * (p - y)), 6) / (SELECT n FROM n) AS g
+       FROM p1 CROSS JOIN generate_series(1, {LR_DIM}) gs(i)
+       GROUP BY gs.i),
+w2 AS (SELECT list(w1e - {LR_ETA} * g2.g ORDER BY g2.pos) AS w
+       FROM g2 JOIN (SELECT unnest(w) AS w1e,
+                            generate_subscripts(w, 1) AS pos
+                     FROM w1) u ON u.pos = g2.pos),
+p2 AS (SELECT e, y,
+              least(0.999999, greatest(0.000001,
+                    round(1.0 / (1.0 + exp(-round(
+                          list_dot_product(e, (SELECT w FROM w2)), 6))), 6)))
+                AS p
+       FROM emb),
+m0 AS (SELECT CAST(0 AS BIGINT) AS step,
+              round(-ln(0.5), 4) AS log_loss,
+              round(1.0 - (SELECT ny FROM n) * 1.0 / (SELECT n FROM n), 4)
+                AS accuracy,
+              round(0.0, 4) AS w_norm
+       FROM (SELECT 1)),
+m1 AS (SELECT CAST(1 AS BIGINT) AS step,
+              round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS log_loss,
+              round(avg(CAST((CASE WHEN p > 0.5 THEN 1 ELSE 0 END) = y
+                        AS DOUBLE)), 4) AS accuracy,
+              (SELECT round(sqrt(list_dot_product(w, w)), 4) FROM w1)
+                AS w_norm
+       FROM p1),
+m2 AS (SELECT CAST(2 AS BIGINT) AS step,
+              round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS log_loss,
+              round(avg(CAST((CASE WHEN p > 0.5 THEN 1 ELSE 0 END) = y
+                        AS DOUBLE)), 4) AS accuracy,
+              (SELECT round(sqrt(list_dot_product(w, w)), 4) FROM w2)
+                AS w_norm
+       FROM p2)
+SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2
+ORDER BY step"""

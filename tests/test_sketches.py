@@ -887,3 +887,34 @@ def test_streaming_hdr_parity_matches_batch_oracle(spark, oracle_sf_dir):
     oracle = sorted(map(tuple, con.execute(STREAMING_HDR_CELLS_SQL).fetchall()))
     con.close()
     assert rows == oracle and len(rows) > 0
+
+
+def test_train_quality_lr_parity_and_learning_curve(spark, oracle_sf_dir):
+    # Staged r9 operator: distributed logistic-regression training with
+    # the 2-step unrolled oracle. Parity (the driver compare) plus the
+    # claims that make it a TRAINER: log-loss strictly falls across
+    # steps and accuracy beats the base rate after step 1.
+    import duckdb
+
+    from dariadb_spark.ext.train import (
+        TRAIN_QUALITY_LR_SQL,
+        train_quality_lr,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/embeddings.parquet')"
+    )
+    rows = [tuple(r) for r in train_quality_lr(spark, oracle_sf_dir).collect()]
+    oracle = [tuple(r) for r in con.execute(TRAIN_QUALITY_LR_SQL).fetchall()]
+    con.close()
+    assert rows == oracle
+    assert [r[0] for r in rows] == [0, 1, 2]
+    losses = [r[1] for r in rows]
+    accs = [r[2] for r in rows]
+    norms = [r[3] for r in rows]
+    assert losses[0] == 0.6931  # ln 2 at the zero init
+    assert losses[2] < losses[1] < losses[0]
+    assert accs[1] > accs[0] and accs[1] > 0.55  # beats the base rate
+    assert norms[0] == 0.0 and norms[2] > norms[1] > 0.0
