@@ -161,3 +161,55 @@ m2 AS (SELECT CAST(2 AS BIGINT) AS step,
        FROM p2)
 SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2
 ORDER BY step"""
+
+
+def train_lr(
+    emb: DataFrame, steps: int, eta: float = LR_ETA
+) -> tuple[list[float], list[dict]]:
+    """Production LR training for an ARBITRARY step count — the library
+    entry point behind the 2-step oracled query (the learn_bpe
+    pattern: the unrolled version exists so DuckDB can replay it; real
+    training runs as many steps as the curve needs).
+
+    ``emb``: (e ARRAY<DOUBLE>, y INT). Each step = one aggregate over
+    the corpus (64 per-dim gradient sums, map-side combined) + one
+    driver round-trip for the 512-byte weight vector — the per-
+    iteration cost every distributed GD pays, independent of corpus
+    size. Returns (final weights, per-step metrics dicts)."""
+    n_row = emb.count()
+    dim = len(emb.select("e").first().e)
+    w = [0.0] * dim
+    history: list[dict] = []
+    for step in range(1, steps + 1):
+        if w == [0.0] * dim:
+            p_expr = "CAST(0.5 AS DOUBLE)"
+        else:
+            lit = f"array({', '.join(repr(x) for x in w)})"
+            p_expr = (
+                "least(0.999999d, greatest(0.000001d, "
+                "round(1.0d / (1.0d + exp(-round("
+                + _DOT.format(a="e", b=lit)
+                + ", 6))), 6)))"
+            )
+        rows = (
+            emb.selectExpr("e", "y", f"{p_expr} AS p")
+            .selectExpr("posexplode(e) AS (pos, x)", "p", "y")
+            .groupBy("pos")
+            .agg(
+                (F.round(F.sum(F.expr("x * (p - y)")), 6) / n_row).alias("g"),
+                F.expr(
+                    "round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4)"
+                ).alias("ll"),
+                F.expr(
+                    "round(avg(CAST((CASE WHEN p > 0.5 THEN 1 ELSE 0 END)"
+                    " = y AS DOUBLE)), 4)"
+                ).alias("acc"),
+            )
+            .collect()
+        )
+        by_pos = {int(r.pos): float(r.g) for r in rows}
+        history.append(
+            {"step": step, "log_loss": rows[0].ll, "accuracy": rows[0].acc}
+        )
+        w = [w[i] - eta * by_pos[i] for i in range(dim)]
+    return w, history

@@ -918,3 +918,31 @@ def test_train_quality_lr_parity_and_learning_curve(spark, oracle_sf_dir):
     assert losses[2] < losses[1] < losses[0]
     assert accs[1] > accs[0] and accs[1] > 0.55  # beats the base rate
     assert norms[0] == 0.0 and norms[2] > norms[1] > 0.0
+
+
+def test_train_lr_arbitrary_steps_keeps_learning(spark, oracle_sf_dir):
+    # The production trainer at a depth the unrolled oracle can't
+    # express (8 steps): the loss at the end is below both the zero
+    # init (ln 2) AND the 2-step oracled query's final loss, and the
+    # first two steps' metrics equal the oracled query's rows (the
+    # production loop IS the unrolled computation, continued).
+    from dariadb_spark.ext.train import train_lr, train_quality_lr
+    from dariadb_spark.model import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings").selectExpr(
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
+        "CAST(label < 5 AS INT) AS y",
+    )
+    w, hist = train_lr(emb, 8)
+    assert len(hist) == 8 and len(w) == 64
+    # metrics at step k are evaluated BEFORE applying step k's update,
+    # i.e. hist[k] corresponds to the oracled query's step-(k-1) row
+    oracle_rows = {
+        r.step: r for r in train_quality_lr(spark, oracle_sf_dir).collect()
+    }
+    assert hist[0]["log_loss"] == oracle_rows[0].log_loss
+    assert hist[1]["log_loss"] == oracle_rows[1].log_loss
+    assert hist[2]["log_loss"] == oracle_rows[2].log_loss
+    losses = [h["log_loss"] for h in hist]
+    assert losses[-1] < losses[2] < losses[0]
+    assert hist[-1]["accuracy"] >= hist[1]["accuracy"]
