@@ -744,10 +744,12 @@ if "ext_sketch_cms_topk" in REGISTRY:
 # flag mask, as-of timepoint, current value, min/max time, stat block.
 # r9 plan, pre-computed: the 50 r6-latest queries minus the seven
 # re-attested here (six core verbs + `ext_sim_ann_lsh`) = 43 rotation
-# slots, plus the three staged r9 operators (`sketch_rollup_quantile`,
-# `sim_ann_pq`, the `streaming_hdr_cells` parity) ≈ 46 of 50 — rotate
-# them a round before their stale line and fill the rest with
-# never-freshest rows.
+# slots, plus the four staged r9 operators (`sketch_rollup_quantile`,
+# `sim_ann_pq`, `train_quality_lr`, `streaming_hdr_parity` — each
+# already oracle-hash-matched at BOTH sf0.01 and sf0.1 this round, so
+# registration is just the register() call + a window slot) = 47 of
+# 50 — rotate them a round before their stale line and fill the rest
+# with never-freshest rows.
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
