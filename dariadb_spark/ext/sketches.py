@@ -1119,3 +1119,88 @@ b AS (SELECT flag,
 SELECT flag, bucket, count(*) AS cnt
 FROM b GROUP BY flag, bucket
 ORDER BY flag, bucket"""
+
+
+# --- hierarchical CMS rollup: per-shard cells → merged heavy hitters ------
+# STAGED for round 9/10 like sketch_rollup_quantile — the frequency twin
+# of the quantile rollup: per-shard CMS cell tables (the summaries a
+# sharded 100 TB ingest would persist) merge by cell-wise addition into
+# the corpus sketch, and the heavy-hitter read off the MERGED cells must
+# equal the single-build estimate (CMS linearity, here as a checked
+# query rather than a unit test). At scale the shard tables are ≤1024
+# rows each; corpus-wide heavy hitters across any shard subset are
+# arithmetic over them — no re-scan.
+
+CMS_SHARDS = 4
+
+
+def sketch_cms_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K corpus bigrams estimated from the SHARD-MERGED sketch:
+    (bg, exact_cnt, cms_est, overcount, n_shards) — cms_est must carry
+    the same one-sided error contract as the direct build (est ≥ exact,
+    collisions visible), with the sketch assembled purely from per-shard
+    cell tables."""
+    docs = load_table(spark, sf, "documents")
+    occ = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    ).selectExpr("doc_id", "lang", f"explode({_BG_SPARK}) AS bg")
+    depth_fanout = (
+        "explode(array("
+        + ", ".join(f"{d}L" for d in range(CMS_DEPTH))
+        + ")) AS depth"
+    )
+    cell_hash = _h60_spark("concat(cast(depth AS string), ':', bg)")
+    cell = f"{cell_hash} % {CMS_WIDTH}"
+    shard_cells = (
+        occ.selectExpr(f"doc_id % {CMS_SHARDS} AS shard", "bg")
+        .selectExpr("shard", "bg", depth_fanout)
+        .selectExpr("shard", "depth", f"{cell} AS bucket")
+        .groupBy("shard", "depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = shard_cells.groupBy("depth", "bucket").agg(
+        F.sum("cnt").alias("bcnt")
+    )
+    n_shards = shard_cells.select("shard").distinct().count()
+    counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("bg")).limit(CMS_TOPK)
+    return (
+        top.selectExpr("bg", "cnt", depth_fanout)
+        .selectExpr("bg", "cnt", "depth", f"{cell} AS bucket")
+        .join(F.broadcast(merged), ["depth", "bucket"])
+        .groupBy("bg", "cnt")
+        .agg(F.min("bcnt").alias("cms_est"))
+        .selectExpr(
+            "bg",
+            "cnt AS exact_cnt",
+            "cms_est",
+            "cms_est - cnt AS overcount",
+            f"{n_shards}L AS n_shards",
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("bg"))
+    )
+
+
+SKETCH_CMS_ROLLUP_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id,
+              unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+       FROM tok WHERE len(w) >= 2),
+depths AS (SELECT unnest(range({CMS_DEPTH})) AS depth),
+shard_cells AS (
+  SELECT doc_id % {CMS_SHARDS} AS shard, depth,
+         {_CMS_CELL_DUCK} AS bucket, count(*) AS cnt
+  FROM bg, depths GROUP BY shard, depth, bucket),
+merged AS (SELECT depth, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+           FROM shard_cells GROUP BY depth, bucket),
+ns AS (SELECT count(DISTINCT shard) AS n_shards FROM shard_cells),
+counts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+top AS (SELECT bg, cnt FROM counts ORDER BY cnt DESC, bg ASC LIMIT {CMS_TOPK}),
+coords AS (SELECT bg, cnt, depth, {_CMS_CELL_DUCK} AS bucket
+           FROM top, depths)
+SELECT c.bg AS bg, c.cnt AS exact_cnt, min(m.bcnt) AS cms_est,
+       min(m.bcnt) - c.cnt AS overcount,
+       (SELECT n_shards FROM ns) AS n_shards
+FROM coords c JOIN merged m ON c.depth = m.depth AND c.bucket = m.bucket
+GROUP BY c.bg, c.cnt
+ORDER BY exact_cnt DESC, bg ASC"""

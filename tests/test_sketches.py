@@ -946,3 +946,35 @@ def test_train_lr_arbitrary_steps_keeps_learning(spark, oracle_sf_dir):
     losses = [h["log_loss"] for h in hist]
     assert losses[-1] < losses[2] < losses[0]
     assert hist[-1]["accuracy"] >= hist[1]["accuracy"]
+
+
+def test_sketch_cms_rollup_parity_and_merge_equivalence(
+    spark, oracle_sf_dir
+):
+    # Staged operator: heavy hitters read off the SHARD-MERGED sketch.
+    # DuckDB parity, plus CMS linearity as a checked equivalence: the
+    # merged-cell estimates equal the direct single-build estimates for
+    # every top-K bigram, and the one-sided error contract holds.
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        SKETCH_CMS_ROLLUP_SQL,
+        sketch_cms_rollup,
+        sketch_cms_topk,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    rows = sketch_cms_rollup(spark, oracle_sf_dir).collect()
+    oracle = con.execute(SKETCH_CMS_ROLLUP_SQL).fetchall()
+    con.close()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, oracle))
+    assert len(rows) == 20
+    assert all(r.n_shards == 4 and r.overcount >= 0 for r in rows)
+    direct = {
+        r.bg: r.cms_est for r in sketch_cms_topk(spark, oracle_sf_dir).collect()
+    }
+    assert {r.bg: r.cms_est for r in rows} == direct  # linearity
