@@ -20,6 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
@@ -421,3 +422,111 @@ register("ext_media_meta", media_meta, MEDIA_META_SQL)
 register("ext_media_frames", media_frames, MEDIA_FRAMES_SQL)
 register("ext_media_resize_plan", media_resize_plan, MEDIA_RESIZE_SQL)
 register("ext_media_phash_dedup", media_phash_dedup, MEDIA_PHASH_SQL)
+
+
+# --- video keyframe selection (temporal frame dedup) ----------------------
+# STAGED for a future driver window (r8's is full): the frame-sampling
+# step a video pipeline runs before storing/captioning — drop frames
+# near-identical to their predecessor, keep scene changes. The Spark
+# machinery is the real thing (per-video ordered windows, signature
+# XOR, Hamming threshold — identical to what real aHashes need); the
+# SIGNATURES come from the deterministic stub decoder model, same
+# contract as decode_media: consecutive frames within a scene differ by
+# one jitter bit (Hamming ≤ 2, below threshold), scene cuts draw a
+# fresh 60-bit signature (expected Hamming ≈ 30). A real codec swaps
+# the signature expression for the per-frame aHash and keeps every
+# window/threshold below unchanged.
+
+KEYFRAME_HAMMING = 3
+
+
+def media_keyframes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per video frame: scene id, Hamming distance to the previous
+    frame's signature (NULL for frame 0), and the keyframe verdict
+    (frame 0 or distance > KEYFRAME_HAMMING)."""
+    from dariadb_spark.ext.hashes import _h60_spark
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.where("doc_id % 3 = 2").selectExpr(
+        "doc_id", "sha2(text, 256) AS h"
+    ).selectExpr(
+        "doc_id", "h",
+        "1 + CAST(conv(substring(h, 5, 2), 16, 10) AS INT) % 4 AS n_frames",
+    )
+    frames = base.selectExpr(
+        "doc_id", "h", "explode(sequence(0, n_frames - 1)) AS frame_idx"
+    ).selectExpr(
+        "doc_id", "h", "frame_idx",
+        # a scene cut happens at frame f ≥ 1 when its hash digit is even
+        "CASE WHEN frame_idx = 0 THEN 0 "
+        "WHEN CAST(conv(substring(h, 7 + 2 * frame_idx, 2), 16, 10)"
+        " AS INT) % 2 = 0 THEN 1 ELSE 0 END AS cut",
+        "CAST(conv(substring(h, 15 + 2 * frame_idx, 2), 16, 10)"
+        " AS INT) % 60 AS jitter",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sig_base = _h60_spark("concat(h, ':', CAST(scene AS STRING))")
+    sigs = (
+        frames.select(
+            "doc_id", "h", "frame_idx", "jitter",
+            F.sum("cut").over(wc).alias("scene"),
+        )
+        .selectExpr(
+            "doc_id", "frame_idx", "scene",
+            f"{sig_base} ^ shiftleft(1L, jitter) AS sig",
+        )
+    )
+    return (
+        sigs.select(
+            "doc_id", "frame_idx", "scene",
+            F.expr("bit_count(sig ^ lag(sig) OVER "
+                   "(PARTITION BY doc_id ORDER BY frame_idx))")
+            .cast("int").alias("hamming_prev"),
+        )
+        .selectExpr(
+            "doc_id", "frame_idx", "scene", "hamming_prev",
+            "CAST(frame_idx = 0 OR hamming_prev > "
+            f"{KEYFRAME_HAMMING} AS INT) AS is_keyframe",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def _kf_oracle_sql() -> str:
+    from dariadb_spark.ext.hashes import _h60_duck
+
+    sig = _h60_duck("h || ':' || CAST(scene AS VARCHAR)")
+    return f"""
+WITH v AS (SELECT doc_id, sha256(text) AS h FROM documents
+           WHERE doc_id % 3 = 2),
+b AS (SELECT doc_id, h,
+             1 + CAST(('0x' || h[5:6]) AS INT) % 4 AS n_frames FROM v),
+f AS (SELECT doc_id, h, CAST(unnest(range(n_frames)) AS INT) AS frame_idx
+      FROM b),
+c AS (SELECT doc_id, h, frame_idx,
+             CASE WHEN frame_idx = 0 THEN 0
+                  WHEN CAST(('0x' || h[7 + 2 * frame_idx : 8 + 2 * frame_idx])
+                       AS INT) % 2 = 0 THEN 1 ELSE 0 END AS cut,
+             CAST(('0x' || h[15 + 2 * frame_idx : 16 + 2 * frame_idx])
+                  AS INT) % 60 AS jitter
+      FROM f),
+s AS (SELECT doc_id, h, frame_idx, jitter,
+             CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS scene
+      FROM c),
+g AS (SELECT doc_id, frame_idx, scene,
+             xor({sig}, CAST(1 AS BIGINT) << jitter) AS sig
+      FROM s),
+d AS (SELECT doc_id, frame_idx, scene,
+             CAST(bit_count(xor(sig, lag(sig) OVER (PARTITION BY doc_id
+                                ORDER BY frame_idx))) AS INT) AS hamming_prev
+      FROM g)
+SELECT doc_id, frame_idx, scene, hamming_prev,
+       CAST(frame_idx = 0 OR hamming_prev > {KEYFRAME_HAMMING}
+            AS INT) AS is_keyframe
+FROM d ORDER BY doc_id, frame_idx"""
+
+
+MEDIA_KEYFRAMES_SQL = _kf_oracle_sql()

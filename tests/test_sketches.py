@@ -978,3 +978,42 @@ def test_sketch_cms_rollup_parity_and_merge_equivalence(
         r.bg: r.cms_est for r in sketch_cms_topk(spark, oracle_sf_dir).collect()
     }
     assert {r.bg: r.cms_est for r in rows} == direct  # linearity
+
+
+def test_media_keyframes_parity_and_semantics(spark, oracle_sf_dir):
+    # Staged operator: video keyframe selection (temporal frame dedup).
+    # DuckDB parity plus the selection semantics: frame 0 always keeps;
+    # a kept non-first frame crossed the Hamming threshold (a scene
+    # cut); a dropped frame stayed within the in-scene jitter bound.
+    import duckdb
+
+    from dariadb_spark.ext.multimodal import (
+        KEYFRAME_HAMMING,
+        MEDIA_KEYFRAMES_SQL,
+        media_keyframes,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    rows = media_keyframes(spark, oracle_sf_dir).collect()
+    oracle = con.execute(MEDIA_KEYFRAMES_SQL).fetchall()
+    con.close()
+    key = lambda t: (t[0], t[1])
+    assert sorted(map(tuple, rows), key=key) == sorted(
+        map(tuple, oracle), key=key
+    )
+    assert len(rows) > 100
+    dropped = kept_cuts = 0
+    for r in rows:
+        if r.frame_idx == 0:
+            assert r.is_keyframe == 1 and r.hamming_prev is None
+        elif r.is_keyframe:
+            assert r.hamming_prev > KEYFRAME_HAMMING
+            kept_cuts += 1
+        else:
+            assert r.hamming_prev <= 2  # two jitter bits at most
+            dropped += 1
+    assert dropped > 20 and kept_cuts > 20  # both paths exercised
