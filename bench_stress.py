@@ -695,6 +695,67 @@ def stress_kmv_prefilter(spark) -> tuple[float, float, int]:
     return full_s, pre_s, n_surv
 
 
+COMPACT_APPENDS = 120
+COMPACT_ROWS_PER = 10_000
+COMPACT_SERIES = 200
+
+
+def stress_store_compaction(spark) -> tuple[float, float, int, int]:
+    """The WAL→page operational story with measured read amplification:
+    120 small appends (1.2M rows / 200 series over 3 days — the
+    many-small-deltas state a live ingest accumulates) leave the store
+    with hundreds of tiny files; a targeted read_interval is timed
+    against that state, then after ``compact()`` (sorted single-file
+    days = the reference's page drop). Asserts the result sets are
+    IDENTICAL and returns (pre_s, post_s, files_pre, files_post) — the
+    file-count collapse is the claim, the timing is the evidence."""
+    import pathlib
+    import tempfile
+
+    from dariadb_spark.engine import TsEngine
+
+    root = tempfile.mkdtemp(prefix="dariadb_compact_stress_")
+    eng = TsEngine.open(spark, root)
+    base_ms = 1_700_000_000_000
+    per_append = COMPACT_ROWS_PER
+    for k in range(COMPACT_APPENDS):
+        rows = spark.range(per_append).selectExpr(
+            f"id % {COMPACT_SERIES} AS id",
+            f"{base_ms}L + ({k}L * {per_append} + id) * 200 AS time",
+            f"CAST((id % 97) / 4.0 AS DOUBLE) AS value",
+            "1L AS flag",
+        )
+        eng.append(rows)
+
+    def _count_files() -> int:
+        return sum(
+            1
+            for p in pathlib.Path(root, "data").rglob("*.parquet")
+            if p.is_file()
+        )
+
+    def _probe() -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = eng.read_interval(
+            list(range(0, 20)),
+            base_ms,
+            base_ms + 400_000_000,
+        ).count()
+        return time.perf_counter() - t0, n
+
+    files_pre = _count_files()
+    pre_s, n_pre = _probe()
+    eng.compact()
+    files_post = _count_files()
+    post_s, n_post = _probe()
+    assert n_pre == n_post and n_pre > 0, (n_pre, n_post)
+    assert files_post < files_pre / 10, (files_pre, files_post)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return pre_s, post_s, files_pre, files_post
+
+
 PQ_CORPUS = 500_000
 PQ_QUERIES = 10
 
@@ -961,6 +1022,7 @@ def main() -> None:
     kmv_full_s, kmv_pre_s, kmv_surv = stress_kmv_prefilter(spark)
     hdr_s, hdr_buckets, hdr_err = stress_hdr_quantile_onepass(spark)
     pq_s, pq_cand, pq_cent = stress_pq_encode(spark)
+    cp_pre, cp_post, cp_fpre, cp_fpost = stress_store_compaction(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
     print(
         json.dumps(
@@ -984,6 +1046,8 @@ def main() -> None:
                     "kmv_prefilter_20m": round(kmv_pre_s, 4),
                     "hdr_sketch_20m": round(hdr_s, 4),
                     "pq_encode_500k": round(pq_s, 4),
+                    "store_read_precompact_1m2": round(cp_pre, 4),
+                    "store_read_postcompact_1m2": round(cp_post, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -995,6 +1059,8 @@ def main() -> None:
                 "hdr_p99_rel_err_pct": hdr_err,
                 "pq_candidates": pq_cand,
                 "pq_centroids": pq_cent,
+                "compact_files_pre": cp_fpre,
+                "compact_files_post": cp_fpost,
                 "grid_rows": grid_rows,
                 "incremental_verdicts": inc_counts,
                 "ann_top1_hits": ann_hits,
