@@ -425,7 +425,7 @@ register("ext_media_phash_dedup", media_phash_dedup, MEDIA_PHASH_SQL)
 
 
 # --- video keyframe selection (temporal frame dedup) ----------------------
-# STAGED for a future driver window (r8's is full): the frame-sampling
+# Registered round 9 (staged while r8's window was full): the frame-sampling
 # step a video pipeline runs before storing/captioning — drop frames
 # near-identical to their predecessor, keep scene changes. The Spark
 # machinery is the real thing (per-video ordered windows, signature
@@ -530,3 +530,5 @@ FROM d ORDER BY doc_id, frame_idx"""
 
 
 MEDIA_KEYFRAMES_SQL = _kf_oracle_sql()
+
+register("ext_media_keyframes", media_keyframes, MEDIA_KEYFRAMES_SQL)

@@ -878,8 +878,8 @@ register("ext_sim_ann_lsh", sim_ann_lsh, SIM_ANN_LSH_SQL)
 
 
 # --- product-quantization ANN (asymmetric distance computation) -----------
-# STAGED for the round-9 driver window (round-8's is full; the staging
-# every late operator goes through). PQ is the MEMORY half of the ANN
+# Registered round 9 (staged through round 8 while that window was full —
+# the staging every late operator goes through). PQ is the MEMORY half of the ANN
 # story the LSH/IVF variants leave open: the index stores M=4 sub-codes
 # per vector (4 bytes at K≤256) instead of 64 float64s (512 B) — 128×
 # smaller, which is what lets a 100 TB embedding corpus serve from RAM.
@@ -1043,3 +1043,5 @@ JOIN n nq ON t.q_id = nq.vec_id
 JOIN n nv ON t.vec_id = nv.vec_id
 WHERE t.rk <= {TOP_K}
 ORDER BY q_id, rk"""
+
+register("ext_sim_ann_pq", sim_ann_pq, SIM_ANN_PQ_SQL)

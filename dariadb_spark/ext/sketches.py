@@ -945,8 +945,8 @@ register("ext_sketch_quantile", sketch_quantile, SKETCH_QUANTILE_SQL)
 
 
 # --- hierarchical sketch rollup: daily HDR cells → global quantile --------
-# STAGED for the round-9 driver window (round-8's is full; same staging
-# the quantile sketches themselves went through). This is mergeability
+# Registered round 9 (staged through round 8 while that window was full;
+# same staging the quantile sketches themselves went through). This is mergeability
 # as a first-class QUERY rather than a unit test: per-(id, day) HDR
 # bucket tables — the tiny materialized summaries a 100 TB deployment
 # would actually persist — are merged by plain count addition into the
@@ -1122,7 +1122,7 @@ ORDER BY flag, bucket"""
 
 
 # --- hierarchical CMS rollup: per-shard cells → merged heavy hitters ------
-# STAGED for round 9/10 like sketch_rollup_quantile — the frequency twin
+# Registered round 9 like sketch_rollup_quantile — the frequency twin
 # of the quantile rollup: per-shard CMS cell tables (the summaries a
 # sharded 100 TB ingest would persist) merge by cell-wise addition into
 # the corpus sketch, and the heavy-hitter read off the MERGED cells must
@@ -1204,3 +1204,6 @@ SELECT c.bg AS bg, c.cnt AS exact_cnt, min(m.bcnt) AS cms_est,
 FROM coords c JOIN merged m ON c.depth = m.depth AND c.bucket = m.bucket
 GROUP BY c.bg, c.cnt
 ORDER BY exact_cnt DESC, bg ASC"""
+
+register("ext_sketch_rollup_quantile", sketch_rollup_quantile, SKETCH_ROLLUP_QUANTILE_SQL)
+register("ext_sketch_cms_rollup", sketch_cms_rollup, SKETCH_CMS_ROLLUP_SQL)

@@ -3,10 +3,10 @@ embedding table by full-batch gradient descent, the fasttext-style
 scorer a training-data pipeline fits to triage documents before the
 expensive stages (north_star "quality scoring", learning variant).
 
-STAGED for the round-9 driver window (round-8's is full): two GD steps
-unroll into deterministic SQL exactly like the 2-round k-means
-(ext/similarity.py) — the "iterative algorithms are rows-only" escape
-hatch stays closed for training too.
+Registered round 9 (staged through round 8 while that window was full):
+two GD steps unroll into deterministic SQL exactly like the 2-round
+k-means (ext/similarity.py) — the "iterative algorithms are rows-only"
+escape hatch stays closed for training too.
 
 Spark-first shape (the MLlib LBFGS/GD skeleton): each step is ONE
 corpus scan producing 64 per-dimension gradient partial sums (posexplode
@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dariadb_spark.model import load_table
+from dariadb_spark.registry import register
 
 LR_ETA = 1.0
 LR_DIM = 64
@@ -161,6 +162,8 @@ m2 AS (SELECT CAST(2 AS BIGINT) AS step,
        FROM p2)
 SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2
 ORDER BY step"""
+
+register("ext_train_quality_lr", train_quality_lr, TRAIN_QUALITY_LR_SQL)
 
 
 def train_lr(

@@ -202,27 +202,22 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-8: the changed-values LSH re-attestation leads (r7 VERDICT
-    # "what's wrong" #1), then the seven new queries, the r5-stale
-    # rotation block, and six core-verb fillers close
-    assert CHECK_WINDOW[0] == "ext_sim_ann_lsh"
-    assert CHECK_WINDOW[1] == "ext_sketch_quantile_hist"
-    assert CHECK_WINDOW[2] == "ext_sketch_quantile_hdr"
-    assert CHECK_WINDOW[3] == "ext_sketch_quantile"
-    assert CHECK_WINDOW[4] == "ext_decontaminate_bloom"
-    assert CHECK_WINDOW[5] == "ext_bpe_learn"
-    assert CHECK_WINDOW[6] == "ext_bpe_token_stats"
-    assert CHECK_WINDOW[7] == "streaming_sketch_parity"
-    assert CHECK_WINDOW[8] == "bucket_minute30"
-    # every r5-latest query from the attestation ledger is in-window
-    for stale in ("fn_average", "fn_sum", "partition_file_stats",
-                  "scheme_pattern_scan", "ext_text_redact", "bucket_week"):
-        assert stale in CHECK_WINDOW, stale
-    # the core reference verbs close the window
-    assert CHECK_WINDOW[-6:] == [
-        "interval_scan", "interval_scan_flag", "timepoint_asof",
-        "current_value", "min_max_time", "stat_block",
+    # round-9: the six round-8-staged operators lead (r8 VERDICT item 1
+    # — never ship a NEW query outside the window), then the r6-stale
+    # rotation block, and the interval_scan core-verb filler closes
+    assert CHECK_WINDOW[:6] == [
+        "ext_sim_ann_pq", "ext_train_quality_lr",
+        "ext_sketch_rollup_quantile", "ext_sketch_cms_rollup",
+        "streaming_hdr_parity", "ext_media_keyframes",
     ]
+    # every r6-latest query from the attestation ledger is in-window
+    for stale in ("bucket_hour", "erase_old_check", "fn_all",
+                  "load_min_max", "scheme_resolve",
+                  "partition_file_stats_multi", "ext_text_pii_scan",
+                  "ext_dedup_minhash_lsh", "ext_sim_ann_ivf"):
+        assert stale in CHECK_WINDOW, stale
+    # the core reference verb closes the window
+    assert CHECK_WINDOW[-1] == "interval_scan"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 143
