@@ -905,13 +905,15 @@ _PQ_D2 = (
 )
 
 
-def sim_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
-    """PQ/ADC top-k: learn per-subspace codebooks (init = first PQ_K
-    vectors' sub-vectors, one unrolled Lloyd refinement — the
-    sim_kmeans recipe), encode the corpus to PQ_M codes, then rank by
-    ADC-estimated squared L2 for each query. Output carries the exact
-    squared L2 next to the estimate — the quantization error is part of
-    the checked result, like every estimator here.
+def _pq_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared ADC pipeline: learn per-subspace codebooks (init = first
+    PQ_K vectors' sub-vectors, one unrolled Lloyd refinement — the
+    sim_kmeans recipe), encode the corpus to PQ_M codes, and estimate
+    the squared L2 of every (query, corpus vector) pair as M LUT
+    lookups summed — (q_id, vec_id, pq_d2), unranked.
+    :func:`sim_ann_pq` cuts it at TOP_K; :func:`ann_recall_pq` cuts a
+    larger shortlist and re-ranks it by exact distance (the deployment
+    shape).
 
     Fully declarative (no driver round-trips): codebooks are M×K-row
     tables flowing through broadcast joins; the M-step is a
@@ -970,10 +972,7 @@ def sim_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(c1), "m")
         .selectExpr("q_id", "m", "cid", f"{d2} AS pd")
     )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("pq_d2").asc(), F.col("vec_id").asc()
-    )
-    top = (
+    return (
         codes.join(
             F.broadcast(lut),
             (codes.m == lut.m) & (codes.code == lut.cid),
@@ -981,9 +980,22 @@ def sim_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
         .where("vec_id != q_id")
         .groupBy("q_id", "vec_id")
         .agg(F.expr("round(sum(pd), 4)").alias("pq_d2"))
+    )
+
+
+def sim_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC top-k over :func:`_pq_candidates`. Output carries the
+    exact squared L2 next to the estimate — the quantization error is
+    part of the checked result, like every estimator here."""
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("pq_d2").asc(), F.col("vec_id").asc()
+    )
+    top = (
+        _pq_candidates(spark, sf)
         .withColumn("rk", F.row_number().over(wq))
         .where(f"rk <= {TOP_K}")
     )
+    emb = _emb(spark, sf).selectExpr("vec_id", "e", "norm * norm AS esq")
     nq = emb.selectExpr("vec_id AS q_id", "e AS qe", "esq AS qsq")
     nv = emb.selectExpr("vec_id", "e AS ve", "esq AS vsq")
     exact = _PQ_D2.format(ssq="qsq", csq="vsq", a="qe", b="ve")
@@ -999,8 +1011,10 @@ _PQ_QIDS = ", ".join(map(str, QUERY_VEC_IDS))
 _PQ_D2_DUCK = "round(greatest({ssq} + {csq} - 2 * list_dot_product({a}, {b}), 0), 4)"
 _PQ_A_DUCK = _PQ_D2_DUCK.format(ssq="s.ssq", csq="c.csq", a="s.sub", b="c.ce")
 
-SIM_ANN_PQ_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+#: the PQ pipeline through the unranked ADC estimates (`est`) — shared
+#: CTE prefix of SIM_ANN_PQ_SQL and ANN_RECALL_PQ_SQL, mirroring the
+#: Spark-side `_pq_candidates` split.
+_PQ_EST_SQL = f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 n AS (SELECT vec_id, e, list_dot_product(e, e) AS esq FROM emb),
 subs0 AS (SELECT vec_id, m,
                  list_slice(e, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
@@ -1029,7 +1043,10 @@ lut AS (SELECT s.vec_id AS q_id, s.m, c.cid, {_PQ_A_DUCK} AS pd
 est AS (SELECT l.q_id, co.vec_id, round(sum(l.pd), 4) AS pq_d2
         FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.cid
         WHERE co.vec_id != l.q_id
-        GROUP BY l.q_id, co.vec_id),
+        GROUP BY l.q_id, co.vec_id)"""
+
+SIM_ANN_PQ_SQL = f"""
+WITH {_PQ_EST_SQL},
 ranked AS (SELECT q_id, vec_id, pq_d2,
                   row_number() OVER (PARTITION BY q_id
                                      ORDER BY pq_d2 ASC, vec_id ASC) AS rk
@@ -1045,3 +1062,137 @@ WHERE t.rk <= {TOP_K}
 ORDER BY q_id, rk"""
 
 register("ext_sim_ann_pq", sim_ann_pq, SIM_ANN_PQ_SQL)
+
+
+# --- PQ recall evaluation (ADC vs exact L2 ground truth) -------------------
+# VERDICT r8 item 3: the 128× compression claim needs a measured recall
+# number, scored the way LSH/IVF are scored. PQ ranks by squared L2, so
+# ground truth here is the exact-L2 top-k (the `exact_d2` metric the PQ
+# query itself carries), not the cosine top-k the other evals use. Two
+# recall columns: the raw ADC cut at k (what the sketch alone buys) and
+# the deployment shape — an ADC SHORTLIST of PQ_SHORTLIST candidates
+# re-ranked by exact distance, cut at k. The re-rank touches only
+# shortlist-many full vectors per query, so its cost is O(queries ×
+# shortlist), not O(queries × corpus) — the whole point of PQ.
+
+PQ_SHORTLIST = 5 * TOP_K
+
+
+def ann_recall_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of PQ/ADC against the exact brute-force L2 top-k, raw
+    and shortlist-re-ranked. Same composition shape as
+    :func:`ann_recall_eval`: all intermediate sets are query-count- or
+    shortlist-sized (trivially broadcast); at 100 TB this runs over a
+    sampled query set while the index serves the rest."""
+    emb = _emb(spark, sf).selectExpr("vec_id", "e", "norm * norm AS esq")
+    q = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS)).selectExpr(
+        "vec_id AS q_id", "e AS qe", "esq AS qsq"
+    )
+    d2 = _PQ_D2.format(ssq="qsq", csq="esq", a="qe", b="e")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        q.crossJoin(emb)
+        .where("vec_id != q_id")
+        .selectExpr("q_id", "vec_id", f"{d2} AS d2")
+        .withColumn("rk", F.row_number().over(w))
+        .where(f"rk <= {TOP_K}")
+        .select("q_id", "vec_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("pq_d2").asc(), F.col("vec_id").asc()
+    )
+    sl = (
+        _pq_candidates(spark, sf)
+        .withColumn("rk_adc", F.row_number().over(wq))
+        .where(f"rk_adc <= {PQ_SHORTLIST}")
+    )
+    rr_d2 = _PQ_D2.format(ssq="qsq", csq="esq", a="qe", b="e")
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("rr_d2").asc(), F.col("vec_id").asc()
+    )
+    rr = (
+        sl.join(F.broadcast(q), "q_id")
+        .join(emb, "vec_id")
+        .selectExpr("q_id", "vec_id", "rk_adc", f"{rr_d2} AS rr_d2")
+        .withColumn("rk_rr", F.row_number().over(wr))
+    )
+    adc_hits = (
+        exact.join(rr.where(f"rk_adc <= {TOP_K}"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits_adc"))
+    )
+    rr_hits = (
+        exact.join(rr.where(f"rk_rr <= {TOP_K}"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits_rerank"))
+    )
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(adc_hits, "q_id", "left")
+        .join(rr_hits, "q_id", "left")
+        .select(
+            "q_id",
+            "k",
+            F.coalesce("n_hits_adc", F.lit(0)).cast("long").alias("n_hits_adc"),
+            F.round(
+                F.coalesce("n_hits_adc", F.lit(0)) / F.col("k"), 4
+            ).alias("recall_adc"),
+            F.coalesce("n_hits_rerank", F.lit(0))
+            .cast("long")
+            .alias("n_hits_rerank"),
+            F.round(
+                F.coalesce("n_hits_rerank", F.lit(0)) / F.col("k"), 4
+            ).alias("recall_rerank"),
+        )
+        .orderBy("q_id")
+    )
+
+
+ANN_RECALL_PQ_SQL = f"""
+WITH {_PQ_EST_SQL},
+x_pairs AS (
+  SELECT nq.vec_id AS q_id, nv.vec_id AS vec_id,
+         {_PQ_D2_DUCK.format(ssq="nq.esq", csq="nv.esq", a="nq.e", b="nv.e")}
+           AS d2
+  FROM n nq, n nv
+  WHERE nq.vec_id IN ({_PQ_QIDS}) AND nv.vec_id != nq.vec_id),
+x_ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY d2 ASC, vec_id ASC) AS rk
+  FROM x_pairs),
+x_top AS (SELECT q_id, vec_id FROM x_ranked WHERE rk <= {TOP_K}),
+sl AS (SELECT q_id, vec_id, pq_d2,
+              row_number() OVER (PARTITION BY q_id
+                                 ORDER BY pq_d2 ASC, vec_id ASC) AS rk_adc
+       FROM est QUALIFY rk_adc <= {PQ_SHORTLIST}),
+rr AS (SELECT s.q_id, s.vec_id, s.rk_adc,
+              row_number() OVER (PARTITION BY s.q_id ORDER BY
+                {_PQ_D2_DUCK.format(ssq="nq.esq", csq="nv.esq", a="nq.e", b="nv.e")}
+                ASC, s.vec_id ASC) AS rk_rr
+       FROM sl s
+       JOIN n nq ON s.q_id = nq.vec_id
+       JOIN n nv ON s.vec_id = nv.vec_id),
+adc_hits AS (
+  SELECT x.q_id, count(*) AS n_hits_adc
+  FROM x_top x JOIN rr i ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+  WHERE i.rk_adc <= {TOP_K} GROUP BY x.q_id),
+rr_hits AS (
+  SELECT x.q_id, count(*) AS n_hits_rerank
+  FROM x_top x JOIN rr i ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+  WHERE i.rk_rr <= {TOP_K} GROUP BY x.q_id),
+ks AS (SELECT q_id, count(*) AS k FROM x_top GROUP BY q_id)
+SELECT ks.q_id AS q_id, ks.k AS k,
+       CAST(COALESCE(a.n_hits_adc, 0) AS BIGINT) AS n_hits_adc,
+       round(COALESCE(a.n_hits_adc, 0) / ks.k, 4) AS recall_adc,
+       CAST(COALESCE(r.n_hits_rerank, 0) AS BIGINT) AS n_hits_rerank,
+       round(COALESCE(r.n_hits_rerank, 0) / ks.k, 4) AS recall_rerank
+FROM ks
+LEFT JOIN adc_hits a ON ks.q_id = a.q_id
+LEFT JOIN rr_hits r ON ks.q_id = r.q_id
+ORDER BY q_id"""
+
+register("ext_ann_recall_pq", ann_recall_pq, ANN_RECALL_PQ_SQL)

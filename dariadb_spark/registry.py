@@ -748,18 +748,18 @@ if "ext_sketch_quantile_hdr" in REGISTRY:
 # so rotating the window can never reorder bench numbers or test sweeps
 # (round-2 ADVICE: don't mutate the shared REGISTRY at import time).
 #
-# Round-9 composition (VERDICT r8 items 1–2): the six round-8-staged
+# Round-9 composition (VERDICT r8 items 1–3): the six round-8-staged
 # operators LEAD — never ship a NEW query outside the window
 # (`ext_sim_ann_pq`, `ext_train_quality_lr`, `ext_sketch_rollup_quantile`,
 # `ext_sketch_cms_rollup`, `streaming_hdr_parity` — the tenth streaming
-# surface, upgraded from pytest-only — and `ext_media_keyframes`).
+# surface, upgraded from pytest-only — and `ext_media_keyframes`),
+# plus `ext_ann_recall_pq`, the round-9 PQ recall eval (verdict item 3).
 # Then ALL 43 queries whose latest driver-green row is round 6
 # (`tools/attestation_ledger.py --stale 2` — they'd hit the stale-3
 # line this round: `bucket_hour`, `erase_old_check`, `fn_all`,
 # `load_min_max`, `scheme_resolve`, `partition_file_stats_multi`, the
-# dedup/similarity/text r6 blocks, …). 6 + 43 = 49; the 50th slot
-# re-attests `interval_scan`, the heart of the upstream API surface
-# (the other core verbs went green in r8 and rotate back next round).
+# dedup/similarity/text r6 blocks, …). 7 + 43 = exactly 50 (the core
+# verbs went green in r8 and rotate back next round).
 # r10 plan, pre-computed: the r7-latest set (streaming parities,
 # `ext_derived_series`, `bucket_hour_salted`, `ext_scalar_funcs`,
 # `ext_events_json`, sketch CMS/KMV, …) plus the r8 core-verb block
@@ -770,7 +770,7 @@ CHECK_WINDOW = [
     # round-9 additions — driver-checked from day one
     "ext_sim_ann_pq", "ext_train_quality_lr",
     "ext_sketch_rollup_quantile", "ext_sketch_cms_rollup",
-    "streaming_hdr_parity", "ext_media_keyframes",
+    "streaming_hdr_parity", "ext_media_keyframes", "ext_ann_recall_pq",
     # round-6-latest rotation block (43) — clears this round's stale set
     "bucket_hour", "erase_old_check", "ext_anomaly_zscore",
     "ext_curate_corpus", "ext_decontaminate", "ext_dedup_components",
@@ -788,8 +788,6 @@ CHECK_WINDOW = [
     "ext_text_token_stats", "ext_text_word_freq",
     "ext_time_weighted_avg", "fn_all", "load_min_max",
     "partition_file_stats_multi", "scheme_resolve",
-    # core-verb re-attestation filler (upstream API heart)
-    "interval_scan",
 ]
 
 

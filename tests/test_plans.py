@@ -202,13 +202,14 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-9: the six round-8-staged operators lead (r8 VERDICT item 1
-    # — never ship a NEW query outside the window), then the r6-stale
-    # rotation block, and the interval_scan core-verb filler closes
-    assert CHECK_WINDOW[:6] == [
+    # round-9: the six round-8-staged operators plus the new PQ recall
+    # eval lead (r8 VERDICT items 1+3 — never ship a NEW query outside
+    # the window), then the r6-stale rotation block fills the rest
+    assert CHECK_WINDOW[:7] == [
         "ext_sim_ann_pq", "ext_train_quality_lr",
         "ext_sketch_rollup_quantile", "ext_sketch_cms_rollup",
         "streaming_hdr_parity", "ext_media_keyframes",
+        "ext_ann_recall_pq",
     ]
     # every r6-latest query from the attestation ledger is in-window
     for stale in ("bucket_hour", "erase_old_check", "fn_all",
@@ -216,8 +217,8 @@ def test_check_window_is_first_50_harness_queries():
                   "partition_file_stats_multi", "ext_text_pii_scan",
                   "ext_dedup_minhash_lsh", "ext_sim_ann_ivf"):
         assert stale in CHECK_WINDOW, stale
-    # the core reference verb closes the window
-    assert CHECK_WINDOW[-1] == "interval_scan"
+    # the r6-stale rotation block closes the window
+    assert CHECK_WINDOW[-1] == "scheme_resolve"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 143
