@@ -869,6 +869,63 @@ def stress_pq_encode(spark) -> tuple[float, int, int]:
     return enc_s, n_cand, len(cent1)
 
 
+LR_ROWS = 200_000
+LR_STEPS = 12
+LR_MARGIN = 0.5
+LR_STRESS_ETA = 4.0  # η=1 also converges monotonically, just slower
+
+
+def stress_train_lr_convergence(spark) -> tuple[float, float, float]:
+    """The production trainer (ext/train.py train_lr) at a depth and
+    scale the 2-step unrolled oracle can't express (VERDICT r8 item 4 —
+    the learn_bpe pinning pattern): 200k synthetic 64-dim vectors
+    (the LSH stress's double-sine synth) labeled by a PLANTED
+    separating hyperplane with margin — sign(⟨e, w*⟩) with
+    |⟨e, w*⟩| > {LR_MARGIN} — so the Bayes classifier is linear and LR
+    must drive accuracy toward 1.0, a convergence claim fixture labels
+    (noisy `label < 5`) can't support. 12 full-batch GD steps; each is
+    ONE corpus scan → 64 partial sums + a 512-byte driver round-trip,
+    so wall-clock scales linearly in steps and corpus — the number this
+    stress records.
+
+    Asserts: log-loss falls monotonically across all 12 steps (convex
+    full-batch GD on separable data), final accuracy ≥ 0.99, and final
+    loss < ¼ of the step-1 loss."""
+    from dariadb_spark.ext.train import train_lr
+
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "sin(sin(CAST(id AS DOUBLE) * 12.9898 + j * 78.233)"
+        " * 43758.5453))"
+    )
+    # planted separator: +1 on the first 32 dims, −1 on the rest
+    wstar_dot = (
+        "aggregate(zip_with(e, transform(sequence(0, 63), j -> "
+        "CASE WHEN j < 32 THEN 1.0d ELSE -1.0d END), (x, y) -> x * y), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    emb = (
+        spark.range(LR_ROWS * 2)
+        .selectExpr(f"{base} AS e")
+        .selectExpr("e", f"{wstar_dot} AS d")
+        .where(f"abs(d) > {LR_MARGIN}")
+        .limit(LR_ROWS)
+        .selectExpr("e", "CAST(d > 0 AS INT) AS y")
+    )
+    emb = emb.persist()
+    n = emb.count()  # materialize once; every GD step re-scans this
+    t0 = time.perf_counter()
+    w, hist = train_lr(emb, LR_STEPS, eta=LR_STRESS_ETA)
+    train_s = time.perf_counter() - t0
+    emb.unpersist()
+    losses = [h["log_loss"] for h in hist]
+    assert len(losses) == LR_STEPS and n > LR_ROWS // 2, n
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    assert hist[-1]["accuracy"] >= 0.99, hist[-1]
+    assert losses[-1] < losses[0] / 4, losses
+    return train_s, losses[-1], hist[-1]["accuracy"]
+
+
 HDR_ROWS = 20_000_000
 HDR_GROUPS = 4
 
@@ -1022,6 +1079,7 @@ def main() -> None:
     kmv_full_s, kmv_pre_s, kmv_surv = stress_kmv_prefilter(spark)
     hdr_s, hdr_buckets, hdr_err = stress_hdr_quantile_onepass(spark)
     pq_s, pq_cand, pq_cent = stress_pq_encode(spark)
+    lr_s, lr_loss, lr_acc = stress_train_lr_convergence(spark)
     cp_pre, cp_post, cp_fpre, cp_fpost = stress_store_compaction(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
     print(
@@ -1046,6 +1104,7 @@ def main() -> None:
                     "kmv_prefilter_20m": round(kmv_pre_s, 4),
                     "hdr_sketch_20m": round(hdr_s, 4),
                     "pq_encode_500k": round(pq_s, 4),
+                    "train_lr_12step_200k": round(lr_s, 4),
                     "store_read_precompact_1m2": round(cp_pre, 4),
                     "store_read_postcompact_1m2": round(cp_post, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
@@ -1059,6 +1118,8 @@ def main() -> None:
                 "hdr_p99_rel_err_pct": hdr_err,
                 "pq_candidates": pq_cand,
                 "pq_centroids": pq_cent,
+                "train_lr_final_loss": lr_loss,
+                "train_lr_final_accuracy": lr_acc,
                 "compact_files_pre": cp_fpre,
                 "compact_files_post": cp_fpost,
                 "grid_rows": grid_rows,
