@@ -1047,6 +1047,88 @@ SELECT lang, source, count(*) AS n_docs,
 FROM kept GROUP BY lang, source ORDER BY lang, source"""
 
 
+# --- cross-document boilerplate chunk profiling ---------------------------
+# STAGED for the round-10 driver window (round-9's is full; the staging
+# every late operator goes through). The CCNet / RefinedWeb line-level
+# dedup step: split each document into fixed-width word chunks, count
+# each chunk's distinct-document frequency ACROSS the corpus, and flag
+# chunks appearing in ≥ BOILER_MIN_DOCS documents as boilerplate
+# (headers, footers, nav text, license blurbs — the repeated material
+# document-level dedup can't remove because the documents differ
+# elsewhere). Per document the op reports its boilerplate fraction and
+# a keep verdict. Scale shape: one scan fans out to the chunk table
+# (O(total words / P) rows), ONE map-side-combined groupBy counts
+# distinct docs per chunk, and the verdict join is keyed by chunk text
+# — shuffle volume is chunk-table-sized, never pairwise.
+
+BOILER_CHUNK_WORDS = 10
+BOILER_MIN_DOCS = 2
+BOILER_MAX_FRAC = 0.5
+
+
+def dedup_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: chunk count, boilerplate-chunk count (chunks seen
+    in ≥ {BOILER_MIN_DOCS} distinct docs), the boilerplate fraction,
+    and keep = fraction < {BOILER_MAX_FRAC}. The trailing partial chunk
+    counts as a chunk — short shared tails are boilerplate too."""
+    p = BOILER_CHUNK_WORDS
+    docs = load_table(spark, sf, "documents")
+    chunks = docs.selectExpr(
+        "doc_id", "split(text, ' ') AS w"
+    ).selectExpr(
+        "doc_id",
+        "explode(transform(sequence(0, CAST(ceil(size(w) / "
+        f"{p}.0d) AS INT) - 1), "
+        f"i -> array_join(slice(w, i * {p} + 1, {p}), ' '))) AS chunk",
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (F.col("n_docs") >= BOILER_MIN_DOCS).cast("long")
+            ).alias("n_boiler"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chunks",
+            "n_boiler",
+            "round(n_boiler / CAST(n_chunks AS DOUBLE), 4) AS boiler_frac",
+            "CAST(round(n_boiler / CAST(n_chunks AS DOUBLE), 4) < "
+            f"{BOILER_MAX_FRAC} AS INT) AS keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_BOILERPLATE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i * {BOILER_CHUNK_WORDS} + 1 :
+                   (i + 1) * {BOILER_CHUNK_WORDS}], ' ')
+                 for i in range(CAST(ceil(len(w) / {BOILER_CHUNK_WORDS}.0)
+                   AS INT))]) AS chunk
+  FROM w),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs
+         FROM chunks GROUP BY chunk),
+per_doc AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN f.n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boiler
+  FROM chunks c JOIN freq f ON c.chunk = f.chunk
+  GROUP BY c.doc_id)
+SELECT doc_id, n_chunks, n_boiler,
+       round(n_boiler / CAST(n_chunks AS DOUBLE), 4) AS boiler_frac,
+       CAST(round(n_boiler / CAST(n_chunks AS DOUBLE), 4)
+            < {BOILER_MAX_FRAC} AS INT) AS keep
+FROM per_doc ORDER BY doc_id"""
+
+
 register("ext_dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
 register("ext_dedup_components", dedup_components, DEDUP_COMPONENTS_SQL)
 register("ext_curate_corpus", curate_corpus, CURATE_CORPUS_SQL)

@@ -702,8 +702,10 @@ def sim_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return _assign(emb, cent1).select("vec_id", "cid", "score").orderBy("vec_id")
 
 
-SIM_KMEANS_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+#: the 2-round Lloyd chain through the final assignment (`a2`) — shared
+#: CTE prefix of SIM_KMEANS_SQL and SEM_DEDUP_SQL (the PQ `_PQ_EST_SQL`
+#: pattern).
+_KM_A2_SQL = f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
 c0 AS (SELECT vec_id AS cid, e AS ce, norm AS cnorm FROM n
        WHERE vec_id < {KMEANS_K}),
@@ -724,8 +726,100 @@ a2 AS (SELECT vec_id, cid, s AS score FROM (
          row_number() OVER (PARTITION BY n.vec_id ORDER BY
            round(list_dot_product(n.e, c.ce) / (n.norm * c.cnorm), 4) DESC,
            c.cid ASC) AS rn
-  FROM n, c1n c) WHERE rn = 1)
+  FROM n, c1n c) WHERE rn = 1)"""
+
+SIM_KMEANS_SQL = f"""
+WITH {_KM_A2_SQL}
 SELECT vec_id, cid, score FROM a2 ORDER BY vec_id"""
+
+
+# --- semantic dedup (cluster-local near-dup pruning) ----------------------
+# STAGED for the round-10 driver window (round-9's is full; the staging
+# every late operator goes through). SemDeDup (Abbas et al., "SemDeDup:
+# Data-efficient learning at web-scale through semantic deduplication",
+# arXiv:2303.09540): k-means the embedding space, then pairwise-compare
+# ONLY within each cluster and prune all but the lowest-id member of
+# every near-dup relation — semantic duplicates that exact/lexical
+# dedup can't see (paraphrases, re-renders). The cluster blocking is
+# the whole scale story: the self-join is keyed by cell, so pairwise
+# work is Σ|cell|² with K ~ √N sized cells, never the corpus-global
+# O(N²) — the same bucketed-not-all-pairs contract as the LSH/banded
+# dedups, with the blocking learned instead of hashed.
+
+SEM_DEDUP_COS = NEAR_DUP_COS  # same near-dup bar as the cosine dedup
+
+
+def sem_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per vector: its k-means cell, how many cell-mates are within
+    {SEM_DEDUP_COS} cosine (either direction), the strongest such
+    cosine, and the keep verdict — a vector is pruned iff a LOWER-id
+    cell-mate sits within the threshold (deterministic keep-first; the
+    survivor of every dup relation is its minimum id). Composes
+    :func:`sim_kmeans` (2 unrolled Lloyd rounds) so the whole pipeline
+    — clustering included — replays deterministically in the oracle."""
+    emb = _emb(spark, sf)
+    m = sim_kmeans(spark, sf).select("vec_id", "cid").join(emb, "vec_id")
+    a = m.selectExpr("cid", "vec_id AS a_id", "e AS ae", "norm AS anorm")
+    b = m.selectExpr("cid", "vec_id AS b_id", "e AS be", "norm AS bnorm")
+    cos = "round(" + _DOT.format(a="ae", b="be") + " / (anorm * bnorm), 4)"
+    pairs = (
+        a.join(b, "cid")
+        .where("a_id < b_id")
+        .selectExpr("a_id", "b_id", f"{cos} AS cos_ab")
+        .where(f"cos_ab >= {SEM_DEDUP_COS}")
+    )
+    touched = (
+        pairs.selectExpr("a_id AS vec_id", "cos_ab")
+        .unionByName(pairs.selectExpr("b_id AS vec_id", "cos_ab"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.max("cos_ab").alias("max_cos"),
+        )
+    )
+    dropped = (
+        pairs.select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        m.select("vec_id", "cid")
+        .join(touched, "vec_id", "left")
+        .join(dropped, "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "cid",
+            "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups",
+            "coalesce(max_cos, 0.0d) AS max_cos",
+            "CAST(is_dropped IS NULL AS INT) AS keep",
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEM_DEDUP_SQL = f"""
+WITH {_KM_A2_SQL},
+m AS (SELECT a2.vec_id, a2.cid, n.e, n.norm
+      FROM a2 JOIN n ON a2.vec_id = n.vec_id),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 4) AS cos_ab
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 4)
+          >= {SEM_DEDUP_COS}),
+touched AS (
+  SELECT vec_id, count(*) AS n_dups, max(cos_ab) AS max_cos FROM (
+    SELECT a_id AS vec_id, cos_ab FROM pairs
+    UNION ALL SELECT b_id AS vec_id, cos_ab FROM pairs)
+  GROUP BY vec_id),
+dropped AS (SELECT DISTINCT b_id AS vec_id FROM pairs)
+SELECT m.vec_id AS vec_id, m.cid AS cid,
+       CAST(COALESCE(t.n_dups, 0) AS BIGINT) AS n_dups,
+       COALESCE(t.max_cos, 0.0) AS max_cos,
+       CAST(d.vec_id IS NULL AS INT) AS keep
+FROM m LEFT JOIN touched t ON m.vec_id = t.vec_id
+LEFT JOIN dropped d ON m.vec_id = d.vec_id
+ORDER BY vec_id"""
 
 
 # --- int8 embedding quantization ------------------------------------------

@@ -948,6 +948,132 @@ def test_train_lr_arbitrary_steps_keeps_learning(spark, oracle_sf_dir):
     assert hist[-1]["accuracy"] >= hist[1]["accuracy"]
 
 
+def test_sem_dedup_parity_and_keep_first(spark, oracle_sf_dir):
+    # Staged r10 operator (SemDeDup): DuckDB parity over the full
+    # pipeline (2 unrolled Lloyd rounds + cluster-local pairwise),
+    # plus the claims that make it a DEDUP: the fixture actually
+    # exercises the prune branch, survivors follow the deterministic
+    # keep-first rule (a vector drops iff a lower-id cell-mate is
+    # within the threshold), and every drop stays inside its cell.
+    import duckdb
+
+    from dariadb_spark.ext.similarity import (
+        SEM_DEDUP_COS,
+        SEM_DEDUP_SQL,
+        sem_dedup,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/embeddings.parquet')"
+    )
+    rows = [tuple(r) for r in sem_dedup(spark, oracle_sf_dir).collect()]
+    oracle = [tuple(r) for r in con.execute(SEM_DEDUP_SQL).fetchall()]
+    con.close()
+    assert rows == oracle
+    dropped = [r for r in rows if r[4] == 0]
+    touched = [r for r in rows if r[2] > 0]
+    assert dropped and touched  # prune branch exercised by the fixture
+    assert all(r[3] >= SEM_DEDUP_COS for r in touched)
+    assert all(r[3] < SEM_DEDUP_COS for r in rows if r[2] == 0)
+    # keep-first, re-derived OUTSIDE the operator: recompute every
+    # within-cell cosine with numpy and check each vector's verdict is
+    # exactly "exists a lower-id cell-mate within the threshold"
+    from dariadb_spark.model import load_table
+
+    emb_rows = (
+        load_table(spark, oracle_sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        )
+        .collect()
+    )
+    vecs = {int(r.vec_id): np.asarray(r.e, dtype=np.float64) for r in emb_rows}
+    by_cell: dict[int, list[int]] = {}
+    for vec_id, cid, *_ in rows:
+        by_cell.setdefault(cid, []).append(vec_id)
+    for vec_id, cid, n_dups, max_cos, keep in rows:
+        v = vecs[vec_id]
+        vn = v / np.linalg.norm(v)
+        has_lower_dup = False
+        boundary_risky = False
+        for other in by_cell[cid]:
+            if other >= vec_id:
+                continue
+            c = float(
+                np.dot(vn, vecs[other] / np.linalg.norm(vecs[other]))
+            )
+            # numpy's BLAS dot vs the engines' sequential fold can
+            # differ in the last ulp; a cosine sitting exactly on a
+            # round(·,4) half-step could flip — skip those vectors
+            if abs((c * 1e4) % 1 - 0.5) < 1e-6:
+                boundary_risky = True
+            if round(c, 4) >= SEM_DEDUP_COS:
+                has_lower_dup = True
+        if not boundary_risky:
+            assert keep == (0 if has_lower_dup else 1), (vec_id, cid)
+
+
+def test_dedup_boilerplate_parity_and_verdicts(spark, oracle_sf_dir):
+    # Staged r10 operator (CCNet-style chunk boilerplate): DuckDB
+    # parity, the fixture exercises both verdict branches, chunk
+    # accounting is conserved (every doc's chunks = ceil(words / P)),
+    # and a planted exact-dup pair is mutually all-boilerplate.
+    import duckdb
+
+    from dariadb_spark.ext.dedup import (
+        BOILER_CHUNK_WORDS,
+        DEDUP_BOILERPLATE_SQL,
+        dedup_boilerplate,
+    )
+    from dariadb_spark.model import load_table
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    rows = [
+        tuple(r) for r in dedup_boilerplate(spark, oracle_sf_dir).collect()
+    ]
+    oracle = [tuple(r) for r in con.execute(DEDUP_BOILERPLATE_SQL).fetchall()]
+    con.close()
+    assert rows == oracle
+    assert any(r[4] == 0 for r in rows) and any(r[4] == 1 for r in rows)
+    # full independent replay in Python: chunk every doc, count each
+    # chunk's distinct-doc frequency, and verify every output row
+    import math
+
+    from dariadb_spark.ext.dedup import BOILER_MIN_DOCS
+
+    p = BOILER_CHUNK_WORDS
+    doc_chunks: dict[int, list[str]] = {}
+    for r in (
+        load_table(spark, oracle_sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        w = r.text.split(" ")
+        doc_chunks[int(r.doc_id)] = [
+            " ".join(w[i * p: (i + 1) * p])
+            for i in range(math.ceil(len(w) / p))
+        ]
+    docs_per_chunk: dict[str, set[int]] = {}
+    for doc_id, chunks in doc_chunks.items():
+        for c in chunks:
+            docs_per_chunk.setdefault(c, set()).add(doc_id)
+    assert len(rows) == len(doc_chunks)
+    for doc_id, n_chunks, n_boiler, frac, keep in rows:
+        chunks = doc_chunks[doc_id]
+        exp_boiler = sum(
+            1 for c in chunks if len(docs_per_chunk[c]) >= BOILER_MIN_DOCS
+        )
+        assert n_chunks == len(chunks), doc_id
+        assert n_boiler == exp_boiler, doc_id
+        assert frac == round(exp_boiler / len(chunks), 4), doc_id
+
+
 def test_sketch_cms_rollup_parity_and_merge_equivalence(
     spark, oracle_sf_dir
 ):
