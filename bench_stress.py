@@ -939,6 +939,97 @@ def stress_pq_encode_arrow(spark) -> tuple[float, float]:
     return arrow_s, agree
 
 
+SEM_CORPUS = 500_000
+SEM_CELLS = 4096
+SEM_CLONES = 10
+SEM_STRESS_COS = 0.999
+
+
+def stress_sem_dedup(spark) -> tuple[float, int, float, int]:
+    """The staged SemDeDup operator's scale path (ext/similarity.py
+    sem_dedup) above fixture size: 500k synthetic 64-dim vectors + 10
+    planted exact clones, blocked into 4096 cells by
+    nearest-of-4096-centroids (Arrow-matmul assignment — one
+    mapInPandas scan against a 2 MB broadcast centroid matrix), then
+    near-dup pairs computed ONLY within cells via per-cell BLAS cosine
+    matrices (applyInPandas keyed by cell).
+
+    Asserts the properties that make cluster blocking an index:
+    (1) NO FALSE NEGATIVES for clones — identical vectors get identical
+    assignment scores, so every planted clone shares its original's
+    cell and every clone pair is found; (2) SELECTIVITY — pairwise work
+    is Σ|cell|²/2, measured as a fraction of the corpus-global N²/2 the
+    unblocked dedup would pay; (3) cell sizes stay near balanced (max
+    cell bounded by a small multiple of the mean), so no single
+    applyInPandas task degenerates toward the all-pairs cost."""
+    import numpy as np
+    import pandas as pd
+
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "sin(sin(CAST(id AS DOUBLE) * 12.9898 + j * 78.233)"
+        " * 43758.5453))"
+    )
+    clone = (
+        "transform(sequence(0, 63), j -> "
+        f"sin(sin(CAST(id - {SEM_CORPUS} AS DOUBLE) * 12.9898"
+        " + j * 78.233) * 43758.5453))"
+    )
+    emb = spark.range(SEM_CORPUS + SEM_CLONES).selectExpr(
+        "id AS vec_id",
+        f"CASE WHEN id >= {SEM_CORPUS} THEN {clone} ELSE {base} END AS e",
+    )
+    cent_rows = emb.where(f"vec_id < {SEM_CELLS}").orderBy("vec_id").collect()
+    C = np.array([r.e for r in cent_rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cw = bc.value
+        for pdf in batches:
+            X = np.vstack(pdf["e"].to_numpy())
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": (Xn @ Cw.T).argmax(axis=1).astype("int64"),
+                    "e": list(X),
+                }
+            )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.vstack(pdf["e"].to_numpy())
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        sims = X @ X.T
+        ai, bi = np.nonzero(
+            (sims >= SEM_STRESS_COS) & (ids[:, None] < ids[None, :])
+        )
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
+
+    t0 = time.perf_counter()
+    assigned = emb.mapInPandas(
+        assign, "vec_id long, cell long, e array<double>"
+    )
+    pairs = assigned.groupBy("cell").applyInPandas(
+        cell_pairs, "vec_a long, vec_b long"
+    )
+    got = {(int(r.vec_a), int(r.vec_b)) for r in pairs.collect()}
+    wall_s = time.perf_counter() - t0
+    for q in range(SEM_CLONES):  # clone shares its original's cell
+        assert (q, SEM_CORPUS + q) in got, q
+    sizes = [
+        int(r.n)
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    n = SEM_CORPUS + SEM_CLONES
+    pair_frac = sum(s * s for s in sizes) / float(n) ** 2
+    max_over_mean = max(sizes) / (n / len(sizes))
+    assert pair_frac < 0.01, pair_frac  # ≥100× below all-pairs
+    assert max_over_mean < 50, max_over_mean
+    return wall_s, len(got), pair_frac, max(sizes)
+
+
 LR_ROWS = 200_000
 LR_STEPS = 12
 LR_MARGIN = 0.5
@@ -1150,6 +1241,7 @@ def main() -> None:
     hdr_s, hdr_buckets, hdr_err = stress_hdr_quantile_onepass(spark)
     pq_s, pq_cand, pq_cent = stress_pq_encode(spark)
     pqa_s, pqa_agree = stress_pq_encode_arrow(spark)
+    sd_s, sd_pairs, sd_frac, sd_maxcell = stress_sem_dedup(spark)
     lr_s, lr_loss, lr_acc = stress_train_lr_convergence(spark)
     cp_pre, cp_post, cp_fpre, cp_fpost = stress_store_compaction(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
@@ -1176,6 +1268,7 @@ def main() -> None:
                     "hdr_sketch_20m": round(hdr_s, 4),
                     "pq_encode_500k": round(pq_s, 4),
                     "pq_encode_arrow_500k": round(pqa_s, 4),
+                    "sem_dedup_500k": round(sd_s, 4),
                     "train_lr_12step_200k": round(lr_s, 4),
                     "store_read_precompact_1m2": round(cp_pre, 4),
                     "store_read_postcompact_1m2": round(cp_post, 4),
@@ -1193,6 +1286,9 @@ def main() -> None:
                 "train_lr_final_loss": lr_loss,
                 "train_lr_final_accuracy": lr_acc,
                 "pq_arrow_agreement": round(pqa_agree, 5),
+                "sem_dedup_pairs": sd_pairs,
+                "sem_dedup_pair_frac": sd_frac,
+                "sem_dedup_max_cell": sd_maxcell,
                 "compact_files_pre": cp_fpre,
                 "compact_files_post": cp_fpost,
                 "grid_rows": grid_rows,

@@ -1151,18 +1151,31 @@ def sketch_cms_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
     cell_hash = _h60_spark("concat(cast(depth AS string), ':', bg)")
     cell = f"{cell_hash} % {CMS_WIDTH}"
-    shard_cells = (
+    # ONE corpus-sized exchange: per-(shard, bigram) counts. Everything
+    # downstream — shard cell tables (CMS additivity: hash the counts,
+    # not the occurrences), the merged sketch, the measured shard
+    # count, and the exact corpus counts — is arithmetic over this
+    # 4×|vocab| table, and the three consumers share the identical
+    # exchange so the scan runs once (ReusedExchange). The r9 bench
+    # caught the original shape at 3.6 s (occurrence-grain hashing +
+    # a second corpus scan for exact counts + a separate .count()
+    # action for n_shards); this form measures ~1.4 s.
+    shard_counts = (
         occ.selectExpr(f"doc_id % {CMS_SHARDS} AS shard", "bg")
-        .selectExpr("shard", "bg", depth_fanout)
-        .selectExpr("shard", "depth", f"{cell} AS bucket")
-        .groupBy("shard", "depth", "bucket")
+        .groupBy("shard", "bg")
         .agg(F.count("*").alias("cnt"))
+    )
+    shard_cells = (
+        shard_counts.selectExpr("shard", "bg", "cnt", depth_fanout)
+        .selectExpr("shard", "depth", f"{cell} AS bucket", "cnt")
+        .groupBy("shard", "depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )
     merged = shard_cells.groupBy("depth", "bucket").agg(
         F.sum("cnt").alias("bcnt")
     )
-    n_shards = shard_cells.select("shard").distinct().count()
-    counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
+    ns = shard_counts.agg(F.countDistinct("shard").alias("n_shards"))
+    counts = shard_counts.groupBy("bg").agg(F.sum("cnt").alias("cnt"))
     top = counts.orderBy(F.desc("cnt"), F.asc("bg")).limit(CMS_TOPK)
     return (
         top.selectExpr("bg", "cnt", depth_fanout)
@@ -1170,12 +1183,13 @@ def sketch_cms_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(merged), ["depth", "bucket"])
         .groupBy("bg", "cnt")
         .agg(F.min("bcnt").alias("cms_est"))
+        .crossJoin(F.broadcast(ns))
         .selectExpr(
             "bg",
             "cnt AS exact_cnt",
             "cms_est",
             "cms_est - cnt AS overcount",
-            f"{n_shards}L AS n_shards",
+            "CAST(n_shards AS BIGINT) AS n_shards",
         )
         .orderBy(F.desc("exact_cnt"), F.asc("bg"))
     )
