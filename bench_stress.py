@@ -940,7 +940,7 @@ def stress_pq_encode_arrow(spark) -> tuple[float, float]:
 
 
 SEM_CORPUS = 500_000
-SEM_CELLS = 4096
+SEM_CELLS = 1024  # ≈ √N — the SemDeDup paper's cluster-count regime
 SEM_CLONES = 10
 SEM_STRESS_COS = 0.999
 
@@ -980,25 +980,30 @@ def stress_sem_dedup(spark) -> tuple[float, int, float, int]:
         f"CASE WHEN id >= {SEM_CORPUS} THEN {clone} ELSE {base} END AS e",
     )
     cent_rows = emb.where(f"vec_id < {SEM_CELLS}").orderBy("vec_id").collect()
-    C = np.array([r.e for r in cent_rows], dtype=np.float64)
+    # fp32 throughout the assignment/verification math: the coarse
+    # quantizer GEMM is memory-bandwidth-bound on its N×K score matrix
+    # (measured 30 s in fp64 at K=4096), and cell argmax / a 0.999
+    # near-dup threshold have orders of magnitude more margin than fp32
+    # rounding — the same trade every production ANN stack makes
+    C = np.array([r.e for r in cent_rows], dtype=np.float32)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast(C)
 
     def assign(batches):
         Cw = bc.value
         for pdf in batches:
-            X = np.vstack(pdf["e"].to_numpy())
+            X = np.vstack(pdf["e"].to_numpy()).astype(np.float32)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "cell": (Xn @ Cw.T).argmax(axis=1).astype("int64"),
-                    "e": list(X),
+                    "e": list(X.astype(np.float64)),
                 }
             )
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        X = np.vstack(pdf["e"].to_numpy())
+        X = np.vstack(pdf["e"].to_numpy()).astype(np.float32)
         X /= np.linalg.norm(X, axis=1, keepdims=True)
         ids = pdf["vec_id"].to_numpy()
         sims = X @ X.T
@@ -1010,7 +1015,7 @@ def stress_sem_dedup(spark) -> tuple[float, int, float, int]:
     t0 = time.perf_counter()
     assigned = emb.mapInPandas(
         assign, "vec_id long, cell long, e array<double>"
-    )
+    ).persist()  # shared by the pair join and the cell histogram
     pairs = assigned.groupBy("cell").applyInPandas(
         cell_pairs, "vec_a long, vec_b long"
     )
@@ -1022,6 +1027,7 @@ def stress_sem_dedup(spark) -> tuple[float, int, float, int]:
         int(r.n)
         for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
     ]
+    assigned.unpersist()
     n = SEM_CORPUS + SEM_CLONES
     pair_frac = sum(s * s for s in sizes) / float(n) ** 2
     max_over_mean = max(sizes) / (n / len(sizes))
