@@ -1151,19 +1151,25 @@ def sketch_cms_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
     cell_hash = _h60_spark("concat(cast(depth AS string), ':', bg)")
     cell = f"{cell_hash} % {CMS_WIDTH}"
-    # ONE corpus-sized exchange: per-(shard, bigram) counts. Everything
+    # ONE corpus materialization: per-(shard, bigram) counts. Everything
     # downstream — shard cell tables (CMS additivity: hash the counts,
     # not the occurrences), the merged sketch, the measured shard
     # count, and the exact corpus counts — is arithmetic over this
-    # 4×|vocab| table, and the three consumers share the identical
-    # exchange so the scan runs once (ReusedExchange). The r9 bench
-    # caught the original shape at 3.6 s (occurrence-grain hashing +
-    # a second corpus scan for exact counts + a separate .count()
-    # action for n_shards); this form measures ~1.4 s.
+    # 4×|vocab| table. The lazy localCheckpoint is what makes that
+    # literal: the three consumers prune different columns, so their
+    # exchange subtrees are NOT identical and Catalyst would re-scan
+    # the corpus for each (plan-pinned by
+    # test_cms_rollup_single_corpus_scan); checkpointing the KB-sized
+    # summary computes the scan once and shares it — exactly the
+    # persisted-shard-summary shape a production rollup stores anyway.
+    # The r9 bench caught the original form at 3.6 s (occurrence-grain
+    # hashing + per-consumer corpus scans + a separate .count() action
+    # for n_shards); this form measures ~1.0 s.
     shard_counts = (
         occ.selectExpr(f"doc_id % {CMS_SHARDS} AS shard", "bg")
         .groupBy("shard", "bg")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     shard_cells = (
         shard_counts.selectExpr("shard", "bg", "cnt", depth_fanout)

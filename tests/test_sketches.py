@@ -484,6 +484,28 @@ def test_cms_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # the sketch probe
 
 
+def test_cms_rollup_single_corpus_scan(spark, sf_dir):
+    # The r9 perf fix's load-bearing property: shard cells, exact
+    # counts, and the shard tally all derive from ONE materialization
+    # of the per-(shard, bg) summary. Without the checkpoint, the three
+    # consumers' divergent column pruning makes Catalyst re-scan the
+    # corpus per consumer (measured 6 scans; part of the 3.6 s →
+    # ~1.0 s fix) — so the final plan must contain ZERO parquet scans
+    # of documents, only reads of the checkpointed summary RDD.
+    from dariadb_spark.ext.sketches import sketch_cms_rollup
+
+    df = sketch_cms_rollup(spark, sf_dir)
+    df.count()  # materialize the lazy checkpoint
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_weighted_sample_rank_monotone_in_weight(spark):
     # A-ExpJ direction pin: raising ONE doc's weight (all else equal)
     # must never worsen its rank — the bug class this catches is an
