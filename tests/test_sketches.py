@@ -1037,6 +1037,54 @@ def test_sem_dedup_parity_and_keep_first(spark, oracle_sf_dir):
             assert keep == (0 if has_lower_dup else 1), (vec_id, cid)
 
 
+def test_sem_dedup_blocked_complete_within_cells(spark):
+    # The production-scale API (stress-validated at 500k in
+    # bench_stress): on a small planted frame, the blocked pair set
+    # must equal the brute-force pair set restricted to shared cells —
+    # within-cell completeness, zero false positives, and every planted
+    # clone pair found (identical vectors always share a cell).
+    from dariadb_spark.ext.similarity import sem_dedup_blocked
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(200, 16)
+    vecs = {i: base[i] for i in range(200)}
+    for a, b in ((3, 200), (57, 201), (120, 202)):  # planted clones
+        vecs[b] = vecs[a].copy()
+    rows = [(int(i), [float(x) for x in v]) for i, v in vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    centroids = base[:8]
+    tau = 0.95
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in sem_dedup_blocked(emb, centroids, tau).collect()
+    }
+    for a, b in ((3, 200), (57, 201), (120, 202)):
+        assert (a, b) in got, (a, b)
+    # independent replay: fp32 assignment + within-cell brute force
+    C = centroids.astype(np.float32)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def cell_of(v):
+        vn = v.astype(np.float32)
+        vn = vn / np.linalg.norm(vn)
+        return int((vn @ C.T).argmax())
+
+    cells = {i: cell_of(v) for i, v in vecs.items()}
+    expected = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        va = vecs[a].astype(np.float32)
+        va = va / np.linalg.norm(va)
+        for b in ids[i + 1:]:
+            if cells[a] != cells[b]:
+                continue
+            vb = vecs[b].astype(np.float32)
+            vb = vb / np.linalg.norm(vb)
+            if float(va @ vb) >= tau:
+                expected.add((a, b))
+    assert got == expected, got ^ expected
+
+
 def test_dedup_boilerplate_parity_and_verdicts(spark, oracle_sf_dir):
     # Staged r10 operator (CCNet-style chunk boilerplate): DuckDB
     # parity, the fixture exercises both verdict branches, chunk
