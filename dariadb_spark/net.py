@@ -1,0 +1,295 @@
+"""S6 — network source/sink: the reference's client/server query
+protocol (libdariadb-net: dariadb::net server exposing engine verbs to
+remote clients over TCP) re-expressed over :class:`TsEngine`.
+
+Protocol: newline-delimited JSON over TCP. Request
+``{"op": <verb>, "params": {...}, "qid": <int>}`` → response
+``{"qid": ..., "status": "ok", "columns": [...], "rows": [[...], ...]}``
+(or ``{"status": "err", "error": "..."}``). ``subscribe`` is the push
+verb: the server drains the store's stream through the engine's
+subscription and writes one ``{"push": true, "rows": ...}`` message per
+micro-batch before the final ``{"status": "ok", "done": true}`` — the
+shape of the reference's per-client subscription callbacks.
+
+Scale note, stated plainly: this server executes engine verbs on the
+driver's SparkSession and collects RESULT rows to the socket — the
+query-endpoint role the reference's net server plays (clients receive
+MeasArray results, never partitions). Interval reads accept a ``limit``
+to bound result transfer. For cluster-grade remote access the platform
+path is Spark Connect / Thrift JDBC (the server jar ships with this
+Spark; the Python client's grpcio dependency is absent in this
+environment — probed rounds 8–9, SCALE.md §6), and this module is the
+reference-parity façade in front of the same plans.
+
+Every verb here round-trips through the SAME operators the driver
+hash-checks (read_interval, read_time_point, current_value, stat,
+calc, downsample) — the protocol adds transport, never semantics
+(pinned by tests/test_net.py equality against direct engine calls).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Any
+
+from dariadb_spark.engine import TsEngine
+
+#: verbs that return a DataFrame collected to (columns, rows)
+_FRAME_VERBS = {
+    "read_interval": lambda eng, p: eng.read_interval(
+        p.get("ids"), p["from_ms"], p["to_ms"], p.get("flag", 0)
+    ),
+    "read_time_point": lambda eng, p: eng.read_time_point(
+        p["ids"], p["time_point_ms"], p.get("flag", 0)
+    ),
+    "current_value": lambda eng, p: eng.current_value(
+        p.get("ids"), p.get("flag", 0)
+    ),
+    "min_max_time": lambda eng, p: eng.min_max_time(p.get("ids")),
+    "stat": lambda eng, p: eng.stat(
+        p.get("ids"), p["from_ms"], p["to_ms"], p.get("flag", 0)
+    ),
+    "calc": lambda eng, p: eng.calc(
+        p["names"], p.get("ids"), p["from_ms"], p["to_ms"], p.get("flag", 0)
+    ),
+    "downsample": lambda eng, p: eng.downsample(
+        p["interval"],
+        p.get("ids"),
+        p.get("from_ms"),
+        p.get("to_ms"),
+        p.get("flag", 0),
+    ),
+}
+
+
+def _frame_payload(df, limit: int | None) -> dict[str, Any]:
+    if limit is not None:
+        df = df.limit(int(limit))
+    rows = df.collect()
+    return {
+        "columns": list(df.columns),
+        "rows": [[row[c] for c in df.columns] for row in rows],
+    }
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # one connection, many requests
+        eng: TsEngine = self.server.engine  # type: ignore[attr-defined]
+        for raw in self.rfile:
+            line = raw.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                resp = self._dispatch(eng, req)
+            except Exception as ex:  # protocol promise: errors answer too
+                resp = {
+                    "qid": self._qid(raw),
+                    "status": "err",
+                    "error": f"{type(ex).__name__}: {ex}",
+                }
+            self._send(resp)
+
+    @staticmethod
+    def _qid(raw: bytes) -> int | None:
+        try:
+            return json.loads(raw).get("qid")
+        except Exception:
+            return None
+
+    def _send(self, obj: dict[str, Any]) -> None:
+        self.wfile.write(json.dumps(obj).encode() + b"\n")
+        self.wfile.flush()
+
+    def _dispatch(self, eng: TsEngine, req: dict) -> dict[str, Any]:
+        op = req.get("op")
+        p = req.get("params") or {}
+        qid = req.get("qid")
+        if op == "ping":
+            return {"qid": qid, "status": "ok", "pong": True}
+        if op in _FRAME_VERBS:
+            payload = _frame_payload(
+                _FRAME_VERBS[op](eng, p), p.get("limit")
+            )
+            return {"qid": qid, "status": "ok", **payload}
+        if op == "append":
+            n = eng.append(
+                [tuple(r) for r in p["rows"]],
+                isolated=bool(p.get("isolated", False)),
+            )
+            return {"qid": qid, "status": "ok", "appended": n}
+        if op == "erase_old":
+            eng.erase_old(p["cutoff_ms"])
+            return {"qid": qid, "status": "ok"}
+        if op == "compact":
+            eng.compact()
+            return {"qid": qid, "status": "ok"}
+        if op == "subscribe":
+            return self._subscribe(eng, p, qid)
+        raise ValueError(f"unknown op {op!r}")
+
+    def _subscribe(self, eng: TsEngine, p: dict, qid) -> dict[str, Any]:
+        """Push verb: one message per micro-batch (the reference's
+        per-client callback), then the done marker. available_now
+        drains the store's current contents and completes."""
+        lock = threading.Lock()  # callback thread vs handler thread
+
+        def cb(batch_df, batch_id: int) -> None:
+            rows = [
+                [row[c] for c in ("id", "time", "value", "flag")]
+                for row in batch_df.select(
+                    "id", "time", "value", "flag"
+                ).collect()
+            ]
+            with lock:
+                self._send(
+                    {"qid": qid, "push": True, "batch": batch_id, "rows": rows}
+                )
+
+        q = eng.subscribe(
+            p.get("ids"),
+            p.get("flag", 0),
+            cb,
+            available_now=bool(p.get("available_now", True)),
+        )
+        q.awaitTermination(int(p.get("timeout_s", 600)))
+        with lock:
+            return {"qid": qid, "status": "ok", "done": True}
+
+
+class TsServer:
+    """``dariadb::net`` server analog: serve a :class:`TsEngine` over
+    TCP. ``port=0`` binds an ephemeral port (``.port`` reads it back).
+
+    >>> srv = TsServer(engine); srv.start()
+    >>> cli = TsClient("127.0.0.1", srv.port)
+    >>> cli.read_interval([0], 0, 10**15)
+    """
+
+    def __init__(self, engine: TsEngine, host: str = "127.0.0.1", port: int = 0):
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = _Server((host, port), _Handler)
+        self._server.engine = engine  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> "TsServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+
+class TsClient:
+    """Line-protocol client mirroring the engine verb surface. Frame
+    verbs return ``(columns, rows)``; ``subscribe`` returns the pushed
+    batches (list of row-lists) after the drain completes."""
+
+    def __init__(self, host: str, port: int, timeout_s: float = 600.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout_s)
+        self._rfile = self._sock.makefile("rb")
+        self._qid = 0
+        self._pushes: list[dict] = []
+
+    # -- transport -------------------------------------------------------
+    def _call(self, op: str, **params) -> dict[str, Any]:
+        self._qid += 1
+        msg = {"op": op, "params": params, "qid": self._qid}
+        self._sock.sendall(json.dumps(msg).encode() + b"\n")
+        while True:
+            resp = json.loads(self._rfile.readline())
+            if resp.get("push"):
+                self._pushes.append(resp)
+                continue
+            if resp.get("status") == "err":
+                raise RuntimeError(resp["error"])
+            return resp
+
+    # -- verbs -----------------------------------------------------------
+    def ping(self) -> bool:
+        return bool(self._call("ping").get("pong"))
+
+    def append(self, rows, isolated: bool = False) -> int:
+        return self._call(
+            "append", rows=[list(r) for r in rows], isolated=isolated
+        )["appended"]
+
+    def _frame(self, op: str, **params):
+        resp = self._call(op, **params)
+        return resp["columns"], [tuple(r) for r in resp["rows"]]
+
+    def read_interval(self, ids, from_ms, to_ms, flag=0, limit=None):
+        return self._frame(
+            "read_interval",
+            ids=ids, from_ms=from_ms, to_ms=to_ms, flag=flag, limit=limit,
+        )
+
+    def read_time_point(self, ids, time_point_ms, flag=0):
+        return self._frame(
+            "read_time_point", ids=ids, time_point_ms=time_point_ms, flag=flag
+        )
+
+    def current_value(self, ids=None, flag=0):
+        return self._frame("current_value", ids=ids, flag=flag)
+
+    def min_max_time(self, ids=None):
+        return self._frame("min_max_time", ids=ids)
+
+    def stat(self, ids, from_ms, to_ms, flag=0):
+        return self._frame(
+            "stat", ids=ids, from_ms=from_ms, to_ms=to_ms, flag=flag
+        )
+
+    def calc(self, names, ids, from_ms, to_ms, flag=0):
+        return self._frame(
+            "calc", names=names, ids=ids, from_ms=from_ms, to_ms=to_ms,
+            flag=flag,
+        )
+
+    def downsample(self, interval, ids=None, from_ms=None, to_ms=None, flag=0):
+        return self._frame(
+            "downsample",
+            interval=interval, ids=ids, from_ms=from_ms, to_ms=to_ms,
+            flag=flag,
+        )
+
+    def erase_old(self, cutoff_ms) -> None:
+        self._call("erase_old", cutoff_ms=cutoff_ms)
+
+    def compact(self) -> None:
+        self._call("compact")
+
+    def subscribe(self, ids=None, flag=0, timeout_s=600):
+        """Drain the store's current contents through the engine's
+        subscription; returns the pushed rows in arrival order."""
+        self._pushes = []
+        self._call(
+            "subscribe",
+            ids=ids, flag=flag, available_now=True, timeout_s=timeout_s,
+        )
+        return [tuple(r) for p in self._pushes for r in p["rows"]]
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def __enter__(self) -> "TsClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
