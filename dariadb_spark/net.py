@@ -62,6 +62,10 @@ _FRAME_VERBS = {
         p.get("to_ms"),
         p.get("flag", 0),
     ),
+    "read_interval_by_pattern": lambda eng, p: eng.read_interval_by_pattern(
+        p["pattern"], p["from_ms"], p["to_ms"], p.get("flag", 0)
+    ),
+    "scheme_all": lambda eng, p: eng.scheme.to_df().orderBy("id"),
 }
 
 
@@ -121,6 +125,20 @@ class _Handler(socketserver.StreamRequestHandler):
                 isolated=bool(p.get("isolated", False)),
             )
             return {"qid": qid, "status": "ok", "appended": n}
+        if op == "scheme_add_param":
+            # Scheme::addParam over the wire — the reference protocol's
+            # scheme-sync half: clients create/lookup series by name
+            return {
+                "qid": qid,
+                "status": "ok",
+                "id": eng.scheme.add_param(p["name"]),
+            }
+        if op == "scheme_id_by_param":
+            return {
+                "qid": qid,
+                "status": "ok",
+                "id": eng.scheme.id_by_param(p["name"]),
+            }
         if op == "erase_old":
             eng.erase_old(p["cutoff_ms"])
             return {"qid": qid, "status": "ok"}
@@ -268,6 +286,21 @@ class TsClient:
             interval=interval, ids=ids, from_ms=from_ms, to_ms=to_ms,
             flag=flag,
         )
+
+    def read_interval_by_pattern(self, pattern, from_ms, to_ms, flag=0):
+        return self._frame(
+            "read_interval_by_pattern",
+            pattern=pattern, from_ms=from_ms, to_ms=to_ms, flag=flag,
+        )
+
+    def scheme_add_param(self, name) -> int:
+        return self._call("scheme_add_param", name=name)["id"]
+
+    def scheme_id_by_param(self, name):
+        return self._call("scheme_id_by_param", name=name)["id"]
+
+    def scheme_all(self):
+        return self._frame("scheme_all")
 
     def erase_old(self, cutoff_ms) -> None:
         self._call("erase_old", cutoff_ms=cutoff_ms)

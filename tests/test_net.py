@@ -101,6 +101,31 @@ def test_subscribe_pushes_filtered_rows(served):
         assert all(r[0] in (0, 1) and (r[3] & 16) == 16 for r in got)
 
 
+def test_scheme_verbs_over_the_wire(served):
+    eng, srv = served
+    with _cli(srv) as cli:
+        ida = cli.scheme_add_param("hostA.sensor0.load")
+        idb = cli.scheme_add_param("hostA.sensor1.load")
+        assert idb == ida + 1
+        assert cli.scheme_add_param("hostA.sensor0.load") == ida  # idempotent
+        assert cli.scheme_id_by_param("hostA.sensor0.load") == ida
+        assert cli.scheme_id_by_param("nope") is None
+        cols, rows = cli.scheme_all()
+        assert cols == ["id", "name"]
+        assert (ida, "hostA.sensor0.load") in rows
+        # name-driven interval scan over the wire == direct engine call
+        cli.append([(ida, T0 + HOUR, 1.5, 1), (idb, T0 + HOUR, 2.5, 1)])
+        cols, rows = cli.read_interval_by_pattern(
+            "hostA.*", T0, T0 + 2 * HOUR
+        )
+        direct = eng.read_interval_by_pattern("hostA.*", T0, T0 + 2 * HOUR)
+        assert cols == list(direct.columns)
+        assert sorted(rows) == sorted(tuple(r) for r in direct.collect())
+        assert {r[1] for r in rows} == {
+            "hostA.sensor0.load", "hostA.sensor1.load"
+        }
+
+
 def test_unknown_op_answers_with_error(served):
     _, srv = served
     with _cli(srv) as cli:
