@@ -939,6 +939,63 @@ def stress_pq_encode_arrow(spark) -> tuple[float, float]:
     return arrow_s, agree
 
 
+NET_ROWS = 100_000
+NET_BATCH = 10_000
+
+
+def stress_net_protocol(spark) -> tuple[float, float, float]:
+    """S6 network protocol above unit-test size (dariadb_spark/net.py):
+    a served parquet store takes 100k rows over the wire in 10k-row
+    append requests, then streams them back through read_interval.
+    Returns (p50 ping round-trip ms, append rows/s over the wire,
+    read rows/s over the wire). The protocol's cost is JSON transport +
+    the engine verb itself — measured so the reference's recalled
+    network-throughput claims have a comparable row."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark import TsEngine
+    from dariadb_spark.net import TsClient, TsServer
+
+    base = tempfile.mkdtemp(prefix="dariadb_net_stress_")
+    try:
+        eng = TsEngine.open(spark, f"{base}/store")
+        srv = TsServer(eng).start()
+        try:
+            cli = TsClient("127.0.0.1", srv.port)
+            pings = []
+            for _ in range(50):
+                t0 = time.perf_counter()
+                cli.ping()
+                pings.append(time.perf_counter() - t0)
+            p50_ms = sorted(pings)[len(pings) // 2] * 1000
+            t0h = 1_704_067_200_000
+            rows = [
+                (i % 200, t0h + i * 1000, float(i % 97), 1)
+                for i in range(NET_ROWS)
+            ]
+            t0 = time.perf_counter()
+            n = 0
+            for off in range(0, NET_ROWS, NET_BATCH):
+                n += cli.append(rows[off: off + NET_BATCH])
+            append_s = time.perf_counter() - t0
+            assert n == NET_ROWS, n
+            t0 = time.perf_counter()
+            _, got = cli.read_interval(None, 0, 4_000_000_000_000)
+            read_s = time.perf_counter() - t0
+            assert len(got) == NET_ROWS, len(got)
+            cli.close()
+            return (
+                round(p50_ms, 3),
+                round(NET_ROWS / append_s),
+                round(NET_ROWS / read_s),
+            )
+        finally:
+            srv.stop()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 SEM_CORPUS = 500_000
 SEM_CELLS = 1024  # ≈ √N — the SemDeDup paper's cluster-count regime
 SEM_CLONES = 10
@@ -1248,6 +1305,7 @@ def main() -> None:
     pq_s, pq_cand, pq_cent = stress_pq_encode(spark)
     pqa_s, pqa_agree = stress_pq_encode_arrow(spark)
     sd_s, sd_pairs, sd_frac, sd_maxcell = stress_sem_dedup(spark)
+    net_ping_ms, net_append_rps, net_read_rps = stress_net_protocol(spark)
     lr_s, lr_loss, lr_acc = stress_train_lr_convergence(spark)
     cp_pre, cp_post, cp_fpre, cp_fpost = stress_store_compaction(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
@@ -1295,6 +1353,9 @@ def main() -> None:
                 "sem_dedup_pairs": sd_pairs,
                 "sem_dedup_pair_frac": sd_frac,
                 "sem_dedup_max_cell": sd_maxcell,
+                "net_ping_p50_ms": net_ping_ms,
+                "net_append_rows_per_sec": net_append_rps,
+                "net_read_rows_per_sec": net_read_rps,
                 "compact_files_pre": cp_fpre,
                 "compact_files_post": cp_fpost,
                 "grid_rows": grid_rows,
