@@ -272,6 +272,12 @@ def sketch_kmv_union(spark: SparkSession, sf: str) -> DataFrame:
     )
     hashed = distinct_bg.selectExpr("lang", "bg", f"{_h60_spark('bg')} AS h")
     w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("bg"))
+    # NOTE (r9 scan audit): the per-lang sketch behind this rank IS a
+    # tiny summary with corpus lineage re-derived per consumer (~10
+    # plan scans), but checkpointing it was MEASURED SLOWER (1.38 →
+    # 1.68 s at sf0.1) — the materialization barrier costs more than
+    # the re-derived lineage, same verdict as the PQ pipeline. Only
+    # the CMS rollup cleared the bar (SCALE.md §3 rule).
     sk = (
         hashed.select("lang", "h", "bg", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= KMV_K)
