@@ -431,6 +431,80 @@ SELECT source, n_docs, n_tokens, nat_frac, mix_frac,
 FROM enr ORDER BY source"""
 
 
+# --- mixture plan EXECUTION (the apply half of the recipe) ----------------
+# STAGED for the round-10 driver window (round-9's is full; the staging
+# every late operator goes through). `corpus_mixture` is the worksheet a
+# pipeline reviews; this op EXECUTES it — the deterministic Knuth-hash
+# Bernoulli keep at each source's planned rate — and audits achieved
+# docs/tokens against the plan's expectations, the yield check a
+# training run signs off before shipping shards. Plan shape: the plan
+# is a |sources|-row broadcast; the keep decision is a pushable per-row
+# filter; achieved counts are one map-side-combined aggregate — the
+# corpus scans once and the text never shuffles.
+
+MIX_SEED_OFFSET = 777_777  # decorrelated from split/sample/temperature
+
+
+def corpus_mixture_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Per source: the planned rate and expected token yield (from
+    :func:`corpus_mixture`), the achieved kept-doc/token counts under
+    the deterministic keep, and the relative yield gap in percent —
+    sampling noise made visible against the plan (rate-1.0 sources gap
+    0 exactly; Bernoulli sources land within sampling error)."""
+    docs = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", "source", "size(split(text, ' ')) AS n_tok"
+    )
+    plan = corpus_mixture(spark, sf).select(
+        "source", "sample_rate", "expected_tokens"
+    )
+    kept = docs.join(F.broadcast(plan), "source").where(
+        _pct_f(F.col("doc_id"), MIX_SEED_OFFSET)
+        < F.col("sample_rate") * 100.0
+    )
+    achieved = kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("achieved_tokens"),
+    )
+    return (
+        plan.join(achieved, "source", "left")
+        .selectExpr(
+            "source",
+            "sample_rate",
+            "CAST(coalesce(n_docs_kept, 0) AS BIGINT) AS n_docs_kept",
+            "CAST(coalesce(achieved_tokens, 0) AS BIGINT)"
+            " AS achieved_tokens",
+            "expected_tokens",
+            "round((coalesce(achieved_tokens, 0) - expected_tokens)"
+            " / expected_tokens * 100, 2) AS gap_pct",
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_MIXTURE_APPLY_SQL = f"""
+WITH plan AS (SELECT source, sample_rate, expected_tokens
+              FROM ({CORPUS_MIXTURE_SQL})),
+d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+kept AS (
+  SELECT d.source, d.n_tok
+  FROM d JOIN plan p ON d.source = p.source
+  WHERE ((((d.doc_id + {MIX_SEED_OFFSET}) * {KNUTH}) % {MOD32})
+         % 1000000) / 10000.0 < p.sample_rate * 100.0),
+achieved AS (
+  SELECT source, count(*) AS n_docs_kept,
+         CAST(sum(n_tok) AS BIGINT) AS achieved_tokens
+  FROM kept GROUP BY source)
+SELECT p.source AS source, p.sample_rate,
+       CAST(COALESCE(a.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(a.achieved_tokens, 0) AS BIGINT) AS achieved_tokens,
+       p.expected_tokens,
+       round((COALESCE(a.achieved_tokens, 0) - p.expected_tokens)
+             / p.expected_tokens * 100, 2) AS gap_pct
+FROM plan p LEFT JOIN achieved a ON p.source = a.source
+ORDER BY source"""
+
+
 register("ext_split_train_test", split_train_test, SPLIT_SQL)
 register("ext_sample_reservoir", sample_reservoir, SAMPLE_RESERVOIR_SQL)
 register("ext_sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_SQL)

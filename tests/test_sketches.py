@@ -1037,6 +1037,60 @@ def test_sem_dedup_parity_and_keep_first(spark, oracle_sf_dir):
             assert keep == (0 if has_lower_dup else 1), (vec_id, cid)
 
 
+def test_corpus_mixture_apply_parity_and_yield(spark, oracle_sf_dir):
+    # Staged r10 operator (mixture plan EXECUTION): DuckDB parity, then
+    # a full independent replay — recompute each source's planned rate
+    # consumers' keep set with the Knuth hash in Python and check every
+    # achieved count; every gap_pct must be the achieved-vs-expected
+    # arithmetic it claims to be.
+    import duckdb
+
+    from dariadb_spark.ext.sampling import (
+        CORPUS_MIXTURE_APPLY_SQL,
+        KNUTH,
+        MIX_SEED_OFFSET,
+        MOD32,
+        corpus_mixture,
+        corpus_mixture_apply,
+    )
+    from dariadb_spark.model import load_table
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    rows = [
+        tuple(r) for r in corpus_mixture_apply(spark, oracle_sf_dir).collect()
+    ]
+    oracle = [
+        tuple(r) for r in con.execute(CORPUS_MIXTURE_APPLY_SQL).fetchall()
+    ]
+    con.close()
+    assert rows == oracle and len(rows) > 0
+    plan = {
+        r.source: (float(r.sample_rate), float(r.expected_tokens))
+        for r in corpus_mixture(spark, oracle_sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, oracle_sf_dir, "documents")
+        .selectExpr("doc_id", "source", "size(split(text, ' ')) AS n_tok")
+        .collect()
+    )
+    achieved: dict[str, list[int]] = {}
+    for d in docs:
+        rate = plan[d.source][0]
+        pct = ((int(d.doc_id) + MIX_SEED_OFFSET) * KNUTH) % MOD32
+        if (pct % 1_000_000) / 10_000.0 < rate * 100.0:
+            agg = achieved.setdefault(d.source, [0, 0])
+            agg[0] += 1
+            agg[1] += int(d.n_tok)
+    for source, sample_rate, n_kept, ach_tok, exp_tok, gap in rows:
+        exp_docs, exp_toks = achieved.get(source, [0, 0])
+        assert (n_kept, ach_tok) == (exp_docs, exp_toks), source
+        assert gap == round((ach_tok - exp_tok) / exp_tok * 100, 2), source
+
+
 def test_sem_dedup_blocked_complete_within_cells(spark):
     # The production-scale API (stress-validated at 500k in
     # bench_stress): on a small planted frame, the blocked pair set
