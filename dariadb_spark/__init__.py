@@ -23,11 +23,14 @@ from dariadb_spark.model import (
     load_table,
     measurements,
 )
+from dariadb_spark.net import TsClient, TsServer
 from dariadb_spark.scheme import ConcurrentCatalogWriteError
 from dariadb_spark.session import ensure_runtime_confs, get_spark
 
 __all__ = [
     "TsEngine",
+    "TsServer",
+    "TsClient",
     "FLAGS_NO_DATA",
     "MEAS_FIELDS",
     "ConcurrentCatalogWriteError",
