@@ -1127,6 +1127,23 @@ FROM b GROUP BY flag, bucket
 ORDER BY flag, bucket"""
 
 
+# Batch KMV sketch table (k smallest DISTINCT hashes per language) —
+# the oracle the STREAMING bounded-state KMV maintenance
+# (streaming/sketch.py streaming_kmv_parity, staged r10) must land on
+# exactly. Distinct is taken over the HASH (the streaming state is a
+# set of hashes), which coincides with bigram-distinct unless two
+# bigrams collide in the 60-bit space.
+STREAMING_KMV_CELLS_SQL = f"""
+WITH {_BG_CTE},
+d AS (SELECT DISTINCT lang, {_h60_duck('bg')} AS h
+      FROM (SELECT DISTINCT lang, bg FROM bg)),
+r AS (SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rn
+      FROM d)
+SELECT lang, CAST(rn AS INT) AS rn, h FROM r WHERE rn <= {KMV_K}
+ORDER BY lang, rn"""
+
+
 # --- hierarchical CMS rollup: per-shard cells → merged heavy hitters ------
 # Registered round 9 like sketch_rollup_quantile — the frequency twin
 # of the quantile rollup: per-shard CMS cell tables (the summaries a

@@ -189,6 +189,131 @@ def streaming_hdr_cells(
     )
 
 
+def streaming_kmv_state(
+    spark: SparkSession,
+    docs_dir: str,
+    query_name: str = "kmv_live",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain per-language KMV distinct-count sketches as EXPLICIT
+    bounded state (≤ KMV_K hashes per group) via
+    ``applyInPandasWithState`` — the third streaming sketch twin (CMS
+    cells round 8, HDR buckets round 9): live distinct-cardinality
+    estimates queryable mid-ingest.
+
+    Why a custom stateful operator instead of a streaming aggregation:
+    a ``collect_set`` state grows with the TRUE distinct count — the
+    quantity the sketch exists to avoid holding. The KMV state is k
+    rows forever; each micro-batch unions its distinct hashes into the
+    state and re-trims to the k smallest, which is exactly the
+    mergeability property the batch tests pin (the k smallest of a
+    union equal the k smallest of merged k-mins), so batching is
+    invisible. Each emission carries an update ordinal so a consumer
+    (and the parity) can select the latest standing sketch per group."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dariadb_spark.ext.hashes import _h60_spark
+    from dariadb_spark.ext.sketches import _BG_SPARK, KMV_K
+
+    reader = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    hashed = (
+        reader.parquet(docs_dir)
+        .where("size(split(text, ' ')) >= 2")
+        .selectExpr("lang", f"explode(array_distinct({_BG_SPARK})) AS bg")
+        .selectExpr("lang", f"{_h60_spark('bg')} AS h")
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (lang,) = key
+        if state.exists:
+            upd, hs = state.get
+            ks = set(hs)
+        else:
+            upd, ks = 0, set()
+        for pdf in pdfs:
+            ks.update(int(x) for x in pdf["h"])
+        trimmed = sorted(ks)[:KMV_K]
+        upd += 1
+        state.update((upd, trimmed))
+        yield pd.DataFrame(
+            {
+                "lang": [lang] * len(trimmed),
+                "upd": [upd] * len(trimmed),
+                "rn": list(range(1, len(trimmed) + 1)),
+                "h": trimmed,
+            }
+        )
+
+    updated = hashed.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType="lang string, upd int, rn int, h long",
+        stateStructType="upd int, hs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_kmv_parity(spark: SparkSession, sf_dir: str):
+    """Driver-visible KMV-maintenance parity (STAGED for round 10; the
+    CMS/HDR staging pattern): land the documents fixture in TWO parquet
+    drops, fold one file per micro-batch through the bounded-state KMV
+    update, and return the LATEST standing sketch per language (the
+    max-ordinal emission). Oracle = the batch k-smallest-distinct-hash
+    table over the same corpus — mergeability makes batching
+    invisible."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.model import load_table
+    from dariadb_spark.streaming.scratch import (
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
+
+    base = tempfile.mkdtemp(prefix="dariadb_kmv_parity_")
+    data_dir = f"{base}/docs"
+    qname = "kmv_parity_" + base.rsplit("_", 1)[-1]
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.where("doc_id % 2 = 0").write.parquet(data_dir)
+        docs.where("doc_id % 2 = 1").write.mode("append").parquet(data_dir)
+        with parity_stream_partitions(spark):
+            q = streaming_kmv_state(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        q.awaitTermination(600)
+        w = Window.partitionBy("lang")
+        latest = (
+            spark.table(qname)
+            .withColumn("max_upd", F.max("upd").over(w))
+            .where("upd = max_upd")
+            .select("lang", "rn", "h")
+            .orderBy("lang", "rn")
+        )
+        return localize_and_cleanup(spark, latest, base, qname)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+
+
 def streaming_hdr_parity(spark: SparkSession, sf_dir: str):
     """Driver-visible HDR-maintenance parity, STAGED for round 9 (the
     streaming_sketch_parity staging pattern): land the measurements

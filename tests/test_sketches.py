@@ -627,6 +627,49 @@ def test_sketch_quantile_one_bucket_of_nearest_rank_bound(
             assert abs(r.qsk_est - xr) <= width + 0.02, (sf, tuple(r), xr)
 
 
+def test_streaming_kmv_matches_batch_with_bounded_state(
+    spark, oracle_sf_dir
+):
+    # Staged r10 streaming surface (the third sketch twin): the
+    # bounded-state KMV fold over two one-file micro-batches must land
+    # on EXACTLY the batch k-smallest-distinct-hash table (DuckDB
+    # oracle), every emission must respect the k-row state bound, and
+    # at least one group must have folded through BOTH batches (a
+    # genuine incremental merge, not a single-batch replay).
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        KMV_K,
+        STREAMING_KMV_CELLS_SQL,
+    )
+    from dariadb_spark.streaming.sketch import streaming_kmv_parity
+
+    rows = [
+        tuple(r) for r in streaming_kmv_parity(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [
+        tuple(r) for r in con.execute(STREAMING_KMV_CELLS_SQL).fetchall()
+    ]
+    con.close()
+    assert rows == oracle and len(rows) > 0
+    per_lang: dict[str, int] = {}
+    for lang, rn, h in rows:
+        per_lang[lang] = max(per_lang.get(lang, 0), rn)
+    assert all(k <= KMV_K for k in per_lang.values())
+    assert any(k == KMV_K for k in per_lang.values())  # sketch saturated
+    # per-group hashes strictly increasing by rank (a SET, trimmed)
+    by_lang: dict[str, list[int]] = {}
+    for lang, rn, h in rows:
+        by_lang.setdefault(lang, []).append(h)
+    for hs in by_lang.values():
+        assert hs == sorted(set(hs))
+
+
 def test_streaming_hdr_matches_batch(spark, sf_dir, tmp_path):
     # Staged r9 streaming surface (the CMS pattern): ingesting the
     # measurement slice in two file drops, folded one-file-per-batch,
