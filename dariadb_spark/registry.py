@@ -763,12 +763,12 @@ if "ext_sketch_quantile_hdr" in REGISTRY:
 # r10 plan, pre-computed: the r7-latest set (streaming parities,
 # `ext_derived_series`, `bucket_hour_salted`, `ext_scalar_funcs`,
 # `ext_events_json`, sketch CMS/KMV, …) plus the r8 core-verb block
-# come due at stale-2 next round — rotate them plus the three
+# come due at stale-2 next round — rotate them plus the four
 # round-9-staged operators (`sem_dedup`, `dedup_boilerplate`,
-# `corpus_mixture_apply` in ext/similarity.py, ext/dedup.py,
-# ext/sampling.py — each already oracle-hash-matched at sf0.01 with
-# pytest replays, so registration is just the register() call + a
-# window slot).
+# `corpus_mixture_apply`, `streaming_kmv_parity` in ext/similarity.py,
+# ext/dedup.py, ext/sampling.py, streaming/sketch.py — each already
+# oracle-hash-matched at sf0.01 with pytest replays, so registration is
+# just the register() call + a window slot).
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
