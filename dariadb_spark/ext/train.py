@@ -35,32 +35,58 @@ LR_DIM = 64
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
+def _emb_labeled(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
+        "CAST(label < 5 AS INT) AS y",
+    )
+
+
+def _lit(w: list[float]) -> str:
+    return f"array({', '.join(repr(x) for x in w)})"
+
+
+def _p_expr(w: list[float]) -> str:
+    # clamp into [1e-6, 1 - 1e-6]: a post-round p of exactly 0/1
+    # would make ln() blow up, identically in both engines
+    return (
+        "least(0.999999d, greatest(0.000001d, "
+        "round(1.0d / (1.0d + exp(-round("
+        + _DOT.format(a="e", b=_lit(w))
+        + ", 6))), 6)))"
+    )
+
+
+def _grad(emb: DataFrame, n_row: int, p_expr: str) -> list[float]:
+    """One full-batch gradient: 64 per-dim round(sum,6)/n values."""
+    rows = (
+        emb.selectExpr("e", "y", f"{p_expr} AS p")
+        .selectExpr("posexplode(e) AS (pos, x)", "p", "y")
+        .groupBy("pos")
+        .agg((F.round(F.sum(F.expr("x * (p - y)")), 6) / n_row).alias("g"))
+        .collect()
+    )
+    by_pos = {int(r.pos): float(r.g) for r in rows}
+    return [by_pos[i] for i in range(LR_DIM)]
+
+
+def _learned_w2(emb: DataFrame, n_row: int) -> list[float]:
+    """The 2-step weights the oracled queries share: w2 = w1 − η·∇(p1)
+    with w1 = −η·∇(0.5) — identical to the unrolled SQL chain."""
+    w1 = [-LR_ETA * g for g in _grad(emb, n_row, "CAST(0.5 AS DOUBLE)")]
+    return [
+        a - LR_ETA * g for a, g in zip(w1, _grad(emb, n_row, _p_expr(w1)))
+    ]
+
+
 def train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
     """Per GD step (0 = the zero init, 1, 2): log-loss, accuracy, and
     weight-vector norm for the binary target ``label < 5`` — the
     learning curve IS the checked result (loss must fall, accuracy must
     beat the base rate; pinned in tests)."""
-    emb = load_table(spark, sf, "embeddings").selectExpr(
-        "vec_id",
-        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
-        "CAST(label < 5 AS INT) AS y",
-    )
+    emb = _emb_labeled(spark, sf)
     n_row = emb.count()
-
-    def _grad(p_expr: str) -> list[float]:
-        """One full-batch gradient: 64 per-dim round(sum,6)/n values."""
-        rows = (
-            emb.selectExpr("e", "y", f"{p_expr} AS p")
-            .selectExpr("posexplode(e) AS (pos, x)", "p", "y")
-            .groupBy("pos")
-            .agg((F.round(F.sum(F.expr("x * (p - y)")), 6) / n_row).alias("g"))
-            .collect()
-        )
-        by_pos = {int(r.pos): float(r.g) for r in rows}
-        return [by_pos[i] for i in range(LR_DIM)]
-
-    def _lit(w: list[float]) -> str:
-        return f"array({', '.join(repr(x) for x in w)})"
 
     def _metrics(step: int, w: list[float], p_expr: str):
         wn = 0.0
@@ -87,20 +113,10 @@ def train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     p0 = "CAST(0.5 AS DOUBLE)"
-    w1 = [-LR_ETA * g for g in _grad(p0)]
-    def _p(w: list[float]) -> str:
-        # clamp into [1e-6, 1 - 1e-6]: a post-round p of exactly 0/1
-        # would make ln() blow up, identically in both engines
-        return (
-            "least(0.999999d, greatest(0.000001d, "
-            "round(1.0d / (1.0d + exp(-round("
-            + _DOT.format(a="e", b=_lit(w))
-            + ", 6))), 6)))"
-        )
-
-    p1 = _p(w1)
-    w2 = [a - LR_ETA * g for a, g in zip(w1, _grad(p1))]
-    p2 = _p(w2)
+    w1 = [-LR_ETA * g for g in _grad(emb, n_row, p0)]
+    p1 = _p_expr(w1)
+    w2 = [a - LR_ETA * g for a, g in zip(w1, _grad(emb, n_row, p1))]
+    p2 = _p_expr(w2)
     out = (
         _metrics(0, [0.0] * LR_DIM, p0)
         .unionByName(_metrics(1, w1, p1))
@@ -110,8 +126,9 @@ def train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
-TRAIN_QUALITY_LR_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+#: the unrolled chain through the 2-step probabilities (`p2`) — shared
+#: CTE prefix of the learning-curve and threshold-sweep oracles.
+_LR_P2_SQL = f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                     CAST(label < 5 AS INT) AS y
              FROM embeddings),
 n AS (SELECT count(*) AS n, sum(y) AS ny FROM emb),
@@ -139,7 +156,10 @@ p2 AS (SELECT e, y,
                     round(1.0 / (1.0 + exp(-round(
                           list_dot_product(e, (SELECT w FROM w2)), 6))), 6)))
                 AS p
-       FROM emb),
+       FROM emb)"""
+
+TRAIN_QUALITY_LR_SQL = f"""
+WITH {_LR_P2_SQL},
 m0 AS (SELECT CAST(0 AS BIGINT) AS step,
               round(-ln(0.5), 4) AS log_loss,
               round(1.0 - (SELECT ny FROM n) * 1.0 / (SELECT n FROM n), 4)
@@ -164,6 +184,91 @@ SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2
 ORDER BY step"""
 
 register("ext_train_quality_lr", train_quality_lr, TRAIN_QUALITY_LR_SQL)
+
+
+# --- operating-point audit (threshold sweep over the trained scorer) ------
+# STAGED for the round-10 driver window (round-9's is full; the staging
+# every late operator goes through). A trained scorer becomes a
+# deployable quality GATE only once someone picks the threshold — this
+# query is that worksheet: confusion counts and precision/recall/F1 at
+# a threshold sweep over the 2-step-trained classifier (the exact
+# weights the oracled learning curve produces). One corpus scan scores
+# and fans each row out to |thresholds| confusion cells — a
+# |thresholds|-row result regardless of corpus size.
+
+EVAL_THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+def train_quality_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Per threshold: (tp, fp, fneg, tn, precision, recall, f1) for the
+    binary target ``label < 5`` under the 2-step weights. Zero-denominator
+    guards use greatest(·, 1) identically in both engines."""
+    emb = _emb_labeled(spark, sf)
+    p2 = _p_expr(_learned_w2(emb, emb.count()))
+    thr_fanout = (
+        "explode(array("
+        + ", ".join(f"CAST({t} AS DOUBLE)" for t in EVAL_THRESHOLDS)
+        + ")) AS thr"
+    )
+    return (
+        emb.selectExpr("y", f"{p2} AS p")
+        .selectExpr("y", "p", thr_fanout)
+        .groupBy("thr")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN p > thr AND y = 1 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("tp"),
+            F.expr(
+                "CAST(sum(CASE WHEN p > thr AND y = 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("fp"),
+            F.expr(
+                "CAST(sum(CASE WHEN p <= thr AND y = 1 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("fneg"),
+            F.expr(
+                "CAST(sum(CASE WHEN p <= thr AND y = 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("tn"),
+        )
+        .selectExpr(
+            "thr",
+            "tp",
+            "fp",
+            "fneg",
+            "tn",
+            "round(tp / CAST(greatest(tp + fp, 1L) AS DOUBLE), 4)"
+            " AS precision",
+            "round(tp / CAST(greatest(tp + fneg, 1L) AS DOUBLE), 4)"
+            " AS recall",
+            "round(2 * tp / CAST(greatest(2 * tp + fp + fneg, 1L)"
+            " AS DOUBLE), 4) AS f1",
+        )
+        .orderBy("thr")
+    )
+
+
+TRAIN_QUALITY_EVAL_SQL = f"""
+WITH {_LR_P2_SQL},
+t AS (SELECT unnest([{', '.join(f'{t}::DOUBLE' for t in EVAL_THRESHOLDS)}])
+        AS thr),
+c AS (SELECT t.thr AS thr,
+             CAST(sum(CASE WHEN p.p > t.thr AND p.y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p.p > t.thr AND p.y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN p.p <= t.thr AND p.y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fneg,
+             CAST(sum(CASE WHEN p.p <= t.thr AND p.y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM p2 p, t GROUP BY t.thr)
+SELECT thr, tp, fp, fneg, tn,
+       round(tp / CAST(greatest(tp + fp, 1) AS DOUBLE), 4) AS precision,
+       round(tp / CAST(greatest(tp + fneg, 1) AS DOUBLE), 4) AS recall,
+       round(2 * tp / CAST(greatest(2 * tp + fp + fneg, 1) AS DOUBLE), 4)
+         AS f1
+FROM c ORDER BY thr"""
 
 
 def train_lr(

@@ -985,6 +985,46 @@ def test_train_quality_lr_parity_and_learning_curve(spark, oracle_sf_dir):
     assert norms[0] == 0.0 and norms[2] > norms[1] > 0.0
 
 
+def test_train_quality_eval_parity_and_confusion_algebra(
+    spark, oracle_sf_dir
+):
+    # Staged r10 operator (operating-point audit): DuckDB parity plus
+    # the confusion-matrix algebra — every threshold partitions the
+    # corpus exactly (tp+fp+fneg+tn == n), predicted-positives are
+    # monotone non-increasing in the threshold, and the sweep's tails
+    # exercise both the all-positive regime and the zero-denominator
+    # guard.
+    import duckdb
+
+    from dariadb_spark.ext.train import (
+        TRAIN_QUALITY_EVAL_SQL,
+        train_quality_eval,
+    )
+    from dariadb_spark.model import load_table
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/embeddings.parquet')"
+    )
+    rows = [
+        tuple(r) for r in train_quality_eval(spark, oracle_sf_dir).collect()
+    ]
+    oracle = [tuple(r) for r in con.execute(TRAIN_QUALITY_EVAL_SQL).fetchall()]
+    con.close()
+    assert rows == oracle
+    n = load_table(spark, oracle_sf_dir, "embeddings").count()
+    pos_by_thr = []
+    for thr, tp, fp, fneg, tn, precision, recall, f1 in rows:
+        assert tp + fp + fneg + tn == n, thr
+        assert 0.0 <= precision <= 1.0 and 0.0 <= recall <= 1.0
+        pos_by_thr.append(tp + fp)
+        if tp + fp == 0:
+            assert precision == 0.0 and f1 == 0.0  # guard, not NULL/NaN
+    assert pos_by_thr == sorted(pos_by_thr, reverse=True)
+    assert pos_by_thr[0] > 0  # the sweep's low end actually predicts
+
+
 def test_train_lr_arbitrary_steps_keeps_learning(spark, oracle_sf_dir):
     # The production trainer at a depth the unrolled oracle can't
     # express (8 steps): the loss at the end is below both the zero
