@@ -760,15 +760,20 @@ if "ext_sketch_quantile_hdr" in REGISTRY:
 # `load_min_max`, `scheme_resolve`, `partition_file_stats_multi`, the
 # dedup/similarity/text r6 blocks, …). 7 + 43 = exactly 50 (the core
 # verbs went green in r8 and rotate back next round).
-# r10 plan, pre-computed: the r7-latest set (streaming parities,
-# `ext_derived_series`, `bucket_hour_salted`, `ext_scalar_funcs`,
-# `ext_events_json`, sketch CMS/KMV, …) plus the r8 core-verb block
-# come due at stale-2 next round — rotate them plus the four
+# r10 plan, pre-computed (attestation_ledger --stale 1 as of r9):
+# EXACTLY 50 queries have latest == r7 (the r7 window barely overlapped
+# r8/r9's rotations) and hit their stale-3 line at r10 — while the five
 # round-9-staged operators (`sem_dedup`, `dedup_boilerplate`,
-# `corpus_mixture_apply`, `streaming_kmv_parity` in ext/similarity.py,
-# ext/dedup.py, ext/sampling.py, streaming/sketch.py — each already
-# oracle-hash-matched at sf0.01 with pytest replays, so registration is
-# just the register() call + a window slot).
+# `corpus_mixture_apply`, `streaming_kmv_parity`, `train_quality_eval`
+# in ext/similarity.py, ext/dedup.py, ext/sampling.py,
+# streaming/sketch.py, ext/train.py — each already oracle-hash-matched
+# at sf0.01 with pytest replays) must ALSO ship inside their
+# registration round's window. 55 demands on 50 slots: lead with the
+# five staged registrations, fill 45 with r7-stale, and defer the five
+# r7 queries whose values are least drift-prone (unchanged code since
+# r7 AND covered by both the per-commit local sweep and the round's
+# sf0.1 sweep) to r11 — r11's load is only the ~36 r8-latest block, so
+# the deferred five fit there with room for r11 additions.
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
