@@ -943,14 +943,17 @@ NET_ROWS = 100_000
 NET_BATCH = 10_000
 
 
-def stress_net_protocol(spark) -> tuple[float, float, float]:
+def stress_net_protocol(
+    spark,
+) -> tuple[float, float, float, float, float]:
     """S6 network protocol above unit-test size (dariadb_spark/net.py):
     a served parquet store takes 100k rows over the wire in 10k-row
-    append requests, then streams them back through read_interval.
-    Returns (p50 ping round-trip ms, append rows/s over the wire,
-    read rows/s over the wire). The protocol's cost is JSON transport +
-    the engine verb itself — measured so the reference's recalled
-    network-throughput claims have a comparable row."""
+    append requests, then streams them back through read_interval —
+    once over the JSON row encoding, once over the packed binary Meas
+    encoding (the reference protocol's MeasArray shape). Returns
+    (p50 ping ms, append rows/s JSON, read rows/s JSON,
+    append rows/s binary, read rows/s binary). Result sets are asserted
+    identical across encodings."""
     import shutil
     import tempfile
 
@@ -984,11 +987,33 @@ def stress_net_protocol(spark) -> tuple[float, float, float]:
             _, got = cli.read_interval(None, 0, 4_000_000_000_000)
             read_s = time.perf_counter() - t0
             assert len(got) == NET_ROWS, len(got)
+            # binary Meas encoding: append the same rows shifted one
+            # hour (distinct keys), read back both ways, assert equal
+            brows = [
+                (i, t + 3_600_000, v, fl) for (i, t, v, fl) in rows
+            ]
+            t0 = time.perf_counter()
+            n = 0
+            for off in range(0, NET_ROWS, NET_BATCH):
+                n += cli.append(
+                    brows[off: off + NET_BATCH], binary=True
+                )
+            bin_append_s = time.perf_counter() - t0
+            assert n == NET_ROWS, n
+            t0 = time.perf_counter()
+            _, got_bin = cli.read_interval(
+                None, 0, 4_000_000_000_000, encoding="bin"
+            )
+            bin_read_s = time.perf_counter() - t0
+            assert len(got_bin) == 2 * NET_ROWS, len(got_bin)
+            assert sorted(got_bin) == sorted(rows + brows)
             cli.close()
             return (
                 round(p50_ms, 3),
                 round(NET_ROWS / append_s),
                 round(NET_ROWS / read_s),
+                round(NET_ROWS / bin_append_s),
+                round(2 * NET_ROWS / bin_read_s),
             )
         finally:
             srv.stop()
@@ -1305,7 +1330,13 @@ def main() -> None:
     pq_s, pq_cand, pq_cent = stress_pq_encode(spark)
     pqa_s, pqa_agree = stress_pq_encode_arrow(spark)
     sd_s, sd_pairs, sd_frac, sd_maxcell = stress_sem_dedup(spark)
-    net_ping_ms, net_append_rps, net_read_rps = stress_net_protocol(spark)
+    (
+        net_ping_ms,
+        net_append_rps,
+        net_read_rps,
+        net_bin_append_rps,
+        net_bin_read_rps,
+    ) = stress_net_protocol(spark)
     lr_s, lr_loss, lr_acc = stress_train_lr_convergence(spark)
     cp_pre, cp_post, cp_fpre, cp_fpost = stress_store_compaction(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
@@ -1356,6 +1387,8 @@ def main() -> None:
                 "net_ping_p50_ms": net_ping_ms,
                 "net_append_rows_per_sec": net_append_rps,
                 "net_read_rows_per_sec": net_read_rps,
+                "net_bin_append_rows_per_sec": net_bin_append_rps,
+                "net_bin_read_rows_per_sec": net_bin_read_rps,
                 "compact_files_pre": cp_fpre,
                 "compact_files_post": cp_fpost,
                 "grid_rows": grid_rows,

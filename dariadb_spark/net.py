@@ -25,10 +25,20 @@ Every verb here round-trips through the SAME operators the driver
 hash-checks (read_interval, read_time_point, current_value, stat,
 calc, downsample) — the protocol adds transport, never semantics
 (pinned by tests/test_net.py equality against direct engine calls).
+
+Binary Meas encoding (``encoding="bin"``): the reference protocol
+shipped PACKED Meas arrays, not text — measurement-shaped results
+(columns exactly ``id,time,value,flag``) and appends can opt into
+base64-wrapped column-major int64/float64 buffers inside the same JSON
+envelope. Measured (bench_stress `stress_net_protocol`): it removes
+the JSON row tax from the wire path while keeping one framing for
+every verb; appends additionally enter Spark through an Arrow-backed
+pandas DataFrame instead of a Row list.
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import socket
 import socketserver
@@ -36,6 +46,33 @@ import threading
 from typing import Any
 
 from dariadb_spark.engine import TsEngine
+
+_MEAS_COLS = ["id", "time", "value", "flag"]
+
+
+def _pack_meas(ids, times, values, flags) -> str:
+    """Column-major packed buffers (3×int64 + 1×float64), base64."""
+    import numpy as np
+
+    buf = (
+        np.asarray(ids, dtype="<i8").tobytes()
+        + np.asarray(times, dtype="<i8").tobytes()
+        + np.asarray(values, dtype="<f8").tobytes()
+        + np.asarray(flags, dtype="<i8").tobytes()
+    )
+    return base64.b64encode(buf).decode()
+
+
+def _unpack_meas(b64: str, n: int):
+    import numpy as np
+
+    raw = base64.b64decode(b64)
+    assert len(raw) == 32 * n, (len(raw), n)
+    ids = np.frombuffer(raw, dtype="<i8", count=n, offset=0)
+    times = np.frombuffer(raw, dtype="<i8", count=n, offset=8 * n)
+    values = np.frombuffer(raw, dtype="<f8", count=n, offset=16 * n)
+    flags = np.frombuffer(raw, dtype="<i8", count=n, offset=24 * n)
+    return ids, times, values, flags
 
 #: verbs that return a DataFrame collected to (columns, rows)
 _FRAME_VERBS = {
@@ -69,13 +106,28 @@ _FRAME_VERBS = {
 }
 
 
-def _frame_payload(df, limit: int | None) -> dict[str, Any]:
+def _frame_payload(
+    df, limit: int | None, encoding: str | None = None
+) -> dict[str, Any]:
     if limit is not None:
         df = df.limit(int(limit))
+    cols = list(df.columns)
+    if encoding == "bin" and cols == _MEAS_COLS:
+        # Arrow off the JVM, packed buffers on the wire — the
+        # reference's MeasArray shape; JSON rows only for non-Meas
+        # frames (where the generic envelope is the point)
+        pdf = df.toPandas()
+        return {
+            "columns": cols,
+            "n": len(pdf),
+            "bin": _pack_meas(
+                pdf["id"], pdf["time"], pdf["value"], pdf["flag"]
+            ),
+        }
     rows = df.collect()
     return {
-        "columns": list(df.columns),
-        "rows": [[row[c] for c in df.columns] for row in rows],
+        "columns": cols,
+        "rows": [[row[c] for c in cols] for row in rows],
     }
 
 
@@ -116,14 +168,32 @@ class _Handler(socketserver.StreamRequestHandler):
             return {"qid": qid, "status": "ok", "pong": True}
         if op in _FRAME_VERBS:
             payload = _frame_payload(
-                _FRAME_VERBS[op](eng, p), p.get("limit")
+                _FRAME_VERBS[op](eng, p), p.get("limit"), p.get("encoding")
             )
             return {"qid": qid, "status": "ok", **payload}
         if op == "append":
-            n = eng.append(
-                [tuple(r) for r in p["rows"]],
-                isolated=bool(p.get("isolated", False)),
-            )
+            if "rows_bin" in p:
+                import pandas as pd
+
+                ids, times, values, flags = _unpack_meas(
+                    p["rows_bin"], int(p["n"])
+                )
+                sdf = eng.spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "id": ids,
+                            "time": times,
+                            "value": values,
+                            "flag": flags,
+                        }
+                    )
+                )
+                n = eng.append(sdf, isolated=bool(p.get("isolated", False)))
+            else:
+                n = eng.append(
+                    [tuple(r) for r in p["rows"]],
+                    isolated=bool(p.get("isolated", False)),
+                )
             return {"qid": qid, "status": "ok", "appended": n}
         if op == "scheme_add_param":
             # Scheme::addParam over the wire — the reference protocol's
@@ -243,28 +313,55 @@ class TsClient:
     def ping(self) -> bool:
         return bool(self._call("ping").get("pong"))
 
-    def append(self, rows, isolated: bool = False) -> int:
+    def append(self, rows, isolated: bool = False, binary: bool = False) -> int:
+        if binary:
+            rows = list(rows)
+            return self._call(
+                "append",
+                rows_bin=_pack_meas(
+                    [r[0] for r in rows],
+                    [r[1] for r in rows],
+                    [r[2] for r in rows],
+                    [r[3] for r in rows],
+                ),
+                n=len(rows),
+                isolated=isolated,
+            )["appended"]
         return self._call(
             "append", rows=[list(r) for r in rows], isolated=isolated
         )["appended"]
 
     def _frame(self, op: str, **params):
         resp = self._call(op, **params)
+        if "bin" in resp:
+            ids, times, values, flags = _unpack_meas(resp["bin"], resp["n"])
+            rows = [
+                (int(i), int(t), float(v), int(fl))
+                for i, t, v, fl in zip(ids, times, values, flags)
+            ]
+            return resp["columns"], rows
         return resp["columns"], [tuple(r) for r in resp["rows"]]
 
-    def read_interval(self, ids, from_ms, to_ms, flag=0, limit=None):
+    def read_interval(
+        self, ids, from_ms, to_ms, flag=0, limit=None, encoding=None
+    ):
         return self._frame(
             "read_interval",
             ids=ids, from_ms=from_ms, to_ms=to_ms, flag=flag, limit=limit,
+            encoding=encoding,
         )
 
-    def read_time_point(self, ids, time_point_ms, flag=0):
+    def read_time_point(self, ids, time_point_ms, flag=0, encoding=None):
         return self._frame(
-            "read_time_point", ids=ids, time_point_ms=time_point_ms, flag=flag
+            "read_time_point",
+            ids=ids, time_point_ms=time_point_ms, flag=flag,
+            encoding=encoding,
         )
 
-    def current_value(self, ids=None, flag=0):
-        return self._frame("current_value", ids=ids, flag=flag)
+    def current_value(self, ids=None, flag=0, encoding=None):
+        return self._frame(
+            "current_value", ids=ids, flag=flag, encoding=encoding
+        )
 
     def min_max_time(self, ids=None):
         return self._frame("min_max_time", ids=ids)

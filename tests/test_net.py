@@ -101,6 +101,35 @@ def test_subscribe_pushes_filtered_rows(served):
         assert all(r[0] in (0, 1) and (r[3] & 16) == 16 for r in got)
 
 
+def test_binary_meas_encoding_matches_json(served):
+    # The reference protocol's packed-MeasArray shape: binary-encoded
+    # reads and appends must be value-identical to the JSON path on
+    # every meas-shaped verb, and binary appends must be readable back
+    # exactly (int64/float64 round-trip, no precision loss).
+    eng, srv = served
+    with _cli(srv) as cli:
+        jcols, jrows = cli.read_interval([0, 1, 2], T0, T0 + 4 * HOUR)
+        bcols, brows = cli.read_interval(
+            [0, 1, 2], T0, T0 + 4 * HOUR, encoding="bin"
+        )
+        assert (jcols, sorted(jrows)) == (bcols, sorted(brows))
+        jc, jr = cli.current_value()
+        bc, br = cli.current_value(encoding="bin")
+        assert (jc, sorted(jr)) == (bc, sorted(br))
+        rows = [(9, T0 + 13 * HOUR, -0.1234567890123, 2 ** 40 + 7)]
+        assert cli.append(rows, binary=True) == 1
+        _, got = cli.read_interval([9], T0, T0 + 14 * HOUR, encoding="bin")
+        assert got == rows
+        # non-meas frames ignore the hint and stay JSON
+        cols, rows_stat = cli._frame(
+            "stat", ids=[0], from_ms=T0, to_ms=T0 + 5 * HOUR, flag=0,
+            encoding="bin",
+        )
+        direct = eng.stat([0], T0, T0 + 5 * HOUR)
+        assert cols == list(direct.columns)
+        assert sorted(rows_stat) == sorted(tuple(r) for r in direct.collect())
+
+
 def test_scheme_verbs_over_the_wire(served):
     eng, srv = served
     with _cli(srv) as cli:
