@@ -602,3 +602,59 @@ def test_sketch_quantile_property(spark, rows, neg_flags):
         else:
             width = (vals[-1] - vals[0]) / QH_BINS
         assert abs(r.qsk_est - xr) <= width + 1e-3, (tuple(r), xr, width)
+
+
+# --- boilerplate chunk profiling (staged r10) vs a definitional replay ----
+
+_bp_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_bp_docs = st.lists(
+    st.lists(_bp_words, min_size=1, max_size=28),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(docs=_bp_docs)
+@_SETTINGS
+def test_boilerplate_property(spark, docs):
+    # Random small corpora from a 5-word vocabulary force heavy chunk
+    # collisions in both directions; the operator's per-doc counts must
+    # equal a definitional Python replay (chunking, distinct-doc
+    # frequency, threshold, keep rule) on every input.
+    import math
+    from unittest import mock
+
+    import dariadb_spark.ext.dedup as dedup_mod
+    from dariadb_spark.ext.dedup import (
+        BOILER_CHUNK_WORDS,
+        BOILER_MAX_FRAC,
+        BOILER_MIN_DOCS,
+        dedup_boilerplate,
+    )
+
+    p = BOILER_CHUNK_WORDS
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(
+        dedup_mod, "load_table", lambda _s, _sf, _n: docs_df
+    ):
+        got = {
+            r.doc_id: (r.n_chunks, r.n_boiler, r.boiler_frac, r.keep)
+            for r in dedup_boilerplate(spark, "ignored").collect()
+        }
+    chunks = {
+        i: [" ".join(ws[j * p: (j + 1) * p])
+            for j in range(math.ceil(len(ws) / p))]
+        for i, ws in enumerate(docs)
+    }
+    freq: dict[str, set[int]] = {}
+    for i, cs in chunks.items():
+        for c in cs:
+            freq.setdefault(c, set()).add(i)
+    assert set(got) == set(chunks)
+    for i, cs in chunks.items():
+        nb = sum(1 for c in cs if len(freq[c]) >= BOILER_MIN_DOCS)
+        frac = round(nb / len(cs), 4)
+        assert got[i] == (
+            len(cs), nb, frac, int(frac < BOILER_MAX_FRAC)
+        ), (i, cs)
