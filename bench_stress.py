@@ -895,37 +895,21 @@ def stress_pq_encode_arrow(spark) -> tuple[float, float]:
     noise (asserted ≥ 99.9% exact agreement). Returns (encode seconds,
     agreement fraction)."""
     import numpy as np
-    import pandas as pd
 
-    from dariadb_spark.ext.similarity import PQ_K, PQ_M, PQ_SUBDIM
+    from dariadb_spark.ext.similarity import PQ_K, PQ_M, pq_encode_arrow
 
     emb, cent1, cb_exprs = _pq_stress_setup(spark)
     C = np.array(
         [[cent1[(m, k)] for k in range(PQ_K)] for m in range(PQ_M)]
     )  # M×K×16
-    csq = (C * C).sum(axis=2)  # M×K
-    bc = spark.sparkContext.broadcast((C, csq))
-
-    def encode(batches):
-        Cw, csqw = bc.value
-        for pdf in batches:
-            X = np.vstack(pdf["e"].to_numpy())  # n×64
-            out = {"vec_id": pdf["vec_id"].to_numpy()}
-            for m in range(PQ_M):
-                Xm = X[:, m * PQ_SUBDIM: (m + 1) * PQ_SUBDIM]
-                d = csqw[m][None, :] - 2.0 * (Xm @ Cw[m].T)
-                out[f"c{m}"] = d.argmin(axis=1).astype("int32")
-            yield pd.DataFrame(out)
-
-    schema = "vec_id long, " + ", ".join(f"c{m} int" for m in range(PQ_M))
     t0 = time.perf_counter()
-    codes = emb.mapInPandas(encode, schema)
+    codes = pq_encode_arrow(emb, C)
     codes.write.mode("overwrite").format("noop").save()
     arrow_s = time.perf_counter() - t0
 
     sample = emb.where("vec_id < 10000")
     expr_codes = sample.selectExpr("vec_id", *cb_exprs)
-    arrow_codes = sample.mapInPandas(encode, schema)
+    arrow_codes = pq_encode_arrow(sample, C)
     match_expr = " AND ".join(f"a.c{m} = b.c{m}" for m in range(PQ_M))
     n_sample = sample.count()
     n_agree = (
