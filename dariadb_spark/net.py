@@ -222,20 +222,43 @@ class _Handler(socketserver.StreamRequestHandler):
     def _subscribe(self, eng: TsEngine, p: dict, qid) -> dict[str, Any]:
         """Push verb: one message per micro-batch (the reference's
         per-client callback), then the done marker. available_now
-        drains the store's current contents and completes."""
+        drains the store's current contents and completes. With
+        ``encoding="bin"`` each push carries the packed Meas buffers
+        instead of JSON rows — the reference's binary MeasArray push."""
         lock = threading.Lock()  # callback thread vs handler thread
+        binary = p.get("encoding") == "bin"
 
         def cb(batch_df, batch_id: int) -> None:
-            rows = [
-                [row[c] for c in ("id", "time", "value", "flag")]
-                for row in batch_df.select(
-                    "id", "time", "value", "flag"
-                ).collect()
-            ]
+            pdf = batch_df.select("id", "time", "value", "flag").toPandas()
+            if binary:
+                msg = {
+                    "qid": qid,
+                    "push": True,
+                    "batch": batch_id,
+                    "n": len(pdf),
+                    "bin": _pack_meas(
+                        pdf["id"], pdf["time"], pdf["value"], pdf["flag"]
+                    ),
+                }
+            else:
+                # per-column tolist keeps int columns int (a 2-D
+                # .values would upcast everything to float64)
+                msg = {
+                    "qid": qid,
+                    "push": True,
+                    "batch": batch_id,
+                    "rows": [
+                        list(t)
+                        for t in zip(
+                            pdf["id"].tolist(),
+                            pdf["time"].tolist(),
+                            pdf["value"].tolist(),
+                            pdf["flag"].tolist(),
+                        )
+                    ],
+                }
             with lock:
-                self._send(
-                    {"qid": qid, "push": True, "batch": batch_id, "rows": rows}
-                )
+                self._send(msg)
 
         q = eng.subscribe(
             p.get("ids"),
@@ -405,15 +428,26 @@ class TsClient:
     def compact(self) -> None:
         self._call("compact")
 
-    def subscribe(self, ids=None, flag=0, timeout_s=600):
+    def subscribe(self, ids=None, flag=0, timeout_s=600, encoding=None):
         """Drain the store's current contents through the engine's
         subscription; returns the pushed rows in arrival order."""
         self._pushes = []
         self._call(
             "subscribe",
             ids=ids, flag=flag, available_now=True, timeout_s=timeout_s,
+            encoding=encoding,
         )
-        return [tuple(r) for p in self._pushes for r in p["rows"]]
+        out = []
+        for p in self._pushes:
+            if "bin" in p:
+                ids_a, times, values, flags = _unpack_meas(p["bin"], p["n"])
+                out.extend(
+                    (int(i), int(t), float(v), int(fl))
+                    for i, t, v, fl in zip(ids_a, times, values, flags)
+                )
+            else:
+                out.extend(tuple(r) for r in p["rows"])
+        return out
 
     def close(self) -> None:
         self._sock.close()

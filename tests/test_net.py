@@ -155,6 +155,25 @@ def test_scheme_verbs_over_the_wire(served):
         }
 
 
+def test_subscribe_binary_push_matches_json(served):
+    eng, srv = served
+    with _cli(srv) as cli:
+        jrows = cli.subscribe(ids=[0, 1], flag=16)
+        brows = cli.subscribe(ids=[0, 1], flag=16, encoding="bin")
+        assert sorted(jrows) == sorted(brows) and jrows
+
+
+def test_malformed_line_answers_and_connection_survives(served):
+    _, srv = served
+    with _cli(srv) as cli:
+        cli._sock.sendall(b"this is not json\n")
+        import json as _json
+
+        resp = _json.loads(cli._rfile.readline())
+        assert resp["status"] == "err"
+        assert cli.ping()  # connection still serves
+
+
 def test_unknown_op_answers_with_error(served):
     _, srv = served
     with _cli(srv) as cli:
