@@ -1,0 +1,111 @@
+"""The LLM-data-pipeline ops COMPOSE: one corpus flows through the
+RefinedWeb-ish chain — boilerplate pruning → exact dedup (keep-first)
+→ quality gate → mixture plan + deterministic apply → train/val/test
+split — each stage consuming the previous stage's survivors. Every
+stage is the registered operator (fed via the load_table seam, the
+property-test pattern), so this pins that the per-op contracts hold on
+each other's outputs, not just on the pristine fixture."""
+
+from __future__ import annotations
+
+from unittest import mock
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def staged_corpus(spark, oracle_sf_dir):
+    from dariadb_spark.model import load_table
+
+    return load_table(spark, oracle_sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def _with_docs(module, docs):
+    return mock.patch.object(module, "load_table", lambda _s, _sf, _n: docs)
+
+
+def test_curation_chain_composes(spark, staged_corpus):
+    import dariadb_spark.ext.dedup as dedup_mod
+    import dariadb_spark.ext.sampling as sampling_mod
+    from dariadb_spark.ext.dedup import dedup_boilerplate
+    from dariadb_spark.ext.sampling import corpus_mixture_apply, split_assign
+
+    n0 = staged_corpus.count()
+
+    # 1. boilerplate pruning — drop docs that are mostly repeated chunks
+    with _with_docs(dedup_mod, staged_corpus):
+        verdicts = dedup_boilerplate(spark, "ignored").select(
+            "doc_id", "keep"
+        )
+    stage1 = staged_corpus.join(verdicts, "doc_id").where("keep = 1").drop(
+        "keep"
+    )
+    n1 = stage1.count()
+    assert 0 < n1 < n0  # the prune branch fired on fixture near-dups
+
+    # 2. exact dedup, keep-first (min doc_id per content hash)
+    w_first = (
+        F.row_number()
+        .over(Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id"))
+        .alias("rn")
+    )
+    stage2 = (
+        stage1.withColumn("rn", w_first).where("rn = 1").drop("rn")
+    )
+    n2 = stage2.count()
+    assert 0 < n2 <= n1
+
+    # 3. quality gate — stopword-ratio bound (the curate_corpus rule)
+    stop_ratio = (
+        "size(filter(split(text, ' '), x -> x = 'a' OR x = 'the'))"
+        " / CAST(size(split(text, ' ')) AS DOUBLE)"
+    )
+    stage3 = stage2.where(f"{stop_ratio} <= 0.35")
+    n3 = stage3.count()
+    assert 0 < n3 <= n2
+
+    # 4. mixture plan + deterministic apply over the SURVIVORS
+    with _with_docs(sampling_mod, stage3):
+        audit = corpus_mixture_apply(spark, "ignored").collect()
+    assert audit  # every surviving source is audited
+    per_src_avail = {
+        r.source: r.n
+        for r in stage3.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(r.source for r in audit) == set(per_src_avail)
+    for r in audit:
+        assert 0 <= r.n_docs_kept <= per_src_avail[r.source]
+        assert r.achieved_tokens >= 0 and r.expected_tokens > 0
+    n_sampled = sum(r.n_docs_kept for r in audit)
+    assert 0 < n_sampled <= n3
+
+    # 5. split the sampled corpus — partitions exactly, deterministically
+    sampled_count = n_sampled
+    splits = {
+        r.split: r.n
+        for r in split_assign(stage3)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(splits.values()) == n3
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits.get("train", 0) > splits.get("val", 0)
+
+    # determinism: the whole chain replays to identical counts
+    with _with_docs(dedup_mod, staged_corpus):
+        verdicts2 = dedup_boilerplate(spark, "ignored").select(
+            "doc_id", "keep"
+        )
+    assert (
+        staged_corpus.join(verdicts2, "doc_id").where("keep = 1").count()
+        == n1
+    )
+    with _with_docs(sampling_mod, stage3):
+        audit2 = corpus_mixture_apply(spark, "ignored").collect()
+    assert sorted(map(tuple, audit2)) == sorted(map(tuple, audit))
+    assert sampled_count == sum(r.n_docs_kept for r in audit2)
