@@ -1013,9 +1013,9 @@ SEM_STRESS_COS = 0.999
 
 def stress_sem_dedup(spark) -> tuple[float, int, float, int]:
     """The staged SemDeDup operator's scale path (ext/similarity.py
-    sem_dedup) above fixture size: 500k synthetic 64-dim vectors + 10
-    planted exact clones, blocked into 4096 cells by
-    nearest-of-4096-centroids (Arrow-matmul assignment — one
+    sem_dedup) above fixture size: SEM_CORPUS synthetic 64-dim vectors
+    + SEM_CLONES planted exact clones, blocked into SEM_CELLS (=1024,
+    ≈√N) cells by nearest-centroid (Arrow-matmul assignment — one
     mapInPandas scan against a 2 MB broadcast centroid matrix), then
     near-dup pairs computed ONLY within cells via per-cell BLAS cosine
     matrices (applyInPandas keyed by cell).

@@ -1156,6 +1156,27 @@ ORDER BY lang, rn"""
 
 CMS_SHARDS = 4
 
+# Round-10 ADVICE fix: a lazy localCheckpoint retains its RDD blocks in
+# executor storage until context GC, and loops (bench sweeps, oracle
+# parity runs) invoke sketch_cms_rollup repeatedly. Each invocation
+# releases the PREVIOUS invocation's checkpoint here — safe because by
+# the time the operator is called again the prior result has been
+# materialized and consumed (an un-materialized lazy checkpoint has not
+# truncated lineage yet, so unpersisting it merely recomputes). Holding
+# TWO live un-collected results from separate invocations and
+# collecting the older one afterwards is the one unsupported pattern,
+# noted here rather than paid for with permanent block retention.
+_CMS_ROLLUP_PREV_CHECKPOINT: list = []
+
+
+def _rotate_cms_checkpoint(new_df) -> None:
+    while _CMS_ROLLUP_PREV_CHECKPOINT:
+        try:
+            _CMS_ROLLUP_PREV_CHECKPOINT.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing retained anyway
+    _CMS_ROLLUP_PREV_CHECKPOINT.append(new_df)
+
 
 def sketch_cms_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Top-K corpus bigrams estimated from the SHARD-MERGED sketch:
@@ -1194,6 +1215,7 @@ def sketch_cms_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=False)
     )
+    _rotate_cms_checkpoint(shard_counts)
     shard_cells = (
         shard_counts.selectExpr("shard", "bg", "cnt", depth_fanout)
         .selectExpr("shard", "depth", f"{cell} AS bucket", "cnt")

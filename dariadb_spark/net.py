@@ -224,7 +224,21 @@ class _Handler(socketserver.StreamRequestHandler):
         per-client callback), then the done marker. available_now
         drains the store's current contents and completes. With
         ``encoding="bin"`` each push carries the packed Meas buffers
-        instead of JSON rows — the reference's binary MeasArray push."""
+        instead of JSON rows — the reference's binary MeasArray push.
+
+        The line protocol is strictly request/response per connection,
+        so an OPEN-ENDED push stream cannot be multiplexed with further
+        requests: ``available_now=false`` is rejected up front, and on
+        drain timeout the streaming query is stopped BEFORE the done
+        marker goes out (round-10 fix — previously a timed-out query
+        kept running and its pushes interleaved into later replies)."""
+        if not bool(p.get("available_now", True)):
+            raise ValueError(
+                "subscribe over the line protocol requires "
+                "available_now=true; an open-ended push stream cannot "
+                "share the connection with further requests — use "
+                "TsEngine.subscribe directly for long-lived callbacks"
+            )
         lock = threading.Lock()  # callback thread vs handler thread
         binary = p.get("encoding") == "bin"
 
@@ -264,9 +278,17 @@ class _Handler(socketserver.StreamRequestHandler):
             p.get("ids"),
             p.get("flag", 0),
             cb,
-            available_now=bool(p.get("available_now", True)),
+            available_now=True,
         )
-        q.awaitTermination(int(p.get("timeout_s", 600)))
+        finished = q.awaitTermination(int(p.get("timeout_s", 600)))
+        if not finished:
+            # timed out: kill the query so no push can interleave into
+            # a subsequent request/response cycle on this connection
+            q.stop()
+            raise TimeoutError(
+                f"subscribe drain exceeded timeout_s="
+                f"{p.get('timeout_s', 600)}; streaming query stopped"
+            )
         with lock:
             return {"qid": qid, "status": "ok", "done": True}
 
@@ -275,12 +297,36 @@ class TsServer:
     """``dariadb::net`` server analog: serve a :class:`TsEngine` over
     TCP. ``port=0`` binds an ephemeral port (``.port`` reads it back).
 
+    Security: the protocol has NO authentication (the reference at
+    least ran a hello/login exchange — net_data.h DataKinds HELLO [M]),
+    and the verb surface includes mutating/destructive ops (append,
+    erase_old, compact, scheme_add_param). The server therefore refuses
+    to bind a non-loopback interface unless ``allow_remote=True`` is
+    passed explicitly — an accidental ``host="0.0.0.0"`` must not
+    silently open unauthenticated remote erases. Callers opting in own
+    the network boundary (firewall / stunnel / trusted segment).
+
     >>> srv = TsServer(engine); srv.start()
     >>> cli = TsClient("127.0.0.1", srv.port)
     >>> cli.read_interval([0], 0, 10**15)
     """
 
-    def __init__(self, engine: TsEngine, host: str = "127.0.0.1", port: int = 0):
+    _LOOPBACK = ("127.0.0.1", "localhost", "::1", "")
+
+    def __init__(
+        self,
+        engine: TsEngine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        allow_remote: bool = False,
+    ):
+        if host not in self._LOOPBACK and not allow_remote:
+            raise ValueError(
+                f"refusing non-loopback bind {host!r}: the protocol is "
+                "unauthenticated and exposes mutating verbs; pass "
+                "allow_remote=True to accept that boundary explicitly"
+            )
+
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True

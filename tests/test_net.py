@@ -204,3 +204,24 @@ def test_concurrent_clients_get_consistent_answers(served):
     for t in threads:
         t.join(timeout=120)
     assert not errors, errors
+
+
+def test_open_ended_subscribe_rejected(served):
+    """Round-10 ADVICE fix: the line protocol is request/response per
+    connection, so an open-ended push stream (available_now=false) is
+    refused instead of silently leaking a running streaming query whose
+    pushes would interleave into later replies."""
+    _, srv = served
+    with _cli(srv) as cli:
+        with pytest.raises(RuntimeError, match="available_now"):
+            cli._call("subscribe", available_now=False)
+        assert cli.ping()  # connection survives the refusal
+
+
+def test_non_loopback_bind_refused(served):
+    """Round-10 ADVICE fix: the protocol is unauthenticated and exposes
+    mutating verbs (erase_old, compact, append) — binding a routable
+    interface must be an explicit opt-in, never a silent default."""
+    eng, _ = served
+    with pytest.raises(ValueError, match="allow_remote"):
+        TsServer(eng, host="0.0.0.0")
