@@ -1048,7 +1048,8 @@ FROM kept GROUP BY lang, source ORDER BY lang, source"""
 
 
 # --- cross-document boilerplate chunk profiling ---------------------------
-# STAGED for the round-10 driver window (round-9's is full; the staging
+# Registered round 10 (staged through round 9 while that window was
+# full; the staging
 # every late operator goes through). The CCNet / RefinedWeb line-level
 # dedup step: split each document into fixed-width word chunks, count
 # each chunk's distinct-document frequency ACROSS the corpus, and flag
@@ -1139,3 +1140,4 @@ register("ext_minhash_jaccard_est", minhash_jaccard_est, MINHASH_JACCARD_EST_SQL
 register("ext_dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL)
 register("ext_decontaminate_fuzzy", decontaminate_fuzzy, DECONTAMINATE_FUZZY_SQL)
 register("ext_dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_SQL)
+register("ext_dedup_boilerplate", dedup_boilerplate, DEDUP_BOILERPLATE_SQL)

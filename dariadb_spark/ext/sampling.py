@@ -384,12 +384,23 @@ def corpus_mixture(spark: SparkSession, sf: str) -> DataFrame:
     Plan shape: one token-count aggregate per source (map-side
     combined, |sources| rows), then window arithmetic over that tiny
     aggregate table — the corpus scans once, the text never shuffles."""
+    docs = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", "source", "size(split(text, ' ')) AS n_tok"
+    )
+    return mixture_plan_from_tokens(docs)
+
+
+def mixture_plan_from_tokens(per_doc: DataFrame) -> DataFrame:
+    """The mixture-plan arithmetic over any (doc_id, source, n_tok)
+    frame — shared by :func:`corpus_mixture` (whole corpus) and the
+    curation pipeline (quality-GATED corpus): per source the natural
+    and sqrt-rebalanced token shares, the budget-capped sampling rate,
+    and the expected token yield."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf, "documents")
-    per_src = docs.groupBy("source").agg(
+    per_src = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
     w = Window.partitionBy()
     tot_tokens = F.sum("n_tokens").over(w)
@@ -432,7 +443,8 @@ FROM enr ORDER BY source"""
 
 
 # --- mixture plan EXECUTION (the apply half of the recipe) ----------------
-# STAGED for the round-10 driver window (round-9's is full; the staging
+# Registered round 10 (staged through round 9 while that window was
+# full; the staging
 # every late operator goes through). `corpus_mixture` is the worksheet a
 # pipeline reviews; this op EXECUTES it — the deterministic Knuth-hash
 # Bernoulli keep at each source's planned rate — and audits achieved
@@ -454,10 +466,17 @@ def corpus_mixture_apply(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").selectExpr(
         "doc_id", "source", "size(split(text, ' ')) AS n_tok"
     )
-    plan = corpus_mixture(spark, sf).select(
-        "source", "sample_rate", "expected_tokens"
-    )
-    kept = docs.join(F.broadcast(plan), "source").where(
+    return mixture_apply_audit(docs, mixture_plan_from_tokens(docs))
+
+
+def mixture_apply_audit(per_doc: DataFrame, plan: DataFrame) -> DataFrame:
+    """Execute a mixture plan over any (doc_id, source, n_tok) frame —
+    deterministic Knuth-hash Bernoulli keep at each source's planned
+    rate — and audit achieved docs/tokens against the plan's
+    expectations. Shared by :func:`corpus_mixture_apply` and the
+    curation pipeline's gated variant."""
+    plan = plan.select("source", "sample_rate", "expected_tokens")
+    kept = per_doc.join(F.broadcast(plan), "source").where(
         _pct_f(F.col("doc_id"), MIX_SEED_OFFSET)
         < F.col("sample_rate") * 100.0
     )
@@ -512,3 +531,4 @@ register("ext_sample_stratified", sample_stratified, SAMPLE_SQL)
 register("ext_sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL)
 register("ext_pack_shards", pack_shards, PACK_SHARDS_SQL)
 register("ext_corpus_mixture", corpus_mixture, CORPUS_MIXTURE_SQL)
+register("ext_corpus_mixture_apply", corpus_mixture_apply, CORPUS_MIXTURE_APPLY_SQL)

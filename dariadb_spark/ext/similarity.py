@@ -734,8 +734,8 @@ SELECT vec_id, cid, score FROM a2 ORDER BY vec_id"""
 
 
 # --- semantic dedup (cluster-local near-dup pruning) ----------------------
-# STAGED for the round-10 driver window (round-9's is full; the staging
-# every late operator goes through). SemDeDup (Abbas et al., "SemDeDup:
+# Registered round 10 (staged through round 9 while that window was
+# full). SemDeDup (Abbas et al., "SemDeDup:
 # Data-efficient learning at web-scale through semantic deduplication",
 # arXiv:2303.09540): k-means the embedding space, then pairwise-compare
 # ONLY within each cluster and prune all but the lowest-id member of
@@ -969,6 +969,7 @@ register("ext_sim_topk_cosine", sim_topk_cosine, SIM_TOPK_COSINE_SQL)
 register("ext_sim_ann_ivf", sim_ann_ivf, SIM_ANN_IVF_SQL)
 register("ext_dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL)
 register("ext_sim_ann_lsh", sim_ann_lsh, SIM_ANN_LSH_SQL)
+register("ext_sem_dedup", sem_dedup, SEM_DEDUP_SQL)
 
 
 # --- product-quantization ANN (asymmetric distance computation) -----------

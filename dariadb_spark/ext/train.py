@@ -137,7 +137,7 @@ g1 AS (SELECT gs.i AS pos,
        FROM emb CROSS JOIN generate_series(1, {LR_DIM}) gs(i)
        GROUP BY gs.i),  -- g IS the gradient at p = 0.5 (p - y = 0.5 - y)
 w1 AS (SELECT list(-{LR_ETA} * g ORDER BY pos) AS w FROM g1),
-p1 AS (SELECT e, y,
+p1 AS (SELECT vec_id, e, y,
               least(0.999999, greatest(0.000001,
                     round(1.0 / (1.0 + exp(-round(
                           list_dot_product(e, (SELECT w FROM w1)), 6))), 6)))
@@ -151,7 +151,7 @@ w2 AS (SELECT list(w1e - {LR_ETA} * g2.g ORDER BY g2.pos) AS w
        FROM g2 JOIN (SELECT unnest(w) AS w1e,
                             generate_subscripts(w, 1) AS pos
                      FROM w1) u ON u.pos = g2.pos),
-p2 AS (SELECT e, y,
+p2 AS (SELECT vec_id, e, y,
               least(0.999999, greatest(0.000001,
                     round(1.0 / (1.0 + exp(-round(
                           list_dot_product(e, (SELECT w FROM w2)), 6))), 6)))
@@ -187,7 +187,8 @@ register("ext_train_quality_lr", train_quality_lr, TRAIN_QUALITY_LR_SQL)
 
 
 # --- operating-point audit (threshold sweep over the trained scorer) ------
-# STAGED for the round-10 driver window (round-9's is full; the staging
+# Registered round 10 (staged through round 9 while that window was
+# full; the staging
 # every late operator goes through). A trained scorer becomes a
 # deployable quality GATE only once someone picks the threshold — this
 # query is that worksheet: confusion counts and precision/recall/F1 at
@@ -199,20 +200,28 @@ register("ext_train_quality_lr", train_quality_lr, TRAIN_QUALITY_LR_SQL)
 EVAL_THRESHOLDS = (0.3, 0.5, 0.7)
 
 
-def train_quality_eval(spark: SparkSession, sf: str) -> DataFrame:
-    """Per threshold: (tp, fp, fneg, tn, precision, recall, f1) for the
-    binary target ``label < 5`` under the 2-step weights. Zero-denominator
-    guards use greatest(·, 1) identically in both engines."""
+def scored_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, y, p): every embedding row scored by the 2-step-trained
+    weights — the frame the operating-point audit sweeps and the
+    curation pipeline's quality gate filters on (vec_id is the join key
+    back to ``documents.doc_id``)."""
     emb = _emb_labeled(spark, sf)
     p2 = _p_expr(_learned_w2(emb, emb.count()))
+    return emb.selectExpr("vec_id", "y", f"{p2} AS p")
+
+
+def confusion_sweep(scored: DataFrame) -> DataFrame:
+    """Threshold sweep over a scored frame with (y, p) columns: per
+    threshold (tp, fp, fneg, tn, precision, recall, f1). Zero-
+    denominator guards use greatest(·, 1) identically in both
+    engines."""
     thr_fanout = (
         "explode(array("
         + ", ".join(f"CAST({t} AS DOUBLE)" for t in EVAL_THRESHOLDS)
         + ")) AS thr"
     )
     return (
-        emb.selectExpr("y", f"{p2} AS p")
-        .selectExpr("y", "p", thr_fanout)
+        scored.selectExpr("y", "p", thr_fanout)
         .groupBy("thr")
         .agg(
             F.expr(
@@ -249,6 +258,13 @@ def train_quality_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def train_quality_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Per threshold: (tp, fp, fneg, tn, precision, recall, f1) for the
+    binary target ``label < 5`` under the 2-step weights — the
+    operating-point worksheet a deployed quality gate is chosen from."""
+    return confusion_sweep(scored_embeddings(spark, sf))
+
+
 TRAIN_QUALITY_EVAL_SQL = f"""
 WITH {_LR_P2_SQL},
 t AS (SELECT unnest([{', '.join(f'{t}::DOUBLE' for t in EVAL_THRESHOLDS)}])
@@ -269,6 +285,8 @@ SELECT thr, tp, fp, fneg, tn,
        round(2 * tp / CAST(greatest(2 * tp + fp + fneg, 1) AS DOUBLE), 4)
          AS f1
 FROM c ORDER BY thr"""
+
+register("ext_train_quality_eval", train_quality_eval, TRAIN_QUALITY_EVAL_SQL)
 
 
 def train_lr(

@@ -109,3 +109,49 @@ def test_curation_chain_composes(spark, staged_corpus):
         audit2 = corpus_mixture_apply(spark, "ignored").collect()
     assert sorted(map(tuple, audit2)) == sorted(map(tuple, audit))
     assert sampled_count == sum(r.n_docs_kept for r in audit2)
+
+
+def test_gated_mixture_closes_the_loop(spark, oracle_sf_dir):
+    """VERDICT r9 item 2: the composite `ext_curate_gated_mixture`
+    query's internal consistency against its own ingredients — the
+    chosen threshold IS the best-F1 operating point from the sweep, the
+    gate membership matches the scored frame filtered at that
+    threshold, and the audit's kept sets are bounded by the gated
+    corpus — so the registered oracle hash-check is backed by a
+    piecewise replay here."""
+    from dariadb_spark.ext.pipeline import curate_gated_mixture
+    from dariadb_spark.ext.train import confusion_sweep, scored_embeddings
+    from dariadb_spark.model import load_table
+
+    rows = curate_gated_mixture(spark, oracle_sf_dir).collect()
+    assert rows
+
+    # one threshold across all sources, and it's the argmax-F1 one
+    thrs = {r.thr for r in rows}
+    assert len(thrs) == 1
+    conf = confusion_sweep(scored_embeddings(spark, oracle_sf_dir)).collect()
+    best = max(conf, key=lambda r: (r.f1, -r.thr)).thr
+    assert thrs == {best}
+
+    # gate membership: per-source gated counts equal the scored frame
+    # joined to documents and filtered at the chosen threshold
+    scored = scored_embeddings(spark, oracle_sf_dir).where(f"p > {best!r}")
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    expect = {
+        r.source: r.n
+        for r in docs.join(
+            scored.selectExpr("vec_id AS doc_id"), "doc_id"
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.source: r.n_docs_gated for r in rows} == expect
+
+    # the audit is bounded by what survived the gate, and something
+    # was actually sampled below 100% somewhere (fractional rates)
+    for r in rows:
+        assert 0 <= r.n_docs_kept <= r.n_docs_gated
+        assert 0 <= r.achieved_tokens <= r.gated_tokens
+        assert r.expected_tokens > 0
+    assert any(r.sample_rate < 1.0 for r in rows)
