@@ -1303,6 +1303,31 @@ ORDER BY q_id"""
 register("ext_ann_recall_pq", ann_recall_pq, ANN_RECALL_PQ_SQL)
 
 
+#: Oracle for the STAGED streaming PQ encode-on-ingest parity
+#: (streaming/ann.py, r11 registration): the batch argmin encode of
+#: every corpus vector against the INIT codebook (the first PQ_K
+#: vectors' sub-vectors — `c0` above, the artifact both sides share),
+#: wide one-row-per-vector like the `pq_encode_arrow` output.
+#: Statelessness of the encode makes the stream's batching invisible.
+STREAMING_PQ_CODES_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+subs0 AS (SELECT vec_id, m,
+                 list_slice(e, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+          FROM emb, (SELECT unnest(range({PQ_M})) AS m)),
+subs AS (SELECT vec_id, m, sub, list_dot_product(sub, sub) AS ssq FROM subs0),
+c0 AS (SELECT m, vec_id AS cid, sub AS ce, ssq AS csq FROM subs
+       WHERE vec_id < {PQ_K}),
+codes AS (SELECT vec_id, m, cid FROM (
+  SELECT s.vec_id, s.m, c.cid,
+         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+           {_PQ_A_DUCK} ASC, c.cid ASC) AS rn
+  FROM subs s JOIN c0 c ON s.m = c.m) WHERE rn = 1)
+SELECT vec_id,
+       {', '.join(f'CAST(max(CASE WHEN m = {m} THEN cid END) AS INT) AS c{m}'
+                  for m in range(PQ_M))}
+FROM codes GROUP BY vec_id ORDER BY vec_id"""
+
+
 def pq_encode_arrow(emb: DataFrame, codebooks) -> DataFrame:
     """Production PQ encode (the `sem_dedup_blocked` pattern: the
     oracled query carries the unrolled fixture pipeline; real corpora
