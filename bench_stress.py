@@ -1005,6 +1005,82 @@ def stress_net_protocol(
         shutil.rmtree(base, ignore_errors=True)
 
 
+BOILER_DOCS = 120_000
+#: exactly-10-word planted boilerplate chunks (BOILER_CHUNK_WORDS
+#: boundaries align), the nav/footer material chunk-level dedup exists
+#: to catch — three distinct headers so drop-docs cross the 0.5 bar.
+_B_H1 = "nav home about contact login search terms privacy cookie banner"
+_B_H2 = "copyright notice all rights reserved is a registered trade mark"
+_B_H3 = "subscribe to our newsletter for updates delivered every single week"
+
+
+def stress_boilerplate(spark) -> tuple[float, int, int, int]:
+    """VERDICT r9 item 4 — dedup_boilerplate's scale path proven the
+    way every other dedup family is: 120k synthetic docs, every tenth
+    planted as mostly-boilerplate (3 shared header chunks + 1 unique →
+    frac 0.75 ≥ 0.5 → drop) and the rest lightly contaminated (1 shared
+    + 3 unique → 0.25 < 0.5 → keep).
+
+    Asserts EXACT verdicts (all 12k planted docs dropped at frac 0.75,
+    all 108k others kept at 0.25 — no false positives from the unique
+    chunks, whose embedded doc_id makes them corpus-unique) and
+    measures the scale claim: the only shuffles are chunk-table-sized —
+    distinct-chunk count ≈ 2.8·N + 3 grows linearly with the corpus,
+    never pairwise."""
+    from dariadb_spark.ext.dedup import boilerplate_verdicts
+
+    uniq = (
+        "concat('u{j}w1 ', id, ' u{j}w3 u{j}w4 u{j}w5 u{j}w6 u{j}w7"
+        " u{j}w8 u{j}w9 u{j}w10')"
+    )
+    u1, u2, u3 = (uniq.format(j=j) for j in (1, 2, 3))
+    docs = spark.range(BOILER_DOCS).selectExpr(
+        "id AS doc_id",
+        f"CASE WHEN id % 10 = 0"
+        f" THEN concat('{_B_H1} ', '{_B_H2} ', '{_B_H3} ', {u1})"
+        f" ELSE concat('{_B_H1} ', {u1}, ' ', {u2}, ' ', {u3})"
+        f" END AS text",
+    )
+    t0 = time.perf_counter()
+    v = boilerplate_verdicts(docs)
+    summary = (
+        v.groupBy("keep", "boiler_frac")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chunks").alias("chunks"),
+        )
+        .collect()
+    )
+    boiler_s = time.perf_counter() - t0
+    by_verdict = {(r.keep, r.boiler_frac): r.n for r in summary}
+    assert by_verdict == {
+        (0, 0.75): BOILER_DOCS // 10,
+        (1, 0.25): BOILER_DOCS - BOILER_DOCS // 10,
+    }, by_verdict
+    total_chunks = sum(r.chunks for r in summary)
+    assert total_chunks == 4 * BOILER_DOCS, total_chunks
+    # the shuffle-key cardinality the scale claim is about
+    distinct_chunks = (
+        docs.selectExpr(
+            "doc_id",
+            "explode(transform(sequence(0, CAST(ceil(size(split(text,"
+            " ' ')) / 10.0d) AS INT) - 1), i -> array_join(slice("
+            "split(text, ' '), i * 10 + 1, 10), ' '))) AS chunk"
+        )
+        .select("chunk")
+        .distinct()
+        .count()
+    )
+    # 3 shared headers + 1 unique chunk per drop-doc + 3 per keep-doc
+    expect_distinct = 3 + BOILER_DOCS // 10 + 3 * (BOILER_DOCS - BOILER_DOCS // 10)
+    assert distinct_chunks == expect_distinct, (
+        distinct_chunks,
+        expect_distinct,
+    )
+    n_drop = by_verdict[(0, 0.75)]
+    return boiler_s, n_drop, distinct_chunks, total_chunks
+
+
 SEM_CORPUS = 500_000
 SEM_CELLS = 1024  # ≈ √N — the SemDeDup paper's cluster-count regime
 SEM_CLONES = 10
@@ -1314,6 +1390,7 @@ def main() -> None:
     pq_s, pq_cand, pq_cent = stress_pq_encode(spark)
     pqa_s, pqa_agree = stress_pq_encode_arrow(spark)
     sd_s, sd_pairs, sd_frac, sd_maxcell = stress_sem_dedup(spark)
+    bp_s, bp_drop, bp_distinct, bp_chunks = stress_boilerplate(spark)
     (
         net_ping_ms,
         net_append_rps,
@@ -1348,6 +1425,7 @@ def main() -> None:
                     "pq_encode_500k": round(pq_s, 4),
                     "pq_encode_arrow_500k": round(pqa_s, 4),
                     "sem_dedup_500k": round(sd_s, 4),
+                    "boilerplate_120k_docs": round(bp_s, 4),
                     "train_lr_12step_200k": round(lr_s, 4),
                     "store_read_precompact_1m2": round(cp_pre, 4),
                     "store_read_postcompact_1m2": round(cp_post, 4),
@@ -1368,6 +1446,9 @@ def main() -> None:
                 "sem_dedup_pairs": sd_pairs,
                 "sem_dedup_pair_frac": sd_frac,
                 "sem_dedup_max_cell": sd_maxcell,
+                "boilerplate_dropped": bp_drop,
+                "boilerplate_distinct_chunks": bp_distinct,
+                "boilerplate_total_chunks": bp_chunks,
                 "net_ping_p50_ms": net_ping_ms,
                 "net_append_rows_per_sec": net_append_rps,
                 "net_read_rows_per_sec": net_read_rps,

@@ -1072,8 +1072,14 @@ def dedup_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     in ≥ {BOILER_MIN_DOCS} distinct docs), the boilerplate fraction,
     and keep = fraction < {BOILER_MAX_FRAC}. The trailing partial chunk
     counts as a chunk — short shared tails are boilerplate too."""
+    return boilerplate_verdicts(load_table(spark, sf, "documents"))
+
+
+def boilerplate_verdicts(docs: DataFrame) -> DataFrame:
+    """The library entry point behind :func:`dedup_boilerplate` (the
+    `sem_dedup_blocked` pattern): verdicts for any (doc_id, text)
+    frame — what bench_stress drives above fixture size."""
     p = BOILER_CHUNK_WORDS
-    docs = load_table(spark, sf, "documents")
     chunks = docs.selectExpr(
         "doc_id", "split(text, ' ') AS w"
     ).selectExpr(
