@@ -310,6 +310,98 @@ SELECT doc_id, n_bigrams, CAST(n_oov AS BIGINT) AS n_oov,
 FROM scored ORDER BY doc_id"""
 
 
+# --- LM perplexity document scoring (CCNet bucketing) ---------------------
+# STAGED for the round-11 driver window (round-10's is full; the staging
+# every late operator goes through). The OOV filter above deliberately
+# used coverage as a transcendental-free perplexity stand-in; the
+# round-9 LR training work established the round(ln/exp, 6)/round(·, 4)
+# determinism recipe, so the REAL statistic is now engine-exact too:
+# per-document perplexity under the pruned corpus bigram LM, plus the
+# CCNet head/middle/tail tercile assignment ("CCNet: Extracting High
+# Quality Monolingual Datasets from Web Crawl Data", Wenzek et al.,
+# LREC 2020 — keep head+middle, drop the high-ppl tail).
+#
+# Scale shape: the pruned LM is vocabulary-sized → broadcast; the
+# corpus streams through ONE bigram scan + a per-doc aggregate. The
+# tercile ntile is a sort of the DOC-count-sized score table (not the
+# token stream); at 100 TB swap it for two approx-percentile threshold
+# scalars — the per-doc scoring plan is unchanged.
+
+TEXT_PPL_TERCILES = 3
+
+
+def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: bigram count, in-LM bigram count, mean negative
+    log conditional probability over the in-LM bigrams (nll), its
+    exponential (ppl), and the corpus tercile bucket (1 = head =
+    most-fluent). Docs with zero in-LM bigrams carry NULL nll/ppl and
+    sort to the tail (NULLS LAST, identically in both engines)."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    w = "split(text, ' ')"
+    bi = docs.selectExpr(
+        "doc_id",
+        f"explode(zip_with(slice({w}, 1, size({w}) - 1), "
+        f"slice({w}, 2, size({w}) - 1), (x, y) -> struct(x AS w1, y AS w2)))"
+        " AS b",
+    ).select("doc_id", "b.w1", "b.w2")
+    lm = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .where(F.col("c12") >= LM_MIN_COUNT)
+        .select(
+            "w1", "w2", F.round(F.col("c12") / F.col("c1"), 6).alias("p_cond")
+        )
+    )
+    scored = (
+        bi.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("p_cond").cast("long").alias("n_known"),
+            F.round(F.avg(F.round(-F.log("p_cond"), 6)), 4).alias("nll"),
+        )
+    )
+    wt = Window.orderBy(F.asc_nulls_last("nll"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            "n_known",
+            "nll",
+            F.round(F.exp("nll"), 4).alias("ppl"),
+            F.ntile(TEXT_PPL_TERCILES).over(wt).cast("long").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PERPLEXITY_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+bi AS (SELECT doc_id, u.b[1] AS w1, u.b[2] AS w2
+       FROM (SELECT doc_id, unnest([[w[i], w[i+1]]
+                                    for i in range(1, len(w))]) AS b
+             FROM d) u),
+counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+with_tot AS (SELECT w1, w2, c12,
+                    sum(c12) OVER (PARTITION BY w1) AS c1 FROM counts),
+lm AS (SELECT w1, w2, round(c12 / c1, 6) AS p_cond
+       FROM with_tot WHERE c12 >= {LM_MIN_COUNT}),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         CAST(count(l.p_cond) AS BIGINT) AS n_known,
+         round(avg(round(-ln(l.p_cond), 6)), 4) AS nll
+  FROM bi b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  GROUP BY b.doc_id)
+SELECT doc_id, n_bigrams, n_known, nll,
+       round(exp(nll), 4) AS ppl,
+       CAST(ntile({TEXT_PPL_TERCILES})
+              OVER (ORDER BY nll ASC NULLS LAST, doc_id ASC) AS BIGINT)
+         AS bucket
+FROM scored ORDER BY doc_id"""
+
+
 # --- right-to-be-forgotten source purge (governance) ----------------------
 
 #: sources tombstoned by a takedown / opt-out request

@@ -202,23 +202,30 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-9: the six round-8-staged operators plus the new PQ recall
-    # eval lead (r8 VERDICT items 1+3 — never ship a NEW query outside
-    # the window), then the r6-stale rotation block fills the rest
-    assert CHECK_WINDOW[:7] == [
-        "ext_sim_ann_pq", "ext_train_quality_lr",
-        "ext_sketch_rollup_quantile", "ext_sketch_cms_rollup",
-        "streaming_hdr_parity", "ext_media_keyframes",
-        "ext_ann_recall_pq",
+    # round-10: the five round-9-staged operators plus the new closed
+    # curation loop lead (r9 VERDICT items 1+2 — never ship a NEW query
+    # outside the window), then the r7-stale rotation block fills the
+    # rest, minus the six explicitly named r11 deferrals
+    assert CHECK_WINDOW[:6] == [
+        "ext_sem_dedup", "ext_dedup_boilerplate",
+        "ext_corpus_mixture_apply", "ext_train_quality_eval",
+        "streaming_kmv_parity", "ext_curate_gated_mixture",
     ]
-    # every r6-latest query from the attestation ledger is in-window
-    for stale in ("bucket_hour", "erase_old_check", "fn_all",
-                  "load_min_max", "scheme_resolve",
-                  "partition_file_stats_multi", "ext_text_pii_scan",
-                  "ext_dedup_minhash_lsh", "ext_sim_ann_ivf"):
+    # spot-check the r7-latest rotation block from the attestation
+    # ledger — including ext_corpus_mixture, kept in-window because its
+    # plan arithmetic moved into the shared helper this round
+    for stale in ("ext_corpus_mixture", "ext_asof_join",
+                  "ext_sketch_kmv_union", "ext_dedup_incremental",
+                  "streaming_anomaly_parity", "streaming_dedup_parity",
+                  "partition_stats", "ext_text_pii_roundtrip"):
         assert stale in CHECK_WINDOW, stale
-    # the r6-stale rotation block closes the window
-    assert CHECK_WINDOW[-1] == "scheme_resolve"
+    # the six r11 deferrals are OUT of the window (and nothing else
+    # from the r7-stale set is)
+    deferred = {"bucket_day", "bucket_hour_salted", "bucket_month",
+                "ext_moving_avg", "ext_scalar_funcs",
+                "ext_topk_customers"}
+    assert deferred.isdisjoint(CHECK_WINDOW)
+    assert CHECK_WINDOW[-1] == "streaming_sessionize_parity"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 143

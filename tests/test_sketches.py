@@ -1383,3 +1383,67 @@ def test_media_keyframes_parity_and_semantics(spark, oracle_sf_dir):
             assert r.hamming_prev <= 2  # two jitter bits at most
             dropped += 1
     assert dropped > 20 and kept_cuts > 20  # both paths exercised
+
+
+def test_text_perplexity_parity_and_ccnet_buckets(spark, oracle_sf_dir):
+    # Staged r11 operator: real per-doc LM perplexity (the CCNet
+    # statistic the OOV filter stood in for) — DuckDB-oracle parity,
+    # an independent Python replay of the whole statistic, and the
+    # tercile-bucket invariants.
+    import math
+
+    import duckdb
+
+    from dariadb_spark.ext.curation import (
+        LM_MIN_COUNT,
+        TEXT_PERPLEXITY_SQL,
+        TEXT_PPL_TERCILES,
+        text_perplexity,
+    )
+
+    rows = [tuple(r) for r in text_perplexity(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(TEXT_PERPLEXITY_SQL).fetchall()]
+    assert rows == oracle
+
+    # independent replay in plain Python
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+        " ORDER BY doc_id"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    c12, c1 = Counter(), Counter()
+    per_doc = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        per_doc[doc_id] = bgs
+        for b in bgs:
+            c12[b] += 1
+            c1[b[0]] += 1
+    lm = {
+        b: round(n / c1[b[0]], 6) for b, n in c12.items() if n >= LM_MIN_COUNT
+    }
+    got = {r[0]: r for r in rows}
+    n_bucketed = defaultdict(int)
+    for doc_id, bgs in per_doc.items():
+        known = [lm[b] for b in bgs if b in lm]
+        r = got[doc_id]
+        assert r[1] == len(bgs) and r[2] == len(known), doc_id
+        if known:
+            nll = round(sum(round(-math.log(p), 6) for p in known) / len(known), 4)
+            assert r[3] == nll and r[4] == round(math.exp(nll), 4), doc_id
+        else:
+            assert r[3] is None and r[4] is None, doc_id
+        n_bucketed[r[5]] += 1
+    # terciles split the corpus near-evenly and head ppl < tail ppl
+    assert set(n_bucketed) == set(range(1, TEXT_PPL_TERCILES + 1))
+    assert max(n_bucketed.values()) - min(n_bucketed.values()) <= 1
+    head = [r[4] for r in rows if r[5] == 1 and r[4] is not None]
+    tail = [r[4] for r in rows if r[5] == TEXT_PPL_TERCILES and r[4] is not None]
+    assert head and max(head) <= min(tail or [float("inf")])
