@@ -30,7 +30,7 @@ Spark-first shape, stage by stage (100 TB audit):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dariadb_spark.ext.sampling import (
@@ -156,3 +156,158 @@ FROM plan p LEFT JOIN achieved a ON p.source = a.source
 ORDER BY source"""
 
 register("ext_curate_gated_mixture", curate_gated_mixture, CURATE_GATED_MIXTURE_SQL)
+
+
+# --- preprocessing funnel audit (per-stage data-loss accounting) ----------
+# STAGED for the round-11 driver window (round-10's is full; the
+# staging every late operator goes through). The other composition
+# queries answer "what survives"; this one answers the question every
+# data build REPORTS — where did the documents go? One row per
+# language: raw count, survivors of each successive stage (exact dedup
+# keep-first → boilerplate prune → quality gate), and the 90/5/5 split
+# of the final survivors.
+#
+# Stage ORDER is part of the contract, and it is forced, not stylistic:
+# an exact duplicate pair shares every fixed-width chunk, so under
+# BOILER_MIN_DOCS = 2 the boilerplate stage would drop BOTH copies
+# (frac = 1.0) — dedup-after-boilerplate is dead code, dedup-first
+# keeps one canonical copy and then prunes cross-doc repeated material
+# among DISTINCT documents (CCNet's order, discovered here by the
+# planted-corpus test, not assumed). The boilerplate frequency table is
+# therefore computed over the DEDUP SURVIVORS — the oracle replays the
+# exact sequence.
+#
+# Scale shape: the dedup window partitions by content-sha (32-byte
+# keys, text never shuffled); the boilerplate sub-plan is the
+# chunk-table shape stress-proven at 120k docs; stage flags fold into
+# ONE |langs|-row aggregate.
+
+FUNNEL_MIN_CHARS = 120
+FUNNEL_MAX_STOPWORD_RATIO = 0.35
+
+
+def preprocess_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per language: ``n_raw`` → ``n_dedup_kept`` → ``n_boiler_kept``
+    → ``n_quality_kept``, then ``n_train/n_val/n_test`` over the final
+    survivors — the funnel every preprocessing run signs off."""
+    from dariadb_spark.ext.dedup import boilerplate_verdicts
+    from dariadb_spark.ext.sampling import TRAIN_PCT, VAL_PCT, _pct
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    survivors = ranked.where("rn = 1")
+    verdict = boilerplate_verdicts(survivors).select("doc_id", "keep")
+    pct = _pct(F.col("doc_id"))
+    flagged = (
+        ranked.join(verdict, "doc_id", "left")
+        .withColumn("d", F.expr("rn = 1"))
+        .withColumn("b", F.expr("rn = 1 AND keep = 1"))
+        .withColumn(
+            "stop_ratio",
+            F.expr(
+                "size(filter(split(text, ' '), x -> x = 'a' OR x = 'the'))"
+                " / CAST(size(split(text, ' ')) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                f"rn = 1 AND keep = 1 AND n_chars >= {FUNNEL_MIN_CHARS}"
+                f" AND stop_ratio <= {FUNNEL_MAX_STOPWORD_RATIO}"
+            ),
+        )
+        .withColumn(
+            "split",
+            F.when(pct < TRAIN_PCT, "train")
+            .when(pct < VAL_PCT, "val")
+            .otherwise("test"),
+        )
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(F.col("d").cast("long")).alias("n_dedup_kept"),
+            F.sum(F.col("b").cast("long")).alias("n_boiler_kept"),
+            F.sum(F.col("q").cast("long")).alias("n_quality_kept"),
+            F.sum(
+                (F.col("q") & (F.col("split") == "train")).cast("long")
+            ).alias("n_train"),
+            F.sum(
+                (F.col("q") & (F.col("split") == "val")).cast("long")
+            ).alias("n_val"),
+            F.sum(
+                (F.col("q") & (F.col("split") == "test")).cast("long")
+            ).alias("n_test"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _funnel_sql() -> str:
+    from dariadb_spark.ext.dedup import (
+        BOILER_CHUNK_WORDS,
+        BOILER_MAX_FRAC,
+        BOILER_MIN_DOCS,
+    )
+    from dariadb_spark.ext.sampling import TRAIN_PCT, VAL_PCT, _pct_sql
+
+    p = BOILER_CHUNK_WORDS
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, text, lang, n_chars,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+surv AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+chunks AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i * {p} + 1 : (i + 1) * {p}], ' ')
+                 for i in range(CAST(ceil(len(w) / {p}.0) AS INT))]) AS chunk
+  FROM w),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs
+         FROM chunks GROUP BY chunk),
+verdict AS (
+  SELECT c.doc_id,
+         CASE WHEN round(sum(CASE WHEN f.n_docs >= {BOILER_MIN_DOCS}
+                                  THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) < {BOILER_MAX_FRAC}
+              THEN 1 ELSE 0 END AS keep
+  FROM chunks c JOIN freq f ON c.chunk = f.chunk GROUP BY c.doc_id),
+flagged AS (
+  SELECT r.lang, r.rn = 1 AS d, r.rn = 1 AND v.keep = 1 AS b,
+         r.rn = 1 AND v.keep = 1 AND r.n_chars >= {FUNNEL_MIN_CHARS}
+           AND len(list_filter(string_split(r.text, ' '),
+                               x -> x = 'a' OR x = 'the'))
+             / CAST(len(string_split(r.text, ' ')) AS DOUBLE)
+             <= {FUNNEL_MAX_STOPWORD_RATIO} AS q,
+         CASE WHEN {_pct_sql('r.doc_id')} < {TRAIN_PCT} THEN 'train'
+              WHEN {_pct_sql('r.doc_id')} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked r LEFT JOIN verdict v ON r.doc_id = v.doc_id)
+SELECT lang, count(*) AS n_raw,
+       CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_kept,
+       CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_kept,
+       CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_kept,
+       CAST(sum(CASE WHEN q AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(sum(CASE WHEN q AND split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val,
+       CAST(sum(CASE WHEN q AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test
+FROM flagged GROUP BY lang ORDER BY lang"""
+
+
+def __getattr__(name: str):
+    # PEP 562 lazy attribute: the funnel oracle composes constants from
+    # ext.dedup, which may still be mid-import when a test imports that
+    # module first (dedup -> registry -> pipeline). Deferring the
+    # f-string assembly to first ACCESS breaks the cycle; the r11
+    # registration must therefore live in registry.py after the ext
+    # imports (the streaming-parity pattern), not at this module's top
+    # level.
+    if name == "PREPROCESS_FUNNEL_SQL":
+        return _funnel_sql()
+    raise AttributeError(name)

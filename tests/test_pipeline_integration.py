@@ -155,3 +155,64 @@ def test_gated_mixture_closes_the_loop(spark, oracle_sf_dir):
         assert 0 <= r.achieved_tokens <= r.gated_tokens
         assert r.expected_tokens > 0
     assert any(r.sample_rate < 1.0 for r in rows)
+
+
+def test_preprocess_funnel_parity_and_stage_semantics(
+    spark, oracle_sf_dir
+):
+    """Staged r11 funnel audit: DuckDB-oracle parity on the fixture,
+    funnel monotonicity, split accounting — and a planted corpus where
+    EVERY stage provably fires (the fixture's exact dups all die at the
+    boilerplate stage, so the dedup column needs its own evidence)."""
+    import duckdb
+
+    import dariadb_spark.ext.pipeline as pipe_mod
+    from dariadb_spark.ext.pipeline import (
+        PREPROCESS_FUNNEL_SQL,
+        preprocess_funnel,
+    )
+
+    rows = [
+        tuple(r) for r in preprocess_funnel(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    assert rows == [
+        tuple(r) for r in con.execute(PREPROCESS_FUNNEL_SQL).fetchall()
+    ]
+    for lang, raw, d, b, q, tr, va, te in rows:
+        assert raw >= d >= b >= q == tr + va + te, lang
+
+    # planted corpus: 40 long clean docs (unique 10-word chunks), one
+    # exact duplicate pair among them, and 4 boilerplate-heavy docs —
+    # each stage must drop exactly its own victims. (Order is forced:
+    # an exact dup pair shares every chunk, so boilerplate-first would
+    # eat BOTH copies — the module docstring's dedup-first argument.)
+    uniq = lambda i, j: " ".join(
+        [f"d{i}c{j}w{k}" for k in range(10)]
+    )  # noqa: E731
+    header = "nav home about contact login search terms privacy cookie banner"
+    mk = lambda i: f"{header} {uniq(i,1)} {uniq(i,2)} {uniq(i,3)}"  # noqa: E731
+    rows_in = [(i, mk(i), "en", "src0", 400) for i in range(40)]
+    rows_in[7] = (7, mk(3), "en", "src0", 400)  # exact dup of doc 3
+    for i in range(40, 44):  # mostly boilerplate
+        rows_in.append(
+            (i, f"{header} {header} {header} {uniq(i,1)}", "en", "src0", 400)
+        )
+    docs = spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    with mock.patch.object(
+        pipe_mod, "load_table", lambda _s, _sf, _n: docs
+    ):
+        out = preprocess_funnel(spark, "ignored").collect()
+    (r,) = out
+    # dedup drops the copy (doc 7); boilerplate then drops the 4
+    # header-stuffed docs among the 43 distinct survivors
+    assert (r.n_raw, r.n_dedup_kept, r.n_boiler_kept) == (44, 43, 39)
+    assert r.n_quality_kept == 39  # clean docs pass the quality gate
+    assert r.n_train + r.n_val + r.n_test == 39
