@@ -1005,6 +1005,142 @@ def stress_net_protocol(
         shutil.rmtree(base, ignore_errors=True)
 
 
+PPL_CLASS_DOCS = 70_000  # × 3 classes = 210k docs
+
+
+def stress_text_perplexity(spark) -> tuple[float, int, int]:
+    """The staged LM-perplexity scorer (ext/curation.py
+    text_perplexity) above fixture size: 210k synthetic docs in three
+    equal 70k fluency classes — FLUENT (deterministic alternation →
+    every known bigram has P=1, nll exactly 0), MIXED (a branching
+    pattern → half the known bigrams have P=0.5, nll > 0), GIBBERISH
+    (id-salted tokens, every bigram below the LM count cutoff → zero
+    known bigrams, NULL nll, sorts to the tail by the NULLS LAST
+    contract).
+
+    Asserts the property the CCNet bucketing is FOR: the tercile
+    assignment recovers the planted fluency classes exactly — bucket 1
+    IS the fluent class, 2 the mixed, 3 the gibberish — and the class
+    nll ordering holds (0 = fluent < mixed, gibberish NULL). The
+    global ntile sort runs over the doc-count-sized score table (210k
+    rows), the at-scale caveat the operator documents."""
+    from unittest import mock
+
+    import dariadb_spark.ext.curation as cur_mod
+    from dariadb_spark.ext.curation import text_perplexity
+
+    n = PPL_CLASS_DOCS
+    gib = (
+        "array_join(transform(sequence(0, 29),"
+        " k -> concat('g', id, '_', k)), ' ')"
+    )
+    docs = spark.range(3 * n).selectExpr(
+        "id AS doc_id",
+        f"CASE WHEN id < {n} THEN repeat('a b ', 14) || 'a b'"
+        f"     WHEN id < {2 * n} THEN repeat('c d c e ', 7) || 'c d'"
+        f"     ELSE {gib} END AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(cur_mod, "load_table", lambda _s, _sf, _n: docs):
+        rows = (
+            text_perplexity(spark, "ignored")
+            .selectExpr(
+                "CAST(doc_id DIV " + str(n) + " AS INT) AS cls",
+                "bucket",
+                "nll",
+            )
+            .groupBy("cls", "bucket")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min("nll").alias("lo"),
+                F.max("nll").alias("hi"),
+            )
+            .collect()
+        )
+    ppl_s = time.perf_counter() - t0
+    by_cls = {(r.cls, r.bucket): r for r in rows}
+    # tercile == planted class, all 70k of each
+    assert set(by_cls) == {(0, 1), (1, 2), (2, 3)}, sorted(by_cls)
+    assert all(r.cnt == n for r in rows)
+    assert by_cls[(0, 1)].lo == by_cls[(0, 1)].hi == 0.0  # P=1 bigrams
+    assert by_cls[(1, 2)].lo > 0.0  # branching halves the probability
+    assert by_cls[(2, 3)].lo is None and by_cls[(2, 3)].hi is None
+    n_docs = 3 * n
+    return ppl_s, n_docs, len(rows)
+
+
+PQ_INGEST_FILES = 4
+
+
+def stress_streaming_pq_ingest(spark) -> tuple[float, float, int]:
+    """The staged encode-on-ingest twin (streaming/ann.py
+    streaming_pq_encode) at the 500k-vector PQ stress corpus: land the
+    double-sine synth as PQ_INGEST_FILES parquet drops, fold one file
+    per micro-batch through the streaming Arrow-matmul encode, and
+    compare against the one-shot batch encode of the same files.
+
+    Asserts every ingested vector is indexed exactly once and a 10k
+    sample of streamed codes equals the batch codes row-for-row (the
+    statelessness contract at scale, not just at the fixture); returns
+    (stream seconds, batch seconds, rows) — the delta is the
+    micro-batch machinery tax a long-running ingest amortizes."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from dariadb_spark.ext.similarity import PQ_K, PQ_M, pq_encode_arrow
+    from dariadb_spark.streaming.ann import streaming_pq_encode
+    from dariadb_spark.streaming.scratch import parity_stream_partitions
+
+    emb, cent1, _ = _pq_stress_setup(spark)
+    C = np.array([[cent1[(m, k)] for k in range(PQ_K)] for m in range(PQ_M)])
+    base = tempfile.mkdtemp(prefix="dariadb_pq_ingest_stress_")
+    qname = "pq_ingest_stress"
+    try:
+        # the fixture-schema landing zone the streaming reader expects
+        landed = emb.selectExpr(
+            "vec_id",
+            "transform(e, x -> CAST(x AS FLOAT)) AS embedding",
+            "CAST(0 AS BIGINT) AS label",
+        )
+        landed.repartition(PQ_INGEST_FILES).write.parquet(f"{base}/emb")
+        n_rows = emb.count()
+
+        t0 = time.perf_counter()
+        with parity_stream_partitions(spark):
+            q = streaming_pq_encode(
+                spark, f"{base}/emb", C, qname, max_files_per_trigger=1
+            )
+        q.awaitTermination(600)
+        stream_s = time.perf_counter() - t0
+
+        streamed = spark.table(qname)
+        assert streamed.count() == n_rows
+        assert streamed.select("vec_id").distinct().count() == n_rows
+
+        batch_src = spark.read.parquet(f"{base}/emb").selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        )
+        t0 = time.perf_counter()
+        batch = pq_encode_arrow(batch_src, C)
+        batch.write.mode("overwrite").format("noop").save()
+        batch_s = time.perf_counter() - t0
+
+        sample_match = " AND ".join(f"a.c{m} = b.c{m}" for m in range(PQ_M))
+        n_sample = (
+            streamed.where("vec_id < 10000").alias("a")
+            .join(batch.where("vec_id < 10000").alias("b"), "vec_id")
+            .where(sample_match)
+            .count()
+        )
+        assert n_sample == 10_000, n_sample
+        spark.catalog.dropTempView(qname)
+        return stream_s, batch_s, n_rows
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 BOILER_DOCS = 120_000
 #: exactly-10-word planted boilerplate chunks (BOILER_CHUNK_WORDS
 #: boundaries align), the nav/footer material chunk-level dedup exists
@@ -1391,6 +1527,8 @@ def main() -> None:
     pqa_s, pqa_agree = stress_pq_encode_arrow(spark)
     sd_s, sd_pairs, sd_frac, sd_maxcell = stress_sem_dedup(spark)
     bp_s, bp_drop, bp_distinct, bp_chunks = stress_boilerplate(spark)
+    ppl_s, ppl_docs, _ = stress_text_perplexity(spark)
+    pqi_stream_s, pqi_batch_s, pqi_rows = stress_streaming_pq_ingest(spark)
     (
         net_ping_ms,
         net_append_rps,
@@ -1426,6 +1564,9 @@ def main() -> None:
                     "pq_encode_arrow_500k": round(pqa_s, 4),
                     "sem_dedup_500k": round(sd_s, 4),
                     "boilerplate_120k_docs": round(bp_s, 4),
+                    "text_perplexity_210k_docs": round(ppl_s, 4),
+                    "streaming_pq_ingest_500k": round(pqi_stream_s, 4),
+                    "batch_pq_encode_same_files": round(pqi_batch_s, 4),
                     "train_lr_12step_200k": round(lr_s, 4),
                     "store_read_precompact_1m2": round(cp_pre, 4),
                     "store_read_postcompact_1m2": round(cp_post, 4),
@@ -1449,6 +1590,8 @@ def main() -> None:
                 "boilerplate_dropped": bp_drop,
                 "boilerplate_distinct_chunks": bp_distinct,
                 "boilerplate_total_chunks": bp_chunks,
+                "perplexity_docs": ppl_docs,
+                "pq_ingest_rows": pqi_rows,
                 "net_ping_p50_ms": net_ping_ms,
                 "net_append_rows_per_sec": net_append_rps,
                 "net_read_rows_per_sec": net_read_rps,
