@@ -658,3 +658,127 @@ def test_boilerplate_property(spark, docs):
         assert got[i] == (
             len(cs), nb, frac, int(frac < BOILER_MAX_FRAC)
         ), (i, cs)
+
+
+# --- round-10 curation ops vs pure-Python oracles --------------------------
+
+_boiler_docs = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=25),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=_boiler_docs)
+@_SETTINGS
+def test_boilerplate_verdicts_property(spark, docs):
+    """Adversarial corpora from a 6-token vocabulary (chunk collisions
+    everywhere, trailing partial chunks, single-word docs): the
+    registered operator's per-doc verdicts must equal an independent
+    Python replay of chunking → distinct-doc frequency → fraction."""
+    import math
+
+    from dariadb_spark.ext.dedup import (
+        BOILER_CHUNK_WORDS,
+        BOILER_MAX_FRAC,
+        BOILER_MIN_DOCS,
+        boilerplate_verdicts,
+    )
+    from dariadb_spark.streaming.stateful import _round_half_up
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_boiler, r.boiler_frac, r.keep)
+        for r in boilerplate_verdicts(df).collect()
+    }
+
+    p = BOILER_CHUNK_WORDS
+    chunks = {
+        i: [
+            " ".join(toks[j * p: (j + 1) * p])
+            for j in range(math.ceil(len(toks) / p))
+        ]
+        for i, toks in enumerate(docs)
+    }
+    docs_per_chunk: dict[str, set[int]] = {}
+    for i, cs in chunks.items():
+        for c in cs:
+            docs_per_chunk.setdefault(c, set()).add(i)
+    for i, cs in chunks.items():
+        n_boiler = sum(
+            1 for c in cs if len(docs_per_chunk[c]) >= BOILER_MIN_DOCS
+        )
+        frac = _round_half_up(n_boiler / len(cs), 4)
+        want = (len(cs), n_boiler, frac, int(frac < BOILER_MAX_FRAC))
+        assert got[i] == want, (i, got[i], want)
+
+
+_mix_rows = st.lists(
+    st.tuples(
+        st.integers(0, 500),  # doc_id (uniquified below)
+        st.integers(0, 3).map(lambda s: f"s{s}"),  # source
+        st.sampled_from([100, 400, 900, 2500]),  # n_tok: perfect squares →
+        # exact sqrt → the plan's rounded sqrt-sum is reproducible in
+        # Python without float-association tolerance
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_mix_rows)
+@_SETTINGS
+def test_mixture_plan_apply_property(spark, rows):
+    """The shared mixture halves (plan arithmetic + deterministic
+    Bernoulli apply + audit) against a pure-Python replay, on random
+    per-doc token frames sized to force FRACTIONAL rates (total tokens
+    above the budget), not just the rate-1.0 cap."""
+    import math
+
+    from dariadb_spark.ext.sampling import (
+        KNUTH,
+        MIX_SEED_OFFSET,
+        MIX_TOKEN_BUDGET,
+        MOD32,
+        mixture_apply_audit,
+        mixture_plan_from_tokens,
+    )
+    from dariadb_spark.streaming.stateful import _round_half_up
+
+    per_doc = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok long"
+    )
+    plan = mixture_plan_from_tokens(per_doc)
+    audit = mixture_apply_audit(per_doc, plan)
+    got_plan = {
+        r.source: (r.n_docs, r.n_tokens, r.sample_rate, r.expected_tokens)
+        for r in plan.collect()
+    }
+    got_audit = {
+        r.source: (r.n_docs_kept, r.achieved_tokens, r.gap_pct)
+        for r in audit.collect()
+    }
+
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, src, n_tok in rows:
+        by_src.setdefault(src, []).append((doc_id, n_tok))
+    sum_w = _round_half_up(
+        sum(math.sqrt(sum(t for _, t in ds)) for ds in by_src.values()), 6
+    )
+    for src, ds in by_src.items():
+        nt = sum(t for _, t in ds)
+        mix_frac = _round_half_up(math.sqrt(nt) / sum_w, 6)
+        rate = min(1.0, _round_half_up(mix_frac * MIX_TOKEN_BUDGET / nt, 6))
+        expected = _round_half_up(rate * nt, 2)
+        assert got_plan[src] == (len(ds), nt, rate, expected), src
+        kept = [
+            (d, t)
+            for d, t in ds
+            if ((d + MIX_SEED_OFFSET) * KNUTH) % MOD32 % 1_000_000 / 10_000.0
+            < rate * 100.0
+        ]
+        ach = sum(t for _, t in kept)
+        gap = _round_half_up((ach - expected) / expected * 100, 2)
+        assert got_audit[src] == (len(kept), ach, gap), src
