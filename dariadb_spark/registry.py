@@ -795,6 +795,26 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # pure built-in-function relational/bucket plans with the longest green
 # histories (r1+r3+r4+r7), and value-checked by every local sweep and
 # the per-round sf0.1 sweep in between.
+# r11 plan, pre-computed: LEAD with the six deferrals above plus the
+# three round-10-staged operators once registered —
+# `streaming_pq_ingest_parity` (streaming/ann.py; register from
+# registry.py with ext/similarity's STREAMING_PQ_CODES_SQL),
+# `ext_text_perplexity` (ext/curation.py text_perplexity /
+# TEXT_PERPLEXITY_SQL), `ext_preprocess_funnel` (ext/pipeline.py
+# preprocess_funnel; its oracle is the LAZY module attribute
+# PREPROCESS_FUNNEL_SQL — register from registry.py after the ext
+# imports, NOT at pipeline module top level, to avoid the
+# dedup→registry→pipeline import cycle). That is 9 slots; fill the
+# remaining 41 from the r8-latest block (attestation_ledger counts
+# EXACTLY 50 r8-latest as of r9 — so 9 of them defer to r12; name
+# them in the r11 comment the way r10 named its six).
+# Honest arithmetic, stated once: at 156+ oracled queries a 50-slot
+# window cycles in >3 rounds, so from r11 onward a small NAMED set
+# will touch its stale-3 line before re-attestation — pick the
+# longest-green untouched queries for that set each round. The driver
+# window is a sampling cadence on top of two full value checks that
+# run EVERY round regardless: tests/test_oracle_parity.py (all
+# queries, per commit) and the builder's sf0.1 sweep.
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
