@@ -618,6 +618,204 @@ FROM bloom b LEFT JOIN exact x ON b.doc_id = x.doc_id
 ORDER BY b.doc_id"""
 
 
+# --- DSIR-style importance resampling (targeted data selection) -----------
+# STAGED for the round-11 driver window (round-10's is full; the staging
+# every late operator goes through). The missing member of the
+# data-selection family: the mixture ops weight SOURCES and the
+# LR/perplexity ops score docs against labels or fluency, but nothing
+# yet selects raw docs BY DISTRIBUTIONAL SIMILARITY to a curated target
+# corpus — the DSIR shape ("Data Selection for Language Models via
+# Importance Resampling", Xie et al., NeurIPS 2023, public): hashed
+# n-gram bag features, per-bucket smoothed log importance ratio
+# log p_target(b) − log p_raw(b), per-doc score = Σ c_b·λ_b, then
+# Gumbel-top-K resampling (≡ sampling ∝ exp(score) without
+# replacement). Both halves are engine-exact here: λ is integerized to
+# micro-units (CAST(round(ln-ratio · 1e6)) — per-doc score sums are
+# exact bigint arithmetic, immune to aggregation order), and the
+# Gumbel noise is DERIVED from the 60-bit
+# doc hash ((h mod 2^52 + 0.5)/2^52 — exact double arithmetic in both
+# engines), so the "random" resample replays bit-identically in the
+# oracle.
+#
+# Scale shape: ONE corpus scan builds the per-(doc, bucket) count table
+# (token-stream groupBy, map-side combined); the λ table is bounded by
+# DSIR_BUCKETS rows → broadcast to the scoring join; both bucket-count
+# aggregates and the score are arithmetic over that shared
+# materialization (lazy localCheckpoint, same rotation discipline as
+# sketch_cms_rollup). The global Gumbel-key rank runs over the
+# DOC-count-sized score table, not the token stream; at 100 TB swap it
+# for a top-K threshold scalar — the scoring plan is unchanged.
+
+#: hashed-feature space: n-gram hash mod this (paper uses 10k; 1024
+#: keeps the fixture's buckets well-populated at every SF).
+DSIR_BUCKETS = 1024
+#: the curated target corpus: two sources standing in for wiki+books.
+DSIR_TARGET_SOURCES = ("src1", "src4")
+#: resample size K (docs kept from the raw pool).
+DSIR_KEEP_K = 120
+#: Gumbel uniform grain: (h mod 2^52 + 0.5) / 2^52 — exactly
+#: representable doubles, strictly inside (0, 1) in both engines.
+_DSIR_UMOD = 1 << 52
+
+_DSIR_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+_DSIR_PREV_CHECKPOINT: list = []
+
+
+def _rotate_dsir_checkpoint(new_df) -> None:
+    # same retained-block discipline as sketch_cms_rollup: release the
+    # PREVIOUS invocation's lazy checkpoint (already consumed by then).
+    while _DSIR_PREV_CHECKPOINT:
+        try:
+            _DSIR_PREV_CHECKPOINT.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing retained anyway
+    _DSIR_PREV_CHECKPOINT.append(new_df)
+
+
+def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Per raw-pool document (source ∉ DSIR_TARGET_SOURCES): hashed
+    uni+bigram feature count, distinct-bucket count, DSIR importance
+    score, the doc's deterministic Gumbel noise and resampling key, its
+    corpus rank, and the kept flag (rank ≤ K). Higher score = more
+    target-like; the Gumbel key makes the keep set a faithful
+    importance RESAMPLE rather than a hard top-K by score."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    w = "split(text, ' ')"
+    uni = docs.selectExpr("doc_id", "source", f"explode({w}) AS f")
+    bi = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"explode(zip_with(slice({w}, 1, size({w}) - 1), "
+        f"slice({w}, 2, size({w}) - 1), (x, y) -> concat(x, ' ', y))) AS f",
+    )
+    pdc = (
+        uni.unionByName(bi)
+        .selectExpr(
+            "doc_id", "source", f"{_h60_spark('f')} % {DSIR_BUCKETS} AS b"
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    _rotate_dsir_checkpoint(pdc)
+    is_target = f"source IN ({_DSIR_IN})"
+    bc = pdc.groupBy("b").agg(
+        F.expr(f"sum(CASE WHEN {is_target} THEN c ELSE 0 END)").alias("ct"),
+        F.expr(f"sum(CASE WHEN {is_target} THEN 0 ELSE c END)").alias("cr"),
+    )
+    # λ is integerized to micro-units so the per-doc score sum is EXACT
+    # bigint arithmetic — aggregation order cannot move a 4-dp rounding
+    # boundary (a doc at sf0.01 landed exactly on one during dev).
+    wall = Window.partitionBy()
+    lam = bc.select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("ct") + 1)
+                    / (F.sum("ct").over(wall) + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("cr") + 1)
+                    / (F.sum("cr").over(wall) + DSIR_BUCKETS)
+                )
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("lam_i"),
+    )
+    scored = (
+        pdc.where(f"NOT ({is_target})")
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_feat"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.round(
+                F.sum(F.col("c") * F.col("lam_i")) / 1_000_000.0, 6
+            ).alias("score"),
+        )
+    )
+    gum = F.round(
+        -F.log(
+            -F.log(
+                (
+                    F.expr(_h60_spark("concat('dsir#', cast(doc_id AS string))"))
+                    % _DSIR_UMOD
+                    + F.lit(0.5)
+                )
+                / F.lit(float(_DSIR_UMOD))
+            )
+        ),
+        6,
+    )
+    keyed = scored.withColumn("gum", gum).withColumn(
+        "gkey", F.round(F.col("score") + F.col("gum"), 6)
+    )
+    wr = Window.orderBy(F.desc("gkey"), F.asc("doc_id"))
+    return (
+        keyed.select(
+            "doc_id",
+            "source",
+            "n_feat",
+            "n_buckets",
+            "score",
+            "gum",
+            "gkey",
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+        .withColumn(
+            "kept", (F.col("rnk") <= DSIR_KEEP_K).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+uni AS (SELECT doc_id, source, unnest(w) AS f FROM d),
+bi AS (SELECT doc_id, source,
+              unnest([w[i] || ' ' || w[i+1]
+                      for i in range(1, len(w))]) AS f FROM d),
+feats AS (SELECT doc_id, source, {_h60_duck('f')} % {DSIR_BUCKETS} AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+pdc AS (SELECT doc_id, source, b, count(*) AS c
+        FROM feats GROUP BY doc_id, source, b),
+bc AS (SELECT b,
+              sum(CASE WHEN source IN ({_DSIR_IN}) THEN c ELSE 0 END) AS ct,
+              sum(CASE WHEN source IN ({_DSIR_IN}) THEN 0 ELSE c END) AS cr
+       FROM pdc GROUP BY b),
+lam AS (SELECT b,
+               CAST(round((ln((ct + 1) / (sum(ct) OVER () + {DSIR_BUCKETS}))
+                           - ln((cr + 1)
+                                / (sum(cr) OVER () + {DSIR_BUCKETS})))
+                          * 1000000, 0) AS BIGINT) AS lam_i
+        FROM bc),
+sc AS (SELECT p.doc_id, p.source,
+              CAST(sum(p.c) AS BIGINT) AS n_feat,
+              CAST(count(*) AS BIGINT) AS n_buckets,
+              round(sum(p.c * l.lam_i) / 1000000.0, 6) AS score
+       FROM pdc p JOIN lam l ON p.b = l.b
+       WHERE p.source NOT IN ({_DSIR_IN})
+       GROUP BY p.doc_id, p.source),
+keyed AS (SELECT *,
+                 round(-ln(-ln((({_h60_duck("'dsir#' || CAST(doc_id AS VARCHAR)")})
+                                % {_DSIR_UMOD} + 0.5)
+                               / {float(_DSIR_UMOD)})), 6) AS gum
+          FROM sc),
+rk AS (SELECT *, round(score + gum, 6) AS gkey,
+              row_number() OVER (ORDER BY round(score + gum, 6) DESC,
+                                 doc_id ASC) AS rnk
+       FROM keyed)
+SELECT doc_id, source, n_feat, n_buckets, score, gum, gkey,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(rnk <= {DSIR_KEEP_K} AS INT) AS kept
+FROM rk ORDER BY doc_id"""
+
+
 register("ext_forget_source", forget_source, FORGET_SOURCE_SQL)
 # round 8: the staged Bloom-filter decontamination path joins the
 # driver-checked surface (staged r7; parity + no-false-negative

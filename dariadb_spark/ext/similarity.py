@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dariadb_spark.ext.hashes import _h60_duck, _h60_spark
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
@@ -89,6 +90,108 @@ ranked AS (
   FROM pairs)
 SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
 ORDER BY q_id, rk"""
+
+
+# --- embedding-space decontamination --------------------------------------
+# STAGED for the round-11 driver window (round-10's is full; the
+# staging every late operator goes through). The decontamination
+# family's semantic member: ext_decontaminate / _fuzzy / _bloom catch
+# LEXICAL train↔eval overlap (shared n-grams survive light edits);
+# paraphrased or re-rendered eval leakage shares almost no n-grams but
+# sits next to the eval item in embedding space — the gap SemDeDup
+# exploits for dedup, pointed here at the train/eval boundary. Same
+# holdout convention as the lexical decons (every HOLDOUT_MOD-th id is
+# the eval slice), same cosine machinery as the near-dup ops.
+#
+# Scale shape: the eval side is a benchmark suite — thousands of rows
+# at any corpus size — so it BROADCASTS and the train side streams
+# through one scan (BroadcastNestedLoopJoin, eval-bounded work per
+# row, the ext_decontaminate shape with vectors for shingles); the
+# per-train aggregate is map-side combined. At 100 TB the committed
+# cheaper path is the same blocking the ANN family already measures:
+# assign both sides to IVF/k-means cells and compare within cells
+# (sem_dedup_blocked), shrinking eval-side work per row to its cell.
+
+#: embedding eval holdout: every 50th vec_id (matches the lexical
+#: decontamination ops' document holdout convention).
+EMB_HOLDOUT_MOD = 50
+#: semantic-contamination bar — below the near-dup bar (0.4): eval
+#: leakage worth FLAGGING is broader than a strict near-duplicate
+#: (fixture cosines top out ≈ 0.5, so hits exist at every SF).
+EMB_DECON_COS = 0.33
+
+
+def decontaminate_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Per train vector: how many eval-slice vectors sit within
+    EMB_DECON_COS cosine, the strongest such cosine, the nearest eval
+    id, and the contaminated flag. Rows cover the WHOLE train slice
+    (zero-hit vectors carry 0/0.0/NULL) so the result is the audit
+    table a pipeline left-joins its corpus against."""
+    emb = _emb(spark, sf)
+    ev = emb.where(F.col("vec_id") % EMB_HOLDOUT_MOD == 0).selectExpr(
+        "vec_id AS eval_id", "e AS ee", "norm AS enorm"
+    )
+    train = emb.where(F.col("vec_id") % EMB_HOLDOUT_MOD != 0)
+    dot = _DOT.format(a="e", b="ee")
+    hits = (
+        train.crossJoin(F.broadcast(ev))
+        .selectExpr(
+            "vec_id", "eval_id", f"round({dot} / (norm * enorm), 4) AS cos_te"
+        )
+        .where(f"cos_te >= {EMB_DECON_COS}")
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_hits"),
+            F.max("cos_te").alias("max_cos"),
+            # composite bigint key: strongest cosine wins, lowest
+            # eval_id breaks ties — exact integer arithmetic (cos is
+            # 4-dp, eval ids ≪ 1e6), identical in both engines.
+            F.expr(
+                "max_by(eval_id, CAST(round(cos_te * 10000, 0) AS BIGINT)"
+                " * 1000000 - eval_id)"
+            ).alias("nearest_eval"),
+        )
+    )
+    return (
+        train.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "CAST(coalesce(n_eval_hits, 0) AS BIGINT) AS n_eval_hits",
+            "coalesce(max_cos, 0.0d) AS max_cos",
+            "nearest_eval",
+            "CAST(n_eval_hits IS NOT NULL AS INT) AS contaminated",
+        )
+        .orderBy("vec_id")
+    )
+
+
+DECONTAMINATE_EMBED_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM emb),
+ev AS (SELECT vec_id AS eval_id, e AS ee, norm AS enorm FROM n
+       WHERE vec_id % {EMB_HOLDOUT_MOD} = 0),
+train AS (SELECT * FROM n WHERE vec_id % {EMB_HOLDOUT_MOD} != 0),
+pairs AS (
+  SELECT t.vec_id, ev.eval_id,
+         round(list_dot_product(t.e, ev.ee) / (t.norm * ev.enorm), 4)
+           AS cos_te
+  FROM train t, ev
+  WHERE round(list_dot_product(t.e, ev.ee) / (t.norm * ev.enorm), 4)
+          >= {EMB_DECON_COS}),
+hits AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         max(cos_te) AS max_cos,
+         arg_max(eval_id, CAST(round(cos_te * 10000, 0) AS BIGINT)
+                          * 1000000 - eval_id) AS nearest_eval
+  FROM pairs GROUP BY vec_id)
+SELECT t.vec_id,
+       COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+       COALESCE(h.max_cos, 0.0) AS max_cos,
+       h.nearest_eval,
+       CAST(h.n_eval_hits IS NOT NULL AS INT) AS contaminated
+FROM train t LEFT JOIN hits h ON t.vec_id = h.vec_id
+ORDER BY t.vec_id"""
 
 
 # --- k-NN label classification --------------------------------------------
@@ -820,6 +923,97 @@ SELECT m.vec_id AS vec_id, m.cid AS cid,
 FROM m LEFT JOIN touched t ON m.vec_id = t.vec_id
 LEFT JOIN dropped d ON m.vec_id = d.vec_id
 ORDER BY vec_id"""
+
+
+# --- cluster-balanced diversity sampling ----------------------------------
+# STAGED for the round-11 driver window (round-10's is full; the
+# staging every late operator goes through). The selection family's
+# diversity half: DSIR/temperature/mixture pick docs by target
+# similarity or source weight, SemDeDup prunes semantic repeats —
+# this op SUBSAMPLES TO A BUDGET while flattening the cluster
+# distribution (the "cluster-balanced sampling" used to de-bias
+# web-scale corpora toward rare semantic regions; same learned-cell
+# machinery as SemDeDup, pointed at sampling instead of pruning).
+# Every quota is INTEGER arithmetic (equal allocation, remainder to
+# the largest cells first, capped by cell size) and the within-cell
+# pick is a deterministic 60-bit-hash priority — no float boundary
+# anywhere in the keep decision.
+#
+# Scale shape: composes sim_kmeans (zero-shuffle E-steps, broadcast
+# centroids); the quota table is K rows → broadcast; the within-cell
+# rank is a window PARTITIONED BY cell (distributed, no global sort);
+# the keep decision is a pushable per-row comparison.
+
+#: sampling budget (vectors kept across all cells; cells smaller than
+#: their quota under-fill it — visible as kept < quota, like the
+#: mixture plan's capped sources).
+DIV_BUDGET = 256
+
+
+def sample_diverse(spark: SparkSession, sf: str) -> DataFrame:
+    """Per vector: its k-means cell, the cell size, the cell's integer
+    quota (equal split of DIV_BUDGET, remainder to the largest cells
+    first), its hash priority and within-cell rank, and the keep flag
+    (rank ≤ quota). Flattens the cluster histogram: over-represented
+    semantic regions are capped at ~budget/K while rare cells keep
+    everything they have."""
+    asg = sim_kmeans(spark, sf).select("vec_id", "cid")
+    wall = Window.partitionBy()
+    worder = Window.orderBy(F.desc("cell_n"), F.asc("cid"))
+    quotas = (
+        asg.groupBy("cid")
+        .agg(F.count("*").alias("cell_n"))
+        .withColumn("n_cells", F.count("*").over(wall))
+        .withColumn("crank", F.row_number().over(worder))
+        .selectExpr(
+            "cid",
+            "cell_n",
+            f"CAST({DIV_BUDGET} DIV n_cells"
+            f" + CAST(crank <= {DIV_BUDGET} % n_cells AS INT) AS BIGINT)"
+            " AS quota",
+        )
+    )
+    pri_expr = _h60_spark("concat('div#', cast(vec_id AS string))")
+    pri = asg.selectExpr("vec_id", "cid", f"{pri_expr} AS pri")
+    wcell = Window.partitionBy("cid").orderBy(F.asc("pri"), F.asc("vec_id"))
+    return (
+        pri.withColumn("rnk", F.row_number().over(wcell).cast("long"))
+        .join(F.broadcast(quotas), "cid")
+        .selectExpr(
+            "vec_id",
+            "cid",
+            "cell_n",
+            "quota",
+            "pri",
+            "rnk",
+            "CAST(rnk <= quota AS INT) AS kept",
+        )
+        .orderBy("vec_id")
+    )
+
+
+SAMPLE_DIVERSE_SQL = f"""
+WITH {_KM_A2_SQL},
+sizes AS (SELECT cid, count(*) AS cell_n FROM a2 GROUP BY cid),
+q AS (SELECT cid, cell_n,
+             CAST({DIV_BUDGET} // n_cells
+                  + CASE WHEN crank <= {DIV_BUDGET} % n_cells
+                         THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM (SELECT cid, cell_n, count(*) OVER () AS n_cells,
+                   row_number() OVER (ORDER BY cell_n DESC, cid ASC)
+                     AS crank
+            FROM sizes)),
+pri AS (SELECT vec_id, cid,
+               {_h60_duck("'div#' || CAST(vec_id AS VARCHAR)")} AS pri
+        FROM a2),
+r AS (SELECT vec_id, cid, pri,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY pri ASC, vec_id ASC) AS rnk
+      FROM pri)
+SELECT r.vec_id, r.cid, q.cell_n, q.quota, r.pri,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(r.rnk <= q.quota AS INT) AS kept
+FROM r JOIN q ON r.cid = q.cid ORDER BY vec_id"""
 
 
 # --- int8 embedding quantization ------------------------------------------

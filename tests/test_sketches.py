@@ -1447,3 +1447,231 @@ def test_text_perplexity_parity_and_ccnet_buckets(spark, oracle_sf_dir):
     head = [r[4] for r in rows if r[5] == 1 and r[4] is not None]
     tail = [r[4] for r in rows if r[5] == TEXT_PPL_TERCILES and r[4] is not None]
     assert head and max(head) <= min(tail or [float("inf")])
+
+
+def test_dsir_select_parity_and_python_replay(spark, oracle_sf_dir):
+    # Staged r11 operator: DSIR-style importance resampling — DuckDB
+    # oracle parity, then an independent Python replay of the WHOLE
+    # statistic (hashed features, micro-integer lambda, deterministic
+    # Gumbel keys, rank) plus the resample invariants.
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from dariadb_spark.ext.curation import (
+        DSIR_BUCKETS,
+        DSIR_KEEP_K,
+        DSIR_SELECT_SQL,
+        DSIR_TARGET_SOURCES,
+        _DSIR_UMOD,
+        dsir_select,
+    )
+
+    rows = [tuple(r) for r in dsir_select(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(DSIR_SELECT_SQL).fetchall()]
+    assert rows == oracle
+
+    def _r(x: float, nd: int) -> float:
+        # engines round HALF AWAY FROM ZERO on the exact double value;
+        # Python's round() banker's-rounds, so replicate via Decimal.
+        q = Decimal(1).scaleb(-nd) if nd else Decimal(1)
+        return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+    docs = con.execute(
+        "SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL"
+        " ORDER BY doc_id"
+    ).fetchall()
+    per_doc: dict[int, Counter] = {}
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    src_of = {}
+    for doc_id, source, text in docs:
+        ws = text.split(" ")
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        buckets = Counter(_py_h60(f) % DSIR_BUCKETS for f in feats)
+        per_doc[doc_id] = buckets
+        src_of[doc_id] = source
+        tgt = source in DSIR_TARGET_SOURCES
+        for b, c in buckets.items():
+            (ct if tgt else cr)[b] += c
+    tt, tr = sum(ct.values()), sum(cr.values())
+    all_buckets = set(ct) | set(cr)
+    lam_i = {
+        b: int(
+            _r(
+                (
+                    math.log((ct.get(b, 0) + 1) / (tt + DSIR_BUCKETS))
+                    - math.log((cr.get(b, 0) + 1) / (tr + DSIR_BUCKETS))
+                )
+                * 1_000_000,
+                0,
+            )
+        )
+        for b in all_buckets
+    }
+    replay = []
+    for doc_id, buckets in per_doc.items():
+        if src_of[doc_id] in DSIR_TARGET_SOURCES:
+            continue
+        score = _r(
+            sum(c * lam_i[b] for b, c in buckets.items()) / 1_000_000.0, 6
+        )
+        u = (_py_h60(f"dsir#{doc_id}") % _DSIR_UMOD + 0.5) / _DSIR_UMOD
+        gum = _r(-math.log(-math.log(u)), 6)
+        replay.append(
+            [
+                doc_id,
+                src_of[doc_id],
+                sum(buckets.values()),
+                len(buckets),
+                score,
+                gum,
+                _r(score + gum, 6),
+            ]
+        )
+    replay.sort(key=lambda r: (-r[6], r[0]))
+    by_rank = {
+        r[0]: r + [i + 1, int(i + 1 <= DSIR_KEEP_K)]
+        for i, r in enumerate(replay)
+    }
+    assert len(rows) == len(replay)
+    for row in rows:
+        assert list(row) == by_rank[row[0]], row[0]
+
+    # resample invariants: exactly K kept, no target-source rows, and
+    # the keep set skews toward high scores (Gumbel perturbs, the
+    # importance weights still dominate on average).
+    assert sum(r[-1] for r in rows) == DSIR_KEEP_K
+    assert all(r[1] not in DSIR_TARGET_SOURCES for r in rows)
+    kept_scores = [r[4] for r in rows if r[-1] == 1]
+    drop_scores = [r[4] for r in rows if r[-1] == 0]
+    assert sum(kept_scores) / len(kept_scores) > sum(drop_scores) / len(
+        drop_scores
+    )
+
+
+def test_sample_diverse_parity_and_flattening(spark, oracle_sf_dir):
+    # Staged r11 operator: cluster-balanced diversity sampling — DuckDB
+    # oracle parity, an independent Python replay of the integer quota
+    # allocation, and the flattening invariants.
+    import duckdb
+
+    from dariadb_spark.ext.similarity import (
+        DIV_BUDGET,
+        SAMPLE_DIVERSE_SQL,
+        sample_diverse,
+    )
+
+    rows = [tuple(r) for r in sample_diverse(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/embeddings.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(SAMPLE_DIVERSE_SQL).fetchall()]
+    assert rows == oracle
+
+    # Python replay of the quota allocation from the observed cells
+    from collections import Counter
+
+    cells = Counter(r[1] for r in rows)
+    n_cells = len(cells)
+    by_size = sorted(cells, key=lambda c: (-cells[c], c))
+    quota = {
+        c: DIV_BUDGET // n_cells + (1 if i < DIV_BUDGET % n_cells else 0)
+        for i, c in enumerate(by_size)
+    }
+    kept_per_cell = Counter(r[1] for r in rows if r[-1] == 1)
+    for c in cells:
+        assert quota[c] == next(r[3] for r in rows if r[1] == c)
+        assert kept_per_cell.get(c, 0) == min(quota[c], cells[c])
+        # per-vector: kept iff within-cell hash rank ≤ quota
+        members = sorted(
+            (r for r in rows if r[1] == c), key=lambda r: (r[4], r[0])
+        )
+        for i, r in enumerate(members):
+            assert r[5] == i + 1 and r[-1] == int(i + 1 <= quota[c])
+
+    # budget accounting: exactly the budget when no cell under-fills,
+    # otherwise the shortfall equals the sum of per-cell deficits
+    total_kept = sum(r[-1] for r in rows)
+    deficit = sum(max(0, quota[c] - cells[c]) for c in cells)
+    assert total_kept == DIV_BUDGET - deficit
+    # flattening: no kept cell share exceeds its quota, and the kept
+    # histogram is flatter than the raw one (max/min ratio shrinks or
+    # stays equal when already flat)
+    assert max(kept_per_cell.values()) <= max(quota.values())
+
+
+def test_decontaminate_embed_parity_and_semantics(spark, oracle_sf_dir):
+    # Staged r11 operator: embedding-space decontamination — DuckDB
+    # oracle parity plus a numpy replay of the cosine audit.
+    import duckdb
+    import numpy as np
+
+    from dariadb_spark.ext.similarity import (
+        DECONTAMINATE_EMBED_SQL,
+        EMB_DECON_COS,
+        EMB_HOLDOUT_MOD,
+        decontaminate_embed,
+    )
+
+    rows = [
+        tuple(r) for r in decontaminate_embed(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/embeddings.parquet')"
+    )
+    oracle = [
+        tuple(r) for r in con.execute(DECONTAMINATE_EMBED_SQL).fetchall()
+    ]
+    assert rows == oracle
+
+    vecs = {
+        int(v): np.array(e, dtype=np.float64)
+        for v, e in con.execute(
+            "SELECT vec_id, embedding::DOUBLE[] FROM embeddings"
+        ).fetchall()
+    }
+    ev = {v: e for v, e in vecs.items() if v % EMB_HOLDOUT_MOD == 0}
+    assert ev, "eval slice must be non-empty"
+    got = {r[0]: r for r in rows}
+    n_flagged = 0
+    for v, e in vecs.items():
+        if v % EMB_HOLDOUT_MOD == 0:
+            assert v not in got  # eval slice never audited against itself
+            continue
+        hits = {}
+        for w, f in ev.items():
+            # sequential left-to-right folds == the engines' list folds
+            # (numpy's pairwise summation can differ in the last ulp)
+            dot = 0.0
+            ne = 0.0
+            nf = 0.0
+            for x, y in zip(e, f):
+                dot += float(x) * float(y)
+                ne += float(x) * float(x)
+                nf += float(y) * float(y)
+            c = round(dot / (ne ** 0.5 * nf ** 0.5), 4)
+            if c >= EMB_DECON_COS:
+                hits[w] = c
+        r = got[v]
+        assert r[1] == len(hits)
+        if hits:
+            n_flagged += 1
+            best = max(hits.values())
+            assert r[2] == best and r[4] == 1
+            assert r[3] == min(w for w, c in hits.items() if c == best)
+        else:
+            assert r[2] == 0.0 and r[3] is None and r[4] == 0
+    # the statistic must actually fire on the fixture
+    assert n_flagged == sum(r[-1] for r in rows) > 0
