@@ -796,7 +796,7 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # histories (r1+r3+r4+r7), and value-checked by every local sweep and
 # the per-round sf0.1 sweep in between.
 # r11 plan, pre-computed: LEAD with the six deferrals above plus the
-# three round-10-staged operators once registered —
+# SIX round-10-staged operators once registered —
 # `streaming_pq_ingest_parity` (streaming/ann.py; register from
 # registry.py with ext/similarity's STREAMING_PQ_CODES_SQL),
 # `ext_text_perplexity` (ext/curation.py text_perplexity /
@@ -804,10 +804,17 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # preprocess_funnel; its oracle is the LAZY module attribute
 # PREPROCESS_FUNNEL_SQL — register from registry.py after the ext
 # imports, NOT at pipeline module top level, to avoid the
-# dedup→registry→pipeline import cycle). That is 9 slots; fill the
-# remaining 41 from the r8-latest block (attestation_ledger counts
-# EXACTLY 50 r8-latest as of r9 — so 9 of them defer to r12; name
-# them in the r11 comment the way r10 named its six).
+# dedup→registry→pipeline import cycle), and the three selection-
+# family ops staged late in r10 — `ext_dsir_select` (ext/curation.py
+# dsir_select / DSIR_SELECT_SQL), `ext_sample_diverse`
+# (ext/similarity.py sample_diverse / SAMPLE_DIVERSE_SQL),
+# `ext_decontaminate_embed` (ext/similarity.py decontaminate_embed /
+# DECONTAMINATE_EMBED_SQL) — each already oracle-hash-matched at
+# sf0.001/sf0.01/sf0.1 with parity + replay pytest cases. That is 12
+# slots; fill the remaining 38 from the r8-latest block
+# (attestation_ledger counts EXACTLY 50 r8-latest as of r9 — so 12 of
+# them defer to r12; name them in the r11 comment the way r10 named
+# its six).
 # Honest arithmetic, stated once: at 156+ oracled queries a 50-slot
 # window cycles in >3 rounds, so from r11 onward a small NAMED set
 # will touch its stale-3 line before re-attestation — pick the
