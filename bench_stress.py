@@ -1069,6 +1069,75 @@ def stress_text_perplexity(spark) -> tuple[float, int, int]:
     return ppl_s, n_docs, len(rows)
 
 
+DSIR_RAW_DOCS = 200_000  # raw pool; every 4th doc is planted target-like
+DSIR_TGT_DOCS = 2_000  # curated target corpus
+
+
+def stress_dsir(spark) -> tuple[float, int, int, int]:
+    """The staged DSIR selector (ext/curation.py dsir_select) above
+    fixture size: 200k raw docs + a 2k-doc curated target corpus. The
+    planted structure: the target corpus cycles a 50-token vocabulary;
+    every 4th raw doc (50k) cycles the SAME vocabulary (target-like),
+    the other 150k draw from a disjoint 5000-token vocabulary
+    (off-target), so the importance scores separate by tens of log
+    units — far beyond the Gumbel noise scale (≤ ~7 for one max over
+    50k uniforms).
+
+    Asserts the property the resample is FOR: all DSIR_KEEP_K kept
+    docs are planted target-like, and the λ table honors its
+    DSIR_BUCKETS bound (the broadcast-ability claim). The per-doc
+    feature table is ~200k × ≤62 buckets — the corpus-linear shape the
+    operator documents; wall-time recorded in BASELINE.md."""
+    from unittest import mock
+
+    import dariadb_spark.ext.curation as cur_mod
+    from dariadb_spark.ext.curation import (
+        DSIR_BUCKETS,
+        DSIR_KEEP_K,
+        dsir_select,
+    )
+
+    n, nt = DSIR_RAW_DOCS, DSIR_TGT_DOCS
+    tgt_text = (
+        "array_join(transform(sequence(0, 29),"
+        " k -> concat('t', pmod(id + k, 50))), ' ')"
+    )
+    off_text = (
+        "array_join(transform(sequence(0, 29),"
+        " k -> concat('o', pmod(id * 7 + k * 3, 5000))), ' ')"
+    )
+    docs = spark.range(n + nt).selectExpr(
+        "id AS doc_id",
+        f"CASE WHEN id >= {n} THEN 'src1'"
+        "      WHEN id % 4 = 0 THEN 'srcA' ELSE 'srcB' END AS source",
+        f"CASE WHEN id >= {n} OR id % 4 = 0 THEN {tgt_text}"
+        f"     ELSE {off_text} END AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(cur_mod, "load_table", lambda _s, _sf, _n: docs):
+        res = dsir_select(spark, "ignored")
+        agg = (
+            res.selectExpr(
+                "CAST(doc_id % 4 = 0 AS INT) AS planted", "kept", "n_buckets"
+            )
+            .groupBy("planted", "kept")
+            .agg(F.count("*").alias("cnt"), F.max("n_buckets").alias("mb"))
+            .collect()
+        )
+    dsir_s = time.perf_counter() - t0
+    by = {(r.planted, r.kept): r for r in agg}
+    # every kept doc is planted target-like; nothing off-target survives
+    assert (0, 1) not in by, by
+    assert by[(1, 1)].cnt == DSIR_KEEP_K, by
+    assert by[(1, 0)].cnt == n // 4 - DSIR_KEEP_K, by
+    assert by[(0, 0)].cnt == n - n // 4, by
+    # per-doc distinct buckets bounded by the feature construction;
+    # the λ table itself is bounded by DSIR_BUCKETS → broadcast holds
+    max_buckets = max(r.mb for r in agg)
+    assert max_buckets <= DSIR_BUCKETS, max_buckets
+    return dsir_s, n + nt, DSIR_KEEP_K, max_buckets
+
+
 PQ_INGEST_FILES = 4
 
 
@@ -1528,6 +1597,7 @@ def main() -> None:
     sd_s, sd_pairs, sd_frac, sd_maxcell = stress_sem_dedup(spark)
     bp_s, bp_drop, bp_distinct, bp_chunks = stress_boilerplate(spark)
     ppl_s, ppl_docs, _ = stress_text_perplexity(spark)
+    dsir_s, dsir_docs, dsir_kept, dsir_maxb = stress_dsir(spark)
     pqi_stream_s, pqi_batch_s, pqi_rows = stress_streaming_pq_ingest(spark)
     (
         net_ping_ms,
@@ -1565,6 +1635,7 @@ def main() -> None:
                     "sem_dedup_500k": round(sd_s, 4),
                     "boilerplate_120k_docs": round(bp_s, 4),
                     "text_perplexity_210k_docs": round(ppl_s, 4),
+                    "dsir_select_202k_docs": round(dsir_s, 4),
                     "streaming_pq_ingest_500k": round(pqi_stream_s, 4),
                     "batch_pq_encode_same_files": round(pqi_batch_s, 4),
                     "train_lr_12step_200k": round(lr_s, 4),
@@ -1591,6 +1662,9 @@ def main() -> None:
                 "boilerplate_distinct_chunks": bp_distinct,
                 "boilerplate_total_chunks": bp_chunks,
                 "perplexity_docs": ppl_docs,
+                "dsir_docs": dsir_docs,
+                "dsir_kept_planted": dsir_kept,
+                "dsir_max_doc_buckets": dsir_maxb,
                 "pq_ingest_rows": pqi_rows,
                 "net_ping_p50_ms": net_ping_ms,
                 "net_append_rows_per_sec": net_append_rps,
