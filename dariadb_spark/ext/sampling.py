@@ -160,6 +160,122 @@ SELECT lang, shard, count(*) AS n_docs,
 FROM assigned GROUP BY lang, shard ORDER BY lang, shard"""
 
 
+# --- fixed context-window packing audit -----------------------------------
+# STAGED for the round-11 driver window (round-10's is full; the
+# staging every late operator goes through). pack_shards answers "which
+# SHARD does each doc land in"; this op audits the level below — the
+# concat-and-chunk packing every pretraining pipeline runs to fill
+# fixed CONTEXT windows: docs are laid out per source in doc_id order,
+# the token stream is chunked every PACK_CTX_TOKENS, and the audit
+# reports per WINDOW how it filled — docs overlapping it, documents
+# sliced by its trailing boundary (the cross-document attention
+# contamination a packing run budgets), token fill (= CTX everywhere
+# except each source's tail window), and the doc id range. The whole
+# statistic is integer arithmetic over (source, doc_id, n_tok) — the
+# text column never shuffles.
+#
+# Scale shape: one window pass PARTITIONED BY source for the running
+# offsets (pack_shards' distribution argument: contiguous packing is
+# the distributable rule, order-dependent first-fit is not), then each
+# doc explodes to the ≤ (n_tok DIV CTX + 2) windows it touches and one
+# map-side-combined (source, win) aggregate sizes the result at
+# total_tokens / CTX rows — window-count-sized, never token-sized.
+
+#: training context length in whitespace tokens (fixture docs run
+#: ~60–100 tokens, so windows hold several docs AND boundary-sliced
+#: docs exist at every scale factor).
+PACK_CTX_TOKENS = 256
+
+
+def pack_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Per (source, context window): docs overlapping the window, docs
+    sliced by its trailing boundary, token fill, and the doc id range
+    — the fragmentation audit of concat-and-chunk packing."""
+    from pyspark.sql import Window
+
+    ctx = PACK_CTX_TOKENS
+    docs = (
+        load_table(spark, sf, "documents")
+        .where(F.col("text").isNotNull())  # null docs pack zero tokens
+        .select(
+            "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = docs.withColumn(
+        "cum_end", F.sum("n_tok").over(w)
+    ).selectExpr(
+        "source",
+        "doc_id",
+        "n_tok",
+        "cum_end - n_tok AS start_off",
+        "cum_end",
+        f"CAST((cum_end - n_tok) DIV {ctx} AS BIGINT) AS first_win",
+        f"CAST((cum_end - 1) DIV {ctx} AS BIGINT) AS last_win",
+    )
+    per_win = spans.selectExpr(
+        "source",
+        "doc_id",
+        "start_off",
+        "cum_end",
+        "explode(sequence(first_win, last_win)) AS win",
+    ).selectExpr(
+        "source",
+        "win",
+        "doc_id",
+        f"least(cum_end, (win + 1) * {ctx})"
+        f" - greatest(start_off, win * {ctx}) AS tok_in_win",
+        f"CAST(cum_end > (win + 1) * {ctx} AS INT) AS crosses_out",
+    )
+    return (
+        per_win.groupBy("source", "win")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("crosses_out").cast("long").alias("n_sliced"),
+            F.sum("tok_in_win").cast("long").alias("win_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "win")
+    )
+
+
+PACK_CONTEXT_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE text IS NOT NULL),
+spans AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_end
+  FROM d),
+sp AS (
+  SELECT source, doc_id, cum_end - n_tok AS start_off, cum_end,
+         CAST((cum_end - n_tok) // {PACK_CTX_TOKENS} AS BIGINT)
+           AS first_win,
+         CAST((cum_end - 1) // {PACK_CTX_TOKENS} AS BIGINT) AS last_win
+  FROM spans),
+per_win AS (
+  SELECT source, u.win AS win, doc_id,
+         least(cum_end, (u.win + 1) * {PACK_CTX_TOKENS})
+           - greatest(start_off, u.win * {PACK_CTX_TOKENS}) AS tok_in_win,
+         CASE WHEN cum_end > (u.win + 1) * {PACK_CTX_TOKENS}
+              THEN 1 ELSE 0 END AS crosses_out
+  FROM (SELECT source, doc_id, start_off, cum_end,
+               unnest(range(first_win, last_win + 1)) AS win
+        FROM sp) u)
+SELECT source, win, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(crosses_out) AS BIGINT) AS n_sliced,
+       CAST(sum(tok_in_win) AS BIGINT) AS win_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM per_win GROUP BY source, win ORDER BY source, win"""
+
+
 # --- temperature-balanced multilingual sampling ---------------------------
 
 TEMP_SEED_OFFSET = 777_777  # decorrelates from splitter + sampler

@@ -1675,3 +1675,76 @@ def test_decontaminate_embed_parity_and_semantics(spark, oracle_sf_dir):
             assert r[2] == 0.0 and r[3] is None and r[4] == 0
     # the statistic must actually fire on the fixture
     assert n_flagged == sum(r[-1] for r in rows) > 0
+
+
+def test_pack_context_parity_and_python_replay(spark, oracle_sf_dir):
+    # Staged r11 operator: fixed context-window packing audit — DuckDB
+    # oracle parity plus an independent Python replay of the whole
+    # concat-and-chunk statistic from the raw docs, and the packing
+    # invariants (token conservation, full fill off the tail, at most
+    # one boundary-sliced doc per window).
+    from collections import defaultdict
+
+    import duckdb
+
+    import dariadb_spark.registry  # noqa: F401  (sampling↔pipeline cycle)
+    from dariadb_spark.ext.sampling import (
+        PACK_CONTEXT_SQL,
+        PACK_CTX_TOKENS,
+        pack_context,
+    )
+
+    rows = [tuple(r) for r in pack_context(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(PACK_CONTEXT_SQL).fetchall()]
+    assert rows == oracle
+
+    ctx = PACK_CTX_TOKENS
+    docs = con.execute(
+        "SELECT source, doc_id, len(string_split(text, ' '))"
+        " FROM documents WHERE text IS NOT NULL ORDER BY source, doc_id"
+    ).fetchall()
+    # replay: lay docs out contiguously per source, chunk every ctx
+    replay: dict = defaultdict(lambda: [0, 0, 0, None, None])
+    off: dict = defaultdict(int)
+    tokens_per_source: dict = defaultdict(int)
+    for source, doc_id, n_tok in docs:
+        start, end = off[source], off[source] + n_tok
+        off[source] = end
+        tokens_per_source[source] += n_tok
+        for win in range(start // ctx, (end - 1) // ctx + 1):
+            cell = replay[(source, win)]
+            cell[0] += 1
+            cell[1] += int(end > (win + 1) * ctx)
+            cell[2] += min(end, (win + 1) * ctx) - max(start, win * ctx)
+            cell[3] = doc_id if cell[3] is None else min(cell[3], doc_id)
+            cell[4] = doc_id if cell[4] is None else max(cell[4], doc_id)
+    expected = [
+        (s, w, *replay[(s, w)]) for s, w in sorted(replay)
+    ]
+    assert rows == expected
+
+    # invariants of the packing itself
+    by_source: dict = defaultdict(list)
+    for r in rows:
+        by_source[r[0]].append(r)
+    for source, rs in by_source.items():
+        wins = [r[1] for r in rs]
+        assert wins == list(range(len(rs)))  # contiguous from 0
+        assert sum(r[4] for r in rs) == tokens_per_source[source]
+        for r in rs[:-1]:
+            assert r[4] == ctx  # every non-tail window fills exactly
+            assert r[3] in (0, 1)  # ≤ 1 doc spans the trailing boundary
+        assert rs[-1][3] == 0  # the stream's last doc cannot cross out
+        assert 0 < rs[-1][4] <= ctx
+        # doc ranges tile the stream: consecutive windows overlap in
+        # exactly the sliced doc, or abut on a clean boundary (doc_ids
+        # are global across sources, so "next doc" is only > last)
+        for a, b in zip(rs, rs[1:]):
+            assert b[5] == a[6] if a[3] == 1 else b[5] > a[6]
+    # the statistic must actually fire: some window somewhere slices
+    assert sum(r[3] for r in rows) > 0
