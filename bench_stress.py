@@ -1138,6 +1138,85 @@ def stress_dsir(spark) -> tuple[float, int, int, int]:
     return dsir_s, n + nt, DSIR_KEEP_K, max_buckets
 
 
+PACKC_DOCS = 1_000_000  # across 8 sources; ~69.5M tokens → ~272k windows
+
+
+def stress_pack_context(spark) -> tuple[float, int, int, int]:
+    """The staged context-window packing audit (ext/sampling.py
+    pack_context) above fixture size: 1M docs across 8 sources with
+    deterministic per-doc token counts n_tok = 40 + (7·id mod 60), so
+    the whole concat-and-chunk layout replays in Python as pure integer
+    arithmetic. Asserts the audit EXACTLY — per-source window count,
+    total sliced docs, token conservation — plus a modular sample of
+    full window rows row-identical to the replay. The output is
+    window-count-sized (~272k rows from 1M docs), the scale claim the
+    operator documents; wall-time recorded in BASELINE.md."""
+    from collections import defaultdict
+    from unittest import mock
+
+    import dariadb_spark.ext.sampling as samp_mod
+    from dariadb_spark.ext.sampling import PACK_CTX_TOKENS, pack_context
+
+    n, n_src, ctx = PACKC_DOCS, 8, PACK_CTX_TOKENS
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat('s', id % {n_src}) AS source",
+        "array_join(transform(sequence(1, 40 + CAST(id * 7 % 60 AS INT)),"
+        " k -> 'w'), ' ') AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(samp_mod, "load_table", lambda _s, _sf, _n: docs):
+        res = pack_context(spark, "ignored")
+        per_src = {
+            r.source: r
+            for r in res.groupBy("source")
+            .agg(
+                F.count("*").alias("n_win"),
+                F.sum("n_sliced").alias("sliced"),
+                F.sum("win_tokens").alias("tok"),
+                F.max("win").alias("max_win"),
+            )
+            .collect()
+        }
+        sample = {
+            (r.source, r.win): tuple(r)
+            for r in res.where(F.col("win") % 997 == 0).collect()
+        }
+    packc_s = time.perf_counter() - t0
+
+    # integer replay of the whole layout
+    replay: dict = defaultdict(lambda: [0, 0, 0, None, None])
+    exp = {s: [0, 0] for s in (f"s{i}" for i in range(n_src))}  # tok, sliced
+    off: dict = defaultdict(int)
+    for doc_id in range(n):
+        src = f"s{doc_id % n_src}"
+        n_tok = 40 + doc_id * 7 % 60
+        start, end = off[src], off[src] + n_tok
+        off[src] = end
+        exp[src][0] += n_tok
+        exp[src][1] += (end - 1) // ctx - start // ctx
+        for win in range(start // ctx, (end - 1) // ctx + 1):
+            if win % 997:
+                continue
+            cell = replay[(src, win)]
+            cell[0] += 1
+            cell[1] += int(end > (win + 1) * ctx)
+            cell[2] += min(end, (win + 1) * ctx) - max(start, win * ctx)
+            cell[3] = doc_id if cell[3] is None else min(cell[3], doc_id)
+            cell[4] = doc_id if cell[4] is None else max(cell[4], doc_id)
+    n_windows = 0
+    for src, (tok, sliced) in exp.items():
+        r = per_src[src]
+        assert r.n_win == (tok - 1) // ctx + 1 == r.max_win + 1, (src, r)
+        assert r.tok == tok and r.sliced == sliced, (src, r)
+        n_windows += r.n_win
+    assert len(sample) == len(replay) and all(
+        sample[k] == (k[0], k[1], *v) for k, v in replay.items()
+    )
+    total_sliced = sum(v[1] for v in exp.values())
+    return packc_s, n, n_windows, total_sliced
+
+
 PQ_INGEST_FILES = 4
 
 
@@ -1598,6 +1677,7 @@ def main() -> None:
     bp_s, bp_drop, bp_distinct, bp_chunks = stress_boilerplate(spark)
     ppl_s, ppl_docs, _ = stress_text_perplexity(spark)
     dsir_s, dsir_docs, dsir_kept, dsir_maxb = stress_dsir(spark)
+    packc_s, packc_docs, packc_wins, packc_sliced = stress_pack_context(spark)
     pqi_stream_s, pqi_batch_s, pqi_rows = stress_streaming_pq_ingest(spark)
     (
         net_ping_ms,
@@ -1636,6 +1716,7 @@ def main() -> None:
                     "boilerplate_120k_docs": round(bp_s, 4),
                     "text_perplexity_210k_docs": round(ppl_s, 4),
                     "dsir_select_202k_docs": round(dsir_s, 4),
+                    "pack_context_1m_docs": round(packc_s, 4),
                     "streaming_pq_ingest_500k": round(pqi_stream_s, 4),
                     "batch_pq_encode_same_files": round(pqi_batch_s, 4),
                     "train_lr_12step_200k": round(lr_s, 4),
@@ -1665,6 +1746,9 @@ def main() -> None:
                 "dsir_docs": dsir_docs,
                 "dsir_kept_planted": dsir_kept,
                 "dsir_max_doc_buckets": dsir_maxb,
+                "pack_context_docs": packc_docs,
+                "pack_context_windows": packc_wins,
+                "pack_context_sliced_docs": packc_sliced,
                 "pq_ingest_rows": pqi_rows,
                 "net_ping_p50_ms": net_ping_ms,
                 "net_append_rows_per_sec": net_append_rps,
