@@ -816,6 +816,132 @@ SELECT doc_id, source, n_feat, n_buckets, score, gum, gkey,
 FROM rk ORDER BY doc_id"""
 
 
+# --- per-source quality-score calibration ---------------------------------
+# STAGED for the round-11 driver window (round-10's is full; the staging
+# every late operator goes through). The FineWeb/CCNet-style gating
+# fact: one GLOBAL quality threshold passes wildly different fractions
+# of each source (a clean source sails through, a noisy one is wiped
+# out), so production gates calibrate PER SOURCE — keep the top q% of
+# every source and report the implied per-source threshold. This op
+# charts both gates side by side: global-τ pass counts vs calibrated
+# top-CALIB_TOP_PCT% pass counts, plus the per-source effective
+# threshold the calibrated gate lands on.
+#
+# Determinism: the composite score is rounded to 6dp then INTEGERIZED
+# to micro-units, so every sum is exact bigint arithmetic and the rank
+# ordering (score_i DESC, doc_id ASC) has no float boundary anywhere.
+#
+# Scale shape: the score is a stateless scan-stage projection; the
+# calibrated gate is one rank window PARTITIONED BY source over the
+# doc-count-sized score table. At 100 TB the exact per-source rank
+# swaps for an approx_percentile threshold scalar per source (the same
+# documented swap as DSIR's global top-K and perplexity's terciles);
+# the per-source aggregate is map-side combinable either way.
+
+#: global quality gate (≈ the fixture corpus median composite score)
+QUALITY_TAU = 0.34
+#: calibrated gate: keep the top q% of every source
+CALIB_TOP_PCT = 30
+#: mirrors ext/text.py STOPWORDS (local copy: no text->curation import)
+CALIB_STOPWORDS = ("a", "the")
+
+_QSCORE = (
+    "round(0.4 * {stop} / {n} + 0.3 * least({n}, 100) / 100.0"
+    " + 0.3 * {uniq} / {n}, 6)"
+)
+
+
+def quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per source: docs, mean composite quality score, docs passing the
+    global τ gate vs the per-source calibrated top-q% gate, and the
+    calibrated gate's implied per-source score threshold."""
+    from pyspark.sql import Window
+
+    stop_pred = " OR ".join(f"x = '{s}'" for s in CALIB_STOPWORDS)
+    score = _QSCORE.format(
+        stop=f"size(filter(w, x -> {stop_pred}))",
+        n="size(w)",
+        uniq="size(array_distinct(w))",
+    )
+    scored = (
+        load_table(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .selectExpr("doc_id", "source", "split(text, ' ') AS w")
+        .selectExpr(
+            "doc_id",
+            "source",
+            f"CAST(round({score} * 1000000) AS BIGINT) AS score_i",
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("score_i").desc(), F.col("doc_id")
+    )
+    w_src = Window.partitionBy("source")
+    gated = scored.select(
+        "source",
+        "score_i",
+        F.rank().over(w_rank).alias("rnk"),
+        F.count("*").over(w_src).alias("n_src"),
+    ).selectExpr(
+        "source",
+        "score_i",
+        f"CAST(score_i >= {QUALITY_TAU} * 1000000 AS INT) AS pass_global",
+        f"CAST(rnk <= CAST(ceil(n_src * {CALIB_TOP_PCT} / 100.0) AS BIGINT)"
+        " AS INT) AS pass_calib",
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("round(sum(score_i) / CAST(1000000 AS DOUBLE) / count(*), 6)").alias(
+                "mean_score"
+            ),
+            F.sum("pass_global").cast("bigint").alias("n_pass_global"),
+            F.sum("pass_calib").cast("bigint").alias("n_pass_calib"),
+            F.expr(
+                "round(min(CASE WHEN pass_calib = 1 THEN score_i END)"
+                " / CAST(1000000 AS DOUBLE), 6)"
+            ).alias("calib_threshold"),
+        )
+        .orderBy("source")
+    )
+
+
+_QSCORE_DUCK = _QSCORE.format(
+    stop="len(list_filter(w, x -> "
+    + " OR ".join(f"x = '{s}'" for s in CALIB_STOPWORDS)
+    + "))",
+    n="len(w)",
+    uniq="len(list_distinct(w))",
+)
+QUALITY_CALIBRATE_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+sc AS (SELECT doc_id, source,
+              CAST(round({_QSCORE_DUCK} * 1000000) AS BIGINT) AS score_i
+       FROM t),
+rk AS (SELECT source, score_i,
+              rank() OVER (PARTITION BY source
+                           ORDER BY score_i DESC, doc_id ASC) AS rnk,
+              count(*) OVER (PARTITION BY source) AS n_src
+       FROM sc),
+gated AS (
+  SELECT source, score_i,
+         CASE WHEN score_i >= {QUALITY_TAU} * 1000000
+              THEN 1 ELSE 0 END AS pass_global,
+         CASE WHEN rnk <= CAST(ceil(n_src * {CALIB_TOP_PCT} / 100.0)
+                               AS BIGINT)
+              THEN 1 ELSE 0 END AS pass_calib
+  FROM rk)
+SELECT source, count(*) AS n_docs,
+       round(sum(score_i) / 1000000.0 / count(*), 6) AS mean_score,
+       CAST(sum(pass_global) AS BIGINT) AS n_pass_global,
+       CAST(sum(pass_calib) AS BIGINT) AS n_pass_calib,
+       round(min(CASE WHEN pass_calib = 1 THEN score_i END)
+             / 1000000.0, 6) AS calib_threshold
+FROM gated GROUP BY source ORDER BY source"""
+
+
 register("ext_forget_source", forget_source, FORGET_SOURCE_SQL)
 # round 8: the staged Bloom-filter decontamination path joins the
 # driver-checked surface (staged r7; parity + no-false-negative

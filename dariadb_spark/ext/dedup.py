@@ -1136,6 +1136,107 @@ SELECT doc_id, n_chunks, n_boiler,
 FROM per_doc ORDER BY doc_id"""
 
 
+# --- cross-source overlap matrix ------------------------------------------
+# STAGED for the round-11 driver window (round-10's is full; the staging
+# every late operator goes through). The provenance diagnostic every
+# multi-source pretraining mix needs: which sources copy from each
+# other. Exact whole-document duplicates are too rare to chart at small
+# scale (zero below sf0.1 in the fixture), so the unit of overlap is
+# the repeated BOILER_CHUNK_WORDS-word chunk — the same unit the
+# boilerplate pruner counts — which makes the matrix a template/
+# boilerplate-sharing chart as well as a copying chart.
+#
+# Scale shape: the DISTINCT (source, chunk) table is chunk-table-sized
+# (corpus-linear, the boilerplate groupBy's shuffle); the chunk
+# self-join then fans out per chunk by (#sources containing it choose
+# 2) ≤ C(n_sources, 2) — bounded by the SOURCE count squared, never by
+# doc count, so a chunk shared by every source costs ~n_sources² rows,
+# not N². The per-source totals are an n_sources-row broadcast.
+
+
+def source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per source pair (a < b): chunks shared by both, each side's
+    distinct-chunk total, and the Jaccard overlap of their chunk sets
+    — the cross-source copying/template matrix."""
+    p = BOILER_CHUNK_WORDS
+    chunks = (
+        load_table(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .selectExpr("source", "split(text, ' ') AS w")
+        .selectExpr(
+            "source",
+            "explode(transform(sequence(0, CAST(ceil(size(w) / "
+            f"{p}.0d) AS INT) - 1), "
+            f"i -> array_join(slice(w, i * {p} + 1, {p}), ' '))) AS chunk",
+        )
+        .distinct()
+    )
+    per_src = chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("shared_chunks"))
+    )
+    return (
+        shared.join(
+            F.broadcast(per_src.withColumnRenamed("n_chunks", "chunks_a")),
+            F.col("src_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(per_src.withColumnRenamed("n_chunks", "chunks_b")),
+            F.col("src_b") == F.col("source"),
+        )
+        .drop("source")
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "shared_chunks",
+            "chunks_a",
+            "chunks_b",
+            "round(shared_chunks / CAST(chunks_a + chunks_b "
+            "- shared_chunks AS DOUBLE), 6) AS jaccard",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH w AS (SELECT source, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+chunks AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(w[i * {BOILER_CHUNK_WORDS} + 1 :
+                   (i + 1) * {BOILER_CHUNK_WORDS}], ' ')
+                 for i in range(CAST(ceil(len(w) / {BOILER_CHUNK_WORDS}.0)
+                   AS INT))]) AS chunk
+  FROM w),
+per_src AS (SELECT source, count(*) AS n_chunks FROM chunks GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_chunks
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT src_a, src_b, shared_chunks,
+       pa.n_chunks AS chunks_a, pb.n_chunks AS chunks_b,
+       round(shared_chunks / CAST(pa.n_chunks + pb.n_chunks
+             - shared_chunks AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN per_src pa ON src_a = pa.source
+JOIN per_src pb ON src_b = pb.source
+ORDER BY src_a, src_b"""
+
+
 register("ext_dedup_exact", dedup_exact, DEDUP_EXACT_SQL)
 register("ext_dedup_components", dedup_components, DEDUP_COMPONENTS_SQL)
 register("ext_curate_corpus", curate_corpus, CURATE_CORPUS_SQL)

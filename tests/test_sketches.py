@@ -1748,3 +1748,129 @@ def test_pack_context_parity_and_python_replay(spark, oracle_sf_dir):
             assert b[5] == a[6] if a[3] == 1 else b[5] > a[6]
     # the statistic must actually fire: some window somewhere slices
     assert sum(r[3] for r in rows) > 0
+
+
+def test_source_overlap_parity_and_python_replay(spark, oracle_sf_dir):
+    # Staged r11 operator: cross-source chunk-overlap matrix — DuckDB
+    # oracle parity plus an independent Python replay of the whole
+    # statistic (per-source distinct chunk sets, pairwise intersections,
+    # Jaccard) and the matrix invariants.
+    import duckdb
+
+    from dariadb_spark.ext.dedup import (
+        BOILER_CHUNK_WORDS,
+        SOURCE_OVERLAP_SQL,
+        source_overlap,
+    )
+
+    rows = [tuple(r) for r in source_overlap(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(SOURCE_OVERLAP_SQL).fetchall()]
+    assert rows == oracle
+
+    p = BOILER_CHUNK_WORDS
+    chunk_sets: dict = {}
+    for source, text in con.execute(
+        "SELECT source, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall():
+        w = text.split(" ")
+        cs = chunk_sets.setdefault(source, set())
+        for i in range(-(-len(w) // p)):
+            cs.add(" ".join(w[i * p : (i + 1) * p]))
+    expected = []
+    for sa in sorted(chunk_sets):
+        for sb in sorted(chunk_sets):
+            if sa >= sb:
+                continue
+            shared = len(chunk_sets[sa] & chunk_sets[sb])
+            if not shared:
+                continue
+            ca, cb = len(chunk_sets[sa]), len(chunk_sets[sb])
+            expected.append(
+                (sa, sb, shared, ca, cb, round(shared / (ca + cb - shared), 6))
+            )
+    assert rows == expected
+    for sa, sb, shared, ca, cb, jac in rows:
+        assert sa < sb and 0 < shared <= min(ca, cb)
+        assert 0 < jac <= 1
+    assert rows  # the matrix must actually fire on the fixture
+
+
+def test_quality_calibrate_parity_and_python_replay(spark, oracle_sf_dir):
+    # Staged r11 operator: per-source quality-gate calibration — DuckDB
+    # oracle parity plus an independent Python replay of the composite
+    # score, both gates, and the calibrated quota/threshold invariants.
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from dariadb_spark.ext.curation import (
+        CALIB_STOPWORDS,
+        CALIB_TOP_PCT,
+        QUALITY_CALIBRATE_SQL,
+        QUALITY_TAU,
+        quality_calibrate,
+    )
+
+    rows = [
+        tuple(r) for r in quality_calibrate(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [
+        tuple(r) for r in con.execute(QUALITY_CALIBRATE_SQL).fetchall()
+    ]
+    assert rows == oracle
+
+    def _r(x: float, nd: int) -> float:
+        q = Decimal(1).scaleb(-nd) if nd else Decimal(1)
+        return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+    per_src: dict = defaultdict(list)
+    for doc_id, source, text in con.execute(
+        "SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall():
+        w = text.split(" ")
+        stop = sum(1 for x in w if x in CALIB_STOPWORDS)
+        score = (
+            0.4 * stop / len(w)
+            + 0.3 * min(len(w), 100) / 100.0
+            + 0.3 * len(set(w)) / len(w)
+        )
+        per_src[source].append((int(_r(_r(score, 6) * 1_000_000, 0)), doc_id))
+    expected = []
+    for source in sorted(per_src):
+        docs = sorted(per_src[source], key=lambda t: (-t[0], t[1]))
+        n = len(docs)
+        quota = math.ceil(n * CALIB_TOP_PCT / 100.0)
+        kept = docs[:quota]
+        expected.append(
+            (
+                source,
+                n,
+                _r(sum(s for s, _ in docs) / 1_000_000.0 / n, 6),
+                sum(1 for s, _ in docs if s >= QUALITY_TAU * 1_000_000),
+                quota,
+                _r(min(s for s, _ in kept) / 1_000_000.0, 6),
+            )
+        )
+    assert rows == expected
+    for source, n, mean, n_glob, n_cal, thr in rows:
+        # the calibrated gate hits its quota EXACTLY (rank has no ties:
+        # the ordering key includes doc_id), the global gate does not
+        assert n_cal == math.ceil(n * CALIB_TOP_PCT / 100.0)
+        assert 0 <= n_glob <= n and thr is not None
+    # the point of calibration: the global gate's pass RATE varies by
+    # source more than the calibrated gate's (which is ~flat by quota)
+    glob_rates = [r[3] / r[1] for r in rows]
+    cal_rates = [r[4] / r[1] for r in rows]
+    assert max(glob_rates) - min(glob_rates) > max(cal_rates) - min(cal_rates)
