@@ -1217,6 +1217,153 @@ def stress_pack_context(spark) -> tuple[float, int, int, int]:
     return packc_s, n, n_windows, total_sliced
 
 
+OVL_DOCS = 200_000  # 16 sources; partner pairs share a planted header
+OVL_SOURCES = 16
+
+
+def stress_source_overlap(spark) -> tuple[float, int, int]:
+    """The staged cross-source overlap matrix (ext/dedup.py
+    source_overlap) above fixture size, with a fully planted sharing
+    structure: 200k docs over 16 sources; every doc carries one
+    corpus-unique body chunk (doc-id-salted, so accidental sharing is
+    impossible by construction); partner sources (2i, 2i+1) stamp the
+    same 10-word header chunk on every doc; every 10th doc leads with
+    one corpus-common chunk instead. Expected matrix, exactly: all
+    C(16,2) = 120 pairs share the common chunk, partner pairs share 2
+    chunks, and Jaccard follows from the per-source distinct-chunk
+    counts — asserted row by row from arithmetic, no text replay.
+    The bounded fan-out claim is executed: the common chunk (held by
+    all 16 sources) fans out to exactly 120 join rows, never doc-count
+    rows. Wall-time recorded in BASELINE.md."""
+    from unittest import mock
+
+    import dariadb_spark.ext.dedup as dedup_mod
+    from dariadb_spark.ext.dedup import source_overlap
+
+    n, ns = OVL_DOCS, OVL_SOURCES
+    # 10-word chunks: chunk 1 = common (every source's 10th doc) |
+    # partner header; chunk 2 = unique body. No token collisions.
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat('s', id % {ns}) AS source",
+        "concat("
+        f" CASE WHEN id DIV {ns} % 10 = 0"
+        "      THEN 'c c c c c c c c c c'"
+        f"      ELSE concat('h', CAST(id % {ns} DIV 2 AS STRING),"
+        "                  ' h h h h h h h h h') END,"
+        " ' b', CAST(id AS STRING), ' b b b b b b b b b') AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(
+        dedup_mod, "load_table", lambda _s, _sf, _n: docs
+    ):
+        rows = [tuple(r) for r in source_overlap(spark, "ignored").collect()]
+    ovl_s = time.perf_counter() - t0
+
+    per_src = n // ns  # docs per source
+    # every source: per_src unique bodies + 1 header + 1 common chunk
+    nc = per_src + 2
+    exp = []
+    for a in range(ns):
+        for b in range(a + 1, ns):
+            shared = 1 + int(a // 2 == b // 2)  # common (+ header)
+            # the operator orients pairs by STRING compare ('s10'<'s2')
+            sa, sb = sorted((f"s{a}", f"s{b}"))
+            exp.append(
+                (sa, sb, shared, nc, nc,
+                 round(shared / (2 * nc - shared), 6))
+            )
+    exp.sort()
+    assert rows == exp, (rows[:3], exp[:3], len(rows), len(exp))
+    assert len(rows) == ns * (ns - 1) // 2  # the common chunk's whole
+    # fan-out: C(16,2) join rows from a chunk held by 200k docs
+    n_pairs = len(rows)
+    max_shared = max(r[2] for r in rows)
+    return ovl_s, n_pairs, max_shared
+
+
+CALIB_DOCS = 1_000_000  # 10 sources with shifted score distributions
+
+
+def stress_quality_calibrate(spark) -> tuple[float, int, float, float]:
+    """The staged per-source quality calibration (ext/curation.py
+    quality_calibrate) above fixture size, with the gating fact it
+    exists to chart PLANTED: 1M docs over 10 sources, 50 tokens each —
+    s = 15 + source + (id mod 5) stopwords ('a') and the rest one
+    repeated filler word, so the composite score is 0.162 + 0.008·s,
+    monotone in source. Against the global τ = 0.34 gate the pass rate
+    runs the full 0% → 100% spread across sources (asserted exactly:
+    source k passes i-slices with k + (id mod 5) ≥ 8), while the
+    calibrated gate keeps EXACTLY ⌈30%⌉ of every source with the
+    implied threshold at score(s = k + 18) — every cell of the result
+    asserted from arithmetic. Wall-time recorded in BASELINE.md."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from unittest import mock
+
+    import dariadb_spark.ext.curation as cur_mod
+    from dariadb_spark.ext.curation import (
+        CALIB_TOP_PCT,
+        QUALITY_TAU,
+        quality_calibrate,
+    )
+
+    n, ns = CALIB_DOCS, 10
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat('s', id % {ns}) AS source",
+        f"concat(array_join(array_repeat('a',"
+        f" 15 + CAST(id % {ns} AS INT) + CAST(id DIV {ns} % 5 AS INT)),"
+        " ' '), ' ', array_join(array_repeat('w',"
+        f" 35 - CAST(id % {ns} AS INT) - CAST(id DIV {ns} % 5 AS INT)),"
+        " ' ')) AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(
+        cur_mod, "load_table", lambda _s, _sf, _n: docs
+    ):
+        rows = {
+            r.source: tuple(r)
+            for r in quality_calibrate(spark, "ignored").collect()
+        }
+    calib_s = time.perf_counter() - t0
+
+    def _r(x: float, nd: int) -> float:
+        q = Decimal(1).scaleb(-nd) if nd else Decimal(1)
+        return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+    def score_i(s: int) -> int:
+        sc = 0.4 * s / 50 + 0.3 * min(50, 100) / 100.0 + 0.3 * 2 / 50
+        return int(_r(_r(sc, 6) * 1_000_000, 0))
+
+    import math
+
+    per_src = n // ns
+    quota = math.ceil(per_src * CALIB_TOP_PCT / 100.0)
+    tau_i = QUALITY_TAU * 1_000_000
+    for k in range(ns):
+        src = f"s{k}"
+        svals = [15 + k + j for j in range(5)]  # uniform, 20% each
+        n_glob = sum(
+            per_src // 5 for s in svals if score_i(s) >= tau_i
+        )
+        mean = _r(
+            sum(score_i(s) * (per_src // 5) for s in svals)
+            / 1_000_000.0
+            / per_src,
+            6,
+        )
+        # top 30%: all of s=k+19 (20%) + half of s=k+18 → threshold
+        thr = _r(score_i(k + 18) / 1_000_000.0, 6)
+        assert rows[src] == (src, per_src, mean, n_glob, quota, thr), (
+            rows[src],
+            (src, per_src, mean, n_glob, quota, thr),
+        )
+    glob_rates = sorted(r[3] / r[1] for r in rows.values())
+    assert glob_rates[0] == 0.0 and glob_rates[-1] == 1.0  # full spread
+    cal_rate = quota / per_src
+    return calib_s, n, glob_rates[-1] - glob_rates[0], cal_rate
+
+
 PQ_INGEST_FILES = 4
 
 
@@ -1678,6 +1825,8 @@ def main() -> None:
     ppl_s, ppl_docs, _ = stress_text_perplexity(spark)
     dsir_s, dsir_docs, dsir_kept, dsir_maxb = stress_dsir(spark)
     packc_s, packc_docs, packc_wins, packc_sliced = stress_pack_context(spark)
+    ovl_s, ovl_pairs, ovl_maxshared = stress_source_overlap(spark)
+    calib_s, calib_docs, calib_spread, calib_rate = stress_quality_calibrate(spark)
     pqi_stream_s, pqi_batch_s, pqi_rows = stress_streaming_pq_ingest(spark)
     (
         net_ping_ms,
@@ -1717,6 +1866,8 @@ def main() -> None:
                     "text_perplexity_210k_docs": round(ppl_s, 4),
                     "dsir_select_202k_docs": round(dsir_s, 4),
                     "pack_context_1m_docs": round(packc_s, 4),
+                    "source_overlap_200k_docs": round(ovl_s, 4),
+                    "quality_calibrate_1m_docs": round(calib_s, 4),
                     "streaming_pq_ingest_500k": round(pqi_stream_s, 4),
                     "batch_pq_encode_same_files": round(pqi_batch_s, 4),
                     "train_lr_12step_200k": round(lr_s, 4),
@@ -1749,6 +1900,11 @@ def main() -> None:
                 "pack_context_docs": packc_docs,
                 "pack_context_windows": packc_wins,
                 "pack_context_sliced_docs": packc_sliced,
+                "overlap_source_pairs": ovl_pairs,
+                "overlap_max_shared": ovl_maxshared,
+                "calibrate_docs": calib_docs,
+                "calibrate_global_rate_spread": calib_spread,
+                "calibrate_calibrated_rate": calib_rate,
                 "pq_ingest_rows": pqi_rows,
                 "net_ping_p50_ms": net_ping_ms,
                 "net_append_rows_per_sec": net_append_rps,
