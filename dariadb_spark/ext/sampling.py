@@ -276,6 +276,116 @@ SELECT source, win, CAST(count(*) AS BIGINT) AS n_docs,
 FROM per_win GROUP BY source, win ORDER BY source, win"""
 
 
+# --- training-order interleaving audit ------------------------------------
+# STAGED for the round-11 driver window (round-10's is full; the
+# staging every late operator goes through). The ordering counterpart
+# of the mixture ops: a training run streams docs in the deterministic
+# hash-shuffle order (position key = Knuth hash of doc_id), and this
+# audit answers "is every source well INTERLEAVED across that order,
+# or does some source clump?" — clumped sources make the loss curve
+# lurch (the model sees a wall of one distribution). Positions are
+# audited at bucket granularity: the hash assigns each doc to one of
+# SHUF_BUCKETS equal windows of the shuffled stream, and per source we
+# chart the bucket histogram plus its χ² uniformity statistic against
+# the ideal n/B-per-bucket fill. The χ² numerator Σ(B·obs − n)² is
+# exact bigint arithmetic (one rounded division at the end, no float
+# accumulation anywhere); zero-hit buckets enter the sum as (0 − n/B)²
+# terms via the (B − buckets_hit)·n² correction.
+#
+# Scale shape: the bucket assignment is a stateless scan projection
+# (same Knuth arithmetic as the splitter — no RNG, replayable in any
+# engine); the only shuffle is the (source, bucket) groupBy, map-side
+# combined to ≤ n_sources·SHUF_BUCKETS rows; the χ² fold then runs
+# over that tiny table. At n_docs ≳ 3e9 per source the squared terms
+# approach int64 — swap to DECIMAL(38) there, noted not hidden.
+
+SHUF_SEED_OFFSET = 424_242  # decorrelates from splitter/sampler/temp
+SHUF_BUCKETS = 64
+#: loose gate above χ²₀.₉₅(df=63) ≈ 82.5 — flags real clumping only
+INTERLEAVE_CHI2_MAX = 110.0
+
+
+def interleave_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per source: docs, position-buckets hit (of SHUF_BUCKETS), the
+    min/max bucket fill, the exact-arithmetic χ² uniformity statistic
+    of the bucket histogram, and an ok flag — the well-interleaved
+    check over the deterministic hash-shuffle training order."""
+    from pyspark.sql import Window
+
+    b = SHUF_BUCKETS
+    per = (
+        load_table(spark, sf, "documents")
+        .selectExpr(
+            "source",
+            # HIGH bits: the quality of a multiplicative hash lives
+            # in the top of the word — low-bit mod would alias the
+            # doc_id stride (20·k mod 64 cycles with period 16)
+            f"(doc_id + {SHUF_SEED_OFFSET}) * {KNUTH}"
+            f" % {MOD32} * {b} DIV {MOD32} AS bucket",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count("*").alias("obs"))
+    )
+    w = Window.partitionBy("source")
+    folded = (
+        per.withColumn("n", F.sum("obs").over(w))
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.count("*").cast("long").alias("buckets_hit"),
+            F.min("obs").alias("min_obs"),
+            F.max("obs").alias("max_cnt"),
+            F.sum(
+                (F.lit(b) * F.col("obs") - F.col("n"))
+                * (F.lit(b) * F.col("obs") - F.col("n"))
+            ).alias("ss_hit"),
+        )
+    )
+    return folded.selectExpr(
+        "source",
+        "n_docs",
+        "buckets_hit",
+        f"CASE WHEN buckets_hit < {b} THEN 0L ELSE min_obs END AS min_cnt",
+        "max_cnt",
+        f"round((ss_hit + ({b} - buckets_hit) * n_docs * n_docs)"
+        f" / CAST({b} AS DOUBLE) / n_docs, 6) AS chi2",
+        f"CAST(round((ss_hit + ({b} - buckets_hit) * n_docs * n_docs)"
+        f" / CAST({b} AS DOUBLE) / n_docs, 6)"
+        f" <= {INTERLEAVE_CHI2_MAX} AS INT) AS ok",
+    ).orderBy("source")
+
+
+INTERLEAVE_AUDIT_SQL = f"""
+WITH per AS (
+  SELECT source,
+         (doc_id + {SHUF_SEED_OFFSET}) * {KNUTH}
+           % {MOD32} * {SHUF_BUCKETS} // {MOD32} AS bucket,
+         count(*) AS obs
+  FROM documents GROUP BY 1, 2),
+folded AS (
+  SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS buckets_hit,
+         min(obs) AS min_obs, max(obs) AS max_cnt,
+         CAST(sum(({SHUF_BUCKETS} * obs - n)
+                  * ({SHUF_BUCKETS} * obs - n)) AS BIGINT) AS ss_hit
+  FROM (SELECT source, bucket, obs,
+               CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM per)
+  GROUP BY source)
+SELECT source, n_docs, buckets_hit,
+       CAST(CASE WHEN buckets_hit < {SHUF_BUCKETS}
+                 THEN 0 ELSE min_obs END AS BIGINT) AS min_cnt,
+       max_cnt,
+       round((ss_hit + ({SHUF_BUCKETS} - buckets_hit) * n_docs * n_docs)
+             / CAST({SHUF_BUCKETS} AS DOUBLE) / n_docs, 6) AS chi2,
+       CASE WHEN round((ss_hit + ({SHUF_BUCKETS} - buckets_hit)
+                        * n_docs * n_docs)
+                       / CAST({SHUF_BUCKETS} AS DOUBLE) / n_docs, 6)
+                 <= {INTERLEAVE_CHI2_MAX}
+            THEN 1 ELSE 0 END AS ok
+FROM folded ORDER BY source"""
+
+
 # --- temperature-balanced multilingual sampling ---------------------------
 
 TEMP_SEED_OFFSET = 777_777  # decorrelates from splitter + sampler

@@ -814,12 +814,14 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # audit), `ext_source_overlap` (ext/dedup.py source_overlap /
 # SOURCE_OVERLAP_SQL — the cross-source chunk-overlap matrix), and
 # `ext_quality_calibrate` (ext/curation.py quality_calibrate /
-# QUALITY_CALIBRATE_SQL — per-source quality-gate calibration) — each
-# already oracle-hash-matched at sf0.001/sf0.01/sf0.1 with parity +
-# replay pytest cases. That is 15 slots; fill the remaining 35 from
-# the r8-latest block (attestation_ledger counts EXACTLY 50 r8-latest
-# as of r9 — so 15 of them defer to r12; name them in the r11 comment
-# the way r10 named its six).
+# QUALITY_CALIBRATE_SQL — per-source quality-gate calibration), and
+# `ext_interleave_audit` (ext/sampling.py interleave_audit /
+# INTERLEAVE_AUDIT_SQL — the training-order interleaving chi-square
+# audit) — each already oracle-hash-matched at sf0.001/sf0.01/sf0.1
+# with parity + replay pytest cases. That is 16 slots; fill the
+# remaining 34 from the r8-latest block (attestation_ledger counts
+# EXACTLY 50 r8-latest as of r9 — so 16 of them defer to r12; name
+# them in the r11 comment the way r10 named its six).
 # Honest arithmetic, stated once: at 156+ oracled queries a 50-slot
 # window cycles in >3 rounds, so from r11 onward a small NAMED set
 # will touch its stale-3 line before re-attestation — pick the

@@ -1874,3 +1874,69 @@ def test_quality_calibrate_parity_and_python_replay(spark, oracle_sf_dir):
     glob_rates = [r[3] / r[1] for r in rows]
     cal_rates = [r[4] / r[1] for r in rows]
     assert max(glob_rates) - min(glob_rates) > max(cal_rates) - min(cal_rates)
+
+
+def test_interleave_audit_parity_and_python_replay(spark, oracle_sf_dir):
+    # Staged r11 operator: training-order interleaving audit — DuckDB
+    # oracle parity plus an independent Python replay of the bucket
+    # histogram and the exact-arithmetic chi-square fold.
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    import dariadb_spark.registry  # noqa: F401  (sampling↔pipeline cycle)
+    from dariadb_spark.ext.sampling import (
+        INTERLEAVE_AUDIT_SQL,
+        INTERLEAVE_CHI2_MAX,
+        KNUTH,
+        MOD32,
+        SHUF_BUCKETS,
+        SHUF_SEED_OFFSET,
+        interleave_audit,
+    )
+
+    rows = [
+        tuple(r) for r in interleave_audit(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(INTERLEAVE_AUDIT_SQL).fetchall()]
+    assert rows == oracle
+
+    b = SHUF_BUCKETS
+    hist: dict = defaultdict(Counter)
+    for doc_id, source in con.execute(
+        "SELECT doc_id, source FROM documents"
+    ).fetchall():
+        # high-bit bucket extraction of the Knuth multiplicative hash
+        hist[source][(doc_id + SHUF_SEED_OFFSET) * KNUTH % MOD32 * b // MOD32] += 1
+    expected = []
+    for source in sorted(hist):
+        h = hist[source]
+        n = sum(h.values())
+        ss = sum((b * c - n) ** 2 for c in h.values())
+        ss += (b - len(h)) * n * n  # zero-hit buckets
+        chi2 = round(ss / b / n, 6)
+        expected.append(
+            (
+                source,
+                n,
+                len(h),
+                min(h.values()) if len(h) == b else 0,
+                max(h.values()),
+                chi2,
+                int(chi2 <= INTERLEAVE_CHI2_MAX),
+            )
+        )
+    assert rows == expected
+    # buckets partition each source: counts conserve, fills bracket n/B
+    for source, n, hit, mn, mx, chi2, ok in rows:
+        assert 0 < hit <= b and mn <= n / b <= mx
+        assert chi2 >= 0.0
+    # consecutive doc_ids under the golden-ratio hash are LOW-discrepancy:
+    # far more uniform than random (E[chi2] = B-1 = 63 for random) — the
+    # well-interleaved verdict must actually fire
+    assert all(r[6] == 1 for r in rows)
