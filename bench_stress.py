@@ -1282,6 +1282,92 @@ def stress_source_overlap(spark) -> tuple[float, int, int]:
     return ovl_s, n_pairs, max_shared
 
 
+ILV_DOCS = 2_000_000  # 7 healthy sources + 1 position-correlated one
+
+
+def stress_interleave_audit(spark) -> tuple[float, int, float]:
+    """The staged interleaving audit (ext/sampling.py interleave_audit)
+    above fixture size, with the failure mode it exists to catch
+    PLANTED: 2M docs; membership of the 'clumped' source is CORRELATED
+    with stream position (docs whose shuffle bucket < 8 — the shape of
+    a mix whose ids were re-assigned after sorting, or any source
+    whose placement tracks the training order), the other 7 sources
+    split the rest by id. Asserts the FULL result row-for-row against
+    a Python replay of the bucket histograms, that the clumped source
+    alone is flagged (buckets_hit = 8, χ² ≈ 7·n, far above the gate),
+    and that all healthy sources stay low-discrepancy-green. Wall-time
+    recorded in BASELINE.md."""
+    from collections import Counter, defaultdict
+    from unittest import mock
+
+    import dariadb_spark.ext.sampling as samp_mod
+    from dariadb_spark.ext.sampling import (
+        INTERLEAVE_CHI2_MAX,
+        KNUTH,
+        MOD32,
+        SHUF_BUCKETS,
+        SHUF_SEED_OFFSET,
+        interleave_audit,
+    )
+
+    n, b = ILV_DOCS, SHUF_BUCKETS
+    # healthy sources split the COMPLETE 0..n range (zero distortion —
+    # the full golden-ratio sequence is low-discrepancy); the clumped
+    # source draws from a disjoint id range, keeping only ids whose
+    # shuffle bucket < 8 — an id set adversarially aligned with the
+    # hash (re-assigned/colliding ids), the failure the audit exists
+    # to catch. Carving low-bucket ids out of the healthy range would
+    # instead flag EVERY source: at 250k docs/source the χ² gate
+    # resolves relative distortions well under 1%.
+    bucket_of = f"(id + {SHUF_SEED_OFFSET}) * {KNUTH} % {MOD32} * {b} DIV {MOD32}"
+    docs = (
+        spark.range(2 * n)
+        .selectExpr(
+            "id AS doc_id",
+            f"CASE WHEN id < {n} THEN concat('s', id % 7)"
+            f"     WHEN {bucket_of} < 8 THEN 'clumped'"
+            "      ELSE NULL END AS source",
+            "'x' AS text",
+        )
+        .where("source IS NOT NULL")
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(samp_mod, "load_table", lambda _s, _sf, _n: docs):
+        rows = [
+            tuple(r) for r in interleave_audit(spark, "ignored").collect()
+        ]
+    ilv_s = time.perf_counter() - t0
+
+    hist: dict = defaultdict(Counter)
+    for doc_id in range(2 * n):
+        bk = (doc_id + SHUF_SEED_OFFSET) * KNUTH % MOD32 * b // MOD32
+        if doc_id < n:
+            src = f"s{doc_id % 7}"
+        elif bk < 8:
+            src = "clumped"
+        else:
+            continue
+        hist[src][bk] += 1
+    expected = []
+    for source in sorted(hist):
+        h = hist[source]
+        tot = sum(h.values())
+        ss = sum((b * c - tot) ** 2 for c in h.values())
+        ss += (b - len(h)) * tot * tot
+        chi2 = round(ss / b / tot, 6)
+        expected.append(
+            (source, tot, len(h), min(h.values()) if len(h) == b else 0,
+             max(h.values()), chi2, int(chi2 <= INTERLEAVE_CHI2_MAX)))
+    assert rows == expected, (rows[:2], expected[:2])
+    by = {r[0]: r for r in rows}
+    clump = by["clumped"]
+    assert clump[2] == 8 and clump[6] == 0  # 8 buckets hit, flagged
+    assert clump[5] > 6.9 * clump[1]  # χ² ≈ 7·n — orders beyond the gate
+    for k in range(7):
+        assert by[f"s{k}"][6] == 1  # healthy sources stay green
+    return ilv_s, n, clump[5]
+
+
 CALIB_DOCS = 1_000_000  # 10 sources with shifted score distributions
 
 
@@ -1826,6 +1912,7 @@ def main() -> None:
     dsir_s, dsir_docs, dsir_kept, dsir_maxb = stress_dsir(spark)
     packc_s, packc_docs, packc_wins, packc_sliced = stress_pack_context(spark)
     ovl_s, ovl_pairs, ovl_maxshared = stress_source_overlap(spark)
+    ilv_s, ilv_docs, ilv_chi2 = stress_interleave_audit(spark)
     calib_s, calib_docs, calib_spread, calib_rate = stress_quality_calibrate(spark)
     pqi_stream_s, pqi_batch_s, pqi_rows = stress_streaming_pq_ingest(spark)
     (
@@ -1867,6 +1954,7 @@ def main() -> None:
                     "dsir_select_202k_docs": round(dsir_s, 4),
                     "pack_context_1m_docs": round(packc_s, 4),
                     "source_overlap_200k_docs": round(ovl_s, 4),
+                    "interleave_audit_2m_docs": round(ilv_s, 4),
                     "quality_calibrate_1m_docs": round(calib_s, 4),
                     "streaming_pq_ingest_500k": round(pqi_stream_s, 4),
                     "batch_pq_encode_same_files": round(pqi_batch_s, 4),
@@ -1902,6 +1990,8 @@ def main() -> None:
                 "pack_context_sliced_docs": packc_sliced,
                 "overlap_source_pairs": ovl_pairs,
                 "overlap_max_shared": ovl_maxshared,
+                "interleave_docs": ilv_docs,
+                "interleave_clumped_chi2": ilv_chi2,
                 "calibrate_docs": calib_docs,
                 "calibrate_global_rate_spread": calib_spread,
                 "calibrate_calibrated_rate": calib_rate,
