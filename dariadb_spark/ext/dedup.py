@@ -1154,11 +1154,30 @@ FROM per_doc ORDER BY doc_id"""
 # not N². The per-source totals are an n_sources-row broadcast.
 
 
+_OVERLAP_PREV_CHECKPOINT: list = []
+
+
+def _rotate_overlap_checkpoint(new_df) -> None:
+    while _OVERLAP_PREV_CHECKPOINT:
+        try:
+            _OVERLAP_PREV_CHECKPOINT.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing retained anyway
+    _OVERLAP_PREV_CHECKPOINT.append(new_df)
+
+
 def source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Per source pair (a < b): chunks shared by both, each side's
     distinct-chunk total, and the Jaccard overlap of their chunk sets
     — the cross-source copying/template matrix."""
     p = BOILER_CHUNK_WORDS
+    # ONE corpus materialization: the distinct (source, chunk) table
+    # feeds four consumers (both self-join sides + two per-source
+    # totals) whose pruned subtrees Catalyst would otherwise re-scan
+    # the corpus for — measured at 200k docs: 1.53 s → 0.92 s warm
+    # (6.7 s → 1.3 s first-touch). At 100 TB this table persists as a
+    # real table (the incremental-dedup index shape); the lazy
+    # localCheckpoint is the in-session rendering of that artifact.
     chunks = (
         load_table(spark, sf, "documents")
         .where(F.col("text").isNotNull())
@@ -1170,7 +1189,9 @@ def source_overlap(spark: SparkSession, sf: str) -> DataFrame:
             f"i -> array_join(slice(w, i * {p} + 1, {p}), ' '))) AS chunk",
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    _rotate_overlap_checkpoint(chunks)
     per_src = chunks.groupBy("source").agg(
         F.count("*").alias("n_chunks")
     )
