@@ -820,8 +820,21 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # audit) — each already oracle-hash-matched at sf0.001/sf0.01/sf0.1
 # with parity + replay pytest cases. That is 16 slots; fill the
 # remaining 34 from the r8-latest block (attestation_ledger counts
-# EXACTLY 50 r8-latest as of r9 — so 16 of them defer to r12; name
-# them in the r11 comment the way r10 named its six).
+# EXACTLY 50 r8-latest as of r9 — so 16 of them defer to r12).
+# DEFER TO r12 (precomputed this round by the r10 rule — the least
+# drift-prone of the 50: longest green histories, untouched,
+# single-code-path plans, all value-checked by every local sweep and
+# the per-round sf0.1 sweep in between):
+#   the six 7-green core verbs — current_value, interval_scan,
+#   interval_scan_flag, min_max_time, stat_block, timepoint_asof
+#   (r1–r6+r8 green; the most-exercised plans in the repo);
+#   the nine fn_* single-aggregate family — fn_average, fn_count,
+#   fn_maximum, fn_median, fn_minimum, fn_percentile90,
+#   fn_percentile99, fn_sigma, fn_sum (one shared code path with
+#   fn_all, which re-attested in r9);
+#   bucket_minute30 (pure bucket arithmetic, r1+r5+r8).
+# r11 window = the 6 r7 deferrals + the 10 staged registrations +
+# the other 34 r8-latest queries = exactly 50.
 # Honest arithmetic, stated once: at 156+ oracled queries a 50-slot
 # window cycles in >3 rounds, so from r11 onward a small NAMED set
 # will touch its stale-3 line before re-attestation — pick the
