@@ -782,3 +782,204 @@ def test_mixture_plan_apply_property(spark, rows):
         ach = sum(t for _, t in kept)
         gap = _round_half_up((ach - expected) / expected * 100, 2)
         assert got_audit[src] == (len(kept), ach, gap), src
+
+
+# --- round-10 staged selection/ordering operators -------------------------
+# Each checked against a definitional pure-Python replay over randomized
+# corpora (duplicate chunks, stopword-only docs, null texts, sparse and
+# colliding doc_ids) — the cases the deterministic fixture can't reach.
+
+import dariadb_spark.registry as _registry  # noqa: E402,F401  (import cycle)
+
+_doc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 999),  # doc_id (uniquified below)
+        st.integers(0, 3),  # source index
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "the", "w", "x", "yy"]),
+                min_size=1,
+                max_size=25,
+            ),
+        ),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _docs_df(spark, rows):
+    seen, out = set(), []
+    for doc_id, s, toks in rows:
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        out.append(
+            (doc_id, f"s{s}", " ".join(toks) if toks is not None else None)
+        )
+    df = spark.createDataFrame(
+        out or [(0, "s0", None)],
+        "doc_id bigint, source string, text string",
+    )
+    return out if out else [(0, "s0", None)], df
+
+
+@given(rows=_doc_rows)
+@_SETTINGS
+def test_pack_context_property(spark, rows):
+    from collections import defaultdict
+    from unittest import mock
+
+    import dariadb_spark.ext.sampling as samp_mod
+    from dariadb_spark.ext.sampling import PACK_CTX_TOKENS, pack_context
+
+    out, df = _docs_df(spark, rows)
+    with mock.patch.object(samp_mod, "load_table", lambda *_: df):
+        got = [tuple(r) for r in pack_context(spark, "ignored").collect()]
+
+    ctx = PACK_CTX_TOKENS
+    cells: dict = defaultdict(lambda: [0, 0, 0, None, None])
+    off: dict = defaultdict(int)
+    for doc_id, src, text in sorted(out):
+        if text is None:
+            continue
+        n_tok = len(text.split(" "))
+        start, end = off[src], off[src] + n_tok
+        off[src] = end
+        for win in range(start // ctx, (end - 1) // ctx + 1):
+            c = cells[(src, win)]
+            c[0] += 1
+            c[1] += int(end > (win + 1) * ctx)
+            c[2] += min(end, (win + 1) * ctx) - max(start, win * ctx)
+            c[3] = doc_id if c[3] is None else min(c[3], doc_id)
+            c[4] = doc_id if c[4] is None else max(c[4], doc_id)
+    assert got == [(s, w, *cells[(s, w)]) for s, w in sorted(cells)]
+
+
+@given(rows=_doc_rows)
+@_SETTINGS
+def test_interleave_audit_property(spark, rows):
+    from collections import Counter, defaultdict
+    from unittest import mock
+
+    import dariadb_spark.ext.sampling as samp_mod
+    from dariadb_spark.ext.sampling import (
+        INTERLEAVE_CHI2_MAX,
+        KNUTH,
+        MOD32,
+        SHUF_BUCKETS,
+        SHUF_SEED_OFFSET,
+        interleave_audit,
+    )
+
+    out, df = _docs_df(spark, rows)
+    with mock.patch.object(samp_mod, "load_table", lambda *_: df):
+        got = [tuple(r) for r in interleave_audit(spark, "ignored").collect()]
+
+    b = SHUF_BUCKETS
+    hist: dict = defaultdict(Counter)
+    for doc_id, src, _ in out:
+        hist[src][(doc_id + SHUF_SEED_OFFSET) * KNUTH % MOD32 * b // MOD32] += 1
+    exp = []
+    for src in sorted(hist):
+        h = hist[src]
+        n = sum(h.values())
+        ss = sum((b * c - n) ** 2 for c in h.values()) + (b - len(h)) * n * n
+        chi2 = round(ss / b / n, 6)
+        exp.append(
+            (src, n, len(h), min(h.values()) if len(h) == b else 0,
+             max(h.values()), chi2, int(chi2 <= INTERLEAVE_CHI2_MAX)))
+    assert got == exp
+
+
+@given(rows=_doc_rows)
+@_SETTINGS
+def test_source_overlap_property(spark, rows):
+    from unittest import mock
+
+    import dariadb_spark.ext.dedup as dedup_mod
+    from dariadb_spark.ext.dedup import BOILER_CHUNK_WORDS, source_overlap
+
+    out, df = _docs_df(spark, rows)
+    with mock.patch.object(dedup_mod, "load_table", lambda *_: df):
+        got = [tuple(r) for r in source_overlap(spark, "ignored").collect()]
+
+    p = BOILER_CHUNK_WORDS
+    sets: dict = {}
+    for _, src, text in out:
+        if text is None:
+            continue
+        w = text.split(" ")
+        cs = sets.setdefault(src, set())
+        for i in range(-(-len(w) // p)):
+            cs.add(" ".join(w[i * p : (i + 1) * p]))
+    exp = []
+    for sa in sorted(sets):
+        for sb in sorted(sets):
+            if sa >= sb:
+                continue
+            shared = len(sets[sa] & sets[sb])
+            if not shared:
+                continue
+            ca, cb = len(sets[sa]), len(sets[sb])
+            exp.append(
+                (sa, sb, shared, ca, cb, round(shared / (ca + cb - shared), 6))
+            )
+    assert got == exp
+
+
+@given(rows=_doc_rows)
+@_SETTINGS
+def test_quality_calibrate_property(spark, rows):
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+    from unittest import mock
+
+    import dariadb_spark.ext.curation as cur_mod
+    from dariadb_spark.ext.curation import (
+        CALIB_STOPWORDS,
+        CALIB_TOP_PCT,
+        QUALITY_TAU,
+        quality_calibrate,
+    )
+
+    out, df = _docs_df(spark, rows)
+    with mock.patch.object(cur_mod, "load_table", lambda *_: df):
+        got = [
+            tuple(r) for r in quality_calibrate(spark, "ignored").collect()
+        ]
+
+    def _r(x, nd):
+        q = Decimal(1).scaleb(-nd) if nd else Decimal(1)
+        return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+    per: dict = defaultdict(list)
+    for doc_id, src, text in out:
+        if text is None:
+            continue
+        w = text.split(" ")
+        stop = sum(1 for x in w if x in CALIB_STOPWORDS)
+        score = (
+            0.4 * stop / len(w)
+            + 0.3 * min(len(w), 100) / 100.0
+            + 0.3 * len(set(w)) / len(w)
+        )
+        per[src].append((int(_r(_r(score, 6) * 1_000_000, 0)), doc_id))
+    exp = []
+    for src in sorted(per):
+        docs = sorted(per[src], key=lambda t: (-t[0], t[1]))
+        n = len(docs)
+        quota = math.ceil(n * CALIB_TOP_PCT / 100.0)
+        exp.append(
+            (
+                src,
+                n,
+                _r(sum(s for s, _ in docs) / 1_000_000.0 / n, 6),
+                sum(1 for s, _ in docs if s >= QUALITY_TAU * 1_000_000),
+                quota,
+                _r(min(s for s, _ in docs[:quota]) / 1_000_000.0, 6),
+            )
+        )
+    assert got == exp
