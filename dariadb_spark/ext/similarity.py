@@ -139,17 +139,30 @@ def decontaminate_embed(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id", "eval_id", f"round({dot} / (norm * enorm), 4) AS cos_te"
         )
         .where(f"cos_te >= {EMB_DECON_COS}")
-        .groupBy("vec_id")
-        .agg(
-            F.count("*").cast("long").alias("n_eval_hits"),
-            F.max("cos_te").alias("max_cos"),
-            # composite bigint key: strongest cosine wins, lowest
-            # eval_id breaks ties — exact integer arithmetic (cos is
-            # 4-dp, eval ids ≪ 1e6), identical in both engines.
-            F.expr(
-                "max_by(eval_id, CAST(round(cos_te * 10000, 0) AS BIGINT)"
-                " * 1000000 - eval_id)"
-            ).alias("nearest_eval"),
+        # strongest cosine wins, lowest eval_id breaks ties. A
+        # row_number window over (cos_te DESC, eval_id) instead of a
+        # packed-bigint max_by key (r10 ADVICE: the packed key was only
+        # injective below 1e6 eval ids). The window shuffles only the
+        # HIT pairs — already threshold-filtered, a sliver of the pair
+        # space — on the same vec_id key the old groupBy used.
+        .withColumn(
+            "n_eval_hits",
+            F.count("*")
+            .over(Window.partitionBy("vec_id"))
+            .cast("long"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cos_te").desc(), F.col("eval_id")
+                )
+            ),
+        )
+        .where("rn = 1")
+        .selectExpr(
+            "vec_id", "n_eval_hits", "cos_te AS max_cos",
+            "eval_id AS nearest_eval",
         )
     )
     return (
@@ -180,11 +193,13 @@ pairs AS (
   WHERE round(list_dot_product(t.e, ev.ee) / (t.norm * ev.enorm), 4)
           >= {EMB_DECON_COS}),
 hits AS (
-  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
-         max(cos_te) AS max_cos,
-         arg_max(eval_id, CAST(round(cos_te * 10000, 0) AS BIGINT)
-                          * 1000000 - eval_id) AS nearest_eval
-  FROM pairs GROUP BY vec_id)
+  SELECT vec_id,
+         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT)
+           AS n_eval_hits,
+         cos_te AS max_cos, eval_id AS nearest_eval
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos_te DESC, eval_id) = 1)
 SELECT t.vec_id,
        COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
        COALESCE(h.max_cos, 0.0) AS max_cos,

@@ -311,7 +311,10 @@ class TsServer:
     >>> cli.read_interval([0], 0, 10**15)
     """
 
-    _LOOPBACK = ("127.0.0.1", "localhost", "::1", "")
+    # NOTE: "" is deliberately NOT loopback — to Python sockets an empty
+    # host means INADDR_ANY (bind every interface), the exact accidental
+    # exposure this guard exists to stop (r10 ADVICE).
+    _LOOPBACK = ("127.0.0.1", "localhost", "::1")
 
     def __init__(
         self,

@@ -114,6 +114,7 @@ def streaming_pq_ingest_parity(spark: SparkSession, sf_dir: str):
 
     from dariadb_spark.model import load_table
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -130,7 +131,7 @@ def streaming_pq_ingest_parity(spark: SparkSession, sf_dir: str):
             q = streaming_pq_encode(
                 spark, data_dir, codebooks, qname, max_files_per_trigger=1
             )
-        q.awaitTermination(600)
+        await_parity_termination(q)
         codes = spark.table(qname).orderBy("vec_id")
         return localize_and_cleanup(spark, codes, base, qname)
     except BaseException:

@@ -139,6 +139,7 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dariadb_spark.model import measurements
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -156,11 +157,11 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # are wrapped for consistency
         with parity_stream_partitions(spark):
             q = streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day")
-        q.awaitTermination(600)
+        await_parity_termination(q)
         m.where(F.col("time") >= split_ms).write.mode("append").parquet(data_dir)
         with parity_stream_partitions(spark):
             q = streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day")
-        q.awaitTermination(600)
+        await_parity_termination(q)
         compact_rollup(spark, rollup_dir, checkpoint_dir=ckpt)
         return localize_and_cleanup(spark, read_rollup(spark, rollup_dir), base)
     except BaseException:
@@ -186,6 +187,7 @@ def streaming_current_value_parity(
 
     from dariadb_spark.model import measurements
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -200,7 +202,7 @@ def streaming_current_value_parity(
         # 15-series harness slice → small state layer (see scratch.py)
         with parity_stream_partitions(spark):
             q = streaming_current_value(spark, data_dir, qname)
-        q.awaitTermination(600)
+        await_parity_termination(q)
         return localize_and_cleanup(
             spark, spark.table(qname).orderBy("id"), base, qname
         )

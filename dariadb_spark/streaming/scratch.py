@@ -74,6 +74,27 @@ def localize_and_cleanup(
         shutil.rmtree(scratch_dir, ignore_errors=True)
 
 
+def await_parity_termination(q, timeout_s: int = 600) -> None:
+    """Block until the parity stream ``q`` terminates; raise on timeout.
+
+    ``StreamingQuery.awaitTermination(timeout)`` returns ``False`` on
+    timeout WITHOUT stopping the query — a caller that ignores the
+    boolean goes on to read a partially filled memory sink and hands an
+    incomplete table to the oracle compare as if it were the parity
+    result (r10 ADVICE, mirroring net.py's subscribe-timeout handling).
+    On timeout the query is stopped first (releasing the scratch dir
+    for cleanup), then ``TimeoutError`` is raised."""
+    if not q.awaitTermination(timeout_s):
+        try:
+            q.stop()
+        except Exception:
+            pass  # best-effort: the timeout, not the stop, is the error
+        raise TimeoutError(
+            f"parity stream {q.name!r} did not terminate within "
+            f"{timeout_s}s; refusing to read a partial sink"
+        )
+
+
 @contextmanager
 def parity_stream_partitions(
     spark: SparkSession, n: int = 4

@@ -103,6 +103,7 @@ def streaming_sketch_parity(spark: SparkSession, docs_sf_dir: str):
 
     from dariadb_spark.model import load_table
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -118,7 +119,7 @@ def streaming_sketch_parity(spark: SparkSession, docs_sf_dir: str):
             q = streaming_cms_cells(
                 spark, data_dir, qname, max_files_per_trigger=1
             )
-        q.awaitTermination(600)
+        await_parity_termination(q)
         cells = (
             spark.table(qname)
             .selectExpr("depth", "bucket", "count AS cnt")
@@ -284,6 +285,7 @@ def streaming_kmv_parity(spark: SparkSession, sf_dir: str):
 
     from dariadb_spark.model import load_table
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -299,7 +301,7 @@ def streaming_kmv_parity(spark: SparkSession, sf_dir: str):
             q = streaming_kmv_state(
                 spark, data_dir, qname, max_files_per_trigger=1
             )
-        q.awaitTermination(600)
+        await_parity_termination(q)
         w = Window.partitionBy("lang")
         latest = (
             spark.table(qname)
@@ -327,6 +329,7 @@ def streaming_hdr_parity(spark: SparkSession, sf_dir: str):
 
     from dariadb_spark.model import measurements
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -344,7 +347,7 @@ def streaming_hdr_parity(spark: SparkSession, sf_dir: str):
             q = streaming_hdr_cells(
                 spark, data_dir, qname, max_files_per_trigger=1
             )
-        q.awaitTermination(600)
+        await_parity_termination(q)
         cells = (
             spark.table(qname)
             .selectExpr("flag", "bucket", "count AS cnt")

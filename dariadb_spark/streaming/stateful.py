@@ -376,6 +376,7 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -397,7 +398,7 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # breakdown in BASELINE.md / tools/time_anomaly_parity.py)
         with parity_stream_partitions(spark):
             q = streaming_anomaly_alerts(spark, data_dir, query_name=qname)
-        q.awaitTermination(600)
+        await_parity_termination(q)
         return localize_and_cleanup(
             spark,
             spark.table(qname).orderBy("id", "time", "value", "flag"),

@@ -266,6 +266,7 @@ def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -280,7 +281,7 @@ def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 15-series harness slice → small state layer (see scratch.py)
         with parity_stream_partitions(spark):
             q = streaming_sessionize(spark, data_dir, query_name=qname)
-        q.awaitTermination(600)
+        await_parity_termination(q)
         return localize_and_cleanup(
             spark,
             spark.table(qname).orderBy("id", "session_start_ms"),
@@ -369,6 +370,7 @@ def streaming_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFram
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FLAG_ERROR, FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -390,7 +392,7 @@ def streaming_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFram
                 lookback_ms=RANGE_W_MS,
                 query_name=qname,
             )
-        q.awaitTermination(600)
+        await_parity_termination(q)
         agg = (
             spark.table(qname)
             .groupBy("id", "time", "value")
@@ -421,6 +423,7 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
+    await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -434,7 +437,7 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sl.write.mode("append").parquet(data_dir)  # the replay
         with parity_stream_partitions(spark):
             q = streaming_dedup_exact(spark, data_dir, qname)
-        q.awaitTermination(600)
+        await_parity_termination(q)
         return localize_and_cleanup(
             spark,
             spark.table(qname).orderBy("id", "time", "value", "flag"),

@@ -225,3 +225,7 @@ def test_non_loopback_bind_refused(served):
     eng, _ = served
     with pytest.raises(ValueError, match="allow_remote"):
         TsServer(eng, host="0.0.0.0")
+    # "" is INADDR_ANY to Python sockets — a wildcard bind, not loopback
+    # (round-11 ADVICE fix: it must hit the same guard, not slip past it)
+    with pytest.raises(ValueError, match="allow_remote"):
+        TsServer(eng, host="")

@@ -202,30 +202,34 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-10: the five round-9-staged operators plus the new closed
-    # curation loop lead (r9 VERDICT items 1+2 — never ship a NEW query
-    # outside the window), then the r7-stale rotation block fills the
-    # rest, minus the six explicitly named r11 deferrals
-    assert CHECK_WINDOW[:6] == [
-        "ext_sem_dedup", "ext_dedup_boilerplate",
-        "ext_corpus_mixture_apply", "ext_train_quality_eval",
-        "streaming_kmv_parity", "ext_curate_gated_mixture",
+    # round-11: the six r7-stale deferrals lead (they hit the stale-3
+    # line this round), then the ten round-10-staged registrations
+    # (never ship a NEW query outside the window), then the r8-latest
+    # rotation block minus the 16 precomputed r12 deferrals
+    assert CHECK_WINDOW[:16] == [
+        "bucket_day", "bucket_hour_salted", "bucket_month",
+        "ext_moving_avg", "ext_scalar_funcs", "ext_topk_customers",
+        "ext_text_perplexity", "ext_preprocess_funnel",
+        "streaming_pq_ingest_parity", "ext_dsir_select",
+        "ext_sample_diverse", "ext_decontaminate_embed",
+        "ext_source_overlap", "ext_quality_calibrate",
+        "ext_interleave_audit", "ext_pack_context",
     ]
-    # spot-check the r7-latest rotation block from the attestation
-    # ledger — including ext_corpus_mixture, kept in-window because its
-    # plan arithmetic moved into the shared helper this round
-    for stale in ("ext_corpus_mixture", "ext_asof_join",
-                  "ext_sketch_kmv_union", "ext_dedup_incremental",
-                  "streaming_anomaly_parity", "streaming_dedup_parity",
-                  "partition_stats", "ext_text_pii_roundtrip"):
+    # spot-check the r8-latest rotation block from the attestation ledger
+    for stale in ("bucket_week", "ext_bpe_learn", "ext_dedup_exact",
+                  "ext_minhash_jaccard_est", "ext_sim_ann_lsh",
+                  "ext_sketch_quantile_hdr", "ext_text_redact",
+                  "partition_file_stats", "streaming_sketch_parity"):
         assert stale in CHECK_WINDOW, stale
-    # the six r11 deferrals are OUT of the window (and nothing else
-    # from the r7-stale set is)
-    deferred = {"bucket_day", "bucket_hour_salted", "bucket_month",
-                "ext_moving_avg", "ext_scalar_funcs",
-                "ext_topk_customers"}
+    # the 16 r12 deferrals are OUT of the window (and nothing else
+    # from the r8-latest set is)
+    deferred = {"current_value", "interval_scan", "interval_scan_flag",
+                "min_max_time", "stat_block", "timepoint_asof",
+                "fn_average", "fn_count", "fn_maximum", "fn_median",
+                "fn_minimum", "fn_percentile90", "fn_percentile99",
+                "fn_sigma", "fn_sum", "bucket_minute30"}
     assert deferred.isdisjoint(CHECK_WINDOW)
-    assert CHECK_WINDOW[-1] == "streaming_sessionize_parity"
+    assert CHECK_WINDOW[-1] == "streaming_sketch_parity"
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 143
