@@ -1069,6 +1069,60 @@ def stress_text_perplexity(spark) -> tuple[float, int, int]:
     return ppl_s, n_docs, len(rows)
 
 
+DOREMI_CLASS_DOCS = 80_000  # docs per planted domain (3 domains = 240k)
+
+
+def stress_doremi(spark) -> tuple[float, int, float, float]:
+    """The staged DoReMi reweighting (ext/curation.py doremi_reweight)
+    above fixture size: 240k synthetic docs in three equal 80k domains
+    of identical token volume — two EASY domains (deterministic
+    alternations → every known bigram has P=1, domain nll 0) and one
+    HARD domain (an 8-way branching pattern → half its bigrams carry
+    P=1/8, domain nll ≈ ln(8)/2 ≈ 1.04). The corpus-mean reference
+    then puts all the excess loss on the hard domain.
+
+    Asserts the property the operator is FOR (the DoReMi direction):
+    the hard domain's alpha_bar rises CLEARLY above its natural 1/3
+    share while both easy domains fall below theirs, weights stay a
+    distribution (Σ≈1 within micro-unit rounding), and a 12-step
+    :func:`doremi_iterate` run pushes the hard domain's final alpha at
+    or above its 2-step value (monotone approach to the fixed point —
+    the paper's averaged-trajectory output is meaningful only if the
+    trajectory actually climbs)."""
+    from unittest import mock
+
+    import dariadb_spark.ext.curation as cur_mod
+    from dariadb_spark.ext.curation import doremi_iterate, doremi_reweight
+
+    n = DOREMI_CLASS_DOCS
+    # 8-way branch: 'c x0 c x1 ... c x7' repeated → P(xi|c) = 1/8
+    hard = (
+        "array_join(transform(sequence(0, 29),"
+        " k -> concat('c x', k % 8)), ' ')"
+    )
+    docs = spark.range(3 * n).selectExpr(
+        "id AS doc_id",
+        f"concat('dom', id DIV {n}) AS source",
+        f"CASE WHEN id < {n} THEN repeat('a b ', 29) || 'a b'"
+        f"     WHEN id < {2 * n} THEN repeat('e f ', 29) || 'e f'"
+        f"     ELSE {hard} END AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(cur_mod, "load_table", lambda _s, _sf, _n: docs):
+        rows = {r["source"]: r for r in doremi_reweight(spark, "ignored").collect()}
+        final = {d["source"]: d for d in doremi_iterate(spark, "ignored", steps=12)}
+    doremi_s = time.perf_counter() - t0
+    hard_r, easy = rows["dom2"], (rows["dom0"], rows["dom1"])
+    assert hard_r["excess"] > 0.5, hard_r
+    assert all(r["excess"] == 0.0 for r in easy), rows
+    assert hard_r["alpha_bar"] > hard_r["nat_frac"] + 0.02, hard_r
+    assert all(r["alpha_bar"] < r["nat_frac"] for r in easy), rows
+    s = sum(r["alpha_bar"] for r in rows.values())
+    assert abs(s - 1.0) < 1e-4, s
+    assert final["dom2"]["alpha"] >= hard_r["alpha2"] - 1e-12, final["dom2"]
+    return doremi_s, 3 * n, hard_r["excess"], hard_r["alpha_bar"]
+
+
 DSIR_RAW_DOCS = 200_000  # raw pool; every 4th doc is planted target-like
 DSIR_TGT_DOCS = 2_000  # curated target corpus
 
@@ -1909,6 +1963,7 @@ def main() -> None:
     sd_s, sd_pairs, sd_frac, sd_maxcell = stress_sem_dedup(spark)
     bp_s, bp_drop, bp_distinct, bp_chunks = stress_boilerplate(spark)
     ppl_s, ppl_docs, _ = stress_text_perplexity(spark)
+    drm_s, drm_docs, drm_excess, drm_alpha = stress_doremi(spark)
     dsir_s, dsir_docs, dsir_kept, dsir_maxb = stress_dsir(spark)
     packc_s, packc_docs, packc_wins, packc_sliced = stress_pack_context(spark)
     ovl_s, ovl_pairs, ovl_maxshared = stress_source_overlap(spark)
@@ -1951,6 +2006,7 @@ def main() -> None:
                     "sem_dedup_500k": round(sd_s, 4),
                     "boilerplate_120k_docs": round(bp_s, 4),
                     "text_perplexity_210k_docs": round(ppl_s, 4),
+                    "doremi_reweight_240k_docs": round(drm_s, 4),
                     "dsir_select_202k_docs": round(dsir_s, 4),
                     "pack_context_1m_docs": round(packc_s, 4),
                     "source_overlap_200k_docs": round(ovl_s, 4),

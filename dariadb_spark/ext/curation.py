@@ -330,13 +330,14 @@ FROM scored ORDER BY doc_id"""
 TEXT_PPL_TERCILES = 3
 
 
-def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
-    """Per document: bigram count, in-LM bigram count, mean negative
-    log conditional probability over the in-LM bigrams (nll), its
-    exponential (ppl), and the corpus tercile bucket (1 = head =
-    most-fluent). Docs with zero in-LM bigrams carry NULL nll/ppl and
-    sort to the tail (NULLS LAST, identically in both engines)."""
-    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+def _doc_nll(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram NLL under the pruned corpus bigram LM:
+    (doc_id, n_bigrams, n_known, nll) for every doc with ≥1 bigram.
+    ``nll`` is NULL when no bigram survives the LM's count cutoff.
+    Shared scoring core of :func:`text_perplexity` (per-doc fluency
+    buckets) and :func:`doremi_reweight` (per-domain excess loss) —
+    the LM is vocabulary-sized and broadcasts; the corpus streams
+    through one bigram scan + a per-doc aggregate."""
     w = "split(text, ' ')"
     bi = docs.selectExpr(
         "doc_id",
@@ -353,15 +354,39 @@ def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
             "w1", "w2", F.round(F.col("c12") / F.col("c1"), 6).alias("p_cond")
         )
     )
-    scored = (
+    # The doc mean runs over EXACT int64 micro-nll terms (each bigram's
+    # round(-ln p, 6) is a 6-dp value, so ×1e6 + round(0) is exact),
+    # then one int/int division + round(·, 4): bit-identical across
+    # engines. A float avg() diverges in the 4th digit at boundary docs
+    # once accumulation order differs (observed at sf0.1, doc 3505).
+    return (
         bi.join(F.broadcast(lm), ["w1", "w2"], "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
             F.count("p_cond").cast("long").alias("n_known"),
-            F.round(F.avg(F.round(-F.log("p_cond"), 6)), 4).alias("nll"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(round(round(-ln(p_cond), 6) * 1000000, 0)"
+                        " AS BIGINT)"
+                    )
+                )
+                / (F.count("p_cond") * F.lit(1000000.0)),
+                4,
+            ).alias("nll"),
         )
     )
+
+
+def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: bigram count, in-LM bigram count, mean negative
+    log conditional probability over the in-LM bigrams (nll), its
+    exponential (ppl), and the corpus tercile bucket (1 = head =
+    most-fluent). Docs with zero in-LM bigrams carry NULL nll/ppl and
+    sort to the tail (NULLS LAST, identically in both engines)."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    scored = _doc_nll(docs)
     wt = Window.orderBy(F.asc_nulls_last("nll"), F.asc("doc_id"))
     return (
         scored.select(
@@ -391,7 +416,9 @@ lm AS (SELECT w1, w2, round(c12 / c1, 6) AS p_cond
 scored AS (
   SELECT b.doc_id, count(*) AS n_bigrams,
          CAST(count(l.p_cond) AS BIGINT) AS n_known,
-         round(avg(round(-ln(l.p_cond), 6)), 4) AS nll
+         round(sum(CAST(round(round(-ln(l.p_cond), 6) * 1000000, 0)
+                        AS BIGINT))
+               / (count(l.p_cond) * 1000000.0), 4) AS nll
   FROM bi b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
   GROUP BY b.doc_id)
 SELECT doc_id, n_bigrams, n_known, nll,
@@ -400,6 +427,270 @@ SELECT doc_id, n_bigrams, n_known, nll,
               OVER (ORDER BY nll ASC NULLS LAST, doc_id ASC) AS BIGINT)
          AS bucket
 FROM scored ORDER BY doc_id"""
+
+
+# --- DoReMi-style domain reweighting --------------------------------------
+# STAGED for the round-12 driver window (round-11's is full; the staging
+# every late operator goes through). The public recipe: "DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining" (Xie
+# et al., NeurIPS 2023) — iterate per-domain mixture weights by
+# exponentiated-gradient ascent on per-domain EXCESS loss (domain loss
+# minus a reference loss), smooth toward uniform, and ship the
+# step-averaged weights as the training mixture. This engine's analog
+# uses the corpus bigram-LM NLL (the :func:`_doc_nll` core shared with
+# ``ext_text_perplexity``) as the loss: a domain whose text the corpus
+# LM finds surprising carries positive excess and GAINS weight — the
+# hard-domain-upweighting behavior the paper's Group-DRO proxy learns.
+#
+# Determinism recipe (the round-9 LR precedent): every transcendental
+# and every normalization is rounded — round(-ln, 6) per bigram,
+# round(avg, 4) per doc, round(·, 6) at each domain-level step — so the
+# 2-step unrolled registered query is bit-identical across Spark,
+# DuckDB, and the Decimal HALF_UP Python replay in the pytest.
+#
+# Scale shape: the corpus pays ONE bigram scan + per-doc aggregate (the
+# text never shuffles — bigrams hash-join a broadcast vocabulary-sized
+# LM); everything after is window arithmetic over a |domains|-row table.
+# The production loop (:func:`doremi_iterate`) collects that K-row
+# table once — K = |sources|, the same KB-sized-driver-state bound as
+# the LR gradient collects — and iterates arbitrarily many steps
+# driver-side at zero additional corpus cost, exactly how the paper's
+# reweighting runs thousands of steps against cached per-domain losses.
+
+DOREMI_ETA = 0.5  # exponentiated-gradient step size on excess loss
+DOREMI_SMOOTH = 0.1  # uniform-mixing coefficient c
+
+
+def _doremi_base(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-domain worksheet the reweighting iterates over: token
+    shares, mean NLL, excess over the scored-doc-weighted corpus mean,
+    and the exp(eta * excess) gain factor. One corpus scan."""
+    docs = load_table(spark, sf, "documents").where(
+        F.col("text").isNotNull()
+    ).selectExpr("doc_id", "source", "text", "size(split(text, ' ')) AS n_tok")
+    per_doc = docs.select("doc_id", "source", "n_tok").join(
+        _doc_nll(docs).select("doc_id", "nll"), "doc_id", "left"
+    )
+    # per-doc nll is 4-dp → exact int64 in 1e-4 units; domain and corpus
+    # means are then single int/int divisions, bit-identical across
+    # engines (a float avg() over hundreds of docs diverges in the 6th
+    # digit between Spark's and DuckDB's accumulation orders — observed
+    # at sf0.1 on the first cut of this operator).
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.count("nll").cast("long").alias("n_scored"),
+        F.sum(F.expr("CAST(round(nll * 10000, 0) AS BIGINT)")).alias(
+            "_nll_sum4"
+        ),
+    )
+    w = Window.partitionBy()
+    domain_nll = F.round(
+        F.col("_nll_sum4") / (F.col("n_scored") * F.lit(10000.0)), 6
+    )
+    per_src = per_src.withColumn("domain_nll", domain_nll)
+    ref = F.round(
+        F.sum("_nll_sum4").over(w)
+        / (F.sum("n_scored").over(w) * F.lit(10000.0)),
+        6,
+    )
+    excess = F.round(
+        F.greatest(F.lit(0.0), F.round(F.col("domain_nll") - ref, 6)), 6
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_scored",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias(
+            "nat_frac"
+        ),
+        "domain_nll",
+        excess.alias("excess"),
+        F.round(F.exp(F.round(F.lit(DOREMI_ETA) * excess, 6)), 6).alias(
+            "gain"
+        ),
+        F.count("*").over(w).alias("k"),
+    )
+
+
+#: micro-unit scale: weights/gains live in 1e-6 integer space during the
+#: iteration (the DSIR micro-integer precedent) — every step is pure
+#: int64 arithmetic with explicit HALF_UP divisions ((2a + b) DIV (2b)),
+#: so Spark, DuckDB, and the Python loop agree BIT-for-bit; float round()
+#: at step boundaries would diverge at decimal-half ulp cases (observed
+#: at sf0.01 on the first float cut of this operator).
+_DOREMI_MU = 1_000_000
+_DOREMI_C_MU = int(DOREMI_SMOOTH * _DOREMI_MU)
+
+
+def _doremi_step(df: DataFrame, alpha_mu: str, out_mu: str) -> DataFrame:
+    """One exponentiated-gradient step over the K-row worksheet, in
+    micro-units: multiply by the gain, renormalize, mix c toward
+    uniform. HALF_UP(a/b) for nonnegative int64 = (2a + b) DIV (2b)."""
+    M, C = _DOREMI_MU, _DOREMI_C_MU
+    w = Window.partitionBy()
+    df = df.withColumn(
+        "_u", F.expr(f"({alpha_mu} * gain_mu + {M // 2}) DIV {M}")
+    ).withColumn("_s", F.sum("_u").over(w))
+    return df.withColumn(
+        out_mu,
+        F.expr(
+            f"(((2 * _u * {M} + _s) DIV (2 * _s)) * {M - C} + {M // 2})"
+            f" DIV {M} + (2 * {C} + k) DIV (2 * k)"
+        ),
+    ).drop("_u", "_s")
+
+
+def doremi_reweight(spark: SparkSession, sf: str) -> DataFrame:
+    """Per source: natural token share, domain NLL, excess loss, the
+    weights after two unrolled exponentiated-gradient steps (alpha1,
+    alpha2 — seeded at the natural share), and their step average
+    alpha_bar, the DoReMi output mixture. A domain whose excess beats
+    the uniform-smoothing pull ends with alpha_bar above nat_frac
+    (stress-pinned on a planted gibberish domain in bench_stress.py;
+    the fixture's sub-0.01 excesses move weights only a few 1e-4)."""
+    M = _DOREMI_MU
+    df = _doremi_base(spark, sf).withColumn(
+        "a0_mu", F.expr(f"CAST(round(nat_frac * {M}, 0) AS BIGINT)")
+    ).withColumn(
+        "gain_mu", F.expr(f"CAST(round(gain * {M}, 0) AS BIGINT)")
+    )
+    df = _doremi_step(df, "a0_mu", "a1_mu")
+    df = _doremi_step(df, "a1_mu", "a2_mu")
+    return df.select(
+        "source", "n_docs", "n_tokens", "n_scored", "nat_frac",
+        "domain_nll", "excess",
+        F.round(F.col("a1_mu") / M, 6).alias("alpha1"),
+        F.round(F.col("a2_mu") / M, 6).alias("alpha2"),
+        F.round(
+            F.expr("(a1_mu + a2_mu + 1) DIV 2") / M, 6
+        ).alias("alpha_bar"),
+    ).orderBy("source")
+
+
+def doremi_iterate(
+    spark: SparkSession,
+    sf: str,
+    steps: int = 10,
+    smooth: float = DOREMI_SMOOTH,
+) -> list[dict]:
+    """Production loop: the K-row worksheet collects ONCE (K =
+    |sources| — driver state is KB-sized by construction, the LR
+    gradient-collect bound), then ``steps`` exponentiated-gradient
+    steps run driver-side in the SAME int64 micro-unit arithmetic as
+    :func:`_doremi_step`. Returns per-source dicts with the final
+    alpha and the all-step average alpha_bar; step 2 of this loop is
+    bit-identical to :func:`doremi_reweight`'s alpha2 (pinned in
+    tests). At 100 TB the corpus cost is the one scan inside
+    :func:`_doremi_base`; the loop itself is O(steps * K) driver
+    arithmetic, exactly as cheap as the paper's reweighting pass."""
+    M = _DOREMI_MU
+    c_mu = int(round(smooth * M))
+
+    def hup(a: int, b: int) -> int:  # HALF_UP(a / b), a, b >= 0
+        return (2 * a + b) // (2 * b)
+
+    rows = sorted(
+        (r.asDict() for r in _doremi_base(spark, sf).collect()),
+        key=lambda r: r["source"],
+    )
+    k = len(rows)
+    alpha = [int(round(r["nat_frac"] * M)) for r in rows]
+    gain = [int(round(r["gain"] * M)) for r in rows]
+    acc = [0] * k
+    for _ in range(steps):
+        u = [hup(a * g, M) for a, g in zip(alpha, gain)]
+        s = sum(u)
+        alpha = [
+            hup(hup(ui * M, s) * (M - c_mu), M) + hup(c_mu, k) for ui in u
+        ]
+        acc = [t + a for t, a in zip(acc, alpha)]
+    return [
+        {
+            **row,
+            "alpha": a / M,
+            "alpha_bar": hup(t, steps) / M,
+        }
+        for row, a, t in zip(rows, alpha, acc)
+    ]
+
+
+_DOREMI_BASE_CTES = f"""
+d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+bi AS (SELECT doc_id, u.b[1] AS w1, u.b[2] AS w2
+       FROM (SELECT doc_id, unnest([[w[i], w[i+1]]
+                                    for i in range(1, len(w))]) AS b
+             FROM d) u),
+counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+with_tot AS (SELECT w1, w2, c12,
+                    sum(c12) OVER (PARTITION BY w1) AS c1 FROM counts),
+lm AS (SELECT w1, w2, round(c12 / c1, 6) AS p_cond
+       FROM with_tot WHERE c12 >= {LM_MIN_COUNT}),
+scored AS (
+  SELECT b.doc_id,
+         round(sum(CAST(round(round(-ln(l.p_cond), 6) * 1000000, 0)
+                        AS BIGINT))
+               / (count(l.p_cond) * 1000000.0), 4) AS nll
+  FROM bi b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  GROUP BY b.doc_id),
+per_doc AS (
+  SELECT d.doc_id, d.source, len(d.w) AS n_tok, s.nll
+  FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(count(nll) AS BIGINT) AS n_scored,
+         CAST(sum(CAST(round(nll * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS nll_sum4
+  FROM per_doc GROUP BY source),
+base AS (
+  SELECT source, n_docs, n_tokens, n_scored,
+         round(n_tokens / sum(n_tokens) OVER (), 6) AS nat_frac,
+         round(nll_sum4 / (n_scored * 10000.0), 6) AS domain_nll,
+         round(greatest(0.0,
+               round(round(nll_sum4 / (n_scored * 10000.0), 6)
+                     - round(sum(nll_sum4) OVER ()
+                             / (sum(n_scored) OVER () * 10000.0), 6),
+                     6)), 6)
+           AS excess,
+         count(*) OVER () AS k
+  FROM per_src),
+geared AS (
+  SELECT *, round(exp(round({DOREMI_ETA} * excess, 6)), 6) AS gain
+  FROM base)"""
+
+_DOREMI_M = _DOREMI_MU
+_DOREMI_C = _DOREMI_C_MU
+
+DOREMI_REWEIGHT_SQL = f"""
+WITH {_DOREMI_BASE_CTES},
+mu AS (SELECT *,
+              CAST(round(nat_frac * {_DOREMI_M}, 0) AS BIGINT) AS a0_mu,
+              CAST(round(gain * {_DOREMI_M}, 0) AS BIGINT) AS gain_mu
+       FROM geared),
+s1 AS (SELECT *, (a0_mu * gain_mu + {_DOREMI_M // 2}) // {_DOREMI_M} AS u1
+       FROM mu),
+a1 AS (SELECT *,
+              (((2 * u1 * {_DOREMI_M} + sum(u1) OVER ())
+                // (2 * sum(u1) OVER ())) * {_DOREMI_M - _DOREMI_C}
+               + {_DOREMI_M // 2}) // {_DOREMI_M}
+              + (2 * {_DOREMI_C} + k) // (2 * k) AS a1_mu
+       FROM s1),
+s2 AS (SELECT *, (a1_mu * gain_mu + {_DOREMI_M // 2}) // {_DOREMI_M} AS u2
+       FROM a1),
+a2 AS (SELECT *,
+              (((2 * u2 * {_DOREMI_M} + sum(u2) OVER ())
+                // (2 * sum(u2) OVER ())) * {_DOREMI_M - _DOREMI_C}
+               + {_DOREMI_M // 2}) // {_DOREMI_M}
+              + (2 * {_DOREMI_C} + k) // (2 * k) AS a2_mu
+       FROM s2)
+SELECT source, n_docs, n_tokens, n_scored, nat_frac, domain_nll, excess,
+       round(a1_mu / {_DOREMI_M}.0, 6) AS alpha1,
+       round(a2_mu / {_DOREMI_M}.0, 6) AS alpha2,
+       round(((a1_mu + a2_mu + 1) // 2) / {_DOREMI_M}.0, 6) AS alpha_bar
+FROM a2 ORDER BY source"""
 
 
 # --- right-to-be-forgotten source purge (governance) ----------------------
@@ -943,6 +1234,12 @@ FROM gated GROUP BY source ORDER BY source"""
 
 
 register("ext_forget_source", forget_source, FORGET_SOURCE_SQL)
+# round 11: the three curation operators staged through round 10 join
+# the driver-checked surface (parity + replay pytest cases pinned in
+# tests/test_sketches.py since r10; window discipline per registry.py).
+register("ext_text_perplexity", text_perplexity, TEXT_PERPLEXITY_SQL)
+register("ext_dsir_select", dsir_select, DSIR_SELECT_SQL)
+register("ext_quality_calibrate", quality_calibrate, QUALITY_CALIBRATE_SQL)
 # round 8: the staged Bloom-filter decontamination path joins the
 # driver-checked surface (staged r7; parity + no-false-negative
 # guarantees pinned in tests/test_sketches.py since then).

@@ -1269,3 +1269,37 @@ register("ext_dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL)
 register("ext_decontaminate_fuzzy", decontaminate_fuzzy, DECONTAMINATE_FUZZY_SQL)
 register("ext_dedup_substring_spans", dedup_substring_spans, DEDUP_SUBSTRING_SQL)
 register("ext_dedup_boilerplate", dedup_boilerplate, DEDUP_BOILERPLATE_SQL)
+
+# round 11: staged-through-r10 registrations (window discipline per
+# registry.py).
+register("ext_source_overlap", source_overlap, SOURCE_OVERLAP_SQL)
+
+
+def _register_preprocess_funnel() -> None:
+    """ext_preprocess_funnel registers from whichever of pipeline.py /
+    this module finishes importing LAST: its oracle composes constants
+    from BOTH (funnel stages reuse the boilerplate-chunk thresholds
+    here and the split hash in sampling). pipeline.py's bottom covers
+    every import order except dedup-first — there pipeline's body runs
+    mid-dedup-init and must skip, so THIS bottom retries once dedup's
+    constants exist. Both sites guard on the other module's readiness
+    and on not-already-registered, making the pair order-proof."""
+    import sys
+
+    from dariadb_spark.registry import REGISTRY
+
+    if "ext_preprocess_funnel" in REGISTRY:
+        return
+    # Only LOOK UP pipeline, never import it here: in the normal
+    # registry-first order pipeline imports after this module and its
+    # own bottom registers; importing it eagerly from here would
+    # reorder the whole ext import sequence.
+    _pipe = sys.modules.get("dariadb_spark.ext.pipeline")
+    if _pipe is None or not hasattr(_pipe, "preprocess_funnel"):
+        return  # pipeline absent or mid-init: its bottom registers
+    register(
+        "ext_preprocess_funnel", _pipe.preprocess_funnel, _pipe._funnel_sql()
+    )
+
+
+_register_preprocess_funnel()

@@ -304,10 +304,27 @@ def __getattr__(name: str):
     # PEP 562 lazy attribute: the funnel oracle composes constants from
     # ext.dedup, which may still be mid-import when a test imports that
     # module first (dedup -> registry -> pipeline). Deferring the
-    # f-string assembly to first ACCESS breaks the cycle; the r11
-    # registration must therefore live in registry.py after the ext
-    # imports (the streaming-parity pattern), not at this module's top
-    # level.
+    # f-string assembly to first ACCESS breaks the cycle; registration
+    # is handled by the _register_preprocess_funnel pair at the bottom
+    # of this module and dedup.py — whichever finishes importing last
+    # registers (see registry.py's placement note).
     if name == "PREPROCESS_FUNNEL_SQL":
         return _funnel_sql()
     raise AttributeError(name)
+
+
+def _register_preprocess_funnel() -> None:
+    """See dedup.py's twin: registers unless ext.dedup is still
+    mid-import (dedup-first order), in which case dedup's bottom
+    retries after its constants exist."""
+    import dariadb_spark.ext.dedup as _dd
+    from dariadb_spark.registry import REGISTRY
+
+    if "ext_preprocess_funnel" in REGISTRY:
+        return
+    if not hasattr(_dd, "BOILER_MIN_DOCS"):
+        return  # dedup mid-init: its bottom will register instead
+    register("ext_preprocess_funnel", preprocess_funnel, _funnel_sql())
+
+
+_register_preprocess_funnel()

@@ -758,3 +758,8 @@ register("ext_sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL)
 register("ext_pack_shards", pack_shards, PACK_SHARDS_SQL)
 register("ext_corpus_mixture", corpus_mixture, CORPUS_MIXTURE_SQL)
 register("ext_corpus_mixture_apply", corpus_mixture_apply, CORPUS_MIXTURE_APPLY_SQL)
+
+# round 11: the two ordering/packing audits staged through round 10 join
+# the driver-checked surface (window discipline per registry.py).
+register("ext_interleave_audit", interleave_audit, INTERLEAVE_AUDIT_SQL)
+register("ext_pack_context", pack_context, PACK_CONTEXT_SQL)

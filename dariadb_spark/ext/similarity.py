@@ -1638,3 +1638,22 @@ def sem_dedup_blocked(
     return assigned.groupBy("cell").applyInPandas(
         cell_pairs, "vec_a long, vec_b long, cell long"
     )
+
+
+def _streaming_pq_ingest_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import: streaming/ann.py is harness-side machinery registry
+    # never imports at module load; the oracle constant is local.
+    from dariadb_spark.streaming.ann import streaming_pq_ingest_parity
+
+    return streaming_pq_ingest_parity(spark, sf)
+
+
+# round 11: the three similarity-family operators staged through round
+# 10 join the driver-checked surface (window discipline per registry.py).
+register("ext_sample_diverse", sample_diverse, SAMPLE_DIVERSE_SQL)
+register("ext_decontaminate_embed", decontaminate_embed, DECONTAMINATE_EMBED_SQL)
+register(
+    "streaming_pq_ingest_parity",
+    _streaming_pq_ingest_parity,
+    STREAMING_PQ_CODES_SQL,
+)

@@ -1436,7 +1436,10 @@ def test_text_perplexity_parity_and_ccnet_buckets(spark, oracle_sf_dir):
         r = got[doc_id]
         assert r[1] == len(bgs) and r[2] == len(known), doc_id
         if known:
-            nll = round(sum(round(-math.log(p), 6) for p in known) / len(known), 4)
+            # integer micro-nll mean — the engines sum exact int64 terms
+            # (float accumulation diverged at boundary docs; see _doc_nll)
+            s6 = sum(int(round(round(-math.log(p), 6) * 1e6)) for p in known)
+            nll = round(s6 / (len(known) * 1e6), 4)
             assert r[3] == nll and r[4] == round(math.exp(nll), 4), doc_id
         else:
             assert r[3] is None and r[4] is None, doc_id
@@ -1447,6 +1450,54 @@ def test_text_perplexity_parity_and_ccnet_buckets(spark, oracle_sf_dir):
     head = [r[4] for r in rows if r[5] == 1 and r[4] is not None]
     tail = [r[4] for r in rows if r[5] == TEXT_PPL_TERCILES and r[4] is not None]
     assert head and max(head) <= min(tail or [float("inf")])
+
+
+def test_doremi_reweight_parity_loop_pin_and_invariants(spark, oracle_sf_dir):
+    # Staged r12 operator: DoReMi-style domain reweighting — DuckDB
+    # oracle parity, bit-identity of the driver-side production loop's
+    # step 2 with the unrolled registered query, and the distribution /
+    # direction invariants the planted stress pins at 240k docs.
+    import duckdb
+
+    from dariadb_spark.ext.curation import (
+        DOREMI_REWEIGHT_SQL,
+        doremi_iterate,
+        doremi_reweight,
+    )
+
+    rows = [tuple(r) for r in doremi_reweight(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(DOREMI_REWEIGHT_SQL).fetchall()]
+    assert rows == oracle
+
+    # production loop at steps=2 is BIT-identical to the unrolled query
+    it2 = {d["source"]: d for d in doremi_iterate(spark, oracle_sf_dir, steps=2)}
+    for r in rows:
+        src, alpha1, alpha2, alpha_bar = r[0], r[7], r[8], r[9]
+        assert it2[src]["alpha"] == alpha2, src
+        # 2-step average: integer HALF_UP of (a1µ + a2µ)/2
+        a1u, a2u = round(alpha1 * 1e6), round(alpha2 * 1e6)
+        assert round(alpha_bar * 1e6) == (a1u + a2u + 1) // 2, src
+
+    # invariants: excess is nonnegative and zero-floored; every alpha
+    # column is a distribution within micro-unit rounding of 1; the
+    # uniform-smoothing floor c/k holds for every weight
+    k = len(rows)
+    for col in (7, 8, 9):
+        s = sum(r[col] for r in rows)
+        assert abs(s - 1.0) < k * 1e-6 + 1e-9, (col, s)
+    assert all(r[6] >= 0.0 for r in rows)
+    assert all(r[8] >= 0.1 / k - 1e-6 for r in rows)
+
+    # a longer loop stays a distribution and keeps the smoothing floor
+    it12 = doremi_iterate(spark, oracle_sf_dir, steps=12)
+    s12 = sum(d["alpha"] for d in it12)
+    assert abs(s12 - 1.0) < k * 1e-6 + 1e-9, s12
+    assert all(d["alpha"] >= 0.1 / k - 1e-6 for d in it12)
 
 
 def test_dsir_select_parity_and_python_replay(spark, oracle_sf_dir):
