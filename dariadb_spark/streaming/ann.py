@@ -114,7 +114,7 @@ def streaming_pq_ingest_parity(spark: SparkSession, sf_dir: str):
 
     from dariadb_spark.model import load_table
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )

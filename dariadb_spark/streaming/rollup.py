@@ -139,7 +139,7 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dariadb_spark.model import measurements
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -187,7 +187,7 @@ def streaming_current_value_parity(
 
     from dariadb_spark.model import measurements
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )

@@ -103,7 +103,7 @@ def streaming_sketch_parity(spark: SparkSession, docs_sf_dir: str):
 
     from dariadb_spark.model import load_table
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -285,7 +285,7 @@ def streaming_kmv_parity(spark: SparkSession, sf_dir: str):
 
     from dariadb_spark.model import load_table
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -329,7 +329,7 @@ def streaming_hdr_parity(spark: SparkSession, sf_dir: str):
 
     from dariadb_spark.model import measurements
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )

@@ -376,7 +376,7 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )

@@ -266,7 +266,7 @@ def streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -370,7 +370,7 @@ def streaming_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFram
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FLAG_ERROR, FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -423,7 +423,7 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
-    await_parity_termination,
+        await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
     )
