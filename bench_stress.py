@@ -1871,6 +1871,128 @@ def stress_hdr_quantile_onepass(spark) -> tuple[float, int, float]:
     return hdr_s, max(buckets_per_g.values()), round(rel_err * 100, 3)
 
 
+UNI_STRESS_DOCS = 200_000
+#: planted 3-char pieces over fully disjoint alphabets (p1 lowercase,
+#: p2 uppercase, no character reused anywhere): a 6-char word p1+p2 has
+#: exactly one 2-token split whose pieces both carry full piece-level
+#: counts — any cross-boundary alternative (e.g. 'abcD'+'EF') pays a
+#: ~log 8 score penalty because boundary pieces only occur in the one
+#: (p1, p2) combination, so the planted split is provably Viterbi-optimal
+_UNI_P1 = ["abc", "def", "ghi", "jkl", "mno", "pqr", "stu", "vwx"]
+_UNI_P2 = ["ABC", "DEF", "GHI", "JKL", "MNO", "PQR", "STU", "VWX"]
+
+
+def stress_unigram(spark) -> tuple[float, int, float]:
+    """The staged unigram-LM induction (ext/tokenizer.py unigram_lm)
+    above fixture size: 200k synthetic docs / 6M running words over a
+    64-word vocabulary of planted piece pairs (word = p1+p2, 6 chars).
+    The planted structure the learner must recover EXACTLY: Viterbi
+    segments every word as [p1, p2], so after the usage prune the final
+    vocabulary is PRECISELY the 16 planted pieces — every character and
+    every cross-boundary substring admitted by the seed vocab dies in
+    round 1 — and total token usage is exactly 2 x running words.
+
+    Asserted bit-exactly against a definitional Python replay of the
+    whole spec (seed -> top-120 cut -> 2 Viterbi-EM rounds in int64
+    micro-units) — the same replay discipline as the DSIR/DoReMi
+    stresses. The corpus-sized work is ONE word-count scan; everything
+    after runs on the 64-row word table, which is the 100 TB shape."""
+    import math
+    from collections import Counter
+    from unittest import mock
+
+    import dariadb_spark.ext.tokenizer as tok_mod
+    from dariadb_spark.ext.tokenizer import (
+        UNI_MAX_PIECE,
+        UNI_MULTI,
+        UNI_ROUNDS,
+        unigram_lm,
+    )
+
+    n_words_per_doc, n_vocab = 30, 64
+    a1 = "array(" + ", ".join(f"'{p}'" for p in _UNI_P1) + ")"
+    a2 = "array(" + ", ".join(f"'{p}'" for p in _UNI_P2) + ")"
+    j = f"CAST((id * 31 + k * 7) % {n_vocab} AS INT)"
+    word_k = (
+        f"concat(element_at({a1}, CAST({j} % 8 + 1 AS INT)),"
+        f" element_at({a2}, CAST(({j} DIV 8) % 8 + 1 AS INT)))"
+    )
+    docs = spark.range(UNI_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        f"array_join(transform(sequence(0, {n_words_per_doc - 1}),"
+        f" k -> {word_k}), ' ') AS text",
+    )
+
+    t0 = time.perf_counter()
+    with mock.patch.object(tok_mod, "load_table", lambda _s, _sf, _n: docs):
+        rows = [tuple(r) for r in unigram_lm(spark, "ignored").collect()]
+    uni_s = time.perf_counter() - t0
+
+    # definitional replay: word frequencies analytically, then the spec
+    wf: Counter = Counter()
+    for d in range(UNI_STRESS_DOCS):
+        for k in range(n_words_per_doc):
+            jj = (d * 31 + k * 7) % n_vocab
+            wf[_UNI_P1[jj % 8] + _UNI_P2[(jj // 8) % 8]] += 1
+    seed: Counter = Counter()
+    for w, f in wf.items():
+        for s in range(len(w)):
+            for ln in range(1, min(UNI_MAX_PIECE, len(w) - s) + 1):
+                seed[w[s : s + ln]] += f
+    kept = {p: c for p, c in seed.items() if len(p) == 1}
+    kept.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in seed.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[:UNI_MULTI]
+        )
+    )
+
+    def mu(counts):
+        tot = sum(counts.values())
+        return {
+            p: int(round(round(math.log(c / tot), 6) * 1e6))
+            for p, c in counts.items()
+        }
+
+    vocab = mu(kept)
+    usage: Counter = Counter()
+    for _ in range(UNI_ROUNDS):
+        usage = Counter()
+        for w, f in wf.items():
+            paths = []
+
+            def rec(pos, score, toks, w=w, paths=paths):
+                if pos == len(w):
+                    paths.append((score, len(toks), " ".join(toks)))
+                    return
+                for ln in range(1, min(UNI_MAX_PIECE, len(w) - pos) + 1):
+                    p = w[pos : pos + ln]
+                    if p in vocab:
+                        rec(pos + ln, score + vocab[p], toks + [p])
+
+            rec(0, 0, [])
+            best = min(paths, key=lambda t: (-t[0], t[1], t[2]))
+            for p in best[2].split(" "):
+                usage[p] += f
+        vocab = mu(usage)
+    ref = sorted(
+        ((p, u, vocab[p]) for p, u in usage.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert rows == ref, (rows[:5], ref[:5])
+
+    # planted structure recovered: after pruning the final vocabulary is
+    # EXACTLY the 16 planted pieces (chars and boundary substrings all
+    # died in round 1), and every word segments [p1, p2]
+    assert {p for (p, _u, _m) in rows} == set(_UNI_P1) | set(_UNI_P2), rows[:20]
+    total_words = UNI_STRESS_DOCS * n_words_per_doc
+    total_tokens = sum(u for (_p, u, _m) in rows)
+    assert total_tokens == 2 * total_words, (total_tokens, 2 * total_words)
+    return uni_s, UNI_STRESS_DOCS, round(total_tokens / (6 * total_words), 4)
+
+
 BUCKET_ROWS = 20_000_000
 BUCKET_SERIES = 1_000
 BUCKET_N = 32
@@ -1964,6 +2086,7 @@ def main() -> None:
     bp_s, bp_drop, bp_distinct, bp_chunks = stress_boilerplate(spark)
     ppl_s, ppl_docs, _ = stress_text_perplexity(spark)
     drm_s, drm_docs, drm_excess, drm_alpha = stress_doremi(spark)
+    uni_s, uni_docs, uni_ratio = stress_unigram(spark)
     dsir_s, dsir_docs, dsir_kept, dsir_maxb = stress_dsir(spark)
     packc_s, packc_docs, packc_wins, packc_sliced = stress_pack_context(spark)
     ovl_s, ovl_pairs, ovl_maxshared = stress_source_overlap(spark)
@@ -2007,6 +2130,7 @@ def main() -> None:
                     "boilerplate_120k_docs": round(bp_s, 4),
                     "text_perplexity_210k_docs": round(ppl_s, 4),
                     "doremi_reweight_240k_docs": round(drm_s, 4),
+                    "unigram_lm_200k_docs": round(uni_s, 4),
                     "dsir_select_202k_docs": round(dsir_s, 4),
                     "pack_context_1m_docs": round(packc_s, 4),
                     "source_overlap_200k_docs": round(ovl_s, 4),

@@ -818,6 +818,7 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # the named set the "honest arithmetic" note below accepts), plus any
 # round-11-staged operators once registered (ext_doremi_reweight,
 # streaming_quality_gate_parity, ext_unigram_lm — see their modules),
+# plus ext_unigram_token_stats (staged alongside ext_unigram_lm),
 # then fill the remainder from the r9-latest block
 # (`attestation_ledger.py --stale 2` run at r12 start gives the exact
 # list; as of r11 the r9-latest block is the fn_all/session-window/
