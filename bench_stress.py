@@ -1486,12 +1486,10 @@ def stress_quality_calibrate(spark) -> tuple[float, int, float, float]:
         n_glob = sum(
             per_src // 5 for s in svals if score_i(s) >= tau_i
         )
-        mean = _r(
-            sum(score_i(s) * (per_src // 5) for s in svals)
-            / 1_000_000.0
-            / per_src,
-            6,
-        )
+        # HALF_UP micro-int mean — the operator's exact recipe (the
+        # float round form flips cross-engine on true decimal halves)
+        msum = sum(score_i(s) * (per_src // 5) for s in svals)
+        mean = ((2 * msum + per_src) // (2 * per_src)) / 1_000_000.0
         # top 30%: all of s=k+19 (20%) + half of s=k+18 → threshold
         thr = _r(score_i(k + 18) / 1_000_000.0, 6)
         assert rows[src] == (src, per_src, mean, n_glob, quota, thr), (
@@ -1993,6 +1991,178 @@ def stress_unigram(spark) -> tuple[float, int, float]:
     return uni_s, UNI_STRESS_DOCS, round(total_tokens / (6 * total_words), 4)
 
 
+PASSAGE_STRESS_DOCS = 150_000
+
+
+def stress_passages(spark) -> tuple[float, int, int]:
+    """The staged repeated-passage coverage (ext/dedup.py
+    dedup_passages) above fixture size: 150k 30-word docs (~3.45M
+    sliding windows). Every id ≡ 0,1 (mod 100) pair shares a planted
+    pair-local 12-word passage at positions 9..20; every other word is
+    id-salted and corpus-unique. The planted arithmetic the operator
+    must recover EXACTLY: a 12-word shared passage contains 5 full
+    8-word windows, so each planted doc reads (23, 5, 0.2174, 1) —
+    HALF_UP(5/23, 4) = 0.2174 and 5·5 = 25 ≥ 23 trips the 1/5 coverage
+    flag — while every unplanted doc reads (23, 0, 0.0, 0). The whole
+    result must collapse to exactly those two row shapes.
+
+    Scale shape executed: one scan + explode to (doc, 60-bit hash),
+    one map-side-combined doc-frequency groupBy on the hash, one
+    co-keyed join back — corpus-linear, no pair space, text never
+    shuffles."""
+    from unittest import mock
+
+    import dariadb_spark.ext.dedup as dedup_mod
+    from dariadb_spark.ext.dedup import dedup_passages
+
+    docs = spark.range(PASSAGE_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(0, 29), k -> "
+        "CASE WHEN id % 100 < 2 AND k BETWEEN 9 AND 20 "
+        "THEN concat('p', id DIV 100, 'q', k) "
+        "ELSE concat('u', id, 'x', k) END), ' ') AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(dedup_mod, "load_table", lambda _s, _sf, _n: docs):
+        got = {
+            tuple(r)
+            for r in dedup_passages(spark, "ignored")
+            .groupBy("n_windows", "n_repeated", "repeat_frac", "flagged")
+            .count()
+            .collect()
+        }
+    pass_s = time.perf_counter() - t0
+    n_planted = PASSAGE_STRESS_DOCS // 100 * 2
+    expected = {
+        (23, 5, 0.2174, 1, n_planted),
+        (23, 0, 0.0, 0, PASSAGE_STRESS_DOCS - n_planted),
+    }
+    assert got == expected, got
+    return pass_s, PASSAGE_STRESS_DOCS, n_planted
+
+
+ALIGN_STRESS_PAIRS = 150_000
+
+
+def stress_caption_align(spark) -> tuple[float, int, int]:
+    """The staged caption-image alignment filter (ext/multimodal.py
+    media_caption_align) above fixture size: 150k (caption, image)
+    pairs — 30-word captions over a 500-word pool, image embeddings
+    synthesized per pair. Every 500th pair's embedding IS the caption's
+    hashed text vector (computed by the same SQL expression, so the
+    plant is engine-exact): those pairs must score align = 1.0 exactly
+    (rounded 4-dp; x/(√x·√x) is within one ulp of 1) and be kept, while
+    the unplanted arithmetic embeddings stay centered (kept fraction
+    strictly between 5% and 95%). Measures the md5 text-tower cost —
+    2 hashes × 30 words × 150k pairs ≈ 9M digests, the price of the
+    engine-agnostic hash contract (hashes.py documents the xxhash64
+    swap)."""
+    from unittest import mock
+
+    import dariadb_spark.ext.multimodal as mm_mod
+    from dariadb_spark.ext.multimodal import (
+        ALIGN_DIM,
+        _text_vec_spark,
+        media_caption_align,
+    )
+
+    docs = spark.range(ALIGN_STRESS_PAIRS).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(0, 29), k -> "
+        "concat('v', CAST((id * 37 + k * 11) % 500 AS INT))), ' ') AS text",
+    )
+    emb = docs.selectExpr(
+        "doc_id AS vec_id",
+        f"CASE WHEN doc_id % 500 = 0 THEN transform({_text_vec_spark()},"
+        " x -> CAST(x AS FLOAT)) "
+        f"ELSE transform(sequence(0, {ALIGN_DIM - 1}), d -> "
+        "CAST(CAST((doc_id * 13 + d * 7) % 19 AS INT) - 9 AS FLOAT)) END"
+        " AS embedding",
+        "CAST(0 AS INT) AS label",
+    )
+
+    def load(_s, _sf, name):
+        return docs if name == "documents" else emb
+
+    t0 = time.perf_counter()
+    with mock.patch.object(mm_mod, "load_table", load):
+        rows = media_caption_align(spark, "ignored").collect()
+    align_s = time.perf_counter() - t0
+    assert len(rows) == ALIGN_STRESS_PAIRS
+    planted = [r for r in rows if r.doc_id % 500 == 0]
+    assert len(planted) == ALIGN_STRESS_PAIRS // 500
+    assert all(r.align == 1.0 and r.kept == 1 for r in planted), planted[:3]
+    kept_rest = sum(r.kept for r in rows if r.doc_id % 500 != 0)
+    n_rest = ALIGN_STRESS_PAIRS - len(planted)
+    assert 0.05 < kept_rest / n_rest < 0.95, kept_rest / n_rest
+    return align_s, ALIGN_STRESS_PAIRS, len(planted)
+
+
+BUDGET_STRESS_DOCS = 500_000
+BUDGET_STRESS_SRC = 16
+
+
+def stress_token_budget(spark) -> tuple[float, int, int]:
+    """The staged token-budget epoch planner (ext/sampling.py
+    token_budget_plan) above fixture size: 500k docs over 16 sources
+    with per-doc tokens 40 + 8·source + (7·id mod 40) — per-source
+    supplies spread 3x (s0 ≈ 1.9M tokens, s15 ≈ 5.6M), so against the
+    uniform base share the six smallest sources MUST cap at 2 epochs
+    and their excess MUST water-fill into the large ones. The ENTIRE
+    result (base shares, water-filled allocations, 4-dp epochs, capped
+    flags, residual) replays bit-exactly from analytic per-source token
+    sums in pure Python ints, and the converged production loop
+    conserves budget to a sub-K penny residual.
+
+    Scale shape executed: the corpus pays ONE map-side-combined token
+    aggregate (text never shuffles); every allocation decision runs on
+    the 16-row worksheet."""
+    from collections import Counter
+    from unittest import mock
+
+    import dariadb_spark.ext.sampling as smp_mod
+    from dariadb_spark.ext.sampling import (
+        token_budget_iterate,
+        token_budget_plan,
+    )
+
+    docs = spark.range(BUDGET_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        f"concat('s', CAST(id % {BUDGET_STRESS_SRC} AS INT)) AS source",
+        f"concat(repeat('x ', CAST(39 + 8 * (id % {BUDGET_STRESS_SRC})"
+        " + (7 * id) % 40 AS INT)), 'x') AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(smp_mod, "load_table", lambda _s, _sf, _n: docs):
+        rows = [tuple(r) for r in token_budget_plan(spark, "ignored").collect()]
+        conv = token_budget_iterate(spark, "ignored")
+    bud_s = time.perf_counter() - t0
+
+    u: Counter = Counter()
+    for d in range(BUDGET_STRESS_DOCS):
+        u[f"s{d % BUDGET_STRESS_SRC}"] += (
+            40 + 8 * (d % BUDGET_STRESS_SRC) + (7 * d) % 40
+        )
+    # reuse the definitional replay pinned in tests/test_sketches.py
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.test_sketches import _py_token_budget
+
+    ref, budget = _py_token_budget(dict(u), rounds=2)
+    assert rows == ref, (rows[:2], ref[:2])
+    unplaced = rows[0][8]
+    assert sum(r[4] for r in rows) + unplaced == budget
+    assert conv[0]["unplaced"] < BUDGET_STRESS_SRC
+    assert sum(d["alloc"] for d in conv) + conv[0]["unplaced"] == budget
+    # the planted skew actually fires the machinery: small sources cap,
+    # their excess lands on the uncapped large ones
+    n_capped = sum(r[6] for r in rows)
+    assert 0 < n_capped < BUDGET_STRESS_SRC, n_capped
+    assert any(r[4] > r[3] for r in rows if r[6] == 0), rows
+    return bud_s, BUDGET_STRESS_DOCS, n_capped
+
+
 BUCKET_ROWS = 20_000_000
 BUCKET_SERIES = 1_000
 BUCKET_N = 32
@@ -2087,6 +2257,9 @@ def main() -> None:
     ppl_s, ppl_docs, _ = stress_text_perplexity(spark)
     drm_s, drm_docs, drm_excess, drm_alpha = stress_doremi(spark)
     uni_s, uni_docs, uni_ratio = stress_unigram(spark)
+    pas_s, pas_docs, pas_planted = stress_passages(spark)
+    cal_s, cal_pairs, cal_planted = stress_caption_align(spark)
+    bud_s, bud_docs, bud_capped = stress_token_budget(spark)
     dsir_s, dsir_docs, dsir_kept, dsir_maxb = stress_dsir(spark)
     packc_s, packc_docs, packc_wins, packc_sliced = stress_pack_context(spark)
     ovl_s, ovl_pairs, ovl_maxshared = stress_source_overlap(spark)
@@ -2131,6 +2304,9 @@ def main() -> None:
                     "text_perplexity_210k_docs": round(ppl_s, 4),
                     "doremi_reweight_240k_docs": round(drm_s, 4),
                     "unigram_lm_200k_docs": round(uni_s, 4),
+                    "passages_150k_docs": round(pas_s, 4),
+                    "caption_align_150k_pairs": round(cal_s, 4),
+                    "token_budget_1m_docs": round(bud_s, 4),
                     "dsir_select_202k_docs": round(dsir_s, 4),
                     "pack_context_1m_docs": round(packc_s, 4),
                     "source_overlap_200k_docs": round(ovl_s, 4),

@@ -1275,6 +1275,119 @@ register("ext_dedup_boilerplate", dedup_boilerplate, DEDUP_BOILERPLATE_SQL)
 register("ext_source_overlap", source_overlap, SOURCE_OVERLAP_SQL)
 
 
+# --- repeated-passage coverage (sliding-window substring dedup signal) ----
+# STAGED for the round-12 driver window (round-11's is full; the staging
+# every late operator goes through). The public recipe: "Deduplicating
+# Training Data Makes Language Models Better" (Lee et al., ACL 2022) —
+# training corpora carry huge volumes of REPEATED PASSAGES that whole-doc
+# and near-dup dedup both miss (the docs differ, the passage recurs).
+# Their suffix-array ExactSubstr finds maximal repeats at 50-BPE-token
+# granularity; this engine charts the same signal relationally: every
+# PASSAGE_WORDS-word SLIDING window (every alignment, unlike the
+# boilerplate pruner's fixed-stride chunks) is hashed, and a window is
+# "repeated" when its passage occurs in ≥ 2 distinct documents. Per doc:
+# window count, repeated-window count, coverage fraction, and a flag at
+# PASSAGE_FLAG coverage — the per-doc worksheet a passage-dedup pass
+# prioritizes docs by.
+#
+# Scale shape: the corpus pays one scan + one explode to (doc, hash) —
+# the 60-bit passage hash crosses the wire, the text never does. The
+# doc-frequency table is a map-side-combined groupBy on the hash; the
+# join back is a co-keyed equi-join on the same key. Everything is
+# corpus-linear; no pair space exists anywhere (the repeat signal is
+# computed from counts, not from doc×doc comparison).
+
+PASSAGE_WORDS = 8
+#: flag a doc when repeated windows cover ≥ 1/PASSAGE_FLAG_DEN of its
+#: windows (pure integer comparison — no float boundary in the verdict)
+PASSAGE_FLAG_DEN = 5
+
+
+def _passage_windows_spark() -> str:
+    """All PASSAGE_WORDS-word sliding windows of `split(text, ' ')` as
+    an array expression — PASSAGE_WORDS shifted slices zipped pairwise,
+    which stays LINEAR in token count (the shingles.py lesson: the
+    transform(sequence)/element_at form is O(n²) after projection
+    collapse re-inlines the split)."""
+    k = PASSAGE_WORDS
+    s, n = "split(text, ' ')", "size(split(text, ' '))"
+    expr = f"slice({s}, 1, {n} - {k - 1})"
+    for j in range(2, k + 1):
+        expr = (
+            f"zip_with({expr}, slice({s}, {j}, {n} - {k - 1}), "
+            "(x, y) -> concat(x, ' ', y))"
+        )
+    return expr
+
+
+def dedup_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: sliding passage-window count, windows whose
+    passage recurs in ≥2 distinct docs, the HALF_UP 4-dp coverage
+    fraction (exact integer arithmetic), and the integer flag at
+    1/PASSAGE_FLAG_DEN coverage. Docs shorter than PASSAGE_WORDS words
+    carry zeros."""
+    docs = load_table(spark, sf, "documents").where("text IS NOT NULL")
+    k = PASSAGE_WORDS
+    pos = docs.where(f"size(split(text, ' ')) >= {k}").selectExpr(
+        "doc_id", f"explode({_passage_windows_spark()}) AS sh"
+    ).selectExpr("doc_id", f"{_h60_spark('sh')} AS h")
+    freq = pos.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        pos.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.expr("CAST(nd >= 2 AS INT)"))
+            .cast("long")
+            .alias("n_repeated"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows",
+            "CAST(coalesce(n_repeated, 0) AS BIGINT) AS n_repeated",
+            # HALF_UP(n_repeated / n_windows, 4) in exact integers (the
+            # streaming-gate recipe; python round() is banker's)
+            "CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0d"
+            " ELSE ((2 * n_repeated * 10000 + n_windows)"
+            " DIV (2 * n_windows)) / 10000.0d END AS repeat_frac",
+            "CAST(coalesce(n_windows, 0) > 0 AND"
+            f" {PASSAGE_FLAG_DEN} * coalesce(n_repeated, 0) >= n_windows"
+            " AS INT) AS flagged",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_PASSAGES_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT doc_id, {_h60_duck('sh')} AS h FROM (
+    SELECT doc_id, array_to_string(w[i:i+{PASSAGE_WORDS - 1}], ' ') AS sh
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - {PASSAGE_WORDS - 2}))
+            AS i
+          FROM t WHERE len(w) >= {PASSAGE_WORDS}))),
+freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h),
+per AS (SELECT doc_id, count(*) AS n_windows,
+               sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_repeated
+        FROM pos JOIN freq USING (h) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(n_repeated, 0) AS BIGINT) AS n_repeated,
+       CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+            ELSE ((2 * n_repeated * 10000 + n_windows)
+                  // (2 * n_windows)) / 10000.0 END AS repeat_frac,
+       CAST(CASE WHEN coalesce(n_windows, 0) > 0
+                  AND {PASSAGE_FLAG_DEN} * coalesce(n_repeated, 0)
+                      >= n_windows
+                 THEN 1 ELSE 0 END AS INT) AS flagged
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
+
+
 def _register_preprocess_funnel() -> None:
     """ext_preprocess_funnel registers from whichever of pipeline.py /
     this module finishes importing LAST: its oracle composes constants

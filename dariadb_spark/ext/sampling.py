@@ -763,3 +763,225 @@ register("ext_corpus_mixture_apply", corpus_mixture_apply, CORPUS_MIXTURE_APPLY_
 # the driver-checked surface (window discipline per registry.py).
 register("ext_interleave_audit", interleave_audit, INTERLEAVE_AUDIT_SQL)
 register("ext_pack_context", pack_context, PACK_CONTEXT_SQL)
+
+
+# --- token-budget epoch planner (data-constrained scaling) ----------------
+# STAGED for the round-12 driver window (round-11's is full; the staging
+# every late operator goes through). The public recipe: "Scaling
+# Data-Constrained Language Models" (Muennighoff et al., NeurIPS 2023) —
+# when the token budget exceeds the fresh-token supply, repeat data up
+# to a small epoch ceiling (returns decay little through ~4 epochs, fast
+# beyond). The planner answers the operational question that follows:
+# given budget B and per-source unique-token supplies U_s, how many
+# EPOCHS of each source does a run make? Shares start uniform (the
+# balanced-mix default; a mixture recipe slots in by replacing the base
+# allocation row), every source caps at BUDGET_MAX_EPOCHS · U_s, and
+# capped-source excess water-fills into sources with room,
+# proportionally to remaining room — two redistribution rounds unrolled
+# for the oracle, ``token_budget_iterate`` driving to convergence.
+#
+# Determinism: the whole schedule is exact int64 token arithmetic —
+# integer base shares with remainder-by-source-order, integer caps,
+# floor-proportional redistribution clamped to room (leftover pennies
+# carry to the next round; the terminal residual is reported in the
+# ``unplaced`` column) — and epochs are HALF_UP 4-dp integer quotients.
+# No float enters any allocation decision.
+#
+# Scale shape: ONE corpus token-count aggregate (map-side combined,
+# |sources| rows; the text never shuffles), then window arithmetic over
+# the K-row worksheet — the mixture-plan/DoReMi shape. The int64
+# products E·room bound the EXACT path to ~1e13 tokens (≈ 40 TB of
+# text); past that the planner runs in kilotoken units, a granularity
+# no epoch schedule cares about (documented, not silently truncated).
+
+BUDGET_NUM, BUDGET_DEN = 9, 5  # B = ⌊9/5 · total tokens⌋
+BUDGET_MAX_EPOCHS = 2  # per-source repetition ceiling
+
+
+def _budget_round(df: DataFrame, a: str, out: str) -> DataFrame:
+    """One water-filling round in exact integers: clamp ``a`` to the
+    cap, pool the excess (plus any carried ``excess`` column), and
+    redistribute floor-proportionally to remaining room. Emits ``out``
+    (new allocation) and refreshed ``excess``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    held = F.expr(f"least({a}, cap_tokens)")
+    df = df.withColumn("_held", held).withColumn(
+        "_pool",
+        F.sum(F.col(a) - F.col("_held")).over(w) + F.col("excess"),
+    )
+    df = df.withColumn("_room", F.col("cap_tokens") - F.col("_held"))
+    df = df.withColumn("_rtot", F.sum("_room").over(w))
+    df = df.withColumn(
+        "_add",
+        F.expr(
+            "IF(_rtot = 0, 0L, least(_room, _pool * _room DIV _rtot))"
+        ),
+    )
+    return (
+        df.withColumn(out, F.col("_held") + F.col("_add"))
+        .withColumn(
+            "excess", F.col("_pool") - F.sum("_add").over(w)
+        )
+        .drop("_held", "_pool", "_room", "_rtot", "_add")
+    )
+
+
+def _budget_base(spark: SparkSession, sf: str) -> DataFrame:
+    """The K-row worksheet: per-source supply, cap, and the uniform
+    integer base allocation (remainder tokens to the first B mod K
+    sources in name order)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").where("text IS NOT NULL")
+    per_src = docs.selectExpr(
+        "source", "size(split(text, ' ')) AS n_tok"
+    ).groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy()
+    return (
+        per_src.withColumn("_tot", F.sum("n_tokens").over(w))
+        .withColumn("_k", F.count("*").over(w))
+        .withColumn(
+            "_rk", F.row_number().over(Window.orderBy(F.asc("source")))
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            f"CAST({BUDGET_MAX_EPOCHS} * n_tokens AS BIGINT) AS cap_tokens",
+            f"_tot * {BUDGET_NUM} DIV {BUDGET_DEN} AS budget",
+            f"(_tot * {BUDGET_NUM} DIV {BUDGET_DEN}) DIV _k"
+            f" + IF(_rk <= (_tot * {BUDGET_NUM} DIV {BUDGET_DEN}) % _k,"
+            " 1L, 0L) AS alloc0",
+            "CAST(0 AS BIGINT) AS excess",
+        )
+    )
+
+
+#: HALF_UP(a / U, 4) in exact integers.
+_EPOCHS = "((2 * {a} * 10000 + n_tokens) DIV (2 * n_tokens)) / 10000.0d"
+
+
+def token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Per source: unique-token supply, the epoch cap in tokens, the
+    uniform base allocation, the allocation after two water-filling
+    rounds, its 4-dp epoch count, the capped flag, the 6-dp share of
+    budget, and the terminal unplaced residual (constant per row)."""
+    df = _budget_base(spark, sf)
+    df = _budget_round(df, "alloc0", "alloc1")
+    df = _budget_round(df, "alloc1", "alloc2")
+    return df.selectExpr(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        "alloc0",
+        "alloc2 AS alloc",
+        _EPOCHS.format(a="alloc2") + " AS epochs",
+        "CAST(alloc2 = cap_tokens AS INT) AS capped",
+        "round(alloc2 / budget, 6) AS budget_share",
+        "excess AS unplaced",
+    ).orderBy("source")
+
+
+def _budget_round_sql(i: int, prev: str) -> str:
+    """One water-filling round as TWO CTE stages: windows may not nest,
+    so stage a materializes held/pool/room/rtot and stage b derives the
+    clamped add, the new allocation, and the carried excess."""
+    add = "CASE WHEN rtot = 0 THEN 0 ELSE least(room, pool * room // rtot) END"
+    return f"""r{i} AS (
+  SELECT source, n_tokens, cap_tokens, budget,
+         least(a, cap_tokens) AS held,
+         sum(a - least(a, cap_tokens)) OVER () + excess AS pool,
+         cap_tokens - least(a, cap_tokens) AS room,
+         sum(cap_tokens - least(a, cap_tokens)) OVER () AS rtot
+  FROM {prev}),
+b{i} AS (
+  SELECT source, n_tokens, cap_tokens, budget,
+         held + {add} AS a,
+         pool - sum({add}) OVER () AS excess
+  FROM r{i})"""
+
+
+TOKEN_BUDGET_PLAN_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source),
+b0 AS (
+  SELECT source, n_tokens,
+         CAST({BUDGET_MAX_EPOCHS} * n_tokens AS BIGINT) AS cap_tokens,
+         sum(n_tokens) OVER () * {BUDGET_NUM} // {BUDGET_DEN} AS budget,
+         (sum(n_tokens) OVER () * {BUDGET_NUM} // {BUDGET_DEN})
+           // count(*) OVER ()
+           + CASE WHEN row_number() OVER (ORDER BY source)
+                       <= (sum(n_tokens) OVER () * {BUDGET_NUM}
+                           // {BUDGET_DEN}) % count(*) OVER ()
+                  THEN 1 ELSE 0 END AS a,
+         CAST(0 AS BIGINT) AS excess
+  FROM per_src),
+{_budget_round_sql(1, "b0")},
+{_budget_round_sql(2, "b1")}
+SELECT b0.source, b0.n_tokens, b0.cap_tokens,
+       CAST(b0.a AS BIGINT) AS alloc0,
+       CAST(b2.a AS BIGINT) AS alloc,
+       CAST((2 * b2.a * 10000 + b0.n_tokens) // (2 * b0.n_tokens)
+            AS BIGINT) / 10000.0 AS epochs,
+       CAST(CASE WHEN b2.a = b0.cap_tokens THEN 1 ELSE 0 END AS INT)
+         AS capped,
+       round(b2.a / b0.budget, 6) AS budget_share,
+       CAST(b2.excess AS BIGINT) AS unplaced
+FROM b0 JOIN b2 USING (source) ORDER BY b0.source"""
+
+
+def token_budget_iterate(
+    spark: SparkSession,
+    sf: str,
+    max_rounds: int = 64,
+) -> list[dict]:
+    """Production water-filling to convergence: collect the K-row
+    worksheet once (the DoReMi driver-state bound) and iterate in exact
+    Python ints until the excess pool is empty or no room remains.
+    Round 2's state is bit-identical to the unrolled query (pinned in
+    tests). Returns per-source dicts with the final allocation, epochs,
+    capped flag, and rounds used."""
+    base = _budget_base(spark, sf).orderBy("source").collect()
+    src = [
+        {"source": r.source, "u": int(r.n_tokens), "cap": int(r.cap_tokens)}
+        for r in base
+    ]
+    budget = int(base[0].budget) if base else 0
+    a = {s["source"]: None for s in src}
+    alloc = [int(r.alloc0) for r in base]
+    excess = 0
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        held = [min(x, s["cap"]) for x, s in zip(alloc, src)]
+        pool = sum(x - h for x, h in zip(alloc, held)) + excess
+        room = [s["cap"] - h for h, s in zip(held, src)]
+        rtot = sum(room)
+        add = [
+            0 if rtot == 0 else min(r, pool * r // rtot) for r in room
+        ]
+        alloc = [h + ad for h, ad in zip(held, add)]
+        excess = pool - sum(add)
+        # done when placed, out of room, or stalled on terminal pennies
+        # (a residual so small the floor-proportional shares all hit 0)
+        if excess == 0 or rtot == 0 or sum(add) == 0:
+            break
+    out = []
+    for s, x in zip(src, alloc):
+        u = s["u"]
+        out.append(
+            {
+                "source": s["source"],
+                "n_tokens": u,
+                "alloc": x,
+                "epochs": ((2 * x * 10000 + u) // (2 * u)) / 10000.0,
+                "capped": int(x == s["cap"]),
+                "budget_share": round(x / budget, 6) if budget else 0.0,
+                "unplaced": excess,
+                "rounds": rounds,
+            }
+        )
+    return out

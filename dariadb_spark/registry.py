@@ -818,7 +818,9 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # the named set the "honest arithmetic" note below accepts), plus any
 # round-11-staged operators once registered (ext_doremi_reweight,
 # streaming_quality_gate_parity, ext_unigram_lm — see their modules),
-# plus ext_unigram_token_stats (staged alongside ext_unigram_lm),
+# plus ext_unigram_token_stats, ext_dedup_passages,
+# ext_media_caption_align, and ext_token_budget_plan (staged
+# alongside, same modules pattern),
 # then fill the remainder from the r9-latest block
 # (`attestation_ledger.py --stale 2` run at r12 start gives the exact
 # list; as of r11 the r9-latest block is the fn_all/session-window/

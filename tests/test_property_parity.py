@@ -976,7 +976,10 @@ def test_quality_calibrate_property(spark, rows):
             (
                 src,
                 n,
-                _r(sum(s for s, _ in docs) / 1_000_000.0 / n, 6),
+                # HALF_UP micro-int mean — the operator's exact recipe
+                # (round(sum/1e6/n, 6) flips cross-engine on true
+                # decimal halves; this test found it)
+                ((2 * sum(s for s, _ in docs) + n) // (2 * n)) / 1_000_000.0,
                 sum(1 for s, _ in docs if s >= QUALITY_TAU * 1_000_000),
                 quota,
                 _r(min(s for s, _ in docs[:quota]) / 1_000_000.0, 6),

@@ -9,6 +9,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+import dariadb_spark.registry  # noqa: F401  (settle the ext import order
+# before any test function-imports an ext module directly: ext.sampling is
+# from-imported by ext.pipeline mid-registry-init — the documented
+# module-first circular edge a standalone -k run of this file would hit)
+
 
 @pytest.fixture(scope="module")
 def cms_rows(spark, sf_dir):
@@ -1991,3 +1996,340 @@ def test_interleave_audit_parity_and_python_replay(spark, oracle_sf_dir):
     # far more uniform than random (E[chi2] = B-1 = 63 for random) — the
     # well-interleaved verdict must actually fire
     assert all(r[6] == 1 for r in rows)
+
+
+# --- staged r12: repeated-passage coverage (Lee et al. substring signal) --
+
+def _py_passages(rows):
+    """Definitional replay at the window-STRING level (the 60-bit hash
+    is the shuffle key, not the semantics): rows = [(doc_id, text)]."""
+    from collections import Counter
+
+    from dariadb_spark.ext.dedup import PASSAGE_FLAG_DEN, PASSAGE_WORDS
+
+    k = PASSAGE_WORDS
+    wins = {}
+    for doc_id, text in rows:
+        w = text.split(" ")
+        wins[doc_id] = [
+            " ".join(w[i : i + k]) for i in range(len(w) - k + 1)
+        ]
+    docfreq = Counter()
+    for doc_id, ws in wins.items():
+        for sh in set(ws):
+            docfreq[sh] += 1
+    out = []
+    for doc_id in sorted(wins):
+        ws = wins[doc_id]
+        n = len(ws)
+        rep = sum(docfreq[sh] >= 2 for sh in ws)
+        frac = 0.0 if n == 0 else ((2 * rep * 10000 + n) // (2 * n)) / 10000.0
+        out.append(
+            (doc_id, n, rep, frac, int(n > 0 and PASSAGE_FLAG_DEN * rep >= n))
+        )
+    return out
+
+
+def test_dedup_passages_parity_and_python_replay(spark, oracle_sf_dir):
+    import duckdb
+
+    from dariadb_spark.ext.dedup import DEDUP_PASSAGES_SQL, dedup_passages
+    from dariadb_spark.model import load_table
+
+    got = [tuple(r) for r in dedup_passages(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(DEDUP_PASSAGES_SQL).fetchall()]
+    con.close()
+    assert got == oracle
+
+    rows = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, oracle_sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.text is not None
+    ]
+    assert got == _py_passages(rows)
+    # the fixture actually exercises the signal: some repeats, not all
+    total_rep = sum(r[2] for r in got)
+    assert 0 < total_rep < sum(r[1] for r in got)
+
+
+def test_dedup_passages_planted_and_short_docs(spark, tmp_path):
+    # A copied 10-word passage between two otherwise-distinct docs must
+    # produce exactly 3 repeated 8-word windows on each side; a unique
+    # doc scores zero; a doc below the window width carries zeros.
+    import duckdb
+
+    from dariadb_spark.ext.dedup import DEDUP_PASSAGES_SQL, dedup_passages
+
+    passage = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    rows = [
+        (0, f"a0 a1 a2 a3 {passage} a4 a5"),
+        (1, f"b0 b1 {passage} b2 b3 b4 b5"),
+        (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    got = [tuple(r) for r in dedup_passages(spark, d).collect()]
+    assert got == _py_passages(rows)
+    by_id = {r[0]: r for r in got}
+    # the shared 10-word passage contains exactly 3 full 8-word windows
+    assert by_id[0][2] == 3 and by_id[1][2] == 3
+    assert by_id[2] == (2, 4, 0, 0.0, 0)
+    assert by_id[3] == (3, 0, 0, 0.0, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(DEDUP_PASSAGES_SQL).fetchall()]
+    con.close()
+    assert got == oracle
+
+
+# --- staged r12: caption-image alignment (CLIP-style pair filter) ---------
+
+def _py_text_vec(text):
+    import hashlib
+
+    from dariadb_spark.ext.multimodal import ALIGN_DIM
+
+    t = [0.0] * ALIGN_DIM
+    for w in text.split(" "):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        hs = int(hashlib.md5(("s#" + w).encode()).hexdigest()[:15], 16)
+        t[h % ALIGN_DIM] += 1 if hs % 2 == 0 else -1
+    return t
+
+
+def test_media_caption_align_parity_and_replay(spark, oracle_sf_dir):
+    import math
+
+    import duckdb
+
+    from dariadb_spark.ext.multimodal import (
+        ALIGN_MIN,
+        MEDIA_CAPTION_ALIGN_SQL,
+        media_caption_align,
+    )
+    from dariadb_spark.model import load_table
+
+    got = [
+        tuple(r) for r in media_caption_align(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{oracle_sf_dir}/{t}.parquet')"
+        )
+    oracle = [
+        tuple(r) for r in con.execute(MEDIA_CAPTION_ALIGN_SQL).fetchall()
+    ]
+    con.close()
+    assert got == oracle
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, oracle_sf_dir, "documents").collect()
+        if r.text is not None
+    }
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, oracle_sf_dir, "embeddings").collect()
+    }
+    for doc_id, n_words, align, kept in got:
+        t, e = _py_text_vec(docs[doc_id]), emb[doc_id]
+        assert n_words == len(docs[doc_id].split(" "))
+        tn = math.sqrt(sum(x * x for x in t))
+        en = math.sqrt(sum(x * x for x in e))
+        if tn == 0 or en == 0:
+            assert align is None and kept == 0
+        else:
+            ref = round(sum(x * y for x, y in zip(t, e)) / (tn * en), 4)
+            assert align == ref, doc_id
+            assert kept == int(align >= ALIGN_MIN)
+            assert -1.0 <= align <= 1.0
+
+
+def test_media_caption_align_planted_pairs(spark, tmp_path):
+    # Planted geometry: an image embedding equal to the caption's hashed
+    # vector scores exactly 1.0 (kept), its negation -1.0 (dropped), and
+    # a caption whose hash signs cancel pairwise scores NULL (dropped).
+    import duckdb
+
+    from dariadb_spark.ext.multimodal import (
+        ALIGN_DIM,
+        MEDIA_CAPTION_ALIGN_SQL,
+        media_caption_align,
+    )
+
+    # find two distinct words with the SAME hash bucket and OPPOSITE
+    # signs — their two-word caption has an exactly-zero text vector
+    buckets = {}
+    zero_pair = None
+    for i in range(10_000):
+        w = f"w{i}"
+        t = _py_text_vec(w)
+        d = next(j for j, x in enumerate(t) if x != 0)
+        s = t[d]
+        if (d, -s) in buckets:
+            zero_pair = (buckets[(d, -s)], w)
+            break
+        buckets[(d, s)] = w
+    assert zero_pair is not None
+
+    cap0 = "the quick brown fox jumps over the lazy dog"
+    t0 = _py_text_vec(cap0)
+    rows = [(0, cap0), (1, cap0), (2, " ".join(zero_pair))]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "d") + "/documents.parquet")
+    erows = [
+        (0, [float(x) for x in t0], 0),
+        (1, [float(-x) for x in t0], 0),
+        (2, [1.0] * ALIGN_DIM, 0),
+    ]
+    spark.createDataFrame(
+        erows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "d") + "/embeddings.parquet")
+
+    got = {
+        r.doc_id: (r.align, r.kept)
+        for r in media_caption_align(spark, str(tmp_path / "d")).collect()
+    }
+    assert got[0] == (1.0, 1)
+    assert got[1] == (-1.0, 0)
+    assert got[2] == (None, 0)
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/d/{t}.parquet/*.parquet')"
+        )
+    oracle = {
+        r[0]: (r[2], r[3])
+        for r in con.execute(MEDIA_CAPTION_ALIGN_SQL).fetchall()
+    }
+    con.close()
+    assert oracle == got
+
+
+# --- staged r12: token-budget epoch planner (data-constrained scaling) ----
+
+def _py_token_budget(u_by_src: dict, rounds: int):
+    """Independent replay of the unrolled schedule: uniform integer
+    base shares (remainder by source order), epoch caps, and
+    floor-proportional water-filling in exact ints."""
+    from dariadb_spark.ext.sampling import (
+        BUDGET_DEN,
+        BUDGET_MAX_EPOCHS,
+        BUDGET_NUM,
+    )
+
+    srcs = sorted(u_by_src)
+    k = len(srcs)
+    total = sum(u_by_src.values())
+    budget = total * BUDGET_NUM // BUDGET_DEN
+    alloc = {
+        s: budget // k + (1 if i < budget % k else 0)
+        for i, s in enumerate(srcs)
+    }
+    cap = {s: BUDGET_MAX_EPOCHS * u_by_src[s] for s in srcs}
+    alloc0 = dict(alloc)
+    excess = 0
+    for _ in range(rounds):
+        held = {s: min(alloc[s], cap[s]) for s in srcs}
+        pool = sum(alloc[s] - held[s] for s in srcs) + excess
+        room = {s: cap[s] - held[s] for s in srcs}
+        rtot = sum(room.values())
+        add = {
+            s: (0 if rtot == 0 else min(room[s], pool * room[s] // rtot))
+            for s in srcs
+        }
+        alloc = {s: held[s] + add[s] for s in srcs}
+        excess = pool - sum(add.values())
+    out = []
+    for s in srcs:
+        u, a = u_by_src[s], alloc[s]
+        out.append(
+            (
+                s, u, cap[s], alloc0[s], a,
+                ((2 * a * 10000 + u) // (2 * u)) / 10000.0,
+                int(a == cap[s]),
+                round(a / budget, 6),
+                excess,
+            )
+        )
+    return out, budget
+
+
+def test_token_budget_plan_parity_replay_and_invariants(
+    spark, oracle_sf_dir
+):
+    import duckdb
+
+    from dariadb_spark.ext.sampling import (
+        BUDGET_MAX_EPOCHS,
+        TOKEN_BUDGET_PLAN_SQL,
+        token_budget_iterate,
+        token_budget_plan,
+    )
+
+    rows = [
+        tuple(r) for r in token_budget_plan(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [
+        tuple(r) for r in con.execute(TOKEN_BUDGET_PLAN_SQL).fetchall()
+    ]
+    u_by_src = dict(
+        con.execute(
+            "SELECT source, sum(len(string_split(text, ' '))) FROM documents"
+            " WHERE text IS NOT NULL GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+    assert rows == oracle
+    ref, budget = _py_token_budget(
+        {s: int(u) for s, u in u_by_src.items()}, rounds=2
+    )
+    assert rows == ref
+
+    # invariants: conservation, caps respected, flags consistent, the
+    # fixture actually exercises capping + redistribution
+    unplaced = rows[0][8]
+    assert sum(r[4] for r in rows) + unplaced == budget
+    for r in rows:
+        assert r[4] <= r[2]
+        assert (r[6] == 1) == (r[4] == r[2])
+        assert r[5] <= float(BUDGET_MAX_EPOCHS)
+    assert 0 < sum(r[6] for r in rows) < len(rows)
+    assert any(r[4] != r[3] for r in rows)  # water-filling moved tokens
+
+    # production loop: 2-round state bit-identical to the unrolled
+    # query; convergence leaves at most penny residue (< K tokens)
+    it2 = token_budget_iterate(spark, oracle_sf_dir, max_rounds=2)
+    assert [(d["source"], d["alloc"], d["epochs"]) for d in it2] == [
+        (r[0], r[4], r[5]) for r in rows
+    ]
+    conv = token_budget_iterate(spark, oracle_sf_dir)
+    assert conv[0]["unplaced"] < len(rows)
+    # water-filling only ever adds tokens past the cap clamp
+    assert all(
+        c["alloc"] >= d["alloc"] for c, d in zip(conv, it2)
+    )
