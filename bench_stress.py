@@ -1325,7 +1325,8 @@ def stress_source_overlap(spark) -> tuple[float, int, int]:
             sa, sb = sorted((f"s{a}", f"s{b}"))
             exp.append(
                 (sa, sb, shared, nc, nc,
-                 round(shared / (2 * nc - shared), 6))
+                 ((2 * shared * 10**6 + (2 * nc - shared))
+                  // (2 * (2 * nc - shared))) / 1e6)
             )
     exp.sort()
     assert rows == exp, (rows[:3], exp[:3], len(rows), len(exp))
@@ -1408,7 +1409,7 @@ def stress_interleave_audit(spark) -> tuple[float, int, float]:
         tot = sum(h.values())
         ss = sum((b * c - tot) ** 2 for c in h.values())
         ss += (b - len(h)) * tot * tot
-        chi2 = round(ss / b / tot, 6)
+        chi2 = ((2 * ss * 10**6 + b * tot) // (2 * b * tot)) / 1e6
         expected.append(
             (source, tot, len(h), min(h.values()) if len(h) == b else 0,
              max(h.values()), chi2, int(chi2 <= INTERLEAVE_CHI2_MAX)))

@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 
 from dariadb_spark.ext.hashes import _h60_duck, _h60_spark
 from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
+from dariadb_spark.ext.exact import (  # noqa: E402
+    ratio_round_duck as _rr_d,
+    ratio_round_spark as _rr_s,
+)
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
@@ -79,8 +83,10 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_contaminated",
-            F.round(
-                F.col("n_contaminated") / F.col("n_shingles"), 4
+            # exact-integer ratio → HALF_UP integer recipe (ext/exact.py:
+            # round(int/int, d) flips cross-engine on non-dyadic halves)
+            F.expr(
+                _rr_s("n_contaminated", "n_shingles", 4)
             ).alias("contaminated_frac"),
         )
         .orderBy("doc_id")
@@ -94,7 +100,7 @@ ex AS (SELECT doc_id, len(shingles) AS n_shingles, {_h60_duck('u.sg')} AS h
 hold AS (SELECT DISTINCT h FROM ex WHERE doc_id % {HOLDOUT_MOD} = 0)
 SELECT e.doc_id, e.n_shingles,
        count(DISTINCT e.h) AS n_contaminated,
-       round(count(DISTINCT e.h) / e.n_shingles, 4) AS contaminated_frac
+       {_rr_d("count(DISTINCT e.h)", "e.n_shingles", 4)} AS contaminated_frac
 FROM ex e JOIN hold ON e.h = hold.h
 WHERE e.doc_id % {HOLDOUT_MOD} != 0
 GROUP BY e.doc_id, e.n_shingles
@@ -114,9 +120,13 @@ def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "lang",
         f"size({w}) AS n_words",
-        f"round(size(array_distinct({w})) / size({w}), 6) AS uniq_frac",
-        f"round(aggregate({w}, 0L, (acc, t) -> acc + length(t)) / size({w}), 6)"
-        " AS mean_word_len",
+        # exact-integer ratios → the ext/exact.py HALF_UP recipe
+        _rr_s(f"size(array_distinct({w}))", f"size({w})", 6)
+        + " AS uniq_frac",
+        _rr_s(
+            f"aggregate({w}, 0L, (acc, t) -> acc + length(t))", f"size({w})", 6
+        )
+        + " AS mean_word_len",
     )
     bigrams = docs.selectExpr(
         "doc_id",
@@ -128,7 +138,9 @@ def text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
         .count()
         .groupBy("doc_id")
         .agg(
-            F.round(F.max("count") / F.sum("count"), 6).alias("top_bigram_frac")
+            F.expr(_rr_s("max(count)", "sum(count)", 6)).alias(
+                "top_bigram_frac"
+            )
         )
     )
     scored = base.join(top_bg, "doc_id").withColumn(
@@ -163,8 +175,8 @@ WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
            FROM documents WHERE text IS NOT NULL),
 base AS (
   SELECT doc_id, lang, len(w) AS n_words,
-         round(len(list_distinct(w)) / len(w), 6) AS uniq_frac,
-         round(list_sum(list_transform(w, t -> len(t))) / len(w), 6)
+         {_rr_d("len(list_distinct(w))", "len(w)", 6)} AS uniq_frac,
+         {_rr_d("list_sum(list_transform(w, t -> len(t)))", "len(w)", 6)}
            AS mean_word_len
   FROM d),
 bg AS (SELECT doc_id, u.b AS bg
@@ -173,7 +185,7 @@ bg AS (SELECT doc_id, u.b AS bg
                             for i in range(1, len(w))]) AS b
              FROM d) u),
 bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
-top_bg AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_frac
+top_bg AS (SELECT doc_id, {_rr_d("max(c)", "sum(c)", 6)} AS top_bigram_frac
            FROM bgc GROUP BY doc_id),
 scored AS (
   SELECT b.lang, b.uniq_frac, t.top_bigram_frac, b.mean_word_len,
@@ -213,7 +225,7 @@ def text_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
             "w2",
             "c12",
             "c1",
-            F.round(F.col("c12") / F.col("c1"), 6).alias("p_cond"),
+            F.expr(_rr_s("c12", "c1", 6)).alias("p_cond"),
         )
         .orderBy("w1", "w2")
     )
@@ -230,7 +242,7 @@ counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
 with_tot AS (
   SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM counts)
 SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
-       round(c12 / c1, 6) AS p_cond
+       {_rr_d("c12", "c1", 6)} AS p_cond
 FROM with_tot WHERE c12 >= {LM_MIN_COUNT} ORDER BY w1, w2"""
 
 
@@ -276,7 +288,7 @@ def lm_oov_filter(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "n_bigrams",
             F.col("n_oov").cast("long").alias("n_oov"),
-            F.round(F.col("n_oov") / F.col("n_bigrams"), 6).alias("oov_frac"),
+            F.expr(_rr_s("n_oov", "n_bigrams", 6)).alias("oov_frac"),
             F.when(
                 OOV_KEEP_NUM * F.col("n_oov") <= F.col("n_bigrams"), 1
             )
@@ -304,7 +316,7 @@ scored AS (
   FROM bi b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
   GROUP BY b.doc_id)
 SELECT doc_id, n_bigrams, CAST(n_oov AS BIGINT) AS n_oov,
-       round(n_oov / n_bigrams, 6) AS oov_frac,
+       {_rr_d("n_oov", "n_bigrams", 6)} AS oov_frac,
        CAST(CASE WHEN {OOV_KEEP_NUM} * n_oov <= n_bigrams
             THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM scored ORDER BY doc_id"""
@@ -351,7 +363,7 @@ def _doc_nll(docs: DataFrame) -> DataFrame:
         .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
         .where(F.col("c12") >= LM_MIN_COUNT)
         .select(
-            "w1", "w2", F.round(F.col("c12") / F.col("c1"), 6).alias("p_cond")
+            "w1", "w2", F.expr(_rr_s("c12", "c1", 6)).alias("p_cond")
         )
     )
     # The doc mean runs over EXACT int64 micro-nll terms (each bigram's
@@ -365,15 +377,16 @@ def _doc_nll(docs: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_bigrams"),
             F.count("p_cond").cast("long").alias("n_known"),
-            F.round(
-                F.sum(
-                    F.expr(
-                        "CAST(round(round(-ln(p_cond), 6) * 1000000, 0)"
-                        " AS BIGINT)"
-                    )
+            # HALF_UP micro-int mean (ext/exact.py): the float form
+            # round(sum/(n*1e6), 4) is a true-half flip risk (e.g. n=1
+            # with a micro-sum ending in 50)
+            F.expr(
+                _rr_s(
+                    "sum(CAST(round(round(-ln(p_cond), 6) * 1000000, 0)"
+                    " AS BIGINT))",
+                    "count(p_cond) * 1000000",
+                    4,
                 )
-                / (F.count("p_cond") * F.lit(1000000.0)),
-                4,
             ).alias("nll"),
         )
     )
@@ -401,6 +414,12 @@ def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: exact micro-int NLL numerator shared by the perplexity and DoReMi
+#: oracle CTEs (each bigram's round(-ln p, 6) is 6-dp, so *1e6 is exact)
+_NLL_SUM_MU = (
+    "sum(CAST(round(round(-ln(l.p_cond), 6) * 1000000, 0) AS BIGINT))"
+)
+
 TEXT_PERPLEXITY_SQL = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents WHERE text IS NOT NULL),
@@ -411,14 +430,12 @@ bi AS (SELECT doc_id, u.b[1] AS w1, u.b[2] AS w2
 counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
 with_tot AS (SELECT w1, w2, c12,
                     sum(c12) OVER (PARTITION BY w1) AS c1 FROM counts),
-lm AS (SELECT w1, w2, round(c12 / c1, 6) AS p_cond
+lm AS (SELECT w1, w2, {_rr_d("c12", "c1", 6)} AS p_cond
        FROM with_tot WHERE c12 >= {LM_MIN_COUNT}),
 scored AS (
   SELECT b.doc_id, count(*) AS n_bigrams,
          CAST(count(l.p_cond) AS BIGINT) AS n_known,
-         round(sum(CAST(round(round(-ln(l.p_cond), 6) * 1000000, 0)
-                        AS BIGINT))
-               / (count(l.p_cond) * 1000000.0), 4) AS nll
+         {_rr_d(_NLL_SUM_MU, "count(l.p_cond) * 1000000", 4)} AS nll
   FROM bi b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
   GROUP BY b.doc_id)
 SELECT doc_id, n_bigrams, n_known, nll,
@@ -485,14 +502,15 @@ def _doremi_base(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy()
-    domain_nll = F.round(
-        F.col("_nll_sum4") / (F.col("n_scored") * F.lit(10000.0)), 6
-    )
+    # HALF_UP micro-int means (ext/exact.py): the float round form flips
+    # cross-engine on non-dyadic true halves (e.g. n_scored = 8 with an
+    # odd 4-dp sum)
+    domain_nll = F.expr(_rr_s("_nll_sum4", "n_scored * 10000", 6))
     per_src = per_src.withColumn("domain_nll", domain_nll)
-    ref = F.round(
-        F.sum("_nll_sum4").over(w)
-        / (F.sum("n_scored").over(w) * F.lit(10000.0)),
-        6,
+    ref = F.expr(
+        _rr_s(
+            "sum(_nll_sum4) OVER ()", "sum(n_scored) OVER () * 10000", 6
+        )
     )
     excess = F.round(
         F.greatest(F.lit(0.0), F.round(F.col("domain_nll") - ref, 6)), 6
@@ -502,7 +520,7 @@ def _doremi_base(spark: SparkSession, sf: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         "n_scored",
-        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias(
+        F.expr(_rr_s("n_tokens", "sum(n_tokens) OVER ()", 6)).alias(
             "nat_frac"
         ),
         "domain_nll",
@@ -626,13 +644,11 @@ bi AS (SELECT doc_id, u.b[1] AS w1, u.b[2] AS w2
 counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
 with_tot AS (SELECT w1, w2, c12,
                     sum(c12) OVER (PARTITION BY w1) AS c1 FROM counts),
-lm AS (SELECT w1, w2, round(c12 / c1, 6) AS p_cond
+lm AS (SELECT w1, w2, {_rr_d("c12", "c1", 6)} AS p_cond
        FROM with_tot WHERE c12 >= {LM_MIN_COUNT}),
 scored AS (
   SELECT b.doc_id,
-         round(sum(CAST(round(round(-ln(l.p_cond), 6) * 1000000, 0)
-                        AS BIGINT))
-               / (count(l.p_cond) * 1000000.0), 4) AS nll
+         {_rr_d(_NLL_SUM_MU, "count(l.p_cond) * 1000000", 4)} AS nll
   FROM bi b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
   GROUP BY b.doc_id),
 per_doc AS (
@@ -647,12 +663,12 @@ per_src AS (
   FROM per_doc GROUP BY source),
 base AS (
   SELECT source, n_docs, n_tokens, n_scored,
-         round(n_tokens / sum(n_tokens) OVER (), 6) AS nat_frac,
-         round(nll_sum4 / (n_scored * 10000.0), 6) AS domain_nll,
+         {_rr_d("n_tokens", "sum(n_tokens) OVER ()", 6)} AS nat_frac,
+         {_rr_d("nll_sum4", "n_scored * 10000", 6)} AS domain_nll,
          round(greatest(0.0,
-               round(round(nll_sum4 / (n_scored * 10000.0), 6)
-                     - round(sum(nll_sum4) OVER ()
-                             / (sum(n_scored) OVER () * 10000.0), 6),
+               round({_rr_d("nll_sum4", "n_scored * 10000", 6)}
+                     - {_rr_d("sum(nll_sum4) OVER ()",
+                              "sum(n_scored) OVER () * 10000", 6)},
                      6)), 6)
            AS excess,
          count(*) OVER () AS k

@@ -61,6 +61,10 @@ SIMHASH_MAX_HAMMING = 3
 # can import them without the ext ↔ registry import cycle.
 
 from dariadb_spark.ext.hashes import _h60_duck, _h60_spark  # noqa: E402,F401
+from dariadb_spark.ext.exact import (  # noqa: E402
+    ratio_round_duck as _rr_d,
+    ratio_round_spark as _rr_s,
+)
 
 
 # --- X1 exact dedup -------------------------------------------------------
@@ -129,7 +133,15 @@ def _ngram_jaccard_inverted(docs: DataFrame) -> DataFrame:
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # exact-integer ratio -> HALF_UP recipe (ext/exact.py); the
+        # unrounded threshold compare stays float (same double both
+        # engines, no rounding involved)
+        .withColumn(
+            "_un", F.col("sa.nsh") + F.col("sb.nsh") - F.col("ic")
+        )
+        .selectExpr(
+            "doc_a", "doc_b", _rr_s("ic", "_un", 4) + " AS jaccard"
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -180,7 +192,12 @@ def _ngram_jaccard_prefix(docs: DataFrame) -> DataFrame:
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # exact-integer ratio -> HALF_UP recipe (ext/exact.py)
+        .withColumn("_ic", inter)
+        .selectExpr(
+            "doc_a", "doc_b",
+            _rr_s("_ic", "na + nb - _ic", 4) + " AS jaccard",
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -194,7 +211,7 @@ inter AS (
   FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       round(ic / (sa.nsh + sb.nsh - ic), 4) AS jaccard
+       {_rr_d("ic", "sa.nsh + sb.nsh - ic", 4)} AS jaccard
 FROM inter
 JOIN sz sa ON doc_a = sa.doc_id
 JOIN sz sb ON doc_b = sb.doc_id
@@ -278,7 +295,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # exact-integer ratio -> HALF_UP recipe (ext/exact.py)
+        .withColumn("_ic", inter)
+        .selectExpr(
+            "doc_a", "doc_b",
+            _rr_s("_ic", "na + nb - _ic", 4) + " AS jaccard",
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -314,7 +336,7 @@ v AS (SELECT c.doc_a, c.doc_b,
       FROM cand c
       JOIN s sa ON c.doc_a = sa.doc_id
       JOIN s sb ON c.doc_b = sb.doc_id)
-SELECT doc_a, doc_b, round(ic / (na + nb - ic), 4) AS jaccard
+SELECT doc_a, doc_b, {_rr_d("ic", "na + nb - ic", 4)} AS jaccard
 FROM v WHERE ic / (na + nb - ic) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
@@ -490,7 +512,7 @@ def minhash_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(MINHASH_PERMS)
     )
     est = cand.join(siga, "doc_a").join(sigb, "doc_b").select(
-        "doc_a", "doc_b", (matches / float(MINHASH_PERMS)).alias("jac_est")
+        "doc_a", "doc_b", matches.cast("long").alias("n_match")
     )
     sa = sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a", "size(shingles) AS na")
     sb = sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b", "size(shingles) AS nb")
@@ -499,12 +521,23 @@ def minhash_jaccard_est(spark: SparkSession, sf: str) -> DataFrame:
     return (
         est.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
+        # every output is an exact-integer ratio -> HALF_UP recipe
+        # (ext/exact.py); abs_err folds both rationals over the common
+        # denominator PERMS * union so the true half rounds identically
+        # in both engines
+        .withColumn("_ic", inter)
+        .withColumn("_un", F.col("na") + F.col("nb") - F.col("_ic"))
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.round(jac, 4).alias("jac_exact"),
-            F.round("jac_est", 4).alias("jac_est"),
-            F.round(F.abs(F.col("jac_est") - jac), 4).alias("abs_err"),
+            _rr_s("_ic", "_un", 4) + " AS jac_exact",
+            _rr_s("n_match", str(MINHASH_PERMS), 4) + " AS jac_est",
+            _rr_s(
+                f"abs(n_match * _un - {MINHASH_PERMS} * _ic)",
+                f"{MINHASH_PERMS} * _un",
+                4,
+            )
+            + " AS abs_err",
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -528,20 +561,22 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           AND {' AND '.join(f'a.r{r} = b.r{r}' for r in range(_RPB))}
           AND a.doc_id < b.doc_id),
 est AS (SELECT c.doc_a, c.doc_b,
-               ({_EST_MATCH_SQL}) / {MINHASH_PERMS}.0 AS jac_est
+               CAST(({_EST_MATCH_SQL}) AS BIGINT) AS n_match
         FROM cand c
         JOIN sig a ON c.doc_a = a.doc_id
         JOIN sig b ON c.doc_b = b.doc_id),
-v AS (SELECT e.doc_a, e.doc_b, e.jac_est,
+v AS (SELECT e.doc_a, e.doc_b, e.n_match,
              len(list_intersect(sa.shingles, sb.shingles)) AS ic,
              len(sa.shingles) AS na, len(sb.shingles) AS nb
       FROM est e
       JOIN s sa ON e.doc_a = sa.doc_id
       JOIN s sb ON e.doc_b = sb.doc_id)
 SELECT doc_a, doc_b,
-       round(ic / (na + nb - ic), 4) AS jac_exact,
-       round(jac_est, 4) AS jac_est,
-       round(abs(jac_est - ic / (na + nb - ic)), 4) AS abs_err
+       {_rr_d("ic", "na + nb - ic", 4)} AS jac_exact,
+       {_rr_d("n_match", str(MINHASH_PERMS), 4)} AS jac_est,
+       {_rr_d("abs(n_match * (na + nb - ic) - " + str(MINHASH_PERMS)
+              + " * ic)", str(MINHASH_PERMS) + " * (na + nb - ic)", 4)}
+         AS abs_err
 FROM v ORDER BY doc_a, doc_b"""
 
 
@@ -661,10 +696,15 @@ def decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
         cand.join(st, "train_id")
         .join(F.broadcast(se), "eval_id")
         .where(jac >= JACCARD_THRESHOLD)
+        .withColumn("_ic", inter)
         .groupBy("train_id")
         .agg(
             F.count("*").alias("n_eval_matches"),
-            F.round(F.max(jac), 4).alias("max_jaccard"),
+            # rounding is monotone, so max of per-pair HALF_UP integer
+            # ratios equals the rounded max (ext/exact.py recipe)
+            F.max(
+                F.expr(_rr_s("_ic", "nt + ne - _ic", 4))
+            ).alias("max_jaccard"),
             F.min("eval_id").alias("first_eval_id"),
         )
         .orderBy("train_id")
@@ -692,7 +732,7 @@ v AS (SELECT c.train_id, c.eval_id,
       JOIN s st ON c.train_id = st.doc_id
       JOIN s se ON c.eval_id = se.doc_id)
 SELECT train_id, count(*) AS n_eval_matches,
-       round(max(ic / (nt + ne - ic)), 4) AS max_jaccard,
+       max({_rr_d("ic", "nt + ne - ic", 4)}) AS max_jaccard,
        min(eval_id) AS first_eval_id
 FROM v WHERE ic / (nt + ne - ic) >= {JACCARD_THRESHOLD}
 GROUP BY train_id ORDER BY train_id"""
@@ -1104,9 +1144,11 @@ def boilerplate_verdicts(docs: DataFrame) -> DataFrame:
             "doc_id",
             "n_chunks",
             "n_boiler",
-            "round(n_boiler / CAST(n_chunks AS DOUBLE), 4) AS boiler_frac",
-            "CAST(round(n_boiler / CAST(n_chunks AS DOUBLE), 4) < "
-            f"{BOILER_MAX_FRAC} AS INT) AS keep",
+            # exact-integer ratio -> HALF_UP recipe (ext/exact.py); the
+            # keep flag compares in pure 4-dp micro-integers
+            _rr_s("n_boiler", "n_chunks", 4) + " AS boiler_frac",
+            "CAST((2 * n_boiler * 10000 + n_chunks) DIV (2 * n_chunks)"
+            f" < {int(BOILER_MAX_FRAC * 10000)} AS INT) AS keep",
         )
         .orderBy("doc_id")
     )
@@ -1130,9 +1172,9 @@ per_doc AS (
   FROM chunks c JOIN freq f ON c.chunk = f.chunk
   GROUP BY c.doc_id)
 SELECT doc_id, n_chunks, n_boiler,
-       round(n_boiler / CAST(n_chunks AS DOUBLE), 4) AS boiler_frac,
-       CAST(round(n_boiler / CAST(n_chunks AS DOUBLE), 4)
-            < {BOILER_MAX_FRAC} AS INT) AS keep
+       {_rr_d("n_boiler", "n_chunks", 4)} AS boiler_frac,
+       CAST((2 * n_boiler * 10000 + n_chunks) // (2 * n_chunks)
+            < {int(BOILER_MAX_FRAC * 10000)} AS INT) AS keep
 FROM per_doc ORDER BY doc_id"""
 
 
@@ -1225,8 +1267,10 @@ def source_overlap(spark: SparkSession, sf: str) -> DataFrame:
             "shared_chunks",
             "chunks_a",
             "chunks_b",
-            "round(shared_chunks / CAST(chunks_a + chunks_b "
-            "- shared_chunks AS DOUBLE), 6) AS jaccard",
+            _rr_s(
+                "shared_chunks", "chunks_a + chunks_b - shared_chunks", 6
+            )
+            + " AS jaccard",
         )
         .orderBy("src_a", "src_b")
     )
@@ -1250,8 +1294,8 @@ shared AS (
   GROUP BY a.source, b.source)
 SELECT src_a, src_b, shared_chunks,
        pa.n_chunks AS chunks_a, pb.n_chunks AS chunks_b,
-       round(shared_chunks / CAST(pa.n_chunks + pb.n_chunks
-             - shared_chunks AS DOUBLE), 6) AS jaccard
+       {_rr_d("shared_chunks",
+               "pa.n_chunks + pb.n_chunks - shared_chunks", 6)} AS jaccard
 FROM shared
 JOIN per_src pa ON src_a = pa.source
 JOIN per_src pb ON src_b = pb.source

@@ -1,0 +1,87 @@
+"""Engine-exact HALF_UP rounding of INTEGER ratios — a LEAF module (no
+registry import), usable from any ext module without the import cycle.
+
+``round(a / b, d)`` on an exact integer ratio is the one place Spark's
+and DuckDB's ``round()`` can disagree: when a/b is a true NON-DYADIC
+decimal half at digit d+1 (possible only when the reduced denominator
+divides 2·10^d and carries a factor of 5), the nearest IEEE double sits
+off the half — Spark rounds the double's SHORTEST DECIMAL
+REPRESENTATION (``BigDecimal.valueOf``: the half goes UP) while DuckDB
+and Python round the BINARY value (typically DOWN). Dyadic halves
+(pure power-of-two denominators, e.g. 27/32) are binary-exact and both
+engines round them away from zero identically; and a FLOAT-expression
+result (ln/exp/sqrt/score sums) can never be a non-dyadic decimal half
+exactly, so ``round(float_expr, d)`` remains the established safe
+recipe. The flip is therefore confined to exact-integer quotients —
+hypothesis found it live in ``quality_calibrate``'s mean
+(sum/1e6/n at n=2 → 0.5893335: Spark 0.589334, DuckDB 0.589333).
+
+The closure: HALF_UP(a/b, d) = (2·a·10^d + b) ⌊÷⌋ (2·b), all int64,
+then ONE division by 10^d — the result is a d-dp grid value both
+engines render identically. NULL propagates like the float form; a must be
+NON-NEGATIVE and b positive (integer division truncation differs
+between engines for negative operands — the signed variants below
+decompose by sign; every call site guards these by construction).
+
+Overflow bound: 2·a·10^d must fit int64, i.e. a ≤ ~4.6·10^(18-d-1);
+for d=6 that is a ≤ 4.6e12 — numerators beyond that (corpus-total
+token counts past roughly 18 TB of text) pre-scale to kilo-units, the
+``token_budget_plan`` convention. DuckDB's HUGEINT sums give the
+oracle twice the headroom for free.
+"""
+
+from __future__ import annotations
+
+
+def ratio_round_spark(a: str, b: str, d: int) -> str:
+    """Spark SQL expression for HALF_UP(a / b, d) over integer exprs."""
+    p = 10**d
+    return f"(((2 * ({a}) * {p} + ({b})) DIV (2 * ({b}))) / {p}.0d)"
+
+
+def ratio_round_duck(a: str, b: str, d: int) -> str:
+    """DuckDB SQL expression for HALF_UP(a / b, d) over integer exprs."""
+    p = 10**d
+    return f"(((2 * ({a}) * {p} + ({b})) // (2 * ({b}))) / {p}.0)"
+
+
+def ratio_round_signed_spark(a: str, b: str, d: int) -> str:
+    """Spark SQL for HALF_UP(a / b, d) where ``a`` may be NEGATIVE
+    (b still > 0). HALF_UP rounds halves AWAY FROM ZERO, and Spark's
+    ``DIV`` truncates toward zero while DuckDB's ``//`` floors — so the
+    signed form must decompose by sign explicitly; the unsigned helpers
+    above are only valid for a ≥ 0."""
+    p = 10**d
+    mag = f"((2 * abs({a}) * {p} + ({b})) DIV (2 * ({b})))"
+    return (
+        f"((CASE WHEN ({a}) < 0 THEN -{mag} ELSE {mag} END) / {p}.0d)"
+    )
+
+
+def ratio_round_signed_duck(a: str, b: str, d: int) -> str:
+    """DuckDB twin of :func:`ratio_round_signed_spark`."""
+    p = 10**d
+    mag = f"((2 * abs({a}) * {p} + ({b})) // (2 * ({b})))"
+    return f"((CASE WHEN ({a}) < 0 THEN -{mag} ELSE {mag} END) / {p}.0)"
+
+
+def ratio_round_wide_spark(a: str, b: str, d: int) -> str:
+    """Spark twin of :func:`ratio_round_spark` for numerators past the
+    int64 bound (a·2·10^d can reach ~1e20, e.g. the χ² sum of squares):
+    the product runs in DECIMAL(38, 0); ``DIV`` on decimals returns the
+    BIGINT integral part, so the quotient must still fit int64 (every
+    call site's OUTPUT is human-scale even when the numerator is not)."""
+    p = 10**d
+    return (
+        f"((2 * CAST(({a}) AS DECIMAL(38, 0)) * {p} + ({b}))"
+        f" DIV (2 * ({b})) / {p}.0d)"
+    )
+
+
+def ratio_round_wide_duck(a: str, b: str, d: int) -> str:
+    """DuckDB twin of :func:`ratio_round_wide_spark` (HUGEINT)."""
+    p = 10**d
+    return (
+        f"(((2 * CAST(({a}) AS HUGEINT) * {p} + ({b}))"
+        f" // (2 * ({b}))) / {p}.0)"
+    )

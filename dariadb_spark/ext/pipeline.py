@@ -33,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dariadb_spark.ext.exact import (
+    ratio_round_duck as _rr_d,
+    ratio_round_signed_duck as _rrs_d,
+)
 from dariadb_spark.ext.sampling import (
     KNUTH,
     MIX_SEED_OFFSET,
@@ -114,8 +118,8 @@ conf AS (SELECT t.thr AS thr,
                               THEN 1 ELSE 0 END) AS BIGINT) AS fneg
          FROM p2 p, t GROUP BY t.thr),
 best AS (SELECT thr FROM (
-           SELECT thr, round(2 * tp / CAST(greatest(2 * tp + fp + fneg, 1)
-                             AS DOUBLE), 4) AS f1
+           SELECT thr, {_rr_d("2 * tp", "greatest(2 * tp + fp + fneg, 1)",
+                              4)} AS f1
            FROM conf)
          ORDER BY f1 DESC, thr ASC LIMIT 1),
 d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
@@ -130,13 +134,16 @@ enr AS (SELECT source, n_docs, n_tokens,
                round(sqrt(n_tokens)
                      / round(sum(sqrt(n_tokens)) OVER (), 6), 6) AS mix_frac
         FROM per_src),
+ri AS (SELECT *, least(CAST(1000000 AS BIGINT),
+              (2 * CAST(round(mix_frac * 1000000, 0) AS BIGINT)
+               * {int(MIX_TOKEN_BUDGET)} + n_tokens)
+              // (2 * n_tokens)) AS rate_i
+       FROM enr),
 plan AS (SELECT source, n_docs, n_tokens,
-                least(1.0, round(mix_frac * {MIX_TOKEN_BUDGET} / n_tokens, 6))
-                  AS sample_rate,
-                round(least(1.0, round(mix_frac * {MIX_TOKEN_BUDGET}
-                                       / n_tokens, 6)) * n_tokens, 2)
+                rate_i / 1000000.0 AS sample_rate,
+                ((2 * rate_i * n_tokens + 10000) // (2 * 10000)) / 100.0
                   AS expected_tokens
-         FROM enr),
+         FROM ri),
 kept AS (SELECT g.source, g.n_tok
          FROM gated g JOIN plan p ON g.source = p.source
          WHERE ((((g.doc_id + {MIX_SEED_OFFSET}) * {KNUTH}) % {MOD32})
@@ -150,8 +157,10 @@ SELECT p.source AS source, (SELECT thr FROM best) AS thr,
        CAST(COALESCE(a.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
        CAST(COALESCE(a.achieved_tokens, 0) AS BIGINT) AS achieved_tokens,
        p.expected_tokens,
-       round((COALESCE(a.achieved_tokens, 0) - p.expected_tokens)
-             / p.expected_tokens * 100, 2) AS gap_pct
+       {_rrs_d("(100 * COALESCE(a.achieved_tokens, 0)"
+               " - CAST(round(p.expected_tokens * 100, 0) AS BIGINT)) * 100",
+               "CAST(round(p.expected_tokens * 100, 0) AS BIGINT)",
+               2)} AS gap_pct
 FROM plan p LEFT JOIN achieved a ON p.source = a.source
 ORDER BY source"""
 

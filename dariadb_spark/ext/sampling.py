@@ -21,6 +21,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dariadb_spark.ext.exact import (
+    ratio_round_duck as _rr_d,
+    ratio_round_signed_duck as _rrs_d,
+    ratio_round_signed_spark as _rrs_s,
+    ratio_round_spark as _rr_s,
+    ratio_round_wide_duck as _rrw_d,
+    ratio_round_wide_spark as _rrw_s,
+)
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
@@ -347,11 +355,18 @@ def interleave_audit(spark: SparkSession, sf: str) -> DataFrame:
         "buckets_hit",
         f"CASE WHEN buckets_hit < {b} THEN 0L ELSE min_obs END AS min_cnt",
         "max_cnt",
-        f"round((ss_hit + ({b} - buckets_hit) * n_docs * n_docs)"
-        f" / CAST({b} AS DOUBLE) / n_docs, 6) AS chi2",
-        f"CAST(round((ss_hit + ({b} - buckets_hit) * n_docs * n_docs)"
-        f" / CAST({b} AS DOUBLE) / n_docs, 6)"
-        f" <= {INTERLEAVE_CHI2_MAX} AS INT) AS ok",
+        # exact-integer ratio via the WIDE HALF_UP recipe (ext/exact.py:
+        # the squared-deviation numerator can pass int64 x 2e6); the ok
+        # flag compares in pure 1e-6 micro-integers
+        _rrw_s(
+            f"ss_hit + ({b} - buckets_hit) * n_docs * n_docs",
+            f"{b} * n_docs", 6,
+        )
+        + " AS chi2",
+        "CAST((2 * CAST(ss_hit"
+        f" + ({b} - buckets_hit) * n_docs * n_docs AS DECIMAL(38, 0))"
+        f" * 1000000 + {b} * n_docs) DIV (2 * {b} * n_docs)"
+        f" <= {int(INTERLEAVE_CHI2_MAX * 1_000_000)} AS INT) AS ok",
     ).orderBy("source")
 
 
@@ -376,12 +391,14 @@ SELECT source, n_docs, buckets_hit,
        CAST(CASE WHEN buckets_hit < {SHUF_BUCKETS}
                  THEN 0 ELSE min_obs END AS BIGINT) AS min_cnt,
        max_cnt,
-       round((ss_hit + ({SHUF_BUCKETS} - buckets_hit) * n_docs * n_docs)
-             / CAST({SHUF_BUCKETS} AS DOUBLE) / n_docs, 6) AS chi2,
-       CASE WHEN round((ss_hit + ({SHUF_BUCKETS} - buckets_hit)
-                        * n_docs * n_docs)
-                       / CAST({SHUF_BUCKETS} AS DOUBLE) / n_docs, 6)
-                 <= {INTERLEAVE_CHI2_MAX}
+       {_rrw_d("ss_hit + (" + str(SHUF_BUCKETS)
+               + " - buckets_hit) * n_docs * n_docs",
+               str(SHUF_BUCKETS) + " * n_docs", 6)} AS chi2,
+       CASE WHEN (2 * CAST(ss_hit + ({SHUF_BUCKETS} - buckets_hit)
+                           * n_docs * n_docs AS HUGEINT)
+                  * 1000000 + {SHUF_BUCKETS} * n_docs)
+                 // (2 * {SHUF_BUCKETS} * n_docs)
+                 <= {int(INTERLEAVE_CHI2_MAX * 1_000_000)}
             THEN 1 ELSE 0 END AS ok
 FROM folded ORDER BY source"""
 
@@ -629,24 +646,43 @@ def mixture_plan_from_tokens(per_doc: DataFrame) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
     w = Window.partitionBy()
-    tot_tokens = F.sum("n_tokens").over(w)
     sum_w = F.round(F.sum(F.sqrt("n_tokens")).over(w), 6)
     mix_frac = F.round(F.sqrt("n_tokens") / sum_w, 6)
-    rate = F.least(
-        F.lit(1.0),
-        F.round(
-            mix_frac * F.lit(MIX_TOKEN_BUDGET) / F.col("n_tokens"), 6
-        ),
+    # nat_frac / rate / expected are exact-integer ratios -> the
+    # ext/exact.py HALF_UP recipe (mix_frac itself is sqrt-derived, so
+    # its float round is safe; the rate re-enters integer space via the
+    # 6-dp micro rendering of mix_frac)
+    b = int(MIX_TOKEN_BUDGET)
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(_rr_s("n_tokens", "sum(n_tokens) OVER ()", 6)).alias(
+                "nat_frac"
+            ),
+            mix_frac.alias("mix_frac"),
+        )
+        .withColumn(
+            "_rate_i",
+            F.expr(
+                "least(CAST(1000000 AS BIGINT), "
+                "(2 * CAST(round(mix_frac * 1000000, 0) AS BIGINT)"
+                f" * {b} + n_tokens) DIV (2 * n_tokens))"
+            ),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "nat_frac",
+            "mix_frac",
+            "_rate_i / 1000000.0d AS sample_rate",
+            "((2 * _rate_i * n_tokens + 10000) DIV (2 * 10000))"
+            " / 100.0d AS expected_tokens",
+        )
+        .orderBy("source")
     )
-    return per_src.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.col("n_tokens") / tot_tokens, 6).alias("nat_frac"),
-        mix_frac.alias("mix_frac"),
-        rate.alias("sample_rate"),
-        F.round(rate * F.col("n_tokens"), 2).alias("expected_tokens"),
-    ).orderBy("source")
 
 
 CORPUS_MIXTURE_SQL = f"""
@@ -656,16 +692,21 @@ WITH per_src AS (
   FROM documents GROUP BY source),
 enr AS (
   SELECT source, n_docs, n_tokens,
-         round(n_tokens / sum(n_tokens) OVER (), 6) AS nat_frac,
+         {_rr_d("n_tokens", "sum(n_tokens) OVER ()", 6)} AS nat_frac,
          round(sqrt(n_tokens)
                / round(sum(sqrt(n_tokens)) OVER (), 6), 6) AS mix_frac
-  FROM per_src)
+  FROM per_src),
+ri AS (
+  SELECT *, least(CAST(1000000 AS BIGINT),
+             (2 * CAST(round(mix_frac * 1000000, 0) AS BIGINT)
+              * {int(MIX_TOKEN_BUDGET)} + n_tokens)
+             // (2 * n_tokens)) AS rate_i
+  FROM enr)
 SELECT source, n_docs, n_tokens, nat_frac, mix_frac,
-       least(1.0, round(mix_frac * {MIX_TOKEN_BUDGET} / n_tokens, 6))
-         AS sample_rate,
-       round(least(1.0, round(mix_frac * {MIX_TOKEN_BUDGET} / n_tokens, 6))
-             * n_tokens, 2) AS expected_tokens
-FROM enr ORDER BY source"""
+       rate_i / 1000000.0 AS sample_rate,
+       ((2 * rate_i * n_tokens + 10000) // (2 * 10000)) / 100.0
+         AS expected_tokens
+FROM ri ORDER BY source"""
 
 
 # --- mixture plan EXECUTION (the apply half of the recipe) ----------------
@@ -719,8 +760,15 @@ def mixture_apply_audit(per_doc: DataFrame, plan: DataFrame) -> DataFrame:
             "CAST(coalesce(achieved_tokens, 0) AS BIGINT)"
             " AS achieved_tokens",
             "expected_tokens",
-            "round((coalesce(achieved_tokens, 0) - expected_tokens)"
-            " / expected_tokens * 100, 2) AS gap_pct",
+            # signed exact-integer ratio (ext/exact.py): gap can be
+            # negative, and DIV/'//' truncation differs by sign
+            _rrs_s(
+                "(100 * coalesce(achieved_tokens, 0)"
+                " - CAST(round(expected_tokens * 100, 0) AS BIGINT)) * 100",
+                "CAST(round(expected_tokens * 100, 0) AS BIGINT)",
+                2,
+            )
+            + " AS gap_pct",
         )
         .orderBy("source")
     )
@@ -744,8 +792,10 @@ SELECT p.source AS source, p.sample_rate,
        CAST(COALESCE(a.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
        CAST(COALESCE(a.achieved_tokens, 0) AS BIGINT) AS achieved_tokens,
        p.expected_tokens,
-       round((COALESCE(a.achieved_tokens, 0) - p.expected_tokens)
-             / p.expected_tokens * 100, 2) AS gap_pct
+       {_rrs_d("(100 * COALESCE(a.achieved_tokens, 0)"
+               " - CAST(round(p.expected_tokens * 100, 0) AS BIGINT)) * 100",
+               "CAST(round(p.expected_tokens * 100, 0) AS BIGINT)",
+               2)} AS gap_pct
 FROM plan p LEFT JOIN achieved a ON p.source = a.source
 ORDER BY source"""
 
@@ -878,7 +928,7 @@ def token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
         "alloc2 AS alloc",
         _EPOCHS.format(a="alloc2") + " AS epochs",
         "CAST(alloc2 = cap_tokens AS INT) AS capped",
-        "round(alloc2 / budget, 6) AS budget_share",
+        _rr_s("alloc2", "budget", 6) + " AS budget_share",
         "excess AS unplaced",
     ).orderBy("source")
 
@@ -928,7 +978,7 @@ SELECT b0.source, b0.n_tokens, b0.cap_tokens,
             AS BIGINT) / 10000.0 AS epochs,
        CAST(CASE WHEN b2.a = b0.cap_tokens THEN 1 ELSE 0 END AS INT)
          AS capped,
-       round(b2.a / b0.budget, 6) AS budget_share,
+       {_rr_d("b2.a", "b0.budget", 6)} AS budget_share,
        CAST(b2.excess AS BIGINT) AS unplaced
 FROM b0 JOIN b2 USING (source) ORDER BY b0.source"""
 
@@ -979,7 +1029,11 @@ def token_budget_iterate(
                 "alloc": x,
                 "epochs": ((2 * x * 10000 + u) // (2 * u)) / 10000.0,
                 "capped": int(x == s["cap"]),
-                "budget_share": round(x / budget, 6) if budget else 0.0,
+                "budget_share": (
+                    ((2 * x * 10**6 + budget) // (2 * budget)) / 1e6
+                    if budget
+                    else 0.0
+                ),
                 "unplaced": excess,
                 "rounds": rounds,
             }

@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dariadb_spark.ext.hashes import _h60_duck, _h60_spark
+from dariadb_spark.ext.exact import (
+    ratio_round_duck as _rr_d,
+    ratio_round_spark as _rr_s,
+)
 from dariadb_spark.model import MEAS_CTE_SQL, load_table
 from dariadb_spark.registry import register
 
@@ -211,8 +215,15 @@ def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
             "lang",
             "exact_distinct",
             "kmv_est",
-            "round(abs(kmv_est - exact_distinct) / exact_distinct * 100, 2)"
-            " AS rel_err_pct",
+            # est is a 4-dp grid value and exact an integer, so the
+            # error ratio is exact-rational -> HALF_UP recipe
+            # (ext/exact.py) over the 1e4-scaled integers
+            _rr_s(
+                "abs(CAST(round(kmv_est * 10000, 0) AS BIGINT)"
+                " - 10000 * exact_distinct)",
+                "100 * exact_distinct", 2,
+            )
+            + " AS rel_err_pct",
         )
         .orderBy("lang")
     )
@@ -231,7 +242,8 @@ est AS (SELECT e.lang AS lang, e.exact_distinct AS exact_distinct,
                round(({KMV_K} - 1) * pow(2.0, 60.0) / k.kth_h, 4) AS kmv_est
         FROM exact e LEFT JOIN kth k ON e.lang = k.lang)
 SELECT lang, exact_distinct, kmv_est,
-       round(abs(kmv_est - exact_distinct) / exact_distinct * 100, 2)
+       {_rr_d("abs(CAST(round(kmv_est * 10000, 0) AS BIGINT)"
+               " - 10000 * exact_distinct)", "100 * exact_distinct", 2)}
          AS rel_err_pct
 FROM est ORDER BY lang"""
 
@@ -642,7 +654,12 @@ def sketch_quantile_hdr(spark: SparkSession, sf: str) -> DataFrame:
         exact.join(est, ["flag", "p"])
         .selectExpr(
             "flag", "p", "exact", "hdr_est",
-            "round(abs(hdr_est - exact) / exact * 100, 2) AS rel_err_pct",
+            _rr_s(
+                "abs(CAST(round(hdr_est * 10000, 0) AS BIGINT)"
+                " - CAST(round(exact * 10000, 0) AS BIGINT))",
+                "CAST(round(exact * 100, 0) AS BIGINT)", 2,
+            )
+            + " AS rel_err_pct",
         )
         .orderBy("flag", "p")
     )
@@ -683,7 +700,9 @@ exact AS (
       f"SELECT flag, CAST({p} AS DOUBLE) AS p, e{i} AS exact FROM exact0"
       for i, p in enumerate(HDR_PS))})
 SELECT e.flag AS flag, e.p AS p, e.exact, t.hdr_est,
-       round(abs(t.hdr_est - e.exact) / e.exact * 100, 2) AS rel_err_pct
+       {_rr_d("abs(CAST(round(t.hdr_est * 10000, 0) AS BIGINT)"
+               " - CAST(round(e.exact * 10000, 0) AS BIGINT))",
+               "CAST(round(e.exact * 100, 0) AS BIGINT)", 2)} AS rel_err_pct
 FROM exact e JOIN est t ON e.flag = t.flag AND e.p = t.p
 ORDER BY flag, p"""
 SKETCH_QUANTILE_HDR_SQL = SKETCH_QUANTILE_HDR_SQL.replace(
@@ -1051,8 +1070,12 @@ def sketch_rollup_quantile(spark: SparkSession, sf: str) -> DataFrame:
         .join(sizes, "id")
         .selectExpr(
             "id", "n_days", "n_daily_cells", "exact_p99", "rolled_p99",
-            "round(abs(rolled_p99 - exact_p99) / exact_p99 * 100, 2)"
-            " AS rel_err_pct",
+            _rr_s(
+                "abs(CAST(round(rolled_p99 * 10000, 0) AS BIGINT)"
+                " - CAST(round(exact_p99 * 10000, 0) AS BIGINT))",
+                "CAST(round(exact_p99 * 100, 0) AS BIGINT)", 2,
+            )
+            + " AS rel_err_pct",
         )
         .orderBy("id")
     )
@@ -1101,7 +1124,9 @@ ranked AS (SELECT id, value,
 exact AS (SELECT id, round(value, 4) AS exact_p99 FROM ranked
           WHERE rn = CAST(ceil({ROLLUP_P} * nn) AS BIGINT))
 SELECT e.id AS id, s.n_days, s.n_daily_cells, e.exact_p99, t.rolled_p99,
-       round(abs(t.rolled_p99 - e.exact_p99) / e.exact_p99 * 100, 2)
+       {_rr_d("abs(CAST(round(t.rolled_p99 * 10000, 0) AS BIGINT)"
+               " - CAST(round(e.exact_p99 * 10000, 0) AS BIGINT))",
+               "CAST(round(e.exact_p99 * 100, 0) AS BIGINT)", 2)}
          AS rel_err_pct
 FROM exact e JOIN est t ON e.id = t.id JOIN sizes s ON e.id = s.id
 ORDER BY id"""

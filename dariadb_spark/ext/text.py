@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
+from dariadb_spark.ext.exact import (
+    ratio_round_duck as _rr_d,
+    ratio_round_spark as _rr_s,
+)
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
@@ -32,19 +36,27 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         "size(split(text, ' ')) AS n_tokens",
         "size(array_distinct(split(text, ' '))) AS n_distinct",
-        "round(size(array_distinct(split(text, ' '))) / size(split(text, ' ')), 4)"
-        " AS type_token_ratio",
-        "round(aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t)) "
-        "/ size(split(text, ' ')), 4) AS avg_token_len",
+        # exact-integer ratios -> HALF_UP recipe (ext/exact.py)
+        _rr_s(
+            "size(array_distinct(split(text, ' ')))",
+            "size(split(text, ' '))", 4,
+        )
+        + " AS type_token_ratio",
+        _rr_s(
+            "aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))",
+            "size(split(text, ' '))", 4,
+        )
+        + " AS avg_token_len",
     ).orderBy("doc_id")
 
 
-TEXT_TOKEN_STATS_SQL = """
+TEXT_TOKEN_STATS_SQL = f"""
 WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id, n_chars, len(w) AS n_tokens,
        len(list_distinct(w)) AS n_distinct,
-       round(len(list_distinct(w)) / len(w), 4) AS type_token_ratio,
-       round(list_sum(list_transform(w, t -> len(t))) / len(w), 4) AS avg_token_len
+       {_rr_d("len(list_distinct(w))", "len(w)", 4)} AS type_token_ratio,
+       {_rr_d("list_sum(list_transform(w, t -> len(t)))", "len(w)", 4)}
+         AS avg_token_len
 FROM t ORDER BY doc_id"""
 
 
@@ -300,8 +312,11 @@ def text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
         f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS n_bpe_tokens",
         f"size(array_distinct(regexp_extract_all(text, '{BPE_PATTERN}', 0)))"
         " AS n_distinct_bpe",
-        f"round(size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) "
-        "/ size(split(text, ' ')), 4) AS bpe_per_word",
+        _rr_s(
+            f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))",
+            "size(split(text, ' '))", 4,
+        )
+        + " AS bpe_per_word",
     ).orderBy("doc_id")
 
 
@@ -311,7 +326,7 @@ WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
            FROM documents)
 SELECT doc_id, len(w) AS n_ws_tokens, len(bpe) AS n_bpe_tokens,
        len(list_distinct(bpe)) AS n_distinct_bpe,
-       round(len(bpe) / len(w), 4) AS bpe_per_word
+       {_rr_d("len(bpe)", "len(w)", 4)} AS bpe_per_word
 FROM t ORDER BY doc_id"""
 
 

@@ -34,6 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dariadb_spark.ext.exact import (
+    ratio_round_duck as _rr_d,
+    ratio_round_spark as _rr_s,
+)
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
@@ -200,7 +204,8 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .selectExpr(
             "lang", "n_words", "n_bpe_tokens", "n_chars",
-            "round(n_bpe_tokens / n_words, 4) AS tokens_per_word",
+            # exact-integer ratio -> HALF_UP recipe (ext/exact.py)
+            _rr_s("n_bpe_tokens", "n_words", 4) + " AS tokens_per_word",
         )
         .orderBy("lang")
     )
@@ -246,7 +251,7 @@ perw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
 SELECT p.lang, count(*) AS n_words,
        CAST(sum(t.n_tokens) AS BIGINT) AS n_bpe_tokens,
        CAST(sum(length(p.word)) AS BIGINT) AS n_chars,
-       round(sum(t.n_tokens) / count(*), 4) AS tokens_per_word
+       {_rr_d("sum(t.n_tokens)", "count(*)", 4)} AS tokens_per_word
 FROM perw p JOIN tok t ON p.word = t.word
 GROUP BY p.lang ORDER BY p.lang"""
 
@@ -510,7 +515,7 @@ def unigram_token_stats(spark: SparkSession, sf: str) -> DataFrame:
             "n_words",
             "n_uni_tokens",
             "n_chars",
-            "round(n_uni_tokens / n_words, 4) AS tokens_per_word",
+            _rr_s("n_uni_tokens", "n_words", 4) + " AS tokens_per_word",
         )
         .orderBy("lang")
     )
@@ -588,7 +593,7 @@ SELECT p.lang, count(*) AS n_words,
        CAST(sum(coalesce(t.ntok, length(p.word))) AS BIGINT)
          AS n_uni_tokens,
        CAST(sum(length(p.word)) AS BIGINT) AS n_chars,
-       round(sum(coalesce(t.ntok, length(p.word))) / count(*), 4)
+       {_rr_d("sum(coalesce(t.ntok, length(p.word)))", "count(*)", 4)}
          AS tokens_per_word
 FROM uperw p LEFT JOIN best2 t ON p.word = t.word
 GROUP BY p.lang ORDER BY p.lang"""

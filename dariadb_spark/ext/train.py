@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dariadb_spark.ext.exact import (
+    ratio_round_duck as _rr_d,
+    ratio_round_spark as _rr_s,
+)
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
@@ -102,9 +106,12 @@ def train_quality_lr(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy()
             .agg(
                 F.expr("round(avg(ll), 4)").alias("log_loss"),
-                F.expr("round(avg(CAST(pred = y AS DOUBLE)), 4)").alias(
-                    "accuracy"
-                ),
+                # accuracy is an exact-integer ratio -> HALF_UP recipe
+                # (ext/exact.py); the float-sum log_loss stays on the
+                # established round(float_expr, 4) contract
+                F.expr(
+                    _rr_s("sum(CAST(pred = y AS INT))", "count(*)", 4)
+                ).alias("accuracy"),
             )
             .selectExpr(
                 f"{step}L AS step", "log_loss", "accuracy",
@@ -162,21 +169,22 @@ TRAIN_QUALITY_LR_SQL = f"""
 WITH {_LR_P2_SQL},
 m0 AS (SELECT CAST(0 AS BIGINT) AS step,
               round(-ln(0.5), 4) AS log_loss,
-              round(1.0 - (SELECT ny FROM n) * 1.0 / (SELECT n FROM n), 4)
+              {_rr_d("(SELECT n FROM n) - (SELECT ny FROM n)",
+                      "(SELECT n FROM n)", 4)}
                 AS accuracy,
               round(0.0, 4) AS w_norm
        FROM (SELECT 1)),
 m1 AS (SELECT CAST(1 AS BIGINT) AS step,
               round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS log_loss,
-              round(avg(CAST((CASE WHEN p > 0.5 THEN 1 ELSE 0 END) = y
-                        AS DOUBLE)), 4) AS accuracy,
+              {_rr_d("sum(CAST((CASE WHEN p > 0.5 THEN 1 ELSE 0 END)"
+                      " = y AS INT))", "count(*)", 4)} AS accuracy,
               (SELECT round(sqrt(list_dot_product(w, w)), 4) FROM w1)
                 AS w_norm
        FROM p1),
 m2 AS (SELECT CAST(2 AS BIGINT) AS step,
               round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS log_loss,
-              round(avg(CAST((CASE WHEN p > 0.5 THEN 1 ELSE 0 END) = y
-                        AS DOUBLE)), 4) AS accuracy,
+              {_rr_d("sum(CAST((CASE WHEN p > 0.5 THEN 1 ELSE 0 END)"
+                      " = y AS INT))", "count(*)", 4)} AS accuracy,
               (SELECT round(sqrt(list_dot_product(w, w)), 4) FROM w2)
                 AS w_norm
        FROM p2)
@@ -247,12 +255,11 @@ def confusion_sweep(scored: DataFrame) -> DataFrame:
             "fp",
             "fneg",
             "tn",
-            "round(tp / CAST(greatest(tp + fp, 1L) AS DOUBLE), 4)"
-            " AS precision",
-            "round(tp / CAST(greatest(tp + fneg, 1L) AS DOUBLE), 4)"
-            " AS recall",
-            "round(2 * tp / CAST(greatest(2 * tp + fp + fneg, 1L)"
-            " AS DOUBLE), 4) AS f1",
+            # exact-integer ratios -> HALF_UP recipe (ext/exact.py)
+            _rr_s("tp", "greatest(tp + fp, 1L)", 4) + " AS precision",
+            _rr_s("tp", "greatest(tp + fneg, 1L)", 4) + " AS recall",
+            _rr_s("2 * tp", "greatest(2 * tp + fp + fneg, 1L)", 4)
+            + " AS f1",
         )
         .orderBy("thr")
     )
@@ -280,9 +287,9 @@ c AS (SELECT t.thr AS thr,
                            THEN 1 ELSE 0 END) AS BIGINT) AS tn
       FROM p2 p, t GROUP BY t.thr)
 SELECT thr, tp, fp, fneg, tn,
-       round(tp / CAST(greatest(tp + fp, 1) AS DOUBLE), 4) AS precision,
-       round(tp / CAST(greatest(tp + fneg, 1) AS DOUBLE), 4) AS recall,
-       round(2 * tp / CAST(greatest(2 * tp + fp + fneg, 1) AS DOUBLE), 4)
+       {_rr_d("tp", "greatest(tp + fp, 1)", 4)} AS precision,
+       {_rr_d("tp", "greatest(tp + fneg, 1)", 4)} AS recall,
+       {_rr_d("2 * tp", "greatest(2 * tp + fp + fneg, 1)", 4)}
          AS f1
 FROM c ORDER BY thr"""
 

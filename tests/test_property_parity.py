@@ -654,7 +654,8 @@ def test_boilerplate_property(spark, docs):
     assert set(got) == set(chunks)
     for i, cs in chunks.items():
         nb = sum(1 for c in cs if len(freq[c]) >= BOILER_MIN_DOCS)
-        frac = round(nb / len(cs), 4)
+        # operator recipe: HALF_UP micro-int ratio (ext/exact.py)
+        frac = ((2 * nb * 10**4 + len(cs)) // (2 * len(cs))) / 1e4
         assert got[i] == (
             len(cs), nb, frac, int(frac < BOILER_MAX_FRAC)
         ), (i, cs)
@@ -709,7 +710,7 @@ def test_boilerplate_verdicts_property(spark, docs):
         n_boiler = sum(
             1 for c in cs if len(docs_per_chunk[c]) >= BOILER_MIN_DOCS
         )
-        frac = _round_half_up(n_boiler / len(cs), 4)
+        frac = ((2 * n_boiler * 10**4 + len(cs)) // (2 * len(cs))) / 1e4
         want = (len(cs), n_boiler, frac, int(frac < BOILER_MAX_FRAC))
         assert got[i] == want, (i, got[i], want)
 
@@ -770,8 +771,15 @@ def test_mixture_plan_apply_property(spark, rows):
     for src, ds in by_src.items():
         nt = sum(t for _, t in ds)
         mix_frac = _round_half_up(math.sqrt(nt) / sum_w, 6)
-        rate = min(1.0, _round_half_up(mix_frac * MIX_TOKEN_BUDGET / nt, 6))
-        expected = _round_half_up(rate * nt, 2)
+        # operator recipe: the rate re-enters exact integer space via
+        # the 6-dp micro rendering of mix_frac (ext/exact.py)
+        m_i = round(mix_frac * 1_000_000)
+        rate_i = min(
+            1_000_000,
+            (2 * m_i * int(MIX_TOKEN_BUDGET) + nt) // (2 * nt),
+        )
+        rate = rate_i / 1e6
+        expected = ((2 * rate_i * nt + 10**4) // (2 * 10**4)) / 100.0
         assert got_plan[src] == (len(ds), nt, rate, expected), src
         kept = [
             (d, t)
@@ -780,7 +788,10 @@ def test_mixture_plan_apply_property(spark, rows):
             < rate * 100.0
         ]
         ach = sum(t for _, t in kept)
-        gap = _round_half_up((ach - expected) / expected * 100, 2)
+        e_i = round(expected * 100)
+        num = (100 * ach - e_i) * 100
+        mag = (2 * abs(num) * 100 + e_i) // (2 * e_i)
+        gap = (mag if num >= 0 else -mag) / 100.0
         assert got_audit[src] == (len(kept), ach, gap), src
 
 
@@ -886,7 +897,7 @@ def test_interleave_audit_property(spark, rows):
         h = hist[src]
         n = sum(h.values())
         ss = sum((b * c - n) ** 2 for c in h.values()) + (b - len(h)) * n * n
-        chi2 = round(ss / b / n, 6)
+        chi2 = ((2 * ss * 10**6 + b * n) // (2 * b * n)) / 1e6
         exp.append(
             (src, n, len(h), min(h.values()) if len(h) == b else 0,
              max(h.values()), chi2, int(chi2 <= INTERLEAVE_CHI2_MAX)))
@@ -924,7 +935,9 @@ def test_source_overlap_property(spark, rows):
                 continue
             ca, cb = len(sets[sa]), len(sets[sb])
             exp.append(
-                (sa, sb, shared, ca, cb, round(shared / (ca + cb - shared), 6))
+                (sa, sb, shared, ca, cb,
+                 ((2 * shared * 10**6 + (ca + cb - shared))
+                  // (2 * (ca + cb - shared))) / 1e6)
             )
     assert got == exp
 

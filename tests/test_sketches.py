@@ -1444,7 +1444,8 @@ def test_text_perplexity_parity_and_ccnet_buckets(spark, oracle_sf_dir):
             # integer micro-nll mean — the engines sum exact int64 terms
             # (float accumulation diverged at boundary docs; see _doc_nll)
             s6 = sum(int(round(round(-math.log(p), 6) * 1e6)) for p in known)
-            nll = round(s6 / (len(known) * 1e6), 4)
+            n6 = len(known) * 10**6
+            nll = ((2 * s6 * 10**4 + n6) // (2 * n6)) / 1e4
             assert r[3] == nll and r[4] == round(math.exp(nll), 4), doc_id
         else:
             assert r[3] is None and r[4] is None, doc_id
@@ -1847,7 +1848,9 @@ def test_source_overlap_parity_and_python_replay(spark, oracle_sf_dir):
                 continue
             ca, cb = len(chunk_sets[sa]), len(chunk_sets[sb])
             expected.append(
-                (sa, sb, shared, ca, cb, round(shared / (ca + cb - shared), 6))
+                (sa, sb, shared, ca, cb,
+                 ((2 * shared * 10**6 + (ca + cb - shared))
+                  // (2 * (ca + cb - shared))) / 1e6)
             )
     assert rows == expected
     for sa, sb, shared, ca, cb, jac in rows:
@@ -1975,7 +1978,7 @@ def test_interleave_audit_parity_and_python_replay(spark, oracle_sf_dir):
         n = sum(h.values())
         ss = sum((b * c - n) ** 2 for c in h.values())
         ss += (b - len(h)) * n * n  # zero-hit buckets
-        chi2 = round(ss / b / n, 6)
+        chi2 = ((2 * ss * 10**6 + b * n) // (2 * b * n)) / 1e6
         expected.append(
             (
                 source,
