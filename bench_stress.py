@@ -1473,8 +1473,11 @@ def stress_quality_calibrate(spark) -> tuple[float, int, float, float]:
         return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
     def score_i(s: int) -> int:
-        sc = 0.4 * s / 50 + 0.3 * min(50, 100) / 100.0 + 0.3 * 2 / 50
-        return int(_r(_r(sc, 6) * 1_000_000, 0))
+        # the operator's exact micro-int rendering (ext/exact.py):
+        # n = 50 words, uniq = 2 distinct per planted doc
+        num = 400 * s + 3 * 50 * 50 + 300 * 2
+        den = 1000 * 50
+        return (2 * num * 10**6 + den) // (2 * den)
 
     import math
 

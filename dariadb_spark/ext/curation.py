@@ -1152,10 +1152,25 @@ CALIB_TOP_PCT = 30
 #: mirrors ext/text.py STOPWORDS (local copy: no text->curation import)
 CALIB_STOPWORDS = ("a", "the")
 
-_QSCORE = (
-    "round(0.4 * {stop} / {n} + 0.3 * least({n}, 100) / 100.0"
-    " + 0.3 * {uniq} / {n}, 6)"
-)
+#: composite quality score 0.4·stop/n + 0.3·min(n,100)/100 + 0.3·uniq/n
+#: as ONE exact rational over the common denominator 1000·n, rendered
+#: straight to the 6-dp micro-integer by the ext/exact.py HALF_UP
+#: recipe. The float-sum form was itself in the rounding hazard class:
+#: the ingredients are small rationals, so the true value CAN be a
+#: non-dyadic 7th-digit half — and the fixture contains one (doc 95,
+#: true score 0.3498125: Spark's shortest-repr round gave 349813 µ,
+#: DuckDB's binary round 349812 µ — masked in quality_calibrate's
+#: aggregates, exposed the moment a per-doc consumer appeared).
+_QSCORE_NUM = "(400 * ({stop}) + 3 * least({n}, 100) * ({n}) + 300 * ({uniq}))"
+_QSCORE_DEN = "(1000 * ({n}))"
+
+
+def _qscore_i(stop: str, n: str, uniq: str, div: str) -> str:
+    """score_i (6-dp micro-int) for either engine; ``div`` is 'DIV'
+    (Spark) or '//' (DuckDB)."""
+    num = "CAST(" + _QSCORE_NUM.format(stop=stop, n=n, uniq=uniq) + " AS BIGINT)"
+    den = _QSCORE_DEN.format(n=n)
+    return f"((2 * {num} * 1000000 + {den}) {div} (2 * {den}))"
 
 
 def quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
@@ -1165,20 +1180,17 @@ def quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     stop_pred = " OR ".join(f"x = '{s}'" for s in CALIB_STOPWORDS)
-    score = _QSCORE.format(
-        stop=f"size(filter(w, x -> {stop_pred}))",
-        n="size(w)",
-        uniq="size(array_distinct(w))",
+    score_i = _qscore_i(
+        f"size(filter(w, x -> {stop_pred}))",
+        "size(w)",
+        "size(array_distinct(w))",
+        "DIV",
     )
     scored = (
         load_table(spark, sf, "documents")
         .where(F.col("text").isNotNull())
         .selectExpr("doc_id", "source", "split(text, ' ') AS w")
-        .selectExpr(
-            "doc_id",
-            "source",
-            f"CAST(round({score} * 1000000) AS BIGINT) AS score_i",
-        )
+        .selectExpr("doc_id", "source", f"{score_i} AS score_i")
     )
     w_rank = Window.partitionBy("source").orderBy(
         F.col("score_i").desc(), F.col("doc_id")
@@ -1223,18 +1235,19 @@ def quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_QSCORE_DUCK = _QSCORE.format(
-    stop="len(list_filter(w, x -> "
+_QSCORE_I_DUCK = _qscore_i(
+    "len(list_filter(w, x -> "
     + " OR ".join(f"x = '{s}'" for s in CALIB_STOPWORDS)
     + "))",
-    n="len(w)",
-    uniq="len(list_distinct(w))",
+    "len(w)",
+    "len(list_distinct(w))",
+    "//",
 )
 QUALITY_CALIBRATE_SQL = f"""
 WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
            FROM documents WHERE text IS NOT NULL),
 sc AS (SELECT doc_id, source,
-              CAST(round({_QSCORE_DUCK} * 1000000) AS BIGINT) AS score_i
+              CAST({_QSCORE_I_DUCK} AS BIGINT) AS score_i
        FROM t),
 rk AS (SELECT source, score_i,
               rank() OVER (PARTITION BY source
@@ -1257,6 +1270,123 @@ SELECT source, count(*) AS n_docs,
        round(min(CASE WHEN pass_calib = 1 THEN score_i END)
              / 1000000.0, 6) AS calib_threshold
 FROM gated GROUP BY source ORDER BY source"""
+
+
+# --- quality-keeping near-dup canonical selection -------------------------
+# STAGED for the round-12 driver window (round-11's is full; the staging
+# every late operator goes through). ``dedup_components`` collapses each
+# near-dup cluster to its MIN doc_id — the deterministic default. Real
+# curation keeps the BEST copy instead (the FineWeb/RefinedWeb
+# convention: among near-duplicates, retain the highest-quality
+# rendering — the others are the boilerplate-padded / truncated /
+# mojibake variants). This op re-keys canonical selection to the
+# composite quality score the calibrate gate already computes: per
+# cluster, the member with the highest score_i (micro-int — no float
+# enters the choice), doc_id ascending as the deterministic tiebreak;
+# unclustered docs form singleton clusters and keep themselves.
+#
+# Scale shape: reuses the components labels (the memoized CC sub-plan —
+# pair-graph-sized, never corpus-pairwise) and the scan-stage score
+# projection; the only NEW wide op is one window over the cluster key,
+# a corpus-linear shuffle on an 8-byte key. The per-doc verdict table
+# is what a dedup executor joins back on to drop losers.
+
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Per document: its near-dup cluster (canonical_id from the CC
+    labels; itself when unclustered), cluster size, composite quality
+    score, the kept verdict, and the cluster's winning doc."""
+    from dariadb_spark.ext.dedup import dedup_components
+
+    stop_pred = " OR ".join(f"x = '{t}'" for t in CALIB_STOPWORDS)
+    score_i = _qscore_i(
+        f"size(filter(w, x -> {stop_pred}))",
+        "size(w)",
+        "size(array_distinct(w))",
+        "DIV",
+    )
+    scored = (
+        load_table(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .selectExpr("doc_id", "split(text, ' ') AS w")
+        .selectExpr("doc_id", f"{score_i} AS score_i")
+    )
+    labels = dedup_components(spark, sf)
+    j = scored.join(labels, "doc_id", "left").selectExpr(
+        "doc_id", "score_i", "coalesce(canonical_id, doc_id) AS cluster"
+    )
+    wc = Window.partitionBy("cluster")
+    wo = wc.orderBy(F.desc("score_i"), F.asc("doc_id"))
+    return (
+        j.select(
+            "doc_id",
+            "cluster",
+            F.count("*").over(wc).alias("n_members"),
+            F.expr("score_i / 1000000.0d").alias("score"),
+            F.row_number().over(wo).alias("_rn"),
+            F.first("doc_id").over(wo).alias("best_doc"),
+        )
+        .selectExpr(
+            "doc_id",
+            "cluster",
+            "n_members",
+            "score",
+            "CAST(_rn = 1 AS INT) AS kept",
+            "best_doc",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _keep_best_sql() -> str:
+    """Composes the components oracle's recursive reachability chain
+    with the calibrate score — built lazily so the cross-module
+    constants (dedup's JACCARD_THRESHOLD) resolve regardless of ext
+    import order (the preprocess-funnel precedent)."""
+    from dariadb_spark.ext.dedup import JACCARD_THRESHOLD
+
+    return f"""
+WITH RECURSIVE {{_SHINGLE_CTE}},
+e0 AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+sz AS (SELECT doc_id, len(shingles) AS nsh FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+  FROM e0 a JOIN e0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE ic / (sa.nsh + sb.nsh - ic) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+labels AS (SELECT src AS doc_id, min(node) AS canonical_id
+           FROM reach GROUP BY src),
+d2 AS (SELECT doc_id, string_split(text, ' ') AS w
+       FROM documents WHERE text IS NOT NULL),
+scored AS (SELECT doc_id,
+                  CAST({{_QSCORE_I_DUCK}} AS BIGINT) AS score_i
+           FROM d2),
+j AS (SELECT sc.doc_id, sc.score_i,
+             coalesce(l.canonical_id, sc.doc_id) AS cluster
+      FROM scored sc LEFT JOIN labels l ON sc.doc_id = l.doc_id),
+wnd AS (SELECT doc_id, cluster, score_i,
+               count(*) OVER (PARTITION BY cluster) AS n_members,
+               row_number() OVER (PARTITION BY cluster
+                   ORDER BY score_i DESC, doc_id ASC) AS rn,
+               first_value(doc_id) OVER (PARTITION BY cluster
+                   ORDER BY score_i DESC, doc_id ASC) AS best_doc
+        FROM j)
+SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
+       score_i / 1000000.0 AS score,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept, best_doc
+FROM wnd ORDER BY doc_id""".replace(
+        "{_SHINGLE_CTE}", _SHINGLE_CTE
+    ).replace("{_QSCORE_I_DUCK}", _QSCORE_I_DUCK)
 
 
 register("ext_forget_source", forget_source, FORGET_SOURCE_SQL)

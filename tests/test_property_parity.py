@@ -974,12 +974,13 @@ def test_quality_calibrate_property(spark, rows):
             continue
         w = text.split(" ")
         stop = sum(1 for x in w if x in CALIB_STOPWORDS)
-        score = (
-            0.4 * stop / len(w)
-            + 0.3 * min(len(w), 100) / 100.0
-            + 0.3 * len(set(w)) / len(w)
-        )
-        per[src].append((int(_r(_r(score, 6) * 1_000_000, 0)), doc_id))
+        # operator recipe: the score is ONE exact rational over 1000*n,
+        # rendered to micro-ints by integer HALF_UP (ext/exact.py — the
+        # float-sum form hit a live 7th-digit half on the fixture)
+        n = len(w)
+        num = 400 * stop + 3 * min(n, 100) * n + 300 * len(set(w))
+        den = 1000 * n
+        per[src].append(((2 * num * 10**6 + den) // (2 * den), doc_id))
     exp = []
     for src in sorted(per):
         docs = sorted(per[src], key=lambda t: (-t[0], t[1]))

@@ -2336,3 +2336,103 @@ def test_token_budget_plan_parity_replay_and_invariants(
     assert all(
         c["alloc"] >= d["alloc"] for c, d in zip(conv, it2)
     )
+
+
+# --- staged r12: quality-keeping near-dup canonical selection -------------
+
+def _py_qscore_i(text: str) -> int:
+    from dariadb_spark.ext.curation import CALIB_STOPWORDS
+
+    w = text.split(" ")
+    n = len(w)
+    stop = sum(1 for x in w if x in CALIB_STOPWORDS)
+    num = 400 * stop + 3 * min(n, 100) * n + 300 * len(set(w))
+    den = 1000 * n
+    return (2 * num * 10**6 + den) // (2 * den)
+
+
+def test_dedup_keep_best_parity_and_invariants(spark, oracle_sf_dir):
+    import duckdb
+
+    from dariadb_spark.ext import dedup as D
+    from dariadb_spark.ext.curation import _keep_best_sql, dedup_keep_best
+
+    D._LABELS_MEMO.clear()
+    rows = [
+        tuple(r) for r in dedup_keep_best(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(_keep_best_sql()).fetchall()]
+    con.close()
+    assert rows == oracle
+
+    # invariants: exactly one keeper per cluster, the keeper IS
+    # best_doc, singletons keep themselves, and the quality policy
+    # actually diverges from min-id canonical selection on the fixture
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for doc_id, cluster, n_members, score, kept, best_doc in rows:
+        by_cluster[cluster].append((doc_id, n_members, score, kept, best_doc))
+    diverged = 0
+    for cluster, members in by_cluster.items():
+        keepers = [m for m in members if m[3] == 1]
+        assert len(keepers) == 1, cluster
+        assert keepers[0][0] == keepers[0][4] == members[0][4], cluster
+        assert all(m[1] == len(members) for m in members), cluster
+        if len(members) == 1:
+            assert members[0][0] == cluster
+        elif keepers[0][0] != cluster:
+            diverged += 1
+        # the winner's score is maximal (ties broken by doc_id asc)
+        best = max(members, key=lambda m: (m[2], -m[0]))
+        assert keepers[0][2] == best[2], cluster
+    assert diverged > 0  # min-id would have kept a worse copy somewhere
+
+
+def test_dedup_keep_best_planted_quality_winner(spark, tmp_path):
+    # Two near-duplicate docs where the HIGHER doc_id is clearly the
+    # better copy (the lower one is a repeat-padded rendering, so its
+    # unique-word share collapses; the clean copy carries stopwords —
+    # the composite score treats them as a naturalness SIGNAL): min-id
+    # canonical would keep doc 0; the quality policy must keep doc 1.
+    # An unrelated doc forms a singleton.
+    import duckdb
+
+    from dariadb_spark.ext import dedup as D
+    from dariadb_spark.ext.curation import _keep_best_sql, dedup_keep_best
+
+    base = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    rows = [
+        (0, f"{base} q1 q1 q1 q1 q1 q1"),  # duplicate + repeat padding
+        (1, f"{base} the a x1"),  # clean natural copy
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8"),  # unrelated singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    D._LABELS_MEMO.clear()
+    got = {r.doc_id: r for r in dedup_keep_best(spark, d).collect()}
+    D._LABELS_MEMO.clear()
+
+    assert got[0].cluster == got[1].cluster == 0 and got[0].n_members == 2
+    assert _py_qscore_i(rows[1][1]) > _py_qscore_i(rows[0][1])
+    assert (got[0].kept, got[1].kept) == (0, 1)  # quality beats min-id
+    assert got[0].best_doc == got[1].best_doc == 1
+    assert got[2] == (2, 2, 1, got[2].score, 1, 2)
+    for r in got.values():
+        assert r.score == _py_qscore_i(rows[r.doc_id][1]) / 1e6
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracle = {r[0]: r for r in con.execute(_keep_best_sql()).fetchall()}
+    con.close()
+    assert {k: tuple(v) for k, v in got.items()} == oracle
