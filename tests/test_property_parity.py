@@ -1000,3 +1000,194 @@ def test_quality_calibrate_property(spark, rows):
             )
         )
     assert got == exp
+
+
+# --- round-11 staged operators vs definitional replays --------------------
+
+_tb_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(1, 40)),  # (source, n_tok)
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_tb_rows)
+@_SETTINGS
+def test_token_budget_property(spark, rows):
+    """Random per-source token supplies hunt the water-filling edges the
+    fixture can't reach: single-source remainder arithmetic, caps landing
+    exactly on allocations, zero-room rounds, penny stalls."""
+    from unittest import mock
+
+    import dariadb_spark.ext.sampling as samp_mod
+    from dariadb_spark.ext.sampling import (
+        token_budget_iterate,
+        token_budget_plan,
+    )
+    from tests.test_sketches import _py_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"s{src}", ("x " * (n - 1)) + "x")
+            for i, (src, n) in enumerate(rows)
+        ],
+        "doc_id long, source string, text string",
+    )
+    with mock.patch.object(samp_mod, "load_table", lambda *_: docs):
+        got = [tuple(r) for r in token_budget_plan(spark, "ignored").collect()]
+        conv = token_budget_iterate(spark, "ignored")
+
+    u: dict = {}
+    for src, n in rows:
+        u[f"s{src}"] = u.get(f"s{src}", 0) + n
+    ref, budget = _py_token_budget(u, rounds=2)
+    assert got == ref
+    unplaced = got[0][8]
+    assert sum(r[4] for r in got) + unplaced == budget
+    assert all(r[4] <= r[2] for r in got)
+    assert sum(d["alloc"] for d in conv) + conv[0]["unplaced"] == budget
+    assert conv[0]["unplaced"] <= unplaced  # convergence only places more
+
+
+_psg_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=14),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=_psg_docs)
+@_SETTINGS
+def test_dedup_passages_property(spark, docs):
+    """Two-letter-alphabet corpora force dense sliding-window collisions
+    (within and across docs), sub-window-width docs, and null texts."""
+    from unittest import mock
+
+    import dariadb_spark.ext.dedup as dedup_mod
+    from dariadb_spark.ext.dedup import dedup_passages
+    from tests.test_sketches import _py_passages
+
+    rows = [
+        (i, " ".join(ws) if ws is not None else None)
+        for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(dedup_mod, "load_table", lambda *_: df):
+        got = [tuple(r) for r in dedup_passages(spark, "ignored").collect()]
+    assert got == _py_passages([r for r in rows if r[1] is not None])
+
+
+_cap_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # doc_id (uniquified)
+        st.lists(st.sampled_from(["w1", "w2", "w3", "xx"]), min_size=1,
+                 max_size=8),
+        st.one_of(
+            st.none(),  # image row absent -> pair drops out of the join
+            st.lists(st.integers(-3, 3), min_size=64, max_size=64),
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(rows=_cap_rows)
+@_SETTINGS
+def test_caption_align_property(spark, rows):
+    """Random captions and small-integer embeddings (float-exact) hunt
+    the geometry edges: zero image vectors, cancelled caption hashes,
+    missing image rows, exact +/-1 alignments."""
+    import math
+    from unittest import mock
+
+    import dariadb_spark.ext.multimodal as mm_mod
+    from dariadb_spark.ext.multimodal import (
+        ALIGN_MIN,
+        media_caption_align,
+    )
+    from tests.test_sketches import _py_text_vec
+
+    seen, docs_r, emb_r = set(), [], []
+    for doc_id, ws, e in rows:
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        docs_r.append((doc_id, " ".join(ws)))
+        if e is not None:
+            emb_r.append((doc_id, [float(x) for x in e], 0))
+    docs = spark.createDataFrame(docs_r, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        emb_r or [(-1, [0.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    def load(_s, _sf, name):
+        return docs if name == "documents" else emb
+
+    with mock.patch.object(mm_mod, "load_table", load):
+        got = {
+            r.doc_id: (r.n_words, r.align, r.kept)
+            for r in media_caption_align(spark, "ignored").collect()
+        }
+
+    emb_by = {v: e for v, e, _l in emb_r}
+    assert set(got) == {d for d, _t in docs_r if d in emb_by}
+    for doc_id, text in docs_r:
+        if doc_id not in emb_by:
+            continue
+        t, e = _py_text_vec(text), emb_by[doc_id]
+        tn = math.sqrt(sum(x * x for x in t))
+        en = math.sqrt(sum(x * x for x in e))
+        nw, align, kept = got[doc_id]
+        assert nw == len(text.split(" "))
+        if tn == 0 or en == 0:
+            assert align is None and kept == 0
+        else:
+            ref = round(sum(a * b for a, b in zip(t, e)) / (tn * en), 4)
+            assert align == ref and kept == int(align >= ALIGN_MIN), doc_id
+
+
+_uni_docs = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_uni_docs)
+@settings(
+    max_examples=6,  # each example runs the full 2-round lattice (~4 s)
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    database=None,
+)
+def test_unigram_lm_property(spark, docs):
+    """Two-letter words maximize piece overlap/tie pressure in the
+    Viterbi lattice — the segmentation edges the fixture's 31-word
+    vocabulary never exercises."""
+    from unittest import mock
+
+    import dariadb_spark.ext.tokenizer as tok_mod
+    from dariadb_spark.ext.tokenizer import UNI_ROUNDS, unigram_lm
+    from tests.test_tokenizer import _py_unigram
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    with mock.patch.object(tok_mod, "load_table", lambda *_: df):
+        got = [tuple(r) for r in unigram_lm(spark, "ignored").collect()]
+    usage, vocab, _ = _py_unigram(texts, UNI_ROUNDS)
+    ref = sorted(
+        ((p, u, vocab[p]) for p, u in usage.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert got == ref
