@@ -453,3 +453,39 @@ def test_coverage_md_matches_registry():
 
     problems = coverage_check.check()
     assert problems == [], problems
+
+
+def test_no_cartesian_product_in_staged_r12_plans(spark, oracle_sf_dir):
+    """The round-11 staged operators get the same physical-plan sweep
+    as the registered surface BEFORE their r12 registration — a
+    CartesianProduct is never acceptable. (dedup_keep_best executes its
+    memoized CC sub-plan while BUILDING the frame, so the staged sweep
+    runs at the oracle SF; streaming_quality_gate_parity is excluded
+    like every streaming harness.)"""
+    from dariadb_spark.ext.curation import dedup_keep_best, doremi_reweight
+    from dariadb_spark.ext.dedup import dedup_passages
+    from dariadb_spark.ext.multimodal import media_caption_align
+    from dariadb_spark.ext.sampling import token_budget_plan
+    from dariadb_spark.ext.tokenizer import unigram_lm, unigram_token_stats
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for fn in (
+        dedup_passages,
+        media_caption_align,
+        token_budget_plan,
+        doremi_reweight,
+        dedup_keep_best,
+        unigram_lm,
+        unigram_token_stats,
+    ):
+        plan = (
+            fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .explainString(mode)
+        )
+        if "CartesianProduct" in plan:
+            offenders.append(fn.__name__)
+    assert not offenders, offenders
