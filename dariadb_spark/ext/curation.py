@@ -35,6 +35,8 @@ from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
 from dariadb_spark.ext.exact import (  # noqa: E402
     ratio_round_duck as _rr_d,
     ratio_round_spark as _rr_s,
+    ratio_round_wide_duck as _rrw_d,
+    ratio_round_wide_spark as _rrw_s,
 )
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
@@ -1270,6 +1272,122 @@ SELECT source, count(*) AS n_docs,
        round(min(CASE WHEN pass_calib = 1 THEN score_i END)
              / 1000000.0, 6) AS calib_threshold
 FROM gated GROUP BY source ORDER BY source"""
+
+
+# --- Kneser-Ney smoothed bigram LM ----------------------------------------
+# STAGED for the round-12 driver window (round-11's is full; the staging
+# every late operator goes through). ``ext_text_ngram_lm`` ships the
+# count-cutoff MLE table; real perplexity filters (KenLM — the model
+# CCNet actually scores with) use interpolated KNESER-NEY smoothing:
+# discount every observed bigram by D and redistribute the held-out
+# mass over the CONTINUATION unigram distribution (how many distinct
+# left contexts a word follows — "Francisco" is frequent but only ever
+# follows "San", so its continuation probability is tiny; the
+# correction plain backoff gets wrong).
+#
+# With the standard D = 0.75 = 3/4 EXACTLY, the whole statistic is one
+# exact rational:
+#   P_KN(w2|w1) = (c12 - 3/4)/c1 + (3/4)·N1+(w1·)/c1 · N1+(·w2)/T
+#               = ((4·c12 - 3)·T + 3·N1+(w1·)·N1+(·w2)) / (4·c1·T)
+# so the 6-dp rendering uses the ext/exact.py WIDE recipe (the
+# numerator crosses int64 long before the fixture does not) and the
+# engines cannot disagree. λ(w1) = (3/4)·N1+(w1·)/c1 is emitted so a
+# consumer can score UNSEEN bigrams (λ·P_cont) from the same table.
+#
+# Mass identity (the pinned correctness property): for every observed
+# w1, Σ_observed (c12 - D)/c1 + λ(w1) = 1 EXACTLY in rationals — the
+# discounted mass plus the full backoff weight reconstructs the
+# distribution (P_cont itself sums to 1 over bigram types).
+#
+# Scale shape: the corpus pays the bigram scan ``ext_text_ngram_lm``
+# already pays; everything else is windows over the COUNTS table
+# (vocab²-bounded): N1+(w1·)/c1 partitioned by w1, N1+(·w2) by w2, T a
+# broadcast scalar. At 100 TB the 4·c1·T denominators outgrow int64 —
+# the planner's kilo-unit convention applies (scale counts, not the
+# plan); DuckDB's HUGEINT needs nothing.
+
+KN_D_NUM, KN_D_DEN = 3, 4  # discount D = 3/4, exact
+
+
+def text_kn_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """The interpolated Kneser-Ney bigram table, pruned to c12 ≥
+    LM_MIN_COUNT for output (windows run over the FULL counts first):
+    per bigram the raw counts, the w1 fan-out and w2 continuation
+    counts, λ(w1), the MLE probability, and the smoothed P_KN."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    w = "split(text, ' ')"
+    bi = docs.selectExpr(
+        f"explode(zip_with(slice({w}, 1, size({w}) - 1), "
+        f"slice({w}, 2, size({w}) - 1), (x, y) -> struct(x AS w1, y AS w2)))"
+        " AS b"
+    ).select("b.w1", "b.w2")
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    enr = (
+        counts.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .withColumn(
+            "n_follow", F.count("*").over(Window.partitionBy("w1"))
+        )
+        .withColumn("n_prec", F.count("*").over(Window.partitionBy("w2")))
+        .withColumn("t_types", F.count("*").over(Window.partitionBy()))
+    )
+    num = (
+        f"(({KN_D_DEN} * c12 - {KN_D_NUM}) * t_types"
+        f" + {KN_D_NUM} * n_follow * n_prec)"
+    )
+    den = f"({KN_D_DEN} * c1 * t_types)"
+    return (
+        enr.where(F.col("c12") >= LM_MIN_COUNT)
+        .selectExpr(
+            "w1",
+            "w2",
+            "c12",
+            "CAST(c1 AS BIGINT) AS c1",
+            "CAST(n_follow AS BIGINT) AS n_follow",
+            "CAST(n_prec AS BIGINT) AS n_prec",
+            _rr_s(f"{KN_D_NUM} * n_follow", f"{KN_D_DEN} * c1", 6)
+            + " AS lambda",
+            _rr_s("c12", "c1", 6) + " AS p_mle",
+            _rrw_s(num, den, 6) + " AS p_kn",
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+TEXT_KN_LM_SQL = f"""
+WITH d AS (SELECT string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+bi AS (SELECT u.b[1] AS w1, u.b[2] AS w2
+       FROM (SELECT unnest([[w[i], w[i+1]]
+                           for i in range(1, len(w))]) AS b
+             FROM d) u),
+counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+enr AS (
+  SELECT w1, w2, c12,
+         sum(c12) OVER (PARTITION BY w1) AS c1,
+         count(*) OVER (PARTITION BY w1) AS n_follow,
+         count(*) OVER (PARTITION BY w2) AS n_prec,
+         count(*) OVER () AS t_types
+  FROM counts)
+SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+       CAST(n_follow AS BIGINT) AS n_follow,
+       CAST(n_prec AS BIGINT) AS n_prec,
+       {{LAM}} AS lambda,
+       {{PMLE}} AS p_mle,
+       {{PKN}} AS p_kn
+FROM enr WHERE c12 >= {LM_MIN_COUNT} ORDER BY w1, w2""".replace(
+    "{LAM}",
+    _rr_d(f"{KN_D_NUM} * n_follow", f"{KN_D_DEN} * c1", 6),
+).replace(
+    "{PMLE}", _rr_d("c12", "c1", 6)
+).replace(
+    "{PKN}",
+    _rrw_d(
+        f"(({KN_D_DEN} * c12 - {KN_D_NUM}) * t_types"
+        f" + {KN_D_NUM} * n_follow * n_prec)",
+        f"({KN_D_DEN} * c1 * t_types)",
+        6,
+    ),
+)
 
 
 # --- quality-keeping near-dup canonical selection -------------------------

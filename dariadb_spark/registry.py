@@ -819,8 +819,8 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # round-11-staged operators once registered (ext_doremi_reweight,
 # streaming_quality_gate_parity, ext_unigram_lm — see their modules),
 # plus ext_unigram_token_stats, ext_dedup_passages,
-# ext_media_caption_align, ext_token_budget_plan, and
-# ext_dedup_keep_best (staged alongside, same modules pattern),
+# ext_media_caption_align, ext_token_budget_plan, ext_dedup_keep_best,
+# and ext_text_kn_lm (staged alongside, same modules pattern),
 # then fill the remainder from the r9-latest block
 # (`attestation_ledger.py --stale 2` run at r12 start gives the exact
 # list; as of r11 the r9-latest block is the fn_all/session-window/

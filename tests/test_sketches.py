@@ -2436,3 +2436,129 @@ def test_dedup_keep_best_planted_quality_winner(spark, tmp_path):
     oracle = {r[0]: r for r in con.execute(_keep_best_sql()).fetchall()}
     con.close()
     assert {k: tuple(v) for k, v in got.items()} == oracle
+
+
+# --- staged r12: Kneser-Ney smoothed bigram LM ----------------------------
+
+def test_text_kn_lm_parity_fraction_replay_and_mass_identity(
+    spark, oracle_sf_dir
+):
+    from fractions import Fraction
+
+    import duckdb
+
+    from dariadb_spark.ext.curation import (
+        KN_D_DEN,
+        KN_D_NUM,
+        LM_MIN_COUNT,
+        TEXT_KN_LM_SQL,
+        text_kn_lm,
+    )
+    from dariadb_spark.model import load_table
+
+    rows = [tuple(r) for r in text_kn_lm(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(TEXT_KN_LM_SQL).fetchall()]
+    con.close()
+    assert rows == oracle
+
+    # definitional replay in EXACT rationals over the full bigram table
+    from collections import Counter, defaultdict
+
+    texts = [
+        r.text
+        for r in load_table(spark, oracle_sf_dir, "documents").collect()
+        if r.text is not None
+    ]
+    c12: Counter = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    nf: Counter = Counter()
+    np_: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        nf[a] += 1
+        np_[b] += 1
+    T = len(c12)
+    D = Fraction(KN_D_NUM, KN_D_DEN)
+
+    def mu(fr: Fraction, d: int) -> float:
+        num, den = fr.numerator, fr.denominator
+        return ((2 * num * 10**d + den) // (2 * den)) / 10.0**d
+
+    ref = []
+    for (a, b), c in sorted(c12.items()):
+        if c < LM_MIN_COUNT:
+            continue
+        lam = D * nf[a] / c1[a]
+        p_kn = (c - D) / c1[a] + lam * Fraction(np_[b], T)
+        ref.append(
+            (a, b, c, c1[a], nf[a], np_[b], mu(lam, 6),
+             mu(Fraction(c, c1[a]), 6), mu(p_kn, 6))
+        )
+    assert rows == ref
+
+    # the KN mass identity, EXACT in rationals: per observed w1, the
+    # discounted observed mass plus the full backoff weight is 1 (and
+    # the continuation distribution itself sums to 1 over types)
+    for a in c1:
+        disc = sum(
+            (Fraction(c) - D) / c1[a]
+            for (x, _b), c in c12.items()
+            if x == a
+        )
+        assert disc + D * nf[a] / c1[a] == 1, a
+    assert sum(Fraction(n, T) for n in np_.values()) == 1
+
+
+def test_text_kn_lm_planted_continuation_effect(spark, tmp_path):
+    # The correction KN exists for: 'franc' is FREQUENT but only ever
+    # follows 'san', so its continuation count is 1 and any unseen-pair
+    # score lambda(w1)*P_cont('franc') must be tiny, while a versatile
+    # word of the same frequency carries a much larger continuation
+    # probability. Also pins the discount direction: every observed
+    # high-count bigram loses mass vs MLE (p_kn < p_mle) except where
+    # the continuation term wins it back.
+    from fractions import Fraction
+
+    from unittest import mock
+
+    import dariadb_spark.ext.curation as cur_mod
+    from dariadb_spark.ext.curation import (
+        KN_D_DEN,
+        KN_D_NUM,
+        text_kn_lm,
+    )
+
+    # 'vers' follows 20 different words; 'franc' follows only 'san' —
+    # both appear 20 times as a successor; every bigram repeats 20x so
+    # the LM_MIN_COUNT=20 cutoff keeps them all
+    pairs = [("san", "franc")] * 20
+    pairs += [(f"u{i}", "vers") for i in range(20)]
+    text = " x ".join(f"{a} {b}" for a, b in pairs * 20)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    with mock.patch.object(cur_mod, "load_table", lambda *_: df):
+        rows = {(r.w1, r.w2): r for r in text_kn_lm(spark, "ignored").collect()}
+
+    franc = rows[("san", "franc")]
+    assert franc.n_prec == 1  # single continuation context
+    vers = rows[(f"u0", "vers")]
+    assert vers.n_prec == 20
+    # same raw successor frequency, ~20x continuation gap: the unseen
+    # backoff score lambda*P_cont differs by exactly n_prec ratio
+    assert franc.c12 == 400 and vers.c12 == 20
+    # discounting: the deterministic 'san franc' pair keeps p_kn just
+    # under its MLE 1.0 (mass siphoned to the backoff), never above
+    assert franc.p_mle == 1.0 and franc.p_kn < 1.0
+    D = Fraction(KN_D_NUM, KN_D_DEN)
+    t = len(rows)
+    pkn = (Fraction(400) - D) / 400 + (D * 1 / 400) * Fraction(1, t)
+    num, den = pkn.numerator, pkn.denominator
+    assert franc.p_kn == ((2 * num * 10**6 + den) // (2 * den)) / 1e6
