@@ -1297,3 +1297,397 @@ ORDER BY exact_cnt DESC, bg ASC"""
 
 register("ext_sketch_rollup_quantile", sketch_rollup_quantile, SKETCH_ROLLUP_QUANTILE_SQL)
 register("ext_sketch_cms_rollup", sketch_cms_rollup, SKETCH_CMS_ROLLUP_SQL)
+
+
+# --- HyperLogLog cardinality sketch ---------------------------------------
+# STAGED for the round-12 driver window (round-11's is full; the staging
+# every late operator goes through). The canonical cardinality sketch
+# (Flajolet et al. 2007, the HLL++ recipe Spark's own
+# approx_count_distinct implements JVM-side) built EXPLICITLY so the
+# register state, the merge algebra, and both estimator regimes are
+# checkable contract, not a black box: m = 16 registers addressed by the
+# low 4 bits of the 60-bit md5 hash, each holding the max leading-zero
+# rank of the remaining 56-bit tail.
+#
+# Exactness: rank rho = 57 - bit_length(w) is pure integer/string
+# arithmetic (length(bin(w)) — both engines render minimal binary), the
+# harmonic denominator Z = sum(2^-M_j) scales to the EXACT int64
+# S = sum(2^(57-M_j)) <= 16*2^57 < 2^61, and with the published
+# alpha_16 = 0.673 = 673/1000 exactly the raw estimate is ONE rational
+#   E = 0.673 * m^2 / Z = 172288 * 2^57 / (1000 * S) = A8 / (125 * S)
+# (A8 = 21536*2^57, the fraction reduced by 8) rendered HALF_UP at 4 dp
+# with BOTH sides wide (DECIMAL(38) / HUGEINT — 125*S alone outgrows
+# int64). The small-range linear-counting correction E <= 2.5m uses
+# m*ln(m/V), transcendental — so it ships as the sketch's own 16-entry
+# lookup table, the SAME literal CASE in both engines (V has only 16
+# possible values; no cross-engine libm in any compared column). The
+# regime gate compares the SCALED integer estimate (<= 400000), never a
+# float.
+#
+# Scale shape (why HLL next to KMV): the register build needs NO
+# distinct shuffle at all — duplicates are absorbed by max(), so the
+# one groupBy (scope, lang, idx) map-side-combines every partition to
+# <= 16 rows per group, and per-shard register tables merge by
+# per-index max (greatest), giving a 16-int summary per group at any
+# corpus size. KMV's sketch is k=64 rows and needs the distinct rank;
+# HLL is 4x smaller state and dedup-free — the trade is fixed ~26%
+# relative error at m=16 (1.04/sqrt(m)), deliberately coarse so the
+# fixture exercises the error path (house rule). The exact_distinct
+# column is VERIFICATION-ONLY: the one distinct aggregation in the
+# plan exists to check the estimator and disappears in production use.
+#
+# Three scopes make both regimes live in the checked rows: per-lang
+# distinct bigrams (~900 -> raw regime), per-lang distinct words (~31
+# on the fixture vocab -> near the regime boundary), per-lang distinct
+# sources (a handful -> linear counting, V > 0).
+
+HLL_M = 16
+HLL_RHO_MAX = 57  # 1 + the 56-bit tail width (60-bit hash, 4 index bits)
+_HLL_A8 = 21536 * (2 ** 57)  # 0.673 * m^2 * 2^57 * 1000 / 8000, exact
+# linear-counting lookup m*ln(m/V), V = 1..16 — shared literal table
+_HLL_LC = {
+    1: "44.3614", 2: "33.2711", 3: "26.7836", 4: "22.1807",
+    5: "18.6104", 6: "15.6933", 7: "13.2269", 8: "11.0904",
+    9: "9.2058", 10: "7.5201", 11: "5.9951", 12: "4.6029",
+    13: "3.3222", 14: "2.1365", 15: "1.0326", 16: "0.0",
+}
+_HLL_LC_CASE = (
+    "CASE v_zero "
+    + " ".join(f"WHEN {v} THEN {e}" for v, e in _HLL_LC.items())
+    + " END"
+)
+
+
+def _hll_raw_scaled(cast_ty: str, div_op: str) -> str:
+    """HALF_UP(A8 / (125*S), 4) * 10^4 as an integer expression —
+    both operands wide (see module comment); engine picked by the
+    (cast-type, floor-div) pair: ('DECIMAL(38, 0)', 'DIV') for Spark,
+    ('HUGEINT', '//') for DuckDB. Positive operands, so truncating DIV
+    and flooring // agree. The integral quotient must fit int64: true
+    whenever any register saw a rank < 44, i.e. any non-degenerate
+    sketch (the fixture maxes near rank 12)."""
+    a = f"CAST({_HLL_A8} AS {cast_ty})"
+    s = f"CAST(s_harm AS {cast_ty})"
+    return f"((2 * {a} * 10000 + 125 * {s}) {div_op} (250 * {s}))"
+
+
+_HLL_EST_COLS_TMPL = (
+    # raw_scaled: BIGINT grid of the raw estimate * 1e4
+    "CAST({RAW} AS BIGINT) AS raw_scaled",
+    "CASE WHEN v_zero > 0 AND {RAW} <= 400000 THEN 'lc' ELSE 'raw' END"
+    " AS regime",
+    "CASE WHEN v_zero > 0 AND {RAW} <= 400000 THEN " + _HLL_LC_CASE
+    + " ELSE CAST({RAW} AS BIGINT) / 10000.0{D} END AS hll_est",
+)
+
+
+def _hll_est_cols(engine: str) -> list:
+    raw = (
+        _hll_raw_scaled("DECIMAL(38, 0)", "DIV")
+        if engine == "spark"
+        else _hll_raw_scaled("HUGEINT", "//")
+    )
+    d = "d" if engine == "spark" else ""
+    return [t.replace("{RAW}", raw).replace("{D}", d)
+            for t in _HLL_EST_COLS_TMPL]
+
+
+def _hll_registers(items: DataFrame) -> DataFrame:
+    """(scope, lang, idx 0..15, m) DENSE register table from an
+    occurrence stream — no distinct anywhere; max() absorbs duplicates
+    (pinned by the duplicate-insensitivity test)."""
+    sparse = (
+        items.selectExpr("scope", "lang", f"{_h60_spark('item')} AS h")
+        .selectExpr(
+            "scope", "lang",
+            f"CAST(h % {HLL_M} AS INT) AS idx",
+            f"h DIV {HLL_M} AS w",
+        )
+        .selectExpr(
+            "scope", "lang", "idx",
+            f"CASE WHEN w = 0 THEN {HLL_RHO_MAX}"
+            f" ELSE {HLL_RHO_MAX} - length(bin(w)) END AS rho",
+        )
+        .groupBy("scope", "lang", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    groups = items.select("scope", "lang").distinct()
+    return (
+        groups.selectExpr(
+            "scope", "lang", f"explode(sequence(0, {HLL_M - 1})) AS idx"
+        )
+        .join(sparse, ["scope", "lang", "idx"], "left")
+        .selectExpr("scope", "lang", "idx", "coalesce(m, 0) AS m")
+    )
+
+
+def _hll_items(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    bg = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    ).selectExpr("'bigram' AS scope", "lang", f"explode({_BG_SPARK}) AS item")
+    wd = docs.where(F.col("text").isNotNull()).selectExpr(
+        "'word' AS scope", "lang", "explode(split(text, ' ')) AS item"
+    )
+    src = docs.where(F.col("source").isNotNull()).selectExpr(
+        "'source' AS scope", "lang", "source AS item"
+    )
+    return bg.unionByName(wd).unionByName(src)
+
+
+def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(scope, lang) HLL estimate vs the exact distinct count:
+    register state summary (v_zero, s_harm), the regime the estimator
+    picked, the estimate, and its relative error — the estimator math
+    is the checked contract (see the section comment for exactness and
+    the 100 TB shape)."""
+    items = _hll_items(spark, sf)
+    agg = (
+        _hll_registers(items)
+        .groupBy("scope", "lang")
+        .agg(
+            F.expr(
+                f"CAST(sum(shiftleft(1L, {HLL_RHO_MAX} - m)) AS BIGINT)"
+            ).alias("s_harm"),
+            F.expr(
+                "CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT)"
+            ).alias("v_zero"),
+        )
+    )
+    exact = (
+        items.distinct()
+        .groupBy("scope", "lang")
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    raw_scaled, regime, est = _hll_est_cols("spark")
+    return (
+        exact.join(agg, ["scope", "lang"])
+        .selectExpr(
+            "scope", "lang", "exact_distinct", "v_zero", "s_harm",
+            raw_scaled, regime, est,
+        )
+        .selectExpr(
+            "scope", "lang", "exact_distinct", "v_zero", "s_harm",
+            "regime", "hll_est",
+            _rr_s(
+                "abs(CAST(round(hll_est * 10000, 0) AS BIGINT)"
+                " - 10000 * exact_distinct)",
+                "100 * exact_distinct", 2,
+            )
+            + " AS rel_err_pct",
+        )
+        .orderBy("scope", "lang")
+    )
+
+
+_HLL_ITEMS_CTE = """
+tok AS (SELECT lang, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL),
+it AS (
+  SELECT 'bigram' AS scope, lang,
+         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS item
+  FROM tok WHERE len(w) >= 2
+  UNION ALL
+  SELECT 'word' AS scope, lang, unnest(w) AS item FROM tok
+  UNION ALL
+  SELECT 'source' AS scope, lang, source AS item FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
+)"""
+
+_HLL_REGS_CTE = f"""
+hh AS (SELECT scope, lang, {_h60_duck('item')} AS h FROM it),
+iw AS (SELECT scope, lang, CAST(h % {HLL_M} AS INT) AS idx,
+              h // {HLL_M} AS w
+       FROM hh),
+sparse AS (SELECT scope, lang, idx,
+                  max(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                      ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS m
+           FROM iw GROUP BY scope, lang, idx),
+grp AS (SELECT DISTINCT scope, lang FROM it),
+dense AS (SELECT g.scope, g.lang, i.idx, coalesce(s.m, 0) AS m
+          FROM grp g
+          CROSS JOIN (SELECT unnest(range({HLL_M})) AS idx) i
+          LEFT JOIN sparse s
+            ON s.scope = g.scope AND s.lang = g.lang AND s.idx = i.idx)"""
+
+
+def _hll_sql_est(prefix: str = "") -> str:
+    raw_scaled, regime, est = _hll_est_cols("duck")
+    return f"{prefix}{raw_scaled}, {prefix}{regime}, {prefix}{est}"
+
+
+SKETCH_HLL_DISTINCT_SQL = f"""
+WITH {_HLL_ITEMS_CTE},
+{_HLL_REGS_CTE},
+agg AS (SELECT scope, lang,
+               CAST(sum(1::BIGINT << ({HLL_RHO_MAX} - m)) AS BIGINT)
+                 AS s_harm,
+               CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT)
+                 AS v_zero
+        FROM dense GROUP BY scope, lang),
+exact AS (SELECT scope, lang, count(DISTINCT item) AS exact_distinct
+          FROM it GROUP BY scope, lang),
+est AS (SELECT e.scope AS scope, e.lang AS lang,
+               e.exact_distinct AS exact_distinct,
+               a.v_zero AS v_zero, a.s_harm AS s_harm,
+               {_hll_sql_est()}
+        FROM exact e JOIN agg a
+          ON e.scope = a.scope AND e.lang = a.lang)
+SELECT scope, lang, exact_distinct, v_zero, s_harm, regime, hll_est,
+       {_rr_d("abs(CAST(round(hll_est * 10000, 0) AS BIGINT)"
+              " - 10000 * exact_distinct)", "100 * exact_distinct", 2)}
+         AS rel_err_pct
+FROM est ORDER BY scope, lang"""
+
+
+# --- HLL merge algebra: union / intersection estimates --------------------
+# STAGED alongside sketch_hll_distinct (round-12 window candidates).
+# The mergeability that earns HLL its place at 100 TB, exercised as a
+# checked operator: per language pair the union sketch is the PER-INDEX
+# MAX of the two member register tables (16-row inputs — the corpus is
+# never re-scanned), and |A ∩ B| falls out of inclusion-exclusion over
+# the three estimates. The intersection arithmetic runs on the SCALED
+# INTEGER grid (est·10^4 as BIGINT, a + b − u exact and sign-safe) —
+# never on floats, so the engines cannot diverge on the subtraction.
+# Like sketch_kmv_union, the lang-pair enumeration is a genuine
+# |groups|² cross product of a tiny distinct set (the one legitimate
+# BroadcastNestedLoopJoin — SCALE.md §7 lesson 3); the fixture
+# languages share most bigrams, so a naive |A| + |B| would read ~1800
+# where the truth is ~900 — the merged sketch has to see the overlap
+# through register maxima alone, and the checked error shows it does.
+
+
+def sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-lang-pair union/intersection estimates from MERGED HLL
+    register tables (bigram scope) vs exact counts."""
+    docs = load_table(spark, sf, "documents")
+    items = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    ).selectExpr("'bigram' AS scope", "lang", f"explode({_BG_SPARK}) AS item")
+    regs = _hll_registers(items)  # dense (scope='bigram', lang, idx, m)
+    langs = items.select("lang").distinct()
+    pairs = (
+        langs.alias("a")
+        .crossJoin(langs.alias("b"))
+        .where(F.col("a.lang") < F.col("b.lang"))
+        .selectExpr("a.lang AS lang_a", "b.lang AS lang_b")
+    )
+    ra = regs.selectExpr("lang AS lang_a", "idx", "m AS ma")
+    rb = regs.selectExpr("lang AS lang_b", "idx", "m AS mb")
+    merged = (
+        pairs.join(F.broadcast(ra), "lang_a")
+        .join(F.broadcast(rb), ["lang_b", "idx"])
+        .selectExpr("lang_a", "lang_b", "idx", "greatest(ma, mb) AS m")
+    )
+    def agg_est(df, keys):
+        raw_scaled, regime, est = _hll_est_cols("spark")
+        return (
+            df.groupBy(*keys)
+            .agg(
+                F.expr(
+                    f"CAST(sum(shiftleft(1L, {HLL_RHO_MAX} - m)) AS BIGINT)"
+                ).alias("s_harm"),
+                F.expr(
+                    "CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT)"
+                ).alias("v_zero"),
+            )
+            .selectExpr(*keys, raw_scaled, regime, est)
+        )
+    eu = agg_est(merged, ["lang_a", "lang_b"]).selectExpr(
+        "lang_a", "lang_b", "raw_scaled AS su",
+        "regime AS union_regime", "hll_est AS hll_union_est",
+    )
+    singles = agg_est(regs, ["lang"]).selectExpr(
+        "lang", "CAST(round(hll_est * 10000, 0) AS BIGINT) AS s_est"
+    )
+    distinct_bg = items.select("lang", "item").distinct()
+    members = pairs.selectExpr(
+        "lang_a", "lang_b", "explode(array(lang_a, lang_b)) AS lang"
+    )
+    exact_union = (
+        members.join(distinct_bg, "lang")
+        .select("lang_a", "lang_b", "item")
+        .distinct()
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("exact_union"))
+    )
+    da, db = distinct_bg.alias("da"), distinct_bg.alias("db")
+    exact_int = (
+        da.join(db, F.col("da.item") == F.col("db.item"))
+        .where(F.col("da.lang") < F.col("db.lang"))
+        .selectExpr("da.lang AS lang_a", "db.lang AS lang_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    sa = singles.selectExpr("lang AS lang_a", "s_est AS sa")
+    sb = singles.selectExpr("lang AS lang_b", "s_est AS sb")
+    # union est is already a 4-dp grid value; inclusion-exclusion runs
+    # on the scaled-int grid: sa + sb - round(u*1e4), exact and signed
+    return (
+        exact_union.join(eu, ["lang_a", "lang_b"])
+        .join(exact_int, ["lang_a", "lang_b"])
+        .join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .selectExpr(
+            "lang_a", "lang_b", "exact_union", "hll_union_est",
+            "exact_intersect",
+            "(sa + sb - CAST(round(hll_union_est * 10000, 0) AS BIGINT))"
+            " / 10000.0d AS hll_intersect_est",
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+SKETCH_HLL_UNION_SQL = f"""
+WITH tok AS (SELECT lang, string_split(text, ' ') AS w FROM documents
+             WHERE text IS NOT NULL),
+it AS (SELECT 'bigram' AS scope, lang,
+              unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+                AS item
+       FROM tok WHERE len(w) >= 2),
+{_HLL_REGS_CTE},
+langs AS (SELECT DISTINCT lang FROM it),
+pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+          FROM langs a JOIN langs b ON a.lang < b.lang),
+merged AS (SELECT p.lang_a, p.lang_b, ra.idx,
+                  greatest(ra.m, rb.m) AS m
+           FROM pairs p
+           JOIN dense ra ON ra.lang = p.lang_a
+           JOIN dense rb ON rb.lang = p.lang_b AND rb.idx = ra.idx),
+uagg AS (SELECT lang_a, lang_b,
+                CAST(sum(1::BIGINT << ({HLL_RHO_MAX} - m)) AS BIGINT)
+                  AS s_harm,
+                CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT)
+                  AS v_zero
+         FROM merged GROUP BY lang_a, lang_b),
+uest AS (SELECT lang_a, lang_b, {_hll_sql_est()} FROM uagg),
+sagg AS (SELECT lang,
+                CAST(sum(1::BIGINT << ({HLL_RHO_MAX} - m)) AS BIGINT)
+                  AS s_harm,
+                CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT)
+                  AS v_zero
+         FROM dense GROUP BY lang),
+single AS (SELECT lang, CAST(round(hll_est * 10000, 0) AS BIGINT) AS s_est
+           FROM (SELECT lang, {_hll_sql_est()} FROM sagg)),
+d AS (SELECT DISTINCT lang, item FROM it),
+members AS (SELECT lang_a, lang_b, unnest([lang_a, lang_b]) AS lang
+            FROM pairs),
+eu AS (SELECT lang_a, lang_b, count(DISTINCT d.item) AS exact_union
+       FROM members m JOIN d ON m.lang = d.lang
+       GROUP BY lang_a, lang_b),
+ei AS (SELECT da.lang AS lang_a, db.lang AS lang_b,
+              count(*) AS exact_intersect
+       FROM d da JOIN d db ON da.item = db.item AND da.lang < db.lang
+       GROUP BY da.lang, db.lang)
+SELECT eu.lang_a AS lang_a, eu.lang_b AS lang_b, eu.exact_union,
+       u.hll_est AS hll_union_est,
+       ei.exact_intersect,
+       (sa.s_est + sb.s_est
+        - CAST(round(u.hll_est * 10000, 0) AS BIGINT)) / 10000.0
+         AS hll_intersect_est
+FROM eu
+JOIN uest u USING (lang_a, lang_b)
+JOIN ei USING (lang_a, lang_b)
+JOIN single sa ON sa.lang = eu.lang_a
+JOIN single sb ON sb.lang = eu.lang_b
+ORDER BY lang_a, lang_b"""

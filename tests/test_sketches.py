@@ -2562,3 +2562,151 @@ def test_text_kn_lm_planted_continuation_effect(spark, tmp_path):
     pkn = (Fraction(400) - D) / 400 + (D * 1 / 400) * Fraction(1, t)
     num, den = pkn.numerator, pkn.denominator
     assert franc.p_kn == ((2 * num * 10**6 + den) // (2 * den)) / 1e6
+
+
+# --- staged r12: HyperLogLog cardinality sketch ---------------------------
+
+def _hll_python_regs(items):
+    """Pure-Python register build: {(scope, lang): [m_0..m_15]}."""
+    import hashlib
+
+    regs: dict = {}
+    for scope, lang, item in items:
+        h = int(hashlib.md5(item.encode()).hexdigest()[:15], 16)
+        idx, w = h % 16, h // 16
+        rho = 57 if w == 0 else 57 - w.bit_length()
+        key = (scope, lang)
+        m = regs.setdefault(key, [0] * 16)
+        if rho > m[idx]:
+            m[idx] = rho
+    return regs
+
+
+def _hll_python_est(m):
+    """Exact-Fraction replay of the estimator: (v_zero, s_harm,
+    regime, est) from a 16-register list."""
+    from fractions import Fraction
+
+    from dariadb_spark.ext.sketches import _HLL_LC
+
+    s = sum(1 << (57 - mj) for mj in m)
+    v = sum(1 for mj in m if mj == 0)
+    # HALF_UP(A8 / (125 s), 4) on the scaled-int grid, exactly
+    a8 = 21536 * (2 ** 57)
+    raw_scaled = (2 * a8 * 10000 + 125 * s) // (250 * s)
+    if v > 0 and raw_scaled <= 400000:
+        return v, s, "lc", float(_HLL_LC[v])
+    assert Fraction(raw_scaled, 10000) == Fraction(
+        (2 * a8 * 10000 + 125 * s) // (250 * s), 10000
+    )
+    return v, s, "raw", raw_scaled / 10000.0
+
+
+def _hll_fixture_items(spark, sf_dir):
+    from dariadb_spark.model import load_table
+
+    docs = [
+        (r.lang, r.text, r.source)
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.text is not None
+    ]
+    items = []
+    for lang, text, source in docs:
+        w = text.split(" ")
+        items += [("bigram", lang, a + " " + b) for a, b in zip(w, w[1:])]
+        items += [("word", lang, x) for x in w]
+        if source is not None:
+            items.append(("source", lang, source))
+    return items
+
+
+def test_hll_distinct_parity_and_python_replay(spark, oracle_sf_dir):
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        SKETCH_HLL_DISTINCT_SQL,
+        sketch_hll_distinct,
+    )
+
+    rows = [tuple(r) for r in sketch_hll_distinct(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(SKETCH_HLL_DISTINCT_SQL).fetchall()]
+    con.close()
+    assert rows == oracle
+
+    # definitional replay: registers and the exact-rational estimator
+    regs = _hll_python_regs(_hll_fixture_items(spark, oracle_sf_dir))
+    by_key = {(r[0], r[1]): r for r in rows}
+    assert set(by_key) == set(regs)
+    for key, m in regs.items():
+        v, s, regime, est = _hll_python_est(m)
+        _, _, _, got_v, got_s, got_regime, got_est, _ = by_key[key]
+        assert (got_v, got_s, got_regime) == (v, s, regime), key
+        assert abs(got_est - est) < 1e-9, key
+
+    # both estimator regimes must be live in the checked rows, and the
+    # sketch must be honest about its coarseness: m=16 keeps relative
+    # error visible, not hidden
+    regimes = {r[5] for r in rows}
+    assert regimes == {"lc", "raw"}
+    assert any(r[7] > 0 for r in rows)
+
+
+def test_hll_duplicate_insensitivity_and_merge(spark, oracle_sf_dir):
+    """max() absorbs duplicates (sketching occurrences == sketching the
+    distinct set) and the union register table is the per-index max of
+    the members — the mergeability that makes HLL a partial aggregate."""
+    items = _hll_fixture_items(spark, oracle_sf_dir)
+    regs_occ = _hll_python_regs(items)
+    regs_dis = _hll_python_regs(sorted(set(items)))
+    assert regs_occ == regs_dis
+
+    bg = [(s, l, i) for s, l, i in items if s == "bigram"]
+    langs = sorted({l for _, l, _ in bg})
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            both = [x for x in bg if x[1] in (la, lb)]
+            u = _hll_python_regs([("u", "u", it) for _, _, it in both])
+            ma = regs_occ[("bigram", la)]
+            mb = regs_occ[("bigram", lb)]
+            assert u[("u", "u")] == [max(a, b) for a, b in zip(ma, mb)]
+
+
+def test_hll_union_parity_and_inclusion_exclusion(spark, oracle_sf_dir):
+    import duckdb
+
+    from dariadb_spark.ext.sketches import (
+        SKETCH_HLL_UNION_SQL,
+        sketch_hll_union,
+    )
+
+    rows = [tuple(r) for r in sketch_hll_union(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(SKETCH_HLL_UNION_SQL).fetchall()]
+    con.close()
+    assert rows == oracle
+    assert len(rows) > 0
+
+    # inclusion-exclusion replay on the scaled-int grid, per pair
+    regs = _hll_python_regs(_hll_fixture_items(spark, oracle_sf_dir))
+    for la, lb, exact_u, est_u, exact_i, est_i in rows:
+        ma, mb = regs[("bigram", la)], regs[("bigram", lb)]
+        mu = [max(a, b) for a, b in zip(ma, mb)]
+        *_, eu = _hll_python_est(mu)
+        *_, ea = _hll_python_est(ma)
+        *_, eb = _hll_python_est(mb)
+        assert abs(est_u - eu) < 1e-9
+        sa, sb_, su = (round(x * 10000) for x in (ea, eb, eu))
+        assert abs(est_i - (sa + sb_ - su) / 10000.0) < 1e-9
+        # the union sketch must see the overlap: naive |A|+|B| is ~2x
+        # the truth on the shared-vocab fixture, the merged estimate
+        # must stay well under it
+        assert est_u < (ea + eb) * 0.75
