@@ -2240,6 +2240,94 @@ def stress_bucketed_layout(spark) -> tuple[float, float, float]:
         shutil.rmtree(d, ignore_errors=True)
 
 
+EXL_STRESS_DOCS = 210_000
+
+
+def stress_excess_loss(spark) -> tuple[float, int, float, float]:
+    """The staged RHO-LOSS excess-loss selector (ext/curation.py
+    select_excess_loss) above fixture size with PLANTED loss structure
+    — the property the paper's selection rule promises, recovered
+    exactly at 210k docs:
+
+    * class A "learnable, not yet learnt" (~0.1% of candidates):
+      context c → continuations t0..t9 — FREQUENT in the holdout
+      (reference NLL ≈ ln 10) but drowned among candidates (MLE
+      p ≈ 1e-4 → high current NLL) → large POSITIVE excess;
+    * class B "noise" (the bulk): c → t10..t999, unseen by the holdout
+      → reference backs off to λ·P_cont1 (tiny) → reference NLL even
+      higher than the current → NEGATIVE excess (the noise-cancels
+      property: hard-for-both is not prioritized);
+    * class C "already learnt": c2 → s deterministic in BOTH slices →
+      both NLLs ≈ 0 → excess ≈ 0, between A and B.
+
+    Assertions: the top |A| ranks are EXACTLY class A (set equality,
+    not a tolerance), every A doc is kept, class means separate with
+    the planted gaps, and the full 168k-row result replays bit-exactly
+    in pure Python (the same replay helper the fixture pytest pins)."""
+    from unittest import mock
+
+    import dariadb_spark.ext.curation as cur_mod
+    from dariadb_spark.ext.curation import select_excess_loss
+    from tests.test_sketches import _exloss_python_replay
+
+    docs = spark.range(EXL_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        """CASE
+             WHEN id % 5 = 0 AND id % 2 = 0
+               THEN concat('c t', CAST((id DIV 10) % 10 AS INT))
+             WHEN id % 5 = 0 THEN 'c2 s'
+             WHEN id % 1000 = 1 THEN concat('c t', CAST((id DIV 1000) % 10 AS INT))
+             WHEN id % 1000 = 2 THEN 'c2 s'
+             ELSE concat('c t', CAST(10 + (id * 7) % 990 AS INT))
+           END AS text""",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(cur_mod, "load_table", lambda _s, _sf, _n: docs):
+        rows = [
+            tuple(r) for r in select_excess_loss(spark, "ignored").collect()
+        ]
+    exl_s = time.perf_counter() - t0
+
+    # bit-exact replay over the same deterministic corpus
+    py_docs = [
+        (i, t)
+        for i, t in (
+            (i, _exl_stress_text(i)) for i in range(EXL_STRESS_DOCS)
+        )
+    ]
+    assert rows == _exloss_python_replay(py_docs)
+
+    a_ids = {
+        i for i in range(EXL_STRESS_DOCS)
+        if i % 5 != 0 and i % 1000 == 1
+    }
+    by_rank = sorted(rows, key=lambda r: r[5])
+    top_a = {r[0] for r in by_rank[: len(a_ids)]}
+    assert top_a == a_ids  # the planted learnable class IS the head
+    kept = {r[0] for r in rows if r[6] == 1}
+    assert a_ids <= kept
+
+    def mean_excess(pred):
+        vs = [r[4] for r in rows if pred(r[0])]
+        return sum(vs) / len(vs)
+
+    m_a = mean_excess(lambda i: i % 1000 == 1)
+    m_b = mean_excess(lambda i: i % 1000 > 2 or i % 1000 == 0)
+    m_c = mean_excess(lambda i: i % 1000 == 2)
+    assert m_a > 4.0 and m_b < -2.0 and m_a > m_c > m_b
+    return exl_s, len(rows), round(m_a, 4), round(m_b, 4)
+
+
+def _exl_stress_text(i: int) -> str:
+    if i % 5 == 0:
+        return ("c t%d" % ((i // 10) % 10)) if i % 2 == 0 else "c2 s"
+    if i % 1000 == 1:
+        return "c t%d" % ((i // 1000) % 10)
+    if i % 1000 == 2:
+        return "c2 s"
+    return "c t%d" % (10 + (i * 7) % 990)
+
+
 HLL_STRESS_OCC = 20_000_000
 HLL_STRESS_DISTINCT = 1_000_000
 HLL_STRESS_SHARDS = 8
@@ -2356,6 +2444,7 @@ def main() -> None:
     cp_pre, cp_post, cp_fpre, cp_fpost = stress_store_compaction(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
     hll_s, hll_n, hll_rel = stress_hll_onepass(spark)
+    exl_s, exl_n, exl_ma, exl_mb = stress_excess_loss(spark)
     print(
         json.dumps(
             {
@@ -2388,6 +2477,7 @@ def main() -> None:
                     "caption_align_150k_pairs": round(cal_s, 4),
                     "token_budget_1m_docs": round(bud_s, 4),
                     "hll_onepass_20m_occ": round(hll_s, 4),
+                    "excess_loss_210k_docs": round(exl_s, 4),
                     "dsir_select_202k_docs": round(dsir_s, 4),
                     "pack_context_1m_docs": round(packc_s, 4),
                     "source_overlap_200k_docs": round(ovl_s, 4),

@@ -1390,6 +1390,274 @@ FROM enr WHERE c12 >= {LM_MIN_COUNT} ORDER BY w1, w2""".replace(
 )
 
 
+# --- RHO-LOSS-style excess-loss document selection ------------------------
+# STAGED for the round-12 driver window (staged alongside text_kn_lm).
+# The public recipe: "Prioritized Training on Points that are
+# Learnable, Worth Learning, and Not Yet Learnt" (Mindermann et al.,
+# ICML 2022 — RHO-LOSS): rank training points by EXCESS loss,
+#   L(x; current model) − L(x; holdout/irreducible-loss model),
+# and keep the top fraction — high-excess points are learnable (the
+# reference finds them easy) but not yet learnt (the current model
+# finds them hard); noise scores high under BOTH models and cancels.
+#
+# This engine's analog composes the two LM scorers the module already
+# ships: the CURRENT model is the UNPRUNED MLE bigram LM over the
+# candidate slice itself (unpruned deliberately — a count cutoff would
+# silently drop exactly the rare, high-loss pairs RHO-LOSS exists to
+# surface; every candidate pair is observed in its own LM, the
+# standard leave-in bias of corpus self-scoring), and the REFERENCE
+# model is the interpolated Kneser-Ney LM (the text_kn_lm statistic,
+# unpruned) trained on the held-out doc_id % 5 == 0 slice — smoothed
+# precisely so it can score candidate pairs it never saw: observed
+# pairs get P_KN, unseen pairs back off to λ(w1) · P_cont1(w2) with
+# add-one on the continuation distribution (P_cont1 = (N1+(·w2)+1) /
+# (T+V), V = distinct holdout continuations + 1 absorbing the unseen) —
+# bounded, positive, and exact-rational at 6 dp. A pair whose CONTEXT
+# w1 the holdout never saw is unscorable by the reference and drops
+# from the eval set (the n_eval column is the honest account).
+#
+# Determinism: every probability is a 6-dp grid value (ext/exact.py
+# recipes; the backoff product λ·P_cont1 multiplies two grid doubles —
+# IEEE-identical in both engines); per-pair micro-NLLs are exact int64;
+# per-doc means render HALF_UP at 4 dp as SCALED INTEGERS so the excess
+# is a signed integer subtraction, and the keep verdict is a pure
+# integer rank comparison. No float enters any decision.
+#
+# Scale shape: the candidate corpus pays ONE bigram scan; both models
+# are vocab²-bounded broadcast tables; the per-doc aggregate map-side
+# combines. The global excess rank runs over the DOC-count-sized score
+# table — at 100 TB swap it for an approx-percentile threshold scalar
+# (the text_perplexity note). The 6-dp probability grid floors p at
+# 5e-7, i.e. context totals c1 < ~2e6 occurrences; past that the
+# micro-NLL recipe moves to 9-dp nano-units — documented, not silent.
+
+EXLOSS_HOLDOUT_MOD = 5  # doc_id % 5 == 0 trains the reference model
+EXLOSS_KEEP_NUM, EXLOSS_KEEP_DEN = 1, 2  # keep the top half by excess
+
+_MU6 = "CAST(round(round(-ln({P}), 6) * 1000000, 0) AS BIGINT)"
+
+
+def select_excess_loss(spark: SparkSession, sf: str) -> DataFrame:
+    """Per candidate document (doc_id % 5 != 0, ≥1 scorable pair):
+    pairs scored, mean NLL under the candidate-slice MLE LM, mean NLL
+    under the holdout Kneser-Ney LM, their excess (4-dp), the global
+    excess rank, and the top-half keep verdict."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    w = "split(text, ' ')"
+    bi_expr = (
+        f"explode(zip_with(slice({w}, 1, size({w}) - 1), "
+        f"slice({w}, 2, size({w}) - 1), (x, y) -> struct(x AS w1, y AS w2)))"
+        " AS b"
+    )
+    cand_bi = (
+        docs.where(F.col("doc_id") % EXLOSS_HOLDOUT_MOD != 0)
+        .selectExpr("doc_id", bi_expr)
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    hold_bi = (
+        docs.where(F.col("doc_id") % EXLOSS_HOLDOUT_MOD == 0)
+        .selectExpr("doc_id", bi_expr)
+        .select("b.w1", "b.w2")
+    )
+    # current model: UNPRUNED MLE over the candidate slice
+    mle = (
+        cand_bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .selectExpr("w1", "w2", _rr_s("c12", "c1", 6) + " AS p_mle")
+    )
+    # reference model: holdout KN table + backoff artifacts (unpruned)
+    hcnt = (
+        hold_bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("n_follow", F.count("*").over(Window.partitionBy("w1")))
+        .withColumn("n_prec", F.count("*").over(Window.partitionBy("w2")))
+        .withColumn("t_types", F.count("*").over(Window.partitionBy()))
+    )
+    kn_num = (
+        f"(({KN_D_DEN} * c12 - {KN_D_NUM}) * t_types"
+        f" + {KN_D_NUM} * n_follow * n_prec)"
+    )
+    kn_pair = hcnt.selectExpr(
+        "w1", "w2",
+        _rrw_s(kn_num, f"({KN_D_DEN} * c1 * t_types)", 6) + " AS p_kn",
+    )
+    ctx = (
+        hcnt.groupBy("w1")
+        .agg(F.max("c1").alias("c1"), F.max("n_follow").alias("n_follow"))
+        .selectExpr(
+            "w1",
+            _rr_s(f"{KN_D_NUM} * n_follow", f"{KN_D_DEN} * c1", 6)
+            + " AS lam6",
+        )
+    )
+    # scalars: T bigram types, V = distinct continuations + 1 (unseen)
+    scal = (
+        hcnt.selectExpr("w2")
+        .agg(
+            F.expr("count(*)").alias("t_types"),
+            F.expr("count(DISTINCT w2) + 1").alias("v_cont"),
+        )
+        .selectExpr(
+            "t_types", "v_cont",
+            _rr_s("1", "t_types + v_cont", 6) + " AS pu6",
+        )
+    )
+    cont = (
+        hcnt.groupBy("w2")
+        .agg(F.max("n_prec").alias("n_prec"))
+        .crossJoin(F.broadcast(scal.select("t_types", "v_cont")))
+        .selectExpr(
+            "w2",
+            _rr_s("n_prec + 1", "t_types + v_cont", 6) + " AS pbo6",
+        )
+    )
+    mu_cur = _MU6.replace("{P}", "p_mle")
+    mu_ref = _MU6.replace("{P}", "p_ref")
+    scored = (
+        cand_bi.join(F.broadcast(mle), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")  # inner: w1 must be a holdout ctx
+        .join(F.broadcast(kn_pair), ["w1", "w2"], "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(scal.select("pu6")))
+        .selectExpr(
+            "doc_id",
+            f"{mu_cur} AS mu_cur",
+            mu_ref.replace(
+                "p_ref",
+                "CASE WHEN p_kn IS NOT NULL THEN p_kn"
+                " ELSE lam6 * coalesce(pbo6, pu6) END",
+            )
+            + " AS mu_ref",
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_eval"),
+        F.sum("mu_cur").alias("s_cur"),
+        F.sum("mu_ref").alias("s_ref"),
+    )
+    # HALF_UP 4-dp means as SCALED INTEGERS (int64: micro-sums bounded
+    # by n_eval * |ln 5e-7| * 1e6 ~ n_eval * 1.5e7; fine to ~1e7 pairs
+    # per doc), excess = exact signed subtraction on the scaled grid
+    cur4 = "((2 * s_cur * 10000 + n_eval * 1000000)" \
+        " DIV (2 * n_eval * 1000000))"
+    ref4 = "((2 * s_ref * 10000 + n_eval * 1000000)" \
+        " DIV (2 * n_eval * 1000000))"
+    ranked = per_doc.selectExpr(
+        "doc_id", "n_eval",
+        f"{cur4} AS cur4", f"{ref4} AS ref4",
+    ).selectExpr(
+        "doc_id", "n_eval", "cur4", "ref4",
+        "cur4 - ref4 AS excess4",
+    )
+    wr = Window.orderBy(F.desc("excess4"), F.asc("doc_id"))
+    return (
+        ranked.select(
+            "doc_id", "n_eval",
+            F.expr("cur4 / 10000.0d").alias("nll_cur"),
+            F.expr("ref4 / 10000.0d").alias("nll_ref"),
+            F.expr("excess4 / 10000.0d").alias("excess"),
+            F.row_number().over(wr).cast("long").alias("rank"),
+            F.count("*").over(Window.partitionBy()).alias("n_cand"),
+        )
+        .selectExpr(
+            "doc_id", "n_eval", "nll_cur", "nll_ref", "excess", "rank",
+            f"CAST({EXLOSS_KEEP_DEN} * rank"
+            f" <= {EXLOSS_KEEP_NUM} * n_cand AS INT) AS kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EXLOSS_MU6_DUCK = "CAST(round(round(-ln({P}), 6) * 1000000, 0) AS BIGINT)"
+
+SELECT_EXCESS_LOSS_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+cbi AS (SELECT doc_id, u.b[1] AS w1, u.b[2] AS w2
+        FROM (SELECT doc_id, unnest([[w[i], w[i+1]]
+                                     for i in range(1, len(w))]) AS b
+              FROM d WHERE doc_id % {EXLOSS_HOLDOUT_MOD} != 0) u),
+hbi AS (SELECT u.b[1] AS w1, u.b[2] AS w2
+        FROM (SELECT unnest([[w[i], w[i+1]]
+                             for i in range(1, len(w))]) AS b
+              FROM d WHERE doc_id % {EXLOSS_HOLDOUT_MOD} = 0) u),
+mle AS (SELECT w1, w2, {{PMLE}} AS p_mle FROM (
+          SELECT w1, w2, count(*) AS c12,
+                 sum(count(*)) OVER (PARTITION BY w1) AS c1
+          FROM cbi GROUP BY w1, w2)),
+hcnt AS (SELECT w1, w2, c12,
+                sum(c12) OVER (PARTITION BY w1) AS c1,
+                count(*) OVER (PARTITION BY w1) AS n_follow,
+                count(*) OVER (PARTITION BY w2) AS n_prec,
+                count(*) OVER () AS t_types
+         FROM (SELECT w1, w2, count(*) AS c12 FROM hbi GROUP BY w1, w2)),
+knp AS (SELECT w1, w2, {{PKN}} AS p_kn FROM hcnt),
+ctx AS (SELECT w1, {{LAM}} AS lam6 FROM (
+          SELECT w1, max(c1) AS c1, max(n_follow) AS n_follow
+          FROM hcnt GROUP BY w1)),
+scal0 AS (SELECT count(*) AS t_types, count(DISTINCT w2) + 1 AS v_cont
+          FROM hcnt),
+scal AS (SELECT t_types, v_cont, {{PU}} AS pu6 FROM scal0),
+cont AS (SELECT w2, {{PBO}} AS pbo6 FROM (
+           SELECT h.w2, max(h.n_prec) AS n_prec, s.t_types, s.v_cont
+           FROM hcnt h, scal s GROUP BY h.w2, s.t_types, s.v_cont)),
+sc AS (
+  SELECT b.doc_id,
+         {_EXLOSS_MU6_DUCK.replace("{" + "P}", "m.p_mle")} AS mu_cur,
+         {_EXLOSS_MU6_DUCK.replace(
+             "{" + "P}",
+             "CASE WHEN k.p_kn IS NOT NULL THEN k.p_kn"
+             " ELSE c.lam6 * coalesce(o.pbo6, s.pu6) END",
+         )} AS mu_ref
+  FROM cbi b
+  JOIN mle m ON b.w1 = m.w1 AND b.w2 = m.w2
+  JOIN ctx c ON b.w1 = c.w1
+  LEFT JOIN knp k ON b.w1 = k.w1 AND b.w2 = k.w2
+  LEFT JOIN cont o ON b.w2 = o.w2
+  CROSS JOIN scal s),
+pd AS (SELECT doc_id, count(*) AS n_eval,
+              sum(mu_cur) AS s_cur, sum(mu_ref) AS s_ref
+       FROM sc GROUP BY doc_id),
+rk AS (SELECT doc_id, n_eval,
+              ((2 * s_cur * 10000 + n_eval * 1000000)
+               // (2 * n_eval * 1000000)) AS cur4,
+              ((2 * s_ref * 10000 + n_eval * 1000000)
+               // (2 * n_eval * 1000000)) AS ref4
+       FROM pd),
+fin AS (SELECT doc_id, n_eval, cur4, ref4, cur4 - ref4 AS excess4,
+               row_number() OVER (ORDER BY cur4 - ref4 DESC, doc_id ASC)
+                 AS rank,
+               count(*) OVER () AS n_cand
+        FROM rk)
+SELECT doc_id, n_eval,
+       cur4 / 10000.0 AS nll_cur,
+       ref4 / 10000.0 AS nll_ref,
+       excess4 / 10000.0 AS excess,
+       CAST(rank AS BIGINT) AS rank,
+       CAST({EXLOSS_KEEP_DEN} * rank <= {EXLOSS_KEEP_NUM} * n_cand
+            AS INT) AS kept
+FROM fin ORDER BY doc_id"""
+
+SELECT_EXCESS_LOSS_SQL = (
+    SELECT_EXCESS_LOSS_SQL
+    .replace("{PMLE}", _rr_d("c12", "c1", 6))
+    .replace(
+        "{PKN}",
+        _rrw_d(
+            f"(({KN_D_DEN} * c12 - {KN_D_NUM}) * t_types"
+            f" + {KN_D_NUM} * n_follow * n_prec)",
+            f"({KN_D_DEN} * c1 * t_types)",
+            6,
+        ),
+    )
+    .replace("{LAM}", _rr_d(f"{KN_D_NUM} * n_follow", f"{KN_D_DEN} * c1", 6))
+    .replace("{PU}", _rr_d("1", "t_types + v_cont", 6))
+    .replace("{PBO}", _rr_d("n_prec + 1", "t_types + v_cont", 6))
+)
+
+
 # --- quality-keeping near-dup canonical selection -------------------------
 # STAGED for the round-12 driver window (round-11's is full; the staging
 # every late operator goes through). ``dedup_components`` collapses each

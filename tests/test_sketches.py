@@ -2710,3 +2710,124 @@ def test_hll_union_parity_and_inclusion_exclusion(spark, oracle_sf_dir):
         # the truth on the shared-vocab fixture, the merged estimate
         # must stay well under it
         assert est_u < (ea + eb) * 0.75
+
+
+# --- staged r12: RHO-LOSS-style excess-loss selection ---------------------
+
+def _exloss_python_replay(docs):
+    """Bit-exact replay of select_excess_loss over (doc_id, text) pairs:
+    returns rows (doc_id, n_eval, nll_cur, nll_ref, excess, rank, kept)."""
+    import math
+    from collections import Counter
+
+    from dariadb_spark.ext.curation import (
+        EXLOSS_HOLDOUT_MOD,
+        EXLOSS_KEEP_DEN,
+        EXLOSS_KEEP_NUM,
+    )
+
+    def rr(a, b, d):  # ext/exact.py HALF_UP grid value
+        p = 10 ** d
+        return ((2 * a * p + b) // (2 * b)) / p
+
+    cand, hold = {}, []
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        if doc_id % EXLOSS_HOLDOUT_MOD == 0:
+            hold += bgs
+        else:
+            cand[doc_id] = bgs
+    c12, c1 = Counter(), Counter()
+    for b in (x for bgs in cand.values() for x in bgs):
+        c12[b] += 1
+        c1[b[0]] += 1
+    h12, h1, nf, np_ = Counter(), Counter(), Counter(), Counter()
+    for b in hold:
+        h12[b] += 1
+    for (a, bb), c in h12.items():
+        h1[a] += c
+        nf[a] += 1
+        np_[bb] += 1
+    T = len(h12)
+    V = len(np_) + 1
+    pu6 = rr(1, T + V, 6)
+    lam6 = {a: rr(3 * nf[a], 4 * h1[a], 6) for a in h1}
+    pbo6 = {bb: rr(np_[bb] + 1, T + V, 6) for bb in np_}
+    pkn = {
+        b: rr((4 * c - 3) * T + 3 * nf[b[0]] * np_[b[1]],
+              4 * h1[b[0]] * T, 6)
+        for b, c in h12.items()
+    }
+
+    def mu(p):
+        return int(round(round(-math.log(p), 6) * 1e6))
+
+    per_doc = {}
+    for doc_id, bgs in cand.items():
+        s_cur = s_ref = n = 0
+        for b in bgs:
+            if b[0] not in lam6:
+                continue
+            n += 1
+            s_cur += mu(rr(c12[b], c1[b[0]], 6))
+            p_ref = pkn.get(b)
+            if p_ref is None:
+                p_ref = lam6[b[0]] * pbo6.get(b[1], pu6)
+            s_ref += mu(p_ref)
+        if n:
+            n6 = n * 10 ** 6
+            cur4 = (2 * s_cur * 10 ** 4 + n6) // (2 * n6)
+            ref4 = (2 * s_ref * 10 ** 4 + n6) // (2 * n6)
+            per_doc[doc_id] = (n, cur4, ref4, cur4 - ref4)
+    order = sorted(per_doc, key=lambda d: (-per_doc[d][3], d))
+    rank = {d: i + 1 for i, d in enumerate(order)}
+    n_cand = len(per_doc)
+    return [
+        (
+            d, per_doc[d][0], per_doc[d][1] / 1e4, per_doc[d][2] / 1e4,
+            per_doc[d][3] / 1e4, rank[d],
+            int(EXLOSS_KEEP_DEN * rank[d] <= EXLOSS_KEEP_NUM * n_cand),
+        )
+        for d in sorted(per_doc)
+    ]
+
+
+def test_select_excess_loss_parity_replay_and_keep_fraction(
+    spark, oracle_sf_dir
+):
+    import duckdb
+
+    from dariadb_spark.ext.curation import (
+        SELECT_EXCESS_LOSS_SQL,
+        select_excess_loss,
+    )
+
+    rows = [
+        tuple(r) for r in select_excess_loss(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [
+        tuple(r) for r in con.execute(SELECT_EXCESS_LOSS_SQL).fetchall()
+    ]
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    con.close()
+    assert rows == oracle
+    assert rows == _exloss_python_replay(docs)
+
+    # the keep verdict is exactly the top half by (excess DESC, doc_id)
+    n = len(rows)
+    kept = {r[0] for r in rows if r[6] == 1}
+    by_rank = sorted(rows, key=lambda r: r[5])
+    assert {r[0] for r in by_rank[: n // 2]} == kept
+    assert len(kept) == n // 2
+    # ranks are a permutation and excess is monotone along them
+    assert sorted(r[5] for r in rows) == list(range(1, n + 1))
+    ex = [r[4] for r in by_rank]
+    assert all(a >= b for a, b in zip(ex, ex[1:]))
