@@ -1691,3 +1691,20 @@ JOIN ei USING (lang_a, lang_b)
 JOIN single sa ON sa.lang = eu.lang_a
 JOIN single sb ON sb.lang = eu.lang_b
 ORDER BY lang_a, lang_b"""
+
+
+# Batch oracle for the streaming HLL register maintenance twin
+# (streaming/sketch.py streaming_hll_parity, staged r12): the standing
+# state after any ingest order must land on exactly the batch register
+# table — per-index max is associative/commutative, so batching is
+# invisible (the same mergeability sketch_hll_union exercises).
+STREAMING_HLL_REGS_SQL = f"""
+WITH tok AS (SELECT lang, string_split(text, ' ') AS w FROM documents
+             WHERE text IS NOT NULL),
+it AS (SELECT 'bigram' AS scope, lang,
+              unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+                AS item
+       FROM tok WHERE len(w) >= 2),
+{_HLL_REGS_CTE}
+SELECT lang, CAST(idx AS INT) AS idx, CAST(m AS INT) AS m
+FROM dense ORDER BY lang, idx"""

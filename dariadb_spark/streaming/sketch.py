@@ -357,3 +357,139 @@ def streaming_hdr_parity(spark: SparkSession, sf_dir: str):
     except BaseException:
         shutil.rmtree(base, ignore_errors=True)
         raise
+
+
+def streaming_hll_state(
+    spark: SparkSession,
+    docs_dir: str,
+    query_name: str = "hll_live",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain per-language HyperLogLog registers as EXPLICIT bounded
+    state (EXACTLY 16 ints per group — the tightest state bound of the
+    four streaming sketch twins) via ``applyInPandasWithState``: live
+    distinct-cardinality registers queryable mid-ingest, the streaming
+    face of ``ext/sketches.py sketch_hll_distinct``.
+
+    Why this beats even the KMV twin's bound: KMV state is k = 64
+    hashes and needs the per-batch distinct + re-trim; HLL state is a
+    fixed 16-int vector and the update is a pure per-index max over the
+    OCCURRENCE stream — no distinct anywhere, any batching, any order
+    (max is associative/commutative, the mergeability the batch union
+    operator pins). Each emission carries an update ordinal so the
+    parity can select the latest standing registers per group."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dariadb_spark.ext.hashes import _h60_spark
+    from dariadb_spark.ext.sketches import _BG_SPARK, HLL_M, HLL_RHO_MAX
+
+    reader = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ranked = (
+        reader.parquet(docs_dir)
+        .where("size(split(text, ' ')) >= 2")
+        .selectExpr("lang", f"explode({_BG_SPARK}) AS item")
+        .selectExpr("lang", f"{_h60_spark('item')} AS h")
+        .selectExpr(
+            "lang",
+            f"CAST(h % {HLL_M} AS INT) AS idx",
+            f"h DIV {HLL_M} AS w",
+        )
+        .selectExpr(
+            "lang", "idx",
+            f"CAST(CASE WHEN w = 0 THEN {HLL_RHO_MAX}"
+            f" ELSE {HLL_RHO_MAX} - length(bin(w)) END AS INT) AS rho",
+        )
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (lang,) = key
+        if state.exists:
+            upd, regs = state.get
+            regs = list(regs)
+        else:
+            upd, regs = 0, [0] * 16
+        for pdf in pdfs:
+            for idx, rho in zip(pdf["idx"], pdf["rho"]):
+                i = int(idx)
+                if rho > regs[i]:
+                    regs[i] = int(rho)
+        upd += 1
+        state.update((upd, regs))
+        yield pd.DataFrame(
+            {
+                "lang": [lang] * 16,
+                "upd": [upd] * 16,
+                "idx": list(range(16)),
+                "m": regs,
+            }
+        )
+
+    updated = ranked.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType="lang string, upd int, idx int, m int",
+        stateStructType="upd int, regs array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_hll_parity(spark: SparkSession, sf_dir: str):
+    """Driver-visible HLL-maintenance parity (STAGED for round 12; the
+    CMS/HDR/KMV staging pattern): land the documents fixture in TWO
+    parquet drops, fold one file per micro-batch through the 16-int
+    register update, and return the LATEST standing registers per
+    language. Oracle = the batch dense register table over the same
+    corpus (``STREAMING_HLL_REGS_SQL`` in ext/sketches.py) — per-index
+    max makes batching invisible."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.model import load_table
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
+
+    base = tempfile.mkdtemp(prefix="dariadb_hll_parity_")
+    data_dir = f"{base}/docs"
+    qname = "hll_parity_" + base.rsplit("_", 1)[-1]
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.where("doc_id % 2 = 0").write.parquet(data_dir)
+        docs.where("doc_id % 2 = 1").write.mode("append").parquet(data_dir)
+        with parity_stream_partitions(spark):
+            q = streaming_hll_state(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        w = Window.partitionBy("lang")
+        latest = (
+            spark.table(qname)
+            .withColumn("max_upd", F.max("upd").over(w))
+            .where("upd = max_upd")
+            .select("lang", "idx", "m")
+            .orderBy("lang", "idx")
+        )
+        return localize_and_cleanup(spark, latest, base, qname)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise

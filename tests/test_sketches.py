@@ -2831,3 +2831,47 @@ def test_select_excess_loss_parity_replay_and_keep_fraction(
     assert sorted(r[5] for r in rows) == list(range(1, n + 1))
     ex = [r[4] for r in by_rank]
     assert all(a >= b for a, b in zip(ex, ex[1:]))
+
+
+# --- staged r12: streaming HLL register maintenance -----------------------
+
+def test_streaming_hll_matches_batch_with_16_int_state(
+    spark, oracle_sf_dir
+):
+    # Staged r12 streaming surface (the fourth sketch twin): the
+    # 16-int-state register fold over two one-file micro-batches must
+    # land on EXACTLY the batch dense register table (DuckDB oracle),
+    # every group must emit exactly 16 registers, and the standing
+    # registers must agree with the pure-Python build — the max-merge
+    # mergeability that makes batching invisible.
+    import duckdb
+
+    from dariadb_spark.ext.sketches import STREAMING_HLL_REGS_SQL
+    from dariadb_spark.streaming.sketch import streaming_hll_parity
+
+    rows = [
+        tuple(r) for r in streaming_hll_parity(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [
+        tuple(r) for r in con.execute(STREAMING_HLL_REGS_SQL).fetchall()
+    ]
+    con.close()
+    assert rows == oracle and len(rows) > 0
+
+    by_lang: dict = {}
+    for lang, idx, m in rows:
+        by_lang.setdefault(lang, {})[idx] = m
+    assert all(sorted(d) == list(range(16)) for d in by_lang.values())
+
+    # standing state == the pure-Python register build (bigram scope)
+    regs = _hll_python_regs(
+        [x for x in _hll_fixture_items(spark, oracle_sf_dir)
+         if x[0] == "bigram"]
+    )
+    for (scope, lang), m in regs.items():
+        assert [by_lang[lang][i] for i in range(16)] == m, lang
