@@ -85,3 +85,27 @@ def ratio_round_wide_duck(a: str, b: str, d: int) -> str:
         f"(((2 * CAST(({a}) AS HUGEINT) * {p} + ({b}))"
         f" // (2 * ({b}))) / {p}.0)"
     )
+
+
+def ratio_round_signed_wide_spark(a: str, b: str, d: int) -> str:
+    """Spark SQL for HALF_UP(a / b, d) where ``a`` may be NEGATIVE and
+    2·|a|·10^d outgrows int64 (b still > 0, int64): the signed
+    decomposition of :func:`ratio_round_signed_spark` with the wide
+    DECIMAL(38, 0) magnitude of :func:`ratio_round_wide_spark` — the
+    integral quotient must still fit int64 (call-site outputs are
+    human-scale)."""
+    p = 10**d
+    mag = (
+        f"((2 * CAST(abs({a}) AS DECIMAL(38, 0)) * {p} + ({b}))"
+        f" DIV (2 * ({b})))"
+    )
+    return f"((CASE WHEN ({a}) < 0 THEN -{mag} ELSE {mag} END) / {p}.0d)"
+
+
+def ratio_round_signed_wide_duck(a: str, b: str, d: int) -> str:
+    """DuckDB twin of :func:`ratio_round_signed_wide_spark` (HUGEINT)."""
+    p = 10**d
+    mag = (
+        f"((2 * CAST(abs({a}) AS HUGEINT) * {p} + ({b})) // (2 * ({b})))"
+    )
+    return f"((CASE WHEN ({a}) < 0 THEN -{mag} ELSE {mag} END) / {p}.0)"

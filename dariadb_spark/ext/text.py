@@ -691,3 +691,198 @@ register("ext_text_entropy", text_entropy, TEXT_ENTROPY_SQL)
 register("ext_text_redact", text_redact, TEXT_REDACT_SQL)
 register("ext_text_pii_scan", text_pii_scan, TEXT_PII_SCAN_SQL)
 register("ext_text_pii_roundtrip", text_pii_roundtrip, TEXT_PII_ROUNDTRIP_SQL)
+
+
+# --- Zipf rank-frequency profile ------------------------------------------
+# STAGED for the round-12 driver window (the staging every late operator
+# goes through). The classic corpus-health diagnostic: natural text
+# follows Zipf's law (freq ∝ rank^slope with slope ≈ −1); template spam
+# flattens the head (slope → 0) and truncated/boilerplate corpora
+# steepen it. Per language: the least-squares fit of ln(freq) on
+# ln(rank) over the top ZIPF_TOP word frequencies.
+#
+# Exactness: each ln renders once as a 6-dp micro-int (the established
+# round(ln, 6)·1e6 recipe) and the ENTIRE regression then runs in
+# integer arithmetic — Σx, Σy, Σxy, Σx² as int64 sums of exact micro
+# products (x·y ≤ ~6e13 per term, Σ ≤ ~6e15 at ZIPF_TOP = 100), the
+# slope N/D = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) one SIGNED rational rendered
+# HALF_UP via the ext/exact.py signed-WIDE recipe (2·|N|·1e6 crosses
+# int64), and the intercept re-uses the scaled-int slope so no float
+# ever multiplies a float. A float Σxy diverges between engines'
+# accumulation orders — the same failure _doc_nll pinned.
+#
+# Scale shape: one token scan → word counts (map-side combined); the
+# rank window and the regression run over the ZIPF_TOP-row-per-group
+# head only (the per-group top-K pattern). At larger ZIPF_TOP the int64
+# sum bounds take the kilo-unit convention (documented, not silent).
+
+ZIPF_TOP = 100
+
+
+def text_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per language: fitted Zipf slope and intercept over the top-100
+    word ranks, with the rank count and token mass fitted."""
+    from pyspark.sql.window import Window
+
+    from dariadb_spark.ext.exact import (
+        ratio_round_signed_wide_spark as _rrsw_s,
+    )
+
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    freq = (
+        docs.selectExpr("lang", "explode(split(text, ' ')) AS word")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    xy = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ZIPF_TOP)
+        .selectExpr(
+            "lang", "cnt",
+            "CAST(round(round(ln(rank), 6) * 1000000, 0) AS BIGINT) AS x",
+            "CAST(round(round(ln(cnt), 6) * 1000000, 0) AS BIGINT) AS y",
+        )
+    )
+    agg = xy.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        F.sum("cnt").cast("long").alias("fitted_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    num = "(n_ranks * sxy - sx * sy)"
+    den = "(n_ranks * sxx - sx * sx)"
+    s6 = (
+        f"(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * CAST(abs({num}) AS DECIMAL(38, 0)) * 1000000 + {den})"
+        f" DIV (2 * {den})))"
+    )
+    return (
+        agg.where(F.expr(den) > 0)
+        .selectExpr(
+            "lang", "n_ranks", "fitted_tokens", "sy", "sx",
+            f"{s6} AS s6",
+        )
+        .selectExpr(
+            "lang", "n_ranks", "fitted_tokens",
+            "s6 / 1000000.0d AS zipf_slope",
+            _rrsw_s(
+                "(1000000 * sy - s6 * sx)", "(1000000000000 * n_ranks)", 6
+            )
+            + " AS zipf_intercept",
+        )
+        .orderBy("lang")
+    )
+
+
+from dariadb_spark.ext.exact import (  # noqa: E402
+    ratio_round_signed_wide_duck as _rrsw_d,
+)
+
+_ZIPF_NUM = "(n_ranks * sxy - sx * sy)"
+_ZIPF_DEN = "(n_ranks * sxx - sx * sx)"
+_ZIPF_S6_DUCK = (
+    f"(CASE WHEN {_ZIPF_NUM} < 0 THEN -1 ELSE 1 END"
+    f" * ((2 * CAST(abs({_ZIPF_NUM}) AS HUGEINT) * 1000000 + {_ZIPF_DEN})"
+    f" // (2 * {_ZIPF_DEN})))"
+)
+
+TEXT_ZIPF_SQL = f"""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+             FROM documents WHERE text IS NOT NULL),
+freq AS (SELECT lang, word, count(*) AS cnt FROM tok GROUP BY lang, word),
+ranked AS (SELECT lang, cnt,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY cnt DESC, word ASC) AS rank
+           FROM freq),
+xy AS (SELECT lang, cnt,
+              CAST(round(round(ln(rank), 6) * 1000000, 0) AS BIGINT) AS x,
+              CAST(round(round(ln(cnt), 6) * 1000000, 0) AS BIGINT) AS y
+       FROM ranked WHERE rank <= {ZIPF_TOP}),
+agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+               CAST(sum(cnt) AS BIGINT) AS fitted_tokens,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM xy GROUP BY lang),
+fit AS (SELECT lang, n_ranks, fitted_tokens, sx, sy,
+               {_ZIPF_S6_DUCK} AS s6
+        FROM agg WHERE {_ZIPF_DEN} > 0)
+SELECT lang, n_ranks, fitted_tokens,
+       s6 / 1000000.0 AS zipf_slope,
+       {_rrsw_d("(1000000 * sy - s6 * sx)",
+                "(1000000000000 * n_ranks)", 6)} AS zipf_intercept
+FROM fit ORDER BY lang"""
+
+
+# --- distinct-n diversity audit -------------------------------------------
+# STAGED alongside text_zipf (round-12 window candidate). The standard
+# generation/corpus diversity statistic (distinct-n, Li et al. 2016;
+# the self-BLEU alternative that needs no pairwise work): per language,
+# the ratio of DISTINCT n-grams to total n-grams for n = 1, 2, 3 —
+# diversity collapse (template spam, decoding loops) drives the ratios
+# toward 0; every ratio is one exact int/int rational (6-dp HALF_UP).
+# One token scan per n (built linearly by the shifted-slice zip —
+# ext/shingles.py's O(n) form); counts are map-side-combined groupBys.
+
+def text_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per language: total and distinct n-gram counts and distinct-n
+    ratios for n = 1, 2, 3."""
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    w = "split(text, ' ')"
+    grams = {
+        1: f"explode({w})",
+        2: (
+            f"explode(zip_with(slice({w}, 1, size({w}) - 1),"
+            f" slice({w}, 2, size({w}) - 1), (a, b) -> concat(a, ' ', b)))"
+        ),
+        3: (
+            f"explode(zip_with(zip_with(slice({w}, 1, size({w}) - 2),"
+            f" slice({w}, 2, size({w}) - 2), (a, b) -> concat(a, ' ', b)),"
+            f" slice({w}, 3, size({w}) - 2), (p, c) -> concat(p, ' ', c)))"
+        ),
+    }
+    outs = []
+    for n, expr in grams.items():
+        g = (
+            docs.where(F.size(F.split(F.col("text"), " ")) >= n)
+            .selectExpr("lang", f"{expr} AS g")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("total"),
+                F.count_distinct("g").alias("uniq"),
+            )
+            .selectExpr(
+                "lang", f"{n} AS n", "total", "uniq",
+                _rr_s("uniq", "total", 6) + " AS distinct_ratio",
+            )
+        )
+        outs.append(g)
+    out = outs[0]
+    for g in outs[1:]:
+        out = out.unionByName(g)
+    return out.orderBy("lang", "n")
+
+
+TEXT_DIVERSITY_SQL = f"""
+WITH d AS (SELECT lang, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+g1 AS (SELECT lang, unnest(w) AS g FROM d),
+g2 AS (SELECT lang, unnest([w[i] || ' ' || w[i+1]
+                            for i in range(1, len(w))]) AS g
+       FROM d WHERE len(w) >= 2),
+g3 AS (SELECT lang, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS g
+       FROM d WHERE len(w) >= 3),
+u AS (
+  SELECT lang, 1 AS n, count(*) AS total, count(DISTINCT g) AS uniq
+  FROM g1 GROUP BY lang
+  UNION ALL
+  SELECT lang, 2, count(*), count(DISTINCT g) FROM g2 GROUP BY lang
+  UNION ALL
+  SELECT lang, 3, count(*), count(DISTINCT g) FROM g3 GROUP BY lang)
+SELECT lang, n, total, uniq,
+       {_rr_d("uniq", "total", 6)} AS distinct_ratio
+FROM u ORDER BY lang, n"""

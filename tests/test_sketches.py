@@ -2875,3 +2875,129 @@ def test_streaming_hll_matches_batch_with_16_int_state(
     )
     for (scope, lang), m in regs.items():
         assert [by_lang[lang][i] for i in range(16)] == m, lang
+
+
+# --- staged r12: Zipf profile + distinct-n diversity ----------------------
+
+def _zipf_python_replay(docs):
+    """Bit-exact replay of text_zipf over (lang, text) pairs."""
+    import math
+    from collections import Counter
+
+    from dariadb_spark.ext.text import ZIPF_TOP
+
+    freq = {}
+    for lang, text in docs:
+        c = freq.setdefault(lang, Counter())
+        for w in text.split(" "):
+            c[w] += 1
+    rows = []
+    for lang in sorted(freq):
+        ranked = sorted(freq[lang].items(), key=lambda kv: (-kv[1], kv[0]))
+        head = ranked[:ZIPF_TOP]
+        xs = [int(round(round(math.log(r + 1), 6) * 1e6))
+              for r in range(len(head))]
+        ys = [int(round(round(math.log(c), 6) * 1e6)) for _, c in head]
+        n = len(head)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den <= 0:
+            continue
+        s6 = (-1 if num < 0 else 1) * (
+            (2 * abs(num) * 10 ** 6 + den) // (2 * den)
+        )
+        inum = 10 ** 6 * sy - s6 * sx
+        iden = 10 ** 12 * n
+        i6 = (-1 if inum < 0 else 1) * (
+            (2 * abs(inum) * 10 ** 6 + iden) // (2 * iden)
+        )
+        rows.append(
+            (lang, n, sum(c for _, c in head), s6 / 1e6, i6 / 1e6)
+        )
+    return rows
+
+
+def test_text_zipf_parity_replay_and_planted_slope(spark, oracle_sf_dir):
+    import duckdb
+
+    from dariadb_spark.ext.text import TEXT_ZIPF_SQL, text_zipf
+
+    rows = [tuple(r) for r in text_zipf(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(TEXT_ZIPF_SQL).fetchall()]
+    docs = con.execute(
+        "SELECT lang, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    con.close()
+    assert rows == oracle and len(rows) > 0
+    assert rows == _zipf_python_replay(docs)
+
+    # planted-slope recovery via a mocked corpus: one language with an
+    # EXACT power-law head (freq = 6000//rank), one flat (all equal)
+    from unittest import mock
+
+    import dariadb_spark.ext.text as text_mod
+
+    planted = []
+    for r in range(1, 101):
+        planted += [("zipfian", "w%d" % r)] * (6000 // r)
+    planted += [("flat", "u%d" % (i % 100)) for i in range(6000)]
+    pdf = spark.createDataFrame(
+        [(lang, w) for lang, w in planted], "lang string, text string"
+    )
+    with mock.patch.object(
+        text_mod, "load_table", lambda _s, _sf, _n: pdf
+    ):
+        prow = {r.lang: r for r in text_zipf(spark, "ignored").collect()}
+    assert abs(prow["zipfian"].zipf_slope + 1.0) < 0.02
+    assert abs(prow["flat"].zipf_slope) < 0.02
+    # replay the planted result too — the mock corpus is deterministic
+    assert sorted(
+        (r.lang, r.n_ranks, r.fitted_tokens, r.zipf_slope, r.zipf_intercept)
+        for r in prow.values()
+    ) == _zipf_python_replay(planted)
+
+
+def test_text_diversity_parity_replay_and_bounds(spark, oracle_sf_dir):
+    import duckdb
+
+    from dariadb_spark.ext.text import TEXT_DIVERSITY_SQL, text_diversity
+
+    rows = [tuple(r) for r in text_diversity(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(TEXT_DIVERSITY_SQL).fetchall()]
+    docs = con.execute(
+        "SELECT lang, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    con.close()
+    assert rows == oracle and len(rows) > 0
+
+    # definitional replay + the monotone-diversity property: higher-n
+    # grams are strictly more diverse on natural-ish text
+    from collections import Counter
+
+    for lang, n, total, uniq, ratio in rows:
+        grams = Counter()
+        for lg, text in docs:
+            if lg != lang:
+                continue
+            ws = text.split(" ")
+            for i in range(len(ws) - n + 1):
+                grams[" ".join(ws[i: i + n])] += 1
+        assert total == sum(grams.values()) and uniq == len(grams)
+        assert ratio == ((2 * uniq * 10 ** 6 + total) // (2 * total)) / 1e6
+    by_lang: dict = {}
+    for lang, n, _, _, ratio in rows:
+        by_lang.setdefault(lang, {})[n] = ratio
+    for d in by_lang.values():
+        assert d[1] < d[2] < d[3]
