@@ -1039,3 +1039,71 @@ def token_budget_iterate(
             }
         )
     return out
+
+
+# --- deterministic epoch-seeded training-order shuffle --------------------
+# STAGED for the round-12 driver window (the staging every late operator
+# goes through). The PRODUCER of the training order the interleave
+# audit above consumes: multi-epoch training re-shuffles the corpus
+# every epoch, and reproducibility demands the permutation be a pure
+# function of (epoch, doc_id) — no RNG state, no partition-order
+# dependence, resumable from any position. The shuffle key is the
+# 60-bit md5 of 'ord#epoch#doc_id' (the engine-wide h60 — mirrorable in
+# the oracle, decorrelated across epochs by construction), position =
+# rank of key within the epoch.
+#
+# Scale shape: the per-epoch global sort IS the shuffle — a
+# range-partitioned sort on the 60-bit key, exactly what a training
+# data loader needs to write position-ranged shards (shard i = key
+# range i, already sorted; readers stream shards in order and get the
+# global permutation without any coordinator). Epochs are independent
+# plans — materialize them lazily per epoch, not all at once; the
+# EPOCHS=3 fixture output just proves the cross-epoch decorrelation.
+
+SHUF_EPOCHS = 3
+
+
+def train_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """(epoch, position, doc_id, shuffle_key) for EPOCHS independent
+    deterministic permutations of the corpus."""
+    from pyspark.sql import Window
+
+    from dariadb_spark.ext.hashes import _h60_spark
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    key = _h60_spark(
+        "concat('ord#', CAST(epoch AS STRING), '#', CAST(doc_id AS STRING))"
+    )
+    keyed = docs.selectExpr(
+        "doc_id",
+        f"explode(sequence(0, {SHUF_EPOCHS - 1})) AS epoch",
+    ).selectExpr("epoch", "doc_id", f"{key} AS shuffle_key")
+    w = Window.partitionBy("epoch").orderBy(
+        F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.select(
+            "epoch",
+            F.row_number().over(w).cast("long").alias("position"),
+            "doc_id",
+            "shuffle_key",
+        )
+        .orderBy("epoch", "position")
+    )
+
+
+from dariadb_spark.ext.hashes import _h60_duck  # noqa: E402
+
+TRAIN_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         {_h60_duck("concat('ord#', CAST(e.epoch AS VARCHAR), '#',"
+                    " CAST(d.doc_id AS VARCHAR))")} AS shuffle_key
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({SHUF_EPOCHS})) AS epoch) e)
+SELECT epoch,
+       CAST(row_number() OVER (PARTITION BY epoch
+                               ORDER BY shuffle_key ASC, doc_id ASC)
+            AS BIGINT) AS position,
+       doc_id, shuffle_key
+FROM keyed ORDER BY epoch, position"""

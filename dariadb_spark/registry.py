@@ -821,8 +821,9 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # plus ext_unigram_token_stats, ext_dedup_passages,
 # ext_media_caption_align, ext_token_budget_plan, ext_dedup_keep_best,
 # ext_text_kn_lm, ext_sketch_hll_distinct, ext_sketch_hll_union,
-# ext_select_excess_loss, streaming_hll_parity, ext_text_zipf, and
-# ext_text_diversity (staged alongside, same modules pattern),
+# ext_select_excess_loss, streaming_hll_parity, ext_text_zipf,
+# ext_text_diversity, and ext_train_shuffle (staged alongside, same
+# modules pattern),
 # then fill the remainder from the r9-latest block
 # (`attestation_ledger.py --stale 2` run at r12 start gives the exact
 # list; as of r11 the r9-latest block is the fn_all/session-window/

@@ -3001,3 +3001,57 @@ def test_text_diversity_parity_replay_and_bounds(spark, oracle_sf_dir):
         by_lang.setdefault(lang, {})[n] = ratio
     for d in by_lang.values():
         assert d[1] < d[2] < d[3]
+
+
+# --- staged r12: deterministic epoch-seeded training-order shuffle --------
+
+def test_train_shuffle_parity_replay_and_epoch_decorrelation(
+    spark, oracle_sf_dir
+):
+    import hashlib
+
+    import duckdb
+
+    from dariadb_spark.ext.sampling import (
+        SHUF_EPOCHS,
+        TRAIN_SHUFFLE_SQL,
+        train_shuffle,
+    )
+
+    rows = [tuple(r) for r in train_shuffle(spark, oracle_sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(TRAIN_SHUFFLE_SQL).fetchall()]
+    ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+    assert rows == oracle
+
+    # pure-function replay: the permutation is exactly the md5-key sort
+    by_epoch: dict = {}
+    for e, p, d, k in rows:
+        by_epoch.setdefault(e, []).append((p, d, k))
+    assert sorted(by_epoch) == list(range(SHUF_EPOCHS))
+    for e, lst in by_epoch.items():
+        keys = {
+            d: int(
+                hashlib.md5(f"ord#{e}#{d}".encode()).hexdigest()[:15], 16
+            )
+            for d in ids
+        }
+        expect = sorted(ids, key=lambda d: (keys[d], d))
+        got = [d for p, d, k in sorted(lst)]
+        assert got == expect  # permutation AND order replay exactly
+        assert [k for p, d, k in sorted(lst)] == [keys[d] for d in expect]
+        assert sorted(got) == sorted(ids)  # each epoch is a permutation
+
+    # epochs are decorrelated: no two epoch orders agree, and the
+    # fraction of docs holding the same position across epochs is tiny
+    o0 = [d for p, d, k in sorted(by_epoch[0])]
+    o1 = [d for p, d, k in sorted(by_epoch[1])]
+    o2 = [d for p, d, k in sorted(by_epoch[2])]
+    assert o0 != o1 and o1 != o2 and o0 != o2
+    same01 = sum(a == b for a, b in zip(o0, o1))
+    assert same01 < len(o0) * 0.05
