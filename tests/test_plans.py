@@ -462,10 +462,20 @@ def test_no_cartesian_product_in_staged_r12_plans(spark, oracle_sf_dir):
     memoized CC sub-plan while BUILDING the frame, so the staged sweep
     runs at the oracle SF; streaming_quality_gate_parity is excluded
     like every streaming harness.)"""
-    from dariadb_spark.ext.curation import dedup_keep_best, doremi_reweight
+    from dariadb_spark.ext.curation import (
+        dedup_keep_best,
+        doremi_reweight,
+        select_excess_loss,
+        text_kn_lm,
+    )
     from dariadb_spark.ext.dedup import dedup_passages
     from dariadb_spark.ext.multimodal import media_caption_align
-    from dariadb_spark.ext.sampling import token_budget_plan
+    from dariadb_spark.ext.sampling import token_budget_plan, train_shuffle
+    from dariadb_spark.ext.sketches import (
+        sketch_hll_distinct,
+        sketch_hll_union,
+    )
+    from dariadb_spark.ext.text import text_diversity, text_zipf
     from dariadb_spark.ext.tokenizer import unigram_lm, unigram_token_stats
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -480,6 +490,13 @@ def test_no_cartesian_product_in_staged_r12_plans(spark, oracle_sf_dir):
         dedup_keep_best,
         unigram_lm,
         unigram_token_stats,
+        text_kn_lm,
+        select_excess_loss,
+        sketch_hll_distinct,
+        sketch_hll_union,
+        text_zipf,
+        text_diversity,
+        train_shuffle,
     ):
         plan = (
             fn(spark, oracle_sf_dir)
