@@ -1790,3 +1790,33 @@ register("ext_lm_oov_filter", lm_oov_filter, LM_OOV_SQL)
 register("ext_decontaminate", decontaminate, DECONTAMINATE_SQL)
 register("ext_text_gopher_quality", text_gopher_quality, TEXT_GOPHER_QUALITY_SQL)
 register("ext_text_ngram_lm", text_ngram_lm, TEXT_NGRAM_LM_SQL)
+
+
+# round 12: the four curation operators staged through round 11 join the
+# driver-checked surface (parity + stress pytest cases pinned in
+# tests/test_sketches.py since r11; window discipline per registry.py).
+register("ext_doremi_reweight", doremi_reweight, DOREMI_REWEIGHT_SQL)
+register("ext_text_kn_lm", text_kn_lm, TEXT_KN_LM_SQL)
+register("ext_select_excess_loss", select_excess_loss, SELECT_EXCESS_LOSS_SQL)
+
+
+def _register_dedup_keep_best() -> None:
+    """The preprocess-funnel pair pattern: ``_keep_best_sql()`` composes
+    ext.dedup's JACCARD_THRESHOLD, so in the dedup-first import order
+    this bottom runs while dedup is mid-init and must skip; dedup's own
+    bottom retries once its constants exist. Both sites guard on
+    readiness and on not-already-registered, making the pair
+    order-proof."""
+    import sys
+
+    from dariadb_spark.registry import REGISTRY
+
+    if "ext_dedup_keep_best" in REGISTRY:
+        return
+    _dd = sys.modules.get("dariadb_spark.ext.dedup")
+    if _dd is None or not hasattr(_dd, "JACCARD_THRESHOLD"):
+        return  # dedup mid-init: its bottom will register instead
+    register("ext_dedup_keep_best", dedup_keep_best, _keep_best_sql())
+
+
+_register_dedup_keep_best()

@@ -1460,3 +1460,29 @@ def _register_preprocess_funnel() -> None:
 
 
 _register_preprocess_funnel()
+
+
+# round 12: repeated-passage coverage, staged through round 11, joins
+# the driver-checked surface (parity + 150k-doc stress pinned since
+# r11; window discipline per registry.py).
+register("ext_dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL)
+
+
+def _retry_cross_module_registrations() -> None:
+    """dedup-first import order: this module finishes importing LAST
+    (registry's chain imported curation/pipeline fully while this body
+    was mid-init), so the cross-module registrations that skipped at
+    those modules' bottoms retry here. Each helper guards on
+    not-already-registered, making every import order land exactly one
+    registration."""
+    import sys
+
+    _cur = sys.modules.get("dariadb_spark.ext.curation")
+    if _cur is not None and hasattr(_cur, "_register_dedup_keep_best"):
+        _cur._register_dedup_keep_best()
+    _pipe = sys.modules.get("dariadb_spark.ext.pipeline")
+    if _pipe is not None and hasattr(_pipe, "_register_streaming_gate"):
+        _pipe._register_streaming_gate()
+
+
+_retry_cross_module_registrations()

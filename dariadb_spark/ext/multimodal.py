@@ -664,3 +664,8 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, align,
        CAST(CASE WHEN align IS NOT NULL AND align >= {ALIGN_MIN}
             THEN 1 ELSE 0 END AS INT) AS kept
 FROM j ORDER BY doc_id"""
+
+
+# round 12: caption-image alignment, staged through round 11, joins the
+# driver-checked surface (window discipline per registry.py).
+register("ext_media_caption_align", media_caption_align, MEDIA_CAPTION_ALIGN_SQL)

@@ -337,3 +337,82 @@ def _register_preprocess_funnel() -> None:
 
 
 _register_preprocess_funnel()
+
+
+def _quality_gate_sql() -> str:
+    """DuckDB replay of the streaming ingest gate
+    (streaming/gate.py): learn the boilerplate-chunk artifact from the
+    corpus (the dedup_boilerplate definition), then per document emit
+    chunk counts, the HALF_UP 4-dp boilerplate fraction, the scalar
+    quality verdict (funnel constants), and the combined keep decision.
+    Statelessness makes the micro-batching invisible, so the batch
+    replay IS the standing verdict table. Built lazily — composes
+    ext.dedup constants (the _funnel_sql precedent)."""
+    from dariadb_spark.ext.dedup import (
+        BOILER_CHUNK_WORDS,
+        BOILER_MAX_FRAC,
+        BOILER_MIN_DOCS,
+    )
+
+    p = BOILER_CHUNK_WORDS
+    q_pass = (
+        f"d.n_chars >= {FUNNEL_MIN_CHARS}"
+        " AND len(list_filter(string_split(d.text, ' '),"
+        " x -> x = 'a' OR x = 'the'))"
+        " / CAST(len(string_split(d.text, ' ')) AS DOUBLE)"
+        f" <= {FUNNEL_MAX_STOPWORD_RATIO}"
+    )
+    frac_scaled = "((2 * p.n_boiler * 10000 + p.n_chunks) // (2 * p.n_chunks))"
+    return f"""
+WITH w AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+chunks AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i * {p} + 1 : (i + 1) * {p}], ' ')
+                 for i in range(CAST(ceil(len(w) / {p}.0) AS INT))]) AS chunk
+  FROM w),
+boiler AS (SELECT chunk FROM chunks GROUP BY chunk
+           HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+per_doc AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boiler
+  FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
+  GROUP BY c.doc_id)
+SELECT d.doc_id, p.n_chunks, p.n_boiler,
+       {frac_scaled} / 10000.0 AS boiler_frac,
+       CAST({q_pass} AS INT) AS q_pass,
+       CAST({frac_scaled} < {int(BOILER_MAX_FRAC * 10000)}
+            AND {q_pass} AS INT) AS kept
+FROM w d JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id"""
+
+
+def _streaming_quality_gate_parity(spark, sf):
+    # Lazy import: streaming/gate.py is harness-side machinery the
+    # registry never imports at module load.
+    from dariadb_spark.streaming.gate import streaming_quality_gate_parity
+
+    return streaming_quality_gate_parity(spark, sf)
+
+
+def _register_streaming_gate() -> None:
+    """Same pair discipline as _register_preprocess_funnel: the gate
+    oracle composes ext.dedup's boilerplate constants, so in the
+    dedup-first import order this bottom runs mid-dedup-init and must
+    skip; dedup's bottom retries."""
+    import dariadb_spark.ext.dedup as _dd
+    from dariadb_spark.registry import REGISTRY
+
+    if "streaming_quality_gate_parity" in REGISTRY:
+        return
+    if not hasattr(_dd, "BOILER_MIN_DOCS"):
+        return  # dedup mid-init: its bottom will register instead
+    register(
+        "streaming_quality_gate_parity",
+        _streaming_quality_gate_parity,
+        _quality_gate_sql(),
+    )
+
+
+_register_streaming_gate()

@@ -1107,3 +1107,10 @@ SELECT epoch,
             AS BIGINT) AS position,
        doc_id, shuffle_key
 FROM keyed ORDER BY epoch, position"""
+
+
+# round 12: the two sampling operators staged through round 11 join the
+# driver-checked surface (parity + stress pytest cases pinned in
+# tests/test_sketches.py since r11; window discipline per registry.py).
+register("ext_token_budget_plan", token_budget_plan, TOKEN_BUDGET_PLAN_SQL)
+register("ext_train_shuffle", train_shuffle, TRAIN_SHUFFLE_SQL)

@@ -1708,3 +1708,21 @@ it AS (SELECT 'bigram' AS scope, lang,
 {_HLL_REGS_CTE}
 SELECT lang, CAST(idx AS INT) AS idx, CAST(m AS INT) AS m
 FROM dense ORDER BY lang, idx"""
+
+
+def _streaming_hll_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import: streaming/sketch.py is harness-side machinery the
+    # registry never imports at module load; the oracle constant
+    # (STREAMING_HLL_REGS_SQL above) is local to this module.
+    from dariadb_spark.streaming.sketch import streaming_hll_parity
+
+    return streaming_hll_parity(spark, sf)
+
+
+# round 12: the explicit-HLL family staged through round 11 joins the
+# driver-checked surface (parity + mergeability + 20M-occurrence stress
+# pinned in tests/test_sketches.py / bench_stress.py since r11; window
+# discipline per registry.py).
+register("ext_sketch_hll_distinct", sketch_hll_distinct, SKETCH_HLL_DISTINCT_SQL)
+register("ext_sketch_hll_union", sketch_hll_union, SKETCH_HLL_UNION_SQL)
+register("streaming_hll_parity", _streaming_hll_parity, STREAMING_HLL_REGS_SQL)

@@ -886,3 +886,9 @@ u AS (
 SELECT lang, n, total, uniq,
        {_rr_d("uniq", "total", 6)} AS distinct_ratio
 FROM u ORDER BY lang, n"""
+
+
+# round 12: the two text-diversity audits staged through round 11 join
+# the driver-checked surface (window discipline per registry.py).
+register("ext_text_zipf", text_zipf, TEXT_ZIPF_SQL)
+register("ext_text_diversity", text_diversity, TEXT_DIVERSITY_SQL)

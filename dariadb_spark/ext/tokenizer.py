@@ -639,3 +639,9 @@ def learn_unigram(
         .orderBy(F.desc("usage"), F.asc("piece"))
     )
     return [(r.piece, int(r.usage), int(r.logp_mu)) for r in out.collect()]
+
+
+# round 12: the unigram-LM tokenizer pair staged through round 11 joins
+# the driver-checked surface (window discipline per registry.py).
+register("ext_unigram_lm", unigram_lm, UNIGRAM_LM_SQL)
+register("ext_unigram_token_stats", unigram_token_stats, UNIGRAM_TOKEN_STATS_SQL)

@@ -14,7 +14,8 @@ the doc row and the broadcast artifact — so the streaming query needs no
 state store, no watermark, and append output mode; any batching of the
 stream yields the same standing verdict table as the one-shot batch gate
 (the parity claim, pinned in tests/test_streaming_gate.py and replayable
-in the DuckDB oracle ``STREAMING_QUALITY_GATE_SQL``, ext/dedup.py).
+in the DuckDB oracle built by ``_quality_gate_sql()``, ext/pipeline.py —
+registered as ``streaming_quality_gate_parity`` since round 12).
 
 Plan shape per micro-batch: the scalar rules (min chars, stopword
 ratio) are codegen'd column expressions fused into the scan; only the
