@@ -109,3 +109,57 @@ def ratio_round_signed_wide_duck(a: str, b: str, d: int) -> str:
         f"((2 * CAST(abs({a}) AS HUGEINT) * {p} + ({b})) // (2 * ({b})))"
     )
     return f"((CASE WHEN ({a}) < 0 THEN -{mag} ELSE {mag} END) / {p}.0)"
+
+
+# --- self-guarding closure (round 12, VERDICT r11 item 5) ------------------
+# The narrow int64 closure above silently wraps past its ceiling (a
+# ~ 4.6e12 at d=6 — corpus-total token counts around 18 TB of text),
+# and "pre-scale to kilo-units" was a per-call-site convention. The
+# guarded forms below make the swap AUTOMATIC: one branch on the exact
+# ceiling picks the narrow int64 expression (whole-stage-codegen'd
+# integer math, the common case) or the wide DECIMAL(38)/HUGEINT
+# expression (both operands cast wide — correct to ~1e37) per ROW, so a
+# 100 TB run scales cleanly instead of corrupting quotients, with zero
+# cost to fixture-scale plans beyond a constant comparison. Operators
+# whose numerators grow with corpus size (token_budget_plan's epoch and
+# share quotients first) use these; operators with structurally bounded
+# numerators (micro-int scores, percentages) keep the narrow form.
+
+
+def ratio_ceiling(d: int) -> int:
+    """Largest value C such that a, b <= C guarantees the narrow int64
+    closure cannot overflow: 2*a*10^d + b <= C*(2*10^d + 1) <= 2^63-1,
+    and 2*b <= 2^63-1 follows a fortiori."""
+    return (2**63 - 1) // (2 * 10**d + 1)
+
+
+def ratio_round_guarded_spark(a: str, b: str, d: int) -> str:
+    """Spark SQL for HALF_UP(a / b, d) with the AUTOMATIC wide swap:
+    narrow int64 arithmetic inside the ceiling, DECIMAL(38, 0) on both
+    operands beyond it. a >= 0, b > 0 as in the narrow form."""
+    c = ratio_ceiling(d)
+    p = 10**d
+    wide = (
+        f"((2 * CAST(({a}) AS DECIMAL(38, 0)) * {p}"
+        f" + CAST(({b}) AS DECIMAL(38, 0)))"
+        f" DIV (2 * CAST(({b}) AS DECIMAL(38, 0))) / {p}.0d)"
+    )
+    return (
+        f"(CASE WHEN ({a}) <= {c} AND ({b}) <= {c}"
+        f" THEN {ratio_round_spark(a, b, d)} ELSE {wide} END)"
+    )
+
+
+def ratio_round_guarded_duck(a: str, b: str, d: int) -> str:
+    """DuckDB twin of :func:`ratio_round_guarded_spark` (HUGEINT)."""
+    c = ratio_ceiling(d)
+    p = 10**d
+    wide = (
+        f"(((2 * CAST(({a}) AS HUGEINT) * {p}"
+        f" + CAST(({b}) AS HUGEINT))"
+        f" // (2 * CAST(({b}) AS HUGEINT))) / {p}.0)"
+    )
+    return (
+        f"(CASE WHEN ({a}) <= {c} AND ({b}) <= {c}"
+        f" THEN {ratio_round_duck(a, b, d)} ELSE {wide} END)"
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from dariadb_spark.ext.exact import (
     ratio_round_duck as _rr_d,
+    ratio_round_guarded_duck as _rrg_d,
     ratio_round_signed_duck as _rrs_d,
     ratio_round_signed_spark as _rrs_s,
     ratio_round_spark as _rr_s,
@@ -30,8 +31,6 @@ from dariadb_spark.ext.exact import (
     ratio_round_wide_spark as _rrw_s,
 )
 from dariadb_spark.model import load_table
-from dariadb_spark.registry import register
-
 KNUTH = 2654435761
 MOD32 = 1 << 32
 
@@ -800,6 +799,14 @@ FROM plan p LEFT JOIN achieved a ON p.source = a.source
 ORDER BY source"""
 
 
+# The registry import sits HERE, not at the top: registry's import
+# chain re-enters this package (registry -> pipeline -> sampling.KNUTH
+# and friends), so a sampling-first import order must have every name
+# pipeline consumes defined BEFORE the chain starts. All register()
+# calls live below this line (round 12; previously sampling-first
+# imports crashed with a partially-initialized-module ImportError).
+from dariadb_spark.registry import register  # noqa: E402
+
 register("ext_split_train_test", split_train_test, SPLIT_SQL)
 register("ext_sample_reservoir", sample_reservoir, SAMPLE_RESERVOIR_SQL)
 register("ext_sample_temperature", sample_temperature, SAMPLE_TEMPERATURE_SQL)
@@ -839,10 +846,13 @@ register("ext_pack_context", pack_context, PACK_CONTEXT_SQL)
 #
 # Scale shape: ONE corpus token-count aggregate (map-side combined,
 # |sources| rows; the text never shuffles), then window arithmetic over
-# the K-row worksheet — the mixture-plan/DoReMi shape. The int64
-# products E·room bound the EXACT path to ~1e13 tokens (≈ 40 TB of
-# text); past that the planner runs in kilotoken units, a granularity
-# no epoch schedule cares about (documented, not silently truncated).
+# the K-row worksheet — the mixture-plan/DoReMi shape. The epoch and
+# share QUOTIENTS run the self-guarding closure (ext/exact.py, round
+# 12): past the narrow int64 ceiling they swap to DECIMAL(38)/HUGEINT
+# per row automatically. The water-filling pool·room PRODUCTS keep the
+# int64 exact path to ~1e13 tokens (≈ 40 TB of text); past that the
+# redistribution runs in kilotoken units, a granularity no epoch
+# schedule cares about (documented, not silently truncated).
 
 BUDGET_NUM, BUDGET_DEN = 9, 5  # B = ⌊9/5 · total tokens⌋
 BUDGET_MAX_EPOCHS = 2  # per-source repetition ceiling
@@ -908,27 +918,42 @@ def _budget_base(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-#: HALF_UP(a / U, 4) in exact integers.
-_EPOCHS = "((2 * {a} * 10000 + n_tokens) DIV (2 * n_tokens)) / 10000.0d"
-
-
 def token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Per source: unique-token supply, the epoch cap in tokens, the
     uniform base allocation, the allocation after two water-filling
     rounds, its 4-dp epoch count, the capped flag, the 6-dp share of
-    budget, and the terminal unplaced residual (constant per row)."""
+    budget, and the terminal unplaced residual (constant per row).
+
+    The epoch and share quotients run through the SELF-GUARDING closure
+    (ext/exact.py round 12): numerators here are corpus-total token
+    counts, the first operands to cross the narrow int64 ceiling at
+    ~18 TB of text — past it the expressions swap to DECIMAL(38)/
+    HUGEINT per row automatically instead of wrapping (the quotient
+    itself — epochs ≤ 2, share ≤ 1 — always fits)."""
     df = _budget_base(spark, sf)
     df = _budget_round(df, "alloc0", "alloc1")
     df = _budget_round(df, "alloc1", "alloc2")
+    return _budget_verdict(df)
+
+
+def _budget_verdict(df: DataFrame) -> DataFrame:
+    """The plan's output projection over a finished worksheet
+    (source, n_tokens, cap_tokens, alloc0, alloc2, budget, excess) —
+    split out so the ceiling-boundary pytest can drive the SAME guarded
+    expressions on planted beyond-int64-ceiling worksheets."""
+    from dariadb_spark.ext.exact import (
+        ratio_round_guarded_spark as _rrg_s,
+    )
+
     return df.selectExpr(
         "source",
         "n_tokens",
         "cap_tokens",
         "alloc0",
         "alloc2 AS alloc",
-        _EPOCHS.format(a="alloc2") + " AS epochs",
+        _rrg_s("alloc2", "n_tokens", 4) + " AS epochs",
         "CAST(alloc2 = cap_tokens AS INT) AS capped",
-        _rr_s("alloc2", "budget", 6) + " AS budget_share",
+        _rrg_s("alloc2", "budget", 6) + " AS budget_share",
         "excess AS unplaced",
     ).orderBy("source")
 
@@ -974,11 +999,10 @@ b0 AS (
 SELECT b0.source, b0.n_tokens, b0.cap_tokens,
        CAST(b0.a AS BIGINT) AS alloc0,
        CAST(b2.a AS BIGINT) AS alloc,
-       CAST((2 * b2.a * 10000 + b0.n_tokens) // (2 * b0.n_tokens)
-            AS BIGINT) / 10000.0 AS epochs,
+       {_rrg_d("b2.a", "b0.n_tokens", 4)} AS epochs,
        CAST(CASE WHEN b2.a = b0.cap_tokens THEN 1 ELSE 0 END AS INT)
          AS capped,
-       {_rr_d("b2.a", "b0.budget", 6)} AS budget_share,
+       {_rrg_d("b2.a", "b0.budget", 6)} AS budget_share,
        CAST(b2.excess AS BIGINT) AS unplaced
 FROM b0 JOIN b2 USING (source) ORDER BY b0.source"""
 

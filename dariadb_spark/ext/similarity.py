@@ -1546,8 +1546,10 @@ def pq_encode_arrow(emb: DataFrame, codebooks) -> DataFrame:
 
     ``emb``: (vec_id BIGINT, e ARRAY<DOUBLE>); ``codebooks``: M×K×subdim
     array-like with M·subdim == dim(e). Returns (vec_id, c0..c{{M-1}}
-    INT). Ties break to the smaller centroid id (argmin order), the
-    expression encode's rule. Measured in bench_stress
+    INT). Ranking runs on the shared round(d2, 4) grid and ties break
+    to the smaller centroid id (argmin first-occurrence) — the exact
+    contract of the expression encode and the DuckDB oracle, so all
+    three paths agree bit-for-bit. Measured in bench_stress
     (`stress_pq_encode_arrow`): 100% code agreement with the codegen'd
     expression encode on a 10k sample and the faster path above K≈64 —
     the K-crossover is recorded in BASELINE.md."""
@@ -1567,8 +1569,19 @@ def pq_encode_arrow(emb: DataFrame, codebooks) -> DataFrame:
             out = {"vec_id": pdf["vec_id"].to_numpy()}
             for m in range(m_sub):
                 Xm = X[:, m * subdim: (m + 1) * subdim]
-                d = csqw[m][None, :] - 2.0 * (Xm @ Cw[m].T)
-                out[f"c{m}"] = d.argmin(axis=1).astype("int32")
+                # rank on the SAME quantized grid as the expression
+                # encode and the DuckDB oracle — the full d2 clamped at
+                # 0 and HALF_UP-rounded to 4 dp — so near-equidistant
+                # centroids TIE on the grid and argmin's first-occurrence
+                # rule (lowest cid) resolves them identically in all
+                # three paths. Ranking the raw BLAS float instead
+                # diverged at sf0.1 (caught by the round-12 full-scale
+                # oracle sweep): two centroids 1e-6 apart tied in the
+                # oracle but not in the unrounded argmin.
+                ssq = (Xm * Xm).sum(axis=1)
+                d = ssq[:, None] + csqw[m][None, :] - 2.0 * (Xm @ Cw[m].T)
+                d4 = np.floor(np.maximum(d, 0.0) * 10000.0 + 0.5)
+                out[f"c{m}"] = d4.argmin(axis=1).astype("int32")
             yield pd.DataFrame(out)
 
     schema = "vec_id long, " + ", ".join(f"c{m} int" for m in range(m_sub))

@@ -1726,3 +1726,210 @@ def _streaming_hll_parity(spark: SparkSession, sf: str) -> DataFrame:
 register("ext_sketch_hll_distinct", sketch_hll_distinct, SKETCH_HLL_DISTINCT_SQL)
 register("ext_sketch_hll_union", sketch_hll_union, SKETCH_HLL_UNION_SQL)
 register("streaming_hll_parity", _streaming_hll_parity, STREAMING_HLL_REGS_SQL)
+
+
+# --- parameterized HLL: production register counts -------------------------
+# STAGED for the round-13 driver window (VERDICT r11 item 4; the staging
+# every late operator goes through). m = 16 above is deliberately coarse
+# (~26% error keeps the estimator's error path fixture-visible); the
+# 100 TB story wants m = 2^10..2^14 (1.04/sqrt(m) ~ 3.3%..0.8%). This
+# generalizes the WHOLE estimator to any power-of-two m with a published
+# alpha constant: the same 60-bit md5 hash, the low log2(m) bits address
+# the register, rank over the remaining 60-log2(m) bits
+# (rho_max = 61 - log2(m)), ONE exact rational raw estimate
+#   E = alpha_m * m^2 / Z = A_m / (125 * S),  A_m = alpha_num*m^2/8 * 2^rho_max
+# rendered HALF_UP at 4 dp with both operands wide, and an m-entry
+# linear-counting lookup (m * ln(m/V)) shared as the SAME literal CASE
+# by both engines. alpha_num is Flajolet et al. 2007's published
+# thousandths — exact integers, so the rational stays exact:
+#   alpha_16 = 0.673, alpha_32 = 0.697, alpha_64 = 0.709.
+# The generated-CASE recipe is sane to m = 256 (the CASE is m branches of
+# literal text); past that the documented swap is Spark's own
+# approx_count_distinct (HLL++ JVM-side, relativeSD = 1.04/sqrt(m)) with
+# this operator retained as the checkable estimator contract — same
+# register table, same merge algebra, black-box replaced by contract.
+# Regime gate stays integer: raw_scaled <= 2.5*m*10^4 = {25000*m}.
+# m = 16 instantiates to bit-identical expressions as the hand-written
+# constants above (pinned by test_hll_m16_instantiation_matches_legacy).
+
+HLL_ALPHA_NUM = {16: 673, 32: 697, 64: 709}  # alpha_m * 1000, exact
+
+
+def _hll_rho_max(m: int) -> int:
+    return 61 - (m.bit_length() - 1)  # 1 + (60 - log2(m))-bit tail width
+
+
+def _hll_a8(m: int) -> int:
+    # alpha_num * m^2 * 2^rho_max / 8000, the /8-reduced exact numerator
+    return HLL_ALPHA_NUM[m] * m * m // 8 * (2 ** _hll_rho_max(m))
+
+
+def _hll_lc_case_m(m: int) -> str:
+    """m-entry linear-counting literal table m*ln(m/V) at 4 dp — the
+    SAME literal in both engines, so no cross-engine libm in any
+    compared column (the m=16 table above, generated)."""
+    import math
+
+    entries = " ".join(
+        f"WHEN {v} THEN {0.0 if v == m else round(m * math.log(m / v), 4)}"
+        for v in range(1, m + 1)
+    )
+    return f"CASE v_zero {entries} END"
+
+
+def _hll_raw_scaled_m(m: int, cast_ty: str, div_op: str) -> str:
+    """HALF_UP(A_m / (125*S), 4) * 10^4 — the _hll_raw_scaled template
+    at any supported m. The BIGINT cast of the quotient is safe
+    whenever v_zero >= 1 (S >= 2^rho_max caps the quotient at
+    2*A_m*10^4 / (125*2^rho_max) = alpha_num*m^2*20 < 2^63 for every
+    supported m) or any register saw a small rank — the documented
+    non-degenerate-sketch caveat."""
+    a = f"CAST({_hll_a8(m)} AS {cast_ty})"
+    s = f"CAST(s_harm AS {cast_ty})"
+    return f"((2 * {a} * 10000 + 125 * {s}) {div_op} (250 * {s}))"
+
+
+def _hll_est_cols_m(m: int, engine: str) -> list:
+    raw = (
+        _hll_raw_scaled_m(m, "DECIMAL(38, 0)", "DIV")
+        if engine == "spark"
+        else _hll_raw_scaled_m(m, "HUGEINT", "//")
+    )
+    d = "d" if engine == "spark" else ""
+    thr = 25000 * m  # 2.5*m on the 1e4 grid
+    lc = _hll_lc_case_m(m)
+    tmpl = (
+        "CAST({RAW} AS BIGINT) AS raw_scaled",
+        f"CASE WHEN v_zero > 0 AND {{RAW}} <= {thr} THEN 'lc' ELSE 'raw' END"
+        " AS regime",
+        f"CASE WHEN v_zero > 0 AND {{RAW}} <= {thr} THEN {lc}"
+        f" ELSE CAST({{RAW}} AS BIGINT) / 10000.0{d} END AS hll_est",
+    )
+    return [t.replace("{RAW}", raw) for t in tmpl]
+
+
+def _hll_registers_m(items: DataFrame, m: int) -> DataFrame:
+    """(scope, lang, idx 0..m-1, m) dense register table — the
+    _hll_registers build at any supported m (no distinct, max absorbs
+    duplicates, map-side combine to <= m rows per group)."""
+    rho_max = _hll_rho_max(m)
+    sparse = (
+        items.selectExpr("scope", "lang", f"{_h60_spark('item')} AS h")
+        .selectExpr(
+            "scope", "lang",
+            f"CAST(h % {m} AS INT) AS idx",
+            f"h DIV {m} AS w",
+        )
+        .selectExpr(
+            "scope", "lang", "idx",
+            f"CASE WHEN w = 0 THEN {rho_max}"
+            f" ELSE {rho_max} - length(bin(w)) END AS rho",
+        )
+        .groupBy("scope", "lang", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    groups = items.select("scope", "lang").distinct()
+    return (
+        groups.selectExpr(
+            "scope", "lang", f"explode(sequence(0, {m - 1})) AS idx"
+        )
+        .join(sparse, ["scope", "lang", "idx"], "left")
+        .selectExpr("scope", "lang", "idx", "coalesce(m, 0) AS m")
+    )
+
+
+def sketch_hll_m(spark: SparkSession, sf: str, m: int) -> DataFrame:
+    """sketch_hll_distinct at a chosen register count — same schema,
+    same scopes, the estimator error shrinking as 1.04/sqrt(m)."""
+    rho_max = _hll_rho_max(m)
+    items = _hll_items(spark, sf)
+    agg = (
+        _hll_registers_m(items, m)
+        .groupBy("scope", "lang")
+        .agg(
+            F.expr(
+                f"CAST(sum(shiftleft(1L, {rho_max} - m)) AS BIGINT)"
+            ).alias("s_harm"),
+            F.expr(
+                "CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT)"
+            ).alias("v_zero"),
+        )
+    )
+    exact = (
+        items.distinct()
+        .groupBy("scope", "lang")
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    raw_scaled, regime, est = _hll_est_cols_m(m, "spark")
+    return (
+        exact.join(agg, ["scope", "lang"])
+        .selectExpr(
+            "scope", "lang", "exact_distinct", "v_zero", "s_harm",
+            raw_scaled, regime, est,
+        )
+        .selectExpr(
+            "scope", "lang", "exact_distinct", "v_zero", "s_harm",
+            "regime", "hll_est",
+            _rr_s(
+                "abs(CAST(round(hll_est * 10000, 0) AS BIGINT)"
+                " - 10000 * exact_distinct)",
+                "100 * exact_distinct", 2,
+            )
+            + " AS rel_err_pct",
+        )
+        .orderBy("scope", "lang")
+    )
+
+
+def sketch_hll_m64(spark: SparkSession, sf: str) -> DataFrame:
+    """The m=64 production-direction variant (STAGED r13)."""
+    return sketch_hll_m(spark, sf, 64)
+
+
+def _hll_regs_cte_m(m: int) -> str:
+    rho_max = _hll_rho_max(m)
+    return f"""
+hh AS (SELECT scope, lang, {_h60_duck('item')} AS h FROM it),
+iw AS (SELECT scope, lang, CAST(h % {m} AS INT) AS idx,
+              h // {m} AS w
+       FROM hh),
+sparse AS (SELECT scope, lang, idx,
+                  max(CASE WHEN w = 0 THEN {rho_max}
+                      ELSE {rho_max} - length(bin(w)) END) AS m
+           FROM iw GROUP BY scope, lang, idx),
+grp AS (SELECT DISTINCT scope, lang FROM it),
+dense AS (SELECT g.scope, g.lang, i.idx, coalesce(s.m, 0) AS m
+          FROM grp g
+          CROSS JOIN (SELECT unnest(range({m})) AS idx) i
+          LEFT JOIN sparse s
+            ON s.scope = g.scope AND s.lang = g.lang AND s.idx = i.idx)"""
+
+
+def _hll_distinct_sql_m(m: int) -> str:
+    rho_max = _hll_rho_max(m)
+    raw_scaled, regime, est = _hll_est_cols_m(m, "duck")
+    return f"""
+WITH {_HLL_ITEMS_CTE},
+{_hll_regs_cte_m(m)},
+agg AS (SELECT scope, lang,
+               CAST(sum(1::BIGINT << ({rho_max} - m)) AS BIGINT)
+                 AS s_harm,
+               CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT)
+                 AS v_zero
+        FROM dense GROUP BY scope, lang),
+exact AS (SELECT scope, lang, count(DISTINCT item) AS exact_distinct
+          FROM it GROUP BY scope, lang),
+est AS (SELECT e.scope AS scope, e.lang AS lang,
+               e.exact_distinct AS exact_distinct,
+               a.v_zero AS v_zero, a.s_harm AS s_harm,
+               {raw_scaled}, {regime}, {est}
+        FROM exact e JOIN agg a
+          ON e.scope = a.scope AND e.lang = a.lang)
+SELECT scope, lang, exact_distinct, v_zero, s_harm, regime, hll_est,
+       {_rr_d("abs(CAST(round(hll_est * 10000, 0) AS BIGINT)"
+              " - 10000 * exact_distinct)", "100 * exact_distinct", 2)}
+         AS rel_err_pct
+FROM est ORDER BY scope, lang"""
+
+
+SKETCH_HLL_M64_SQL = _hll_distinct_sql_m(64)

@@ -1,0 +1,137 @@
+"""The self-guarding HALF_UP closure (ext/exact.py, round 12 — VERDICT
+r11 item 5): the narrow int64 form silently wraps past its ceiling; the
+guarded form must swap to DECIMAL(38)/HUGEINT per row EXACTLY at that
+ceiling, agree across engines, and carry token_budget_plan's output
+expressions cleanly through corpus sizes the narrow form corrupts.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dariadb_spark.ext.exact import (
+    ratio_ceiling,
+    ratio_round_duck,
+    ratio_round_guarded_duck,
+    ratio_round_guarded_spark,
+    ratio_round_spark,
+)
+
+
+def _half_up_two_step(a: int, b: int, d: int) -> float:
+    """The reference BOTH engines compute: the exact integer quotient on
+    the 10^d grid, converted to double, then divided by double 10^d —
+    two IEEE roundings, identical op sequence in Spark and DuckDB."""
+    q = (2 * a * 10**d + b) // (2 * b)
+    return float(q) / float(10**d)
+
+
+@pytest.mark.parametrize("d", [4, 6])
+def test_guarded_closure_exact_at_the_ceiling(spark, d):
+    """At C the narrow branch runs; at C+1 and far beyond, the wide
+    branch — all rows exact vs the two-step reference in BOTH engines,
+    across the boundary with no gap."""
+    c = ratio_ceiling(d)
+    cases = [
+        (c - 1, 3), (c, 3), (c + 1, 3), (c + 12345, 7),
+        (10 * c, 11), (c, c), (c + 1, c + 1), (4 * c, 2 * c + 1),
+    ]
+    for a, b in cases:
+        gs = ratio_round_guarded_spark(str(a), str(b), d)
+        sv = spark.sql(f"SELECT {gs} AS v").collect()[0].v
+        gd = ratio_round_guarded_duck(str(a), str(b), d)
+        dv = duckdb.sql(f"SELECT {gd} AS v").fetchone()[0]
+        ref = _half_up_two_step(a, b, d)
+        assert sv == dv == ref, (a, b, d, sv, dv, ref)
+
+
+def test_narrow_form_overflows_loudly_past_ceiling_spark(spark):
+    """Documents the hazard the guard removes: past the true overflow
+    point (the guard's ceiling is deliberately a shade conservative),
+    Spark's narrow int64 form dies with ARITHMETIC_OVERFLOW (ANSI mode,
+    the Spark 4 default — a 100 TB run FAILS rather than corrupting;
+    with ANSI off it would wrap silently) while the guarded form keeps
+    computing exactly."""
+    from pyspark.errors import ArithmeticException
+    from py4j.protocol import Py4JJavaError
+
+    d = 6
+    a, b = 10**13, 3  # 2*a*10^6 = 2e19 > 2^63-1
+    with pytest.raises((ArithmeticException, Py4JJavaError)):
+        spark.sql(
+            f"SELECT {ratio_round_spark(str(a), str(b), d)} AS v"
+        ).collect()
+    guarded = spark.sql(
+        f"SELECT {ratio_round_guarded_spark(str(a), str(b), d)} AS v"
+    ).collect()[0].v
+    assert guarded == _half_up_two_step(a, b, d)
+
+
+def test_narrow_duck_is_widened_by_hugeint_not_wrapped():
+    """DuckDB's BIGINT arithmetic overflows LOUDLY (OutOfRange), never
+    silently — the oracle side needs the guard for ENGINE AGREEMENT on
+    which branch computes, not for wrap protection."""
+    d = 6
+    a, b = 10**13, 3  # 2*a*10^6 = 2e19 > 2^63-1
+    with pytest.raises(duckdb.OutOfRangeException):
+        duckdb.sql(
+            "SELECT "
+            + ratio_round_duck(f"CAST({a} AS BIGINT)", str(b), d)
+            + " AS v"
+        ).fetchone()
+
+
+def test_token_budget_verdict_on_beyond_ceiling_worksheet(spark):
+    """The operator-level claim (VERDICT r11 'one operator exercising
+    the auto-scaled path'): token_budget_plan's output projection over
+    a planted worksheet whose token totals sit PAST the narrow int64
+    ceiling (a ~1e15-token source ≈ 4 PB of text) — epochs and
+    budget_share come out exact against pure-Python integer replay,
+    and the same worksheet replays identically in DuckDB through the
+    registered oracle's guarded expressions."""
+    from dariadb_spark.ext.exact import ratio_round_guarded_duck as _rrg_d
+    from dariadb_spark.ext.sampling import _budget_verdict
+
+    rows = [
+        # (source, n_tokens, cap_tokens, alloc0, alloc2, budget, excess)
+        ("huge", 10**15, 2 * 10**15, 9 * 10**14, 13 * 10**14 + 7,
+         18 * 10**14, 0),
+        ("big", 5 * 10**12, 10**13, 45 * 10**11, 9 * 10**12 + 3,
+         18 * 10**14, 0),
+        ("small", 10**6, 2 * 10**6, 9 * 10**5, 15 * 10**5,
+         18 * 10**14, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source string, n_tokens long, cap_tokens long, alloc0 long,"
+        " alloc2 long, budget long, excess long",
+    )
+    got = {r.source: r for r in _budget_verdict(df).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE w (source VARCHAR, n_tokens BIGINT,"
+        " cap_tokens BIGINT, alloc0 BIGINT, alloc2 BIGINT,"
+        " budget BIGINT, excess BIGINT)"
+    )
+    con.executemany("INSERT INTO w VALUES (?, ?, ?, ?, ?, ?, ?)", rows)
+    oracle = {
+        r[0]: r
+        for r in con.execute(
+            f"""SELECT source, n_tokens, cap_tokens, alloc0,
+                       alloc2 AS alloc,
+                       {_rrg_d('alloc2', 'n_tokens', 4)} AS epochs,
+                       CAST(alloc2 = cap_tokens AS INT) AS capped,
+                       {_rrg_d('alloc2', 'budget', 6)} AS budget_share,
+                       excess AS unplaced
+                FROM w ORDER BY source"""
+        ).fetchall()
+    }
+    for source, n_tokens, _cap, _a0, alloc2, budget, _x in rows:
+        ref_epochs = _half_up_two_step(alloc2, n_tokens, 4)
+        ref_share = _half_up_two_step(alloc2, budget, 6)
+        g = got[source]
+        assert (g.epochs, g.budget_share) == (ref_epochs, ref_share), source
+        o = oracle[source]
+        assert (o[5], o[7]) == (ref_epochs, ref_share), source
+        assert tuple(g) == tuple(o), source

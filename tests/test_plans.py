@@ -499,48 +499,20 @@ def test_coverage_md_matches_registry():
     assert problems == [], problems
 
 
-def test_no_cartesian_product_in_staged_r12_plans(spark, oracle_sf_dir):
-    """The round-11 staged operators get the same physical-plan sweep
-    as the registered surface BEFORE their r12 registration — a
-    CartesianProduct is never acceptable. (dedup_keep_best executes its
-    memoized CC sub-plan while BUILDING the frame, so the staged sweep
-    runs at the oracle SF; streaming_quality_gate_parity is excluded
-    like every streaming harness.)"""
-    from dariadb_spark.ext.curation import (
-        dedup_keep_best,
-        doremi_reweight,
-        select_excess_loss,
-        text_kn_lm,
-    )
-    from dariadb_spark.ext.dedup import dedup_passages
-    from dariadb_spark.ext.multimodal import media_caption_align
-    from dariadb_spark.ext.sampling import token_budget_plan, train_shuffle
-    from dariadb_spark.ext.sketches import (
-        sketch_hll_distinct,
-        sketch_hll_union,
-    )
-    from dariadb_spark.ext.text import text_diversity, text_zipf
-    from dariadb_spark.ext.tokenizer import unigram_lm, unigram_token_stats
+def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
+    """The round-12 staged operators get the same physical-plan sweep
+    as the registered surface BEFORE their r13 registration — a
+    CartesianProduct is never acceptable. (The 16 round-11-staged
+    operators registered in r12 and are now covered by the registered
+    sweep above.)"""
+    from dariadb_spark.ext.sketches import sketch_hll_m64
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     offenders = []
     for fn in (
-        dedup_passages,
-        media_caption_align,
-        token_budget_plan,
-        doremi_reweight,
-        dedup_keep_best,
-        unigram_lm,
-        unigram_token_stats,
-        text_kn_lm,
-        select_excess_loss,
-        sketch_hll_distinct,
-        sketch_hll_union,
-        text_zipf,
-        text_diversity,
-        train_shuffle,
+        sketch_hll_m64,
     ):
         plan = (
             fn(spark, oracle_sf_dir)
