@@ -2456,6 +2456,7 @@ def main() -> None:
     drm_s, drm_docs, drm_excess, drm_alpha = stress_doremi(spark)
     uni_s, uni_docs, uni_ratio = stress_unigram(spark)
     pas_s, pas_docs, pas_planted = stress_passages(spark)
+    aud_s, aud_docs, aud_exact, aud_noisy = stress_audio_dedup(spark)
     cal_s, cal_pairs, cal_planted = stress_caption_align(spark)
     bud_s, bud_docs, bud_capped = stress_token_budget(spark)
     dsir_s, dsir_docs, dsir_kept, dsir_maxb = stress_dsir(spark)
@@ -2505,6 +2506,7 @@ def main() -> None:
                     "doremi_reweight_240k_docs": round(drm_s, 4),
                     "unigram_lm_200k_docs": round(uni_s, 4),
                     "passages_150k_docs": round(pas_s, 4),
+                    "audio_dedup_150k_docs": round(aud_s, 4),
                     "caption_align_150k_pairs": round(cal_s, 4),
                     "token_budget_1m_docs": round(bud_s, 4),
                     "hll_onepass_20m_occ": round(hll_s, 4),
@@ -2554,6 +2556,8 @@ def main() -> None:
                 "calibrate_global_rate_spread": calib_spread,
                 "calibrate_calibrated_rate": calib_rate,
                 "pq_ingest_rows": pqi_rows,
+                "audio_exact_clones_found": aud_exact,
+                "audio_noisy_clones_found": aud_noisy,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -2584,3 +2588,67 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+AUDIO_STRESS_DOCS = 150_000
+
+
+def stress_audio_dedup(spark) -> tuple[float, int, int, int]:
+    """The staged audio near-dup signature (ext/multimodal.py
+    media_audio_dedup) above fixture size: 150k docs → 50k audio rows of
+    200 "samples" each (10M exploded sample rows through the 61-frame
+    energy groupBy). 500 planted trios on the audio residue class: an
+    exact clone pair (Hamming 0 — every one must surface) and a
+    "re-encoded" clone with 5 of 200 words perturbed (energy-delta
+    signature damage is measured, the found count pinned exactly —
+    deterministic corpus). Unrelated docs must produce zero pairs:
+    every surfaced pair must be within a planted trio.
+
+    Scale shape executed: explode → ONE map-side-combined groupBy with
+    61 codegen'd conditional sums → banded self-join on (doc_id, 8-byte
+    fp) — payload text never shuffles, candidates bounded by the
+    4·n²/2^15 chunk math."""
+    from unittest import mock
+
+    import dariadb_spark.ext.multimodal as mm
+    from dariadb_spark.ext.multimodal import media_audio_dedup
+
+    docs = spark.range(AUDIO_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 1 AND id % 300 IN (1, 4, 7) THEN "
+        "array_join(transform(sequence(0, 199), k -> "
+        "CASE WHEN id % 300 = 7 AND k % 40 = 0 "
+        "THEN concat('n', id DIV 300, 'k', k) "
+        "ELSE concat('p', id DIV 300, 'w', "
+        "CAST((k * 7919 + (id DIV 300) * 104729) % 50000 AS INT)) END), ' ') "
+        "ELSE array_join(transform(sequence(0, 199), k -> "
+        "concat('u', id, 'x', k)), ' ') END AS text",
+    )
+    t0 = time.perf_counter()
+    with mock.patch.object(mm, "load_table", lambda _s, _sf, _n: docs):
+        pairs = {
+            (int(r.doc_a), int(r.doc_b)): int(r.hamming)
+            for r in media_audio_dedup(spark, "ignored").collect()
+        }
+    audio_s = time.perf_counter() - t0
+
+    groups = AUDIO_STRESS_DOCS // 300
+    exact_found = sum(
+        1 for g in range(groups) if pairs.get((300 * g + 1, 300 * g + 4)) == 0
+    )
+    assert exact_found == groups, (exact_found, groups)
+    noisy_found = sum(
+        1
+        for g in range(groups)
+        for pair in ((300 * g + 1, 300 * g + 7), (300 * g + 4, 300 * g + 7))
+        if pair in pairs
+    )
+    # deterministic corpus -> the damaged-clone recall is a constant:
+    # 920/1000 noisy pairs stay within Hamming 3 of their original
+    assert noisy_found == 920, noisy_found
+    # no pair may cross trio lines (zero false positives at 50k docs)
+    for a, b in pairs:
+        assert a // 300 == b // 300 and {a % 300, b % 300} <= {1, 4, 7}, (
+            a, b,
+        )
+    return audio_s, AUDIO_STRESS_DOCS, exact_found, noisy_found

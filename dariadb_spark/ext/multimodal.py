@@ -544,8 +544,12 @@ register("ext_media_keyframes", media_keyframes, MEDIA_KEYFRAMES_SQL)
 # 1:1 with doc_id — the ingest convention a real pair table would carry);
 # the TEXT tower is honestly stubbed as deterministic feature hashing
 # (signed bag-of-words into ALIGN_DIM buckets, the DSIR hashing recipe
-# densified) — clearly marked; swap in a real encoder by replacing
-# `_text_vec_spark`'s expression with a model-backed Pandas UDF. All the
+# densified) — clearly marked; swap in a real encoder EITHER by
+# replacing `_text_vec_spark`'s expression with a model-backed Pandas
+# UDF, OR (the production seam, round 12) by writing the encoder's
+# batch output to the TEXT_VECTOR_ARTIFACT_DDL parquet contract and
+# running `media_caption_align_from_table` — the identical plan tail
+# (_align_verdicts) either way. All the
 # Spark-side plumbing the filter needs — per-doc dense text vector as a
 # scan-stage projection, norm precompute, the doc⋈embedding equi-join,
 # the rounded cosine, the threshold gate — is real and oracle-checked.
@@ -592,27 +596,18 @@ def _text_vec_spark() -> str:
     )
 
 
-def media_caption_align(spark: SparkSession, sf: str) -> DataFrame:
-    """Per (caption, image) pair: word count, the rounded 4-dp cosine
-    between the hashed-BoW caption vector and the image embedding, and
-    the keep verdict at ALIGN_MIN. Pairs whose caption vector is
-    all-zero (hash signs cancelled) carry NULL align and kept = 0."""
-    docs = load_table(spark, sf, "documents").where("text IS NOT NULL")
-    tv = docs.selectExpr(
-        "doc_id",
-        "size(split(text, ' ')) AS n_words",
-        f"{_text_vec_spark()} AS t",
-    ).selectExpr(
+def _align_verdicts(tv: DataFrame, emb: DataFrame) -> DataFrame:
+    """The alignment plan downstream of the text tower: norm the
+    caption vectors, equi-join image embeddings on doc_id, emit the
+    rounded 4-dp cosine and the ALIGN_MIN keep verdict. Shared verbatim
+    by the hashing-stub query and the artifact-table variant — the
+    model-backed swap seam (VERDICT r11 item 6): any text encoder that
+    lands (doc_id, n_words, t) reaches the identical physical tail."""
+    tv = tv.selectExpr(
         "doc_id",
         "n_words",
         "t",
         f"sqrt({_ALIGN_DOT.format(a='t', b='t')}) AS tnorm",
-    )
-    emb = load_table(spark, sf, "embeddings").selectExpr(
-        "vec_id AS doc_id",
-        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
-    ).selectExpr(
-        "doc_id", "e", f"sqrt({_ALIGN_DOT.format(a='e', b='e')}) AS enorm"
     )
     dot = _ALIGN_DOT.format(a="t", b="e")
     return (
@@ -632,6 +627,55 @@ def media_caption_align(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _align_image_side(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").selectExpr(
+        "vec_id AS doc_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
+    )
+    return emb.selectExpr(
+        "doc_id", "e", f"sqrt({_ALIGN_DOT.format(a='e', b='e')}) AS enorm"
+    )
+
+
+def media_caption_align(spark: SparkSession, sf: str) -> DataFrame:
+    """Per (caption, image) pair: word count, the rounded 4-dp cosine
+    between the hashed-BoW caption vector and the image embedding, and
+    the keep verdict at ALIGN_MIN. Pairs whose caption vector is
+    all-zero (hash signs cancelled) carry NULL align and kept = 0."""
+    docs = load_table(spark, sf, "documents").where("text IS NOT NULL")
+    tv = docs.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_words",
+        f"{_text_vec_spark()} AS t",
+    )
+    return _align_verdicts(tv, _align_image_side(spark, sf))
+
+
+#: the text-vector ARTIFACT TABLE contract (the model-backed swap seam):
+#: a parquet directory of rows (doc_id BIGINT, n_words BIGINT,
+#: t ARRAY<DOUBLE>) — doc_id keyed 1:1 with the pair table like the
+#: PQ/SemDeDup family's (vec_id, e) convention, n_words carried from
+#: the encoder's tokenizer, t the text-tower output at any width
+#: (cosine is width-agnostic; it need not match ALIGN_DIM).
+TEXT_VECTOR_ARTIFACT_DDL = (
+    "doc_id BIGINT, n_words BIGINT, t ARRAY<DOUBLE>"
+)
+
+
+def media_caption_align_from_table(
+    spark: SparkSession, sf: str, artifact_dir: str
+) -> DataFrame:
+    """The production form of :func:`media_caption_align`: caption
+    vectors come from a persisted artifact table (a real text encoder's
+    batch output — see TEXT_VECTOR_ARTIFACT_DDL) instead of the hashing
+    stub; everything downstream of the tower is the SAME plan
+    (_align_verdicts), so swapping the encoder changes zero alignment
+    code. Pinned equivalent to the stub query when the artifact holds
+    the stub's own vectors (tests/test_sketches.py)."""
+    tv = spark.read.schema(TEXT_VECTOR_ARTIFACT_DDL).parquet(artifact_dir)
+    return _align_verdicts(tv, _align_image_side(spark, sf))
 
 
 MEDIA_CAPTION_ALIGN_SQL = f"""
@@ -669,3 +713,135 @@ FROM j ORDER BY doc_id"""
 # round 12: caption-image alignment, staged through round 11, joins the
 # driver-checked surface (window discipline per registry.py).
 register("ext_media_caption_align", media_caption_align, MEDIA_CAPTION_ALIGN_SQL)
+
+
+# --- audio near-duplicate signatures ---------------------------------------
+# STAGED for the round-13 driver window (VERDICT r11 item 7 — the last
+# multimodal family member; the staging every late operator goes
+# through). The public recipe: chromaprint/AcoustID-style audio
+# fingerprinting — frame the waveform, measure per-frame energy, keep
+# only the SIGN of the energy delta between consecutive frames (robust
+# to gain/re-encode), and match fingerprints by banded Hamming distance.
+# This is `ext_media_phash_dedup`'s recipe on a 1-D signal.
+#
+# The waveform "decode" is the same honest stub policy as decode_media:
+# the audio rows of media_table (doc_id % 3 = 1) project their payload
+# content onto AUDIO_AMP-quantized samples (one md5 per word — a real
+# PCM decoder swaps in at the _audio_signatures sample boundary, the
+# plan downstream unchanged). Everything is integer-exact: samples
+# < 2^10, per-frame energies < 2^44 at 16M-word payloads, the delta
+# signature is pure comparisons — no float anywhere, so the oracle is
+# trivially bit-identical.
+#
+# Scale shape (the phash math verbatim): the signature build is
+# explode → ONE groupBy(doc_id) with AUDIO_FRAMES codegen'd
+# conditional sums (map-side combined; payloads never shuffle) ending
+# in an Exchange, so the banded self-join's two sides share one build
+# via ReusedExchange; candidates ≈ n²/2^15 per chunk, each join side
+# carrying only (doc_id, 8-byte fp). Banding is complete for
+# Hamming ≤ AUDIO_MAX_HAMMING (4 chunks, ≤ 3 flips leave one intact).
+
+AUDIO_FRAMES = 61  # 60 delta bits
+AUDIO_AMP = 1024  # sample quantization (10-bit "PCM")
+AUDIO_CHUNKS = 4
+AUDIO_CHUNK_BITS = 15
+AUDIO_MAX_HAMMING = 3
+
+
+def _audio_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — the 60-bit energy-delta signature over the audio
+    rows. Sample boundary: a real decoder replaces the md5 projection
+    with PCM frames; frame/energy/delta plumbing is the contract."""
+    n_f = AUDIO_FRAMES
+    samples = (
+        docs.where(f"doc_id % 3 = 1 AND text IS NOT NULL")
+        .selectExpr("doc_id", "split(text, ' ') AS ws")
+        .selectExpr("doc_id", "size(ws) AS n", "posexplode(ws) AS (pos, w)")
+        .selectExpr(
+            "doc_id",
+            f"CAST((pos * {n_f}) DIV n AS INT) AS f",
+            f"CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"
+            f" % {AUDIO_AMP} AS s",
+        )
+    )
+    frame_aggs = [
+        F.sum(F.expr(f"IF(f = {q}, s * s, 0L)")).alias(f"e{q}")
+        for q in range(n_f)
+    ]
+    fp = "(" + " + ".join(
+        f"IF(e{q + 1} > e{q}, {1 << q}L, 0L)" for q in range(n_f - 1)
+    ) + ")"
+    return (
+        samples.groupBy("doc_id")
+        .agg(*frame_aggs)
+        .selectExpr("doc_id", f"{fp} AS fp")
+    )
+
+
+def media_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-duplicate pairs: stub waveform → 61-frame energy
+    profile → 60-bit delta-sign signature → banded chunk join →
+    exact bit_count(xor) verify at Hamming ≤ {AUDIO_MAX_HAMMING}."""
+    fps = _audio_signatures(load_table(spark, sf, "documents"))
+    chunks = fps.selectExpr(
+        "doc_id", "fp", f"explode(sequence(0, {AUDIO_CHUNKS - 1})) AS ci"
+    ).selectExpr(
+        "doc_id", "fp", "ci",
+        f"shiftright(fp, ci * {AUDIO_CHUNK_BITS}) "
+        f"& {(1 << AUDIO_CHUNK_BITS) - 1} AS cv",
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .selectExpr(
+            "a.doc_id AS doc_a", "b.doc_id AS doc_b",
+            "a.fp AS fp_a", "b.fp AS fp_b",
+        )
+        .distinct()
+    )
+    return (
+        cand.selectExpr(
+            "doc_a", "doc_b",
+            "CAST(bit_count(fp_a ^ fp_b) AS BIGINT) AS hamming",
+        )
+        .where(F.col("hamming") <= AUDIO_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MEDIA_AUDIO_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+sm AS (SELECT doc_id, len(w) AS n,
+              [CAST('0x' || substr(md5(w0), 1, 15) AS BIGINT)
+               % {AUDIO_AMP} for w0 in w] AS s
+       FROM t),
+en AS (SELECT doc_id,
+              [coalesce(list_sum(
+                 [s[i + 1] * s[i + 1] for i in range(0, n)
+                  if (i * {AUDIO_FRAMES}) // n = f]), 0)
+               for f in range(0, {AUDIO_FRAMES})] AS e
+       FROM sm),
+fp AS (SELECT doc_id,
+              list_sum(list_transform(range(0, {AUDIO_FRAMES - 1}),
+                q -> CASE WHEN e[q + 2] > e[q + 1]
+                          THEN (CAST(1 AS BIGINT) << q)
+                          ELSE CAST(0 AS BIGINT) END)) AS fp
+       FROM en),
+ch AS (SELECT doc_id, fp, ci,
+              (fp >> (ci * {AUDIO_CHUNK_BITS}))
+              & {(1 << AUDIO_CHUNK_BITS) - 1} AS cv
+       FROM fp, (SELECT unnest(range({AUDIO_CHUNKS})) AS ci)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.fp AS fp_a, b.fp AS fp_b
+         FROM ch a JOIN ch b
+           ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {AUDIO_MAX_HAMMING}
+ORDER BY doc_a, doc_b"""

@@ -840,9 +840,11 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # ext_text_lang_histogram, ext_text_langid, ext_text_ngram_lm,
 # ext_text_quality, ext_text_tfidf, ext_text_token_stats,
 # ext_text_word_freq, ext_time_weighted_avg.
-# r13 plan, pre-computed: LEAD with those 32, plus any round-12-staged
-# operators once registered (the audio-signature family — see
-# ext/multimodal.py), then fill from the r10-latest block oldest-first.
+# r13 plan, pre-computed: LEAD with those 32, plus the round-12-staged
+# operators once registered (ext_media_audio_dedup — the chromaprint-
+# style audio near-dup, ext/multimodal.py; ext_sketch_hll_m64 — the
+# production-register-count HLL variant, ext/sketches.py), then fill
+# from the r10-latest block oldest-first.
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [

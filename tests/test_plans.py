@@ -505,6 +505,7 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
     CartesianProduct is never acceptable. (The 16 round-11-staged
     operators registered in r12 and are now covered by the registered
     sweep above.)"""
+    from dariadb_spark.ext.multimodal import media_audio_dedup
     from dariadb_spark.ext.sketches import sketch_hll_m64
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -513,6 +514,7 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
     offenders = []
     for fn in (
         sketch_hll_m64,
+        media_audio_dedup,
     ):
         plan = (
             fn(spark, oracle_sf_dir)

@@ -3141,3 +3141,128 @@ def test_hll_m64_parity_replay_and_error_improvement(spark, oracle_sf_dir):
     assert sum(err64) / len(err64) < sum(err16) / len(err16)
     # and the m=64 raw errors sit inside 3 sigma = 3 * 104 / sqrt(64)%
     assert all(e <= 3 * 104 / 8 for e in err64)
+
+
+def test_caption_align_artifact_table_seam(spark, oracle_sf_dir, tmp_path):
+    """The model-backed swap seam (VERDICT r11 item 6): feeding a
+    synthetic text-vector artifact table through
+    media_caption_align_from_table reaches the SAME plan tail as the
+    registered stub query. Pinned two ways: (1) an artifact holding the
+    stub's own hashed vectors reproduces the registered output
+    byte-for-byte; (2) hand-planted vectors (a perfectly aligned copy
+    of the image embedding, an anti-aligned negation, a zero vector)
+    get exactly the verdicts the alignment contract promises."""
+    from dariadb_spark.ext.multimodal import (
+        TEXT_VECTOR_ARTIFACT_DDL,
+        _text_vec_spark,
+        media_caption_align,
+        media_caption_align_from_table,
+    )
+    from dariadb_spark.model import load_table
+
+    # (1) artifact == stub vectors → identical output
+    docs = load_table(spark, oracle_sf_dir, "documents").where(
+        "text IS NOT NULL"
+    )
+    stub_dir = str(tmp_path / "stub_vectors")
+    docs.selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        f"{_text_vec_spark()} AS t",
+    ).write.parquet(stub_dir)
+    via_table = [
+        tuple(r)
+        for r in media_caption_align_from_table(
+            spark, oracle_sf_dir, stub_dir
+        ).collect()
+    ]
+    direct = [
+        tuple(r)
+        for r in media_caption_align(spark, oracle_sf_dir).collect()
+    ]
+    assert via_table == direct and len(direct) > 0
+
+    # (2) planted vectors at encoder-native width (copy / negation /
+    # zero of the image embedding) → align 1.0 / -1.0 / NULL
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, oracle_sf_dir, "embeddings")
+        .where("vec_id < 3")
+        .collect()
+    }
+    planted = [
+        (0, 5, emb[0]),                      # aligned copy
+        (1, 5, [-x for x in emb[1]]),        # anti-aligned
+        (2, 5, [0.0] * len(emb[2])),         # zero → NULL align
+    ]
+    art_dir = str(tmp_path / "planted_vectors")
+    spark.createDataFrame(planted, TEXT_VECTOR_ARTIFACT_DDL).write.parquet(
+        art_dir
+    )
+    got = {
+        r.doc_id: r
+        for r in media_caption_align_from_table(
+            spark, oracle_sf_dir, art_dir
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0].align == 1.0 and got[0].kept == 1
+    assert got[1].align == -1.0 and got[1].kept == 0
+    assert got[2].align is None and got[2].kept == 0
+
+
+def test_media_audio_dedup_parity_and_planted_clones(
+    spark, oracle_sf_dir, tmp_path
+):
+    """Staged r13 audio near-dup (the phash recipe on a 1-D signal):
+    DuckDB hash parity at the oracle SF, then a planted corpus — exact
+    clones land at Hamming 0, a lightly "re-encoded" clone (a few words
+    perturbed) stays under the threshold, and unrelated audio does not
+    pair."""
+    from dariadb_spark.ext.multimodal import (
+        AUDIO_MAX_HAMMING,
+        MEDIA_AUDIO_DEDUP_SQL,
+        media_audio_dedup,
+    )
+    from tests.parity import duckdb_connection
+
+    got = [
+        tuple(r) for r in media_audio_dedup(spark, oracle_sf_dir).collect()
+    ]
+    con = duckdb_connection(oracle_sf_dir)
+    oracle = [
+        tuple(r) for r in con.execute(MEDIA_AUDIO_DEDUP_SQL).fetchall()
+    ]
+    assert got == oracle
+    assert len(got) > 0  # the fixture carries real audio-row clones
+
+    # planted corpus: ids ≡ 1 (mod 3) are the audio rows
+    import random
+
+    rng = random.Random(7)
+    base = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    noisy = list(base)
+    for k in range(0, 400, 80):  # perturb 5 words of 400
+        noisy[k] = f"x{k}"
+    other = [f"u{rng.randrange(10_000)}" for _ in range(400)]
+    rows = [
+        (1, " ".join(base), "en", "a", 1),     # original
+        (4, " ".join(base), "en", "a", 1),     # exact clone
+        (7, " ".join(noisy), "en", "a", 1),    # re-encoded clone
+        (10, " ".join(other), "en", "a", 1),   # unrelated audio
+        (2, " ".join(base), "en", "a", 1),     # same text, NOT audio row
+    ]
+    d = str(tmp_path / "audio_docs")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in media_audio_dedup(spark, d).collect()
+    }
+    assert pairs[(1, 4)] == 0  # exact clone
+    assert (1, 7) in pairs and pairs[(1, 7)] <= AUDIO_MAX_HAMMING
+    assert all(10 not in p for p in pairs)  # unrelated never pairs
+    assert all(2 not in p for p in pairs)  # non-audio rows excluded
