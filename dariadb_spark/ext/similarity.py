@@ -1670,3 +1670,91 @@ register(
     _streaming_pq_ingest_parity,
     STREAMING_PQ_CODES_SQL,
 )
+
+
+# --- LSH recall evaluation --------------------------------------------------
+# STAGED for the round-13 driver window (the staging every late operator
+# goes through). ann_recall_pq closed the eval loop for the PQ index;
+# this is the same loop for the LSH path — the recall@k a deployment
+# monitors when it tunes tables/planes/bucket width. Composition shape
+# identical to ann_recall_pq: the exact top-k baseline is the 5-query
+# broadcast nested loop (query-count-sized, never corpus²), the LSH side
+# IS the registered sim_ann_lsh pipeline, and recall joins two
+# TOP_K·|queries|-row sets. Inherits sim_ann_lsh's one caveat (a
+# hyperplane dot within ~1e-16 of zero could sign-flip between numpy
+# and DuckDB — probability ~1e-8 on this fixture; everything else is
+# exact).
+
+
+def ann_recall_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Per query: exact-top-k size, how many of those the LSH index
+    returned in ITS top-k, and recall@k."""
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id").isin(QUERY_VEC_IDS)).selectExpr(
+        "vec_id AS q_id", "e AS qe", "norm AS qnorm"
+    )
+    dot = _DOT.format(a="qe", b="e")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        q.crossJoin(emb)
+        .where("vec_id != q_id")
+        .selectExpr(
+            "q_id", "vec_id", f"round({dot} / (qnorm * norm), 4) AS cos_sim"
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(f"rk <= {TOP_K}")
+        .select("q_id", "vec_id")
+    )
+    lsh = sim_ann_lsh(spark, sf).select("q_id", "vec_id")
+    hits = (
+        exact.join(lsh, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "k",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("k"), 4
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# the recall oracle reuses SIM_ANN_LSH_SQL's whole CTE chain verbatim
+# (everything above its final SELECT), then adds the exact baseline and
+# the recall join — one source of truth for the LSH pipeline text.
+_LSH_RANKED_CTES = SIM_ANN_LSH_SQL.rsplit(
+    "SELECT q_id, vec_id, cos_sim, rk FROM ranked", 1
+)[0].rstrip().rstrip(",")
+
+ANN_RECALL_LSH_SQL = f"""{_LSH_RANKED_CTES},
+lshk AS (SELECT q_id, vec_id FROM ranked WHERE rk <= {TOP_K}),
+qv AS (SELECT vec_id AS q_id, e, norm FROM n
+       WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})),
+ex0 AS (SELECT qv.q_id, n.vec_id,
+               round(list_dot_product(qv.e, n.e) / (qv.norm * n.norm), 4)
+                 AS cos_sim
+        FROM qv CROSS JOIN n WHERE n.vec_id != qv.q_id),
+exr AS (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM ex0),
+exk AS (SELECT q_id, vec_id FROM exr WHERE rk <= {TOP_K}),
+hits AS (SELECT e.q_id, count(*) AS n_hits
+         FROM exk e JOIN lshk l ON e.q_id = l.q_id AND e.vec_id = l.vec_id
+         GROUP BY e.q_id)
+SELECT e.q_id, count(*) AS k,
+       CAST(coalesce(min(h.n_hits), 0) AS BIGINT) AS n_hits,
+       round(coalesce(min(h.n_hits), 0) / CAST(count(*) AS DOUBLE), 4)
+         AS recall
+FROM exk e LEFT JOIN hits h ON e.q_id = h.q_id
+GROUP BY e.q_id ORDER BY e.q_id"""

@@ -843,8 +843,10 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # r13 plan, pre-computed: LEAD with those 32, plus the round-12-staged
 # operators once registered (ext_media_audio_dedup — the chromaprint-
 # style audio near-dup, ext/multimodal.py; ext_sketch_hll_m64 — the
-# production-register-count HLL variant, ext/sketches.py), then fill
-# from the r10-latest block oldest-first.
+# production-register-count HLL variant, ext/sketches.py;
+# ext_ann_recall_lsh — the LSH recall@k eval, ext/similarity.py), then
+# fill from the r10-latest block oldest-first
+# (`tools/attestation_ledger.py --plan 50` computes the exact list).
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [

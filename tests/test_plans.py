@@ -506,6 +506,7 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
     operators registered in r12 and are now covered by the registered
     sweep above.)"""
     from dariadb_spark.ext.multimodal import media_audio_dedup
+    from dariadb_spark.ext.similarity import ann_recall_lsh
     from dariadb_spark.ext.sketches import sketch_hll_m64
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -515,6 +516,7 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
     for fn in (
         sketch_hll_m64,
         media_audio_dedup,
+        ann_recall_lsh,
     ):
         plan = (
             fn(spark, oracle_sf_dir)

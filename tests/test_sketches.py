@@ -3266,3 +3266,44 @@ def test_media_audio_dedup_parity_and_planted_clones(
     assert (1, 7) in pairs and pairs[(1, 7)] <= AUDIO_MAX_HAMMING
     assert all(10 not in p for p in pairs)  # unrelated never pairs
     assert all(2 not in p for p in pairs)  # non-audio rows excluded
+
+
+def test_ann_recall_lsh_parity_and_contract(spark, oracle_sf_dir):
+    """Staged r13 LSH recall eval: DuckDB hash parity (the oracle
+    reuses SIM_ANN_LSH_SQL's CTE chain verbatim, so the two pipelines
+    cannot drift apart), one row per query vector, k = TOP_K, n_hits
+    consistent with recall, and the measured recall matching a direct
+    set intersection of the two registered queries' outputs."""
+    from dariadb_spark.ext.similarity import (
+        ANN_RECALL_LSH_SQL,
+        QUERY_VEC_IDS,
+        TOP_K,
+        ann_recall_lsh,
+        sim_ann_lsh,
+        sim_topk_cosine,
+    )
+    from tests.parity import duckdb_connection
+
+    rows = [tuple(r) for r in ann_recall_lsh(spark, oracle_sf_dir).collect()]
+    con = duckdb_connection(oracle_sf_dir)
+    oracle = [tuple(r) for r in con.execute(ANN_RECALL_LSH_SQL).fetchall()]
+    assert rows == oracle
+    assert [r[0] for r in rows] == QUERY_VEC_IDS
+    for _q, k, n_hits, recall in rows:
+        assert k == TOP_K and 0 <= n_hits <= k
+        assert recall == round(n_hits / k, 4)
+
+    # definitional replay against the two registered queries
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim_topk_cosine(spark, oracle_sf_dir).collect()
+    }
+    lsh = {
+        (r.q_id, r.vec_id)
+        for r in sim_ann_lsh(spark, oracle_sf_dir).collect()
+    }
+    by_q = {q: n for q, _k, n, _r in rows}
+    for q in QUERY_VEC_IDS:
+        want = len({p for p in exact if p[0] == q}
+                   & {p for p in lsh if p[0] == q})
+        assert by_q[q] == want, q
