@@ -844,7 +844,9 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # operators once registered (ext_media_audio_dedup — the chromaprint-
 # style audio near-dup, ext/multimodal.py; ext_sketch_hll_m64 — the
 # production-register-count HLL variant, ext/sketches.py;
-# ext_ann_recall_lsh — the LSH recall@k eval, ext/similarity.py), then
+# ext_ann_recall_lsh — the LSH recall@k eval, ext/similarity.py;
+# streaming_exact_dedup_parity — Spark's native dropDuplicates state
+# store, streaming/dedup.py, oracle local to that module), then
 # fill from the r10-latest block oldest-first
 # (`tools/attestation_ledger.py --plan 50` computes the exact list).
 # Everything outside the window is still value-checked locally by

@@ -1,0 +1,112 @@
+"""Streaming exact deduplication of a DOCUMENT corpus at ingest —
+Spark's native ``dropDuplicates`` state store keyed by the 60-bit
+content hash. The measurement-stream twin
+(``streaming/subscribe.py streaming_dedup_exact``, registered as
+``streaming_dedup_parity``) dedups replayed WAL rows by their full
+(id, time, value, flag) identity; THIS operator is the LLM-pipeline
+member of the family — the ingest gate that keys on derived text
+content, the streaming half of ``ext_dedup_exact``.
+
+STAGED for the round-13 driver window (the staging every late operator
+goes through). Arriving documents are keyed by their 60-bit content
+hash and duplicates are dropped in-flight, so the corpus lands
+already-exact-deduped (``ext_dedup_incremental`` is the batch
+backstop). The standing
+output is ORDER-FREE by construction — only deterministic functions of
+the text itself (content hash, char length) are emitted, so which
+physical duplicate row survived is invisible and any micro-batching of
+the stream lands on exactly the batch DISTINCT (the parity claim; the
+DuckDB oracle is ``STREAMING_EXACT_DEDUP_SQL`` below).
+
+At 100 TB: unwatermarked streaming dedup state grows with the distinct
+corpus — the production configuration is
+``dropDuplicatesWithinWatermark`` (bounded state, dedups within the
+late-data horizon — correct when duplicates arrive close together,
+e.g. crawler re-fetches) with the batch incremental pass
+(``ext_dedup_incremental``) as the global backstop; state is RocksDB-
+backed. The operator and plan are identical either way — this parity
+pins the unbounded-exact semantics the backstop must reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+_DOC_DDL = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+#: DuckDB replay: the standing deduped table is the batch DISTINCT of
+#: the same deterministic projections (order-free, so batching is
+#: invisible).
+STREAMING_EXACT_DEDUP_SQL = """
+SELECT DISTINCT
+       CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h,
+       length(text) AS n_chars
+FROM documents WHERE text IS NOT NULL ORDER BY h"""
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    query_name: str = "exact_dedup",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Dedup a document stream at ingest (availableNow here; a
+    production ingest runs unbounded, writing survivors onward)."""
+    reader = (
+        spark.readStream.schema(_DOC_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir).where("text IS NOT NULL")
+    deduped = docs.selectExpr(
+        "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) AS h",
+        "length(text) AS n_chars",
+    ).dropDuplicates(["h"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_exact_dedup_parity(spark: SparkSession, sf_dir: str):
+    """Driver-visible ingest-dedup parity (the gate/PQ staging
+    pattern): land the corpus in TWO parquet drops — duplicates
+    deliberately SPLIT across drops so cross-micro-batch state is what
+    dedups them — fold one file per micro-batch, and return the
+    standing survivor table. Oracle = batch DISTINCT of the same
+    projections."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.model import load_table
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("text IS NOT NULL")
+    base = tempfile.mkdtemp(prefix="dariadb_sdedup_")
+    data_dir = f"{base}/docs"
+    qname = "exact_dedup_" + base.rsplit("_", 1)[-1]
+    try:
+        docs.where("doc_id % 2 = 0").write.parquet(data_dir)
+        docs.where("doc_id % 2 = 1").write.mode("append").parquet(data_dir)
+        with parity_stream_partitions(spark):
+            q = streaming_exact_dedup(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        survivors = spark.table(qname).orderBy("h")
+        return localize_and_cleanup(spark, survivors, base, qname)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise

@@ -135,3 +135,63 @@ def test_token_budget_verdict_on_beyond_ceiling_worksheet(spark):
         o = oracle[source]
         assert (o[5], o[7]) == (ref_epochs, ref_share), source
         assert tuple(g) == tuple(o), source
+
+
+def test_guarded_closure_batched_fuzz(spark):
+    """300 deterministic (a, b, d) cases straddling the ceiling —
+    magnitudes from 1 to 1e18 — evaluated as COLUMNS in one DataFrame
+    pass per engine (exercising codegen, not constant folding), against
+    the exact-integer two-step reference."""
+    import random
+
+    import duckdb
+
+    from dariadb_spark.ext.exact import (
+        ratio_round_guarded_duck,
+        ratio_round_guarded_spark,
+    )
+
+    rng = random.Random(12)
+    cases = []
+    for _ in range(300):
+        mag_a = 10 ** rng.randrange(0, 19)
+        mag_b = 10 ** rng.randrange(0, 13)
+        a = rng.randrange(1, mag_a + 1)
+        b = rng.randrange(1, mag_b + 1)
+        # keep the scaled quotient inside int64 (the documented output
+        # contract): a/b * 10^d <= ~9.2e18
+        d = rng.choice([2, 4, 6])
+        if a // b > (2**63 - 1) // (2 * 10**d):
+            a = b * rng.randrange(1, 10**6)
+        cases.append((a, b, d))
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _d) in enumerate(cases)],
+        "i long, a long, b long",
+    )
+    # one column per distinct d, compared per row by its case's d
+    by_d: dict[int, list[int]] = {}
+    for i, (_a, _b, d) in enumerate(cases):
+        by_d.setdefault(d, []).append(i)
+    sel = ["i", "a", "b"] + [
+        ratio_round_guarded_spark("a", "b", d) + f" AS v{d}" for d in by_d
+    ]
+    got = {r.i: r for r in df.selectExpr(*sel).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i BIGINT, a BIGINT, b BIGINT)")
+    con.executemany(
+        "INSERT INTO c VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b, _d) in enumerate(cases)],
+    )
+    dsel = "SELECT i, " + ", ".join(
+        ratio_round_guarded_duck("a", "b", d) + f" AS v{d}" for d in by_d
+    ) + " FROM c ORDER BY i"
+    duck = {r[0]: r for r in con.execute(dsel).fetchall()}
+    dpos = {d: k + 1 for k, d in enumerate(by_d)}
+
+    for i, (a, b, d) in enumerate(cases):
+        ref = float((2 * a * 10**d + b) // (2 * b)) / float(10**d)
+        sv = got[i][f"v{d}"]
+        dv = duck[i][dpos[d]]
+        assert sv == dv == ref, (i, a, b, d, sv, dv, ref)
