@@ -2477,6 +2477,7 @@ def main() -> None:
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
     hll_s, hll_n, hll_rel, hll_rel64 = stress_hll_onepass(spark)
     exl_s, exl_n, exl_ma, exl_mb = stress_excess_loss(spark)
+    lttb_s, sax_s, lttb_buckets, sax_rows = stress_lttb_sax(spark)
     print(
         json.dumps(
             {
@@ -2521,6 +2522,8 @@ def main() -> None:
                     "train_lr_12step_200k": round(lr_s, 4),
                     "store_read_precompact_1m2": round(cp_pre, 4),
                     "store_read_postcompact_1m2": round(cp_post, 4),
+                    "lttb_downsample_20m": round(lttb_s, 4),
+                    "sax_motifs_10m": round(sax_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2558,6 +2561,8 @@ def main() -> None:
                 "pq_ingest_rows": pqi_rows,
                 "audio_exact_clones_found": aud_exact,
                 "audio_noisy_clones_found": aud_noisy,
+                "lttb_stress_buckets": lttb_buckets,
+                "sax_stress_motif_rows": sax_rows,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -2652,3 +2657,78 @@ def stress_audio_dedup(spark) -> tuple[float, int, int, int]:
             a, b,
         )
     return audio_s, AUDIO_STRESS_DOCS, exact_found, noisy_found
+
+
+LTOB_STRESS_ROWS = 20_000_000
+LTOB_STRESS_SERIES = 200
+SAX_STRESS_ROWS = 10_000_000
+SAX_STRESS_SERIES = 200
+
+
+def stress_lttb_sax(spark) -> tuple[float, float, int, int]:
+    """The two staged r13 time-series shape operators above fixture size,
+    with planted structure asserted exactly.
+
+    LTOB: 20M rows / 200 series (100k one-minute samples each), flat
+    baseline with a deterministic 0.01-grid ripple plus one 50.00 spike
+    per 60-sample hour bucket. Every emitted point must be a spike — the
+    ripple's triangle areas (≤ a few cents·ms) can never outscore the
+    4000-cent spike. Verifies the argmax survives 100k-points-per-series
+    window state and that output is exactly series × buckets.
+
+    SAX: 10M rows / 200 series square-waving 10.00/30.00 by hour frame
+    (plus one constant series that must vanish). z = ±1 exactly, so the
+    motif vocabulary is {ada, dad} and per-series counts are exact:
+    (frames − 2) words split ceil/floor between the two.
+    """
+    from dariadb_spark.ext.timeseries import downsample_lttb_op, series_sax_op
+
+    hour = 3_600_000
+    per = LTOB_STRESS_ROWS // LTOB_STRESS_SERIES
+    meas = spark.range(LTOB_STRESS_ROWS).selectExpr(
+        f"id % {LTOB_STRESS_SERIES} AS id",
+        f"(id DIV {LTOB_STRESS_SERIES}) * 60000 AS time",
+        "CASE WHEN (id DIV 200) % 60 = 7 THEN 50.0 "
+        "ELSE 10.0 + (id % 7) * 0.01 END AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    out = downsample_lttb_op(
+        meas, None, 0, per * 60_000, hour, 0
+    )
+    n_buckets, n_nonspike = out.selectExpr(
+        "count(*) AS n", "sum(CASE WHEN value != 50.0 THEN 1 ELSE 0 END) AS bad"
+    ).collect()[0]
+    lttb_s = time.perf_counter() - t0
+    assert n_buckets == LTOB_STRESS_SERIES * -(-per // 60), n_buckets
+    assert n_nonspike == 0, n_nonspike
+
+    perf = SAX_STRESS_ROWS // SAX_STRESS_SERIES  # frames per series
+    sq = spark.range(SAX_STRESS_ROWS).selectExpr(
+        f"id % {SAX_STRESS_SERIES} AS id",
+        f"(id DIV {SAX_STRESS_SERIES}) * {hour} AS time",
+        f"CASE WHEN (id DIV {SAX_STRESS_SERIES}) % 2 = 0 "
+        "THEN 10.0 ELSE 30.0 END AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    const = spark.range(perf).selectExpr(
+        f"CAST({SAX_STRESS_SERIES} AS BIGINT) AS id",
+        f"id * {hour} AS time",
+        "42.0 AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = series_sax_op(
+        sq.unionAll(const), None, 0, perf * hour, hour, 0
+    ).collect()
+    sax_s = time.perf_counter() - t0
+    by = {}
+    for r in rows:
+        by.setdefault(r.id, {})[r.word] = r.cnt
+    assert len(by) == SAX_STRESS_SERIES  # the constant series dropped
+    want = perf - 2
+    for sid, words in by.items():
+        assert set(words) == {"ada", "dad"}, (sid, words)
+        assert words["ada"] + words["dad"] == want
+        assert abs(words["ada"] - words["dad"]) <= 1
+    return lttb_s, sax_s, int(n_buckets), len(rows)

@@ -1117,3 +1117,244 @@ register("ext_interpolate", interpolate, INTERPOLATE_SQL)
 register("ext_histogram", value_histogram, HISTOGRAM_SQL)
 register("ext_range_context", range_context, RANGE_CONTEXT_SQL)
 register("ext_session_window", session_window_agg, SESSION_WINDOW_SQL)
+
+
+# --- largest-triangle downsampling (LTOB) ----------------------------------
+# STAGED for the round-13 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation so it is driver-attested
+# from day one).
+
+LTOB_BUCKET_MS = 7_200_000  # 2 h buckets → ≤ ~180 output points/series
+
+
+def downsample_lttb_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    width_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Largest-triangle downsampling for visualization (Steinarsson 2013,
+    "Downsampling Time Series for Visual Representation" — the LTOB
+    one-bucket variant, §4.2): per fixed-width bucket keep the point
+    forming the largest triangle with its immediate time-order
+    neighbours, i.e. the visually most significant sample. The LTTB
+    variant's bucket-mean anchor makes the pick *recursive* across
+    buckets (each choice depends on the previous bucket's chosen point);
+    LTOB's fixed-neighbour anchor keeps the operator embarrassingly
+    parallel per series — the property that matters on a 1000-executor
+    cluster — at a visual quality the thesis measures as near-identical.
+
+    Exact cross-engine arithmetic: time is int64 ms and values sit on the
+    fixture's 2-decimal grid, so with y = round(100·value) the doubled
+    triangle area ``|(x_prev−x_next)(y−y_prev) − (x_prev−x)(y_next−y_prev)|``
+    is pure BIGINT (|Δx| ≤ interval ≈ 1.3e9, |Δy| ≤ ~5e4 → ≪ 2^63). No
+    float enters the pick at all. Series edge points (no lag/lead
+    neighbour) score −1, so a bucket holding only the series' first/last
+    sample still emits it deterministically.
+
+    Plan shape: one window shuffle on ``id`` (the storage clustering key
+    → shuffle-free after a bucketed write) computes both neighbours and
+    the per-(id, bucket) argmax; nothing else moves.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    w = Window.partitionBy("id").orderBy("time", "value", "flag")
+    y = F.round(F.col("value") * 100).cast("long")
+    nb = base.select(
+        "id",
+        "time",
+        "value",
+        "flag",
+        y.alias("y"),
+        F.lag("time").over(w).alias("xp"),
+        F.lag(y).over(w).alias("yp"),
+        F.lead("time").over(w).alias("xn"),
+        F.lead(y).over(w).alias("yn"),
+    )
+    area2 = F.coalesce(
+        F.abs(
+            (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+            - (F.col("xp") - F.col("time")) * (F.col("yn") - F.col("yp"))
+        ),
+        F.lit(-1).cast("long"),
+    )
+    scored = nb.select(
+        "id",
+        floor_bucket(F.col("time"), width_ms).alias("t_bucket"),
+        "time",
+        "value",
+        "flag",
+        area2.alias("area2"),
+    )
+    pick = Window.partitionBy("id", "t_bucket").orderBy(
+        F.col("area2").desc(),
+        F.col("time").asc(),
+        F.col("value").asc(),
+        F.col("flag").asc(),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("id", "t_bucket", "time", "value", "area2")
+        .orderBy("id", "t_bucket")
+    )
+
+
+def downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r13 window (see :func:`downsample_lttb_op`)."""
+    return downsample_lttb_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, LTOB_BUCKET_MS, 0
+    )
+
+
+DOWNSAMPLE_LTTB_SQL = f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, time, value, flag,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+nb AS (SELECT id, time, value, flag, y,
+              lag(time) OVER w AS xp, lag(y) OVER w AS yp,
+              lead(time) OVER w AS xn, lead(y) OVER w AS yn
+       FROM pts
+       WINDOW w AS (PARTITION BY id ORDER BY time, value, flag)),
+scored AS (
+  SELECT id, {floor_bucket_sql('time', LTOB_BUCKET_MS)} AS t_bucket,
+         time, value, flag,
+         coalesce(abs((xp - xn) * (y - yp) - (xp - time) * (yn - yp)),
+                  -1) AS area2
+  FROM nb),
+pick AS (
+  SELECT id, t_bucket, time, value, area2,
+         row_number() OVER (PARTITION BY id, t_bucket
+                            ORDER BY area2 DESC, time ASC, value ASC,
+                                     flag ASC) AS rn
+  FROM scored)
+SELECT id, t_bucket, time, value, area2
+FROM pick WHERE rn = 1 ORDER BY id, t_bucket"""
+
+
+# --- SAX symbolization + motif counts ---------------------------------------
+# STAGED for the round-13 driver window (same staging discipline as above).
+
+SAX_FRAME_MS = 3_600_000  # 1 h PAA frames
+SAX_WORD_LEN = 3  # 3-frame SAX words
+# N(0,1) quartile breakpoints → 4-symbol alphabet a..d (Lin et al. 2003,
+# table 3, a = 4).
+SAX_BREAK = 0.6745
+
+
+def series_sax_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    frame_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """SAX motif profile (Lin, Keogh, Lonardi & Chiu 2003, "A Symbolic
+    Representation of Time Series"): PAA-average each series over fixed
+    frames, z-normalize against the series' own mean/σ, quantize to a
+    4-symbol alphabet at the N(0,1) quartile breakpoints, and count the
+    3-symbol words — the classic motif/novelty profile a TSDB user runs
+    to find recurring shapes. Words are formed over consecutive
+    *populated* frames in time order (empty frames are skipped, the
+    standard practical simplification for sparse series; documented
+    contract, both engines identical).
+
+    Cross-engine exactness: all accumulations are int64 (cents and
+    squared cents), so mean/σ/PAA derive from identical integers through
+    identical single float expressions — IEEE ops on identical doubles
+    are deterministic, no accumulation-order noise exists anywhere. The
+    only float comparisons are z vs ±0.6745/0, on identically-computed
+    doubles. Σy² ≤ n·2.4e9 — int64-safe past 10⁹ samples/series.
+    Zero-variance (constant) series are dropped — they carry no shape
+    information and their z would be 0/0, whose float semantics differ
+    across engines (Spark NaN vs DuckDB's version-dependent NULL/NaN).
+
+    Plan: one shuffle to (id, frame) partial aggregates, one broadcast
+    join of the K-row per-series moments, one window on id for the word
+    chain, one count shuffle. No float until after aggregation.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    y = F.round(F.col("value") * 100).cast("long")
+    pts = base.select("id", "time", y.alias("y"))
+    frames = pts.groupBy(
+        "id", floor_bucket(F.col("time"), frame_ms).alias("frame")
+    ).agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
+    moments = pts.groupBy("id").agg(
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+        F.count("*").alias("n"),
+    )
+    # var = Q/n − (S/n)² on identical int64 inputs → identical doubles
+    sig = F.sqrt(
+        F.col("q") / F.col("n")
+        - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+    )
+    z = (F.col("fs") / F.col("fn") - F.col("s") / F.col("n")) / F.col("sig")
+    sym = (
+        F.when(z < -SAX_BREAK, "a")
+        .when(z < 0, "b")
+        .when(z < SAX_BREAK, "c")
+        .otherwise("d")
+    )
+    w = Window.partitionBy("id").orderBy("frame")
+    worded = (
+        frames.join(F.broadcast(moments.withColumn("sig", sig)), "id")
+        .where(F.col("sig") > 0)
+        .select("id", "frame", sym.alias("sym"))
+        .select(
+            "id",
+            "frame",
+            F.concat(
+                "sym",
+                F.lead("sym", 1).over(w),
+                F.lead("sym", 2).over(w),
+            ).alias("word"),
+        )
+        .where(F.col("word").isNotNull())
+    )
+    return (
+        worded.groupBy("id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("id", "word")
+    )
+
+
+def series_sax(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r13 window (see :func:`series_sax_op`)."""
+    return series_sax_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, SAX_FRAME_MS, 0
+    )
+
+
+SERIES_SAX_SQL = f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, time, CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+frames AS (SELECT id, {floor_bucket_sql('time', SAX_FRAME_MS)} AS frame,
+                  sum(y) AS fs, count(*) AS fn
+           FROM pts GROUP BY id, frame),
+moments AS (SELECT id, sum(y) AS s, sum(y * y) AS q, count(*) AS n
+            FROM pts GROUP BY id),
+syms AS (
+  SELECT f.id, f.frame,
+         CASE WHEN (f.fs / f.fn - m.s / m.n)
+                   / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n))
+                   < -{SAX_BREAK} THEN 'a'
+              WHEN (f.fs / f.fn - m.s / m.n)
+                   / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n))
+                   < 0 THEN 'b'
+              WHEN (f.fs / f.fn - m.s / m.n)
+                   / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n))
+                   < {SAX_BREAK} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM frames f JOIN moments m ON f.id = m.id
+  WHERE sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)) > 0),
+words AS (
+  SELECT id, frame,
+         sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w AS word
+  FROM syms WINDOW w AS (PARTITION BY id ORDER BY frame))
+SELECT id, word, count(*) AS cnt
+FROM words WHERE word IS NOT NULL
+GROUP BY id, word ORDER BY id, word"""

@@ -3307,3 +3307,81 @@ def test_ann_recall_lsh_parity_and_contract(spark, oracle_sf_dir):
         want = len({p for p in exact if p[0] == q}
                    & {p for p in lsh if p[0] == q})
         assert by_q[q] == want, q
+
+
+def test_downsample_lttb_parity_and_contract(spark, oracle_sf_dir):
+    """Staged r13 LTOB downsample: DuckDB hash parity, exactly one point
+    per populated (id, bucket), every emitted point really lies in its
+    bucket, and on a planted flat-plus-spike series the spike is the
+    point every bucket keeps (the visual-significance contract)."""
+    from dariadb_spark.ext.timeseries import (
+        DOWNSAMPLE_LTTB_SQL,
+        LTOB_BUCKET_MS,
+        downsample_lttb,
+        downsample_lttb_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_downsample_lttb",
+        downsample_lttb(spark, oracle_sf_dir),
+        con,
+        DOWNSAMPLE_LTTB_SQL,
+    )
+    assert res.ok, res.problems
+    rows = downsample_lttb(spark, oracle_sf_dir).collect()
+    assert len({(r.id, r.t_bucket) for r in rows}) == len(rows)
+    for r in rows:
+        assert r.t_bucket <= r.time < r.t_bucket + LTOB_BUCKET_MS
+
+    # planted: flat 10.00 baseline sampled every minute, one 50.00 spike
+    # per 10-minute bucket — LTOB must keep exactly the spikes (except
+    # where a series edge pins area2 to the sentinel).
+    w = 600_000
+    pts = []
+    for b in range(6):
+        for k in range(10):
+            t = b * w + k * 60_000
+            v = 50.0 if k == 5 else 10.0
+            pts.append((7, t, v, 0))
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    out = downsample_lttb_op(meas, [7], 0, 6 * w, w, 0).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.value == 50.0 and r.time % w == 5 * 60_000, r
+
+
+def test_series_sax_parity_and_planted_motif(spark, oracle_sf_dir):
+    """Staged r13 SAX motifs: DuckDB hash parity; on a planted square
+    wave the symbols alternate a/d so the only words are 'ada'/'dad'
+    with the exact expected counts; a constant (zero-variance) series is
+    dropped per the documented contract."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_SAX_SQL,
+        series_sax,
+        series_sax_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_sax", series_sax(spark, oracle_sf_dir), con, SERIES_SAX_SQL
+    )
+    assert res.ok, res.problems
+
+    frame = 60_000
+    n = 12  # one point per frame → PAA is the point itself
+    pts = [(1, k * frame, 30.0 if k % 2 else 10.0, 0) for k in range(n)]
+    pts += [(2, k * frame, 42.0, 0) for k in range(n)]  # constant → dropped
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    out = series_sax_op(meas, None, 0, n * frame, frame, 0).collect()
+    by = {(r.id, r.word): r.cnt for r in out}
+    # square wave: z = ±1 → symbols a/d alternating → 10 words total
+    assert sum(c for (i, _), c in by.items() if i == 1) == n - 2
+    assert by[(1, "ada")] == 5 and by[(1, "dad")] == 5
+    assert not any(i == 2 for (i, _) in by)
