@@ -2478,6 +2478,7 @@ def main() -> None:
     hll_s, hll_n, hll_rel, hll_rel64 = stress_hll_onepass(spark)
     exl_s, exl_n, exl_ma, exl_mb = stress_excess_loss(spark)
     lttb_s, sax_s, lttb_buckets, sax_rows = stress_lttb_sax(spark)
+    mkv_s, mkv_rows = stress_event_markov(spark)
     print(
         json.dumps(
             {
@@ -2524,6 +2525,7 @@ def main() -> None:
                     "store_read_postcompact_1m2": round(cp_post, 4),
                     "lttb_downsample_20m": round(lttb_s, 4),
                     "sax_motifs_10m": round(sax_s, 4),
+                    "event_markov_10m": round(mkv_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2563,6 +2565,7 @@ def main() -> None:
                 "audio_noisy_clones_found": aud_noisy,
                 "lttb_stress_buckets": lttb_buckets,
                 "sax_stress_motif_rows": sax_rows,
+                "markov_transition_rows": mkv_rows,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -2732,3 +2735,41 @@ def stress_lttb_sax(spark) -> tuple[float, float, int, int]:
         assert words["ada"] + words["dad"] == want
         assert abs(words["ada"] - words["dad"]) <= 1
     return lttb_s, sax_s, int(n_buckets), len(rows)
+
+
+MARKOV_STRESS_ROWS = 10_000_000
+MARKOV_STRESS_USERS = 100_000
+
+
+def stress_event_markov(spark) -> tuple[float, int]:
+    """The staged r13 Markov transition matrix above fixture size: 10M
+    events / 100k users, each user replaying the deterministic cycle
+    view,view,click,buy ×25. Every transition count is computable in
+    closed form (the cycle truncates at the 100th event, so buy→view
+    loses exactly one occurrence per user) — asserted exactly, along
+    with the 0.5/0.5 view split and the two forced transitions."""
+    from dariadb_spark.ext.analytics import event_markov_op
+
+    per = MARKOV_STRESS_ROWS // MARKOV_STRESS_USERS  # 100 events/user
+    ev = spark.range(MARKOV_STRESS_ROWS).selectExpr(
+        "id AS event_id",
+        f"timestamp_millis(1704067200000 + (id DIV {MARKOV_STRESS_USERS}) * 1000)"
+        " AS ts",
+        f"id % {MARKOV_STRESS_USERS} AS user_id",
+        f"CASE (id DIV {MARKOV_STRESS_USERS}) % 4 "
+        "WHEN 0 THEN 'view' WHEN 1 THEN 'view' "
+        "WHEN 2 THEN 'click' ELSE 'buy' END AS event_type",
+    )
+    t0 = time.perf_counter()
+    rows = event_markov_op(ev).collect()
+    markov_s = time.perf_counter() - t0
+    got = {(r.event_type, r.next_type): (r.cnt, r.p_next) for r in rows}
+    u = MARKOV_STRESS_USERS
+    assert got == {
+        ("view", "view"): (25 * u, 0.5),
+        ("view", "click"): (25 * u, 0.5),
+        ("click", "buy"): (25 * u, 1.0),
+        ("buy", "view"): (24 * u, 1.0),
+    }, got
+    assert per == 100
+    return markov_s, len(rows)

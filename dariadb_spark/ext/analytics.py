@@ -606,3 +606,68 @@ register("ext_set_intersect", set_intersect, SET_INTERSECT_SQL)
 register("ext_set_except", set_except, SET_EXCEPT_SQL)
 register("ext_distinct_agg", distinct_agg, DISTINCT_AGG_SQL)
 register("ext_scalar_funcs", scalar_funcs, SCALAR_FUNCS_SQL)
+
+
+# --- event-type Markov transition matrix ------------------------------------
+# STAGED for the round-13 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+def event_markov(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over the raw event stream:
+    for each (event_type → next event_type) pair of the same user, the
+    transition count and the conditional probability — the behavioral
+    fingerprint query every event-analytics stack runs (and the input to
+    next-event prediction / funnel design).
+
+    Determinism: the per-user order is (ts, event_id) — event_id is the
+    unique ingest sequence, so ties in ts cannot reorder across engines,
+    and the timestamp itself never reaches the output (only adjacency
+    does), which keeps the query independent of how each engine
+    materializes the nanosecond parquet timestamps. ``p_next`` is one
+    division of two identical int64 counts, rounded once.
+
+    Plan shape (100 TB): one window shuffle on ``user_id`` (a key the
+    ingest layout can pre-bucket), one partial-aggregated count shuffle
+    on the |types|² pair space, and a broadcast join of the |types|-row
+    totals — nothing else moves; no driver-side state.
+    """
+    return event_markov_op(load_table(spark, sf, "events"))
+
+
+def event_markov_op(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of :func:`event_markov` (planted tests and
+    the stress harness feed generated event tables through it)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    cnts = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("cnt")
+    )
+    tot = cnts.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    return (
+        cnts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("p_next"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+EVENT_MARKOV_SQL = """WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+cnts AS (SELECT event_type, next_type, count(*) AS cnt
+         FROM nxt WHERE next_type IS NOT NULL
+         GROUP BY event_type, next_type),
+tot AS (SELECT event_type, sum(cnt) AS total FROM cnts GROUP BY event_type)
+SELECT c.event_type, c.next_type, c.cnt,
+       round(c.cnt / CAST(t.total AS DOUBLE), 6) AS p_next
+FROM cnts c JOIN tot t ON c.event_type = t.event_type
+ORDER BY c.event_type, c.next_type"""

@@ -848,7 +848,9 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # streaming_exact_dedup_parity — Spark's native dropDuplicates state
 # store, streaming/dedup.py, oracle local to that module;
 # ext_downsample_lttb — Steinarsson LTOB visualization downsample, and
-# ext_series_sax — Lin et al. SAX motif profile, both ext/timeseries.py), then
+# ext_series_sax — Lin et al. SAX motif profile, both ext/timeseries.py;
+# ext_event_markov — the first-order transition matrix over the raw
+# event stream, ext/analytics.py), then
 # fill from the r10-latest block oldest-first
 # (`tools/attestation_ledger.py --plan 50` computes the exact list).
 # Everything outside the window is still value-checked locally by

@@ -3385,3 +3385,59 @@ def test_series_sax_parity_and_planted_motif(spark, oracle_sf_dir):
     assert sum(c for (i, _), c in by.items() if i == 1) == n - 2
     assert by[(1, "ada")] == 5 and by[(1, "dad")] == 5
     assert not any(i == 2 for (i, _) in by)
+
+
+def test_event_markov_parity_and_planted_transitions(spark, oracle_sf_dir):
+    """Staged r13 Markov transition matrix: DuckDB hash parity;
+    per-source probabilities sum to 1 (within the single-rounding grid);
+    a planted two-user event log yields the exact hand-computed counts
+    and conditional probabilities."""
+    from dariadb_spark.ext.analytics import (
+        EVENT_MARKOV_SQL,
+        event_markov,
+        event_markov_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_event_markov",
+        event_markov(spark, oracle_sf_dir),
+        con,
+        EVENT_MARKOV_SQL,
+    )
+    assert res.ok, res.problems
+    rows = event_markov(spark, oracle_sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.event_type, []).append(r)
+    for src, grp in by_src.items():
+        assert abs(sum(g.p_next for g in grp) - 1.0) < 1e-4, src
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        # user 1: A B A B  → A→B ×2, B→A ×1
+        (0, t0, 1, "A", 0.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=1), 1, "B", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=2), 1, "A", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=3), 1, "B", 0.0, "{}"),
+        # user 2: A A  → A→A ×1
+        (4, t0, 2, "A", 0.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=1), 2, "A", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.event_type, r.next_type): (r.cnt, r.p_next)
+        for r in event_markov_op(df).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, round(2 / 3, 6)),
+        ("A", "A"): (1, round(1 / 3, 6)),
+        ("B", "A"): (1, 1.0),
+    }
