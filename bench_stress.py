@@ -2479,6 +2479,7 @@ def main() -> None:
     exl_s, exl_n, exl_ma, exl_mb = stress_excess_loss(spark)
     lttb_s, sax_s, lttb_buckets, sax_rows = stress_lttb_sax(spark)
     mkv_s, mkv_rows = stress_event_markov(spark)
+    acf_s, pe_s, acf_rows, pe_rows = stress_acf_pe(spark)
     print(
         json.dumps(
             {
@@ -2526,6 +2527,8 @@ def main() -> None:
                     "lttb_downsample_20m": round(lttb_s, 4),
                     "sax_motifs_10m": round(sax_s, 4),
                     "event_markov_10m": round(mkv_s, 4),
+                    "series_acf_19m": round(acf_s, 4),
+                    "perm_entropy_10m": round(pe_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2566,6 +2569,8 @@ def main() -> None:
                 "lttb_stress_buckets": lttb_buckets,
                 "sax_stress_motif_rows": sax_rows,
                 "markov_transition_rows": mkv_rows,
+                "acf_stress_rows": acf_rows,
+                "pe_stress_series": pe_rows,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -2773,3 +2778,79 @@ def stress_event_markov(spark) -> tuple[float, int]:
     }, got
     assert per == 100
     return markov_s, len(rows)
+
+ACF_STRESS_ROWS = 19_200_000
+ACF_STRESS_SERIES = 200
+PE_STRESS_ROWS = 10_000_000
+PE_STRESS_SERIES = 100
+
+
+def stress_acf_pe(spark) -> tuple[float, float, int, int]:
+    """The two staged r13 series-profile operators above fixture size,
+    planted structure asserted in closed form.
+
+    ACF: 19.2M rows / 200 series (96k one-minute samples), value
+    square-waving 10.00/30.00 by HOUR index → after hourly PAA each
+    series is a perfect period-2 alternation over n = 1600 cells, whose
+    sample ACF is exactly r_k = (-1)^k (n-k)/n — asserted at 6 dp for
+    all 200 series × 6 lags (the scaled-by-n² integer identity makes
+    the value exact, not approximate).
+
+    PE: 10M rows / 100 series square-waving by SAMPLE → the ordinal
+    patterns alternate '132'/'213' in an exact 49999/49999 split
+    (pe = ln2/ln6), plus 100 short monotone series that must score
+    pe = 0 with every window '123'.
+    """
+    from dariadb_spark.ext.timeseries import (
+        series_acf_op,
+        series_perm_entropy_op,
+    )
+
+    hour = 3_600_000
+    per = ACF_STRESS_ROWS // ACF_STRESS_SERIES  # 96k samples/series
+    n_cells = per // 60  # 1600 hourly cells
+    meas = spark.range(ACF_STRESS_ROWS).selectExpr(
+        f"id % {ACF_STRESS_SERIES} AS id",
+        f"(id DIV {ACF_STRESS_SERIES}) * 60000 AS time",
+        f"10.0 + 20.0 * (((id DIV {ACF_STRESS_SERIES}) DIV 60) % 2) AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = series_acf_op(meas, None, 0, per * 60_000, hour, 6, 0).collect()
+    acf_s = time.perf_counter() - t0
+    assert len(rows) == ACF_STRESS_SERIES * 6, len(rows)
+    for r in rows:
+        sign = -1 if r.lag % 2 else 1
+        want = sign * round(
+            (2 * (n_cells - r.lag) * 10**6 + n_cells) // (2 * n_cells) / 1e6, 6
+        )
+        assert r.n_pairs == n_cells - r.lag and r.acf == want, r
+
+    sq_per = PE_STRESS_ROWS // PE_STRESS_SERIES  # 100k samples/series
+    sq = spark.range(PE_STRESS_ROWS).selectExpr(
+        f"id % {PE_STRESS_SERIES} AS id",
+        f"(id DIV {PE_STRESS_SERIES}) * 60000 AS time",
+        f"CASE WHEN (id DIV {PE_STRESS_SERIES}) % 2 = 0 "
+        "THEN 10.0 ELSE 30.0 END AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    mono = spark.range(PE_STRESS_SERIES * 1000).selectExpr(
+        f"{PE_STRESS_SERIES} + id % {PE_STRESS_SERIES} AS id",
+        f"(id DIV {PE_STRESS_SERIES}) * 60000 AS time",
+        f"1.0 + 0.01 * (id DIV {PE_STRESS_SERIES}) AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    pe_rows = series_perm_entropy_op(
+        sq.unionAll(mono), None, 0, sq_per * 60_000, 0
+    ).collect()
+    pe_s = time.perf_counter() - t0
+    assert len(pe_rows) == 2 * PE_STRESS_SERIES, len(pe_rows)
+    half = (sq_per - 2 + 1) // 2
+    for r in pe_rows:
+        if r.id < PE_STRESS_SERIES:  # square wave
+            assert r.c132 == half and r.c213 == sq_per - 2 - half, r
+            assert r.pe_norm == 0.386853, r
+        else:  # monotone
+            assert r.c123 == r.n_windows and r.pe_norm == 0.0, r
+    return acf_s, pe_s, len(rows), len(pe_rows)

@@ -1358,3 +1358,268 @@ words AS (
 SELECT id, word, count(*) AS cnt
 FROM words WHERE word IS NOT NULL
 GROUP BY id, word ORDER BY id, word"""
+
+
+# --- sample autocorrelation function (ACF) ----------------------------------
+# STAGED for the round-13 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+ACF_BUCKET_MS = HOUR_MS  # PAA grid the ACF lags walk on
+ACF_MAX_LAG = 6  # r_1 .. r_6
+
+
+def series_acf_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    bucket_ms: int,
+    max_lag: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series sample autocorrelation function r_1..r_max_lag on a
+    regular PAA grid — the seasonality/memory profile (Box & Jenkins'
+    identification step) a TSDB user runs before picking a forecast or
+    anomaly model. Lag k means k GRID STEPS (k·bucket_ms), not k sample
+    rows, so irregular sampling cannot distort the lag axis; a pair
+    contributes only when both grid cells are populated.
+
+    Exact cross-engine arithmetic (the SAX/LTOB discipline): samples are
+    cents int64; each populated cell's PAA mean is quantized back to the
+    cent grid with the HALF_UP integer closure (ext/exact.py), so the
+    series the ACF sees is pure int64. With n cells and S = Σy, the
+    mean-centred products are scaled by n²:
+
+        r_k = Σ_t (n·y_t − S)(n·y_{t+k} − S)  /  Σ_t (n·y_t − S)²
+
+    Numerator and denominator are sums of int64 products accumulated in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact and order-free, no
+    float until the single final division, rounded once. |n·y| ≤ n·5e4
+    → products ≤ ~1e16·n: past int64 at ~1000 cells, which is exactly
+    why the accumulator is decimal, not long. Zero-variance series are
+    dropped (0/0 float semantics differ across engines; a constant
+    series has no correlation structure to report).
+
+    Plan shape (100 TB): one partial-aggregated shuffle to (id, cell),
+    one tiny per-id moments aggregate broadcast back, one equi-join on
+    (id, cell + k·bucket) for the lag pairs — hash join on the storage
+    clustering key, never a range or cross join — and one
+    partial-aggregated count shuffle on (id, lag). Driver holds nothing.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = (
+        base.select("id", floor_bucket(F.col("time"), bucket_ms).alias("b"), y.alias("y"))
+        .groupBy("id", "b")
+        .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
+        # HALF_UP(fs/fn, 0) in pure int64 — PAA mean back on the cent grid
+        .selectExpr("id", "b", "(2 * fs + fn) DIV (2 * fn) AS yq")
+    )
+    moments = cells.groupBy("id").agg(
+        F.count("*").alias("n"), F.sum("yq").alias("s")
+    )
+    dev = (
+        cells.join(F.broadcast(moments), "id")
+        .select(
+            "id",
+            "b",
+            (F.col("n") * F.col("yq") - F.col("s")).alias("dev"),
+        )
+    )
+    den = dev.groupBy("id").agg(
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev")).alias("den")
+    ).where(F.col("den") > 0)
+    lags = dev.select(
+        "id",
+        "b",
+        "dev",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    ).alias("L")
+    rgt = dev.select(
+        F.col("id").alias("rid"),
+        F.col("b").alias("b2"),
+        F.col("dev").alias("dev2"),
+    ).alias("R")
+    num = (
+        lags.join(
+            rgt,
+            (F.col("L.id") == F.col("R.rid"))
+            & (F.col("R.b2") == F.col("L.b") + F.col("L.lag") * F.lit(bucket_ms)),
+        )
+        .groupBy(F.col("L.id").alias("id"), F.col("L.lag").alias("lag"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev2")).alias(
+                "num"
+            ),
+        )
+    )
+    return (
+        num.join(F.broadcast(den), "id")
+        .select(
+            "id",
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("id", "lag")
+    )
+
+
+def series_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r13 window (see :func:`series_acf_op`)."""
+    return series_acf_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, ACF_BUCKET_MS,
+        ACF_MAX_LAG, 0,
+    )
+
+
+SERIES_ACF_SQL = f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, {floor_bucket_sql('time', ACF_BUCKET_MS)} AS b,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+cells AS (SELECT id, b, (2 * sum(y) + count(*)) // (2 * count(*)) AS yq
+          FROM pts GROUP BY id, b),
+moments AS (SELECT id, count(*) AS n, sum(yq) AS s FROM cells GROUP BY id),
+dev AS (SELECT c.id, c.b, m.n * c.yq - m.s AS dev
+        FROM cells c JOIN moments m ON c.id = m.id),
+den AS (SELECT id, sum(CAST(dev AS HUGEINT) * dev) AS den
+        FROM dev GROUP BY id HAVING den > 0),
+lagpairs AS (
+  SELECT t.id, CAST(k.lag AS INT) AS lag, count(*) AS n_pairs,
+         sum(CAST(t.dev AS HUGEINT) * u.dev) AS num
+  FROM dev t
+  CROSS JOIN (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag) k
+  JOIN dev u ON u.id = t.id AND u.b = t.b + k.lag * {ACF_BUCKET_MS}
+  GROUP BY t.id, k.lag)
+SELECT p.id, p.lag, p.n_pairs,
+       round(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+FROM lagpairs p JOIN den d ON p.id = d.id
+ORDER BY p.id, p.lag"""
+
+
+# --- permutation entropy (ordinal-pattern complexity) ------------------------
+# STAGED for the round-13 driver window (same staging discipline as above).
+
+PE_ORDER = 3  # embedding dimension: length-3 ordinal patterns, 3! = 6 kinds
+_PE_PATTERNS = ("123", "132", "312", "213", "231", "321")
+
+
+def series_perm_entropy_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002, "Permutation Entropy: A
+    Natural Complexity Measure for Time Series"): classify every
+    3-sample window of each series by the ordinal pattern of its values
+    (stable ties — an earlier sample ranks before an equal later one,
+    the standard practical convention) and report the normalized entropy
+    of the 6-pattern distribution: 0 for monotone/deterministic shape,
+    1 for white noise. The standard model-free complexity/anomaly
+    screen — cheap enough to run over every series in the store.
+
+    Exactness: patterns are classified by int64 cent comparisons — no
+    float enters classification. The entropy is ONE fixed 6-term scalar
+    expression over the per-series pattern counts (pivoted to columns),
+    not a float aggregation, so there is no accumulation order to
+    diverge; identical int inputs → identical doubles → one round().
+
+    Plan shape (100 TB): one window shuffle on ``id`` for the two leads,
+    one partial-aggregated shuffle to (id, pattern) — ≤ 6 rows per
+    series — then a 6-way conditional pivot on ``id``. Nothing else
+    moves; no driver state, no UDF, whole-stage codegen throughout.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    w = Window.partitionBy("id").orderBy("time", "value", "flag")
+    y = F.round(F.col("value") * 100).cast("long")
+    tri = (
+        base.select(
+            "id",
+            y.alias("a"),
+            F.lead(y, 1).over(w).alias("b"),
+            F.lead(y, 2).over(w).alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    pattern = (
+        F.when((a <= b) & (b <= c), "123")
+        .when((a <= b) & (a <= c), "132")
+        .when(a <= b, "312")
+        .when((b < a) & (a <= c), "213")
+        .when((b < a) & (b <= c), "231")
+        .otherwise("321")
+    )
+    counts = tri.select("id", pattern.alias("pat")).groupBy("id", "pat").agg(
+        F.count("*").alias("cnt")
+    )
+    pivots = [
+        F.sum(F.when(F.col("pat") == p, F.col("cnt")).otherwise(0)).alias(
+            f"c{p}"
+        )
+        for p in _PE_PATTERNS
+    ]
+    wide = counts.groupBy("id").agg(*pivots)
+    n = sum(F.col(f"c{p}") for p in _PE_PATTERNS)
+    term = lambda p: F.when(  # noqa: E731 — local expression builder
+        F.col(f"c{p}") > 0,
+        (F.col(f"c{p}") / n) * F.log(F.col(f"c{p}") / n),
+    ).otherwise(F.lit(0.0))
+    pe = -sum(term(p) for p in _PE_PATTERNS) / F.log(F.lit(6.0))
+    return (
+        wide.select(
+            "id",
+            n.alias("n_windows"),
+            *[F.col(f"c{p}") for p in _PE_PATTERNS],
+            F.round(pe, 6).alias("pe_norm"),
+        )
+        .orderBy("id")
+    )
+
+
+def series_perm_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r13 window (:func:`series_perm_entropy_op`)."""
+    return series_perm_entropy_op(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+
+
+def _pe_sql_terms() -> str:
+    t = []
+    for p in _PE_PATTERNS:
+        t.append(
+            f"CASE WHEN c{p} > 0 THEN (c{p} / CAST(nw AS DOUBLE))"
+            f" * ln(c{p} / CAST(nw AS DOUBLE)) ELSE 0.0 END"
+        )
+    return " + ".join(t)
+
+
+SERIES_PERM_ENTROPY_SQL = f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, time, value, flag, CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+tri AS (SELECT id, y AS a,
+               lead(y, 1) OVER w AS b, lead(y, 2) OVER w AS c
+        FROM pts WINDOW w AS (PARTITION BY id ORDER BY time, value, flag)),
+pats AS (
+  SELECT id,
+         CASE WHEN a <= b AND b <= c THEN '123'
+              WHEN a <= b AND a <= c THEN '132'
+              WHEN a <= b THEN '312'
+              WHEN b < a AND a <= c THEN '213'
+              WHEN b < a AND b <= c THEN '231'
+              ELSE '321' END AS pat
+  FROM tri WHERE c IS NOT NULL),
+cnts AS (SELECT id, pat, count(*) AS cnt FROM pats GROUP BY id, pat),
+wide AS (SELECT id,
+                {", ".join(f"CAST(sum(CASE WHEN pat = '{p}' THEN cnt ELSE 0 END) AS BIGINT) AS c{p}" for p in _PE_PATTERNS)}
+         FROM cnts GROUP BY id),
+tot AS (SELECT *, {" + ".join(f"c{p}" for p in _PE_PATTERNS)} AS nw FROM wide)
+SELECT id, nw AS n_windows, {", ".join(f"c{p}" for p in _PE_PATTERNS)},
+       round(-({_pe_sql_terms()}) / ln(6.0), 6) AS pe_norm
+FROM tot ORDER BY id"""

@@ -847,8 +847,11 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # ext_ann_recall_lsh — the LSH recall@k eval, ext/similarity.py;
 # streaming_exact_dedup_parity — Spark's native dropDuplicates state
 # store, streaming/dedup.py, oracle local to that module;
-# ext_downsample_lttb — Steinarsson LTOB visualization downsample, and
-# ext_series_sax — Lin et al. SAX motif profile, both ext/timeseries.py;
+# ext_downsample_lttb — Steinarsson LTOB visualization downsample,
+# ext_series_sax — Lin et al. SAX motif profile, ext_series_acf — the
+# Box-Jenkins sample autocorrelation profile on the PAA grid, and
+# ext_series_perm_entropy — Bandt-Pompe ordinal-pattern complexity, all
+# four in ext/timeseries.py;
 # ext_event_markov — the first-order transition matrix over the raw
 # event stream, ext/analytics.py), then
 # fill from the r10-latest block oldest-first

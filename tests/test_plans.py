@@ -509,7 +509,12 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
     from dariadb_spark.ext.similarity import ann_recall_lsh
     from dariadb_spark.ext.sketches import sketch_hll_m64
     from dariadb_spark.ext.analytics import event_markov
-    from dariadb_spark.ext.timeseries import downsample_lttb, series_sax
+    from dariadb_spark.ext.timeseries import (
+        downsample_lttb,
+        series_acf,
+        series_perm_entropy,
+        series_sax,
+    )
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -521,6 +526,8 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
         ann_recall_lsh,
         downsample_lttb,
         series_sax,
+        series_acf,
+        series_perm_entropy,
         event_markov,
     ):
         plan = (

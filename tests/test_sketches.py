@@ -3441,3 +3441,77 @@ def test_event_markov_parity_and_planted_transitions(spark, oracle_sf_dir):
         ("A", "A"): (1, round(1 / 3, 6)),
         ("B", "A"): (1, 1.0),
     }
+
+
+def test_series_acf_parity_and_planted_alternation(spark, oracle_sf_dir):
+    """Staged r13 sample ACF: DuckDB hash parity; a planted period-2
+    hour-alternating series yields the closed-form sample ACF
+    r_k = (-1)^k (n-k)/n exactly (the mean-centred scaled-by-n² integer
+    identity); a constant series is dropped (den = 0)."""
+    from dariadb_spark.ext.timeseries import (
+        ACF_MAX_LAG,
+        SERIES_ACF_SQL,
+        series_acf,
+        series_acf_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_acf", series_acf(spark, oracle_sf_dir), con, SERIES_ACF_SQL
+    )
+    assert res.ok, res.problems
+
+    hour = 3_600_000
+    n = 12
+    pts = [(1, k * hour, 30.0 if k % 2 else 10.0, 0) for k in range(n)]
+    pts += [(2, k * hour, 42.0, 0) for k in range(n)]  # constant → dropped
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    rows = series_acf_op(meas, None, 0, n * hour, hour, ACF_MAX_LAG, 0).collect()
+    got = {(r.id, r.lag): (r.n_pairs, r.acf) for r in rows}
+    assert set(i for i, _ in got) == {1}
+    want = {
+        1: (11, -0.916667), 2: (10, 0.833333), 3: (9, -0.75),
+        4: (8, 0.666667), 5: (7, -0.583333), 6: (6, 0.5),
+    }
+    for lag, (np_, acf) in want.items():
+        assert got[(1, lag)] == (np_, acf), (lag, got[(1, lag)])
+
+
+def test_series_perm_entropy_parity_and_planted_shapes(spark, oracle_sf_dir):
+    """Staged r13 permutation entropy: DuckDB hash parity; monotone and
+    constant series score pe = 0 (single pattern '123'), a square wave
+    splits evenly between '132'/'213' for pe = ln2/ln6."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_PERM_ENTROPY_SQL,
+        series_perm_entropy,
+        series_perm_entropy_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_perm_entropy",
+        series_perm_entropy(spark, oracle_sf_dir),
+        con,
+        SERIES_PERM_ENTROPY_SQL,
+    )
+    assert res.ok, res.problems
+
+    step = 60_000
+    n = 12
+    pts = [(1, k * step, 30.0 if k % 2 else 10.0, 0) for k in range(n)]
+    pts += [(2, k * step, 1.0 + 0.01 * k, 0) for k in range(n)]  # monotone
+    pts += [(3, k * step, 42.0, 0) for k in range(n)]  # constant → all ties
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    rows = series_perm_entropy_op(meas, None, 0, n * step, 0).collect()
+    by = {r.id: r for r in rows}
+    assert by[1].n_windows == n - 2
+    assert by[1].c132 == 5 and by[1].c213 == 5 and by[1].c123 == 0
+    assert by[1].pe_norm == 0.386853  # ln2/ln6
+    for sid in (2, 3):
+        assert by[sid].c123 == n - 2 and by[sid].pe_norm == 0.0, sid
