@@ -2480,6 +2480,7 @@ def main() -> None:
     lttb_s, sax_s, lttb_buckets, sax_rows = stress_lttb_sax(spark)
     mkv_s, mkv_rows = stress_event_markov(spark)
     acf_s, pe_s, acf_rows, pe_rows = stress_acf_pe(spark)
+    tvd_s, pmi_s, nov_s, tvd_srcs = stress_corpus_profiles(spark)
     print(
         json.dumps(
             {
@@ -2529,6 +2530,9 @@ def main() -> None:
                     "event_markov_10m": round(mkv_s, 4),
                     "series_acf_19m": round(acf_s, 4),
                     "perm_entropy_10m": round(pe_s, 4),
+                    "corpus_drift_tvd_500k": round(tvd_s, 4),
+                    "token_pmi_500k": round(pmi_s, 4),
+                    "ngram_novelty_300k": round(nov_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2571,6 +2575,7 @@ def main() -> None:
                 "markov_transition_rows": mkv_rows,
                 "acf_stress_rows": acf_rows,
                 "pe_stress_series": pe_rows,
+                "drift_stress_sources": tvd_srcs,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -2854,3 +2859,95 @@ def stress_acf_pe(spark) -> tuple[float, float, int, int]:
         else:  # monotone
             assert r.c123 == r.n_windows and r.pe_norm == 0.0, r
     return acf_s, pe_s, len(rows), len(pe_rows)
+
+DRIFT_STRESS_DOCS = 500_000
+DRIFT_STRESS_SOURCES = 10
+PMI_STRESS_DOCS = 500_000
+NOVELTY_STRESS_DOCS = 300_000
+
+
+def stress_corpus_profiles(spark) -> tuple[float, float, float, int]:
+    """The three staged r13 corpus-profile operators above fixture size,
+    planted structure asserted in closed form.
+
+    TVD: 500k docs / 10 sources, every source seeing the IDENTICAL
+    4-token base multiset, source 0 additionally appending one 'zzz'
+    token per doc. Closed form: tvd(source 0 vs rest) = 1/5 exactly
+    (0.2 of its mass is zzz, and the base mass is diluted by exactly
+    the same 0.2); every other source scores 1/37 (= 0.027027) — both
+    asserted exactly for all 10 sources.
+
+    PMI: 500k docs — 100k 'alpha beta' plus 400k filler pairs keyed by
+    doc_id mod two distinct primes, so no filler bigram reaches the
+    min-count 5 (997·1009 > 400k ⇒ each filler pair occurs ≤ 1 time).
+    The output is EXACTLY one row with rank_key = 5·10⁶ and
+    pmi = ln 5.
+
+    Novelty: 300k docs / 3 sources — 'first' (100k unique texts),
+    'echo' (the same 100k texts re-crawled under later doc_ids),
+    'fresh' (100k new texts). Exact attribution: first owns all
+    200k of its distinct 3-grams, echo owns 0 of the same 200k,
+    fresh owns all of its own.
+    """
+    import math
+
+    from dariadb_spark.ext.dedup import ngram_novelty_op
+    from dariadb_spark.ext.text import corpus_drift_tvd_op, token_pmi_op
+
+    nsrc = DRIFT_STRESS_SOURCES
+    base = (
+        f"concat('w', (id DIV {nsrc}) % 997, ' w', (id DIV {nsrc}) % 1009,"
+        f" ' w', (id DIV {nsrc}) % 31 + 2000, ' w', (id DIV {nsrc}) % 63 + 3000)"
+    )
+    docs = spark.range(DRIFT_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        f"CASE WHEN id % {nsrc} = 0 THEN concat({base}, ' zzz')"
+        f" ELSE {base} END AS text",
+        "'en' AS lang",
+        f"concat('src', id % {nsrc}) AS source",
+        "CAST(20 AS BIGINT) AS n_chars",
+    )
+    t0 = time.perf_counter()
+    rows = corpus_drift_tvd_op(docs).collect()
+    tvd_s = time.perf_counter() - t0
+    assert len(rows) == nsrc, rows
+    for r in rows:
+        want = 0.2 if r.source == "src0" else 0.027027
+        assert r.tvd_rest == want, r
+
+    pmi_docs = spark.range(PMI_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 100000 THEN 'alpha beta'"
+        " ELSE concat('u', id % 997, ' v', id % 1009) END AS text",
+        "'en' AS lang",
+        "'s' AS source",
+        "CAST(10 AS BIGINT) AS n_chars",
+    )
+    t0 = time.perf_counter()
+    pmi_rows = token_pmi_op(pmi_docs).collect()
+    pmi_s = time.perf_counter() - t0
+    assert len(pmi_rows) == 1, pmi_rows
+    r = pmi_rows[0]
+    assert (r.x, r.y, r.c_xy) == ("alpha", "beta", 100_000)
+    assert r.rank_key == 5_000_000 and r.pmi == round(math.log(5.0), 6)
+
+    per = NOVELTY_STRESS_DOCS // 3
+    nov_base = f"CASE WHEN id < {2 * per} THEN id % {per} ELSE {per} + id % {per} END"
+    nov_docs = spark.range(NOVELTY_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        f"concat('t', {nov_base}, 'a t', {nov_base}, 'b t',"
+        f" {nov_base}, 'c t', {nov_base}, 'd') AS text",
+        "'en' AS lang",
+        f"CASE WHEN id < {per} THEN 'first'"
+        f" WHEN id < {2 * per} THEN 'echo' ELSE 'fresh' END AS source",
+        "CAST(20 AS BIGINT) AS n_chars",
+    )
+    t0 = time.perf_counter()
+    nov = {r.source: r for r in ngram_novelty_op(nov_docs).collect()}
+    nov_s = time.perf_counter() - t0
+    assert nov["first"].distinct_ngrams == 2 * per
+    assert nov["first"].owned_ngrams == 2 * per
+    assert nov["first"].novelty_ratio == 1.0
+    assert nov["echo"].owned_ngrams == 0 and nov["echo"].novelty_ratio == 0.0
+    assert nov["fresh"].novelty_ratio == 1.0
+    return tvd_s, pmi_s, nov_s, len(rows)

@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dariadb_spark.ext.exact import (
+    ratio_round_duck as _rr_d,
+    ratio_round_spark as _rr_s,
+)
 from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
@@ -1466,6 +1470,95 @@ _register_preprocess_funnel()
 # the driver-checked surface (parity + 150k-doc stress pinned since
 # r11; window discipline per registry.py).
 register("ext_dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL)
+
+
+# --- n-gram novelty attribution ---------------------------------------------
+# STAGED for the round-13 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+
+def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r13 window (see :func:`ngram_novelty_op`)."""
+    return ngram_novelty_op(load_table(spark, sf, "documents"))
+
+
+def ngram_novelty_op(docs: DataFrame) -> DataFrame:
+    """Per-source n-gram novelty attribution: of the distinct word
+    3-grams a source contains, what fraction FIRST entered the corpus
+    through that source (first = the corpus-wide min ``doc_id``, the
+    ingest-sequence proxy)? The redundancy planner's ranking — a feed
+    whose novelty ratio collapses is re-crawling text the corpus
+    already has and can be throttled before it burns dedup budget
+    downstream (the cross-source view `ext_source_overlap` gives pair
+    volume; this gives each feed ONE attribution number).
+
+    Everything is exact integer counting on distinct shingle types;
+    the ratio is the HALF_UP integer closure (ext/exact.py) — no float
+    anywhere.
+
+    Plan shape (100 TB): one shingle explode (distinct within doc —
+    linear, the zip_with slices form), one partial-aggregated
+    min(doc_id) per shingle, one join back on the 64-bit shingle hash
+    space... in THIS declarative form, on the raw shingle string key:
+    Catalyst shuffles both sides on ``shingle`` once and reuses the
+    exchange; per-source distinct counting shuffles (source, shingle)
+    partials. A broadcast |docs|→source map is NOT needed: source
+    rides the explode. No UDF, no driver state, no pair space.
+    """
+    sh = _shingled(docs).select(
+        "doc_id", F.explode(F.col("shingles")).alias("sh")
+    )
+    src = docs.select("doc_id", "source")
+    sh_src = sh.join(src, "doc_id")
+    owner = sh_src.groupBy("sh").agg(F.min("doc_id").alias("owner_doc"))
+    owned = (
+        owner.join(
+            src.select(
+                F.col("doc_id").alias("owner_doc"),
+                F.col("source").alias("owner_src"),
+            ),
+            "owner_doc",
+        )
+        .groupBy(F.col("owner_src").alias("source"))
+        .agg(F.count("*").alias("owned_ngrams"))
+    )
+    present = sh_src.groupBy("source").agg(
+        F.countDistinct("sh").alias("distinct_ngrams"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        present.join(owned, "source", "left")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "distinct_ngrams",
+            "coalesce(owned_ngrams, 0L) AS owned_ngrams",
+            _rr_s("coalesce(owned_ngrams, 0L)", "distinct_ngrams", 4)
+            + " AS novelty_ratio",
+        )
+        .orderBy("source")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""WITH {_SHINGLE_CTE},
+sh AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+src AS (SELECT doc_id, source FROM documents),
+sh_src AS (SELECT h.doc_id, h.sh, d.source
+           FROM sh h JOIN src d ON h.doc_id = d.doc_id),
+owner AS (SELECT sh, min(doc_id) AS owner_doc FROM sh_src GROUP BY sh),
+owned AS (SELECT d.source, count(*) AS owned_ngrams
+          FROM owner o JOIN src d ON o.owner_doc = d.doc_id
+          GROUP BY d.source),
+present AS (SELECT source, count(DISTINCT sh) AS distinct_ngrams,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM sh_src GROUP BY source)
+SELECT p.source, p.n_docs, p.distinct_ngrams,
+       coalesce(o.owned_ngrams, 0) AS owned_ngrams,
+       {_rr_d("coalesce(o.owned_ngrams, 0)", "p.distinct_ngrams", 4)}
+         AS novelty_ratio
+FROM present p LEFT JOIN owned o ON p.source = o.source
+ORDER BY p.source"""
 
 
 def _retry_cross_module_registrations() -> None:

@@ -892,3 +892,193 @@ FROM u ORDER BY lang, n"""
 # the driver-checked surface (window discipline per registry.py).
 register("ext_text_zipf", text_zipf, TEXT_ZIPF_SQL)
 register("ext_text_diversity", text_diversity, TEXT_DIVERSITY_SQL)
+
+
+# --- per-source token-distribution drift (total variation distance) ---------
+# STAGED for the round-13 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+
+def corpus_drift_tvd(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r13 window (see :func:`corpus_drift_tvd_op`)."""
+    return corpus_drift_tvd_op(load_table(spark, sf, "documents"))
+
+
+def corpus_drift_tvd_op(docs: DataFrame) -> DataFrame:
+    """Distribution drift per source: the total variation distance
+    between each source's unigram token distribution and the rest of
+    the corpus — THE monitoring number a training-data pipeline tracks
+    per ingest feed (a feed whose token distribution walks away from
+    the corpus is the first sign of scraper rot, language drift, or
+    spam floods). TVD = ½ Σ_w |p_s(w) − p_rest(w)| ∈ [0, 1].
+
+    Exact cross-engine arithmetic: with c = count of w in s, C = corpus
+    count, N_s / N_r the token totals, every |·| term is the int64
+    |c·N_r − (C−c)·N_s|, accumulated in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — exact and order-free; ONE final division by
+    2·N_s·N_r (both factors ≤ ~9e15 → exact doubles), rounded once.
+
+    The vocabulary NEVER fans out to |vocab| × |sources|: words absent
+    from s contribute Σ_{w∉s} C_w·N_s = N_s·(N − Σ_{w∈s} C_w), so the
+    whole sum folds over only the OBSERVED (source, word) pairs plus
+    one scalar — the algebraic identity that keeps the operator linear
+    in observed pairs at any vocabulary size.
+
+    Plan shape (100 TB): explode → partial-aggregated (source, word)
+    counts (map-side combine collapses each partition to its local
+    vocab), one join on ``word`` against the |vocab|-row corpus totals,
+    one per-source fold, a |sources|-row broadcast of totals, and a
+    1-row broadcast of N. No UDF, no driver state."""
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    cnts = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    wordtot = cnts.groupBy("word").agg(F.sum("c").alias("cw"))
+    srctot = cnts.groupBy("source").agg(F.sum("c").alias("ns"))
+    ntot = srctot.agg(F.sum("ns").alias("n"))
+    obs = (
+        cnts.join(wordtot, "word")
+        .join(F.broadcast(srctot), "source")
+        .crossJoin(F.broadcast(ntot))
+    )
+    term = F.abs(
+        F.col("c").cast("decimal(38,0)") * (F.col("n") - F.col("ns"))
+        - (F.col("cw") - F.col("c")).cast("decimal(38,0)") * F.col("ns")
+    )
+    folded = obs.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.max("n").alias("n"),
+        F.count("*").alias("n_vocab"),
+        F.sum(term).alias("part1"),
+        F.sum("cw").alias("cw_seen"),
+    )
+    num = F.col("part1") + (
+        F.col("n_tokens").cast("decimal(38,0)")
+        * (F.col("n") - F.col("cw_seen"))
+    )
+    den = (
+        F.lit(2.0)
+        * F.col("n_tokens").cast("double")
+        * (F.col("n") - F.col("n_tokens")).cast("double")
+    )
+    return (
+        folded.where(F.col("n_tokens") < F.col("n"))
+        .select(
+            "source",
+            "n_tokens",
+            "n_vocab",
+            F.round(num.cast("double") / den, 6).alias("tvd_rest"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_DRIFT_TVD_SQL = """WITH
+words AS (SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+cnts AS (SELECT source, word, count(*) AS c FROM words GROUP BY source, word),
+wordtot AS (SELECT word, sum(c) AS cw FROM cnts GROUP BY word),
+srctot AS (SELECT source, sum(c) AS ns FROM cnts GROUP BY source),
+ntot AS (SELECT sum(ns) AS n FROM srctot),
+folded AS (
+  SELECT t.source, max(s.ns) AS n_tokens, max(v.n) AS n,
+         count(*) AS n_vocab,
+         sum(abs(CAST(t.c AS HUGEINT) * (v.n - s.ns)
+                 - CAST(w.cw - t.c AS HUGEINT) * s.ns)) AS part1,
+         sum(w.cw) AS cw_seen
+  FROM cnts t
+  JOIN wordtot w ON t.word = w.word
+  JOIN srctot s ON t.source = s.source
+  CROSS JOIN ntot v
+  GROUP BY t.source)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_vocab AS BIGINT) AS n_vocab,
+       round(CAST(part1 + CAST(n_tokens AS HUGEINT) * (n - cw_seen)
+                  AS DOUBLE)
+             / (2.0 * n_tokens * (n - n_tokens)), 6) AS tvd_rest
+FROM folded WHERE n_tokens < n ORDER BY source"""
+
+
+# --- PMI bigram collocations -------------------------------------------------
+# STAGED for the round-13 driver window (same staging discipline as above).
+
+PMI_MIN_COUNT = 5  # Church & Hanks' sparse-count guard
+PMI_TOP = 30
+
+
+def token_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r13 window (see :func:`token_pmi_op`)."""
+    return token_pmi_op(load_table(spark, sf, "documents"))
+
+
+def token_pmi_op(docs: DataFrame) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information (Church
+    & Hanks 1990, "Word Association Norms, Mutual Information, and
+    Lexicography"): PMI(x,y) = ln( c_xy·N / (c_x·c_y) ) over adjacent
+    word pairs, margins taken from the bigram table itself (c_x = Σ_y,
+    c_y = Σ_x), counts below PMI_MIN_COUNT dropped. The collocation
+    mine every tokenizer/phrase-table builder runs over a new corpus.
+
+    Ranking is EXACT: the sort key is the micro-int rational
+    (c_xy·N·10⁶) ⌊÷⌋ (c_x·c_y) — int64-identical in both engines (the
+    quality_calibrate trick), computed in DECIMAL(38,0) so c_xy·N·10⁶
+    survives past the ~4.6e12-token int64 line (ext/exact.py's
+    overflow note). The displayed ``pmi`` is one float ln over an
+    exact int64 ratio, rounded once — never part of the ordering.
+
+    Plan shape (100 TB): bigrams by two shifted slices zipped (linear,
+    the shingles lesson — no O(n²) re-inlined transform), one
+    partial-aggregated (x, y) count shuffle, two |vocab|-row margin
+    joins on a single word key each, a 1-row N broadcast, and a global
+    top-30 (TakeOrderedAndProject — no full sort materializes)."""
+    n_expr = "size(split(text, ' '))"
+    s_expr = "split(text, ' ')"
+    pairs = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    ).selectExpr(
+        f"explode(zip_with(slice({s_expr}, 1, {n_expr} - 1), "
+        f"slice({s_expr}, 2, {n_expr} - 1), "
+        "(a, b) -> struct(a AS x, b AS y))) AS bg"
+    ).select("bg.x", "bg.y")
+    cxy = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    cx = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    nb = cxy.agg(F.sum("c_xy").alias("nb"))
+    scored = (
+        cxy.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            "CAST(CAST(c_xy AS DECIMAL(38,0)) * nb * 1000000"
+            " DIV (c_x * c_y) AS BIGINT) AS rank_key",
+            "round(ln((c_xy * nb) / CAST(c_x * c_y AS DOUBLE)), 6) AS pmi",
+        )
+    )
+    return scored.orderBy(
+        F.col("rank_key").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(PMI_TOP)
+
+
+TOKEN_PMI_SQL = f"""WITH
+t AS (SELECT string_split(text, ' ') AS w FROM documents),
+b AS (SELECT unnest(w[1:len(w)-1]) AS x, unnest(w[2:len(w)]) AS y
+      FROM t WHERE len(w) >= 2),
+cxy AS (SELECT x, y, count(*) AS c_xy FROM b GROUP BY x, y),
+cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY x),
+cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cxy GROUP BY y),
+nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM cxy)
+SELECT p.x, p.y, p.c_xy, cx.c_x, cy.c_y,
+       CAST(CAST(p.c_xy AS HUGEINT) * nb.nb * 1000000
+            // (cx.c_x * cy.c_y) AS BIGINT) AS rank_key,
+       round(ln((p.c_xy * nb.nb) / CAST(cx.c_x * cy.c_y AS DOUBLE)), 6)
+         AS pmi
+FROM cxy p JOIN cx ON p.x = cx.x JOIN cy ON p.y = cy.y CROSS JOIN nb
+WHERE p.c_xy >= {PMI_MIN_COUNT}
+ORDER BY rank_key DESC, p.x ASC, p.y ASC LIMIT {PMI_TOP}"""

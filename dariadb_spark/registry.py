@@ -853,7 +853,10 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # ext_series_perm_entropy — Bandt-Pompe ordinal-pattern complexity, all
 # four in ext/timeseries.py;
 # ext_event_markov — the first-order transition matrix over the raw
-# event stream, ext/analytics.py), then
+# event stream, ext/analytics.py; ext_corpus_drift_tvd — per-source
+# token-distribution drift, and ext_token_pmi — Church & Hanks PMI
+# collocations, both ext/text.py; ext_ngram_novelty — per-source
+# first-seen n-gram attribution, ext/dedup.py), then
 # fill from the r10-latest block oldest-first
 # (`tools/attestation_ledger.py --plan 50` computes the exact list).
 # Everything outside the window is still value-checked locally by

@@ -509,6 +509,8 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
     from dariadb_spark.ext.similarity import ann_recall_lsh
     from dariadb_spark.ext.sketches import sketch_hll_m64
     from dariadb_spark.ext.analytics import event_markov
+    from dariadb_spark.ext.dedup import ngram_novelty
+    from dariadb_spark.ext.text import corpus_drift_tvd, token_pmi
     from dariadb_spark.ext.timeseries import (
         downsample_lttb,
         series_acf,
@@ -529,6 +531,9 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
         series_acf,
         series_perm_entropy,
         event_markov,
+        corpus_drift_tvd,
+        token_pmi,
+        ngram_novelty,
     ):
         plan = (
             fn(spark, oracle_sf_dir)

@@ -3515,3 +3515,104 @@ def test_series_perm_entropy_parity_and_planted_shapes(spark, oracle_sf_dir):
     assert by[1].pe_norm == 0.386853  # ln2/ln6
     for sid in (2, 3):
         assert by[sid].c123 == n - 2 and by[sid].pe_norm == 0.0, sid
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_corpus_drift_tvd_parity_and_planted_extremes(spark, oracle_sf_dir):
+    """Staged r13 drift TVD: DuckDB hash parity; two sources with
+    identical token distributions score 0, two with disjoint
+    vocabularies score 1 — the metric's defining extremes, exact by
+    integer arithmetic."""
+    from dariadb_spark.ext.text import (
+        CORPUS_DRIFT_TVD_SQL,
+        corpus_drift_tvd,
+        corpus_drift_tvd_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_corpus_drift_tvd",
+        corpus_drift_tvd(spark, oracle_sf_dir),
+        con,
+        CORPUS_DRIFT_TVD_SQL,
+    )
+    assert res.ok, res.problems
+
+    same = _mkdocs(spark, [("s1", "x x y"), ("s2", "x x y")])
+    got = {r.source: r.tvd_rest for r in corpus_drift_tvd_op(same).collect()}
+    assert got == {"s1": 0.0, "s2": 0.0}
+
+    disj = _mkdocs(spark, [("s1", "a a b"), ("s2", "c d d")])
+    got = {r.source: r.tvd_rest for r in corpus_drift_tvd_op(disj).collect()}
+    assert got == {"s1": 1.0, "s2": 1.0}
+
+
+def test_token_pmi_parity_and_planted_collocation(spark, oracle_sf_dir):
+    """Staged r13 PMI collocations: DuckDB hash parity; a planted
+    always-together pair outranks an independent filler pair with the
+    hand-computed exact rank keys and PMI values."""
+    import math
+
+    from dariadb_spark.ext.text import (
+        TOKEN_PMI_SQL,
+        token_pmi,
+        token_pmi_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_token_pmi", token_pmi(spark, oracle_sf_dir), con, TOKEN_PMI_SQL
+    )
+    assert res.ok, res.problems
+
+    docs = _mkdocs(
+        spark,
+        [("s", "new york")] * 6 + [("s", "t t")] * 20,
+    )
+    rows = token_pmi_op(docs).collect()
+    assert [(r.x, r.y) for r in rows] == [("new", "york"), ("t", "t")]
+    ny, tt = rows
+    assert (ny.c_xy, ny.c_x, ny.c_y) == (6, 6, 6)
+    assert ny.rank_key == 6 * 26 * 10**6 // 36 and tt.rank_key == 1_300_000
+    assert ny.pmi == round(math.log(6 * 26 / 36), 6)
+    assert tt.pmi == round(math.log(1.3), 6)
+
+
+def test_ngram_novelty_parity_and_planted_attribution(spark, oracle_sf_dir):
+    """Staged r13 n-gram novelty: DuckDB hash parity; a source that
+    re-crawls an earlier source's text owns none of its n-grams
+    (novelty 0), a fresh source owns all of its own (novelty 1)."""
+    from dariadb_spark.ext.dedup import (
+        NGRAM_NOVELTY_SQL,
+        ngram_novelty,
+        ngram_novelty_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_ngram_novelty",
+        ngram_novelty(spark, oracle_sf_dir),
+        con,
+        NGRAM_NOVELTY_SQL,
+    )
+    assert res.ok, res.problems
+
+    docs = _mkdocs(
+        spark,
+        [("orig", "a b c d"), ("copycat", "a b c d"), ("fresh", "x y z w")],
+    )
+    rows = {r.source: r for r in ngram_novelty_op(docs).collect()}
+    assert rows["orig"].owned_ngrams == 2 and rows["orig"].novelty_ratio == 1.0
+    assert rows["copycat"].owned_ngrams == 0
+    assert rows["copycat"].novelty_ratio == 0.0
+    assert rows["copycat"].distinct_ngrams == 2
+    assert rows["fresh"].novelty_ratio == 1.0
