@@ -856,7 +856,10 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # event stream, ext/analytics.py; ext_corpus_drift_tvd — per-source
 # token-distribution drift, and ext_token_pmi — Church & Hanks PMI
 # collocations, both ext/text.py; ext_ngram_novelty — per-source
-# first-seen n-gram attribution, ext/dedup.py), then
+# first-seen n-gram attribution, ext/dedup.py;
+# streaming_markov_parity — the per-user last-event state carry that
+# makes the transition matrix maintainable at ingest,
+# streaming/markov.py, oracle = the batch ext_event_markov SQL), then
 # fill from the r10-latest block oldest-first
 # (`tools/attestation_ledger.py --plan 50` computes the exact list).
 # Everything outside the window is still value-checked locally by

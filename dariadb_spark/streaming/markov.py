@@ -1,0 +1,220 @@
+"""Streaming event-transition maintenance — the Markov matrix at ingest.
+
+STAGED for the round-13 driver window (the staging every late operator
+goes through: implemented + oracled + pytest parity + planted stress
+now, registered at the next window rotation). The batch side is
+``ext_event_markov`` (ext/analytics.py); this module is its INGEST
+twin: the per-user last-event handoff is maintained as EXPLICIT
+operator state (``applyInPandasWithState``), so every arriving event
+emits its (prev → next) transition exactly once, across micro-batch
+boundaries — the one part of the batch plan (a ``lead`` window) that a
+stream cannot replay without state.
+
+State model (100 TB / unbounded-stream argument): ONE row per user —
+the last event type seen — independent of throughput and history
+length; transitions leave the operator as an append-style log the
+moment they are known, so the sink can be a parquet/Delta transition
+table compacted downstream (the memory sink here is the parity
+harness). Late events are scored against the state as-of arrival (the
+streaming/stateful.py alert-fold policy; the batch path is the
+reconciliation of record — SCALE.md §5).
+
+Plan shape per micro-batch: one shuffle on ``user_id`` (stable state
+partitioning) → Arrow-batched state fold sorting each user's batch
+slice by (ts, event_id) — the batch plan's exact total order — and
+emitting its pairs. Counting/normalizing into the matrix stays OUTSIDE
+the stream (a batch aggregation over the standing transition log):
+chaining a second stateful aggregation behind the fold inside one
+query is the pattern Structured Streaming restricts, and the log is
+the more useful artifact anyway (it carries arrival provenance).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: events landing-zone schema (matches the fixture).
+_EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+#: emitted transition-log row
+_TRANSITION_DDL = "event_type STRING, next_type STRING"
+
+#: state: the user's last seen event type
+_STATE_DDL = "last_type STRING"
+
+
+def _transition_fold(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user fold: sort the batch slice by (ts, event_id), chain it
+    onto the carried last type, emit one row per adjacent pair, carry
+    the new last type forward."""
+    last = state.get[0] if state.exists else None
+    parts = [p for p in pdfs if len(p)]
+    if not parts:
+        # state-timeout path unused (NoTimeout) but keep the generator
+        # contract: nothing to emit
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "next_type": pd.Series([], dtype=object),
+            }
+        )
+        return
+    ts = np.concatenate(
+        [p["ts"].to_numpy("datetime64[ns]").astype(np.int64) for p in parts]
+    )
+    eid = np.concatenate([p["event_id"].to_numpy(np.int64) for p in parts])
+    typ = np.concatenate([p["event_type"].to_numpy(object) for p in parts])
+    order = np.lexsort((eid, ts))
+    typ = typ[order]
+    chain = ([last] if last is not None else []) + list(typ)
+    state.update((str(typ[-1]),))
+    yield pd.DataFrame(
+        {"event_type": chain[:-1], "next_type": chain[1:]}
+    )
+
+
+def streaming_transition_log(
+    spark: SparkSession,
+    events_dir: str,
+    query_name: str = "transition_log",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain the transition log incrementally over an event stream
+    (availableNow here; a production ingest runs unbounded into a
+    parquet/Delta sink)."""
+    reader = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_dir)
+    log = stream.groupBy("user_id").applyInPandasWithState(
+        _transition_fold,
+        outputStructType=_TRANSITION_DDL,
+        stateStructType=_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        log.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def matrix_from_log(log: DataFrame) -> DataFrame:
+    """The batch aggregation that turns the standing transition log
+    into the Markov matrix — arithmetic identical to the batch
+    ``event_markov_op`` tail (one count shuffle over the |types|² pair
+    space, a broadcast |types|-row totals join, one rounded division)."""
+    cnts = log.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("cnt")
+    )
+    # fresh attribute ids on the totals side: a self-join of two
+    # aggregates over the same memory-sink view trips Spark 4.1's
+    # conflicting-reference check unless the join key is re-aliased
+    tot = (
+        cnts.select(F.col("event_type").alias("et"), "cnt")
+        .groupBy("et")
+        .agg(F.sum("cnt").alias("total"))
+    )
+    return (
+        cnts.join(F.broadcast(tot), F.col("event_type") == F.col("et"))
+        .drop("et")
+        .select(
+            "event_type",
+            "next_type",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("p_next"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+def streaming_markov_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible stateful-handoff parity: land the events fixture
+    in TWO parquet drops split at the median timestamp (every event in
+    drop 1 precedes every event in drop 2 in the batch total order, so
+    in-order replay is well-defined — out-of-order arrival is
+    policy-scored, not parity), fold them through the streaming
+    transition log one file per micro-batch (users spanning the cut
+    genuinely exercise the cross-batch last-type carry), and aggregate
+    the standing log into the matrix. Oracle = the batch
+    ``ext_event_markov`` SQL over the same fixture: statefulness must
+    make batching invisible."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.model import load_table
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        localize_and_cleanup,
+        parity_stream_partitions,
+    )
+
+    base = tempfile.mkdtemp(prefix="dariadb_markov_parity_")
+    data_dir = f"{base}/events"
+    qname = "markov_parity_" + base.rsplit("_", 1)[-1]
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        # epoch-millisecond median cut: every event at ms ≤ cut lands in
+        # drop 1 (sub-ms ties never split), so drop 1 strictly precedes
+        # drop 2 in the (ts, event_id) total order. The ms expression
+        # follows model.py's build matrix: bigint fixtures carry raw ns,
+        # timestamp/ntz fixtures cast-then-unix_millis.
+        ts_type = dict(ev.dtypes)["ts"]
+        ms = (
+            "ts" if ts_type == "bigint"
+            else "unix_millis(CAST(ts AS TIMESTAMP))"
+        )
+        cut = ev.agg(
+            F.expr(f"percentile_approx({ms}, 0.5, 10000)").alias("c")
+        ).collect()[0]["c"]
+        # normalize ts to µs TIMESTAMP so the landed files always match
+        # the stream reader's declared schema regardless of fixture
+        # build (ntz/ltz casts; a raw-ns bigint build floors to µs —
+        # identical to what Spark's own ntz read does to NANOS parquet)
+        norm = (
+            "timestamp_micros(ts DIV 1000)" if ts_type == "bigint"
+            else "CAST(ts AS TIMESTAMP)"
+        )
+        ev = ev.withColumn("_ms", F.expr(ms)).withColumn("ts", F.expr(norm))
+        ev.where(F.col("_ms") <= cut).drop("_ms").orderBy(
+            "ts", "event_id"
+        ).coalesce(1).write.parquet(data_dir)
+        ev.where(F.col("_ms") > cut).drop("_ms").orderBy(
+            "ts", "event_id"
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+        with parity_stream_partitions(spark):
+            q = streaming_transition_log(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        out = matrix_from_log(spark.table(qname))
+        return localize_and_cleanup(spark, out, base, qname)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+
+
+#: oracle: the standing log's matrix must equal the batch matrix
+from dariadb_spark.ext.analytics import EVENT_MARKOV_SQL as STREAMING_MARKOV_SQL  # noqa: E402,E501
