@@ -2481,6 +2481,7 @@ def main() -> None:
     mkv_s, mkv_rows = stress_event_markov(spark)
     acf_s, pe_s, acf_rows, pe_rows = stress_acf_pe(spark)
     tvd_s, pmi_s, nov_s, tvd_srcs = stress_corpus_profiles(spark)
+    pca_s, pca_l0, pca_l1 = stress_embedding_pca(spark)
     print(
         json.dumps(
             {
@@ -2533,6 +2534,7 @@ def main() -> None:
                     "corpus_drift_tvd_500k": round(tvd_s, 4),
                     "token_pmi_500k": round(pmi_s, 4),
                     "ngram_novelty_300k": round(nov_s, 4),
+                    "embedding_pca_100k": round(pca_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2576,6 +2578,7 @@ def main() -> None:
                 "acf_stress_rows": acf_rows,
                 "pe_stress_series": pe_rows,
                 "drift_stress_sources": tvd_srcs,
+                "pca_planted_loadings": [pca_l0, pca_l1],
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -2951,3 +2954,36 @@ def stress_corpus_profiles(spark) -> tuple[float, float, float, int]:
     assert nov["echo"].owned_ngrams == 0 and nov["echo"].novelty_ratio == 0.0
     assert nov["fresh"].novelty_ratio == 1.0
     return tvd_s, pmi_s, nov_s, len(rows)
+
+PCA_STRESS_VECS = 100_000
+
+
+def stress_embedding_pca(spark) -> tuple[float, float, float]:
+    """The staged r13 PCA power iteration above fixture size: 100k
+    64-dim vectors, every one a multiple c·u of the planted direction
+    u ∝ (0.3, 0.4, 0, …) with c cycling 1..4 — a rank-1 Gram whose top
+    component is u/|u| = (0.6, 0.8) in closed form. The declared-form
+    Gram fan-out (100k × 64² ≈ 410M pair rows, partial-aggregated to
+    4096 cells before the shuffle) is exactly the 100 TB-relevant cost
+    being measured; the ⌊·/10⁶⌋ scale-downs no longer divide evenly at
+    this Σc², so the assert allows the documented 1-ulp-of-the-grid
+    flooring slack (≤ 1e-4) instead of exact equality, plus exact
+    zeros on all 62 unplanted axes."""
+    from dariadb_spark.ext.similarity import embedding_pca_op
+
+    emb = spark.range(PCA_STRESS_VECS).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), d -> CASE"
+        " WHEN d = 0 THEN 0.3 * (1 + id % 4)"
+        " WHEN d = 1 THEN 0.4 * (1 + id % 4)"
+        " ELSE CAST(0.0 AS DOUBLE) END) AS embedding",
+        "CAST(0 AS INT) AS label",
+    )
+    t0 = time.perf_counter()
+    rows = {r.dim: r.loading for r in embedding_pca_op(emb).collect()}
+    pca_s = time.perf_counter() - t0
+    assert len(rows) == 64
+    assert abs(rows[0] - 0.6) <= 1e-4, rows[0]
+    assert abs(rows[1] - 0.8) <= 1e-4, rows[1]
+    assert all(rows[d] == 0.0 for d in range(2, 64))
+    return pca_s, rows[0], rows[1]

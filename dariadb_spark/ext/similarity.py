@@ -1758,3 +1758,114 @@ SELECT e.q_id, count(*) AS k,
          AS recall
 FROM exk e LEFT JOIN hits h ON e.q_id = h.q_id
 GROUP BY e.q_id ORDER BY e.q_id"""
+
+
+# --- principal component via integerized power iteration ---------------------
+# STAGED for the round-13 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+PCA_SCALE = 10_000  # embedding → int grid (|e| ≤ ~0.53 → |q| ≤ ~5300)
+_PCA_DOWN = 1_000_000  # inter-iteration magnitude scale-down
+
+
+def embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r13 window (see :func:`embedding_pca_op`)."""
+    return embedding_pca_op(load_table(spark, sf, "embeddings"))
+
+
+def embedding_pca_op(emb: DataFrame) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix by TWO
+    unrolled power-iteration steps (v = G²·1, normalized at the end) —
+    the whitening/variance-axis primitive the SemDeDup/PQ family
+    presumes (Sorscher et al. 2022 prune in PCA space; a drifting top
+    component is also an embedding-pipeline health alarm). Two steps
+    from the all-ones start give the standard one-power-method
+    Rayleigh sharpening; the unrolled-chain form is the Lloyd-chain
+    recipe (`ext_sim_kmeans`) — deterministic, oracle-replayable,
+    no iteration-count knob hidden in a driver loop.
+
+    Exactness: embeddings quantize to the PCA_SCALE int grid (the
+    `ext_embedding_quantize` recipe); the Gram cells, both
+    matrix-vector products, and the squared-norm accumulate in
+    DECIMAL(38,0)/HUGEINT — exact, order-free. Between products the
+    vector scales down by ⌊|v|/10⁶⌋ with EXPLICIT sign decomposition
+    (Spark DIV truncates toward zero, DuckDB // floors — they agree
+    only on magnitudes, ext/exact.py's signed-variant lesson). The
+    one float each output row sees is round(v_i/√S, 6) where √S is
+    IEEE-correctly-rounded on an exact double — bit-identical across
+    engines.
+
+    Plan shape: the d²-per-vector pair fan-out (2M rows at the
+    fixture) partial-aggregates to the 4096-cell Gram before any
+    shuffle; everything after is d²/d-row arithmetic with broadcast
+    joins. At 100 TB the fan-out swaps for the blocked Arrow-matmul
+    Gram (the `pq_encode_arrow` shape: per-batch eᵀe partials summed
+    by cell) with zero change downstream — the declared form and the
+    BLAS form meet at the same exact integer cell table.
+    """
+    q = emb.selectExpr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {PCA_SCALE}) AS BIGINT)) AS q"
+    )
+    pairs = q.select(
+        "q", F.posexplode("q").alias("i", "qi")
+    ).select(
+        "i", "qi", F.posexplode("q").alias("j", "qj")
+    )
+    gram = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("g")
+    )
+    sdiv = (
+        "CAST(CASE WHEN {v} < 0 THEN -(abs({v}) DIV {d})"
+        " ELSE abs({v}) DIV {d} END AS BIGINT)"
+    )
+    v1 = gram.groupBy(F.col("j").alias("k")).agg(F.sum("g").alias("v1"))
+    v1s = v1.selectExpr(
+        "k", sdiv.format(v="v1", d=_PCA_DOWN) + " AS v1s"
+    )
+    v2 = (
+        gram.join(F.broadcast(v1s), gram.j == v1s.k)
+        .groupBy(F.col("i").alias("dim"))
+        .agg(F.sum(F.col("g") * F.col("v1s")).alias("v2"))
+        .selectExpr("dim", sdiv.format(v="v2", d=_PCA_DOWN) + " AS v2s")
+    )
+    norm = v2.agg(
+        F.sum(F.col("v2s").cast("decimal(38,0)") * F.col("v2s")).alias("s2")
+    )
+    return (
+        v2.crossJoin(F.broadcast(norm))
+        .where(F.col("s2") > 0)
+        .selectExpr(
+            "CAST(dim AS BIGINT) AS dim",
+            "v2s",
+            "round(CAST(v2s AS DOUBLE)"
+            " / sqrt(CAST(s2 AS DOUBLE)), 6) AS loading",
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDING_PCA_SQL = f"""WITH
+q AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {PCA_SCALE}) AS BIGINT)) AS q
+      FROM embeddings),
+e AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS qi
+      FROM q),
+gram AS (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.qi AS HUGEINT) * b.qi) AS g
+  FROM e a JOIN e b USING (vec_id)
+  GROUP BY 1, 2),
+v1 AS (SELECT j AS k, sum(g) AS v1 FROM gram GROUP BY j),
+v1s AS (SELECT k, CAST(CASE WHEN v1 < 0 THEN -(abs(v1) // {_PCA_DOWN})
+                            ELSE abs(v1) // {_PCA_DOWN} END AS BIGINT) AS v1s
+        FROM v1),
+v2 AS (SELECT g.i AS dim, sum(g.g * v.v1s) AS v2
+       FROM gram g JOIN v1s v ON g.j = v.k GROUP BY g.i),
+v2s AS (SELECT dim, CAST(CASE WHEN v2 < 0 THEN -(abs(v2) // {_PCA_DOWN})
+                              ELSE abs(v2) // {_PCA_DOWN} END AS BIGINT) AS v2s
+        FROM v2),
+nrm AS (SELECT sum(CAST(v2s AS HUGEINT) * v2s) AS s2 FROM v2s)
+SELECT CAST(dim AS BIGINT) AS dim, v2s,
+       round(CAST(v2s AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)), 6) AS loading
+FROM v2s CROSS JOIN nrm WHERE s2 > 0 ORDER BY dim"""

@@ -859,7 +859,9 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # first-seen n-gram attribution, ext/dedup.py;
 # streaming_markov_parity — the per-user last-event state carry that
 # makes the transition matrix maintainable at ingest,
-# streaming/markov.py, oracle = the batch ext_event_markov SQL), then
+# streaming/markov.py, oracle = the batch ext_event_markov SQL;
+# ext_embedding_pca — top principal direction by integerized power
+# iteration, ext/similarity.py), then
 # fill from the r10-latest block oldest-first
 # (`tools/attestation_ledger.py --plan 50` computes the exact list).
 # Everything outside the window is still value-checked locally by

@@ -506,7 +506,7 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
     operators registered in r12 and are now covered by the registered
     sweep above.)"""
     from dariadb_spark.ext.multimodal import media_audio_dedup
-    from dariadb_spark.ext.similarity import ann_recall_lsh
+    from dariadb_spark.ext.similarity import ann_recall_lsh, embedding_pca
     from dariadb_spark.ext.sketches import sketch_hll_m64
     from dariadb_spark.ext.analytics import event_markov
     from dariadb_spark.ext.dedup import ngram_novelty
@@ -534,6 +534,7 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
         corpus_drift_tvd,
         token_pmi,
         ngram_novelty,
+        embedding_pca,
     ):
         plan = (
             fn(spark, oracle_sf_dir)

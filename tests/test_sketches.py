@@ -3616,3 +3616,39 @@ def test_ngram_novelty_parity_and_planted_attribution(spark, oracle_sf_dir):
     assert rows["copycat"].novelty_ratio == 0.0
     assert rows["copycat"].distinct_ngrams == 2
     assert rows["fresh"].novelty_ratio == 1.0
+
+
+def test_embedding_pca_parity_and_planted_rank1(spark, oracle_sf_dir):
+    """Staged r13 PCA power iteration: DuckDB hash parity; a planted
+    rank-1 embedding table (every vector a multiple of u ∝ (0.3, 0.4))
+    recovers loading = (0.6, 0.8) EXACTLY — the scale-downs divide
+    evenly by construction, so the closed form survives the integer
+    pipeline with zero tolerance."""
+    from dariadb_spark.ext.similarity import (
+        EMBEDDING_PCA_SQL,
+        embedding_pca,
+        embedding_pca_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_embedding_pca",
+        embedding_pca(spark, oracle_sf_dir),
+        con,
+        EMBEDDING_PCA_SQL,
+    )
+    assert res.ok, res.problems
+
+    u = [0.3, 0.4] + [0.0] * 62
+    rows = [
+        (v, [c * x for x in u], 0) for v, c in enumerate([1.0, 2.0, 3.0, 4.0])
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r.dim: (r.v2s, r.loading) for r in embedding_pca_op(emb).collect()}
+    assert len(got) == 64
+    assert got[0] == (472500, 0.6)
+    assert got[1] == (630000, 0.8)
+    assert all(got[d] == (0, 0.0) for d in range(2, 64))
