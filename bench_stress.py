@@ -2482,6 +2482,7 @@ def main() -> None:
     acf_s, pe_s, acf_rows, pe_rows = stress_acf_pe(spark)
     tvd_s, pmi_s, nov_s, tvd_srcs = stress_corpus_profiles(spark)
     pca_s, pca_l0, pca_l1 = stress_embedding_pca(spark)
+    mase_s, psi_s, mase_series, psi_series = stress_forecast_drift(spark)
     print(
         json.dumps(
             {
@@ -2535,6 +2536,8 @@ def main() -> None:
                     "token_pmi_500k": round(pmi_s, 4),
                     "ngram_novelty_300k": round(nov_s, 4),
                     "embedding_pca_100k": round(pca_s, 4),
+                    "series_mase_19m": round(mase_s, 4),
+                    "series_psi_10m": round(psi_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2579,6 +2582,8 @@ def main() -> None:
                 "pe_stress_series": pe_rows,
                 "drift_stress_sources": tvd_srcs,
                 "pca_planted_loadings": [pca_l0, pca_l1],
+                "mase_stress_series": mase_series,
+                "psi_stress_series": psi_series,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -2987,3 +2992,83 @@ def stress_embedding_pca(spark) -> tuple[float, float, float]:
     assert abs(rows[1] - 0.8) <= 1e-4, rows[1]
     assert all(rows[d] == 0.0 for d in range(2, 64))
     return pca_s, rows[0], rows[1]
+
+MASE_STRESS_ROWS = 19_200_000
+MASE_STRESS_SERIES = 200
+PSI_STRESS_ROWS = 10_000_000
+PSI_STRESS_SERIES = 100
+
+
+def stress_forecast_drift(spark) -> tuple[float, float, int, int]:
+    """The two staged forecastability/drift screens above fixture size,
+    closed forms asserted exactly.
+
+    MASE: 19.2M rows / 200 series (96k one-minute samples → 1600 hourly
+    cells). 100 series ramp linearly (mase = season = 24 exactly: the
+    seasonal error is 24× the step everywhere) and 100 repeat a perfect
+    24-hour cycle (mase = 0 exactly, sum_abs_season = 0).
+
+    PSI: 10M rows / 100 series, each with the planted 75/25 → 25/75 bin
+    swap between interval halves — psi = 2·round(0.5·ln3·10⁶)/10⁶ for
+    every series, two common bins, zero dropped.
+    """
+    import math
+
+    from dariadb_spark.ext.timeseries import series_mase_op, series_psi_op
+
+    hour = 3_600_000
+    per = MASE_STRESS_ROWS // MASE_STRESS_SERIES  # 96k samples/series
+    n_cells = per // 60
+    meas = spark.range(MASE_STRESS_ROWS).selectExpr(
+        f"id % {MASE_STRESS_SERIES} AS id",
+        f"(id DIV {MASE_STRESS_SERIES}) * 60000 AS time",
+        # series 0..99 ramp by hour index; 100..199 cycle mod 24
+        f"CASE WHEN id % {MASE_STRESS_SERIES} < 100"
+        f" THEN 10.0 + ((id DIV {MASE_STRESS_SERIES}) DIV 60)"
+        f" ELSE 10.0 + (((id DIV {MASE_STRESS_SERIES}) DIV 60) % 24)"
+        " END AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = {
+        r.id: r
+        for r in series_mase_op(
+            meas, None, 0, per * 60_000, hour, 24, 0
+        ).collect()
+    }
+    mase_s = time.perf_counter() - t0
+    assert len(rows) == MASE_STRESS_SERIES, len(rows)
+    for sid, r in rows.items():
+        assert r.n_naive == n_cells - 1 and r.n_season == n_cells - 24, r
+        if sid < 100:
+            assert r.mase == 24.0 and r.sum_abs_naive == 100 * (n_cells - 1), r
+        else:
+            assert r.mase == 0.0 and r.sum_abs_season == 0, r
+
+    per_p = PSI_STRESS_ROWS // PSI_STRESS_SERIES  # 100k samples/series
+    half = per_p // 2
+    q3 = 3 * half // 4
+    psi_pts = spark.range(PSI_STRESS_ROWS).selectExpr(
+        f"id % {PSI_STRESS_SERIES} AS id",
+        f"(id DIV {PSI_STRESS_SERIES}) * 1000 AS time",
+        # first half: 75% bin0 / 25% bin1; second half: swapped
+        f"CASE WHEN (id DIV {PSI_STRESS_SERIES}) < {half}"
+        f" THEN CASE WHEN (id DIV {PSI_STRESS_SERIES}) % 4 < 3"
+        "        THEN 10.0 ELSE 60.0 END"
+        f" ELSE CASE WHEN (id DIV {PSI_STRESS_SERIES}) % 4 < 3"
+        "        THEN 60.0 ELSE 10.0 END END AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    psi_rows = series_psi_op(
+        psi_pts, None, 0, (per_p - 1) * 1000, 50.0, 0
+    ).collect()
+    psi_s = time.perf_counter() - t0
+    want = 2 * round(0.5 * math.log(3.0) * 1e6) / 1e6
+    assert len(psi_rows) == PSI_STRESS_SERIES, len(psi_rows)
+    for r in psi_rows:
+        assert r.n1 == half and r.n2 == half, r
+        assert r.n_bins_common == 2 and r.n_bins_dropped == 0, r
+        assert r.psi == want, r
+    assert q3 * 4 == 3 * half  # the planted quarters divide evenly
+    return mase_s, psi_s, len(rows), len(psi_rows)

@@ -1623,3 +1623,245 @@ tot AS (SELECT *, {" + ".join(f"c{p}" for p in _PE_PATTERNS)} AS nw FROM wide)
 SELECT id, nw AS n_windows, {", ".join(f"c{p}" for p in _PE_PATTERNS)},
        round(-({_pe_sql_terms()}) / ln(6.0), 6) AS pe_norm
 FROM tot ORDER BY id"""
+
+
+# --- seasonal-naive forecast error (MASE) ------------------------------------
+# STAGED (round 12; r14 registration block — the r13 window is full, see
+# the capacity arithmetic at registry.py CHECK_WINDOW).
+
+MASE_BUCKET_MS = HOUR_MS
+MASE_SEASON = 24  # daily season on the hourly grid
+
+
+def series_mase_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    bucket_ms: int,
+    season: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Seasonal-naive forecastability score per series (Hyndman &
+    Koehler 2006's MASE, with the naive-1 denominator): how much
+    better does "same value as yesterday's hour" predict the series
+    than "same value as the last hour"? MASE < 1 means the daily
+    season carries real signal — the screen a TSDB user runs to pick
+    which series deserve a seasonal model at all. Lags walk the PAA
+    GRID (k grid steps, both cells populated), exactly the ACF
+    discipline, so irregular sampling cannot shift the season.
+
+    Exactness: cells are HALF_UP cent-quantized PAA means (int64);
+    both error sums are int64 |Δ| sums; the score is ONE wide-decimal
+    HALF_UP rational (Σ|e_s|·n_1) / (Σ|e_1|·n_s) at 4 dp — no float
+    anywhere. Series with a zero naive-1 denominator (constant on the
+    grid) are dropped; the exact integer numerators stay in the output
+    so the driver hash pins them too.
+
+    Plan shape (100 TB): the ACF plan with two lags instead of six —
+    one (id, cell) partial aggregate, two equi-joins on
+    (id, cell ± k·bucket), one per-id fold. Driver holds nothing.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = (
+        base.select(
+            "id", floor_bucket(F.col("time"), bucket_ms).alias("b"), y.alias("y")
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
+        .selectExpr("id", "b", "(2 * fs + fn) DIV (2 * fn) AS yq")
+    )
+
+    def lag_errs(k: int, tag: str) -> DataFrame:
+        cur = cells.select(
+            "id", "b", F.col("yq").alias("y_cur")
+        ).alias("C")
+        prev = cells.select(
+            F.col("id").alias("pid"),
+            (F.col("b") + F.lit(k * bucket_ms)).alias("pb"),
+            F.col("yq").alias("y_prev"),
+        ).alias("P")
+        return (
+            cur.join(
+                prev,
+                (F.col("C.id") == F.col("P.pid"))
+                & (F.col("C.b") == F.col("P.pb")),
+            )
+            .groupBy(F.col("C.id").alias("id"))
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.sum(F.abs(F.col("y_cur") - F.col("y_prev"))).alias(
+                    f"sum_abs_{tag}"
+                ),
+            )
+        )
+    naive = lag_errs(1, "naive")
+    seas = lag_errs(season, "season")
+    mase = (
+        "(((2 * sum_abs_season * n_naive * 10000 + sum_abs_naive * n_season)"
+        " DIV (2 * sum_abs_naive * n_season)) / 10000.0d)"
+    )
+    return (
+        naive.join(seas, "id")
+        .where(F.col("sum_abs_naive") > 0)
+        .selectExpr(
+            "id", "n_naive", "sum_abs_naive", "n_season", "sum_abs_season",
+            mase + " AS mase",
+        )
+        .orderBy("id")
+    )
+
+
+def series_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for a future window (see :func:`series_mase_op`)."""
+    return series_mase_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, MASE_BUCKET_MS,
+        MASE_SEASON, 0,
+    )
+
+
+def _mase_lag_sql(k: int, tag: str) -> str:
+    return f"""e_{tag} AS (
+  SELECT c.id, count(*) AS n_{tag},
+         CAST(sum(abs(c.yq - p.yq)) AS BIGINT) AS sum_abs_{tag}
+  FROM cells c JOIN cells p
+    ON p.id = c.id AND c.b = p.b + {k} * {MASE_BUCKET_MS}
+  GROUP BY c.id)"""
+
+
+SERIES_MASE_SQL = f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, {floor_bucket_sql('time', MASE_BUCKET_MS)} AS b,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+cells AS (SELECT id, b, (2 * sum(y) + count(*)) // (2 * count(*)) AS yq
+          FROM pts GROUP BY id, b),
+{_mase_lag_sql(1, "naive")},
+{_mase_lag_sql(MASE_SEASON, "season")}
+SELECT n.id, n.n_naive, n.sum_abs_naive, s.n_season, s.sum_abs_season,
+       (((2 * s.sum_abs_season * n.n_naive * 10000
+          + n.sum_abs_naive * s.n_season)
+         // (2 * n.sum_abs_naive * s.n_season)) / 10000.0) AS mase
+FROM e_naive n JOIN e_season s ON n.id = s.id
+WHERE n.sum_abs_naive > 0 ORDER BY n.id"""
+
+
+# --- population stability index (value-distribution drift) -------------------
+# STAGED (round 12; r14 registration block — same capacity note).
+
+PSI_BIN_WIDTH = 50.0  # the ext_histogram fixed-width bin grid
+
+
+def series_psi_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    bin_width: float,
+    flag: int = 0,
+) -> DataFrame:
+    """Value-distribution drift per series: the population stability
+    index between the first and second half of the interval, over the
+    fixed-width value bins of ``ext_histogram`` — the "did this sensor's
+    operating regime move?" screen (PSI < 0.1 stable, > 0.25 shifted,
+    the credit-scoring rule of thumb applied to telemetry). Bins empty
+    on either side are EXCLUDED from the sum (the pruned-bins PSI
+    convention — ln(p/0) is undefined; the dropped count is carried in
+    the output so the pruning is visible, not silent).
+
+    Cross-engine exactness: bin ids and half assignment are pure int64
+    arithmetic; each bin's (p−q)·ln(p/q) is ONE double expression from
+    identical int counts, immediately rounded onto the 1e-6 micro-int
+    grid — and the per-series total is then an INTEGER sum, order-free
+    by construction (a float Σ over a variable bin count would be the
+    _doc_nll accumulation-order class).
+
+    Plan shape (100 TB): one partial-aggregated (id, half, bin) count
+    shuffle, a pivot of the two halves onto one row per (id, bin), a
+    |series|-row broadcast of the half totals, one per-id fold.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    mid = (from_ms + to_ms) // 2
+    w = int(round(bin_width * 100))
+    # integer floor division on both engines (a double-divide + CAST
+    # diverges: Spark CAST truncates, DuckDB CAST rounds)
+    binned = base.select(
+        "id",
+        (F.col("time") > F.lit(mid)).cast("int").alias("half"),
+        F.expr(
+            f"CAST(round(value * 100) AS BIGINT) DIV {w}"
+        ).alias("bin"),
+    )
+    cnts = (
+        binned.groupBy("id", "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    tots = cnts.groupBy(F.col("id").alias("tid")).agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    term = (
+        "CAST(round(((c1 / CAST(n1 AS DOUBLE)) - (c2 / CAST(n2 AS DOUBLE)))"
+        " * ln((c1 / CAST(n1 AS DOUBLE)) / (c2 / CAST(n2 AS DOUBLE)))"
+        " * 1000000) AS BIGINT)"
+    )
+    return (
+        cnts.join(F.broadcast(tots), cnts.id == tots.tid)
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .selectExpr(
+            "id", "n1", "n2",
+            "CAST(c1 > 0 AND c2 > 0 AS INT) AS common",
+            f"CASE WHEN c1 > 0 AND c2 > 0 THEN {term} ELSE 0L END"
+            " AS psi_micro",
+        )
+        .groupBy("id")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.sum("common").alias("n_bins_common"),
+            (F.count("*") - F.sum("common")).alias("n_bins_dropped"),
+            (F.sum("psi_micro") / F.lit(1e6)).alias("psi"),
+        )
+        .orderBy("id")
+    )
+
+
+def series_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for a future window (see :func:`series_psi_op`)."""
+    return series_psi_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, PSI_BIN_WIDTH, 0
+    )
+
+
+_PSI_W = int(round(PSI_BIN_WIDTH * 100))
+_PSI_TERM_SQL = (
+    "CAST(round(((c1 / CAST(n1 AS DOUBLE)) - (c2 / CAST(n2 AS DOUBLE)))"
+    " * ln((c1 / CAST(n1 AS DOUBLE)) / (c2 / CAST(n2 AS DOUBLE)))"
+    " * 1000000) AS BIGINT)"
+)
+
+SERIES_PSI_SQL = f"""WITH {MEAS_CTE_SQL},
+binned AS (
+  SELECT id,
+         CAST(time > ({FROM_MS} + {TO_MS}) // 2 AS INT) AS half,
+         CAST(round(value * 100) AS BIGINT) // {_PSI_W} AS bin
+  FROM measurements WHERE {_interval_sql()}),
+cnts AS (SELECT id, bin,
+                sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+                sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+         FROM binned GROUP BY id, bin),
+tots AS (SELECT id, sum(c1) AS n1, sum(c2) AS n2 FROM cnts GROUP BY id),
+terms AS (
+  SELECT c.id, t.n1, t.n2,
+         CAST(c.c1 > 0 AND c.c2 > 0 AS INT) AS common,
+         CASE WHEN c.c1 > 0 AND c.c2 > 0 THEN {_PSI_TERM_SQL}
+              ELSE 0 END AS psi_micro
+  FROM cnts c JOIN tots t ON c.id = t.id
+  WHERE t.n1 > 0 AND t.n2 > 0)
+SELECT id, CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+       CAST(sum(common) AS BIGINT) AS n_bins_common,
+       CAST(count(*) - sum(common) AS BIGINT) AS n_bins_dropped,
+       CAST(sum(psi_micro) AS DOUBLE) / 1e6 AS psi
+FROM terms GROUP BY id ORDER BY id"""

@@ -861,9 +861,30 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # makes the transition matrix maintainable at ingest,
 # streaming/markov.py, oracle = the batch ext_event_markov SQL;
 # ext_embedding_pca — top principal direction by integerized power
-# iteration, ext/similarity.py), then
+# iteration, ext/similarity.py; ext_series_mase — seasonal-naive
+# forecastability, and ext_series_psi — population-stability value
+# drift, both ext/timeseries.py), then
 # fill from the r10-latest block oldest-first
 # (`tools/attestation_ledger.py --plan 50` computes the exact list).
+#
+# CAPACITY ARITHMETIC (round 12, extending the rotation policy): the
+# r13 window's FIXED obligations are the 32 r9-latest [EXT] queries
+# (stale-4 there — the "never stale-5" line) plus the 8 core r10-latest
+# rows (partition_stats + the seven streaming parities, stale-3), i.e.
+# 40 of 50 slots before any new registration. So AT MOST 10 of the 16
+# round-12-staged operators can register in r13 (priority 2 demands a
+# new registration be in-window); the natural split is the seven named
+# in the r11 verdict (audio/hll_m64/lsh-recall/streaming-dedup/lttb/
+# sax/markov) plus series_acf, series_perm_entropy, corpus_drift_tvd —
+# the remaining six (token_pmi, ngram_novelty, streaming_markov_parity,
+# embedding_pca, series_mase, series_psi) register in r14.
+# The stale-4 guarantee is satisfiable iff ceil(N/50) ≤ 4, i.e.
+# N ≤ 200 REGISTERED QUERIES — at 182 + 16 = 198 the registry is 2
+# under the line. Registration growth BEYOND 200 requires first either
+# (a) retiring/merging queries, or (b) moving the long-green [EXT]
+# line to stale-5 with the same justification as stale-4 (the window
+# is a sampling cadence on top of tests/test_oracle_parity.py's full
+# per-commit hash sweep); do not drift past the line silently.
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [

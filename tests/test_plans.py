@@ -514,7 +514,9 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
     from dariadb_spark.ext.timeseries import (
         downsample_lttb,
         series_acf,
+        series_mase,
         series_perm_entropy,
+        series_psi,
         series_sax,
     )
 
@@ -535,6 +537,8 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
         token_pmi,
         ngram_novelty,
         embedding_pca,
+        series_mase,
+        series_psi,
     ):
         plan = (
             fn(spark, oracle_sf_dir)

@@ -3652,3 +3652,102 @@ def test_embedding_pca_parity_and_planted_rank1(spark, oracle_sf_dir):
     assert got[0] == (472500, 0.6)
     assert got[1] == (630000, 0.8)
     assert all(got[d] == (0, 0.0) for d in range(2, 64))
+
+
+def test_series_mase_parity_and_planted_forecastability(spark, oracle_sf_dir):
+    """Staged MASE: DuckDB hash parity; a perfectly daily-periodic
+    series scores exactly 0 (the seasonal-naive forecast is perfect), a
+    linear ramp scores exactly season = 24 (yesterday's value is 24
+    steps staler than the last hour's), and a constant series is
+    dropped (zero naive-1 denominator)."""
+    from dariadb_spark.ext.timeseries import (
+        MASE_SEASON,
+        SERIES_MASE_SQL,
+        series_mase,
+        series_mase_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_mase",
+        series_mase(spark, oracle_sf_dir),
+        con,
+        SERIES_MASE_SQL,
+    )
+    assert res.ok, res.problems
+
+    hour = 3_600_000
+    n = 72
+    pts = [(1, k * hour, 10.0 + (k % 24), 0) for k in range(n)]  # periodic
+    pts += [(2, k * hour, 10.0 + k, 0) for k in range(n)]  # ramp
+    pts += [(3, k * hour, 42.0, 0) for k in range(n)]  # constant → dropped
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    rows = {
+        r.id: r
+        for r in series_mase_op(
+            meas, None, 0, n * hour, hour, MASE_SEASON, 0
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].sum_abs_season == 0 and rows[1].mase == 0.0
+    assert rows[1].n_naive == n - 1 and rows[1].n_season == n - MASE_SEASON
+    assert rows[2].sum_abs_naive == 100 * (n - 1)
+    assert rows[2].sum_abs_season == 2400 * (n - MASE_SEASON)
+    assert rows[2].mase == 24.0
+
+
+def test_series_psi_parity_and_planted_shift(spark, oracle_sf_dir):
+    """Staged PSI: DuckDB hash parity; a planted 75/25 → 25/75 bin
+    swap scores exactly ln 3 (two 0.5·ln3 terms on the micro-int
+    grid), identical halves score exactly 0, and a bin present in only
+    one half is counted dropped, never summed."""
+    import math
+
+    from dariadb_spark.ext.timeseries import (
+        PSI_BIN_WIDTH,
+        SERIES_PSI_SQL,
+        series_psi,
+        series_psi_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_psi", series_psi(spark, oracle_sf_dir), con, SERIES_PSI_SQL
+    )
+    assert res.ok, res.problems
+
+    step = 1000
+    pts = []
+    # series 1: half1 60×bin0 + 20×bin1; half2 20×bin0 + 60×bin1
+    for k in range(80):
+        pts.append((1, k * step, 10.0 if k < 60 else 60.0, 0))
+    for k in range(80):
+        pts.append((1, (80 + k) * step, 10.0 if k < 20 else 60.0, 0))
+    # series 2: identical halves → psi 0
+    for k in range(160):
+        pts.append((2, k * step, 10.0 if k % 2 else 60.0, 0))
+    # series 3: one extra half1-only bin → dropped, tiny residual term
+    for k in range(10):
+        pts.append((3, k * step, 10.0, 0))
+    pts.append((3, 10 * step, 110.0, 0))
+    for k in range(10):
+        pts.append((3, (80 + k) * step, 10.0, 0))
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    rows = {
+        r.id: r
+        for r in series_psi_op(meas, None, 0, 159 * step, PSI_BIN_WIDTH, 0)
+        .collect()
+    }
+    half_term = round(0.5 * math.log(3.0) * 1e6)
+    assert rows[1].psi == 2 * half_term / 1e6
+    assert rows[1].n_bins_common == 2 and rows[1].n_bins_dropped == 0
+    assert rows[2].psi == 0.0 and rows[2].n_bins_dropped == 0
+    assert rows[3].n_bins_dropped == 1 and rows[3].n_bins_common == 1
+    t3 = round((10 / 11 - 1.0) * math.log((10 / 11) / 1.0) * 1e6)
+    assert rows[3].psi == t3 / 1e6
