@@ -1414,7 +1414,14 @@ def series_acf_op(
         .groupBy("id", "b")
         .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
         # HALF_UP(fs/fn, 0) in pure int64 — PAA mean back on the cent grid
-        .selectExpr("id", "b", "(2 * fs + fn) DIV (2 * fn) AS yq")
+        .selectExpr(
+            "id",
+            "b",
+            # signed HALF_UP: decompose by sign — Spark DIV truncates
+            # toward zero, DuckDB // floors; they agree on magnitudes
+            "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
+            " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
+        )
     )
     moments = cells.groupBy("id").agg(
         F.count("*").alias("n"), F.sum("yq").alias("s")
@@ -1483,7 +1490,10 @@ SERIES_ACF_SQL = f"""WITH {MEAS_CTE_SQL},
 pts AS (SELECT id, {floor_bucket_sql('time', ACF_BUCKET_MS)} AS b,
                CAST(round(value * 100) AS BIGINT) AS y
         FROM measurements WHERE {_interval_sql()}),
-cells AS (SELECT id, b, (2 * sum(y) + count(*)) // (2 * count(*)) AS yq
+cells AS (SELECT id, b,
+                 CASE WHEN sum(y) < 0
+                      THEN -((2 * (-sum(y)) + count(*)) // (2 * count(*)))
+                      ELSE (2 * sum(y) + count(*)) // (2 * count(*)) END AS yq
           FROM pts GROUP BY id, b),
 moments AS (SELECT id, count(*) AS n, sum(yq) AS s FROM cells GROUP BY id),
 dev AS (SELECT c.id, c.b, m.n * c.yq - m.s AS dev
@@ -1670,7 +1680,14 @@ def series_mase_op(
         )
         .groupBy("id", "b")
         .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
-        .selectExpr("id", "b", "(2 * fs + fn) DIV (2 * fn) AS yq")
+        .selectExpr(
+            "id",
+            "b",
+            # signed HALF_UP: decompose by sign — Spark DIV truncates
+            # toward zero, DuckDB // floors; they agree on magnitudes
+            "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
+            " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
+        )
     )
 
     def lag_errs(k: int, tag: str) -> DataFrame:
@@ -1734,7 +1751,10 @@ SERIES_MASE_SQL = f"""WITH {MEAS_CTE_SQL},
 pts AS (SELECT id, {floor_bucket_sql('time', MASE_BUCKET_MS)} AS b,
                CAST(round(value * 100) AS BIGINT) AS y
         FROM measurements WHERE {_interval_sql()}),
-cells AS (SELECT id, b, (2 * sum(y) + count(*)) // (2 * count(*)) AS yq
+cells AS (SELECT id, b,
+                 CASE WHEN sum(y) < 0
+                      THEN -((2 * (-sum(y)) + count(*)) // (2 * count(*)))
+                      ELSE (2 * sum(y) + count(*)) // (2 * count(*)) END AS yq
           FROM pts GROUP BY id, b),
 {_mase_lag_sql(1, "naive")},
 {_mase_lag_sql(MASE_SEASON, "season")}
@@ -1789,7 +1809,11 @@ def series_psi_op(
         "id",
         (F.col("time") > F.lit(mid)).cast("int").alias("half"),
         F.expr(
-            f"CAST(round(value * 100) AS BIGINT) DIV {w}"
+            # integer FLOOR division (DuckDB // floors; Spark DIV
+            # truncates toward zero — decompose the negative branch)
+            f"CASE WHEN round(value * 100) < 0"
+            f" THEN -((CAST(-round(value * 100) AS BIGINT) + {w} - 1) DIV {w})"
+            f" ELSE CAST(round(value * 100) AS BIGINT) DIV {w} END"
         ).alias("bin"),
     )
     cnts = (

@@ -1191,3 +1191,320 @@ def test_unigram_lm_property(spark, docs):
         key=lambda r: (-r[1], r[0]),
     )
     assert got == ref
+
+
+# --- round-12 staged profile operators vs pure-Python references -----------
+
+import math as _math
+
+
+def _hup(x: float, places: int) -> float:
+    from dariadb_spark.streaming.stateful import _round_half_up
+
+    return _round_half_up(x, places)
+
+
+def _cents(v: float) -> int:
+    # strategy values sit on the quarter grid → v*100 is an exact int
+    return int(round(v * 100))
+
+
+def _fbucket(t: int, w: int) -> int:
+    return t - ((t % w) + w) % w
+
+
+_PE_ORDER = ("123", "132", "312", "213", "231", "321")
+
+
+def _pe_pattern(a: int, b: int, c: int) -> str:
+    if a <= b and b <= c:
+        return "123"
+    if a <= b and a <= c:
+        return "132"
+    if a <= b:
+        return "312"
+    if b < a and a <= c:
+        return "213"
+    if b < a and b <= c:
+        return "231"
+    return "321"
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_perm_entropy_matches_reference(spark, rows):
+    """Staged ``series_perm_entropy_op`` equals the definitional Python
+    fold: stable-tie ordinal classification on the cent grid, entropy
+    as the SAME fixed-order 6-term float expression, HALF_UP at 6 dp —
+    byte-exact, negative values included."""
+    from dariadb_spark.ext.timeseries import series_perm_entropy_op
+
+    lo, hi = T0, T0 + 40 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        r.id: (r.n_windows, r.c123, r.c132, r.c312, r.c213, r.c231, r.c321,
+               r.pe_norm)
+        for r in series_perm_entropy_op(df, None, lo, hi, 0).collect()
+    }
+    by_id: dict[int, list] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            by_id.setdefault(i, []).append((t, v, f))
+    want = {}
+    for i, pts in by_id.items():
+        ys = [_cents(v) for t, v, f in sorted(pts)]
+        if len(ys) < 3:
+            continue
+        cnt = {p: 0 for p in _PE_ORDER}
+        for k in range(len(ys) - 2):
+            cnt[_pe_pattern(ys[k], ys[k + 1], ys[k + 2])] += 1
+        n = len(ys) - 2
+        acc = 0.0
+        for p in _PE_ORDER:
+            if cnt[p] > 0:
+                acc = acc + (cnt[p] / n) * _math.log(cnt[p] / n)
+        pe = _hup(-acc / _math.log(6.0), 6)
+        want[i] = (n, *[cnt[p] for p in _PE_ORDER], pe)
+    assert got == want
+
+
+@given(rows=meas_lists, max_lag=st.integers(1, 4))
+@_SETTINGS
+def test_series_acf_matches_reference(spark, rows, max_lag):
+    """Staged ``series_acf_op`` equals the definitional reference:
+    signed-HALF_UP cent-quantized PAA means, exact integer
+    numerator/denominator, one HALF_UP(·, 6) float division — exact
+    including negative values (the signed DIV decomposition)."""
+    from dariadb_spark.ext.timeseries import series_acf_op
+
+    lo, hi, w = T0, T0 + 40 * STEP, 3 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        (r.id, r.lag): (r.n_pairs, r.acf)
+        for r in series_acf_op(df, None, lo, hi, w, max_lag, 0).collect()
+    }
+    cells: dict[tuple[int, int], list[int]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            cells.setdefault((i, _fbucket(t, w)), []).append(_cents(v))
+    series: dict[int, dict[int, int]] = {}
+    for (i, b), ys in cells.items():
+        fs, fn = sum(ys), len(ys)
+        yq = (
+            -((2 * (-fs) + fn) // (2 * fn))
+            if fs < 0
+            else (2 * fs + fn) // (2 * fn)
+        )
+        series.setdefault(i, {})[b] = yq
+    want = {}
+    for i, by_b in series.items():
+        n, s = len(by_b), sum(by_b.values())
+        dev = {b: n * y - s for b, y in by_b.items()}
+        den = sum(d * d for d in dev.values())
+        if den <= 0:
+            continue
+        for k in range(1, max_lag + 1):
+            pairs = [
+                (dev[b], dev[b + k * w]) for b in dev if b + k * w in dev
+            ]
+            if pairs:
+                num = sum(a * c for a, c in pairs)
+                want[(i, k)] = (
+                    len(pairs), _hup(float(num) / float(den), 6)
+                )
+    assert got == want
+
+
+@given(rows=meas_lists, season=st.integers(2, 6))
+@_SETTINGS
+def test_series_mase_matches_reference(spark, rows, season):
+    """Staged ``series_mase_op`` equals the definitional reference: the
+    same quantized cells, exact integer |Δ| sums over grid-step lags,
+    and the wide HALF_UP rational at 4 dp — exact, signed values
+    included."""
+    from dariadb_spark.ext.timeseries import series_mase_op
+
+    lo, hi, w = T0, T0 + 40 * STEP, 2 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        r.id: (r.n_naive, r.sum_abs_naive, r.n_season, r.sum_abs_season,
+               r.mase)
+        for r in series_mase_op(df, None, lo, hi, w, season, 0).collect()
+    }
+    cells: dict[tuple[int, int], list[int]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            cells.setdefault((i, _fbucket(t, w)), []).append(_cents(v))
+    series: dict[int, dict[int, int]] = {}
+    for (i, b), ys in cells.items():
+        fs, fn = sum(ys), len(ys)
+        yq = (
+            -((2 * (-fs) + fn) // (2 * fn))
+            if fs < 0
+            else (2 * fs + fn) // (2 * fn)
+        )
+        series.setdefault(i, {})[b] = yq
+    want = {}
+    for i, by_b in series.items():
+        def errs(k: int) -> tuple[int, int]:
+            ps = [
+                abs(by_b[b] - by_b[b - k * w]) for b in by_b if b - k * w in by_b
+            ]
+            return len(ps), sum(ps)
+        n1, s1 = errs(1)
+        ns, ss = errs(season)
+        if n1 == 0 or ns == 0 or s1 == 0:
+            continue
+        mase = ((2 * ss * n1 * 10000 + s1 * ns) // (2 * s1 * ns)) / 10000.0
+        want[i] = (n1, s1, ns, ss, mase)
+    assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_psi_matches_reference(spark, rows):
+    """Staged ``series_psi_op`` equals the definitional reference:
+    FLOOR-division binning (signed), pruned-bins convention, each term
+    HALF_UP-rounded onto the micro-int grid BEFORE the (integer)
+    per-series sum — exact, negative values included."""
+    from dariadb_spark.ext.timeseries import series_psi_op
+
+    lo, hi, bw = T0, T0 + 40 * STEP, 10.0
+    w = 1000  # cents
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        r.id: (r.n1, r.n2, r.n_bins_common, r.n_bins_dropped, r.psi)
+        for r in series_psi_op(df, None, lo, hi, bw, 0).collect()
+    }
+    mid = (lo + hi) // 2
+    cnt: dict[int, dict[int, list[int]]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            c = _cents(v)
+            b = c // w  # python // floors, matching the engine pair
+            half = 1 if t > mid else 0
+            slot = cnt.setdefault(i, {}).setdefault(b, [0, 0])
+            slot[half] += 1
+    want = {}
+    for i, bins in cnt.items():
+        n1 = sum(c1 for c1, _ in bins.values())
+        n2 = sum(c2 for _, c2 in bins.values())
+        if n1 == 0 or n2 == 0:
+            continue
+        common = dropped = micro = 0
+        for c1, c2 in bins.values():
+            if c1 > 0 and c2 > 0:
+                common += 1
+                p, q = c1 / n1, c2 / n2
+                micro += int(_hup((p - q) * _math.log(p / q) * 1e6, 0))
+            else:
+                dropped += 1
+        want[i] = (n1, n2, common, dropped, micro / 1e6)
+    assert got == want
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc_lists = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.lists(_words, min_size=1, max_size=8).map(" ".join),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@given(docs=_doc_lists)
+@_SETTINGS
+def test_corpus_drift_tvd_matches_reference(spark, docs):
+    """Staged ``corpus_drift_tvd_op`` equals the definitional reference:
+    exact integer |c·N_r − (C−c)·N_s| sums over the FULL vocabulary
+    (the reference iterates every word — proving the op's
+    observed-pairs-plus-scalar algebraic fold is the same sum), one
+    HALF_UP(·, 6) float division."""
+    from collections import Counter
+
+    from dariadb_spark.ext.text import corpus_drift_tvd_op
+
+    got = {
+        r.source: (r.n_tokens, r.n_vocab, r.tvd_rest)
+        for r in corpus_drift_tvd_op(_docs_df(spark, docs)).collect()
+    }
+    per_src: dict[str, Counter] = {}
+    for s, t in docs:
+        per_src.setdefault(s, Counter()).update(t.split(" "))
+    total = Counter()
+    for c in per_src.values():
+        total.update(c)
+    n = sum(total.values())
+    want = {}
+    for s, cs in per_src.items():
+        ns = sum(cs.values())
+        if ns >= n:
+            continue
+        nr = n - ns
+        num = sum(
+            abs(cs.get(wd, 0) * nr - (cw - cs.get(wd, 0)) * ns)
+            for wd, cw in total.items()
+        )
+        tvd = _hup(float(num) / ((2.0 * float(ns)) * float(nr)), 6)
+        want[s] = (ns, len(cs), tvd)
+    assert got == want
+
+
+@given(docs=_doc_lists)
+@_SETTINGS
+def test_token_pmi_matches_reference(spark, docs):
+    """Staged ``token_pmi_op`` equals the definitional reference: exact
+    bigram/margin counts, the exact micro-int rank key, the
+    (rank_key DESC, x, y) order, and the HALF_UP(ln, 6) display value
+    (compared at 1e-6 — the ln is never part of the ordering)."""
+    from collections import Counter
+
+    from dariadb_spark.ext.text import PMI_MIN_COUNT, PMI_TOP, token_pmi_op
+
+    rows = token_pmi_op(_docs_df(spark, docs)).collect()
+    cxy: Counter = Counter()
+    for _s, t in docs:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            cxy[(a, b)] += 1
+    cx: Counter = Counter()
+    cy: Counter = Counter()
+    for (a, b), c in cxy.items():
+        cx[a] += c
+        cy[b] += c
+    nb = sum(cxy.values())
+    scored = [
+        (
+            (c * nb * 10**6) // (cx[a] * cy[b]),
+            a,
+            b,
+            c,
+            _hup(_math.log((c * nb) / float(cx[a] * cy[b])), 6),
+        )
+        for (a, b), c in cxy.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = scored[:PMI_TOP]
+    assert len(rows) == len(want)
+    for r, (key, a, b, c, pmi) in zip(rows, want):
+        assert (r.x, r.y, r.c_xy, r.rank_key) == (a, b, c, key)
+        assert (r.c_x, r.c_y) == (cx[a], cy[b])
+        assert abs(r.pmi - pmi) <= 1e-6, (r, pmi)
