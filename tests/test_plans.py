@@ -277,6 +277,13 @@ def test_check_window_rotation_policy():
     # stale-4 is genuinely the worst case: three non-window rounds of
     # 50 slots cover every query not in the current window
     assert len(REGISTRY) - len(CHECK_WINDOW) <= 3 * len(CHECK_WINDOW)
+    # the CAPACITY LINE (round 12, registry.py): stale-4 stays the worst
+    # case only while ceil(N / 50) <= 4 — registration growth past 200
+    # must first retire/merge queries or consciously move the line to
+    # stale-5 (and update this pin alongside the policy paragraph)
+    assert len(REGISTRY) <= 200, (
+        f"registry at {len(REGISTRY)} queries exceeds the 200-query "
+        "rotation capacity line — see registry.py CAPACITY ARITHMETIC")
 
 
 def test_salted_paths_bound_skew_on_hot_key(spark):
