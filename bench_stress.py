@@ -2483,6 +2483,9 @@ def main() -> None:
     tvd_s, pmi_s, nov_s, tvd_srcs = stress_corpus_profiles(spark)
     pca_s, pca_l0, pca_l1 = stress_embedding_pca(spark)
     mase_s, psi_s, mase_series, psi_series = stress_forecast_drift(spark)
+    smkv_stream_s, smkv_batch_s, smkv_transitions = stress_streaming_markov(
+        spark
+    )
     print(
         json.dumps(
             {
@@ -2538,6 +2541,8 @@ def main() -> None:
                     "embedding_pca_100k": round(pca_s, 4),
                     "series_mase_19m": round(mase_s, 4),
                     "series_psi_10m": round(psi_s, 4),
+                    "streaming_markov_1m": round(smkv_stream_s, 4),
+                    "batch_markov_same_events": round(smkv_batch_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2584,6 +2589,7 @@ def main() -> None:
                 "pca_planted_loadings": [pca_l0, pca_l1],
                 "mase_stress_series": mase_series,
                 "psi_stress_series": psi_series,
+                "streaming_markov_transitions": smkv_transitions,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -3072,3 +3078,85 @@ def stress_forecast_drift(spark) -> tuple[float, float, int, int]:
         assert r.psi == want, r
     assert q3 * 4 == 3 * half  # the planted quarters divide evenly
     return mase_s, psi_s, len(rows), len(psi_rows)
+
+SMKV_STRESS_ROWS = 1_000_000
+SMKV_STRESS_USERS = 20_000
+
+
+def stress_streaming_markov(spark) -> tuple[float, float, int]:
+    """The staged streaming transition log above fixture size: 1M
+    events / 20k users, the deterministic view,view,click,buy cycle of
+    the batch Markov stress, landed in TWO time-split parquet drops and
+    folded one file per micro-batch — every user spans the cut, so the
+    cross-batch last-type carry fires 20k times. The standing log's
+    matrix must equal the batch stress's closed-form counts exactly;
+    the batch aggregation over the same frame is timed alongside (the
+    delta is the checkpoint/state machinery a long-running ingest
+    amortizes, the pq-ingest measurement's argument)."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.analytics import event_markov_op
+    from dariadb_spark.streaming.markov import (
+        matrix_from_log,
+        streaming_transition_log,
+    )
+    from dariadb_spark.streaming.scratch import await_parity_termination
+
+    per = SMKV_STRESS_ROWS // SMKV_STRESS_USERS  # 50 events/user
+    ev = spark.range(SMKV_STRESS_ROWS).selectExpr(
+        "id AS event_id",
+        f"timestamp_millis(1704067200000 + (id DIV {SMKV_STRESS_USERS}) * 1000)"
+        " AS ts",
+        f"id % {SMKV_STRESS_USERS} AS user_id",
+        f"CASE (id DIV {SMKV_STRESS_USERS}) % 4 "
+        "WHEN 0 THEN 'view' WHEN 1 THEN 'view' "
+        "WHEN 2 THEN 'click' ELSE 'buy' END AS event_type",
+        "CAST(0.0 AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+    u, half_seq = SMKV_STRESS_USERS, per // 2
+    # the cycle truncates at event `per`; buy→view loses one per user
+    # (12 full cycles in 50 events; sequence index < 25 → drop 1)
+    want = {
+        ("view", "view"): 13 * u,
+        ("view", "click"): 12 * u,
+        ("click", "buy"): 12 * u,
+        ("buy", "view"): 12 * u,
+    }
+    base = tempfile.mkdtemp(prefix="dariadb_smkv_stress_")
+    data_dir = f"{base}/events"
+    qname = "smkv_stress_" + base.rsplit("_", 1)[-1]
+    try:
+        cut = 1704067200000 + (half_seq - 1) * 1000
+        ev.where(f"unix_millis(ts) <= {cut}").orderBy(
+            "ts", "event_id"
+        ).coalesce(1).write.parquet(data_dir)
+        ev.where(f"unix_millis(ts) > {cut}").orderBy(
+            "ts", "event_id"
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+        # session-default state partitions: 20k user groups need the
+        # OLAP conf, not the 4-partition fixture-parity sizing (a real
+        # deployment sizes state partitions to its user cardinality)
+        t0 = time.perf_counter()
+        q = streaming_transition_log(
+            spark, data_dir, qname, max_files_per_trigger=1
+        )
+        await_parity_termination(q)
+        got = {
+            (r.event_type, r.next_type): r.cnt
+            for r in matrix_from_log(spark.table(qname)).collect()
+        }
+        stream_s = time.perf_counter() - t0
+        assert got == want, got
+        t0 = time.perf_counter()
+        batch = {
+            (r.event_type, r.next_type): r.cnt
+            for r in event_markov_op(ev).collect()
+        }
+        batch_s = time.perf_counter() - t0
+        assert batch == want, batch
+        return stream_s, batch_s, sum(got.values())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView(qname)
