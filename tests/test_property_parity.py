@@ -1422,7 +1422,7 @@ _doc_lists = st.lists(
 )
 
 
-def _docs_df(spark, docs):
+def _drift_docs_df(spark, docs):
     return spark.createDataFrame(
         [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(docs)],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -1443,7 +1443,7 @@ def test_corpus_drift_tvd_matches_reference(spark, docs):
 
     got = {
         r.source: (r.n_tokens, r.n_vocab, r.tvd_rest)
-        for r in corpus_drift_tvd_op(_docs_df(spark, docs)).collect()
+        for r in corpus_drift_tvd_op(_drift_docs_df(spark, docs)).collect()
     }
     per_src: dict[str, Counter] = {}
     for s, t in docs:
@@ -1478,7 +1478,7 @@ def test_token_pmi_matches_reference(spark, docs):
 
     from dariadb_spark.ext.text import PMI_MIN_COUNT, PMI_TOP, token_pmi_op
 
-    rows = token_pmi_op(_docs_df(spark, docs)).collect()
+    rows = token_pmi_op(_drift_docs_df(spark, docs)).collect()
     cxy: Counter = Counter()
     for _s, t in docs:
         ws = t.split(" ")
