@@ -2618,8 +2618,6 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    main()
 
 
 AUDIO_STRESS_DOCS = 150_000
@@ -3160,3 +3158,7 @@ def stress_streaming_markov(spark) -> tuple[float, float, int]:
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.catalog.dropTempView(qname)
+
+
+if __name__ == "__main__":
+    main()
