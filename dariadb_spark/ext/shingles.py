@@ -21,15 +21,24 @@ def _shingled(docs: DataFrame) -> DataFrame:
     (The tempting ``transform(sequence(...), i -> element_at(split(...),
     i))`` form is O(n²): projection collapse re-inlines the split into
     every element access.)
+
+    The slice length is ``greatest(n - 2, 0)`` — TOTAL on any input —
+    rather than relying on the ``where`` to shield the expression:
+    when the shingled side joins other projections of the same frame,
+    Catalyst can evaluate the projection on pre-filter rows (observed:
+    a 1-word doc reached ``slice(…, -1)`` and failed the whole stage
+    under ngram_novelty's join; found by the hypothesis property
+    suite, invisible on the ≥3-word fixture).
     """
     n = "size(split(text, ' '))"
     s = "split(text, ' ')"
+    ln = f"greatest({n} - 2, 0)"
     return docs.where(F.size(F.split(F.col("text"), " ")) >= NGRAM).selectExpr(
         "doc_id",
         "array_distinct(zip_with("
-        f"zip_with(slice({s}, 1, {n} - 2), slice({s}, 2, {n} - 2), "
+        f"zip_with(slice({s}, 1, {ln}), slice({s}, 2, {ln}), "
         "(x, y) -> concat(x, ' ', y)), "
-        f"slice({s}, 3, {n} - 2), "
+        f"slice({s}, 3, {ln}), "
         "(xy, z) -> concat(xy, ' ', z))) AS shingles",
     )
 

@@ -1508,3 +1508,88 @@ def test_token_pmi_matches_reference(spark, docs):
         assert (r.x, r.y, r.c_xy, r.rank_key) == (a, b, c, key)
         assert (r.c_x, r.c_y) == (cx[a], cy[b])
         assert abs(r.pmi - pmi) <= 1e-6, (r, pmi)
+
+
+_vec_lists = st.lists(
+    st.lists(st.integers(-30000, 30000), min_size=4, max_size=4),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(vecs=_vec_lists)
+@_SETTINGS
+def test_embedding_pca_matches_reference(spark, vecs):
+    """Staged ``embedding_pca_op`` equals the definitional reference:
+    exact integer Gram, two G·v steps with the sign-decomposed
+    ⌊|·|/10⁶⌋ scale-down, IEEE sqrt + one HALF_UP(·, 6) division —
+    byte-exact on arbitrary signed 4-dim int-grid vectors (Python ints
+    never overflow, so the reference also proves the DECIMAL
+    accumulators sufficient on this domain)."""
+    from dariadb_spark.ext.similarity import embedding_pca_op
+
+    emb = spark.createDataFrame(
+        [(i, [x / 10_000.0 for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        r.dim: (r.v2s, r.loading) for r in embedding_pca_op(emb).collect()
+    }
+    d = 4
+    gram = [[sum(v[i] * v[j] for v in vecs) for j in range(d)]
+            for i in range(d)]
+
+    def sdown(x: int) -> int:
+        return -((-x) // 10**6) if x < 0 else x // 10**6
+
+    v1 = [sdown(sum(gram[k])) for k in range(d)]
+    v2 = [sdown(sum(gram[i][j] * v1[j] for j in range(d))) for i in range(d)]
+    s2 = sum(x * x for x in v2)
+    if s2 == 0:
+        assert got == {}
+        return
+    want = {
+        i: (v2[i], _hup(float(v2[i]) / _math.sqrt(float(s2)), 6))
+        for i in range(d)
+    }
+    assert got == want
+
+
+@given(docs=_doc_lists)
+@_SETTINGS
+def test_ngram_novelty_matches_reference(spark, docs):
+    """Staged ``ngram_novelty_op`` equals the definitional reference:
+    distinct word 3-grams per doc, first-seen = corpus-wide min doc_id,
+    exact counts, HALF_UP(·, 4) ratio."""
+    from dariadb_spark.ext.dedup import ngram_novelty_op
+
+    got = {
+        r.source: (r.n_docs, r.distinct_ngrams, r.owned_ngrams,
+                   r.novelty_ratio)
+        for r in ngram_novelty_op(_drift_docs_df(spark, docs)).collect()
+    }
+    sh_of = {}
+    for i, (s, t) in enumerate(docs):
+        w = t.split(" ")
+        sh_of[i] = (
+            s, {" ".join(w[k:k + 3]) for k in range(len(w) - 2)}
+        )
+    owner = {}
+    for i in sorted(sh_of):
+        for sh in sh_of[i][1]:
+            owner.setdefault(sh, i)
+    want = {}
+    per_src: dict[str, tuple[set, set]] = {}
+    for i, (s, shs) in sh_of.items():
+        if not shs:
+            continue
+        d, t = per_src.setdefault(s, (set(), set()))
+        d.add(i)
+        t.update(shs)
+    for s, (dset, types) in per_src.items():
+        # the op attributes each distinct shingle to its min-doc_id
+        # owner's source directly
+        owned = sum(1 for sh, o in owner.items() if sh_of[o][0] == s)
+        ratio = ((2 * owned * 10**4 + len(types)) // (2 * len(types))) / 1e4
+        want[s] = (len(dset), len(types), owned, ratio)
+    assert got == want
