@@ -605,10 +605,13 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     n = f"size({w})"
     # positions 0..n-SPAN_NGRAM: windows built by zipping 8 shifted
     # slices pairwise-concatenated (each slice evaluates once per row)
-    span_expr = f"slice({w}, 1, {n} - {SPAN_NGRAM - 1})"
+    # greatest(·, 0): total on any doc length — a join can evaluate the
+    # projection on pre-filter rows (the shingles.py totality lesson)
+    span_len = f"greatest({n} - {SPAN_NGRAM - 1}, 0)"
+    span_expr = f"slice({w}, 1, {span_len})"
     for off in range(1, SPAN_NGRAM):
         span_expr = (
-            f"zip_with({span_expr}, slice({w}, {off + 1}, {n} - {SPAN_NGRAM - 1}), "
+            f"zip_with({span_expr}, slice({w}, {off + 1}, {span_len}), "
             "(x, y) -> concat(x, ' ', y))"
         )
     spans = (
@@ -1359,10 +1362,12 @@ def _passage_windows_spark() -> str:
     collapse re-inlines the split)."""
     k = PASSAGE_WORDS
     s, n = "split(text, ' ')", "size(split(text, ' '))"
-    expr = f"slice({s}, 1, {n} - {k - 1})"
+    # greatest(·, 0): total on any doc length (the shingles.py lesson)
+    ln = f"greatest({n} - {k - 1}, 0)"
+    expr = f"slice({s}, 1, {ln})"
     for j in range(2, k + 1):
         expr = (
-            f"zip_with({expr}, slice({s}, {j}, {n} - {k - 1}), "
+            f"zip_with({expr}, slice({s}, {j}, {ln}), "
             "(x, y) -> concat(x, ' ', y))"
         )
     return expr

@@ -838,10 +838,13 @@ def text_diversity(spark: SparkSession, sf: str) -> DataFrame:
             f"explode(zip_with(slice({w}, 1, size({w}) - 1),"
             f" slice({w}, 2, size({w}) - 1), (a, b) -> concat(a, ' ', b)))"
         ),
+        # greatest(·, 0): slice() errors on a negative length and a
+        # 1-word doc would reach size-2 = -1 (the shingles.py totality
+        # lesson); an empty slice explodes to zero rows, as intended
         3: (
-            f"explode(zip_with(zip_with(slice({w}, 1, size({w}) - 2),"
-            f" slice({w}, 2, size({w}) - 2), (a, b) -> concat(a, ' ', b)),"
-            f" slice({w}, 3, size({w}) - 2), (p, c) -> concat(p, ' ', c)))"
+            f"explode(zip_with(zip_with(slice({w}, 1, greatest(size({w}) - 2, 0)),"
+            f" slice({w}, 2, greatest(size({w}) - 2, 0)), (a, b) -> concat(a, ' ', b)),"
+            f" slice({w}, 3, greatest(size({w}) - 2, 0)), (p, c) -> concat(p, ' ', c)))"
         ),
     }
     outs = []
