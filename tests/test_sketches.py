@@ -3751,3 +3751,39 @@ def test_series_psi_parity_and_planted_shift(spark, oracle_sf_dir):
     assert rows[3].n_bins_dropped == 1 and rows[3].n_bins_common == 1
     t3 = round((10 / 11 - 1.0) * math.log((10 / 11) / 1.0) * 1e6)
     assert rows[3].psi == t3 / 1e6
+
+
+def test_ngram_family_total_on_short_docs(spark):
+    """Totality pin for every computed-length slice path (the round-12
+    shingles lesson: `slice()` errors on a negative length, and join
+    plans can evaluate projections on pre-filter rows — plus
+    text_diversity's 3-gram path had no guard at all): a corpus of 0-,
+    1-, and 2-word documents must flow through the whole n-gram family
+    without error, contributing zero n-grams where none exist."""
+    import unittest.mock as mock
+
+    import dariadb_spark.ext.dedup as D
+    import dariadb_spark.ext.text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "", "en", "s1", 0),
+            (1, "one", "en", "s1", 3),
+            (2, "two words", "en", "s2", 9),
+            (3, "aa bb cc dd ee ff gg hh ii", "en", "s2", 26),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fake = lambda sp, sf, t: docs  # noqa: E731
+    with mock.patch.object(T, "load_table", fake):
+        div = {r.n: r for r in T.text_diversity(spark, "x").collect()}
+        assert div[3].total == 7  # only doc 3 has 3-grams
+        T.text_fingerprint(spark, "x").collect()
+        T.corpus_drift_tvd(spark, "x").collect()
+        T.token_pmi(spark, "x").collect()
+    with mock.patch.object(D, "load_table", fake):
+        assert D.dedup_substring_spans(spark, "x").count() >= 0
+        assert D.dedup_passages(spark, "x").count() >= 0
+        nov = {r.source: r for r in D.ngram_novelty(spark, "x").collect()}
+        # only doc 3 shingles; s1 has no shingled docs and must vanish
+        assert set(nov) == {"s2"} and nov["s2"].n_docs == 1
