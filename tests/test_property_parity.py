@@ -1593,3 +1593,144 @@ def test_ngram_novelty_matches_reference(spark, docs):
         ratio = ((2 * owned * 10**4 + len(types)) // (2 * len(types))) / 1e4
         want[s] = (len(dset), len(types), owned, ratio)
     assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_downsample_lttb_matches_reference(spark, rows):
+    """Staged ``downsample_lttb_op`` equals the definitional reference:
+    int64 triangle areas over the (time, value, flag)-ordered series,
+    −1 edge sentinel, per-(id, bucket) argmax by the full deterministic
+    key — byte-exact, signed values included."""
+    from dariadb_spark.ext.timeseries import downsample_lttb_op
+
+    lo, hi, w = T0, T0 + 40 * STEP, 4 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        (r.id, r.t_bucket): (r.time, r.value, r.area2)
+        for r in downsample_lttb_op(df, None, lo, hi, w, 0).collect()
+    }
+    by_id: dict[int, list] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            by_id.setdefault(i, []).append((t, v, f))
+    want = {}
+    for i, pts in by_id.items():
+        pts = sorted(pts, key=lambda p: (p[0], p[1], p[2]))
+        ys = [_cents(v) for _, v, _ in pts]
+        scored = []
+        for k, (t, v, f) in enumerate(pts):
+            if 0 < k < len(pts) - 1:
+                xp, yp = pts[k - 1][0], ys[k - 1]
+                xn, yn = pts[k + 1][0], ys[k + 1]
+                a2 = abs((xp - xn) * (ys[k] - yp) - (xp - t) * (yn - yp))
+            else:
+                a2 = -1
+            scored.append((_fbucket(t, w), a2, t, v, f))
+        for b in {s[0] for s in scored}:
+            cand = [s for s in scored if s[0] == b]
+            cand.sort(key=lambda s: (-s[1], s[2], s[3], s[4]))
+            _, a2, t, v, _f = cand[0]
+            want[(i, b)] = (t, v, a2)
+    assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_sax_matches_reference(spark, rows):
+    """Staged ``series_sax_op`` equals the definitional reference:
+    int64 PAA/moment sums, the identical single-float z expression,
+    quartile symbols, 3-frame words — byte-exact; zero-variance series
+    dropped."""
+    from dariadb_spark.ext.timeseries import SAX_BREAK, series_sax_op
+
+    lo, hi, w = T0, T0 + 40 * STEP, 3 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        (r.id, r.word): r.cnt
+        for r in series_sax_op(df, None, lo, hi, w, 0).collect()
+    }
+    frames: dict[tuple[int, int], list[int]] = {}
+    moments: dict[int, list[int]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            y = _cents(v)
+            frames.setdefault((i, _fbucket(t, w)), []).append(y)
+            m = moments.setdefault(i, [0, 0, 0])
+            m[0] += y
+            m[1] += y * y
+            m[2] += 1
+    want: dict[tuple[int, str], int] = {}
+    for i, (s, q, n) in moments.items():
+        sig = _math.sqrt(q / n - (s / n) * (s / n))
+        if not sig > 0:
+            continue
+        syms = []
+        for (fi, b) in sorted(k for k in frames if k[0] == i):
+            fs, fn = sum(frames[(fi, b)]), len(frames[(fi, b)])
+            z = (fs / fn - s / n) / sig
+            syms.append(
+                "a" if z < -SAX_BREAK else "b" if z < 0
+                else "c" if z < SAX_BREAK else "d"
+            )
+        for k in range(len(syms) - 2):
+            word = "".join(syms[k:k + 3])
+            want[(i, word)] = want.get((i, word), 0) + 1
+    assert got == want
+
+
+_event_lists = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 30),  # second slot
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evs=_event_lists)
+@_SETTINGS
+def test_event_markov_matches_reference(spark, evs):
+    """Staged ``event_markov_op`` equals the definitional reference:
+    per-user (ts, event_id) adjacency, exact counts, HALF_UP(·, 6)
+    conditional probabilities — including ts ties broken by the ingest
+    sequence."""
+    import datetime as dt
+
+    from dariadb_spark.ext.analytics import event_markov_op
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, t0 + dt.timedelta(seconds=slot), u, ty, 0.0, "{}")
+        for eid, (u, slot, ty) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.event_type, r.next_type): (r.cnt, r.p_next)
+        for r in event_markov_op(df).collect()
+    }
+    cnt: dict[tuple[str, str], int] = {}
+    for u in {e[0] for e in evs}:
+        seq = sorted(
+            (slot, eid, ty)
+            for eid, (uu, slot, ty) in enumerate(evs) if uu == u
+        )
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a[2], b[2])] = cnt.get((a[2], b[2]), 0) + 1
+    tot: dict[str, int] = {}
+    for (a, _b), c in cnt.items():
+        tot[a] = tot.get(a, 0) + c
+    want = {
+        (a, b): (c, _hup(c / tot[a], 6)) for (a, b), c in cnt.items()
+    }
+    assert got == want
