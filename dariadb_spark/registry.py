@@ -875,9 +875,14 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # round-12-staged operators can register in r13 (priority 2 demands a
 # new registration be in-window); the natural split is the seven named
 # in the r11 verdict (audio/hll_m64/lsh-recall/streaming-dedup/lttb/
-# sax/markov) plus series_acf, series_perm_entropy, corpus_drift_tvd —
-# the remaining six (token_pmi, ngram_novelty, streaming_markov_parity,
-# embedding_pca, series_mase, series_psi) register in r14.
+# sax/markov) plus series_acf, series_perm_entropy, corpus_drift_tvd.
+# The remaining six (token_pmi, ngram_novelty, streaming_markov_parity,
+# embedding_pca, series_mase, series_psi) register as r14/r15 capacity
+# allows — r14's own fixed obligations are ~47 slots (the 42 r10-latest
+# [EXT] at stale-4 plus the ~5 core r11-latest at stale-3), so roughly
+# 3 register in r14 and 3 in r15; compute the exact split each round
+# with `tools/attestation_ledger.py --plan 50` rather than trusting
+# this estimate (re-attestations shift the stale sets every round).
 # The stale-4 guarantee is satisfiable iff ceil(N/50) ≤ 4, i.e.
 # N ≤ 200 REGISTERED QUERIES — at 182 + 16 = 198 the registry is 2
 # under the line. Registration growth BEYOND 200 requires first either
