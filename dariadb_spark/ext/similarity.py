@@ -1789,9 +1789,11 @@ def embedding_pca_op(emb: DataFrame) -> DataFrame:
     `ext_embedding_quantize` recipe); the Gram cells, both
     matrix-vector products, and the squared-norm accumulate in
     DECIMAL(38,0)/HUGEINT — exact, order-free. Between products the
-    vector scales down by ⌊|v|/10⁶⌋ with EXPLICIT sign decomposition
-    (Spark DIV truncates toward zero, DuckDB // floors — they agree
-    only on magnitudes, ext/exact.py's signed-variant lesson). The
+    vector scales down by sign(v)·⌊|v|/10⁶⌋ with EXPLICIT sign
+    decomposition (Spark DIV and DuckDB // both truncate toward zero,
+    so the decomposition is belt-and-braces: both engines evaluate the
+    shared magnitude expression identically — ext/exact.py's
+    signed-variant lesson). The
     one float each output row sees is round(v_i/√S, 6) where √S is
     IEEE-correctly-rounded on an exact double — bit-identical across
     engines.

@@ -1025,10 +1025,13 @@ def token_pmi_op(docs: DataFrame) -> DataFrame:
 
     Ranking is EXACT: the sort key is the micro-int rational
     (c_xy·N·10⁶) ⌊÷⌋ (c_x·c_y) — int64-identical in both engines (the
-    quality_calibrate trick), computed in DECIMAL(38,0) so c_xy·N·10⁶
-    survives past the ~4.6e12-token int64 line (ext/exact.py's
-    overflow note). The displayed ``pmi`` is one float ln over an
-    exact int64 ratio, rounded once — never part of the ordering.
+    quality_calibrate trick), with BOTH the numerator c_xy·N·10⁶ and
+    the denominator c_x·c_y computed in DECIMAL(38,0)/HUGEINT so
+    neither product wraps past the int64 line on a large corpus
+    (ext/exact.py's overflow note; c_x and c_y each reach N). The
+    displayed ``pmi`` is one float ln over an IEEE double·double
+    ratio evaluated with the identical expression shape on both
+    engines, rounded once — never part of the ordering.
 
     Plan shape (100 TB): bigrams by two shifted slices zipped (linear,
     the shingles lesson — no O(n²) re-inlined transform), one
@@ -1059,9 +1062,18 @@ def token_pmi_op(docs: DataFrame) -> DataFrame:
             "c_xy",
             "c_x",
             "c_y",
+            # the denominator product and the displayed-pmi numerator
+            # go through wide integers too: c_x, c_y can each reach N,
+            # so raw int64 c_x·c_y (or c_xy·N) silently wraps in
+            # non-ANSI Spark on a large corpus while DuckDB raises —
+            # same class as the rank_key numerator. The pmi ratio is
+            # computed as one double·double multiply per side instead
+            # (IEEE-identical on both engines, never part of ordering).
             "CAST(CAST(c_xy AS DECIMAL(38,0)) * nb * 1000000"
-            " DIV (c_x * c_y) AS BIGINT) AS rank_key",
-            "round(ln((c_xy * nb) / CAST(c_x * c_y AS DOUBLE)), 6) AS pmi",
+            " DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"
+            " AS rank_key",
+            "round(ln((CAST(c_xy AS DOUBLE) * nb)"
+            " / (CAST(c_x AS DOUBLE) * c_y)), 6) AS pmi",
         )
     )
     return scored.orderBy(
@@ -1079,8 +1091,9 @@ cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cxy GROUP BY y),
 nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM cxy)
 SELECT p.x, p.y, p.c_xy, cx.c_x, cy.c_y,
        CAST(CAST(p.c_xy AS HUGEINT) * nb.nb * 1000000
-            // (cx.c_x * cy.c_y) AS BIGINT) AS rank_key,
-       round(ln((p.c_xy * nb.nb) / CAST(cx.c_x * cy.c_y AS DOUBLE)), 6)
+            // (CAST(cx.c_x AS HUGEINT) * cy.c_y) AS BIGINT) AS rank_key,
+       round(ln((CAST(p.c_xy AS DOUBLE) * nb.nb)
+                / (CAST(cx.c_x AS DOUBLE) * cy.c_y)), 6)
          AS pmi
 FROM cxy p JOIN cx ON p.x = cx.x JOIN cy ON p.y = cy.y CROSS JOIN nb
 WHERE p.c_xy >= {PMI_MIN_COUNT}

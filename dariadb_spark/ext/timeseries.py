@@ -1417,8 +1417,8 @@ def series_acf_op(
         .selectExpr(
             "id",
             "b",
-            # signed HALF_UP: decompose by sign — Spark DIV truncates
-            # toward zero, DuckDB // floors; they agree on magnitudes
+            # signed HALF_UP: decompose by sign — Spark DIV and DuckDB //
+            # BOTH truncate toward zero; operands here are magnitudes
             "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
             " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
         )
@@ -1683,8 +1683,8 @@ def series_mase_op(
         .selectExpr(
             "id",
             "b",
-            # signed HALF_UP: decompose by sign — Spark DIV truncates
-            # toward zero, DuckDB // floors; they agree on magnitudes
+            # signed HALF_UP: decompose by sign — Spark DIV and DuckDB //
+            # BOTH truncate toward zero; operands here are magnitudes
             "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
             " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
         )
@@ -1715,9 +1715,17 @@ def series_mase_op(
         )
     naive = lag_errs(1, "naive")
     seas = lag_errs(season, "season")
+    # wide-decimal HALF_UP rational: the numerator is a product of four
+    # int64s (2 · Σ|e_s| · n_1 · 10⁴) which can exceed int64 on long,
+    # volatile series — where non-ANSI Spark wraps silently while DuckDB
+    # raises. Route it through DECIMAL(38,0)/HUGEINT (the token_pmi
+    # rank_key pattern); DIV on decimals returns the integral part as
+    # BIGINT, so the final /10⁴ divide is long/double on both engines.
     mase = (
-        "(((2 * sum_abs_season * n_naive * 10000 + sum_abs_naive * n_season)"
-        " DIV (2 * sum_abs_naive * n_season)) / 10000.0d)"
+        "(((CAST(2 AS DECIMAL(38,0)) * sum_abs_season * n_naive * 10000"
+        " + CAST(sum_abs_naive AS DECIMAL(38,0)) * n_season)"
+        " DIV (CAST(2 AS DECIMAL(38,0)) * sum_abs_naive * n_season))"
+        " / 10000.0d)"
     )
     return (
         naive.join(seas, "id")
@@ -1759,9 +1767,10 @@ cells AS (SELECT id, b,
 {_mase_lag_sql(1, "naive")},
 {_mase_lag_sql(MASE_SEASON, "season")}
 SELECT n.id, n.n_naive, n.sum_abs_naive, s.n_season, s.sum_abs_season,
-       (((2 * s.sum_abs_season * n.n_naive * 10000
-          + n.sum_abs_naive * s.n_season)
-         // (2 * n.sum_abs_naive * s.n_season)) / 10000.0) AS mase
+       (((CAST(2 AS HUGEINT) * s.sum_abs_season * n.n_naive * 10000
+          + CAST(n.sum_abs_naive AS HUGEINT) * s.n_season)
+         // (CAST(2 AS HUGEINT) * n.sum_abs_naive * s.n_season))
+        / 10000.0) AS mase
 FROM e_naive n JOIN e_season s ON n.id = s.id
 WHERE n.sum_abs_naive > 0 ORDER BY n.id"""
 
@@ -1809,8 +1818,9 @@ def series_psi_op(
         "id",
         (F.col("time") > F.lit(mid)).cast("int").alias("half"),
         F.expr(
-            # integer FLOOR division (DuckDB // floors; Spark DIV
-            # truncates toward zero — decompose the negative branch)
+            # integer FLOOR division (Spark DIV and DuckDB // BOTH
+            # truncate toward zero — decompose the negative branch on
+            # BOTH engines; the SQL twin mirrors this CASE)
             f"CASE WHEN round(value * 100) < 0"
             f" THEN -((CAST(-round(value * 100) AS BIGINT) + {w} - 1) DIV {w})"
             f" ELSE CAST(round(value * 100) AS BIGINT) DIV {w} END"
@@ -1870,7 +1880,14 @@ SERIES_PSI_SQL = f"""WITH {MEAS_CTE_SQL},
 binned AS (
   SELECT id,
          CAST(time > ({FROM_MS} + {TO_MS}) // 2 AS INT) AS half,
-         CAST(round(value * 100) AS BIGINT) // {_PSI_W} AS bin
+         -- signed FLOOR division: DuckDB // truncates toward zero on
+         -- integers (verified: -7 // 2 = -3), so decompose the negative
+         -- branch exactly like the Spark side does
+         CASE WHEN round(value * 100) < 0
+              THEN -((CAST(-round(value * 100) AS BIGINT) + {_PSI_W} - 1)
+                     // {_PSI_W})
+              ELSE CAST(round(value * 100) AS BIGINT) // {_PSI_W}
+         END AS bin
   FROM measurements WHERE {_interval_sql()}),
 cnts AS (SELECT id, bin,
                 sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,

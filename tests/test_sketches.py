@@ -3753,6 +3753,75 @@ def test_series_psi_parity_and_planted_shift(spark, oracle_sf_dir):
     assert rows[3].psi == t3 / 1e6
 
 
+def test_series_psi_negative_values_cross_engine(spark):
+    """ADVICE r12 (high): DuckDB ``//`` truncates toward zero (verified:
+    -7 // 2 = -3) while the Spark side floors via sign decomposition, so
+    a negative value off the bin grid landed in DIFFERENT bins on the
+    two engines — latent because the driver fixture has no negative
+    values. The SQL now sign-decomposes identically; pin the parity on
+    a planted negative corpus where truncation would visibly merge the
+    bin −1 population into bin 0 (psi ln3 → 0)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from dariadb_spark.ext.timeseries import (
+        PSI_BIN_WIDTH,
+        SERIES_PSI_SQL,
+        series_psi_op,
+    )
+    from dariadb_spark.model import MEAS_CTE_SQL
+    from dariadb_spark.registry import FROM_MS, TO_MS
+    from tests.parity import compare
+
+    step = 60_000
+    pts = []
+    # series 0: −12.34 → cents −1234 → bin −1 under floor, bin 0 under
+    # truncation; +12.34 → bin 0 on any engine. Halves swap the 30/10
+    # mix, so floor scores exactly ln3 over two common bins while a
+    # truncating engine sees ONE bin (40/40) and scores 0.
+    for k in range(40):
+        pts.append((0, FROM_MS + k * step, -12.34 if k < 30 else 12.34, 0))
+    for k in range(40):
+        pts.append((0, TO_MS - k * step, -12.34 if k < 10 else 12.34, 0))
+    # series 1: exact-grid negative −50.0 → cents −5000 → bin −1 under
+    # BOTH conventions; identical halves → psi exactly 0.
+    for k in range(20):
+        pts.append((1, FROM_MS + k * step, -50.0, 0))
+        pts.append((1, TO_MS - k * step, -50.0, 0))
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    got = {
+        r.id: r
+        for r in series_psi_op(
+            meas, None, FROM_MS, TO_MS, PSI_BIN_WIDTH, 0
+        ).collect()
+    }
+    half_term = round(0.5 * math.log(3.0) * 1e6)
+    assert got[0].psi == 2 * half_term / 1e6  # floor semantics, not trunc
+    assert got[0].n_bins_common == 2 and got[0].n_bins_dropped == 0
+    assert got[1].psi == 0.0 and got[1].n_bins_common == 1
+
+    con = duckdb.connect()
+    con.register(
+        "planted",
+        pd.DataFrame(pts, columns=["id", "time", "value", "flag"]),
+    )
+    sql = SERIES_PSI_SQL.replace(
+        MEAS_CTE_SQL, "measurements AS (SELECT * FROM planted)"
+    )
+    assert sql != SERIES_PSI_SQL  # the CTE swap actually happened
+    res = compare(
+        "ext_series_psi_negative",
+        series_psi_op(meas, None, FROM_MS, TO_MS, PSI_BIN_WIDTH, 0),
+        con,
+        sql,
+    )
+    assert res.ok, res.problems
+
+
 def test_ngram_family_total_on_short_docs(spark):
     """Totality pin for every computed-length slice path (the round-12
     shingles lesson: `slice()` errors on a negative length, and join
