@@ -81,10 +81,16 @@ def main() -> None:
     # commits it, so the judge can diff all queries without BASELINE.md),
     # and the final stdout line is sized to fit the tail — headline
     # metric plus the slowest queries that fit a ~1400-char budget.
-    full, line = emit_payloads(timings, total, sf_val)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    prev = None
+    try:  # previous round's committed map — the control baseline
+        with open(full_path) as fh:
+            prev = json.load(fh).get("queries")
+    except (OSError, ValueError):
+        pass
+    full, line = emit_payloads(timings, total, sf_val, prev)
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -98,10 +104,45 @@ TAIL_CAPTURE = 2_000
 _LINE_BUDGET = 1_400
 
 
-def emit_payloads(timings, total, sf_val):
+def control_block(timings, prev):
+    """Machine-vs-regression adjudication data, emitted WITH the bench
+    run (VERDICT r12 item 4 — the r12 uniform-1.2× call required
+    archaeology over three runs; this makes each round's number
+    interpretable standalone). A machine-epoch shift lifts the ratio
+    distribution UNIFORMLY (p25 ≈ median ≈ p75 > 1); a real regression
+    CONCENTRATES in the flagged set on code-changed paths. ``flagged``
+    uses the standing bar: ratio > 1.3 AND delta > +0.15 s."""
+    if not prev:
+        return None
+    common = sorted(n for n in timings if n in prev and prev[n] > 1e-4)
+    if len(common) < 10:
+        return None
+    ratios = sorted(timings[n] / prev[n] for n in common)
+
+    def pct(p):
+        return round(ratios[min(len(ratios) - 1, int(p * len(ratios)))], 3)
+
+    flagged = sorted(
+        n for n in common
+        if timings[n] / prev[n] > 1.3 and timings[n] - prev[n] > 0.15
+    )
+    return {
+        "n_common": len(common),
+        "ratio_p25": pct(0.25),
+        "ratio_median": pct(0.50),
+        "ratio_p75": pct(0.75),
+        "flagged": flagged,
+        "note": "vs the previously committed BENCH_FULL.json map; "
+        "uniform p25~median~p75 shift = machine epoch, "
+        "concentration in flagged code-changed paths = real",
+    }
+
+
+def emit_payloads(timings, total, sf_val, prev=None):
     """(full BENCH_FULL.json dict, one-line stdout JSON) — split out so
     tests can pin that the line parses and fits the tail capture for
     any registry size."""
+    ctl = control_block(timings, prev)
     full = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -109,27 +150,40 @@ def emit_payloads(timings, total, sf_val):
         "queries": timings,
         "sf": sf_val,
     }
+    if ctl is not None:
+        full["control"] = ctl
+    ctl_slim = None
+    if ctl is not None:
+        ctl_slim = {
+            "n": ctl["n_common"],
+            "p25": ctl["ratio_p25"],
+            "med": ctl["ratio_median"],
+            "p75": ctl["ratio_p75"],
+            "n_flagged": len(ctl["flagged"]),
+        }
     slim: dict[str, float] = {}
     budget = _LINE_BUDGET
+    if ctl_slim is not None:  # the control payload spends line budget too
+        budget -= len(json.dumps(ctl_slim, separators=(",", ":"))) + 20
     for name in sorted(timings, key=timings.get, reverse=True):
         entry_len = len(name) + len(f"{timings[name]:.2f}") + 4
         if budget - entry_len < 0:
             break
         budget -= entry_len
         slim[name] = round(timings[name], 2)
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_clock",
-            "value": total,
-            "unit": "sec",
-            "n_queries": len(timings),
-            "queries": slim,
-            "queries_note": f"slowest {len(slim)} of {len(timings)}; "
-            "complete map in BENCH_FULL.json",
-            "sf": sf_val,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": slim,
+        "queries_note": f"slowest {len(slim)} of {len(timings)}; "
+        "complete map in BENCH_FULL.json",
+        "sf": sf_val,
+    }
+    if ctl_slim is not None:
+        payload["ctl"] = ctl_slim
+    line = json.dumps(payload, separators=(",", ":"))
     return full, line
 
 

@@ -609,9 +609,8 @@ register("ext_scalar_funcs", scalar_funcs, SCALAR_FUNCS_SQL)
 
 
 # --- event-type Markov transition matrix ------------------------------------
-# STAGED for the round-13 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 13 (staged round 12 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first).
 
 def event_markov(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix over the raw event stream:
@@ -671,3 +670,18 @@ SELECT c.event_type, c.next_type, c.cnt,
        round(c.cnt / CAST(t.total AS DOUBLE), 6) AS p_next
 FROM cnts c JOIN tot t ON c.event_type = t.event_type
 ORDER BY c.event_type, c.next_type"""
+
+register("ext_event_markov", event_markov, EVENT_MARKOV_SQL)
+
+
+def _streaming_markov_parity(spark, sf):
+    # Lazy import: streaming/markov.py is harness-side machinery the
+    # registry never imports at module load (the hll/gate pattern).
+    from dariadb_spark.streaming.markov import streaming_markov_parity
+
+    return streaming_markov_parity(spark, sf)
+
+
+# Registered round 13: the stateful ingest twin must land on exactly the
+# batch matrix, so its oracle IS the batch SQL above.
+register("streaming_markov_parity", _streaming_markov_parity, EVENT_MARKOV_SQL)

@@ -1478,9 +1478,8 @@ register("ext_dedup_passages", dedup_passages, DEDUP_PASSAGES_SQL)
 
 
 # --- n-gram novelty attribution ---------------------------------------------
-# STAGED for the round-13 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 13 (staged round 12 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first).
 
 
 def ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
@@ -1564,6 +1563,32 @@ SELECT p.source, p.n_docs, p.distinct_ngrams,
          AS novelty_ratio
 FROM present p LEFT JOIN owned o ON p.source = o.source
 ORDER BY p.source"""
+
+register("ext_ngram_novelty", ngram_novelty, NGRAM_NOVELTY_SQL)
+
+
+def _streaming_exact_dedup_parity(spark, sf):
+    # Lazy import: streaming/dedup.py is harness-side machinery the
+    # registry never imports at module load (the hll/gate pattern).
+    from dariadb_spark.streaming.dedup import streaming_exact_dedup_parity
+
+    return streaming_exact_dedup_parity(spark, sf)
+
+
+def _register_streaming_exact_dedup() -> None:
+    # Registered round 13. The oracle constant lives next to the
+    # streaming operator it replays; importing it here is a plain
+    # string import (streaming/dedup.py has no heavy module state).
+    from dariadb_spark.streaming.dedup import STREAMING_EXACT_DEDUP_SQL
+
+    register(
+        "streaming_exact_dedup_parity",
+        _streaming_exact_dedup_parity,
+        STREAMING_EXACT_DEDUP_SQL,
+    )
+
+
+_register_streaming_exact_dedup()
 
 
 def _retry_cross_module_registrations() -> None:

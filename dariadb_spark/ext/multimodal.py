@@ -716,9 +716,9 @@ register("ext_media_caption_align", media_caption_align, MEDIA_CAPTION_ALIGN_SQL
 
 
 # --- audio near-duplicate signatures ---------------------------------------
-# STAGED for the round-13 driver window (VERDICT r11 item 7 — the last
-# multimodal family member; the staging every late operator goes
-# through). The public recipe: chromaprint/AcoustID-style audio
+# Registered round 13 (VERDICT r11 item 7 — the last multimodal family
+# member; staged round 12 with the full staging discipline).
+# The public recipe: chromaprint/AcoustID-style audio
 # fingerprinting — frame the waveform, measure per-frame energy, keep
 # only the SIGN of the energy delta between consecutive frames (robust
 # to gain/re-encode), and match fingerprints by banded Hamming distance.
@@ -845,3 +845,5 @@ SELECT doc_a, doc_b,
        CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {AUDIO_MAX_HAMMING}
 ORDER BY doc_a, doc_b"""
+
+register("ext_media_audio_dedup", media_audio_dedup, MEDIA_AUDIO_DEDUP_SQL)

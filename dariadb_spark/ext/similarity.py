@@ -1673,8 +1673,8 @@ register(
 
 
 # --- LSH recall evaluation --------------------------------------------------
-# STAGED for the round-13 driver window (the staging every late operator
-# goes through). ann_recall_pq closed the eval loop for the PQ index;
+# Registered round 13 (staged round 12, full staging discipline).
+# ann_recall_pq closed the eval loop for the PQ index;
 # this is the same loop for the LSH path — the recall@k a deployment
 # monitors when it tunes tables/planes/bucket width. Composition shape
 # identical to ann_recall_pq: the exact top-k baseline is the 5-query
@@ -1761,9 +1761,8 @@ GROUP BY e.q_id ORDER BY e.q_id"""
 
 
 # --- principal component via integerized power iteration ---------------------
-# STAGED for the round-13 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 13 (staged round 12 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first).
 
 PCA_SCALE = 10_000  # embedding → int grid (|e| ≤ ~0.53 → |q| ≤ ~5300)
 _PCA_DOWN = 1_000_000  # inter-iteration magnitude scale-down
@@ -1871,3 +1870,6 @@ nrm AS (SELECT sum(CAST(v2s AS HUGEINT) * v2s) AS s2 FROM v2s)
 SELECT CAST(dim AS BIGINT) AS dim, v2s,
        round(CAST(v2s AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)), 6) AS loading
 FROM v2s CROSS JOIN nrm WHERE s2 > 0 ORDER BY dim"""
+
+register("ext_ann_recall_lsh", ann_recall_lsh, ANN_RECALL_LSH_SQL)
+register("ext_embedding_pca", embedding_pca, EMBEDDING_PCA_SQL)

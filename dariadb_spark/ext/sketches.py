@@ -1882,7 +1882,7 @@ def sketch_hll_m(spark: SparkSession, sf: str, m: int) -> DataFrame:
 
 
 def sketch_hll_m64(spark: SparkSession, sf: str) -> DataFrame:
-    """The m=64 production-direction variant (STAGED r13)."""
+    """The m=64 production-direction variant (registered round 13)."""
     return sketch_hll_m(spark, sf, 64)
 
 
@@ -1933,3 +1933,5 @@ FROM est ORDER BY scope, lang"""
 
 
 SKETCH_HLL_M64_SQL = _hll_distinct_sql_m(64)
+
+register("ext_sketch_hll_m64", sketch_hll_m64, SKETCH_HLL_M64_SQL)

@@ -898,9 +898,8 @@ register("ext_text_diversity", text_diversity, TEXT_DIVERSITY_SQL)
 
 
 # --- per-source token-distribution drift (total variation distance) ---------
-# STAGED for the round-13 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 13 (staged round 12 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first).
 
 
 def corpus_drift_tvd(spark: SparkSession, sf: str) -> DataFrame:
@@ -1002,9 +1001,11 @@ SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
              / (2.0 * n_tokens * (n - n_tokens)), 6) AS tvd_rest
 FROM folded WHERE n_tokens < n ORDER BY source"""
 
+register("ext_corpus_drift_tvd", corpus_drift_tvd, CORPUS_DRIFT_TVD_SQL)
+
 
 # --- PMI bigram collocations -------------------------------------------------
-# STAGED for the round-13 driver window (same staging discipline as above).
+# Registered round 13 (staged round 12, full staging discipline).
 
 PMI_MIN_COUNT = 5  # Church & Hanks' sparse-count guard
 PMI_TOP = 30
@@ -1098,3 +1099,5 @@ SELECT p.x, p.y, p.c_xy, cx.c_x, cy.c_y,
 FROM cxy p JOIN cx ON p.x = cx.x JOIN cy ON p.y = cy.y CROSS JOIN nb
 WHERE p.c_xy >= {PMI_MIN_COUNT}
 ORDER BY rank_key DESC, p.x ASC, p.y ASC LIMIT {PMI_TOP}"""
+
+register("ext_token_pmi", token_pmi, TOKEN_PMI_SQL)

@@ -1233,9 +1233,12 @@ pick AS (
 SELECT id, t_bucket, time, value, area2
 FROM pick WHERE rn = 1 ORDER BY id, t_bucket"""
 
+register("ext_downsample_lttb", downsample_lttb, DOWNSAMPLE_LTTB_SQL)
+
 
 # --- SAX symbolization + motif counts ---------------------------------------
-# STAGED for the round-13 driver window (same staging discipline as above).
+# Registered round 13 (staged round 12 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first).
 
 SAX_FRAME_MS = 3_600_000  # 1 h PAA frames
 SAX_WORD_LEN = 3  # 3-frame SAX words
@@ -1359,11 +1362,12 @@ SELECT id, word, count(*) AS cnt
 FROM words WHERE word IS NOT NULL
 GROUP BY id, word ORDER BY id, word"""
 
+register("ext_series_sax", series_sax, SERIES_SAX_SQL)
+
 
 # --- sample autocorrelation function (ACF) ----------------------------------
-# STAGED for the round-13 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 13 (staged round 12 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first).
 
 ACF_BUCKET_MS = HOUR_MS  # PAA grid the ACF lags walk on
 ACF_MAX_LAG = 6  # r_1 .. r_6
@@ -1512,9 +1516,11 @@ SELECT p.id, p.lag, p.n_pairs,
 FROM lagpairs p JOIN den d ON p.id = d.id
 ORDER BY p.id, p.lag"""
 
+register("ext_series_acf", series_acf, SERIES_ACF_SQL)
+
 
 # --- permutation entropy (ordinal-pattern complexity) ------------------------
-# STAGED for the round-13 driver window (same staging discipline as above).
+# Registered round 13 (staged round 12, full staging discipline).
 
 PE_ORDER = 3  # embedding dimension: length-3 ordinal patterns, 3! = 6 kinds
 _PE_PATTERNS = ("123", "132", "312", "213", "231", "321")
@@ -1634,10 +1640,15 @@ SELECT id, nw AS n_windows, {", ".join(f"c{p}" for p in _PE_PATTERNS)},
        round(-({_pe_sql_terms()}) / ln(6.0), 6) AS pe_norm
 FROM tot ORDER BY id"""
 
+register("ext_series_perm_entropy", series_perm_entropy, SERIES_PERM_ENTROPY_SQL)
+
 
 # --- seasonal-naive forecast error (MASE) ------------------------------------
-# STAGED (round 12; r14 registration block — the r13 window is full, see
-# the capacity arithmetic at registry.py CHECK_WINDOW).
+# Registered round 13: the ledger's actual r13 plan
+# (tools/attestation_ledger.py --plan 50) showed only 33 fixed
+# obligations — not the 40 the round-12 estimate assumed — so ALL 16
+# staged operators fit this window, including the six originally
+# penciled for r14/r15.
 
 MASE_BUCKET_MS = HOUR_MS
 MASE_SEASON = 24  # daily season on the hourly grid
@@ -1774,9 +1785,11 @@ SELECT n.id, n.n_naive, n.sum_abs_naive, s.n_season, s.sum_abs_season,
 FROM e_naive n JOIN e_season s ON n.id = s.id
 WHERE n.sum_abs_naive > 0 ORDER BY n.id"""
 
+register("ext_series_mase", series_mase, SERIES_MASE_SQL)
+
 
 # --- population stability index (value-distribution drift) -------------------
-# STAGED (round 12; r14 registration block — same capacity note).
+# Registered round 13 (same ledger-capacity note as MASE above).
 
 PSI_BIN_WIDTH = 50.0  # the ext_histogram fixed-width bin grid
 
@@ -1906,3 +1919,5 @@ SELECT id, CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
        CAST(count(*) - sum(common) AS BIGINT) AS n_bins_dropped,
        CAST(sum(psi_micro) AS DOUBLE) / 1e6 AS psi
 FROM terms GROUP BY id ORDER BY id"""
+
+register("ext_series_psi", series_psi, SERIES_PSI_SQL)

@@ -1,8 +1,9 @@
 """Streaming event-transition maintenance — the Markov matrix at ingest.
 
-STAGED for the round-13 driver window (the staging every late operator
-goes through: implemented + oracled + pytest parity + planted stress
-now, registered at the next window rotation). The batch side is
+Registered round 13 as ``streaming_markov_parity`` (staged round 12
+with the full discipline: implemented + oracled + pytest parity +
+planted stress first; registration lives in ext/analytics.py next to
+the batch oracle it replays). The batch side is
 ``ext_event_markov`` (ext/analytics.py); this module is its INGEST
 twin: the per-user last-event handoff is maintained as EXPLICIT
 operator state (``applyInPandasWithState``), so every arriving event

@@ -202,52 +202,43 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-12: the 16 r8-stale CORE reference verbs lead (priority 1 of
-    # the rotation policy — they hit the stale-3 line this round and the
-    # reference surface must never exceed it), then the sixteen
-    # round-11-staged registrations (priority 2: never ship a NEW query
-    # outside the window), then 18 of the r9-latest block (priority 3).
-    assert CHECK_WINDOW[:16] == [
-        "interval_scan", "interval_scan_flag", "timepoint_asof",
-        "current_value", "min_max_time", "stat_block",
-        "fn_average", "fn_count", "fn_maximum", "fn_median", "fn_minimum",
-        "fn_percentile90", "fn_percentile99", "fn_sigma", "fn_sum",
-        "bucket_minute30",
+    # round-13 (the executed ledger plan — tools/attestation_ledger.py
+    # --plan 50 over r01–r12): the ONE core row at stale-3 leads
+    # (priority 1), then the SIXTEEN round-13 registrations (priority
+    # 2: never ship a NEW query outside the window), then the 32
+    # r9-latest [EXT] at stale-4 (priority 3 — the accepted line), then
+    # one fill slot (priority 4: oldest stale-3, name tiebreak).
+    assert CHECK_WINDOW[0] == "partition_stats"
+    assert CHECK_WINDOW[1:17] == [
+        "ext_downsample_lttb", "ext_series_sax", "ext_series_acf",
+        "ext_series_perm_entropy", "ext_series_mase", "ext_series_psi",
+        "ext_event_markov", "streaming_markov_parity",
+        "ext_corpus_drift_tvd", "ext_token_pmi", "ext_ngram_novelty",
+        "streaming_exact_dedup_parity", "ext_media_audio_dedup",
+        "ext_ann_recall_lsh", "ext_embedding_pca", "ext_sketch_hll_m64",
     ]
-    assert CHECK_WINDOW[16:32] == [
-        "ext_doremi_reweight", "ext_select_excess_loss", "ext_text_kn_lm",
-        "ext_dedup_keep_best", "ext_dedup_passages",
-        "ext_media_caption_align", "ext_token_budget_plan",
-        "ext_train_shuffle", "ext_sketch_hll_distinct",
-        "ext_sketch_hll_union", "streaming_hll_parity", "ext_text_zipf",
-        "ext_text_diversity", "ext_unigram_lm", "ext_unigram_token_stats",
-        "streaming_quality_gate_parity",
-    ]
-    # spot-check the r9-latest rotation block from the attestation ledger
-    for stale in ("ext_ann_recall_pq", "ext_media_keyframes",
-                  "ext_sim_ann_pq", "ext_sketch_cms_rollup",
-                  "ext_train_quality_lr", "streaming_hdr_parity",
-                  "bucket_hour", "erase_old_check", "fn_all",
-                  "load_min_max", "scheme_resolve"):
-        assert stale in CHECK_WINDOW, stale
-    # the 32 r13 deferrals are OUT of the window (they reach stale-4
-    # there — the line the rotation policy accepts and names)
-    deferred = {"ext_curate_corpus", "ext_decontaminate",
-                "ext_dedup_embedding_cosine", "ext_dedup_minhash_lsh",
-                "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
-                "ext_embedding_centroids", "ext_ewma", "ext_gap_fill",
-                "ext_media_frames", "ext_media_meta", "ext_pack_shards",
-                "ext_profile_documents", "ext_rate", "ext_rollup_cascade",
-                "ext_sample_stratified", "ext_sim_ann_ivf",
-                "ext_sim_kmeans", "ext_sim_topk_cosine",
-                "ext_split_train_test", "ext_text_bm25",
-                "ext_text_bpe_tokens", "ext_text_fingerprint",
-                "ext_text_gopher_quality", "ext_text_lang_histogram",
-                "ext_text_langid", "ext_text_ngram_lm", "ext_text_quality",
-                "ext_text_tfidf", "ext_text_token_stats",
-                "ext_text_word_freq", "ext_time_weighted_avg"}
-    assert deferred.isdisjoint(CHECK_WINDOW)
-    assert CHECK_WINDOW[-1] == "ext_anomaly_zscore"
+    # the 32 r12 deferrals hit stale-4 this round and are ALL in-window
+    stale4 = {"ext_curate_corpus", "ext_decontaminate",
+              "ext_dedup_embedding_cosine", "ext_dedup_minhash_lsh",
+              "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
+              "ext_embedding_centroids", "ext_ewma", "ext_gap_fill",
+              "ext_media_frames", "ext_media_meta", "ext_pack_shards",
+              "ext_profile_documents", "ext_rate", "ext_rollup_cascade",
+              "ext_sample_stratified", "ext_sim_ann_ivf",
+              "ext_sim_kmeans", "ext_sim_topk_cosine",
+              "ext_split_train_test", "ext_text_bm25",
+              "ext_text_bpe_tokens", "ext_text_fingerprint",
+              "ext_text_gopher_quality", "ext_text_lang_histogram",
+              "ext_text_langid", "ext_text_ngram_lm", "ext_text_quality",
+              "ext_text_tfidf", "ext_text_token_stats",
+              "ext_text_word_freq", "ext_time_weighted_avg"}
+    assert stale4 <= set(CHECK_WINDOW[17:49])
+    assert CHECK_WINDOW[-1] == "ext_ann_recall_eval"
+    # the r12 window (core verbs + r12 registrations) rotated OUT —
+    # they were re-attested last round and are only stale-1 now
+    for fresh in ("interval_scan", "fn_average", "ext_doremi_reweight",
+                  "streaming_hll_parity"):
+        assert fresh not in CHECK_WINDOW, fresh
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
     assert len(REGISTRY) >= 182
@@ -274,16 +265,20 @@ def test_check_window_rotation_policy():
     assert len(core) <= 30, (
         f"core surface grew to {len(core)} — rotation priorities 1+2 "
         "can collide; revisit the policy in registry.py")
-    # stale-4 is genuinely the worst case: three non-window rounds of
-    # 50 slots cover every query not in the current window
-    assert len(REGISTRY) - len(CHECK_WINDOW) <= 3 * len(CHECK_WINDOW)
-    # the CAPACITY LINE (round 12, registry.py): stale-4 stays the worst
-    # case only while ceil(N / 50) <= 4 — registration growth past 200
-    # must first retire/merge queries or consciously move the line to
-    # stale-5 (and update this pin alongside the policy paragraph)
-    assert len(REGISTRY) <= 200, (
-        f"registry at {len(REGISTRY)} queries exceeds the 200-query "
-        "rotation capacity line — see registry.py CAPACITY ARITHMETIC")
+    # worst-case staleness arithmetic: while N <= 200 the line is
+    # stale-4 (three non-window rounds of 50 cover every leftover);
+    # past 200 the DECIDED round-13 policy (registry.py CAPACITY LINE)
+    # moves long-green [EXT] to stale-5 (four non-window rounds), so
+    # the hard registration ceiling is 250
+    if len(REGISTRY) <= 200:
+        assert len(REGISTRY) - len(CHECK_WINDOW) <= 3 * len(CHECK_WINDOW)
+    else:
+        assert len(REGISTRY) - len(CHECK_WINDOW) <= 4 * len(CHECK_WINDOW)
+    assert len(REGISTRY) <= 250, (
+        f"registry at {len(REGISTRY)} queries exceeds the 250-query "
+        "stale-5 rotation ceiling — see registry.py CAPACITY LINE; "
+        "growth past 250 requires retiring/merging queries (stale-6 "
+        "is NOT on the table)")
 
 
 def test_salted_paths_bound_skew_on_hot_key(spark):
@@ -507,11 +502,10 @@ def test_coverage_md_matches_registry():
 
 
 def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
-    """The round-12 staged operators get the same physical-plan sweep
-    as the registered surface BEFORE their r13 registration — a
-    CartesianProduct is never acceptable. (The 16 round-11-staged
-    operators registered in r12 and are now covered by the registered
-    sweep above.)"""
+    """All 16 round-12-staged operators registered in round 13, so the
+    registered-plan sweep above now covers them; this direct sweep is
+    kept as the template for the NEXT staging cohort (swap in new
+    fixture fns as they stage) and as a redundant pin on these plans."""
     from dariadb_spark.ext.multimodal import media_audio_dedup
     from dariadb_spark.ext.similarity import ann_recall_lsh, embedding_pca
     from dariadb_spark.ext.sketches import sketch_hll_m64
