@@ -47,10 +47,11 @@ def ratio_round_duck(a: str, b: str, d: int) -> str:
 
 def ratio_round_signed_spark(a: str, b: str, d: int) -> str:
     """Spark SQL for HALF_UP(a / b, d) where ``a`` may be NEGATIVE
-    (b still > 0). HALF_UP rounds halves AWAY FROM ZERO, and Spark's
-    ``DIV`` truncates toward zero while DuckDB's ``//`` floors — so the
-    signed form must decompose by sign explicitly; the unsigned helpers
-    above are only valid for a ≥ 0."""
+    (b still > 0). HALF_UP rounds halves AWAY FROM ZERO, while Spark's
+    ``DIV`` and DuckDB's ``//`` both truncate TOWARD zero (verified on
+    DuckDB 1.0: -7 // 2 = -3) — so the signed form must decompose by
+    sign explicitly to land on away-from-zero halves; the unsigned
+    helpers above are only valid for a ≥ 0."""
     p = 10**d
     mag = f"((2 * abs({a}) * {p} + ({b})) DIV (2 * ({b})))"
     return (

@@ -1935,3 +1935,147 @@ FROM est ORDER BY scope, lang"""
 SKETCH_HLL_M64_SQL = _hll_distinct_sql_m(64)
 
 register("ext_sketch_hll_m64", sketch_hll_m64, SKETCH_HLL_M64_SQL)
+
+
+# --- Bloom-filter membership gate --------------------------------------------
+# STAGED for the round-14 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# SURVEY.md §2 row C2 marks the reference's bloom filter "platform"
+# (Parquet row-group bloom indexes cover the SCAN-pruning role). This is
+# the OTHER bloom role a training pipeline needs — an explicit,
+# shippable membership gate ("have we seen this token/url/hash before?")
+# built distributively and small enough to broadcast — with its standard
+# fill-ratio cardinality inversion and a MEASURED false-positive rate,
+# not just the textbook formula (Bloom 1970; Swamidass & Baldi 2007 for
+# the -M/K·ln(1-fill) estimator).
+
+BLOOM_M = 8192  # filter bits
+BLOOM_K = 4  # hash functions
+
+
+def sketch_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r14 window (see :func:`sketch_bloom_op`)."""
+    return sketch_bloom_op(load_table(spark, sf, "documents"))
+
+
+def sketch_bloom_op(docs: DataFrame) -> DataFrame:
+    """Per-language Bloom filter over the distinct word set: build the
+    bit set with K=4 independent 60-bit md5 hashes, report bits_set and
+    the fill-ratio cardinality estimate, then MEASURE the
+    false-positive rate against the deterministic non-member panel
+    (every other language's words that this language never saw — the
+    cross-corpus probe a gate actually faces).
+
+    Exactness: bit positions are pure int64 (md5 60-bit % M — the
+    engine-shared ext/hashes.py contract); counts are exact ints; the
+    two floats per row (the ln-inversion estimate, the HALF_UP fpr) are
+    single expressions from identical integers on both engines.
+
+    Plan shape (100 TB): one distinct-(lang, word) shuffle (the
+    vocabulary, not the corpus), a K-way explode to ≤ |langs|·M bit
+    rows — KILOBYTES, the broadcastable artifact this sketch exists to
+    produce — an anti-join for the probe panel on the single word key,
+    and one bit-membership join sized |probes|·K against the tiny bit
+    set (broadcast). In production the probe panel is a sampled audit
+    stream; here it is the full cross-language vocabulary, exact."""
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .selectExpr("lang", "explode(split(text, ' ')) AS word")
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    ks = ", ".join(str(j) for j in range(BLOOM_K))
+    bits = words.selectExpr(
+        "lang",
+        "word",
+        f"explode(array({ks})) AS j",
+    ).selectExpr(
+        "lang",
+        "word",
+        _h60_spark("concat(cast(j AS string), ':', word)")
+        + f" % {BLOOM_M} AS bit",
+    )
+    bitset = bits.select("lang", "bit").distinct()
+    stats = words.groupBy("lang").agg(F.count("*").alias("n_items"))
+    fill = bitset.groupBy("lang").agg(F.count("*").alias("bits_set"))
+    # probe panel: words present SOMEWHERE but absent from this lang
+    vocab = words.select("word").distinct()
+    probes = (
+        vocab.crossJoin(stats.select("lang"))
+        .join(words, ["lang", "word"], "left_anti")
+    )
+    n_probes = probes.groupBy("lang").agg(F.count("*").alias("n_probes"))
+    probe_bits = probes.selectExpr(
+        "lang", "word", f"explode(array({ks})) AS j"
+    ).selectExpr(
+        "lang",
+        "word",
+        _h60_spark("concat(cast(j AS string), ':', word)")
+        + f" % {BLOOM_M} AS bit",
+    )
+    fp = (
+        probe_bits.join(bitset, ["lang", "bit"])
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("hits"))
+        .where(F.col("hits") == BLOOM_K)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_false_pos"))
+    )
+    return (
+        stats.join(fill, "lang")
+        .join(n_probes, "lang")
+        .join(fp, "lang", "left")
+        .selectExpr(
+            "lang",
+            "n_items",
+            "bits_set",
+            f"round((-{BLOOM_M}.0d / {BLOOM_K})"
+            f" * ln(1.0d - bits_set / {BLOOM_M}.0d), 4) AS est_distinct",
+            "n_probes",
+            "coalesce(n_false_pos, 0L) AS n_false_pos",
+            _rr_s("coalesce(n_false_pos, 0L)", "n_probes", 6) + " AS fpr",
+        )
+        .orderBy("lang")
+    )
+
+
+def _bloom_sql() -> str:
+    ks = ", ".join(str(j) for j in range(BLOOM_K))
+    hb = _h60_duck("CAST(j AS VARCHAR) || ':' || word") + f" % {BLOOM_M}"
+    return f"""WITH
+words AS (SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE text IS NOT NULL),
+w AS (SELECT lang, word FROM words WHERE word != ''),
+bits AS (SELECT DISTINCT lang, {hb} AS bit
+         FROM (SELECT lang, word, unnest([{ks}]) AS j FROM w)),
+stats AS (SELECT lang, count(*) AS n_items FROM w GROUP BY lang),
+fill AS (SELECT lang, count(*) AS bits_set FROM bits GROUP BY lang),
+vocab AS (SELECT DISTINCT word FROM w),
+probes AS (SELECT s.lang, v.word
+           FROM vocab v CROSS JOIN (SELECT lang FROM stats) s
+           WHERE NOT EXISTS (SELECT 1 FROM w
+                             WHERE w.lang = s.lang AND w.word = v.word)),
+np AS (SELECT lang, count(*) AS n_probes FROM probes GROUP BY lang),
+pb AS (SELECT lang, word, {hb} AS bit
+       FROM (SELECT lang, word, unnest([{ks}]) AS j FROM probes)),
+fp AS (SELECT lang, count(*) AS n_false_pos FROM (
+         SELECT p.lang, p.word, count(*) AS hits
+         FROM pb p JOIN bits b ON p.lang = b.lang AND p.bit = b.bit
+         GROUP BY p.lang, p.word) WHERE hits = {BLOOM_K}
+       GROUP BY lang)
+SELECT s.lang, s.n_items, f.bits_set,
+       round((-{BLOOM_M}.0 / {BLOOM_K})
+             * ln(1.0 - f.bits_set / {BLOOM_M}.0), 4) AS est_distinct,
+       np.n_probes,
+       coalesce(fp.n_false_pos, 0) AS n_false_pos,
+       {_rr_d("coalesce(fp.n_false_pos, 0)", "np.n_probes", 6)} AS fpr
+FROM stats s
+JOIN fill f ON s.lang = f.lang
+JOIN np ON s.lang = np.lang
+LEFT JOIN fp ON s.lang = fp.lang
+ORDER BY s.lang"""
+
+
+SKETCH_BLOOM_SQL = _bloom_sql()

@@ -1921,3 +1921,176 @@ SELECT id, CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
 FROM terms GROUP BY id ORDER BY id"""
 
 register("ext_series_psi", series_psi, SERIES_PSI_SQL)
+
+
+# --- pairwise lead-lag cross-correlation -------------------------------------
+# STAGED for the round-14 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+XCORR_BUCKET_MS = HOUR_MS  # the shared PAA grid both series walk
+XCORR_MAX_LAG = 3  # r(-3) .. r(+3)
+
+
+def series_cross_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r14 window (:func:`series_cross_corr_op`)."""
+    return series_cross_corr_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS,
+        XCORR_BUCKET_MS, XCORR_MAX_LAG, 0,
+    )
+
+
+def series_cross_corr_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    bucket_ms: int,
+    max_lag: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Sample cross-correlation r_ab(k) for every series pair a < b and
+    lag k ∈ [−max_lag, +max_lag] grid steps — the lead-lag screen a TSDB
+    user runs to find which sensor PREDICTS which (positive k: b's value
+    k steps in the future correlates with a now, i.e. a leads). The
+    bivariate sibling of ``ext_series_acf``, sharing its PAA grid and
+    its exact-arithmetic identity.
+
+    Convention: each series' deviations are taken from its OWN
+    full-interval grid mean (the standard sample-cross-correlation
+    normalization — the denominator is √(Σdev_a²·Σdev_b²) over ALL
+    populated cells of each series, not just the overlap), and a lag
+    contributes only where BOTH grid cells are populated. Zero-variance
+    series are dropped, exactly as in the ACF.
+
+    Exactness (the ACF discipline, ext/exact.py): cells are HALF_UP
+    cent-quantized PAA means in int64; dev = n·y − S is int64; the n_a
+    and n_b scalings cancel exactly in the ratio; numerator and both
+    denominators accumulate in DECIMAL(38,0)/HUGEINT — exact and
+    order-free — and each output row sees ONE float expression,
+    round(num / √(den_a·den_b), 6), identical shape on both engines.
+
+    Plan shape (100 TB): the ACF plan with the lag join made bivariate —
+    one (id, cell) partial aggregate, a |series|-row moments broadcast,
+    one equi-join on the grid cell (b2 = b + k·bucket, a hash join on
+    the storage clustering key) with the id_a < id_b filter. The pair
+    fan-out is |panel|² per cell BY DESIGN: a cross-correlation screen
+    runs on a SELECTED id panel (the ``ids`` parameter — here 15 series,
+    105 pairs), never the full fleet; at 100 TB the panel stays
+    user-sized while the scan side prunes to it at the parquet reader.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = (
+        base.select(
+            "id", floor_bucket(F.col("time"), bucket_ms).alias("b"),
+            y.alias("y"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
+        .selectExpr(
+            "id",
+            "b",
+            # signed HALF_UP: decompose by sign — Spark DIV and DuckDB //
+            # BOTH truncate toward zero; operands here are magnitudes
+            "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
+            " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
+        )
+    )
+    moments = cells.groupBy("id").agg(
+        F.count("*").alias("n"), F.sum("yq").alias("s")
+    )
+    dev = (
+        cells.join(F.broadcast(moments), "id")
+        .select(
+            "id",
+            "b",
+            (F.col("n") * F.col("yq") - F.col("s")).alias("dev"),
+        )
+    )
+    den = dev.groupBy("id").agg(
+        F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev")).alias("den")
+    ).where(F.col("den") > 0)
+    lags = dev.select(
+        "id",
+        "b",
+        "dev",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(-max_lag, max_lag + 1)])
+        ).alias("lag"),
+    ).alias("L")
+    rgt = dev.select(
+        F.col("id").alias("rid"),
+        F.col("b").alias("b2"),
+        F.col("dev").alias("dev2"),
+    ).alias("R")
+    num = (
+        lags.join(
+            rgt,
+            (F.col("R.rid") > F.col("L.id"))
+            & (F.col("R.b2") == F.col("L.b") + F.col("L.lag") * F.lit(bucket_ms)),
+        )
+        .groupBy(
+            F.col("L.id").alias("id_a"),
+            F.col("R.rid").alias("id_b"),
+            F.col("L.lag").alias("lag"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev2")).alias(
+                "num"
+            ),
+        )
+    )
+    da = den.selectExpr("id AS da_id", "den AS den_a")
+    db = den.selectExpr("id AS db_id", "den AS den_b")
+    return (
+        num.join(F.broadcast(da), F.col("id_a") == F.col("da_id"))
+        .join(F.broadcast(db), F.col("id_b") == F.col("db_id"))
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "lag",
+            "n_pairs",
+            "round(CAST(num AS DOUBLE)"
+            " / sqrt(CAST(den_a AS DOUBLE) * CAST(den_b AS DOUBLE)), 6)"
+            " AS xcorr",
+        )
+        .orderBy("id_a", "id_b", "lag")
+    )
+
+
+SERIES_XCORR_SQL = f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, {floor_bucket_sql('time', XCORR_BUCKET_MS)} AS b,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+cells AS (SELECT id, b,
+                 CASE WHEN sum(y) < 0
+                      THEN -((2 * (-sum(y)) + count(*)) // (2 * count(*)))
+                      ELSE (2 * sum(y) + count(*)) // (2 * count(*)) END AS yq
+          FROM pts GROUP BY id, b),
+mom AS (SELECT id, count(*) AS n, CAST(sum(yq) AS BIGINT) AS s
+        FROM cells GROUP BY id),
+dev AS (SELECT c.id, c.b, m.n * c.yq - m.s AS dev
+        FROM cells c JOIN mom m ON c.id = m.id),
+den AS (SELECT id, sum(CAST(dev AS HUGEINT) * dev) AS den
+        FROM dev GROUP BY id
+        HAVING sum(CAST(dev AS HUGEINT) * dev) > 0),
+lp AS (SELECT a.id AS id_a, bb.id AS id_b, k.lag AS lag,
+              count(*) AS n_pairs,
+              sum(CAST(a.dev AS HUGEINT) * bb.dev) AS num
+       FROM dev a
+       CROSS JOIN (SELECT unnest(range(-{XCORR_MAX_LAG},
+                                       {XCORR_MAX_LAG + 1})) AS lag) k
+       JOIN dev bb
+         ON bb.id > a.id AND bb.b = a.b + k.lag * {XCORR_BUCKET_MS}
+       GROUP BY a.id, bb.id, k.lag)
+SELECT p.id_a, p.id_b, CAST(p.lag AS BIGINT) AS lag,
+       p.n_pairs,
+       round(CAST(p.num AS DOUBLE)
+             / sqrt(CAST(da.den AS DOUBLE) * CAST(db.den AS DOUBLE)), 6)
+         AS xcorr
+FROM lp p
+JOIN den da ON p.id_a = da.id
+JOIN den db ON p.id_b = db.id
+ORDER BY p.id_a, p.id_b, p.lag"""

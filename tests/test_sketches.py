@@ -3443,6 +3443,122 @@ def test_event_markov_parity_and_planted_transitions(spark, oracle_sf_dir):
     }
 
 
+def test_sketch_bloom_parity_and_planted_membership(spark, oracle_sf_dir):
+    """Staged r14 Bloom membership gate: DuckDB hash parity; on a
+    planted two-language corpus every output field matches a pure-Python
+    Bloom reference (same md5 60-bit % M bit positions, same fill-ratio
+    inversion, same HALF_UP fpr) — including whether each cross-language
+    probe is a false positive, decided bit by bit."""
+    import hashlib
+    import math
+
+    from dariadb_spark.ext.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        SKETCH_BLOOM_SQL,
+        sketch_bloom,
+        sketch_bloom_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_sketch_bloom",
+        sketch_bloom(spark, oracle_sf_dir),
+        con,
+        SKETCH_BLOOM_SQL,
+    )
+    assert res.ok, res.problems
+
+    def bit(j, word):
+        h = int(hashlib.md5(f"{j}:{word}".encode()).hexdigest()[:15], 16)
+        return h % BLOOM_M
+
+    corpora = {
+        "aa": {"alpha", "beta", "gamma", "delta", "eps"},
+        "bb": {"alpha", "zeta", "eta"},
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta eps", "aa", "s", 26),
+            (2, "alpha zeta eta", "bb", "s", 14),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {r.lang: r for r in sketch_bloom_op(docs).collect()}
+    vocab = set().union(*corpora.values())
+    for lang, words in corpora.items():
+        bitset = {bit(j, w) for w in words for j in range(BLOOM_K)}
+        probes = vocab - words
+        fps = [
+            p for p in probes
+            if all(bit(j, p) in bitset for j in range(BLOOM_K))
+        ]
+        r = got[lang]
+        assert r.n_items == len(words)
+        assert r.bits_set == len(bitset)
+        assert r.est_distinct == round(
+            (-BLOOM_M / BLOOM_K) * math.log(1.0 - len(bitset) / BLOOM_M), 4
+        )
+        assert r.n_probes == len(probes)
+        assert r.n_false_pos == len(fps)
+        num, den = len(fps), len(probes)
+        assert r.fpr == ((2 * num * 10**6 + den) // (2 * den)) / 10**6
+
+
+def test_events_retention_parity_and_planted_cohorts(spark, oracle_sf_dir):
+    """Staged r14 cohort retention: DuckDB hash parity; a planted
+    two-cohort log yields the exact hand-computed matrix, the offset-0
+    cell always equals the cohort size, and a user active twice in one
+    week counts once (the DISTINCT grid)."""
+    from dariadb_spark.ext.analytics import (
+        EVENTS_RETENTION_SQL,
+        events_retention,
+        events_retention_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_events_retention",
+        events_retention(spark, oracle_sf_dir),
+        con,
+        EVENTS_RETENTION_SQL,
+    )
+    assert res.ok, res.problems
+    for r in events_retention(spark, oracle_sf_dir).collect():
+        if r.offset_week == 0:
+            assert r.n_active == r.n_cohort and r.retention == 1.0
+
+    wk = 7 * 86_400_000
+    # cohort week 100: users 1, 2, 3; cohort week 101: user 4
+    pts = [
+        (1, 100 * wk, 1.0, 1),          # u1 week 100
+        (1, 100 * wk + 5, 1.0, 1),      # same week twice → counts once
+        (1, 101 * wk, 1.0, 1),          # u1 active week 101 (offset 1)
+        (2, 100 * wk + 10, 1.0, 1),     # u2 only week 100
+        (3, 100 * wk + 20, 1.0, 1),     # u3 week 100
+        (3, 102 * wk, 1.0, 1),          # u3 active offset 2
+        (4, 101 * wk + 30, 1.0, 1),     # u4 cohort week 101
+        (4, 102 * wk, 1.0, 1),          # u4 active offset 1
+    ]
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    got = {
+        (r.cohort_week, r.offset_week): (r.n_cohort, r.n_active, r.retention)
+        for r in events_retention_op(meas).collect()
+    }
+    assert got == {
+        (100, 0): (3, 3, 1.0),
+        (100, 1): (3, 1, round(1 / 3, 4)),
+        (100, 2): (3, 1, round(1 / 3, 4)),
+        (101, 0): (1, 1, 1.0),
+        (101, 1): (1, 1, 1.0),
+    }
+
+
 def test_series_acf_parity_and_planted_alternation(spark, oracle_sf_dir):
     """Staged r13 sample ACF: DuckDB hash parity; a planted period-2
     hour-alternating series yields the closed-form sample ACF
@@ -3478,6 +3594,50 @@ def test_series_acf_parity_and_planted_alternation(spark, oracle_sf_dir):
     }
     for lag, (np_, acf) in want.items():
         assert got[(1, lag)] == (np_, acf), (lag, got[(1, lag)])
+
+
+def test_series_cross_corr_parity_and_planted_shift(spark, oracle_sf_dir):
+    """Staged r14 pairwise cross-correlation: DuckDB hash parity; a
+    planted ±alternation with series 2 the one-step delayed copy of
+    series 1 (b_t = a_{t−1} = −a_t) yields the closed form
+    r(k) = (−1)^{k+1}(n−|k|)/n exactly — zero-mean, so the mean-centred
+    scaled-by-n² identity collapses to the pure pair count; a constant
+    series is dropped from every pair (den = 0)."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_XCORR_SQL,
+        XCORR_MAX_LAG,
+        series_cross_corr,
+        series_cross_corr_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_cross_corr",
+        series_cross_corr(spark, oracle_sf_dir),
+        con,
+        SERIES_XCORR_SQL,
+    )
+    assert res.ok, res.problems
+
+    hour = 3_600_000
+    n = 12
+    pts = [(1, k * hour, 1.0 if k % 2 == 0 else -1.0, 0) for k in range(n)]
+    pts += [(2, k * hour, -1.0 if k % 2 == 0 else 1.0, 0) for k in range(n)]
+    pts += [(3, k * hour, 42.0, 0) for k in range(n)]  # constant → dropped
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    rows = series_cross_corr_op(
+        meas, None, 0, n * hour, hour, XCORR_MAX_LAG, 0
+    ).collect()
+    got = {(r.id_a, r.id_b, r.lag): (r.n_pairs, r.xcorr) for r in rows}
+    # only the (1, 2) pair survives: series 3 has zero variance
+    assert set((a, b) for a, b, _k in got) == {(1, 2)}
+    for k in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1):
+        sign = 1 if k % 2 != 0 else -1
+        want = round(sign * (n - abs(k)) / n, 6)
+        assert got[(1, 2, k)] == (n - abs(k), want), (k, got[(1, 2, k)])
 
 
 def test_series_perm_entropy_parity_and_planted_shapes(spark, oracle_sf_dir):
