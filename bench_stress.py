@@ -2486,6 +2486,12 @@ def main() -> None:
     smkv_stream_s, smkv_batch_s, smkv_transitions = stress_streaming_markov(
         spark
     )
+    xc_s, xc_rows = stress_cross_corr(spark)
+    ret_s, ret_rows = stress_retention(spark)
+    bl_s, bl_fp, bl_fpr = stress_bloom(spark)
+    se_s, se_rows = stress_seasonal(spark)
+    ou_s, ou_rows = stress_embedding_outliers(spark)
+    sewma_s, sewma_batch_s, sewma_rows = stress_streaming_ewma(spark)
     print(
         json.dumps(
             {
@@ -2543,6 +2549,13 @@ def main() -> None:
                     "series_psi_10m": round(psi_s, 4),
                     "streaming_markov_1m": round(smkv_stream_s, 4),
                     "batch_markov_same_events": round(smkv_batch_s, 4),
+                    "cross_corr_9m6_100series": round(xc_s, 4),
+                    "retention_10m_500k_users": round(ret_s, 4),
+                    "bloom_gate_150k_docs": round(bl_s, 4),
+                    "seasonal_profile_20m": round(se_s, 4),
+                    "embedding_outliers_100k": round(ou_s, 4),
+                    "streaming_ewma_2m": round(sewma_s, 4),
+                    "batch_ewma_same_rows": round(sewma_batch_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2590,6 +2603,13 @@ def main() -> None:
                 "mase_stress_series": mase_series,
                 "psi_stress_series": psi_series,
                 "streaming_markov_transitions": smkv_transitions,
+                "cross_corr_pair_lag_rows": xc_rows,
+                "retention_matrix_rows": ret_rows,
+                "bloom_measured_fp": bl_fp,
+                "bloom_measured_fpr": bl_fpr,
+                "seasonal_profile_rows": se_rows,
+                "outlier_planted_rows": ou_rows,
+                "streaming_ewma_rows": sewma_rows,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -3162,3 +3182,317 @@ def stress_streaming_markov(spark) -> tuple[float, float, int]:
 
 if __name__ == "__main__":
     main()
+
+
+XCORR_STRESS_SERIES = 100  # panel size → C(100,2) = 4950 pairs
+XCORR_STRESS_ROWS = 9_600_000  # 96k one-minute samples per series
+
+
+def stress_cross_corr(spark) -> tuple[float, int]:
+    """Staged r14 cross-correlation above fixture size: 9.6M rows /
+    100-series panel, every series a perfect hourly ±alternation with
+    its PHASE set by id parity — so every one of the 4950 pairs has the
+    closed form r(k) = ±(−1)^k (n−|k|)/n (sign + when the two series
+    share parity, − otherwise), asserted exactly for all pairs × 7
+    lags. The pair space is the operator's documented panel contract;
+    the input side stays corpus-linear."""
+    from dariadb_spark.ext.timeseries import series_cross_corr_op
+
+    hour = 3_600_000
+    per = XCORR_STRESS_ROWS // XCORR_STRESS_SERIES  # 96k samples
+    n_cells = per // 60  # 1600 hourly cells
+    meas = spark.range(XCORR_STRESS_ROWS).selectExpr(
+        f"id % {XCORR_STRESS_SERIES} AS id",
+        f"(id DIV {XCORR_STRESS_SERIES}) * 60000 AS time",
+        # phase flips with id parity: even ids peak on even hours
+        f"10.0 + 20.0 * ((((id DIV {XCORR_STRESS_SERIES}) DIV 60)"
+        f" + id % 2) % 2) AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = series_cross_corr_op(meas, None, 0, per * 60_000, hour, 3, 0).collect()
+    xc_s = time.perf_counter() - t0
+    n_pairs_expected = (
+        XCORR_STRESS_SERIES * (XCORR_STRESS_SERIES - 1) // 2 * 7
+    )
+    assert len(rows) == n_pairs_expected, len(rows)
+    for r in rows:
+        same = (r.id_a % 2) == (r.id_b % 2)
+        sign = (1 if same else -1) * (-1 if r.lag % 2 else 1)
+        m = n_cells - abs(r.lag)
+        want = sign * round(
+            (2 * m * 10**6 + n_cells) // (2 * n_cells) / 1e6, 6
+        )
+        assert r.n_pairs == m and r.xcorr == want, r
+    return xc_s, len(rows)
+
+
+RET_STRESS_USERS = 500_000
+RET_STRESS_COHORTS = 50
+
+
+def stress_retention(spark) -> tuple[float, int]:
+    """Staged r14 cohort retention at 10M events / 500k users: user u's
+    cohort week is u % 50 and they stay active for (u DIV 50) % 5
+    further weeks (duration deliberately DECOUPLED from the cohort key
+    — 5 divides 50, so u % 5 would pin one duration per cohort), four
+    events per active week (the DISTINCT grid must collapse them) — so
+    every cohort has exactly 10k users uniformly spread over durations
+    0..4 and the matrix is the closed form n_active(off) =
+    10k·(5−off)/5, retention exactly 1.0/0.8/0.6/0.4/0.2."""
+    from dariadb_spark.ext.analytics import events_retention_op
+
+    week = 7 * 86_400_000
+    # 20 rows per user: (active_week index i in 0..4, repeat j in 0..3);
+    # weeks beyond the user's duration fold back onto week 0
+    meas = spark.range(RET_STRESS_USERS * 20).selectExpr(
+        f"id DIV 20 AS u",
+        "(id % 20) DIV 4 AS i",
+        "id % 4 AS j",
+    ).selectExpr(
+        "u AS id",
+        f"(u % {RET_STRESS_COHORTS}) * {week}"
+        f" + CASE WHEN i <= (u DIV {RET_STRESS_COHORTS}) % 5"
+        f" THEN i ELSE 0 END * {week}"
+        " + j * 1000 + 1 AS time",
+        "1.0 AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = events_retention_op(meas).collect()
+    ret_s = time.perf_counter() - t0
+    per_cohort = RET_STRESS_USERS // RET_STRESS_COHORTS
+    assert len(rows) == RET_STRESS_COHORTS * 5, len(rows)
+    for r in rows:
+        n_act = per_cohort * (5 - r.offset_week) // 5
+        want = round((5 - r.offset_week) / 5, 4)
+        assert r.n_cohort == per_cohort and r.n_active == n_act, r
+        assert r.retention == want, r
+    return ret_s, len(rows)
+
+
+BLOOM_STRESS_DOCS = 150_000
+
+
+def stress_bloom(spark) -> tuple[float, int, float]:
+    """Staged r14 Bloom gate: 150k docs / 3M word instances but only
+    2000 distinct words per language — the distinct-vocabulary collapse
+    the plan claims (corpus size must not reach the bit table). Lang
+    'aa' and 'bb' overlap half their vocabulary; every output field is
+    asserted against a pure-Python Bloom built from the same md5 bit
+    positions — including the measured FPR. A third lang with 40k
+    distinct words SATURATES the 8192-bit filter and must report the
+    NULL estimate (the resize signal), pinning the ln(0) divergence
+    guard."""
+    import hashlib
+
+    from dariadb_spark.ext.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        sketch_bloom_op,
+    )
+
+    docs = spark.range(BLOOM_STRESS_DOCS).selectExpr(
+        "id AS doc_id",
+        # 20 words per doc from the lang's 2000-word vocabulary
+        "concat_ws(' ', transform(sequence(0, 19),"
+        " k -> concat('w', CAST((id * 7 + k * 131) % 2000"
+        "   + CASE WHEN id % 3 = 1 THEN 1000 ELSE 0 END AS STRING))))"
+        " AS text",
+        "CASE WHEN id % 3 = 0 THEN 'aa' WHEN id % 3 = 1 THEN 'bb'"
+        " ELSE 'cc' END AS lang",
+        "'s' AS source",
+        "CAST(0 AS BIGINT) AS n_chars",
+    ).selectExpr(
+        "doc_id",
+        # lang cc gets a huge distinct vocabulary instead → saturation
+        "CASE WHEN lang = 'cc' THEN concat_ws(' ',"
+        " transform(sequence(0, 19),"
+        "   k -> concat('z', CAST(doc_id * 20 + k AS STRING))))"
+        " ELSE text END AS text",
+        "lang", "source", "n_chars",
+    )
+    t0 = time.perf_counter()
+    got = {r.lang: r for r in sketch_bloom_op(docs).collect()}
+    bl_s = time.perf_counter() - t0
+
+    def bits_of(words):
+        return {
+            int(hashlib.md5(f"{j}:{w}".encode()).hexdigest()[:15], 16)
+            % BLOOM_M
+            for w in words
+            for j in range(BLOOM_K)
+        }
+
+    vocab_aa = {f"w{(i * 7 + k * 131) % 2000}"
+                for i in range(0, BLOOM_STRESS_DOCS, 3) for k in range(20)}
+    vocab_bb = {f"w{(i * 7 + k * 131) % 2000 + 1000}"
+                for i in range(1, BLOOM_STRESS_DOCS, 3) for k in range(20)}
+    assert len(vocab_aa) == 2000 and len(vocab_bb) == 2000
+    bits_aa = bits_of(vocab_aa)
+    assert got["aa"].n_items == 2000
+    assert got["aa"].bits_set == len(bits_aa)
+    # measured FPR for 'aa' vs its true non-members (bb ∪ cc vocab \ aa)
+    # — cc's vocabulary is doc-indexed, reconstruct it
+    vocab_cc = {f"z{i * 20 + k}"
+                for i in range(2, BLOOM_STRESS_DOCS, 3) for k in range(20)}
+    probes_aa = (vocab_bb | vocab_cc) - vocab_aa
+    fp_aa = sum(
+        1 for p in probes_aa
+        if all(
+            int(hashlib.md5(f"{j}:{p}".encode()).hexdigest()[:15], 16)
+            % BLOOM_M in bits_aa
+            for j in range(BLOOM_K)
+        )
+    )
+    assert got["aa"].n_probes == len(probes_aa)
+    assert got["aa"].n_false_pos == fp_aa
+    # saturated lang: full filter, NULL estimate, fpr == 1
+    assert got["cc"].bits_set == BLOOM_M
+    assert got["cc"].est_distinct is None
+    assert got["cc"].fpr == 1.0
+    return bl_s, got["aa"].n_false_pos, got["aa"].fpr
+
+
+SEASONAL_STRESS_SERIES = 200
+SEASONAL_STRESS_ROWS = 20_160_000  # 1680 hourly cells × 60 samples × 200
+
+
+def stress_seasonal(spark) -> tuple[float, int]:
+    """Staged r14 seasonal profile at 20.2M rows / 200 series: value =
+    10 + hour_of_day over exactly 70 full days (1680 cells, so every
+    phase holds exactly 70 cells) — the profile is the closed form
+    offset_h = h − 11.5 for every series, a .5-exact rational that also
+    pins the signed HALF_UP closure on both sides of zero."""
+    from dariadb_spark.ext.timeseries import series_seasonal_profile_op
+
+    hour = 3_600_000
+    per = SEASONAL_STRESS_ROWS // SEASONAL_STRESS_SERIES  # 100800
+    meas = spark.range(SEASONAL_STRESS_ROWS).selectExpr(
+        f"id % {SEASONAL_STRESS_SERIES} AS id",
+        f"(id DIV {SEASONAL_STRESS_SERIES}) * 60000 AS time",
+        f"10.0 + CAST(((id DIV {SEASONAL_STRESS_SERIES}) DIV 60) % 24"
+        " AS DOUBLE) AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = series_seasonal_profile_op(
+        meas, None, 0, per * 60_000, hour, 24, 0
+    ).collect()
+    se_s = time.perf_counter() - t0
+    assert len(rows) == SEASONAL_STRESS_SERIES * 24, len(rows)
+    for r in rows:
+        assert r.n_cells == 70, r
+        assert r.seasonal_offset == r.hour_of_day - 11.5, r
+    return se_s, len(rows)
+
+
+OUTLIER_STRESS_VECS = 100_000
+OUTLIER_STRESS_LABELS = 10
+OUTLIER_STRESS_DIM = 64
+
+
+def stress_embedding_outliers(spark) -> tuple[float, int]:
+    """Staged r14 outlier screen at 100k × 64-dim vectors (6.4M long
+    rows): each label holds 10k near-identical vectors plus 5 planted
+    outliers shifted on dim 0 by graded amounts — per label the
+    planted five must be the EXACT top-5 in plant order, with distances
+    matching the closed form (n·Δ_j − ΣΔ)/(n·10⁴) (the scaled-deviation
+    square is a perfect square, so even the float is exact)."""
+    from dariadb_spark.ext.similarity import embedding_outliers_op
+
+    n_per = OUTLIER_STRESS_VECS // OUTLIER_STRESS_LABELS
+    # vec v of label l: base 0.2 on every dim; the last 5 vec_ids of the
+    # label get dim0 += 0.1·(6−j), j = 1..5 (j = vec order in the plant)
+    emb = spark.range(OUTLIER_STRESS_VECS).selectExpr(
+        "id AS vec_id",
+        f"id % {OUTLIER_STRESS_LABELS} AS label",
+        f"transform(sequence(0, {OUTLIER_STRESS_DIM - 1}),"
+        " d -> CAST(0.2 + CASE WHEN d = 0"
+        f" AND id >= {OUTLIER_STRESS_VECS - 5 * OUTLIER_STRESS_LABELS}"
+        f" THEN 0.1 * (6 - (CAST((id - {OUTLIER_STRESS_VECS - 5 * OUTLIER_STRESS_LABELS}) AS BIGINT) DIV {OUTLIER_STRESS_LABELS} + 1))"
+        " ELSE 0.0 END AS DOUBLE)) AS embedding",
+    )
+    t0 = time.perf_counter()
+    rows = embedding_outliers_op(emb).collect()
+    ou_s = time.perf_counter() - t0
+    assert len(rows) == OUTLIER_STRESS_LABELS * 5, len(rows)
+    scale = 10_000
+    sum_delta = sum(1000 * (6 - j) for j in range(1, 6))  # ΣΔ on the grid
+    first_plant = OUTLIER_STRESS_VECS - 5 * OUTLIER_STRESS_LABELS
+    for r in rows:
+        j = r.rk  # plant order == rank order (Δ graded downward)
+        delta = 1000 * (6 - j)
+        want_vec = first_plant + (j - 1) * OUTLIER_STRESS_LABELS + r.label
+        want_dist = round((n_per * delta - sum_delta) / (n_per * scale), 6)
+        assert r.vec_id == want_vec, r
+        assert r.dist == want_dist, r
+    return ou_s, len(rows)
+
+
+SEWMA_STRESS_ROWS = 2_000_000
+SEWMA_STRESS_SERIES = 1_000
+
+
+def stress_streaming_ewma(spark) -> tuple[float, float, int]:
+    """Staged r14 streaming EWMA at 2M rows / 1k series folded in TWO
+    micro-batches (the trailing buffer carries for every series): the
+    standing smoothed log must equal the batch windowed EWMA on the
+    same rows EXACTLY — asserted order-free via count + the integer sum
+    of round(ewma·10⁶) over the whole 2M-row result (no driver-side
+    row materialization)."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.timeseries import ewma_op
+    from dariadb_spark.streaming.ewma import (
+        ewma_from_log,
+        streaming_ewma_log,
+    )
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        parity_stream_partitions,
+    )
+
+    per = SEWMA_STRESS_ROWS // SEWMA_STRESS_SERIES
+    meas = spark.range(SEWMA_STRESS_ROWS).selectExpr(
+        f"id % {SEWMA_STRESS_SERIES} AS id",
+        f"(id DIV {SEWMA_STRESS_SERIES}) * 60000 AS time",
+        "CAST((id * 37) % 101 AS DOUBLE) AS value",
+        "CAST(1 AS BIGINT) AS flag",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_sewma_stress_")
+    data_dir = f"{base}/meas"
+    qname = "sewma_stress_" + base.rsplit("_", 1)[-1]
+    cut = (per // 2) * 60_000
+    try:
+        meas.where(F.col("time") <= cut).coalesce(1).write.parquet(data_dir)
+        meas.where(F.col("time") > cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+        t0 = time.perf_counter()
+        with parity_stream_partitions(spark, n=8):
+            q = streaming_ewma_log(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        stream_out = ewma_from_log(spark.table(qname))
+        s_cnt, s_sum = stream_out.selectExpr(
+            "count(*) AS c",
+            "sum(CAST(round(ewma * 1e6) AS DECIMAL(38,0))) AS s",
+        ).collect()[0]
+        sewma_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b_cnt, b_sum = ewma_op(
+            meas, None, 0, per * 60_000, 0
+        ).selectExpr(
+            "count(*) AS c",
+            "sum(CAST(round(ewma * 1e6) AS DECIMAL(38,0))) AS s",
+        ).collect()[0]
+        batch_s = time.perf_counter() - t0
+        assert s_cnt == SEWMA_STRESS_ROWS and b_cnt == SEWMA_STRESS_ROWS
+        assert s_sum == b_sum, (s_sum, b_sum)
+        return sewma_s, batch_s, int(s_cnt)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)

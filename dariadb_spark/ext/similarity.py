@@ -1873,3 +1873,113 @@ FROM v2s CROSS JOIN nrm WHERE s2 > 0 ORDER BY dim"""
 
 register("ext_ann_recall_lsh", ann_recall_lsh, ANN_RECALL_LSH_SQL)
 register("ext_embedding_pca", embedding_pca, EMBEDDING_PCA_SQL)
+
+
+# --- per-label embedding outlier screen ---------------------------------------
+# STAGED for the round-14 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+OUTLIER_TOP = 5  # outliers reported per label
+_OUT_SCALE = PCA_SCALE  # the shared 10^4 embedding int grid
+
+
+def embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r14 window (see :func:`embedding_outliers_op`)."""
+    return embedding_outliers_op(load_table(spark, sf, "embeddings"))
+
+
+def embedding_outliers_op(emb: DataFrame) -> DataFrame:
+    """Per-label embedding QC: the top-5 vectors farthest from their
+    label's mean vector — the mislabeled/garbage screen every
+    embedding-table consumer (SemDeDup cells, IVF training, ANN audits)
+    runs before trusting the labels. Distance is to the label MEAN, the
+    same artifact `ext_embedding_centroids` maintains.
+
+    Exactness: vectors quantize to the shared 10⁴ int grid
+    (ext_embedding_quantize's recipe); with n vectors in the label and
+    S_d = Σ q_d the per-dimension sums, the scaled squared distance
+
+        D²(v) = Σ_d (n·q_d(v) − S_d)²  =  n²·‖v − mean‖²  (exact)
+
+    accumulates in DECIMAL(38,0)/HUGEINT — ranking is by the EXACT
+    integer D² (vec_id ascending on ties), and the one float each
+    output row sees is round(√D² / (n·10⁴), 6) — the distance in
+    embedding units, computed from the same exact integer on both
+    engines.
+
+    Plan shape (100 TB): one posexplode to corpus×64 long form, a
+    (label, dim) partial-sum aggregate — |labels|·64 groups, broadcast
+    back — one per-vector fold shuffle, and a per-label top-5 window
+    (partial top-k per partition then merge; no full sort)."""
+    q = emb.selectExpr(
+        "vec_id",
+        "label",
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {_OUT_SCALE}) AS BIGINT)) AS q",
+    )
+    long = q.select(
+        "vec_id", "label", F.posexplode("q").alias("dim", "qd")
+    )
+    sums = long.groupBy(
+        F.col("label").alias("slabel"), F.col("dim").alias("sdim")
+    ).agg(F.count("*").alias("n"), F.sum("qd").alias("sd"))
+    d2 = (
+        long.join(
+            F.broadcast(sums),
+            (F.col("label") == F.col("slabel"))
+            & (F.col("dim") == F.col("sdim")),
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "n",
+            "(CAST(n AS DECIMAL(38,0)) * qd - sd) AS dev",
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("dev") * F.col("dev")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        d2.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= OUTLIER_TOP)
+        .selectExpr(
+            "label",
+            "rk",
+            "vec_id",
+            f"round(sqrt(CAST(d2 AS DOUBLE)) / (n * {_OUT_SCALE}.0d), 6)"
+            " AS dist",
+        )
+        .orderBy("label", "rk")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""WITH
+qv AS (SELECT vec_id, label,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * {_OUT_SCALE}) AS BIGINT))
+                AS q
+       FROM embeddings),
+lng AS (SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS dim,
+               unnest(q) AS qd
+        FROM qv),
+sums AS (SELECT label, dim, count(*) AS n, CAST(sum(qd) AS BIGINT) AS sd
+         FROM lng GROUP BY label, dim),
+d2 AS (SELECT l.vec_id, l.label, max(s.n) AS n,
+              sum((CAST(s.n AS HUGEINT) * l.qd - s.sd)
+                  * (CAST(s.n AS HUGEINT) * l.qd - s.sd)) AS d2
+       FROM lng l JOIN sums s ON l.label = s.label AND l.dim = s.dim
+       GROUP BY l.vec_id, l.label),
+ranked AS (SELECT label, vec_id, n, d2,
+                  row_number() OVER (PARTITION BY label
+                                     ORDER BY d2 DESC, vec_id ASC) AS rk
+           FROM d2)
+SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+       round(sqrt(CAST(d2 AS DOUBLE)) / (n * {_OUT_SCALE}.0), 6) AS dist
+FROM ranked WHERE rk <= {OUTLIER_TOP}
+ORDER BY label, rk"""

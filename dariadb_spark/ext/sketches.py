@@ -2031,8 +2031,13 @@ def sketch_bloom_op(docs: DataFrame) -> DataFrame:
             "lang",
             "n_items",
             "bits_set",
-            f"round((-{BLOOM_M}.0d / {BLOOM_K})"
-            f" * ln(1.0d - bits_set / {BLOOM_M}.0d), 4) AS est_distinct",
+            # saturation guard: at fill = 1 the inversion is undefined
+            # (Spark ln(0) = NULL, DuckDB ln(0) = -inf — a divergence
+            # class); a full filter reports NULL on BOTH engines, which
+            # is also the honest answer ("resize me")
+            f"CASE WHEN bits_set = {BLOOM_M} THEN CAST(NULL AS DOUBLE)"
+            f" ELSE round((-{BLOOM_M}.0d / {BLOOM_K})"
+            f" * ln(1.0d - bits_set / {BLOOM_M}.0d), 4) END AS est_distinct",
             "n_probes",
             "coalesce(n_false_pos, 0L) AS n_false_pos",
             _rr_s("coalesce(n_false_pos, 0L)", "n_probes", 6) + " AS fpr",
@@ -2066,8 +2071,10 @@ fp AS (SELECT lang, count(*) AS n_false_pos FROM (
          GROUP BY p.lang, p.word) WHERE hits = {BLOOM_K}
        GROUP BY lang)
 SELECT s.lang, s.n_items, f.bits_set,
-       round((-{BLOOM_M}.0 / {BLOOM_K})
-             * ln(1.0 - f.bits_set / {BLOOM_M}.0), 4) AS est_distinct,
+       CASE WHEN f.bits_set = {BLOOM_M} THEN CAST(NULL AS DOUBLE)
+            ELSE round((-{BLOOM_M}.0 / {BLOOM_K})
+                       * ln(1.0 - f.bits_set / {BLOOM_M}.0), 4)
+       END AS est_distinct,
        np.n_probes,
        coalesce(fp.n_false_pos, 0) AS n_false_pos,
        {_rr_d("coalesce(fp.n_false_pos, 0)", "np.n_probes", 6)} AS fpr

@@ -2094,3 +2094,126 @@ FROM lp p
 JOIN den da ON p.id_a = da.id
 JOIN den db ON p.id_b = db.id
 ORDER BY p.id_a, p.id_b, p.lag"""
+
+
+# --- hour-of-day seasonal profile --------------------------------------------
+# STAGED for the round-14 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+SEASONAL_BUCKET_MS = HOUR_MS  # the PAA grid; phases are grid-hours mod 24
+SEASONAL_PERIOD = 24
+
+
+def series_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r14 window (:func:`series_seasonal_profile_op`)."""
+    return series_seasonal_profile_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS,
+        SEASONAL_BUCKET_MS, SEASONAL_PERIOD, 0,
+    )
+
+
+def series_seasonal_profile_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    bucket_ms: int,
+    period: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Hour-of-day seasonal fingerprint per series: for each of the 24
+    grid phases, how far the phase's mean sits from the series' overall
+    grid mean — the additive seasonal component of the classical
+    decomposition, reported as a per-phase profile (the compact artifact
+    a dashboard draws and `ext_series_mase`'s seasonality screen
+    motivates). Phases are (cell DIV bucket) mod period on the same
+    HALF_UP cent-quantized PAA grid as the ACF/MASE family.
+
+    Exactness: with n total cells, n_h cells in phase h, S = Σy,
+    S_h = Σ_{phase h} y (all int64 cents),
+
+        offset_h = S_h/n_h − S/n = (n·S_h − n_h·S) / (n·n_h)
+
+    — ONE signed HALF_UP rational per row (ext/exact.py's
+    away-from-zero closure), emitted in value units at 4 dp. The
+    products stay far inside int64 for any per-series interval up to
+    ~10⁶ grid cells (|n·S_h| ≤ n·n_h·5·10⁶ cents); no float anywhere.
+
+    Plan shape (100 TB): one (id, cell) partial aggregate, one
+    (id, phase) partial aggregate over the ≤ n-cell grid, one
+    |series|-row totals broadcast — the ACF plan minus the lag join.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = (
+        base.select(
+            "id", floor_bucket(F.col("time"), bucket_ms).alias("b"),
+            y.alias("y"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
+        .selectExpr(
+            "id",
+            "b",
+            # signed HALF_UP: decompose by sign — Spark DIV and DuckDB //
+            # BOTH truncate toward zero; operands here are magnitudes
+            "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
+            " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
+        )
+    )
+    phases = (
+        cells.selectExpr(
+            "id",
+            f"CAST((b DIV {bucket_ms}) % {period} AS BIGINT) AS hour_of_day",
+            "yq",
+        )
+        .groupBy("id", "hour_of_day")
+        .agg(F.count("*").alias("n_cells"), F.sum("yq").alias("s_h"))
+    )
+    tot = cells.groupBy(F.col("id").alias("tid")).agg(
+        F.count("*").alias("n"), F.sum("yq").alias("s")
+    )
+    from dariadb_spark.ext.exact import ratio_round_signed_spark
+
+    return (
+        phases.join(F.broadcast(tot), phases.id == tot.tid)
+        .selectExpr(
+            "id",
+            "hour_of_day",
+            "n_cells",
+            ratio_round_signed_spark("n * s_h - n_cells * s", "100 * n * n_cells", 4)
+            + " AS seasonal_offset",
+        )
+        .orderBy("id", "hour_of_day")
+    )
+
+
+def _seasonal_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_signed_duck
+
+    return f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, {floor_bucket_sql('time', SEASONAL_BUCKET_MS)} AS b,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+cells AS (SELECT id, b,
+                 CASE WHEN sum(y) < 0
+                      THEN -((2 * (-sum(y)) + count(*)) // (2 * count(*)))
+                      ELSE (2 * sum(y) + count(*)) // (2 * count(*)) END AS yq
+          FROM pts GROUP BY id, b),
+phases AS (SELECT id,
+                  CAST((b // {SEASONAL_BUCKET_MS}) % {SEASONAL_PERIOD}
+                       AS BIGINT) AS hour_of_day,
+                  count(*) AS n_cells, CAST(sum(yq) AS BIGINT) AS s_h
+           FROM cells GROUP BY 1, 2),
+tot AS (SELECT id, count(*) AS n, CAST(sum(yq) AS BIGINT) AS s
+        FROM cells GROUP BY id)
+SELECT p.id, p.hour_of_day, p.n_cells,
+       {ratio_round_signed_duck("t.n * p.s_h - p.n_cells * t.s",
+                                "100 * t.n * p.n_cells", 4)}
+         AS seasonal_offset
+FROM phases p JOIN tot t ON p.id = t.id
+ORDER BY p.id, p.hour_of_day"""
+
+
+SERIES_SEASONAL_SQL = _seasonal_sql()

@@ -501,45 +501,34 @@ def test_coverage_md_matches_registry():
     assert problems == [], problems
 
 
-def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
-    """All 16 round-12-staged operators registered in round 13, so the
-    registered-plan sweep above now covers them; this direct sweep is
-    kept as the template for the NEXT staging cohort (swap in new
-    fixture fns as they stage) and as a redundant pin on these plans."""
-    from dariadb_spark.ext.multimodal import media_audio_dedup
-    from dariadb_spark.ext.similarity import ann_recall_lsh, embedding_pca
-    from dariadb_spark.ext.sketches import sketch_hll_m64
-    from dariadb_spark.ext.analytics import event_markov
-    from dariadb_spark.ext.dedup import ngram_novelty
-    from dariadb_spark.ext.text import corpus_drift_tvd, token_pmi
+def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
+    """The round-13 staged operators get the same physical-plan sweep
+    as the registered surface BEFORE their r14 registration — a
+    CartesianProduct is never acceptable. (The 16 round-12-staged
+    operators registered in r13 and are covered by the registered sweep
+    above.) Exception noted inline: the Bloom probe panel's
+    vocab × langs expansion is a deliberate |langs|-bounded broadcast
+    nested loop (≤ a handful of langs), not a pair-space blowup — the
+    same dispensation as the C(|langs|,2) grids the r12 verdict
+    accepted."""
+    from dariadb_spark.ext.analytics import events_retention
+    from dariadb_spark.ext.similarity import embedding_outliers
+    from dariadb_spark.ext.sketches import sketch_bloom
     from dariadb_spark.ext.timeseries import (
-        downsample_lttb,
-        series_acf,
-        series_mase,
-        series_perm_entropy,
-        series_psi,
-        series_sax,
+        series_cross_corr,
+        series_seasonal_profile,
     )
+    from dariadb_spark.streaming.ewma import ewma_from_log
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     offenders = []
     for fn in (
-        sketch_hll_m64,
-        media_audio_dedup,
-        ann_recall_lsh,
-        downsample_lttb,
-        series_sax,
-        series_acf,
-        series_perm_entropy,
-        event_markov,
-        corpus_drift_tvd,
-        token_pmi,
-        ngram_novelty,
-        embedding_pca,
-        series_mase,
-        series_psi,
+        series_cross_corr,
+        series_seasonal_profile,
+        events_retention,
+        embedding_outliers,
     ):
         plan = (
             fn(spark, oracle_sf_dir)
@@ -549,3 +538,18 @@ def test_no_cartesian_product_in_staged_r13_plans(spark, oracle_sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(fn.__name__)
     assert not offenders, offenders
+    # sketch_bloom: assert the vocab × langs expansion stays a BROADCAST
+    # nested loop (langs side is a tiny aggregate), never a shuffled
+    # cartesian
+    from dariadb_spark.ext.sketches import sketch_bloom as _sb
+
+    plan = _sb(spark, oracle_sf_dir)._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan, "bloom probe panel"
+    # the streaming ewma JVM closure is a pure projection — no join at all
+    df = ewma_from_log(
+        spark.createDataFrame(
+            [(1, 2, 3.0, 4.0, 5.0)],
+            "id long, time long, value double, num double, den double",
+        )
+    )
+    assert "Join" not in df._jdf.queryExecution().explainString(mode)

@@ -3640,6 +3640,111 @@ def test_series_cross_corr_parity_and_planted_shift(spark, oracle_sf_dir):
         assert got[(1, 2, k)] == (n - abs(k), want), (k, got[(1, 2, k)])
 
 
+def test_embedding_outliers_parity_and_planted_flip(spark, oracle_sf_dir):
+    """Staged r14 embedding outlier screen: DuckDB hash parity; in a
+    planted label of four near-identical vectors plus one sign-flipped
+    one, the flipped vector ranks first with the exact integer-math
+    distance a pure-Python reference computes; the tight cluster's
+    distances follow at the exact same values."""
+    import math
+
+    from dariadb_spark.ext.similarity import (
+        EMBEDDING_OUTLIERS_SQL,
+        _OUT_SCALE,
+        embedding_outliers,
+        embedding_outliers_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_embedding_outliers",
+        embedding_outliers(spark, oracle_sf_dir),
+        con,
+        EMBEDDING_OUTLIERS_SQL,
+    )
+    assert res.ok, res.problems
+
+    dim = 8
+    base = [0.5, -0.25, 0.125, 0.0625, -0.5, 0.25, -0.125, 0.3]
+    vecs = {
+        1: base,
+        2: [x + 0.001 for x in base],
+        3: [x - 0.001 for x in base],
+        4: [x + 0.002 for x in base],
+        5: [-x for x in base],  # the planted outlier
+    }
+    emb = spark.createDataFrame(
+        [(vid, 7, [float(x) for x in v]) for vid, v in vecs.items()],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = [
+        (r.label, r.rk, r.vec_id, r.dist)
+        for r in embedding_outliers_op(emb).collect()
+    ]
+    # pure-Python reference of the exact integer pipeline
+    q = {vid: [round(x * _OUT_SCALE) for x in v] for vid, v in vecs.items()}
+    n = len(q)
+    sums = [sum(q[vid][d] for vid in q) for d in range(dim)]
+    d2 = {
+        vid: sum((n * q[vid][d] - sums[d]) ** 2 for d in range(dim))
+        for vid in q
+    }
+    ranked = sorted(q, key=lambda vid: (-d2[vid], vid))
+    want = [
+        (7, rk + 1, vid, round(math.sqrt(d2[vid]) / (n * _OUT_SCALE), 6))
+        for rk, vid in enumerate(ranked)
+    ]
+    assert got == want
+    assert got[0][2] == 5  # the sign-flip is the #1 outlier
+
+
+def test_series_seasonal_profile_parity_and_planted_wave(spark, oracle_sf_dir):
+    """Staged r14 hour-of-day seasonal profile: DuckDB hash parity; a
+    planted day/night square wave recovers offsets of exactly ∓20 value
+    units, a NEGATIVE-valued wave the signed mirror (the away-from-zero
+    closure on a negative numerator), and a constant series scores 0 at
+    every phase."""
+    from dariadb_spark.ext.timeseries import (
+        SEASONAL_PERIOD,
+        SERIES_SEASONAL_SQL,
+        series_seasonal_profile,
+        series_seasonal_profile_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_seasonal_profile",
+        series_seasonal_profile(spark, oracle_sf_dir),
+        con,
+        SERIES_SEASONAL_SQL,
+    )
+    assert res.ok, res.problems
+
+    hour = 3_600_000
+    n = 48  # two full days on the hourly grid
+    pts = []
+    for k in range(n):
+        day_night = 10.0 if (k % 24) < 12 else 50.0
+        pts.append((1, k * hour, day_night, 0))
+        pts.append((2, k * hour, -day_night, 0))
+        pts.append((3, k * hour, 42.0, 0))
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    rows = series_seasonal_profile_op(
+        meas, None, 0, n * hour, hour, SEASONAL_PERIOD, 0
+    ).collect()
+    got = {(r.id, r.hour_of_day): (r.n_cells, r.seasonal_offset) for r in rows}
+    assert len(got) == 3 * SEASONAL_PERIOD
+    for h in range(SEASONAL_PERIOD):
+        off = -20.0 if h < 12 else 20.0
+        assert got[(1, h)] == (2, off), (h, got[(1, h)])
+        assert got[(2, h)] == (2, -off), (h, got[(2, h)])
+        assert got[(3, h)] == (2, 0.0), (h, got[(3, h)])
+
+
 def test_series_perm_entropy_parity_and_planted_shapes(spark, oracle_sf_dir):
     """Staged r13 permutation entropy: DuckDB hash parity; monotone and
     constant series score pe = 0 (single pattern '123'), a square wave
