@@ -199,12 +199,18 @@ def streaming_markov_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             else "CAST(ts AS TIMESTAMP)"
         )
         ev = ev.withColumn("_ms", F.expr(ms)).withColumn("ts", F.expr(norm))
-        ev.where(F.col("_ms") <= cut).drop("_ms").orderBy(
-            "ts", "event_id"
-        ).coalesce(1).write.parquet(data_dir)
-        ev.where(F.col("_ms") > cut).drop("_ms").orderBy(
-            "ts", "event_id"
-        ).coalesce(1).write.mode("append").parquet(data_dir)
+        # no pre-write sort: only the SPLIT carries ordering semantics —
+        # the fold sorts each batch slice by (ts, event_id) itself, so
+        # the full-fixture orderBy bought nothing. (Measured: removing
+        # it does NOT change the 5.8 s sf0.1 parity time — the cost is
+        # the two landing writes + the checkpointed stateful fold, the
+        # machinery this parity exists to exercise.)
+        ev.where(F.col("_ms") <= cut).drop("_ms").coalesce(
+            1
+        ).write.parquet(data_dir)
+        ev.where(F.col("_ms") > cut).drop("_ms").coalesce(
+            1
+        ).write.mode("append").parquet(data_dir)
         with parity_stream_partitions(spark):
             q = streaming_transition_log(
                 spark, data_dir, qname, max_files_per_trigger=1
