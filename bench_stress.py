@@ -2492,6 +2492,8 @@ def main() -> None:
     se_s, se_rows = stress_seasonal(spark)
     ou_s, ou_rows = stress_embedding_outliers(spark)
     sewma_s, sewma_batch_s, sewma_rows = stress_streaming_ewma(spark)
+    pa_s, pa_rows = stress_events_paths(spark)
+    mad_s, mad_rows = stress_series_mad(spark)
     print(
         json.dumps(
             {
@@ -2556,6 +2558,8 @@ def main() -> None:
                     "embedding_outliers_100k": round(ou_s, 4),
                     "streaming_ewma_2m": round(sewma_s, 4),
                     "batch_ewma_same_rows": round(sewma_batch_s, 4),
+                    "events_paths_10m": round(pa_s, 4),
+                    "series_mad_10m": round(mad_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2610,6 +2614,8 @@ def main() -> None:
                 "seasonal_profile_rows": se_rows,
                 "outlier_planted_rows": ou_rows,
                 "streaming_ewma_rows": sewma_rows,
+                "paths_distinct_journeys": pa_rows,
+                "mad_stress_series": mad_rows,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -3496,3 +3502,81 @@ def stress_streaming_ewma(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+PATHS_STRESS_USERS = 500_000
+
+
+def stress_events_paths(spark) -> tuple[float, int]:
+    """Staged r14 top user paths at 10M events / 500k users: each
+    user's 20-event log starts at letter (u % 5) of a 5-letter cycle,
+    so exactly five rotated first-5 journeys exist with exactly 100k
+    users each and share exactly 0.2 — asserted in closed form (the
+    per-user window must pick the FIRST five by (ts, event_id), not
+    any five)."""
+    import datetime as dt
+
+    from dariadb_spark.ext.analytics import events_paths_op
+
+    ev = spark.range(PATHS_STRESS_USERS * 20).selectExpr(
+        "id AS event_id",
+        "timestamp_millis(1704067200000 + (id % 20) * 1000) AS ts",
+        "id DIV 20 AS user_id",
+        "substring('ABCDE', CAST(((id DIV 20) + id % 20) % 5 AS INT) + 1, 1)"
+        " AS event_type",
+        "0.0d AS value",
+        "'{}' AS props",
+    )
+    t0 = time.perf_counter()
+    rows = [tuple(r) for r in events_paths_op(ev).collect()]
+    pa_s = time.perf_counter() - t0
+    per = PATHS_STRESS_USERS // 5
+    share = ((2 * per * 10**4 + PATHS_STRESS_USERS)
+             // (2 * PATHS_STRESS_USERS)) / 10**4
+    cyc = "ABCDE" * 2
+    want = sorted(
+        (">".join(cyc[s:s + 5]), per, share) for s in range(5)
+    )
+    assert sorted(rows) == want, rows[:3]
+    return pa_s, len(rows)
+
+
+MAD_STRESS_SERIES = 100
+MAD_STRESS_BASE = 100_100  # 100 copies of each value −500..500
+
+
+def stress_series_mad(spark) -> tuple[float, int]:
+    """Staged r14 robust outlier screen at 10M rows / 100 series: each
+    series holds 100 copies of every integer value in [−500, 500]
+    (median exactly 0, MAD exactly 250 — both derived by rank walking,
+    asserted in closed form) plus 3 planted ±10k spikes; Hampel's
+    integer rule must flag EXACTLY the three spikes per series while
+    the 500-unit tails stay inside the robust bound — the
+    mean/σ-distorting magnitude that motivates MAD over z-score."""
+    from dariadb_spark.ext.timeseries import series_outlier_mad_op
+
+    per = MAD_STRESS_BASE + 3
+    n_rows = MAD_STRESS_SERIES * per
+    meas = spark.range(n_rows).selectExpr(
+        f"id % {MAD_STRESS_SERIES} AS id",
+        f"(id DIV {MAD_STRESS_SERIES}) * 1000 AS time",
+        f"""CASE WHEN id DIV {MAD_STRESS_SERIES} >= {MAD_STRESS_BASE}
+             THEN CASE (id DIV {MAD_STRESS_SERIES}) - {MAD_STRESS_BASE}
+                  WHEN 0 THEN 10000.0d WHEN 1 THEN -10000.0d
+                  ELSE 10000.0d END
+             ELSE CAST((id DIV {MAD_STRESS_SERIES}) % 1001 - 500
+                  AS DOUBLE) END AS value""",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = series_outlier_mad_op(
+        meas, None, 0, per * 1000, 0
+    ).collect()
+    mad_s = time.perf_counter() - t0
+    assert len(rows) == MAD_STRESS_SERIES, len(rows)
+    frac = ((2 * 3 * 10**4 + per) // (2 * per)) / 10**4
+    for r in rows:
+        assert (r.n, r.median, r.mad, r.n_outliers, r.outlier_frac) == (
+            per, 0.0, 250.0, 3, frac
+        ), r
+    return mad_s, len(rows)

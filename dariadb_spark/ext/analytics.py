@@ -778,3 +778,88 @@ ORDER BY c.cohort_week, c.offset_week"""
 
 
 EVENTS_RETENTION_SQL = _retention_sql()
+
+
+# --- top user paths ----------------------------------------------------------
+# STAGED for the round-14 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+
+PATHS_DEPTH = 5  # first N event types per user
+PATHS_TOP = 20
+
+
+def events_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r14 window (see :func:`events_paths_op`)."""
+    return events_paths_op(load_table(spark, sf, "events"))
+
+
+def events_paths_op(ev: DataFrame) -> DataFrame:
+    """Top user journeys: the most common first-5 event-type sequences
+    across users — the path-analysis staple next to the funnel (which
+    fixes the stage order in advance) and the Markov matrix (which
+    forgets everything but adjacency). Determinism: the per-user order
+    is (ts, event_id) — the unique ingest sequence breaks ts ties, the
+    same contract as ``ext_event_markov`` — and ties in path frequency
+    break on the path string.
+
+    Exactness: pure counting over deterministic strings; no float at
+    all (the share column is the HALF_UP integer closure).
+
+    Plan shape (100 TB): one window shuffle on ``user_id`` (the event
+    log's natural bucketing key), a per-user fold to ONE row (collect
+    of ≤5 structs per user — bounded by construction, not by data), one
+    partial-aggregated count shuffle on the path strings, and a global
+    top-20 (TakeOrderedAndProject — no full sort materializes)."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstn = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PATHS_DEPTH)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    users = firstn.select(F.count("*").alias("n_users_total"))
+    cnt = firstn.groupBy("path").agg(F.count("*").alias("n_users"))
+    return (
+        cnt.crossJoin(F.broadcast(users))
+        .selectExpr(
+            "path",
+            "n_users",
+            ratio_round_spark("n_users", "n_users_total", 4) + " AS share",
+        )
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(PATHS_TOP)
+    )
+
+
+def _paths_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {PATHS_DEPTH} GROUP BY user_id),
+tot AS (SELECT count(*) AS n_users_total FROM p),
+cnt AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+SELECT c.path, c.n_users,
+       {ratio_round_duck("c.n_users", "t.n_users_total", 4)} AS share
+FROM cnt c CROSS JOIN tot t
+ORDER BY c.n_users DESC, c.path ASC LIMIT {PATHS_TOP}"""
+
+
+EVENTS_PATHS_SQL = _paths_sql()

@@ -2217,3 +2217,151 @@ ORDER BY p.id, p.hour_of_day"""
 
 
 SERIES_SEASONAL_SQL = _seasonal_sql()
+
+
+# --- robust outlier screen (median / MAD) ------------------------------------
+# STAGED for the round-14 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The robust-statistics sibling of `ext_anomaly_zscore`: mean/σ move
+# with the outliers they hunt, median/MAD do not (Hampel's rule,
+# |y − med| > 3·1.4826·MAD, the 1.4826 making MAD a consistent σ
+# estimator under normality). Everything below is EXACT integer
+# arithmetic: medians are carried DOUBLED (the sum of the two middle
+# order statistics — an even count's midpoint average never leaves the
+# integers), deviations are carried doubled again, and Hampel's
+# threshold becomes the pure-int64 comparison
+#     20000 · D_i > 44478 · mad2
+# with D_i = 2·|y_i − med| and mad2 = 4·MAD, both exact ints (44478 =
+# 3·1.4826 at the fixed 4-dp grid). A constant-ish series (mad2 = 0)
+# flags EVERY nonzero deviation — the documented MAD pathology, kept
+# deterministic rather than hidden.
+
+MAD_K_10K = 44_478  # 3 · 1.4826 on the 4-dp integer grid
+
+
+def series_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r14 window (:func:`series_outlier_mad_op`)."""
+    return series_outlier_mad_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, 0
+    )
+
+
+def series_outlier_mad_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series robust outlier summary over the interval: the exact
+    median and MAD (reported on their native .5/.25 grids — one exact
+    float division each), the Hampel outlier count, and the HALF_UP
+    outlier fraction.
+
+    Plan shape (100 TB): two ranked windows on the storage clustering
+    key (one for the value median, one for the deviation median — each
+    a single sorted pass per series partition, shuffle-free on a
+    bucketed table), two |series|-row broadcasts back, one final
+    per-series fold. At extreme per-series cardinality swap the exact
+    median for `approx_percentile` and keep the same closure — the
+    oracle pins the exact variant."""
+    base = scan_interval(meas, ids, from_ms, to_ms, flag).select(
+        "id", "time", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    wv = Window.partitionBy("id").orderBy("y", "time")
+    ranked = base.select(
+        "id", "y", F.row_number().over(wv).alias("rn"),
+        F.count("*").over(Window.partitionBy("id")).alias("n"),
+    )
+    med2 = (
+        ranked.where(
+            F.expr("rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2")
+        )
+        .groupBy(F.col("id").alias("mid"))
+        .agg((F.lit(2) * F.sum("y") / F.count("*")).cast("long").alias("med2"))
+    )
+    dev = base.join(F.broadcast(med2), base.id == med2.mid).select(
+        "id", "time", "y",
+        F.abs(F.lit(2) * F.col("y") - F.col("med2")).alias("d"),
+        "med2",
+    )
+    wd = Window.partitionBy("id").orderBy("d", "time")
+    dranked = dev.select(
+        "id", "d", F.row_number().over(wd).alias("rn"),
+        F.count("*").over(Window.partitionBy("id")).alias("n"),
+    )
+    mad2 = (
+        dranked.where(
+            F.expr("rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2")
+        )
+        .groupBy(F.col("id").alias("did"))
+        .agg((F.lit(2) * F.sum("d") / F.count("*")).cast("long").alias("mad2"))
+    )
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    return (
+        dev.join(F.broadcast(mad2), dev.id == mad2.did)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med2").alias("med2"),
+            F.max("mad2").alias("mad2"),
+            F.sum(
+                (
+                    F.lit(20_000) * F.col("d")
+                    > F.lit(MAD_K_10K) * F.col("mad2")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .selectExpr(
+            "id",
+            "n",
+            "med2 / 200.0d AS median",  # back to value units, exact
+            "mad2 / 400.0d AS mad",
+            "n_outliers",
+            ratio_round_spark("n_outliers", "n", 4) + " AS outlier_frac",
+        )
+        .orderBy("id")
+    )
+
+
+def _mad_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH {MEAS_CTE_SQL},
+base AS (SELECT id, time, CAST(round(value * 100) AS BIGINT) AS y
+         FROM measurements WHERE {_interval_sql()}),
+rk AS (SELECT id, y,
+              row_number() OVER (PARTITION BY id ORDER BY y, time) AS rn,
+              count(*) OVER (PARTITION BY id) AS n
+       FROM base),
+med AS (SELECT id AS mid,
+               CAST(2 * sum(y) / count(*) AS BIGINT) AS med2
+        FROM rk WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY id),
+dev AS (SELECT b.id, b.time, abs(2 * b.y - m.med2) AS d, m.med2
+        FROM base b JOIN med m ON b.id = m.mid),
+dr AS (SELECT id, d,
+              row_number() OVER (PARTITION BY id ORDER BY d, time) AS rn,
+              count(*) OVER (PARTITION BY id) AS n
+       FROM dev),
+mad AS (SELECT id AS did,
+               CAST(2 * sum(d) / count(*) AS BIGINT) AS mad2
+        FROM dr WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY id)
+SELECT v.id, count(*) AS n,
+       max(v.med2) / 200.0 AS median,
+       max(a.mad2) / 400.0 AS mad,
+       CAST(sum(CASE WHEN 20000 * v.d > {MAD_K_10K} * a.mad2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       {ratio_round_duck(
+           "sum(CASE WHEN 20000 * v.d > " + str(MAD_K_10K)
+           + " * a.mad2 THEN 1 ELSE 0 END)", "count(*)", 4)}
+         AS outlier_frac
+FROM dev v JOIN mad a ON v.id = a.did
+GROUP BY v.id ORDER BY v.id"""
+
+
+SERIES_MAD_SQL = _mad_sql()

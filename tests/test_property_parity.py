@@ -1734,3 +1734,162 @@ def test_event_markov_matches_reference(spark, evs):
         (a, b): (c, _hup(c / tot[a], 6)) for (a, b), c in cnt.items()
     }
     assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_cross_corr_matches_reference(spark, rows):
+    """Staged r14 ``series_cross_corr_op`` equals the definitional
+    reference on random data (negative values included): HALF_UP PAA
+    cells, per-series mean deviations, exact integer num/den, the one
+    float per row replayed in the identical expression shape."""
+    from dariadb_spark.ext.timeseries import series_cross_corr_op
+
+    lo, hi, w, maxlag = T0, T0 + 40 * STEP, 10_000, 3
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        (r.id_a, r.id_b, r.lag): (r.n_pairs, r.xcorr)
+        for r in series_cross_corr_op(df, None, lo, hi, w, maxlag, 0).collect()
+    }
+    cells: dict[tuple[int, int], list[int]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            cells.setdefault((i, _fbucket(t, w)), []).append(_cents(v))
+    series: dict[int, dict[int, int]] = {}
+    for (i, b), ys in cells.items():
+        fs, fn = sum(ys), len(ys)
+        yq = (
+            -((2 * (-fs) + fn) // (2 * fn))
+            if fs < 0
+            else (2 * fs + fn) // (2 * fn)
+        )
+        series.setdefault(i, {})[b] = yq
+    dev: dict[int, dict[int, int]] = {}
+    den: dict[int, int] = {}
+    for i, by_b in series.items():
+        n, s = len(by_b), sum(by_b.values())
+        dev[i] = {b: n * y - s for b, y in by_b.items()}
+        d = sum(x * x for x in dev[i].values())
+        if d > 0:
+            den[i] = d
+    want = {}
+    for a in sorted(den):
+        for b2 in sorted(den):
+            if b2 <= a:
+                continue
+            for k in range(-maxlag, maxlag + 1):
+                pairs = [
+                    (dev[a][c], dev[b2][c + k * w])
+                    for c in dev[a]
+                    if c + k * w in dev[b2]
+                ]
+                if not pairs:
+                    continue
+                num = sum(x * y for x, y in pairs)
+                xc = _hup(
+                    num / _math.sqrt(float(den[a]) * float(den[b2])), 6
+                )
+                want[(a, b2, k)] = (len(pairs), xc)
+    assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_seasonal_profile_matches_reference(spark, rows):
+    """Staged r14 ``series_seasonal_profile_op`` equals the definitional
+    reference on random data: phase = (cell DIV bucket) mod period on
+    the HALF_UP PAA grid, offset = the signed away-from-zero HALF_UP of
+    (n·S_h − n_h·S)/(100·n·n_h) at 4 dp — negative values exercise both
+    sign branches."""
+    from dariadb_spark.ext.timeseries import series_seasonal_profile_op
+
+    lo, hi, w, period = T0, T0 + 40 * STEP, 5_000, 4
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        (r.id, r.hour_of_day): (r.n_cells, r.seasonal_offset)
+        for r in series_seasonal_profile_op(
+            df, None, lo, hi, w, period, 0
+        ).collect()
+    }
+    cells: dict[tuple[int, int], list[int]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            cells.setdefault((i, _fbucket(t, w)), []).append(_cents(v))
+    series: dict[int, dict[int, int]] = {}
+    for (i, b), ys in cells.items():
+        fs, fn = sum(ys), len(ys)
+        yq = (
+            -((2 * (-fs) + fn) // (2 * fn))
+            if fs < 0
+            else (2 * fs + fn) // (2 * fn)
+        )
+        series.setdefault(i, {})[b] = yq
+    want = {}
+    for i, by_b in series.items():
+        n, s = len(by_b), sum(by_b.values())
+        phases: dict[int, list[int]] = {}
+        for b, y in by_b.items():
+            phases.setdefault((b // w) % period, []).append(y)
+        for h, ys in phases.items():
+            n_h, s_h = len(ys), sum(ys)
+            a = n * s_h - n_h * s
+            d = 100 * n * n_h
+            mag = (2 * abs(a) * 10**4 + d) // (2 * d)
+            off = (-mag if a < 0 else mag) / 10**4
+            want[(i, h)] = (n_h, off)
+    assert got == want
+
+
+_ret_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user
+        st.integers(0, 6),  # week offset from the base epoch week
+        st.integers(0, 1000),  # intra-week ms jitter
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_ret_rows)
+@_SETTINGS
+def test_events_retention_matches_reference(spark, rows):
+    """Staged r14 ``events_retention_op`` equals the definitional
+    reference on random event sets: epoch-week cohorting by first
+    event, DISTINCT per-week activity, HALF_UP ratio at 4 dp."""
+    from dariadb_spark.ext.analytics import events_retention_op
+
+    week = 7 * 86_400_000
+    pts = [
+        (u, (100 + wk) * week + jit, 1.0, 0) for u, wk, jit in rows
+    ]
+    df = spark.createDataFrame(
+        pts, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        (r.cohort_week, r.offset_week): (r.n_cohort, r.n_active, r.retention)
+        for r in events_retention_op(df).collect()
+    }
+    first: dict[int, int] = {}
+    for u, t, _v, _f in pts:
+        first[u] = min(first.get(u, t), t)
+    cohort = {u: t // week for u, t in first.items()}
+    activity = {(u, t // week - cohort[u]) for u, t, _v, _f in pts}
+    n_cohort: dict[int, int] = {}
+    for u, c in cohort.items():
+        n_cohort[c] = n_cohort.get(c, 0) + 1
+    cells: dict[tuple[int, int], int] = {}
+    for u, off in activity:
+        k = (cohort[u], off)
+        cells[k] = cells.get(k, 0) + 1
+    want = {}
+    for (c, off), n_act in cells.items():
+        nc = n_cohort[c]
+        want[(c, off)] = (
+            nc, n_act, ((2 * n_act * 10**4 + nc) // (2 * nc)) / 10**4
+        )
+    assert got == want

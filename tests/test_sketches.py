@@ -3640,6 +3640,106 @@ def test_series_cross_corr_parity_and_planted_shift(spark, oracle_sf_dir):
         assert got[(1, 2, k)] == (n - abs(k), want), (k, got[(1, 2, k)])
 
 
+def test_events_paths_parity_and_planted_journeys(spark, oracle_sf_dir):
+    """Staged r14 top user paths: DuckDB hash parity; a planted log
+    yields the exact hand-computed journey table — per-user order is
+    (ts, event_id) with the id breaking a timestamp tie, users with
+    fewer than 5 events contribute their full short path, and the
+    share is the HALF_UP closure."""
+    import datetime as dt
+
+    from dariadb_spark.ext.analytics import (
+        EVENTS_PATHS_SQL,
+        events_paths,
+        events_paths_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_events_paths",
+        events_paths(spark, oracle_sf_dir),
+        con,
+        EVENTS_PATHS_SQL,
+    )
+    assert res.ok, res.problems
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    ev = [
+        # users 1, 2: same 5-step journey (A B C D E ... 6th ignored)
+        *[(i, t0 + i * s, 1, "ABCDEF"[i], 0.0, "{}") for i in range(6)],
+        *[(10 + i, t0 + i * s, 2, "ABCDE"[i], 0.0, "{}") for i in range(5)],
+        # user 3: short path, 2 events with a TS TIE broken by event_id
+        (20, t0, 3, "X", 0.0, "{}"),
+        (21, t0, 3, "Y", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = [tuple(r) for r in events_paths_op(df).collect()]
+    third = ((2 * 2 * 10**4 + 3) // 6) / 10**4
+    one3 = ((2 * 1 * 10**4 + 3) // 6) / 10**4
+    assert got == [
+        ("A>B>C>D>E", 2, third),
+        ("X>Y", 1, one3),
+    ]
+
+
+def test_series_outlier_mad_parity_and_planted_spikes(spark, oracle_sf_dir):
+    """Staged r14 robust outlier screen: DuckDB hash parity; planted
+    series pin the doubled-median closure on BOTH parities (odd and
+    even counts — the even midpoint average is exact, never floated),
+    Hampel's integer rule flags exactly the planted spikes while the
+    classic mean/σ-distorting magnitude does NOT inflate the MAD, and
+    a constant series reports zero outliers."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_MAD_SQL,
+        series_outlier_mad,
+        series_outlier_mad_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_outlier_mad",
+        series_outlier_mad(spark, oracle_sf_dir),
+        con,
+        SERIES_MAD_SQL,
+    )
+    assert res.ok, res.problems
+
+    pts = []
+    # series 1 (odd n=9): 7 values 10..16, spikes 1000 and -1000
+    vals1 = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 1000.0, -1000.0]
+    for k, v in enumerate(vals1):
+        pts.append((1, 1000 * k, v, 0))
+    # series 2 (even n=6): median = (12+14)/2 = 13.0 — the .5-exact
+    # doubled-median path; deviations sort to [1,1,2,2,3,3] → MAD 2,
+    # no Hampel outliers (bound 8.9 > max dev 3)
+    for k, v in enumerate([10.0, 11.0, 12.0, 14.0, 15.0, 16.0]):
+        pts.append((2, 1000 * k, v, 0))
+    # series 3: constant → MAD 0, zero deviations, zero outliers
+    for k in range(5):
+        pts.append((3, 1000 * k, 42.0, 0))
+    meas = spark.createDataFrame(
+        pts, "id long, time long, value double, flag long"
+    )
+    got = {
+        r.id: (r.n, r.median, r.mad, r.n_outliers, r.outlier_frac)
+        for r in series_outlier_mad_op(meas, None, 0, 10_000, 0).collect()
+    }
+    # series 1: median 13 (the 5th of 9 sorted), MAD = median of
+    # |v−13| = [3,2,1,0,1,2,3,987,1013] sorted → 5th = 2; Hampel bound
+    # 3·1.4826·2 = 8.8956 → only the two spikes flag
+    frac1 = ((2 * 2 * 10**4 + 9) // (2 * 9)) / 10**4
+    assert got[1] == (9, 13.0, 2.0, 2, frac1)
+    assert got[2] == (6, 13.0, 2.0, 0, 0.0)
+    assert got[3] == (5, 42.0, 0.0, 0, 0.0)
+
+
 def test_embedding_outliers_parity_and_planted_flip(spark, oracle_sf_dir):
     """Staged r14 embedding outlier screen: DuckDB hash parity; in a
     planted label of four near-identical vectors plus one sign-flipped
