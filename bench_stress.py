@@ -3330,18 +3330,28 @@ def stress_bloom(spark) -> tuple[float, int, float]:
             for j in range(BLOOM_K)
         }
 
-    vocab_aa = {f"w{(i * 7 + k * 131) % 2000}"
-                for i in range(0, BLOOM_STRESS_DOCS, 3) for k in range(20)}
-    vocab_bb = {f"w{(i * 7 + k * 131) % 2000 + 1000}"
-                for i in range(1, BLOOM_STRESS_DOCS, 3) for k in range(20)}
+    def doc_shingles(words):
+        return {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+
+    # replay the generator shingle-for-shingle (the op's item domain)
+    vocab_aa, vocab_bb, vocab_cc = set(), set(), set()
+    for i in range(0, BLOOM_STRESS_DOCS, 3):
+        vocab_aa |= doc_shingles(
+            [f"w{(i * 7 + k * 131) % 2000}" for k in range(20)]
+        )
+    for i in range(1, BLOOM_STRESS_DOCS, 3):
+        vocab_bb |= doc_shingles(
+            [f"w{(i * 7 + k * 131) % 2000 + 1000}" for k in range(20)]
+        )
+    for i in range(2, BLOOM_STRESS_DOCS, 3):
+        vocab_cc |= doc_shingles([f"z{i * 20 + k}" for k in range(20)])
+    # the 131-step cycle is coprime to 2000 → exactly 2000 shingle
+    # starting residues per cyclic language
     assert len(vocab_aa) == 2000 and len(vocab_bb) == 2000
+    assert len(vocab_cc) == BLOOM_STRESS_DOCS // 3 * 18  # all distinct
     bits_aa = bits_of(vocab_aa)
     assert got["aa"].n_items == 2000
     assert got["aa"].bits_set == len(bits_aa)
-    # measured FPR for 'aa' vs its true non-members (bb ∪ cc vocab \ aa)
-    # — cc's vocabulary is doc-indexed, reconstruct it
-    vocab_cc = {f"z{i * 20 + k}"
-                for i in range(2, BLOOM_STRESS_DOCS, 3) for k in range(20)}
     probes_aa = (vocab_bb | vocab_cc) - vocab_aa
     fp_aa = sum(
         1 for p in probes_aa
@@ -3353,7 +3363,8 @@ def stress_bloom(spark) -> tuple[float, int, float]:
     )
     assert got["aa"].n_probes == len(probes_aa)
     assert got["aa"].n_false_pos == fp_aa
-    # saturated lang: full filter, NULL estimate, fpr == 1
+    # saturated lang (900k distinct shingles into 64k bits): full
+    # filter, NULL estimate, fpr == 1
     assert got["cc"].bits_set == BLOOM_M
     assert got["cc"].est_distinct is None
     assert got["cc"].fpr == 1.0

@@ -1951,7 +1951,7 @@ register("ext_sketch_hll_m64", sketch_hll_m64, SKETCH_HLL_M64_SQL)
 # not just the textbook formula (Bloom 1970; Swamidass & Baldi 2007 for
 # the -M/K·ln(1-fill) estimator).
 
-BLOOM_M = 8192  # filter bits
+BLOOM_M = 65_536  # filter bits (8 KB per stratum — broadcastable)
 BLOOM_K = 4  # hash functions
 
 
@@ -1961,29 +1961,46 @@ def sketch_bloom(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def sketch_bloom_op(docs: DataFrame) -> DataFrame:
-    """Per-language Bloom filter over the distinct word set: build the
-    bit set with K=4 independent 60-bit md5 hashes, report bits_set and
-    the fill-ratio cardinality estimate, then MEASURE the
-    false-positive rate against the deterministic non-member panel
-    (every other language's words that this language never saw — the
-    cross-corpus probe a gate actually faces).
+    """Per-language Bloom filter over the distinct 3-gram SHINGLE set
+    (the dedup family's unit — the fixture's word vocabulary is a
+    31-token shared pool, so the word domain would make every stratum
+    identical; shingles give each language thousands of distinct
+    members and a real cross-language non-member panel at every scale
+    factor): build the bit set with K=4 independent 60-bit md5 hashes,
+    report bits_set and the fill-ratio cardinality estimate, then
+    MEASURE the false-positive rate against the deterministic
+    non-member panel (every other language's shingles this language
+    never saw — the cross-corpus probe a gate actually faces).
 
     Exactness: bit positions are pure int64 (md5 60-bit % M — the
     engine-shared ext/hashes.py contract); counts are exact ints; the
     two floats per row (the ln-inversion estimate, the HALF_UP fpr) are
     single expressions from identical integers on both engines.
+    Languages whose probe panel is EMPTY still emit their row (fpr
+    NULL); a SATURATED filter reports a NULL estimate — the resize
+    signal (and the guard against Spark ln(0) = NULL vs DuckDB -inf).
 
-    Plan shape (100 TB): one distinct-(lang, word) shuffle (the
-    vocabulary, not the corpus), a K-way explode to ≤ |langs|·M bit
-    rows — KILOBYTES, the broadcastable artifact this sketch exists to
-    produce — an anti-join for the probe panel on the single word key,
-    and one bit-membership join sized |probes|·K against the tiny bit
-    set (broadcast). In production the probe panel is a sampled audit
-    stream; here it is the full cross-language vocabulary, exact."""
+    Plan shape (100 TB): one distinct-(lang, shingle) shuffle (the
+    shingle vocabulary, not the corpus), a K-way explode to ≤
+    |langs|·M bit rows — KILOBYTES, the broadcastable artifact this
+    sketch exists to produce — an anti-join for the probe panel on the
+    single shingle key, and one bit-membership join sized |probes|·K
+    against the tiny bit set (broadcast). In production the probe
+    panel is a sampled audit stream; here it is the full
+    cross-language shingle vocabulary, exact."""
+    n_expr = "size(split(text, ' '))"
+    s_expr = "split(text, ' ')"
     words = (
         docs.where(F.col("text").isNotNull())
-        .selectExpr("lang", "explode(split(text, ' ')) AS word")
-        .where(F.col("word") != "")
+        .where(F.expr(f"{n_expr} >= 3"))
+        .selectExpr(
+            "lang",
+            f"explode(zip_with(slice({s_expr}, 1, {n_expr} - 2), "
+            f"zip_with(slice({s_expr}, 2, {n_expr} - 2), "
+            f"slice({s_expr}, 3, {n_expr} - 2), "
+            "(b, c) -> concat(b, ' ', c)), "
+            "(a, bc) -> concat(a, ' ', bc))) AS word",
+        )
         .distinct()
     )
     ks = ", ".join(str(j) for j in range(BLOOM_K))
@@ -2025,7 +2042,7 @@ def sketch_bloom_op(docs: DataFrame) -> DataFrame:
     )
     return (
         stats.join(fill, "lang")
-        .join(n_probes, "lang")
+        .join(n_probes, "lang", "left")
         .join(fp, "lang", "left")
         .selectExpr(
             "lang",
@@ -2038,9 +2055,12 @@ def sketch_bloom_op(docs: DataFrame) -> DataFrame:
             f"CASE WHEN bits_set = {BLOOM_M} THEN CAST(NULL AS DOUBLE)"
             f" ELSE round((-{BLOOM_M}.0d / {BLOOM_K})"
             f" * ln(1.0d - bits_set / {BLOOM_M}.0d), 4) END AS est_distinct",
-            "n_probes",
+            "coalesce(n_probes, 0L) AS n_probes",
             "coalesce(n_false_pos, 0L) AS n_false_pos",
-            _rr_s("coalesce(n_false_pos, 0L)", "n_probes", 6) + " AS fpr",
+            # empty probe panel → no measurement, NULL (never 0/0)
+            "CASE WHEN n_probes IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
+            + _rr_s("coalesce(n_false_pos, 0L)", "n_probes", 6)
+            + " END AS fpr",
         )
         .orderBy("lang")
     )
@@ -2050,9 +2070,12 @@ def _bloom_sql() -> str:
     ks = ", ".join(str(j) for j in range(BLOOM_K))
     hb = _h60_duck("CAST(j AS VARCHAR) || ':' || word") + f" % {BLOOM_M}"
     return f"""WITH
-words AS (SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS word
-          FROM documents WHERE text IS NOT NULL),
-w AS (SELECT lang, word FROM words WHERE word != ''),
+t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL),
+w AS (SELECT DISTINCT lang,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]) AS word
+      FROM t WHERE len(ws) >= 3),
 bits AS (SELECT DISTINCT lang, {hb} AS bit
          FROM (SELECT lang, word, unnest([{ks}]) AS j FROM w)),
 stats AS (SELECT lang, count(*) AS n_items FROM w GROUP BY lang),
@@ -2075,12 +2098,14 @@ SELECT s.lang, s.n_items, f.bits_set,
             ELSE round((-{BLOOM_M}.0 / {BLOOM_K})
                        * ln(1.0 - f.bits_set / {BLOOM_M}.0), 4)
        END AS est_distinct,
-       np.n_probes,
+       coalesce(np.n_probes, 0) AS n_probes,
        coalesce(fp.n_false_pos, 0) AS n_false_pos,
-       {_rr_d("coalesce(fp.n_false_pos, 0)", "np.n_probes", 6)} AS fpr
+       CASE WHEN np.n_probes IS NULL THEN CAST(NULL AS DOUBLE)
+            ELSE {_rr_d("coalesce(fp.n_false_pos, 0)", "np.n_probes", 6)}
+       END AS fpr
 FROM stats s
 JOIN fill f ON s.lang = f.lang
-JOIN np ON s.lang = np.lang
+LEFT JOIN np ON s.lang = np.lang
 LEFT JOIN fp ON s.lang = fp.lang
 ORDER BY s.lang"""
 

@@ -3474,19 +3474,28 @@ def test_sketch_bloom_parity_and_planted_membership(spark, oracle_sf_dir):
         h = int(hashlib.md5(f"{j}:{word}".encode()).hexdigest()[:15], 16)
         return h % BLOOM_M
 
-    corpora = {
-        "aa": {"alpha", "beta", "gamma", "delta", "eps"},
-        "bb": {"alpha", "zeta", "eta"},
+    def shingles(text):
+        ws = text.split(" ")
+        return {
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+        }
+
+    texts = {
+        "aa": "alpha beta gamma delta eps",
+        "bb": "alpha zeta eta beta",
+        "dd": "too short",  # < 3 words → no shingles, no row
     }
+    corpora = {k: shingles(t) for k, t in texts.items() if len(shingles(t))}
     docs = spark.createDataFrame(
         [
-            (1, "alpha beta gamma delta eps", "aa", "s", 26),
-            (2, "alpha zeta eta", "bb", "s", 14),
+            (i, t, lang, "s", len(t))
+            for i, (lang, t) in enumerate(texts.items())
         ],
         "doc_id long, text string, lang string, source string,"
         " n_chars long",
     )
     got = {r.lang: r for r in sketch_bloom_op(docs).collect()}
+    assert set(got) == set(corpora)  # the shingle-less lang emits no row
     vocab = set().union(*corpora.values())
     for lang, words in corpora.items():
         bitset = {bit(j, w) for w in words for j in range(BLOOM_K)}
