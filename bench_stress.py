@@ -3376,31 +3376,37 @@ SEASONAL_STRESS_ROWS = 20_160_000  # 1680 hourly cells × 60 samples × 200
 
 
 def stress_seasonal(spark) -> tuple[float, int]:
-    """Staged r14 seasonal profile at 20.2M rows / 200 series: value =
-    10 + hour_of_day over exactly 70 full days (1680 cells, so every
-    phase holds exactly 70 cells) — the profile is the closed form
-    offset_h = h − 11.5 for every series, a .5-exact rational that also
-    pins the signed HALF_UP closure on both sides of zero."""
-    from dariadb_spark.ext.timeseries import series_seasonal_profile_op
+    """Staged r14 seasonal strength at 20.2M rows / 200 series over
+    exactly 70 full days (1680 hourly cells, every phase 70 cells):
+    even series are the pure phase function 10 + hour_of_day →
+    strength EXACTLY 1.0 at 6 dp (SSB = SST; the fixed 24-term float
+    sum carries ~1e-16 relative error, absorbed by the rounding);
+    odd series cycle the value by cell index mod 5 — coprime to 24, so
+    every phase sees the identical value multiset and every SSB term
+    is a LITERAL integer zero → strength exactly 0.0."""
+    from dariadb_spark.ext.timeseries import series_seasonal_strength_op
 
     hour = 3_600_000
     per = SEASONAL_STRESS_ROWS // SEASONAL_STRESS_SERIES  # 100800
     meas = spark.range(SEASONAL_STRESS_ROWS).selectExpr(
         f"id % {SEASONAL_STRESS_SERIES} AS id",
         f"(id DIV {SEASONAL_STRESS_SERIES}) * 60000 AS time",
-        f"10.0 + CAST(((id DIV {SEASONAL_STRESS_SERIES}) DIV 60) % 24"
-        " AS DOUBLE) AS value",
+        f"""CASE WHEN id % 2 = 0
+             THEN 10.0 + CAST(((id DIV {SEASONAL_STRESS_SERIES}) DIV 60)
+                              % 24 AS DOUBLE)
+             ELSE CAST(((id DIV {SEASONAL_STRESS_SERIES}) DIV 60)
+                       % 5 AS DOUBLE) END AS value""",
         "CAST(0 AS BIGINT) AS flag",
     )
     t0 = time.perf_counter()
-    rows = series_seasonal_profile_op(
+    rows = series_seasonal_strength_op(
         meas, None, 0, per * 60_000, hour, 24, 0
     ).collect()
     se_s = time.perf_counter() - t0
-    assert len(rows) == SEASONAL_STRESS_SERIES * 24, len(rows)
+    assert len(rows) == SEASONAL_STRESS_SERIES, len(rows)
     for r in rows:
-        assert r.n_cells == 70, r
-        assert r.seasonal_offset == r.hour_of_day - 11.5, r
+        want = 1.0 if r.id % 2 == 0 else 0.0
+        assert (r.n_cells, r.seasonal_strength) == (1680, want), r
     return se_s, len(rows)
 
 

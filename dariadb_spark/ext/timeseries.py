@@ -2096,24 +2096,31 @@ JOIN den db ON p.id_b = db.id
 ORDER BY p.id_a, p.id_b, p.lag"""
 
 
-# --- hour-of-day seasonal profile --------------------------------------------
+# --- seasonal strength (ANOVA R² on the PAA grid) ----------------------------
 # STAGED for the round-14 driver window (the staging every late operator
 # goes through: implemented + oracled + pytest parity + planted stress
 # now, registered at the next window rotation).
+#
+# NOT the per-phase profile — that already exists as the registered
+# `ext_seasonal_profile` (hour-of-day means/deviations, ext/timeseries.py
+# above). THIS is the per-series SCALAR the profile lacks: how much of
+# the series' grid variance the hour-of-day phase EXPLAINS — the
+# one-way-ANOVA R² (SSB/SST), the "is it worth drawing the profile at
+# all?" screen next to MASE's forecast-error view of the same question.
 
 SEASONAL_BUCKET_MS = HOUR_MS  # the PAA grid; phases are grid-hours mod 24
 SEASONAL_PERIOD = 24
 
 
-def series_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """Fixture query for the r14 window (:func:`series_seasonal_profile_op`)."""
-    return series_seasonal_profile_op(
+def series_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r14 window (:func:`series_seasonal_strength_op`)."""
+    return series_seasonal_strength_op(
         measurements(spark, sf), IDS, FROM_MS, TO_MS,
         SEASONAL_BUCKET_MS, SEASONAL_PERIOD, 0,
     )
 
 
-def series_seasonal_profile_op(
+def series_seasonal_strength_op(
     meas: DataFrame,
     ids: list[int] | None,
     from_ms: int,
@@ -2122,28 +2129,28 @@ def series_seasonal_profile_op(
     period: int,
     flag: int = 0,
 ) -> DataFrame:
-    """Hour-of-day seasonal fingerprint per series: for each of the 24
-    grid phases, how far the phase's mean sits from the series' overall
-    grid mean — the additive seasonal component of the classical
-    decomposition, reported as a per-phase profile (the compact artifact
-    a dashboard draws and `ext_series_mase`'s seasonality screen
-    motivates). Phases are (cell DIV bucket) mod period on the same
-    HALF_UP cent-quantized PAA grid as the ACF/MASE family.
+    """Seasonality strength per series: the fraction of PAA-grid
+    variance explained by the grid-hour phase (one-way ANOVA R² over
+    the 24 phases) — exactly 1 for a pure phase function, exactly 0
+    when every phase sees the same distribution of values.
 
-    Exactness: with n total cells, n_h cells in phase h, S = Σy,
-    S_h = Σ_{phase h} y (all int64 cents),
+    Exactness recipe (the permutation-entropy pattern — a FIXED-ARITY
+    float expression, so no accumulation order exists to diverge):
+    cells are HALF_UP cent PAA means (int64); ONE aggregate per series
+    pivots the 24 phases into (n_h, s_h) integer columns plus the exact
+    DECIMAL/HUGEINT moments n, S, Q = Σy². Then
 
-        offset_h = S_h/n_h − S/n = (n·S_h − n_h·S) / (n·n_h)
+        SST·n² = n²·Q − n·S²          (exact wide integer)
+        SSB·n² = Σ_h (n·s_h − n_h·S)² / n_h
 
-    — ONE signed HALF_UP rational per row (ext/exact.py's
-    away-from-zero closure), emitted in value units at 4 dp. The
-    products stay far inside int64 for any per-series interval up to
-    ~10⁶ grid cells (|n·S_h| ≤ n·n_h·5·10⁶ cents); no float anywhere.
+    and the output is ONE rounded float: the 24 SSB terms are each a
+    single double expression from exact integers, summed left-to-right
+    in the fixed generated order, divided by the exact SST once.
+    Zero-variance series are dropped (no variance to explain).
 
-    Plan shape (100 TB): one (id, cell) partial aggregate, one
-    (id, phase) partial aggregate over the ≤ n-cell grid, one
-    |series|-row totals broadcast — the ACF plan minus the lag join.
-    """
+    Plan shape (100 TB): one (id, cell) partial aggregate and one
+    per-series aggregate with 50 conditional columns — no join, no
+    second shuffle, nothing held driver-side."""
     base = scan_interval(meas, ids, from_ms, to_ms, flag)
     y = F.round(F.col("value") * 100).cast("long")
     cells = (
@@ -2155,68 +2162,96 @@ def series_seasonal_profile_op(
         .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
         .selectExpr(
             "id",
-            "b",
+            f"CAST((b DIV {bucket_ms}) % {period} AS INT) AS ph",
             # signed HALF_UP: decompose by sign — Spark DIV and DuckDB //
             # BOTH truncate toward zero; operands here are magnitudes
             "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
             " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
         )
     )
-    phases = (
-        cells.selectExpr(
-            "id",
-            f"CAST((b DIV {bucket_ms}) % {period} AS BIGINT) AS hour_of_day",
-            "yq",
-        )
-        .groupBy("id", "hour_of_day")
-        .agg(F.count("*").alias("n_cells"), F.sum("yq").alias("s_h"))
+    wide = cells.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.sum("yq").alias("s"),
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("q"),
+        *[
+            F.sum(F.when(F.col("ph") == h, 1).otherwise(0)).alias(f"nh{h}")
+            for h in range(period)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("ph") == h, F.col("yq")).otherwise(F.lit(0))
+            ).alias(f"sh{h}")
+            for h in range(period)
+        ],
     )
-    tot = cells.groupBy(F.col("id").alias("tid")).agg(
-        F.count("*").alias("n"), F.sum("yq").alias("s")
+    terms = " + ".join(
+        f"(CASE WHEN nh{h} > 0 THEN"
+        f" CAST(CAST(n AS DECIMAL(38,0)) * sh{h}"
+        f" - CAST(nh{h} AS DECIMAL(38,0)) * s AS DOUBLE)"
+        f" * CAST(CAST(n AS DECIMAL(38,0)) * sh{h}"
+        f" - CAST(nh{h} AS DECIMAL(38,0)) * s AS DOUBLE)"
+        f" / CAST(nh{h} AS DOUBLE) ELSE 0.0d END)"
+        for h in range(period)
     )
-    from dariadb_spark.ext.exact import ratio_round_signed_spark
-
+    sst = (
+        "CAST(CAST(n AS DECIMAL(38,0)) * n * q"
+        " - CAST(n AS DECIMAL(38,0)) * s * s AS DECIMAL(38,0))"
+    )
     return (
-        phases.join(F.broadcast(tot), phases.id == tot.tid)
+        wide.where(F.expr(f"{sst} > 0"))
         .selectExpr(
             "id",
-            "hour_of_day",
-            "n_cells",
-            ratio_round_signed_spark("n * s_h - n_cells * s", "100 * n * n_cells", 4)
-            + " AS seasonal_offset",
+            "n AS n_cells",
+            f"round(({terms}) / CAST({sst} AS DOUBLE), 6)"
+            " AS seasonal_strength",
         )
-        .orderBy("id", "hour_of_day")
+        .orderBy("id")
     )
 
 
-def _seasonal_sql() -> str:
-    from dariadb_spark.ext.exact import ratio_round_signed_duck
-
+def _seasonal_strength_sql() -> str:
+    period = SEASONAL_PERIOD
+    nh_cols = ", ".join(
+        f"CAST(sum(CASE WHEN ph = {h} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nh{h}"
+        for h in range(period)
+    )
+    sh_cols = ", ".join(
+        f"CAST(sum(CASE WHEN ph = {h} THEN yq ELSE 0 END) AS BIGINT)"
+        f" AS sh{h}"
+        for h in range(period)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN nh{h} > 0 THEN"
+        f" CAST(CAST(n AS HUGEINT) * sh{h}"
+        f" - CAST(nh{h} AS HUGEINT) * s AS DOUBLE)"
+        f" * CAST(CAST(n AS HUGEINT) * sh{h}"
+        f" - CAST(nh{h} AS HUGEINT) * s AS DOUBLE)"
+        f" / CAST(nh{h} AS DOUBLE) ELSE 0.0 END)"
+        for h in range(period)
+    )
+    sst = "(CAST(n AS HUGEINT) * n * q - CAST(n AS HUGEINT) * s * s)"
     return f"""WITH {MEAS_CTE_SQL},
 pts AS (SELECT id, {floor_bucket_sql('time', SEASONAL_BUCKET_MS)} AS b,
                CAST(round(value * 100) AS BIGINT) AS y
         FROM measurements WHERE {_interval_sql()}),
-cells AS (SELECT id, b,
+cells AS (SELECT id,
+                 CAST((b // {SEASONAL_BUCKET_MS}) % {period} AS INT) AS ph,
                  CASE WHEN sum(y) < 0
                       THEN -((2 * (-sum(y)) + count(*)) // (2 * count(*)))
-                      ELSE (2 * sum(y) + count(*)) // (2 * count(*)) END AS yq
+                      ELSE (2 * sum(y) + count(*)) // (2 * count(*)) END
+                   AS yq
           FROM pts GROUP BY id, b),
-phases AS (SELECT id,
-                  CAST((b // {SEASONAL_BUCKET_MS}) % {SEASONAL_PERIOD}
-                       AS BIGINT) AS hour_of_day,
-                  count(*) AS n_cells, CAST(sum(yq) AS BIGINT) AS s_h
-           FROM cells GROUP BY 1, 2),
-tot AS (SELECT id, count(*) AS n, CAST(sum(yq) AS BIGINT) AS s
-        FROM cells GROUP BY id)
-SELECT p.id, p.hour_of_day, p.n_cells,
-       {ratio_round_signed_duck("t.n * p.s_h - p.n_cells * t.s",
-                                "100 * t.n * p.n_cells", 4)}
-         AS seasonal_offset
-FROM phases p JOIN tot t ON p.id = t.id
-ORDER BY p.id, p.hour_of_day"""
+wide AS (SELECT id, count(*) AS n, CAST(sum(yq) AS BIGINT) AS s,
+                sum(CAST(yq AS HUGEINT) * yq) AS q,
+                {nh_cols}, {sh_cols}
+         FROM cells GROUP BY id)
+SELECT id, CAST(n AS BIGINT) AS n_cells,
+       round(({terms}) / CAST({sst} AS DOUBLE), 6) AS seasonal_strength
+FROM wide WHERE {sst} > 0 ORDER BY id"""
 
 
-SERIES_SEASONAL_SQL = _seasonal_sql()
+SERIES_SEASONAL_SQL = _seasonal_strength_sql()
 
 
 # --- robust outlier screen (median / MAD) ------------------------------------

@@ -517,7 +517,7 @@ def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
     from dariadb_spark.ext.timeseries import (
         series_cross_corr,
         series_outlier_mad,
-        series_seasonal_profile,
+        series_seasonal_strength,
     )
     from dariadb_spark.streaming.ewma import ewma_from_log
 
@@ -527,7 +527,7 @@ def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
     offenders = []
     for fn in (
         series_cross_corr,
-        series_seasonal_profile,
+        series_seasonal_strength,
         events_retention,
         embedding_outliers,
         events_paths,

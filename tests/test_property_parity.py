@@ -1797,21 +1797,21 @@ def test_series_cross_corr_matches_reference(spark, rows):
 
 @given(rows=meas_lists)
 @_SETTINGS
-def test_series_seasonal_profile_matches_reference(spark, rows):
-    """Staged r14 ``series_seasonal_profile_op`` equals the definitional
-    reference on random data: phase = (cell DIV bucket) mod period on
-    the HALF_UP PAA grid, offset = the signed away-from-zero HALF_UP of
-    (n·S_h − n_h·S)/(100·n·n_h) at 4 dp — negative values exercise both
-    sign branches."""
-    from dariadb_spark.ext.timeseries import series_seasonal_profile_op
+def test_series_seasonal_strength_matches_reference(spark, rows):
+    """Staged r14 ``series_seasonal_strength_op`` equals the
+    definitional reference on random data (negative values included):
+    HALF_UP PAA cells, phase pivot, the FIXED-ARITY float expression
+    replayed term by term in the generated left-to-right order, one
+    exact-integer SST denominator, zero-variance series dropped."""
+    from dariadb_spark.ext.timeseries import series_seasonal_strength_op
 
     lo, hi, w, period = T0, T0 + 40 * STEP, 5_000, 4
     df = spark.createDataFrame(
         rows, "id bigint, time bigint, value double, flag bigint"
     )
     got = {
-        (r.id, r.hour_of_day): (r.n_cells, r.seasonal_offset)
-        for r in series_seasonal_profile_op(
+        r.id: (r.n_cells, r.seasonal_strength)
+        for r in series_seasonal_strength_op(
             df, None, lo, hi, w, period, 0
         ).collect()
     }
@@ -1831,16 +1831,22 @@ def test_series_seasonal_profile_matches_reference(spark, rows):
     want = {}
     for i, by_b in series.items():
         n, s = len(by_b), sum(by_b.values())
-        phases: dict[int, list[int]] = {}
+        q = sum(y * y for y in by_b.values())
+        sst = n * n * q - n * s * s  # exact int
+        if sst <= 0:
+            continue
+        nh = [0] * period
+        sh = [0] * period
         for b, y in by_b.items():
-            phases.setdefault((b // w) % period, []).append(y)
-        for h, ys in phases.items():
-            n_h, s_h = len(ys), sum(ys)
-            a = n * s_h - n_h * s
-            d = 100 * n * n_h
-            mag = (2 * abs(a) * 10**4 + d) // (2 * d)
-            off = (-mag if a < 0 else mag) / 10**4
-            want[(i, h)] = (n_h, off)
+            h = (b // w) % period
+            nh[h] += 1
+            sh[h] += y
+        acc = 0.0  # the generated expression's left-to-right order
+        for h in range(period):
+            if nh[h] > 0:
+                d = float(n * sh[h] - nh[h] * s)
+                acc += d * d / float(nh[h])
+        want[i] = (n, _hup(acc / float(sst), 6))
     assert got == want
 
 

@@ -3808,50 +3808,51 @@ def test_embedding_outliers_parity_and_planted_flip(spark, oracle_sf_dir):
     assert got[0][2] == 5  # the sign-flip is the #1 outlier
 
 
-def test_series_seasonal_profile_parity_and_planted_wave(spark, oracle_sf_dir):
-    """Staged r14 hour-of-day seasonal profile: DuckDB hash parity; a
-    planted day/night square wave recovers offsets of exactly ∓20 value
-    units, a NEGATIVE-valued wave the signed mirror (the away-from-zero
-    closure on a negative numerator), and a constant series scores 0 at
-    every phase."""
+def test_series_seasonal_strength_parity_and_planted_extremes(
+    spark, oracle_sf_dir
+):
+    """Staged r14 seasonal strength: DuckDB hash parity; a pure
+    day/night phase function scores exactly 1 (SSB = SST), its
+    negative mirror too (both signed branches), a period-5 value cycle
+    spread over 24 phases scores exactly 0 (every phase sees the same
+    multiset → SSB terms are literal zero), and a constant series is
+    dropped (SST = 0)."""
     from dariadb_spark.ext.timeseries import (
         SEASONAL_PERIOD,
         SERIES_SEASONAL_SQL,
-        series_seasonal_profile,
-        series_seasonal_profile_op,
+        series_seasonal_strength,
+        series_seasonal_strength_op,
     )
     from tests.parity import compare, duckdb_connection
 
     con = duckdb_connection(oracle_sf_dir)
     res = compare(
-        "ext_series_seasonal_profile",
-        series_seasonal_profile(spark, oracle_sf_dir),
+        "ext_series_seasonal_strength",
+        series_seasonal_strength(spark, oracle_sf_dir),
         con,
         SERIES_SEASONAL_SQL,
     )
     assert res.ok, res.problems
 
     hour = 3_600_000
-    n = 48  # two full days on the hourly grid
+    n = 120  # five full days — and a multiple of the period-5 cycle
     pts = []
     for k in range(n):
         day_night = 10.0 if (k % 24) < 12 else 50.0
         pts.append((1, k * hour, day_night, 0))
         pts.append((2, k * hour, -day_night, 0))
-        pts.append((3, k * hour, 42.0, 0))
+        pts.append((3, k * hour, float(k % 5), 0))  # phase-independent
+        pts.append((4, k * hour, 42.0, 0))  # constant → dropped
     meas = spark.createDataFrame(
         pts, "id long, time long, value double, flag long"
     )
-    rows = series_seasonal_profile_op(
-        meas, None, 0, n * hour, hour, SEASONAL_PERIOD, 0
-    ).collect()
-    got = {(r.id, r.hour_of_day): (r.n_cells, r.seasonal_offset) for r in rows}
-    assert len(got) == 3 * SEASONAL_PERIOD
-    for h in range(SEASONAL_PERIOD):
-        off = -20.0 if h < 12 else 20.0
-        assert got[(1, h)] == (2, off), (h, got[(1, h)])
-        assert got[(2, h)] == (2, -off), (h, got[(2, h)])
-        assert got[(3, h)] == (2, 0.0), (h, got[(3, h)])
+    got = {
+        r.id: (r.n_cells, r.seasonal_strength)
+        for r in series_seasonal_strength_op(
+            meas, None, 0, n * hour, hour, SEASONAL_PERIOD, 0
+        ).collect()
+    }
+    assert got == {1: (n, 1.0), 2: (n, 1.0), 3: (n, 0.0)}
 
 
 def test_series_perm_entropy_parity_and_planted_shapes(spark, oracle_sf_dir):
