@@ -1894,7 +1894,10 @@ def embedding_outliers_op(emb: DataFrame) -> DataFrame:
     label's mean vector — the mislabeled/garbage screen every
     embedding-table consumer (SemDeDup cells, IVF training, ANN audits)
     runs before trusting the labels. Distance is to the label MEAN, the
-    same artifact `ext_embedding_centroids` maintains.
+    same artifact `ext_embedding_centroids` maintains. Complementary to
+    `ext_embedding_norm` (which screens vector MAGNITUDE — zero/
+    exploding norms): a unit-norm vector pointing the wrong way is
+    invisible to the norm audit and is exactly what this one catches.
 
     Exactness: vectors quantize to the shared 10⁴ int grid
     (ext_embedding_quantize's recipe); with n vectors in the label and

@@ -1943,13 +1943,16 @@ register("ext_sketch_hll_m64", sketch_hll_m64, SKETCH_HLL_M64_SQL)
 # now, registered at the next window rotation).
 #
 # SURVEY.md §2 row C2 marks the reference's bloom filter "platform"
-# (Parquet row-group bloom indexes cover the SCAN-pruning role). This is
-# the OTHER bloom role a training pipeline needs — an explicit,
-# shippable membership gate ("have we seen this token/url/hash before?")
-# built distributively and small enough to broadcast — with its standard
-# fill-ratio cardinality inversion and a MEASURED false-positive rate,
-# not just the textbook formula (Bloom 1970; Swamidass & Baldi 2007 for
-# the -M/K·ln(1-fill) estimator).
+# (Parquet row-group bloom indexes cover the SCAN-pruning role), and
+# `ext_decontaminate_bloom` (ext/curation.py) already uses an adaptive
+# Bloom as the MECHANISM inside a train-vs-holdout contamination
+# screen. This operator is the third, distinct role: the membership
+# GATE AS THE ARTIFACT — a per-stratum, broadcastable filter a pipeline
+# ships to workers ("have we seen this shingle before?"), with its
+# standard fill-ratio cardinality inversion and a MEASURED
+# false-positive rate against a cross-stratum panel, not just the
+# textbook formula (Bloom 1970; Swamidass & Baldi 2007 for the
+# -M/K·ln(1-fill) estimator).
 
 BLOOM_M = 65_536  # filter bits (8 KB per stratum — broadcastable)
 BLOOM_K = 4  # hash functions
