@@ -2487,7 +2487,6 @@ def main() -> None:
         spark
     )
     xc_s, xc_rows = stress_cross_corr(spark)
-    ret_s, ret_rows = stress_retention(spark)
     bl_s, bl_fp, bl_fpr = stress_bloom(spark)
     se_s, se_rows = stress_seasonal(spark)
     ou_s, ou_rows = stress_embedding_outliers(spark)
@@ -2552,7 +2551,6 @@ def main() -> None:
                     "streaming_markov_1m": round(smkv_stream_s, 4),
                     "batch_markov_same_events": round(smkv_batch_s, 4),
                     "cross_corr_9m6_100series": round(xc_s, 4),
-                    "retention_10m_500k_users": round(ret_s, 4),
                     "bloom_gate_150k_docs": round(bl_s, 4),
                     "seasonal_profile_20m": round(se_s, 4),
                     "embedding_outliers_100k": round(ou_s, 4),
@@ -2608,7 +2606,6 @@ def main() -> None:
                 "psi_stress_series": psi_series,
                 "streaming_markov_transitions": smkv_transitions,
                 "cross_corr_pair_lag_rows": xc_rows,
-                "retention_matrix_rows": ret_rows,
                 "bloom_measured_fp": bl_fp,
                 "bloom_measured_fpr": bl_fpr,
                 "seasonal_profile_rows": se_rows,
@@ -3231,50 +3228,6 @@ def stress_cross_corr(spark) -> tuple[float, int]:
         )
         assert r.n_pairs == m and r.xcorr == want, r
     return xc_s, len(rows)
-
-
-RET_STRESS_USERS = 500_000
-RET_STRESS_COHORTS = 50
-
-
-def stress_retention(spark) -> tuple[float, int]:
-    """Staged r14 cohort retention at 10M events / 500k users: user u's
-    cohort week is u % 50 and they stay active for (u DIV 50) % 5
-    further weeks (duration deliberately DECOUPLED from the cohort key
-    — 5 divides 50, so u % 5 would pin one duration per cohort), four
-    events per active week (the DISTINCT grid must collapse them) — so
-    every cohort has exactly 10k users uniformly spread over durations
-    0..4 and the matrix is the closed form n_active(off) =
-    10k·(5−off)/5, retention exactly 1.0/0.8/0.6/0.4/0.2."""
-    from dariadb_spark.ext.analytics import events_retention_op
-
-    week = 7 * 86_400_000
-    # 20 rows per user: (active_week index i in 0..4, repeat j in 0..3);
-    # weeks beyond the user's duration fold back onto week 0
-    meas = spark.range(RET_STRESS_USERS * 20).selectExpr(
-        f"id DIV 20 AS u",
-        "(id % 20) DIV 4 AS i",
-        "id % 4 AS j",
-    ).selectExpr(
-        "u AS id",
-        f"(u % {RET_STRESS_COHORTS}) * {week}"
-        f" + CASE WHEN i <= (u DIV {RET_STRESS_COHORTS}) % 5"
-        f" THEN i ELSE 0 END * {week}"
-        " + j * 1000 + 1 AS time",
-        "1.0 AS value",
-        "CAST(0 AS BIGINT) AS flag",
-    )
-    t0 = time.perf_counter()
-    rows = events_retention_op(meas).collect()
-    ret_s = time.perf_counter() - t0
-    per_cohort = RET_STRESS_USERS // RET_STRESS_COHORTS
-    assert len(rows) == RET_STRESS_COHORTS * 5, len(rows)
-    for r in rows:
-        n_act = per_cohort * (5 - r.offset_week) // 5
-        want = round((5 - r.offset_week) / 5, 4)
-        assert r.n_cohort == per_cohort and r.n_active == n_act, r
-        assert r.retention == want, r
-    return ret_s, len(rows)
 
 
 BLOOM_STRESS_DOCS = 150_000

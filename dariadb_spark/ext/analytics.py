@@ -687,97 +687,6 @@ def _streaming_markov_parity(spark, sf):
 register("streaming_markov_parity", _streaming_markov_parity, EVENT_MARKOV_SQL)
 
 
-# --- cohort retention matrix -------------------------------------------------
-# STAGED for the round-14 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
-
-_WEEK_MS = 7 * 86_400_000
-
-
-def events_retention(spark: SparkSession, sf: str) -> DataFrame:
-    """Fixture query for the r14 window (see :func:`events_retention_op`)."""
-    return events_retention_op(measurements(spark, sf))
-
-
-def events_retention_op(meas: DataFrame) -> DataFrame:
-    """Weekly cohort retention matrix — the product-analytics staple
-    missing between ``ext_funnel_conversion`` and ``ext_sessionize``:
-    users are cohorted by the epoch week of their FIRST event, and each
-    (cohort_week, offset_week) cell counts how many of them were active
-    offset weeks later, plus the HALF_UP retention ratio at 4 dp. The
-    offset-0 cell equals the cohort size by construction (a pinned
-    invariant).
-
-    Exactness: epoch-week assignment is pure int64 floor division on
-    ms (all times non-negative — no signed-division branch needed), the
-    counts are exact distinct-user counts, and the ratio is the shared
-    ext/exact.py HALF_UP integer closure — no float until the one final
-    division.
-
-    Plan shape (100 TB): one partial-aggregated min per user (shuffle
-    on user_id — the natural event-log bucketing key), one
-    co-partitioned join of first-week back to the event stream on the
-    same key (no second shuffle under bucketing; AQE picks SMJ/broadcast
-    by cohort table size), one distinct over (user, cohort, offset) —
-    the activity grid is ≤ |users|·|weeks|, tiny next to raw events —
-    and one count shuffle on the |weeks|² matrix. Driver holds nothing.
-    """
-    # integer epoch week: time DIV week_ms (non-negative ms, so DIV == floor)
-    first = meas.groupBy(F.col("id").alias("uid")).agg(
-        F.expr(f"min(time) DIV {_WEEK_MS}").alias("cohort_week")
-    )
-    activity = (
-        meas.select("id", F.expr(f"time DIV {_WEEK_MS}").alias("event_week"))
-        .join(first, F.col("id") == F.col("uid"))
-        .select(
-            "id",
-            "cohort_week",
-            (F.col("event_week") - F.col("cohort_week")).alias("offset_week"),
-        )
-        .distinct()
-    )
-    cohorts = first.groupBy("cohort_week").agg(
-        F.count("*").alias("n_cohort")
-    )
-    cells = activity.groupBy("cohort_week", "offset_week").agg(
-        F.count("*").alias("n_active")
-    )
-    from dariadb_spark.ext.exact import ratio_round_spark
-
-    return (
-        cells.join(F.broadcast(cohorts), "cohort_week")
-        .selectExpr(
-            "cohort_week",
-            "offset_week",
-            "n_cohort",
-            "n_active",
-            ratio_round_spark("n_active", "n_cohort", 4) + " AS retention",
-        )
-        .orderBy("cohort_week", "offset_week")
-    )
-
-
-def _retention_sql() -> str:
-    from dariadb_spark.ext.exact import ratio_round_duck
-
-    return f"""WITH {MEAS_CTE_SQL},
-first AS (SELECT id AS uid, min(time) // {_WEEK_MS} AS cohort_week
-          FROM measurements GROUP BY id),
-activity AS (SELECT DISTINCT m.id, f.cohort_week,
-                    (m.time // {_WEEK_MS}) - f.cohort_week AS offset_week
-             FROM measurements m JOIN first f ON m.id = f.uid),
-cohorts AS (SELECT cohort_week, count(*) AS n_cohort
-            FROM first GROUP BY cohort_week),
-cells AS (SELECT cohort_week, offset_week, count(*) AS n_active
-          FROM activity GROUP BY cohort_week, offset_week)
-SELECT c.cohort_week, c.offset_week, k.n_cohort, c.n_active,
-       {ratio_round_duck("c.n_active", "k.n_cohort", 4)} AS retention
-FROM cells c JOIN cohorts k ON c.cohort_week = k.cohort_week
-ORDER BY c.cohort_week, c.offset_week"""
-
-
-EVENTS_RETENTION_SQL = _retention_sql()
 
 
 # --- top user paths ----------------------------------------------------------

@@ -511,7 +511,7 @@ def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
     nested loop (≤ a handful of langs), not a pair-space blowup — the
     same dispensation as the C(|langs|,2) grids the r12 verdict
     accepted."""
-    from dariadb_spark.ext.analytics import events_paths, events_retention
+    from dariadb_spark.ext.analytics import events_paths
     from dariadb_spark.ext.similarity import embedding_outliers
     from dariadb_spark.ext.sketches import sketch_bloom
     from dariadb_spark.ext.timeseries import (
@@ -528,7 +528,6 @@ def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
     for fn in (
         series_cross_corr,
         series_seasonal_strength,
-        events_retention,
         embedding_outliers,
         events_paths,
         series_outlier_mad,

@@ -1850,52 +1850,3 @@ def test_series_seasonal_strength_matches_reference(spark, rows):
     assert got == want
 
 
-_ret_rows = st.lists(
-    st.tuples(
-        st.integers(0, 5),  # user
-        st.integers(0, 6),  # week offset from the base epoch week
-        st.integers(0, 1000),  # intra-week ms jitter
-    ),
-    min_size=1,
-    max_size=40,
-)
-
-
-@given(rows=_ret_rows)
-@_SETTINGS
-def test_events_retention_matches_reference(spark, rows):
-    """Staged r14 ``events_retention_op`` equals the definitional
-    reference on random event sets: epoch-week cohorting by first
-    event, DISTINCT per-week activity, HALF_UP ratio at 4 dp."""
-    from dariadb_spark.ext.analytics import events_retention_op
-
-    week = 7 * 86_400_000
-    pts = [
-        (u, (100 + wk) * week + jit, 1.0, 0) for u, wk, jit in rows
-    ]
-    df = spark.createDataFrame(
-        pts, "id bigint, time bigint, value double, flag bigint"
-    )
-    got = {
-        (r.cohort_week, r.offset_week): (r.n_cohort, r.n_active, r.retention)
-        for r in events_retention_op(df).collect()
-    }
-    first: dict[int, int] = {}
-    for u, t, _v, _f in pts:
-        first[u] = min(first.get(u, t), t)
-    cohort = {u: t // week for u, t in first.items()}
-    activity = {(u, t // week - cohort[u]) for u, t, _v, _f in pts}
-    n_cohort: dict[int, int] = {}
-    for u, c in cohort.items():
-        n_cohort[c] = n_cohort.get(c, 0) + 1
-    cells: dict[tuple[int, int], int] = {}
-    for u, off in activity:
-        k = (cohort[u], off)
-        cells[k] = cells.get(k, 0) + 1
-    want = {}
-    for (c, off), n_act in cells.items():
-        nc = n_cohort[c]
-        want[(c, off)] = (
-            nc, n_act, ((2 * n_act * 10**4 + nc) // (2 * nc)) / 10**4
-        )
-    assert got == want

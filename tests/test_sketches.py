@@ -3516,58 +3516,6 @@ def test_sketch_bloom_parity_and_planted_membership(spark, oracle_sf_dir):
         assert r.fpr == ((2 * num * 10**6 + den) // (2 * den)) / 10**6
 
 
-def test_events_retention_parity_and_planted_cohorts(spark, oracle_sf_dir):
-    """Staged r14 cohort retention: DuckDB hash parity; a planted
-    two-cohort log yields the exact hand-computed matrix, the offset-0
-    cell always equals the cohort size, and a user active twice in one
-    week counts once (the DISTINCT grid)."""
-    from dariadb_spark.ext.analytics import (
-        EVENTS_RETENTION_SQL,
-        events_retention,
-        events_retention_op,
-    )
-    from tests.parity import compare, duckdb_connection
-
-    con = duckdb_connection(oracle_sf_dir)
-    res = compare(
-        "ext_events_retention",
-        events_retention(spark, oracle_sf_dir),
-        con,
-        EVENTS_RETENTION_SQL,
-    )
-    assert res.ok, res.problems
-    for r in events_retention(spark, oracle_sf_dir).collect():
-        if r.offset_week == 0:
-            assert r.n_active == r.n_cohort and r.retention == 1.0
-
-    wk = 7 * 86_400_000
-    # cohort week 100: users 1, 2, 3; cohort week 101: user 4
-    pts = [
-        (1, 100 * wk, 1.0, 1),          # u1 week 100
-        (1, 100 * wk + 5, 1.0, 1),      # same week twice → counts once
-        (1, 101 * wk, 1.0, 1),          # u1 active week 101 (offset 1)
-        (2, 100 * wk + 10, 1.0, 1),     # u2 only week 100
-        (3, 100 * wk + 20, 1.0, 1),     # u3 week 100
-        (3, 102 * wk, 1.0, 1),          # u3 active offset 2
-        (4, 101 * wk + 30, 1.0, 1),     # u4 cohort week 101
-        (4, 102 * wk, 1.0, 1),          # u4 active offset 1
-    ]
-    meas = spark.createDataFrame(
-        pts, "id long, time long, value double, flag long"
-    )
-    got = {
-        (r.cohort_week, r.offset_week): (r.n_cohort, r.n_active, r.retention)
-        for r in events_retention_op(meas).collect()
-    }
-    assert got == {
-        (100, 0): (3, 3, 1.0),
-        (100, 1): (3, 1, round(1 / 3, 4)),
-        (100, 2): (3, 1, round(1 / 3, 4)),
-        (101, 0): (1, 1, 1.0),
-        (101, 1): (1, 1, 1.0),
-    }
-
-
 def test_series_acf_parity_and_planted_alternation(spark, oracle_sf_dir):
     """Staged r13 sample ACF: DuckDB hash parity; a planted period-2
     hour-alternating series yields the closed-form sample ACF
