@@ -2493,6 +2493,7 @@ def main() -> None:
     sewma_s, sewma_batch_s, sewma_rows = stress_streaming_ewma(spark)
     pa_s, pa_rows = stress_events_paths(spark)
     mad_s, mad_rows = stress_series_mad(spark)
+    ed_s, ed_pairs, ed_sum = stress_edit_distance(spark)
     print(
         json.dumps(
             {
@@ -2558,6 +2559,7 @@ def main() -> None:
                     "batch_ewma_same_rows": round(sewma_batch_s, 4),
                     "events_paths_10m": round(pa_s, 4),
                     "series_mad_10m": round(mad_s, 4),
+                    "edit_distance_200k_docs": round(ed_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -2613,6 +2615,8 @@ def main() -> None:
                 "streaming_ewma_rows": sewma_rows,
                 "paths_distinct_journeys": pa_rows,
                 "mad_stress_series": mad_rows,
+                "edit_pairs": ed_pairs,
+                "edit_dist_sum": ed_sum,
                 "hll_rel_err_m16": hll_rel,
                 "hll_rel_err_m64": hll_rel64,
                 "net_ping_p50_ms": net_ping_ms,
@@ -3550,3 +3554,47 @@ def stress_series_mad(spark) -> tuple[float, int]:
             per, 0.0, 250.0, 3, frac
         ), r
     return mad_s, len(rows)
+
+
+EDIT_STRESS_BLOCKS = 20_000
+EDIT_STRESS_PER_BLOCK = 10
+
+
+def stress_edit_distance(spark) -> tuple[float, int, int]:
+    """Staged r14 edit-distance dedup at 200k docs: 20k blocks of 10
+    docs sharing their two-word opening, doc j carrying a (j % 6)-char
+    '!' tail — within a block every pair's distance is the exact tail
+    difference |(j%6) − (j'%6)| ≤ 5, so ALL C(10,2) pairs qualify and
+    both the pair count (20k·45) and the total distance sum have closed
+    forms; blocks never cross (distinct openings). Asserted as
+    aggregates — 900k result pairs never reach the driver."""
+    from dariadb_spark.ext.dedup import dedup_edit_distance_op
+
+    docs = spark.range(
+        EDIT_STRESS_BLOCKS * EDIT_STRESS_PER_BLOCK
+    ).selectExpr(
+        "id AS doc_id",
+        f"concat('blk', CAST(id DIV {EDIT_STRESS_PER_BLOCK} AS STRING),"
+        " ' common aaaaaaaaaa', repeat('!',"
+        f" CAST(id % {EDIT_STRESS_PER_BLOCK} AS INT) % 6)) AS text",
+        "'en' AS lang",
+        "'s' AS source",
+        "CAST(0 AS BIGINT) AS n_chars",
+    )
+    t0 = time.perf_counter()
+    agg = (
+        dedup_edit_distance_op(docs)
+        .selectExpr("count(*) AS c", "sum(dist) AS s")
+        .collect()[0]
+    )
+    ed_s = time.perf_counter() - t0
+    tails = [j % 6 for j in range(EDIT_STRESS_PER_BLOCK)]
+    pairs = [
+        abs(tails[a] - tails[b])
+        for a in range(EDIT_STRESS_PER_BLOCK)
+        for b in range(a + 1, EDIT_STRESS_PER_BLOCK)
+    ]
+    want_c = EDIT_STRESS_BLOCKS * len(pairs)
+    want_s = EDIT_STRESS_BLOCKS * sum(pairs)
+    assert (agg.c, agg.s) == (want_c, want_s), (agg, want_c, want_s)
+    return ed_s, int(agg.c), int(agg.s)

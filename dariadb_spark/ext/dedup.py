@@ -1567,6 +1567,109 @@ ORDER BY p.source"""
 register("ext_ngram_novelty", ngram_novelty, NGRAM_NOVELTY_SQL)
 
 
+# --- edit-distance near-dup (banded Levenshtein) ------------------------------
+# STAGED for the round-14 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The one classic near-dup metric the dedup family still lacked:
+# character-level edit distance (the title/URL/short-field dedup every
+# catalog pipeline runs), next to the token-set views (minhash/ngram
+# Jaccard), the bit-sketch views (simhash, audio), the embedding views
+# (cosine, SemDeDup), and the span views (passages, substring). Both
+# engines ship the SAME unit-cost levenshtein() built-in, so the verify
+# step is exact JVM-side whole-stage-codegen — no UDF.
+
+EDIT_PREFIX = 64  # the compared field: the document's 64-char head
+EDIT_MAX = 5  # Hamming-style budget: ≤5 edits = near-dup
+
+
+def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r14 window (:func:`dedup_edit_distance_op`)."""
+    return dedup_edit_distance_op(load_table(spark, sf, "documents"))
+
+
+def dedup_edit_distance_op(docs: DataFrame) -> DataFrame:
+    """Near-duplicate pairs by edit distance over the 64-char document
+    head (the title-field proxy — a real catalog runs this on its
+    title/url column with the identical plan): pairs sharing their
+    first two words whose heads are within EDIT_MAX Levenshtein edits.
+
+    Blocking (the plan's scale story): candidates are generated from
+    the (first-two-words, length-band) key with band width EDIT_MAX+1 —
+    a true match has |Δlen| ≤ EDIT_MAX, so its bands are equal or
+    adjacent, and the asymmetric 1-vs-3 band emission meets every such
+    pair EXACTLY ONCE (no distinct needed). The shared-opening contract
+    is the standard canopy assumption for edit-distance dedup and is
+    part of the operator's definition. THE ORACLE IS THE UNBLOCKED
+    QUADRATIC JOIN — the driver's hash compare therefore PROVES the
+    banding loses no pair, every round, at every scale factor it runs.
+
+    Exactness: lengths and bands are int64; levenshtein() is the same
+    unit-cost integer metric in Spark and DuckDB (pinned against a
+    pure-Python DP in tests); no float anywhere.
+
+    Plan shape (100 TB): one projection (text truncated to 64 chars —
+    the full text never shuffles), one hash join on the block key with
+    ≤3 keys per row, and the codegen'd levenshtein verify on the
+    candidate pairs only. Block sizes are bounded by the key's
+    selectivity (fixture max 14); a hot block is a data-quality finding
+    (a boilerplate opening), surfaced by ext_dedup_boilerplate."""
+    band = EDIT_MAX + 1
+    p = docs.where(F.col("text").isNotNull()).selectExpr(
+        "doc_id",
+        f"substring(text, 1, {EDIT_PREFIX}) AS pre",
+        f"length(substring(text, 1, {EDIT_PREFIX})) AS ln",
+        "concat_ws(' ', slice(split(text, ' '), 1, 2)) AS w12",
+    )
+    left = p.selectExpr(
+        "doc_id AS doc_a", "pre AS pre_a", "ln AS ln_a", "w12",
+        f"ln DIV {band} AS bk",
+    )
+    right = p.selectExpr(
+        "doc_id AS doc_b", "pre AS pre_b", "ln AS ln_b",
+        "w12 AS w12_b",
+        f"explode(array(ln DIV {band} - 1, ln DIV {band},"
+        f" ln DIV {band} + 1)) AS bk_b",
+    )
+    return (
+        left.join(
+            right,
+            (F.col("w12") == F.col("w12_b"))
+            & (F.col("bk") == F.col("bk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .where(
+            (F.abs(F.col("ln_a") - F.col("ln_b")) <= EDIT_MAX)
+            & (
+                F.expr("levenshtein(pre_a, pre_b)") <= EDIT_MAX
+            )
+        )
+        .selectExpr(
+            "doc_a", "doc_b",
+            "CAST(levenshtein(pre_a, pre_b) AS BIGINT) AS dist",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+#: the oracle deliberately does NOT mirror the banding: it is the plain
+#: quadratic definition, so the hash compare proves blocking recall
+DEDUP_EDIT_SQL = f"""WITH
+p AS (SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS pre,
+             length(substr(text, 1, {EDIT_PREFIX})) AS ln,
+             concat_ws(' ', list_slice(string_split(text, ' '), 1, 2))
+               AS w12
+      FROM documents WHERE text IS NOT NULL)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.w12 = b.w12 AND a.doc_id < b.doc_id
+ AND abs(a.ln - b.ln) <= {EDIT_MAX}
+ AND levenshtein(a.pre, b.pre) <= {EDIT_MAX}
+ORDER BY doc_a, doc_b"""
+
+
 def _streaming_exact_dedup_parity(spark, sf):
     # Lazy import: streaming/dedup.py is harness-side machinery the
     # registry never imports at module load (the hll/gate pattern).

@@ -869,8 +869,8 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # in r14: 49 rows (50 r10-latest minus the ext_ann_recall_eval fill)
 # plus any core reaching stale-3 — i.e. r14's nominal obligations
 # ALONE exceed 50. This is exactly the situation the stale-5 decision
-# below absorbs: round 13 staged SEVEN new operators
-# (ext_series_cross_corr, ext_sketch_bloom,
+# below absorbs: round 13 staged EIGHT new operators
+# (ext_series_cross_corr, ext_sketch_bloom, ext_dedup_edit_distance,
 # ext_series_seasonal_strength, ext_embedding_outliers,
 # streaming_ewma_parity, ext_events_paths, ext_series_outlier_mad —
 # each implemented + oracled + pytest parity + planted ≥100k-row
@@ -878,7 +878,7 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # eighth, a weekly retention matrix, was built and then DROPPED on the
 # duplication audit — the registered ext_retention_cohorts already
 # covers cohort retention at daily granularity), and
-# registering them in r14 takes the registry to 205 > 200, activating
+# registering them in r14 takes the registry to 206 > 200, activating
 # the stale-5 [EXT] line; the overflow of the 49 stale-4 rows then
 # rotates at stale-5 without violation. Compute the exact r14 window
 # with `tools/attestation_ledger.py --plan 50` (new registrations take

@@ -512,6 +512,7 @@ def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
     same dispensation as the C(|langs|,2) grids the r12 verdict
     accepted."""
     from dariadb_spark.ext.analytics import events_paths
+    from dariadb_spark.ext.dedup import dedup_edit_distance
     from dariadb_spark.ext.similarity import embedding_outliers
     from dariadb_spark.ext.sketches import sketch_bloom
     from dariadb_spark.ext.timeseries import (
@@ -531,6 +532,7 @@ def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
         embedding_outliers,
         events_paths,
         series_outlier_mad,
+        dedup_edit_distance,
     ):
         plan = (
             fn(spark, oracle_sf_dir)

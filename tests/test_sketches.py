@@ -3645,6 +3645,75 @@ def test_events_paths_parity_and_planted_journeys(spark, oracle_sf_dir):
     ]
 
 
+def test_dedup_edit_distance_parity_and_planted_typos(spark, oracle_sf_dir):
+    """Staged r14 edit-distance near-dup: DuckDB hash parity (the
+    oracle is the UNBLOCKED quadratic join, so the compare proves the
+    banded plan's recall); planted typo pairs match a pure-Python
+    Levenshtein DP exactly, a 6-edit pair is excluded, a small-edit
+    pair with a different opening is outside the contract, and a
+    cross-band pair (|Δlen| = 5 straddling a band boundary) is still
+    found — the adjacent-band emission at work."""
+    from dariadb_spark.ext.dedup import (
+        DEDUP_EDIT_SQL,
+        EDIT_MAX,
+        dedup_edit_distance,
+        dedup_edit_distance_op,
+    )
+    from tests.parity import compare, duckdb_connection
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_dedup_edit_distance",
+        dedup_edit_distance(spark, oracle_sf_dir),
+        con,
+        DEDUP_EDIT_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0  # the fixture has real typo-level pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    base = "the quick brown fox jumps over a lazy dog near the old barn"
+    docs = [
+        (1, base),
+        (2, base.replace("jumps", "jumped")),        # dist 2
+        (3, base + " xxxxx"),                        # dist 5 (len +5)
+        (4, base.replace("quick", "quirky") + "!!"), # small block, more edits
+        (5, "a " + base),                            # different opening
+        (6, base.replace("brown fox", "red panda")), # dist > 5 → excluded
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {(r.doc_a, r.doc_b): r.dist for r in dedup_edit_distance_op(df).collect()}
+    pre = {i: t[:64] for i, t in docs}
+    # expected: every same-opening pair within 5 edits of the 64-char head
+    want = {}
+    for i, _ in docs:
+        for j, _ in docs:
+            if i < j and " ".join(pre[i].split(" ")[:2]) == " ".join(
+                pre[j].split(" ")[:2]
+            ) and abs(len(pre[i]) - len(pre[j])) <= EDIT_MAX:
+                d = lev(pre[i], pre[j])
+                if d <= EDIT_MAX:
+                    want[(i, j)] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 2
+    assert (1, 3) in got and got[(1, 3)] == 5  # the cross-band pair
+    assert not any(5 in p for p in got)  # different opening: contract
+    assert (1, 6) not in got  # 9 edits > 5
+
+
 def test_series_outlier_mad_parity_and_planted_spikes(spark, oracle_sf_dir):
     """Staged r14 robust outlier screen: DuckDB hash parity; planted
     series pin the doubled-median closure on BOTH parities (odd and
