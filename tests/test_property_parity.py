@@ -1850,3 +1850,98 @@ def test_series_seasonal_strength_matches_reference(spark, rows):
     assert got == want
 
 
+
+
+_path_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user
+        st.integers(0, 20),  # ts second
+        st.sampled_from(["A", "B", "C"]),  # event type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_path_rows)
+@_SETTINGS
+def test_events_paths_matches_reference(spark, rows):
+    """Staged r14 ``events_paths_op`` equals the definitional reference
+    on random event sets: per-user (ts, event_id) order with event_id
+    (the list index here) breaking ts ties, first-5 truncation, HALF_UP
+    share, (count DESC, path ASC) top-k."""
+    import datetime as dt
+
+    from dariadb_spark.ext.analytics import PATHS_DEPTH, PATHS_TOP, events_paths_op
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (i, t0 + dt.timedelta(seconds=sec), u, ty, 0.0, "{}")
+        for i, (u, sec, ty) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = [tuple(r) for r in events_paths_op(df).collect()]
+    byu: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, sec, ty) in enumerate(rows):
+        byu.setdefault(u, []).append((sec, i, ty))
+    paths: dict[str, int] = {}
+    for u, evs in byu.items():
+        evs.sort()
+        p = ">".join(ty for _s, _i, ty in evs[:PATHS_DEPTH])
+        paths[p] = paths.get(p, 0) + 1
+    total = len(byu)
+    ranked = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [
+        (p, c, ((2 * c * 10**4 + total) // (2 * total)) / 10**4)
+        for p, c in ranked[:PATHS_TOP]
+    ]
+    assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_outlier_mad_matches_reference(spark, rows):
+    """Staged r14 ``series_outlier_mad_op`` equals the definitional
+    reference on random data (negative values included): doubled
+    medians by (value, time) rank walk — the even-count midpoint
+    average never leaves the integers — doubled deviations, Hampel's
+    pure-int64 rule, HALF_UP fraction."""
+    from dariadb_spark.ext.timeseries import MAD_K_10K, series_outlier_mad_op
+
+    lo, hi = T0, T0 + 40 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        r.id: (r.n, r.median, r.mad, r.n_outliers, r.outlier_frac)
+        for r in series_outlier_mad_op(df, None, lo, hi, 0).collect()
+    }
+    series: dict[int, list[tuple[int, int]]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            series.setdefault(i, []).append((_cents(v), t))
+
+    want = {}
+    for i, ys in series.items():
+        n = len(ys)
+        by_v = sorted(ys)  # (value, time) — the op's rank order
+        lo_i, hi_i = (n + 1) // 2 - 1, (n + 2) // 2 - 1
+        if lo_i == hi_i:
+            med2 = 2 * by_v[lo_i][0]
+        else:
+            med2 = by_v[lo_i][0] + by_v[hi_i][0]
+        devs = sorted((abs(2 * v - med2), t) for v, t in ys)
+        if lo_i == hi_i:
+            mad2 = 2 * devs[lo_i][0]
+        else:
+            mad2 = devs[lo_i][0] + devs[hi_i][0]
+        n_out = sum(
+            1 for d, _t in devs if 20_000 * d > MAD_K_10K * mad2
+        )
+        frac = ((2 * n_out * 10**4 + n) // (2 * n)) / 10**4
+        want[i] = (n, med2 / 200.0, mad2 / 400.0, n_out, frac)
+    assert got == want
