@@ -3244,9 +3244,9 @@ def stress_bloom(spark) -> tuple[float, int, float]:
     'aa' and 'bb' overlap half their vocabulary; every output field is
     asserted against a pure-Python Bloom built from the same md5 bit
     positions — including the measured FPR. A third lang with 40k
-    distinct words SATURATES the 8192-bit filter and must report the
-    NULL estimate (the resize signal), pinning the ln(0) divergence
-    guard."""
+    distinct words SATURATES the 65,536-bit (8 KiB) filter and must
+    report the NULL estimate (the resize signal), pinning the ln(0)
+    divergence guard."""
     import hashlib
 
     from dariadb_spark.ext.sketches import (

@@ -690,9 +690,8 @@ register("streaming_markov_parity", _streaming_markov_parity, EVENT_MARKOV_SQL)
 
 
 # --- top user paths ----------------------------------------------------------
-# STAGED for the round-14 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 14 (staged round 13: implemented + oracled + pytest
+# parity + planted stress first, registered at the window rotation).
 
 PATHS_DEPTH = 5  # first N event types per user
 PATHS_TOP = 20
@@ -772,3 +771,5 @@ ORDER BY c.n_users DESC, c.path ASC LIMIT {PATHS_TOP}"""
 
 
 EVENTS_PATHS_SQL = _paths_sql()
+
+register("ext_events_paths", events_paths, EVENTS_PATHS_SQL)

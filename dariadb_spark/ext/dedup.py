@@ -1568,9 +1568,8 @@ register("ext_ngram_novelty", ngram_novelty, NGRAM_NOVELTY_SQL)
 
 
 # --- edit-distance near-dup (banded Levenshtein) ------------------------------
-# STAGED for the round-14 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 14 (staged round 13: implemented + oracled + pytest
+# parity + planted stress first, registered at the window rotation).
 #
 # The one classic near-dup metric the dedup family still lacked:
 # character-level edit distance (the title/URL/short-field dedup every
@@ -1601,9 +1600,12 @@ def dedup_edit_distance_op(docs: DataFrame) -> DataFrame:
     adjacent, and the asymmetric 1-vs-3 band emission meets every such
     pair EXACTLY ONCE (no distinct needed). The shared-opening contract
     is the standard canopy assumption for edit-distance dedup and is
-    part of the operator's definition. THE ORACLE IS THE UNBLOCKED
-    QUADRATIC JOIN — the driver's hash compare therefore PROVES the
-    banding loses no pair, every round, at every scale factor it runs.
+    part of the operator's definition. The oracle drops ONLY the
+    length banding (it stays quadratic within each shared-opening
+    group, keeping the |Δlen| ≤ EDIT_MAX filter as a predicate, not a
+    join key) — so the driver's hash compare proves the BANDING loses
+    no pair, every round, at every scale factor it runs; the
+    shared-opening block itself is definitional on both sides.
 
     Exactness: lengths and bands are int64; levenshtein() is the same
     unit-cost integer metric in Spark and DuckDB (pinned against a
@@ -1653,8 +1655,9 @@ def dedup_edit_distance_op(docs: DataFrame) -> DataFrame:
     )
 
 
-#: the oracle deliberately does NOT mirror the banding: it is the plain
-#: quadratic definition, so the hash compare proves blocking recall
+#: the oracle deliberately does NOT mirror the length banding: it is
+#: quadratic within each shared-opening group (|Δlen| kept as a filter,
+#: not a join key), so the hash compare proves the banding loses no pair
 DEDUP_EDIT_SQL = f"""WITH
 p AS (SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS pre,
              length(substr(text, 1, {EDIT_PREFIX})) AS ln,
@@ -1676,6 +1679,9 @@ def _streaming_exact_dedup_parity(spark, sf):
     from dariadb_spark.streaming.dedup import streaming_exact_dedup_parity
 
     return streaming_exact_dedup_parity(spark, sf)
+
+
+register("ext_dedup_edit_distance", dedup_edit_distance, DEDUP_EDIT_SQL)
 
 
 def _register_streaming_exact_dedup() -> None:

@@ -1876,9 +1876,8 @@ register("ext_embedding_pca", embedding_pca, EMBEDDING_PCA_SQL)
 
 
 # --- per-label embedding outlier screen ---------------------------------------
-# STAGED for the round-14 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 14 (staged round 13: implemented + oracled + pytest
+# parity + planted stress first, registered at the window rotation).
 
 OUTLIER_TOP = 5  # outliers reported per label
 _OUT_SCALE = PCA_SCALE  # the shared 10^4 embedding int grid
@@ -1986,3 +1985,6 @@ SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
        round(sqrt(CAST(d2 AS DOUBLE)) / (n * {_OUT_SCALE}.0), 6) AS dist
 FROM ranked WHERE rk <= {OUTLIER_TOP}
 ORDER BY label, rk"""
+
+
+register("ext_embedding_outliers", embedding_outliers, EMBEDDING_OUTLIERS_SQL)

@@ -1938,9 +1938,8 @@ register("ext_sketch_hll_m64", sketch_hll_m64, SKETCH_HLL_M64_SQL)
 
 
 # --- Bloom-filter membership gate --------------------------------------------
-# STAGED for the round-14 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 14 (staged round 13: implemented + oracled + pytest
+# parity + planted stress first, registered at the window rotation).
 #
 # SURVEY.md §2 row C2 marks the reference's bloom filter "platform"
 # (Parquet row-group bloom indexes cover the SCAN-pruning role), and
@@ -2114,3 +2113,5 @@ ORDER BY s.lang"""
 
 
 SKETCH_BLOOM_SQL = _bloom_sql()
+
+register("ext_sketch_bloom", sketch_bloom, SKETCH_BLOOM_SQL)

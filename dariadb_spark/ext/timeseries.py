@@ -1924,9 +1924,8 @@ register("ext_series_psi", series_psi, SERIES_PSI_SQL)
 
 
 # --- pairwise lead-lag cross-correlation -------------------------------------
-# STAGED for the round-14 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 14 (staged round 13: implemented + oracled + pytest
+# parity + planted stress first, registered at the window rotation).
 
 XCORR_BUCKET_MS = HOUR_MS  # the shared PAA grid both series walk
 XCORR_MAX_LAG = 3  # r(-3) .. r(+3)
@@ -2095,11 +2094,12 @@ JOIN den da ON p.id_a = da.id
 JOIN den db ON p.id_b = db.id
 ORDER BY p.id_a, p.id_b, p.lag"""
 
+register("ext_series_cross_corr", series_cross_corr, SERIES_XCORR_SQL)
+
 
 # --- seasonal strength (ANOVA R² on the PAA grid) ----------------------------
-# STAGED for the round-14 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 14 (staged round 13: implemented + oracled + pytest
+# parity + planted stress first, registered at the window rotation).
 #
 # NOT the per-phase profile — that already exists as the registered
 # `ext_seasonal_profile` (hour-of-day means/deviations, ext/timeseries.py
@@ -2253,11 +2253,16 @@ FROM wide WHERE {sst} > 0 ORDER BY id"""
 
 SERIES_SEASONAL_SQL = _seasonal_strength_sql()
 
+register(
+    "ext_series_seasonal_strength",
+    series_seasonal_strength,
+    SERIES_SEASONAL_SQL,
+)
+
 
 # --- robust outlier screen (median / MAD) ------------------------------------
-# STAGED for the round-14 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 14 (staged round 13: implemented + oracled + pytest
+# parity + planted stress first, registered at the window rotation).
 #
 # The robust-statistics sibling of `ext_anomaly_zscore`: mean/σ move
 # with the outliers they hunt, median/MAD do not (Hampel's rule,
@@ -2400,3 +2405,19 @@ GROUP BY v.id ORDER BY v.id"""
 
 
 SERIES_MAD_SQL = _mad_sql()
+
+register("ext_series_outlier_mad", series_outlier_mad, SERIES_MAD_SQL)
+
+
+def _streaming_ewma_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import: streaming/ewma.py imports EWMA_SQL back from this
+    # module, so a top-level import here would be circular.
+    from dariadb_spark.streaming.ewma import streaming_ewma_parity
+
+    return streaming_ewma_parity(spark, sf)
+
+
+# Registered round 14 (staged round 13). The stateful EWMA ingest twin
+# shares the batch EWMA_SQL oracle — statefulness must make the
+# micro-batching invisible, same contract as streaming_markov_parity.
+register("streaming_ewma_parity", _streaming_ewma_parity, EWMA_SQL)

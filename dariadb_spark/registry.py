@@ -864,7 +864,40 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 #      listed above) — priority 3;
 #   4. one fill slot: ext_ann_recall_eval (oldest stale-3, name
 #      tiebreak per the ledger's deterministic ordering).
-# 1 + 16 + 32 + 1 = exactly 50. The leftover stale-3 block (the other
+# 1 + 16 + 32 + 1 = exactly 50.
+# Round-14 composition (EXECUTED — `tools/attestation_ledger.py --plan
+# 50` output, verified identical to CHECK_WINDOW below): the six core
+# rows at stale-3 (bucket_day/week/month, bucket_hour_salted,
+# partition_file_stats, scheme_pattern_scan — priority 1), the EIGHT
+# round-13-staged operators registered this round (priority 2), then
+# the 36 oldest stale-4 [EXT] rows in ledger order (priority 3).
+# 6 + 8 + 36 = exactly 50. Registry now 206 > 200, so the DECIDED
+# stale-5 [EXT] line is ACTIVE: the 8 stale-4 rows that did not fit
+# (ext_sketch_kmv_distinct, ext_sketch_kmv_union,
+# ext_text_pii_roundtrip, ext_train_quality_eval, ext_unpivot_flags,
+# streaming_anomaly_parity, streaming_current_value_parity,
+# streaming_dedup_parity) rotate at stale-5 in r15 — the first actual
+# engagement of the capacity line, within policy.
+#
+# CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —
+# VERDICT r13 item 3): 206 now + ~8 staged/round reaches the 250 hard
+# line around r19. Growth past 250 requires RETIRE/MERGE (stale-6 is
+# off the table). The merge criterion is the retention-matrix
+# duplication audit (r13): fold a query when a REGISTERED composite
+# provably subsumes it — same input slice, its output derivable from
+# the composite's by a projection/filter the oracle can express.
+# Ranked merge candidates when the time comes (audit each first):
+#   1. ext_sketch_kmv_union into ext_sketch_kmv_distinct (same KMV
+#      state; union is the merge of the per-language sketches the
+#      distinct query already builds);
+#   2. ext_set_intersect + ext_set_except into one set-ops query
+#      emitting an op column (same inputs, same plan shape);
+#   3. ext_asof_nearest into ext_asof_join (same join machinery,
+#      direction parameter — keep both SEMANTICS, one registered row);
+#   4. fn_* stay individually registered (CORE reference verbs — the
+#      r12 decision stands; they are the parity evidence).
+# Each merge frees a slot while keeping the operator IMPLEMENTED and
+# pytest-covered — only the driver row consolidates. The leftover stale-3 block (the other
 # r10-latest queries incl. the five streaming parities) hits stale-4
 # in r14: 49 rows (50 r10-latest minus the ext_ann_recall_eval fill)
 # plus any core reaching stale-3 — i.e. r14's nominal obligations
@@ -907,32 +940,31 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 CHECK_WINDOW = [
-    # priority 1: the one core reference row at stale-3
-    "partition_stats",
-    # priority 2: round-13 registrations — driver-checked from day one
-    "ext_downsample_lttb", "ext_series_sax", "ext_series_acf",
-    "ext_series_perm_entropy", "ext_series_mase", "ext_series_psi",
-    "ext_event_markov", "streaming_markov_parity",
-    "ext_corpus_drift_tvd", "ext_token_pmi", "ext_ngram_novelty",
-    "streaming_exact_dedup_parity", "ext_media_audio_dedup",
-    "ext_ann_recall_lsh", "ext_embedding_pca", "ext_sketch_hll_m64",
-    # priority 3: the 32 r9-latest [EXT] queries at stale-4 (the
-    # accepted line — deferred from r12, due now)
-    "ext_curate_corpus", "ext_decontaminate",
-    "ext_dedup_embedding_cosine", "ext_dedup_minhash_lsh",
-    "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
-    "ext_embedding_centroids", "ext_ewma", "ext_gap_fill",
-    "ext_media_frames", "ext_media_meta", "ext_pack_shards",
-    "ext_profile_documents", "ext_rate", "ext_rollup_cascade",
-    "ext_sample_stratified", "ext_sim_ann_ivf", "ext_sim_kmeans",
-    "ext_sim_topk_cosine", "ext_split_train_test", "ext_text_bm25",
-    "ext_text_bpe_tokens", "ext_text_fingerprint",
-    "ext_text_gopher_quality", "ext_text_lang_histogram",
-    "ext_text_langid", "ext_text_ngram_lm", "ext_text_quality",
-    "ext_text_tfidf", "ext_text_token_stats", "ext_text_word_freq",
-    "ext_time_weighted_avg",
-    # priority 4: one fill slot — the oldest stale-3 (ledger tiebreak)
-    "ext_ann_recall_eval",
+    # priority 1: the six core reference rows at stale-3
+    "bucket_day", "bucket_hour_salted", "bucket_month", "bucket_week",
+    "partition_file_stats", "scheme_pattern_scan",
+    # priority 2: round-14 registrations — driver-checked from day one
+    "ext_series_cross_corr", "ext_sketch_bloom",
+    "ext_dedup_edit_distance", "ext_series_seasonal_strength",
+    "ext_embedding_outliers", "streaming_ewma_parity",
+    "ext_events_paths", "ext_series_outlier_mad",
+    # priority 3: the 36 oldest stale-4 [EXT] rows, ledger order (the
+    # r10-latest cohort; the 8 that do not fit rotate at stale-5 in
+    # r15 — the first actual engagement of the decided capacity line)
+    "ext_asof_join", "ext_asof_nearest", "ext_changepoint_cusum",
+    "ext_corpus_mixture", "ext_corpus_mixture_apply", "ext_counter_rate",
+    "ext_cube_lineitem", "ext_curate_gated_mixture",
+    "ext_decontaminate_fuzzy", "ext_dedup_boilerplate",
+    "ext_dedup_incremental", "ext_dedup_substring_spans",
+    "ext_derived_series", "ext_embedding_quantize", "ext_events_json",
+    "ext_funnel_conversion", "ext_histogram", "ext_hopping_window",
+    "ext_interpolate", "ext_join_salted", "ext_knn_classify",
+    "ext_lm_oov_filter", "ext_media_phash_dedup", "ext_media_resize_plan",
+    "ext_ohlc", "ext_range_context", "ext_retention_cohorts",
+    "ext_robust_stats", "ext_rolling_median", "ext_sample_reservoir",
+    "ext_sample_temperature", "ext_sample_weighted",
+    "ext_seasonal_profile", "ext_sem_dedup", "ext_series_correlation",
+    "ext_sketch_cms_topk",
 ]
 
 

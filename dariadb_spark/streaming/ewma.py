@@ -1,8 +1,9 @@
 """Streaming EWMA maintenance — the trailing-window smoother at ingest.
 
-STAGED for the round-14 driver window (the staging every late operator
-goes through: implemented + oracled + pytest parity + planted stress
-now, registered at the next window rotation). The batch side is
+Registered round 14 as ``streaming_ewma_parity`` (home-module bottom
+register in ext/timeseries.py, whose EWMA_SQL is the shared oracle;
+staged round 13: implemented + oracled + pytest parity + planted
+stress first, registered at the window rotation). The batch side is
 ``ext_ewma`` (ext/timeseries.py): a 20-lag windowed Σ wₖ·lag(value, k)
 chain. THIS module is its ingest twin: the per-series trailing buffer
 (the last ≤20 deduped samples) is EXPLICIT operator state
@@ -97,7 +98,11 @@ def _ewma_fold(
         num = 0.0
         den = 0.0
         # the batch chain's exact accumulation order: k = 0..19
-        # left-to-right; absent lags contribute the same literal 0.0
+        # left-to-right; absent lags are skipped, which the batch
+        # expression's +0.0 terms match on every reachable value (the
+        # only divergence would be a -0.0 accumulator, which the batch
+        # chain normalizes to +0.0 anyway; pinned bit-identical by
+        # tests on real data)
         for k, wk in enumerate(_EWMA_W):
             if k < m:
                 num += wk * vals[m - 1 - k]

@@ -202,42 +202,39 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-13 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50 over r01–r12): the ONE core row at stale-3 leads
-    # (priority 1), then the SIXTEEN round-13 registrations (priority
-    # 2: never ship a NEW query outside the window), then the 32
-    # r9-latest [EXT] at stale-4 (priority 3 — the accepted line), then
-    # one fill slot (priority 4: oldest stale-3, name tiebreak).
-    assert CHECK_WINDOW[0] == "partition_stats"
-    assert CHECK_WINDOW[1:17] == [
-        "ext_downsample_lttb", "ext_series_sax", "ext_series_acf",
-        "ext_series_perm_entropy", "ext_series_mase", "ext_series_psi",
-        "ext_event_markov", "streaming_markov_parity",
-        "ext_corpus_drift_tvd", "ext_token_pmi", "ext_ngram_novelty",
-        "streaming_exact_dedup_parity", "ext_media_audio_dedup",
-        "ext_ann_recall_lsh", "ext_embedding_pca", "ext_sketch_hll_m64",
+    # round-14 (the executed ledger plan — tools/attestation_ledger.py
+    # --plan 50 over r01–r13): the SIX core rows at stale-3 lead
+    # (priority 1), then the EIGHT round-14 registrations (priority 2:
+    # never ship a NEW query outside the window), then the 36 oldest
+    # stale-4 [EXT] rows in ledger order (priority 3). Registry is now
+    # 206 > 200, so the decided stale-5 capacity line is ACTIVE: the 8
+    # stale-4 rows that did not fit rotate at stale-5 in r15.
+    assert CHECK_WINDOW[:6] == [
+        "bucket_day", "bucket_hour_salted", "bucket_month", "bucket_week",
+        "partition_file_stats", "scheme_pattern_scan",
     ]
-    # the 32 r12 deferrals hit stale-4 this round and are ALL in-window
-    stale4 = {"ext_curate_corpus", "ext_decontaminate",
-              "ext_dedup_embedding_cosine", "ext_dedup_minhash_lsh",
-              "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
-              "ext_embedding_centroids", "ext_ewma", "ext_gap_fill",
-              "ext_media_frames", "ext_media_meta", "ext_pack_shards",
-              "ext_profile_documents", "ext_rate", "ext_rollup_cascade",
-              "ext_sample_stratified", "ext_sim_ann_ivf",
-              "ext_sim_kmeans", "ext_sim_topk_cosine",
-              "ext_split_train_test", "ext_text_bm25",
-              "ext_text_bpe_tokens", "ext_text_fingerprint",
-              "ext_text_gopher_quality", "ext_text_lang_histogram",
-              "ext_text_langid", "ext_text_ngram_lm", "ext_text_quality",
-              "ext_text_tfidf", "ext_text_token_stats",
-              "ext_text_word_freq", "ext_time_weighted_avg"}
-    assert stale4 <= set(CHECK_WINDOW[17:49])
-    assert CHECK_WINDOW[-1] == "ext_ann_recall_eval"
-    # the r12 window (core verbs + r12 registrations) rotated OUT —
-    # they were re-attested last round and are only stale-1 now
-    for fresh in ("interval_scan", "fn_average", "ext_doremi_reweight",
-                  "streaming_hll_parity"):
+    assert set(CHECK_WINDOW[6:14]) == {
+        "ext_series_cross_corr", "ext_sketch_bloom",
+        "ext_dedup_edit_distance", "ext_series_seasonal_strength",
+        "ext_embedding_outliers", "streaming_ewma_parity",
+        "ext_events_paths", "ext_series_outlier_mad",
+    }
+    # the 36 priority-3 fill slots are the ledger's oldest-stale-4
+    # prefix; the 8 names past the cut are NOT in-window (they rotate
+    # at stale-5 in r15 under the active capacity line)
+    for overflow in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
+                     "ext_text_pii_roundtrip", "ext_train_quality_eval",
+                     "ext_unpivot_flags", "streaming_anomaly_parity",
+                     "streaming_current_value_parity",
+                     "streaming_dedup_parity"):
+        assert overflow not in CHECK_WINDOW, overflow
+    assert CHECK_WINDOW[14] == "ext_asof_join"
+    assert CHECK_WINDOW[-1] == "ext_sketch_cms_topk"
+    # the r13 window (partition_stats + the 16 r13 registrations + the
+    # 32 r9-latest) rotated OUT — re-attested last round, stale-1 now
+    for fresh in ("partition_stats", "ext_downsample_lttb",
+                  "ext_embedding_pca", "ext_text_word_freq",
+                  "ext_ann_recall_eval"):
         assert fresh not in CHECK_WINDOW, fresh
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
