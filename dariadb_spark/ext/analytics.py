@@ -773,3 +773,143 @@ ORDER BY c.n_users DESC, c.path ASC LIMIT {PATHS_TOP}"""
 EVENTS_PATHS_SQL = _paths_sql()
 
 register("ext_events_paths", events_paths, EVENTS_PATHS_SQL)
+
+
+# --- funnel time-to-convert ---------------------------------------------------
+# STAGED for the round-15 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The HOW-FAST companion to `ext_funnel_conversion` (which reports only
+# HOW MANY users reach each stage): the latency distribution of each
+# stage transition — mean, rank-walk median, and the rank-⌈0.9·m⌉ p90
+# every growth team reads next to the counts. Same per-user earliest
+# stage times, NEW output: the conversion-lag distribution.
+
+def funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r15 window (:func:`funnel_latency_op`)."""
+    return funnel_latency_op(measurements(spark, sf))
+
+
+def funnel_latency_op(meas: DataFrame) -> DataFrame:
+    """Per stage transition (view→click, click→purchase): converted-user
+    count, mean, median, and p90 conversion lag in ms.
+
+    Exactness: lags are int64 ms; mean is the HALF_UP ratio at 1 dp;
+    median is the doubled rank walk (sum of the two middle order
+    statistics, one /2.0 at the output); p90 is the rank-⌈0.9·m⌉ order
+    statistic itself — an exact int64, the `ext_sketch_quantile`
+    convention. Rank ties cannot occur: row_number orders by (lag, id)
+    and (id) is unique within a transition.
+
+    Plan shape (100 TB): the funnel's three per-user min-aggregates
+    partition on `id` (the clustering key); the distribution pass ranks
+    n_converted rows in TWO partitions (one per transition) — at
+    billions of users swap that final rank walk for the HDR-sketch
+    quantile (`ext_sketch_quantile_hdr`) over the same lag column; the
+    per-user reduction, which carries the data volume, is unchanged.
+    """
+    s1 = meas.where(F.col("flag") == _FUNNEL[0]).groupBy("id").agg(
+        F.min("time").alias("t1")
+    )
+    s2 = (
+        meas.where(F.col("flag") == _FUNNEL[1])
+        .join(F.broadcast(s1), "id")
+        .where(F.col("time") >= F.col("t1"))
+        .groupBy("id")
+        .agg(F.min("time").alias("t2"))
+    )
+    s3 = (
+        meas.where(F.col("flag") == _FUNNEL[2])
+        .join(F.broadcast(s2), "id")
+        .where(F.col("time") >= F.col("t2"))
+        .groupBy("id")
+        .agg(F.min("time").alias("t3"))
+    )
+    lag12 = s1.join(s2, "id").select(
+        F.lit("view_to_click").alias("transition"),
+        F.col("id"),
+        (F.col("t2") - F.col("t1")).alias("lag_ms"),
+    )
+    lag23 = s2.join(s3, "id").select(
+        F.lit("click_to_purchase").alias("transition"),
+        F.col("id"),
+        (F.col("t3") - F.col("t2")).alias("lag_ms"),
+    )
+    lags = lag12.unionByName(lag23)
+    wr = Window.partitionBy("transition").orderBy("lag_ms", "id")
+    ranked = lags.select(
+        "transition", "lag_ms",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy("transition")).alias("m"),
+    )
+    stats = ranked.groupBy("transition").agg(
+        F.max("m").alias("n_users"),
+        F.sum("lag_ms").alias("sum_lag"),
+    )
+    med = (
+        ranked.where(F.expr("rn = (m + 1) DIV 2 OR rn = (m + 2) DIV 2"))
+        .groupBy("transition")
+        .agg((2 * F.sum("lag_ms") / F.count("*")).cast("bigint").alias("med2"))
+    )
+    p90 = (
+        ranked.where(F.expr("rn = (9 * m + 9) DIV 10"))
+        .groupBy("transition")
+        .agg(F.max("lag_ms").alias("p90_ms"))
+    )
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    return (
+        stats.join(med, "transition")
+        .join(p90, "transition")
+        .selectExpr(
+            "transition",
+            "n_users",
+            ratio_round_spark("sum_lag", "n_users", 1) + " AS mean_lag_ms",
+            "med2 / 2.0 AS median_lag_ms",
+            "p90_ms",
+        )
+        .orderBy("transition")
+    )
+
+
+def _funnel_latency_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH {MEAS_CTE_SQL},
+s1 AS (SELECT id, min(time) AS t1 FROM measurements
+       WHERE flag = {_FUNNEL[0]} GROUP BY id),
+s2 AS (SELECT m.id, min(m.time) AS t2 FROM measurements m
+       JOIN s1 ON m.id = s1.id
+       WHERE m.flag = {_FUNNEL[1]} AND m.time >= s1.t1 GROUP BY m.id),
+s3 AS (SELECT m.id, min(m.time) AS t3 FROM measurements m
+       JOIN s2 ON m.id = s2.id
+       WHERE m.flag = {_FUNNEL[2]} AND m.time >= s2.t2 GROUP BY m.id),
+lags AS (
+  SELECT 'view_to_click' AS transition, s1.id, s2.t2 - s1.t1 AS lag_ms
+  FROM s1 JOIN s2 ON s1.id = s2.id
+  UNION ALL
+  SELECT 'click_to_purchase' AS transition, s2.id, s3.t3 - s2.t2 AS lag_ms
+  FROM s2 JOIN s3 ON s2.id = s3.id),
+r AS (SELECT transition, lag_ms,
+             row_number() OVER (PARTITION BY transition
+                                ORDER BY lag_ms, id) AS rn,
+             count(*) OVER (PARTITION BY transition) AS m
+      FROM lags),
+st AS (SELECT transition, max(m) AS n_users, sum(lag_ms) AS sum_lag
+       FROM r GROUP BY transition),
+md AS (SELECT transition, CAST(2 * sum(lag_ms) / count(*) AS BIGINT) AS med2
+       FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+       GROUP BY transition),
+p9 AS (SELECT transition, max(lag_ms) AS p90_ms
+       FROM r WHERE rn = (9 * m + 9) // 10 GROUP BY transition)
+SELECT s.transition, s.n_users,
+       {ratio_round_duck("s.sum_lag", "s.n_users", 1)} AS mean_lag_ms,
+       m.med2 / 2.0 AS median_lag_ms,
+       p.p90_ms
+FROM st s JOIN md m ON s.transition = m.transition
+JOIN p9 p ON s.transition = p.transition
+ORDER BY s.transition"""
+
+
+FUNNEL_LATENCY_SQL = _funnel_latency_sql()

@@ -2421,3 +2421,269 @@ def _streaming_ewma_parity(spark: SparkSession, sf: str) -> DataFrame:
 # shares the batch EWMA_SQL oracle — statefulness must make the
 # micro-batching invisible, same contract as streaming_markov_parity.
 register("streaming_ewma_parity", _streaming_ewma_parity, EWMA_SQL)
+
+
+# --- threshold-exceedance episodes (run lengths) ------------------------------
+# STAGED for the round-15 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The alerting verb the point-wise screens lack: `ext_anomaly_zscore`
+# and `ext_series_outlier_mad` flag SAMPLES; an alert fires on an
+# EPISODE — consecutive samples above the line (Prometheus's `FOR`
+# clause, the flapping-vs-sustained distinction every on-call rota
+# cares about). Gaps-and-islands on the VALUE predicate (the machinery
+# `ext_sessionize` applies to the TIME axis): island key = rn_all −
+# rn_exceed, both row_numbers over the same unique (id, time) order, so
+# the grouping is exact integer arithmetic with no tie ambiguity.
+
+RUN_THRESHOLD = 50.0  # the alert line (fixture values span 0.15..370)
+
+
+def series_run_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r15 window (:func:`series_run_lengths_op`)."""
+    return series_run_lengths_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, RUN_THRESHOLD, 0
+    )
+
+
+def series_run_lengths_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    threshold: float,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series exceedance-episode summary over the interval: episode
+    count, longest episode (samples and wall-clock ms), total exceeding
+    samples, and the HALF_UP exceed fraction. A series that never
+    crosses the line still reports (zeros) — absence of alerts is a
+    result, not a missing row.
+
+    Exactness: the only float touch is the `value > threshold`
+    comparison itself (same IEEE compare in both engines on the same
+    parquet doubles); everything downstream is row_number arithmetic,
+    integer counts, ms differences, and one HALF_UP ratio.
+
+    Plan shape (100 TB): ONE shuffle on `id` (the storage clustering
+    key — shuffle-free after a bucketed write); the two row_numbers and
+    the island aggregation are window passes and a partial aggregate
+    inside the same partitioning; the final per-series join is
+    co-partitioned on `id`. Episode cardinality ≤ sample cardinality,
+    monotonically shrinking — no fan-out anywhere.
+    """
+    base = dedup_lww(scan_interval(meas, ids, from_ms, to_ms, flag))
+    w = Window.partitionBy("id").orderBy("time")
+    rn_all = base.select(
+        "id", "time", "value", F.row_number().over(w).alias("rn")
+    )
+    exc = rn_all.where(F.col("value") > threshold)
+    we = Window.partitionBy("id").orderBy("time")
+    islands = exc.select(
+        "id", "time", "rn",
+        (F.col("rn") - F.row_number().over(we)).alias("isl"),
+    )
+    episodes = islands.groupBy("id", "isl").agg(
+        F.count("*").alias("n_samp"),
+        F.min("time").alias("t0"),
+        F.max("time").alias("t1"),
+    )
+    per_series = episodes.groupBy("id").agg(
+        F.count("*").alias("n_episodes"),
+        F.max("n_samp").alias("longest_run"),
+        F.max(F.col("t1") - F.col("t0")).alias("longest_run_ms"),
+        F.sum("n_samp").alias("n_exceed"),
+    )
+    totals = rn_all.groupBy("id").agg(F.max("rn").alias("n_samples"))
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    return (
+        totals.join(per_series, "id", "left")
+        .selectExpr(
+            "id",
+            "n_samples",
+            "CAST(coalesce(n_episodes, 0) AS BIGINT) AS n_episodes",
+            "CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run",
+            "CAST(coalesce(longest_run_ms, 0) AS BIGINT) AS longest_run_ms",
+            "CAST(coalesce(n_exceed, 0) AS BIGINT) AS n_exceed",
+            ratio_round_spark("coalesce(n_exceed, 0)", "n_samples", 4)
+            + " AS exceed_frac",
+        )
+        .orderBy("id")
+    )
+
+
+def _run_lengths_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH {MEAS_CTE_SQL},
+s AS (SELECT id, time, value FROM (
+        SELECT id, time, value, flag, {_DEDUP_RN} AS rn
+        FROM measurements WHERE {_interval_sql()}) WHERE rn = 1),
+r AS (SELECT id, time, value,
+             row_number() OVER (PARTITION BY id ORDER BY time) AS rn
+      FROM s),
+e AS (SELECT id, time, rn,
+             rn - row_number() OVER (PARTITION BY id ORDER BY time) AS isl
+      FROM r WHERE value > {RUN_THRESHOLD}),
+ep AS (SELECT id, isl, count(*) AS n_samp,
+              max(time) - min(time) AS dur_ms
+       FROM e GROUP BY id, isl),
+ps AS (SELECT id, count(*) AS n_episodes, max(n_samp) AS longest_run,
+              max(dur_ms) AS longest_run_ms, sum(n_samp) AS n_exceed
+       FROM ep GROUP BY id),
+tot AS (SELECT id, max(rn) AS n_samples FROM r GROUP BY id)
+SELECT t.id, t.n_samples,
+       CAST(coalesce(p.n_episodes, 0) AS BIGINT) AS n_episodes,
+       CAST(coalesce(p.longest_run, 0) AS BIGINT) AS longest_run,
+       CAST(coalesce(p.longest_run_ms, 0) AS BIGINT) AS longest_run_ms,
+       CAST(coalesce(p.n_exceed, 0) AS BIGINT) AS n_exceed,
+       {ratio_round_duck("coalesce(p.n_exceed, 0)", "t.n_samples", 4)}
+         AS exceed_frac
+FROM tot t LEFT JOIN ps p ON t.id = p.id
+ORDER BY t.id"""
+
+
+SERIES_RUN_LENGTHS_SQL = _run_lengths_sql()
+
+
+# --- data-completeness audit (gaps / coverage) --------------------------------
+# STAGED for the round-15 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The monitoring-SLA verb: "is this series ARRIVING?" — the longest
+# silent stretch, the count of outage-grade gaps, the exact mean and
+# rank-walk median inter-sample gap, and the fraction of hourly grid
+# cells populated. NOT `ext_sessionize` (one row per activity burst —
+# the complement view on the events axis) and NOT `ext_gap_fill`
+# (which REPAIRS missing cells; this one MEASURES them): the audit
+# emits per-series scalars, including grid coverage, that neither
+# exposes, and it is the screen a user runs to decide whether gap_fill
+# output is trustworthy at all.
+
+GAP_TOL_MS = 12 * HOUR_MS  # an outage-grade gap (fixture median ≈ 6.7 h)
+
+
+def series_data_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r15 window (:func:`series_data_gaps_op`)."""
+    return series_data_gaps_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, GAP_TOL_MS, 0
+    )
+
+
+def series_data_gaps_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    tol_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series completeness audit over the closed interval. Series
+    with fewer than 2 samples are dropped (no gap is defined).
+
+    Exactness: gaps are int64 ms differences; the median gap is the
+    MAD recipe's doubled rank walk (the sum of the two middle order
+    statistics — an even count's midpoint never leaves the integers)
+    with ONE /2.0 at the output; the mean gap is the HALF_UP ratio of
+    the exact span over n−1; coverage is a HALF_UP ratio of integer
+    grid-cell counts on the gap_fill grid-origin bucketing.
+
+    Plan shape (100 TB): one shuffle on `id`, then window passes and
+    partial aggregates inside that partitioning — identical skeleton to
+    `ext_series_outlier_mad`. The hourly-grid coverage term counts
+    DISTINCT buckets per series (bounded by the interval's cell count,
+    361 here), never materializing the grid itself.
+    """
+    n_cells = (to_ms - from_ms) // HOUR_MS + 1
+    base = dedup_lww(scan_interval(meas, ids, from_ms, to_ms, flag))
+    w = Window.partitionBy("id").orderBy("time")
+    g = base.select(
+        "id",
+        "time",
+        (F.col("time") - F.lag("time", 1).over(w)).alias("gap"),
+        (
+            F.col("time")
+            - ((F.col("time") - F.lit(from_ms)) % F.lit(HOUR_MS))
+        ).alias("cell"),
+    )
+    stats = g.groupBy("id").agg(
+        F.count("*").alias("n_samples"),
+        F.max("gap").alias("longest_gap_ms"),
+        F.sum(F.when(F.col("gap") > tol_ms, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gaps_over_tol"),
+        (F.max("time") - F.min("time")).alias("span_ms"),
+        F.countDistinct("cell").alias("n_cells_hit"),
+    )
+    gaps = g.where(F.col("gap").isNotNull())
+    wr = Window.partitionBy("id").orderBy("gap", "time")
+    ranked = gaps.select(
+        "id", "gap", F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy("id")).alias("m"),
+    )
+    med = (
+        ranked.where(F.expr("rn = (m + 1) DIV 2 OR rn = (m + 2) DIV 2"))
+        .groupBy("id")
+        .agg(
+            (2 * F.sum("gap") / F.count("*")).cast("bigint").alias("med2")
+        )
+    )
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    return (
+        stats.where(F.col("n_samples") >= 2)
+        .join(med, "id")
+        .selectExpr(
+            "id",
+            "n_samples",
+            "longest_gap_ms",
+            "n_gaps_over_tol",
+            ratio_round_spark("span_ms", "n_samples - 1", 1)
+            + " AS mean_gap_ms",
+            "med2 / 2.0 AS median_gap_ms",
+            ratio_round_spark("n_cells_hit", str(n_cells), 4)
+            + " AS coverage_frac",
+        )
+        .orderBy("id")
+    )
+
+
+def _data_gaps_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    n_cells = (TO_MS - FROM_MS) // HOUR_MS + 1
+    return f"""WITH {MEAS_CTE_SQL},
+s AS (SELECT id, time FROM (
+        SELECT id, time, value, flag, {_DEDUP_RN} AS rn
+        FROM measurements WHERE {_interval_sql()}) WHERE rn = 1),
+g AS (SELECT id, time,
+             time - lag(time, 1) OVER (PARTITION BY id ORDER BY time) AS gap,
+             time - ((time - {FROM_MS}) % {HOUR_MS}) AS cell
+      FROM s),
+st AS (SELECT id, count(*) AS n_samples, max(gap) AS longest_gap_ms,
+              CAST(sum(CASE WHEN gap > {GAP_TOL_MS} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_gaps_over_tol,
+              max(time) - min(time) AS span_ms,
+              count(DISTINCT cell) AS n_cells_hit
+       FROM g GROUP BY id),
+gr AS (SELECT id, gap,
+              row_number() OVER (PARTITION BY id ORDER BY gap, time) AS rn,
+              count(*) OVER (PARTITION BY id) AS m
+       FROM g WHERE gap IS NOT NULL),
+md AS (SELECT id, CAST(2 * sum(gap) / count(*) AS BIGINT) AS med2
+       FROM gr WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+       GROUP BY id)
+SELECT t.id, t.n_samples, t.longest_gap_ms, t.n_gaps_over_tol,
+       {ratio_round_duck("t.span_ms", "t.n_samples - 1", 1)} AS mean_gap_ms,
+       m.med2 / 2.0 AS median_gap_ms,
+       {ratio_round_duck("t.n_cells_hit", str(n_cells), 4)}
+         AS coverage_frac
+FROM st t JOIN md m ON t.id = m.id
+WHERE t.n_samples >= 2
+ORDER BY t.id"""
+
+
+SERIES_DATA_GAPS_SQL = _data_gaps_sql()
