@@ -511,3 +511,249 @@ register("ext_cube_lineitem", cube_lineitem, CUBE_LINEITEM_SQL)
 register("ext_top_orders_per_cust", top_orders_per_cust, TOP_ORDERS_PER_CUST_SQL)
 register("ext_repeat_customers", repeat_customers, REPEAT_CUSTOMERS_SQL)
 register("ext_events_json", events_json, EVENTS_JSON_SQL)
+
+
+# --- RFM customer segmentation ------------------------------------------------
+# STAGED for the round-15 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The classic lifecycle segmentation (recency / frequency / monetary
+# quintiles) the revenue family lacked: `ext_topk_customers` ranks the
+# head, `ext_repeat_customers` flags one behavior, `ext_retention_cohorts`
+# tracks cohorts over time — RFM is the STANDING per-customer score
+# grid marketing actually segments on. Scores are computed from
+# row_number arithmetic, NOT ntile(): score = hi − ((rn−1)·5) DIV m is
+# the same closed form in both engines, so bucket-boundary conventions
+# cannot diverge (ntile's larger-first-buckets rule stays out of the
+# hash surface entirely).
+
+RFM_REF_DATE = "2001-09-01"  # fixed reference (orders end 2001-08-01)
+
+
+def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r15 window (:func:`rfm_segments_op`)."""
+    return rfm_segments_op(load_table(spark, sf, "orders"))
+
+
+def rfm_segments_op(orders: DataFrame) -> DataFrame:
+    """RFM quintile grid: per (r_score, f_score, m_score) cell the
+    customer count and the exact average spend.
+
+    Exactness: monetary is per-order cent-quantized BEFORE summing
+    (integer Σ — no float accumulation order), recency is an integer
+    day difference, ranks order by the metric with custkey as the
+    total-order tiebreak, scores are pure integer arithmetic, and the
+    one float per output row is the HALF_UP avg_monetary.
+
+    Plan shape (100 TB): one groupBy on o_custkey (the natural
+    clustering key), three window ranks over the |customers|-row
+    aggregate (each a single sort of the REDUCED table, not the fact
+    table), and a ≤125-cell final aggregate. At billions of customers
+    swap the three global ranks for percentile cut points from
+    `ext_sketch_quantile_hdr` — the scores change from exact ranks to
+    sketch bins; the per-customer reduction is unchanged.
+    """
+    per_cust = orders.selectExpr(
+        "o_custkey",
+        f"datediff(DATE '{RFM_REF_DATE}', CAST(o_orderdate AS DATE))"
+        " AS rec_days",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    ).groupBy("o_custkey").agg(
+        F.min("rec_days").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    m = Window.partitionBy()
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.row_number().over(w_r).alias("rn_r"),
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_m).alias("rn_m"),
+        F.count("*").over(m).alias("n_cust"),
+    ).selectExpr(
+        "o_custkey",
+        "monetary_cents",
+        "5 - ((rn_r - 1) * 5) DIV n_cust AS r_score",
+        "5 - ((rn_f - 1) * 5) DIV n_cust AS f_score",
+        "5 - ((rn_m - 1) * 5) DIV n_cust AS m_score",
+    )
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").alias("sum_cents"),
+        )
+        .selectExpr(
+            "CAST(r_score AS BIGINT) AS r_score",
+            "CAST(f_score AS BIGINT) AS f_score",
+            "CAST(m_score AS BIGINT) AS m_score",
+            "n_customers",
+            ratio_round_spark("sum_cents", "100 * n_customers", 2)
+            + " AS avg_monetary",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _rfm_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+pc AS (SELECT o_custkey,
+              min(datediff('day', CAST(o_orderdate AS DATE),
+                           DATE '{RFM_REF_DATE}')) AS recency_days,
+              count(*) AS frequency,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS monetary_cents
+       FROM orders GROUP BY o_custkey),
+sc AS (SELECT o_custkey, monetary_cents,
+              row_number() OVER (ORDER BY recency_days, o_custkey) AS rn_r,
+              row_number() OVER (ORDER BY frequency DESC, o_custkey) AS rn_f,
+              row_number() OVER (ORDER BY monetary_cents DESC, o_custkey)
+                AS rn_m,
+              count(*) OVER () AS n_cust
+       FROM pc),
+g AS (SELECT o_custkey, monetary_cents,
+             5 - ((rn_r - 1) * 5) // n_cust AS r_score,
+             5 - ((rn_f - 1) * 5) // n_cust AS f_score,
+             5 - ((rn_m - 1) * 5) // n_cust AS m_score
+      FROM sc)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       count(*) AS n_customers,
+       {ratio_round_duck("sum(monetary_cents)", "100 * count(*)", 2)}
+         AS avg_monetary
+FROM g GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score"""
+
+
+RFM_SEGMENTS_SQL = _rfm_sql()
+
+
+# --- market-basket association rules -------------------------------------------
+# STAGED for the round-15 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# Pairwise co-purchase mining (support / confidence / lift) — the one
+# association view the relational family lacked; the token-domain
+# sibling is `ext_token_pmi` (same margins-and-pairs skeleton, PMI in
+# place of lift). Pair generation is the PPJoin/edit-distance family's
+# blocked self-join: DISTINCT (order, part) first, equi-join on the
+# order key with part_a < part_b — candidate volume is Σ C(k_o, 2)
+# with k_o the order's item count (TPC-H max 13; a hot basket is a
+# data-quality finding, not a plan hazard).
+
+BASKET_MIN_SUP = 2  # pairs must co-occur in ≥2 orders
+BASKET_TOP = 50
+
+
+def market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r15 window (:func:`market_basket_op`)."""
+    return market_basket_op(load_table(spark, sf, "lineitem"))
+
+
+def market_basket_op(li: DataFrame) -> DataFrame:
+    """Top co-purchased part pairs with exact support counts, both
+    directional confidences, and lift.
+
+    Exactness: supports are integer counts; confidences are HALF_UP
+    ratios; lift's ranking-irrelevant value is ONE float expression
+    round(n_orders·sup_ab / (sup_a·sup_b), 6) from exact int64 — the
+    top-k order key is (sup_ab DESC, part_a, part_b), all integers.
+
+    Plan shape (100 TB): the DISTINCT basket table partitions on the
+    order key (the lineitem clustering key — co-located, no extra
+    shuffle); the pair self-join is per-order-key equi-join with the
+    a < b triangle filter; margins are one broadcastable |parts|-row
+    aggregate; the final TakeOrderedAndProject keeps the sort partial.
+    """
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # 1-row broadcast scalar (the PCA-norm-join pattern): the total
+    # order count rides a crossJoin, never a driver-side action
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("sup_ab"))
+        .where(F.col("sup_ab") >= BASKET_MIN_SUP)
+    )
+    margins = basket.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.count("*").alias("sup")
+    )
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    return (
+        pairs.join(
+            F.broadcast(margins.selectExpr("mp AS pa", "sup AS sup_a")),
+            F.col("part_a") == F.col("pa"),
+        )
+        .join(
+            F.broadcast(margins.selectExpr("mp AS pb", "sup AS sup_b")),
+            F.col("part_b") == F.col("pb"),
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .selectExpr(
+            "part_a",
+            "part_b",
+            "sup_ab",
+            "sup_a",
+            "sup_b",
+            ratio_round_spark("sup_ab", "sup_a", 4) + " AS conf_a_to_b",
+            ratio_round_spark("sup_ab", "sup_b", 4) + " AS conf_b_to_a",
+            "round(CAST(n_orders AS DOUBLE) * sup_ab"
+            " / (CAST(sup_a AS DOUBLE) * sup_b), 6) AS lift",
+        )
+        .orderBy(F.desc("sup_ab"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP)
+    )
+
+
+def _basket_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM basket),
+pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 count(*) AS sup_ab
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= {BASKET_MIN_SUP}),
+m AS (SELECT l_partkey AS mp, count(*) AS sup FROM basket GROUP BY 1)
+SELECT p.part_a, p.part_b, p.sup_ab,
+       ma.sup AS sup_a, mb.sup AS sup_b,
+       {ratio_round_duck("p.sup_ab", "ma.sup", 4)} AS conf_a_to_b,
+       {ratio_round_duck("p.sup_ab", "mb.sup", 4)} AS conf_b_to_a,
+       round(CAST(n.n AS DOUBLE) * p.sup_ab
+             / (CAST(ma.sup AS DOUBLE) * mb.sup), 6) AS lift
+FROM pairs p
+JOIN m ma ON p.part_a = ma.mp
+JOIN m mb ON p.part_b = mb.mp
+CROSS JOIN n_ord n
+ORDER BY p.sup_ab DESC, p.part_a, p.part_b
+LIMIT {BASKET_TOP}"""
+
+
+MARKET_BASKET_SQL = _basket_sql()

@@ -1988,3 +1988,179 @@ ORDER BY label, rk"""
 
 
 register("ext_embedding_outliers", embedding_outliers, EMBEDDING_OUTLIERS_SQL)
+
+
+# --- label separability audit ---------------------------------------------------
+# STAGED for the round-15 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The label-LEVEL companion to `ext_embedding_outliers` (which screens
+# individual vectors): per label, how TIGHT is the cluster (RMS
+# distance to its own mean) and how FAR is the nearest other label's
+# mean — the Davies-Bouldin-style "are these labels even separable?"
+# screen run before trusting kNN/centroid classifiers or stratified
+# dedup on the label column. A label whose nearest-centroid distance
+# is UNDER its own within-RMS is a merge/mislabel candidate.
+
+
+def label_separability(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r15 window (:func:`label_separability_op`)."""
+    return label_separability_op(load_table(spark, sf, "embeddings"))
+
+
+def label_separability_op(emb: DataFrame) -> DataFrame:
+    """Per label: vector count, within-cluster RMS distance, the
+    nearest other label and its centroid distance, and the
+    separation ratio (nearest / within).
+
+    Exactness: vectors quantize to the shared 10⁴ int grid; with
+    S_ad = Σ q_d the per-dimension label sums,
+
+        W_a        = Σ_v Σ_d (n_a·q_d(v) − S_ad)²        (exact)
+        B_ab       = Σ_d (n_b·S_ad − n_a·S_bd)²           (exact)
+
+    accumulate in DECIMAL(38,0)/HUGEINT; within_rms =
+    round(√(W_a/n_a)/(n_a·10⁴), 6) and dist_ab =
+    round(√B_ab/(n_a·n_b·10⁴), 6) are the only float expressions,
+    identical shape in both engines. The nearest-label rank orders by
+    the ALREADY-ROUNDED distance with label_b as the total-order
+    tiebreak, so the argmin is hash-stable. The ratio divides two
+    already-rounded doubles — again identical IEEE in both engines.
+
+    Plan shape (100 TB): the per-(label, dim) sums are ONE partial
+    aggregate over the posexploded corpus (|labels|·64 groups,
+    broadcastable); W comes from the same per-vector fold as the
+    outlier screen; the centroid pair table is |labels|² rows — a
+    label-count-bounded grid, never a corpus-sized object. At extreme
+    label cardinality (n·S products past DECIMAL(38,0)) round the
+    centroids onto the 10⁴ grid first — the PCA scale-down recipe —
+    and the pair table stays exact on the rounded grid.
+    """
+    q = emb.selectExpr(
+        "vec_id",
+        "label",
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {_OUT_SCALE}) AS BIGINT)) AS q",
+    )
+    long = q.select("vec_id", "label", F.posexplode("q").alias("dim", "qd"))
+    sums = long.groupBy(
+        F.col("label").alias("slabel"), F.col("dim").alias("sdim")
+    ).agg(F.count("*").alias("n"), F.sum("qd").alias("sd"))
+    within = (
+        long.join(
+            F.broadcast(sums),
+            (F.col("label") == F.col("slabel"))
+            & (F.col("dim") == F.col("sdim")),
+        )
+        .selectExpr(
+            "label",
+            "n",
+            "(CAST(n AS DECIMAL(38,0)) * qd - sd) AS dev",
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("dev") * F.col("dev")).alias("w"),
+        )
+        .selectExpr(
+            "label",
+            "n",
+            f"round(sqrt(CAST(w AS DOUBLE) / n) / (n * {_OUT_SCALE}.0d), 6)"
+            " AS within_rms",
+        )
+    )
+    ca = sums.selectExpr("slabel AS la", "sdim AS da", "n AS na", "sd AS sa")
+    cb = sums.selectExpr("slabel AS lb", "sdim AS db", "n AS nb", "sd AS sb")
+    dists = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("da") == F.col("db")) & (F.col("la") != F.col("lb")),
+        )
+        .selectExpr(
+            "la",
+            "lb",
+            "na",
+            "nb",
+            "(CAST(nb AS DECIMAL(38,0)) * sa"
+            " - CAST(na AS DECIMAL(38,0)) * sb) AS dd",
+        )
+        .groupBy("la", "lb")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.sum(F.col("dd") * F.col("dd")).alias("b2"),
+        )
+        .selectExpr(
+            "la",
+            "lb",
+            "round(sqrt(CAST(b2 AS DOUBLE))"
+            f" / (CAST(na AS DOUBLE) * nb * {_OUT_SCALE}), 6) AS dist",
+        )
+    )
+    wnear = Window.partitionBy("la").orderBy(F.asc("dist"), F.asc("lb"))
+    nearest = (
+        dists.withColumn("rk", F.row_number().over(wnear))
+        .where("rk = 1")
+        .selectExpr("la", "lb AS nearest_label", "dist AS nearest_dist")
+    )
+    return (
+        within.join(nearest, within.label == nearest.la)
+        .selectExpr(
+            "label",
+            "n AS n_vecs",
+            "within_rms",
+            "nearest_label",
+            "nearest_dist",
+            "CASE WHEN within_rms > 0"
+            " THEN round(nearest_dist / within_rms, 6)"
+            " ELSE CAST(NULL AS DOUBLE) END AS separation_ratio",
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_SEPARABILITY_SQL = f"""WITH
+qv AS (SELECT vec_id, label,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * {_OUT_SCALE}) AS BIGINT))
+                AS q
+       FROM embeddings),
+lng AS (SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS dim,
+               unnest(q) AS qd
+        FROM qv),
+sums AS (SELECT label, dim, count(*) AS n, CAST(sum(qd) AS BIGINT) AS sd
+         FROM lng GROUP BY label, dim),
+w AS (SELECT l.label, max(s.n) AS n,
+             sum((CAST(s.n AS HUGEINT) * l.qd - s.sd)
+                 * (CAST(s.n AS HUGEINT) * l.qd - s.sd)) AS w2
+      FROM lng l JOIN sums s ON l.label = s.label AND l.dim = s.dim
+      GROUP BY l.label),
+within AS (SELECT label, n,
+                  round(sqrt(CAST(w2 AS DOUBLE) / n) / (n * {_OUT_SCALE}.0), 6)
+                    AS within_rms
+           FROM w),
+dists AS (SELECT a.label AS la, b.label AS lb,
+                 round(sqrt(CAST(sum((CAST(b.n AS HUGEINT) * a.sd
+                                      - CAST(a.n AS HUGEINT) * b.sd)
+                                     * (CAST(b.n AS HUGEINT) * a.sd
+                                        - CAST(a.n AS HUGEINT) * b.sd))
+                                 AS DOUBLE))
+                       / (CAST(max(a.n) AS DOUBLE) * max(b.n)
+                          * {_OUT_SCALE}), 6) AS dist
+          FROM sums a JOIN sums b
+            ON a.dim = b.dim AND a.label <> b.label
+          GROUP BY a.label, b.label),
+nearest AS (SELECT la, lb AS nearest_label, dist AS nearest_dist
+            FROM (SELECT la, lb, dist,
+                         row_number() OVER (PARTITION BY la
+                                            ORDER BY dist, lb) AS rk
+                  FROM dists)
+            WHERE rk = 1)
+SELECT w.label, w.n AS n_vecs, w.within_rms,
+       n.nearest_label, n.nearest_dist,
+       CASE WHEN w.within_rms > 0
+            THEN round(n.nearest_dist / w.within_rms, 6)
+            ELSE CAST(NULL AS DOUBLE) END AS separation_ratio
+FROM within w JOIN nearest n ON w.label = n.la
+ORDER BY w.label"""
