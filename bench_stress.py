@@ -2494,6 +2494,14 @@ def main() -> None:
     pa_s, pa_rows = stress_events_paths(spark)
     mad_s, mad_rows = stress_series_mad(spark)
     ed_s, ed_pairs, ed_sum = stress_edit_distance(spark)
+    rl_s, rl_rows = stress_run_lengths(spark)
+    dg_s, dg_rows = stress_data_gaps(spark)
+    fl_s, fl_users = stress_funnel_latency(spark)
+    rfm_s, rfm_cells = stress_rfm(spark)
+    mb_s, mb_rows = stress_market_basket(spark)
+    sep_s, sep_vecs = stress_label_separability(spark)
+    srl_s, srl_batch_s, srl_series = stress_streaming_runlen(spark)
+    srate_s, srate_batch_s, srate_rows = stress_streaming_rate(spark)
     print(
         json.dumps(
             {
@@ -2560,6 +2568,16 @@ def main() -> None:
                     "events_paths_10m": round(pa_s, 4),
                     "series_mad_10m": round(mad_s, 4),
                     "edit_distance_200k_docs": round(ed_s, 4),
+                    "run_lengths_10m": round(rl_s, 4),
+                    "data_gaps_10m": round(dg_s, 4),
+                    "funnel_latency_2m5_events": round(fl_s, 4),
+                    "rfm_segments_1m_custs": round(rfm_s, 4),
+                    "market_basket_1m5_lines": round(mb_s, 4),
+                    "label_separability_200k": round(sep_s, 4),
+                    "streaming_runlen_2m": round(srl_s, 4),
+                    "batch_runlen_same_rows": round(srl_batch_s, 4),
+                    "streaming_rate_2m": round(srate_s, 4),
+                    "batch_rate_same_rows": round(srate_batch_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -3598,3 +3616,422 @@ def stress_edit_distance(spark) -> tuple[float, int, int]:
     want_s = EDIT_STRESS_BLOCKS * sum(pairs)
     assert (agg.c, agg.s) == (want_c, want_s), (agg, want_c, want_s)
     return ed_s, int(agg.c), int(agg.s)
+
+
+RUNLEN_STRESS_SERIES = 100
+RUNLEN_STRESS_PER = 100_000  # rows per series (10M total), period 100
+
+
+def stress_run_lengths(spark) -> tuple[float, int]:
+    """Staged r15 exceedance episodes at 10M rows / 100 series: every
+    series repeats a 100-sample period of 60 low / 40 high values, so
+    each series has EXACTLY 1000 episodes of exactly 40 samples /
+    39 s wall-clock and an exceed fraction of exactly 0.4 — asserted in
+    closed form across all 100 series (the islands arithmetic must not
+    merge or split a single episode at 10M-row volume)."""
+    from dariadb_spark.ext.timeseries import series_run_lengths_op
+
+    n_rows = RUNLEN_STRESS_SERIES * RUNLEN_STRESS_PER
+    meas = spark.range(n_rows).selectExpr(
+        f"id % {RUNLEN_STRESS_SERIES} AS id",
+        f"(id DIV {RUNLEN_STRESS_SERIES}) * 1000 AS time",
+        f"CASE WHEN (id DIV {RUNLEN_STRESS_SERIES}) % 100 < 60"
+        " THEN 0.0d ELSE 100.0d END AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = series_run_lengths_op(
+        meas, None, 0, RUNLEN_STRESS_PER * 1000, 50.0, 0
+    ).collect()
+    rl_s = time.perf_counter() - t0
+    periods = RUNLEN_STRESS_PER // 100
+    frac = ((2 * 40 * periods * 10**4 + RUNLEN_STRESS_PER)
+            // (2 * RUNLEN_STRESS_PER)) / 10**4
+    assert len(rows) == RUNLEN_STRESS_SERIES, len(rows)
+    for r in rows:
+        assert tuple(r)[1:] == (
+            RUNLEN_STRESS_PER, periods, 40, 39_000, 40 * periods, frac
+        ), r
+    return rl_s, len(rows)
+
+
+GAPS_STRESS_SERIES = 100
+GAPS_STRESS_PER = 100_000  # rows per series (10M total)
+
+
+def stress_data_gaps(spark) -> tuple[float, int]:
+    """Staged r15 completeness audit at 10M rows / 100 series: samples
+    1 s apart with a planted 61 s outage inserted every 100 samples —
+    longest gap, outage count, the rank-walk median (the 1 s majority),
+    the HALF_UP mean, and FULL hourly coverage (no gap reaches an hour)
+    all asserted in closed form."""
+    from dariadb_spark.ext.timeseries import HOUR_MS, series_data_gaps_op
+
+    n_rows = GAPS_STRESS_SERIES * GAPS_STRESS_PER
+    # time(k) = k·1000 + (k DIV 100)·60000: a 61 s gap at every k≡0 (mod
+    # 100) boundary, 1 s otherwise
+    meas = spark.range(n_rows).selectExpr(
+        f"id % {GAPS_STRESS_SERIES} AS id",
+        f"(id DIV {GAPS_STRESS_SERIES}) * 1000"
+        f" + ((id DIV {GAPS_STRESS_SERIES}) DIV 100) * 60000 AS time",
+        "1.0d AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    n = GAPS_STRESS_PER
+    t_last = (n - 1) * 1000 + ((n - 1) // 100) * 60_000
+    t0 = time.perf_counter()
+    rows = series_data_gaps_op(meas, None, 0, t_last, 30_000, 0).collect()
+    dg_s = time.perf_counter() - t0
+    n_out = (n - 1) // 100  # gaps at k = 100, 200, …
+    span = t_last
+    mean = ((2 * span * 10 + (n - 1)) // (2 * (n - 1))) / 10
+    n_cells = t_last // HOUR_MS + 1
+    assert len(rows) == GAPS_STRESS_SERIES, len(rows)
+    for r in rows:
+        assert tuple(r)[1:] == (
+            n, 61_000, n_out, mean, 1000.0, 1.0
+        ), (r, mean, n_cells)
+    return dg_s, len(rows)
+
+
+FUNNEL_STRESS_USERS = 1_000_000
+
+
+def stress_funnel_latency(spark) -> tuple[float, int]:
+    """Staged r15 funnel latency at 2.5M events / 1M users: every user
+    views then clicks with lag (u%10+1) s (100k users per lag value),
+    every other user then purchases with lag (u%5+1)·2 s — the exact
+    mean / rank-walk median / rank-⌈0.9·m⌉ p90 of both transitions are
+    closed forms over the uniform lag grid."""
+    from dariadb_spark.ext.analytics import funnel_latency_op
+
+    u = FUNNEL_STRESS_USERS
+    views = spark.range(u).selectExpr(
+        "id AS id", "id AS time", "0.0d AS value", "CAST(2 AS BIGINT) AS flag"
+    )
+    clicks = spark.range(u).selectExpr(
+        "id AS id",
+        "id + (id % 10 + 1) * 1000 AS time",
+        "0.0d AS value",
+        "CAST(1 AS BIGINT) AS flag",
+    )
+    buys = spark.range(u).where("id % 2 = 0").selectExpr(
+        "id AS id",
+        "id + (id % 10 + 1) * 1000 + (id % 5 + 1) * 2000 AS time",
+        "0.0d AS value",
+        "CAST(8 AS BIGINT) AS flag",
+    )
+    meas = views.unionByName(clicks).unionByName(buys)
+    t0 = time.perf_counter()
+    out = {
+        r.transition: tuple(r)[1:]
+        for r in funnel_latency_op(meas).collect()
+    }
+    fl_s = time.perf_counter() - t0
+    # view→click: lags (1..10)·1000, u/10 users each → mean 5500,
+    # median middles (5000, 6000) → 5500, p90 rank 0.9u → 9000
+    assert out["view_to_click"] == (u, 5500.0, 5500.0, 9000)
+    # click→purchase: even users, id%5+1 ∈ {1,3,5,2,4}·2000 uniform over
+    # id%10 ∈ {0,2,4,6,8} → lags {2,6,10,4,8}·1000, u/10 each → mean
+    # 6000, middles (6000, 6000), p90 → 10000
+    assert out["click_to_purchase"] == (u // 2, 6000.0, 6000.0, 10_000)
+    return fl_s, u + u // 2
+
+
+RFM_STRESS_CUSTS = 1_000_000
+
+
+def stress_rfm(spark) -> tuple[float, int]:
+    """Staged r15 RFM at 1M customers (m divisible by 5 — clean
+    quintiles): identical order dates (recency ranks resolve purely by
+    the custkey tiebreak), frequency all 1, monetary strictly
+    decreasing in custkey — so customer c lands in cell (q,q,q) with
+    q = 5 − (c·5) DIV m, 200k customers per cell, and the cell averages
+    are exact arithmetic-series closed forms."""
+    from dariadb_spark.ext.relational import rfm_segments_op
+
+    m = RFM_STRESS_CUSTS
+    orders = spark.range(m).selectExpr(
+        "id AS o_orderkey",
+        "id AS o_custkey",
+        "'O' AS o_orderstatus",
+        # cents = 2·(m − id) → dollars; ·2 keeps the cent grid exact
+        f"CAST(2 * ({m} - id) AS DOUBLE) / 100.0d AS o_totalprice",
+        "CAST('2001-01-01' AS TIMESTAMP) AS o_orderdate",
+        "'X' AS o_orderpriority",
+    )
+    t0 = time.perf_counter()
+    rows = sorted(tuple(r) for r in rfm_segments_op(orders).collect())
+    rfm_s = time.perf_counter() - t0
+    per = m // 5
+    want = []
+    for q in range(1, 6):
+        # r-quintile q holds custkeys c with score(c) = q; scores fall
+        # with custkey (recency ties → custkey asc ranks), monetary
+        # falls with custkey too, so the same block lands m-score q.
+        # Block for score q: ranks ((5−q)·m/5, … ] — custkeys
+        # c ∈ [(5−q)·per, (6−q)·per)
+        c_lo = (5 - q) * per
+        cents = sum(2 * (m - c) for c in (c_lo, c_lo + per - 1)) * per // 2
+        avg = ((2 * cents * 100 + 100 * per) // (2 * 100 * per)) / 100
+        want.append((q, q, q, per, avg))
+    assert rows == sorted(want), (rows[:3], want[:3])
+    return rfm_s, len(rows)
+
+
+BASKET_STRESS_ORDERS = 500_000
+
+
+def stress_market_basket(spark) -> tuple[float, int]:
+    """Staged r15 market basket at 1.5M lineitems / 500k orders: order
+    o holds parts {a, 1000+a, 2000+a%500} with a = o%1000 — every
+    surviving pair has support exactly 500, the C-part margins are
+    exactly 1000, and lift is exactly 1000 (A–B pairs) or 500 (pairs
+    through C) — the top-50 list is a closed form."""
+    from dariadb_spark.ext.relational import market_basket_op
+
+    n = BASKET_STRESS_ORDERS
+    li = None
+    for expr in (
+        "id % 1000",
+        "1000 + id % 1000",
+        "2000 + id % 500",
+    ):
+        part = spark.range(n).selectExpr(
+            "id AS l_orderkey",
+            f"CAST({expr} AS BIGINT) AS l_partkey",
+            "CAST(1 AS BIGINT) AS l_suppkey",
+            "CAST(1 AS INT) AS l_linenumber",
+            "1.0d AS l_quantity",
+            "1.0d AS l_extendedprice",
+            "0.0d AS l_discount",
+            "0.0d AS l_tax",
+            "'N' AS l_returnflag",
+            "'O' AS l_linestatus",
+            "CAST(NULL AS TIMESTAMP) AS l_shipdate",
+        )
+        li = part if li is None else li.unionByName(part)
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in market_basket_op(li).collect()]
+    mb_s = time.perf_counter() - t0
+    sup = 500  # n / 1000 co-occurrences per pair key
+
+    def rr4(a, b):
+        return ((2 * a * 10**4 + b) // (2 * b)) / 10**4
+
+    want_all = []
+    for a in range(1000):
+        c = 2000 + a % 500
+        want_all.append((a, 1000 + a, sup, 500, 500,
+                         rr4(sup, 500), rr4(sup, 500),
+                         round(n * sup / (500 * 500), 6)))
+        want_all.append((a, c, sup, 500, 1000,
+                         rr4(sup, 500), rr4(sup, 1000),
+                         round(n * sup / (500 * 1000), 6)))
+        want_all.append((1000 + a, c, sup, 500, 1000,
+                         rr4(sup, 500), rr4(sup, 1000),
+                         round(n * sup / (500 * 1000), 6)))
+    want_all.sort(key=lambda x: (-x[2], x[0], x[1]))
+    assert got == want_all[:50], (got[:3], want_all[:3])
+    return mb_s, len(got)
+
+
+SEP_STRESS_LABELS = 20
+SEP_STRESS_PER = 10_000  # vectors per label (200k total), dim 8
+
+
+def stress_label_separability(spark) -> tuple[float, int]:
+    """Staged r15 label separability at 200k vectors / 20 labels /
+    dim 8: label L sits at (1 + L DIV 8)/10 along axis L%8 with a ±0.001
+    jitter split evenly on the NEXT axis — so S cancels on the jitter
+    axis, within_rms is EXACTLY 0.001 for every label, and the
+    between-centroid distances are exact two-axis closed forms; each
+    label's nearest neighbor and ratio are asserted against a
+    pure-Python replay of the integer pipeline."""
+    import math
+
+    from dariadb_spark.ext.similarity import (
+        _OUT_SCALE,
+        label_separability_op,
+    )
+
+    n_l = SEP_STRESS_LABELS
+    per = SEP_STRESS_PER
+    emb = spark.range(n_l * per).selectExpr(
+        "id AS vec_id",
+        f"CAST(id DIV {per} AS INT) AS label",
+        # base axis (label % 8) gets (1 + label DIV 8)/10; jitter axis
+        # ((label + 1) % 8) gets ±0.001 alternating
+        f"""transform(sequence(0, 7), d ->
+             CAST(CASE
+               WHEN d = CAST(id DIV {per} AS INT) % 8
+                 THEN (1 + (id DIV {per}) DIV 8) / 10.0d
+               WHEN d = (CAST(id DIV {per} AS INT) + 1) % 8
+                 THEN CASE WHEN id % 2 = 0 THEN 0.001d ELSE -0.001d END
+               ELSE 0.0d END AS FLOAT)) AS embedding""",
+    )
+    t0 = time.perf_counter()
+    got = {
+        r.label: tuple(r)[1:]
+        for r in label_separability_op(
+            emb.selectExpr("vec_id", "label", "embedding")
+        ).collect()
+    }
+    sep_s = time.perf_counter() - t0
+
+    # pure-Python replay on the exact integer grid (jitter sums cancel)
+    base = {
+        lab: [(1 + lab // 8) * 1000 if d == lab % 8 else 0 for d in range(8)]
+        for lab in range(n_l)
+    }
+
+    def dist(a, b):
+        bb = sum(
+            (per * per * (base[a][d] - base[b][d])) ** 2 for d in range(8)
+        )
+        return round(math.sqrt(bb) / (per * per * _OUT_SCALE), 6)
+
+    for lab in range(n_l):
+        others = [(dist(lab, o), o) for o in range(n_l) if o != lab]
+        nd, nl_ = min(others)
+        ratio = round(nd / 0.001, 6)
+        assert got[lab] == (per, 0.001, nl_, nd, ratio), (lab, got[lab])
+    return sep_s, n_l * per
+
+
+SRUNLEN_STRESS_ROWS = 2_000_000
+SRUNLEN_STRESS_SERIES = 1_000
+
+
+def stress_streaming_runlen(spark) -> tuple[float, float, int]:
+    """Staged r15 streaming run-length counters at 2M rows / 1k series
+    folded in TWO micro-batches (an episode is OPEN at the cut for
+    every series by construction): the standing summary must equal the
+    batch operator on the same rows exactly, all 1k series."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.timeseries import series_run_lengths_op
+    from dariadb_spark.streaming.runlen import (
+        run_lengths_from_log,
+        streaming_run_lengths_log,
+    )
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        parity_stream_partitions,
+    )
+
+    per = SRUNLEN_STRESS_ROWS // SRUNLEN_STRESS_SERIES
+    # 60 low / 40 high per 100-sample period; the cut at per/2 = 1000
+    # lands INSIDE a high run (samples 960–999 of period 9 are high)
+    meas = spark.range(SRUNLEN_STRESS_ROWS).selectExpr(
+        f"id % {SRUNLEN_STRESS_SERIES} AS id",
+        f"(id DIV {SRUNLEN_STRESS_SERIES}) * 1000 AS time",
+        f"CASE WHEN (id DIV {SRUNLEN_STRESS_SERIES}) % 100 < 60"
+        " THEN 0.0d ELSE 100.0d END AS value",
+        "CAST(1 AS BIGINT) AS flag",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_srunlen_stress_")
+    data_dir = f"{base}/meas"
+    qname = "srunlen_stress_" + base.rsplit("_", 1)[-1]
+    cut = (per // 2 - 21) * 1000  # sample 979: mid-run (79 ≥ 60)
+    try:
+        meas.where(F.col("time") <= cut).coalesce(1).write.parquet(data_dir)
+        meas.where(F.col("time") > cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+        t0 = time.perf_counter()
+        with parity_stream_partitions(spark, n=8):
+            q = streaming_run_lengths_log(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        got = sorted(
+            tuple(r)
+            for r in run_lengths_from_log(spark.table(qname)).collect()
+        )
+        srl_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        want = sorted(
+            tuple(r)
+            for r in series_run_lengths_op(
+                meas, None, 0, per * 1000, 50.0, 0
+            ).collect()
+        )
+        batch_s = time.perf_counter() - t0
+        assert len(got) == SRUNLEN_STRESS_SERIES
+        assert got == want
+        return srl_s, batch_s, len(got)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SRATE_STRESS_ROWS = 2_000_000
+SRATE_STRESS_SERIES = 1_000
+
+
+def stress_streaming_rate(spark) -> tuple[float, float, int]:
+    """Staged r15 streaming counter rate at 2M rows / 1k series folded
+    in TWO micro-batches with planted counter RESETS (value sawtooths
+    every 500 samples, one reset lands exactly at the cut for every
+    series): the standing increase log must equal the batch operator
+    exactly — asserted order-free via count + the integer sums of
+    round(increase·10⁶) and round(rate·10⁶)."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.timeseries import counter_rate_op
+    from dariadb_spark.streaming.rate import (
+        counter_rate_from_log,
+        streaming_counter_rate_log,
+    )
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        parity_stream_partitions,
+    )
+
+    per = SRATE_STRESS_ROWS // SRATE_STRESS_SERIES
+    meas = spark.range(SRATE_STRESS_ROWS).selectExpr(
+        f"id % {SRATE_STRESS_SERIES} AS id",
+        f"(id DIV {SRATE_STRESS_SERIES}) * 60000 AS time",
+        # sawtooth counter: climbs 0..499 then resets
+        f"CAST((id DIV {SRATE_STRESS_SERIES}) % 500 AS DOUBLE) AS value",
+        "CAST(1 AS BIGINT) AS flag",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_srate_stress_")
+    data_dir = f"{base}/meas"
+    qname = "srate_stress_" + base.rsplit("_", 1)[-1]
+    cut = (per // 2 - 1) * 60_000  # sample 999 (value 499): next resets
+    agg_exprs = [
+        "count(*) AS c",
+        "sum(CAST(round(increase * 1e6) AS DECIMAL(38,0))) AS si",
+        "sum(CAST(round(rate_per_s * 1e6) AS DECIMAL(38,0))) AS sr",
+    ]
+    try:
+        meas.where(F.col("time") <= cut).coalesce(1).write.parquet(data_dir)
+        meas.where(F.col("time") > cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+        t0 = time.perf_counter()
+        with parity_stream_partitions(spark, n=8):
+            q = streaming_counter_rate_log(
+                spark, data_dir, qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        s = counter_rate_from_log(spark.table(qname)).selectExpr(
+            *agg_exprs
+        ).collect()[0]
+        srate_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b = counter_rate_op(meas, None, 0, per * 60_000, 0).selectExpr(
+            *agg_exprs
+        ).collect()[0]
+        batch_s = time.perf_counter() - t0
+        expect = SRATE_STRESS_ROWS - SRATE_STRESS_SERIES
+        assert s.c == expect and b.c == expect, (s.c, b.c)
+        assert (s.si, s.sr) == (b.si, b.sr), (s, b)
+        return srate_s, batch_s, int(s.c)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)

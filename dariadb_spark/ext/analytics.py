@@ -866,7 +866,7 @@ def funnel_latency_op(meas: DataFrame) -> DataFrame:
             "transition",
             "n_users",
             ratio_round_spark("sum_lag", "n_users", 1) + " AS mean_lag_ms",
-            "med2 / 2.0 AS median_lag_ms",
+            "med2 / 2.0d AS median_lag_ms",  # double literal: DECIMAL stays out
             "p90_ms",
         )
         .orderBy("transition")

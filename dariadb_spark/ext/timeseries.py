@@ -2643,7 +2643,7 @@ def series_data_gaps_op(
             "n_gaps_over_tol",
             ratio_round_spark("span_ms", "n_samples - 1", 1)
             + " AS mean_gap_ms",
-            "med2 / 2.0 AS median_gap_ms",
+            "med2 / 2.0d AS median_gap_ms",  # double literal: DECIMAL stays out
             ratio_round_spark("n_cells_hit", str(n_cells), 4)
             + " AS coverage_frac",
         )

@@ -498,38 +498,31 @@ def test_coverage_md_matches_registry():
     assert problems == [], problems
 
 
-def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
-    """The round-13 staged operators get the same physical-plan sweep
-    as the registered surface BEFORE their r14 registration — a
-    CartesianProduct is never acceptable. (The 16 round-12-staged
-    operators registered in r13 and are covered by the registered sweep
-    above.) Exception noted inline: the Bloom probe panel's
-    vocab × langs expansion is a deliberate |langs|-bounded broadcast
-    nested loop (≤ a handful of langs), not a pair-space blowup — the
-    same dispensation as the C(|langs|,2) grids the r12 verdict
-    accepted."""
-    from dariadb_spark.ext.analytics import events_paths
-    from dariadb_spark.ext.dedup import dedup_edit_distance
-    from dariadb_spark.ext.similarity import embedding_outliers
-    from dariadb_spark.ext.sketches import sketch_bloom
+def test_no_cartesian_product_in_staged_r15_plans(spark, oracle_sf_dir):
+    """The round-14 staged operators get the same physical-plan sweep
+    as the registered surface BEFORE their r15 registration — a
+    CartesianProduct is never acceptable. (The 8 round-13-staged
+    operators registered in r14 and are covered by the registered sweep
+    above.)"""
+    from dariadb_spark.ext.analytics import funnel_latency
+    from dariadb_spark.ext.relational import market_basket, rfm_segments
+    from dariadb_spark.ext.similarity import label_separability
     from dariadb_spark.ext.timeseries import (
-        series_cross_corr,
-        series_outlier_mad,
-        series_seasonal_strength,
+        series_data_gaps,
+        series_run_lengths,
     )
-    from dariadb_spark.streaming.ewma import ewma_from_log
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     offenders = []
     for fn in (
-        series_cross_corr,
-        series_seasonal_strength,
-        embedding_outliers,
-        events_paths,
-        series_outlier_mad,
-        dedup_edit_distance,
+        series_run_lengths,
+        series_data_gaps,
+        funnel_latency,
+        rfm_segments,
+        market_basket,
+        label_separability,
     ):
         plan = (
             fn(spark, oracle_sf_dir)
@@ -539,18 +532,34 @@ def test_no_cartesian_product_in_staged_r14_plans(spark, oracle_sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(fn.__name__)
     assert not offenders, offenders
-    # sketch_bloom: assert the vocab × langs expansion stays a BROADCAST
-    # nested loop (langs side is a tiny aggregate), never a shuffled
-    # cartesian
-    from dariadb_spark.ext.sketches import sketch_bloom as _sb
+    # market_basket's 1-row n_orders scalar must ride a BROADCAST
+    # nested loop (the PCA-norm-join dispensation), never a shuffled
+    # cartesian — already asserted by the sweep above; here pin that
+    # the pair join itself is a plain shuffled/broadcast HASH join on
+    # the order key (the blocked-self-join family contract)
+    plan = (
+        market_basket(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "HashJoin" in plan, "basket pair join must hash on l_orderkey"
+    # the streaming twins' JVM closures: counter-rate is a pure
+    # projection (no join); run-lengths is one window + projection
+    from dariadb_spark.streaming.rate import counter_rate_from_log
+    from dariadb_spark.streaming.runlen import run_lengths_from_log
 
-    plan = _sb(spark, oracle_sf_dir)._jdf.queryExecution().explainString(mode)
-    assert "CartesianProduct" not in plan, "bloom probe panel"
-    # the streaming ewma JVM closure is a pure projection — no join at all
-    df = ewma_from_log(
+    df = counter_rate_from_log(
         spark.createDataFrame(
-            [(1, 2, 3.0, 4.0, 5.0)],
-            "id long, time long, value double, num double, den double",
+            [(1, 2, 3.0, 4, 5.0)],
+            "id long, time long, value double, dt_ms long, inc double",
+        )
+    )
+    assert "Join" not in df._jdf.queryExecution().explainString(mode)
+    df = run_lengths_from_log(
+        spark.createDataFrame(
+            [(1, 2, 3, 4, 5, 6)],
+            "id long, n_samples long, n_episodes long, longest_run long,"
+            " longest_run_ms long, n_exceed long",
         )
     )
     assert "Join" not in df._jdf.queryExecution().explainString(mode)

@@ -1945,3 +1945,369 @@ def test_series_outlier_mad_matches_reference(spark, rows):
         frac = ((2 * n_out * 10**4 + n) // (2 * n)) / 10**4
         want[i] = (n, med2 / 200.0, mad2 / 400.0, n_out, frac)
     assert got == want
+
+
+# --- round-15 staged operators vs pure-Python references --------------------
+
+
+def _lww(rows, lo, hi, ids=None):
+    """Replay scan_interval + dedup_lww: closed interval, optional id
+    set, per (id, time) keep the max (value, flag)."""
+    best: dict[tuple[int, int], tuple[float, int]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi and (ids is None or i in ids):
+            k = (i, t)
+            if k not in best or (v, f) > best[k]:
+                best[k] = (v, f)
+    series: dict[int, list[tuple[int, float]]] = {}
+    for (i, t), (v, _f) in best.items():
+        series.setdefault(i, []).append((t, v))
+    for ys in series.values():
+        ys.sort()
+    return series
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_run_lengths_matches_reference(spark, rows):
+    """Staged r15 ``series_run_lengths_op`` equals the definitional
+    episode fold on random data: LWW dedup, consecutive-exceedance
+    islands, longest run in samples and wall-clock, HALF_UP fraction,
+    zero rows preserved."""
+    from dariadb_spark.ext.timeseries import series_run_lengths_op
+
+    lo, hi = T0, T0 + 40 * STEP
+    thr = 0.0
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        r.id: tuple(r)[1:]
+        for r in series_run_lengths_op(df, None, lo, hi, thr, 0).collect()
+    }
+    want = {}
+    for i, ys in _lww(rows, lo, hi).items():
+        n = len(ys)
+        episodes = []
+        cur = None
+        for t, v in ys:
+            if v > thr:
+                if cur is None:
+                    cur = [t, t, 0]
+                cur[1] = t
+                cur[2] += 1
+            else:
+                if cur is not None:
+                    episodes.append(cur)
+                cur = None
+        if cur is not None:
+            episodes.append(cur)
+        n_ep = len(episodes)
+        longest = max((e[2] for e in episodes), default=0)
+        longest_ms = max((e[1] - e[0] for e in episodes), default=0)
+        n_exc = sum(e[2] for e in episodes)
+        frac = ((2 * n_exc * 10**4 + n) // (2 * n)) / 10**4
+        want[i] = (n, n_ep, longest, longest_ms, n_exc, frac)
+    assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_data_gaps_matches_reference(spark, rows):
+    """Staged r15 ``series_data_gaps_op`` equals the definitional audit
+    on random data: int64 gaps, doubled-rank-walk median on the
+    (gap, time) order, HALF_UP mean at 1 dp, grid-origin hourly
+    coverage, <2-sample series dropped."""
+    from dariadb_spark.ext.timeseries import HOUR_MS, series_data_gaps_op
+
+    lo, hi = T0, T0 + 40 * STEP
+    tol = 5 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        r.id: tuple(r)[1:]
+        for r in series_data_gaps_op(df, None, lo, hi, tol, 0).collect()
+    }
+    n_cells = (hi - lo) // HOUR_MS + 1
+    want = {}
+    for i, ys in _lww(rows, lo, hi).items():
+        n = len(ys)
+        if n < 2:
+            continue
+        ts = [t for t, _v in ys]
+        gaps = [(ts[k] - ts[k - 1], ts[k]) for k in range(1, n)]
+        m = len(gaps)
+        by_gap = sorted(gaps)
+        lo_i, hi_i = (m + 1) // 2 - 1, (m + 2) // 2 - 1
+        med2 = (
+            2 * by_gap[lo_i][0]
+            if lo_i == hi_i
+            else by_gap[lo_i][0] + by_gap[hi_i][0]
+        )
+        span = ts[-1] - ts[0]
+        mean = ((2 * span * 10 + (n - 1)) // (2 * (n - 1))) / 10
+        cells = {t - ((t - lo) % HOUR_MS) for t in ts}
+        cov = ((2 * len(cells) * 10**4 + n_cells) // (2 * n_cells)) / 10**4
+        want[i] = (
+            n,
+            max(g for g, _t in gaps),
+            sum(1 for g, _t in gaps if g > tol),
+            mean,
+            med2 / 2.0,
+            cov,
+        )
+    assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_funnel_latency_matches_reference(spark, rows):
+    """Staged r15 ``funnel_latency_op`` equals the definitional replay:
+    per-user earliest stage times with the at-or-after ordering rule,
+    HALF_UP mean at 1 dp, doubled-rank-walk median, rank-⌈0.9·m⌉ p90."""
+    from dariadb_spark.ext.analytics import _FUNNEL, funnel_latency_op
+
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {r.transition: tuple(r)[1:] for r in funnel_latency_op(df).collect()}
+
+    def stage_min(flag, prev):
+        out = {}
+        for i, t, _v, f in rows:
+            if f == flag and (prev is None or (i in prev and t >= prev[i])):
+                if i not in out or t < out[i]:
+                    out[i] = t
+        return out
+
+    s1 = stage_min(_FUNNEL[0], None)
+    s2 = stage_min(_FUNNEL[1], s1)
+    s3 = stage_min(_FUNNEL[2], s2)
+    want = {}
+    for name, a, b in (
+        ("view_to_click", s1, s2),
+        ("click_to_purchase", s2, s3),
+    ):
+        lags = sorted((b[i] - a[i], i) for i in b)
+        m = len(lags)
+        if not m:
+            continue
+        total = sum(g for g, _i in lags)
+        mean = ((2 * total * 10 + m) // (2 * m)) / 10
+        lo_i, hi_i = (m + 1) // 2 - 1, (m + 2) // 2 - 1
+        med2 = (
+            2 * lags[lo_i][0]
+            if lo_i == hi_i
+            else lags[lo_i][0] + lags[hi_i][0]
+        )
+        p90 = lags[(9 * m + 9) // 10 - 1][0]
+        want[name] = (m, mean, med2 / 2.0, p90)
+    assert got == want
+
+
+_order_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # custkey
+        st.integers(0, 400),  # order day offset from 2000-01-01
+        st.integers(1, 4_000_000),  # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_order_rows)
+@_SETTINGS
+def test_rfm_segments_matches_reference(spark, rows):
+    """Staged r15 ``rfm_segments_op`` equals the definitional replay on
+    random orders: per-order cent quantization, integer day recency,
+    closed-form rank scores with custkey tiebreaks, HALF_UP averages."""
+    import datetime as dt
+
+    from dariadb_spark.ext.relational import RFM_REF_DATE, rfm_segments_op
+
+    base = dt.datetime(2000, 1, 1)
+    ref = dt.date.fromisoformat(RFM_REF_DATE)
+    orders = spark.createDataFrame(
+        [
+            (k, c, "O", cents / 100.0, base + dt.timedelta(days=d), "X")
+            for k, (c, d, cents) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = sorted(tuple(r) for r in rfm_segments_op(orders).collect())
+
+    per = {}
+    for c, d, cents in rows:
+        day = (base + dt.timedelta(days=d)).date()
+        rec = (ref - day).days
+        st_ = per.setdefault(c, [10**9, 0, 0])
+        st_[0] = min(st_[0], rec)
+        st_[1] += 1
+        st_[2] += cents
+    m = len(per)
+
+    def score(rank):
+        return 5 - ((rank - 1) * 5) // m
+
+    custs = sorted(per)
+    rn_r = {c: r + 1 for r, c in enumerate(
+        sorted(custs, key=lambda c: (per[c][0], c)))}
+    rn_f = {c: r + 1 for r, c in enumerate(
+        sorted(custs, key=lambda c: (-per[c][1], c)))}
+    rn_m = {c: r + 1 for r, c in enumerate(
+        sorted(custs, key=lambda c: (-per[c][2], c)))}
+    cells = {}
+    for c in custs:
+        key = (score(rn_r[c]), score(rn_f[c]), score(rn_m[c]))
+        n, s = cells.get(key, (0, 0))
+        cells[key] = (n + 1, s + per[c][2])
+    want = sorted(
+        (
+            r, f, mm, n,
+            ((2 * s * 100 + 100 * n) // (2 * 100 * n)) / 100,
+        )
+        for (r, f, mm), (n, s) in cells.items()
+    )
+    assert got == want
+
+
+_basket_rows = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 6)),  # (order, part)
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(rows=_basket_rows)
+@_SETTINGS
+def test_market_basket_matches_reference(spark, rows):
+    """Staged r15 ``market_basket_op`` equals the definitional replay on
+    random baskets: distinct collapse, triangle pair counts, min
+    support, HALF_UP confidences; lift compared at 1e-9 (one float
+    expression from exact ints on both sides)."""
+    from dariadb_spark.ext.relational import (
+        BASKET_MIN_SUP,
+        BASKET_TOP,
+        market_basket_op,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+            for i, (o, p) in enumerate(rows)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = [tuple(r) for r in market_basket_op(li).collect()]
+
+    baskets: dict[int, set[int]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    n_orders = len(baskets)
+    sup: dict[int, int] = {}
+    pair: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            sup[p] = sup.get(p, 0) + 1
+        for ai in range(len(ps)):
+            for bi in range(ai + 1, len(ps)):
+                k = (ps[ai], ps[bi])
+                pair[k] = pair.get(k, 0) + 1
+    surv = sorted(
+        ((a, b, n) for (a, b), n in pair.items() if n >= BASKET_MIN_SUP),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:BASKET_TOP]
+
+    def rr4(a, b):
+        return ((2 * a * 10**4 + b) // (2 * b)) / 10**4
+
+    assert len(got) == len(surv)
+    for g, (a, b, n) in zip(got, surv):
+        assert g[:5] == (a, b, n, sup[a], sup[b])
+        assert g[5] == rr4(n, sup[a])
+        assert g[6] == rr4(n, sup[b])
+        assert abs(g[7] - round(n_orders * n / (sup[a] * sup[b]), 6)) < 1e-9
+
+
+_emb_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # label
+        st.lists(st.integers(-20000, 20000), min_size=3, max_size=3),
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(rows=_emb_rows)
+@_SETTINGS
+def test_label_separability_matches_reference(spark, rows):
+    """Staged r15 ``label_separability_op`` equals the pure-Python
+    integer reference on random 3-dim grid vectors: exact W and B
+    accumulation, the rounded-distance nearest rank with label
+    tiebreak, and the ratio of the two rounded floats."""
+    import math
+
+    from dariadb_spark.ext.similarity import _OUT_SCALE, label_separability_op
+
+    # need ≥2 labels for a nearest neighbor to exist
+    labels = {lab for lab, _v in rows}
+    if len(labels) < 2:
+        rows = rows + [((min(labels) + 1) % 3, [0, 0, 0])]
+    emb = spark.createDataFrame(
+        [
+            (vid, [x / _OUT_SCALE for x in v], lab)
+            for vid, (lab, v) in enumerate(rows)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r.label: tuple(r)[1:]
+        for r in label_separability_op(
+            emb.selectExpr("vec_id", "label", "embedding")
+        ).collect()
+    }
+
+    # float32 storage: re-quantize exactly as the op does (round the
+    # float32-rounded double back onto the grid)
+    import numpy as np
+
+    q: dict[int, list[list[int]]] = {}
+    for vid, (lab, v) in enumerate(rows):
+        f32 = [float(np.float32(x / _OUT_SCALE)) for x in v]
+        q.setdefault(lab, []).append(
+            [int(round(x * _OUT_SCALE)) for x in f32]
+        )
+    N = {lab: len(vs) for lab, vs in q.items()}
+    S = {
+        lab: [sum(v[d] for v in vs) for d in range(3)]
+        for lab, vs in q.items()
+    }
+
+    def within(lab):
+        w = sum(
+            (N[lab] * v[d] - S[lab][d]) ** 2
+            for v in q[lab]
+            for d in range(3)
+        )
+        return round(math.sqrt(w / N[lab]) / (N[lab] * _OUT_SCALE), 6)
+
+    def dist(a, b):
+        bb = sum((N[b] * S[a][d] - N[a] * S[b][d]) ** 2 for d in range(3))
+        return round(math.sqrt(bb) / (N[a] * N[b] * _OUT_SCALE), 6)
+
+    want = {}
+    for lab in sorted(q):
+        others = [(dist(lab, o), o) for o in sorted(q) if o != lab]
+        nd, nl = min(others)
+        wr = within(lab)
+        ratio = round(nd / wr, 6) if wr > 0 else None
+        want[lab] = (N[lab], wr, nl, nd, ratio)
+    assert got == want

@@ -1,0 +1,491 @@
+"""Round-15 staged operators: DuckDB hash parity at the fixture scale
+plus planted closed-form cases for each — exceedance run lengths, the
+data-completeness audit, funnel latency, RFM segmentation, market-basket
+rules, label separability, and the two new stateful ingest twins
+(run-length counters, counter rate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.parity import compare, duckdb_connection
+
+
+def test_series_run_lengths_parity_and_planted_episodes(spark, oracle_sf_dir):
+    """Staged r15 exceedance episodes: DuckDB hash parity; a planted
+    series with hand-placed runs recovers the exact episode count,
+    longest run (samples AND wall-clock), and HALF_UP fraction; a
+    never-exceeding series still reports its zero row."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_RUN_LENGTHS_SQL,
+        series_run_lengths,
+        series_run_lengths_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_run_lengths",
+        series_run_lengths(spark, oracle_sf_dir),
+        con,
+        SERIES_RUN_LENGTHS_SQL,
+    )
+    assert res.ok, res.problems
+
+    t0 = 1_704_067_200_000
+    m = 60_000
+    # series 1: runs of 3 (0..2), 1 (5), 2 (8..9) above 10.0 → 3 episodes,
+    # longest 3 samples / 2 minutes; 6 of 12 samples exceed
+    vals = [11, 12, 13, 1, 2, 99, 3, 4, 20, 30, 5, 6]
+    rows = [(1, t0 + i * m, float(v), 0) for i, v in enumerate(vals)]
+    # series 2: never exceeds → the zero row
+    rows += [(2, t0 + i * m, 1.0, 0) for i in range(4)]
+    # LWW duplicate inside an episode: the higher (value, flag) wins and
+    # keeps the run alive at t=1min
+    rows.append((1, t0 + 1 * m, 5.0, 7))  # loses to value 12
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    got = {
+        r.id: tuple(r)[1:]
+        for r in series_run_lengths_op(
+            meas, None, t0, t0 + 20 * m, 10.0, 0
+        ).collect()
+    }
+    assert got[1] == (12, 3, 3, 2 * m, 6, 0.5)
+    assert got[2] == (4, 0, 0, 0, 0, 0.0)
+
+
+def test_series_data_gaps_parity_and_planted_gaps(spark, oracle_sf_dir):
+    """Staged r15 completeness audit: DuckDB hash parity; planted
+    series exercise the odd AND even median rank walks, the outage
+    counter, and the exact hourly-grid coverage; a 1-sample series is
+    dropped (no gap defined)."""
+    from dariadb_spark.ext.timeseries import (
+        HOUR_MS,
+        SERIES_DATA_GAPS_SQL,
+        series_data_gaps,
+        series_data_gaps_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_data_gaps",
+        series_data_gaps(spark, oracle_sf_dir),
+        con,
+        SERIES_DATA_GAPS_SQL,
+    )
+    assert res.ok, res.problems
+
+    t0 = 1_704_067_200_000
+    h = HOUR_MS
+    # interval t0 .. t0+9h → 10 hourly cells
+    # series 1 (even gap count): samples at 0h, 1h, 3h, 9h
+    #   gaps 1h, 2h, 6h → wait, that's 3 (odd); add 9.5h → gaps
+    #   1h, 2h, 6h, 0.5h (even count 4, middles 1h and 2h → median 1.5h)
+    s1 = [0, 10, 30, 90, 95]  # tenths of an hour
+    rows = [(1, t0 + x * h // 10, 1.0, 0) for x in s1]
+    # series 2 (odd gap count): 0h, 2h, 9h → gaps 2h, 7h → even again;
+    # use 0h, 2h, 5h, 9h → gaps 2h, 3h, 4h (odd, median 3h)
+    s2 = [0, 20, 50, 90]
+    rows += [(2, t0 + x * h // 10, 1.0, 0) for x in s2]
+    # series 3: a single sample — dropped
+    rows += [(3, t0, 1.0, 0)]
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    out = {
+        r.id: tuple(r)[1:]
+        for r in series_data_gaps_op(
+            meas, None, t0, t0 + 9 * h, 5 * h, 0
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    # series 1: gaps (h, 2h, 6h, 0.5h); longest 6h; one gap > 5h;
+    # span 9.5h → wait 9.5h exceeds the interval? t0+9.5h > t0+9h is
+    # OUTSIDE the closed interval → sample excluded by the scan.
+    # With 9.5h excluded: samples 0,1,3,9h → gaps 1h,2h,6h (odd,
+    # median 2h), span 9h, mean 9h/3 = 3h, cells {0,1,3,9} of 10
+    assert out[1] == (4, 6 * h, 1, 3.0 * h, 2.0 * h, 0.4)
+    # series 2: gaps 2h,3h,4h → median 3h, longest 4h, none > 5h,
+    # mean 3h, cells {0,2,5,9} of 10
+    assert out[2] == (4, 4 * h, 0, 3.0 * h, 3.0 * h, 0.4)
+
+
+def test_funnel_latency_parity_and_planted_lags(spark, oracle_sf_dir):
+    """Staged r15 funnel latency: DuckDB hash parity; a planted funnel
+    with hand-placed stage times recovers the exact mean, the even-count
+    doubled-rank-walk median, and the rank-⌈0.9·m⌉ p90."""
+    from dariadb_spark.ext.analytics import (
+        FUNNEL_LATENCY_SQL,
+        funnel_latency,
+        funnel_latency_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_funnel_latency",
+        funnel_latency(spark, oracle_sf_dir),
+        con,
+        FUNNEL_LATENCY_SQL,
+    )
+    assert res.ok, res.problems
+
+    t0 = 1_704_067_200_000
+    # flags: 2=view (stage1), 1=click (stage2), 8=purchase (stage3)
+    rows = []
+    # users 1..4 view at t0, click at t0 + u*1000 → lags 1000..4000
+    for u in range(1, 5):
+        rows.append((u, t0, 0.0, 2))
+        rows.append((u, t0 + u * 1000, 0.0, 1))
+    # users 1..2 purchase 5000/7000 after the click
+    rows.append((1, t0 + 1000 + 5000, 0.0, 8))
+    rows.append((2, t0 + 2000 + 7000, 0.0, 8))
+    # user 5 clicks BEFORE viewing — not funnel-converted
+    rows.append((5, t0 + 100, 0.0, 1))
+    rows.append((5, t0 + 200, 0.0, 2))
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    out = {r.transition: tuple(r)[1:] for r in funnel_latency_op(meas).collect()}
+    # view→click: lags 1000,2000,3000,4000 → mean 2500, median 2500
+    # (middles 2000+3000), p90 rank ceil(3.6)=4 → 4000
+    assert out["view_to_click"] == (4, 2500.0, 2500.0, 4000)
+    # click→purchase: lags 5000,7000 → mean 6000, median 6000,
+    # p90 rank ceil(1.8)=2 → 7000
+    assert out["click_to_purchase"] == (2, 6000.0, 6000.0, 7000)
+
+
+def test_rfm_segments_parity_and_planted_quintiles(spark, oracle_sf_dir):
+    """Staged r15 RFM: DuckDB hash parity; a planted 7-customer table
+    (m=7 NOT divisible by 5 — the closed-form score boundaries differ
+    from ntile here) recovers hand-computed scores and exact cent
+    averages."""
+    import datetime
+
+    from dariadb_spark.ext.relational import (
+        RFM_SEGMENTS_SQL,
+        rfm_segments,
+        rfm_segments_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_rfm_segments",
+        rfm_segments(spark, oracle_sf_dir),
+        con,
+        RFM_SEGMENTS_SQL,
+    )
+    assert res.ok, res.problems
+
+    # 7 customers, one order each on distinct days, price = custkey·10+0.05
+    rows = [
+        (
+            100 + c,
+            c,
+            "O",
+            c * 10 + 0.05,
+            datetime.datetime(2001, 1, c),
+            "1-URGENT",
+        )
+        for c in range(1, 8)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = [tuple(r) for r in rfm_segments_op(orders).collect()]
+    # recency rank: custkey 7 most recent → rn_r 1 → r=5 − 0 = 5;
+    # scores by rank rn (m=7): score = 5 − ((rn−1)·5) DIV 7 →
+    # rn 1,2 → 5; rn 3 → 4; rn 4,5 → 3 (DIV gives 2 at rn 4? check:
+    # rn4 → 15 DIV 7 = 2 → 3); rn 5 → 20 DIV 7 = 2 → 3; rn 6 → 25
+    # DIV 7 = 3 → 2; rn 7 → 30 DIV 7 = 4 → 1.
+    # frequency ties (all 1) rank by custkey asc → rn_f = custkey.
+    # monetary desc → custkey 7 first.
+    # per customer c: rn_r = 8−c, rn_f = c, rn_m = 8−c.
+    def score(rn):
+        return 5 - ((rn - 1) * 5) // 7
+
+    want = {}
+    for c in range(1, 8):
+        key = (score(8 - c), score(c), score(8 - c))
+        cents = c * 1000 + 5
+        n, s = want.get(key, (0, 0))
+        want[key] = (n + 1, s + cents)
+    want_rows = sorted(
+        (r, f, m, n, round(s / (100 * n) + 1e-12, 2))
+        for (r, f, m), (n, s) in want.items()
+    )
+    got_rows = sorted(out)
+    assert [w[:4] for w in want_rows] == [g[:4] for g in got_rows]
+    for w, g in zip(want_rows, got_rows):
+        assert abs(w[4] - g[4]) < 1e-9, (w, g)
+
+
+def test_market_basket_parity_and_planted_rules(spark, oracle_sf_dir):
+    """Staged r15 market basket: DuckDB hash parity; planted baskets
+    recover exact supports, both directional confidences, and lift —
+    including a duplicate line (same part twice in one order) that the
+    DISTINCT basket collapses, and a sub-min-support pair excluded."""
+    from dariadb_spark.ext.relational import (
+        MARKET_BASKET_SQL,
+        market_basket,
+        market_basket_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_market_basket",
+        market_basket(spark, oracle_sf_dir),
+        con,
+        MARKET_BASKET_SQL,
+    )
+    assert res.ok, res.problems
+
+    # 4 orders: {1,2} ×3 (one with part 1 duplicated), {1,3} ×1
+    baskets = [
+        (10, [1, 2]),
+        (11, [1, 1, 2]),  # duplicate line collapses
+        (12, [1, 2]),
+        (13, [1, 3]),
+    ]
+    rows = []
+    for ok, parts in baskets:
+        for i, p in enumerate(parts):
+            rows.append((ok, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         None))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    out = [tuple(r) for r in market_basket_op(li).collect()]
+    # only (1,2) survives min-support 2: sup_ab=3, sup_1=4, sup_2=3,
+    # conf 3/4=0.75, 3/3=1.0, lift = 4·3/(4·3) = 1.0
+    assert out == [(1, 2, 3, 4, 3, 0.75, 1.0, 1.0)]
+
+
+def test_label_separability_parity_and_planted_clusters(spark, oracle_sf_dir):
+    """Staged r15 label separability: DuckDB hash parity; two planted
+    tight clusters far apart score a LARGE ratio with exact within/
+    between values from a pure-Python integer reference, and a third
+    label sitting on top of the first scores a ratio below 1 (the
+    merge-candidate signal)."""
+    import math
+
+    from dariadb_spark.ext.similarity import (
+        LABEL_SEPARABILITY_SQL,
+        _OUT_SCALE,
+        label_separability,
+        label_separability_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_label_separability",
+        label_separability(spark, oracle_sf_dir),
+        con,
+        LABEL_SEPARABILITY_SQL,
+    )
+    assert res.ok, res.problems
+
+    vecs = {
+        # label 0: tight pair near the origin
+        1: (0, [0.001, 0.0]),
+        2: (0, [-0.001, 0.0]),
+        # label 1: tight pair far away on axis 1
+        3: (1, [0.0, 1.0]),
+        4: (1, [0.0, 0.998]),
+        # label 2: sits right on label 0 (a mislabel cluster)
+        5: (2, [0.002, 0.0]),
+        6: (2, [-0.002, 0.0]),
+    }
+    emb = spark.createDataFrame(
+        [(vid, [float(x) for x in v], lab) for vid, (lab, v) in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r.label: tuple(r)[1:]
+        for r in label_separability_op(
+            emb.selectExpr("vec_id", "label", "embedding")
+        ).collect()
+    }
+
+    # pure-Python integer reference
+    q = {vid: [round(x * _OUT_SCALE) for x in v]
+         for vid, (_lab, v) in vecs.items()}
+    by_label: dict[int, list[int]] = {}
+    for vid, (lab, _v) in vecs.items():
+        by_label.setdefault(lab, []).append(vid)
+    S = {
+        lab: [sum(q[vid][d] for vid in vids) for d in range(2)]
+        for lab, vids in by_label.items()
+    }
+    N = {lab: len(vids) for lab, vids in by_label.items()}
+
+    def within(lab):
+        w = sum(
+            (N[lab] * q[vid][d] - S[lab][d]) ** 2
+            for vid in by_label[lab]
+            for d in range(2)
+        )
+        return round(math.sqrt(w / N[lab]) / (N[lab] * _OUT_SCALE), 6)
+
+    def dist(a, b):
+        bb = sum(
+            (N[b] * S[a][d] - N[a] * S[b][d]) ** 2 for d in range(2)
+        )
+        return round(math.sqrt(bb) / (N[a] * N[b] * _OUT_SCALE), 6)
+
+    for lab in (0, 1, 2):
+        others = [(dist(lab, o), o) for o in (0, 1, 2) if o != lab]
+        nd, nl = min(others)
+        wr = within(lab)
+        ratio = round(nd / wr, 6)
+        assert got[lab] == (2, wr, nl, nd, ratio), (lab, got[lab])
+    # the far cluster separates, the stacked one does not
+    assert got[1][4] > 100
+    assert got[2][4] < 1
+
+
+def test_streaming_run_lengths_matches_batch(spark, oracle_sf_dir):
+    """The standing episode summary hash-matches the batch oracle — the
+    median-ts cut lands open episodes on both sides of a micro-batch
+    boundary, so the counters genuinely carry."""
+    from dariadb_spark.ext.timeseries import SERIES_RUN_LENGTHS_SQL
+    from dariadb_spark.streaming.runlen import streaming_run_lengths_parity
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_run_lengths_parity",
+        streaming_run_lengths_parity(spark, oracle_sf_dir),
+        con,
+        SERIES_RUN_LENGTHS_SQL,
+    )
+    assert res.ok, res.problems
+
+
+def test_streaming_run_lengths_cross_batch_episode(spark, tmp_path):
+    """An episode OPEN at a batch boundary must keep counting: three
+    hand-cut micro-batches where one run spans all three — the summary
+    must equal the batch operator over the union, episode not
+    double-counted, duration crossing both cuts."""
+    from dariadb_spark.ext.timeseries import (
+        RUN_THRESHOLD,
+        series_run_lengths_op,
+    )
+    from dariadb_spark.streaming.runlen import (
+        run_lengths_from_log,
+        streaming_run_lengths_log,
+    )
+    from dariadb_spark.streaming.scratch import await_parity_termination
+
+    t0 = 1_704_067_200_000
+    m = 60_000
+    hi = RUN_THRESHOLD + 1.0
+    lo = RUN_THRESHOLD - 1.0
+    # one series: low×2, then a 7-long run crossing both cuts, low×3
+    vals = [lo, lo, hi, hi, hi, hi, hi, hi, hi, lo, lo, lo]
+    rows = [(1, t0 + i * m, float(v), 1) for i, v in enumerate(vals)]
+    ddl = "id long, time long, value double, flag long"
+
+    def drop(sl, mode):
+        spark.createDataFrame(sl, ddl).coalesce(1).write.mode(mode).parquet(
+            str(tmp_path / "meas")
+        )
+
+    drop([r for r in rows if r[1] <= t0 + 3 * m], "overwrite")
+    drop([r for r in rows if t0 + 3 * m < r[1] <= t0 + 7 * m], "append")
+    drop([r for r in rows if r[1] > t0 + 7 * m], "append")
+
+    qname = "runlen_cross_batch_r15"
+    q = streaming_run_lengths_log(
+        spark, str(tmp_path / "meas"), qname, max_files_per_trigger=1
+    )
+    await_parity_termination(q)
+    got = [
+        tuple(r) for r in run_lengths_from_log(spark.table(qname)).collect()
+    ]
+    meas = spark.createDataFrame(rows, ddl)
+    want = [
+        tuple(r)
+        for r in series_run_lengths_op(
+            meas, None, t0, t0 + 20 * m, RUN_THRESHOLD, 0
+        ).collect()
+    ]
+    assert got == want
+    assert got[0][2:5] == (1, 7, 6 * m)  # one episode, 7 samples, 6 min
+
+
+def test_streaming_counter_rate_matches_batch(spark, oracle_sf_dir):
+    """The standing increase log hash-matches the batch counter-rate
+    oracle — every series' (last_time, last_value) pair crosses the
+    median-ts micro-batch cut."""
+    from dariadb_spark.ext.timeseries import COUNTER_RATE_SQL
+    from dariadb_spark.streaming.rate import streaming_counter_rate_parity
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_counter_rate_parity",
+        streaming_counter_rate_parity(spark, oracle_sf_dir),
+        con,
+        COUNTER_RATE_SQL,
+    )
+    assert res.ok, res.problems
+
+
+def test_streaming_counter_rate_cross_batch_reset(spark, tmp_path):
+    """A counter RESET at a batch boundary: the first sample of batch 2
+    is lower than the carried last value, so its increase must be the
+    new value itself (the PromQL convention) — plus a same-time LWW
+    duplicate inside batch 1 dedups exactly as the batch plan does."""
+    from dariadb_spark.ext.timeseries import counter_rate_op
+    from dariadb_spark.streaming.rate import (
+        counter_rate_from_log,
+        streaming_counter_rate_log,
+    )
+    from dariadb_spark.streaming.scratch import await_parity_termination
+
+    t0 = 1_704_067_200_000
+    m = 60_000
+    rows = [
+        (1, t0 + 0 * m, 10.0, 1),
+        (1, t0 + 1 * m, 15.0, 1),
+        (1, t0 + 2 * m, 21.0, 1),
+        # batch 2 starts here with a RESET (21 → 4)
+        (1, t0 + 3 * m, 4.0, 1),
+        (1, t0 + 4 * m, 9.5, 1),
+    ]
+    # same-time LWW duplicate in batch 1: loses to value 15.0
+    rows.append((1, t0 + 1 * m, 14.0, 9))
+    ddl = "id long, time long, value double, flag long"
+
+    def drop(sl, mode):
+        spark.createDataFrame(sl, ddl).coalesce(1).write.mode(mode).parquet(
+            str(tmp_path / "meas")
+        )
+
+    drop([r for r in rows if r[1] <= t0 + 2 * m], "overwrite")
+    drop([r for r in rows if r[1] > t0 + 2 * m], "append")
+
+    qname = "rate_cross_batch_r15"
+    q = streaming_counter_rate_log(
+        spark, str(tmp_path / "meas"), qname, max_files_per_trigger=1
+    )
+    await_parity_termination(q)
+    got = [
+        tuple(r)
+        for r in counter_rate_from_log(spark.table(qname)).collect()
+    ]
+    meas = spark.createDataFrame(rows, ddl)
+    want = [
+        tuple(r)
+        for r in counter_rate_op(meas, None, t0, t0 + 10 * m, 0).collect()
+    ]
+    assert got == want
+    assert len(got) == 4  # duplicate collapsed; first sample emits nothing
+    by_t = {r[1]: r for r in got}
+    assert by_t[t0 + 3 * m][4] == 4.0  # the reset: increase = new value
+    assert by_t[t0 + 1 * m][4] == 5.0  # LWW kept 15.0, not 14.0
