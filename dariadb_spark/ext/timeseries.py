@@ -2466,48 +2466,65 @@ def series_run_lengths_op(
     parquet doubles); everything downstream is row_number arithmetic,
     integer counts, ms differences, and one HALF_UP ratio.
 
-    Plan shape (100 TB): ONE shuffle on `id` (the storage clustering
-    key — shuffle-free after a bucketed write); the two row_numbers and
-    the island aggregation are window passes and a partial aggregate
-    inside the same partitioning; the final per-series join is
-    co-partitioned on `id`. Episode cardinality ≤ sample cardinality,
-    monotonically shrinking — no fan-out anywhere.
+    Plan shape (100 TB): ONE scan, then one shuffle on `id` (the
+    storage clustering key — shuffle-free after a bucketed write); the
+    row_number and running-count windows share that partitioning, and
+    both aggregation levels — (id, island) then (id) — hash-cluster on
+    a superset of `id`, so neither adds an exchange. The ORACLE keeps
+    the definitional two-branch totals-join form, so the driver's hash
+    compare re-proves the single-tree rewrite every round. Episode
+    cardinality ≤ sample cardinality — no fan-out anywhere.
     """
     base = dedup_lww(scan_interval(meas, ids, from_ms, to_ms, flag))
+    # ONE tree, ONE scan: the island key for exceeding rows is
+    # rn_all − running_count(exceeding) — both windows share the `id`
+    # partitioning, and non-exceeding rows carry a NULL island so the
+    # same two-level aggregate counts them without a second branch
+    # (a totals-vs-episodes join would re-scan: diverging projections
+    # defeat exchange reuse).
     w = Window.partitionBy("id").orderBy("time")
-    rn_all = base.select(
-        "id", "time", "value", F.row_number().over(w).alias("rn")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = F.col("value") > threshold
+    rows = base.select(
+        "id",
+        "time",
+        F.when(
+            e,
+            F.row_number().over(w)
+            - F.sum(F.when(e, 1).otherwise(0)).over(wr),
+        ).alias("isl"),
     )
-    exc = rn_all.where(F.col("value") > threshold)
-    we = Window.partitionBy("id").orderBy("time")
-    islands = exc.select(
-        "id", "time", "rn",
-        (F.col("rn") - F.row_number().over(we)).alias("isl"),
-    )
-    episodes = islands.groupBy("id", "isl").agg(
+    # groupBy (id, isl) and groupBy (id) both hash-cluster on a
+    # superset of `id`, so neither adds an exchange past the window's
+    buckets = rows.groupBy("id", "isl").agg(
         F.count("*").alias("n_samp"),
         F.min("time").alias("t0"),
         F.max("time").alias("t1"),
     )
-    per_series = episodes.groupBy("id").agg(
-        F.count("*").alias("n_episodes"),
-        F.max("n_samp").alias("longest_run"),
-        F.max(F.col("t1") - F.col("t0")).alias("longest_run_ms"),
-        F.sum("n_samp").alias("n_exceed"),
-    )
-    totals = rn_all.groupBy("id").agg(F.max("rn").alias("n_samples"))
     from dariadb_spark.ext.exact import ratio_round_spark
 
+    ep = F.col("isl").isNotNull()
     return (
-        totals.join(per_series, "id", "left")
+        buckets.groupBy("id")
+        .agg(
+            F.sum("n_samp").alias("n_samples"),
+            F.sum(F.when(ep, 1).otherwise(0)).alias("n_episodes"),
+            F.max(F.when(ep, F.col("n_samp"))).alias("longest_run"),
+            F.max(F.when(ep, F.col("t1") - F.col("t0"))).alias(
+                "longest_run_ms"
+            ),
+            F.sum(F.when(ep, F.col("n_samp")).otherwise(0)).alias(
+                "n_exceed"
+            ),
+        )
         .selectExpr(
             "id",
             "n_samples",
-            "CAST(coalesce(n_episodes, 0) AS BIGINT) AS n_episodes",
+            "CAST(n_episodes AS BIGINT) AS n_episodes",
             "CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run",
             "CAST(coalesce(longest_run_ms, 0) AS BIGINT) AS longest_run_ms",
-            "CAST(coalesce(n_exceed, 0) AS BIGINT) AS n_exceed",
-            ratio_round_spark("coalesce(n_exceed, 0)", "n_samples", 4)
+            "CAST(n_exceed AS BIGINT) AS n_exceed",
+            ratio_round_spark("n_exceed", "n_samples", 4)
             + " AS exceed_frac",
         )
         .orderBy("id")
@@ -2591,14 +2608,23 @@ def series_data_gaps_op(
     the exact span over n−1; coverage is a HALF_UP ratio of integer
     grid-cell counts on the gap_fill grid-origin bucketing.
 
-    Plan shape (100 TB): one shuffle on `id`, then window passes and
-    partial aggregates inside that partitioning — identical skeleton to
-    `ext_series_outlier_mad`. The hourly-grid coverage term counts
-    DISTINCT buckets per series (bounded by the interval's cell count,
-    361 here), never materializing the grid itself.
+    Plan shape (100 TB): ONE scan, one shuffle on `id`, then the lag
+    and rank windows plus the single conditional-aggregate pass inside
+    that partitioning — the median rides the same groupBy as the other
+    five fields (the ORACLE keeps the definitional stats-join-median
+    two-branch form, so the driver's hash compare re-proves the
+    single-tree rewrite every round). The hourly-grid coverage term
+    counts DISTINCT buckets per series (bounded by the interval's cell
+    count, 361 here), never materializing the grid itself.
     """
     n_cells = (to_ms - from_ms) // HOUR_MS + 1
     base = dedup_lww(scan_interval(meas, ids, from_ms, to_ms, flag))
+    # ONE tree, ONE scan: the lag window, the gap-rank window, and the
+    # per-series gap count all share the `id` partitioning (a separate
+    # median branch would re-scan — diverging projections defeat
+    # exchange reuse); the one NULL gap per series (the first sample)
+    # ranks LAST explicitly, so the non-null gaps own ranks 1..m in
+    # both engines regardless of null-ordering defaults.
     w = Window.partitionBy("id").orderBy("time")
     g = base.select(
         "id",
@@ -2609,33 +2635,35 @@ def series_data_gaps_op(
             - ((F.col("time") - F.lit(from_ms)) % F.lit(HOUR_MS))
         ).alias("cell"),
     )
-    stats = g.groupBy("id").agg(
-        F.count("*").alias("n_samples"),
-        F.max("gap").alias("longest_gap_ms"),
-        F.sum(F.when(F.col("gap") > tol_ms, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_gaps_over_tol"),
-        (F.max("time") - F.min("time")).alias("span_ms"),
-        F.countDistinct("cell").alias("n_cells_hit"),
+    wr = Window.partitionBy("id").orderBy(
+        F.col("gap").isNull(), F.col("gap"), F.col("time")
     )
-    gaps = g.where(F.col("gap").isNotNull())
-    wr = Window.partitionBy("id").orderBy("gap", "time")
-    ranked = gaps.select(
-        "id", "gap", F.row_number().over(wr).alias("rn"),
-        F.count("*").over(Window.partitionBy("id")).alias("m"),
-    )
-    med = (
-        ranked.where(F.expr("rn = (m + 1) DIV 2 OR rn = (m + 2) DIV 2"))
-        .groupBy("id")
-        .agg(
-            (2 * F.sum("gap") / F.count("*")).cast("bigint").alias("med2")
-        )
+    ranked = g.select(
+        "id", "time", "gap", "cell",
+        F.row_number().over(wr).alias("rn"),
+        F.count("gap").over(Window.partitionBy("id")).alias("m"),
     )
     from dariadb_spark.ext.exact import ratio_round_spark
 
+    mid = F.expr(
+        "gap IS NOT NULL AND (rn = (m + 1) DIV 2 OR rn = (m + 2) DIV 2)"
+    )
     return (
-        stats.where(F.col("n_samples") >= 2)
-        .join(med, "id")
+        ranked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.max("gap").alias("longest_gap_ms"),
+            F.sum(F.when(F.col("gap") > tol_ms, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gaps_over_tol"),
+            (F.max("time") - F.min("time")).alias("span_ms"),
+            F.countDistinct("cell").alias("n_cells_hit"),
+            (2 * F.sum(F.when(mid, F.col("gap")))
+             / F.sum(F.when(mid, 1)))
+            .cast("bigint")
+            .alias("med2"),
+        )
+        .where(F.col("n_samples") >= 2)
         .selectExpr(
             "id",
             "n_samples",

@@ -897,7 +897,22 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 #   4. fn_* stay individually registered (CORE reference verbs — the
 #      r12 decision stands; they are the parity evidence).
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
-# pytest-covered — only the driver row consolidates. The leftover stale-3 block (the other
+# pytest-covered — only the driver row consolidates.
+#
+# Round 14 staged EIGHT operators for r15 (each implemented + oracled +
+# pytest parity incl. hypothesis property tests + planted ≥100k-row
+# stress + hash-matched at sf0.1 in the staged second-pass sweep; THIS
+# COMMENT is the staged-count source of truth): ext_series_run_lengths,
+# ext_series_data_gaps (ext/timeseries.py), ext_funnel_latency
+# (ext/analytics.py), ext_rfm_segments, ext_market_basket
+# (ext/relational.py), ext_label_separability (ext/similarity.py),
+# streaming_run_lengths_parity (streaming/runlen.py, oracle =
+# SERIES_RUN_LENGTHS_SQL), streaming_counter_rate_parity
+# (streaming/rate.py, oracle = COUNTER_RATE_SQL). Registering them in
+# r15 takes the registry to 214; the r15 window per the ledger: any
+# core at stale-3, the 8 new registrations (priority 2), then the
+# oldest stale-4/5 [EXT] rows — compute with
+# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r14 lands. The leftover stale-3 block (the other
 # r10-latest queries incl. the five streaming parities) hits stale-4
 # in r14: 49 rows (50 r10-latest minus the ext_ann_recall_eval fill)
 # plus any core reaching stale-3 — i.e. r14's nominal obligations
