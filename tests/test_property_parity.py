@@ -1950,7 +1950,7 @@ def test_series_outlier_mad_matches_reference(spark, rows):
 # --- round-15 staged operators vs pure-Python references --------------------
 
 
-def _lww(rows, lo, hi, ids=None):
+def _lww_series(rows, lo, hi, ids=None):
     """Replay scan_interval + dedup_lww: closed interval, optional id
     set, per (id, time) keep the max (value, flag)."""
     best: dict[tuple[int, int], tuple[float, int]] = {}
@@ -1986,7 +1986,7 @@ def test_series_run_lengths_matches_reference(spark, rows):
         for r in series_run_lengths_op(df, None, lo, hi, thr, 0).collect()
     }
     want = {}
-    for i, ys in _lww(rows, lo, hi).items():
+    for i, ys in _lww_series(rows, lo, hi).items():
         n = len(ys)
         episodes = []
         cur = None
@@ -2031,7 +2031,7 @@ def test_series_data_gaps_matches_reference(spark, rows):
     }
     n_cells = (hi - lo) // HOUR_MS + 1
     want = {}
-    for i, ys in _lww(rows, lo, hi).items():
+    for i, ys in _lww_series(rows, lo, hi).items():
         n = len(ys)
         if n < 2:
             continue
