@@ -543,6 +543,21 @@ def test_no_cartesian_product_in_staged_r15_plans(spark, oracle_sf_dir):
         .explainString(mode)
     )
     assert "HashJoin" in plan, "basket pair join must hash on l_orderkey"
+    # the two single-tree rewrites stay single-scan: a second parquet
+    # scan of the events fixture would mean a diverging-projection
+    # branch crept back in (the totals-join / median-join shape the
+    # rewrite removed — exchange reuse does NOT cover it)
+    simple = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    for fn in (series_run_lengths, series_data_gaps):
+        plan = (
+            fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .explainString(simple)
+        )
+        n_scans = plan.count("Scan parquet")
+        assert n_scans == 1, (fn.__name__, n_scans)
     # the streaming twins' JVM closures: counter-rate is a pure
     # projection (no join); run-lengths is one window + projection
     from dariadb_spark.streaming.rate import counter_rate_from_log
