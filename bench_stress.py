@@ -3205,10 +3205,6 @@ def stress_streaming_markov(spark) -> tuple[float, float, int]:
         spark.catalog.dropTempView(qname)
 
 
-if __name__ == "__main__":
-    main()
-
-
 XCORR_STRESS_SERIES = 100  # panel size → C(100,2) = 4950 pairs
 XCORR_STRESS_ROWS = 9_600_000  # 96k one-minute samples per series
 
@@ -4035,3 +4031,12 @@ def stress_streaming_rate(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    # the guard lives at the true END of the module: stress functions
+    # are defined below main() in staging order, and an earlier
+    # mid-file guard called main() before the later defs existed
+    # (NameError on the first full-suite run — individual runs via
+    # `python -c` never hit it)
+    main()
