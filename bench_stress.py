@@ -2502,6 +2502,7 @@ def main() -> None:
     sep_s, sep_vecs = stress_label_separability(spark)
     srl_s, srl_batch_s, srl_series = stress_streaming_runlen(spark)
     srate_s, srate_batch_s, srate_rows = stress_streaming_rate(spark)
+    tr_s, tr_series = stress_series_trend(spark)
     print(
         json.dumps(
             {
@@ -2578,6 +2579,7 @@ def main() -> None:
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
                     "batch_rate_same_rows": round(srate_batch_s, 4),
+                    "series_trend_19m": round(tr_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -4040,3 +4042,51 @@ if __name__ == "__main__":
     # (NameError on the first full-suite run — individual runs via
     # `python -c` never hit it)
     main()
+
+
+TREND_STRESS_SERIES = 200
+TREND_STRESS_ROWS = 19_200_000  # 96k one-minute samples per series
+
+
+def stress_series_trend(spark) -> tuple[float, int]:
+    """Staged r15 trend screen at 19.2M rows / 200 series on the hourly
+    PAA grid (the MASE stress's shape): 100 ramp series (cents = minute
+    index → hourly cell mean lands EXACTLY on the half grid, HALF_UP to
+    60x + 30, slope exactly 0.6 units/step, tau exactly 1) and 100
+    alternating ±1.0 series (Mann–Kendall S = −r in closed form for
+    r = m/2, the OLS slope the matching exact rational) — both families
+    asserted for every series."""
+    from dariadb_spark.ext.timeseries import series_trend_op
+
+    per = TREND_STRESS_ROWS // TREND_STRESS_SERIES  # minutes per series
+    m = per // 60  # hourly grid cells
+    meas = spark.range(TREND_STRESS_ROWS).selectExpr(
+        f"id % {TREND_STRESS_SERIES} AS id",
+        f"(id DIV {TREND_STRESS_SERIES}) * 60000 AS time",
+        f"""CASE WHEN id % {TREND_STRESS_SERIES} < 100
+             THEN CAST(id DIV {TREND_STRESS_SERIES} AS DOUBLE) / 100.0d
+             ELSE CASE WHEN (id DIV {TREND_STRESS_SERIES}) DIV 60 % 2 = 0
+                  THEN 1.0d ELSE -1.0d END END AS value""",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    rows = series_trend_op(
+        meas, None, 0, per * 60_000, 3_600_000, 0
+    ).collect()
+    tr_s = time.perf_counter() - t0
+    assert len(rows) == TREND_STRESS_SERIES, len(rows)
+    r = m // 2
+    sx = m * (m - 1) // 2
+    sxx = (m - 1) * m * (2 * m - 1) // 6
+    den = m * sxx - sx * sx
+    # alternating: yq = +100 on even cells, −100 on odd; Σy = 0,
+    # Σxy = −100·r → slope = −100·r·m/den/100; S = −r (derived:
+    # r(r−1)/2 up-pairs vs r(r+1)/2 down-pairs)
+    alt_slope = round(m * (-100 * r) / den / 100, 6)
+    alt_tau = round(2 * (-r) / (m * (m - 1)), 6)
+    for row in rows:
+        if row.id < 100:  # ramp: yq = 60x + 30 exactly
+            assert tuple(row)[1:] == (m, 0.6, m * (m - 1) // 2, 1.0), row
+        else:
+            assert tuple(row)[1:] == (m, alt_slope, -r, alt_tau), row
+    return tr_s, len(rows)

@@ -2715,3 +2715,147 @@ ORDER BY t.id"""
 
 
 SERIES_DATA_GAPS_SQL = _data_gaps_sql()
+
+
+# --- per-series trend screen (OLS slope + Mann–Kendall) -----------------------
+# STAGED for the round-15 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The family's missing verb: everything else DESCRIBES the series
+# (ACF, SAX, entropy, seasonal strength, PSI, MASE) — none answers "is
+# it going UP?". Two classical answers in one row, on the ACF/xcorr
+# cent-quantized PAA grid: the OLS slope (with its exact wide-rational
+# normal-equation terms) and the Mann–Kendall S/tau (the distribution-
+# free trend test — pure pair-sign counting, immune to spikes the OLS
+# slope chases). Disagreement between the two IS the signal a user
+# wants surfaced (one spike-driven, one rank-driven).
+
+TREND_BUCKET_MS = HOUR_MS  # the shared PAA grid
+
+
+def series_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r15 window (:func:`series_trend_op`)."""
+    return series_trend_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, TREND_BUCKET_MS, 0
+    )
+
+
+def series_trend_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    bucket_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series trend over the interval: the OLS slope in value-units
+    per grid step and the Mann–Kendall statistic/tau over the populated
+    grid cells. Series with fewer than 2 populated cells are dropped
+    (neither statistic is defined).
+
+    Exactness: cells are the ACF's HALF_UP cent-quantized PAA means
+    (int64); with x the grid index and m cells, the normal-equation
+    terms num = m·Σxy − Σx·Σy and den = m·Σx² − (Σx)² accumulate in
+    DECIMAL(38,0)/HUGEINT — exact and order-free; Mann–Kendall S is an
+    integer sum of pair signs. Each output row sees exactly TWO float
+    expressions, round(num/den/100, 6) and round(2S/(m(m−1)), 6) —
+    identical shape on both engines. A zero den (one populated cell
+    column — impossible for m ≥ 2 distinct x) cannot occur.
+
+    Plan shape (100 TB): the cell table is the ACF's (id, cell)
+    partial aggregate; the OLS terms are ONE more aggregate on `id`;
+    the Mann–Kendall pair join is quadratic in GRID CELLS per series
+    (m ≤ interval/bucket — 361 here, 8.8k for a year of hourly cells),
+    an equi-join on `id` with the x_i < x_j triangle filter, the
+    cross-corr family's panel contract: bounded by the GRID, never by
+    the sample count.
+    """
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = (
+        base.select(
+            "id", floor_bucket(F.col("time"), bucket_ms).alias("b"),
+            y.alias("y"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
+        .selectExpr(
+            "id",
+            f"(b DIV {bucket_ms}) AS x",  # grid index (b ≥ 0 here)
+            # signed HALF_UP: decompose by sign — Spark DIV and DuckDB //
+            # BOTH truncate toward zero; operands here are magnitudes
+            "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
+            " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
+        )
+    )
+    ols = cells.groupBy("id").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("yq")).alias("sxy"),
+    ).where(F.col("m") >= 2)
+    a = cells.alias("a")
+    bb = cells.alias("b")
+    mk = (
+        a.join(
+            bb,
+            (F.col("a.id") == F.col("b.id"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.id").alias("mid"))
+        .agg(
+            F.sum(F.signum(F.col("b.yq") - F.col("a.yq")))
+            .cast("long")
+            .alias("mk_s")
+        )
+    )
+    return (
+        ols.join(mk, ols.id == mk.mid)
+        .selectExpr(
+            "id",
+            "m AS n_cells",
+            "round(CAST(m * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / CAST(m * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+            " / 100.0d, 6) AS ols_slope",
+            "mk_s",
+            "round(CAST(2 * mk_s AS DOUBLE) / (CAST(m AS DOUBLE) * (m - 1)),"
+            " 6) AS mk_tau",
+        )
+        .orderBy("id")
+    )
+
+
+def _trend_sql() -> str:
+    return f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, {floor_bucket_sql('time', TREND_BUCKET_MS)} AS b,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+cells AS (SELECT id, b // {TREND_BUCKET_MS} AS x,
+                 CASE WHEN sum(y) < 0
+                      THEN -((2 * (-sum(y)) + count(*)) // (2 * count(*)))
+                      ELSE (2 * sum(y) + count(*)) // (2 * count(*)) END AS yq
+          FROM pts GROUP BY id, b),
+ols AS (SELECT id, count(*) AS m,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(yq) AS HUGEINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * yq) AS sxy
+        FROM cells GROUP BY id HAVING count(*) >= 2),
+mk AS (SELECT a.id AS mid,
+              CAST(sum(sign(b.yq - a.yq)) AS BIGINT) AS mk_s
+       FROM cells a JOIN cells b ON a.id = b.id AND a.x < b.x
+       GROUP BY a.id)
+SELECT o.id, o.m AS n_cells,
+       round(CAST(o.m * o.sxy - o.sx * o.sy AS DOUBLE)
+             / CAST(o.m * o.sxx - o.sx * o.sx AS DOUBLE) / 100.0, 6)
+         AS ols_slope,
+       k.mk_s,
+       round(CAST(2 * k.mk_s AS DOUBLE)
+             / (CAST(o.m AS DOUBLE) * (o.m - 1)), 6) AS mk_tau
+FROM ols o JOIN mk k ON o.id = k.mid
+ORDER BY o.id"""
+
+
+SERIES_TREND_SQL = _trend_sql()

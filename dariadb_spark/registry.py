@@ -899,7 +899,7 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.
 #
-# Round 14 staged EIGHT operators for r15 (each implemented + oracled +
+# Round 14 staged NINE operators for r15 (each implemented + oracled +
 # pytest parity incl. hypothesis property tests + planted ≥100k-row
 # stress + hash-matched at sf0.1 in the staged second-pass sweep; THIS
 # COMMENT is the staged-count source of truth): ext_series_run_lengths,
@@ -908,8 +908,11 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # (ext/relational.py), ext_label_separability (ext/similarity.py),
 # streaming_run_lengths_parity (streaming/runlen.py, oracle =
 # SERIES_RUN_LENGTHS_SQL), streaming_counter_rate_parity
-# (streaming/rate.py, oracle = COUNTER_RATE_SQL). Registering them in
-# r15 takes the registry to 214; the r15 window per the ledger: any
+# (streaming/rate.py, oracle = COUNTER_RATE_SQL), and — staged late in
+# the round, same discipline — ext_series_trend (ext/timeseries.py:
+# OLS slope + Mann–Kendall, the family's missing "is it going UP?"
+# verb). Registering them in r15 takes the registry to 215; the r15
+# window per the ledger: any
 # core at stale-3, the 8 new registrations (priority 2), then the
 # oldest stale-4/5 [EXT] rows — compute with
 # `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r14 lands. The leftover stale-3 block (the other

@@ -510,6 +510,7 @@ def test_no_cartesian_product_in_staged_r15_plans(spark, oracle_sf_dir):
     from dariadb_spark.ext.timeseries import (
         series_data_gaps,
         series_run_lengths,
+        series_trend,
     )
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -519,6 +520,7 @@ def test_no_cartesian_product_in_staged_r15_plans(spark, oracle_sf_dir):
     for fn in (
         series_run_lengths,
         series_data_gaps,
+        series_trend,
         funnel_latency,
         rfm_segments,
         market_basket,

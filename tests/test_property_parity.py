@@ -2311,3 +2311,58 @@ def test_label_separability_matches_reference(spark, rows):
         ratio = round(nd / wr, 6) if wr > 0 else None
         want[lab] = (N[lab], wr, nl, nd, ratio)
     assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_trend_matches_reference(spark, rows):
+    """Staged r15 ``series_trend_op`` equals the pure-Python integer
+    reference on random data: HALF_UP signed PAA cells, exact
+    normal-equation terms, pair-sign Mann–Kendall, the two rounded
+    float closures."""
+    from dariadb_spark.ext.timeseries import series_trend_op
+
+    lo, hi = T0, T0 + 40 * STEP
+    bucket = 10 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = {
+        r.id: tuple(r)[1:]
+        for r in series_trend_op(df, None, lo, hi, bucket, 0).collect()
+    }
+    cells: dict[int, dict[int, list[int]]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            b = t - (((t % bucket) + bucket) % bucket)
+            cells.setdefault(i, {}).setdefault(b // bucket, []).append(
+                _cents(v)
+            )
+    want = {}
+    for i, by_x in cells.items():
+        m = len(by_x)
+        if m < 2:
+            continue
+
+        def paa(ys):
+            s, n = sum(ys), len(ys)
+            return (
+                -((2 * (-s) + n) // (2 * n))
+                if s < 0
+                else (2 * s + n) // (2 * n)
+            )
+
+        pts = sorted((x, paa(ys)) for x, ys in by_x.items())
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = round((m * sxy - sx * sy) / (m * sxx - sx * sx) / 100, 6)
+        s_mk = sum(
+            (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+            for i in range(m)
+            for j in range(i + 1, m)
+        )
+        tau = round(2 * s_mk / (m * (m - 1)), 6)
+        want[i] = (m, slope, s_mk, tau)
+    assert got == want

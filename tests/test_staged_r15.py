@@ -489,3 +489,58 @@ def test_streaming_counter_rate_cross_batch_reset(spark, tmp_path):
     by_t = {r[1]: r for r in got}
     assert by_t[t0 + 3 * m][4] == 4.0  # the reset: increase = new value
     assert by_t[t0 + 1 * m][4] == 5.0  # LWW kept 15.0, not 14.0
+
+
+def test_series_trend_parity_and_planted_shapes(spark, oracle_sf_dir):
+    """Staged r15 trend screen: DuckDB hash parity; a perfect ramp
+    recovers the exact slope with tau = 1, a single end spike drives
+    the OLS slope up while Mann–Kendall stays near zero (the
+    disagreement the op exists to surface), a constant series scores
+    (0, 0, 0), and a 1-cell series is dropped."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_TREND_SQL,
+        TREND_BUCKET_MS,
+        series_trend,
+        series_trend_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_trend",
+        series_trend(spark, oracle_sf_dir),
+        con,
+        SERIES_TREND_SQL,
+    )
+    assert res.ok, res.problems
+
+    h = TREND_BUCKET_MS
+    n = 12
+    rows = []
+    # series 1: ramp 0.02 units/hour → yq = 2x, slope 0.02, tau 1
+    rows += [(1, k * h, 0.02 * k, 0) for k in range(n)]
+    # series 2: flat zero with one +10.0 spike at the end
+    rows += [(2, k * h, 0.0 if k < n - 1 else 10.0, 0) for k in range(n)]
+    # series 3: constant
+    rows += [(3, k * h, 7.0, 0) for k in range(n)]
+    # series 4: one cell only → dropped
+    rows += [(4, 0, 1.0, 0)]
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    got = {
+        r.id: tuple(r)[1:]
+        for r in series_trend_op(meas, None, 0, n * h, h, 0).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (n, 0.02, n * (n - 1) // 2, 1.0)
+    # spike: num = n·Σxy − Σx·Σy with y = [0]*11 + [1000] cents
+    sx = n * (n - 1) // 2
+    sxx = sum(x * x for x in range(n))
+    num = n * (1000 * (n - 1)) - sx * 1000
+    den = n * sxx - sx * sx
+    slope = round(num / den / 100, 6)
+    s = n - 1  # only the spike's pairs break ties
+    tau = round(2 * s / (n * (n - 1)), 6)
+    assert got[2] == (n, slope, s, tau)
+    assert got[2][1] > 0.3 and got[2][3] < 0.2  # the disagreement
+    assert got[3] == (n, 0.0, 0, 0.0)
