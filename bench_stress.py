@@ -2503,6 +2503,7 @@ def main() -> None:
     srl_s, srl_batch_s, srl_series = stress_streaming_runlen(spark)
     srate_s, srate_batch_s, srate_rows = stress_streaming_rate(spark)
     tr_s, tr_series = stress_series_trend(spark)
+    pr_s, pr_rows = stress_part_pagerank(spark)
     print(
         json.dumps(
             {
@@ -2580,6 +2581,7 @@ def main() -> None:
                     "streaming_rate_2m": round(srate_s, 4),
                     "batch_rate_same_rows": round(srate_batch_s, 4),
                     "series_trend_19m": round(tr_s, 4),
+                    "part_pagerank_200k_ring": round(pr_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
                     "window_bucketed_20m": round(bk_bucket_s, 4),
@@ -4090,3 +4092,84 @@ def stress_series_trend(spark) -> tuple[float, int]:
         else:
             assert tuple(row)[1:] == (m, alt_slope, -r, alt_tau), row
     return tr_s, len(rows)
+
+
+PR_STRESS_RING = 200_000  # ring nodes (uniform degree 2 → exact fixed point)
+PR_STRESS_SPOKES = 50
+
+
+def stress_part_pagerank(spark) -> tuple[float, int]:
+    """Staged r15 exact-integer PageRank at 800k+ lineitems: a 200k-node
+    ring (every pair duplicated to clear support ≥ 2) plus one planted
+    50-spoke star component. Uniform degree 2 makes every ring node an
+    EXACT 10⁶ fixed point (0.15·10⁶ + 2·⌈0.85·10⁶/2⌋ = 10⁶) — the
+    closed form that catches any drift in the integer rational across
+    five distributed iterations — while the star's trajectory is
+    asserted against the pure-Python replay and its hub must head the
+    top-k."""
+    from dariadb_spark.ext.relational import part_pagerank_op
+    from tests.test_staged_r15 import _pagerank_reference
+
+    n = PR_STRESS_RING
+    # ring orders: order o (and its duplicate o+n) holds parts
+    # {o, (o+1) % n}; star orders at offset 4n: hub 10^7 with spoke k
+    ring = spark.range(2 * n).selectExpr(
+        "id % " + str(n) + " + CASE WHEN false THEN 0 ELSE 0 END AS o",
+        "id AS rowid",
+    ).selectExpr(
+        "rowid AS seq", "rowid % " + str(n) + " AS o"
+    )
+    li = None
+    for expr in ("o", f"(o + 1) % {n}"):
+        part = ring.selectExpr(
+            "seq AS l_orderkey",
+            f"CAST({expr} AS BIGINT) AS l_partkey",
+            "CAST(1 AS BIGINT) AS l_suppkey",
+            "CAST(1 AS INT) AS l_linenumber",
+            "1.0d AS l_quantity",
+            "1.0d AS l_extendedprice",
+            "0.0d AS l_discount",
+            "0.0d AS l_tax",
+            "'N' AS l_returnflag",
+            "'O' AS l_linestatus",
+            "CAST(NULL AS TIMESTAMP) AS l_shipdate",
+        )
+        li = part if li is None else li.unionByName(part)
+    hub = 10_000_000
+    star = spark.range(2 * PR_STRESS_SPOKES).selectExpr(
+        f"id + 4 * {n} AS seq", f"id % {PR_STRESS_SPOKES} AS k"
+    )
+    for expr in (str(hub), f"{hub} + 1 + k"):
+        part = star.selectExpr(
+            "seq AS l_orderkey",
+            f"CAST({expr} AS BIGINT) AS l_partkey",
+            "CAST(1 AS BIGINT) AS l_suppkey",
+            "CAST(1 AS INT) AS l_linenumber",
+            "1.0d AS l_quantity",
+            "1.0d AS l_extendedprice",
+            "0.0d AS l_discount",
+            "0.0d AS l_tax",
+            "'N' AS l_returnflag",
+            "'O' AS l_linestatus",
+            "CAST(NULL AS TIMESTAMP) AS l_shipdate",
+        )
+        li = li.unionByName(part)
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in part_pagerank_op(li).collect()]
+    pr_s = time.perf_counter() - t0
+    spokes = [(hub, hub + 1 + k) for k in range(PR_STRESS_SPOKES)]
+    edges = [(u, v) for u, v in spokes] + [(v, u) for u, v in spokes]
+    ref = _pagerank_reference(edges)
+    # ring nodes all sit at exactly 1e6; the star's ranks come from the
+    # replay. Expected top-20: hub first, then whichever of spoke-rank
+    # vs 1e6 ring ranks orders higher (ties break by part id — ring
+    # parts 0..18 are the smallest ids).
+    univ = [(p, r) for p, r in ref.items()]
+    univ += [(p, 1_000_000) for p in range(19)]  # smallest-id ring nodes
+    want = sorted(
+        ((p, r, round(r / 1_000_000, 6)) for p, r in univ),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert got[0][0] == hub, got[0]
+    assert got == want, (got[:3], want[:3])
+    return pr_s, len(got)

@@ -757,3 +757,129 @@ LIMIT {BASKET_TOP}"""
 
 
 MARKET_BASKET_SQL = _basket_sql()
+
+
+# --- co-purchase PageRank (exact-integer power iteration) ----------------------
+# STAGED for the round-15 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The iterative-algorithm class under the SAME hash gate as everything
+# else: five unrolled PageRank power iterations (Brin & Page 1998,
+# damping 0.85) over the undirected co-purchase graph the market-basket
+# op mines — "which parts anchor the catalog" where raw degree
+# over-counts leaf-heavy hubs. The float-free trick: ranks live in
+# micro-units (r₀ = 10⁶) and the damped contribution is the HALF_UP
+# integer rational (34·r + 20·deg) DIV (40·deg) ≡ round(0.85·r/deg),
+# so every iterate is an EXACT int64 in both engines — the oracle
+# unrolls the same five iterations as chained CTEs and the driver's
+# hash compare re-proves the whole trajectory, not just the fixed
+# point. Uniform-degree graphs sit at the exact fixed point 10⁶
+# (0.15·10⁶ + deg·round(0.85·10⁶/deg) = 10⁶), the stress's closed form.
+
+PAGERANK_ITERS = 5
+PAGERANK_TOP = 20
+
+
+def part_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r15 window (:func:`part_pagerank_op`)."""
+    return part_pagerank_op(load_table(spark, sf, "lineitem"))
+
+
+def part_pagerank_op(li: DataFrame) -> DataFrame:
+    """Top parts by exact-integer PageRank over the support-≥2
+    co-purchase graph (the market-basket pair set, both directions).
+
+    Exactness: degrees and ranks are int64; each contribution is ONE
+    integer rational with HALF_UP closure; the per-node sum is an
+    integer sum (order-free); the displayed pagerank is round(r/10⁶, 6)
+    of the exact final integer — identical expression in both engines.
+    No dangling nodes exist (every node has degree ≥ 1 by
+    construction), so no teleport-mass correction term is needed.
+
+    Plan shape (100 TB): the edge list partitions by src; each of the
+    five iterations is one hash join of the |nodes|-row rank table
+    onto the edges plus one (dst) aggregate — the canonical
+    PageRank-on-Spark shape, 2 shuffles per iteration with the rank
+    table broadcastable while |parts| stays dimension-sized; at
+    billion-node scale the SAME unrolled plan runs with shuffle joins
+    and benefits from co-partitioning edges by src once.
+    """
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MIN_SUP)
+        .select("x", "y")
+    )
+    edges = pairs.selectExpr("x AS src", "y AS dst").unionByName(
+        pairs.selectExpr("y AS src", "x AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    ranks = deg.selectExpr("src AS node", "CAST(1000000 AS BIGINT) AS r")
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .selectExpr(
+                "dst",
+                "(34 * r + 20 * deg) DIV (40 * deg) AS contrib",
+            )
+            .groupBy("dst")
+            .agg((F.lit(150_000) + F.sum("contrib")).alias("r"))
+            .selectExpr("dst AS node", "CAST(r AS BIGINT) AS r")
+        )
+    return (
+        ranks.selectExpr(
+            "node AS part",
+            "r AS rank_micro",
+            "round(CAST(r AS DOUBLE) / 1000000.0d, 6) AS pagerank",
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("part"))
+        .limit(PAGERANK_TOP)
+    )
+
+
+def _pagerank_sql() -> str:
+    its = []
+    prev = "r0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        its.append(
+            f"""r{k} AS (SELECT e.dst AS node,
+              150000 + sum((34 * p.r + 20 * e.deg) // (40 * e.deg)) AS r
+       FROM ed e JOIN {prev} p ON e.src = p.node
+       GROUP BY e.dst)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(its)
+    return f"""WITH
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= {BASKET_MIN_SUP}),
+edges AS (SELECT x AS src, y AS dst FROM pairs
+          UNION ALL SELECT y, x FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+{chain}
+SELECT node AS part, CAST(r AS BIGINT) AS rank_micro,
+       round(CAST(r AS DOUBLE) / 1000000.0, 6) AS pagerank
+FROM {prev}
+ORDER BY rank_micro DESC, part ASC
+LIMIT {PAGERANK_TOP}"""
+
+
+PART_PAGERANK_SQL = _pagerank_sql()

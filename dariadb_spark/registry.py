@@ -899,7 +899,7 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.
 #
-# Round 14 staged NINE operators for r15 (each implemented + oracled +
+# Round 14 staged TEN operators for r15 (each implemented + oracled +
 # pytest parity incl. hypothesis property tests + planted ≥100k-row
 # stress + hash-matched at sf0.1 in the staged second-pass sweep; THIS
 # COMMENT is the staged-count source of truth): ext_series_run_lengths,
@@ -911,7 +911,10 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # (streaming/rate.py, oracle = COUNTER_RATE_SQL), and — staged late in
 # the round, same discipline — ext_series_trend (ext/timeseries.py:
 # OLS slope + Mann–Kendall, the family's missing "is it going UP?"
-# verb). Registering them in r15 takes the registry to 215; the r15
+# verb), and ext_part_pagerank (ext/relational.py: five unrolled
+# exact-integer power iterations over the co-purchase graph — the
+# iterative-algorithm class kept inside the hash gate via chained-CTE
+# oracles). Registering them in r15 takes the registry to 216; the r15
 # window per the ledger: any
 # core at stale-3, the 8 new registrations (priority 2), then the
 # oldest stale-4/5 [EXT] rows — compute with

@@ -505,7 +505,11 @@ def test_no_cartesian_product_in_staged_r15_plans(spark, oracle_sf_dir):
     operators registered in r14 and are covered by the registered sweep
     above.)"""
     from dariadb_spark.ext.analytics import funnel_latency
-    from dariadb_spark.ext.relational import market_basket, rfm_segments
+    from dariadb_spark.ext.relational import (
+        market_basket,
+        part_pagerank,
+        rfm_segments,
+    )
     from dariadb_spark.ext.similarity import label_separability
     from dariadb_spark.ext.timeseries import (
         series_data_gaps,
@@ -524,6 +528,7 @@ def test_no_cartesian_product_in_staged_r15_plans(spark, oracle_sf_dir):
         funnel_latency,
         rfm_segments,
         market_basket,
+        part_pagerank,
         label_separability,
     ):
         plan = (

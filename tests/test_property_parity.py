@@ -2366,3 +2366,51 @@ def test_series_trend_matches_reference(spark, rows):
         tau = round(2 * s_mk / (m * (m - 1)), 6)
         want[i] = (m, slope, s_mk, tau)
     assert got == want
+
+
+@given(rows=_basket_rows)
+@_SETTINGS
+def test_part_pagerank_matches_reference(spark, rows):
+    """Staged r15 ``part_pagerank_op`` equals the pure-Python replay of
+    the whole five-iteration exact-integer trajectory on random basket
+    graphs (distinct collapse, support-≥2 pairs, HALF_UP integer
+    contributions, (rank DESC, part) top-k)."""
+    from dariadb_spark.ext.relational import (
+        BASKET_MIN_SUP,
+        PAGERANK_TOP,
+        part_pagerank_op,
+    )
+    from tests.test_staged_r15 import _pagerank_reference
+
+    li = spark.createDataFrame(
+        [
+            (o, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+            for i, (o, p) in enumerate(rows)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = [tuple(r) for r in part_pagerank_op(li).collect()]
+
+    baskets: dict[int, set[int]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    pair: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for ai in range(len(ps)):
+            for bi in range(ai + 1, len(ps)):
+                k = (ps[ai], ps[bi])
+                pair[k] = pair.get(k, 0) + 1
+    edges = []
+    for (u, v), n in pair.items():
+        if n >= BASKET_MIN_SUP:
+            edges += [(u, v), (v, u)]
+    ref = _pagerank_reference(edges)
+    want = sorted(
+        ((p, r, round(r / 1_000_000, 6)) for p, r in ref.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:PAGERANK_TOP]
+    assert got == want

@@ -544,3 +544,72 @@ def test_series_trend_parity_and_planted_shapes(spark, oracle_sf_dir):
     assert got[2] == (n, slope, s, tau)
     assert got[2][1] > 0.3 and got[2][3] < 0.2  # the disagreement
     assert got[3] == (n, 0.0, 0, 0.0)
+
+
+def _pagerank_reference(edges, iters=5):
+    """Pure-Python replay of the exact-integer power iteration."""
+    deg: dict[int, int] = {}
+    for u, _v in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {u: 1_000_000 for u in deg}
+    for _ in range(iters):
+        nxt = {u: 150_000 for u in deg}
+        for u, v in edges:
+            nxt[v] += (34 * r[u] + 20 * deg[u]) // (40 * deg[u])
+        r = nxt
+    return r
+
+
+def test_part_pagerank_parity_and_planted_star(spark, oracle_sf_dir):
+    """Staged r15 exact-integer PageRank: DuckDB hash parity; a planted
+    hub-and-spokes graph matches a pure-Python replay of all five
+    iterations exactly (not just the fixed point), with the hub ranked
+    first; a uniform-degree triangle sits at the exact 10⁶ fixed
+    point."""
+    from dariadb_spark.ext.relational import (
+        PART_PAGERANK_SQL,
+        part_pagerank,
+        part_pagerank_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_pagerank",
+        part_pagerank(spark, oracle_sf_dir),
+        con,
+        PART_PAGERANK_SQL,
+    )
+    assert res.ok, res.problems
+
+    # star: hub 0 — spokes 1..4; triangle: 10-11-12. Each basket is
+    # duplicated across two orders so every pair clears support ≥ 2.
+    baskets = []
+    for rep in range(2):
+        for k in range(1, 5):
+            baskets.append((100 * rep + k, [0, k]))
+        baskets.append((100 * rep + 50, [10, 11, 12]))
+    rows = []
+    for ok, parts in baskets:
+        for i, p in enumerate(parts):
+            rows.append((ok, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         None))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = [tuple(r) for r in part_pagerank_op(li).collect()]
+
+    pairs = [(0, k) for k in range(1, 5)] + [(10, 11), (10, 12), (11, 12)]
+    edges = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    ref = _pagerank_reference(edges)
+    want = sorted(
+        ((p, r, round(r / 1_000_000, 6)) for p, r in ref.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert got == want
+    assert got[0][0] == 0  # the hub anchors the graph
+    # uniform-degree component: the exact fixed point
+    assert {ref[10], ref[11], ref[12]} == {1_000_000}
