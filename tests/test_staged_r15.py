@@ -1,8 +1,9 @@
 """Round-15 staged operators: DuckDB hash parity at the fixture scale
 plus planted closed-form cases for each — exceedance run lengths, the
 data-completeness audit, funnel latency, RFM segmentation, market-basket
-rules, label separability, and the two new stateful ingest twins
-(run-length counters, counter rate)."""
+rules, label separability, the trend screen (OLS + Mann–Kendall), the
+exact-integer co-purchase PageRank, and the two new stateful ingest
+twins (run-length counters, counter rate)."""
 
 from __future__ import annotations
 
