@@ -4037,14 +4037,6 @@ def stress_streaming_rate(spark) -> tuple[float, float, int]:
         shutil.rmtree(base, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    # the guard lives at the true END of the module: stress functions
-    # are defined below main() in staging order, and an earlier
-    # mid-file guard called main() before the later defs existed
-    # (NameError on the first full-suite run — individual runs via
-    # `python -c` never hit it)
-    main()
-
 
 TREND_STRESS_SERIES = 200
 TREND_STRESS_ROWS = 19_200_000  # 96k one-minute samples per series
@@ -4173,3 +4165,10 @@ def stress_part_pagerank(spark) -> tuple[float, int]:
     assert got[0][0] == hub, got[0]
     assert got == want, (got[:3], want[:3])
     return pr_s, len(got)
+if __name__ == "__main__":
+    # the guard lives at the true END of the module: stress functions
+    # are defined below main() in staging order, and an earlier
+    # mid-file guard called main() before the later defs existed
+    # (NameError on the first full-suite run — individual runs via
+    # `python -c` never hit it)
+    main()

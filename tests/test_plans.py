@@ -585,3 +585,26 @@ def test_no_cartesian_product_in_staged_r15_plans(spark, oracle_sf_dir):
         )
     )
     assert "Join" not in df._jdf.queryExecution().explainString(mode)
+
+
+def test_bench_stress_main_guard_is_last_statement():
+    """bench_stress.py grows by appending stress functions each round;
+    twice now an append landed AFTER the __main__ guard, so the full
+    suite called main() before the newest defs existed (NameError) —
+    invisible to the isolated per-function runs. Pin the guard as the
+    module's LAST top-level statement."""
+    import ast
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_stress.py")
+    tree = ast.parse(open(path).read())
+    last = tree.body[-1]
+    assert isinstance(last, ast.If), (
+        "bench_stress.py's last top-level statement must be the "
+        f"__main__ guard, found {type(last).__name__}"
+    )
+    t = last.test
+    assert (
+        isinstance(t, ast.Compare)
+        and getattr(t.left, "id", None) == "__name__"
+    ), "last statement is an If but not the __main__ guard"
