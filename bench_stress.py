@@ -2502,8 +2502,9 @@ def main() -> None:
     sep_s, sep_vecs = stress_label_separability(spark)
     srl_s, srl_batch_s, srl_series = stress_streaming_runlen(spark)
     srate_s, srate_batch_s, srate_rows = stress_streaming_rate(spark)
-    tr_s, tr_series = stress_series_trend(spark)
+    tr_s, tr_year_s, tr_series = stress_series_trend(spark)
     pr_s, pr_rows = stress_part_pagerank(spark)
+    gr_s, gr_vecs = stress_gram_arrow_pca(spark)
     print(
         json.dumps(
             {
@@ -2576,11 +2577,13 @@ def main() -> None:
                     "rfm_segments_1m_custs": round(rfm_s, 4),
                     "market_basket_1m5_lines": round(mb_s, 4),
                     "label_separability_200k": round(sep_s, 4),
+                    "gram_arrow_pca_500k_d64": round(gr_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
                     "batch_rate_same_rows": round(srate_batch_s, 4),
                     "series_trend_19m": round(tr_s, 4),
+                    "series_trend_year_hourly_8760c": round(tr_year_s, 4),
                     "part_pagerank_200k_ring": round(pr_s, 4),
                     "bucketed_write_20m": round(bk_write_s, 4),
                     "window_plain_20m": round(bk_plain_s, 4),
@@ -4083,7 +4086,77 @@ def stress_series_trend(spark) -> tuple[float, int]:
             assert tuple(row)[1:] == (m, 0.6, m * (m - 1) // 2, 1.0), row
         else:
             assert tuple(row)[1:] == (m, alt_slope, -r, alt_tau), row
-    return tr_s, len(rows)
+
+    # Year-of-hourly panel (VERDICT r14 item 5's target shape): 32
+    # series × 8760 hourly cells. Under the retired pair join this was
+    # 32 × 38.4M pairs; the merge-count fold is 32 × O(m log m). Ramp
+    # closed form (value = cents ramp → yq = x exactly): slope 0.01,
+    # S = m(m−1)/2, tau = 1 — asserted per series.
+    ym = 8760
+    ymeas = spark.range(32 * ym).selectExpr(
+        "id % 32 AS id",
+        "(id DIV 32) * 3600000 AS time",
+        "CAST(id DIV 32 AS DOUBLE) / 100.0d AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    yrows = series_trend_op(ymeas, None, 0, ym * 3_600_000, 3_600_000, 0).collect()
+    tr_year_s = time.perf_counter() - t0
+    assert len(yrows) == 32, len(yrows)
+    for row in yrows:
+        assert tuple(row)[1:] == (ym, 0.01, ym * (ym - 1) // 2, 1.0), row
+    return tr_s, tr_year_s, len(rows)
+
+
+GRAM_STRESS_VECS = 500_000
+GRAM_STRESS_DIM = 64
+
+
+def stress_gram_arrow_pca(spark) -> tuple[float, int]:
+    """VERDICT r14 item 2's at-scale proof: `embedding_pca_arrow`
+    (gram_arrow -> shared power tail) at 500k vectors x dim 64, where
+    the declared posexplode fan-out would materialize 2.05G rows —
+    retired here to d^2 rows per Arrow batch. Vectors are the
+    deterministic grid q[n][j] = ((7n + 13j) % 17) - 8 (int, |q| <= 8,
+    embedding = q/10^4), so the exact Gram, both power steps, and every
+    rounded loading are replayed independently in numpy/int64 (all
+    magnitudes < 2^53 by construction) and asserted byte-equal."""
+    import numpy as np
+
+    from dariadb_spark.ext.similarity import embedding_pca_arrow
+    from dariadb_spark.streaming.stateful import _round_half_up
+
+    n, d = GRAM_STRESS_VECS, GRAM_STRESS_DIM
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, %d), j ->"
+        " CAST((id * 7 + j * 13) %% 17 - 8 AS DOUBLE) / 10000.0d)"
+        " AS embedding" % (d - 1),
+    )
+    t0 = time.perf_counter()
+    rows = embedding_pca_arrow(emb).collect()
+    gr_s = time.perf_counter() - t0
+
+    q = ((np.arange(n, dtype=np.int64)[:, None] * 7
+          + np.arange(d, dtype=np.int64)[None, :] * 13) % 17) - 8
+    G = (q.T.astype(np.float64) @ q.astype(np.float64)).astype(np.int64)
+
+    def sdown(v):
+        return np.sign(v) * (np.abs(v) // 1_000_000)
+
+    v1s = sdown(G.sum(axis=1))
+    v2s = sdown(G @ v1s)
+    s2 = int((v2s * v2s).sum())
+    assert s2 > 0
+    import math
+    want = [
+        (i, int(v2s[i]), _round_half_up(float(v2s[i]) / math.sqrt(float(s2)), 6))
+        for i in range(d)
+    ]
+    got = [tuple(r) for r in rows]
+    assert got == want, (got[:3], want[:3])
+    return gr_s, n
+
 
 
 PR_STRESS_RING = 200_000  # ring nodes (uniform degree 2 → exact fixed point)
@@ -4105,12 +4178,7 @@ def stress_part_pagerank(spark) -> tuple[float, int]:
     n = PR_STRESS_RING
     # ring orders: order o (and its duplicate o+n) holds parts
     # {o, (o+1) % n}; star orders at offset 4n: hub 10^7 with spoke k
-    ring = spark.range(2 * n).selectExpr(
-        "id % " + str(n) + " + CASE WHEN false THEN 0 ELSE 0 END AS o",
-        "id AS rowid",
-    ).selectExpr(
-        "rowid AS seq", "rowid % " + str(n) + " AS o"
-    )
+    ring = spark.range(2 * n).selectExpr("id AS seq", f"id % {n} AS o")
     li = None
     for expr in ("o", f"(o + 1) % {n}"):
         part = ring.selectExpr(

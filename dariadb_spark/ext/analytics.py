@@ -776,9 +776,9 @@ register("ext_events_paths", events_paths, EVENTS_PATHS_SQL)
 
 
 # --- funnel time-to-convert ---------------------------------------------------
-# STAGED for the round-15 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 15 (staged round 14 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first,
+# registered at the window rotation).
 #
 # The HOW-FAST companion to `ext_funnel_conversion` (which reports only
 # HOW MANY users reach each stage): the latency distribution of each
@@ -913,3 +913,8 @@ ORDER BY s.transition"""
 
 
 FUNNEL_LATENCY_SQL = _funnel_latency_sql()
+
+# Registered round 15 (staged round 14: implemented + oracled + pytest
+# parity incl. planted-lag fixtures + 100k-row stress + hash-matched at
+# sf0.1 in the staged second-pass sweep).
+register("ext_funnel_latency", funnel_latency, FUNNEL_LATENCY_SQL)

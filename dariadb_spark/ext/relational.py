@@ -514,9 +514,9 @@ register("ext_events_json", events_json, EVENTS_JSON_SQL)
 
 
 # --- RFM customer segmentation ------------------------------------------------
-# STAGED for the round-15 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 15 (staged round 14 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first,
+# registered at the window rotation).
 #
 # The classic lifecycle segmentation (recency / frequency / monetary
 # quintiles) the revenue family lacked: `ext_topk_customers` ranks the
@@ -637,11 +637,16 @@ ORDER BY r_score, f_score, m_score"""
 
 RFM_SEGMENTS_SQL = _rfm_sql()
 
+# Registered round 15 (staged round 14: implemented + oracled + pytest
+# parity incl. planted-quintile fixtures + 100k-row stress +
+# hash-matched at sf0.1 in the staged second-pass sweep).
+register("ext_rfm_segments", rfm_segments, RFM_SEGMENTS_SQL)
+
 
 # --- market-basket association rules -------------------------------------------
-# STAGED for the round-15 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 15 (staged round 14 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first,
+# registered at the window rotation).
 #
 # Pairwise co-purchase mining (support / confidence / lift) — the one
 # association view the relational family lacked; the token-domain
@@ -758,11 +763,16 @@ LIMIT {BASKET_TOP}"""
 
 MARKET_BASKET_SQL = _basket_sql()
 
+# Registered round 15 (staged round 14: implemented + oracled + pytest
+# parity incl. planted-rule fixtures + 100k-row stress + hash-matched
+# at sf0.1 in the staged second-pass sweep).
+register("ext_market_basket", market_basket, MARKET_BASKET_SQL)
+
 
 # --- co-purchase PageRank (exact-integer power iteration) ----------------------
-# STAGED for the round-15 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 15 (staged round 14 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first,
+# registered at the window rotation).
 #
 # The iterative-algorithm class under the SAME hash gate as everything
 # else: five unrolled PageRank power iterations (Brin & Page 1998,
@@ -883,3 +893,10 @@ LIMIT {PAGERANK_TOP}"""
 
 
 PART_PAGERANK_SQL = _pagerank_sql()
+
+# Registered round 15 (staged round 14: implemented + oracled + pytest
+# parity incl. the exact-fixed-point ring + planted-star stress +
+# hash-matched at sf0.1 in the staged second-pass sweep — the
+# iterative-algorithm class kept inside the hash gate via the
+# chained-CTE oracle).
+register("ext_part_pagerank", part_pagerank, PART_PAGERANK_SQL)

@@ -1800,10 +1800,12 @@ def embedding_pca_op(emb: DataFrame) -> DataFrame:
     Plan shape: the d²-per-vector pair fan-out (2M rows at the
     fixture) partial-aggregates to the 4096-cell Gram before any
     shuffle; everything after is d²/d-row arithmetic with broadcast
-    joins. At 100 TB the fan-out swaps for the blocked Arrow-matmul
-    Gram (the `pq_encode_arrow` shape: per-batch eᵀe partials summed
-    by cell) with zero change downstream — the declared form and the
-    BLAS form meet at the same exact integer cell table.
+    joins. At 100 TB the fan-out swaps for :func:`gram_arrow` (the
+    `pq_encode_arrow` shape: per-batch QᵀQ BLAS partials summed by
+    cell — :func:`embedding_pca_arrow` is that production API) with
+    zero change downstream: the declared form and the BLAS form meet
+    at the same exact integer cell table, pinned by pytest and the
+    500k-vector stress.
     """
     q = emb.selectExpr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
@@ -1817,6 +1819,80 @@ def embedding_pca_op(emb: DataFrame) -> DataFrame:
     gram = pairs.groupBy("i", "j").agg(
         F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("g")
     )
+    return _pca_power_from_gram(gram)
+
+
+def gram_arrow(emb: DataFrame, scale: int = PCA_SCALE) -> DataFrame:
+    """Production Gram builder (VERDICT r14 item 2 — the blocked
+    Arrow-matmul path `embedding_pca_op`'s docstring promises): ONE
+    ``mapInPandas`` scan where each Arrow batch quantizes its vectors
+    onto the `scale` int grid and emits the d² cells of the batch QᵀQ
+    partial; a single groupBy(i, j) sums the partials into the SAME
+    exact DECIMAL(38,0) cell table as the declared posexplode fan-out.
+
+    Exactness: the per-batch matmul runs in float64 BLAS, which is
+    exact integer arithmetic while every accumulated dot product stays
+    below 2⁵³ — guarded per batch by rows·max|q|² < 2⁵³ (an assert, so
+    an out-of-range corpus fails loudly instead of rounding); the
+    partial then casts back to int64 losslessly, and the cross-batch
+    sum accumulates in DECIMAL(38,0). At PCA_SCALE with |e| ≤ 1 the
+    guard allows ~90M rows per Arrow batch — far above any real batch.
+
+    Plan shape (100 TB): zero-shuffle scan stage (column-pruned to the
+    embedding), each batch contributing exactly d² rows regardless of
+    batch size, then one d²-group aggregate — the N·d² row fan-out of
+    the declared form never materializes.
+
+    ``emb``: (embedding ARRAY<FLOAT/DOUBLE>, …). Returns (i INT,
+    j INT, g DECIMAL(38,0)) — `_pca_power_from_gram`'s input contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def qtq(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(np.abs(X) * scale + 0.5) * np.sign(X)  # HALF_UP
+            mx = float(np.abs(Q).max()) if Q.size else 0.0
+            # float64 matmul is exact while every cell sum < 2^53
+            assert len(Q) * mx * mx < 2.0**53, (
+                "gram_arrow: batch exceeds the exact-float64 envelope "
+                f"(rows={len(Q)}, max|q|={mx}); shrink "
+                "spark.sql.execution.arrow.maxRecordsPerBatch or scale"
+            )
+            G = Q.T @ Q
+            d = G.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "gp": G.ravel().astype(np.int64),
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(qtq, "i int, j int, gp long")
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("gp").cast("decimal(38,0)")).alias("g")
+    )
+
+
+def embedding_pca_arrow(emb: DataFrame) -> DataFrame:
+    """Production top-principal-direction: :func:`gram_arrow` feeding
+    the SAME exact power-iteration tail as the declared/oracled
+    :func:`embedding_pca_op` — bit-identical output (pytest-pinned and
+    stress-asserted at 500k vectors), N·d² fan-out retired."""
+    return _pca_power_from_gram(gram_arrow(emb))
+
+
+def _pca_power_from_gram(gram: DataFrame) -> DataFrame:
+    """The shared exact power-iteration tail: two unrolled G·v steps
+    from the all-ones start, DECIMAL(38,0) throughout, sign-decomposed
+    magnitude scale-down between steps, one float per output row
+    (round(v_i/√S, 6)). Input contract: (i, j, g) — the exact integer
+    Gram cell table from either builder."""
     sdiv = (
         "CAST(CASE WHEN {v} < 0 THEN -(abs({v}) DIV {d})"
         " ELSE abs({v}) DIV {d} END AS BIGINT)"
@@ -1991,9 +2067,9 @@ register("ext_embedding_outliers", embedding_outliers, EMBEDDING_OUTLIERS_SQL)
 
 
 # --- label separability audit ---------------------------------------------------
-# STAGED for the round-15 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 15 (staged round 14 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first,
+# registered at the window rotation).
 #
 # The label-LEVEL companion to `ext_embedding_outliers` (which screens
 # individual vectors): per label, how TIGHT is the cluster (RMS
@@ -2066,7 +2142,16 @@ def label_separability_op(emb: DataFrame) -> DataFrame:
         .selectExpr(
             "label",
             "n",
-            f"round(sqrt(CAST(w AS DOUBLE) / n) / (n * {_OUT_SCALE}.0d), 6)"
+            # dev*dev is never NULL, so a NULL sum is EXACTLY non-ANSI
+            # DECIMAL(38,0) overflow — where DuckDB's HUGEINT raises.
+            # Raise here too (ADVICE r14) instead of silently emitting
+            # NULL within_rms; the docstring's scale-down recipe is the
+            # remedy at extreme n·qd magnitudes.
+            "IF(w IS NULL, raise_error('label_separability: "
+            "DECIMAL(38,0) overflow in the within-sum — round the "
+            "centroids onto the quantized grid first (docstring "
+            "recipe)'), "
+            f"round(sqrt(CAST(w AS DOUBLE) / n) / (n * {_OUT_SCALE}.0d), 6))"
             " AS within_rms",
         )
     )
@@ -2094,8 +2179,13 @@ def label_separability_op(emb: DataFrame) -> DataFrame:
         .selectExpr(
             "la",
             "lb",
+            # same overflow-surfacing guard as the within-sum above
+            "IF(b2 IS NULL, raise_error('label_separability: "
+            "DECIMAL(38,0) overflow in the between-sum — round the "
+            "centroids onto the quantized grid first (docstring "
+            "recipe)'), "
             "round(sqrt(CAST(b2 AS DOUBLE))"
-            f" / (CAST(na AS DOUBLE) * nb * {_OUT_SCALE}), 6) AS dist",
+            f" / (CAST(na AS DOUBLE) * nb * {_OUT_SCALE}), 6)) AS dist",
         )
     )
     wnear = Window.partitionBy("la").orderBy(F.asc("dist"), F.asc("lb"))
@@ -2164,3 +2254,8 @@ SELECT w.label, w.n AS n_vecs, w.within_rms,
             ELSE CAST(NULL AS DOUBLE) END AS separation_ratio
 FROM within w JOIN nearest n ON w.label = n.la
 ORDER BY w.label"""
+
+# Registered round 15 (staged round 14: implemented + oracled + pytest
+# parity incl. planted-cluster fixtures + 500k-vector stress +
+# hash-matched at sf0.1 in the staged second-pass sweep).
+register("ext_label_separability", label_separability, LABEL_SEPARABILITY_SQL)

@@ -2424,9 +2424,9 @@ register("streaming_ewma_parity", _streaming_ewma_parity, EWMA_SQL)
 
 
 # --- threshold-exceedance episodes (run lengths) ------------------------------
-# STAGED for the round-15 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 15 (staged round 14 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first,
+# registered at the window rotation).
 #
 # The alerting verb the point-wise screens lack: `ext_anomaly_zscore`
 # and `ext_series_outlier_mad` flag SAMPLES; an alert fires on an
@@ -2564,11 +2564,50 @@ ORDER BY t.id"""
 
 SERIES_RUN_LENGTHS_SQL = _run_lengths_sql()
 
+# Registered round 15 (staged round 14: implemented + oracled + pytest
+# parity incl. planted-episode fixtures + 100k-row stress + hash-matched
+# at sf0.1 in the staged second-pass sweep).
+register("ext_series_run_lengths", series_run_lengths, SERIES_RUN_LENGTHS_SQL)
+
+
+def _streaming_run_lengths_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import — same circularity guard as _streaming_ewma_parity.
+    from dariadb_spark.streaming.runlen import streaming_run_lengths_parity
+
+    return streaming_run_lengths_parity(spark, sf)
+
+
+# Registered round 15 (staged round 14). The stateful episode-fold
+# ingest twin shares the batch SERIES_RUN_LENGTHS_SQL oracle —
+# statefulness must make the micro-batching invisible, the contract
+# every streaming parity row carries.
+register(
+    "streaming_run_lengths_parity",
+    _streaming_run_lengths_parity,
+    SERIES_RUN_LENGTHS_SQL,
+)
+
+
+def _streaming_counter_rate_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import — same circularity guard as _streaming_ewma_parity.
+    from dariadb_spark.streaming.rate import streaming_counter_rate_parity
+
+    return streaming_counter_rate_parity(spark, sf)
+
+
+# Registered round 15 (staged round 14). The stateful counter-rate
+# ingest twin shares the batch COUNTER_RATE_SQL oracle.
+register(
+    "streaming_counter_rate_parity",
+    _streaming_counter_rate_parity,
+    COUNTER_RATE_SQL,
+)
+
 
 # --- data-completeness audit (gaps / coverage) --------------------------------
-# STAGED for the round-15 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 15 (staged round 14 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first,
+# registered at the window rotation).
 #
 # The monitoring-SLA verb: "is this series ARRIVING?" — the longest
 # silent stretch, the count of outage-grade gaps, the exact mean and
@@ -2716,11 +2755,16 @@ ORDER BY t.id"""
 
 SERIES_DATA_GAPS_SQL = _data_gaps_sql()
 
+# Registered round 15 (staged round 14: implemented + oracled + pytest
+# parity incl. planted-gap fixtures + 100k-row stress + hash-matched at
+# sf0.1 in the staged second-pass sweep).
+register("ext_series_data_gaps", series_data_gaps, SERIES_DATA_GAPS_SQL)
+
 
 # --- per-series trend screen (OLS slope + Mann–Kendall) -----------------------
-# STAGED for the round-15 driver window (the staging every late operator
-# goes through: implemented + oracled + pytest parity + planted stress
-# now, registered at the next window rotation).
+# Registered round 15 (staged round 14 with the full discipline:
+# implemented + oracled + pytest parity + planted stress first,
+# registered at the window rotation).
 #
 # The family's missing verb: everything else DESCRIBES the series
 # (ACF, SAX, entropy, seasonal strength, PSI, MASE) — none answers "is
@@ -2732,6 +2776,57 @@ SERIES_DATA_GAPS_SQL = _data_gaps_sql()
 # wants surfaced (one spike-driven, one rank-driven).
 
 TREND_BUCKET_MS = HOUR_MS  # the shared PAA grid
+
+
+def _count_inversions(y) -> int:
+    """#{i < j : y[i] > y[j]} by bottom-up merge counting, O(m log m).
+
+    Each level splits the array into sorted runs of `width`; for a run
+    pair (left, right) every cross inversion is a left element strictly
+    greater than a right element, counted vectorized with searchsorted
+    (left is sorted, so > r means past the 'right' insertion point).
+    Within-run inversions were counted at finer levels. The block
+    re-sort (O(k log k) instead of an O(k) merge) keeps the body pure
+    numpy; total cost stays O(m log² m) worst case, ~ms at m = 10k.
+    """
+    import numpy as np
+
+    arr = np.asarray(y, dtype=np.int64).copy()
+    n = arr.size
+    inv = 0
+    width = 1
+    while width < n:
+        for lo in range(0, n - width, 2 * width):
+            mid = lo + width
+            hi = min(lo + 2 * width, n)
+            left = arr[lo:mid]
+            right = arr[mid:hi]
+            inv += int(
+                (left.size - np.searchsorted(left, right, side="right")).sum()
+            )
+            arr[lo:hi] = np.sort(arr[lo:hi], kind="mergesort")
+        width *= 2
+    return inv
+
+
+def _mk_fold(key, pdf):
+    """Per-series Mann–Kendall S = Σ_{i<j} sign(y_j − y_i) over the
+    x-ordered cells, via S = pairs − ties − 2·inversions: `pairs` =
+    m(m−1)/2, `ties` = Σ_v c_v(c_v−1)/2 over value multiplicities
+    (tied pairs contribute 0 regardless of position), `inversions` =
+    strict descents counted by :func:`_count_inversions`. Exact int64
+    arithmetic — the identity is pair-set partitioning (each pair is
+    concordant, discordant, or tied exactly once)."""
+    import numpy as np
+    import pandas as pd
+
+    y = pdf.sort_values("x")["yq"].to_numpy(dtype=np.int64)
+    m = y.size
+    pairs = m * (m - 1) // 2
+    _, cnt = np.unique(y, return_counts=True)
+    ties = int((cnt * (cnt - 1) // 2).sum())
+    s = pairs - ties - 2 * _count_inversions(y)
+    return pd.DataFrame({"mid": [int(key[0])], "mk_s": [int(s)]})
 
 
 def series_trend(spark: SparkSession, sf: str) -> DataFrame:
@@ -2765,11 +2860,17 @@ def series_trend_op(
 
     Plan shape (100 TB): the cell table is the ACF's (id, cell)
     partial aggregate; the OLS terms are ONE more aggregate on `id`;
-    the Mann–Kendall pair join is quadratic in GRID CELLS per series
-    (m ≤ interval/bucket — 361 here, 8.8k for a year of hourly cells),
-    an equi-join on `id` with the x_i < x_j triangle filter, the
-    cross-corr family's panel contract: bounded by the GRID, never by
-    the sample count.
+    Mann–Kendall S is computed per series by an ``applyInPandas``
+    merge-count fold in O(m log m) over the m grid cells (m ≤
+    interval/bucket — 361 here, 8.8k for a year of hourly cells):
+    S = pairs − ties − 2·inversions, with inversions counted by a
+    bottom-up merge over the x-ordered yq sequence and ties from the
+    value multiplicities — exact integers end to end, no pair
+    materialization. The DuckDB oracle keeps the DEFINITIONAL pair
+    join (sum of pair signs), so the hash gate proves the O(m log m)
+    rewrite equals the definition. Group size is bounded by the GRID,
+    never by the sample count, so the Arrow batch per series is small
+    and parallelism is across series.
     """
     base = scan_interval(meas, ids, from_ms, to_ms, flag)
     y = F.round(F.col("value") * 100).cast("long")
@@ -2796,20 +2897,8 @@ def series_trend_op(
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("yq")).alias("sxy"),
     ).where(F.col("m") >= 2)
-    a = cells.alias("a")
-    bb = cells.alias("b")
-    mk = (
-        a.join(
-            bb,
-            (F.col("a.id") == F.col("b.id"))
-            & (F.col("a.x") < F.col("b.x")),
-        )
-        .groupBy(F.col("a.id").alias("mid"))
-        .agg(
-            F.sum(F.signum(F.col("b.yq") - F.col("a.yq")))
-            .cast("long")
-            .alias("mk_s")
-        )
+    mk = cells.groupBy("id").applyInPandas(
+        _mk_fold, schema="mid bigint, mk_s bigint"
     )
     return (
         ols.join(mk, ols.id == mk.mid)
@@ -2859,3 +2948,9 @@ ORDER BY o.id"""
 
 
 SERIES_TREND_SQL = _trend_sql()
+
+# Registered round 15 (staged round 14, plus the VERDICT-r14-item-5
+# O(m log m) Mann–Kendall rewrite landed BEFORE registration: the Spark
+# side merge-counts inversions per series, the oracle keeps the
+# definitional pair join, the hash gate proves them equal).
+register("ext_series_trend", series_trend, SERIES_TREND_SQL)

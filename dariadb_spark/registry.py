@@ -916,7 +916,7 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # iterative-algorithm class kept inside the hash gate via chained-CTE
 # oracles). Registering them in r15 takes the registry to 216; the r15
 # window per the ledger: any
-# core at stale-3, the 8 new registrations (priority 2), then the
+# core at stale-3, the 10 new registrations (priority 2), then the
 # oldest stale-4/5 [EXT] rows — compute with
 # `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r14 lands. The leftover stale-3 block (the other
 # r10-latest queries incl. the five streaming parities) hits stale-4
@@ -960,32 +960,43 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # + the stale-5 worst-case arithmetic).
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
+# Round-15 composition (EXECUTED — `tools/attestation_ledger.py --plan
+# 50` output at N = 216, verified identical to CHECK_WINDOW below):
+# the 22 core rows at stale-3 (bucket_hour, bucket_minute30,
+# current_value, erase_old_check, fn_all + the nine fn_* rows,
+# interval_scan[_flag], load_min_max, min_max_time,
+# partition_file_stats_multi, scheme_resolve, stat_block,
+# timepoint_asof — priority 1), the TEN round-14-staged operators
+# registered this round (priority 2, NEVER-ATTESTED → attested from
+# day one), the 12 stale-5 [EXT] rows (the 8 deferred from r14 plus
+# the 4 r10-latest streaming parities that aged into stale-5 — the
+# capacity line working as decided), then the 6 oldest stale-4 [EXT]
+# rows in ledger order. 22 + 10 + 12 + 6 = exactly 50.
 CHECK_WINDOW = [
-    # priority 1: the six core reference rows at stale-3
-    "bucket_day", "bucket_hour_salted", "bucket_month", "bucket_week",
-    "partition_file_stats", "scheme_pattern_scan",
-    # priority 2: round-14 registrations — driver-checked from day one
-    "ext_series_cross_corr", "ext_sketch_bloom",
-    "ext_dedup_edit_distance", "ext_series_seasonal_strength",
-    "ext_embedding_outliers", "streaming_ewma_parity",
-    "ext_events_paths", "ext_series_outlier_mad",
-    # priority 3: the 36 oldest stale-4 [EXT] rows, ledger order (the
-    # r10-latest cohort; the 8 that do not fit rotate at stale-5 in
-    # r15 — the first actual engagement of the decided capacity line)
-    "ext_asof_join", "ext_asof_nearest", "ext_changepoint_cusum",
-    "ext_corpus_mixture", "ext_corpus_mixture_apply", "ext_counter_rate",
-    "ext_cube_lineitem", "ext_curate_gated_mixture",
-    "ext_decontaminate_fuzzy", "ext_dedup_boilerplate",
-    "ext_dedup_incremental", "ext_dedup_substring_spans",
-    "ext_derived_series", "ext_embedding_quantize", "ext_events_json",
-    "ext_funnel_conversion", "ext_histogram", "ext_hopping_window",
-    "ext_interpolate", "ext_join_salted", "ext_knn_classify",
-    "ext_lm_oov_filter", "ext_media_phash_dedup", "ext_media_resize_plan",
-    "ext_ohlc", "ext_range_context", "ext_retention_cohorts",
-    "ext_robust_stats", "ext_rolling_median", "ext_sample_reservoir",
-    "ext_sample_temperature", "ext_sample_weighted",
-    "ext_seasonal_profile", "ext_sem_dedup", "ext_series_correlation",
-    "ext_sketch_cms_topk",
+    # priority 1: the 22 core reference rows at stale-3
+    "bucket_hour", "bucket_minute30", "current_value", "erase_old_check",
+    "fn_all", "fn_average", "fn_count", "fn_maximum", "fn_median",
+    "fn_minimum", "fn_percentile90", "fn_percentile99", "fn_sigma", "fn_sum",
+    "interval_scan", "interval_scan_flag", "load_min_max", "min_max_time",
+    "partition_file_stats_multi", "scheme_resolve", "stat_block",
+    "timepoint_asof",
+    # priority 2: round-15 registrations — driver-checked from day one
+    "ext_funnel_latency", "ext_label_separability", "ext_market_basket",
+    "ext_part_pagerank", "ext_rfm_segments", "ext_series_data_gaps",
+    "ext_series_run_lengths", "ext_series_trend",
+    "streaming_counter_rate_parity", "streaming_run_lengths_parity",
+    # priority 3a: the 12 stale-5 [EXT] rows (8 deferred from r14 + 4
+    # aged r10-latest streaming parities), ledger order
+    "ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
+    "ext_text_pii_roundtrip", "ext_train_quality_eval", "ext_unpivot_flags",
+    "streaming_anomaly_parity", "streaming_current_value_parity",
+    "streaming_dedup_parity", "streaming_interval_join_parity",
+    "streaming_kmv_parity", "streaming_rollup_parity",
+    "streaming_sessionize_parity",
+    # priority 3b: the 6 oldest stale-4 [EXT] rows, ledger order
+    "ext_bpe_learn", "ext_bpe_token_stats", "ext_customers_anti",
+    "ext_customers_semi", "ext_decontaminate_bloom",
+    "ext_decontaminate_embed",
 ]
 
 

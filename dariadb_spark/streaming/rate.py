@@ -1,8 +1,8 @@
 """Streaming counter-rate maintenance — the PromQL ``rate()`` fold at ingest.
 
-STAGED for the round-15 driver window (the staging every late operator
-goes through: implemented + oracled + pytest parity + planted stress
-now, registered at the next window rotation). The batch side is
+Registered round 15 (staged round 14 with the full discipline:
+implemented + oracled + pytest parity + planted stress first,
+registered at the window rotation). The batch side is
 ``counter_rate_op`` (ext/timeseries.py): one lag-window pass with the
 reset convention (a negative delta means the counter restarted, so the
 increase is the new value itself). THIS module is its ingest twin — the
@@ -82,6 +82,19 @@ def _rate_fold(
     out_t, out_v, out_dt, out_inc = [], [], [], []
     for i in range(len(t)):
         ti, vi = int(t[i]), float(v[i])
+        if last_t is not None and ti <= last_t:
+            # Out-of-contract input (ADVICE r14): a duplicate or
+            # out-of-order (id, time) arriving in a LATER micro-batch
+            # than its successor. Silently treating it as new would
+            # emit dt_ms <= 0 rows (garbage rate_per_s). The in-order
+            # contract is documented in the module docstring; fail
+            # loudly instead of corrupting the standing output.
+            raise ValueError(
+                f"counter-rate fold: sample (id={key[0]}, time={ti}) "
+                f"arrived after state already advanced to {last_t}; "
+                "cross-batch out-of-order input violates the in-order "
+                "ingest contract"
+            )
         if last_t is not None:
             delta = vi - last_v  # one IEEE float64 subtraction
             out_t.append(ti)

@@ -1,8 +1,8 @@
 """Streaming exceedance-episode maintenance — the alerting fold at ingest.
 
-STAGED for the round-15 driver window (the staging every late operator
-goes through: implemented + oracled + pytest parity + planted stress
-now, registered at the next window rotation). The batch side is
+Registered round 15 (staged round 14 with the full discipline:
+implemented + oracled + pytest parity + planted stress first,
+registered at the window rotation). The batch side is
 ``series_run_lengths_op`` (ext/timeseries.py): gaps-and-islands on the
 ``value > threshold`` predicate. THIS module is its ingest twin — the
 fold a real alerting pipeline runs, where "the episode is still open"
@@ -45,11 +45,12 @@ _OUT_DDL = (
     "longest_run_ms BIGINT, n_exceed BIGINT"
 )
 
-#: the whole fold state: eight counters
+#: the whole fold state: eight counters + the last seen sample time
+#: (the in-order guard — see the ValueError in the fold)
 _STATE_DDL = (
     "n_samples BIGINT, n_exceed BIGINT, n_episodes BIGINT, "
     "cur_run BIGINT, cur_t0 BIGINT, cur_t1 BIGINT, "
-    "longest_run BIGINT, longest_run_ms BIGINT"
+    "longest_run BIGINT, longest_run_ms BIGINT, last_time BIGINT"
 )
 
 
@@ -64,11 +65,12 @@ def _runlen_fold(
 
     if state.exists:
         (n_samples, n_exceed, n_episodes, cur_run, cur_t0, cur_t1,
-         longest_run, longest_run_ms) = state.get
+         longest_run, longest_run_ms, last_time) = state.get
     else:
         n_samples = n_exceed = n_episodes = cur_run = 0
         cur_t0 = cur_t1 = 0
         longest_run = longest_run_ms = 0
+        last_time = None
     parts = [p for p in pdfs if len(p)]
     if not parts:
         yield pd.DataFrame(
@@ -87,6 +89,17 @@ def _runlen_fold(
     keep = np.ones(len(t), dtype=bool)
     keep[:-1] = t[1:] != t[:-1]
     t, v = t[keep], v[keep]
+    if last_time is not None and len(t) and int(t[0]) <= last_time:
+        # Out-of-contract input (ADVICE r14): a duplicate or
+        # out-of-order (id, time) arriving in a LATER micro-batch than
+        # its successor would be silently folded as a NEW sample,
+        # double-counting the episode walk. Fail loudly instead.
+        raise ValueError(
+            f"run-length fold: sample (id={key[0]}, time={int(t[0])}) "
+            f"arrived after state already advanced to {last_time}; "
+            "cross-batch out-of-order input violates the in-order "
+            "ingest contract"
+        )
     for i in range(len(t)):
         n_samples += 1
         if float(v[i]) > RUN_THRESHOLD:  # same IEEE compare as the plan
@@ -102,8 +115,10 @@ def _runlen_fold(
                 longest_run_ms = cur_t1 - cur_t0
         else:
             cur_run = 0
+    if len(t):
+        last_time = int(t[-1])
     state.update((n_samples, n_exceed, n_episodes, cur_run, cur_t0,
-                  cur_t1, longest_run, longest_run_ms))
+                  cur_t1, longest_run, longest_run_ms, last_time))
     yield pd.DataFrame(
         {
             "id": np.array([key[0]], dtype=np.int64),

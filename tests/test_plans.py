@@ -202,39 +202,39 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-14 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50 over r01–r13): the SIX core rows at stale-3 lead
-    # (priority 1), then the EIGHT round-14 registrations (priority 2:
-    # never ship a NEW query outside the window), then the 36 oldest
-    # stale-4 [EXT] rows in ledger order (priority 3). Registry is now
-    # 206 > 200, so the decided stale-5 capacity line is ACTIVE: the 8
-    # stale-4 rows that did not fit rotate at stale-5 in r15.
-    assert CHECK_WINDOW[:6] == [
-        "bucket_day", "bucket_hour_salted", "bucket_month", "bucket_week",
-        "partition_file_stats", "scheme_pattern_scan",
+    # round-15 (the executed ledger plan — tools/attestation_ledger.py
+    # --plan 50 over r01–r14 at N = 216): the 22 core rows at stale-3
+    # lead (priority 1), then the TEN round-15 registrations (priority
+    # 2: never ship a NEW query outside the window), then the 12
+    # stale-5 [EXT] rows (the 8 deferred from r14 + the 4 aged
+    # r10-latest streaming parities — the capacity line paying its
+    # debt), then the 6 oldest stale-4 [EXT] rows in ledger order.
+    assert CHECK_WINDOW[:4] == [
+        "bucket_hour", "bucket_minute30", "current_value",
+        "erase_old_check",
     ]
-    assert set(CHECK_WINDOW[6:14]) == {
-        "ext_series_cross_corr", "ext_sketch_bloom",
-        "ext_dedup_edit_distance", "ext_series_seasonal_strength",
-        "ext_embedding_outliers", "streaming_ewma_parity",
-        "ext_events_paths", "ext_series_outlier_mad",
+    assert CHECK_WINDOW[21] == "timepoint_asof"
+    assert set(CHECK_WINDOW[22:32]) == {
+        "ext_funnel_latency", "ext_label_separability",
+        "ext_market_basket", "ext_part_pagerank", "ext_rfm_segments",
+        "ext_series_data_gaps", "ext_series_run_lengths",
+        "ext_series_trend", "streaming_counter_rate_parity",
+        "streaming_run_lengths_parity",
     }
-    # the 36 priority-3 fill slots are the ledger's oldest-stale-4
-    # prefix; the 8 names past the cut are NOT in-window (they rotate
-    # at stale-5 in r15 under the active capacity line)
-    for overflow in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
+    # the r14-deferred stale-5 rows are back in-window (the first
+    # capacity-line rotation completing on schedule)
+    for comeback in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
                      "ext_text_pii_roundtrip", "ext_train_quality_eval",
                      "ext_unpivot_flags", "streaming_anomaly_parity",
                      "streaming_current_value_parity",
                      "streaming_dedup_parity"):
-        assert overflow not in CHECK_WINDOW, overflow
-    assert CHECK_WINDOW[14] == "ext_asof_join"
-    assert CHECK_WINDOW[-1] == "ext_sketch_cms_topk"
-    # the r13 window (partition_stats + the 16 r13 registrations + the
-    # 32 r9-latest) rotated OUT — re-attested last round, stale-1 now
-    for fresh in ("partition_stats", "ext_downsample_lttb",
-                  "ext_embedding_pca", "ext_text_word_freq",
-                  "ext_ann_recall_eval"):
+        assert comeback in CHECK_WINDOW, comeback
+    assert CHECK_WINDOW[-1] == "ext_decontaminate_embed"
+    # the r14 window (6 core + 8 r14 registrations + 36 stale-4)
+    # rotated OUT — re-attested last round, stale-1 now
+    for fresh in ("bucket_day", "scheme_pattern_scan",
+                  "ext_series_cross_corr", "ext_sketch_bloom",
+                  "ext_asof_join", "ext_sketch_cms_topk"):
         assert fresh not in CHECK_WINDOW, fresh
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"

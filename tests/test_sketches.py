@@ -4248,3 +4248,59 @@ def test_ngram_family_total_on_short_docs(spark):
         nov = {r.source: r for r in D.ngram_novelty(spark, "x").collect()}
         # only doc 3 shingles; s1 has no shingled docs and must vanish
         assert set(nov) == {"s2"} and nov["s2"].n_docs == 1
+
+
+def test_gram_arrow_matches_declared_fanout(spark):
+    """VERDICT r14 item 2: the blocked Arrow-matmul Gram must produce
+    the SAME exact DECIMAL(38,0) cell table as the declared posexplode
+    fan-out, and `embedding_pca_arrow` must be byte-identical to the
+    oracled `embedding_pca_op` — on adversarial vectors (negatives,
+    exact .5 rounding boundaries, zeros) AND the sf0.001 fixture
+    (float32 arrays, multiple Arrow batches via a low batch cap)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from dariadb_spark.ext.similarity import (
+        PCA_SCALE,
+        embedding_pca_arrow,
+        embedding_pca_op,
+        gram_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 6
+    vecs = rng.integers(-9000, 9000, size=(50, d)).astype(np.float64)
+    vecs[0] = 0.0
+    vecs[1] = np.array([0.00005, -0.00005, 0.00015, -0.00015, 0.5, -0.5])
+    emb = spark.createDataFrame(
+        [(i, [float(x) / PCA_SCALE for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    declared = (
+        emb.selectExpr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {PCA_SCALE}) AS BIGINT)) AS q"
+        )
+        .select("q", F.posexplode("q").alias("i", "qi"))
+        .select("i", "qi", F.posexplode("q").alias("j", "qj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("g"))
+    )
+    want = {(r.i, r.j): int(r.g) for r in declared.collect()}
+    got = {(r.i, r.j): int(r.g) for r in gram_arrow(emb).collect()}
+    assert got == want
+    pca_decl = [tuple(r) for r in embedding_pca_op(emb).collect()]
+    pca_arrow = [tuple(r) for r in embedding_pca_arrow(emb).collect()]
+    assert pca_arrow == pca_decl
+
+    # fixture parity: float32 storage + forced multi-batch scan
+    fx = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        fx_arrow = [tuple(r) for r in embedding_pca_arrow(fx).collect()]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    fx_decl = [tuple(r) for r in embedding_pca_op(fx).collect()]
+    assert fx_arrow == fx_decl
+    assert len(fx_arrow) > 0

@@ -614,3 +614,96 @@ def test_part_pagerank_parity_and_planted_star(spark, oracle_sf_dir):
     assert got[0][0] == 0  # the hub anchors the graph
     # uniform-degree component: the exact fixed point
     assert {ref[10], ref[11], ref[12]} == {1_000_000}
+
+
+def test_mk_merge_count_equals_pair_definition():
+    """The O(m log m) Mann–Kendall fold (pairs − ties − 2·inversions,
+    merge-counted) must equal the definitional Σ_{i<j} sign(y_j − y_i)
+    on adversarial shapes: random with heavy ties, sorted, reversed,
+    all-equal, tiny, and large-magnitude values. Pure-python brute
+    force as the oracle — no Spark session needed."""
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.ext.timeseries import _count_inversions, _mk_fold
+
+    rng = np.random.default_rng(42)
+    cases = [
+        np.array([5], dtype=np.int64),
+        np.array([3, 3], dtype=np.int64),
+        np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        np.array([5, 4, 3, 2, 1], dtype=np.int64),
+        np.zeros(17, dtype=np.int64),
+        rng.integers(-3, 4, size=101),        # heavy ties
+        rng.integers(-(10**17), 10**17, size=257),  # wide magnitudes
+        rng.permutation(np.repeat(np.arange(20), 10)),  # 200, tied blocks
+    ]
+    for y in cases:
+        y = y.astype(np.int64)
+        m = y.size
+        brute_s = sum(
+            int(np.sign(y[j] - y[i]))
+            for i in range(m)
+            for j in range(i + 1, m)
+        )
+        brute_inv = sum(
+            1 for i in range(m) for j in range(i + 1, m) if y[i] > y[j]
+        )
+        assert _count_inversions(y) == brute_inv
+        pdf = pd.DataFrame({"x": np.arange(m), "yq": y}).sample(
+            frac=1, random_state=7
+        )  # shuffled row order — the fold must sort by x itself
+        out = _mk_fold((9,), pdf)
+        assert out["mid"].iloc[0] == 9
+        assert out["mk_s"].iloc[0] == brute_s
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_rate_and_runlen_folds_reject_cross_batch_out_of_order():
+    """ADVICE r14: a duplicate or out-of-order (id, time) arriving in a
+    LATER micro-batch than its successor must fail loudly (ValueError),
+    not silently emit dt_ms <= 0 rows / double-count the episode walk.
+    In-order batches across the same boundary still fold cleanly."""
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.streaming.rate import _rate_fold
+    from dariadb_spark.streaming.runlen import _runlen_fold
+
+    def batch(ts, vs):
+        return pd.DataFrame(
+            {
+                "id": np.full(len(ts), 7, dtype=np.int64),
+                "time": np.array(ts, dtype=np.int64),
+                "value": np.array(vs, dtype=np.float64),
+                "flag": np.zeros(len(ts), dtype=np.int64),
+            }
+        )
+
+    for fold in (_rate_fold, _runlen_fold):
+        st = _FakeState()
+        list(fold((7,), iter([batch([1000, 2000], [1.0, 2.0])]), st))
+        # in-order continuation is fine
+        list(fold((7,), iter([batch([3000], [3.0])]), st))
+        # a sample at/before the high-water mark must raise
+        with pytest.raises(ValueError, match="in-order ingest contract"):
+            list(fold((7,), iter([batch([2500], [9.0])]), st))
+        st2 = _FakeState()
+        list(fold((7,), iter([batch([1000], [1.0])]), st2))
+        with pytest.raises(ValueError, match="in-order ingest contract"):
+            list(fold((7,), iter([batch([1000], [1.0])]), st2))  # dup
