@@ -959,8 +959,74 @@ FROM cells GROUP BY depth, bucket
 ORDER BY depth, bucket"""
 
 register("ext_sketch_cms_topk", sketch_cms_topk, SKETCH_CMS_TOPK_SQL)
-register("ext_sketch_kmv_distinct", sketch_kmv_distinct, SKETCH_KMV_DISTINCT_SQL)
-register("ext_sketch_kmv_union", sketch_kmv_union, SKETCH_KMV_UNION_SQL)
+
+
+def sketch_kmv_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The merged KMV driver row (the r15-executed first merge from the
+    250-ceiling trajectory, registry.py): per-language distinct
+    estimates AND pair union/intersect estimates in ONE table, on a
+    shared schema. The audit verdict that shaped it: `sketch_kmv_union`
+    is NOT derivable from `sketch_kmv_distinct`'s OUTPUT (it needs the
+    full k-sketch state, not just the k-th hash), so neither row could
+    simply subsume the other — instead this composite emits both, and
+    each ORIGINAL query's output is a projection/filter of it:
+
+      distinct = SELECT lang_a AS lang, exact_distinct, kmv_est,
+                 rel_err_pct WHERE lang_b IS NULL
+      union    = SELECT lang_a, lang_b, exact_distinct AS exact_union,
+                 kmv_est AS kmv_union_est, exact_intersect,
+                 kmv_intersect_est WHERE lang_b IS NOT NULL
+
+    (pinned by tests/test_sketches.py::test_kmv_report_projections).
+    Both component operators stay public APIs with their own
+    pure-python-reference pytests; only the driver row consolidates.
+    Plan shape: the two component plans unioned — Spark evaluates each
+    branch exactly as before (same sketches, same single shuffle
+    structure); UNION ALL adds no exchange."""
+    singles = sketch_kmv_distinct(spark, sf).selectExpr(
+        "lang AS lang_a",
+        "CAST(NULL AS STRING) AS lang_b",
+        "exact_distinct",
+        "kmv_est",
+        "CAST(NULL AS BIGINT) AS exact_intersect",
+        "CAST(NULL AS DOUBLE) AS kmv_intersect_est",
+        "rel_err_pct",
+    )
+    pairs = sketch_kmv_union(spark, sf).selectExpr(
+        "lang_a",
+        "lang_b",
+        "exact_union AS exact_distinct",
+        "kmv_union_est AS kmv_est",
+        "exact_intersect",
+        "kmv_intersect_est",
+        "CAST(NULL AS DOUBLE) AS rel_err_pct",
+    )
+    return singles.unionByName(pairs).orderBy(
+        "lang_a", F.asc_nulls_first("lang_b")
+    )
+
+
+SKETCH_KMV_REPORT_SQL = f"""
+SELECT * FROM (
+  SELECT lang AS lang_a, CAST(NULL AS VARCHAR) AS lang_b,
+         exact_distinct, kmv_est,
+         CAST(NULL AS BIGINT) AS exact_intersect,
+         CAST(NULL AS DOUBLE) AS kmv_intersect_est,
+         rel_err_pct
+  FROM ({SKETCH_KMV_DISTINCT_SQL}) sd
+  UNION ALL
+  SELECT lang_a, lang_b,
+         exact_union AS exact_distinct,
+         kmv_union_est AS kmv_est,
+         exact_intersect, kmv_intersect_est,
+         CAST(NULL AS DOUBLE) AS rel_err_pct
+  FROM ({SKETCH_KMV_UNION_SQL}) su
+) ORDER BY lang_a, lang_b NULLS FIRST"""
+
+# Registered round 15, REPLACING ext_sketch_kmv_distinct +
+# ext_sketch_kmv_union (the trajectory's merge #1 — one freed slot;
+# semantics unchanged and still individually pytest-covered).
+register("ext_sketch_kmv_report", sketch_kmv_report, SKETCH_KMV_REPORT_SQL)
 # round 8: the staged quantile sketches join the driver-checked surface,
 # plus the unified entry point whose selection rule closes the r7
 # verdict's sparse-tail item.

@@ -746,7 +746,10 @@ def _streaming_kmv_parity(spark: SparkSession, sf: str) -> DataFrame:
     return streaming_kmv_parity(spark, sf)
 
 
-if "ext_sketch_kmv_distinct" in REGISTRY:
+if "ext_sketch_kmv_report" in REGISTRY:
+    # (Guard renamed r15: the two KMV rows merged into
+    # ext_sketch_kmv_report — same import-order purpose, the sketches
+    # module must have finished registering before this lazy twin.)
     # The incrementally-maintained KMV distinct sketch (round-10 upgrade
     # from pytest-only to driver-checked, the third streaming sketch
     # twin after CMS cells r8 / HDR buckets r9): per-language k-minimum
@@ -887,9 +890,11 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # provably subsumes it — same input slice, its output derivable from
 # the composite's by a projection/filter the oracle can express.
 # Ranked merge candidates when the time comes (audit each first):
-#   1. ext_sketch_kmv_union into ext_sketch_kmv_distinct (same KMV
-#      state; union is the merge of the per-language sketches the
-#      distinct query already builds);
+#   1. EXECUTED r15: ext_sketch_kmv_union + ext_sketch_kmv_distinct
+#      → ext_sketch_kmv_report (the audit showed union is NOT a
+#      projection of distinct's output — it needs the k-sketch state —
+#      so the merge is a composite row whose projections reproduce
+#      both originals; one slot freed);
 #   2. ext_set_intersect + ext_set_except into one set-ops query
 #      emitting an op column (same inputs, same plan shape);
 #   3. ext_asof_nearest into ext_asof_join (same join machinery,
@@ -961,17 +966,23 @@ if "ext_sketch_kmv_distinct" in REGISTRY:
 # Everything outside the window is still value-checked locally by
 # tests/test_oracle_parity.py (same compare, all queries).
 # Round-15 composition (EXECUTED — `tools/attestation_ledger.py --plan
-# 50` output at N = 216, verified identical to CHECK_WINDOW below):
+# 50` output at N = 215, verified identical to CHECK_WINDOW below):
 # the 22 core rows at stale-3 (bucket_hour, bucket_minute30,
 # current_value, erase_old_check, fn_all + the nine fn_* rows,
 # interval_scan[_flag], load_min_max, min_max_time,
 # partition_file_stats_multi, scheme_resolve, stat_block,
-# timepoint_asof — priority 1), the TEN round-14-staged operators
-# registered this round (priority 2, NEVER-ATTESTED → attested from
-# day one), the 12 stale-5 [EXT] rows (the 8 deferred from r14 plus
-# the 4 r10-latest streaming parities that aged into stale-5 — the
-# capacity line working as decided), then the 6 oldest stale-4 [EXT]
-# rows in ledger order. 22 + 10 + 12 + 6 = exactly 50.
+# timepoint_asof — priority 1), ELEVEN never-attested registrations
+# (the ten round-14-staged operators plus ext_sketch_kmv_report, the
+# executed merge #1 below — priority 2), the 10 stale-5 [EXT] rows
+# (r14 deferrals + the r10-latest streaming parities that aged into
+# stale-5 — the capacity line working as decided), then the 7 oldest
+# stale-4 [EXT] rows in ledger order. 22 + 11 + 10 + 7 = exactly 50.
+# N is 215, not 216: the ten registrations land +10 and merge #1
+# lands −1 (ext_sketch_kmv_distinct + ext_sketch_kmv_union →
+# ext_sketch_kmv_report, ext/sketches.py — the audit found union NOT
+# derivable from distinct's OUTPUT, so the merge is a composite row
+# whose projections reproduce BOTH originals, pinned by
+# tests/test_sketches.py::test_kmv_report_projections).
 CHECK_WINDOW = [
     # priority 1: the 22 core reference rows at stale-3
     "bucket_hour", "bucket_minute30", "current_value", "erase_old_check",
@@ -980,23 +991,23 @@ CHECK_WINDOW = [
     "interval_scan", "interval_scan_flag", "load_min_max", "min_max_time",
     "partition_file_stats_multi", "scheme_resolve", "stat_block",
     "timepoint_asof",
-    # priority 2: round-15 registrations — driver-checked from day one
+    # priority 2: round-15 registrations (the 10 staged ops + the
+    # merged KMV report row) — driver-checked from day one
     "ext_funnel_latency", "ext_label_separability", "ext_market_basket",
     "ext_part_pagerank", "ext_rfm_segments", "ext_series_data_gaps",
-    "ext_series_run_lengths", "ext_series_trend",
+    "ext_series_run_lengths", "ext_series_trend", "ext_sketch_kmv_report",
     "streaming_counter_rate_parity", "streaming_run_lengths_parity",
-    # priority 3a: the 12 stale-5 [EXT] rows (8 deferred from r14 + 4
-    # aged r10-latest streaming parities), ledger order
-    "ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
+    # priority 3a: the 10 stale-5 [EXT] rows (r14 deferrals + aged
+    # r10-latest streaming parities), ledger order
     "ext_text_pii_roundtrip", "ext_train_quality_eval", "ext_unpivot_flags",
     "streaming_anomaly_parity", "streaming_current_value_parity",
     "streaming_dedup_parity", "streaming_interval_join_parity",
     "streaming_kmv_parity", "streaming_rollup_parity",
     "streaming_sessionize_parity",
-    # priority 3b: the 6 oldest stale-4 [EXT] rows, ledger order
+    # priority 3b: the 7 oldest stale-4 [EXT] rows, ledger order
     "ext_bpe_learn", "ext_bpe_token_stats", "ext_customers_anti",
     "ext_customers_semi", "ext_decontaminate_bloom",
-    "ext_decontaminate_embed",
+    "ext_decontaminate_embed", "ext_dedup_exact",
 ]
 
 

@@ -203,33 +203,36 @@ def test_check_window_is_first_50_harness_queries():
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
     # round-15 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50 over r01–r14 at N = 216): the 22 core rows at stale-3
-    # lead (priority 1), then the TEN round-15 registrations (priority
-    # 2: never ship a NEW query outside the window), then the 12
-    # stale-5 [EXT] rows (the 8 deferred from r14 + the 4 aged
-    # r10-latest streaming parities — the capacity line paying its
-    # debt), then the 6 oldest stale-4 [EXT] rows in ledger order.
+    # --plan 50 over r01–r14 at N = 215): the 22 core rows at stale-3
+    # lead (priority 1), then the ELEVEN round-15 registrations (the
+    # 10 staged ops + the merged ext_sketch_kmv_report — never ship a
+    # NEW query outside the window), then the 10 stale-5 [EXT] rows
+    # (r14 deferrals + aged r10-latest streaming parities — the
+    # capacity line paying its debt), then the 7 oldest stale-4 [EXT]
+    # rows in ledger order.
     assert CHECK_WINDOW[:4] == [
         "bucket_hour", "bucket_minute30", "current_value",
         "erase_old_check",
     ]
     assert CHECK_WINDOW[21] == "timepoint_asof"
-    assert set(CHECK_WINDOW[22:32]) == {
+    assert set(CHECK_WINDOW[22:33]) == {
         "ext_funnel_latency", "ext_label_separability",
         "ext_market_basket", "ext_part_pagerank", "ext_rfm_segments",
         "ext_series_data_gaps", "ext_series_run_lengths",
-        "ext_series_trend", "streaming_counter_rate_parity",
-        "streaming_run_lengths_parity",
+        "ext_series_trend", "ext_sketch_kmv_report",
+        "streaming_counter_rate_parity", "streaming_run_lengths_parity",
     }
     # the r14-deferred stale-5 rows are back in-window (the first
-    # capacity-line rotation completing on schedule)
-    for comeback in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
-                     "ext_text_pii_roundtrip", "ext_train_quality_eval",
+    # capacity-line rotation completing on schedule); the two KMV rows
+    # among them merged into ext_sketch_kmv_report (priority 2 above)
+    for comeback in ("ext_text_pii_roundtrip", "ext_train_quality_eval",
                      "ext_unpivot_flags", "streaming_anomaly_parity",
                      "streaming_current_value_parity",
-                     "streaming_dedup_parity"):
+                     "streaming_dedup_parity", "streaming_kmv_parity"):
         assert comeback in CHECK_WINDOW, comeback
-    assert CHECK_WINDOW[-1] == "ext_decontaminate_embed"
+    for merged_away in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union"):
+        assert merged_away not in REGISTRY, merged_away
+    assert CHECK_WINDOW[-1] == "ext_dedup_exact"
     # the r14 window (6 core + 8 r14 registrations + 36 stale-4)
     # rotated OUT — re-attested last round, stale-1 now
     for fresh in ("bucket_day", "scheme_pattern_scan",

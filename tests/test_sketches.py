@@ -4304,3 +4304,32 @@ def test_gram_arrow_matches_declared_fanout(spark):
     fx_decl = [tuple(r) for r in embedding_pca_op(fx).collect()]
     assert fx_arrow == fx_decl
     assert len(fx_arrow) > 0
+
+
+def test_kmv_report_projections(spark, sf_dir):
+    """Merge #1 of the 250-ceiling trajectory (registry.py, executed
+    r15): the single registered `ext_sketch_kmv_report` row must
+    reproduce BOTH original queries by projection/filter — per-language
+    rows (lang_b IS NULL) equal `sketch_kmv_distinct`, pair rows equal
+    `sketch_kmv_union` — so consolidating the driver rows loses no
+    attested semantics."""
+    from dariadb_spark.ext.sketches import (
+        sketch_kmv_distinct,
+        sketch_kmv_report,
+        sketch_kmv_union,
+    )
+
+    rep = [tuple(r) for r in sketch_kmv_report(spark, sf_dir).collect()]
+    singles = sorted(
+        (r[0], r[2], r[3], r[6]) for r in rep if r[1] is None
+    )
+    pairs = sorted(r[:6] for r in rep if r[1] is not None)
+    want_d = sorted(
+        tuple(r) for r in sketch_kmv_distinct(spark, sf_dir).collect()
+    )
+    want_u = sorted(
+        tuple(r) for r in sketch_kmv_union(spark, sf_dir).collect()
+    )
+    assert singles == want_d
+    assert pairs == want_u
+    assert len(singles) > 0 and len(pairs) > 0
