@@ -2505,6 +2505,7 @@ def main() -> None:
     tr_s, tr_year_s, tr_series = stress_series_trend(spark)
     pr_s, pr_rows = stress_part_pagerank(spark)
     gr_s, gr_vecs = stress_gram_arrow_pca(spark)
+    sub_s, sub_rows = stress_subscribe(spark)
     print(
         json.dumps(
             {
@@ -2578,6 +2579,7 @@ def main() -> None:
                     "market_basket_1m5_lines": round(mb_s, 4),
                     "label_separability_200k": round(sep_s, 4),
                     "gram_arrow_pca_500k_d64": round(gr_s, 4),
+                    "subscribe_drain_1m": round(sub_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -3968,6 +3970,81 @@ def stress_streaming_runlen(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+SUB_STRESS_ROWS = 1_000_000
+SUB_STRESS_SERIES = 1_000
+
+
+def stress_subscribe(spark) -> tuple[float, int]:
+    """T1 subscribe under load (VERDICT r14 item 7 — the one §2 row
+    with neither driver row nor BASELINE stress): 1M pre-landed events
+    drained through the id+flag predicate, then two restart phases on
+    the SAME checkpoint pinning the reference's no-replay contract —
+    (a) a 150k append delivers ONLY its own matching rows, and (b) a
+    predicate CHANGE at restart applies to new data only: drops 1–2
+    contain 484k flag=4 rows never delivered under the old predicate,
+    and none of them backfill. Flags are 1 << (id %% 3), so every
+    expected count is exact integer arithmetic."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.streaming.subscribe import subscribe
+
+    n, s = SUB_STRESS_ROWS, SUB_STRESS_SERIES
+    per = n // s  # rows per series in drop 1
+
+    def drop(rows: int, t_off: int):
+        return spark.range(rows).selectExpr(
+            f"id % {s} AS id",
+            f"{t_off} + (id DIV {s}) * 1000 AS time",
+            "CAST(id AS DOUBLE) / 7.0d AS value",
+            f"CAST(1 << (id % {s} % 3) AS BIGINT) AS flag",
+        )
+
+    base = tempfile.mkdtemp(prefix="dariadb_subscribe_stress_")
+    data_dir = f"{base}/meas"
+    chk = f"{base}/chk"
+    seen: list[int] = []
+
+    def cb(batch_df, batch_id):
+        seen.append(batch_df.count())
+
+    try:
+        # ids 0..999; flag bit 2 on id%3==1 -> 333 series
+        drop(n, 0).coalesce(8).write.parquet(data_dir)
+        t0 = time.perf_counter()
+        q = subscribe(spark, data_dir, None, 2, cb,
+                      checkpoint=chk, available_now=True)
+        q.awaitTermination(600)
+        drain1_s = time.perf_counter() - t0
+        assert sum(seen) == 333 * per, sum(seen)
+
+        # restart on the same checkpoint after an append: ONLY the new
+        # matching rows arrive (no replay of the 1M)
+        seen.clear()
+        drop(150_000, per * 1000).coalesce(2).write.mode("append").parquet(data_dir)
+        q = subscribe(spark, data_dir, None, 2, cb,
+                      checkpoint=chk, available_now=True)
+        q.awaitTermination(600)
+        assert sum(seen) == 333 * 150, sum(seen)
+
+        # predicate change at restart (flag 2 -> 4, plus an id subset):
+        # applies to NEW data only — the 484k flag=4 rows already in
+        # drops 1-2 do NOT backfill
+        seen.clear()
+        drop(150_000, (per + 150) * 1000).coalesce(2).write.mode(
+            "append"
+        ).parquet(data_dir)
+        sub_ids = [i for i in range(s) if i % 3 == 2][:100]
+        q = subscribe(spark, data_dir, sub_ids, 4, cb,
+                      checkpoint=chk, available_now=True)
+        q.awaitTermination(600)
+        assert sum(seen) == 100 * 150, sum(seen)
+        return drain1_s, n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
 
 
 SRATE_STRESS_ROWS = 2_000_000

@@ -36,6 +36,7 @@ from dariadb_spark.operators.stats import min_max_time as _min_max_time
 from dariadb_spark.operators.stats import stat_block as _stat_block
 from dariadb_spark.scheme import SeriesCatalog
 from dariadb_spark.sources.parquet_store import ParquetTsStore
+from dariadb_spark.sources.store_protocol import TsStore
 
 
 class TsEngine:
@@ -51,9 +52,16 @@ class TsEngine:
         self,
         spark: SparkSession,
         source: Callable[[], DataFrame],
-        store: ParquetTsStore | None = None,
+        store: "TsStore | None" = None,
         scheme: SeriesCatalog | None = None,
     ):
+        # `store` is the structural seam (sources/store_protocol.py):
+        # any TsStore backend works for the append/read/compact/
+        # erase_old lifecycle — tests/test_delta_seam.py drives this
+        # engine over a transaction-log mock. The streaming verbs
+        # (subscribe / streaming_stat_blocks) and optimize() addition-
+        # ally use the parquet backend's data_dir/root layout; a log
+        # backend supplies its own streaming source for those.
         self.spark = spark
         self._source = source
         self.store = store
