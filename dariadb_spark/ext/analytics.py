@@ -152,6 +152,35 @@ EXCEPT
 ORDER BY id, day_ms"""
 
 
+def set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """The merged set-operations driver row (merge #2 of the registry's
+    250-ceiling trajectory, executed r15): INTERSECT and EXCEPT over
+    the same two (id, day) activity sets in ONE table, discriminated by
+    an ``op`` column. Each original query is a filter+projection of
+    this composite (op = 'intersect' / op = 'except' — pinned by
+    tests/test_plans.py::test_set_ops_merge_projections); both operator
+    functions stay public. Plan shape unchanged: the two branches are
+    the SAME two distinct day-sets (Catalyst reuses the scan), each set
+    op a single exchange of the deduplicated keys, UNION ALL adds no
+    shuffle."""
+    a = _active_days(spark, sf, 16)
+    b = _active_days(spark, sf, 8)
+    inter = a.intersect(b).selectExpr("'intersect' AS op", "id", "day_ms")
+    exc = a.subtract(b).selectExpr("'except' AS op", "id", "day_ms")
+    return inter.unionByName(exc).orderBy("op", "id", "day_ms")
+
+
+SET_OPS_SQL = f"""WITH {MEAS_CTE_SQL}
+SELECT * FROM (
+  SELECT 'intersect' AS op, id, day_ms
+  FROM ({_day_set_sql(16)} INTERSECT {_day_set_sql(8)})
+  UNION ALL
+  SELECT 'except' AS op, id, day_ms
+  FROM ({_day_set_sql(16)} EXCEPT {_day_set_sql(8)})
+)
+ORDER BY op, id, day_ms"""
+
+
 # --- A13: distinct aggregation -------------------------------------------
 
 def distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -602,8 +631,10 @@ register("ext_pivot_flags", pivot_flags, PIVOT_FLAGS_SQL)
 register("ext_sessionize", sessionize, SESSIONIZE_SQL)
 register("ext_moving_avg", moving_avg, MOVING_AVG_SQL)
 register("ext_topk_per_series", topk_per_series, TOPK_SQL)
-register("ext_set_intersect", set_intersect, SET_INTERSECT_SQL)
-register("ext_set_except", set_except, SET_EXCEPT_SQL)
+# Registered round 15, REPLACING ext_set_intersect + ext_set_except
+# (merge #2 of the 250-ceiling trajectory — one freed slot; both
+# semantics live on as filters of the composite, pytest-pinned).
+register("ext_set_ops", set_ops, SET_OPS_SQL)
 register("ext_distinct_agg", distinct_agg, DISTINCT_AGG_SQL)
 register("ext_scalar_funcs", scalar_funcs, SCALAR_FUNCS_SQL)
 

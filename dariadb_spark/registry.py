@@ -895,8 +895,9 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      projection of distinct's output — it needs the k-sketch state —
 #      so the merge is a composite row whose projections reproduce
 #      both originals; one slot freed);
-#   2. ext_set_intersect + ext_set_except into one set-ops query
-#      emitting an op column (same inputs, same plan shape);
+#   2. EXECUTED r15: ext_set_intersect + ext_set_except →
+#      ext_set_ops (op column over the same two day-sets; each
+#      original is a filter of the composite — one slot freed);
 #   3. ext_asof_nearest into ext_asof_join (same join machinery,
 #      direction parameter — keep both SEMANTICS, one registered row);
 #   4. fn_* stay individually registered (CORE reference verbs — the
@@ -971,18 +972,22 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # current_value, erase_old_check, fn_all + the nine fn_* rows,
 # interval_scan[_flag], load_min_max, min_max_time,
 # partition_file_stats_multi, scheme_resolve, stat_block,
-# timepoint_asof — priority 1), ELEVEN never-attested registrations
-# (the ten round-14-staged operators plus ext_sketch_kmv_report, the
-# executed merge #1 below — priority 2), the 10 stale-5 [EXT] rows
+# timepoint_asof — priority 1), TWELVE never-attested registrations
+# (the ten round-14-staged operators plus ext_sketch_kmv_report and
+# ext_set_ops, the two executed merges below — priority 2), the 10
+# stale-5 [EXT] rows
 # (r14 deferrals + the r10-latest streaming parities that aged into
 # stale-5 — the capacity line working as decided), then the 7 oldest
-# stale-4 [EXT] rows in ledger order. 22 + 11 + 10 + 7 = exactly 50.
-# N is 215, not 216: the ten registrations land +10 and merge #1
-# lands −1 (ext_sketch_kmv_distinct + ext_sketch_kmv_union →
-# ext_sketch_kmv_report, ext/sketches.py — the audit found union NOT
-# derivable from distinct's OUTPUT, so the merge is a composite row
-# whose projections reproduce BOTH originals, pinned by
-# tests/test_sketches.py::test_kmv_report_projections).
+# stale-4 [EXT] rows in ledger order. 22 + 12 + 10 + 6 = exactly 50.
+# N is 214, not 216: the ten registrations land +10 and the two
+# executed merges land −2 (merge #1: ext_sketch_kmv_distinct +
+# ext_sketch_kmv_union → ext_sketch_kmv_report, ext/sketches.py — the
+# audit found union NOT derivable from distinct's OUTPUT, so the merge
+# is a composite row whose projections reproduce BOTH originals,
+# pinned by tests/test_sketches.py::test_kmv_report_projections;
+# merge #2: ext_set_intersect + ext_set_except → ext_set_ops,
+# ext/analytics.py, pinned by test_plans.py::
+# test_set_ops_merge_projections).
 CHECK_WINDOW = [
     # priority 1: the 22 core reference rows at stale-3
     "bucket_hour", "bucket_minute30", "current_value", "erase_old_check",
@@ -991,12 +996,13 @@ CHECK_WINDOW = [
     "interval_scan", "interval_scan_flag", "load_min_max", "min_max_time",
     "partition_file_stats_multi", "scheme_resolve", "stat_block",
     "timepoint_asof",
-    # priority 2: round-15 registrations (the 10 staged ops + the
-    # merged KMV report row) — driver-checked from day one
+    # priority 2: round-15 registrations (the 10 staged ops + the two
+    # executed merges' composite rows) — driver-checked from day one
     "ext_funnel_latency", "ext_label_separability", "ext_market_basket",
     "ext_part_pagerank", "ext_rfm_segments", "ext_series_data_gaps",
-    "ext_series_run_lengths", "ext_series_trend", "ext_sketch_kmv_report",
-    "streaming_counter_rate_parity", "streaming_run_lengths_parity",
+    "ext_series_run_lengths", "ext_series_trend", "ext_set_ops",
+    "ext_sketch_kmv_report", "streaming_counter_rate_parity",
+    "streaming_run_lengths_parity",
     # priority 3a: the 10 stale-5 [EXT] rows (r14 deferrals + aged
     # r10-latest streaming parities), ledger order
     "ext_text_pii_roundtrip", "ext_train_quality_eval", "ext_unpivot_flags",
@@ -1004,10 +1010,10 @@ CHECK_WINDOW = [
     "streaming_dedup_parity", "streaming_interval_join_parity",
     "streaming_kmv_parity", "streaming_rollup_parity",
     "streaming_sessionize_parity",
-    # priority 3b: the 7 oldest stale-4 [EXT] rows, ledger order
+    # priority 3b: the 6 oldest stale-4 [EXT] rows, ledger order
     "ext_bpe_learn", "ext_bpe_token_stats", "ext_customers_anti",
     "ext_customers_semi", "ext_decontaminate_bloom",
-    "ext_decontaminate_embed", "ext_dedup_exact",
+    "ext_decontaminate_embed",
 ]
 
 

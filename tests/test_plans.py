@@ -203,23 +203,23 @@ def test_check_window_is_first_50_harness_queries():
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
     # round-15 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50 over r01–r14 at N = 215): the 22 core rows at stale-3
-    # lead (priority 1), then the ELEVEN round-15 registrations (the
-    # 10 staged ops + the merged ext_sketch_kmv_report — never ship a
-    # NEW query outside the window), then the 10 stale-5 [EXT] rows
+    # --plan 50 over r01–r14 at N = 214): the 22 core rows at stale-3
+    # lead (priority 1), then the TWELVE round-15 registrations (the
+    # 10 staged ops + the two executed merges' composites — never ship
+    # a NEW query outside the window), then the 10 stale-5 [EXT] rows
     # (r14 deferrals + aged r10-latest streaming parities — the
-    # capacity line paying its debt), then the 7 oldest stale-4 [EXT]
+    # capacity line paying its debt), then the 6 oldest stale-4 [EXT]
     # rows in ledger order.
     assert CHECK_WINDOW[:4] == [
         "bucket_hour", "bucket_minute30", "current_value",
         "erase_old_check",
     ]
     assert CHECK_WINDOW[21] == "timepoint_asof"
-    assert set(CHECK_WINDOW[22:33]) == {
+    assert set(CHECK_WINDOW[22:34]) == {
         "ext_funnel_latency", "ext_label_separability",
         "ext_market_basket", "ext_part_pagerank", "ext_rfm_segments",
         "ext_series_data_gaps", "ext_series_run_lengths",
-        "ext_series_trend", "ext_sketch_kmv_report",
+        "ext_series_trend", "ext_set_ops", "ext_sketch_kmv_report",
         "streaming_counter_rate_parity", "streaming_run_lengths_parity",
     }
     # the r14-deferred stale-5 rows are back in-window (the first
@@ -230,9 +230,10 @@ def test_check_window_is_first_50_harness_queries():
                      "streaming_current_value_parity",
                      "streaming_dedup_parity", "streaming_kmv_parity"):
         assert comeback in CHECK_WINDOW, comeback
-    for merged_away in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union"):
+    for merged_away in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
+                        "ext_set_intersect", "ext_set_except"):
         assert merged_away not in REGISTRY, merged_away
-    assert CHECK_WINDOW[-1] == "ext_dedup_exact"
+    assert CHECK_WINDOW[-1] == "ext_decontaminate_embed"
     # the r14 window (6 core + 8 r14 registrations + 36 stale-4)
     # rotated OUT — re-attested last round, stale-1 now
     for fresh in ("bucket_day", "scheme_pattern_scan",
@@ -611,3 +612,22 @@ def test_bench_stress_main_guard_is_last_statement():
         isinstance(t, ast.Compare)
         and getattr(t.left, "id", None) == "__name__"
     ), "last statement is an If but not the __main__ guard"
+
+
+def test_set_ops_merge_projections(spark, oracle_sf_dir):
+    """Merge #2 of the 250-ceiling trajectory (registry.py, executed
+    r15): the single registered `ext_set_ops` row must reproduce BOTH
+    original set-operation queries by filter+projection, so the
+    consolidation loses no attested semantics."""
+    from dariadb_spark.ext.analytics import set_except, set_intersect, set_ops
+
+    rep = [tuple(r) for r in set_ops(spark, oracle_sf_dir).collect()]
+    inter = sorted(r[1:] for r in rep if r[0] == "intersect")
+    exc = sorted(r[1:] for r in rep if r[0] == "except")
+    assert inter == sorted(
+        tuple(r) for r in set_intersect(spark, oracle_sf_dir).collect()
+    )
+    assert exc == sorted(
+        tuple(r) for r in set_except(spark, oracle_sf_dir).collect()
+    )
+    assert len(inter) > 0 and len(exc) > 0
