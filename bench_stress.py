@@ -2506,6 +2506,10 @@ def main() -> None:
     pr_s, pr_rows = stress_part_pagerank(spark)
     gr_s, gr_vecs = stress_gram_arrow_pca(spark)
     sub_s, sub_rows = stress_subscribe(spark)
+    tri_s, tri_n = stress_part_triangles(spark)
+    holt_s, holt_n = stress_series_holt(spark)
+    lix_s, lix_n = stress_text_readability(spark)
+    sohlc_s, sohlc_batch_s, sohlc_bars = stress_streaming_ohlc(spark)
     print(
         json.dumps(
             {
@@ -2580,6 +2584,11 @@ def main() -> None:
                     "label_separability_200k": round(sep_s, 4),
                     "gram_arrow_pca_500k_d64": round(gr_s, 4),
                     "subscribe_drain_1m": round(sub_s, 4),
+                    "part_triangles_100k_nodes": round(tri_s, 4),
+                    "series_holt_19m": round(holt_s, 4),
+                    "text_readability_1m_docs": round(lix_s, 4),
+                    "streaming_ohlc_2m": round(sohlc_s, 4),
+                    "streaming_ohlc_2m_batch_twin": round(sohlc_batch_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -3970,6 +3979,203 @@ def stress_streaming_runlen(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+TRI_STRESS_N = 100_000  # ring nodes; ring+chord graph -> exactly N triangles
+
+
+def stress_part_triangles(spark) -> tuple[float, int]:
+    """Staged r16 triangle census at 100k nodes / 200k support-cleared
+    edges: the ring+chord graph (edges a-(a+1) and a-(a+2), both
+    duplicated to clear support >= 2) holds EXACTLY N triangles
+    {a, a+1, a+2} and every node sits in exactly 3 — closed form, so
+    the oriented wedge census is asserted bit-exactly (top-20 = parts
+    0..19 at (3, N, 3/N)) at a scale where the unoriented triple join
+    would be feasible but the per-node wedge fan-out bound (out-degree
+    <= 4 here) is what the orientation guarantees on ANY graph."""
+    from dariadb_spark.ext.relational import part_triangles_op
+    from dariadb_spark.ext.exact import ratio_round_ref
+
+    n = TRI_STRESS_N
+    # orders: for each a, TWO orders holding {a, a+1, a+2} (mod n) ->
+    # pairs (a,a+1), (a,a+2), (a+1,a+2) each in >= 2 orders
+    li = spark.range(2 * n).selectExpr(
+        "id AS o", f"id % {n} AS a"
+    ).selectExpr(
+        "o", f"explode(array(a, (a + 1) % {n}, (a + 2) % {n})) AS p"
+    ).selectExpr(
+        "o AS l_orderkey",
+        "CAST(p AS BIGINT) AS l_partkey",
+        "CAST(1 AS BIGINT) AS l_suppkey",
+        "CAST(1 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity",
+        "1.0d AS l_extendedprice",
+        "0.0d AS l_discount",
+        "0.0d AS l_tax",
+        "'N' AS l_returnflag",
+        "'O' AS l_linestatus",
+    )
+    t0 = time.perf_counter()
+    rows = [tuple(r) for r in part_triangles_op(li).collect()]
+    tri_s = time.perf_counter() - t0
+    share = ratio_round_ref(3, n, 6)
+    assert rows == [(p, 3, n, share) for p in range(20)], rows[:3]
+    return tri_s, n
+
+
+HOLT_STRESS_ROWS = 19_200_000
+HOLT_STRESS_SERIES = 200
+
+
+def stress_series_holt(spark) -> tuple[float, int]:
+    """Staged r16 Holt screen at 19.2M rows / 200 series on a perfect
+    per-series ramp (value = 100 + id + 0.25k): the difference chain is
+    constant, so EVERY row past the first must read trend = 0.25
+    exactly and forecast = round(level + 5*0.25, 6) of its own level —
+    asserted DISTRIBUTED (a violation count, never a 19M-row collect),
+    plus the exact NULL count (one leading row per series)."""
+    from dariadb_spark.ext.timeseries import series_holt_op
+
+    n, s = HOLT_STRESS_ROWS, HOLT_STRESS_SERIES
+    per = n // s
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        f"100.0d + (id % {s}) + 0.25d * (id DIV {s}) AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    out = series_holt_op(meas, None, 0, per * 1000, 0)
+    from pyspark.sql import functions as FF
+    agg = out.agg(
+        FF.count("*").alias("n"),
+        FF.sum(FF.when(FF.col("trend").isNull(), 1).otherwise(0)).alias("nulls"),
+        FF.sum(
+            FF.when(
+                FF.col("trend").isNotNull()
+                & (
+                    (FF.col("trend") != 0.25)
+                    | (FF.col("forecast_5")
+                       != FF.round(FF.col("level") + 1.25, 6))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    holt_s = time.perf_counter() - t0
+    assert (agg["n"], agg["nulls"], agg["bad"]) == (n, s, 0), tuple(agg)
+    return holt_s, n
+
+
+LIX_STRESS_DOCS = 1_000_000
+
+
+def stress_text_readability(spark) -> tuple[float, int]:
+    """Staged r16 readability screen at 1M synthetic docs / 10 sources:
+    text = a x 'aa' + g x 'gigantic' + 'fin.' with a = 10 + id%5 and
+    g = id%3, so per-source word/sentence/long-word sums, the pooled
+    LIX rational, and the integer hardness line all replay in pure
+    python over residue classes — every cell asserted."""
+    from dariadb_spark.ext.text import LIX_HARD, text_readability_op
+    from dariadb_spark.ext.exact import ratio_round_ref
+
+    n = LIX_STRESS_DOCS
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "concat(repeat('aa ', CAST(10 + id % 5 AS INT)),"
+        " repeat('gigantic ', CAST(id % 3 AS INT)), 'fin.') AS text",
+        "'en' AS lang",
+        "concat('s', CAST(id % 10 AS STRING)) AS source",
+        "CAST(0 AS BIGINT) AS n_chars",
+    )
+    t0 = time.perf_counter()
+    rows = {r.source: tuple(r)[1:] for r in text_readability_op(docs).collect()}
+    lix_s = time.perf_counter() - t0
+    assert len(rows) == 10
+    # python replay over residue classes mod 30 (source cycle 10 x a
+    # cycle 5 x g cycle 3)
+    for src in range(10):
+        W = S = L = H = D = 0
+        for resid in range(src, 30 * 10, 10):
+            cnt = n // 300 + (1 if resid < n % 300 else 0)
+            if cnt == 0:
+                continue
+            a, g = 10 + resid % 5, resid % 3
+            w, s_, l = a + g + 1, 1, g
+            D += cnt
+            W += cnt * w
+            S += cnt * s_
+            L += cnt * l
+            if w * w + 100 * l * s_ >= LIX_HARD * s_ * w:
+                H += cnt
+        want = (
+            D, W, S, L,
+            ratio_round_ref(W * W + 100 * L * S, S * W, 4),
+            ratio_round_ref(H, D, 4),
+        )
+        assert rows[f"s{src}"] == want, (src, rows[f"s{src}"], want)
+    return lix_s, n
+
+
+SOHLC_STRESS_ROWS = 2_000_000
+SOHLC_STRESS_SERIES = 1_000
+
+
+def stress_streaming_ohlc(spark) -> tuple[float, float, int]:
+    """Staged r16 streaming OHLC at 2M rows / 1k series / 4 bars per
+    series folded in TWO micro-batches with every second bar straddling
+    the cut: the standing bars must equal the batch ohlc_op exactly."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.timeseries import ohlc_op
+    from dariadb_spark.streaming.ohlc import ohlc_from_log, streaming_ohlc_log
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        parity_stream_partitions,
+    )
+
+    n, s = SOHLC_STRESS_ROWS, SOHLC_STRESS_SERIES
+    per = n // s  # samples per series, 1 per second
+    width = (per // 4) * 1000  # 4 bars per series
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        f"round(sin(CAST(id AS DOUBLE) / 97.0d) * 100.0d, 2) AS value",
+        f"CAST(id % 3 AS BIGINT) AS flag",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_sohlc_stress_")
+    data_dir = f"{base}/meas"
+    qname = "sohlc_stress_" + base.rsplit("_", 1)[-1]
+    cut = (per // 2 + per // 8) * 1000  # inside bar 2 of 4
+    try:
+        meas.where(F.col("time") <= cut).coalesce(1).write.parquet(data_dir)
+        meas.where(F.col("time") > cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+        t0 = time.perf_counter()
+        with parity_stream_partitions(spark, n=8):
+            q = streaming_ohlc_log(
+                spark, data_dir, width, qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        got = sorted(
+            tuple(r) for r in ohlc_from_log(spark.table(qname)).collect()
+        )
+        sohlc_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        want = sorted(
+            tuple(r)
+            for r in ohlc_op(meas, width, None, 0, per * 1000, 0).collect()
+        )
+        batch_s = time.perf_counter() - t0
+        assert len(got) == 4 * s, len(got)
+        assert got == want
+        return sohlc_s, batch_s, len(got)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)
+
 
 
 SUB_STRESS_ROWS = 1_000_000

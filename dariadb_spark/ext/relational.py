@@ -900,3 +900,139 @@ PART_PAGERANK_SQL = _pagerank_sql()
 # iterative-algorithm class kept inside the hash gate via the
 # chained-CTE oracle).
 register("ext_part_pagerank", part_pagerank, PART_PAGERANK_SQL)
+
+
+# --- co-purchase triangle census (degree-oriented) ------------------------------
+# STAGED for the round-16 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The graph family's second distributed-algorithm verb after the
+# PageRank power iteration: triangle counting — the density/community
+# primitive behind clustering coefficients and recommendation-graph
+# health checks. The Spark plan is the DEGREE-ORIENTED algorithm
+# (Suri & Vassilvitskii WWW'11 / Cohen's MapReduce form — public
+# literature): orient every undirected edge from its (degree, node)-
+# smaller endpoint to the larger, so each triangle {a ≺ b ≺ c} is
+# found EXACTLY once as wedge (a→b, a→c) closed by (b→c), and the
+# wedge fan-out per node is bounded by OUT-degree ≤ O(√|E|) on any
+# graph — the skew-immunity that makes the census feasible where a
+# naive wedge join on raw degree explodes on hubs. The oracle stays
+# DEFINITIONAL (the a<b<c triple self-join of the undirected pair set,
+# no orientation), so the hash gate proves the oriented plan exact.
+
+TRIANGLE_TOP = 20
+_OKEY = 4_294_967_296  # orientation key = deg * 2^32 + node (partkeys < 2^32)
+
+
+def part_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r16 window (:func:`part_triangles_op`)."""
+    return part_triangles_op(load_table(spark, sf, "lineitem"))
+
+
+def part_triangles_op(li: DataFrame) -> DataFrame:
+    """Top parts by triangle participation in the support-≥2
+    co-purchase graph, with each part's share of the global census.
+
+    Exactness: pure int64 end to end (pair supports, degrees,
+    orientation keys, triangle counts); the one float per row is the
+    exact-rational HALF_UP share ratio — identical expression shape in
+    both engines (ext/exact.py recipe). Ties rank by part id.
+
+    Plan shape (100 TB): the pair set is the market-basket pair
+    aggregate (one shuffle); degrees are one more tiny aggregate;
+    orientation is a projection over two broadcastable degree joins;
+    the wedge join fans out by ORIENTED out-degree (≤ O(√|E|) per
+    node regardless of hub skew) and the closing join is an equi-join
+    against the oriented edge set — no cartesian anywhere, candidate
+    volume Σ out_deg(u)², the published bound.
+    """
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MIN_SUP)
+        .select("x", "y")
+    )
+    deg = (
+        pairs.selectExpr("x AS node").unionByName(pairs.selectExpr("y AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .selectExpr("node", f"deg * {_OKEY} + node AS okey")
+    )
+    dx = deg.selectExpr("node AS nx", "okey AS kx")
+    dy = deg.selectExpr("node AS ny", "okey AS ky")
+    oriented = (
+        pairs.join(F.broadcast(dx), pairs.x == F.col("nx"))
+        .join(F.broadcast(dy), pairs.y == F.col("ny"))
+        .selectExpr(
+            "CASE WHEN kx < ky THEN x ELSE y END AS src",
+            "CASE WHEN kx < ky THEN y ELSE x END AS dst",
+            "CASE WHEN kx < ky THEN kx ELSE ky END AS src_k",
+            "CASE WHEN kx < ky THEN ky ELSE kx END AS dst_k",
+        )
+    )
+    o1 = oriented.selectExpr("src AS u", "dst AS v", "dst_k AS vk")
+    o2 = oriented.selectExpr("src AS u2", "dst AS w", "dst_k AS wk")
+    wedges = o1.join(
+        o2, (F.col("u") == F.col("u2")) & (F.col("vk") < F.col("wk"))
+    ).select("u", "v", "w")
+    closing = oriented.selectExpr("src AS cv", "dst AS cw")
+    tris = wedges.join(
+        closing, (F.col("v") == F.col("cv")) & (F.col("w") == F.col("cw"))
+    ).select("u", "v", "w")
+    per_part = (
+        tris.selectExpr("explode(array(u, v, w)) AS part")
+        .groupBy("part")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    total = tris.agg(F.count("*").alias("n_tri"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "part",
+            "tri_cnt",
+            "n_tri",
+            ratio_round_spark("tri_cnt", "n_tri", 6) + " AS tri_share",
+        )
+        .orderBy(F.desc("tri_cnt"), F.asc("part"))
+        .limit(TRIANGLE_TOP)
+    )
+
+
+def _triangles_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY x, y HAVING count(*) >= {BASKET_MIN_SUP}),
+tris AS (SELECT ab.x AS u, ab.y AS v, bc.y AS w
+         FROM pairs ab
+         JOIN pairs bc ON bc.x = ab.y
+         JOIN pairs ac ON ac.x = ab.x AND ac.y = bc.y),
+pp AS (SELECT part, count(*) AS tri_cnt FROM (
+         SELECT unnest([u, v, w]) AS part FROM tris)
+       GROUP BY part),
+tot AS (SELECT count(*) AS n_tri FROM tris)
+SELECT part, tri_cnt, n_tri,
+       {ratio_round_duck("tri_cnt", "n_tri", 6)} AS tri_share
+FROM pp, tot
+ORDER BY tri_cnt DESC, part ASC
+LIMIT {TRIANGLE_TOP}"""
+
+
+PART_TRIANGLES_SQL = _triangles_sql()

@@ -1101,3 +1101,138 @@ WHERE p.c_xy >= {PMI_MIN_COUNT}
 ORDER BY rank_key DESC, p.x ASC, p.y ASC LIMIT {PMI_TOP}"""
 
 register("ext_token_pmi", token_pmi, TOKEN_PMI_SQL)
+
+
+# --- readability screen (LIX) --------------------------------------------------
+# STAGED for the round-16 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The quality family's grade-level verb: LIX (Björnsson's läsbarhets-
+# index, the classic punctuation-and-length readability measure —
+# public formula: words/sentences + 100·longwords/words, long = ≥ 7
+# chars) over the documents table, pooled per source. Chosen over
+# syllable-based scores (Flesch) deliberately: LIX needs ONLY exact
+# integer counts — no syllable regex whose engine-specific semantics
+# would poison the hash gate. Sentences count '.', '!', '?' occurrences
+# via the length-after-replace identity (identical in both engines),
+# clamped to ≥ 1 (a fragment is one sentence, and the fixture corpus
+# has no punctuation — every fixture doc pools as a single sentence,
+# which the op handles as a first-class case, not an error).
+
+LIX_LONG = 7    # long-word threshold (chars)
+LIX_HARD = 40   # per-doc hardness line (LIX ≥ 40 ≈ "difficult" band)
+
+_LIX_W_SPARK = "size(split(text, ' '))"
+_LIX_S_SPARK = (
+    "greatest(length(text) - length(replace(replace(replace("
+    "text, '.', ''), '!', ''), '?', '')), 1)"
+)
+_LIX_L_SPARK = (
+    f"size(filter(split(text, ' '), x -> length(x) >= {LIX_LONG}))"
+)
+_LIX_W_DUCK = "len(string_split(text, ' '))"
+_LIX_S_DUCK = (
+    "greatest(length(text) - length(replace(replace(replace("
+    "text, '.', ''), '!', ''), '?', '')), 1)"
+)
+_LIX_L_DUCK = (
+    f"len(list_filter(string_split(text, ' '), x -> length(x) >= {LIX_LONG}))"
+)
+
+
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r16 window (:func:`text_readability_op`)."""
+    return text_readability_op(load_table(spark, sf, "documents"))
+
+
+def text_readability_op(docs: DataFrame) -> DataFrame:
+    """Per-source readability: exact word/sentence/long-word counts,
+    the pooled LIX, and the fraction of docs past the LIX_HARD line.
+
+    Exactness: every count is int64; pooled LIX = (W² + 100·L·S) /
+    (S·W) and the per-doc hardness test w·w + 100·l·s ≥ {hard}·s·w are
+    EXACT integer arithmetic (the ratio in DECIMAL(38,0)/HUGEINT — W²
+    passes int64 around corpus token counts ~3·10⁹); the two floats
+    per row are shared HALF_UP ratio recipes (ext/exact.py).
+
+    Plan shape (100 TB): per-doc counts are scan-stage projections
+    (whole-stage codegen, zero extra shuffles); ONE map-side-combined
+    groupBy on source ends the plan — corpus-linear, text never
+    shuffles.
+    """
+    from dariadb_spark.ext.exact import (
+        ratio_round_spark,
+        ratio_round_wide_spark,
+    )
+
+    per_doc = docs.selectExpr(
+        "source",
+        f"CAST({_LIX_W_SPARK} AS BIGINT) AS w",
+        f"CAST({_LIX_S_SPARK} AS BIGINT) AS s",
+        f"CAST({_LIX_L_SPARK} AS BIGINT) AS l",
+    ).selectExpr(
+        "source",
+        "w",
+        "s",
+        "l",
+        f"CASE WHEN w * w + 100 * l * s >= {LIX_HARD} * s * w"
+        " THEN 1 ELSE 0 END AS hard",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_sentences"),
+            F.sum("l").alias("n_long_words"),
+            F.sum("hard").alias("n_hard"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_long_words",
+            ratio_round_wide_spark(
+                "n_words * CAST(n_words AS DECIMAL(38,0))"
+                " + 100 * n_long_words * CAST(n_sentences AS DECIMAL(38,0))",
+                "n_sentences * CAST(n_words AS DECIMAL(38,0))", 4,
+            )
+            + " AS pooled_lix",
+            ratio_round_spark("n_hard", "n_docs", 4) + " AS hard_frac",
+        )
+        .orderBy("source")
+    )
+
+
+def _readability_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck, ratio_round_wide_duck
+
+    return f"""WITH
+d AS (SELECT source,
+             CAST({_LIX_W_DUCK} AS BIGINT) AS w,
+             CAST({_LIX_S_DUCK} AS BIGINT) AS s,
+             CAST({_LIX_L_DUCK} AS BIGINT) AS l
+      FROM documents),
+h AS (SELECT source, w, s, l,
+             CASE WHEN w * w + 100 * l * s >= {LIX_HARD} * s * w
+                  THEN 1 ELSE 0 END AS hard
+      FROM d),
+g AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(s) AS BIGINT) AS n_sentences,
+             CAST(sum(l) AS BIGINT) AS n_long_words,
+             CAST(sum(hard) AS BIGINT) AS n_hard
+      FROM h GROUP BY source)
+SELECT source, n_docs, n_words, n_sentences, n_long_words,
+       {ratio_round_wide_duck(
+           "n_words * CAST(n_words AS HUGEINT)"
+           " + 100 * n_long_words * CAST(n_sentences AS HUGEINT)",
+           "n_sentences * CAST(n_words AS HUGEINT)", 4)}
+         AS pooled_lix,
+       {ratio_round_duck("n_hard", "n_docs", 4)} AS hard_frac
+FROM g ORDER BY source"""
+
+
+TEXT_READABILITY_SQL = _readability_sql()

@@ -2954,3 +2954,130 @@ SERIES_TREND_SQL = _trend_sql()
 # side merge-counts inversions per series, the oracle keeps the
 # definitional pair join, the hash gate proves them equal).
 register("ext_series_trend", series_trend, SERIES_TREND_SQL)
+
+
+# --- Holt double-exponential forecast (level + trend) -------------------------
+# STAGED for the round-16 driver window (the staging every late operator
+# goes through: implemented + oracled + pytest parity + planted stress
+# now, registered at the next window rotation).
+#
+# The family's "what comes NEXT?" verb: ext_series_trend answers "is it
+# going up?", this answers "where will it be in h steps?" — Holt's
+# linear method (level + trend smoothing, public textbook form:
+# Hyndman & Athanasopoulos, Forecasting: Principles and Practice §8.2)
+# in the SAME truncated-window rendering as ext_ewma: the recursive
+# smoothing is not window-expressible, the K-lag weighted-chain form
+# is — level = normalized Σ αᵏ·x_{t−k}, trend = the SAME chain over
+# first differences Δx (SES on differences — the drift estimator),
+# forecast_h = level + h·trend. The weights are shared Python-folded
+# literals and both chains are fixed left-to-right additions, so every
+# float is bit-identical across engines (the EWMA lesson, reused).
+
+HOLT_H = 5  # forecast horizon in samples
+
+
+def series_holt(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r16 window (:func:`series_holt_op`)."""
+    return series_holt_op(measurements(spark, sf), IDS, FROM_MS, TO_MS)
+
+
+def series_holt_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+    horizon: int = HOLT_H,
+) -> DataFrame:
+    """Per-sample Holt level/trend/h-step forecast over the interval.
+
+    Exactness: both chains are explicit Σ wₖ·lag(·, k) with fixed
+    addition order and literal weights (bit-identical doubles across
+    engines); the first-difference input to the trend chain is one
+    IEEE subtraction of raw values. Rows with no predecessor emit a
+    NULL trend/forecast (a drift estimate needs ≥2 samples) — the
+    NULL is the same CASE shape in both engines.
+
+    Plan shape (100 TB): one shuffle on ``id`` (shuffle-free on a
+    bucketed store); the K+1 lags of both chains evaluate in ONE
+    sorted pass per partition — same cost class as ext_ewma, no
+    second exchange for the difference chain (it reuses the window).
+    """
+    meas = scan_interval(meas, ids, from_ms, to_ms, flag)
+    s = _interval_dedup(meas)
+    w = Window.partitionBy("id").orderBy("time")
+    d = F.col("value") - F.lag("value", 1).over(w)
+    s = s.select("id", "time", "value", d.alias("dx"))
+    lnum = None
+    lden = None
+    tnum = None
+    tden = None
+    for k, wk in enumerate(_EWMA_W):
+        lv = F.lag("value", k).over(w) if k else F.col("value")
+        lnum_t = F.when(lv.isNotNull(), F.lit(wk) * lv).otherwise(0.0)
+        lden_t = F.when(lv.isNotNull(), F.lit(wk)).otherwise(0.0)
+        lnum = lnum_t if lnum is None else lnum + lnum_t
+        lden = lden_t if lden is None else lden + lden_t
+        dv = F.lag("dx", k).over(w) if k else F.col("dx")
+        tnum_t = F.when(dv.isNotNull(), F.lit(wk) * dv).otherwise(0.0)
+        tden_t = F.when(dv.isNotNull(), F.lit(wk)).otherwise(0.0)
+        tnum = tnum_t if tnum is None else tnum + tnum_t
+        tden = tden_t if tden is None else tden + tden_t
+    level = F.round(lnum / lden, 6)
+    trend = F.when(tden > 0.0, F.round(tnum / tden, 6)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return (
+        s.select(
+            "id",
+            "time",
+            "value",
+            level.alias("level"),
+            trend.alias("trend"),
+            F.when(
+                tden > 0.0,
+                F.round(
+                    F.round(lnum / lden, 6)
+                    + horizon * F.round(tnum / tden, 6),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias(f"forecast_{horizon}"),
+        )
+        .orderBy("id", "time")
+    )
+
+
+def _holt_sql() -> str:
+    lnums, ldens, tnums, tdens = [], [], [], []
+    for k, wk in enumerate(_EWMA_W):
+        lv = f"lag(value, {k}) OVER w" if k else "value"
+        dv = f"lag(dx, {k}) OVER w" if k else "dx"
+        lnums.append(f"CASE WHEN {lv} IS NOT NULL THEN {wk!r} * {lv} ELSE 0.0 END")
+        ldens.append(f"CASE WHEN {lv} IS NOT NULL THEN {wk!r} ELSE 0.0 END")
+        tnums.append(f"CASE WHEN {dv} IS NOT NULL THEN {wk!r} * {dv} ELSE 0.0 END")
+        tdens.append(f"CASE WHEN {dv} IS NOT NULL THEN {wk!r} ELSE 0.0 END")
+    ln, ld = " + ".join(lnums), " + ".join(ldens)
+    tn, td = " + ".join(tnums), " + ".join(tdens)
+    return f"""WITH {MEAS_CTE_SQL},
+s0 AS (SELECT id, time, value FROM (
+         SELECT id, time, value, flag, {_DEDUP_RN} AS rn
+         FROM measurements WHERE {_interval_sql()}) WHERE rn = 1),
+s AS (SELECT id, time, value,
+             value - lag(value, 1) OVER (PARTITION BY id ORDER BY time) AS dx
+      FROM s0)
+SELECT id, time, value,
+       round(({ln}) / ({ld}), 6) AS level,
+       CASE WHEN ({td}) > 0.0
+            THEN round(({tn}) / ({td}), 6) ELSE NULL END AS trend,
+       CASE WHEN ({td}) > 0.0
+            THEN round(round(({ln}) / ({ld}), 6)
+                       + {HOLT_H} * round(({tn}) / ({td}), 6), 6)
+            ELSE NULL END AS forecast_{HOLT_H}
+FROM s
+WINDOW w AS (PARTITION BY id ORDER BY time)
+ORDER BY id, time"""
+
+
+SERIES_HOLT_SQL = _holt_sql()

@@ -882,6 +882,26 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # streaming_dedup_parity) rotate at stale-5 in r15 — the first actual
 # engagement of the capacity line, within policy.
 #
+# Round 15 staged FOUR operators for r16 (each implemented + oracled +
+# pytest parity incl. planted closed-form fixtures and property tests +
+# planted ≥100k-row stress + hash-matched at sf0.1 in the staged
+# second-pass sweep; THIS COMMENT is the staged-count source of truth):
+# ext_part_triangles (ext/relational.py: the degree-oriented triangle
+# census — the graph family's second distributed-algorithm verb, with
+# the DEFINITIONAL unoriented triple-join oracle), ext_series_holt
+# (ext/timeseries.py: Holt level/trend/h-step forecast in the EWMA
+# truncated-chain rendering — the family's "what comes NEXT?" verb),
+# ext_text_readability (ext/text.py: exact-integer LIX pooled per
+# source — chosen over syllable scores precisely because it needs no
+# engine-specific regex), and streaming_ohlc_parity (streaming/ohlc.py,
+# oracle = OHLC_SQL: the stateful bar-maintenance ingest twin; NO
+# in-order contract — min/max merging is arrival-order-free, unlike
+# the rate/runlen folds). Registering them in r16 takes the registry
+# to 218; compute the r16 window with `tools/attestation_ledger.py
+# --plan 50` after CORRECTNESS_r15 lands (the 4 registrations take
+# priority-2 slots; merge #3 — ext_asof_nearest into ext_asof_join —
+# remains the next ranked slot-freer if headroom is needed).
+#
 # CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —
 # VERDICT r13 item 3): 206 now + ~8 staged/round reaches the 250 hard
 # line around r19. Growth past 250 requires RETIRE/MERGE (stale-6 is

@@ -1,0 +1,301 @@
+"""Round-16 staged operators: DuckDB hash parity at the fixture scale
+plus planted closed-form cases for each — the degree-oriented
+co-purchase triangle census, the Holt level/trend/forecast screen, the
+LIX readability screen, and the streaming OHLC ingest twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.parity import compare, duckdb_connection
+
+
+def test_part_triangles_parity_and_planted_graph(spark, oracle_sf_dir):
+    """Staged r16 triangle census: DuckDB hash parity (the definitional
+    unoriented triple join proves the degree-oriented Spark plan
+    exact); a planted K5 clique yields exactly C(5,3) = 10 triangles
+    with every member in C(4,2) = 6; an open path adds none; a
+    support-1 pair is filtered before it can close anything."""
+    from dariadb_spark.ext.relational import (
+        PART_TRIANGLES_SQL,
+        part_triangles,
+        part_triangles_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_triangles",
+        part_triangles(spark, oracle_sf_dir),
+        con,
+        PART_TRIANGLES_SQL,
+    )
+    assert res.ok, res.problems
+
+    rows = []
+    order = 0
+
+    def add_order(parts):
+        nonlocal order
+        for p in parts:
+            rows.append((order, p))
+        order += 1
+
+    # K5 on parts 1..5: every pair needs support >= 2 -> two full orders
+    add_order([1, 2, 3, 4, 5])
+    add_order([1, 2, 3, 4, 5])
+    # open path 10-11-12: edges (10,11), (11,12) but never (10,12)
+    for _ in range(2):
+        add_order([10, 11])
+        add_order([11, 12])
+    # support-1 pair (20, 21): filtered by the support gate
+    add_order([20, 21])
+    li = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O") for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string",
+    )
+    got = [tuple(r) for r in part_triangles_op(li).collect()]
+    assert got == [
+        (p, 6, 10, 0.6) for p in (1, 2, 3, 4, 5)
+    ], got
+
+
+def test_part_triangles_matches_brute_force_random_graphs(spark):
+    """Property: on random basket sets the oriented census equals the
+    brute-force triple enumeration of the support->=2 pair graph."""
+    from itertools import combinations
+
+    from dariadb_spark.ext.relational import BASKET_MIN_SUP, part_triangles_op
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        baskets = [
+            sorted(rng.choice(30, size=rng.integers(2, 6), replace=False))
+            for _ in range(60)
+        ]
+        rows = [(o, int(p)) for o, parts in enumerate(baskets) for p in parts]
+        li = spark.createDataFrame(
+            [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O") for o, p in rows],
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string",
+        )
+        sup: dict[tuple[int, int], int] = {}
+        for parts in baskets:
+            for a, b in combinations(sorted(set(parts)), 2):
+                sup[(a, b)] = sup.get((a, b), 0) + 1
+        edges = {e for e, s in sup.items() if s >= BASKET_MIN_SUP}
+        tris = [
+            (a, b, c)
+            for (a, b) in edges
+            for c in range(b + 1, 30)
+            if (b, c) in edges and (a, c) in edges
+        ]
+        cnt: dict[int, int] = {}
+        for t in tris:
+            for p in t:
+                cnt[p] = cnt.get(p, 0) + 1
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [
+            (r.part, r.tri_cnt) for r in part_triangles_op(li).collect()
+        ]
+        assert got == want, (trial, got, want)
+        if tris:
+            n_tri = {r.n_tri for r in part_triangles_op(li).collect()}
+            assert n_tri == {len(tris)}
+
+
+def test_series_holt_parity_and_planted_ramp(spark, oracle_sf_dir):
+    """Staged r16 Holt screen: DuckDB hash parity; on a perfect ramp
+    the difference chain is constant, so trend == the slope EXACTLY,
+    forecast == round(level + 5*slope, 6), and level matches a pure-
+    python replay of the identical left-to-right weighted fold; the
+    first sample of each series has NULL trend/forecast."""
+    import math
+
+    from dariadb_spark.ext.timeseries import (
+        _EWMA_W,
+        HOLT_H,
+        SERIES_HOLT_SQL,
+        series_holt,
+        series_holt_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_holt",
+        series_holt(spark, oracle_sf_dir),
+        con,
+        SERIES_HOLT_SQL,
+    )
+    assert res.ok, res.problems
+
+    n, c = 30, 0.25
+    meas = spark.createDataFrame(
+        [(7, k * 1000, 100.0 + c * k, 0) for k in range(n)],
+        "id long, time long, value double, flag long",
+    )
+    got = sorted(
+        (r.time, r.level, r.trend, tuple(r)[5])
+        for r in series_holt_op(meas, None, 0, n * 1000, 0).collect()
+    )
+    assert len(got) == n
+    assert got[0][2] is None and got[0][3] is None  # no predecessor
+    for time_ms, level, trend, fcast in got[1:]:
+        k = time_ms // 1000
+        num = den = 0.0
+        for j, wj in enumerate(_EWMA_W):  # identical fold order
+            if k - j >= 0:
+                num += wj * (100.0 + c * (k - j))
+                den += wj
+        want_level = round(num / den, 6)
+        assert level == want_level, (k, level, want_level)
+        assert trend == c
+        assert fcast == round(want_level + HOLT_H * c, 6)
+
+
+def test_text_readability_parity_and_planted_docs(spark, oracle_sf_dir):
+    """Staged r16 readability screen: DuckDB hash parity; hand-counted
+    LIX on planted punctuation-rich docs, the >= 1 sentence clamp on a
+    fragment, and the exact-integer hardness line."""
+    from dariadb_spark.ext.text import (
+        TEXT_READABILITY_SQL,
+        text_readability,
+        text_readability_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_text_readability",
+        text_readability(spark, oracle_sf_dir),
+        con,
+        TEXT_READABILITY_SQL,
+    )
+    assert res.ok, res.problems
+
+    docs = spark.createDataFrame(
+        [
+            # src a: "aa bb cc. dd ee!" -> w=5, s=2, long=0
+            #   (note 'cc.' is 3 chars — punctuation counts into the word)
+            (0, "aa bb cc. dd ee!", "en", "a", 16),
+            # src a: one long word, one sentence: w=3, s=1, l=1
+            (1, "tiny gigantics ok?", "en", "a", 18),
+            # src b: fragment without enders -> s clamps to 1; w=2, l=1
+            (2, "fragment here", "en", "b", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: tuple(r)[1:] for r in text_readability_op(docs).collect()}
+    # src a pooled: W=8, S=3, L=1 -> LIX = 8/3 + 100/8 = 15.1667
+    # hardness per doc: doc0 w2=25 vs 40*s*w=400 -> easy;
+    # doc1: 9 + 100*1*1 = 109 >= 40*1*3 = 120? no -> easy
+    assert got["a"] == (2, 8, 3, 1, round(8 * 8 / (3 * 8) + 100 * 1 / 8, 4), 0.0)
+    # src b: W=2, S=1, L=1 -> LIX = 2 + 50 = 52 >= 40 -> hard
+    assert got["b"] == (1, 2, 1, 1, 52.0, 1.0)
+
+
+def test_streaming_ohlc_matches_batch(spark, oracle_sf_dir):
+    """The stateful OHLC ingest twin equals the batch OHLC_SQL oracle
+    on the fixture slice (two drops cut mid-interval, one file per
+    micro-batch)."""
+    from dariadb_spark.ext.timeseries import OHLC_SQL
+    from dariadb_spark.streaming.ohlc import streaming_ohlc_parity
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_ohlc_parity",
+        streaming_ohlc_parity(spark, oracle_sf_dir),
+        con,
+        OHLC_SQL,
+    )
+    assert res.ok, res.problems
+
+
+def test_streaming_ohlc_cross_batch_bar(spark, tmp_path):
+    """A bar whose open sits in batch 1 and whose close/high sit in
+    batch 2 must finish byte-identical to the one-shot aggregate —
+    the state carry the twin exists for. Duplicate times with
+    different values must fold exactly as the batch total order."""
+    from dariadb_spark.streaming.ohlc import ohlc_from_log, streaming_ohlc_log
+    from dariadb_spark.streaming.scratch import await_parity_termination
+
+    w = 3_600_000
+    b1 = [
+        (1, 10_000, 5.0, 1),
+        (1, 20_000, 2.0, 1),   # low so far
+        (1, 10_000, 4.0, 2),   # duplicate time: open ties break by value
+    ]
+    b2 = [
+        (1, 30_000, 9.0, 1),   # high + close
+        (1, 25_000, 1.0, 1),   # true low arrives late — NOT out of order
+    ]
+    d = tmp_path / "meas"
+    qname = "ohlc_cross_batch_test"
+    df1 = spark.createDataFrame(b1, "id long, time long, value double, flag long")
+    df2 = spark.createDataFrame(b2, "id long, time long, value double, flag long")
+    df1.coalesce(1).write.parquet(str(d))
+    df2.coalesce(1).write.mode("append").parquet(str(d))
+    try:
+        q = streaming_ohlc_log(spark, str(d), w, qname, max_files_per_trigger=1)
+        await_parity_termination(q)
+        got = [tuple(r) for r in ohlc_from_log(spark.table(qname)).collect()]
+        # open = value at min (t,v,f) = (10000, 4.0, 2) -> 4.0;
+        # close = value at max (t,v,f) = (30000, 9.0, 1) -> 9.0
+        assert got == [(1, 0, 4.0, 9.0, 1.0, 9.0, 5)], got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+
+
+def test_ohlc_fold_property_matches_batch_groupby(spark):
+    """Property: on random per-bucket sample sets split into random
+    batch prefixes, the fold's final bar equals the batch ohlc_op
+    aggregate (min/max merging is order-free)."""
+    import pandas as pd
+
+    from dariadb_spark.ext.timeseries import ohlc_op
+    from dariadb_spark.streaming.ohlc import _ohlc_fold
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        n = int(rng.integers(3, 40))
+        t = rng.integers(0, 3_600_000, size=n).astype(np.int64)
+        v = np.round(rng.normal(0, 10, size=n), 2)
+        fl = rng.integers(0, 4, size=n).astype(np.int64)
+        pdf = pd.DataFrame({"id": 3, "time": t, "value": v, "flag": fl})
+        st = _FakeState()
+        cutpoints = sorted(rng.choice(n, size=min(2, n - 1), replace=False))
+        last = None
+        lo = 0
+        for hi in list(cutpoints) + [n]:
+            if hi <= lo:
+                continue
+            out = list(_ohlc_fold((3, 0), iter([pdf.iloc[lo:hi]]), st))
+            last = out[-1]
+            lo = hi
+        meas = spark.createDataFrame(
+            pdf, "id long, time long, value double, flag long"
+        )
+        want = ohlc_op(meas, 3_600_000, None, 0, 3_600_000, 0).collect()[0]
+        got = last.iloc[0]
+        assert (
+            got["open"], got["high"], got["low"], got["close"],
+            got["n_samples"],
+        ) == (want.open, want.high, want.low, want.close, want.n_samples), trial
