@@ -631,3 +631,44 @@ def test_set_ops_merge_projections(spark, oracle_sf_dir):
         tuple(r) for r in set_except(spark, oracle_sf_dir).collect()
     )
     assert len(inter) > 0 and len(exc) > 0
+
+
+def test_no_cartesian_product_in_staged_r16_plans(spark, oracle_sf_dir):
+    """The round-15 staged operators get the same physical-plan sweep
+    as the registered surface BEFORE their r16 registration — a
+    CartesianProduct is never acceptable; the triangle census's share
+    join rides the 1-row-broadcast dispensation, never a shuffle."""
+    from dariadb_spark.ext.relational import part_triangles
+    from dariadb_spark.ext.text import text_readability
+    from dariadb_spark.ext.timeseries import series_holt
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    plans = {}
+    for fn in (part_triangles, series_holt, text_readability):
+        plan = (
+            fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .explainString(mode)
+        )
+        plans[fn.__name__] = plan
+        if "CartesianProduct" in plan:
+            offenders.append(fn.__name__)
+    assert not offenders, offenders
+    # the wedge + closing joins of the census must hash, and the
+    # degree joins must broadcast (the dimension-sized side)
+    tri = plans["part_triangles"]
+    assert "HashJoin" in tri, tri
+    assert "BroadcastHashJoin" in tri, tri
+    # readability is scan + ONE aggregate exchange: no join at all
+    lix = plans["text_readability"]
+    assert "Join" not in lix, lix
+    assert "hashpartitioning" in lix  # the single source aggregate
+    # holt windows over id once: no more than one hash exchange (the
+    # window) plus the presentation range sort
+    import re as _re
+
+    holt = plans["series_holt"]
+    assert len(_re.findall(r"hashpartitioning", holt)) <= 2, holt
