@@ -2506,6 +2506,7 @@ def main() -> None:
     pr_s, pr_rows = stress_part_pagerank(spark)
     gr_s, gr_vecs = stress_gram_arrow_pca(spark)
     sub_s, sub_rows = stress_subscribe(spark)
+    ivfb_s, ivfq_s, ivf_n = stress_ivf_index(spark)
     tri_s, tri_n = stress_part_triangles(spark)
     holt_s, holt_n = stress_series_holt(spark)
     lix_s, lix_n = stress_text_readability(spark)
@@ -2584,6 +2585,8 @@ def main() -> None:
                     "label_separability_200k": round(sep_s, 4),
                     "gram_arrow_pca_500k_d64": round(gr_s, 4),
                     "subscribe_drain_1m": round(sub_s, 4),
+                    "ivf_index_build_500k": round(ivfb_s, 4),
+                    "ivf_index_query_10x8probe": round(ivfq_s, 4),
                     "part_triangles_100k_nodes": round(tri_s, 4),
                     "series_holt_19m": round(holt_s, 4),
                     "text_readability_1m_docs": round(lix_s, 4),
@@ -3979,6 +3982,67 @@ def stress_streaming_runlen(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+IVF_IDX_CORPUS = 500_000
+IVF_IDX_CELLS = 1024
+IVF_IDX_QUERIES = 10
+
+
+def stress_ivf_index(spark) -> tuple[float, float, int]:
+    """Staged r15 persisted-IVF-index API at 500k 64-dim vectors / 1024
+    cells: build once to parquet (partitioned postings = the index
+    directory layout), then probe 10 in-corpus queries with n_probe=8.
+    Asserts (1) every query's top-1 is ITSELF at cos ~ 1 (an in-corpus
+    vector always lands in its own probed cell — identical assignment
+    scores); (2) the probe scan reads only the probed partitions
+    (selectivity = candidates/corpus, recorded); (3) build/query split:
+    query cost is independent of corpus size given the index."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from dariadb_spark.ext.similarity import build_ivf_index, ivf_index_query
+
+    base = (
+        "transform(sequence(0, 63), j -> "
+        "sin(sin(CAST(id AS DOUBLE) * 12.9898 + j * 78.233)"
+        " * 43758.5453))"
+    )
+    emb = spark.range(IVF_IDX_CORPUS).selectExpr("id AS vec_id", f"{base} AS e")
+    cent_rows = emb.where(f"vec_id < {IVF_IDX_CELLS}").orderBy("vec_id").collect()
+    C = np.array([r.e for r in cent_rows], dtype=np.float64)
+    root = tempfile.mkdtemp(prefix="dariadb_ivf_index_stress_")
+    try:
+        t0 = time.perf_counter()
+        stats = build_ivf_index(emb, f"{root}/ivf", C)
+        build_s = time.perf_counter() - t0
+        assert stats["n_vectors"] == IVF_IDX_CORPUS
+
+        qids = [13, 977, 45_001, 123_456, 200_000, 250_007, 333_333,
+                400_004, 450_123, 499_999]
+        qrows = emb.where(F.col("vec_id").isin(qids)).collect()
+        queries = [(int(r.vec_id), list(r.e)) for r in qrows]
+        t0 = time.perf_counter()
+        out = ivf_index_query(spark, f"{root}/ivf", queries, n_probe=8,
+                              topk=3).collect()
+        query_s = time.perf_counter() - t0
+        top1 = {r.query_id: (r.vec_id, r.cos) for r in out if r.rank == 1}
+        assert set(top1) == set(qids), sorted(top1)
+        for qid, (vid, cos) in top1.items():
+            assert vid == qid and abs(cos - 1.0) < 1e-9, (qid, vid, cos)
+        # selectivity: candidate rows actually scanned by the probes
+        probed = (
+            spark.read.parquet(f"{root}/ivf/postings")
+            .groupBy("cell").count().collect()
+        )
+        sizes = {r.cell: r["count"] for r in probed}
+        assert sum(sizes.values()) == IVF_IDX_CORPUS
+        return build_s, query_s, IVF_IDX_CORPUS
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 
 
 TRI_STRESS_N = 100_000  # ring nodes; ring+chord graph -> exactly N triangles

@@ -2259,3 +2259,135 @@ ORDER BY w.label"""
 # parity incl. planted-cluster fixtures + 500k-vector stress +
 # hash-matched at sf0.1 in the staged second-pass sweep).
 register("ext_label_separability", label_separability, LABEL_SEPARABILITY_SQL)
+
+
+# --- persisted IVF index (build once, query many) -------------------------------
+# Production API in the `pq_encode_arrow`/`sem_dedup_blocked` pattern
+# (the oracled `ext_sim_ann_ivf` row exists so DuckDB can replay the
+# semantics; real deployments run THIS): the index outlives the session
+# as two parquet tables, so queries pay only their probes — the
+# FAISS-style build/query split, re-expressed as Spark partition
+# pruning. Staged r15 as a library API (pytest + stress, no driver row
+# — the registered IVF row already covers the semantics).
+
+
+def build_ivf_index(emb: DataFrame, path: str, centroids) -> dict:
+    """Build and persist the inverted-file index: postings parquet
+    PARTITIONED BY cell (the directory layout IS the index — a probe
+    prunes to n_probe directories, verified in the read plan) plus the
+    centroid table. Assignment is the fp32 Arrow-matmul scan
+    (`sem_dedup_blocked`'s zero-shuffle stage).
+
+    ``emb``: (vec_id BIGINT, e ARRAY<DOUBLE>); ``centroids``: K×dim
+    array-like (K ≈ √N per FAISS practice — centroids stay KB-to-MB
+    broadcastable at any corpus size). Returns build stats."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float32)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(Cn)
+
+    def assign(batches):
+        Cw = bc.value
+        for pdf in batches:
+            X = np.vstack(pdf["e"].to_numpy()).astype(np.float32)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": (Xn @ Cw.T).argmax(axis=1).astype("int64"),
+                    "e": list(X.astype(np.float64)),
+                }
+            )
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = (
+        emb.select("vec_id", "e")
+        .mapInPandas(assign, "vec_id long, cell long, e array<double>")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    # repartition on cell BEFORE the partitioned write: each cell's rows
+    # land in exactly one task, so the index is K files, not K × tasks
+    # small files (measured 195 s → 14 s at 500k × 1024 cells — the
+    # write was file-count-bound, not data-bound)
+    assigned.repartition("cell").write.partitionBy("cell").mode(
+        "errorifexists"
+    ).parquet(f"{path}/postings")
+    cent_rows = [(int(i), [float(x) for x in C[i]]) for i in range(len(C))]
+    spark.createDataFrame(
+        cent_rows, "cid long, ce array<double>"
+    ).coalesce(1).write.mode("errorifexists").parquet(f"{path}/centroids")
+    return {"n_vectors": obs.get["n"], "k_cells": int(len(C)), "path": path}
+
+
+def ivf_index_query(
+    spark: SparkSession,
+    path: str,
+    queries,
+    n_probe: int = 4,
+    topk: int = 5,
+) -> DataFrame:
+    """Probe the persisted index: per query the n_probe nearest cells
+    (computed driver-side against the K-row centroid table — KBs), then
+    ONE pruned scan of those posting partitions, a broadcast join of
+    the query vectors, and an exact fp64 cosine top-k re-rank per
+    query. Cost per query ≈ n_probe·N/K candidate rows; the corpus
+    outside the probed cells is never read (PartitionFilters — pinned
+    in tests).
+
+    ``queries``: iterable of (query_id, vector). Returns
+    (query_id, rank, vec_id, cos) with rank 1..topk by (cos DESC,
+    vec_id ASC)."""
+    import numpy as np
+
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0]["ce"])), dtype=np.float64)
+    for r in cent:
+        C[r["cid"]] = r["ce"]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    qids, qvecs = [], []
+    for qid, v in queries:
+        qids.append(int(qid))
+        qvecs.append(np.asarray(v, dtype=np.float64))
+    Q = np.vstack(qvecs)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Cn.T
+    probe_rows = []
+    for i, qid in enumerate(qids):
+        # deterministic probe order: cos DESC, cid ASC
+        order = np.lexsort((np.arange(sims.shape[1]), -sims[i]))[:n_probe]
+        for c in order:
+            probe_rows.append((qid, int(c)))
+    cells = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
+        "query_id long, q array<double>",
+    )
+    posts = spark.read.parquet(f"{path}/postings").where(
+        F.col("cell").isin([int(c) for c in cells])
+    )
+    cand = posts.join(F.broadcast(probes), "cell").join(
+        F.broadcast(qdf), "query_id"
+    )
+    dot = _DOT.format(a="e", b="q")
+    na = _DOT.format(a="e", b="e")
+    nb = _DOT.format(a="q", b="q")
+    scored = cand.selectExpr(
+        "query_id",
+        "vec_id",
+        f"({dot}) / (sqrt({na}) * sqrt({nb})) AS cos",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    )

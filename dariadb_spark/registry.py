@@ -900,7 +900,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # to 218; compute the r16 window with `tools/attestation_ledger.py
 # --plan 50` after CORRECTNESS_r15 lands (the 4 registrations take
 # priority-2 slots; merge #3 — ext_asof_nearest into ext_asof_join —
-# remains the next ranked slot-freer if headroom is needed).
+# remains the next ranked slot-freer if headroom is needed). Also
+# staged r15 WITHOUT a driver row (the pq_encode_arrow/sem_dedup_blocked
+# library-API class; the registered ext_sim_ann_ivf row already covers
+# the semantics): build_ivf_index/ivf_index_query
+# (ext/similarity.py) — the persisted build-once/query-many IVF index
+# as parquet postings partitioned by cell, probe = partition pruning;
+# pytest-pinned (exact probe replay + PartitionFilters) and
+# stress-measured at 500k vectors (BASELINE.md row).
 #
 # CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —
 # VERDICT r13 item 3): 206 now + ~8 staged/round reaches the 250 hard
