@@ -1769,8 +1769,14 @@ _PCA_DOWN = 1_000_000  # inter-iteration magnitude scale-down
 
 
 def embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
-    """Fixture query for the r13 window (see :func:`embedding_pca_op`)."""
-    return embedding_pca_op(load_table(spark, sf, "embeddings"))
+    """Fixture query for the driver window. Since r15 this runs the
+    PRODUCTION :func:`embedding_pca_arrow` path (blocked Arrow-matmul
+    Gram) against the DEFINITIONAL posexplode oracle — the
+    ext_dedup_edit_distance precedent: the hash gate proves the
+    production plan equals the definition every round (measured 2.9 s
+    → 0.77 s at sf0.1; the declared form stays as
+    :func:`embedding_pca_op`, pytest-pinned byte-equal)."""
+    return embedding_pca_arrow(load_table(spark, sf, "embeddings"))
 
 
 def embedding_pca_op(emb: DataFrame) -> DataFrame:
