@@ -1036,3 +1036,236 @@ LIMIT {TRIANGLE_TOP}"""
 
 
 PART_TRIANGLES_SQL = _triangles_sql()
+
+
+# --- Benford first-digit data-quality screen ----------------------------------
+# STAGED for the round-16 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). The data-quality family's
+# "is this numeric column ORGANIC?" verb: fabricated or clipped amount
+# columns fail the first-significant-digit profile long before any
+# per-row rule fires — the classic forensic-accounting screen, applied
+# per order-priority segment so a single doctored segment cannot hide
+# in the corpus-wide profile.
+
+#: Benford shares P(d) = log10(1 + 1/d) in HALF_UP micro-units, pinned
+#: as integer literals so both engines compare against the SAME grid
+#: value (the nine literals sum to exactly 1_000_000; pytest re-derives
+#: them from math.log10).
+BENFORD_MICRO = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                 51153, 45757]
+
+
+def orders_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r16 window (:func:`orders_benford_op`)."""
+    return orders_benford_op(load_table(spark, sf, "orders"))
+
+
+def orders_benford_op(orders: DataFrame) -> DataFrame:
+    """First-significant-digit profile of o_totalprice per order
+    priority vs the Benford expectation, with the deviation in exact
+    micro-units.
+
+    Exactness: the digit is substr(1,1) of the BIGINT floor — floor()
+    BEFORE the int cast because Spark's double→bigint cast truncates
+    while DuckDB's rounds; counts are int64; the observed share is the
+    HALF_UP integer micro-quotient (narrow closure — valid to ~4.6e12
+    rows per segment, the documented int64 ceiling) so dev_micro =
+    |obs_micro − benford_micro| is a pure integer; the two displayed
+    shares divide micro-ints by 10⁶. Rows with o_totalprice < 1 carry
+    no leading significant digit and are excluded by contract.
+
+    Plan shape (100 TB): one scan with the digit projection pushed into
+    it, one (priority, digit) partial-agg shuffle bounded by 9·|priorities|
+    output rows, one broadcastable per-priority margin join — no sort
+    until the ≤45-row presentation ORDER BY.
+    """
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    arr = ", ".join(str(v) for v in BENFORD_MICRO)
+    digits = orders.where(F.col("o_totalprice") >= 1).selectExpr(
+        "o_orderpriority AS priority",
+        "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+        " 1, 1) AS INT) AS digit",
+    )
+    counts = digits.groupBy("priority", "digit").agg(
+        F.count("*").alias("n")
+    )
+    totals = digits.groupBy("priority").agg(
+        F.count("*").alias("n_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "priority")
+        .selectExpr(
+            "priority",
+            "digit",
+            "n",
+            "n_total",
+            "(2 * n * 1000000 + n_total) DIV (2 * n_total) AS obs_micro",
+            f"element_at(array({arr}), digit) AS benford_micro",
+        )
+        .selectExpr(
+            "priority",
+            "digit",
+            "n",
+            "n_total",
+            "(obs_micro / 1000000.0d) AS obs_share",
+            "(benford_micro / 1000000.0d) AS benford_share",
+            "abs(obs_micro - benford_micro) AS dev_micro",
+        )
+        .orderBy("priority", "digit")
+    )
+
+
+def _benford_sql() -> str:
+    arr = ", ".join(str(v) for v in BENFORD_MICRO)
+    return f"""WITH
+digits AS (
+  SELECT o_orderpriority AS priority,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+counts AS (SELECT priority, digit, count(*) AS n
+           FROM digits GROUP BY priority, digit),
+totals AS (SELECT priority, count(*) AS n_total
+           FROM digits GROUP BY priority),
+m AS (SELECT c.priority, c.digit, c.n, t.n_total,
+             (2 * c.n * 1000000 + t.n_total) // (2 * t.n_total)
+               AS obs_micro,
+             ([{arr}])[c.digit] AS benford_micro
+      FROM counts c JOIN totals t ON c.priority = t.priority)
+SELECT priority, digit, CAST(n AS BIGINT) AS n,
+       CAST(n_total AS BIGINT) AS n_total,
+       (obs_micro / 1000000.0) AS obs_share,
+       (benford_micro / 1000000.0) AS benford_share,
+       CAST(abs(obs_micro - benford_micro) AS BIGINT) AS dev_micro
+FROM m ORDER BY priority, digit"""
+
+
+ORDERS_BENFORD_SQL = _benford_sql()
+
+
+# --- HITS hub/authority on the bipartite purchase graph ------------------------
+# STAGED for the round-16 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). The iterative-fixpoint class's
+# SECOND topology next to part_pagerank's homogeneous co-purchase walk:
+# HITS runs two mutually-recursive score vectors over the BIPARTITE
+# customer→part edge set (hubs = broad buyers, authorities = parts
+# broad buyers converge on), L1-normalized each half-step so the
+# iteration is a pure integer-rational fixpoint both engines replay.
+
+HITS_ITERS = 2
+HITS_TOP = 20
+
+
+def part_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r16 window (:func:`part_hits_op`)."""
+    return part_hits_op(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
+def part_hits_op(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """Top parts by HITS authority over the distinct customer→part
+    purchase edges, after ``HITS_ITERS`` L1-normalized iterations.
+
+    Exactness: hubs start at 1_000_000 micro-units; each half-step is
+    an integer edge-sum (order-free) followed by ONE wide HALF_UP
+    micro-normalization (2·raw·10⁶ + tot) div (2·tot) in
+    DECIMAL(38,0)/HUGEINT — every score in the fixpoint is an exact
+    integer, so both engines land on identical micro-int vectors; the
+    one float per output row is the display division by 10⁶.
+
+    Plan shape (100 TB): the edge list is the orders⋈lineitem
+    ORDER-KEY equi-join (the schema's co-clustered key — no extra
+    shuffle beyond the join) distinct'd once; each half-step joins the
+    dimension-sized score vector (|customers| or |parts| rows —
+    broadcastable) onto the edges and aggregates on the opposite key,
+    the same 2-shuffles-per-iteration shape as part_pagerank; the L1
+    total rides a 1-row broadcast crossJoin, never a driver action.
+    """
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    hubs = edges.select("cust").distinct().selectExpr(
+        "cust", "CAST(1000000 AS BIGINT) AS h"
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hubs, "cust")
+            .groupBy("part")
+            .agg(F.sum("h").alias("raw"))
+        )
+        a_tot = a_raw.agg(
+            F.sum(F.col("raw").cast("decimal(38,0)")).alias("tot")
+        )
+        auth = a_raw.crossJoin(F.broadcast(a_tot)).selectExpr(
+            "part",
+            "CAST((2 * CAST(raw AS DECIMAL(38,0)) * 1000000 + tot)"
+            " DIV (2 * tot) AS BIGINT) AS a",
+        )
+        h_raw = (
+            edges.join(auth, "part")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("raw"))
+        )
+        h_tot = h_raw.agg(
+            F.sum(F.col("raw").cast("decimal(38,0)")).alias("tot")
+        )
+        hubs = h_raw.crossJoin(F.broadcast(h_tot)).selectExpr(
+            "cust",
+            "CAST((2 * CAST(raw AS DECIMAL(38,0)) * 1000000 + tot)"
+            " DIV (2 * tot) AS BIGINT) AS h",
+        )
+    return (
+        auth.selectExpr(
+            "part",
+            "a AS auth_micro",
+            "(a / 1000000.0d) AS authority",
+        )
+        .orderBy(F.desc("auth_micro"), F.asc("part"))
+        .limit(HITS_TOP)
+    )
+
+
+def _hits_sql() -> str:
+    steps = ["""
+edges AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM edges)"""]
+    prev_h = "h0"
+    auth = None
+    for i in range(HITS_ITERS):
+        auth = f"a{i + 1}"
+        nxt_h = f"h{i + 1}"
+        steps.append(f"""
+ar{i + 1} AS (SELECT e.part, CAST(sum(h.h) AS HUGEINT) AS raw
+       FROM edges e JOIN {prev_h} h ON e.cust = h.cust GROUP BY e.part),
+{auth} AS (SELECT part,
+       CAST((2 * raw * 1000000 + t.tot) // (2 * t.tot) AS BIGINT) AS a
+       FROM ar{i + 1}, (SELECT sum(raw) AS tot FROM ar{i + 1}) t),
+hr{i + 1} AS (SELECT e.cust, CAST(sum(a.a) AS HUGEINT) AS raw
+       FROM edges e JOIN {auth} a ON e.part = a.part GROUP BY e.cust),
+{nxt_h} AS (SELECT cust,
+       CAST((2 * raw * 1000000 + t.tot) // (2 * t.tot) AS BIGINT) AS h
+       FROM hr{i + 1}, (SELECT sum(raw) AS tot FROM hr{i + 1}) t)""")
+        prev_h = nxt_h
+    return (
+        "WITH" + ",".join(steps) + f"""
+SELECT part, a AS auth_micro, (a / 1000000.0) AS authority
+FROM {auth}
+ORDER BY auth_micro DESC, part ASC
+LIMIT {HITS_TOP}"""
+    )
+
+
+PART_HITS_SQL = _hits_sql()

@@ -1236,3 +1236,147 @@ FROM g ORDER BY source"""
 
 
 TEXT_READABILITY_SQL = _readability_sql()
+
+
+# --- Heaps'-law vocabulary-growth curve ---------------------------------------
+# STAGED for the round-16 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). The corpus-analysis family's
+# "how does the VOCABULARY grow?" verb next to zipf's rank-frequency
+# slope: new-type and cumulative-type counts over ingest-order corpus
+# deciles, the curve Heaps' law V = K·n^β describes. No exponent fit is
+# shipped — the exact integer curve IS the result (a fit would add two
+# transcendental-regression floats for no extra information; zipf
+# already demonstrates the log-log fit recipe if a user wants β).
+
+
+def text_heaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r16 window (:func:`text_heaps_op`)."""
+    return text_heaps_op(load_table(spark, sf, "documents"))
+
+
+def text_heaps_op(docs: DataFrame) -> DataFrame:
+    """Vocabulary growth over corpus-prefix deciles: per decile the doc
+    and token mass, the count of word types first seen there, the
+    cumulative vocabulary, and the cumulative type-token ratio.
+
+    Prefix semantics: deciles are doc_id RANGE buckets over the
+    broadcast (min_id, max_id) span — decile(d) = least(9,
+    (d − min)·10 div (max − min + 1)) — i.e. "ingest order" with O(1)
+    per-row assignment. Equal-COUNT deciles would need a global rank
+    (a total sort, or an exact two-pass quantile build) for a curve
+    whose shape is the same at any honest bucketing; the range form is
+    the 100 TB-safe choice and is exact and deterministic in both
+    engines.
+
+    Exactness: every count is int64 (token counts per decile bound the
+    narrow HALF_UP closure only past ~4.6e12 cumulative tokens, so the
+    type-token ratio uses the WIDE closure); a word's first-seen decile
+    is min() over integers.
+
+    Plan shape (100 TB): ONE doc-grain scan aggregates docs/tokens per
+    decile (10 partial-agg rows); ONE explode feeds the vocab-sized
+    (word → min decile) aggregate — the zipf/word-freq shuffle class,
+    the unavoidable cost of exact type counts; everything after is
+    10-row arithmetic (the cumulative window runs on a single 10-row
+    partition by construction — K = 10 is the operator contract, so
+    the "global" window is a constant, not a scale risk).
+    """
+    from dariadb_spark.ext.exact import ratio_round_wide_spark
+
+    d = docs.where(F.col("text").isNotNull())
+    bounds = d.agg(
+        F.min("doc_id").alias("min_id"),
+        (F.max("doc_id") - F.min("doc_id") + F.lit(1)).alias("span"),
+    )
+    dd = d.crossJoin(F.broadcast(bounds)).selectExpr(
+        "least(9, ((doc_id - min_id) * 10) DIV span) AS decile",
+        "text",
+    )
+    per_doc = dd.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    first_seen = (
+        dd.select(
+            "decile", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.min("decile").alias("first_dec"))
+        .groupBy("first_dec")
+        .agg(F.count("*").alias("new_words"))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(F.lit(0))  # ONE 10-row partition by contract
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_doc.join(
+            first_seen, per_doc.decile == first_seen.first_dec, "left"
+        )
+        .selectExpr(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "COALESCE(new_words, CAST(0 AS BIGINT)) AS new_words",
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "new_words",
+            F.sum("n_docs").over(w).alias("cum_docs"),
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("new_words").over(w).alias("cum_vocab"),
+        )
+        .selectExpr(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "new_words",
+            "cum_docs",
+            "cum_tokens",
+            "cum_vocab",
+            ratio_round_wide_spark("cum_vocab", "cum_tokens", 6)
+            + " AS ttr",
+        )
+        .orderBy("decile")
+    )
+
+
+def _heaps_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_wide_duck
+
+    return f"""WITH
+d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+bounds AS (SELECT min(doc_id) AS min_id,
+                  max(doc_id) - min(doc_id) + 1 AS span FROM d),
+dd AS (SELECT least(9, ((doc_id - min_id) * 10) // span) AS decile, text
+       FROM d, bounds),
+per_doc AS (SELECT decile, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_tokens
+            FROM dd GROUP BY decile),
+fs AS (SELECT word, min(decile) AS first_dec FROM (
+         SELECT decile, unnest(string_split(text, ' ')) AS word FROM dd)
+       GROUP BY word),
+nw AS (SELECT first_dec, count(*) AS new_words FROM fs GROUP BY first_dec),
+j AS (SELECT p.decile, p.n_docs, p.n_tokens,
+             CAST(COALESCE(n.new_words, 0) AS BIGINT) AS new_words
+      FROM per_doc p LEFT JOIN nw n ON p.decile = n.first_dec),
+c AS (SELECT decile, n_docs, n_tokens, new_words,
+             CAST(sum(n_docs) OVER W AS BIGINT) AS cum_docs,
+             CAST(sum(n_tokens) OVER W AS BIGINT) AS cum_tokens,
+             CAST(sum(new_words) OVER W AS BIGINT) AS cum_vocab
+      FROM j
+      WINDOW W AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT decile, n_docs, n_tokens, new_words, cum_docs, cum_tokens, cum_vocab,
+       {ratio_round_wide_duck("cum_vocab", "cum_tokens", 6)} AS ttr
+FROM c ORDER BY decile"""
+
+
+TEXT_HEAPS_SQL = _heaps_sql()

@@ -3081,3 +3081,160 @@ ORDER BY id, time"""
 
 
 SERIES_HOLT_SQL = _holt_sql()
+
+
+# --- windowed A/B level-shift screen (Welch t²) --------------------------------
+# STAGED for the round-16 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). After changepoint_cusum's "WHEN did
+# the mean move?" and series_trend's "is it drifting?", this is the
+# family's "did it move, and is the move SIGNIFICANT?" verb: the
+# fixed-boundary A/B comparison every deploy/incident review runs —
+# Welch's unequal-variance t² between the two halves of the interval,
+# with the decision exact-integer wherever the statistic degenerates.
+
+#: the A/B boundary: the exact midpoint of the standard interval
+#: (both endpoints are even ms, so the midpoint is integral)
+LEVEL_SHIFT_SPLIT_MS = (FROM_MS + TO_MS) // 2
+#: t² decision line: |t| ≥ 4 (two-sided p ≪ 0.001 at the fixture's
+#: per-side sample sizes) — a LITERAL, so the flag is reproducible
+LEVEL_SHIFT_T2 = 16.0
+
+
+def series_level_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r16 window (:func:`series_level_shift_op`)."""
+    return series_level_shift_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, LEVEL_SHIFT_SPLIT_MS
+    )
+
+
+def series_level_shift_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    split_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series Welch t² between the interval's two sides of
+    ``split_ms``: side counts, HALF_UP means, the mean shift, t², and
+    the shift flag. Series need ≥ 2 samples per side (otherwise the
+    variance term is undefined) — thinner series are dropped.
+
+    Exactness: samples are cent-quantized int64 (y = round(value·100));
+    per-side n/Σy/Σy² accumulate in int64/DECIMAL(38,0) — exact and
+    order-free. The three float expressions per row — the two variance
+    terms and t² — are built from those exact integers with IDENTICAL
+    expression shape in both engines, so they are bit-identical IEEE
+    doubles; displayed means/diff are signed-wide HALF_UP rationals and
+    t² is round(·, 4). Degenerate case (both sides constant): t² is
+    NULL and the flag falls back to the PURE INTEGER test dmn ≠ 0 —
+    the decision never rides a 0/0 float.
+
+    Plan shape (100 TB): one interval scan (predicate pushed to the
+    parquet range prune) into ONE (id)-keyed partial aggregate carrying
+    six conditional sums — a single shuffle of |series| rows; every
+    expression after the aggregate is per-row arithmetic on the
+    |series|-row table. No join, no window, no second scan.
+    """
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
+
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    y = F.round(F.col("value") * 100).cast("long")
+    side = (F.col("time") >= F.lit(split_ms)).cast("int")
+    pts = base.select("id", side.alias("s"), y.alias("y"))
+    yd = F.col("y").cast("decimal(38,0)")
+    agg = (
+        pts.groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(F.col("s") == 0, F.col("y")).otherwise(0))
+            .alias("sa"),
+            F.sum(F.when(F.col("s") == 1, F.col("y")).otherwise(0))
+            .alias("sb"),
+            F.sum(F.when(F.col("s") == 0, yd * F.col("y")).otherwise(0))
+            .alias("ssa"),
+            F.sum(F.when(F.col("s") == 1, yd * F.col("y")).otherwise(0))
+            .alias("ssb"),
+        )
+        .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    )
+    # exact integer cores: the mean-shift numerator and the two
+    # variance numerators (zero IFF the side is constant)
+    core = agg.selectExpr(
+        "id", "n_a", "n_b", "sa", "sb",
+        "CAST(sa AS DECIMAL(38,0)) * n_b - CAST(sb AS DECIMAL(38,0)) * n_a"
+        " AS dmn",
+        "n_a * ssa - CAST(sa AS DECIMAL(38,0)) * sa AS vna",
+        "n_b * ssb - CAST(sb AS DECIMAL(38,0)) * sb AS vnb",
+    )
+    t2 = (
+        "((CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        " * (CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        " / (CAST(vna AS DOUBLE)"
+        "    / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0d))"
+        "  + CAST(vnb AS DOUBLE)"
+        "    / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0d))))"
+    )
+    return core.selectExpr(
+        "id",
+        "n_a",
+        "n_b",
+        ratio_round_signed_wide_spark("sa", "100 * n_a", 6) + " AS mean_a",
+        ratio_round_signed_wide_spark("sb", "100 * n_b", 6) + " AS mean_b",
+        ratio_round_signed_wide_spark("dmn", "100 * n_a * n_b", 6)
+        + " AS mean_shift",
+        f"CASE WHEN vna = 0 AND vnb = 0 THEN CAST(NULL AS DOUBLE)"
+        f" ELSE round({t2}, 4) END AS t2",
+        f"CASE WHEN vna = 0 AND vnb = 0"
+        f" THEN CAST(dmn != 0 AS INT)"
+        f" ELSE CAST({t2} >= {LEVEL_SHIFT_T2} AS INT) END AS shifted",
+    ).orderBy("id")
+
+
+def _level_shift_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_duck
+
+    t2 = (
+        "((CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        " * (CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        " / (CAST(vna AS DOUBLE)"
+        "    / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+        "  + CAST(vnb AS DOUBLE)"
+        "    / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))))"
+    )
+    return f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id,
+               CAST(time >= {LEVEL_SHIFT_SPLIT_MS} AS INT) AS s,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+agg AS (SELECT id,
+               CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN s = 0 THEN y ELSE 0 END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN s = 1 THEN y ELSE 0 END) AS BIGINT) AS sb,
+               sum(CASE WHEN s = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+                 AS ssa,
+               sum(CASE WHEN s = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+                 AS ssb
+        FROM pts GROUP BY id
+        HAVING n_a >= 2 AND n_b >= 2),
+core AS (SELECT id, n_a, n_b, sa, sb,
+                CAST(sa AS HUGEINT) * n_b - CAST(sb AS HUGEINT) * n_a AS dmn,
+                n_a * ssa - CAST(sa AS HUGEINT) * sa AS vna,
+                n_b * ssb - CAST(sb AS HUGEINT) * sb AS vnb
+         FROM agg)
+SELECT id, n_a, n_b,
+       {ratio_round_signed_wide_duck("sa", "100 * n_a", 6)} AS mean_a,
+       {ratio_round_signed_wide_duck("sb", "100 * n_b", 6)} AS mean_b,
+       {ratio_round_signed_wide_duck("dmn", "100 * n_a * n_b", 6)}
+         AS mean_shift,
+       CASE WHEN vna = 0 AND vnb = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE round({t2}, 4) END AS t2,
+       CASE WHEN vna = 0 AND vnb = 0 THEN CAST(dmn != 0 AS INT)
+            ELSE CAST({t2} >= {LEVEL_SHIFT_T2} AS INT) END AS shifted
+FROM core ORDER BY id"""
+
+
+SERIES_LEVEL_SHIFT_SQL = _level_shift_sql()
