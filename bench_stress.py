@@ -2511,6 +2511,10 @@ def main() -> None:
     holt_s, holt_n = stress_series_holt(spark)
     lix_s, lix_n = stress_text_readability(spark)
     sohlc_s, sohlc_batch_s, sohlc_bars = stress_streaming_ohlc(spark)
+    heaps_s, heaps_n = stress_text_heaps(spark)
+    bf_s, bf_n = stress_orders_benford(spark)
+    ls_s, ls_n = stress_series_level_shift(spark)
+    hits_s, hits_n = stress_part_hits(spark)
     print(
         json.dumps(
             {
@@ -2592,6 +2596,10 @@ def main() -> None:
                     "text_readability_1m_docs": round(lix_s, 4),
                     "streaming_ohlc_2m": round(sohlc_s, 4),
                     "streaming_ohlc_2m_batch_twin": round(sohlc_batch_s, 4),
+                    "text_heaps_1m_docs": round(heaps_s, 4),
+                    "orders_benford_5m": round(bf_s, 4),
+                    "series_level_shift_20m": round(ls_s, 4),
+                    "part_hits_200k_edges": round(hits_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -4580,6 +4588,214 @@ def stress_part_pagerank(spark) -> tuple[float, int]:
     assert got[0][0] == hub, got[0]
     assert got == want, (got[:3], want[:3])
     return pr_s, len(got)
+
+
+# --- second r16 staging pass stresses -----------------------------------------
+
+HEAPS_STRESS_DOCS = 1_000_000
+BENFORD_STRESS_ORDERS = 5_000_000
+LEVEL_SHIFT_STRESS_ROWS = 20_000_000
+LEVEL_SHIFT_STRESS_SERIES = 2_000
+HITS_STRESS_CUSTS = 100_000
+
+
+def stress_text_heaps(spark) -> tuple[float, int]:
+    """Staged r16 Heaps curve at 1M docs: doc i reads "the w<i div 10>",
+    so ids are dense, deciles are exactly 100k docs, every decile mints
+    exactly 10k new types (plus "the" in decile 0) and carries 200k
+    tokens — the whole 10-row curve is closed-form."""
+    from dariadb_spark.ext.exact import ratio_round_ref
+    from dariadb_spark.ext.text import text_heaps_op
+
+    n = HEAPS_STRESS_DOCS
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "concat('the w', CAST(id DIV 10 AS STRING)) AS text",
+        "'en' AS lang",
+        "'s' AS source",
+        "CAST(10 AS BIGINT) AS n_chars",
+    )
+    t0 = time.perf_counter()
+    rows = [tuple(r) for r in text_heaps_op(docs).collect()]
+    heaps_s = time.perf_counter() - t0
+    assert len(rows) == 10
+    per_dec_docs, per_dec_types = n // 10, n // 100
+    for d, row in enumerate(rows):
+        (dec, n_docs, n_tokens, new_words, cum_docs, cum_tokens,
+         cum_vocab, ttr) = row
+        assert dec == d and n_docs == per_dec_docs
+        assert n_tokens == 2 * per_dec_docs
+        assert new_words == per_dec_types + (1 if d == 0 else 0)
+        assert cum_docs == per_dec_docs * (d + 1)
+        assert cum_tokens == 2 * per_dec_docs * (d + 1)
+        assert cum_vocab == per_dec_types * (d + 1) + 1
+        assert ttr == ratio_round_ref(cum_vocab, cum_tokens, 6)
+    return heaps_s, n
+
+
+def stress_orders_benford(spark) -> tuple[float, int]:
+    """Staged r16 Benford screen at 5M orders with a PLANTED digit mix:
+    price = d·10^k + r with r < 10^k, so the first digit is d by
+    construction; the (priority, digit) grid and every dev_micro is
+    closed-form from the residue-class counts."""
+    from dariadb_spark.ext.exact import ratio_round_ref
+    from dariadb_spark.ext.relational import BENFORD_MICRO, orders_benford_op
+
+    n = BENFORD_STRESS_ORDERS
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        "id AS o_custkey",
+        "'O' AS o_orderstatus",
+        "CAST((CAST(id % 9 AS INT) + 1)"
+        " * CAST(pow(10, CAST(id % 4 AS INT) + 1) AS BIGINT)"
+        " + CAST(id % 7 AS INT) AS DOUBLE) AS o_totalprice",
+        "CAST('2024-01-01' AS TIMESTAMP) AS o_orderdate",
+        # (id DIV 9) % 3, NOT id % 3: 3 divides 9, so id % 3 would be
+        # determined by the digit residue and only 9 of the 27 grid
+        # cells would exist
+        "concat('P', CAST((id DIV 9) % 3 AS STRING)) AS o_orderpriority",
+    )
+    t0 = time.perf_counter()
+    rows = [tuple(r) for r in orders_benford_op(orders).collect()]
+    bf_s = time.perf_counter() - t0
+    # exact residue-class counts: digit cycle 9, priority cycle 3 →
+    # lcm 9 grid over n rows (9 and 3 share the id stream)
+    from collections import Counter
+
+    counts = Counter()
+    cycle = 9 * 3  # one full (digit, priority) period
+    per, rem = divmod(n, cycle)
+    for i in range(cycle):
+        d, p = i % 9 + 1, f"P{(i // 9) % 3}"
+        counts[(p, d)] += per + (1 if i < rem else 0)
+    totals = Counter()
+    for (p, d), c in counts.items():
+        totals[p] += c
+    assert len(rows) == len(counts) == 27
+    for prio, digit, cn, ct, obs, bshare, dev in rows:
+        assert cn == counts[(prio, digit)]
+        assert ct == totals[prio]
+        assert obs == ratio_round_ref(cn, ct, 6)
+        obs_micro = (2 * cn * 10**6 + ct) // (2 * ct)
+        assert dev == abs(obs_micro - BENFORD_MICRO[digit - 1])
+    return bf_s, n
+
+
+def stress_series_level_shift(spark) -> tuple[float, int]:
+    """Staged r16 level-shift screen at 20M rows / 2000 series: each
+    side is the same 7-periodic integer pattern, EVEN series get a
+    +5.00 B-side offset — so every even series replays one closed-form
+    Welch t2 and every odd series the degenerate-variance-free t2 = 0
+    ... (patterns have variance; odd series t2 = 0 exactly since
+    means are equal and the pattern is identical). Assertions run
+    DISTRIBUTED: violation counts, never a 20M-row collect."""
+    from dariadb_spark.ext.timeseries import series_level_shift_op
+    from pyspark.sql import functions as FF
+
+    n, s = LEVEL_SHIFT_STRESS_ROWS, LEVEL_SHIFT_STRESS_SERIES
+    per_side = n // s // 2  # 5000 samples per series per side
+    split = per_side * 1000
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        # base pattern: 100 + (k % 7); B side of EVEN series: +5.00
+        f"CAST(100 + ((id DIV {s}) % 7) AS DOUBLE)"
+        f" + CASE WHEN (id DIV {s}) >= {per_side} AND (id % {s}) % 2 = 0"
+        "        THEN 5.0d ELSE 0.0d END AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    # python replay of the two closed-form classes from the same ints;
+    # NOTE the B side's 7-periodic pattern starts at k = per_side (5000
+    # % 7 = 2), so the two sides are NOT the same multiset — replay
+    # each side from its own k range
+    ya = [(100 + (k % 7)) * 100 for k in range(per_side)]
+    yb0 = [(100 + (k % 7)) * 100 for k in range(per_side, 2 * per_side)]
+    na = nb = per_side
+    sa, ssa = sum(ya), sum(y * y for y in ya)
+
+    def welch(shift_cents):
+        yb = [y + shift_cents for y in yb0]
+        sb, ssb = sum(yb), sum(y * y for y in yb)
+        dmn = sa * nb - sb * na
+        dm = dmn / (na * nb)
+        sea = (na * ssa - sa * sa) / (na * na * (na - 1.0))
+        seb = (nb * ssb - sb * sb) / (nb * nb * (nb - 1.0))
+        t2 = dm * dm / (sea + seb)
+        return round(t2, 4), 1 if t2 >= 16.0 else 0
+    t2_even, fl_even = welch(500)
+    t2_odd, fl_odd = welch(0)
+    t0 = time.perf_counter()
+    out = series_level_shift_op(meas, None, 0, 2 * split, split)
+    agg = out.agg(
+        FF.count("*").alias("rows"),
+        FF.sum(
+            FF.when(
+                (FF.col("n_a") != na) | (FF.col("n_b") != nb)
+                | (FF.col("id") % 2 == 0)
+                & ((FF.col("t2") != t2_even) | (FF.col("shifted") != fl_even))
+                | (FF.col("id") % 2 == 1)
+                & ((FF.col("t2") != t2_odd) | (FF.col("shifted") != fl_odd)),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    ls_s = time.perf_counter() - t0
+    assert agg["rows"] == s and agg["bad"] == 0, (
+        agg, t2_even, fl_even, t2_odd, fl_odd)
+    return ls_s, n
+
+
+def stress_part_hits(spark) -> tuple[float, int]:
+    """Staged r16 HITS at 100k customers / 200k edges: customer c buys
+    part (c mod 100) and the universal part 999 — residue classes make
+    the exact integer fixpoint computable in a 100-class python replay,
+    and the star part must dominate authority."""
+    from dariadb_spark.ext.relational import HITS_ITERS, part_hits_op
+
+    n = HITS_STRESS_CUSTS
+    edges = spark.range(2 * n).selectExpr(
+        "id AS o_orderkey",
+        "id DIV 2 AS cust",
+        "CASE WHEN id % 2 = 0 THEN (id DIV 2) % 100"
+        " ELSE 999 END AS part",
+    )
+    orders = edges.selectExpr(
+        "o_orderkey", "cust AS o_custkey", "'O' AS o_orderstatus",
+        "1.0d AS o_totalprice",
+        "CAST('2024-01-01' AS TIMESTAMP) AS o_orderdate",
+        "'P' AS o_orderpriority",
+    )
+    li = edges.selectExpr(
+        "o_orderkey AS l_orderkey", "part AS l_partkey",
+        "CAST(1 AS BIGINT) AS l_suppkey", "CAST(1 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity", "1.0d AS l_extendedprice",
+        "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in part_hits_op(orders, li).collect()]
+    hits_s = time.perf_counter() - t0
+    # class replay: every customer in residue class r is identical
+    per_class = n // 100
+    h = {r: 1_000_000 for r in range(100)}  # hub value per class member
+    a = {}
+    for _ in range(HITS_ITERS):
+        raw = {r: per_class * h[r] for r in range(100)}
+        raw[999] = per_class * sum(h.values())
+        tot = sum(raw.values())
+        a = {p: (2 * v * 10**6 + tot) // (2 * tot) for p, v in raw.items()}
+        hraw = {r: a[r] + a[999] for r in range(100)}
+        htot = per_class * sum(hraw.values())
+        h = {r: (2 * hraw[r] * 10**6 + htot) // (2 * htot)
+             for r in range(100)}
+    want = sorted(
+        ((p, m, m / 1_000_000) for p, m in a.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert got[0][0] == 999, got[0]
+    assert got == want, (got[:3], want[:3])
+    return hits_s, 2 * n
+
 if __name__ == "__main__":
     # the guard lives at the true END of the module: stress functions
     # are defined below main() in staging order, and an earlier

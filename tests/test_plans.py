@@ -672,3 +672,47 @@ def test_no_cartesian_product_in_staged_r16_plans(spark, oracle_sf_dir):
 
     holt = plans["series_holt"]
     assert len(_re.findall(r"hashpartitioning", holt)) <= 2, holt
+
+
+def test_no_cartesian_product_in_second_r16_staging_pass(spark, oracle_sf_dir):
+    """Same sweep for the second r16 staging pass (heaps / benford /
+    level shift / HITS): no CartesianProduct anywhere — the 1-row
+    bounds/total crossJoins must ride the broadcast-nested-loop
+    dispensation — and each op's headline shape holds."""
+    from dariadb_spark.ext.relational import orders_benford, part_hits
+    from dariadb_spark.ext.text import text_heaps
+    from dariadb_spark.ext.timeseries import series_level_shift
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plans = {}
+    offenders = []
+    for fn in (text_heaps, orders_benford, series_level_shift, part_hits):
+        plan = (
+            fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .explainString(mode)
+        )
+        plans[fn.__name__] = plan
+        if "CartesianProduct" in plan:
+            offenders.append(fn.__name__)
+    assert not offenders, offenders
+    import re as _re
+
+    # level shift: ONE aggregate exchange on id, no join, no window
+    ls = plans["series_level_shift"]
+    assert "Join" not in ls, ls
+    assert len(_re.findall(r"hashpartitioning", ls)) <= 1, ls
+    # benford: the per-priority margin join must broadcast
+    bf = plans["orders_benford"]
+    assert "BroadcastHashJoin" in bf, bf
+    assert "SortMergeJoin" not in bf, bf
+    # heaps: the only row-fanning join is the broadcast 1-row bounds;
+    # the decile/word joins stay hash or broadcast, never sort-merge
+    hp = plans["text_heaps"]
+    assert "BroadcastNestedLoopJoin" in hp, hp
+    # HITS: score-vector joins hash; the L1 totals broadcast (1 row)
+    ht = plans["part_hits"]
+    assert "BroadcastNestedLoopJoin" in ht, ht
+    assert "HashJoin" in ht, ht

@@ -352,3 +352,305 @@ def test_ivf_index_persists_and_probes_exactly(spark, tmp_path, sf_dir):
         for (rank, vec_id, c), (negc, wid) in zip(mine, want):
             assert vec_id == wid, (qid, rank, vec_id, wid)
             assert abs(c - (-negc)) < 1e-9
+
+
+# --- second r16 staging pass: heaps / benford / level shift / HITS -----------
+
+
+def test_text_heaps_parity_and_planted_growth(spark, oracle_sf_dir):
+    """Staged r16 Heaps curve: DuckDB hash parity at the fixture; a
+    planted corpus with one NEW word per doc plus a shared stopword
+    yields a closed-form growth curve (decile counts, first-seen
+    attribution, wide HALF_UP type-token ratio)."""
+    from dariadb_spark.ext.exact import ratio_round_ref
+    from dariadb_spark.ext.text import (
+        TEXT_HEAPS_SQL,
+        text_heaps,
+        text_heaps_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_text_heaps",
+        text_heaps(spark, oracle_sf_dir),
+        con,
+        TEXT_HEAPS_SQL,
+    )
+    assert res.ok, res.problems
+
+    # 20 docs, ids 0..19 → exactly 2 per decile; doc i contributes the
+    # fresh type w<i> and the corpus-wide stopword "the" (new only in
+    # decile 0), so new_words = [3, 2, 2, ...] and every doc has 2 tokens
+    docs = spark.createDataFrame(
+        [(i, f"the w{i}", "en", "s", 6) for i in range(20)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = [tuple(r) for r in text_heaps_op(docs).collect()]
+    assert len(got) == 10
+    for d, row in enumerate(got):
+        (decile, n_docs, n_tokens, new_words, cum_docs, cum_tokens,
+         cum_vocab, ttr) = row
+        assert decile == d and n_docs == 2 and n_tokens == 4
+        assert new_words == (3 if d == 0 else 2)
+        assert cum_docs == 2 * (d + 1) and cum_tokens == 4 * (d + 1)
+        assert cum_vocab == 2 * (d + 1) + 1
+        assert ttr == ratio_round_ref(cum_vocab, cum_tokens, 6)
+
+
+def test_text_heaps_single_doc_and_null_text(spark):
+    """Span-1 edge (one doc) lands wholly in decile 0; NULL text rows
+    are excluded by contract, not counted as empty vocab."""
+    from dariadb_spark.ext.text import text_heaps_op
+
+    docs = spark.createDataFrame(
+        [(7, "a b a", "en", "s", 5), (9, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = [tuple(r) for r in text_heaps_op(docs).collect()]
+    # doc 9 has NULL text → only doc 7 remains → span = 1, decile 0
+    assert len(got) == 1
+    assert got[0][:7] == (0, 1, 3, 2, 1, 3, 2)
+
+
+def test_orders_benford_literals_and_planted_digits(spark, oracle_sf_dir):
+    """Staged r16 Benford screen: DuckDB hash parity; the nine pinned
+    micro-literals re-derive from math.log10 under HALF_UP and sum to
+    exactly 1_000_000; a planted one-priority table with known digit
+    counts reproduces the closed-form shares and deviations."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dariadb_spark.ext.exact import ratio_round_ref
+    from dariadb_spark.ext.relational import (
+        BENFORD_MICRO,
+        ORDERS_BENFORD_SQL,
+        orders_benford,
+        orders_benford_op,
+    )
+
+    for d in range(1, 10):
+        derived = int(
+            Decimal(math.log10(1 + 1 / d))
+            .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            * 10**6
+        )
+        assert derived == BENFORD_MICRO[d - 1], d
+    assert sum(BENFORD_MICRO) == 1_000_000
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_orders_benford",
+        orders_benford(spark, oracle_sf_dir),
+        con,
+        ORDERS_BENFORD_SQL,
+    )
+    assert res.ok, res.problems
+
+    # 6 orders: digits 1,1,1,2,9 and one sub-1 price (excluded)
+    rows = [
+        (1, 1, "O", 123.45, "2024-01-01", "P"),
+        (2, 1, "O", 150.00, "2024-01-01", "P"),
+        (3, 1, "O", 1999.99, "2024-01-01", "P"),
+        (4, 1, "O", 25.10, "2024-01-01", "P"),
+        (5, 1, "O", 90000.00, "2024-01-01", "P"),
+        (6, 1, "O", 0.75, "2024-01-01", "P"),
+    ]
+    orders = spark.createDataFrame(
+        [(a, b, c, d_, __import__("datetime").datetime(2024, 1, 1), f)
+         for a, b, c, d_, _e, f in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    got = [tuple(r) for r in orders_benford_op(orders).collect()]
+    assert [(g[1], g[2], g[3]) for g in got] == [
+        (1, 3, 5), (2, 1, 5), (9, 1, 5)
+    ]
+    for g in got:
+        obs_micro = ((2 * g[2] * 10**6 + g[3]) // (2 * g[3]))
+        assert g[4] == ratio_round_ref(g[2], g[3], 6)
+        assert g[6] == abs(obs_micro - BENFORD_MICRO[g[1] - 1])
+
+
+def test_series_level_shift_parity_and_planted_shift(spark, oracle_sf_dir):
+    """Staged r16 level-shift screen: DuckDB hash parity; a planted
+    two-sided series replays the Welch t² closed form; the degenerate
+    constant-constant series takes the exact-integer decision path
+    (t2 NULL, shifted from dmn alone); a thin side drops the series."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_LEVEL_SHIFT_SQL,
+        series_level_shift,
+        series_level_shift_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_level_shift",
+        series_level_shift(spark, oracle_sf_dir),
+        con,
+        SERIES_LEVEL_SHIFT_SQL,
+    )
+    assert res.ok, res.problems
+
+    split = 1000
+    rows = []
+    # series 0: A = [10.00, 12.00], B = [20.00, 22.00] → dm = -10,
+    # var_a = var_b = 2 (in value units) → t² = 100 / (1 + 1) = 50
+    rows += [(0, 0, 10.0, 0), (0, 1, 12.0, 0),
+             (0, 1000, 20.0, 0), (0, 1001, 22.0, 0)]
+    # series 1: constant 5 vs constant 5 → dmn = 0 → not shifted
+    rows += [(1, 0, 5.0, 0), (1, 1, 5.0, 0),
+             (1, 1000, 5.0, 0), (1, 1001, 5.0, 0)]
+    # series 2: constant 5 vs constant 6 → dmn ≠ 0 → shifted, t2 NULL
+    rows += [(2, 0, 5.0, 0), (2, 1, 5.0, 0),
+             (2, 1000, 6.0, 0), (2, 1001, 6.0, 0)]
+    # series 3: one sample on side B → dropped
+    rows += [(3, 0, 1.0, 0), (3, 1, 2.0, 0), (3, 1000, 9.0, 0)]
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    got = {
+        r["id"]: r.asDict()
+        for r in series_level_shift_op(meas, None, 0, 2000, split).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    s0 = got[0]
+    assert (s0["n_a"], s0["n_b"]) == (2, 2)
+    assert (s0["mean_a"], s0["mean_b"]) == (11.0, 21.0)
+    assert s0["mean_shift"] == -10.0
+    assert s0["t2"] == 50.0 and s0["shifted"] == 1
+    assert got[1]["t2"] is None and got[1]["shifted"] == 0
+    assert got[2]["t2"] is None and got[2]["shifted"] == 1
+
+
+def test_series_level_shift_matches_python_welch(spark):
+    """Random-int series replay: the op's t² equals a pure-Python Welch
+    computation from the same cent-quantized integers (bit-identical
+    float pipeline), and the flag matches the t² ≥ 16 line."""
+    import random
+
+    rng = random.Random(416)
+    rows = []
+    expect = {}
+    for sid in range(8):
+        na, nb = rng.randint(2, 12), rng.randint(2, 12)
+        av = [rng.randint(-500, 500) for _ in range(na)]
+        bv = [rng.randint(-500, 500) for _ in range(nb)]
+        # force non-degenerate variance on each side
+        av[0], av[1] = av[0], av[0] + rng.randint(1, 9)
+        bv[0], bv[1] = bv[0], bv[0] + rng.randint(1, 9)
+        rows += [(sid, i, v / 100.0, 0) for i, v in enumerate(av)]
+        rows += [(sid, 1000 + i, v / 100.0, 0) for i, v in enumerate(bv)]
+        sa, sb = sum(av), sum(bv)
+        ssa = sum(v * v for v in av)
+        ssb = sum(v * v for v in bv)
+        dmn = sa * nb - sb * na
+        dm = dmn / (na * nb)
+        sea = (na * ssa - sa * sa) / (na * na * (na - 1.0))
+        seb = (nb * ssb - sb * sb) / (nb * nb * (nb - 1.0))
+        t2 = dm * dm / (sea + seb)
+        expect[sid] = (round(t2, 4), 1 if t2 >= 16.0 else 0)
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    got = {
+        r["id"]: (r["t2"], r["shifted"])
+        for r in series_level_shift_rows(spark, meas)
+    }
+    assert got == expect
+
+
+def series_level_shift_rows(spark, meas):
+    from dariadb_spark.ext.timeseries import series_level_shift_op
+
+    return series_level_shift_op(meas, None, 0, 2000, 1000).collect()
+
+
+def test_part_hits_parity_and_planted_star(spark, oracle_sf_dir):
+    """Staged r16 HITS: DuckDB hash parity (the chained-CTE oracle
+    replays both normalized half-steps); on a planted star-plus-pair
+    graph the hub-weighted authority ranks the universally-bought part
+    first, and the integer fixpoint replays in pure Python."""
+    from dariadb_spark.ext.relational import (
+        HITS_ITERS,
+        PART_HITS_SQL,
+        part_hits,
+        part_hits_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_hits",
+        part_hits(spark, oracle_sf_dir),
+        con,
+        PART_HITS_SQL,
+    )
+    assert res.ok, res.problems
+
+    # customers 1..4 all buy part 100; customer 1 also buys 200, 201
+    edges = [(c, 100) for c in (1, 2, 3, 4)] + [(1, 200), (1, 201)]
+    got = _run_hits(spark, edges)
+    ref = _python_hits(edges, HITS_ITERS)
+    assert got == ref
+    assert got[0][0] == 100  # the star center is the top authority
+
+
+def test_part_hits_matches_python_fixpoint_random(spark):
+    """Random bipartite graphs: the Spark integer fixpoint equals the
+    pure-Python replay of the same HALF_UP-normalized iteration."""
+    import random
+
+    from dariadb_spark.ext.relational import HITS_ITERS
+
+    rng = random.Random(1616)
+    for trial in range(3):
+        edges = sorted(
+            {
+                (rng.randint(1, 8), 100 + rng.randint(0, 9))
+                for _ in range(rng.randint(6, 24))
+            }
+        )
+        assert _run_hits(spark, edges) == _python_hits(edges, HITS_ITERS), (
+            trial,
+            edges,
+        )
+
+
+def _run_hits(spark, edges):
+    from dariadb_spark.ext.relational import part_hits_op
+
+    orders = spark.createDataFrame(
+        [(i, c, "O", 1.0, __import__("datetime").datetime(2024, 1, 1), "P")
+         for i, (c, _p) in enumerate(edges)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(i, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O")
+         for i, (_c, p) in enumerate(edges)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string",
+    )
+    return [tuple(r) for r in part_hits_op(orders, li).collect()]
+
+
+def _python_hits(edges, iters):
+    """Integer HALF_UP HITS replay (the op's exact arithmetic)."""
+    custs = sorted({c for c, _ in edges})
+    parts = sorted({p for _, p in edges})
+    h = {c: 1_000_000 for c in custs}
+    a = {}
+    for _ in range(iters):
+        raw = {p: sum(h[c] for c, q in edges if q == p) for p in parts}
+        tot = sum(raw.values())
+        a = {p: (2 * r * 10**6 + tot) // (2 * tot) for p, r in raw.items()}
+        hraw = {c: sum(a[p] for d, p in edges if d == c) for c in custs}
+        htot = sum(hraw.values())
+        h = {c: (2 * r * 10**6 + htot) // (2 * htot)
+             for c, r in hraw.items()}
+    top = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return [(p, m, m / 1_000_000) for p, m in top]
