@@ -882,7 +882,7 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # streaming_dedup_parity) rotate at stale-5 in r15 — the first actual
 # engagement of the capacity line, within policy.
 #
-# Round 15 staged FOUR operators for r16 (each implemented + oracled +
+# Round 15 staged EIGHT operators for r16 (each implemented + oracled +
 # pytest parity incl. planted closed-form fixtures and property tests +
 # planted ≥100k-row stress + hash-matched at sf0.1 in the staged
 # second-pass sweep; THIS COMMENT is the staged-count source of truth):
@@ -896,11 +896,24 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # engine-specific regex), and streaming_ohlc_parity (streaming/ohlc.py,
 # oracle = OHLC_SQL: the stateful bar-maintenance ingest twin; NO
 # in-order contract — min/max merging is arrival-order-free, unlike
-# the rate/runlen folds). Registering them in r16 takes the registry
-# to 218; compute the r16 window with `tools/attestation_ledger.py
-# --plan 50` after CORRECTNESS_r15 lands (the 4 registrations take
-# priority-2 slots; merge #3 — ext_asof_nearest into ext_asof_join —
-# remains the next ranked slot-freer if headroom is needed). Also
+# the rate/runlen folds). The round's SECOND staging pass added four
+# more: ext_text_heaps (ext/text.py: the Heaps'-law vocabulary-growth
+# curve over ingest-order deciles — the corpus-analysis family's
+# "how does the VOCABULARY grow?" verb next to zipf), ext_orders_benford
+# (ext/relational.py: the Benford first-significant-digit screen per
+# order priority, pinned micro-literals, exact dev_micro — the
+# data-quality family's "is this column ORGANIC?" verb),
+# ext_series_level_shift (ext/timeseries.py: Welch t² between the two
+# interval halves, exact integer cores, integer decision on the
+# degenerate branch — the "did it move SIGNIFICANTLY?" verb), and
+# ext_part_hits (ext/relational.py: HITS hub/authority on the
+# BIPARTITE customer→part graph, L1-normalized integer fixpoint — the
+# iterative class's second topology next to part_pagerank).
+# Registering all eight in r16 takes the registry to 222; compute the
+# r16 window with `tools/attestation_ledger.py --plan 50` after
+# CORRECTNESS_r15 lands (the 8 registrations take priority-2 slots;
+# merge #3 — ext_asof_nearest into ext_asof_join — remains the next
+# ranked slot-freer if headroom is needed). Also
 # staged r15 WITHOUT a driver row (the pq_encode_arrow/sem_dedup_blocked
 # library-API class; the registered ext_sim_ann_ivf row already covers
 # the semantics): build_ivf_index/ivf_index_query
