@@ -288,7 +288,9 @@ SELECT id, time, value, flag, last_purchase, purchase_time
 FROM j WHERE side = 1 ORDER BY id, time, value, flag"""
 
 
-register("ext_asof_join", asof_join_q, ASOF_JOIN_SQL)
+# ext_asof_join's standalone registration was MERGED into
+# ext_asof_report (merge #3 of the 250-ceiling trajectory, executed
+# r15) — the query fn and oracle stay for tests and for the composite.
 
 
 # --- nearest-as-of join with tolerance ------------------------------------
@@ -361,7 +363,64 @@ SELECT id, t AS time, value, flag, nearest_time, nearest_value,
 FROM sel ORDER BY id, time, value, flag"""
 
 
-register("ext_asof_nearest", asof_nearest_q, ASOF_NEAREST_SQL)
+# --- composite as-of report (merge #3 of the 250-ceiling trajectory) -------
+# Audit result (r15): NEITHER original is a projection of the other —
+# backward enriches against the RAW purchase stream (LWW resolved inside
+# the window order) while nearest requires the LWW-DEDUPED stream and a
+# tolerance, and their output columns differ. So the merge follows the
+# set_ops precedent, not the subsumption one: ONE registered row tags
+# each error event's enrichment with a `direction` column; each original
+# is a filter + projection of the composite (pytest-pinned), both
+# SEMANTICS keep their operators (operators/asof_join.py) and oracles.
+
+
+def asof_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Both as-of enrichments of the error stream in one report: the
+    backward at-or-before purchase (raw stream, ≤ bound) and the
+    nearest-within-±12 h purchase (deduped stream), tagged by
+    ``direction``; dist_ms is the match distance (backward distance is
+    time − purchase_time, always ≥ 0).
+
+    Plan shape (100 TB): the two branches are the proven single-shuffle
+    union+window plans; the composite is their unionByName — no new
+    exchange, no join between the branches (a grain-key join would
+    multiply duplicate error rows; the tag column sidesteps that
+    entirely).
+    """
+    back = asof_join_q(spark, sf).selectExpr(
+        "'backward' AS direction",
+        "id", "time", "value", "flag",
+        "purchase_time AS match_time",
+        "last_purchase AS match_value",
+        "CASE WHEN purchase_time IS NOT NULL"
+        " THEN time - purchase_time END AS dist_ms",
+    )
+    near = asof_nearest_q(spark, sf).selectExpr(
+        "'nearest' AS direction",
+        "id", "time", "value", "flag",
+        "nearest_time AS match_time",
+        "nearest_value AS match_value",
+        "dist_ms",
+    )
+    return back.unionByName(near).orderBy(
+        "direction", "id", "time", "value", "flag"
+    )
+
+
+ASOF_REPORT_SQL = f"""SELECT * FROM (
+SELECT 'backward' AS direction, id, time, value, flag,
+       purchase_time AS match_time, last_purchase AS match_value,
+       CASE WHEN purchase_time IS NOT NULL
+            THEN time - purchase_time END AS dist_ms
+FROM ({ASOF_JOIN_SQL}) b
+UNION ALL
+SELECT 'nearest' AS direction, id, time, value, flag,
+       nearest_time AS match_time, nearest_value AS match_value, dist_ms
+FROM ({ASOF_NEAREST_SQL}) n)
+ORDER BY direction, id, time, value, flag"""
+
+
+register("ext_asof_report", asof_report_q, ASOF_REPORT_SQL)
 
 
 # --- sessionization (gaps-and-islands) ------------------------------------

@@ -909,11 +909,12 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # ext_part_hits (ext/relational.py: HITS hub/authority on the
 # BIPARTITE customer→part graph, L1-normalized integer fixpoint — the
 # iterative class's second topology next to part_pagerank).
-# Registering all eight in r16 takes the registry to 222; compute the
-# r16 window with `tools/attestation_ledger.py --plan 50` after
-# CORRECTNESS_r15 lands (the 8 registrations take priority-2 slots;
-# merge #3 — ext_asof_nearest into ext_asof_join — remains the next
-# ranked slot-freer if headroom is needed). Also
+# Registering all eight in r16 takes the registry to 221 (213 after
+# the round's THREE executed merges — kmv, set-ops, as-of — plus 8);
+# compute the r16 window with `tools/attestation_ledger.py --plan 50`
+# after CORRECTNESS_r15 lands (the 8 registrations take priority-2
+# slots; ext_asof_report, a new never-attested row, enters the same
+# priority tier at its first rotation). Also
 # staged r15 WITHOUT a driver row (the pq_encode_arrow/sem_dedup_blocked
 # library-API class; the registered ext_sim_ann_ivf row already covers
 # the semantics): build_ivf_index/ivf_index_query
@@ -938,8 +939,12 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #   2. EXECUTED r15: ext_set_intersect + ext_set_except →
 #      ext_set_ops (op column over the same two day-sets; each
 #      original is a filter of the composite — one slot freed);
-#   3. ext_asof_nearest into ext_asof_join (same join machinery,
-#      direction parameter — keep both SEMANTICS, one registered row);
+#   3. EXECUTED r15: ext_asof_join + ext_asof_nearest →
+#      ext_asof_report (the audit showed NEITHER is a projection of
+#      the other — backward rides the raw purchase stream, nearest the
+#      LWW-deduped one — so the merge is the set_ops shape: a
+#      direction-tagged composite whose filters reproduce both; one
+#      slot freed, both operators keep their pytest coverage);
 #   4. fn_* stay individually registered (CORE reference verbs — the
 #      r12 decision stands; they are the parity evidence).
 # Each merge frees a slot while keeping the operator IMPLEMENTED and

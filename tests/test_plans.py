@@ -231,14 +231,16 @@ def test_check_window_is_first_50_harness_queries():
                      "streaming_dedup_parity", "streaming_kmv_parity"):
         assert comeback in CHECK_WINDOW, comeback
     for merged_away in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
-                        "ext_set_intersect", "ext_set_except"):
+                        "ext_set_intersect", "ext_set_except",
+                        "ext_asof_join", "ext_asof_nearest"):
         assert merged_away not in REGISTRY, merged_away
+    assert "ext_asof_report" in REGISTRY  # merge #3's composite row
     assert CHECK_WINDOW[-1] == "ext_decontaminate_embed"
     # the r14 window (6 core + 8 r14 registrations + 36 stale-4)
     # rotated OUT — re-attested last round, stale-1 now
     for fresh in ("bucket_day", "scheme_pattern_scan",
                   "ext_series_cross_corr", "ext_sketch_bloom",
-                  "ext_asof_join", "ext_sketch_cms_topk"):
+                  "ext_sketch_cms_topk"):
         assert fresh not in CHECK_WINDOW, fresh
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
@@ -425,7 +427,8 @@ def test_no_unbounded_following_frames(spark, sf_dir):
     physical plans of every window-backward operator."""
     from dariadb_spark.registry import REGISTRY
 
-    for q in ("ext_interpolate", "ext_asof_nearest", "ext_asof_join"):
+    # ext_asof_report's single plan carries BOTH as-of branches
+    for q in ("ext_interpolate", "ext_asof_report"):
         plan = (
             REGISTRY[q]
             .fn(spark, sf_dir)
@@ -716,3 +719,40 @@ def test_no_cartesian_product_in_second_r16_staging_pass(spark, oracle_sf_dir):
     ht = plans["part_hits"]
     assert "BroadcastNestedLoopJoin" in ht, ht
     assert "HashJoin" in ht, ht
+
+
+def test_asof_report_composite_reproduces_originals(spark, oracle_sf_dir):
+    """Merge #3 (r15): the direction-tagged as-of composite reproduces
+    BOTH original queries by filter + projection, so the consolidation
+    loses no attested semantics — and the two directions agree wherever
+    the backward match is also the nearest one."""
+    from dariadb_spark.ext.analytics import (
+        asof_join_q,
+        asof_nearest_q,
+        asof_report_q,
+    )
+
+    rep = [tuple(r) for r in asof_report_q(spark, oracle_sf_dir).collect()]
+    back = sorted(
+        (r[1:6] + (r[6],)) for r in rep if r[0] == "backward"
+    )
+    near = sorted(
+        (r[1:6] + (r[6], r[7])) for r in rep if r[0] == "nearest"
+    )
+    want_back = sorted(
+        (r["id"], r["time"], r["value"], r["flag"], r["purchase_time"],
+         r["last_purchase"])
+        for r in asof_join_q(spark, oracle_sf_dir).collect()
+    )
+    want_near = sorted(
+        (r["id"], r["time"], r["value"], r["flag"], r["nearest_time"],
+         r["nearest_value"], r["dist_ms"])
+        for r in asof_nearest_q(spark, oracle_sf_dir).collect()
+    )
+    assert back == want_back
+    assert near == want_near
+    assert len(back) == len(near) > 0  # same error-event grain
+    # backward dist is non-negative whenever a match exists
+    assert all(
+        r[7] >= 0 for r in rep if r[0] == "backward" and r[7] is not None
+    )
