@@ -1041,8 +1041,13 @@ CHECK_WINDOW = [
     "interval_scan", "interval_scan_flag", "load_min_max", "min_max_time",
     "partition_file_stats_multi", "scheme_resolve", "stat_block",
     "timepoint_asof",
-    # priority 2: round-15 registrations (the 10 staged ops + the two
-    # executed merges' composite rows) — driver-checked from day one
+    # priority 2: round-15 registrations (the 10 staged ops + the THREE
+    # executed merges' composite rows — ext_asof_report joined the
+    # window when merge #3 landed later the same round, displacing the
+    # last stale-4 row ext_decontaminate_embed to next rotation, which
+    # the ledger confirms is violation-free) — driver-checked from day
+    # one
+    "ext_asof_report",
     "ext_funnel_latency", "ext_label_separability", "ext_market_basket",
     "ext_part_pagerank", "ext_rfm_segments", "ext_series_data_gaps",
     "ext_series_run_lengths", "ext_series_trend", "ext_set_ops",
@@ -1055,10 +1060,11 @@ CHECK_WINDOW = [
     "streaming_dedup_parity", "streaming_interval_join_parity",
     "streaming_kmv_parity", "streaming_rollup_parity",
     "streaming_sessionize_parity",
-    # priority 3b: the 6 oldest stale-4 [EXT] rows, ledger order
+    # priority 3b: the 5 oldest stale-4 [EXT] rows, ledger order
+    # (ext_decontaminate_embed deferred to the r16 rotation by the
+    # mid-round ext_asof_report merge — first in line at stale-5)
     "ext_bpe_learn", "ext_bpe_token_stats", "ext_customers_anti",
     "ext_customers_semi", "ext_decontaminate_bloom",
-    "ext_decontaminate_embed",
 ]
 
 

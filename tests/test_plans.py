@@ -203,19 +203,22 @@ def test_check_window_is_first_50_harness_queries():
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
     # round-15 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50 over r01–r14 at N = 214): the 22 core rows at stale-3
-    # lead (priority 1), then the TWELVE round-15 registrations (the
-    # 10 staged ops + the two executed merges' composites — never ship
-    # a NEW query outside the window), then the 10 stale-5 [EXT] rows
-    # (r14 deferrals + aged r10-latest streaming parities — the
-    # capacity line paying its debt), then the 6 oldest stale-4 [EXT]
-    # rows in ledger order.
+    # --plan 50, re-verified violation-free at N = 213 after merge #3):
+    # the 22 core rows at stale-3 lead (priority 1), then the THIRTEEN
+    # round-15 registrations (the 10 staged ops + the three executed
+    # merges' composites — never ship a NEW query outside the window;
+    # ext_asof_report joined mid-round when merge #3 landed), then the
+    # 10 stale-5 [EXT] rows (r14 deferrals + aged r10-latest streaming
+    # parities — the capacity line paying its debt), then the 5 oldest
+    # stale-4 [EXT] rows in ledger order (ext_decontaminate_embed
+    # deferred to r16 by the mid-round merge).
     assert CHECK_WINDOW[:4] == [
         "bucket_hour", "bucket_minute30", "current_value",
         "erase_old_check",
     ]
     assert CHECK_WINDOW[21] == "timepoint_asof"
-    assert set(CHECK_WINDOW[22:34]) == {
+    assert set(CHECK_WINDOW[22:35]) == {
+        "ext_asof_report",
         "ext_funnel_latency", "ext_label_separability",
         "ext_market_basket", "ext_part_pagerank", "ext_rfm_segments",
         "ext_series_data_gaps", "ext_series_run_lengths",
@@ -235,7 +238,7 @@ def test_check_window_is_first_50_harness_queries():
                         "ext_asof_join", "ext_asof_nearest"):
         assert merged_away not in REGISTRY, merged_away
     assert "ext_asof_report" in REGISTRY  # merge #3's composite row
-    assert CHECK_WINDOW[-1] == "ext_decontaminate_embed"
+    assert CHECK_WINDOW[-1] == "ext_decontaminate_bloom"
     # the r14 window (6 core + 8 r14 registrations + 36 stale-4)
     # rotated OUT — re-attested last round, stale-1 now
     for fresh in ("bucket_day", "scheme_pattern_scan",
