@@ -2515,6 +2515,7 @@ def main() -> None:
     bf_s, bf_n = stress_orders_benford(spark)
     ls_s, ls_n = stress_series_level_shift(spark)
     hits_s, hits_n = stress_part_hits(spark)
+    slsh_s, slsh_batch_s, slsh_n = stress_streaming_level_shift(spark)
     print(
         json.dumps(
             {
@@ -2600,6 +2601,10 @@ def main() -> None:
                     "orders_benford_5m": round(bf_s, 4),
                     "series_level_shift_20m": round(ls_s, 4),
                     "part_hits_200k_edges": round(hits_s, 4),
+                    "streaming_level_shift_2m": round(slsh_s, 4),
+                    "streaming_level_shift_2m_batch_twin": round(
+                        slsh_batch_s, 4
+                    ),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -4795,6 +4800,79 @@ def stress_part_hits(spark) -> tuple[float, int]:
     assert got[0][0] == 999, got[0]
     assert got == want, (got[:3], want[:3])
     return hits_s, 2 * n
+
+
+
+LSHIFT_STREAM_ROWS = 2_000_000
+LSHIFT_STREAM_SERIES = 1_000
+
+
+def stress_streaming_level_shift(spark) -> tuple[float, float, int]:
+    """Staged r16 streaming level-shift twin at 2M rows / 1k series
+    landed as THREE drops cut so both sides span a micro-batch
+    boundary: the standing report must be row-identical to the batch
+    operator on the same files (shared projection, shared batch plan)."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.timeseries import series_level_shift_op
+    from dariadb_spark.streaming.levelshift import (
+        level_shift_from_log,
+        streaming_level_shift_log,
+    )
+    from dariadb_spark.streaming.scratch import await_parity_termination
+
+    n, s = LSHIFT_STREAM_ROWS, LSHIFT_STREAM_SERIES
+    per = n // s               # 2000 samples per series
+    split = (per // 2) * 1000  # side boundary at the midpoint
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        f"CAST(100 + ((id DIV {s}) % 11) AS DOUBLE)"
+        f" + CASE WHEN (id DIV {s}) >= {per // 2} AND (id % {s}) % 2 = 0"
+        "        THEN 3.0d ELSE 0.0d END AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_lshift_stress_")
+    data_dir = f"{base}/meas"
+    qname = "lshift_stress_" + base.rsplit("_", 1)[-1]
+    try:
+        # three drops: cut inside side A and inside side B
+        c1, c2 = (per // 4) * 1000, (3 * per // 4) * 1000
+        for lo, hi in ((None, c1), (c1, c2), (c2, None)):
+            part = meas
+            if lo is not None:
+                part = part.where(f"time > {lo}")
+            if hi is not None:
+                part = part.where(f"time <= {hi}")
+            part.coalesce(4).write.mode("append").parquet(data_dir)
+        t0 = time.perf_counter()
+        q = streaming_level_shift_log(
+            spark, data_dir, split, qname, max_files_per_trigger=4
+        )
+        await_parity_termination(q)
+        got = [
+            tuple(r) for r in level_shift_from_log(spark.table(qname)).collect()
+        ]
+        stream_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        batch_src = spark.read.parquet(data_dir)
+        want = [
+            tuple(r)
+            for r in series_level_shift_op(
+                batch_src, None, 0, per * 1000, split
+            ).collect()
+        ]
+        batch_s = time.perf_counter() - t0
+        assert len(got) == s, len(got)
+        assert got == want, (got[:2], want[:2])
+        # the planted shift must flip exactly the even series
+        flagged = {r[0] for r in got if r[7] == 1}
+        assert flagged == {i for i in range(s) if i % 2 == 0}, len(flagged)
+        return stream_s, batch_s, len(got)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)
 
 if __name__ == "__main__":
     # the guard lives at the true END of the module: stress functions

@@ -3137,37 +3137,45 @@ def series_level_shift_op(
     expression after the aggregate is per-row arithmetic on the
     |series|-row table. No join, no window, no second scan.
     """
-    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
-
     base = scan_interval(meas, ids, from_ms, to_ms, flag)
     y = F.round(F.col("value") * 100).cast("long")
     side = (F.col("time") >= F.lit(split_ms)).cast("int")
     pts = base.select("id", side.alias("s"), y.alias("y"))
     yd = F.col("y").cast("decimal(38,0)")
-    agg = (
-        pts.groupBy("id")
-        .agg(
-            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("n_a"),
-            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_b"),
-            F.sum(F.when(F.col("s") == 0, F.col("y")).otherwise(0))
-            .alias("sa"),
-            F.sum(F.when(F.col("s") == 1, F.col("y")).otherwise(0))
-            .alias("sb"),
-            F.sum(F.when(F.col("s") == 0, yd * F.col("y")).otherwise(0))
-            .alias("ssa"),
-            F.sum(F.when(F.col("s") == 1, yd * F.col("y")).otherwise(0))
-            .alias("ssb"),
-        )
-        .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    agg = pts.groupBy("id").agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("s") == 0, F.col("y")).otherwise(0))
+        .alias("sa"),
+        F.sum(F.when(F.col("s") == 1, F.col("y")).otherwise(0))
+        .alias("sb"),
+        F.sum(F.when(F.col("s") == 0, yd * F.col("y")).otherwise(0))
+        .alias("ssa"),
+        F.sum(F.when(F.col("s") == 1, yd * F.col("y")).otherwise(0))
+        .alias("ssb"),
     )
+    return level_shift_report(agg)
+
+
+def level_shift_report(agg: DataFrame) -> DataFrame:
+    """The Welch projection over a per-series sums table (id, n_a, n_b,
+    sa, sb, ssa, ssb) — shared VERBATIM by the batch operator and the
+    streaming ingest twin so both run the identical float pipeline
+    (the one source of truth for the t² expression shape; ssa/ssb may
+    arrive as int64 from the fold — cast wide here, not upstream)."""
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
+
+    filtered = agg.where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
     # exact integer cores: the mean-shift numerator and the two
     # variance numerators (zero IFF the side is constant)
-    core = agg.selectExpr(
+    core = filtered.selectExpr(
         "id", "n_a", "n_b", "sa", "sb",
         "CAST(sa AS DECIMAL(38,0)) * n_b - CAST(sb AS DECIMAL(38,0)) * n_a"
         " AS dmn",
-        "n_a * ssa - CAST(sa AS DECIMAL(38,0)) * sa AS vna",
-        "n_b * ssb - CAST(sb AS DECIMAL(38,0)) * sb AS vnb",
+        "n_a * CAST(ssa AS DECIMAL(38,0))"
+        " - CAST(sa AS DECIMAL(38,0)) * sa AS vna",
+        "n_b * CAST(ssb AS DECIMAL(38,0))"
+        " - CAST(sb AS DECIMAL(38,0)) * sb AS vnb",
     )
     t2 = (
         "((CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"

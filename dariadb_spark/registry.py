@@ -882,7 +882,7 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # streaming_dedup_parity) rotate at stale-5 in r15 — the first actual
 # engagement of the capacity line, within policy.
 #
-# Round 15 staged EIGHT operators for r16 (each implemented + oracled +
+# Round 15 staged NINE operators for r16 (each implemented + oracled +
 # pytest parity incl. planted closed-form fixtures and property tests +
 # planted ≥100k-row stress + hash-matched at sf0.1 in the staged
 # second-pass sweep; THIS COMMENT is the staged-count source of truth):
@@ -908,9 +908,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # degenerate branch — the "did it move SIGNIFICANTLY?" verb), and
 # ext_part_hits (ext/relational.py: HITS hub/authority on the
 # BIPARTITE customer→part graph, L1-normalized integer fixpoint — the
-# iterative class's second topology next to part_pagerank).
-# Registering all eight in r16 takes the registry to 221 (213 after
-# the round's THREE executed merges — kmv, set-ops, as-of — plus 8);
+# iterative class's second topology next to part_pagerank), and
+# streaming_level_shift_parity (streaming/levelshift.py, oracle =
+# SERIES_LEVEL_SHIFT_SQL: the stateful A/B-monitor ingest twin whose
+# per-series state is the six int64 side accumulators; NO in-order
+# contract — integer sums commute — and the Welch projection is the
+# batch operator's level_shift_report VERBATIM).
+# Registering all nine in r16 takes the registry to 222 (213 after
+# the round's THREE executed merges — kmv, set-ops, as-of — plus 9);
 # compute the r16 window with `tools/attestation_ledger.py --plan 50`
 # after CORRECTNESS_r15 lands (the 8 registrations take priority-2
 # slots; ext_asof_report, a new never-attested row, enters the same

@@ -654,3 +654,111 @@ def _python_hits(edges, iters):
              for c, r in hraw.items()}
     top = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     return [(p, m, m / 1_000_000) for p, m in top]
+
+
+def test_streaming_level_shift_matches_batch(spark, oracle_sf_dir):
+    """The stateful level-shift ingest twin equals the batch
+    SERIES_LEVEL_SHIFT_SQL oracle when the fixture slice lands as three
+    tercile drops folded one file per micro-batch (both sides span a
+    cut, so the accumulators must carry)."""
+    from dariadb_spark.ext.timeseries import SERIES_LEVEL_SHIFT_SQL
+    from dariadb_spark.streaming.levelshift import (
+        streaming_level_shift_parity,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_level_shift_parity",
+        streaming_level_shift_parity(spark, oracle_sf_dir),
+        con,
+        SERIES_LEVEL_SHIFT_SQL,
+    )
+    assert res.ok, res.problems
+
+
+def test_streaming_level_shift_cross_batch_and_out_of_order(spark, tmp_path):
+    """Side-A samples arriving AFTER side-B samples (no in-order
+    contract — integer sums commute) and a series split across batches
+    must still reproduce the batch closed form: A = [10, 12],
+    B = [20, 22] → t² = 50, shifted."""
+    from dariadb_spark.streaming.levelshift import (
+        level_shift_from_log,
+        streaming_level_shift_log,
+    )
+    from dariadb_spark.streaming.scratch import await_parity_termination
+
+    split = 1000
+    b1 = [(1, 1000, 20.0, 0), (1, 0, 10.0, 0)]       # B before A inside b1
+    b2 = [(1, 1001, 22.0, 0), (1, 1, 12.0, 0)]       # late A sample in b2
+    d = tmp_path / "meas"
+    qname = "lshift_cross_batch_test"
+    spark.createDataFrame(
+        b1, "id long, time long, value double, flag long"
+    ).coalesce(1).write.parquet(str(d))
+    spark.createDataFrame(
+        b2, "id long, time long, value double, flag long"
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    try:
+        q = streaming_level_shift_log(
+            spark, str(d), split, qname, max_files_per_trigger=1
+        )
+        await_parity_termination(q)
+        got = [
+            tuple(r)
+            for r in level_shift_from_log(spark.table(qname)).collect()
+        ]
+        assert got == [(1, 2, 2, 11.0, 21.0, -10.0, 50.0, 1)], got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+
+
+def test_level_shift_fold_property_matches_batch_sums(spark):
+    """Property: on random cent-quantized samples split into random
+    batch prefixes IN RANDOM ORDER, the fold's standing sums equal the
+    one-shot batch aggregate's (integer sums are order-free), and the
+    shared projection then yields the identical report row."""
+    import pandas as pd
+
+    from dariadb_spark.streaming.levelshift import _shift_fold
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    rng = np.random.default_rng(41)
+    for trial in range(4):
+        n = int(rng.integers(5, 60))
+        s = rng.integers(0, 2, size=n).astype(np.int64)
+        y = rng.integers(-2000, 2000, size=n).astype(np.int64)
+        pdf = pd.DataFrame({"id": 9, "s": s, "y": y})
+        pdf = pdf.sample(frac=1.0, random_state=trial)  # shuffle arrival
+        st = _FakeState()
+        cut = sorted(rng.choice(n, size=min(2, n - 1), replace=False))
+        last, lo = None, 0
+        for hi in list(cut) + [n]:
+            if hi <= lo:
+                continue
+            out = list(_shift_fold((9,), iter([pdf.iloc[lo:hi]]), st))
+            last = out[-1]
+            lo = hi
+        row = last.iloc[0]
+        ya, yb = y[s == 0], y[s == 1]
+        assert (
+            row["n_a"], row["n_b"], row["sa"], row["sb"],
+            row["ssa"], row["ssb"],
+        ) == (
+            len(ya), len(yb), ya.sum(), yb.sum(),
+            int((ya.astype(object) ** 2).sum()) if len(ya) else 0,
+            int((yb.astype(object) ** 2).sum()) if len(yb) else 0,
+        ), trial
