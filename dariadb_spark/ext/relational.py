@@ -1061,10 +1061,56 @@ def orders_benford(spark: SparkSession, sf: str) -> DataFrame:
     return orders_benford_op(load_table(spark, sf, "orders"))
 
 
+def benford_screen(
+    df: DataFrame, amount_col: str, segment_col: str
+) -> DataFrame:
+    """Library API: the Benford first-digit screen over ANY positive
+    numeric column, segmented by any grouping column — the generic
+    entry point behind :func:`orders_benford_op` (the build-once IVF /
+    gram_arrow convention: the driver row pins one concrete instance,
+    the API serves the rest). Same exactness contract: integer counts,
+    HALF_UP micro-shares, integer dev_micro against the pinned
+    literals; rows where ``amount_col`` < 1 are excluded (no leading
+    significant digit). Output columns: segment, digit, n, n_total,
+    obs_share, benford_share, dev_micro.
+    """
+    arr = ", ".join(str(v) for v in BENFORD_MICRO)
+    digits = df.where(F.col(amount_col) >= 1).selectExpr(
+        f"{segment_col} AS segment",
+        f"CAST(substr(CAST(CAST(floor({amount_col}) AS BIGINT) AS STRING),"
+        " 1, 1) AS INT) AS digit",
+    )
+    counts = digits.groupBy("segment", "digit").agg(
+        F.count("*").alias("n")
+    )
+    totals = digits.groupBy("segment").agg(F.count("*").alias("n_total"))
+    return (
+        counts.join(F.broadcast(totals), "segment")
+        .selectExpr(
+            "segment",
+            "digit",
+            "n",
+            "n_total",
+            "(2 * n * 1000000 + n_total) DIV (2 * n_total) AS obs_micro",
+            f"element_at(array({arr}), digit) AS benford_micro",
+        )
+        .selectExpr(
+            "segment",
+            "digit",
+            "n",
+            "n_total",
+            "(obs_micro / 1000000.0d) AS obs_share",
+            "(benford_micro / 1000000.0d) AS benford_share",
+            "abs(obs_micro - benford_micro) AS dev_micro",
+        )
+        .orderBy("segment", "digit")
+    )
+
+
 def orders_benford_op(orders: DataFrame) -> DataFrame:
     """First-significant-digit profile of o_totalprice per order
     priority vs the Benford expectation, with the deviation in exact
-    micro-units.
+    micro-units — the driver-pinned instance of :func:`benford_screen`.
 
     Exactness: the digit is substr(1,1) of the BIGINT floor — floor()
     BEFORE the int cast because Spark's double→bigint cast truncates
@@ -1080,41 +1126,9 @@ def orders_benford_op(orders: DataFrame) -> DataFrame:
     output rows, one broadcastable per-priority margin join — no sort
     until the ≤45-row presentation ORDER BY.
     """
-    from dariadb_spark.ext.exact import ratio_round_spark
-
-    arr = ", ".join(str(v) for v in BENFORD_MICRO)
-    digits = orders.where(F.col("o_totalprice") >= 1).selectExpr(
-        "o_orderpriority AS priority",
-        "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
-        " 1, 1) AS INT) AS digit",
-    )
-    counts = digits.groupBy("priority", "digit").agg(
-        F.count("*").alias("n")
-    )
-    totals = digits.groupBy("priority").agg(
-        F.count("*").alias("n_total")
-    )
-    return (
-        counts.join(F.broadcast(totals), "priority")
-        .selectExpr(
-            "priority",
-            "digit",
-            "n",
-            "n_total",
-            "(2 * n * 1000000 + n_total) DIV (2 * n_total) AS obs_micro",
-            f"element_at(array({arr}), digit) AS benford_micro",
-        )
-        .selectExpr(
-            "priority",
-            "digit",
-            "n",
-            "n_total",
-            "(obs_micro / 1000000.0d) AS obs_share",
-            "(benford_micro / 1000000.0d) AS benford_share",
-            "abs(obs_micro - benford_micro) AS dev_micro",
-        )
-        .orderBy("priority", "digit")
-    )
+    return benford_screen(
+        orders, "o_totalprice", "o_orderpriority"
+    ).withColumnRenamed("segment", "priority")
 
 
 def _benford_sql() -> str:

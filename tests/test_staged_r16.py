@@ -762,3 +762,47 @@ def test_level_shift_fold_property_matches_batch_sums(spark):
             int((ya.astype(object) ** 2).sum()) if len(ya) else 0,
             int((yb.astype(object) ** 2).sum()) if len(yb) else 0,
         ), trial
+
+
+def test_benford_screen_api_on_lineitem(spark, oracle_sf_dir):
+    """The generic benford_screen API (the library surface behind the
+    driver-pinned orders instance) hash-matches an independently-built
+    DuckDB twin on a DIFFERENT table/column/segmentation: lineitem
+    extended price by return flag."""
+    from dariadb_spark.ext.relational import BENFORD_MICRO, benford_screen
+    from dariadb_spark.model import load_table
+
+    arr = ", ".join(str(v) for v in BENFORD_MICRO)
+    sql = f"""WITH
+digits AS (
+  SELECT l_returnflag AS segment,
+         CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1),
+counts AS (SELECT segment, digit, count(*) AS n
+           FROM digits GROUP BY segment, digit),
+totals AS (SELECT segment, count(*) AS n_total
+           FROM digits GROUP BY segment),
+m AS (SELECT c.segment, c.digit, c.n, t.n_total,
+             (2 * c.n * 1000000 + t.n_total) // (2 * t.n_total)
+               AS obs_micro,
+             ([{arr}])[c.digit] AS benford_micro
+      FROM counts c JOIN totals t ON c.segment = t.segment)
+SELECT segment, digit, CAST(n AS BIGINT) AS n,
+       CAST(n_total AS BIGINT) AS n_total,
+       (obs_micro / 1000000.0) AS obs_share,
+       (benford_micro / 1000000.0) AS benford_share,
+       CAST(abs(obs_micro - benford_micro) AS BIGINT) AS dev_micro
+FROM m ORDER BY segment, digit"""
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "benford_screen_lineitem",
+        benford_screen(
+            load_table(spark, oracle_sf_dir, "lineitem"),
+            "l_extendedprice",
+            "l_returnflag",
+        ),
+        con,
+        sql,
+    )
+    assert res.ok, res.problems
