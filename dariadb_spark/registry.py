@@ -950,7 +950,16 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      LWW-deduped one — so the merge is the set_ops shape: a
 #      direction-tagged composite whose filters reproduce both; one
 #      slot freed, both operators keep their pytest coverage);
-#   4. fn_* stay individually registered (CORE reference verbs — the
+#   4. NEXT RANKED (audit in r16 before executing): the HLL trio
+#      ext_sketch_hll_distinct + ext_sketch_hll_union +
+#      ext_sketch_hll_m64 → one ext_sketch_hll_report. Pre-audit
+#      sketch: union is NOT a projection of distinct (it needs the
+#      register tables — the KMV precedent) and m64 differs only in
+#      register count, so the composite shape would be a (variant, …)
+#      row per m/union combination whose filters reproduce all three;
+#      execute only if the full audit confirms each original is a
+#      filter+projection, else leave all three registered.
+#   5. fn_* stay individually registered (CORE reference verbs — the
 #      r12 decision stands; they are the parity evidence).
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.
