@@ -835,7 +835,15 @@ def part_pagerank_op(li: DataFrame) -> DataFrame:
         pairs.selectExpr("y AS src", "x AS dst")
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src")
+    # materialize the per-degree edge table ONCE (tokenizer's
+    # localCheckpoint pattern): the five unrolled iterations each join
+    # against `ed`, and without truncation the lineage replays the
+    # basket scan + distinct + pair aggregate per iteration (observed:
+    # 44 FileScans in the unchecked plan, exchange reuse does not fire
+    # across the iteration joins) — at 100 TB the canonical
+    # PageRank-on-Spark shape caches the edge list and iterates over
+    # the materialized blocks
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.selectExpr("src AS node", "CAST(1000000 AS BIGINT) AS r")
     for _ in range(PAGERANK_ITERS):
         ranks = (
@@ -1208,6 +1216,11 @@ def part_hits_op(orders: DataFrame, li: DataFrame) -> DataFrame:
             F.col("l_partkey").alias("part"),
         )
         .distinct()
+        # materialize the edge list ONCE (the pagerank/tokenizer
+        # localCheckpoint pattern): each iteration joins `edges` twice,
+        # and without truncation the lineage replays the orders⋈lineitem
+        # join + distinct four times over the two iterations
+        .localCheckpoint(eager=True)
     )
     hubs = edges.select("cust").distinct().selectExpr(
         "cust", "CAST(1000000 AS BIGINT) AS h"
