@@ -1789,8 +1789,10 @@ def _streaming_hll_parity(spark: SparkSession, sf: str) -> DataFrame:
 # driver-checked surface (parity + mergeability + 20M-occurrence stress
 # pinned in tests/test_sketches.py / bench_stress.py since r11; window
 # discipline per registry.py).
-register("ext_sketch_hll_distinct", sketch_hll_distinct, SKETCH_HLL_DISTINCT_SQL)
-register("ext_sketch_hll_union", sketch_hll_union, SKETCH_HLL_UNION_SQL)
+# ext_sketch_hll_distinct / ext_sketch_hll_union / ext_sketch_hll_m64
+# were MERGED into ext_sketch_hll_report (merge #4 of the 250-ceiling
+# trajectory, executed r15 after the audit) — the query fns and oracles
+# stay for tests and for the composite, registered below m64.
 register("streaming_hll_parity", _streaming_hll_parity, STREAMING_HLL_REGS_SQL)
 
 
@@ -2000,7 +2002,83 @@ FROM est ORDER BY scope, lang"""
 
 SKETCH_HLL_M64_SQL = _hll_distinct_sql_m(64)
 
-register("ext_sketch_hll_m64", sketch_hll_m64, SKETCH_HLL_M64_SQL)
+# --- composite HLL report (merge #4 of the 250-ceiling trajectory) ---------
+# Audit result (r15, executing the candidate ranked in registry.py):
+# NONE of the three originals is a projection of another — distinct and
+# m64 differ in register count (the whole point of the m-sweep), and
+# union needs the MERGED register tables (the KMV precedent), so the
+# merge follows the set_ops/asof shape: ONE registered row tags each
+# estimate with a `variant` column over a unified column set; each
+# original is a filter + projection of the composite (pytest-pinned),
+# all three query fns and oracles stay.
+
+
+def sketch_hll_report(spark: SparkSession, sf: str) -> DataFrame:
+    """All three HLL driver checks in one variant-tagged report:
+    the m=16 and m=64 per-(scope, lang) distinct estimates (lang_b
+    NULL) and the m=16 per-lang-pair union/intersection estimates.
+
+    Plan shape (100 TB): the three branches are the proven plans
+    unioned — no join between them, no new exchange beyond what each
+    branch already does.
+    """
+    m16 = sketch_hll_distinct(spark, sf).selectExpr(
+        "'m16' AS variant", "scope", "lang AS lang_a",
+        "CAST(NULL AS STRING) AS lang_b",
+        "exact_distinct AS exact", "v_zero", "s_harm", "regime",
+        "hll_est", "rel_err_pct",
+        "CAST(NULL AS BIGINT) AS exact_intersect",
+        "CAST(NULL AS DOUBLE) AS hll_intersect_est",
+    )
+    m64 = sketch_hll_m64(spark, sf).selectExpr(
+        "'m64' AS variant", "scope", "lang AS lang_a",
+        "CAST(NULL AS STRING) AS lang_b",
+        "exact_distinct AS exact", "v_zero", "s_harm", "regime",
+        "hll_est", "rel_err_pct",
+        "CAST(NULL AS BIGINT) AS exact_intersect",
+        "CAST(NULL AS DOUBLE) AS hll_intersect_est",
+    )
+    un = sketch_hll_union(spark, sf).selectExpr(
+        "'union16' AS variant", "'bigram' AS scope", "lang_a", "lang_b",
+        "exact_union AS exact",
+        "CAST(NULL AS INT) AS v_zero",
+        "CAST(NULL AS BIGINT) AS s_harm",
+        "CAST(NULL AS STRING) AS regime",
+        "hll_union_est AS hll_est",
+        "CAST(NULL AS DOUBLE) AS rel_err_pct",
+        "exact_intersect", "hll_intersect_est",
+    )
+    return m16.unionByName(m64).unionByName(un).orderBy(
+        "variant", "scope", "lang_a", "lang_b"
+    )
+
+
+SKETCH_HLL_REPORT_SQL = f"""SELECT * FROM (
+SELECT 'm16' AS variant, scope, lang AS lang_a,
+       CAST(NULL AS VARCHAR) AS lang_b, exact_distinct AS exact,
+       v_zero, s_harm, regime, hll_est, rel_err_pct,
+       CAST(NULL AS BIGINT) AS exact_intersect,
+       CAST(NULL AS DOUBLE) AS hll_intersect_est
+FROM ({SKETCH_HLL_DISTINCT_SQL}) d16
+UNION ALL
+SELECT 'm64' AS variant, scope, lang AS lang_a,
+       CAST(NULL AS VARCHAR) AS lang_b, exact_distinct AS exact,
+       v_zero, s_harm, regime, hll_est, rel_err_pct,
+       CAST(NULL AS BIGINT) AS exact_intersect,
+       CAST(NULL AS DOUBLE) AS hll_intersect_est
+FROM ({SKETCH_HLL_M64_SQL}) d64
+UNION ALL
+SELECT 'union16' AS variant, 'bigram' AS scope, lang_a, lang_b,
+       exact_union AS exact,
+       CAST(NULL AS INT) AS v_zero, CAST(NULL AS BIGINT) AS s_harm,
+       CAST(NULL AS VARCHAR) AS regime,
+       hll_union_est AS hll_est, CAST(NULL AS DOUBLE) AS rel_err_pct,
+       exact_intersect, hll_intersect_est
+FROM ({SKETCH_HLL_UNION_SQL}) u16)
+ORDER BY variant, scope, lang_a, lang_b"""
+
+
+register("ext_sketch_hll_report", sketch_hll_report, SKETCH_HLL_REPORT_SQL)
 
 
 # --- Bloom-filter membership gate --------------------------------------------

@@ -914,8 +914,8 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # per-series state is the six int64 side accumulators; NO in-order
 # contract — integer sums commute — and the Welch projection is the
 # batch operator's level_shift_report VERBATIM).
-# Registering all nine in r16 takes the registry to 222 (213 after
-# the round's THREE executed merges — kmv, set-ops, as-of — plus 9);
+# Registering all nine in r16 takes the registry to 220 (211 after
+# the round's FOUR executed merges — kmv, set-ops, as-of, hll — plus 9);
 # compute the r16 window with `tools/attestation_ledger.py --plan 50`
 # after CORRECTNESS_r15 lands (the 8 registrations take priority-2
 # slots; ext_asof_report, a new never-attested row, enters the same
@@ -950,15 +950,15 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      LWW-deduped one — so the merge is the set_ops shape: a
 #      direction-tagged composite whose filters reproduce both; one
 #      slot freed, both operators keep their pytest coverage);
-#   4. NEXT RANKED (audit in r16 before executing): the HLL trio
+#   4. EXECUTED r15 (audited same round): the HLL trio
 #      ext_sketch_hll_distinct + ext_sketch_hll_union +
-#      ext_sketch_hll_m64 → one ext_sketch_hll_report. Pre-audit
-#      sketch: union is NOT a projection of distinct (it needs the
-#      register tables — the KMV precedent) and m64 differs only in
-#      register count, so the composite shape would be a (variant, …)
-#      row per m/union combination whose filters reproduce all three;
-#      execute only if the full audit confirms each original is a
-#      filter+projection, else leave all three registered.
+#      ext_sketch_hll_m64 → ext_sketch_hll_report (the audit showed
+#      none of the three is a projection of another — m16/m64 differ
+#      in register count, union needs the MERGED register tables — so
+#      the merge is the set_ops/asof shape: a variant-tagged composite
+#      over a unified column set whose filters reproduce all three;
+#      TWO slots freed, all three operators keep their pytest
+#      coverage).
 #   5. fn_* stay individually registered (CORE reference verbs — the
 #      r12 decision stands; they are the parity evidence).
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
@@ -1065,8 +1065,8 @@ CHECK_WINDOW = [
     "ext_funnel_latency", "ext_label_separability", "ext_market_basket",
     "ext_part_pagerank", "ext_rfm_segments", "ext_series_data_gaps",
     "ext_series_run_lengths", "ext_series_trend", "ext_set_ops",
-    "ext_sketch_kmv_report", "streaming_counter_rate_parity",
-    "streaming_run_lengths_parity",
+    "ext_sketch_hll_report", "ext_sketch_kmv_report",
+    "streaming_counter_rate_parity", "streaming_run_lengths_parity",
     # priority 3a: the 10 stale-5 [EXT] rows (r14 deferrals + aged
     # r10-latest streaming parities), ledger order
     "ext_text_pii_roundtrip", "ext_train_quality_eval", "ext_unpivot_flags",
@@ -1074,11 +1074,12 @@ CHECK_WINDOW = [
     "streaming_dedup_parity", "streaming_interval_join_parity",
     "streaming_kmv_parity", "streaming_rollup_parity",
     "streaming_sessionize_parity",
-    # priority 3b: the 5 oldest stale-4 [EXT] rows, ledger order
-    # (ext_decontaminate_embed deferred to the r16 rotation by the
-    # mid-round ext_asof_report merge — first in line at stale-5)
+    # priority 3b: the 4 oldest stale-4 [EXT] rows, ledger order
+    # (ext_decontaminate_embed and ext_decontaminate_bloom deferred to
+    # the r16 rotation by the two mid-round composite merges — first in
+    # line at stale-5 there, ledger-confirmed violation-free)
     "ext_bpe_learn", "ext_bpe_token_stats", "ext_customers_anti",
-    "ext_customers_semi", "ext_decontaminate_bloom",
+    "ext_customers_semi",
 ]
 
 

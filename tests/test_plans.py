@@ -217,12 +217,13 @@ def test_check_window_is_first_50_harness_queries():
         "erase_old_check",
     ]
     assert CHECK_WINDOW[21] == "timepoint_asof"
-    assert set(CHECK_WINDOW[22:35]) == {
+    assert set(CHECK_WINDOW[22:36]) == {
         "ext_asof_report",
         "ext_funnel_latency", "ext_label_separability",
         "ext_market_basket", "ext_part_pagerank", "ext_rfm_segments",
         "ext_series_data_gaps", "ext_series_run_lengths",
-        "ext_series_trend", "ext_set_ops", "ext_sketch_kmv_report",
+        "ext_series_trend", "ext_set_ops", "ext_sketch_hll_report",
+        "ext_sketch_kmv_report",
         "streaming_counter_rate_parity", "streaming_run_lengths_parity",
     }
     # the r14-deferred stale-5 rows are back in-window (the first
@@ -235,10 +236,14 @@ def test_check_window_is_first_50_harness_queries():
         assert comeback in CHECK_WINDOW, comeback
     for merged_away in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
                         "ext_set_intersect", "ext_set_except",
-                        "ext_asof_join", "ext_asof_nearest"):
+                        "ext_asof_join", "ext_asof_nearest",
+                        "ext_sketch_hll_distinct", "ext_sketch_hll_union",
+                        "ext_sketch_hll_m64"):
         assert merged_away not in REGISTRY, merged_away
-    assert "ext_asof_report" in REGISTRY  # merge #3's composite row
-    assert CHECK_WINDOW[-1] == "ext_decontaminate_bloom"
+    # merges #3 and #4's composite rows
+    assert "ext_asof_report" in REGISTRY
+    assert "ext_sketch_hll_report" in REGISTRY
+    assert CHECK_WINDOW[-1] == "ext_customers_semi"
     # the r14 window (6 core + 8 r14 registrations + 36 stale-4)
     # rotated OUT — re-attested last round, stale-1 now
     for fresh in ("bucket_day", "scheme_pattern_scan",
@@ -759,3 +764,36 @@ def test_asof_report_composite_reproduces_originals(spark, oracle_sf_dir):
     assert all(
         r[7] >= 0 for r in rep if r[0] == "backward" and r[7] is not None
     )
+
+
+def test_hll_report_composite_reproduces_originals(spark, oracle_sf_dir):
+    """Merge #4 (r15): the variant-tagged HLL composite reproduces all
+    THREE original queries by filter + projection, so the consolidation
+    loses no attested semantics."""
+    from dariadb_spark.ext.sketches import (
+        sketch_hll_distinct,
+        sketch_hll_m64,
+        sketch_hll_report,
+        sketch_hll_union,
+    )
+
+    rep = [tuple(r) for r in sketch_hll_report(spark, oracle_sf_dir).collect()]
+    got16 = sorted(r[1:3] + r[4:10] for r in rep if r[0] == "m16")
+    got64 = sorted(r[1:3] + r[4:10] for r in rep if r[0] == "m64")
+    gotun = sorted(
+        (r[2], r[3], r[4], r[8], r[10], r[11])
+        for r in rep if r[0] == "union16"
+    )
+    want16 = sorted(
+        tuple(r) for r in sketch_hll_distinct(spark, oracle_sf_dir).collect()
+    )
+    want64 = sorted(
+        tuple(r) for r in sketch_hll_m64(spark, oracle_sf_dir).collect()
+    )
+    wantun = sorted(
+        tuple(r) for r in sketch_hll_union(spark, oracle_sf_dir).collect()
+    )
+    assert got16 == want16
+    assert got64 == want64
+    assert gotun == wantun
+    assert len(got16) == len(got64) > 0 and len(gotun) > 0
