@@ -796,7 +796,7 @@ def part_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return part_pagerank_op(load_table(spark, sf, "lineitem"))
 
 
-def part_pagerank_op(li: DataFrame) -> DataFrame:
+def part_pagerank_op(li: DataFrame, materialize: bool = False) -> DataFrame:
     """Top parts by exact-integer PageRank over the support-≥2
     co-purchase graph (the market-basket pair set, both directions).
 
@@ -835,15 +835,18 @@ def part_pagerank_op(li: DataFrame) -> DataFrame:
         pairs.selectExpr("y AS src", "x AS dst")
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # materialize the per-degree edge table ONCE (tokenizer's
-    # localCheckpoint pattern): the five unrolled iterations each join
-    # against `ed`, and without truncation the lineage replays the
-    # basket scan + distinct + pair aggregate per iteration (observed:
-    # 44 FileScans in the unchecked plan, exchange reuse does not fire
-    # across the iteration joins) — at 100 TB the canonical
-    # PageRank-on-Spark shape caches the edge list and iterates over
-    # the materialized blocks
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    # The five unrolled iterations each join against `ed`, whose printed
+    # plan repeats the basket scan + pair aggregate per iteration — but
+    # AQE's RUNTIME stage reuse dedupes the identical exchange subplans,
+    # so the lazy form executes the edge build once (r15 A/B at sf0.1,
+    # warm best-of-3: lazy 3.17 s vs eager localCheckpoint 3.73 s — the
+    # checkpoint's blocking materialization is pure overhead here).
+    # `materialize=True` is the knob for clusters where the fact scan
+    # is expensive enough to pin the edge table explicitly (the
+    # GraphX/Pregel convention) rather than trust stage reuse.
+    ed = edges.join(deg, "src")
+    if materialize:
+        ed = ed.localCheckpoint(eager=True)
     ranks = deg.selectExpr("src AS node", "CAST(1000000 AS BIGINT) AS r")
     for _ in range(PAGERANK_ITERS):
         ranks = (
@@ -1188,7 +1191,9 @@ def part_hits(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def part_hits_op(orders: DataFrame, li: DataFrame) -> DataFrame:
+def part_hits_op(
+    orders: DataFrame, li: DataFrame, materialize: bool = False
+) -> DataFrame:
     """Top parts by HITS authority over the distinct customer→part
     purchase edges, after ``HITS_ITERS`` L1-normalized iterations.
 
@@ -1216,12 +1221,13 @@ def part_hits_op(orders: DataFrame, li: DataFrame) -> DataFrame:
             F.col("l_partkey").alias("part"),
         )
         .distinct()
-        # materialize the edge list ONCE (the pagerank/tokenizer
-        # localCheckpoint pattern): each iteration joins `edges` twice,
-        # and without truncation the lineage replays the orders⋈lineitem
-        # join + distinct four times over the two iterations
-        .localCheckpoint(eager=True)
     )
+    # same lazy-by-default story as part_pagerank_op: AQE stage reuse
+    # dedupes the repeated edge subplan at runtime (r15 A/B at sf0.1:
+    # lazy 2.83 s vs eager checkpoint 3.14 s); materialize=True pins
+    # the edge list for clusters with expensive fact scans
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
     hubs = edges.select("cust").distinct().selectExpr(
         "cust", "CAST(1000000 AS BIGINT) AS h"
     )
