@@ -2414,3 +2414,192 @@ def test_part_pagerank_matches_reference(spark, rows):
         key=lambda t: (-t[1], t[0]),
     )[:PAGERANK_TOP]
     assert got == want
+
+
+# --- second r16 staging pass properties ---------------------------------------
+
+_edge_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(100, 106)),  # (cust, part)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=_edge_rows)
+@_SETTINGS
+def test_part_hits_matches_reference_property(spark, edges):
+    """Staged r16 ``part_hits_op`` equals the pure-Python replay of the
+    whole L1-normalized integer fixpoint on random bipartite edge sets
+    (distinct collapse included: duplicate purchases are one edge)."""
+    from dariadb_spark.ext.relational import HITS_ITERS
+    from tests.test_staged_r16 import _python_hits, _run_hits
+
+    uniq = sorted(set(edges))
+    assert _run_hits(spark, edges) == _python_hits(uniq, HITS_ITERS)
+
+
+def _signed_half_up(a: int, b: int, d: int = 6) -> float:
+    p = 10**d
+    mag = (2 * abs(a) * p + b) // (2 * b)
+    return (-mag if a < 0 else mag) / p
+
+
+@given(rows=meas_lists, split_slot=st.integers(0, 40))
+@_SETTINGS
+def test_series_level_shift_matches_reference(spark, rows, split_slot):
+    """Staged r16 ``series_level_shift_op`` equals a pure-Python Welch
+    replay from the same cent ints on random series — including the
+    ≥2-per-side drop, the degenerate integer branch, and the float t²
+    pipeline shape."""
+    from dariadb_spark.ext.timeseries import series_level_shift_op
+
+    split = T0 + split_slot * STEP
+    lo, hi = T0, T0 + 40 * STEP
+    meas = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = [
+        tuple(r)
+        for r in series_level_shift_op(meas, None, lo, hi, split).collect()
+    ]
+    series: dict[int, list[tuple[int, int]]] = {}
+    for i, t, v, _f in rows:
+        if lo <= t <= hi:
+            series.setdefault(i, []).append((t, round(v * 100)))
+    want = []
+    for i in sorted(series):
+        ya = [y for t, y in series[i] if t < split]
+        yb = [y for t, y in series[i] if t >= split]
+        na, nb = len(ya), len(yb)
+        if na < 2 or nb < 2:
+            continue
+        sa, sb = sum(ya), sum(yb)
+        ssa = sum(y * y for y in ya)
+        ssb = sum(y * y for y in yb)
+        dmn = sa * nb - sb * na
+        vna = na * ssa - sa * sa
+        vnb = nb * ssb - sb * sb
+        if vna == 0 and vnb == 0:
+            t2, shifted = None, int(dmn != 0)
+        else:
+            dm = float(dmn) / (float(na) * float(nb))
+            sea = float(vna) / (float(na) * float(na) * (float(na) - 1.0))
+            seb = float(vnb) / (float(nb) * float(nb) * (float(nb) - 1.0))
+            raw = dm * dm / (sea + seb)
+            t2, shifted = round(raw, 4), int(raw >= 16.0)
+        want.append(
+            (i, na, nb, _signed_half_up(sa, 100 * na),
+             _signed_half_up(sb, 100 * nb),
+             _signed_half_up(dmn, 100 * na * nb), t2, shifted)
+        )
+    assert got == want
+
+
+_doc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 200),  # doc_id (duplicates allowed — two docs)
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                min_size=1, max_size=4,
+            ).map(" ".join),
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(docs=_doc_rows)
+@_SETTINGS
+def test_text_heaps_matches_reference(spark, docs):
+    """Staged r16 ``text_heaps_op`` equals a pure-Python replay of the
+    range-decile growth curve on random small corpora (NULL text
+    excluded, duplicate doc_ids counted as separate docs, wide HALF_UP
+    type-token ratio)."""
+    from dariadb_spark.ext.exact import ratio_round_ref
+    from dariadb_spark.ext.text import text_heaps_op
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = [tuple(r) for r in text_heaps_op(df).collect()]
+    live = [(i, t) for i, t in docs if t is not None]
+    if not live:
+        assert got == []
+        return
+    mn = min(i for i, _ in live)
+    span = max(i for i, _ in live) - mn + 1
+    per: dict[int, list[int]] = {}
+    first: dict[str, int] = {}
+    toks: dict[int, int] = {}
+    for i, t in live:
+        d = min(9, (i - mn) * 10 // span)
+        per.setdefault(d, []).append(i)
+        toks[d] = toks.get(d, 0) + len(t.split(" "))
+        for w in t.split(" "):
+            first[w] = min(first.get(w, 99), d)
+    cum_d = cum_t = cum_v = 0
+    want = []
+    for d in sorted(per):
+        nd, nt = len(per[d]), toks[d]
+        nw = sum(1 for w, fd in first.items() if fd == d)
+        cum_d += nd
+        cum_t += nt
+        cum_v += nw
+        want.append(
+            (d, nd, nt, nw, cum_d, cum_t, cum_v,
+             ratio_round_ref(cum_v, cum_t, 6))
+        )
+    assert got == want
+
+
+@given(
+    prices=st.lists(
+        st.integers(1, 10**8).map(lambda x: x / 100.0),
+        min_size=1, max_size=40,
+    ),
+    prio=st.lists(st.sampled_from(["A", "B"]), min_size=1, max_size=40),
+)
+@_SETTINGS
+def test_orders_benford_matches_reference(spark, prices, prio):
+    """Staged r16 ``orders_benford_op`` equals a pure-Python replay on
+    random price/priority tables (sub-1 exclusion, first digit of the
+    float floor, HALF_UP micro-shares, integer deviations)."""
+    import math
+
+    from dariadb_spark.ext.exact import ratio_round_ref
+    from dariadb_spark.ext.relational import BENFORD_MICRO, orders_benford_op
+
+    n = min(len(prices), len(prio))
+    rows = [(k, 1, "O", prices[k],
+             __import__("datetime").datetime(2024, 1, 1), prio[k])
+            for k in range(n)]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    got = [tuple(r) for r in orders_benford_op(orders).collect()]
+    counts: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for k in range(n):
+        if prices[k] < 1:
+            continue
+        dg = int(str(int(math.floor(prices[k])))[0])
+        counts[(prio[k], dg)] = counts.get((prio[k], dg), 0) + 1
+        totals[prio[k]] = totals.get(prio[k], 0) + 1
+    want = []
+    for (p, dg), c in sorted(counts.items()):
+        tot = totals[p]
+        om = (2 * c * 10**6 + tot) // (2 * tot)
+        want.append(
+            (p, dg, c, tot, ratio_round_ref(c, tot, 6),
+             BENFORD_MICRO[dg - 1] / 10**6,
+             abs(om - BENFORD_MICRO[dg - 1]))
+        )
+    assert got == want
