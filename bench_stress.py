@@ -4719,27 +4719,33 @@ def stress_series_level_shift(spark) -> tuple[float, int]:
     sa, ssa = sum(ya), sum(y * y for y in ya)
 
     def welch(shift_cents):
+        # exact-rational replay of level_shift_report's integer t2
         yb = [y + shift_cents for y in yb0]
         sb, ssb = sum(yb), sum(y * y for y in yb)
         dmn = sa * nb - sb * na
-        dm = dmn / (na * nb)
-        sea = (na * ssa - sa * sa) / (na * na * (na - 1.0))
-        seb = (nb * ssb - sb * sb) / (nb * nb * (nb - 1.0))
-        t2 = dm * dm / (sea + seb)
-        return round(t2, 4), 1 if t2 >= 16.0 else 0
+        num = dmn * dmn * (na - 1) * (nb - 1)
+        den = ((na * ssa - sa * sa) * nb * nb * (nb - 1)
+               + (nb * ssb - sb * sb) * na * na * (na - 1))
+        t2 = ((2 * num * 10**4 + den) // (2 * den)) / 10**4
+        return t2, 1 if num >= 16 * den else 0
     t2_even, fl_even = welch(500)
     t2_odd, fl_odd = welch(0)
     t0 = time.perf_counter()
     out = series_level_shift_op(meas, None, 0, 2 * split, split)
+    # null-SAFE comparisons (r15 review): a NULL t2 must count as a
+    # violation, not fall through `!=`'s NULL to the otherwise(0) arm
     agg = out.agg(
         FF.count("*").alias("rows"),
         FF.sum(
             FF.when(
                 (FF.col("n_a") != na) | (FF.col("n_b") != nb)
+                | FF.col("t2").isNull()
                 | (FF.col("id") % 2 == 0)
-                & ((FF.col("t2") != t2_even) | (FF.col("shifted") != fl_even))
+                & (~FF.col("t2").eqNullSafe(t2_even)
+                   | (FF.col("shifted") != fl_even))
                 | (FF.col("id") % 2 == 1)
-                & ((FF.col("t2") != t2_odd) | (FF.col("shifted") != fl_odd)),
+                & (~FF.col("t2").eqNullSafe(t2_odd)
+                   | (FF.col("shifted") != fl_odd)),
                 1,
             ).otherwise(0)
         ).alias("bad"),
@@ -4780,18 +4786,22 @@ def stress_part_hits(spark) -> tuple[float, int]:
     t0 = time.perf_counter()
     got = [tuple(r) for r in part_hits_op(orders, li).collect()]
     hits_s = time.perf_counter() - t0
-    # class replay: every customer in residue class r is identical
+    # class replay: every customer in residue class r is identical.
+    # per-node normalization grids: n_parts = 101 (100 residue parts +
+    # the star), n_custs = n (every customer is its own hub row)
     per_class = n // 100
+    n_parts = 101
     h = {r: 1_000_000 for r in range(100)}  # hub value per class member
     a = {}
     for _ in range(HITS_ITERS):
         raw = {r: per_class * h[r] for r in range(100)}
         raw[999] = per_class * sum(h.values())
         tot = sum(raw.values())
-        a = {p: (2 * v * 10**6 + tot) // (2 * tot) for p, v in raw.items()}
+        a = {p: (2 * v * n_parts * 10**6 + tot) // (2 * tot)
+             for p, v in raw.items()}
         hraw = {r: a[r] + a[999] for r in range(100)}
         htot = per_class * sum(hraw.values())
-        h = {r: (2 * hraw[r] * 10**6 + htot) // (2 * htot)
+        h = {r: (2 * hraw[r] * n * 10**6 + htot) // (2 * htot)
              for r in range(100)}
     want = sorted(
         ((p, m, m / 1_000_000) for p, m in a.items()),

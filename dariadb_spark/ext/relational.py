@@ -1082,11 +1082,19 @@ def benford_screen(
     the API serves the rest). Same exactness contract: integer counts,
     HALF_UP micro-shares, integer dev_micro against the pinned
     literals; rows where ``amount_col`` < 1 are excluded (no leading
-    significant digit). Output columns: segment, digit, n, n_total,
-    obs_share, benford_share, dev_micro.
+    significant digit), and so are NaN/+Infinity (r15 review: Spark
+    sorts NaN above every number, so NaN passes a bare ≥ 1 gate and
+    then crashes element_at with digit 0, while +Inf silently
+    saturates the BIGINT cast into digit 9 — a data-quality screen
+    must tolerate exactly the doctored input it is pointed at).
+    Output columns: segment, digit, n, n_total, obs_share,
+    benford_share, dev_micro.
     """
     arr = ", ".join(str(v) for v in BENFORD_MICRO)
-    digits = df.where(F.col(amount_col) >= 1).selectExpr(
+    amt = F.col(amount_col)
+    digits = df.where(
+        (amt >= 1) & ~F.isnan(amt) & (amt != F.lit(float("inf")))
+    ).selectExpr(
         f"{segment_col} AS segment",
         f"CAST(substr(CAST(CAST(floor({amount_col}) AS BIGINT) AS STRING),"
         " 1, 1) AS INT) AS digit",
@@ -1149,7 +1157,7 @@ digits AS (
   SELECT o_orderpriority AS priority,
          CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                      1, 1) AS INT) AS digit
-  FROM orders WHERE o_totalprice >= 1),
+  FROM orders WHERE o_totalprice >= 1 AND isfinite(o_totalprice)),
 counts AS (SELECT priority, digit, count(*) AS n
            FROM digits GROUP BY priority, digit),
 totals AS (SELECT priority, count(*) AS n_total
@@ -1199,10 +1207,21 @@ def part_hits_op(
 
     Exactness: hubs start at 1_000_000 micro-units; each half-step is
     an integer edge-sum (order-free) followed by ONE wide HALF_UP
-    micro-normalization (2·raw·10⁶ + tot) div (2·tot) in
-    DECIMAL(38,0)/HUGEINT — every score in the fixpoint is an exact
-    integer, so both engines land on identical micro-int vectors; the
-    one float per output row is the display division by 10⁶.
+    normalization to PER-NODE micro-units — a = HALF_UP(raw·n·10⁶ /
+    tot) where n is the side's node count, so the side's MEAN score is
+    always 10⁶ (the part_pagerank convention) — in DECIMAL(38,0)/
+    HUGEINT: every score in the fixpoint is an exact integer and both
+    engines land on identical micro-int vectors; the one float per
+    output row is the display division by 10⁶ (authority relative to
+    the mean part). The per-node grid is what makes the fixpoint
+    scale-safe (r15 review): the earlier total-mass-10⁶ grid rounded
+    every score to ZERO once a side exceeded ~2·10⁶ comparably-scored
+    nodes — at the 100 TB part count the whole vector collapsed and
+    the next normalization divided by zero. With per-node units the
+    mean score is grid-exact at ANY node count; only n·10⁶-fold
+    skew UNDER the mean truncates to zero, which is the sketch-grade
+    behavior a top-k ranking wants. Overflow: raw·n·10⁶ ≤ ~10³⁴ at
+    10¹⁰ nodes × 10¹² edges — inside DECIMAL(38)/HUGEINT.
 
     Plan shape (100 TB): the edge list is the orders⋈lineitem
     ORDER-KEY equi-join (the schema's co-clustered key — no extra
@@ -1238,13 +1257,15 @@ def part_hits_op(
             .groupBy("part")
             .agg(F.sum("h").alias("raw"))
         )
+        # the 1-row (total mass, node count) pair rides one broadcast
         a_tot = a_raw.agg(
-            F.sum(F.col("raw").cast("decimal(38,0)")).alias("tot")
+            F.sum(F.col("raw").cast("decimal(38,0)")).alias("tot"),
+            F.count("*").alias("n_side"),
         )
         auth = a_raw.crossJoin(F.broadcast(a_tot)).selectExpr(
             "part",
-            "CAST((2 * CAST(raw AS DECIMAL(38,0)) * 1000000 + tot)"
-            " DIV (2 * tot) AS BIGINT) AS a",
+            "CAST((2 * CAST(raw AS DECIMAL(38,0)) * n_side * 1000000"
+            " + tot) DIV (2 * tot) AS BIGINT) AS a",
         )
         h_raw = (
             edges.join(auth, "part")
@@ -1252,12 +1273,13 @@ def part_hits_op(
             .agg(F.sum("a").alias("raw"))
         )
         h_tot = h_raw.agg(
-            F.sum(F.col("raw").cast("decimal(38,0)")).alias("tot")
+            F.sum(F.col("raw").cast("decimal(38,0)")).alias("tot"),
+            F.count("*").alias("n_side"),
         )
         hubs = h_raw.crossJoin(F.broadcast(h_tot)).selectExpr(
             "cust",
-            "CAST((2 * CAST(raw AS DECIMAL(38,0)) * 1000000 + tot)"
-            " DIV (2 * tot) AS BIGINT) AS h",
+            "CAST((2 * CAST(raw AS DECIMAL(38,0)) * n_side * 1000000"
+            " + tot) DIV (2 * tot) AS BIGINT) AS h",
         )
     return (
         auth.selectExpr(
@@ -1284,13 +1306,19 @@ h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM edges)"""]
 ar{i + 1} AS (SELECT e.part, CAST(sum(h.h) AS HUGEINT) AS raw
        FROM edges e JOIN {prev_h} h ON e.cust = h.cust GROUP BY e.part),
 {auth} AS (SELECT part,
-       CAST((2 * raw * 1000000 + t.tot) // (2 * t.tot) AS BIGINT) AS a
-       FROM ar{i + 1}, (SELECT sum(raw) AS tot FROM ar{i + 1}) t),
+       CAST((2 * raw * t.n_side * 1000000 + t.tot) // (2 * t.tot)
+            AS BIGINT) AS a
+       FROM ar{i + 1},
+            (SELECT sum(raw) AS tot, count(*) AS n_side
+             FROM ar{i + 1}) t),
 hr{i + 1} AS (SELECT e.cust, CAST(sum(a.a) AS HUGEINT) AS raw
        FROM edges e JOIN {auth} a ON e.part = a.part GROUP BY e.cust),
 {nxt_h} AS (SELECT cust,
-       CAST((2 * raw * 1000000 + t.tot) // (2 * t.tot) AS BIGINT) AS h
-       FROM hr{i + 1}, (SELECT sum(raw) AS tot FROM hr{i + 1}) t)""")
+       CAST((2 * raw * t.n_side * 1000000 + t.tot) // (2 * t.tot)
+            AS BIGINT) AS h
+       FROM hr{i + 1},
+            (SELECT sum(raw) AS tot, count(*) AS n_side
+             FROM hr{i + 1}) t)""")
         prev_h = nxt_h
     return (
         "WITH" + ",".join(steps) + f"""

@@ -3123,13 +3123,13 @@ def series_level_shift_op(
 
     Exactness: samples are cent-quantized int64 (y = round(value·100));
     per-side n/Σy/Σy² accumulate in int64/DECIMAL(38,0) — exact and
-    order-free. The three float expressions per row — the two variance
-    terms and t² — are built from those exact integers with IDENTICAL
-    expression shape in both engines, so they are bit-identical IEEE
-    doubles; displayed means/diff are signed-wide HALF_UP rationals and
-    t² is round(·, 4). Degenerate case (both sides constant): t² is
-    NULL and the flag falls back to the PURE INTEGER test dmn ≠ 0 —
-    the decision never rides a 0/0 float.
+    order-free, and EVERYTHING downstream is integer-rational: t² is
+    the exact ratio dmn²(n_a−1)(n_b−1)/D rendered 4-dp HALF_UP, the
+    shift decision is the integer comparison num ≥ T²·D, and the
+    displayed means/shift are signed-wide HALF_UP rationals (see
+    :func:`level_shift_report` for the algebra and the overflow
+    ceiling). Degenerate case (both sides constant, D = 0): t² is NULL
+    and the flag falls back to the PURE INTEGER test dmn ≠ 0.
 
     Plan shape (100 TB): one interval scan (predicate pushed to the
     parquet range prune) into ONE (id)-keyed partial aggregate carrying
@@ -3160,10 +3160,26 @@ def series_level_shift_op(
 def level_shift_report(agg: DataFrame) -> DataFrame:
     """The Welch projection over a per-series sums table (id, n_a, n_b,
     sa, sb, ssa, ssb) — shared VERBATIM by the batch operator and the
-    streaming ingest twin so both run the identical float pipeline
-    (the one source of truth for the t² expression shape; ssa/ssb may
-    arrive as int64 from the fold — cast wide here, not upstream)."""
-    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
+    streaming ingest twin (the one source of truth; ssa/ssb may arrive
+    as int64 from the fold — cast wide here, not upstream).
+
+    t² is computed as an EXACT INTEGER RATIO, never a float pipeline:
+    algebraically t² = dmn²·(n_a−1)(n_b−1) / D with
+    D = vna·n_b²(n_b−1) + vnb·n_a²(n_a−1) — both operands DECIMAL(38,0)
+    — so the 4-dp display is the wide HALF_UP closure and the shift
+    decision is the pure integer comparison num ≥ T²·D (found in the
+    r15 review: round(float, 4) can diverge between Spark's
+    shortest-rendering HALF_UP and DuckDB/python's binary-value
+    rounding when the rendering lands on a .xxxx5 — the same class
+    ext/analytics.py documents for frame means). Overflow ceiling:
+    dmn²·(n_a−1)(n_b−1)·2·10⁴ must fit DECIMAL(38) — with cent values
+    ≤ 10⁶ that holds to ~10⁵ samples per side per series; past that,
+    pre-scale values (the token_budget_plan convention).
+    D = 0 IFF both sides are constant (the degenerate branch)."""
+    from dariadb_spark.ext.exact import (
+        ratio_round_signed_wide_spark,
+        ratio_round_wide_spark,
+    )
 
     filtered = agg.where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
     # exact integer cores: the mean-shift numerator and the two
@@ -3176,15 +3192,13 @@ def level_shift_report(agg: DataFrame) -> DataFrame:
         " - CAST(sa AS DECIMAL(38,0)) * sa AS vna",
         "n_b * CAST(ssb AS DECIMAL(38,0))"
         " - CAST(sb AS DECIMAL(38,0)) * sb AS vnb",
+    ).selectExpr(
+        "id", "n_a", "n_b", "sa", "sb", "dmn",
+        "dmn * dmn * (n_a - 1) * (n_b - 1) AS t2_num",
+        "vna * n_b * n_b * (n_b - 1) + vnb * n_a * n_a * (n_a - 1)"
+        " AS t2_den",
     )
-    t2 = (
-        "((CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
-        " * (CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
-        " / (CAST(vna AS DOUBLE)"
-        "    / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0d))"
-        "  + CAST(vnb AS DOUBLE)"
-        "    / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0d))))"
-    )
+    t2_int = int(LEVEL_SHIFT_T2)
     return core.selectExpr(
         "id",
         "n_a",
@@ -3193,25 +3207,21 @@ def level_shift_report(agg: DataFrame) -> DataFrame:
         ratio_round_signed_wide_spark("sb", "100 * n_b", 6) + " AS mean_b",
         ratio_round_signed_wide_spark("dmn", "100 * n_a * n_b", 6)
         + " AS mean_shift",
-        f"CASE WHEN vna = 0 AND vnb = 0 THEN CAST(NULL AS DOUBLE)"
-        f" ELSE round({t2}, 4) END AS t2",
-        f"CASE WHEN vna = 0 AND vnb = 0"
-        f" THEN CAST(dmn != 0 AS INT)"
-        f" ELSE CAST({t2} >= {LEVEL_SHIFT_T2} AS INT) END AS shifted",
+        "CASE WHEN t2_den = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        + ratio_round_wide_spark("t2_num", "t2_den", 4)
+        + " END AS t2",
+        f"CASE WHEN t2_den = 0 THEN CAST(dmn != 0 AS INT)"
+        f" ELSE CAST(t2_num >= {t2_int} * t2_den AS INT) END AS shifted",
     ).orderBy("id")
 
 
 def _level_shift_sql() -> str:
-    from dariadb_spark.ext.exact import ratio_round_signed_wide_duck
-
-    t2 = (
-        "((CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
-        " * (CAST(dmn AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
-        " / (CAST(vna AS DOUBLE)"
-        "    / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
-        "  + CAST(vnb AS DOUBLE)"
-        "    / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))))"
+    from dariadb_spark.ext.exact import (
+        ratio_round_signed_wide_duck,
+        ratio_round_wide_duck,
     )
+
+    t2_int = int(LEVEL_SHIFT_T2)
     return f"""WITH {MEAS_CTE_SQL},
 pts AS (SELECT id,
                CAST(time >= {LEVEL_SHIFT_SPLIT_MS} AS INT) AS s,
@@ -3232,17 +3242,22 @@ core AS (SELECT id, n_a, n_b, sa, sb,
                 CAST(sa AS HUGEINT) * n_b - CAST(sb AS HUGEINT) * n_a AS dmn,
                 n_a * ssa - CAST(sa AS HUGEINT) * sa AS vna,
                 n_b * ssb - CAST(sb AS HUGEINT) * sb AS vnb
-         FROM agg)
+         FROM agg),
+rat AS (SELECT id, n_a, n_b, sa, sb, dmn,
+               dmn * dmn * (n_a - 1) * (n_b - 1) AS t2_num,
+               vna * n_b * n_b * (n_b - 1) + vnb * n_a * n_a * (n_a - 1)
+                 AS t2_den
+        FROM core)
 SELECT id, n_a, n_b,
        {ratio_round_signed_wide_duck("sa", "100 * n_a", 6)} AS mean_a,
        {ratio_round_signed_wide_duck("sb", "100 * n_b", 6)} AS mean_b,
        {ratio_round_signed_wide_duck("dmn", "100 * n_a * n_b", 6)}
          AS mean_shift,
-       CASE WHEN vna = 0 AND vnb = 0 THEN CAST(NULL AS DOUBLE)
-            ELSE round({t2}, 4) END AS t2,
-       CASE WHEN vna = 0 AND vnb = 0 THEN CAST(dmn != 0 AS INT)
-            ELSE CAST({t2} >= {LEVEL_SHIFT_T2} AS INT) END AS shifted
-FROM core ORDER BY id"""
+       CASE WHEN t2_den = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE {ratio_round_wide_duck("t2_num", "t2_den", 4)} END AS t2,
+       CASE WHEN t2_den = 0 THEN CAST(dmn != 0 AS INT)
+            ELSE CAST(t2_num >= {t2_int} * t2_den AS INT) END AS shifted
+FROM rat ORDER BY id"""
 
 
 SERIES_LEVEL_SHIFT_SQL = _level_shift_sql()

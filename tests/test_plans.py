@@ -203,15 +203,17 @@ def test_check_window_is_first_50_harness_queries():
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
     # round-15 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50, re-verified violation-free at N = 213 after merge #3):
-    # the 22 core rows at stale-3 lead (priority 1), then the THIRTEEN
-    # round-15 registrations (the 10 staged ops + the three executed
-    # merges' composites — never ship a NEW query outside the window;
-    # ext_asof_report joined mid-round when merge #3 landed), then the
-    # 10 stale-5 [EXT] rows (r14 deferrals + aged r10-latest streaming
-    # parities — the capacity line paying its debt), then the 5 oldest
-    # stale-4 [EXT] rows in ledger order (ext_decontaminate_embed
-    # deferred to r16 by the mid-round merge).
+    # --plan 50, re-verified violation-free at N = 211 after merges #3
+    # and #4): the 22 core rows at stale-3 lead (priority 1), then the
+    # FOURTEEN round-15 registrations (the 10 staged ops + the four
+    # executed merges' composite rows, of which asof_report and
+    # hll_report joined mid-round when their merges landed — never
+    # ship a NEW query outside the window), then the 10 stale-5 [EXT]
+    # rows (r14 deferrals + aged r10-latest streaming parities — the
+    # capacity line paying its debt), then the 4 oldest stale-4 [EXT]
+    # rows in ledger order (ext_decontaminate_embed AND
+    # ext_decontaminate_bloom deferred to r16 by the two mid-round
+    # merges). 22 + 14 + 10 + 4 = exactly 50.
     assert CHECK_WINDOW[:4] == [
         "bucket_hour", "bucket_minute30", "current_value",
         "erase_old_check",

@@ -2479,14 +2479,15 @@ def test_series_level_shift_matches_reference(spark, rows, split_slot):
         dmn = sa * nb - sb * na
         vna = na * ssa - sa * sa
         vnb = nb * ssb - sb * sb
-        if vna == 0 and vnb == 0:
+        # exact-rational t2: num/den in arbitrary-precision ints,
+        # HALF_UP display, pure-integer decision (mirrors the op)
+        num = dmn * dmn * (na - 1) * (nb - 1)
+        den = vna * nb * nb * (nb - 1) + vnb * na * na * (na - 1)
+        if den == 0:
             t2, shifted = None, int(dmn != 0)
         else:
-            dm = float(dmn) / (float(na) * float(nb))
-            sea = float(vna) / (float(na) * float(na) * (float(na) - 1.0))
-            seb = float(vnb) / (float(nb) * float(nb) * (float(nb) - 1.0))
-            raw = dm * dm / (sea + seb)
-            t2, shifted = round(raw, 4), int(raw >= 16.0)
+            t2 = ((2 * num * 10**4 + den) // (2 * den)) / 10**4
+            shifted = int(num >= 16 * den)
         want.append(
             (i, na, nb, _signed_half_up(sa, 100 * na),
              _signed_half_up(sb, 100 * nb),

@@ -526,9 +526,9 @@ def test_series_level_shift_parity_and_planted_shift(spark, oracle_sf_dir):
 
 
 def test_series_level_shift_matches_python_welch(spark):
-    """Random-int series replay: the op's t² equals a pure-Python Welch
-    computation from the same cent-quantized integers (bit-identical
-    float pipeline), and the flag matches the t² ≥ 16 line."""
+    """Random-int series replay: the op's t² equals the pure-Python
+    exact-rational replay from the same cent-quantized integers, and
+    the flag matches the integer num ≥ 16·den decision."""
     import random
 
     rng = random.Random(416)
@@ -547,11 +547,12 @@ def test_series_level_shift_matches_python_welch(spark):
         ssa = sum(v * v for v in av)
         ssb = sum(v * v for v in bv)
         dmn = sa * nb - sb * na
-        dm = dmn / (na * nb)
-        sea = (na * ssa - sa * sa) / (na * na * (na - 1.0))
-        seb = (nb * ssb - sb * sb) / (nb * nb * (nb - 1.0))
-        t2 = dm * dm / (sea + seb)
-        expect[sid] = (round(t2, 4), 1 if t2 >= 16.0 else 0)
+        # exact-rational t2 replay (the op's integer pipeline)
+        num = dmn * dmn * (na - 1) * (nb - 1)
+        den = ((na * ssa - sa * sa) * nb * nb * (nb - 1)
+               + (nb * ssb - sb * sb) * na * na * (na - 1))
+        t2 = ((2 * num * 10**4 + den) // (2 * den)) / 10**4
+        expect[sid] = (t2, 1 if num >= 16 * den else 0)
     meas = spark.createDataFrame(
         rows, "id long, time long, value double, flag long"
     )
@@ -639,7 +640,8 @@ def _run_hits(spark, edges):
 
 
 def _python_hits(edges, iters):
-    """Integer HALF_UP HITS replay (the op's exact arithmetic)."""
+    """Integer HALF_UP HITS replay (the op's exact arithmetic: per-node
+    micro-normalization — the side MEAN is always 10⁶)."""
     custs = sorted({c for c, _ in edges})
     parts = sorted({p for _, p in edges})
     h = {c: 1_000_000 for c in custs}
@@ -647,10 +649,11 @@ def _python_hits(edges, iters):
     for _ in range(iters):
         raw = {p: sum(h[c] for c, q in edges if q == p) for p in parts}
         tot = sum(raw.values())
-        a = {p: (2 * r * 10**6 + tot) // (2 * tot) for p, r in raw.items()}
+        a = {p: (2 * r * len(parts) * 10**6 + tot) // (2 * tot)
+             for p, r in raw.items()}
         hraw = {c: sum(a[p] for d, p in edges if d == c) for c in custs}
         htot = sum(hraw.values())
-        h = {c: (2 * r * 10**6 + htot) // (2 * htot)
+        h = {c: (2 * r * len(custs) * 10**6 + htot) // (2 * htot)
              for c, r in hraw.items()}
     top = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     return [(p, m, m / 1_000_000) for p, m in top]
@@ -778,7 +781,7 @@ digits AS (
   SELECT l_returnflag AS segment,
          CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
                      1, 1) AS INT) AS digit
-  FROM lineitem WHERE l_extendedprice >= 1),
+  FROM lineitem WHERE l_extendedprice >= 1 AND isfinite(l_extendedprice)),
 counts AS (SELECT segment, digit, count(*) AS n
            FROM digits GROUP BY segment, digit),
 totals AS (SELECT segment, count(*) AS n_total
@@ -806,3 +809,31 @@ FROM m ORDER BY segment, digit"""
         sql,
     )
     assert res.ok, res.problems
+
+
+def test_benford_screen_excludes_non_finite_amounts(spark):
+    """NaN and +Infinity amounts are excluded, not crashed on: NaN
+    passes Spark's ≥ 1 ordering (NaN sorts above everything) and would
+    reach element_at with digit 0; +Inf saturates the BIGINT cast into
+    a phantom digit 9 (r15 review finding)."""
+    from dariadb_spark.ext.relational import benford_screen
+
+    rows = [
+        (1, 1, "O", 123.0, __import__("datetime").datetime(2024, 1, 1), "P"),
+        (2, 1, "O", float("nan"), __import__("datetime").datetime(2024, 1, 1), "P"),
+        (3, 1, "O", float("inf"), __import__("datetime").datetime(2024, 1, 1), "P"),
+        (4, 1, "O", 0.5, __import__("datetime").datetime(2024, 1, 1), "P"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    got = [
+        tuple(r)
+        for r in benford_screen(
+            orders, "o_totalprice", "o_orderpriority"
+        ).collect()
+    ]
+    assert got == [("P", 1, 1, 1, 1.0, 0.30103, 698970)], got
