@@ -4690,9 +4690,11 @@ def stress_series_level_shift(spark) -> tuple[float, int]:
     """Staged r16 level-shift screen at 20M rows / 2000 series: each
     side is the same 7-periodic integer pattern, EVEN series get a
     +5.00 B-side offset — so every even series replays one closed-form
-    Welch t2 and every odd series the degenerate-variance-free t2 = 0
-    ... (patterns have variance; odd series t2 = 0 exactly since
-    means are equal and the pattern is identical). Assertions run
+    Welch t2 and every odd series a NEAR-ZERO closed-form t2 computed
+    from the phase-shifted side multisets (the B side's 7-periodic
+    pattern starts at residue per_side % 7 = 2, so the two sides are
+    NOT the same multiset and t2_odd is small but nonzero; welch(0)
+    replays it exactly from each side's own k range). Assertions run
     DISTRIBUTED: violation counts, never a 20M-row collect."""
     from dariadb_spark.ext.timeseries import series_level_shift_op
     from pyspark.sql import functions as FF

@@ -1048,6 +1048,12 @@ LIMIT {TRIANGLE_TOP}"""
 
 PART_TRIANGLES_SQL = _triangles_sql()
 
+# Registered round 16 (staged round 15 with the full discipline:
+# implemented + oracled + pytest parity incl. the planted-graph
+# closed form and random-graph brute-force property test + planted
+# ≥100k-row stress + hash-matched at sf0.1 in the staged sweep).
+register("ext_part_triangles", part_triangles, PART_TRIANGLES_SQL)
+
 
 # --- Benford first-digit data-quality screen ----------------------------------
 # STAGED for the round-16 driver window (the staging every late operator
@@ -1082,18 +1088,21 @@ def benford_screen(
     the API serves the rest). Same exactness contract: integer counts,
     HALF_UP micro-shares, integer dev_micro against the pinned
     literals; rows where ``amount_col`` < 1 are excluded (no leading
-    significant digit), and so are NaN/+Infinity (r15 review: Spark
-    sorts NaN above every number, so NaN passes a bare ≥ 1 gate and
-    then crashes element_at with digit 0, while +Inf silently
-    saturates the BIGINT cast into digit 9 — a data-quality screen
-    must tolerate exactly the doctored input it is pointed at).
+    significant digit), and so are NaN and any value ≥ 9.2e18 —
+    which covers +Infinity AND finite doubles beyond the int64 range
+    (r15 review + r16 advice: Spark sorts NaN above every number, so
+    NaN passes a bare ≥ 1 gate and then crashes element_at with digit
+    0, while +Inf or a finite 1e19 silently saturates Spark's BIGINT
+    cast into a phantom digit 9 where DuckDB's cast raises — a
+    data-quality screen must tolerate exactly the doctored input it
+    is pointed at, and it must fail the SAME way on both engines).
     Output columns: segment, digit, n, n_total, obs_share,
     benford_share, dev_micro.
     """
     arr = ", ".join(str(v) for v in BENFORD_MICRO)
     amt = F.col(amount_col)
     digits = df.where(
-        (amt >= 1) & ~F.isnan(amt) & (amt != F.lit(float("inf")))
+        (amt >= 1) & ~F.isnan(amt) & (amt < F.lit(9.2e18))
     ).selectExpr(
         f"{segment_col} AS segment",
         f"CAST(substr(CAST(CAST(floor({amount_col}) AS BIGINT) AS STRING),"
@@ -1157,7 +1166,8 @@ digits AS (
   SELECT o_orderpriority AS priority,
          CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                      1, 1) AS INT) AS digit
-  FROM orders WHERE o_totalprice >= 1 AND isfinite(o_totalprice)),
+  FROM orders WHERE o_totalprice >= 1 AND isfinite(o_totalprice)
+    AND o_totalprice < 9.2e18),
 counts AS (SELECT priority, digit, count(*) AS n
            FROM digits GROUP BY priority, digit),
 totals AS (SELECT priority, count(*) AS n_total
@@ -1176,6 +1186,13 @@ FROM m ORDER BY priority, digit"""
 
 
 ORDERS_BENFORD_SQL = _benford_sql()
+
+# Registered round 16 (staged round 15 with the full discipline:
+# implemented + oracled + pytest parity incl. pinned micro-literals,
+# planted-digit closed form, the non-finite/overflow guard test, and a
+# pure-Python property replay + planted ≥100k-row stress +
+# hash-matched at sf0.1 in the staged sweep).
+register("ext_orders_benford", orders_benford, ORDERS_BENFORD_SQL)
 
 
 # --- HITS hub/authority on the bipartite purchase graph ------------------------
@@ -1330,3 +1347,10 @@ LIMIT {HITS_TOP}"""
 
 
 PART_HITS_SQL = _hits_sql()
+
+# Registered round 16 (staged round 15 with the full discipline:
+# implemented + oracled + pytest parity incl. the planted-star closed
+# form and a random-bipartite Python-fixpoint property test + planted
+# ≥100k-edge stress + hash-matched at sf0.1 in the staged sweep; the
+# r15 review's normalization-underflow hazard was fixed pre-staging).
+register("ext_part_hits", part_hits, PART_HITS_SQL)

@@ -1237,6 +1237,13 @@ FROM g ORDER BY source"""
 
 TEXT_READABILITY_SQL = _readability_sql()
 
+# Registered round 16 (staged round 15 with the full discipline:
+# implemented + oracled + pytest parity incl. the planted-docs closed
+# form + planted ≥100k-row stress + hash-matched at sf0.1 in the
+# staged sweep; exact-integer LIX chosen over syllable scores because
+# it needs no engine-specific regex).
+register("ext_text_readability", text_readability, TEXT_READABILITY_SQL)
+
 
 # --- Heaps'-law vocabulary-growth curve ---------------------------------------
 # STAGED for the round-16 driver window (the staging every late operator
@@ -1380,3 +1387,10 @@ FROM c ORDER BY decile"""
 
 
 TEXT_HEAPS_SQL = _heaps_sql()
+
+# Registered round 16 (staged round 15, second staging pass, full
+# discipline: implemented + oracled + pytest parity incl. the planted
+# vocabulary-growth closed form and the single-doc/null-text edge tests
+# + planted ≥100k-row stress + hash-matched at sf0.1 in the staged
+# sweep).
+register("ext_text_heaps", text_heaps, TEXT_HEAPS_SQL)

@@ -3082,6 +3082,12 @@ ORDER BY id, time"""
 
 SERIES_HOLT_SQL = _holt_sql()
 
+# Registered round 16 (staged round 15 with the full discipline:
+# implemented + oracled + pytest parity incl. the planted-ramp closed
+# form + planted ≥100k-row stress + hash-matched at sf0.1 in the
+# staged sweep).
+register("ext_series_holt", series_holt, SERIES_HOLT_SQL)
+
 
 # --- windowed A/B level-shift screen (Welch t²) --------------------------------
 # STAGED for the round-16 driver window (the staging every late operator
@@ -3261,3 +3267,46 @@ FROM rat ORDER BY id"""
 
 
 SERIES_LEVEL_SHIFT_SQL = _level_shift_sql()
+
+# Registered round 16 (staged round 15, second staging pass, full
+# discipline: implemented + oracled + pytest parity incl. the planted
+# A/B-shift closed form, the Python Welch replay property test, and the
+# Welch-rounding divergence fixed pre-staging + planted 20M-row stress
+# + hash-matched at sf0.1 in the staged sweep).
+register("ext_series_level_shift", series_level_shift, SERIES_LEVEL_SHIFT_SQL)
+
+
+def _streaming_ohlc_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import — same circularity guard as _streaming_ewma_parity.
+    from dariadb_spark.streaming.ohlc import streaming_ohlc_parity
+
+    return streaming_ohlc_parity(spark, sf)
+
+
+# Registered round 16 (staged round 15). The stateful bar-maintenance
+# ingest twin shares the batch OHLC_SQL oracle — statefulness must make
+# the micro-batching invisible, the contract every streaming parity row
+# carries; min/max/first/last merging is arrival-order-free, so unlike
+# the rate/runlen folds there is NO in-order contract to enforce.
+register("streaming_ohlc_parity", _streaming_ohlc_parity, OHLC_SQL)
+
+
+def _streaming_level_shift_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import — same circularity guard as _streaming_ewma_parity.
+    from dariadb_spark.streaming.levelshift import (
+        streaming_level_shift_parity,
+    )
+
+    return streaming_level_shift_parity(spark, sf)
+
+
+# Registered round 16 (staged round 15, second staging pass). The
+# stateful A/B-monitor ingest twin shares the batch
+# SERIES_LEVEL_SHIFT_SQL oracle; the per-series state is the six int64
+# side accumulators, which commute — NO in-order contract — and the
+# Welch projection is the batch level_shift_report VERBATIM.
+register(
+    "streaming_level_shift_parity",
+    _streaming_level_shift_parity,
+    SERIES_LEVEL_SHIFT_SQL,
+)

@@ -917,9 +917,9 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # Registering all nine in r16 takes the registry to 220 (211 after
 # the round's FOUR executed merges — kmv, set-ops, as-of, hll — plus 9);
 # compute the r16 window with `tools/attestation_ledger.py --plan 50`
-# after CORRECTNESS_r15 lands (the 8 registrations take priority-2
-# slots; ext_asof_report, a new never-attested row, enters the same
-# priority tier at its first rotation). Also
+# after CORRECTNESS_r15 lands (all NINE registrations take priority-2
+# slots — EXECUTED r16, see the Round-16 composition note above
+# CHECK_WINDOW). Also
 # staged r15 WITHOUT a driver row (the pq_encode_arrow/sem_dedup_blocked
 # library-API class; the registered ext_sim_ann_ivf row already covers
 # the semantics): build_ivf_index/ivf_index_query
@@ -1047,39 +1047,45 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # merge #2: ext_set_intersect + ext_set_except → ext_set_ops,
 # ext/analytics.py, pinned by test_plans.py::
 # test_set_ops_merge_projections).
+# Round-16 composition (EXECUTED — `tools/attestation_ledger.py --plan
+# 50` output at N = 220, verified identical to CHECK_WINDOW below):
+# ONE core row at stale-3 (partition_stats — the only core row the r15
+# window did not cover), the NINE round-15-staged registrations
+# (priority 2, driver-checked from day one), the 38 stale-5 [EXT] rows
+# in ledger order — which include the two merge-deferred rows
+# (ext_decontaminate_embed, ext_decontaminate_bloom) first in line as
+# promised, AND the two oldest attestations flagged by VERDICT r15
+# item 6 (streaming_pq_ingest_parity, streaming_sketch_parity, r11
+# green, stale-5 here — the rotation picked them up automatically) —
+# then the 2 oldest stale-4 [EXT] rows. 1 + 9 + 38 + 2 = exactly 50.
+# Ledger verdict: no policy violations; worst leftover staleness
+# stale-4 (policy line: core ≤ 3, all ≤ 5 at N = 220).
 CHECK_WINDOW = [
-    # priority 1: the 22 core reference rows at stale-3
-    "bucket_hour", "bucket_minute30", "current_value", "erase_old_check",
-    "fn_all", "fn_average", "fn_count", "fn_maximum", "fn_median",
-    "fn_minimum", "fn_percentile90", "fn_percentile99", "fn_sigma", "fn_sum",
-    "interval_scan", "interval_scan_flag", "load_min_max", "min_max_time",
-    "partition_file_stats_multi", "scheme_resolve", "stat_block",
-    "timepoint_asof",
-    # priority 2: round-15 registrations (the 10 staged ops + the THREE
-    # executed merges' composite rows — ext_asof_report joined the
-    # window when merge #3 landed later the same round, displacing the
-    # last stale-4 row ext_decontaminate_embed to next rotation, which
-    # the ledger confirms is violation-free) — driver-checked from day
-    # one
-    "ext_asof_report",
-    "ext_funnel_latency", "ext_label_separability", "ext_market_basket",
-    "ext_part_pagerank", "ext_rfm_segments", "ext_series_data_gaps",
-    "ext_series_run_lengths", "ext_series_trend", "ext_set_ops",
-    "ext_sketch_hll_report", "ext_sketch_kmv_report",
-    "streaming_counter_rate_parity", "streaming_run_lengths_parity",
-    # priority 3a: the 10 stale-5 [EXT] rows (r14 deferrals + aged
-    # r10-latest streaming parities), ledger order
-    "ext_text_pii_roundtrip", "ext_train_quality_eval", "ext_unpivot_flags",
-    "streaming_anomaly_parity", "streaming_current_value_parity",
-    "streaming_dedup_parity", "streaming_interval_join_parity",
-    "streaming_kmv_parity", "streaming_rollup_parity",
-    "streaming_sessionize_parity",
-    # priority 3b: the 4 oldest stale-4 [EXT] rows, ledger order
-    # (ext_decontaminate_embed and ext_decontaminate_bloom deferred to
-    # the r16 rotation by the two mid-round composite merges — first in
-    # line at stale-5 there, ledger-confirmed violation-free)
-    "ext_bpe_learn", "ext_bpe_token_stats", "ext_customers_anti",
-    "ext_customers_semi",
+    # priority 1: the single core reference row at stale-3
+    "partition_stats",
+    # priority 2: round-16 registrations (the nine r15-staged ops) —
+    # driver-checked from day one
+    "ext_orders_benford", "ext_part_hits", "ext_part_triangles",
+    "ext_series_holt", "ext_series_level_shift", "ext_text_heaps",
+    "ext_text_readability", "streaming_level_shift_parity",
+    "streaming_ohlc_parity",
+    # priority 3a: the 38 stale-5 [EXT] rows, ledger order
+    "ext_decontaminate_bloom", "ext_decontaminate_embed",
+    "ext_dedup_exact", "ext_distinct_agg", "ext_dsir_select",
+    "ext_embedding_norm", "ext_forget_source", "ext_grouping_sets",
+    "ext_interleave_audit", "ext_minhash_jaccard_est", "ext_moving_avg",
+    "ext_pack_context", "ext_part_supplier_margin", "ext_pivot_flags",
+    "ext_preprocess_funnel", "ext_pricing_summary",
+    "ext_quality_calibrate", "ext_repeat_customers",
+    "ext_revenue_by_nation", "ext_revenue_yoy", "ext_rollup_orders",
+    "ext_sample_diverse", "ext_scalar_funcs", "ext_series_mode",
+    "ext_sim_ann_lsh", "ext_sketch_quantile", "ext_sketch_quantile_hdr",
+    "ext_sketch_quantile_hist", "ext_source_overlap", "ext_text_entropy",
+    "ext_text_perplexity", "ext_text_redact", "ext_top_orders_per_cust",
+    "ext_topk_customers", "ext_topk_per_series", "ext_value_cdf",
+    "streaming_pq_ingest_parity", "streaming_sketch_parity",
+    # priority 3b: the 2 oldest stale-4 [EXT] rows, ledger order
+    "ext_ann_recall_pq", "ext_anomaly_zscore",
 ]
 
 

@@ -202,39 +202,29 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-15 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50, re-verified violation-free at N = 211 after merges #3
-    # and #4): the 22 core rows at stale-3 lead (priority 1), then the
-    # FOURTEEN round-15 registrations (the 10 staged ops + the four
-    # executed merges' composite rows, of which asof_report and
-    # hll_report joined mid-round when their merges landed — never
-    # ship a NEW query outside the window), then the 10 stale-5 [EXT]
-    # rows (r14 deferrals + aged r10-latest streaming parities — the
-    # capacity line paying its debt), then the 4 oldest stale-4 [EXT]
-    # rows in ledger order (ext_decontaminate_embed AND
-    # ext_decontaminate_bloom deferred to r16 by the two mid-round
-    # merges). 22 + 14 + 10 + 4 = exactly 50.
-    assert CHECK_WINDOW[:4] == [
-        "bucket_hour", "bucket_minute30", "current_value",
-        "erase_old_check",
-    ]
-    assert CHECK_WINDOW[21] == "timepoint_asof"
-    assert set(CHECK_WINDOW[22:36]) == {
-        "ext_asof_report",
-        "ext_funnel_latency", "ext_label_separability",
-        "ext_market_basket", "ext_part_pagerank", "ext_rfm_segments",
-        "ext_series_data_gaps", "ext_series_run_lengths",
-        "ext_series_trend", "ext_set_ops", "ext_sketch_hll_report",
-        "ext_sketch_kmv_report",
-        "streaming_counter_rate_parity", "streaming_run_lengths_parity",
+    # round-16 (the executed ledger plan — tools/attestation_ledger.py
+    # --plan 50, verified violation-free at N = 220 after the nine
+    # r15-staged registrations): partition_stats is the ONLY core row
+    # at stale-3 (priority 1 — every other core row re-attested in
+    # r15's window), then the NINE round-16 registrations (priority 2 —
+    # never ship a NEW query outside the window), then the 38 stale-5
+    # [EXT] rows in ledger order — including the two merge-deferred
+    # rows (decontaminate_embed/bloom, first in line as promised r15)
+    # and the two oldest attestations VERDICT r15 item 6 flagged
+    # (streaming_pq_ingest_parity / streaming_sketch_parity, green r11)
+    # — then the 2 oldest stale-4 [EXT] rows. 1 + 9 + 38 + 2 = 50.
+    assert CHECK_WINDOW[0] == "partition_stats"
+    assert set(CHECK_WINDOW[1:10]) == {
+        "ext_orders_benford", "ext_part_hits", "ext_part_triangles",
+        "ext_series_holt", "ext_series_level_shift", "ext_text_heaps",
+        "ext_text_readability", "streaming_level_shift_parity",
+        "streaming_ohlc_parity",
     }
-    # the r14-deferred stale-5 rows are back in-window (the first
-    # capacity-line rotation completing on schedule); the two KMV rows
-    # among them merged into ext_sketch_kmv_report (priority 2 above)
-    for comeback in ("ext_text_pii_roundtrip", "ext_train_quality_eval",
-                     "ext_unpivot_flags", "streaming_anomaly_parity",
-                     "streaming_current_value_parity",
-                     "streaming_dedup_parity", "streaming_kmv_parity"):
+    # the merge-deferred rows and the item-6 stale-horizon rows made
+    # the window (the capacity line paying its debt on schedule)
+    for comeback in ("ext_decontaminate_bloom", "ext_decontaminate_embed",
+                     "streaming_pq_ingest_parity",
+                     "streaming_sketch_parity"):
         assert comeback in CHECK_WINDOW, comeback
     for merged_away in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
                         "ext_set_intersect", "ext_set_except",
@@ -245,12 +235,12 @@ def test_check_window_is_first_50_harness_queries():
     # merges #3 and #4's composite rows
     assert "ext_asof_report" in REGISTRY
     assert "ext_sketch_hll_report" in REGISTRY
-    assert CHECK_WINDOW[-1] == "ext_customers_semi"
-    # the r14 window (6 core + 8 r14 registrations + 36 stale-4)
+    assert CHECK_WINDOW[-1] == "ext_anomaly_zscore"
+    # the r15 window (22 core + 14 r15 registrations + stale rows)
     # rotated OUT — re-attested last round, stale-1 now
-    for fresh in ("bucket_day", "scheme_pattern_scan",
-                  "ext_series_cross_corr", "ext_sketch_bloom",
-                  "ext_sketch_cms_topk"):
+    for fresh in ("bucket_hour", "timepoint_asof", "ext_asof_report",
+                  "ext_part_pagerank", "ext_sketch_hll_report",
+                  "streaming_counter_rate_parity"):
         assert fresh not in CHECK_WINDOW, fresh
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"

@@ -812,10 +812,11 @@ FROM m ORDER BY segment, digit"""
 
 
 def test_benford_screen_excludes_non_finite_amounts(spark):
-    """NaN and +Infinity amounts are excluded, not crashed on: NaN
-    passes Spark's ≥ 1 ordering (NaN sorts above everything) and would
-    reach element_at with digit 0; +Inf saturates the BIGINT cast into
-    a phantom digit 9 (r15 review finding)."""
+    """NaN, +Infinity, AND finite doubles past int64 are excluded, not
+    crashed on: NaN passes Spark's ≥ 1 ordering (NaN sorts above
+    everything) and would reach element_at with digit 0; +Inf or a
+    finite 1e19 saturates Spark's BIGINT cast into a phantom digit 9
+    where DuckDB's cast raises (r15 review + r16 advice findings)."""
     from dariadb_spark.ext.relational import benford_screen
 
     rows = [
@@ -823,6 +824,7 @@ def test_benford_screen_excludes_non_finite_amounts(spark):
         (2, 1, "O", float("nan"), __import__("datetime").datetime(2024, 1, 1), "P"),
         (3, 1, "O", float("inf"), __import__("datetime").datetime(2024, 1, 1), "P"),
         (4, 1, "O", 0.5, __import__("datetime").datetime(2024, 1, 1), "P"),
+        (5, 1, "O", 1e19, __import__("datetime").datetime(2024, 1, 1), "P"),
     ]
     orders = spark.createDataFrame(
         rows,
