@@ -705,7 +705,9 @@ FROM ks LEFT JOIN hits h ON ks.q_id = h.q_id
 ORDER BY q_id"""
 
 
-register("ext_ann_recall_eval", ann_recall_eval, ANN_RECALL_SQL)
+# Driver row merged round 16 into ext_ann_recall_report (merge #5, the
+# set_ops/hll_report shape) — the function and its pytest coverage stay;
+# see ann_recall_report below for the audit note.
 
 
 # --- per-label centroids (k-means M-step / IVF coarse training) -----------
@@ -1953,8 +1955,84 @@ SELECT CAST(dim AS BIGINT) AS dim, v2s,
        round(CAST(v2s AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)), 6) AS loading
 FROM v2s CROSS JOIN nrm WHERE s2 > 0 ORDER BY dim"""
 
-register("ext_ann_recall_lsh", ann_recall_lsh, ANN_RECALL_LSH_SQL)
 register("ext_embedding_pca", embedding_pca, EMBEDDING_PCA_SQL)
+
+
+# --- ANN recall report (merge #5: the IVF + LSH recall evals) -----------------
+# Registered round 16, executing VERDICT r15 item 3. The audit of the
+# recall-eval trio (the retention-matrix duplication criterion, r13):
+#   * ext_ann_recall_eval (IVF) and ext_ann_recall_lsh share the
+#     IDENTICAL exact cosine top-k baseline per query and the identical
+#     output shape (q_id, k, n_hits, recall) — each is a pure
+#     method-filter of a method-tagged composite, so the merge is the
+#     set_ops/hll_report shape and ONE slot is freed. The composite is
+#     also strictly cheaper than the pair: the exact brute-force
+#     baseline is computed ONCE and joined against both index outputs.
+#   * ext_ann_recall_pq is NOT mergeable — the audit is allowed to say
+#     no (the KMV precedent): its exact baseline is L2 distance (not
+#     cosine, different ground-truth set), and its row shape carries
+#     TWO variants per row (adc raw + shortlist-reranked), so
+#     reproducing it from a tall method-tagged composite needs a
+#     two-row pivot, which is outside the projection/filter line the
+#     merge criterion draws. It stays individually registered.
+# Both original functions keep their pytest coverage; the projections
+# pin lives in tests/test_plans.py::test_ann_recall_report_projections.
+
+
+def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of BOTH bucketed ANN paths (IVF probes, LSH tables)
+    against the ONE exact brute-force cosine top-k, method-tagged —
+    filters ``method = 'ivf'`` / ``method = 'lsh'`` reproduce the two
+    pre-merge driver rows (modulo the unified ``recall`` column name).
+
+    Plan shape (100 TB): the exact baseline is the 5-query broadcast
+    nested loop (query-count-sized, never corpus²) computed once; each
+    method side joins a TOP_K·|queries|-row set against it — both
+    joins broadcastable, no shuffle grows with the corpus."""
+    exact = sim_topk_cosine(spark, sf).select("q_id", "vec_id")
+    ks = exact.groupBy("q_id").agg(F.count("*").alias("k"))
+    sides = []
+    for method, pipeline in (("ivf", sim_ann_ivf), ("lsh", sim_ann_lsh)):
+        hits = (
+            exact.join(
+                pipeline(spark, sf).select("q_id", "vec_id"),
+                ["q_id", "vec_id"],
+            )
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        sides.append(
+            ks.join(hits, "q_id", "left").select(
+                F.lit(method).alias("method"),
+                "q_id",
+                "k",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)) / F.col("k"), 4
+                ).alias("recall"),
+            )
+        )
+    return sides[0].unionByName(sides[1]).orderBy("method", "q_id")
+
+
+def _recall_report_sql() -> str:
+    # the two pre-merge oracles verbatim as method-tagged subqueries
+    # (one source of truth for each pipeline's SQL text) — DuckDB
+    # supports WITH inside a parenthesized subquery
+    ivf = ANN_RECALL_SQL.rsplit("ORDER BY q_id", 1)[0]
+    lsh = ANN_RECALL_LSH_SQL.rsplit("ORDER BY e.q_id", 1)[0]
+    return f"""
+SELECT 'ivf' AS method, q_id, k, n_hits, recall_at_k AS recall
+FROM ({ivf})
+UNION ALL
+SELECT 'lsh' AS method, q_id, k, n_hits, recall
+FROM ({lsh})
+ORDER BY method, q_id"""
+
+
+ANN_RECALL_REPORT_SQL = _recall_report_sql()
+
+register("ext_ann_recall_report", ann_recall_report, ANN_RECALL_REPORT_SQL)
 
 
 # --- per-label embedding outlier screen ---------------------------------------

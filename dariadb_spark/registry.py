@@ -959,7 +959,18 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      over a unified column set whose filters reproduce all three;
 #      TWO slots freed, all three operators keep their pytest
 #      coverage).
-#   5. fn_* stay individually registered (CORE reference verbs — the
+#   5. EXECUTED r16 (audited same round): the ANN recall-eval trio →
+#      ext_ann_recall_report merges ONLY the IVF + LSH rows (identical
+#      exact cosine baseline, identical output shape — each original a
+#      pure method-filter of the tagged composite, AND the composite is
+#      cheaper than the pair since the brute-force baseline is computed
+#      once); the audit said NO to folding ext_ann_recall_pq — its
+#      exact baseline is L2 (a different ground-truth set) and its row
+#      shape carries two variants (adc + rerank), so reproducing it
+#      needs a pivot, outside the projection/filter line. One slot
+#      freed; pq stays registered; pinned by tests/test_plans.py::
+#      test_ann_recall_report_projections.
+#   6. fn_* stay individually registered (CORE reference verbs — the
 #      r12 decision stands; they are the parity evidence).
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.
@@ -1048,23 +1059,29 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # ext/analytics.py, pinned by test_plans.py::
 # test_set_ops_merge_projections).
 # Round-16 composition (EXECUTED — `tools/attestation_ledger.py --plan
-# 50` output at N = 220, verified identical to CHECK_WINDOW below):
-# ONE core row at stale-3 (partition_stats — the only core row the r15
-# window did not cover), the NINE round-15-staged registrations
-# (priority 2, driver-checked from day one), the 38 stale-5 [EXT] rows
-# in ledger order — which include the two merge-deferred rows
-# (ext_decontaminate_embed, ext_decontaminate_bloom) first in line as
-# promised, AND the two oldest attestations flagged by VERDICT r15
-# item 6 (streaming_pq_ingest_parity, streaming_sketch_parity, r11
-# green, stale-5 here — the rotation picked them up automatically) —
-# then the 2 oldest stale-4 [EXT] rows. 1 + 9 + 38 + 2 = exactly 50.
-# Ledger verdict: no policy violations; worst leftover staleness
-# stale-4 (policy line: core ≤ 3, all ≤ 5 at N = 220).
+# 50` output at N = 219 after merge #5, verified identical to
+# CHECK_WINDOW below): ONE core row at stale-3 (partition_stats — the
+# only core row the r15 window did not cover), the NINE
+# round-15-staged registrations PLUS merge #5's composite row
+# ext_ann_recall_report (priority 2, driver-checked from day one — the
+# composite joined mid-round when the merge landed, displacing the
+# last stale-4 row ext_anomaly_zscore to next rotation, the exact
+# asof_report precedent; ledger-confirmed violation-free), the 38
+# stale-5 [EXT] rows in ledger order — which include the two
+# merge-deferred rows (ext_decontaminate_embed, ext_decontaminate_bloom)
+# first in line as promised, AND the two oldest attestations flagged by
+# VERDICT r15 item 6 (streaming_pq_ingest_parity,
+# streaming_sketch_parity, r11 green, stale-5 here — the rotation
+# picked them up automatically) — then the single oldest stale-4 [EXT]
+# row. 1 + 10 + 38 + 1 = exactly 50. Ledger verdict: no policy
+# violations; worst leftover staleness stale-4 (policy line: core ≤ 3,
+# all ≤ 5 at N = 219).
 CHECK_WINDOW = [
     # priority 1: the single core reference row at stale-3
     "partition_stats",
-    # priority 2: round-16 registrations (the nine r15-staged ops) —
-    # driver-checked from day one
+    # priority 2: round-16 registrations (the nine r15-staged ops +
+    # merge #5's composite) — driver-checked from day one
+    "ext_ann_recall_report",
     "ext_orders_benford", "ext_part_hits", "ext_part_triangles",
     "ext_series_holt", "ext_series_level_shift", "ext_text_heaps",
     "ext_text_readability", "streaming_level_shift_parity",
@@ -1084,8 +1101,10 @@ CHECK_WINDOW = [
     "ext_text_perplexity", "ext_text_redact", "ext_top_orders_per_cust",
     "ext_topk_customers", "ext_topk_per_series", "ext_value_cdf",
     "streaming_pq_ingest_parity", "streaming_sketch_parity",
-    # priority 3b: the 2 oldest stale-4 [EXT] rows, ledger order
-    "ext_ann_recall_pq", "ext_anomaly_zscore",
+    # priority 3b: the single oldest stale-4 [EXT] row (ledger order;
+    # ext_anomaly_zscore displaced to next rotation by merge #5's
+    # composite, ledger-confirmed violation-free)
+    "ext_ann_recall_pq",
 ]
 
 

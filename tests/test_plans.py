@@ -212,9 +212,13 @@ def test_check_window_is_first_50_harness_queries():
     # rows (decontaminate_embed/bloom, first in line as promised r15)
     # and the two oldest attestations VERDICT r15 item 6 flagged
     # (streaming_pq_ingest_parity / streaming_sketch_parity, green r11)
-    # — then the 2 oldest stale-4 [EXT] rows. 1 + 9 + 38 + 2 = 50.
+    # — then the single oldest stale-4 [EXT] row; merge #5's composite
+    # ext_ann_recall_report joined priority 2 mid-round, displacing the
+    # last stale-4 row ext_anomaly_zscore (the asof_report precedent).
+    # 1 + 10 + 38 + 1 = 50.
     assert CHECK_WINDOW[0] == "partition_stats"
-    assert set(CHECK_WINDOW[1:10]) == {
+    assert set(CHECK_WINDOW[1:11]) == {
+        "ext_ann_recall_report",
         "ext_orders_benford", "ext_part_hits", "ext_part_triangles",
         "ext_series_holt", "ext_series_level_shift", "ext_text_heaps",
         "ext_text_readability", "streaming_level_shift_parity",
@@ -230,12 +234,16 @@ def test_check_window_is_first_50_harness_queries():
                         "ext_set_intersect", "ext_set_except",
                         "ext_asof_join", "ext_asof_nearest",
                         "ext_sketch_hll_distinct", "ext_sketch_hll_union",
-                        "ext_sketch_hll_m64"):
+                        "ext_sketch_hll_m64",
+                        "ext_ann_recall_eval", "ext_ann_recall_lsh"):
         assert merged_away not in REGISTRY, merged_away
-    # merges #3 and #4's composite rows
+    # merges #3, #4, and #5's composite rows; the audit kept pq OUT of
+    # merge #5 (L2 baseline, two-variant row shape)
     assert "ext_asof_report" in REGISTRY
     assert "ext_sketch_hll_report" in REGISTRY
-    assert CHECK_WINDOW[-1] == "ext_anomaly_zscore"
+    assert "ext_ann_recall_report" in REGISTRY
+    assert "ext_ann_recall_pq" in REGISTRY
+    assert CHECK_WINDOW[-1] == "ext_ann_recall_pq"
     # the r15 window (22 core + 14 r15 registrations + stale rows)
     # rotated OUT — re-attested last round, stale-1 now
     for fresh in ("bucket_hour", "timepoint_asof", "ext_asof_report",
@@ -634,6 +642,33 @@ def test_set_ops_merge_projections(spark, oracle_sf_dir):
         tuple(r) for r in set_except(spark, oracle_sf_dir).collect()
     )
     assert len(inter) > 0 and len(exc) > 0
+
+
+def test_ann_recall_report_projections(spark, oracle_sf_dir):
+    """Merge #5 of the 250-ceiling trajectory (registry.py, executed
+    r16): the single registered `ext_ann_recall_report` row must
+    reproduce BOTH original recall evals by method-filter+projection,
+    so the consolidation loses no attested semantics. (The audit kept
+    ext_ann_recall_pq OUT of this merge — L2 baseline, two-variant row
+    shape — so it is not asserted here; it keeps its own driver row.)"""
+    from dariadb_spark.ext.similarity import (
+        ann_recall_eval,
+        ann_recall_lsh,
+        ann_recall_report,
+    )
+
+    rep = [
+        tuple(r) for r in ann_recall_report(spark, oracle_sf_dir).collect()
+    ]
+    ivf = [r[1:] for r in rep if r[0] == "ivf"]
+    lsh = [r[1:] for r in rep if r[0] == "lsh"]
+    assert ivf == [
+        tuple(r) for r in ann_recall_eval(spark, oracle_sf_dir).collect()
+    ]
+    assert lsh == [
+        tuple(r) for r in ann_recall_lsh(spark, oracle_sf_dir).collect()
+    ]
+    assert len(ivf) > 0 and len(lsh) > 0
 
 
 def test_no_cartesian_product_in_staged_r16_plans(spark, oracle_sf_dir):
