@@ -4447,24 +4447,41 @@ def stress_series_trend(spark) -> tuple[float, int]:
         else:
             assert tuple(row)[1:] == (m, alt_slope, -r, alt_tau), row
 
-    # Year-of-hourly panel (VERDICT r14 item 5's target shape): 32
-    # series × 8760 hourly cells. Under the retired pair join this was
-    # 32 × 38.4M pairs; the merge-count fold is 32 × O(m log m). Ramp
-    # closed form (value = cents ramp → yq = x exactly): slope 0.01,
-    # S = m(m−1)/2, tau = 1 — asserted per series.
+    # Year-of-hourly panel at the FULL 200-series stress grid (VERDICT
+    # r15 item 5 promoted this from the 32-series probe): 200 series ×
+    # 8760 hourly cells. Under the retired pair join this was
+    # 200 × 38.4M pairs (7.7 G pair rows); the merge-count fold is
+    # 200 × O(m log m). 100 ramp series (value = cents ramp → yq = x
+    # exactly: slope 0.01, S = m(m−1)/2, tau = 1) and 100 alternating
+    # ±1.0 series (hourly cells alternate sign directly: S = −m/2 via
+    # the up/down pair census, tau/slope the matching exact rationals)
+    # — closed-form S asserted for EVERY series.
     ym = 8760
-    ymeas = spark.range(32 * ym).selectExpr(
-        "id % 32 AS id",
-        "(id DIV 32) * 3600000 AS time",
-        "CAST(id DIV 32 AS DOUBLE) / 100.0d AS value",
+    yn = TREND_STRESS_SERIES * ym
+    ymeas = spark.range(yn).selectExpr(
+        f"id % {TREND_STRESS_SERIES} AS id",
+        f"(id DIV {TREND_STRESS_SERIES}) * 3600000 AS time",
+        f"""CASE WHEN id % {TREND_STRESS_SERIES} < 100
+             THEN CAST(id DIV {TREND_STRESS_SERIES} AS DOUBLE) / 100.0d
+             ELSE CASE WHEN (id DIV {TREND_STRESS_SERIES}) % 2 = 0
+                  THEN 1.0d ELSE -1.0d END END AS value""",
         "CAST(0 AS BIGINT) AS flag",
     )
     t0 = time.perf_counter()
     yrows = series_trend_op(ymeas, None, 0, ym * 3_600_000, 3_600_000, 0).collect()
     tr_year_s = time.perf_counter() - t0
-    assert len(yrows) == 32, len(yrows)
+    assert len(yrows) == TREND_STRESS_SERIES, len(yrows)
+    yr = ym // 2
+    ysx = ym * (ym - 1) // 2
+    ysxx = (ym - 1) * ym * (2 * ym - 1) // 6
+    yden = ym * ysxx - ysx * ysx
+    yalt_slope = round(ym * (-100 * yr) / yden / 100, 6)
+    yalt_tau = round(2 * (-yr) / (ym * (ym - 1)), 6)
     for row in yrows:
-        assert tuple(row)[1:] == (ym, 0.01, ym * (ym - 1) // 2, 1.0), row
+        if row.id < 100:
+            assert tuple(row)[1:] == (ym, 0.01, ym * (ym - 1) // 2, 1.0), row
+        else:
+            assert tuple(row)[1:] == (ym, yalt_slope, -yr, yalt_tau), row
     return tr_s, tr_year_s, len(rows)
 
 
