@@ -74,17 +74,36 @@ class TsEngine:
 
     @classmethod
     def open(
-        cls, spark: SparkSession, path: str, catalog: str = "json"
+        cls,
+        spark: SparkSession,
+        path: str,
+        catalog: str = "json",
+        backend: str = "parquet",
     ) -> "TsEngine":
         """``catalog="json"`` keeps the scheme as an ephemeral driver
         dict (reference scheme.json layout via ``SeriesCatalog(path)``
         when persistence is wanted); ``catalog="table"`` persists it as
         a parquet table under ``<path>/scheme`` whose read path is a
         cluster-side scan (:class:`~dariadb_spark.scheme.
-        TableSeriesCatalog`) — the at-scale J2 deployment shape."""
+        TableSeriesCatalog`) — the at-scale J2 deployment shape.
+
+        ``backend`` selects the store behind the :class:`TsStore` seam:
+        ``"parquet"`` is the directory-listing store
+        (:class:`ParquetTsStore`); ``"log"`` is the versioned-manifest
+        store (:class:`~dariadb_spark.sources.log_store.LogTsStore`) —
+        snapshot reads, atomic multi-writer commits, logical-delete
+        retention, the Delta/Iceberg-shaped deployment without external
+        jars. Both pass the same parametrized lifecycle tests."""
         from dariadb_spark.scheme import TableSeriesCatalog
 
-        store = ParquetTsStore(spark, path)
+        if backend == "log":
+            from dariadb_spark.sources.log_store import LogTsStore
+
+            store: "TsStore" = LogTsStore(spark, path)
+        elif backend == "parquet":
+            store = ParquetTsStore(spark, path)
+        else:
+            raise ValueError(f"unknown backend: {backend!r}")
         scheme = (
             TableSeriesCatalog(spark, str(store.root / "scheme"))
             if catalog == "table"

@@ -1,0 +1,307 @@
+"""Versioned-manifest measurement store — the shippable form of the
+transaction-log backend the store seam was built for (SURVEY.md §1.3's
+"swap ParquetTsStore for a Delta/Iceberg table" row, VERDICT r15 item 4).
+
+tests/test_delta_seam.py proved the INTERFACE with a mock; this module is
+the backend a deployment without Delta/Iceberg jars can actually run: the
+same commit protocol a real transaction log uses (atomic O_EXCL version
+files, snapshot by log replay, logical deletes, optimistic-concurrency
+retry with conflict validation), with every data write executed BY SPARK —
+nothing funnels through the driver.
+
+Reference storage roles (libdariadb/storage/) under this backend:
+  * WAL + Manifest  → the ``_log/`` versioned commits (one JSON per
+    version; the log IS the manifest, and an un-committed write is
+    invisible exactly like an un-flushed WAL entry)
+  * Pages/.pagei    → the immutable hive-laid parquet files under
+    ``files/`` (row-group stats prune on id/time within a file)
+  * Dropper         → :meth:`compact` (add merged files, remove inputs —
+    one atomic commit)
+  * eraseOld        → :meth:`erase_old` (expired days are REMOVE ACTIONS
+    ONLY — a logical delete that never reads the data; the boundary day
+    is the single rewrite)
+  * fsck/GC         → :meth:`vacuum` (delete on-disk files no snapshot
+    references — safe because committed versions are immutable)
+
+Commit protocol (the essence of Delta's, scoped to one filesystem):
+
+* A commit is the atomic ``O_EXCL`` creation of ``_log/<v>.json`` at the
+  next version. Two racing writers: exactly one wins the version; the
+  loser re-reads the log and RETRIES.
+* Append commits touch disjoint new files, so a lost race retries
+  blindly — appends from any number of writers serialize without data
+  conflicts (this is why a log backend gets ``isolated`` appends for
+  free; the flag is accepted and ignored).
+* Maintenance commits (compact/erase) name files they REMOVE; after a
+  lost race the retry re-validates that every such file is still live
+  and raises :class:`ConcurrentModificationError` if a concurrent commit
+  took any of them — the optimistic-concurrency conflict rule.
+* Readers replay ``add`` minus ``remove`` actions into a snapshot and
+  read THAT file list (never a directory listing): a removed file that
+  still exists on disk is invisible, and every read is naturally pinned.
+
+Scale notes (100 TB): data files are hive-laid (``files/p_date=…/``) and
+read through an explicit file list with ``basePath``, so Catalyst still
+applies directory-level PartitionFilters — the same pruning the parquet
+backend gets, pinned by the parametrized engine tests. Snapshot replay is
+O(log length) driver-side JSON — the real-systems fix (Delta checkpoints /
+Iceberg manifest lists) is a compaction of the SAME action stream and
+slots in behind :meth:`_snapshot` without touching any verb.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dariadb_spark.model import MEAS_FIELDS
+
+_DAY_MS = 86_400_000
+_EMPTY_SCHEMA = "id bigint, time bigint, value double, flag bigint"
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A maintenance commit lost its optimistic-concurrency race: a file
+    it planned to remove was already removed (or rewritten) by a
+    concurrent commit. The caller re-plans from a fresh snapshot."""
+
+
+def _day_of(ms: int) -> str:
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(
+        (ms // _DAY_MS) * 86_400, dt.timezone.utc
+    ).strftime("%Y-%m-%d")
+
+
+class LogTsStore:
+    """Versioned-manifest parquet measurement store.
+
+    Layout::
+
+        <root>/files/p_date=YYYY-MM-DD/<token>-part-*.parquet
+        <root>/_log/<version 020d>.json   # {"add": [{"path","p_date"}],
+                                          #  "remove": ["path", ...]}
+        <root>/stage-<token>/             # transient Spark write staging
+
+    Satisfies :class:`dariadb_spark.sources.store_protocol.TsStore`
+    structurally; selectable via ``TsEngine.open(path, backend="log")``.
+    """
+
+    #: bounded optimistic-concurrency retries before giving up — each
+    #: attempt re-reads the log, so only pathological contention exhausts
+    #: this (a real deployment tunes it like a Delta client's)
+    MAX_COMMIT_RETRIES = 50
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.files_dir = self.root / "files"
+        self.log_dir = self.root / "_log"
+        self.files_dir.mkdir(parents=True, exist_ok=True)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+
+    # -- log machinery ----------------------------------------------------
+    def _version_files(self) -> list[Path]:
+        return sorted(self.log_dir.glob("*.json"))
+
+    def _snapshot(self) -> dict[str, str]:
+        """path -> p_date of the live files, by log replay."""
+        live: dict[str, str] = {}
+        for v in self._version_files():
+            actions = json.loads(v.read_text())
+            for add in actions.get("add", []):
+                live[add["path"]] = add["p_date"]
+            for rm in actions.get("remove", []):
+                live.pop(rm, None)
+        return live
+
+    def _try_commit(self, adds: list[dict], removes: list[str]) -> bool:
+        """One O_EXCL attempt at the next version; False on a lost race."""
+        n = len(self._version_files())
+        target = self.log_dir / f"{n:020d}.json"
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps({"add": adds, "remove": removes}))
+        try:
+            # link(2) is the atomic-exclusive publish: it fails with
+            # FileExistsError if the version exists and never exposes a
+            # half-written commit (the tmp file is complete before link)
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    def _commit(
+        self, adds: list[dict], removes: list[str], validate: bool = False
+    ) -> None:
+        """Commit with optimistic-concurrency retry. ``validate=True``
+        (maintenance commits) re-checks after every lost race that all
+        ``removes`` are still live; appends retry blindly — new files
+        cannot conflict."""
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            if validate and removes:
+                live = self._snapshot()
+                gone = [p for p in removes if p not in live]
+                if gone:
+                    raise ConcurrentModificationError(
+                        f"files removed by a concurrent commit: {gone[:3]}"
+                    )
+            if self._try_commit(adds, removes):
+                return
+        raise ConcurrentModificationError(
+            f"lost {self.MAX_COMMIT_RETRIES} straight version races"
+        )
+
+    # -- data-file writing (always by Spark) ------------------------------
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Spark-write ``df`` hive-partitioned by day into a unique
+        staging dir, then rename the part files into ``files/`` under
+        unique names; return the add actions. Rename-into-place is safe
+        from any number of concurrent writers (nothing shared, names
+        unique) and the files stay INVISIBLE until the log commit."""
+        token = uuid.uuid4().hex
+        stage = self.root / f"stage-{token}"
+        adds: list[dict] = []
+        try:
+            (
+                df.select(*MEAS_FIELDS)
+                .withColumn(
+                    "p_date",
+                    F.date_format(
+                        F.timestamp_millis(F.col("time")), "yyyy-MM-dd"
+                    ),
+                )
+                .write.partitionBy("p_date")
+                .mode("errorifexists")
+                .parquet(str(stage))
+            )
+            for pdir in sorted(stage.glob("p_date=*")):
+                day = pdir.name.split("=", 1)[1]
+                dest = self.files_dir / pdir.name
+                dest.mkdir(parents=True, exist_ok=True)
+                for f in sorted(pdir.glob("*.parquet")):
+                    out = dest / f"{token}-{f.name}"
+                    os.rename(f, out)
+                    adds.append({"path": str(out), "p_date": day})
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return adds
+
+    # -- TsStore surface ---------------------------------------------------
+    def append(self, meas: DataFrame, isolated: bool = False) -> int:
+        """Ingest measurements; returns the appended row count (observed
+        during the write — no second pipeline run). Atomic and
+        multi-writer-safe by the log protocol itself: the whole append
+        becomes visible at its commit or not at all, so ``isolated`` is
+        accepted for interface parity and ignored."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        adds = self._write_files(
+            meas.select(*MEAS_FIELDS).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+        )
+        n = obs.get["n"]
+        if adds:
+            self._commit(adds, [])
+        return n
+
+    def read(self) -> DataFrame:
+        """The live rows — resolved from the LOG, never a directory
+        listing (a removed-but-on-disk file is invisible). Every read is
+        a pinned snapshot by construction."""
+        return self.read_snapshot()
+
+    def read_snapshot(self) -> DataFrame:
+        live = self._snapshot()
+        if not live:
+            return self.spark.createDataFrame([], _EMPTY_SCHEMA)
+        from dariadb_spark.model import RAW_DAY
+
+        # ONE scan over the explicit file list; basePath re-derives the
+        # hive p_date so Catalyst still prunes whole day directories
+        # (PartitionFilters) — pinned by the parametrized engine test.
+        return (
+            self.spark.read.option("basePath", str(self.files_dir))
+            .parquet(*sorted(live))
+            .select(*MEAS_FIELDS, F.col("p_date").alias(RAW_DAY))
+        )
+
+    def compact(self, files_per_partition: int = 1) -> None:
+        """Fold each day's small append files into ``files_per_partition``
+        (id, time)-sorted files — adds + removes in ONE atomic commit, so
+        readers see either the old layout or the new, never both."""
+        live = self._snapshot()
+        by_day: dict[str, list[str]] = {}
+        for path, day in live.items():
+            by_day.setdefault(day, []).append(path)
+        adds: list[dict] = []
+        removes: list[str] = []
+        for day, paths in sorted(by_day.items()):
+            if len(paths) <= files_per_partition:
+                continue
+            merged = (
+                self.spark.read.parquet(*paths)
+                .repartition(files_per_partition)
+                .sortWithinPartitions("id", "time")
+                .select(*MEAS_FIELDS)
+            )
+            adds.extend(self._write_files(merged))
+            removes.extend(paths)
+        if adds or removes:
+            self._commit(adds, removes, validate=True)
+
+    def erase_old(self, cutoff_ms: int) -> None:
+        """Retention: fully-expired days are REMOVE ACTIONS ONLY — a
+        logical delete that reads nothing (the at-scale win over any
+        rewrite); the single boundary day is rewritten to keep
+        ``time >= cutoff``."""
+        cutoff_day = _day_of(cutoff_ms)
+        live = self._snapshot()
+        adds: list[dict] = []
+        removes: list[str] = []
+        boundary: list[str] = []
+        for path, day in sorted(live.items()):
+            if day < cutoff_day:
+                removes.append(path)
+            elif day == cutoff_day:
+                boundary.append(path)
+        if boundary:
+            kept = (
+                self.spark.read.parquet(*boundary)
+                .where(F.col("time") >= cutoff_ms)
+                .select(*MEAS_FIELDS)
+            )
+            adds.extend(self._write_files(kept))
+            removes.extend(boundary)
+        if adds or removes:
+            self._commit(adds, removes, validate=True)
+
+    # -- GC ----------------------------------------------------------------
+    def vacuum(self) -> int:
+        """Delete on-disk data files the CURRENT snapshot does not
+        reference; returns the number deleted. Safe because commits only
+        ever add new unique names — a file absent from the live set can
+        never become live again. (A real deployment adds a retention
+        horizon so pinned old-snapshot readers finish first; this
+        single-filesystem store documents that trade instead.)"""
+        live = set(self._snapshot())
+        dropped = 0
+        for f in sorted(self.files_dir.glob("p_date=*/*.parquet")):
+            if str(f) not in live:
+                f.unlink()
+                dropped += 1
+        # prune now-empty day dirs so directory listings stay honest
+        for d in sorted(self.files_dir.glob("p_date=*")):
+            if not any(d.iterdir()):
+                d.rmdir()
+        return dropped

@@ -36,6 +36,12 @@ transaction-log store (mock ``_delta_log`` with add/remove actions,
 snapshot resolution, logical deletes) passes the SAME lifecycle drive
 as the parquet store — including the log-specific property a directory
 listing cannot express (removed-but-on-disk files stay invisible).
+
+Since round 16 the seam also has a SHIPPED second backend:
+:class:`dariadb_spark.sources.log_store.LogTsStore` (versioned-manifest
+commits, optimistic concurrency, vacuum GC), selectable via
+``TsEngine.open(path, backend="log")`` and exercised by the
+parametrized lifecycle matrix in tests/test_engine.py.
 """
 
 from __future__ import annotations
