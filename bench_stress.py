@@ -2516,6 +2516,7 @@ def main() -> None:
     ls_s, ls_n = stress_series_level_shift(spark)
     hits_s, hits_n = stress_part_hits(spark)
     slsh_s, slsh_batch_s, slsh_n = stress_streaming_level_shift(spark)
+    acf_s, acf_n = stress_series_acf(spark)
     print(
         json.dumps(
             {
@@ -2605,6 +2606,7 @@ def main() -> None:
                     "streaming_level_shift_2m_batch_twin": round(
                         slsh_batch_s, 4
                     ),
+                    "series_acf_20m": round(acf_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -4902,6 +4904,75 @@ def stress_streaming_level_shift(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+ACF_STRESS_ROWS = 20_000_000
+ACF_STRESS_SERIES = 2000
+
+
+def stress_series_acf(spark) -> tuple[float, int]:
+    """Staged r17 ACF at 20M rows / 2000 series / 10000 hourly cells
+    each (one sample per cell, so yq is the exact sample): EVEN series
+    alternate ±1.0 (closed form r_k = (−1)^k·(n−k)/n at ȳ = 0), ODD
+    series replay the period-4 pattern 0,+1,0,−1 (a pure lag-4 cycle:
+    r_4 ≈ +1, r_2 ≈ −1, odd lags 0) — both classes re-derived in
+    Python from the same exact integers and asserted DISTRIBUTED via
+    violation counts, never a collect of the cell table."""
+    from dariadb_spark.ext.timeseries import series_acf_op
+    from pyspark.sql import functions as FF
+
+    n, s = ACF_STRESS_ROWS, ACF_STRESS_SERIES
+    m = n // s  # 10000 cells per series
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 3600000 AS time",
+        f"""CASE WHEN (id % {s}) % 2 = 0
+             THEN CASE WHEN (id DIV {s}) % 2 = 0 THEN 1.0d ELSE -1.0d END
+             ELSE CASE (id DIV {s}) % 4 WHEN 1 THEN 1.0d WHEN 3 THEN -1.0d
+                  ELSE 0.0d END END AS value""",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+
+    def _replay(y: list[int]) -> dict[int, float]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        sm, q = sum(y), sum(v * v for v in y)
+        den = m * m * q - m * sm * sm
+        out = {}
+        for k in range(1, 6):
+            p = sum(y[i] * y[i - k] for i in range(k, m))
+            a, b = sum(y[k:]), sum(y[: m - k])
+            num = m * m * p - m * sm * (a + b) + (m - k) * sm * sm
+            out[k] = float(
+                Decimal(repr(num / den)).quantize(
+                    Decimal("1e-6"), ROUND_HALF_UP
+                )
+            )
+        return out
+
+    even = _replay([100 if i % 2 == 0 else -100 for i in range(m)])
+    odd = _replay([(0, 100, 0, -100)[i % 4] for i in range(m)])
+    t0 = time.perf_counter()
+    out = series_acf_op(meas, None, 0, m * 3_600_000, 3_600_000, 5)
+    exp = " ".join(
+        f"WHEN id % 2 = 0 AND lag = {k} THEN {even[k]!r}d "
+        f"WHEN id % 2 = 1 AND lag = {k} THEN {odd[k]!r}d"
+        for k in range(1, 6)
+    )
+    agg = out.agg(
+        FF.count("*").alias("rows"),
+        FF.sum(
+            FF.when(
+                (FF.col("n_cells") != m)
+                | ~FF.col("acf").eqNullSafe(FF.expr(f"CASE {exp} END")),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    acf_s = time.perf_counter() - t0
+    assert agg["rows"] == s * 5 and agg["bad"] == 0, (agg, even, odd)
+    return acf_s, n
+
 
 if __name__ == "__main__":
     # the guard lives at the true END of the module: stress functions

@@ -3310,3 +3310,167 @@ register(
     _streaming_level_shift_parity,
     SERIES_LEVEL_SHIFT_SQL,
 )
+
+
+# --- autocorrelation function (sequence-lag ACF) -------------------------------
+# STAGED for the round-17 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). After seasonal_strength's "does the
+# hour-of-day phase EXPLAIN the variance?" this is the family's "does it
+# repeat, and at WHICH lag?" verb: the classic ACF the Box–Jenkins
+# identification step reads — computed on the hourly PAA grid, with the
+# lag defined on the OBSERVED cell sequence (row-number order), so gaps
+# do not manufacture phantom lags and the statistic is deterministic on
+# any sampling pattern.
+
+ACF_BUCKET_MS = HOUR_MS
+ACF_LAGS = 5
+
+
+def series_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`series_acf_op`)."""
+    return series_acf_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, ACF_BUCKET_MS, ACF_LAGS
+    )
+
+
+def series_acf_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    bucket_ms: int,
+    lags: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series autocorrelation at sequence lags 1..``lags`` over the
+    PAA grid: r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)² with the sums over
+    the observed-cell sequence.
+
+    Exactness recipe (the seasonal_strength pattern — FIXED-ARITY float
+    expressions assembled from exact wide integers, so no accumulation
+    order exists to diverge): cells are HALF_UP cent PAA means (int64);
+    ONE per-id window pass materializes the k lagged columns; ONE
+    aggregate per id collects n, S = Σy, Q = Σy² and per lag k the
+    exact DECIMAL/HUGEINT moments P_k = Σ y_t·y_{t−k},
+    A_k = Σ_{t>k} y_t, B_k = Σ_{t≤n−k} y_t. Then
+
+        n²·num_k = n²·P_k − n·S·(A_k + B_k) + (n−k)·S²
+        n²·den   = n²·Q − n·S²
+
+    are exact wide integers and each r_k is ONE rounded double
+    division. Zero-variance series are dropped (den = 0); lags ≥ n
+    yield NULL acf (no pairs to correlate).
+
+    Plan shape (100 TB): one (id, cell) partial-agg shuffle, one
+    per-id sorted window pass carrying the k lag columns, one per-id
+    aggregate, then a k-row stack of the single wide row — no join, no
+    second shuffle, group state bounded by the grid length."""
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = (
+        base.select(
+            "id", floor_bucket(F.col("time"), bucket_ms).alias("b"),
+            y.alias("y"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("y").alias("fs"), F.count("*").alias("fn"))
+        .selectExpr(
+            "id", "b",
+            # signed HALF_UP cent mean (Spark DIV truncates toward zero;
+            # operands are decomposed to magnitudes)
+            "CASE WHEN fs < 0 THEN -((2 * (-fs) + fn) DIV (2 * fn))"
+            " ELSE (2 * fs + fn) DIV (2 * fn) END AS yq",
+        )
+    )
+    w = Window.partitionBy("id").orderBy("b")
+    lagged = cells.select(
+        "id",
+        "yq",
+        *[F.lag("yq", k).over(w).alias(f"l{k}") for k in range(1, lags + 1)],
+    )
+    per_lag = []
+    for k in range(1, lags + 1):
+        per_lag += [
+            F.sum(
+                F.when(
+                    F.col(f"l{k}").isNotNull(),
+                    F.col("yq").cast("decimal(38,0)") * F.col(f"l{k}"),
+                )
+            ).alias(f"p{k}"),
+            F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("yq"))).alias(
+                f"a{k}"
+            ),
+            F.sum(F.col(f"l{k}")).alias(f"b{k}"),
+        ]
+    wide = lagged.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.sum("yq").alias("s"),
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("q"),
+        *per_lag,
+    )
+    den = (
+        "(CAST(n AS DECIMAL(38,0)) * n * q"
+        " - CAST(n AS DECIMAL(38,0)) * s * s)"
+    )
+    stacked = ", ".join(
+        f"{k}L, CASE WHEN n > {k} THEN round(CAST("
+        f"CAST(n AS DECIMAL(38,0)) * n * p{k}"
+        f" - CAST(n AS DECIMAL(38,0)) * s * (a{k} + b{k})"
+        f" + CAST(n - {k} AS DECIMAL(38,0)) * s * s"
+        f" AS DOUBLE) / CAST({den} AS DOUBLE), 6) ELSE NULL END"
+        for k in range(1, lags + 1)
+    )
+    return (
+        wide.where(F.expr(f"{den} > 0"))
+        .selectExpr(
+            "id",
+            "n AS n_cells",
+            f"stack({lags}, {stacked}) AS (lag, acf)",
+        )
+        .select("id", "lag", "n_cells", "acf")
+        .orderBy("id", "lag")
+    )
+
+
+def _acf_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(yq, {k}) OVER (PARTITION BY id ORDER BY b) AS l{k}"
+        for k in range(1, ACF_LAGS + 1)
+    )
+    mom_cols = ", ".join(
+        f"sum(CASE WHEN l{k} IS NOT NULL"
+        f" THEN CAST(yq AS HUGEINT) * l{k} END) AS p{k},"
+        f" sum(CASE WHEN l{k} IS NOT NULL THEN yq END) AS a{k},"
+        f" sum(l{k}) AS b{k}"
+        for k in range(1, ACF_LAGS + 1)
+    )
+    den = "(CAST(n AS HUGEINT) * n * q - CAST(n AS HUGEINT) * s * s)"
+    arms = " UNION ALL ".join(
+        f"SELECT id, {k} AS lag, CAST(n AS BIGINT) AS n_cells,"
+        f" CASE WHEN n > {k} THEN round(CAST("
+        f"CAST(n AS HUGEINT) * n * p{k}"
+        f" - CAST(n AS HUGEINT) * s * (a{k} + b{k})"
+        f" + CAST(n - {k} AS HUGEINT) * s * s"
+        f" AS DOUBLE) / CAST({den} AS DOUBLE), 6) ELSE NULL END AS acf"
+        f" FROM wide WHERE {den} > 0"
+        for k in range(1, ACF_LAGS + 1)
+    )
+    return f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, {floor_bucket_sql('time', ACF_BUCKET_MS)} AS b,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM measurements WHERE {_interval_sql()}),
+cells AS (SELECT id, b,
+                 CASE WHEN sum(y) < 0
+                      THEN -((2 * (-sum(y)) + count(*)) // (2 * count(*)))
+                      ELSE (2 * sum(y) + count(*)) // (2 * count(*)) END
+                   AS yq
+          FROM pts GROUP BY id, b),
+lagged AS (SELECT id, yq, {lag_cols} FROM cells),
+wide AS (SELECT id, count(*) AS n, CAST(sum(yq) AS BIGINT) AS s,
+                sum(CAST(yq AS HUGEINT) * yq) AS q, {mom_cols}
+         FROM lagged GROUP BY id)
+SELECT id, lag, n_cells, acf FROM ({arms}) ORDER BY id, lag"""
+
+
+SERIES_ACF_SQL = _acf_sql()

@@ -1,0 +1,108 @@
+"""Staged round-17 operators: parity + planted closed-form fixtures +
+property tests (the staging discipline every late operator goes through
+BEFORE its registration round — registry.py's staged-count comment is
+the source of truth for what is staged)."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from tests.parity import compare, duckdb_connection
+
+
+def _r6(x: float) -> float:
+    """Spark ``round(x, 6)`` replay: HALF_UP on the shortest decimal
+    rendering of the double (BigDecimal.valueOf semantics)."""
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+# --- ext_series_acf -----------------------------------------------------------
+
+def test_series_acf_parity_and_planted_alternating(spark, oracle_sf_dir):
+    """Fixture parity vs the DuckDB oracle, then the planted closed
+    form: an alternating ±1.0 series sampled once per hourly cell has
+    ȳ = 0 (even n), so r_k = (−1)^k·(n−k)/n exactly; a constant series
+    has zero variance and must be dropped."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_ACF_SQL,
+        series_acf,
+        series_acf_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_acf", series_acf(spark, oracle_sf_dir), con,
+        SERIES_ACF_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 75  # 15 ids × 5 lags
+
+    n = 48
+    rows = [(1, t * 3_600_000, 1.0 if t % 2 == 0 else -1.0, 0)
+            for t in range(n)]
+    rows += [(2, t * 3_600_000, 7.5, 0) for t in range(n)]  # zero variance
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    got = [
+        tuple(r)
+        for r in series_acf_op(meas, None, 0, n * 3_600_000, 3_600_000, 5)
+        .collect()
+    ]
+    expect = [
+        (1, k, n, _r6((-1) ** k * (n - k) / n)) for k in range(1, 6)
+    ]
+    assert got == expect, (got, expect)
+
+
+def test_series_acf_short_series_null_lags(spark):
+    """A series with fewer cells than the lag yields NULL acf for the
+    out-of-range lags (no pairs), not a crash or a dropped row."""
+    from dariadb_spark.ext.timeseries import series_acf_op
+
+    rows = [(1, 0, 1.0, 0), (1, 3_600_000, 3.0, 0),
+            (1, 7_200_000, 2.0, 0)]  # n = 3 cells
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    got = {
+        r.lag: r.acf
+        for r in series_acf_op(meas, None, 0, 10_800_000, 3_600_000, 5)
+        .collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[3] is None and got[4] is None and got[5] is None
+    assert got[1] is not None and got[2] is not None
+
+
+def test_series_acf_matches_python_reference(spark):
+    """Property: on a deterministic pseudo-random integer series the
+    operator equals a pure-Python exact-integer replay of the same
+    formula (one sample per cell so yq is exact)."""
+    from dariadb_spark.ext.timeseries import series_acf_op
+
+    n = 97
+    vals = [((i * 1103515245 + 12345) % 2000 - 1000) / 100.0
+            for i in range(n)]
+    meas = spark.createDataFrame(
+        [(7, i * 3_600_000, v, 0) for i, v in enumerate(vals)],
+        "id long, time long, value double, flag long",
+    )
+    got = [
+        tuple(r)
+        for r in series_acf_op(meas, None, 0, n * 3_600_000, 3_600_000, 5)
+        .collect()
+    ]
+    y = [round(v * 100) for v in vals]
+    s, q = sum(y), sum(v * v for v in y)
+    den = n * n * q - n * s * s
+    expect = []
+    for k in range(1, 6):
+        p = sum(y[i] * y[i - k] for i in range(k, n))
+        a = sum(y[k:])
+        b = sum(y[: n - k])
+        num = n * n * p - n * s * (a + b) + (n - k) * s * s
+        expect.append((7, k, n, _r6(num / den)))
+    assert got == expect
