@@ -2517,6 +2517,7 @@ def main() -> None:
     hits_s, hits_n = stress_part_hits(spark)
     slsh_s, slsh_batch_s, slsh_n = stress_streaming_level_shift(spark)
     acf_s, acf_n = stress_series_acf(spark)
+    par_s, par_n = stress_orders_pareto(spark)
     print(
         json.dumps(
             {
@@ -2607,6 +2608,7 @@ def main() -> None:
                         slsh_batch_s, 4
                     ),
                     "series_acf_20m": round(acf_s, 4),
+                    "orders_pareto_20m": round(par_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -4972,6 +4974,54 @@ def stress_series_acf(spark) -> tuple[float, int]:
     acf_s = time.perf_counter() - t0
     assert agg["rows"] == s * 5 and agg["bad"] == 0, (agg, even, odd)
     return acf_s, n
+
+
+PARETO_STRESS_ROWS = 20_000_000
+PARETO_STRESS_CUSTOMERS = 100_000
+
+
+def stress_orders_pareto(spark) -> tuple[float, int]:
+    """Staged r17 ABC screen at 20M orders / 100k customers: order j
+    carries exactly ((j %% 100k) %% 997 + 1) cents, so every customer's
+    revenue is the closed-form 200·((i %% 997) + 1) and the whole
+    rank → prefix-sum → class grid replays exactly in Python over the
+    100k customer ints (driver-side arithmetic, no Spark data moves);
+    the 3-row output must match the replay byte-for-byte."""
+    from dariadb_spark.ext.relational import orders_pareto_op
+
+    n, c = PARETO_STRESS_ROWS, PARETO_STRESS_CUSTOMERS
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        f"id % {c} AS o_custkey",
+        "'O' AS o_orderstatus",
+        f"CAST((id % {c}) % 997 + 1 AS DOUBLE) / 100.0d AS o_totalprice",
+        "timestamp_millis(1704067200000) AS o_orderdate",
+        "'P' AS o_orderpriority",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in orders_pareto_op(orders).collect()]
+    pareto_s = time.perf_counter() - t0
+
+    per = n // c  # orders per customer
+    cents = [per * ((i % 997) + 1) for i in range(c)]
+    total = sum(cents)
+    cum = 0
+    agg: dict[str, list[int]] = {}
+    for cent, _i in sorted(((cents[i], i) for i in range(c)),
+                           key=lambda t: (-t[0], t[1])):
+        cum += cent
+        cls = ("A" if 5 * cum <= 4 * total
+               else "B" if 20 * cum <= 19 * total else "C")
+        a = agg.setdefault(cls, [0, 0])
+        a[0] += 1
+        a[1] += cent
+    expect = [
+        (k, agg[k][0], agg[k][1],
+         (2 * agg[k][1] * 10**6 + total) // (2 * total))
+        for k in sorted(agg)
+    ]
+    assert got == expect, (got, expect[:3])
+    return pareto_s, n
 
 
 if __name__ == "__main__":

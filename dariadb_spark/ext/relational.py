@@ -1354,3 +1354,106 @@ PART_HITS_SQL = _hits_sql()
 # ≥100k-edge stress + hash-matched at sf0.1 in the staged sweep; the
 # r15 review's normalization-underflow hazard was fixed pre-staging).
 register("ext_part_hits", part_hits, PART_HITS_SQL)
+
+
+# --- Pareto / ABC revenue-concentration screen ---------------------------------
+# STAGED for the round-17 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). The BI family's "how CONCENTRATED
+# is the revenue?" verb next to rfm_segments' per-customer scoring: the
+# classic ABC split — customers ranked by lifetime revenue, class A
+# while the running share stays ≤ 80%, B to 95%, C after — reported as
+# the 3-row class summary a planner reads (members, revenue, share).
+
+#: class boundaries as exact integer comparisons on cent sums:
+#: A while 5·cum ≤ 4·total (≤ 80%), B while 20·cum ≤ 19·total (≤ 95%)
+PARETO_A_NUM, PARETO_A_DEN = 4, 5
+PARETO_B_NUM, PARETO_B_DEN = 19, 20
+
+
+def orders_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`orders_pareto_op`)."""
+    return orders_pareto_op(load_table(spark, sf, "orders"))
+
+
+def orders_pareto_op(orders: DataFrame) -> DataFrame:
+    """ABC classes over customers ranked by total order revenue.
+
+    Exactness: revenue is the exact int64 cent sum per customer
+    (round(price·100) before the cast, the house money rule); the
+    running total is an integer window sum over the (cents DESC,
+    custkey ASC) total order; the class decision is a pure integer
+    comparison (5·cum ≤ 4·total etc.) so the boundary member lands
+    identically on both engines; class shares are HALF_UP micro-units.
+
+    Plan shape (100 TB): one orders scan → one per-customer partial
+    aggregate (the only corpus-sized shuffle) → the ranking window runs
+    over CUSTOMERS, a dimension-sized set, in one partition here; at
+    extreme customer cardinality the same prefix-sum splits into the
+    range-partitioned two-pass (per-range totals broadcast back) with
+    identical integer semantics — the decision grid does not change.
+    Output is exactly ≤ 3 rows."""
+    cents = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    ranked = cents.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cents").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    ).selectExpr(
+        "cents",
+        "total",
+        f"CASE WHEN {PARETO_A_DEN} * cum <= {PARETO_A_NUM} * total"
+        " THEN 'A'"
+        f" WHEN {PARETO_B_DEN} * cum <= {PARETO_B_NUM} * total"
+        " THEN 'B' ELSE 'C' END AS abc_class",
+    )
+    return (
+        ranked.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("class_cents"),
+            F.max("total").alias("total"),
+        )
+        .selectExpr(
+            "abc_class",
+            "n_customers",
+            "class_cents",
+            "(2 * class_cents * 1000000 + total) DIV (2 * total)"
+            " AS share_micro",
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORDERS_PARETO_SQL = f"""WITH
+cust AS (SELECT o_custkey,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         FROM orders GROUP BY o_custkey),
+ranked AS (SELECT cents,
+                  sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+                  sum(cents) OVER () AS total
+           FROM cust),
+classed AS (SELECT cents, total,
+                   CASE WHEN {PARETO_A_DEN} * cum <= {PARETO_A_NUM} * total
+                        THEN 'A'
+                        WHEN {PARETO_B_DEN} * cum <= {PARETO_B_NUM} * total
+                        THEN 'B' ELSE 'C' END AS abc_class
+            FROM ranked)
+SELECT abc_class, count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS class_cents,
+       CAST((2 * sum(cents) * 1000000 + max(total)) // (2 * max(total))
+            AS BIGINT) AS share_micro
+FROM classed GROUP BY abc_class ORDER BY abc_class"""

@@ -106,3 +106,83 @@ def test_series_acf_matches_python_reference(spark):
         num = n * n * p - n * s * (a + b) + (n - k) * s * s
         expect.append((7, k, n, _r6(num / den)))
     assert got == expect
+
+
+# --- ext_orders_pareto --------------------------------------------------------
+
+def test_orders_pareto_parity_and_boundary_inclusivity(spark, oracle_sf_dir):
+    """Fixture parity vs the DuckDB oracle, then the planted boundary
+    grid: revenues 80/15/5 land EXACTLY on the 80%% and 95%% lines, and
+    the integer decision (5·cum ≤ 4·total) must keep the boundary
+    member inside its class on both engines."""
+    from dariadb_spark.ext.relational import (
+        ORDERS_PARETO_SQL,
+        orders_pareto,
+        orders_pareto_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_orders_pareto", orders_pareto(spark, oracle_sf_dir), con,
+        ORDERS_PARETO_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 3
+
+    import datetime
+
+    d = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "O", 0.80, d, "P"),
+        (2, 20, "O", 0.15, d, "P"),
+        (3, 30, "O", 0.05, d, "P"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    got = [tuple(r) for r in orders_pareto_op(orders).collect()]
+    assert got == [
+        ("A", 1, 80, 800000),
+        ("B", 1, 15, 150000),
+        ("C", 1, 5, 50000),
+    ], got
+
+
+def test_orders_pareto_matches_python_reference(spark):
+    """Property: deterministic pseudo-random revenues vs a pure-Python
+    integer replay of the rank → prefix-sum → class grid."""
+    from dariadb_spark.ext.relational import orders_pareto_op
+
+    import datetime
+
+    d = datetime.datetime(2024, 1, 1)
+    n = 400
+    cents = [((i * 2654435761) % 9973) + 1 for i in range(n)]
+    orders = spark.createDataFrame(
+        [(i, i, "O", c / 100.0, d, "P") for i, c in enumerate(cents)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    got = [tuple(r) for r in orders_pareto_op(orders).collect()]
+
+    total = sum(cents)
+    order = sorted(range(n), key=lambda i: (-cents[i], i))
+    cum = 0
+    agg: dict[str, list[int]] = {}
+    for i in order:
+        cum += cents[i]
+        cls = ("A" if 5 * cum <= 4 * total
+               else "B" if 20 * cum <= 19 * total else "C")
+        a = agg.setdefault(cls, [0, 0])
+        a[0] += 1
+        a[1] += cents[i]
+    expect = [
+        (c, agg[c][0], agg[c][1],
+         (2 * agg[c][1] * 10**6 + total) // (2 * total))
+        for c in sorted(agg)
+    ]
+    assert got == expect
