@@ -2518,6 +2518,7 @@ def main() -> None:
     slsh_s, slsh_batch_s, slsh_n = stress_streaming_level_shift(spark)
     acf_s, acf_n = stress_series_acf(spark)
     par_s, par_n = stress_orders_pareto(spark)
+    conc_s, conc_n = stress_session_concurrency(spark)
     print(
         json.dumps(
             {
@@ -2609,6 +2610,7 @@ def main() -> None:
                     ),
                     "series_acf_20m": round(acf_s, 4),
                     "orders_pareto_20m": round(par_s, 4),
+                    "session_concurrency_20m": round(conc_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -5022,6 +5024,50 @@ def stress_orders_pareto(spark) -> tuple[float, int]:
     ]
     assert got == expect, (got, expect[:3])
     return pareto_s, n
+
+
+CONC_STRESS_ROWS = 20_000_000
+CONC_STRESS_USERS = 100_000
+CONC_STRESS_DAYS = 20
+
+
+def stress_session_concurrency(spark) -> tuple[float, int]:
+    """Staged r17 concurrency sweep at 20M events / 100k users / 2M
+    sessions over 20 days: user u runs one 10-event 9-second session
+    per day starting at offset (u %% 1000)·60 s, so exactly 100 users
+    share every start instant and offset groups never overlap — every
+    day's row is the closed form (100k starts, 100k ends, peak 100).
+    Asserted DISTRIBUTED via violation counts over the 20-row output."""
+    from dariadb_spark.ext.analytics import DAY_MS, session_concurrency_op
+    from pyspark.sql import functions as FF
+
+    n, u, d = CONC_STRESS_ROWS, CONC_STRESS_USERS, CONC_STRESS_DAYS
+    per_day = n // u // d  # 10 events per user-day
+    meas = spark.range(n).selectExpr(
+        f"id % {u} AS id",
+        f"(id DIV {u}) % {d} * {DAY_MS}"
+        f" + (id % {u}) % 1000 * 60000"
+        f" + (id DIV {u * d}) * 1000 AS time",
+        "1.0d AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    out = session_concurrency_op(meas)
+    agg = out.agg(
+        FF.count("*").alias("rows"),
+        FF.sum(
+            FF.when(
+                (FF.col("n_starts") != u) | (FF.col("n_ends") != u)
+                | (FF.col("peak_concurrency") != u // 1000)
+                | (FF.col("day_ms") % DAY_MS != 0),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    conc_s = time.perf_counter() - t0
+    assert agg["rows"] == d and agg["bad"] == 0, agg
+    assert per_day == 10
+    return conc_s, n
 
 
 if __name__ == "__main__":

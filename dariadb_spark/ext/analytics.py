@@ -1008,3 +1008,146 @@ FUNNEL_LATENCY_SQL = _funnel_latency_sql()
 # parity incl. planted-lag fixtures + 100k-row stress + hash-matched at
 # sf0.1 in the staged second-pass sweep).
 register("ext_funnel_latency", funnel_latency, FUNNEL_LATENCY_SQL)
+
+
+# --- session concurrency (segmented-prefix-sum interval sweep) ----------------
+# STAGED for the round-17 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). After sessionize's "when was each
+# user ACTIVE?" this is the capacity verb its output cannot answer
+# without a second pass: "how many users were active AT ONCE, and when
+# did it peak?" — the interval-stabbing maximum every load planner
+# reads. The plan is the SEGMENTED prefix sum, not a global window:
+# endpoint deltas bucket by UTC day, day totals roll up in one
+# days-sized window, and each day's inner sweep runs partitioned — the
+# at-scale shape from the start (a global cumulative window would
+# single-thread the corpus).
+
+DAY_MS = 86_400_000
+
+
+def session_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`session_concurrency_op`)."""
+    meas = scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    return session_concurrency_op(meas)
+
+
+def session_concurrency_op(meas: DataFrame) -> DataFrame:
+    """Per-day peak concurrent sessions over the gap-based sessions of
+    :func:`sessionize` (same gap literal, same tie-safe total order).
+
+    Counting convention (pinned): a session is active on the CLOSED
+    interval [start, end] — at any instant t the count is
+    #{sessions: start ≤ t ≤ end}, so a single-event session still
+    counts 1 at its instant, and at a shared timestamp starts are
+    applied before ends. Peak_t = cum_before + starts_t; the per-day
+    peak is max over the day's distinct timestamps. Everything is
+    integer counts — nothing to round.
+
+    Exactness/plan shape (100 TB): session derivation is one shuffle on
+    ``id`` (sessionize's plan); endpoint deltas then aggregate per
+    (day, t) — the second corpus-sized shuffle — and the prefix sum is
+    SEGMENTED: per-day inner cumulative windows run partitioned by day
+    while the cross-day carry is a window over the days-sized total
+    table; output is one row per active day."""
+    w = Window.partitionBy("id").orderBy(*_ORD)
+    run = Window.partitionBy("id").orderBy(*_ORD).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        meas.select(
+            "id", "time", "value", "flag",
+            F.when(
+                F.col("time") - F.lag("time", 1).over(w) > SESSION_GAP_MS, 1
+            ).otherwise(0).alias("is_new"),
+        )
+        .select("id", "time", F.sum("is_new").over(run).alias("session_no"))
+        .groupBy("id", "session_no")
+        .agg(F.min("time").alias("t_start"), F.max("time").alias("t_end"))
+    )
+    ends = sessions.selectExpr("t_end AS t", "0L AS s", "1L AS e")
+    pts = (
+        sessions.selectExpr("t_start AS t", "1L AS s", "0L AS e")
+        .unionByName(ends)
+        .groupBy("t")
+        .agg(F.sum("s").alias("s"), F.sum("e").alias("e"))
+        .withColumn("day", F.expr(f"t DIV {DAY_MS}"))
+    )
+    day_w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        pts.groupBy("day")
+        .agg(F.sum(F.col("s") - F.col("e")).alias("d_tot"))
+        .select(
+            "day",
+            F.coalesce(F.sum("d_tot").over(day_w), F.lit(0)).alias("carry"),
+        )
+    )
+    in_w = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = (
+        pts.join(F.broadcast(carry), "day")
+        .select(
+            "day", "t", "s", "e",
+            (
+                F.col("carry")
+                + F.sum(F.col("s") - F.col("e")).over(in_w)
+                - (F.col("s") - F.col("e"))
+                + F.col("s")
+            ).alias("peak_t"),
+        )
+    )
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.sum("s").alias("n_starts"),
+            F.sum("e").alias("n_ends"),
+            F.max("peak_t").alias("peak_concurrency"),
+        )
+        .selectExpr(
+            f"day * {DAY_MS} AS day_ms",
+            "n_starts", "n_ends", "peak_concurrency",
+        )
+        .orderBy("day_ms")
+    )
+
+
+# the oracle reuses SESSIONIZE_SQL's derivation chain rules verbatim
+# (same gap literal, same tie-safe (time, value, flag) total order) and
+# renders the segmented sweep as the equivalent single-pass cumulative —
+# DuckDB's window is the definitional form the distributed plan must
+# reproduce exactly.
+SESSION_CONCURRENCY_SQL = f"""WITH {MEAS_CTE_SQL},
+base AS (
+  SELECT id, time, value, flag,
+         CASE WHEN time - lag(time, 1) OVER (PARTITION BY id
+                ORDER BY time, value, flag) > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM measurements
+  WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}),
+sess0 AS (
+  SELECT id, time,
+         CAST(sum(is_new) OVER (PARTITION BY id ORDER BY time, value, flag
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM base),
+sessions AS (SELECT id, session_no, min(time) AS t_start,
+                    max(time) AS t_end
+             FROM sess0 GROUP BY id, session_no),
+pts AS (
+  SELECT t, CAST(sum(s) AS BIGINT) AS s, CAST(sum(e) AS BIGINT) AS e
+  FROM (SELECT t_start AS t, 1 AS s, 0 AS e FROM sessions
+        UNION ALL
+        SELECT t_end AS t, 0 AS s, 1 AS e FROM sessions)
+  GROUP BY t),
+swept AS (
+  SELECT t // {DAY_MS} AS day, s, e,
+         sum(s - e) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           - (s - e) + s AS peak_t
+  FROM pts)
+SELECT day * {DAY_MS} AS day_ms,
+       CAST(sum(s) AS BIGINT) AS n_starts, CAST(sum(e) AS BIGINT) AS n_ends,
+       CAST(max(peak_t) AS BIGINT) AS peak_concurrency
+FROM swept GROUP BY day ORDER BY day_ms"""

@@ -186,3 +186,113 @@ def test_orders_pareto_matches_python_reference(spark):
         for c in sorted(agg)
     ]
     assert got == expect
+
+
+# --- ext_session_concurrency --------------------------------------------------
+
+def test_session_concurrency_parity_and_planted_overlap(
+    spark, oracle_sf_dir
+):
+    """Fixture parity vs the DuckDB oracle, then the planted grid that
+    pins all three contract points: starts-before-ends at a shared
+    timestamp (closed interval), a zero-length single-event session,
+    and a session SPANNING midnight carrying +1 into the next day's
+    sweep."""
+    from dariadb_spark.ext.analytics import (
+        DAY_MS,
+        SESSION_CONCURRENCY_SQL,
+        session_concurrency,
+        session_concurrency_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_session_concurrency",
+        session_concurrency(spark, oracle_sf_dir), con,
+        SESSION_CONCURRENCY_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+    rows = [
+        # user 1: one session [1000, 1600]
+        (1, 1000, 1.0, 0), (1, 1600, 1.0, 0),
+        # user 2: session [1600, 1700] — starts exactly when user 1
+        # ends; closed-interval + starts-first ⇒ both active at 1600
+        (2, 1600, 1.0, 0), (2, 1700, 1.0, 0),
+        # user 3: single event ⇒ zero-length session, still peak 1
+        (3, 5000, 1.0, 0),
+        # user 4: session spanning midnight [DAY-1000, DAY+1000]
+        (4, DAY_MS - 1000, 1.0, 0), (4, DAY_MS + 1000, 1.0, 0),
+    ]
+    meas = spark.createDataFrame(
+        rows, "id long, time long, value double, flag long"
+    )
+    got = [tuple(r) for r in session_concurrency_op(meas).collect()]
+    # day 0: starts at 1000,1600,5000,DAY-1000 (4), ends 1600,1700,5000
+    # (3); peak 2 at t=1600 (user1 still active, user2 starting)
+    # day 1: user 4's end only; carry = 4-3 = 1 active at midnight,
+    # peak 1
+    assert got == [
+        (0, 4, 3, 2),
+        (DAY_MS, 0, 1, 1),
+    ], got
+
+
+def test_session_concurrency_matches_python_reference(spark):
+    """Property: pseudo-random event times for 6 users over 3 days vs a
+    pure-Python replay (gap sessionization, sorted endpoint sweep with
+    starts-before-ends, per-day max)."""
+    from dariadb_spark.ext.analytics import (
+        DAY_MS,
+        SESSION_GAP_MS,
+        session_concurrency_op,
+    )
+
+    times: dict[int, list[int]] = {}
+    for u in range(6):
+        ts, t = [], (u * 977) % 50_000
+        for j in range(120):
+            t += ((u * 31 + j * 2654435761) % (3 * SESSION_GAP_MS)) + 1
+            ts.append(t)
+        times[u] = ts
+    meas = spark.createDataFrame(
+        [(u, t, 1.0, 0) for u, ts in times.items() for t in ts],
+        "id long, time long, value double, flag long",
+    )
+    got = [tuple(r) for r in session_concurrency_op(meas).collect()]
+
+    sessions = []
+    for u, ts in times.items():
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > SESSION_GAP_MS:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    events = sorted(
+        [(s, 0) for s, _ in sessions] + [(e, 1) for _, e in sessions]
+    )  # (t, kind): kind 0 = start sorts first at equal t
+    cur = 0
+    by_day: dict[int, list[int]] = {}
+    i = 0
+    while i < len(events):
+        t = events[i][0]
+        starts = ends = 0
+        while i < len(events) and events[i][0] == t:
+            if events[i][1] == 0:
+                starts += 1
+            else:
+                ends += 1
+            i += 1
+        peak = cur + starts
+        cur = cur + starts - ends
+        d = by_day.setdefault(t // DAY_MS, [0, 0, 0])
+        d[0] += starts
+        d[1] += ends
+        d[2] = max(d[2], peak)
+    expect = [
+        (day * DAY_MS, v[0], v[1], v[2]) for day, v in sorted(by_day.items())
+    ]
+    assert got == expect
