@@ -2519,6 +2519,7 @@ def main() -> None:
     acf_s, acf_n = stress_series_acf(spark)
     par_s, par_n = stress_orders_pareto(spark)
     conc_s, conc_n = stress_session_concurrency(spark)
+    clu_s, clu_n = stress_part_clustering(spark)
     print(
         json.dumps(
             {
@@ -2611,6 +2612,7 @@ def main() -> None:
                     "series_acf_20m": round(acf_s, 4),
                     "orders_pareto_20m": round(par_s, 4),
                     "session_concurrency_20m": round(conc_s, 4),
+                    "part_clustering_300k_edges": round(clu_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -5068,6 +5070,48 @@ def stress_session_concurrency(spark) -> tuple[float, int]:
     assert agg["rows"] == d and agg["bad"] == 0, agg
     assert per_day == 10
     return conc_s, n
+
+
+CLUSTER_STRESS_CLIQUES = 50_000
+
+
+def stress_part_clustering(spark) -> tuple[float, int]:
+    """Staged r17 clustering coefficient at 50k planted K4 cliques
+    (200k nodes, 300k support-2 edges, 1.2M lineitem rows): every node
+    has the closed form (deg 3, tri 3, cc = 1.0), and the deterministic
+    tie order (clustering DESC, deg DESC, part ASC) makes the top-20
+    exactly parts 0..19 — byte-asserted. The wedge fan-out stays
+    bounded by oriented out-degree ≤ 3 on every node, the property the
+    degree-oriented algorithm exists for."""
+    from dariadb_spark.ext.relational import part_clustering_op
+
+    c = CLUSTER_STRESS_CLIQUES
+    # clique i owns nodes 4i..4i+3; its 6 edges appear in 2 orders each
+    # → 12 orders of 2 rows per clique. id layout: clique = id DIV 24,
+    # j = id % 24 → edge = j DIV 4 (6 edges), order copy = (j % 4) DIV 2,
+    # endpoint = j % 2.
+    edges = "array(array(0,1),array(0,2),array(0,3),array(1,2),array(1,3),array(2,3))"
+    li = spark.range(c * 24).selectExpr(
+        "id DIV 24 AS clique",
+        "(id % 24) DIV 4 AS edge",
+        "((id % 24) % 4) DIV 2 AS copy",
+        "id % 2 AS endp",
+    ).selectExpr(
+        "clique * 12 + edge * 2 + copy AS l_orderkey",
+        f"clique * 4 + element_at(element_at({edges}, "
+        "CAST(edge + 1 AS INT)), CAST(endp + 1 AS INT)) AS l_partkey",
+        "1L AS l_suppkey", "1 AS l_linenumber", "1.0d AS l_quantity",
+        "1.0d AS l_extendedprice", "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    )
+    t0 = time.perf_counter()
+    got = [
+        (r.part, r.deg, r.tri_cnt, r.clustering)
+        for r in part_clustering_op(li).collect()
+    ]
+    cl_s = time.perf_counter() - t0
+    assert got == [(p, 3, 3, 1.0) for p in range(20)], got[:5]
+    return cl_s, c * 24
 
 
 if __name__ == "__main__":

@@ -1457,3 +1457,139 @@ SELECT abc_class, count(*) AS n_customers,
        CAST((2 * sum(cents) * 1000000 + max(total)) // (2 * max(total))
             AS BIGINT) AS share_micro
 FROM classed GROUP BY abc_class ORDER BY abc_class"""
+
+
+# --- local clustering coefficient (graph family, third verb) -------------------
+# STAGED for the round-17 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). After part_pagerank's "which nodes
+# MATTER?" and part_triangles' "how many triangles EXIST?", this is the
+# per-node "how CLIQUEY is the neighborhood?" verb: Watts–Strogatz
+# local clustering cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) over the same
+# support-≥2 co-purchase graph — the community-structure screen a
+# recommender health check reads next to the global census.
+
+CLUSTER_TOP = 20
+
+
+def part_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`part_clustering_op`)."""
+    return part_clustering_op(load_table(spark, sf, "lineitem"))
+
+
+def part_clustering_op(li: DataFrame) -> DataFrame:
+    """Top parts by local clustering coefficient (ties: deg DESC, part
+    ASC) among parts with degree ≥ 2 in the support-≥2 co-purchase
+    graph; zero-triangle nodes report an exact 0.
+
+    Exactness: pure int64 (supports, degrees, orientation keys,
+    per-node triangle counts); the one float per row is the HALF_UP
+    rational 2·tri / (deg·(deg−1)) — identical expression shape in
+    both engines. The triangle machinery is the degree-oriented
+    algorithm of :func:`part_triangles_op` verbatim (same orientation
+    key, same wedge bound); the oracle stays DEFINITIONAL (unoriented
+    a<b<c triple join + degree table), so the hash gate proves the
+    oriented plan exact per node, not just in aggregate.
+
+    Plan shape (100 TB): identical to the census — one basket-pair
+    shuffle, broadcast degree joins, the O(√|E|)-bounded wedge join —
+    plus one broadcastable deg⟕tri join; no cartesian anywhere."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MIN_SUP)
+        .select("x", "y")
+    )
+    deg = (
+        pairs.selectExpr("x AS node").unionByName(pairs.selectExpr("y AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .selectExpr("node", "deg", f"deg * {_OKEY} + node AS okey")
+    )
+    dx = deg.selectExpr("node AS nx", "okey AS kx")
+    dy = deg.selectExpr("node AS ny", "okey AS ky")
+    oriented = (
+        pairs.join(F.broadcast(dx), pairs.x == F.col("nx"))
+        .join(F.broadcast(dy), pairs.y == F.col("ny"))
+        .selectExpr(
+            "CASE WHEN kx < ky THEN x ELSE y END AS src",
+            "CASE WHEN kx < ky THEN y ELSE x END AS dst",
+            "CASE WHEN kx < ky THEN kx ELSE ky END AS src_k",
+            "CASE WHEN kx < ky THEN ky ELSE kx END AS dst_k",
+        )
+    )
+    o1 = oriented.selectExpr("src AS u", "dst AS v", "dst_k AS vk")
+    o2 = oriented.selectExpr("src AS u2", "dst AS w", "dst_k AS wk")
+    wedges = o1.join(
+        o2, (F.col("u") == F.col("u2")) & (F.col("vk") < F.col("wk"))
+    ).select("u", "v", "w")
+    closing = oriented.selectExpr("src AS cv", "dst AS cw")
+    tris = wedges.join(
+        closing, (F.col("v") == F.col("cv")) & (F.col("w") == F.col("cw"))
+    ).select("u", "v", "w")
+    per_part = (
+        tris.selectExpr("explode(array(u, v, w)) AS part")
+        .groupBy("part")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(per_part, deg.node == per_part.part, "left")
+        .selectExpr(
+            "node AS part",
+            "deg",
+            "COALESCE(tri_cnt, 0L) AS tri_cnt",
+            ratio_round_spark("2 * COALESCE(tri_cnt, 0L)",
+                              "deg * (deg - 1)", 6)
+            + " AS clustering",
+        )
+        .orderBy(
+            F.desc("clustering"), F.desc("deg"), F.asc("part")
+        )
+        .limit(CLUSTER_TOP)
+    )
+
+
+def _clustering_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY x, y HAVING count(*) >= {BASKET_MIN_SUP}),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT x AS node FROM pairs
+          UNION ALL SELECT y AS node FROM pairs)
+        GROUP BY node),
+tris AS (SELECT ab.x AS u, ab.y AS v, bc.y AS w
+         FROM pairs ab
+         JOIN pairs bc ON bc.x = ab.y
+         JOIN pairs ac ON ac.x = ab.x AND ac.y = bc.y),
+pp AS (SELECT part, count(*) AS tri_cnt FROM (
+         SELECT unnest([u, v, w]) AS part FROM tris)
+       GROUP BY part)
+SELECT d.node AS part, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(p.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+       {ratio_round_duck("2 * COALESCE(p.tri_cnt, 0)",
+                         "d.deg * (d.deg - 1)", 6)} AS clustering
+FROM deg d LEFT JOIN pp p ON d.node = p.part
+WHERE d.deg >= 2
+ORDER BY clustering DESC, deg DESC, part ASC
+LIMIT {CLUSTER_TOP}"""
+
+
+PART_CLUSTERING_SQL = _clustering_sql()

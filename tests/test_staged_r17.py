@@ -296,3 +296,107 @@ def test_session_concurrency_matches_python_reference(spark):
         (day * DAY_MS, v[0], v[1], v[2]) for day, v in sorted(by_day.items())
     ]
     assert got == expect
+
+
+# --- ext_part_clustering ------------------------------------------------------
+
+def _li_frame(spark, rows):
+    return spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O") for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string",
+    )
+
+
+def test_part_clustering_parity_and_planted_graph(spark, oracle_sf_dir):
+    """Fixture parity vs the definitional DuckDB oracle, then the
+    planted graph: a K4 clique (every node cc = 1), a 4-leaf star
+    (center cc = 0 with deg 4, an exact zero for a triangle-free
+    neighborhood), and a path node (cc = 0, deg 2)."""
+    from dariadb_spark.ext.relational import (
+        PART_CLUSTERING_SQL,
+        part_clustering,
+        part_clustering_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_clustering", part_clustering(spark, oracle_sf_dir), con,
+        PART_CLUSTERING_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 20
+
+    # every edge planted in TWO orders to clear support >= 2
+    def orders_for(edges, base):
+        rows = []
+        for i, (x, y) in enumerate(edges):
+            rows += [(base + 2 * i, x), (base + 2 * i, y),
+                     (base + 2 * i + 1, x), (base + 2 * i + 1, y)]
+        return rows
+
+    from itertools import combinations
+
+    k4 = list(combinations([1, 2, 3, 4], 2))          # clique
+    star = [(10, leaf) for leaf in (11, 12, 13, 14)]  # triangle-free hub
+    path = [(20, 21), (21, 22)]                       # deg-2, cc 0
+    li = _li_frame(
+        spark,
+        orders_for(k4, 0) + orders_for(star, 100) + orders_for(path, 200),
+    )
+    got = {r.part: (r.deg, r.tri_cnt, r.clustering)
+           for r in part_clustering_op(li).collect()}
+    for v in (1, 2, 3, 4):
+        assert got[v] == (3, 3, 1.0), got[v]
+    assert got[10] == (4, 0, 0.0)
+    assert got[21] == (2, 0, 0.0)
+
+
+def test_part_clustering_matches_brute_force_random_graphs(spark):
+    """Property: on random basket sets the oriented pipeline's per-node
+    cc equals the brute-force neighborhood enumeration."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from dariadb_spark.ext.relational import (
+        BASKET_MIN_SUP,
+        part_clustering_op,
+    )
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        baskets = [
+            sorted(rng.choice(30, size=rng.integers(2, 6), replace=False))
+            for _ in range(60)
+        ]
+        rows = [(o, int(p)) for o, parts in enumerate(baskets) for p in parts]
+        li = _li_frame(spark, rows)
+        sup: dict[tuple[int, int], int] = {}
+        for parts in baskets:
+            for a, b in combinations(sorted(set(parts)), 2):
+                sup[(a, b)] = sup.get((a, b), 0) + 1
+        edges = {e for e, s in sup.items() if s >= BASKET_MIN_SUP}
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = []
+        for v, nbrs in adj.items():
+            d = len(nbrs)
+            if d < 2:
+                continue
+            t = sum(
+                1 for a, b in combinations(sorted(nbrs), 2)
+                if (a, b) in edges
+            )
+            cc = _r6(2 * t / (d * (d - 1)))
+            want.append((v, d, t, cc))
+        want.sort(key=lambda r: (-r[3], -r[1], r[0]))
+        got = [
+            (r.part, r.deg, r.tri_cnt, r.clustering)
+            for r in part_clustering_op(li).collect()
+        ]
+        assert got == want[:20], (trial, got[:5], want[:5])
