@@ -2516,7 +2516,7 @@ def main() -> None:
     ls_s, ls_n = stress_series_level_shift(spark)
     hits_s, hits_n = stress_part_hits(spark)
     slsh_s, slsh_batch_s, slsh_n = stress_streaming_level_shift(spark)
-    acf_s, acf_n = stress_series_acf(spark)
+    sacf_s, sacf_n = stress_series_seq_acf(spark)
     par_s, par_n = stress_orders_pareto(spark)
     conc_s, conc_n = stress_session_concurrency(spark)
     clu_s, clu_n = stress_part_clustering(spark)
@@ -2609,7 +2609,7 @@ def main() -> None:
                     "streaming_level_shift_2m_batch_twin": round(
                         slsh_batch_s, 4
                     ),
-                    "series_acf_20m": round(acf_s, 4),
+                    "series_seq_acf_20m": round(sacf_s, 4),
                     "orders_pareto_20m": round(par_s, 4),
                     "session_concurrency_20m": round(conc_s, 4),
                     "part_clustering_300k_edges": round(clu_s, 4),
@@ -4912,11 +4912,11 @@ def stress_streaming_level_shift(spark) -> tuple[float, float, int]:
         shutil.rmtree(base, ignore_errors=True)
 
 
-ACF_STRESS_ROWS = 20_000_000
-ACF_STRESS_SERIES = 2000
+SEQ_ACF_STRESS_ROWS = 20_000_000
+SEQ_ACF_STRESS_SERIES = 2000
 
 
-def stress_series_acf(spark) -> tuple[float, int]:
+def stress_series_seq_acf(spark) -> tuple[float, int]:
     """Staged r17 ACF at 20M rows / 2000 series / 10000 hourly cells
     each (one sample per cell, so yq is the exact sample): EVEN series
     alternate ±1.0 (closed form r_k = (−1)^k·(n−k)/n at ȳ = 0), ODD
@@ -4924,10 +4924,10 @@ def stress_series_acf(spark) -> tuple[float, int]:
     r_4 ≈ +1, r_2 ≈ −1, odd lags 0) — both classes re-derived in
     Python from the same exact integers and asserted DISTRIBUTED via
     violation counts, never a collect of the cell table."""
-    from dariadb_spark.ext.timeseries import series_acf_op
+    from dariadb_spark.ext.timeseries import series_seq_acf_op
     from pyspark.sql import functions as FF
 
-    n, s = ACF_STRESS_ROWS, ACF_STRESS_SERIES
+    n, s = SEQ_ACF_STRESS_ROWS, SEQ_ACF_STRESS_SERIES
     m = n // s  # 10000 cells per series
     meas = spark.range(n).selectExpr(
         f"id % {s} AS id",
@@ -4959,7 +4959,7 @@ def stress_series_acf(spark) -> tuple[float, int]:
     even = _replay([100 if i % 2 == 0 else -100 for i in range(m)])
     odd = _replay([(0, 100, 0, -100)[i % 4] for i in range(m)])
     t0 = time.perf_counter()
-    out = series_acf_op(meas, None, 0, m * 3_600_000, 3_600_000, 5)
+    out = series_seq_acf_op(meas, None, 0, m * 3_600_000, 3_600_000, 5)
     exp = " ".join(
         f"WHEN id % 2 = 0 AND lag = {k} THEN {even[k]!r}d "
         f"WHEN id % 2 = 1 AND lag = {k} THEN {odd[k]!r}d"

@@ -3321,20 +3321,25 @@ register(
 # identification step reads — computed on the hourly PAA grid, with the
 # lag defined on the OBSERVED cell sequence (row-number order), so gaps
 # do not manufacture phantom lags and the statistic is deterministic on
-# any sampling pattern.
+# any sampling pattern. Named seq_acf because the REGISTERED
+# ext_series_acf (this module, "sample autocorrelation function"
+# section) lags on the TIME axis — pairs exist only where a cell sits
+# exactly k buckets later, a different statistic on gappy data; on a
+# complete grid the two agree except for the normalization of r_k's
+# numerator (n_pairs vs n_cells moments). The names never shadow.
 
-ACF_BUCKET_MS = HOUR_MS
-ACF_LAGS = 5
+SEQ_ACF_BUCKET_MS = HOUR_MS
+SEQ_ACF_LAGS = 5
 
 
-def series_acf(spark: SparkSession, sf: str) -> DataFrame:
-    """Fixture query for the r17 window (:func:`series_acf_op`)."""
-    return series_acf_op(
-        measurements(spark, sf), IDS, FROM_MS, TO_MS, ACF_BUCKET_MS, ACF_LAGS
+def series_seq_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`series_seq_acf_op`)."""
+    return series_seq_acf_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, SEQ_ACF_BUCKET_MS, SEQ_ACF_LAGS
     )
 
 
-def series_acf_op(
+def series_seq_acf_op(
     meas: DataFrame,
     ids: list[int] | None,
     from_ms: int,
@@ -3436,14 +3441,14 @@ def series_acf_op(
 def _acf_sql() -> str:
     lag_cols = ", ".join(
         f"lag(yq, {k}) OVER (PARTITION BY id ORDER BY b) AS l{k}"
-        for k in range(1, ACF_LAGS + 1)
+        for k in range(1, SEQ_ACF_LAGS + 1)
     )
     mom_cols = ", ".join(
         f"sum(CASE WHEN l{k} IS NOT NULL"
         f" THEN CAST(yq AS HUGEINT) * l{k} END) AS p{k},"
         f" sum(CASE WHEN l{k} IS NOT NULL THEN yq END) AS a{k},"
         f" sum(l{k}) AS b{k}"
-        for k in range(1, ACF_LAGS + 1)
+        for k in range(1, SEQ_ACF_LAGS + 1)
     )
     den = "(CAST(n AS HUGEINT) * n * q - CAST(n AS HUGEINT) * s * s)"
     arms = " UNION ALL ".join(
@@ -3454,10 +3459,10 @@ def _acf_sql() -> str:
         f" + CAST(n - {k} AS HUGEINT) * s * s"
         f" AS DOUBLE) / CAST({den} AS DOUBLE), 6) ELSE NULL END AS acf"
         f" FROM wide WHERE {den} > 0"
-        for k in range(1, ACF_LAGS + 1)
+        for k in range(1, SEQ_ACF_LAGS + 1)
     )
     return f"""WITH {MEAS_CTE_SQL},
-pts AS (SELECT id, {floor_bucket_sql('time', ACF_BUCKET_MS)} AS b,
+pts AS (SELECT id, {floor_bucket_sql('time', SEQ_ACF_BUCKET_MS)} AS b,
                CAST(round(value * 100) AS BIGINT) AS y
         FROM measurements WHERE {_interval_sql()}),
 cells AS (SELECT id, b,
@@ -3473,4 +3478,4 @@ wide AS (SELECT id, count(*) AS n, CAST(sum(yq) AS BIGINT) AS s,
 SELECT id, lag, n_cells, acf FROM ({arms}) ORDER BY id, lag"""
 
 
-SERIES_ACF_SQL = _acf_sql()
+SERIES_SEQ_ACF_SQL = _acf_sql()

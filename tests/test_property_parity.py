@@ -1272,20 +1272,24 @@ def test_perm_entropy_matches_reference(spark, rows):
 
 @given(rows=meas_lists, max_lag=st.integers(1, 4))
 @_SETTINGS
-def test_series_acf_matches_reference(spark, rows, max_lag):
-    """Staged ``series_acf_op`` equals the definitional reference:
-    signed-HALF_UP cent-quantized PAA means, exact integer
-    numerator/denominator, one HALF_UP(·, 6) float division — exact
-    including negative values (the signed DIV decomposition)."""
-    from dariadb_spark.ext.timeseries import series_acf_op
+def test_series_seq_acf_matches_reference(spark, rows, max_lag):
+    """Staged ``series_seq_acf_op`` equals the definitional reference:
+    signed-HALF_UP cent-quantized PAA means, sequence-ordered cells,
+    exact integer moments (n²P_k − nS(A_k+B_k) + (n−k)S² over
+    n²Q − nS²), one HALF_UP(·, 6) float division — exact including
+    negative values (the signed DIV decomposition). Unlike the
+    registered time-lag ``series_acf_op``, lags walk the OBSERVED cell
+    sequence, every lag row 1..max_lag is emitted (NULL acf when
+    n ≤ k), and zero-variance series are dropped whole."""
+    from dariadb_spark.ext.timeseries import series_seq_acf_op
 
     lo, hi, w = T0, T0 + 40 * STEP, 3 * STEP
     df = spark.createDataFrame(
         rows, "id bigint, time bigint, value double, flag bigint"
     )
     got = {
-        (r.id, r.lag): (r.n_pairs, r.acf)
-        for r in series_acf_op(df, None, lo, hi, w, max_lag, 0).collect()
+        (r.id, r.lag): (r.n_cells, r.acf)
+        for r in series_seq_acf_op(df, None, lo, hi, w, max_lag, 0).collect()
     }
     cells: dict[tuple[int, int], list[int]] = {}
     for i, t, v, f in rows:
@@ -1302,20 +1306,20 @@ def test_series_acf_matches_reference(spark, rows, max_lag):
         series.setdefault(i, {})[b] = yq
     want = {}
     for i, by_b in series.items():
-        n, s = len(by_b), sum(by_b.values())
-        dev = {b: n * y - s for b, y in by_b.items()}
-        den = sum(d * d for d in dev.values())
+        ys = [by_b[b] for b in sorted(by_b)]
+        n, s = len(ys), sum(ys)
+        q = sum(y * y for y in ys)
+        den = n * n * q - n * s * s
         if den <= 0:
             continue
         for k in range(1, max_lag + 1):
-            pairs = [
-                (dev[b], dev[b + k * w]) for b in dev if b + k * w in dev
-            ]
-            if pairs:
-                num = sum(a * c for a, c in pairs)
-                want[(i, k)] = (
-                    len(pairs), _hup(float(num) / float(den), 6)
-                )
+            if n > k:
+                p = sum(ys[t] * ys[t - k] for t in range(k, n))
+                a, b2 = sum(ys[k:]), sum(ys[: n - k])
+                num = n * n * p - n * s * (a + b2) + (n - k) * s * s
+                want[(i, k)] = (n, _hup(float(num) / float(den), 6))
+            else:
+                want[(i, k)] = (n, None)
     assert got == want
 
 

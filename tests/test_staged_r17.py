@@ -18,23 +18,23 @@ def _r6(x: float) -> float:
     return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
 
-# --- ext_series_acf -----------------------------------------------------------
+# --- ext_series_seq_acf -----------------------------------------------------------
 
-def test_series_acf_parity_and_planted_alternating(spark, oracle_sf_dir):
+def test_series_seq_acf_parity_and_planted_alternating(spark, oracle_sf_dir):
     """Fixture parity vs the DuckDB oracle, then the planted closed
     form: an alternating ±1.0 series sampled once per hourly cell has
     ȳ = 0 (even n), so r_k = (−1)^k·(n−k)/n exactly; a constant series
     has zero variance and must be dropped."""
     from dariadb_spark.ext.timeseries import (
-        SERIES_ACF_SQL,
-        series_acf,
-        series_acf_op,
+        SERIES_SEQ_ACF_SQL,
+        series_seq_acf,
+        series_seq_acf_op,
     )
 
     con = duckdb_connection(oracle_sf_dir)
     res = compare(
-        "ext_series_acf", series_acf(spark, oracle_sf_dir), con,
-        SERIES_ACF_SQL,
+        "ext_series_seq_acf", series_seq_acf(spark, oracle_sf_dir), con,
+        SERIES_SEQ_ACF_SQL,
     )
     assert res.ok, res.problems
     assert res.rows_spark == 75  # 15 ids × 5 lags
@@ -48,7 +48,7 @@ def test_series_acf_parity_and_planted_alternating(spark, oracle_sf_dir):
     )
     got = [
         tuple(r)
-        for r in series_acf_op(meas, None, 0, n * 3_600_000, 3_600_000, 5)
+        for r in series_seq_acf_op(meas, None, 0, n * 3_600_000, 3_600_000, 5)
         .collect()
     ]
     expect = [
@@ -57,10 +57,10 @@ def test_series_acf_parity_and_planted_alternating(spark, oracle_sf_dir):
     assert got == expect, (got, expect)
 
 
-def test_series_acf_short_series_null_lags(spark):
+def test_series_seq_acf_short_series_null_lags(spark):
     """A series with fewer cells than the lag yields NULL acf for the
     out-of-range lags (no pairs), not a crash or a dropped row."""
-    from dariadb_spark.ext.timeseries import series_acf_op
+    from dariadb_spark.ext.timeseries import series_seq_acf_op
 
     rows = [(1, 0, 1.0, 0), (1, 3_600_000, 3.0, 0),
             (1, 7_200_000, 2.0, 0)]  # n = 3 cells
@@ -69,7 +69,7 @@ def test_series_acf_short_series_null_lags(spark):
     )
     got = {
         r.lag: r.acf
-        for r in series_acf_op(meas, None, 0, 10_800_000, 3_600_000, 5)
+        for r in series_seq_acf_op(meas, None, 0, 10_800_000, 3_600_000, 5)
         .collect()
     }
     assert set(got) == {1, 2, 3, 4, 5}
@@ -77,11 +77,11 @@ def test_series_acf_short_series_null_lags(spark):
     assert got[1] is not None and got[2] is not None
 
 
-def test_series_acf_matches_python_reference(spark):
+def test_series_seq_acf_matches_python_reference(spark):
     """Property: on a deterministic pseudo-random integer series the
     operator equals a pure-Python exact-integer replay of the same
     formula (one sample per cell so yq is exact)."""
-    from dariadb_spark.ext.timeseries import series_acf_op
+    from dariadb_spark.ext.timeseries import series_seq_acf_op
 
     n = 97
     vals = [((i * 1103515245 + 12345) % 2000 - 1000) / 100.0
@@ -92,7 +92,7 @@ def test_series_acf_matches_python_reference(spark):
     )
     got = [
         tuple(r)
-        for r in series_acf_op(meas, None, 0, n * 3_600_000, 3_600_000, 5)
+        for r in series_seq_acf_op(meas, None, 0, n * 3_600_000, 3_600_000, 5)
         .collect()
     ]
     y = [round(v * 100) for v in vals]
