@@ -2608,3 +2608,113 @@ def test_orders_benford_matches_reference(spark, prices, prio):
              abs(om - BENFORD_MICRO[dg - 1]))
         )
     assert got == want
+
+
+_pareto_rows = st.lists(
+    st.tuples(
+        st.integers(0, 7),  # custkey
+        st.integers(1, 4_000_000),  # order cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_pareto_rows)
+@_SETTINGS
+def test_orders_pareto_matches_reference(spark, rows):
+    """Staged r17 ``orders_pareto_op`` equals a pure-Python replay on
+    random order tables: per-customer cent sums, the (cents DESC,
+    custkey ASC) running total, the integer class comparisons
+    (5·cum ≤ 4·total / 20·cum ≤ 19·total) and HALF_UP micro-shares —
+    including ties and single-customer inputs where A/B collapse."""
+    from dariadb_spark.ext.relational import orders_pareto_op
+
+    orders = spark.createDataFrame(
+        [(c, cents / 100.0) for c, cents in rows],
+        "o_custkey long, o_totalprice double",
+    )
+    got = [tuple(r) for r in orders_pareto_op(orders).collect()]
+
+    per: dict[int, int] = {}
+    for c, cents in rows:
+        per[c] = per.get(c, 0) + cents
+    ranked = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(per.values())
+    cum = 0
+    cls: dict[str, tuple[int, int]] = {}
+    for c, cents in ranked:
+        cum += cents
+        k = ("A" if 5 * cum <= 4 * total
+             else "B" if 20 * cum <= 19 * total else "C")
+        n, s = cls.get(k, (0, 0))
+        cls[k] = (n + 1, s + cents)
+    want = [
+        (k, n, s, (2 * s * 10**6 + total) // (2 * total))
+        for k, (n, s) in sorted(cls.items())
+    ]
+    assert got == want
+
+
+_conc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # id
+        st.integers(0, 500).map(lambda s: T0 + s * 600_000),  # 10-min grid
+        st.integers(-8, 8).map(lambda x: x / 4.0),  # value (exact)
+        st.sampled_from([0, 1, 16]),  # flag
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(rows=_conc_rows)
+@_SETTINGS
+def test_session_concurrency_matches_reference(spark, rows):
+    """Staged r17 ``session_concurrency_op`` equals a pure-Python
+    interval-stabbing replay on random multi-day traces: gap-based
+    sessions per id (same 30-min gap, tie-safe order), closed-interval
+    endpoint counting with starts applied before ends, the cross-day
+    carry, and per-UTC-day peaks — all integers, so equality is exact."""
+    from dariadb_spark.ext.analytics import (
+        DAY_MS,
+        SESSION_GAP_MS,
+        session_concurrency_op,
+    )
+
+    meas = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = [tuple(r) for r in session_concurrency_op(meas).collect()]
+
+    sessions: list[tuple[int, int]] = []
+    by_id: dict[int, list[int]] = {}
+    for i, t, v, f in rows:
+        by_id.setdefault(i, []).append(t)
+    for i, ts in by_id.items():
+        ts.sort()
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > SESSION_GAP_MS:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    pts: dict[int, list[int]] = {}
+    for t_start, t_end in sessions:
+        pts.setdefault(t_start, [0, 0])[0] += 1
+        pts.setdefault(t_end, [0, 0])[1] += 1
+    cum = 0
+    days: dict[int, list[int]] = {}
+    for t in sorted(pts):
+        s, e = pts[t]
+        d = days.setdefault(t // DAY_MS, [0, 0, 0])
+        d[0] += s
+        d[1] += e
+        d[2] = max(d[2], cum + s)
+        cum += s - e
+    want = [
+        (day * DAY_MS, s, e, peak)
+        for day, (s, e, peak) in sorted(days.items())
+    ]
+    assert got == want
