@@ -928,6 +928,25 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # pytest-pinned (exact probe replay + PartitionFilters) and
 # stress-measured at 500k vectors (BASELINE.md row).
 #
+# Round 16 staged FOUR operators for r17 so far (each implemented +
+# oracled + pytest parity incl. planted closed-form fixtures and
+# hypothesis/brute-force property tests + planted ≥100k-row stress +
+# hash-matched at sf0.1 in the r16 staged sweep; THIS COMMENT is the
+# staged-count source of truth): ext_series_seq_acf
+# (ext/timeseries.py: sequence-lag Box–Jenkins ACF on the hourly PAA
+# grid — renamed from the staging pass's series_acf after the name
+# shadowed the REGISTERED time-lag ext_series_acf at call time; the
+# two are different statistics on gappy data), ext_orders_pareto
+# (ext/relational.py: the ABC/Pareto revenue-concentration screen,
+# integer class boundaries 5·cum ≤ 4·total / 20·cum ≤ 19·total),
+# ext_session_concurrency (ext/analytics.py: per-day peak concurrent
+# sessions via the SEGMENTED endpoint prefix sum with a cross-day
+# carry — never a global single-partition window), and
+# ext_part_clustering (ext/relational.py: local clustering
+# coefficient on the support-2 co-purchase graph — the graph family's
+# third verb, reusing the degree-oriented wedge machinery with the
+# DEFINITIONAL triple-join oracle).
+#
 # CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —
 # VERDICT r13 item 3): 206 now + ~8 staged/round reaches the 250 hard
 # line around r19. Growth past 250 requires RETIRE/MERGE (stale-6 is
