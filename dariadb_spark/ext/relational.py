@@ -1593,3 +1593,451 @@ LIMIT {CLUSTER_TOP}"""
 
 
 PART_CLUSTERING_SQL = _clustering_sql()
+
+
+# --- Gini revenue-inequality coefficient ---------------------------------------
+# STAGED for the round-17 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). After orders_pareto's "who holds the
+# top 80%?" this is the concentration family's scale-free summary: the
+# Gini coefficient of customer lifetime revenue PER MARKET SEGMENT —
+# one number a planner compares across segments and over time, where
+# the ABC split answers a threshold question.
+
+
+def orders_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`orders_gini_op`)."""
+    return orders_gini_op(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "customer")
+    )
+
+
+def orders_gini_op(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each market
+    segment: G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over the ascending
+    (cents, custkey) rank i — the classic sorted-values identity, whose
+    Σ i·x_i term is invariant to permutations within a tie group (tied
+    x contribute the same product for any rank assignment), so the
+    statistic is total-order-free even though the rank walk is not.
+
+    Exactness: revenue is the exact int64 cent sum per customer (the
+    house money rule); W = Σ rn·cents accumulates in DECIMAL(38,0)
+    (HUGEINT in the oracle); the single float per row is the HALF_UP
+    6-dp wide rational (2W − (n+1)S) / (n·S). Customers with orders
+    but no customer row are dropped by the inner dim join.
+
+    Plan shape (100 TB): one orders scan → per-customer partial-agg
+    shuffle (the only corpus-sized exchange) → broadcast segment join →
+    the rank window runs over CUSTOMERS per segment (5 partitions of a
+    dimension-sized set; at extreme customer cardinality the same
+    prefix machinery splits into the range-partitioned two-pass, the
+    orders_pareto note). n·S must fit int64 — past ~10¹⁸ cent-customers
+    pre-scale to whole currency units (the token_budget convention)."""
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
+
+    cents = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    w = Window.partitionBy("mktsegment").orderBy(
+        F.col("cents").asc(), F.col("o_custkey").asc()
+    )
+    ranked = (
+        cents.join(F.broadcast(seg), "o_custkey")
+        .select(
+            "mktsegment", "cents",
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    return (
+        ranked.groupBy("mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(
+                F.col("rn").cast("decimal(38,0)") * F.col("cents")
+            ).alias("wsum"),
+        )
+        .where(F.col("total_cents") > 0)
+        .selectExpr(
+            "mktsegment",
+            "n_customers",
+            "total_cents",
+            ratio_round_signed_wide_spark(
+                "2 * wsum - (n_customers + 1) * CAST(total_cents"
+                " AS DECIMAL(38,0))",
+                "n_customers * total_cents",
+                6,
+            )
+            + " AS gini",
+        )
+        .orderBy("mktsegment")
+    )
+
+
+def _gini_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_duck
+
+    return f"""WITH
+cust AS (SELECT o_custkey,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         FROM orders GROUP BY o_custkey),
+ranked AS (SELECT c.c_mktsegment AS mktsegment, cents,
+                  row_number() OVER (PARTITION BY c.c_mktsegment
+                                     ORDER BY cents ASC, o_custkey ASC)
+                    AS rn
+           FROM cust JOIN customer c ON cust.o_custkey = c.c_custkey),
+agg AS (SELECT mktsegment, count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               sum(CAST(rn AS HUGEINT) * cents) AS wsum
+        FROM ranked GROUP BY mktsegment HAVING sum(cents) > 0)
+SELECT mktsegment, n_customers, total_cents,
+       {ratio_round_signed_wide_duck(
+           "2 * wsum - (n_customers + 1) * CAST(total_cents AS HUGEINT)",
+           "n_customers * total_cents", 6)} AS gini
+FROM agg ORDER BY mktsegment"""
+
+
+ORDERS_GINI_SQL = _gini_sql()
+
+
+# --- Herfindahl–Hirschman supplier-concentration index --------------------------
+# STAGED for the round-17 driver window (same staging discipline). The
+# concentration family's THIRD verb, on the supply side: how
+# concentrated is lineitem revenue among SUPPLIERS within each nation —
+# the antitrust HHI (Σ market-share²), reported in micro-units so the
+# 0.15/0.25 policy thresholds read as integers (150000/250000).
+
+
+def supplier_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`supplier_hhi_op`)."""
+    return supplier_hhi_op(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def supplier_hhi_op(
+    li: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation HHI of supplier revenue: Σ_i (cents_i / total)² over
+    the nation's suppliers, as the HALF_UP 6-dp rational
+    Σ cents² / total².
+
+    Exactness: per-row discounted revenue is ONE fixed-arity double
+    expression rounded to cents before the int64 cast (identical shape
+    on both engines — the Benford/money recipe); supplier sums are
+    int64; Σ cents² and total² run in DECIMAL(38,0)/HUGEINT, and the
+    division is the manual wide HALF_UP walk with a DECIMAL
+    denominator (total² can pass int64 at corpus scale, so the
+    ratio_round_wide helper's int64-denominator contract is widened
+    inline: 2·Σc²·10⁶ ≤ 2·total²·10⁶ < 10³⁸ up to total ~2·10¹⁵ cents
+    per nation — $20 T, beyond any nation slice of a 100 TB corpus).
+
+    Plan shape (100 TB): one lineitem scan → per-supplier partial-agg
+    shuffle (the only corpus-sized exchange) → two broadcast dim joins
+    → a nation-sized (≤25-row) aggregate. No window anywhere."""
+    rev = li.select(
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)"
+        ).alias("rc"),
+    ).groupBy("l_suppkey").agg(F.sum("rc").alias("cents"))
+    sup = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    return (
+        rev.join(F.broadcast(sup), "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).alias("sumsq"),
+        )
+        .where(F.col("total_cents") > 0)
+        .selectExpr(
+            "n_name",
+            "n_suppliers",
+            "total_cents",
+            "CAST((2 * CAST(sumsq AS DECIMAL(38,0)) * 1000000"
+            " + CAST(total_cents AS DECIMAL(38,0)) * total_cents)"
+            " DIV (2 * CAST(total_cents AS DECIMAL(38,0)) * total_cents)"
+            " AS BIGINT) AS hhi_micro",
+        )
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_HHI_SQL = """WITH
+rev AS (SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_suppkey),
+agg AS (SELECT n.n_name, count(*) AS n_suppliers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               sum(CAST(cents AS HUGEINT) * cents) AS sumsq
+        FROM rev
+        JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name HAVING sum(cents) > 0)
+SELECT n_name, n_suppliers, total_cents,
+       CAST((2 * CAST(sumsq AS HUGEINT) * 1000000
+             + CAST(total_cents AS HUGEINT) * total_cents)
+            // (2 * CAST(total_cents AS HUGEINT) * total_cents)
+            AS BIGINT) AS hhi_micro
+FROM agg ORDER BY n_name"""
+
+
+# --- order inter-arrival distribution --------------------------------------------
+# STAGED for the round-17 driver window (same staging discipline). The
+# BI family's cadence verb: how LONG between a customer's consecutive
+# orders, summarized per market segment — the repeat-purchase tempo
+# rfm_segments' recency snapshot cannot see (recency is the LAST gap
+# only). Exact-integer day gaps; the funnel_latency distribution
+# recipe (HALF_UP mean, doubled-rank median, rank order-statistic p90).
+
+
+def order_interarrival(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`order_interarrival_op`)."""
+    return order_interarrival_op(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "customer")
+    )
+
+
+def order_interarrival_op(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Per-segment distribution of per-customer consecutive-order gaps.
+
+    Exactness: gaps are exact integer DAYS between consecutive
+    o_orderdate values in the (o_orderdate, o_orderkey) total order
+    per customer (the orderkey tiebreak pins same-day pairs to gap 0
+    deterministically); mean is the HALF_UP 4-dp integer ratio; median
+    is the doubled rank walk (sum of the two middle order statistics,
+    /2.0 at the output); p90 is the rank-⌈0.9·m⌉ order statistic — an
+    exact int64. Rank ties cannot occur: row_number orders by
+    (gap, custkey, rn) and (custkey, rn) is unique.
+
+    Plan shape (100 TB): one orders scan → the per-customer lag window
+    partitions on o_custkey (the natural clustering key; one shuffle)
+    → broadcast segment join → the distribution pass ranks gaps in 5
+    segment partitions — at billions of gaps swap the rank walk for
+    the HDR-sketch quantile over the same column (the funnel_latency
+    note); the per-customer windowing, which carries the volume, is
+    unchanged."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderkey",
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d"), F.lag("d", 1).over(w)).alias("gap_days"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    tagged = gaps.join(F.broadcast(seg), "o_custkey")
+    wr = Window.partitionBy("mktsegment").orderBy(
+        "gap_days", "o_custkey", "rn"
+    )
+    ranked = tagged.select(
+        "mktsegment", "gap_days",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(Window.partitionBy("mktsegment")).alias("m"),
+    )
+    stats = ranked.groupBy("mktsegment").agg(
+        F.max("m").alias("n_gaps"),
+        F.sum("gap_days").alias("sum_days"),
+        F.max("gap_days").alias("max_days"),
+    )
+    med = (
+        ranked.where(F.expr("r = (m + 1) DIV 2 OR r = (m + 2) DIV 2"))
+        .groupBy("mktsegment")
+        .agg(
+            (2 * F.sum("gap_days") / F.count("*"))
+            .cast("bigint").alias("med2")
+        )
+    )
+    p90 = (
+        ranked.where(F.expr("r = (9 * m + 9) DIV 10"))
+        .groupBy("mktsegment")
+        .agg(F.max("gap_days").alias("p90_days"))
+    )
+    return (
+        stats.join(med, "mktsegment")
+        .join(p90, "mktsegment")
+        .selectExpr(
+            "mktsegment",
+            "n_gaps",
+            ratio_round_spark("sum_days", "n_gaps", 4) + " AS mean_days",
+            "med2 / 2.0d AS median_days",
+            "p90_days",
+            "max_days",
+        )
+        .orderBy("mktsegment")
+    )
+
+
+def _interarrival_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+g0 AS (SELECT o_custkey,
+              date_diff('day',
+                        lag(CAST(o_orderdate AS DATE), 1) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                        CAST(o_orderdate AS DATE)) AS gap_days,
+              row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY CAST(o_orderdate AS DATE),
+                                          o_orderkey) AS rn
+       FROM orders),
+gaps AS (SELECT * FROM g0 WHERE gap_days IS NOT NULL),
+r AS (SELECT c.c_mktsegment AS mktsegment, gap_days, g.o_custkey, rn,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY gap_days, g.o_custkey, rn) AS r,
+             count(*) OVER (PARTITION BY c.c_mktsegment) AS m
+      FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey),
+st AS (SELECT mktsegment, max(m) AS n_gaps,
+              CAST(sum(gap_days) AS BIGINT) AS sum_days,
+              max(gap_days) AS max_days
+       FROM r GROUP BY mktsegment),
+md AS (SELECT mktsegment,
+              CAST(2 * sum(gap_days) / count(*) AS BIGINT) AS med2
+       FROM r WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+       GROUP BY mktsegment),
+p9 AS (SELECT mktsegment, max(gap_days) AS p90_days
+       FROM r WHERE r = (9 * m + 9) // 10 GROUP BY mktsegment)
+SELECT s.mktsegment, s.n_gaps,
+       {ratio_round_duck("s.sum_days", "s.n_gaps", 4)} AS mean_days,
+       m.med2 / 2.0 AS median_days,
+       CAST(p.p90_days AS BIGINT) AS p90_days,
+       CAST(s.max_days AS BIGINT) AS max_days
+FROM st s JOIN md m ON s.mktsegment = m.mktsegment
+JOIN p9 p ON s.mktsegment = p.mktsegment
+ORDER BY s.mktsegment"""
+
+
+ORDER_INTERARRIVAL_SQL = _interarrival_sql()
+
+
+# --- common-neighbor link prediction (graph family, fourth verb) ----------------
+# STAGED for the round-17 driver window (same staging discipline).
+# After "which nodes matter" (pagerank/HITS), "how many triangles"
+# (census) and "how clustered is each node" (coefficient), this is the
+# family's forward-looking verb: which NON-edges have the most common
+# neighbors — the classic common-neighbors link-prediction score, the
+# baseline every graph-ML paper reports first.
+
+LINKPRED_TOP = 20
+
+
+def part_link_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`part_link_pred_op`)."""
+    return part_link_pred_op(load_table(spark, sf, "lineitem"))
+
+
+def part_link_pred_op(li: DataFrame) -> DataFrame:
+    """Top non-adjacent part pairs by common-neighbor count in the
+    support-≥2 co-purchase graph (ties: x ASC, y ASC), each with both
+    endpoint degrees.
+
+    Exactness: pure int64 (supports, degrees, wedge counts) — nothing
+    to round anywhere.
+
+    Plan shape (100 TB): the pair set is the one corpus-sized shuffle;
+    the FULL wedge census (adjacency self-join on the center) costs
+    Σ deg(u)² candidate rows — the definitional candidate volume of
+    ANY exact common-neighbor computation, unlike the triangle count
+    where orientation halves the fan-out; on hub-skewed graphs the
+    production lever is a degree cap on centers (scores through a
+    mega-hub carry no signal), which drops fan-out to Σ min(deg,D)² —
+    semantics then change, so the cap stays a documented OPTION, not a
+    default. The final anti-join and degree joins are edge- and
+    node-sized."""
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MIN_SUP)
+        .select("x", "y")
+    )
+    adj = pairs.selectExpr("x AS u", "y AS v").unionByName(
+        pairs.selectExpr("y AS u", "x AS v")
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    w1 = adj.selectExpr("u AS c", "v AS p")
+    w2 = adj.selectExpr("u AS c2", "v AS q")
+    cand = (
+        w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("p") < F.col("q")))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("cn"))
+    )
+    open_pairs = cand.join(
+        pairs, (cand.p == pairs.x) & (cand.q == pairs.y), "left_anti"
+    )
+    dx = deg.selectExpr("u AS p", "deg AS deg_x")
+    dy = deg.selectExpr("u AS q", "deg AS deg_y")
+    return (
+        open_pairs.join(F.broadcast(dx), "p")
+        .join(F.broadcast(dy), "q")
+        .selectExpr("p AS x", "q AS y", "cn", "deg_x", "deg_y")
+        .orderBy(F.desc("cn"), F.asc("x"), F.asc("y"))
+        .limit(LINKPRED_TOP)
+    )
+
+
+PART_LINK_PRED_SQL = f"""WITH
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY x, y HAVING count(*) >= {BASKET_MIN_SUP}),
+adj AS (SELECT x AS u, y AS v FROM pairs
+        UNION ALL SELECT y AS u, x AS v FROM pairs),
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+cand AS (SELECT a1.v AS p, a2.v AS q, count(*) AS cn
+         FROM adj a1 JOIN adj a2
+           ON a1.u = a2.u AND a1.v < a2.v
+         GROUP BY p, q),
+open_pairs AS (SELECT c.p, c.q, c.cn FROM cand c
+               LEFT JOIN pairs e ON c.p = e.x AND c.q = e.y
+               WHERE e.x IS NULL)
+SELECT o.p AS x, o.q AS y, CAST(o.cn AS BIGINT) AS cn,
+       CAST(dx.deg AS BIGINT) AS deg_x, CAST(dy.deg AS BIGINT) AS deg_y
+FROM open_pairs o
+JOIN deg dx ON o.p = dx.u
+JOIN deg dy ON o.q = dy.u
+ORDER BY cn DESC, x ASC, y ASC
+LIMIT {LINKPRED_TOP}"""

@@ -3479,3 +3479,112 @@ SELECT id, lag, n_cells, acf FROM ({arms}) ORDER BY id, lag"""
 
 
 SERIES_SEQ_ACF_SQL = _acf_sql()
+
+
+# --- turning-points randomness screen -------------------------------------------
+# STAGED for the round-17 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). The family's "is it RANDOM at all?"
+# verb, upstream of every other screen: the classic turning-points test
+# (Kendall) — count strict local extrema in the per-series sample
+# sequence; an i.i.d. series has E[T] = 2(n−2)/3 and
+# Var[T] = (16n−29)/90, so the normalized z reads directly as
+# too-smooth (z ≪ 0: trends/levels) vs too-oscillatory (z ≫ 0:
+# alternation/negative autocorrelation).
+
+TURNING_MIN_N = 3  # below three points the statistic does not exist
+
+
+def series_turning_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window
+    (:func:`series_turning_points_op`)."""
+    return series_turning_points_op(
+        measurements(spark, sf), IDS, FROM_MS, TO_MS, 0
+    )
+
+
+def series_turning_points_op(
+    meas: DataFrame,
+    ids: list[int] | None,
+    from_ms: int,
+    to_ms: int,
+    flag: int = 0,
+) -> DataFrame:
+    """Per-series strict-turning-point census over the raw sample
+    sequence in the tie-safe (time, value, flag) total order.
+
+    A position t (1 < t < n) is a turning point iff y_t is a STRICT
+    local extremum: y_{t−1} < y_t > y_{t+1} or y_{t−1} > y_t < y_{t+1}.
+    Plateaus (either neighbor equal) never count — the comparison-only
+    definition needs no products, so there is no overflow class at all.
+
+    Exactness: y is the cent-quantized int64 (the house money rule);
+    T and n are integers; expected = HALF_UP(2(n−2)/3, 6) is the exact
+    integer rational; z = round(((3T − 2(n−2))/3) / √((16n−29)/90), 6)
+    is ONE fixed-arity float expression from exact integers — both
+    engines evaluate the identical correctly-rounded double chain, and
+    a √-expression can never land on a non-dyadic decimal half (the
+    exact.py doctrine), so round() agrees. Series with n < 3 are
+    dropped (the statistic does not exist).
+
+    Plan shape (100 TB): one pushed-down scan → ONE per-series sorted
+    window pass carrying lag+lead → one per-id aggregate. No joins, no
+    second shuffle; group state is two neighbor values per row."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    base = scan_interval(meas, ids, from_ms, to_ms, flag)
+    w = Window.partitionBy("id").orderBy("time", "value", "flag")
+    y = F.round(F.col("value") * 100).cast("long")
+    seq = base.select(
+        "id",
+        y.alias("y"),
+        F.lag(y, 1).over(w).alias("yp"),
+        F.lead(y, 1).over(w).alias("yn"),
+    )
+    turn = (
+        ((F.col("yp") < F.col("y")) & (F.col("y") > F.col("yn")))
+        | ((F.col("yp") > F.col("y")) & (F.col("y") < F.col("yn")))
+    )
+    return (
+        seq.groupBy("id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(turn, 1).otherwise(0)).alias("t_points"),
+        )
+        .where(F.col("n") >= TURNING_MIN_N)
+        .selectExpr(
+            "id",
+            "n",
+            "t_points",
+            ratio_round_spark("2 * (n - 2)", "3", 6) + " AS expected",
+            "round(((3.0d * t_points - 2.0d * (n - 2)) / 3.0d)"
+            " / sqrt((16.0d * n - 29.0d) / 90.0d), 6) AS z",
+        )
+        .orderBy("id")
+    )
+
+
+def _turning_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH {MEAS_CTE_SQL},
+seq AS (SELECT id,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               lag(CAST(round(value * 100) AS BIGINT), 1) OVER (
+                 PARTITION BY id ORDER BY time, value, flag) AS yp,
+               lead(CAST(round(value * 100) AS BIGINT), 1) OVER (
+                 PARTITION BY id ORDER BY time, value, flag) AS yn
+        FROM measurements WHERE {_interval_sql()}),
+agg AS (SELECT id, count(*) AS n,
+               CAST(sum(CASE WHEN (yp < y AND y > yn)
+                              OR (yp > y AND y < yn)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+        FROM seq GROUP BY id HAVING count(*) >= {TURNING_MIN_N})
+SELECT id, n, t_points,
+       {ratio_round_duck("2 * (n - 2)", "3", 6)} AS expected,
+       round(((3.0 * t_points - 2.0 * (n - 2)) / 3.0)
+             / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z
+FROM agg ORDER BY id"""
+
+
+SERIES_TURNING_POINTS_SQL = _turning_sql()
