@@ -2718,3 +2718,98 @@ def test_session_concurrency_matches_reference(spark, rows):
         for day, (s, e, peak) in sorted(days.items())
     ]
     assert got == want
+
+
+@given(rows=meas_lists)
+@_SETTINGS
+def test_series_turning_points_matches_reference(spark, rows):
+    """Staged r17 ``series_turning_points_op`` equals the pure-Python
+    census in the tie-safe (time, value, flag) order on adversarial
+    inputs: negative values, duplicate keys, plateaus (equal neighbors
+    never count), and sub-3-row series dropped whole."""
+    from dariadb_spark.ext.timeseries import series_turning_points_op
+
+    lo, hi = T0, T0 + 40 * STEP
+    df = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = [tuple(r) for r in series_turning_points_op(
+        df, None, lo, hi, 0
+    ).collect()]
+
+    per: dict[int, list[tuple[int, float, int]]] = {}
+    for i, t, v, f in rows:
+        if lo <= t <= hi:
+            per.setdefault(i, []).append((t, v, f))
+    want = []
+    for i in sorted(per):
+        seq = sorted(per[i])
+        ys = [_cents(v) for _t, v, _f in seq]
+        n = len(ys)
+        if n < 3:
+            continue
+        tp = sum(
+            1 for k in range(1, n - 1)
+            if (ys[k - 1] < ys[k] > ys[k + 1])
+            or (ys[k - 1] > ys[k] < ys[k + 1])
+        )
+        e = ((2 * 2 * (n - 2) * 10**6 + 3) // 6) / 10**6
+        z = _hup(((3.0 * tp - 2.0 * (n - 2)) / 3.0)
+                 / (((16.0 * n - 29.0) / 90.0) ** 0.5), 6)
+        want.append((i, n, tp, e, z))
+    assert got == want
+
+
+_gini_rows = st.lists(
+    st.tuples(
+        st.integers(0, 7),  # custkey
+        st.sampled_from(["S0", "S1"]),  # segment (per customer, by key)
+        st.integers(1, 4_000_000),  # order cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_gini_rows)
+@_SETTINGS
+def test_orders_gini_matches_reference(spark, rows):
+    """Staged r17 ``orders_gini_op`` equals the big-int replay of the
+    sorted-values identity on random orders — tie groups included (the
+    rank-walk term is permutation-invariant within ties, so the replay
+    may sort by (cents, custkey) exactly as the engine does)."""
+    import datetime as dt
+
+    from dariadb_spark.ext.relational import orders_gini_op
+
+    d = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, c, "O", cents / 100.0, d, "P")
+         for k, (c, _seg, cents) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    seg_of = {c: ("S0" if c % 2 == 0 else "S1") for c, _s, _c2 in rows}
+    custs = spark.createDataFrame(
+        [(c, f"c{c}", 0, 0.0, s) for c, s in seg_of.items()],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    got = [tuple(r) for r in orders_gini_op(orders, custs).collect()]
+
+    per: dict[int, int] = {}
+    for c, _seg, cents in rows:
+        per[c] = per.get(c, 0) + cents
+    by_seg: dict[str, list[tuple[int, int]]] = {}
+    for c, cents in per.items():
+        by_seg.setdefault(seg_of[c], []).append((cents, c))
+    want = []
+    for seg in sorted(by_seg):
+        members = sorted(by_seg[seg])
+        m, s = len(members), sum(c for c, _ in members)
+        w = sum((r + 1) * c for r, (c, _) in enumerate(members))
+        num, den = 2 * w - (m + 1) * s, m * s
+        q = (2 * abs(num) * 10**6 + den) // (2 * den)
+        want.append((seg, m, s, (q if num >= 0 else -q) / 10**6))
+    assert got == want

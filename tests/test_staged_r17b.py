@@ -1,0 +1,466 @@
+"""Staged-operator tests, round-16 second staging pass (r17 window):
+Gini, supplier HHI, order inter-arrival, turning points, link
+prediction. Each operator gets (a) fixture parity vs its DuckDB oracle
+at sf0.01 and (b) a planted closed-form grid pinning the contract
+points the fixtures cannot reach."""
+
+from __future__ import annotations
+
+import datetime
+
+from tests.parity import compare, duckdb_connection
+
+_D = datetime.datetime(2024, 1, 1)
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+_CUSTOMER_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+    " c_mktsegment string"
+)
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string"
+)
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, _ORDERS_SCHEMA)
+
+
+def _customers(spark, rows):
+    return spark.createDataFrame(
+        [(c, f"c{c}", 0, 0.0, seg) for c, seg in rows], _CUSTOMER_SCHEMA
+    )
+
+
+# --- ext_orders_gini ------------------------------------------------------------
+
+def test_orders_gini_parity_and_planted_grid(spark, oracle_sf_dir):
+    """Fixture parity, then the planted two-segment grid: perfect
+    equality scores EXACTLY 0, and the (1,1,1,97) split scores the
+    exact rational (2·394 − 5·100) / (4·100) = 0.72."""
+    from dariadb_spark.ext.relational import (
+        ORDERS_GINI_SQL,
+        orders_gini,
+        orders_gini_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_orders_gini", orders_gini(spark, oracle_sf_dir), con,
+        ORDERS_GINI_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 5
+
+    orders = _orders(spark, [
+        (1, 10, "O", 0.25, _D, "P"), (2, 10, "O", 0.75, _D, "P"),
+        (3, 11, "O", 1.00, _D, "P"), (4, 12, "O", 1.00, _D, "P"),
+        (5, 13, "O", 1.00, _D, "P"),
+        (6, 20, "O", 0.01, _D, "P"), (7, 21, "O", 0.01, _D, "P"),
+        (8, 22, "O", 0.01, _D, "P"), (9, 23, "O", 0.97, _D, "P"),
+        (10, 99, "O", 5.00, _D, "P"),  # no customer row -> dropped
+    ])
+    custs = _customers(spark, [
+        (10, "EQ"), (11, "EQ"), (12, "EQ"), (13, "EQ"),
+        (20, "SKEW"), (21, "SKEW"), (22, "SKEW"), (23, "SKEW"),
+    ])
+    got = [tuple(r) for r in orders_gini_op(orders, custs).collect()]
+    assert got == [
+        ("EQ", 4, 400, 0.0),
+        ("SKEW", 4, 100, 0.72),
+    ], got
+
+
+def test_orders_gini_single_customer_is_zero(spark):
+    """n = 1 collapses the identity to (2S − 2S)/S = 0 exactly."""
+    from dariadb_spark.ext.relational import orders_gini_op
+
+    got = [tuple(r) for r in orders_gini_op(
+        _orders(spark, [(1, 10, "O", 123.45, _D, "P")]),
+        _customers(spark, [(10, "ONLY")]),
+    ).collect()]
+    assert got == [("ONLY", 1, 12345, 0.0)], got
+
+
+def test_orders_gini_matches_python_reference(spark):
+    """Deterministic pseudo-random revenues over 3 segments vs the
+    pure-Python big-int replay of the full rank identity."""
+    from dariadb_spark.ext.relational import orders_gini_op
+
+    n = 300
+    cents = [((i * 2654435761) % 99991) + 1 for i in range(n)]
+    segs = ["S0", "S1", "S2"]
+    orders = _orders(spark, [
+        (i, i, "O", c / 100.0, _D, "P") for i, c in enumerate(cents)
+    ])
+    custs = _customers(spark, [(i, segs[i % 3]) for i in range(n)])
+    got = [tuple(r) for r in orders_gini_op(orders, custs).collect()]
+
+    want = []
+    for si, seg in enumerate(segs):
+        members = sorted(
+            (cents[i], i) for i in range(n) if i % 3 == si
+        )
+        m, s = len(members), sum(c for c, _ in members)
+        wsum = sum((r + 1) * c for r, (c, _) in enumerate(members))
+        num, den = 2 * wsum - (m + 1) * s, m * s
+        q, rm = divmod(2 * abs(num) * 10**6 + den, 2 * den)
+        want.append((seg, m, s, (q if num >= 0 else -q) / 10**6))
+    assert got == want
+
+
+# --- ext_supplier_hhi -----------------------------------------------------------
+
+def _li(spark, rows):
+    """rows: (orderkey, suppkey, price, discount)"""
+    return spark.createDataFrame(
+        [(o, 1, s, 1, 1.0, p, d, 0.0, "N", "O") for o, s, p, d in rows],
+        _LI_SCHEMA,
+    )
+
+
+def _sups(spark, rows):
+    return spark.createDataFrame(
+        [(s, f"s{s}", nk, 0.0) for s, nk in rows],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+
+
+def _nats(spark, rows):
+    return spark.createDataFrame(
+        [(nk, nm, 0) for nk, nm in rows],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+
+
+def test_supplier_hhi_parity_and_planted_grid(spark, oracle_sf_dir):
+    """Fixture parity, then the planted three-nation grid: duopoly
+    50/50 → exactly 500000 micro, monopoly → 1000000, four equal →
+    250000; the discount path exercises the per-row money rounding."""
+    from dariadb_spark.ext.relational import (
+        SUPPLIER_HHI_SQL,
+        supplier_hhi,
+        supplier_hhi_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_supplier_hhi", supplier_hhi(spark, oracle_sf_dir), con,
+        SUPPLIER_HHI_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 25
+
+    li = _li(spark, [
+        (1, 100, 1.00, 0.0), (2, 101, 0.50, 0.0), (3, 101, 0.50, 0.0),
+        (4, 200, 2.00, 0.5),  # -> 100 cents after the 50% discount
+        (5, 300, 0.25, 0.0), (6, 301, 0.25, 0.0),
+        (7, 302, 0.25, 0.0), (8, 303, 0.25, 0.0),
+    ])
+    sups = _sups(spark, [
+        (100, 0), (101, 0), (200, 1),
+        (300, 2), (301, 2), (302, 2), (303, 2),
+    ])
+    nats = _nats(spark, [(0, "DUO"), (1, "MONO"), (2, "QUAD")])
+    got = [tuple(r) for r in supplier_hhi_op(li, sups, nats).collect()]
+    assert got == [
+        ("DUO", 2, 200, 500000),
+        ("MONO", 1, 100, 1000000),
+        ("QUAD", 4, 100, 250000),
+    ], got
+
+
+def test_supplier_hhi_matches_python_reference(spark):
+    """Deterministic pseudo-random line revenues vs the big-int
+    replay: per-row cent rounding, supplier sums, Σc²/T² HALF_UP."""
+    from dariadb_spark.ext.relational import supplier_hhi_op
+
+    n = 500
+    li = _li(spark, [
+        (i, 100 + (i % 37), (((i * 48271) % 9973) + 1) / 100.0, 0.0)
+        for i in range(n)
+    ])
+    sups = _sups(spark, [(100 + s, s % 3) for s in range(37)])
+    nats = _nats(spark, [(0, "N0"), (1, "N1"), (2, "N2")])
+    got = [tuple(r) for r in supplier_hhi_op(li, sups, nats).collect()]
+
+    per: dict[int, int] = {}
+    for i in range(n):
+        s = 100 + (i % 37)
+        per[s] = per.get(s, 0) + ((i * 48271) % 9973) + 1
+    want = []
+    for nk, nm in [(0, "N0"), (1, "N1"), (2, "N2")]:
+        cs = [c for s, c in per.items() if (s - 100) % 3 == nk]
+        t, sq = sum(cs), sum(c * c for c in cs)
+        want.append(
+            (nm, len(cs), t, (2 * sq * 10**6 + t * t) // (2 * t * t))
+        )
+    assert got == sorted(want)
+
+
+# --- ext_order_interarrival -----------------------------------------------------
+
+def test_order_interarrival_parity_and_planted_grid(spark, oracle_sf_dir):
+    """Fixture parity, then the planted cadence grid: gaps (1, 2, 3)
+    pin mean 2.0 / median 2.0 / p90 = 3 / max 3; a same-day order pair
+    pins the orderkey tiebreak to gap 0; an even gap count pins the
+    two-middle median (1.5)."""
+    from dariadb_spark.ext.relational import (
+        ORDER_INTERARRIVAL_SQL,
+        order_interarrival,
+        order_interarrival_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_order_interarrival", order_interarrival(spark, oracle_sf_dir),
+        con, ORDER_INTERARRIVAL_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 5
+
+    def day(k):
+        return _D + datetime.timedelta(days=k)
+
+    orders = _orders(spark, [
+        # cust 10 (SEG1): days 0,1,3,6 -> gaps 1,2,3
+        (1, 10, "O", 1.0, day(0), "P"), (2, 10, "O", 1.0, day(1), "P"),
+        (3, 10, "O", 1.0, day(3), "P"), (4, 10, "O", 1.0, day(6), "P"),
+        # cust 20 (SEG2): same-day pair then +1, +2 -> gaps 0,1,2
+        (5, 20, "O", 1.0, day(0), "P"), (6, 20, "O", 1.0, day(0), "P"),
+        (7, 20, "O", 1.0, day(1), "P"), (8, 20, "O", 1.0, day(3), "P"),
+        # cust 21 (SEG2): one more gap of 3 -> SEG2 gaps 0,1,2,3
+        (9, 21, "O", 1.0, day(0), "P"), (10, 21, "O", 1.0, day(3), "P"),
+        # cust 30 (SEG3): single order -> no gap, segment absent
+        (11, 30, "O", 1.0, day(0), "P"),
+    ])
+    custs = _customers(spark, [
+        (10, "SEG1"), (20, "SEG2"), (21, "SEG2"), (30, "SEG3"),
+    ])
+    got = [tuple(r) for r in
+           order_interarrival_op(orders, custs).collect()]
+    assert got == [
+        ("SEG1", 3, 2.0, 2.0, 3, 3),
+        ("SEG2", 4, 1.5, 1.5, 3, 3),
+    ], got
+
+
+def test_order_interarrival_matches_python_reference(spark):
+    """Deterministic pseudo-random order days vs the pure replay of
+    the per-customer (date, orderkey) lag walk and the rank
+    statistics."""
+    from dariadb_spark.ext.relational import order_interarrival_op
+
+    n = 400
+    rows = []
+    for k in range(n):
+        c = k % 40
+        d = (k * 48271) % 200
+        rows.append((k, c, "O", 1.0,
+                     _D + datetime.timedelta(days=d), "P"))
+    orders = _orders(spark, rows)
+    custs = _customers(spark, [(c, f"S{c % 4}") for c in range(40)])
+    got = [tuple(r) for r in
+           order_interarrival_op(orders, custs).collect()]
+
+    per: dict[int, list[tuple[int, int]]] = {}
+    for k, c, _s, _p, dt, _pr in rows:
+        per.setdefault(c, []).append(((dt - _D).days, k))
+    seg_gaps: dict[str, list[tuple[int, int, int]]] = {}
+    for c, evs in per.items():
+        evs.sort()
+        for rn in range(1, len(evs)):
+            seg_gaps.setdefault(f"S{c % 4}", []).append(
+                (evs[rn][0] - evs[rn - 1][0], c, rn + 1)
+            )
+    want = []
+    for seg, gaps in sorted(seg_gaps.items()):
+        gaps.sort()
+        m = len(gaps)
+        vals = [g for g, _c, _r in gaps]
+        tot = sum(vals)
+        mean = ((2 * tot * 10**4 + m) // (2 * m)) / 10**4
+        lo, hi = (m + 1) // 2 - 1, (m + 2) // 2 - 1
+        med = (vals[lo] + vals[hi]) / 2.0
+        p90 = vals[(9 * m + 9) // 10 - 1]
+        want.append((seg, m, mean, med, p90, max(vals)))
+    assert got == want
+
+
+# --- ext_series_turning_points --------------------------------------------------
+
+def test_series_turning_points_parity_and_planted_grid(
+    spark, oracle_sf_dir
+):
+    """Fixture parity, then the planted grid pinning every branch: a
+    perfect alternation (T = n−2), a monotone ramp (T = 0), a plateau
+    series where equal neighbors never count, and an n = 2 series that
+    is dropped whole."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_TURNING_POINTS_SQL,
+        series_turning_points,
+        series_turning_points_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_turning_points",
+        series_turning_points(spark, oracle_sf_dir), con,
+        SERIES_TURNING_POINTS_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 15
+
+    rows = []
+    for t in range(10):  # id 0: alternation -> T = 8
+        rows.append((0, 1000 + t, 1.0 if t % 2 == 0 else -1.0, 0))
+    for t in range(10):  # id 1: ramp -> T = 0
+        rows.append((1, 1000 + t, float(t), 0))
+    # id 2: 1,2,2,1 -> plateau, no STRICT extremum anywhere
+    for t, v in enumerate([1.0, 2.0, 2.0, 1.0]):
+        rows.append((2, 1000 + t, v, 0))
+    rows += [(3, 1000, 5.0, 0), (3, 1001, -5.0, 0)]  # n=2 -> dropped
+    meas = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = [tuple(r) for r in series_turning_points_op(
+        meas, None, 0, 10_000, 0
+    ).collect()]
+
+    def z(t, n):
+        return round(((3.0 * t - 2.0 * (n - 2)) / 3.0)
+                     / (((16.0 * n - 29.0) / 90.0) ** 0.5), 6)
+
+    def exp6(n):
+        return ((2 * 2 * (n - 2) * 10**6 + 3) // 6) / 10**6
+
+    assert got == [
+        (0, 10, 8, exp6(10), z(8, 10)),
+        (1, 10, 0, exp6(10), z(0, 10)),
+        (2, 4, 0, exp6(4), z(0, 4)),
+    ], got
+
+
+def test_series_turning_points_matches_python_reference(spark):
+    """Deterministic pseudo-random walk vs the pure-Python census in
+    the same tie-safe (time, value, flag) order, duplicates included."""
+    from dariadb_spark.ext.timeseries import series_turning_points_op
+
+    rows = []
+    for i in range(8):
+        for t in range(60):
+            v = (((i * 61 + t) * 48271) % 7) - 3  # small ints, many ties
+            rows.append((i, 1000 + t * 3, float(v), t % 2))
+    meas = spark.createDataFrame(
+        rows, "id bigint, time bigint, value double, flag bigint"
+    )
+    got = [tuple(r) for r in series_turning_points_op(
+        meas, None, 0, 10_000, 0
+    ).collect()]
+
+    want = []
+    for i in range(8):
+        seq = sorted(
+            (t, v, f) for (j, t, v, f) in rows if j == i
+        )
+        ys = [int(round(v * 100)) for _t, v, _f in seq]
+        n = len(ys)
+        tp = sum(
+            1 for k in range(1, n - 1)
+            if (ys[k - 1] < ys[k] > ys[k + 1])
+            or (ys[k - 1] > ys[k] < ys[k + 1])
+        )
+        e = ((2 * 2 * (n - 2) * 10**6 + 3) // 6) / 10**6
+        zz = round(((3.0 * tp - 2.0 * (n - 2)) / 3.0)
+                   / (((16.0 * n - 29.0) / 90.0) ** 0.5), 6)
+        want.append((i, n, tp, e, zz))
+    assert got == want
+
+
+# --- ext_part_link_pred ---------------------------------------------------------
+
+def test_part_link_pred_parity_and_planted_graph(spark, oracle_sf_dir):
+    """Fixture parity, then the planted butterfly: a−c1, a−c2, b−c1,
+    b−c2 (no a−b edge) scores cn(a,b) = 2 THROUGH the two shared
+    neighbors and cn(c1,c2) = 2 symmetrically, while adjacent pairs
+    never appear; a pendant path pins cn = 1."""
+    from dariadb_spark.ext.relational import (
+        PART_LINK_PRED_SQL,
+        part_link_pred,
+        part_link_pred_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_link_pred", part_link_pred(spark, oracle_sf_dir), con,
+        PART_LINK_PRED_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 20
+
+    # butterfly on 1,2 via 3,4 plus the pendant path 5-6-7
+    edges = [(1, 3), (1, 4), (2, 3), (2, 4), (5, 6), (6, 7)]
+    rows = []
+    for k, (x, y) in enumerate(edges):
+        for copy in (0, 1):
+            o = 100 + 2 * k + copy
+            rows.append((o, 1, x, 1, 1.0, 1.0, 0.0, 0.0, "N", "O"))
+            rows.append((o, 1, y, 2, 1.0, 1.0, 0.0, 0.0, "N", "O"))
+    li = spark.createDataFrame(
+        [(o, p, p, ln, q, ep, d, t, rf, ls)
+         for (o, _s, p, ln, q, ep, d, t, rf, ls) in rows],
+        _LI_SCHEMA,
+    )
+    got = [tuple(r) for r in part_link_pred_op(li).collect()]
+    assert got == [
+        (1, 2, 2, 2, 2),
+        (3, 4, 2, 2, 2),
+        (5, 7, 1, 1, 1),
+    ], got
+
+
+def test_part_link_pred_matches_brute_force_random_graphs(spark):
+    """Random support-2 graphs vs the brute-force O(V³) census:
+    common-neighbor counts of every non-adjacent pair, top-k tie
+    order included."""
+    from itertools import combinations
+
+    from dariadb_spark.ext.relational import LINKPRED_TOP, part_link_pred_op
+
+    for seed in (1, 2):
+        nodes = list(range(1, 13))
+        edges = sorted(
+            (x, y) for x, y in combinations(nodes, 2)
+            if ((x * 31 + y * 17 + seed * 101) * 48271) % 5 == 0
+        )
+        rows = []
+        for k, (x, y) in enumerate(edges):
+            for copy in (0, 1):
+                o = 1000 * seed + 2 * k + copy
+                rows.append((o, x, 1), )
+                rows.append((o, y, 2), )
+        li = spark.createDataFrame(
+            [(o, p, p, ln, 1.0, 1.0, 0.0, 0.0, "N", "O")
+             for (o, p, ln) in rows],
+            _LI_SCHEMA,
+        )
+        got = [tuple(r) for r in part_link_pred_op(li).collect()]
+
+        adj = {n: set() for n in nodes}
+        for x, y in edges:
+            adj[x].add(y)
+            adj[y].add(x)
+        cand = []
+        for x, y in combinations(nodes, 2):
+            if y in adj[x]:
+                continue
+            cn = len(adj[x] & adj[y])
+            if cn > 0:
+                cand.append((x, y, cn, len(adj[x]), len(adj[y])))
+        cand.sort(key=lambda r: (-r[2], r[0], r[1]))
+        assert got == cand[:LINKPRED_TOP], (seed, got[:5], cand[:5])
