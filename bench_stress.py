@@ -2520,6 +2520,11 @@ def main() -> None:
     par_s, par_n = stress_orders_pareto(spark)
     conc_s, conc_n = stress_session_concurrency(spark)
     clu_s, clu_n = stress_part_clustering(spark)
+    gini_s, gini_n = stress_orders_gini(spark)
+    hhi_s, hhi_n = stress_supplier_hhi(spark)
+    iar_s, iar_n = stress_order_interarrival(spark)
+    turn_s, turn_n = stress_series_turning_points(spark)
+    lp_s, lp_n = stress_part_link_pred(spark)
     print(
         json.dumps(
             {
@@ -2613,6 +2618,11 @@ def main() -> None:
                     "orders_pareto_20m": round(par_s, 4),
                     "session_concurrency_20m": round(conc_s, 4),
                     "part_clustering_300k_edges": round(clu_s, 4),
+                    "orders_gini_20m": round(gini_s, 4),
+                    "supplier_hhi_20m": round(hhi_s, 4),
+                    "order_interarrival_20m": round(iar_s, 4),
+                    "turning_points_20m": round(turn_s, 4),
+                    "part_link_pred_400k_edges": round(lp_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -5112,6 +5122,265 @@ def stress_part_clustering(spark) -> tuple[float, int]:
     cl_s = time.perf_counter() - t0
     assert got == [(p, 3, 3, 1.0) for p in range(20)], got[:5]
     return cl_s, c * 24
+
+
+GINI_STRESS_ROWS = 20_000_000
+GINI_STRESS_CUSTOMERS = 100_000
+
+
+def stress_orders_gini(spark) -> tuple[float, int]:
+    """Staged r17 Gini at 20M orders / 100k customers / 5 segments:
+    order j carries ((j %% 100k) %% 997 + 1) cents (the Pareto stress
+    grid) and customer i sits in segment i %% 5, so each segment's
+    member revenues replay exactly in Python over 20k ints and the
+    5-row output must match the big-int rank-identity replay
+    byte-for-byte."""
+    from dariadb_spark.ext.relational import orders_gini_op
+
+    n, c = GINI_STRESS_ROWS, GINI_STRESS_CUSTOMERS
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        f"id % {c} AS o_custkey",
+        "'O' AS o_orderstatus",
+        f"CAST((id % {c}) % 997 + 1 AS DOUBLE) / 100.0d AS o_totalprice",
+        "timestamp_millis(1704067200000) AS o_orderdate",
+        "'P' AS o_orderpriority",
+    )
+    custs = spark.range(c).selectExpr(
+        "id AS c_custkey",
+        "CAST(id AS STRING) AS c_name",
+        "CAST(0 AS BIGINT) AS c_nationkey",
+        "0.0d AS c_acctbal",
+        "concat('SEG', id % 5) AS c_mktsegment",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in orders_gini_op(orders, custs).collect()]
+    gini_s = time.perf_counter() - t0
+
+    per = n // c
+    expect = []
+    for seg in range(5):
+        members = sorted(
+            (per * ((i % 997) + 1), i) for i in range(c) if i % 5 == seg
+        )
+        m, s = len(members), sum(v for v, _ in members)
+        w = sum((r + 1) * v for r, (v, _) in enumerate(members))
+        num, den = 2 * w - (m + 1) * s, m * s
+        q = (2 * num * 10**6 + den) // (2 * den)
+        expect.append((f"SEG{seg}", m, s, q / 10**6))
+    assert got == expect, (got[:2], expect[:2])
+    return gini_s, n
+
+
+HHI_STRESS_ROWS = 20_000_000
+HHI_STRESS_SUPPLIERS = 50_000
+
+
+def stress_supplier_hhi(spark) -> tuple[float, int]:
+    """Staged r17 HHI at 20M lineitems / 50k suppliers / 25 nations:
+    every row of supplier i carries ((i %% 997) + 1) cents at a flat
+    25%% discount (the per-row money rounding executes 20M times), so
+    supplier revenue is closed-form 400·round(((i %% 997)+1)·0.75) —
+    replayed per nation i %% 25 over 2k ints; the 25-row output must
+    match the HUGEINT Σc²/T² replay byte-for-byte."""
+    from dariadb_spark.ext.relational import supplier_hhi_op
+
+    n, sN = HHI_STRESS_ROWS, HHI_STRESS_SUPPLIERS
+    li = spark.range(n).selectExpr(
+        "id AS l_orderkey",
+        "CAST(0 AS BIGINT) AS l_partkey",
+        f"id % {sN} AS l_suppkey",
+        "1 AS l_linenumber",
+        "1.0d AS l_quantity",
+        f"CAST((id % {sN}) % 997 + 1 AS DOUBLE) / 100.0d"
+        " AS l_extendedprice",
+        "0.25d AS l_discount",
+        "0.0d AS l_tax",
+        "'N' AS l_returnflag",
+        "'O' AS l_linestatus",
+    )
+    sups = spark.range(sN).selectExpr(
+        "id AS s_suppkey", "CAST(id AS STRING) AS s_name",
+        "id % 25 AS s_nationkey", "0.0d AS s_acctbal",
+    )
+    nats = spark.range(25).selectExpr(
+        "id AS n_nationkey", "concat('NAT', lpad(id, 2, '0')) AS n_name",
+        "CAST(0 AS BIGINT) AS n_regionkey",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in supplier_hhi_op(li, sups, nats).collect()]
+    hhi_s = time.perf_counter() - t0
+
+    import decimal as _dec
+
+    per = n // sN
+
+    def rc(i):
+        # replay CAST(round(p * (1-d) * 100) AS BIGINT) on the double grid
+        p = ((i % 997) + 1) / 100.0
+        x = p * 0.75 * 100
+        f = _dec.Decimal(repr(x)).quantize(
+            _dec.Decimal(1), _dec.ROUND_HALF_UP
+        )
+        return int(f)
+
+    expect = []
+    for nk in range(25):
+        cs = [per * rc(i) for i in range(sN) if i % 25 == nk]
+        t, sq = sum(cs), sum(v * v for v in cs)
+        expect.append(
+            (f"NAT{nk:02d}", len(cs), t,
+             (2 * sq * 10**6 + t * t) // (2 * t * t))
+        )
+    assert got == expect, (got[:2], expect[:2])
+    return hhi_s, n
+
+
+IAR_STRESS_ROWS = 20_000_000
+IAR_STRESS_CUSTOMERS = 100_000
+
+
+def stress_order_interarrival(spark) -> tuple[float, int]:
+    """Staged r17 inter-arrival at 20M orders / 100k customers / 4
+    segments: customer u places 200 orders every (u %% 3 + 1) days, so
+    each segment's gap multiset is 199 copies of each cadence present
+    and the 4-row output (mean/median/p90/max over ~5M gaps each) is
+    the closed-form replay of three integers."""
+    from dariadb_spark.ext.relational import order_interarrival_op
+
+    n, c = IAR_STRESS_ROWS, IAR_STRESS_CUSTOMERS
+    per = n // c  # 200 orders per customer
+    day_ms = 86_400_000
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        f"id % {c} AS o_custkey",
+        "'O' AS o_orderstatus",
+        "1.0d AS o_totalprice",
+        f"timestamp_millis(CAST((id DIV {c}) * ((id % {c}) % 3 + 1)"
+        f" * {day_ms} AS BIGINT)) AS o_orderdate",
+        "'P' AS o_orderpriority",
+    )
+    custs = spark.range(c).selectExpr(
+        "id AS c_custkey", "CAST(id AS STRING) AS c_name",
+        "CAST(0 AS BIGINT) AS c_nationkey", "0.0d AS c_acctbal",
+        "concat('SEG', id % 4) AS c_mktsegment",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in
+           order_interarrival_op(orders, custs).collect()]
+    iar_s = time.perf_counter() - t0
+
+    expect = []
+    for seg in range(4):
+        gaps = sorted(
+            (u % 3) + 1
+            for u in range(c) if u % 4 == seg
+            for _ in range(per - 1)
+        )
+        m, tot = len(gaps), sum(gaps)
+        mean = ((2 * tot * 10**4 + m) // (2 * m)) / 10**4
+        med = (gaps[(m + 1) // 2 - 1] + gaps[(m + 2) // 2 - 1]) / 2.0
+        p90 = gaps[(9 * m + 9) // 10 - 1]
+        expect.append((f"SEG{seg}", m, mean, med, p90, gaps[-1]))
+    assert got == expect, (got[:2], expect[:2])
+    return iar_s, n
+
+
+TURN_STRESS_ROWS = 20_000_000
+TURN_STRESS_SERIES = 2000
+
+
+def stress_series_turning_points(spark) -> tuple[float, int]:
+    """Staged r17 turning-points census at 20M rows / 2000 series /
+    10000 samples each: even series alternate ±1.0 (every interior
+    point a strict extremum, T = n−2), odd series ramp monotonically
+    (T = 0) — both z scores replayed in Python and asserted
+    DISTRIBUTED via violation counts."""
+    from dariadb_spark.ext.timeseries import series_turning_points_op
+    from pyspark.sql import functions as FF
+
+    n, s = TURN_STRESS_ROWS, TURN_STRESS_SERIES
+    m = n // s
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        f"""CASE WHEN (id % {s}) % 2 = 0
+             THEN CASE WHEN (id DIV {s}) % 2 = 0 THEN 1.0d ELSE -1.0d END
+             ELSE CAST(id DIV {s} AS DOUBLE) / 100.0d END AS value""",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+
+    def z(t):
+        return round(((3.0 * t - 2.0 * (m - 2)) / 3.0)
+                     / (((16.0 * m - 29.0) / 90.0) ** 0.5), 6)
+
+    e = ((2 * 2 * (m - 2) * 10**6 + 3) // 6) / 10**6
+    t0 = time.perf_counter()
+    out = series_turning_points_op(meas, None, 0, m * 1000, 0)
+    agg = out.agg(
+        FF.count("*").alias("rows"),
+        FF.sum(
+            FF.when(
+                (FF.col("n") != m) | (FF.col("expected") != e)
+                | ~(
+                    ((FF.col("id") % 2 == 0)
+                     & (FF.col("t_points") == m - 2)
+                     & (FF.col("z") == z(m - 2)))
+                    | ((FF.col("id") % 2 == 1)
+                       & (FF.col("t_points") == 0)
+                       & (FF.col("z") == z(0)))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    turn_s = time.perf_counter() - t0
+    assert agg["rows"] == s and agg["bad"] == 0, (agg, e, z(m - 2))
+    return turn_s, n
+
+
+LINKPRED_STRESS_MOTIFS = 100_000
+
+
+def stress_part_link_pred(spark) -> tuple[float, int]:
+    """Staged r17 link prediction at 100k planted butterflies (400k
+    nodes, 400k support-2 edges, 1.6M lineitem rows): motif i = nodes
+    4i..4i+3 with edges a−c1, a−c2, b−c1, b−c2 and NO a−b edge, so the
+    only candidates are (a,b) and (c1,c2), each with exactly 2 common
+    neighbors — the global top-20 under (cn DESC, x ASC, y ASC) is the
+    closed-form pair list of motifs 0..9, byte-asserted. The wedge
+    fan-out stays Σ deg² with deg ≡ 2."""
+    from dariadb_spark.ext.relational import part_link_pred_op
+
+    c = LINKPRED_STRESS_MOTIFS
+    # motif-local edges as (endpoint-a offset, endpoint-b offset):
+    # (0,2) (0,3) (1,2) (1,3); each edge in 2 orders of 2 rows
+    li = spark.range(c * 16).selectExpr(
+        "id DIV 16 AS motif",
+        "(id % 16) DIV 4 AS edge",
+        "((id % 16) % 4) DIV 2 AS copy",
+        "id % 2 AS endp",
+    ).selectExpr(
+        "motif * 8 + edge * 2 + copy AS l_orderkey",
+        "motif * 4 + CASE"
+        " WHEN endp = 0 THEN edge DIV 2"
+        " ELSE 2 + edge % 2 END AS l_partkey",
+        "1L AS l_suppkey", "1 AS l_linenumber", "1.0d AS l_quantity",
+        "1.0d AS l_extendedprice", "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    )
+    t0 = time.perf_counter()
+    got = [
+        (r.x, r.y, r.cn, r.deg_x, r.deg_y)
+        for r in part_link_pred_op(li).collect()
+    ]
+    lp_s = time.perf_counter() - t0
+    expect = []
+    for i in range(10):
+        expect.append((4 * i, 4 * i + 1, 2, 2, 2))
+        expect.append((4 * i + 2, 4 * i + 3, 2, 2, 2))
+    assert got == expect, got[:6]
+    return lp_s, c * 16
 
 
 if __name__ == "__main__":
