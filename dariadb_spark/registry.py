@@ -928,7 +928,7 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # pytest-pinned (exact probe replay + PartitionFilters) and
 # stress-measured at 500k vectors (BASELINE.md row).
 #
-# Round 16 staged FOUR operators for r17 so far (each implemented +
+# Round 16 staged NINE operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and
 # hypothesis/brute-force property tests + planted ≥100k-row stress +
 # hash-matched at sf0.1 in the r16 staged sweep; THIS COMMENT is the
@@ -945,7 +945,26 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # ext_part_clustering (ext/relational.py: local clustering
 # coefficient on the support-2 co-purchase graph — the graph family's
 # third verb, reusing the degree-oriented wedge machinery with the
-# DEFINITIONAL triple-join oracle).
+# DEFINITIONAL triple-join oracle). The round's SECOND staging pass
+# added five more: ext_orders_gini (ext/relational.py: per-segment
+# Gini via the sorted-values identity (2W − (n+1)S)/(nS), W in
+# DECIMAL(38,0)/HUGEINT — the concentration family's scale-free
+# summary next to the ABC split), ext_supplier_hhi (ext/relational.py:
+# per-nation Herfindahl index in micro-units, the wide HALF_UP walk
+# widened inline to a DECIMAL denominator), ext_order_interarrival
+# (ext/relational.py: per-segment consecutive-order day-gap
+# distribution on the funnel_latency rank recipe — the cadence verb
+# rfm's recency snapshot cannot see), ext_series_turning_points
+# (ext/timeseries.py: the Kendall randomness screen — strict local
+# extrema by comparisons only, closed-form E/Var, one fixed-arity
+# float z), and ext_part_link_pred (ext/relational.py: common-neighbor
+# scores for non-adjacent pairs — the graph family's fourth verb; full
+# wedge census with the Σ deg² definitional candidate volume and the
+# degree-cap production lever documented).
+# Registering all nine in r17 takes the registry to 228 (219 now + 9);
+# compute the r17 window with `tools/attestation_ledger.py --plan 50`
+# after CORRECTNESS_r16 lands (all nine registrations take priority-2
+# slots).
 #
 # CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —
 # VERDICT r13 item 3): 206 now + ~8 staged/round reaches the 250 hard
