@@ -1027,12 +1027,71 @@ SELECT * FROM (
 # ext_sketch_kmv_union (the trajectory's merge #1 — one freed slot;
 # semantics unchanged and still individually pytest-covered).
 register("ext_sketch_kmv_report", sketch_kmv_report, SKETCH_KMV_REPORT_SQL)
-# round 8: the staged quantile sketches join the driver-checked surface,
-# plus the unified entry point whose selection rule closes the r7
-# verdict's sparse-tail item.
-register("ext_sketch_quantile_hist", sketch_quantile_hist, SKETCH_QUANTILE_HIST_SQL)
-register("ext_sketch_quantile_hdr", sketch_quantile_hdr, SKETCH_QUANTILE_HDR_SQL)
-register("ext_sketch_quantile", sketch_quantile, SKETCH_QUANTILE_SQL)
+# round 8: the staged quantile sketches joined the driver-checked
+# surface individually, plus the unified entry point whose selection
+# rule closes the r7 verdict's sparse-tail item. Round 16 merged the
+# three rows into the variant-tagged report below (trajectory merge #7,
+# audited: none of the three is a projection of another — hist bins the
+# FULL slice of every group, hdr estimates the POSITIVE subset with a
+# relative-error column, the router carries exactly one method per
+# group — so the merge is the HLL-report shape: a composite whose
+# variant filters reproduce all three, pinned by
+# tests/test_sketches.py::test_sketch_quantile_report_projections;
+# TWO slots freed, all three operators stay implemented and
+# pytest-covered).
+
+
+def sketch_quantile_report(spark: SparkSession, sf: str) -> DataFrame:
+    """All three quantile-sketch driver checks in one variant-tagged
+    report: the equi-width histogram estimates over the full slice
+    (absolute error), the HDR estimates over the positive subset
+    (relative error), and the routed recommended entry point (method
+    column says which layout served each group).
+
+    Plan shape (100 TB): the three branches are the proven plans
+    unioned — no join between them, no new exchange beyond what each
+    branch already does; the shared measurements scan dedupes at
+    runtime via AQE stage reuse."""
+    h = sketch_quantile_hist(spark, sf).selectExpr(
+        "'hist' AS variant", "flag", "p", "exact",
+        "qh_est AS est", "'hist' AS method", "abs_err",
+        "CAST(NULL AS DOUBLE) AS rel_err_pct",
+    )
+    d = sketch_quantile_hdr(spark, sf).selectExpr(
+        "'hdr' AS variant", "flag", "p", "exact",
+        "hdr_est AS est", "'hdr' AS method",
+        "CAST(NULL AS DOUBLE) AS abs_err", "rel_err_pct",
+    )
+    r = sketch_quantile(spark, sf).selectExpr(
+        "'routed' AS variant", "flag", "p", "exact",
+        "qsk_est AS est", "method", "abs_err",
+        "CAST(NULL AS DOUBLE) AS rel_err_pct",
+    )
+    return h.unionByName(d).unionByName(r).orderBy(
+        "variant", "flag", "p"
+    )
+
+
+SKETCH_QUANTILE_REPORT_SQL = f"""SELECT * FROM (
+SELECT 'hist' AS variant, flag, p, exact, qh_est AS est,
+       'hist' AS method, abs_err, CAST(NULL AS DOUBLE) AS rel_err_pct
+FROM ({SKETCH_QUANTILE_HIST_SQL}) qh
+UNION ALL
+SELECT 'hdr' AS variant, flag, p, exact, hdr_est AS est,
+       'hdr' AS method, CAST(NULL AS DOUBLE) AS abs_err, rel_err_pct
+FROM ({SKETCH_QUANTILE_HDR_SQL}) qd
+UNION ALL
+SELECT 'routed' AS variant, flag, p, exact, qsk_est AS est,
+       method, abs_err, CAST(NULL AS DOUBLE) AS rel_err_pct
+FROM ({SKETCH_QUANTILE_SQL}) qr)
+ORDER BY variant, flag, p"""
+
+
+register(
+    "ext_sketch_quantile_report",
+    sketch_quantile_report,
+    SKETCH_QUANTILE_REPORT_SQL,
+)
 
 
 # --- hierarchical sketch rollup: daily HDR cells → global quantile --------

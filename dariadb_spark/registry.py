@@ -1010,6 +1010,18 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      test_ann_recall_report_projections.
 #   6. fn_* stay individually registered (CORE reference verbs — the
 #      r12 decision stands; they are the parity evidence).
+#   7. EXECUTED r16 (audited same round): the quantile-sketch trio
+#      ext_sketch_quantile_hist + ext_sketch_quantile_hdr +
+#      ext_sketch_quantile → ext_sketch_quantile_report (the audit
+#      showed none is a projection of another — hist bins the FULL
+#      slice of every group with an absolute-error column, hdr the
+#      POSITIVE subset with a relative-error column, the router
+#      carries exactly one method per group — so the merge is the
+#      HLL-report shape: a variant-tagged composite over a unified
+#      column set whose filters reproduce all three; TWO slots freed,
+#      all three operators stay implemented and pytest-covered; pinned
+#      by tests/test_sketches.py::
+#      test_sketch_quantile_report_projections).
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.
 #
@@ -1118,13 +1130,17 @@ CHECK_WINDOW = [
     # priority 1: the single core reference row at stale-3
     "partition_stats",
     # priority 2: round-16 registrations (the nine r15-staged ops +
-    # merge #5's composite) — driver-checked from day one
+    # merge #5's composite + merge #7's quantile composite, which
+    # joined mid-round when that merge landed — the HLL precedent) —
+    # driver-checked from day one
     "ext_ann_recall_report",
     "ext_orders_benford", "ext_part_hits", "ext_part_triangles",
-    "ext_series_holt", "ext_series_level_shift", "ext_text_heaps",
+    "ext_series_holt", "ext_series_level_shift",
+    "ext_sketch_quantile_report", "ext_text_heaps",
     "ext_text_readability", "streaming_level_shift_parity",
     "streaming_ohlc_parity",
-    # priority 3a: the 38 stale-5 [EXT] rows, ledger order
+    # priority 3a: the 35 remaining stale-5 [EXT] rows, ledger order
+    # (the three quantile rows merged away mid-round)
     "ext_decontaminate_bloom", "ext_decontaminate_embed",
     "ext_dedup_exact", "ext_distinct_agg", "ext_dsir_select",
     "ext_embedding_norm", "ext_forget_source", "ext_grouping_sets",
@@ -1134,15 +1150,14 @@ CHECK_WINDOW = [
     "ext_quality_calibrate", "ext_repeat_customers",
     "ext_revenue_by_nation", "ext_revenue_yoy", "ext_rollup_orders",
     "ext_sample_diverse", "ext_scalar_funcs", "ext_series_mode",
-    "ext_sim_ann_lsh", "ext_sketch_quantile", "ext_sketch_quantile_hdr",
-    "ext_sketch_quantile_hist", "ext_source_overlap", "ext_text_entropy",
+    "ext_sim_ann_lsh", "ext_source_overlap", "ext_text_entropy",
     "ext_text_perplexity", "ext_text_redact", "ext_top_orders_per_cust",
     "ext_topk_customers", "ext_topk_per_series", "ext_value_cdf",
     "streaming_pq_ingest_parity", "streaming_sketch_parity",
-    # priority 3b: the single oldest stale-4 [EXT] row (ledger order;
-    # ext_anomaly_zscore displaced to next rotation by merge #5's
-    # composite, ledger-confirmed violation-free)
-    "ext_ann_recall_pq",
+    # priority 3b: the three oldest stale-4 [EXT] rows (ledger order;
+    # the two slots merge #7 freed pull ext_anomaly_zscore — displaced
+    # by merge #5 last plan — and ext_dedup_components forward)
+    "ext_ann_recall_pq", "ext_anomaly_zscore", "ext_dedup_components",
 ]
 
 

@@ -4333,3 +4333,47 @@ def test_kmv_report_projections(spark, sf_dir):
     assert singles == want_d
     assert pairs == want_u
     assert len(singles) > 0 and len(pairs) > 0
+
+
+def test_sketch_quantile_report_projections(spark, oracle_sf_dir):
+    """Merge #7 (r16): the variant-tagged quantile composite reproduces
+    all THREE original queries by filter + projection, so the
+    consolidation loses no attested semantics. Report columns:
+    (variant, flag, p, exact, est, method, abs_err, rel_err_pct)."""
+    from dariadb_spark.ext.sketches import (
+        sketch_quantile,
+        sketch_quantile_hdr,
+        sketch_quantile_hist,
+        sketch_quantile_report,
+    )
+
+    rep = [
+        tuple(r)
+        for r in sketch_quantile_report(spark, oracle_sf_dir).collect()
+    ]
+    # hist: (flag, p, exact, qh_est, abs_err)
+    got_h = sorted(
+        (r[1], r[2], r[3], r[4], r[6]) for r in rep if r[0] == "hist"
+    )
+    # hdr: (flag, p, exact, hdr_est, rel_err_pct)
+    got_d = sorted(
+        (r[1], r[2], r[3], r[4], r[7]) for r in rep if r[0] == "hdr"
+    )
+    # routed: (flag, p, exact, qsk_est, method, abs_err)
+    got_r = sorted(
+        (r[1], r[2], r[3], r[4], r[5], r[6]) for r in rep
+        if r[0] == "routed"
+    )
+    want_h = sorted(
+        tuple(r) for r in sketch_quantile_hist(spark, oracle_sf_dir).collect()
+    )
+    want_d = sorted(
+        tuple(r) for r in sketch_quantile_hdr(spark, oracle_sf_dir).collect()
+    )
+    want_r = sorted(
+        tuple(r) for r in sketch_quantile(spark, oracle_sf_dir).collect()
+    )
+    assert got_h == want_h
+    assert got_d == want_d
+    assert got_r == want_r
+    assert len(got_h) > 0 and len(got_d) > 0 and len(got_r) > 0
