@@ -215,12 +215,17 @@ def test_check_window_is_first_50_harness_queries():
     # — then the single oldest stale-4 [EXT] row; merge #5's composite
     # ext_ann_recall_report joined priority 2 mid-round, displacing the
     # last stale-4 row ext_anomaly_zscore (the asof_report precedent).
-    # 1 + 10 + 38 + 1 = 50.
+    # 1 + 10 + 38 + 1 = 50. RE-PLANNED when merge #7 landed (N = 216):
+    # the three quantile rows left with their registrations,
+    # ext_sketch_quantile_report joined priority 2, and the two freed
+    # slots pulled ext_anomaly_zscore and ext_dedup_components forward
+    # — 1 + 11 + 35 + 3 = 50, ledger-verified violation-free.
     assert CHECK_WINDOW[0] == "partition_stats"
-    assert set(CHECK_WINDOW[1:11]) == {
+    assert set(CHECK_WINDOW[1:12]) == {
         "ext_ann_recall_report",
         "ext_orders_benford", "ext_part_hits", "ext_part_triangles",
-        "ext_series_holt", "ext_series_level_shift", "ext_text_heaps",
+        "ext_series_holt", "ext_series_level_shift",
+        "ext_sketch_quantile_report", "ext_text_heaps",
         "ext_text_readability", "streaming_level_shift_parity",
         "streaming_ohlc_parity",
     }
@@ -235,7 +240,9 @@ def test_check_window_is_first_50_harness_queries():
                         "ext_asof_join", "ext_asof_nearest",
                         "ext_sketch_hll_distinct", "ext_sketch_hll_union",
                         "ext_sketch_hll_m64",
-                        "ext_ann_recall_eval", "ext_ann_recall_lsh"):
+                        "ext_ann_recall_eval", "ext_ann_recall_lsh",
+                        "ext_sketch_quantile", "ext_sketch_quantile_hdr",
+                        "ext_sketch_quantile_hist"):
         assert merged_away not in REGISTRY, merged_away
     # merges #3, #4, and #5's composite rows; the audit kept pq OUT of
     # merge #5 (L2 baseline, two-variant row shape)
@@ -243,7 +250,10 @@ def test_check_window_is_first_50_harness_queries():
     assert "ext_sketch_hll_report" in REGISTRY
     assert "ext_ann_recall_report" in REGISTRY
     assert "ext_ann_recall_pq" in REGISTRY
-    assert CHECK_WINDOW[-1] == "ext_ann_recall_pq"
+    assert "ext_sketch_quantile_report" in REGISTRY
+    assert CHECK_WINDOW[-3:] == [
+        "ext_ann_recall_pq", "ext_anomaly_zscore", "ext_dedup_components"
+    ]
     # the r15 window (22 core + 14 r15 registrations + stale rows)
     # rotated OUT — re-attested last round, stale-1 now
     for fresh in ("bucket_hour", "timepoint_asof", "ext_asof_report",
