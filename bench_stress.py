@@ -2525,6 +2525,7 @@ def main() -> None:
     iar_s, iar_n = stress_order_interarrival(spark)
     turn_s, turn_n = stress_series_turning_points(spark)
     lp_s, lp_n = stress_part_link_pred(spark)
+    sturn_s, sturn_batch_s, sturn_n = stress_streaming_turning(spark)
     print(
         json.dumps(
             {
@@ -2623,6 +2624,8 @@ def main() -> None:
                     "order_interarrival_20m": round(iar_s, 4),
                     "turning_points_20m": round(turn_s, 4),
                     "part_link_pred_400k_edges": round(lp_s, 4),
+                    "streaming_turning_2m": round(sturn_s, 4),
+                    "streaming_turning_2m_batch_twin": round(sturn_batch_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -5381,6 +5384,83 @@ def stress_part_link_pred(spark) -> tuple[float, int]:
         expect.append((4 * i + 2, 4 * i + 3, 2, 2, 2))
     assert got == expect, got[:6]
     return lp_s, c * 16
+
+
+TURN_STREAM_ROWS = 2_000_000
+TURN_STREAM_SERIES = 1000
+
+
+def stress_streaming_turning(spark) -> tuple[float, float, int]:
+    """Staged r17 streaming turning-points twin at 2M rows / 1k series
+    landed as THREE time-cut drops folded one file per micro-batch (the
+    in-order contract the census needs): even series alternate ±1.0
+    (T = per−2 exactly), odd series replay the period-4 sawtooth
+    0,+1,0,−1 (a strict extremum at every odd interior position, T =
+    (per−2)/2) — the standing report must be row-identical to the
+    batch operator on the same files (shared projection, shared
+    oracle), with both closed forms asserted."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.timeseries import series_turning_points_op
+    from dariadb_spark.streaming.scratch import await_parity_termination
+    from dariadb_spark.streaming.turning import (
+        streaming_turning_log,
+        turning_from_log,
+    )
+
+    n, s = TURN_STREAM_ROWS, TURN_STREAM_SERIES
+    per = n // s  # 2000 samples per series
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        f"""CASE WHEN (id % {s}) % 2 = 0
+             THEN CASE WHEN (id DIV {s}) % 2 = 0 THEN 1.0d ELSE -1.0d END
+             ELSE CASE (id DIV {s}) % 4 WHEN 1 THEN 1.0d WHEN 3 THEN -1.0d
+                  ELSE 0.0d END END AS value""",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_turning_stress_")
+    data_dir = f"{base}/meas"
+    qname = "turning_stress_" + base.rsplit("_", 1)[-1]
+    try:
+        c1, c2 = (per // 3) * 1000, (2 * per // 3) * 1000
+        for lo, hi in ((None, c1), (c1, c2), (c2, None)):
+            part = meas
+            if lo is not None:
+                part = part.where(f"time > {lo}")
+            if hi is not None:
+                part = part.where(f"time <= {hi}")
+            part.coalesce(1).write.mode("append").parquet(data_dir)
+        t0 = time.perf_counter()
+        q = streaming_turning_log(
+            spark, data_dir, qname, max_files_per_trigger=1
+        )
+        await_parity_termination(q)
+        got = [
+            tuple(r) for r in turning_from_log(spark.table(qname)).collect()
+        ]
+        stream_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        batch_src = spark.read.parquet(data_dir)
+        want = [
+            tuple(r)
+            for r in series_turning_points_op(
+                batch_src, None, 0, per * 1000, 0
+            ).collect()
+        ]
+        batch_s = time.perf_counter() - t0
+        assert len(got) == s and got == want, (got[:2], want[:2])
+        t_even, t_odd = per - 2, (per - 2) // 2
+        bad = sum(
+            1 for r in got
+            if r[2] != (t_even if r[0] % 2 == 0 else t_odd) or r[1] != per
+        )
+        assert bad == 0, bad
+        return stream_s, batch_s, len(got)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

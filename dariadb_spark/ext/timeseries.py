@@ -3545,13 +3545,22 @@ def series_turning_points_op(
         ((F.col("yp") < F.col("y")) & (F.col("y") > F.col("yn")))
         | ((F.col("yp") > F.col("y")) & (F.col("y") < F.col("yn")))
     )
+    counts = seq.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(turn, 1).otherwise(0)).alias("t_points"),
+    )
+    return turning_report(counts)
+
+
+def turning_report(counts: DataFrame) -> DataFrame:
+    """The shared final projection over a per-series (id, n, t_points)
+    frame — the batch operator ends in it and the streaming ingest twin
+    (streaming/turning.py) reuses it VERBATIM, so the float pipeline
+    and the n ≥ 3 gate are engine-identical in both paths."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
     return (
-        seq.groupBy("id")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(turn, 1).otherwise(0)).alias("t_points"),
-        )
-        .where(F.col("n") >= TURNING_MIN_N)
+        counts.where(F.col("n") >= TURNING_MIN_N)
         .selectExpr(
             "id",
             "n",

@@ -928,7 +928,7 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # pytest-pinned (exact probe replay + PartitionFilters) and
 # stress-measured at 500k vectors (BASELINE.md row).
 #
-# Round 16 staged NINE operators for r17 (each implemented +
+# Round 16 staged TEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and
 # hypothesis/brute-force property tests + planted ≥100k-row stress +
 # hash-matched at sf0.1 in the r16 staged sweep; THIS COMMENT is the
@@ -960,10 +960,17 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # float z), and ext_part_link_pred (ext/relational.py: common-neighbor
 # scores for non-adjacent pairs — the graph family's fourth verb; full
 # wedge census with the Σ deg² definitional candidate volume and the
-# degree-cap production lever documented).
-# Registering all nine in r17 takes the registry to 228 (219 now + 9);
+# degree-cap production lever documented). A THIRD pass added the
+# streaming twin: streaming_turning_parity (streaming/turning.py,
+# oracle = SERIES_TURNING_POINTS_SQL: the stateful randomness-monitor
+# ingest twin whose per-series state is (n, t_points, the last two
+# cent values, the last order key); extremum detection reads the
+# SEQUENCE, so the fold carries the rate/runlen in-order contract and
+# RAISES on cross-batch out-of-order input; the final projection is
+# the batch operator's turning_report VERBATIM).
+# Registering all ten in r17 takes the registry to 226 (216 now + 10);
 # compute the r17 window with `tools/attestation_ledger.py --plan 50`
-# after CORRECTNESS_r16 lands (all nine registrations take priority-2
+# after CORRECTNESS_r16 lands (all ten registrations take priority-2
 # slots).
 #
 # CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —

@@ -464,3 +464,97 @@ def test_part_link_pred_matches_brute_force_random_graphs(spark):
                 cand.append((x, y, cn, len(adj[x]), len(adj[y])))
         cand.sort(key=lambda r: (-r[2], r[0], r[1]))
         assert got == cand[:LINKPRED_TOP], (seed, got[:5], cand[:5])
+
+
+# --- streaming_turning_parity ---------------------------------------------------
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_streaming_turning_parity_vs_batch_oracle(spark, oracle_sf_dir):
+    """The ingest twin folded one file per micro-batch over the
+    tercile-cut slice equals the batch SERIES_TURNING_POINTS_SQL
+    oracle — the sliding 3-window carries across both cuts."""
+    from dariadb_spark.ext.timeseries import SERIES_TURNING_POINTS_SQL
+    from dariadb_spark.streaming.turning import streaming_turning_parity
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_turning_parity",
+        streaming_turning_parity(spark, oracle_sf_dir), con,
+        SERIES_TURNING_POINTS_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 15
+
+
+def test_turning_fold_matches_python_census_across_cuts():
+    """In-process fold property: random cent walks cut into random
+    in-order batches yield the standing (n, t_points) of the one-shot
+    census — including cuts INSIDE plateaus and right after extrema."""
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.streaming.turning import _turning_fold
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = int(rng.integers(3, 80))
+        y = rng.integers(-5, 6, size=n).astype(np.int64)
+        t = np.arange(n, dtype=np.int64) * 1000
+        pdf = pd.DataFrame({
+            "id": 9, "time": t, "value": y / 100.0,
+            "flag": np.zeros(n, dtype=np.int64), "y": y,
+        })
+        st = _FakeState()
+        cuts = sorted(set(rng.integers(1, n, size=2).tolist()))
+        last, lo = None, 0
+        for hi in cuts + [n]:
+            if hi <= lo:
+                continue
+            out = list(_turning_fold((9,), iter([pdf.iloc[lo:hi]]), st))
+            last = out[-1]
+            lo = hi
+        row = last.iloc[0]
+        tp = sum(
+            1 for k in range(1, n - 1)
+            if (y[k - 1] < y[k] > y[k + 1]) or (y[k - 1] > y[k] < y[k + 1])
+        )
+        assert (row["n"], row["t_points"]) == (n, tp), trial
+
+
+def test_turning_fold_raises_on_cross_batch_out_of_order():
+    """A later micro-batch whose first row sorts at-or-before the
+    standing last key must raise, not corrupt the census."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from dariadb_spark.streaming.turning import _turning_fold
+
+    def batch(ts):
+        return pd.DataFrame({
+            "id": 9,
+            "time": np.array(ts, dtype=np.int64),
+            "value": np.zeros(len(ts)),
+            "flag": np.zeros(len(ts), dtype=np.int64),
+            "y": np.zeros(len(ts), dtype=np.int64),
+        })
+
+    st = _FakeState()
+    list(_turning_fold((9,), iter([batch([1000, 2000])]), st))
+    with pytest.raises(ValueError, match="in-order ingest contract"):
+        list(_turning_fold((9,), iter([batch([2000])]), st))
