@@ -143,6 +143,21 @@ class TsEngine:
     ) -> DataFrame:
         return _read_interval(self.meas(), ids, from_ms, to_ms, flag)
 
+    def read_version(self, version: int | None) -> DataFrame:
+        """Time-travel measurements view: the store's rows as of log
+        ``version`` (None = latest). Requires a version-manifested
+        backend (``TsEngine.open(path, backend='log')``); compose with
+        :meth:`from_dataframe` to run any engine verb against the
+        pinned snapshot. See ``LogTsStore.read_version`` for the
+        vacuum-horizon contract."""
+        rv = getattr(self.store, "read_version", None)
+        if rv is None:
+            raise ValueError(
+                "time travel requires a version-manifested store "
+                "(TsEngine.open(path, backend='log'))"
+            )
+        return rv(version)
+
     def read_interval_by_pattern(
         self, pattern: str, from_ms: int, to_ms: int, flag: int = 0
     ) -> DataFrame:

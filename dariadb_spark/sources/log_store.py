@@ -111,16 +111,45 @@ class LogTsStore:
     def _version_files(self) -> list[Path]:
         return sorted(self.log_dir.glob("*.json"))
 
-    def _snapshot(self) -> dict[str, str]:
-        """path -> p_date of the live files, by log replay."""
+    def _snapshot(self, version: int | None = None) -> dict[str, str]:
+        """path -> p_date of the live files, by log replay — up to and
+        including ``version`` when given (time travel), else the full
+        log (the current snapshot)."""
         live: dict[str, str] = {}
-        for v in self._version_files():
+        for i, v in enumerate(self._version_files()):
+            if version is not None and i > version:
+                break
             actions = json.loads(v.read_text())
             for add in actions.get("add", []):
                 live[add["path"]] = add["p_date"]
             for rm in actions.get("remove", []):
                 live.pop(rm, None)
         return live
+
+    def latest_version(self) -> int:
+        """The highest committed version number (−1 on an empty log)."""
+        return len(self._version_files()) - 1
+
+    def history(self) -> list[dict]:
+        """One entry per committed version — the audit surface a Delta
+        user reads with ``DESCRIBE HISTORY``: version number, add/remove
+        counts, and the commit kind inferred from them (append /
+        maintenance / retention)."""
+        out = []
+        for i, v in enumerate(self._version_files()):
+            actions = json.loads(v.read_text())
+            na, nr = len(actions.get("add", [])), len(
+                actions.get("remove", [])
+            )
+            kind = (
+                "append" if nr == 0
+                else "retention" if na == 0
+                else "maintenance"
+            )
+            out.append(
+                {"version": i, "n_add": na, "n_remove": nr, "kind": kind}
+            )
+        return out
 
     def _try_commit(self, adds: list[dict], removes: list[str]) -> bool:
         """One O_EXCL attempt at the next version; False on a lost race."""
@@ -222,7 +251,31 @@ class LogTsStore:
         return self.read_snapshot()
 
     def read_snapshot(self) -> DataFrame:
-        live = self._snapshot()
+        return self.read_version(None)
+
+    def read_version(self, version: int | None) -> DataFrame:
+        """Time travel: the rows as of log ``version`` (None = latest).
+        Raises ``IndexError`` on a version the log never committed and
+        ``FileNotFoundError`` when a referenced data file was vacuumed
+        away — the Delta trade, surfaced loudly instead of as a Spark
+        scan error (``vacuum`` deletes files the CURRENT snapshot does
+        not reference, so old versions whose files were rewritten by
+        compact/erase_old stop being readable once vacuumed; a real
+        deployment keeps a retention horizon)."""
+        if version is not None:
+            latest = self.latest_version()
+            if not (0 <= version <= latest):
+                raise IndexError(
+                    f"version {version} out of range [0, {latest}]"
+                )
+        live = self._snapshot(version)
+        if version is not None:
+            missing = [p for p in sorted(live) if not Path(p).exists()]
+            if missing:
+                raise FileNotFoundError(
+                    f"version {version} references {len(missing)} "
+                    f"vacuumed data file(s), e.g. {missing[0]}"
+                )
         if not live:
             return self.spark.createDataFrame([], _EMPTY_SCHEMA)
         from dariadb_spark.model import RAW_DAY

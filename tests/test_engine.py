@@ -1732,3 +1732,77 @@ def test_engine_optimize_empty_store_and_default_name(spark, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith("dariadb_bucketed_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_log_store_time_travel_versions_history_and_vacuum_horizon(
+    spark, tmp_path
+):
+    """Time travel on the versioned manifest (the Delta-shaped read a
+    production user asks for next): every committed version is a pinned
+    readable snapshot — appends accumulate, retention's logical delete
+    leaves the PRIOR version fully readable, compact changes files but
+    not rows at ANY pinned version — until vacuum deletes the rewritten
+    files, at which point the pre-compact version raises LOUDLY instead
+    of a Spark scan error. history() narrates the log."""
+    import pytest
+
+    from dariadb_spark import TsEngine
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"), backend="log")
+    store = eng.store
+    day = 86_400_000
+    t0 = 1_704_067_200_000  # 2024-01-01
+    eng.append([(1, t0, 1.0, 1), (1, t0 + 2 * day, 2.0, 1)])   # v0
+    eng.append([(2, t0 + 2 * day, 3.0, 1)])                    # v1
+    # cutoff inside EMPTY day 2 → removes-only commit (pure retention)
+    eng.erase_old(t0 + day)                                    # v2
+    eng.append([(3, t0 + 3 * day, 4.0, 1)])                    # v3
+    store.compact()                                            # v4
+
+    assert store.latest_version() == 4
+    want_by_version = {
+        0: {(1, t0), (1, t0 + 2 * day)},
+        1: {(1, t0), (1, t0 + 2 * day), (2, t0 + 2 * day)},
+        2: {(1, t0 + 2 * day), (2, t0 + 2 * day)},
+        3: {(1, t0 + 2 * day), (2, t0 + 2 * day), (3, t0 + 3 * day)},
+        4: {(1, t0 + 2 * day), (2, t0 + 2 * day), (3, t0 + 3 * day)},
+    }
+    for v, want in want_by_version.items():
+        got = {
+            (r.id, r.time)
+            for r in store.read_version(v).select("id", "time").collect()
+        }
+        assert got == want, v
+    # engine facade: latest == read(), pinned == the same rows
+    assert {
+        (r.id, r.time)
+        for r in eng.read_version(None).select("id", "time").collect()
+    } == want_by_version[4]
+    hist = store.history()
+    assert [h["kind"] for h in hist] == [
+        "append", "append", "retention", "append", "maintenance"
+    ]
+    assert hist[2]["n_add"] == 0 and hist[2]["n_remove"] > 0
+    with pytest.raises(IndexError):
+        store.read_version(5)
+    with pytest.raises(IndexError):
+        store.read_version(-1)
+    # vacuum drops the files versions 0-3 reference (rewritten by
+    # erase_old + compact); the pinned reads now fail LOUDLY while the
+    # current snapshot stays whole
+    assert store.vacuum() > 0
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        store.read_version(0)
+    assert store.read().count() == 3
+
+
+def test_engine_read_version_requires_log_backend(spark, tmp_path):
+    """The parquet backend has no version manifest — the engine facade
+    says so instead of AttributeError-ing."""
+    import pytest
+
+    from dariadb_spark import TsEngine
+
+    eng = TsEngine.open(spark, str(tmp_path / "p"), backend="parquet")
+    with pytest.raises(ValueError, match="version-manifested"):
+        eng.read_version(0)
