@@ -2813,3 +2813,64 @@ def test_orders_gini_matches_reference(spark, rows):
         q = (2 * abs(num) * 10**6 + den) // (2 * den)
         want.append((seg, m, s, (q if num >= 0 else -q) / 10**6))
     assert got == want
+
+
+_iar_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # custkey
+        st.integers(0, 30),  # order day offset
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(rows=_iar_rows)
+@_SETTINGS
+def test_order_interarrival_matches_reference(spark, rows):
+    """Staged r17 ``order_interarrival_op`` equals the pure replay on
+    adversarial order tables: same-day duplicates (the orderkey
+    tiebreak pins gap 0), single-order customers contributing nothing,
+    empty segments dropped, the two-middle median and the ⌈0.9m⌉ rank
+    statistic."""
+    import datetime as dt
+
+    from dariadb_spark.ext.relational import order_interarrival_op
+
+    base = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(k, c, "O", 1.0, base + dt.timedelta(days=d), "P")
+         for k, (c, d) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    custs = spark.createDataFrame(
+        [(c, f"c{c}", 0, 0.0, "S0" if c % 2 == 0 else "S1")
+         for c in range(6)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    got = [tuple(r) for r in
+           order_interarrival_op(orders, custs).collect()]
+
+    per: dict[int, list[tuple[int, int]]] = {}
+    for k, (c, d) in enumerate(rows):
+        per.setdefault(c, []).append((d, k))
+    seg_gaps: dict[str, list[int]] = {}
+    for c, evs in per.items():
+        evs.sort()
+        for i in range(1, len(evs)):
+            seg_gaps.setdefault(
+                "S0" if c % 2 == 0 else "S1", []
+            ).append(evs[i][0] - evs[i - 1][0])
+    want = []
+    for seg in sorted(seg_gaps):
+        vals = sorted(seg_gaps[seg])
+        m, tot = len(vals), sum(vals)
+        mean = ((2 * tot * 10**4 + m) // (2 * m)) / 10**4
+        med = (vals[(m + 1) // 2 - 1] + vals[(m + 2) // 2 - 1]) / 2.0
+        want.append(
+            (seg, m, mean, med, vals[(9 * m + 9) // 10 - 1], vals[-1])
+        )
+    assert got == want
