@@ -1029,6 +1029,20 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      all three operators stay implemented and pytest-covered; pinned
 #      by tests/test_sketches.py::
 #      test_sketch_quantile_report_projections).
+#   8. AUDITED r16 — REFUSED: the decontamination quartet
+#      (ext_decontaminate / _fuzzy / _bloom / _embed) is NOT a
+#      coherent composite: _embed reads a DIFFERENT TABLE (embeddings,
+#      not documents), the shingle ops use different holdout moduli,
+#      and row coverage disagrees (exact/fuzzy emit hit-only rows,
+#      embed covers the whole train slice with 0/NULL audit rows) — a
+#      variant-tagged union would be a kitchen-sink row whose filters
+#      reproduce nothing recognizable. All four stay registered.
+#   9. NEXT to audit (r17, when slots are needed): the CMS pair
+#      ext_sketch_cms_topk + ext_sketch_cms_rollup — both build CMS
+#      cells over the same slice; the question is whether the rollup's
+#      day-merged estimates are projections of a cell-tagged composite
+#      or need their own merge step (the KMV precedent suggests the
+#      latter, which still frees a slot as a composite).
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.
 #
