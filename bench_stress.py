@@ -2526,6 +2526,7 @@ def main() -> None:
     turn_s, turn_n = stress_series_turning_points(spark)
     lp_s, lp_n = stress_part_link_pred(spark)
     sturn_s, sturn_batch_s, sturn_n = stress_streaming_turning(spark)
+    pfx_win_s, pfx_two_s, pfx_n = stress_prefix_two_pass(spark)
     print(
         json.dumps(
             {
@@ -2626,6 +2627,8 @@ def main() -> None:
                     "part_link_pred_400k_edges": round(lp_s, 4),
                     "streaming_turning_2m": round(sturn_s, 4),
                     "streaming_turning_2m_batch_twin": round(sturn_batch_s, 4),
+                    "pareto_window_20m_1m_cust": round(pfx_win_s, 4),
+                    "pareto_two_pass_20m_1m_cust": round(pfx_two_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -5461,6 +5464,43 @@ def stress_streaming_turning(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+PREFIX_STRESS_ROWS = 20_000_000
+PREFIX_STRESS_CUSTOMERS = 1_000_000
+
+
+def stress_prefix_two_pass(spark) -> tuple[float, float, int]:
+    """The two-pass distributed rank (plans/prefix.py) vs the global
+    window at 20M orders / 1M customers: byte-identical 3-row ABC
+    output from both plans, timing each — the measured evidence behind
+    the Pareto/Gini at-scale swap (the global window funnels the 1M
+    ranked customers through one cumulative task; the two-pass ranks
+    32 range slices in parallel and carries ≤32 offsets)."""
+    from dariadb_spark.ext.relational import orders_pareto_op
+    from dariadb_spark.plans.prefix import abc_classes_distributed
+
+    n, c = PREFIX_STRESS_ROWS, PREFIX_STRESS_CUSTOMERS
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        f"id % {c} AS o_custkey",
+        "'O' AS o_orderstatus",
+        f"CAST((id % {c}) % 9973 + 1 AS DOUBLE) / 100.0d AS o_totalprice",
+        "timestamp_millis(1704067200000) AS o_orderdate",
+        "'P' AS o_orderpriority",
+    )
+    t0 = time.perf_counter()
+    want = [tuple(r) for r in orders_pareto_op(orders).collect()]
+    window_s = time.perf_counter() - t0
+    per = orders.selectExpr(
+        "o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS rc"
+    ).groupBy("o_custkey").agg(F.sum("rc").alias("cents"))
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in abc_classes_distributed(per).collect()]
+    two_pass_s = time.perf_counter() - t0
+    assert got == want, (got, want)
+    assert sum(r[1] for r in got) == c
+    return window_s, two_pass_s, c
 
 
 if __name__ == "__main__":

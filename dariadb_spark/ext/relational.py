@@ -1390,9 +1390,11 @@ def orders_pareto_op(orders: DataFrame) -> DataFrame:
     aggregate (the only corpus-sized shuffle) → the ranking window runs
     over CUSTOMERS, a dimension-sized set, in one partition here; at
     extreme customer cardinality the same prefix-sum splits into the
-    range-partitioned two-pass (per-range totals broadcast back) with
-    identical integer semantics — the decision grid does not change.
-    Output is exactly ≤ 3 rows."""
+    range-partitioned two-pass with identical integer semantics — NOT
+    prose: ``plans/prefix.py`` ``abc_classes_distributed`` is that
+    plan, pinned byte-equal to this one and measured faster already at
+    1M customers (stress_prefix_two_pass). Output is exactly ≤ 3
+    rows."""
     cents = orders.groupBy("o_custkey").agg(
         F.sum(
             F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
@@ -1630,9 +1632,11 @@ def orders_gini_op(orders: DataFrame, customer: DataFrame) -> DataFrame:
     shuffle (the only corpus-sized exchange) → broadcast segment join →
     the rank window runs over CUSTOMERS per segment (5 partitions of a
     dimension-sized set; at extreme customer cardinality the same
-    prefix machinery splits into the range-partitioned two-pass, the
-    orders_pareto note). n·S must fit int64 — past ~10¹⁸ cent-customers
-    pre-scale to whole currency units (the token_budget convention)."""
+    prefix machinery splits into the range-partitioned two-pass of
+    ``plans/prefix.py`` ``ranked_prefix`` — code with an equality
+    contract, see orders_pareto). n·S must fit int64 — past ~10¹⁸
+    cent-customers pre-scale to whole currency units (the token_budget
+    convention)."""
     from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
 
     cents = orders.groupBy("o_custkey").agg(

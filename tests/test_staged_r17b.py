@@ -558,3 +558,65 @@ def test_turning_fold_raises_on_cross_batch_out_of_order():
     list(_turning_fold((9,), iter([batch([1000, 2000])]), st))
     with pytest.raises(ValueError, match="in-order ingest contract"):
         list(_turning_fold((9,), iter([batch([2000])]), st))
+
+
+# --- plans/prefix: the two-pass distributed rank the screens swap in -----------
+
+def test_ranked_prefix_equals_global_window(spark):
+    """The two-pass (range-partition → local window → broadcast carry)
+    rank/cumsum equals the global window on tie-heavy random input —
+    the at-scale swap the Pareto/Gini docstrings promise, as a pinned
+    equality contract."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.plans.prefix import ranked_prefix
+
+    cents = [((i * 2654435761) % 97) + 1 for i in range(500)]  # many ties
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "o_custkey long, cents long",
+    )
+    order = [F.col("cents").desc(), F.col("o_custkey").asc()]
+    got = sorted(
+        tuple(r)
+        for r in ranked_prefix(df, order, "cents", n_partitions=7)
+        .select("o_custkey", "cents", "rn", "cum").collect()
+    )
+    w = Window.orderBy(*order)
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "o_custkey", "cents",
+            F.row_number().over(w).alias("rn"),
+            F.sum("cents").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum"),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_abc_classes_distributed_equals_window_pareto(spark):
+    """The two-pass ABC summary byte-equals orders_pareto_op's on the
+    planted boundary grid AND pseudo-random revenues."""
+    from dariadb_spark.ext.relational import orders_pareto_op
+    from dariadb_spark.plans.prefix import abc_classes_distributed
+
+    for cents in (
+        [80, 15, 5],
+        [((i * 48271) % 9973) + 1 for i in range(400)],
+    ):
+        orders = _orders(spark, [
+            (i, i, "O", c / 100.0, _D, "P") for i, c in enumerate(cents)
+        ])
+        want = [tuple(r) for r in orders_pareto_op(orders).collect()]
+        per = orders.selectExpr(
+            "o_custkey",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        got = [
+            tuple(r)
+            for r in abc_classes_distributed(per, n_partitions=5).collect()
+        ]
+        assert got == want
