@@ -2527,6 +2527,7 @@ def main() -> None:
     lp_s, lp_n = stress_part_link_pred(spark)
     sturn_s, sturn_batch_s, sturn_n = stress_streaming_turning(spark)
     pfx_win_s, pfx_two_s, pfx_n = stress_prefix_two_pass(spark)
+    mig_s, mig_n = stress_customer_migration(spark)
     print(
         json.dumps(
             {
@@ -2629,6 +2630,7 @@ def main() -> None:
                     "streaming_turning_2m_batch_twin": round(sturn_batch_s, 4),
                     "pareto_window_20m_1m_cust": round(pfx_win_s, 4),
                     "pareto_two_pass_20m_1m_cust": round(pfx_two_s, 4),
+                    "customer_migration_20m": round(mig_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -5501,6 +5503,56 @@ def stress_prefix_two_pass(spark) -> tuple[float, float, int]:
     assert got == want, (got, want)
     assert sum(r[1] for r in got) == c
     return window_s, two_pass_s, c
+
+
+MIG_STRESS_ROWS = 20_000_000
+MIG_STRESS_CUSTOMERS = 100_000
+
+
+def stress_customer_migration(spark) -> tuple[float, int]:
+    """Staged r17 migration matrix at 20M orders / 100k customers:
+    period A carries ((i %% 997)+1) cents per order and period B the
+    REVERSED grid (997 − (i %% 997)), so both rank walks and the full
+    100-cell decile matrix replay exactly in Python over 100k ints —
+    byte-compared cell for cell."""
+    from dariadb_spark.ext.relational import customer_migration_op
+
+    n, c = MIG_STRESS_ROWS, MIG_STRESS_CUSTOMERS
+    half = n // 2
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        f"id % {c} AS o_custkey",
+        "'O' AS o_orderstatus",
+        f"""CAST(CASE WHEN id < {half} THEN (id % {c}) % 997 + 1
+                 ELSE 997 - (id % {c}) % 997 END AS DOUBLE) / 100.0d
+            AS o_totalprice""",
+        f"""CASE WHEN id < {half}
+             THEN timestamp_millis(852076800000)    -- 1997-01-01
+             ELSE timestamp_millis(915148800000)    -- 1999-01-01
+           END AS o_orderdate""",
+        "'P' AS o_orderpriority",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in customer_migration_op(orders).collect()]
+    mig_s = time.perf_counter() - t0
+
+    per = half // c  # 100 orders per customer per period
+    ca = {i: per * ((i % 997) + 1) for i in range(c)}
+    cb = {i: per * (997 - (i % 997)) for i in range(c)}
+    ra = {i: r + 1 for r, i in enumerate(
+        sorted(range(c), key=lambda i: (-ca[i], i)))}
+    rb = {i: r + 1 for r, i in enumerate(
+        sorted(range(c), key=lambda i: (-cb[i], i)))}
+    cells = {}
+    for i in range(c):
+        key = (1 + ((ra[i] - 1) * 10) // c, 1 + ((rb[i] - 1) * 10) // c)
+        cell = cells.setdefault(key, [0, 0, 0])
+        cell[0] += 1
+        cell[1] += ca[i]
+        cell[2] += cb[i]
+    expect = [(da, db, *v) for (da, db), v in sorted(cells.items())]
+    assert got == expect, (got[:3], expect[:3])
+    return mig_s, n
 
 
 if __name__ == "__main__":

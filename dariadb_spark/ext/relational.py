@@ -2045,3 +2045,109 @@ JOIN deg dx ON o.p = dx.u
 JOIN deg dy ON o.q = dy.u
 ORDER BY cn DESC, x ASC, y ASC
 LIMIT {LINKPRED_TOP}"""
+
+
+# --- revenue-decile migration matrix ---------------------------------------------
+# STAGED for the round-17 driver window (same staging discipline). The
+# BI family's MOBILITY verb: rfm_segments snapshots where each customer
+# sits NOW, retention_cohorts counts who is still PRESENT — this is the
+# matrix between them: how customers MOVE across revenue deciles from
+# one period to the next, the Markov-style mobility table a growth
+# review reads (mass on the diagonal = a sticky base; mass below it =
+# churn risk before it shows up as absence).
+
+#: period A = orders strictly before this year, period B = the rest
+MIGRATION_SPLIT = "1998-01-01"
+
+
+def customer_migration(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r17 window (:func:`customer_migration_op`)."""
+    return customer_migration_op(load_table(spark, sf, "orders"))
+
+
+def customer_migration_op(orders: DataFrame) -> DataFrame:
+    """Decile-to-decile migration of per-customer revenue between the
+    two halves of the order history (split at ``MIGRATION_SPLIT``),
+    over customers active in BOTH periods.
+
+    Exactness: per-period revenue is the exact int64 cent sum from ONE
+    scan (two conditional sums); within each period customers rank by
+    the tie-safe (cents DESC, custkey ASC) total order over the kept
+    set, and the decile is the pure integer 1 + ((rn−1)·10) DIV m (the
+    rfm quantile recipe, so ties and short sets land identically on
+    both engines); the matrix cells are integer counts and cent sums —
+    nothing floats anywhere.
+
+    Plan shape (100 TB): one orders scan → one per-customer partial-agg
+    shuffle → two rank windows over the ACTIVE-BOTH customer set
+    (dimension-sized; at extreme cardinality each swaps to the
+    range-partitioned two-pass of ``plans/prefix.py`` — the pinned
+    equality contract) → a ≤100-row aggregate."""
+    per = (
+        orders.selectExpr(
+            "o_custkey",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS rc",
+            f"CAST(o_orderdate < TIMESTAMP_NTZ '{MIGRATION_SPLIT}"
+            " 00:00:00' AS INT) AS in_a",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CASE WHEN in_a = 1 THEN rc ELSE 0 END"))
+            .alias("cents_a"),
+            F.sum(F.expr("CASE WHEN in_a = 0 THEN rc ELSE 0 END"))
+            .alias("cents_b"),
+        )
+        .where((F.col("cents_a") > 0) & (F.col("cents_b") > 0))
+    )
+    wa = Window.orderBy(F.col("cents_a").desc(), F.col("o_custkey").asc())
+    wb = Window.orderBy(F.col("cents_b").desc(), F.col("o_custkey").asc())
+    ranked = per.select(
+        "o_custkey", "cents_a", "cents_b",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+        F.count("*").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    return (
+        ranked.selectExpr(
+            "cents_a", "cents_b",
+            "1 + ((ra - 1) * 10) DIV m AS decile_a",
+            "1 + ((rb - 1) * 10) DIV m AS decile_b",
+        )
+        .groupBy("decile_a", "decile_b")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents_a").alias("a_cents"),
+            F.sum("cents_b").alias("b_cents"),
+        )
+        .orderBy("decile_a", "decile_b")
+    )
+
+
+CUSTOMER_MIGRATION_SQL = f"""WITH
+per AS (SELECT o_custkey,
+               sum(CASE WHEN o_orderdate < TIMESTAMP '{MIGRATION_SPLIT}'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS cents_a,
+               sum(CASE WHEN o_orderdate >= TIMESTAMP '{MIGRATION_SPLIT}'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS cents_b
+        FROM orders GROUP BY o_custkey
+        HAVING cents_a > 0 AND cents_b > 0),
+ranked AS (SELECT cents_a, cents_b,
+                  row_number() OVER (ORDER BY cents_a DESC,
+                                     o_custkey ASC) AS ra,
+                  row_number() OVER (ORDER BY cents_b DESC,
+                                     o_custkey ASC) AS rb,
+                  count(*) OVER () AS m
+           FROM per)
+SELECT 1 + ((ra - 1) * 10) // m AS decile_a,
+       1 + ((rb - 1) * 10) // m AS decile_b,
+       count(*) AS n_customers,
+       CAST(sum(cents_a) AS BIGINT) AS a_cents,
+       CAST(sum(cents_b) AS BIGINT) AS b_cents
+FROM ranked GROUP BY decile_a, decile_b
+ORDER BY decile_a, decile_b"""

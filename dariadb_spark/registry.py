@@ -928,7 +928,7 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # pytest-pinned (exact probe replay + PartitionFilters) and
 # stress-measured at 500k vectors (BASELINE.md row).
 #
-# Round 16 staged TEN operators for r17 (each implemented +
+# Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and
 # hypothesis/brute-force property tests + planted ≥100k-row stress +
 # hash-matched at sf0.1 in the r16 staged sweep; THIS COMMENT is the
@@ -967,11 +967,16 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # cent values, the last order key); extremum detection reads the
 # SEQUENCE, so the fold carries the rate/runlen in-order contract and
 # RAISES on cross-batch out-of-order input; the final projection is
-# the batch operator's turning_report VERBATIM).
-# Registering all ten in r17 takes the registry to 226 (216 now + 10);
+# the batch operator's turning_report VERBATIM). A FOURTH pass added
+# ext_customer_migration (ext/relational.py: the revenue-decile
+# mobility matrix between the two halves of the order history — the
+# BI family's "how do customers MOVE between tiers?" verb next to
+# rfm's snapshot and retention's presence; pure integer decile walks
+# on the rfm recipe, nothing floats).
+# Registering all eleven in r17 takes the registry to 227 (216 + 11);
 # compute the r17 window with `tools/attestation_ledger.py --plan 50`
-# after CORRECTNESS_r16 lands (all ten registrations take priority-2
-# slots).
+# after CORRECTNESS_r16 lands (all eleven registrations take
+# priority-2 slots).
 #
 # CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —
 # VERDICT r13 item 3): 206 now + ~8 staged/round reaches the 250 hard

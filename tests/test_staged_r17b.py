@@ -620,3 +620,86 @@ def test_abc_classes_distributed_equals_window_pareto(spark):
             for r in abc_classes_distributed(per, n_partitions=5).collect()
         ]
         assert got == want
+
+
+# --- ext_customer_migration -----------------------------------------------------
+
+def test_customer_migration_parity_and_planted_reversal(
+    spark, oracle_sf_dir
+):
+    """Fixture parity, then the planted 4-customer reversal: revenues
+    (400, 300, 200, 100) in period A exactly reverse in period B, so
+    with m = 4 the decile walk 1+((rn−1)·10) DIV 4 maps ranks
+    (1,2,3,4) → deciles (1,3,6,8) and the matrix is the anti-diagonal;
+    an A-only and a B-only customer are dropped by the active-both
+    gate."""
+    from dariadb_spark.ext.relational import (
+        CUSTOMER_MIGRATION_SQL,
+        customer_migration,
+        customer_migration_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_customer_migration", customer_migration(spark, oracle_sf_dir),
+        con, CUSTOMER_MIGRATION_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 100
+
+    a = datetime.datetime(1997, 1, 1)
+    b = datetime.datetime(1999, 1, 1)
+    rows, k = [], 0
+    rev_a = {10: 400, 11: 300, 12: 200, 13: 100}
+    for c, cents in rev_a.items():
+        rows.append((k, c, "O", cents / 100.0, a, "P")); k += 1
+        rows.append((k, c, "O", (500 - cents) / 100.0, b, "P")); k += 1
+    rows.append((k, 90, "O", 9.0, a, "P")); k += 1   # A-only -> dropped
+    rows.append((k, 91, "O", 9.0, b, "P"))           # B-only -> dropped
+    got = [tuple(r) for r in
+           customer_migration_op(_orders(spark, rows)).collect()]
+    # ranks A: 10,11,12,13 -> deciles 1,3,6,8; B reverses: 8,6,3,1
+    assert got == [
+        (1, 8, 1, 400, 100),
+        (3, 6, 1, 300, 200),
+        (6, 3, 1, 200, 300),
+        (8, 1, 1, 100, 400),
+    ], got
+
+
+def test_customer_migration_matches_python_reference(spark):
+    """Pseudo-random two-period revenues vs the pure integer replay of
+    the active-both gate, both rank walks, and the decile grid."""
+    from dariadb_spark.ext.relational import customer_migration_op
+
+    a = datetime.datetime(1996, 6, 1)
+    b = datetime.datetime(2000, 6, 1)
+    n = 120
+    rows, k = [], 0
+    rev = {}
+    for c in range(n):
+        ca = ((c * 48271) % 500)        # 0 -> A-inactive for some
+        cb = ((c * 2654435761) % 400)   # 0 -> B-inactive for some
+        rev[c] = (ca, cb)
+        if ca:
+            rows.append((k, c, "O", ca / 100.0, a, "P")); k += 1
+        if cb:
+            rows.append((k, c, "O", cb / 100.0, b, "P")); k += 1
+    got = [tuple(r) for r in
+           customer_migration_op(_orders(spark, rows)).collect()]
+
+    kept = {c: v for c, v in rev.items() if v[0] > 0 and v[1] > 0}
+    m = len(kept)
+    ra = {c: r + 1 for r, c in enumerate(
+        sorted(kept, key=lambda c: (-kept[c][0], c)))}
+    rb = {c: r + 1 for r, c in enumerate(
+        sorted(kept, key=lambda c: (-kept[c][1], c)))}
+    cells: dict[tuple[int, int], list[int]] = {}
+    for c, (ca, cb) in kept.items():
+        key = (1 + ((ra[c] - 1) * 10) // m, 1 + ((rb[c] - 1) * 10) // m)
+        cell = cells.setdefault(key, [0, 0, 0])
+        cell[0] += 1
+        cell[1] += ca
+        cell[2] += cb
+    want = [(da, db, *v) for (da, db), v in sorted(cells.items())]
+    assert got == want
