@@ -703,3 +703,31 @@ def test_customer_migration_matches_python_reference(spark):
         cell[2] += cb
     want = [(da, db, *v) for (da, db), v in sorted(cells.items())]
     assert got == want
+
+
+def test_gini_distributed_equals_window_gini(spark):
+    """The partitioned two-pass Gini equals orders_gini_op on planted
+    and pseudo-random multi-segment revenues — the per-segment rank
+    restart and the per-group offset carry both exercised (7 range
+    slices over 3 interleaved segments)."""
+    from dariadb_spark.ext.relational import orders_gini_op
+    from dariadb_spark.plans.prefix import gini_distributed
+
+    n = 300
+    cents = [((i * 2654435761) % 99991) + 1 for i in range(n)]
+    orders = _orders(spark, [
+        (i, i, "O", c / 100.0, _D, "P") for i, c in enumerate(cents)
+    ])
+    custs = _customers(spark, [(i, f"S{i % 3}") for i in range(n)])
+    want = [tuple(r) for r in orders_gini_op(orders, custs).collect()]
+    per = orders.selectExpr(
+        "o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+    ).join(
+        custs.selectExpr("c_custkey AS o_custkey",
+                         "c_mktsegment AS mktsegment"),
+        "o_custkey",
+    )
+    got = [
+        tuple(r) for r in gini_distributed(per, n_partitions=7).collect()
+    ]
+    assert got == want
