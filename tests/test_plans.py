@@ -834,3 +834,66 @@ def test_hll_report_composite_reproduces_originals(spark, oracle_sf_dir):
     assert got64 == want64
     assert gotun == wantun
     assert len(got16) == len(got64) > 0 and len(gotun) > 0
+
+
+def test_no_cartesian_product_in_staged_r17_plans(spark, oracle_sf_dir):
+    """The round-16 staged operators get the same physical-plan sweep
+    BEFORE their r17 registration: no CartesianProduct anywhere, and
+    each op's headline shape holds — the concentration screens'
+    dimension joins broadcast, the graph ops' wedge machinery hash-
+    joins, and the turning census joins nothing at all."""
+    import re as _re
+
+    from dariadb_spark.ext.analytics import session_concurrency
+    from dariadb_spark.ext.relational import (
+        customer_migration,
+        order_interarrival,
+        orders_gini,
+        orders_pareto,
+        part_clustering,
+        part_link_pred,
+        supplier_hhi,
+    )
+    from dariadb_spark.ext.timeseries import (
+        series_seq_acf,
+        series_turning_points,
+    )
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    plans = {}
+    for fn in (
+        series_seq_acf, orders_pareto, session_concurrency,
+        part_clustering, orders_gini, supplier_hhi, order_interarrival,
+        series_turning_points, part_link_pred, customer_migration,
+    ):
+        plan = (
+            fn(spark, oracle_sf_dir)._jdf.queryExecution()
+            .explainString(mode)
+        )
+        plans[fn.__name__] = plan
+        if "CartesianProduct" in plan:
+            offenders.append(fn.__name__)
+    assert not offenders, offenders
+    # HHI: both dim joins broadcast, no sort-merge join anywhere
+    hhi = plans["supplier_hhi"]
+    assert hhi.count("BroadcastHashJoin") >= 2, hhi
+    assert "SortMergeJoin" not in hhi, hhi
+    # Gini/inter-arrival: the segment dim broadcasts
+    assert "BroadcastHashJoin" in plans["orders_gini"]
+    assert "BroadcastHashJoin" in plans["order_interarrival"]
+    # graph ops: wedge + closing joins hash, degree joins broadcast
+    for g in ("part_clustering", "part_link_pred"):
+        assert "BroadcastHashJoin" in plans[g], g
+    # turning census: no join at all — one window + one aggregate
+    turn = plans["series_turning_points"]
+    assert "Join" not in turn, turn
+    # seq-ACF: no join either (the window-pass design vs the
+    # registered time-lag ACF's lag equi-join)
+    assert "Join" not in plans["series_seq_acf"]
+    # migration: ONE physical orders scan (the two conditional sums
+    # share it); formatted mode prints each node twice (tree + details)
+    mig = plans["customer_migration"]
+    assert len(_re.findall(r"Scan parquet", mig)) <= 2, mig
