@@ -1634,9 +1634,10 @@ def orders_gini_op(orders: DataFrame, customer: DataFrame) -> DataFrame:
     dimension-sized set; at extreme customer cardinality the same
     prefix machinery splits into the range-partitioned two-pass of
     ``plans/prefix.py`` ``ranked_prefix`` — code with an equality
-    contract, see orders_pareto). n·S must fit int64 — past ~10¹⁸
-    cent-customers pre-scale to whole currency units (the token_budget
-    convention)."""
+    contract, see orders_pareto). The denominator n·S is widened to
+    DECIMAL(38,0)/HUGEINT like the numerator (ADVICE r16), so there is
+    no int64 cliff at ~10¹⁸ cent-customers — the envelope is the same
+    ~1e37 as every wide ratio in this package."""
     from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
 
     cents = orders.groupBy("o_custkey").agg(
@@ -1675,7 +1676,7 @@ def orders_gini_op(orders: DataFrame, customer: DataFrame) -> DataFrame:
             ratio_round_signed_wide_spark(
                 "2 * wsum - (n_customers + 1) * CAST(total_cents"
                 " AS DECIMAL(38,0))",
-                "n_customers * total_cents",
+                "n_customers * CAST(total_cents AS DECIMAL(38,0))",
                 6,
             )
             + " AS gini",
@@ -1703,7 +1704,7 @@ agg AS (SELECT mktsegment, count(*) AS n_customers,
 SELECT mktsegment, n_customers, total_cents,
        {ratio_round_signed_wide_duck(
            "2 * wsum - (n_customers + 1) * CAST(total_cents AS HUGEINT)",
-           "n_customers * total_cents", 6)} AS gini
+           "n_customers * CAST(total_cents AS HUGEINT)", 6)} AS gini
 FROM agg ORDER BY mktsegment"""
 
 

@@ -88,10 +88,16 @@ def ranked_prefix(
             F.coalesce(F.sum("_s").over(ow), F.lit(0)).alias("_cum_off"),
         )
     )
+    # cum must come back in the SAME type the global window's
+    # sum(value) would produce (= _lcum's type), whatever the value
+    # column is — an unconditional long cast would silently truncate
+    # decimal/double callers (ADVICE r16). _cum_off re-sums across
+    # slices (decimal re-widens), so cast the composed sum back down.
+    cum_type = local.schema["_lcum"].dataType
     return (
         local.join(F.broadcast(offsets), ["_pid", *grp])
         .withColumn("rn", F.col("_lrn") + F.col("_rn_off"))
-        .withColumn("cum", (F.col("_lcum") + F.col("_cum_off")).cast("long"))
+        .withColumn("cum", (F.col("_lcum") + F.col("_cum_off")).cast(cum_type))
         .drop("_pid", "_lrn", "_lcum", "_rn_off", "_cum_off")
     )
 

@@ -724,7 +724,12 @@ def _streaming_hdr_parity(spark: SparkSession, sf: str) -> DataFrame:
     return streaming_hdr_parity(spark, sf)
 
 
-if "ext_sketch_quantile_hdr" in REGISTRY:
+if "ext_sketch_quantile_report" in REGISTRY:
+    # (Guard renamed r17: merge #7 folded ext_sketch_quantile_hdr into
+    # ext_sketch_quantile_report, and the stale guard name silently
+    # deregistered this twin for one round — ADVICE r16 high. Same
+    # import-order purpose as the KMV-guard rename precedent below:
+    # the sketches module must have finished registering first.)
     # The incrementally-maintained HDR quantile sketch (round-9 upgrade
     # from pytest-only to driver-checked, the quantile twin of
     # streaming_sketch_parity): the slice folds through the
@@ -973,10 +978,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # BI family's "how do customers MOVE between tiers?" verb next to
 # rfm's snapshot and retention's presence; pure integer decile walks
 # on the rfm recipe, nothing floats).
-# Registering all eleven in r17 takes the registry to 227 (216 + 11);
-# compute the r17 window with `tools/attestation_ledger.py --plan 50`
-# after CORRECTNESS_r16 lands (all eleven registrations take
-# priority-2 slots).
+# Registering all eleven in r17 takes the registry to 228 (217 + 11 —
+# 217, not the 216 the r16 driver saw: merge #7's stale guard name had
+# silently deregistered streaming_hdr_parity, fixed above per ADVICE
+# r16); compute the r17 window with `tools/attestation_ledger.py
+# --plan 50` after CORRECTNESS_r16 lands (all eleven registrations
+# take priority-2 slots, and streaming_hdr_parity re-enters as a
+# must-attest row — its r16 absence means its last driver row is r9
+# vintage).
 #
 # CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —
 # VERDICT r13 item 3): 206 now + ~8 staged/round reaches the 250 hard

@@ -88,11 +88,16 @@ def _turning_fold(
     t, v, fl, y = t[order], v[order], fl[order], y[order]
     if last_t is not None and (
         (int(t[0]), float(v[0]), int(fl[0]))
-        <= (int(last_t), float(last_v), int(last_f))
+        < (int(last_t), float(last_v), int(last_f))
     ):
+        # Strictly-before is disorder; an EXACT-duplicate key landing in
+        # a later micro-batch is an in-order plateau sample (equal
+        # neighbors are never strict extrema, so the batch operator
+        # counts duplicate-bearing input fine — the streaming twin must
+        # too; ADVICE r16).
         raise ValueError(
             f"turning-points fold: sample (id={key[0]}, time={int(t[0])})"
-            f" sorts at-or-before the standing last key"
+            f" sorts before the standing last key"
             f" (time={int(last_t)}); cross-batch out-of-order input"
             " violates the in-order ingest contract"
         )

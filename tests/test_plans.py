@@ -251,6 +251,13 @@ def test_check_window_is_first_50_harness_queries():
     assert "ext_ann_recall_report" in REGISTRY
     assert "ext_ann_recall_pq" in REGISTRY
     assert "ext_sketch_quantile_report" in REGISTRY
+    # merges consolidate DRIVER ROWS only — the lazy streaming twins
+    # guarded on merged-away names must survive the rename (ADVICE r16:
+    # merge #7's stale guard silently deregistered streaming_hdr_parity
+    # for one round)
+    assert "streaming_hdr_parity" in REGISTRY
+    assert "streaming_kmv_parity" in REGISTRY
+    assert "streaming_sketch_parity" in REGISTRY
     assert CHECK_WINDOW[-3:] == [
         "ext_ann_recall_pq", "ext_anomaly_zscore", "ext_dedup_components"
     ]

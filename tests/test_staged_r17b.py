@@ -114,6 +114,33 @@ def test_orders_gini_matches_python_reference(spark):
     assert got == want
 
 
+def test_orders_gini_wide_denominator_past_int64_cliff(spark):
+    """3000 customers × ~4e12 cents: n·S ≈ 3.6e19 outgrows int64, the
+    cliff the old int64 denominator silently wrapped at (ADVICE r16).
+    Both the wsum numerator AND the n·S denominator now ride
+    DECIMAL(38,0), so the planted big-int replay must match exactly.
+    Cents are multiples of 100 so o_totalprice = cents/100 and the
+    round(×100) recovery are both exact in double."""
+    from dariadb_spark.ext.relational import orders_gini_op
+
+    n = 3000
+    cents = [4_000_000_000_000 + i * 100 for i in range(n)]
+    orders = _orders(spark, [
+        (i, i, "O", c / 100.0, _D, "P") for i, c in enumerate(cents)
+    ])
+    custs = _customers(spark, [(i, "WIDE") for i in range(n)])
+    got = [tuple(r) for r in orders_gini_op(orders, custs).collect()]
+
+    members = sorted((c, i) for i, c in enumerate(cents))
+    s = sum(c for c, _ in members)
+    assert n * s > 2**63 - 1  # the planted cliff is actually crossed
+    wsum = sum((r + 1) * c for r, (c, _) in enumerate(members))
+    num, den = 2 * wsum - (n + 1) * s, n * s
+    q, _rm = divmod(2 * abs(num) * 10**6 + den, 2 * den)
+    want = [("WIDE", n, s, (q if num >= 0 else -q) / 10**6)]
+    assert got == want
+
+
 # --- ext_supplier_hhi -----------------------------------------------------------
 
 def _li(spark, rows):
@@ -537,7 +564,7 @@ def test_turning_fold_matches_python_census_across_cuts():
 
 
 def test_turning_fold_raises_on_cross_batch_out_of_order():
-    """A later micro-batch whose first row sorts at-or-before the
+    """A later micro-batch whose first row sorts STRICTLY before the
     standing last key must raise, not corrupt the census."""
     import numpy as np
     import pandas as pd
@@ -557,7 +584,47 @@ def test_turning_fold_raises_on_cross_batch_out_of_order():
     st = _FakeState()
     list(_turning_fold((9,), iter([batch([1000, 2000])]), st))
     with pytest.raises(ValueError, match="in-order ingest contract"):
-        list(_turning_fold((9,), iter([batch([2000])]), st))
+        list(_turning_fold((9,), iter([batch([1500])]), st))
+
+
+def test_turning_fold_accepts_cross_batch_duplicate_key():
+    """An EXACT-duplicate (time, value, flag) key split across triggers
+    is a legitimate plateau sample, not disorder — the batch operator
+    counts duplicate-bearing input fine (equal neighbors are never
+    strict extrema), so the streaming twin must accept it and reach the
+    same census (ADVICE r16). Planted walk: y = 0,5,5,0 with the
+    duplicate peak sample cut across the trigger boundary — one strict
+    extremum either way? No: the plateau peak 5,5 is NOT strict, so
+    t_points stays 0; versus the control walk 0,5,0 which counts 1."""
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.streaming.turning import _turning_fold
+
+    def batch(ts, ys):
+        return pd.DataFrame({
+            "id": 9,
+            "time": np.array(ts, dtype=np.int64),
+            "value": np.array(ys, dtype=np.float64) / 100.0,
+            "flag": np.zeros(len(ts), dtype=np.int64),
+            "y": np.array(ys, dtype=np.int64),
+        })
+
+    # duplicate peak key (2000, 0.05, 0) lands again in batch 2
+    st = _FakeState()
+    list(_turning_fold((9,), iter([batch([1000, 2000], [0, 5])]), st))
+    out = list(
+        _turning_fold((9,), iter([batch([2000, 3000], [5, 0])]), st)
+    )
+    row = out[-1].iloc[0]
+    assert (row["n"], row["t_points"]) == (4, 0)
+
+    # control: the strict peak without the duplicate still counts
+    st2 = _FakeState()
+    list(_turning_fold((9,), iter([batch([1000, 2000], [0, 5])]), st2))
+    out2 = list(_turning_fold((9,), iter([batch([3000], [0])]), st2))
+    row2 = out2[-1].iloc[0]
+    assert (row2["n"], row2["t_points"]) == (3, 1)
 
 
 # --- plans/prefix: the two-pass distributed rank the screens swap in -----------
@@ -595,6 +662,46 @@ def test_ranked_prefix_equals_global_window(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_ranked_prefix_preserves_value_type(spark):
+    """ranked_prefix is presented as a general two-pass equivalent of a
+    window sum, so ``cum`` must come back in the SAME type (and with the
+    same values) the global window's sum(value) produces for decimal and
+    double value columns too — the unconditional long cast it used to
+    apply would silently truncate both (ADVICE r16)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.plans.prefix import ranked_prefix
+
+    order = [F.col("v").desc(), F.col("k").asc()]
+    w = Window.orderBy(*order)
+
+    for ddl, vals in (
+        ("k long, v double", [0.25, 1.5, 2.75, 0.125, 3.5]),
+        ("k long, v decimal(20,2)", None),  # filled below
+    ):
+        if vals is None:
+            from decimal import Decimal
+
+            vals = [Decimal("10000000000000000.25") + i for i in range(5)]
+        df = spark.createDataFrame(list(enumerate(vals)), ddl)
+        got_df = ranked_prefix(df, order, "v", n_partitions=3)
+        want_df = df.select(
+            "k", "v",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum"),
+        )
+        assert (
+            got_df.schema["cum"].dataType == want_df.schema["cum"].dataType
+        ), ddl
+        got = sorted(tuple(r) for r in
+                     got_df.select("k", "v", "rn", "cum").collect())
+        want = sorted(tuple(r) for r in want_df.collect())
+        assert got == want, ddl
 
 
 def test_abc_classes_distributed_equals_window_pareto(spark):
