@@ -1151,3 +1151,7 @@ SELECT day * {DAY_MS} AS day_ms,
        CAST(sum(s) AS BIGINT) AS n_starts, CAST(sum(e) AS BIGINT) AS n_ends,
        CAST(max(peak_t) AS BIGINT) AS peak_concurrency
 FROM swept GROUP BY day ORDER BY day_ms"""
+
+# Registered round 17 (staged round 16; the segmented endpoint prefix
+# sum with a cross-day carry — never a global single-partition window).
+register("ext_session_concurrency", session_concurrency, SESSION_CONCURRENCY_SQL)

@@ -1460,6 +1460,10 @@ SELECT abc_class, count(*) AS n_customers,
             AS BIGINT) AS share_micro
 FROM classed GROUP BY abc_class ORDER BY abc_class"""
 
+# Registered round 17 (staged round 16, full gauntlet: oracle + planted
+# boundary grid + 20M-row two-pass A/B in plans/prefix.py).
+register("ext_orders_pareto", orders_pareto, ORDERS_PARETO_SQL)
+
 
 # --- local clustering coefficient (graph family, third verb) -------------------
 # STAGED for the round-17 driver window (the staging every late operator
@@ -1596,6 +1600,11 @@ LIMIT {CLUSTER_TOP}"""
 
 PART_CLUSTERING_SQL = _clustering_sql()
 
+# Registered round 17 (staged round 16; the graph family's third verb,
+# on the triangles wedge machinery with the definitional triple-join
+# oracle).
+register("ext_part_clustering", part_clustering, PART_CLUSTERING_SQL)
+
 
 # --- Gini revenue-inequality coefficient ---------------------------------------
 # STAGED for the round-17 driver window (the staging every late operator
@@ -1710,6 +1719,10 @@ FROM agg ORDER BY mktsegment"""
 
 ORDERS_GINI_SQL = _gini_sql()
 
+# Registered round 17 (staged round 16; denominator widened to
+# DECIMAL(38,0)/HUGEINT per ADVICE r16 before registration).
+register("ext_orders_gini", orders_gini, ORDERS_GINI_SQL)
+
 
 # --- Herfindahl–Hirschman supplier-concentration index --------------------------
 # STAGED for the round-17 driver window (same staging discipline). The
@@ -1804,6 +1817,9 @@ SELECT n_name, n_suppliers, total_cents,
             // (2 * CAST(total_cents AS HUGEINT) * total_cents)
             AS BIGINT) AS hhi_micro
 FROM agg ORDER BY n_name"""
+
+# Registered round 17 (staged round 16).
+register("ext_supplier_hhi", supplier_hhi, SUPPLIER_HHI_SQL)
 
 
 # --- order inter-arrival distribution --------------------------------------------
@@ -1947,6 +1963,9 @@ ORDER BY s.mktsegment"""
 
 ORDER_INTERARRIVAL_SQL = _interarrival_sql()
 
+# Registered round 17 (staged round 16).
+register("ext_order_interarrival", order_interarrival, ORDER_INTERARRIVAL_SQL)
+
 
 # --- common-neighbor link prediction (graph family, fourth verb) ----------------
 # STAGED for the round-17 driver window (same staging discipline).
@@ -2046,6 +2065,9 @@ JOIN deg dx ON o.p = dx.u
 JOIN deg dy ON o.q = dy.u
 ORDER BY cn DESC, x ASC, y ASC
 LIMIT {LINKPRED_TOP}"""
+
+# Registered round 17 (staged round 16; the graph family's fourth verb).
+register("ext_part_link_pred", part_link_pred, PART_LINK_PRED_SQL)
 
 
 # --- revenue-decile migration matrix ---------------------------------------------
@@ -2152,3 +2174,6 @@ SELECT 1 + ((ra - 1) * 10) // m AS decile_a,
        CAST(sum(cents_b) AS BIGINT) AS b_cents
 FROM ranked GROUP BY decile_a, decile_b
 ORDER BY decile_a, decile_b"""
+
+# Registered round 17 (staged round 16; the BI family's mobility verb).
+register("ext_customer_migration", customer_migration, CUSTOMER_MIGRATION_SQL)

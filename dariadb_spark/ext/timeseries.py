@@ -3480,6 +3480,12 @@ SELECT id, lag, n_cells, acf FROM ({arms}) ORDER BY id, lag"""
 
 SERIES_SEQ_ACF_SQL = _acf_sql()
 
+# Registered round 17 (staged round 16; the SEQUENCE-lag ACF, a
+# different statistic from ext_series_acf's time-lag ACF on gappy data
+# — the name-shadowing bug the staging sweep caught is pinned in
+# tests/test_staged_r17.py).
+register("ext_series_seq_acf", series_seq_acf, SERIES_SEQ_ACF_SQL)
+
 
 # --- turning-points randomness screen -------------------------------------------
 # STAGED for the round-17 driver window (the staging every late operator
@@ -3597,3 +3603,30 @@ FROM agg ORDER BY id"""
 
 
 SERIES_TURNING_POINTS_SQL = _turning_sql()
+
+# Registered round 17 (staged round 16).
+register(
+    "ext_series_turning_points",
+    series_turning_points,
+    SERIES_TURNING_POINTS_SQL,
+)
+
+
+def _streaming_turning_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import — same circularity guard as _streaming_ewma_parity.
+    from dariadb_spark.streaming.turning import streaming_turning_parity
+
+    return streaming_turning_parity(spark, sf)
+
+
+# Registered round 17 (staged round 16). The stateful randomness-monitor
+# ingest twin shares the batch SERIES_TURNING_POINTS_SQL oracle —
+# extremum detection reads the SEQUENCE, so unlike the OHLC twin this
+# fold CARRIES the rate/runlen in-order contract: strictly-before
+# cross-batch input raises; an exact-duplicate key is an in-order
+# plateau sample (ADVICE r16).
+register(
+    "streaming_turning_parity",
+    _streaming_turning_parity,
+    SERIES_TURNING_POINTS_SQL,
+)

@@ -1146,53 +1146,43 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # Round-16 composition (EXECUTED — `tools/attestation_ledger.py --plan
 # 50` output at N = 219 after merge #5, verified identical to
 # CHECK_WINDOW below): ONE core row at stale-3 (partition_stats — the
-# only core row the r15 window did not cover), the NINE
-# round-15-staged registrations PLUS merge #5's composite row
-# ext_ann_recall_report (priority 2, driver-checked from day one — the
-# composite joined mid-round when the merge landed, displacing the
-# last stale-4 row ext_anomaly_zscore to next rotation, the exact
-# asof_report precedent; ledger-confirmed violation-free), the 38
-# stale-5 [EXT] rows in ledger order — which include the two
-# merge-deferred rows (ext_decontaminate_embed, ext_decontaminate_bloom)
-# first in line as promised, AND the two oldest attestations flagged by
-# VERDICT r15 item 6 (streaming_pq_ingest_parity,
-# streaming_sketch_parity, r11 green, stale-5 here — the rotation
-# picked them up automatically) — then the single oldest stale-4 [EXT]
-# row. 1 + 10 + 38 + 1 = exactly 50. Ledger verdict: no policy
-# violations; worst leftover staleness stale-4 (policy line: core ≤ 3,
-# all ≤ 5 at N = 219).
+# R17 WINDOW (ledger --plan 50 at N = 228): six core rows at stale-3
+# (the bucket cohort + partition_file_stats + scheme_pattern_scan),
+# the ELEVEN round-16-staged registrations (priority 2, driver-checked
+# from day one), then the 23 stale-5 [EXT] rows in ledger order —
+# which include streaming_hdr_parity, whose r16 deregistration (the
+# merge-#7 guard bug, ADVICE r16, fixed above) left its last driver
+# row at r9 vintage — then the ten oldest stale-4 [EXT] rows.
+# 6 + 11 + 23 + 10 = exactly 50. Ledger verdict: no policy violations;
+# worst leftover staleness stale-4 (policy line: core ≤ 3, all ≤ 5 at
+# N = 228).
 CHECK_WINDOW = [
-    # priority 1: the single core reference row at stale-3
-    "partition_stats",
-    # priority 2: round-16 registrations (the nine r15-staged ops +
-    # merge #5's composite + merge #7's quantile composite, which
-    # joined mid-round when that merge landed — the HLL precedent) —
+    # priority 1: the six core reference rows at stale-3
+    "bucket_day", "bucket_hour_salted", "bucket_month", "bucket_week",
+    "partition_file_stats", "scheme_pattern_scan",
+    # priority 2: round-17 registrations (the eleven r16-staged ops) —
     # driver-checked from day one
-    "ext_ann_recall_report",
-    "ext_orders_benford", "ext_part_hits", "ext_part_triangles",
-    "ext_series_holt", "ext_series_level_shift",
-    "ext_sketch_quantile_report", "ext_text_heaps",
-    "ext_text_readability", "streaming_level_shift_parity",
-    "streaming_ohlc_parity",
-    # priority 3a: the 35 remaining stale-5 [EXT] rows, ledger order
-    # (the three quantile rows merged away mid-round)
-    "ext_decontaminate_bloom", "ext_decontaminate_embed",
-    "ext_dedup_exact", "ext_distinct_agg", "ext_dsir_select",
-    "ext_embedding_norm", "ext_forget_source", "ext_grouping_sets",
-    "ext_interleave_audit", "ext_minhash_jaccard_est", "ext_moving_avg",
-    "ext_pack_context", "ext_part_supplier_margin", "ext_pivot_flags",
-    "ext_preprocess_funnel", "ext_pricing_summary",
-    "ext_quality_calibrate", "ext_repeat_customers",
-    "ext_revenue_by_nation", "ext_revenue_yoy", "ext_rollup_orders",
-    "ext_sample_diverse", "ext_scalar_funcs", "ext_series_mode",
-    "ext_sim_ann_lsh", "ext_source_overlap", "ext_text_entropy",
-    "ext_text_perplexity", "ext_text_redact", "ext_top_orders_per_cust",
-    "ext_topk_customers", "ext_topk_per_series", "ext_value_cdf",
-    "streaming_pq_ingest_parity", "streaming_sketch_parity",
-    # priority 3b: the three oldest stale-4 [EXT] rows (ledger order;
-    # the two slots merge #7 freed pull ext_anomaly_zscore — displaced
-    # by merge #5 last plan — and ext_dedup_components forward)
-    "ext_ann_recall_pq", "ext_anomaly_zscore", "ext_dedup_components",
+    "ext_customer_migration", "ext_order_interarrival",
+    "ext_orders_gini", "ext_orders_pareto", "ext_part_clustering",
+    "ext_part_link_pred", "ext_series_seq_acf",
+    "ext_series_turning_points", "ext_session_concurrency",
+    "ext_supplier_hhi", "streaming_turning_parity",
+    # priority 3a: the 23 stale-5 [EXT] rows, ledger order
+    "ext_dedup_keep_best", "ext_dedup_passages", "ext_doremi_reweight",
+    "ext_media_caption_align", "ext_media_keyframes",
+    "ext_select_excess_loss", "ext_session_window", "ext_sessionize",
+    "ext_sim_ann_pq", "ext_sketch_cms_rollup",
+    "ext_sketch_rollup_quantile", "ext_text_diversity",
+    "ext_text_kn_lm", "ext_text_pii_scan", "ext_text_zipf",
+    "ext_token_budget_plan", "ext_train_quality_lr", "ext_train_shuffle",
+    "ext_unigram_lm", "ext_unigram_token_stats", "streaming_hdr_parity",
+    "streaming_hll_parity", "streaming_quality_gate_parity",
+    # priority 3b: the ten oldest stale-4 [EXT] rows (ledger order)
+    "ext_corpus_drift_tvd", "ext_curate_corpus", "ext_decontaminate",
+    "ext_dedup_embedding_cosine", "ext_dedup_minhash_lsh",
+    "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
+    "ext_downsample_lttb", "ext_embedding_centroids",
+    "ext_embedding_pca",
 ]
 
 

@@ -202,39 +202,29 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-16 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50, verified violation-free at N = 220 after the nine
-    # r15-staged registrations): partition_stats is the ONLY core row
-    # at stale-3 (priority 1 — every other core row re-attested in
-    # r15's window), then the NINE round-16 registrations (priority 2 —
-    # never ship a NEW query outside the window), then the 38 stale-5
-    # [EXT] rows in ledger order — including the two merge-deferred
-    # rows (decontaminate_embed/bloom, first in line as promised r15)
-    # and the two oldest attestations VERDICT r15 item 6 flagged
-    # (streaming_pq_ingest_parity / streaming_sketch_parity, green r11)
-    # — then the single oldest stale-4 [EXT] row; merge #5's composite
-    # ext_ann_recall_report joined priority 2 mid-round, displacing the
-    # last stale-4 row ext_anomaly_zscore (the asof_report precedent).
-    # 1 + 10 + 38 + 1 = 50. RE-PLANNED when merge #7 landed (N = 216):
-    # the three quantile rows left with their registrations,
-    # ext_sketch_quantile_report joined priority 2, and the two freed
-    # slots pulled ext_anomaly_zscore and ext_dedup_components forward
-    # — 1 + 11 + 35 + 3 = 50, ledger-verified violation-free.
-    assert CHECK_WINDOW[0] == "partition_stats"
-    assert set(CHECK_WINDOW[1:12]) == {
-        "ext_ann_recall_report",
-        "ext_orders_benford", "ext_part_hits", "ext_part_triangles",
-        "ext_series_holt", "ext_series_level_shift",
-        "ext_sketch_quantile_report", "ext_text_heaps",
-        "ext_text_readability", "streaming_level_shift_parity",
-        "streaming_ohlc_parity",
+    # round-17 (the executed ledger plan — tools/attestation_ledger.py
+    # --plan 50, verified violation-free at N = 228 after the eleven
+    # r16-staged registrations): SIX core rows at stale-3 (priority 1
+    # — the bucket cohort + partition_file_stats + scheme_pattern_scan),
+    # then the ELEVEN round-17 registrations (priority 2 — never ship a
+    # NEW query outside the window), then the 23 stale-5 [EXT] rows in
+    # ledger order — which include streaming_hdr_parity, the row merge
+    # #7's stale guard name silently deregistered for r16 (ADVICE r16,
+    # fixed; its last driver row is r9 vintage, so it re-enters here) —
+    # then the ten oldest stale-4 [EXT] rows. 6 + 11 + 23 + 10 = 50.
+    assert CHECK_WINDOW[:6] == [
+        "bucket_day", "bucket_hour_salted", "bucket_month",
+        "bucket_week", "partition_file_stats", "scheme_pattern_scan",
+    ]
+    assert set(CHECK_WINDOW[6:17]) == {
+        "ext_customer_migration", "ext_order_interarrival",
+        "ext_orders_gini", "ext_orders_pareto", "ext_part_clustering",
+        "ext_part_link_pred", "ext_series_seq_acf",
+        "ext_series_turning_points", "ext_session_concurrency",
+        "ext_supplier_hhi", "streaming_turning_parity",
     }
-    # the merge-deferred rows and the item-6 stale-horizon rows made
-    # the window (the capacity line paying its debt on schedule)
-    for comeback in ("ext_decontaminate_bloom", "ext_decontaminate_embed",
-                     "streaming_pq_ingest_parity",
-                     "streaming_sketch_parity"):
-        assert comeback in CHECK_WINDOW, comeback
+    # the guard-bug casualty re-enters the hard signal this round
+    assert "streaming_hdr_parity" in CHECK_WINDOW
     for merged_away in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
                         "ext_set_intersect", "ext_set_except",
                         "ext_asof_join", "ext_asof_nearest",
@@ -259,13 +249,15 @@ def test_check_window_is_first_50_harness_queries():
     assert "streaming_kmv_parity" in REGISTRY
     assert "streaming_sketch_parity" in REGISTRY
     assert CHECK_WINDOW[-3:] == [
-        "ext_ann_recall_pq", "ext_anomaly_zscore", "ext_dedup_components"
+        "ext_downsample_lttb", "ext_embedding_centroids",
+        "ext_embedding_pca",
     ]
-    # the r15 window (22 core + 14 r15 registrations + stale rows)
-    # rotated OUT — re-attested last round, stale-1 now
-    for fresh in ("bucket_hour", "timepoint_asof", "ext_asof_report",
-                  "ext_part_pagerank", "ext_sketch_hll_report",
-                  "streaming_counter_rate_parity"):
+    # the r16 window (partition_stats + 11 r16 registrations + stale
+    # rows) rotated OUT — re-attested last round, stale-1 now
+    for fresh in ("partition_stats", "timepoint_asof",
+                  "ext_ann_recall_report", "ext_part_triangles",
+                  "ext_sketch_quantile_report",
+                  "streaming_ohlc_parity"):
         assert fresh not in CHECK_WINDOW, fresh
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"
