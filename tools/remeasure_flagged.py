@@ -1,5 +1,5 @@
 """Isolated re-measure of driver-flagged parity timings (the r10/r11
-control protocol, executed for VERDICT r14 item 3).
+control protocol, executed for VERDICT r16 item 2).
 
 Runs the N flagged queries plus byte-identical-code CONTROL queries of
 the same execution class (checkpointed stateful streaming parities and
@@ -28,41 +28,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dariadb_spark.registry import REGISTRY  # noqa: E402
 from dariadb_spark.session import get_spark  # noqa: E402
 
-# r16 adjudication (VERDICT r15 item 2): the two paths the driver's r15
-# control block flagged as code-changed >1.3x. The CONTROLS are
-# byte-identical-code queries of the same execution classes untouched
-# since the builder's committed map (e72de38).
+# r17 adjudication (VERDICT r16 item 2): the four paths the driver's
+# r16 control block flagged >2x with >=1 s absolute deltas. Judge-
+# verified byte-identical since the committed map (git diff
+# 055daf7..HEAD over streaming/rollup.py, streaming/stateful.py,
+# operators/, functions/, sources/parquet_store.py, model.py is
+# EMPTY), so the prior is machine-epoch — but the house protocol is
+# to measure, not assume. The CONTROLS are byte-identical-code
+# queries of the same execution classes (checkpointed stateful
+# streaming parities, the temp-store file-stats sibling, a windowed
+# batch sibling), also untouched since 055daf7.
 FLAGGED = [
-    "ext_part_pagerank",            # lazy-by-default edges, 37805d5
-    "ext_series_seasonal_strength",  # timeseries.py edited r15
+    "partition_file_stats_multi",     # driver r16: 3.25x (1.55 -> 5.03 s)
+    "streaming_rollup_parity",        # driver r16: 2.31x (2.30 -> 5.32 s)
+    "streaming_current_value_parity",  # driver r16: 2.41x (1.12 -> 2.71 s)
+    "ext_derived_series",             # driver r16: 1.99x (1.03 -> 2.06 s)
 ]
 CONTROLS = [
-    "ext_dedup_components",  # heavy iterative-graph batch sibling
-    "ext_market_basket",     # co-purchase joins on the same basket scan
-    "ext_series_trend",      # same timeseries window-batch family
-    "ext_series_cross_corr",  # same family, untouched
-    "ext_dedup_simhash",     # heavy batch path, untouched
+    "streaming_markov_parity",     # heaviest checkpointed stateful twin
+    "streaming_sessionize_parity",  # stateful streaming sibling
+    "streaming_ewma_parity",       # stateful streaming sibling
+    "partition_file_stats",        # same temp-store layout machinery
+    "ext_moving_avg",              # windowed batch sibling
 ]
 
-# The committed-map epoch the driver's control block compared against
-# (commit e72de38, the builder's 211-query refresh). The repo's CURRENT
-# BENCH_FULL.json was overwritten by the driver's own r15 run — which
-# CONTAINS the suspect 4.11 s value — so ratios must be taken against
-# the builder epoch, pinned here.
-COMMITTED_E72DE38 = {
-    "ext_part_pagerank": 2.8884,
-    "ext_series_seasonal_strength": 0.6271,
-    "ext_dedup_components": 3.2375,
-    "ext_market_basket": 1.8034,
-    "ext_series_trend": 0.5981,
-    "ext_series_cross_corr": 0.6692,
-    "ext_dedup_simhash": 1.1491,
+# The committed-map epoch the driver's r16 control block compared
+# against: commit 055daf7, the builder's post-merge 216-query refresh.
+# (The repo's CURRENT BENCH_FULL.json was overwritten by the driver's
+# own r16 run — which CONTAINS the flagged values — so ratios must be
+# taken against the builder epoch, pinned here.)
+COMMITTED_055DAF7 = {
+    "partition_file_stats_multi": 1.5487,
+    "streaming_rollup_parity": 2.3043,
+    "streaming_current_value_parity": 1.1214,
+    "ext_derived_series": 1.0319,
+    "streaming_markov_parity": 4.5686,
+    "streaming_sessionize_parity": 1.0249,
+    "streaming_ewma_parity": 1.9534,
+    "partition_file_stats": 0.3392,
+    "ext_moving_avg": 0.1648,
 }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    committed = COMMITTED_E72DE38
+    committed = COMMITTED_055DAF7
     spark = get_spark("dariadb-remeasure")
     spark.sparkContext.setLogLevel("ERROR")
     names = FLAGGED + CONTROLS
