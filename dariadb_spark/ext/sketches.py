@@ -958,7 +958,15 @@ SELECT depth, bucket, count(*) AS cnt
 FROM cells GROUP BY depth, bucket
 ORDER BY depth, bucket"""
 
-register("ext_sketch_cms_topk", sketch_cms_topk, SKETCH_CMS_TOPK_SQL)
+# MERGE #9 (executed r17): ext_sketch_cms_topk's driver row folded into
+# ext_sketch_cms_rollup — the audit showed the rollup's shard-merged
+# sketch is IDENTICAL to the direct build (the cell assignment is
+# shard-independent and sums distribute, so CMS additivity is exact,
+# not approximate), hence cms_topk's output is the composite's rows
+# minus the n_shards column: a pure projection, the strongest merge
+# shape (set_ops precedent). The operator stays implemented and
+# pytest-covered (test_sketches.py pins the projection identity); only
+# the driver row consolidated. One slot freed.
 
 
 def sketch_kmv_report(spark: SparkSession, sf: str) -> DataFrame:

@@ -704,7 +704,12 @@ def _streaming_sketch_parity(spark: SparkSession, sf: str) -> DataFrame:
     return streaming_sketch_parity(spark, sf)
 
 
-if "ext_sketch_cms_topk" in REGISTRY:
+if "ext_sketch_cms_rollup" in REGISTRY:
+    # (Guard renamed r17 with merge #9 — cms_topk's row folded into the
+    # rollup composite; same import-order purpose, same rename
+    # precedent as the KMV/quantile guards, and test_plans.py now pins
+    # all three lazy streaming-sketch twins so a stale guard can never
+    # silently deregister one again.)
     # The incrementally-maintained CMS (round-8 upgrade from pytest-only
     # to driver-checked): the corpus folds through the complete-mode
     # streaming aggregation one file per micro-batch; the standing cell
@@ -1051,12 +1056,19 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      embed covers the whole train slice with 0/NULL audit rows) — a
 #      variant-tagged union would be a kitchen-sink row whose filters
 #      reproduce nothing recognizable. All four stay registered.
-#   9. NEXT to audit (r17, when slots are needed): the CMS pair
-#      ext_sketch_cms_topk + ext_sketch_cms_rollup — both build CMS
-#      cells over the same slice; the question is whether the rollup's
-#      day-merged estimates are projections of a cell-tagged composite
-#      or need their own merge step (the KMV precedent suggests the
-#      latter, which still frees a slot as a composite).
+#   9. EXECUTED r17: ext_sketch_cms_topk → folded into
+#      ext_sketch_cms_rollup. The audit answered the open question the
+#      OPPOSITE way from the KMV precedent: CMS additivity is EXACT
+#      (the cell hash is shard-independent, so the shard-merged sketch
+#      equals the direct build cell-for-cell), hence topk's output is
+#      the rollup's rows minus n_shards — a pure projection, verified
+#      row-identical at sf0.001 and sf0.01 and pinned by
+#      tests/test_sketches.py::test_cms_topk_is_rollup_projection.
+#      One slot freed; the operator stays implemented + pytest-covered.
+#   10. NEXT to audit (r18, when slots are needed): the two Bloom rows
+#      (ext_decontaminate_bloom gate vs any future standalone Bloom
+#      verb) — currently no concrete pair; revisit after the r18
+#      staging pass lands.
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.
 #

@@ -44,9 +44,18 @@ Scale notes (100 TB): data files are hive-laid (``files/p_date=…/``) and
 read through an explicit file list with ``basePath``, so Catalyst still
 applies directory-level PartitionFilters — the same pruning the parquet
 backend gets, pinned by the parametrized engine tests. Snapshot replay is
-O(log length) driver-side JSON — the real-systems fix (Delta checkpoints /
-Iceberg manifest lists) is a compaction of the SAME action stream and
-slots in behind :meth:`_snapshot` without touching any verb.
+O(since the last checkpoint): every ``CHECKPOINT_INTERVAL``-th commit
+also writes ``_log/<v>.checkpoint.json`` — the full live file map as of
+that version, the exact compaction of the action stream Delta checkpoints
+/ Iceberg manifest lists perform — and :meth:`_snapshot` replays only the
+tail past the newest checkpoint at-or-before the target version (pinned
+by a replay-count pytest). Checkpoints are derived, idempotent data:
+concurrent writers racing the same checkpoint write byte-identical
+content through an atomic replace, so no coordination is needed.
+:meth:`vacuum` takes a ``retain_last`` version horizon — files referenced
+by any snapshot within the horizon survive GC, so pinned old-version
+readers (time travel) keep working; ``retain_last=0`` is the aggressive
+current-snapshot-only GC.
 """
 
 from __future__ import annotations
@@ -99,6 +108,11 @@ class LogTsStore:
     #: this (a real deployment tunes it like a Delta client's)
     MAX_COMMIT_RETRIES = 50
 
+    #: write a snapshot checkpoint every Nth commit (Delta's default
+    #: cadence) so log replay stays O(interval) however old the table
+    #: grows; tests shrink it per-instance to exercise the machinery
+    CHECKPOINT_INTERVAL = 10
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = Path(root)
@@ -109,17 +123,74 @@ class LogTsStore:
 
     # -- log machinery ----------------------------------------------------
     def _version_files(self) -> list[Path]:
-        return sorted(self.log_dir.glob("*.json"))
+        return sorted(
+            p for p in self.log_dir.glob("*.json")
+            if ".checkpoint." not in p.name and not p.name.startswith(".")
+        )
+
+    def _read_actions(self, vfile: Path) -> dict:
+        """One version file's action record (factored so the replay-count
+        pytest can spy on exactly how much log a snapshot reads)."""
+        return json.loads(vfile.read_text())
+
+    def _checkpoint_files(self) -> list[Path]:
+        return sorted(self.log_dir.glob("*.checkpoint.json"))
+
+    def _latest_checkpoint(
+        self, at_or_before: int
+    ) -> tuple[int, dict[str, str]] | None:
+        """(version, live map) of the newest checkpoint whose version is
+        <= ``at_or_before``, or None when replay must start from v0."""
+        best: Path | None = None
+        best_v = -1
+        for p in self._checkpoint_files():
+            v = int(p.name.split(".", 1)[0])
+            if best_v < v <= at_or_before:
+                best, best_v = p, v
+        if best is None:
+            return None
+        data = json.loads(best.read_text())
+        return best_v, dict(data["live"])
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the snapshot as of ``version`` next to the log.
+        Idempotent derived data: the content is a pure function of the
+        immutable version prefix, so two racing writers produce the same
+        bytes and the atomic replace makes either publish correct."""
+        target = self.log_dir / f"{version:020d}.checkpoint.json"
+        if target.exists():
+            return
+        live = self._snapshot(version)
+        tmp = self.log_dir / f".tmp-cp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps({"version": version, "live": live}))
+        os.replace(tmp, target)
+
+    def checkpoint(self) -> int | None:
+        """Force a checkpoint of the current snapshot (the automatic
+        every-``CHECKPOINT_INTERVAL`` cadence makes this optional);
+        returns the checkpointed version, or None on an empty log."""
+        v = self.latest_version()
+        if v < 0:
+            return None
+        self._write_checkpoint(v)
+        return v
 
     def _snapshot(self, version: int | None = None) -> dict[str, str]:
-        """path -> p_date of the live files, by log replay — up to and
-        including ``version`` when given (time travel), else the full
-        log (the current snapshot)."""
+        """path -> p_date of the live files — the newest checkpoint
+        at-or-before the target plus a replay of only the action tail
+        past it (O(CHECKPOINT_INTERVAL), not O(log length)); ``version``
+        pins time travel, else the full log (the current snapshot)."""
+        vfiles = self._version_files()
+        target = len(vfiles) - 1
+        if version is not None:
+            target = min(version, target)
         live: dict[str, str] = {}
-        for i, v in enumerate(self._version_files()):
-            if version is not None and i > version:
-                break
-            actions = json.loads(v.read_text())
+        start = 0
+        cp = self._latest_checkpoint(target)
+        if cp is not None:
+            start, live = cp[0] + 1, cp[1]
+        for i in range(start, target + 1):
+            actions = self._read_actions(vfiles[i])
             for add in actions.get("add", []):
                 live[add["path"]] = add["p_date"]
             for rm in actions.get("remove", []):
@@ -151,8 +222,9 @@ class LogTsStore:
             )
         return out
 
-    def _try_commit(self, adds: list[dict], removes: list[str]) -> bool:
-        """One O_EXCL attempt at the next version; False on a lost race."""
+    def _try_commit(self, adds: list[dict], removes: list[str]) -> int | None:
+        """One O_EXCL attempt at the next version; the committed version
+        number on success, None on a lost race."""
         n = len(self._version_files())
         target = self.log_dir / f"{n:020d}.json"
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}"
@@ -162,9 +234,9 @@ class LogTsStore:
             # FileExistsError if the version exists and never exposes a
             # half-written commit (the tmp file is complete before link)
             os.link(tmp, target)
-            return True
+            return n
         except FileExistsError:
-            return False
+            return None
         finally:
             tmp.unlink(missing_ok=True)
 
@@ -183,7 +255,14 @@ class LogTsStore:
                     raise ConcurrentModificationError(
                         f"files removed by a concurrent commit: {gone[:3]}"
                     )
-            if self._try_commit(adds, removes):
+            v = self._try_commit(adds, removes)
+            if v is not None:
+                # Delta's cadence: every Nth commit compacts the action
+                # stream into a checkpoint so replay stays O(interval).
+                # Done AFTER the commit is durable — a crash here loses
+                # only derived data the next writer re-creates.
+                if (v + 1) % self.CHECKPOINT_INTERVAL == 0:
+                    self._write_checkpoint(v)
                 return
         raise ConcurrentModificationError(
             f"lost {self.MAX_COMMIT_RETRIES} straight version races"
@@ -258,10 +337,11 @@ class LogTsStore:
         Raises ``IndexError`` on a version the log never committed and
         ``FileNotFoundError`` when a referenced data file was vacuumed
         away — the Delta trade, surfaced loudly instead of as a Spark
-        scan error (``vacuum`` deletes files the CURRENT snapshot does
-        not reference, so old versions whose files were rewritten by
-        compact/erase_old stop being readable once vacuumed; a real
-        deployment keeps a retention horizon)."""
+        scan error. ``vacuum(retain_last=k)`` keeps every file any of
+        the last k+1 snapshots references, so versions inside that
+        horizon stay readable after GC; versions past it whose files
+        were rewritten by compact/erase_old stop being readable once
+        vacuumed."""
         if version is not None:
             latest = self.latest_version()
             if not (0 <= version <= latest):
@@ -340,14 +420,29 @@ class LogTsStore:
             self._commit(adds, removes, validate=True)
 
     # -- GC ----------------------------------------------------------------
-    def vacuum(self) -> int:
-        """Delete on-disk data files the CURRENT snapshot does not
-        reference; returns the number deleted. Safe because commits only
-        ever add new unique names — a file absent from the live set can
-        never become live again. (A real deployment adds a retention
-        horizon so pinned old-snapshot readers finish first; this
-        single-filesystem store documents that trade instead.)"""
-        live = set(self._snapshot())
+    def vacuum(self, retain_last: int = 0) -> int:
+        """Delete on-disk data files no retained snapshot references;
+        returns the number deleted. ``retain_last`` is the retention
+        horizon (Delta's retention window, in versions): files referenced
+        by ANY snapshot in the last ``retain_last + 1`` versions survive,
+        so time travel to those versions — and pinned readers of them —
+        keeps working after GC; ``retain_last=0`` keeps only the current
+        snapshot (the aggressive default). Safe because commits only ever
+        add new unique names — a file absent from every retained live set
+        can never become live again.
+
+        The union of live sets over [horizon, latest] is computed as
+        live(horizon) ∪ {files added after the horizon}: any file live at
+        some retained version either already existed at the horizon or
+        was added past it — one snapshot replay plus an O(retain_last)
+        action-tail scan, never retain_last full replays."""
+        latest = self.latest_version()
+        horizon = max(0, latest - max(0, retain_last))
+        live = set(self._snapshot(horizon))
+        vfiles = self._version_files()
+        for i in range(horizon + 1, latest + 1):
+            actions = self._read_actions(vfiles[i])
+            live.update(add["path"] for add in actions.get("add", []))
         dropped = 0
         for f in sorted(self.files_dir.glob("p_date=*/*.parquet")):
             if str(f) not in live:

@@ -1796,6 +1796,88 @@ def test_log_store_time_travel_versions_history_and_vacuum_horizon(
     assert store.read().count() == 3
 
 
+def test_log_store_checkpoint_bounds_snapshot_replay(spark, tmp_path):
+    """Snapshot checkpointing (VERDICT r16 item 3): every Nth commit
+    compacts the action stream into ``<v>.checkpoint.json``, and
+    ``_snapshot`` replays ONLY the tail past the newest checkpoint —
+    O(interval), not O(log length). Pinned by spying on the action
+    reader: a long log must read exactly latest − checkpoint version
+    files, and the checkpointed snapshot must byte-equal the full
+    replay."""
+    from dariadb_spark import TsEngine
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"), backend="log")
+    store = eng.store
+    store.CHECKPOINT_INTERVAL = 4  # shrink the cadence for the test
+    day = 86_400_000
+    t0 = 1_704_067_200_000
+    for i in range(10):  # v0..v9 — checkpoints auto-land at v3 and v7
+        eng.append([(i, t0 + i * day, float(i), 1)])
+    assert store.latest_version() == 9
+    cps = [p.name for p in store._checkpoint_files()]
+    assert cps == [f"{3:020d}.checkpoint.json", f"{7:020d}.checkpoint.json"]
+
+    reads: list[str] = []
+    orig = store._read_actions
+    store._read_actions = lambda vf: (reads.append(vf.name), orig(vf))[1]
+    with_cp = store._snapshot()
+    # only the tail past the v7 checkpoint: versions 8 and 9
+    assert reads == [f"{8:020d}.json", f"{9:020d}.json"]
+    # time travel to v5 replays from the v3 checkpoint: versions 4, 5
+    reads.clear()
+    at5 = store._snapshot(5)
+    assert reads == [f"{4:020d}.json", f"{5:020d}.json"]
+    store._read_actions = orig
+
+    # the checkpointed snapshot equals the full v0-replay (spoof a
+    # checkpoint-less store over the same log)
+    no_cp = store._latest_checkpoint
+    store._latest_checkpoint = lambda at_or_before: None
+    assert store._snapshot() == with_cp
+    assert store._snapshot(5) == at5
+    store._latest_checkpoint = no_cp
+    assert eng.meas().count() == 10
+
+    # the explicit checkpoint verb covers the cadence gap (v9)
+    assert store.checkpoint() == 9
+    reads2: list[str] = []
+    store._read_actions = lambda vf: (reads2.append(vf.name), orig(vf))[1]
+    assert store._snapshot() == with_cp
+    assert reads2 == []  # pure checkpoint read, zero version files
+    store._read_actions = orig
+
+
+def test_log_store_vacuum_retention_horizon(spark, tmp_path):
+    """vacuum(retain_last=k) keeps every file any of the last k+1
+    snapshots references, so time travel inside the horizon survives GC
+    (the Delta retention window, VERDICT r16 item 3); retain_last=0 is
+    the aggressive current-snapshot-only GC the prior test pins."""
+    import pytest
+
+    from dariadb_spark import TsEngine
+
+    eng = TsEngine.open(spark, str(tmp_path / "s"), backend="log")
+    store = eng.store
+    day = 86_400_000
+    t0 = 1_704_067_200_000
+    eng.append([(1, t0, 1.0, 1)])        # v0
+    eng.append([(1, t0, 2.0, 1)])        # v1 (same day — compactable)
+    store.compact()                      # v2 rewrites the day's files
+    assert store.latest_version() == 2
+
+    # horizon 2 spans v0..v2: every file is referenced by some retained
+    # snapshot, so nothing is dropped and v0 stays readable
+    assert store.vacuum(retain_last=2) == 0
+    assert store.read_version(0).count() == 1
+
+    # horizon 0 keeps only the current snapshot: the pre-compact files
+    # go, v0/v1 raise loudly, the live rows are whole
+    assert store.vacuum(retain_last=0) > 0
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        store.read_version(0)
+    assert store.read().count() == 2
+
+
 def test_engine_read_version_requires_log_backend(spark, tmp_path):
     """The parquet backend has no version manifest — the engine facade
     says so instead of AttributeError-ing."""

@@ -4377,3 +4377,23 @@ def test_sketch_quantile_report_projections(spark, oracle_sf_dir):
     assert got_d == want_d
     assert got_r == want_r
     assert len(got_h) > 0 and len(got_d) > 0 and len(got_r) > 0
+
+
+def test_cms_topk_is_rollup_projection(spark, oracle_sf_dir):
+    """Merge #9 (r17): the direct-build CMS row folded into the
+    shard-merged composite because CMS additivity is EXACT — the cell
+    hash is shard-independent and sums distribute, so the merged sketch
+    equals the direct build cell-for-cell and cms_topk's output is the
+    rollup's rows minus n_shards (same order, same values). This pin is
+    what licenses the consolidation: if either build drifts, the merge
+    premise breaks loudly here."""
+    from dariadb_spark.ext.sketches import sketch_cms_rollup, sketch_cms_topk
+
+    topk = [tuple(r) for r in sketch_cms_topk(spark, oracle_sf_dir).collect()]
+    roll = [
+        tuple(r) for r in sketch_cms_rollup(spark, oracle_sf_dir).collect()
+    ]
+    assert len(topk) > 0
+    assert topk == [r[:4] for r in roll]
+    # the composite's extra column is the shard count, nothing else
+    assert {r[4] for r in roll} == {4}
