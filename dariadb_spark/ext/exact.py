@@ -173,3 +173,43 @@ def ratio_round_guarded_duck(a: str, b: str, d: int) -> str:
         f"(CASE WHEN ({a}) <= {c} AND ({b}) <= {c}"
         f" THEN {ratio_round_duck(a, b, d)} ELSE {wide} END)"
     )
+
+
+# --- finite-int64 screen guard (round 17, VERDICT r16 item 6) --------------
+# The Benford class (r15 review + r16 advice) promoted to a shared
+# helper. Two hazards, both probed and pinned by test_exact_guard.py:
+# (1) ``CAST(double AS BIGINT)`` on NaN/±Inf/|x|≥int64-max — DuckDB
+# always raises; Spark raises under ANSI (the Spark 4 default and this
+# engine's session config) but silently saturates on a non-ANSI
+# deployment; (2) worse, Spark's ``floor(double)`` RETURNS BIGINT and
+# saturates silently EVEN UNDER ANSI (NaN→0, -Inf→int64-min,
+# 1e21→int64-max) while DuckDB's floor stays DOUBLE and the downstream
+# cast raises — so a floor-then-bucket screen fabricates buckets on
+# one engine and dies on the other.
+#
+# CLASS DECISION (pinned by tests/test_exact_guard.py):
+#   * data-quality SCREENS over arbitrary input (Benford, the value
+#     histogram) get this guard on BOTH engines — a screen must
+#     tolerate doctored data, not die on it, and must filter it
+#     IDENTICALLY on both engines (and identically whether or not the
+#     deployment runs ANSI);
+#   * revenue/BI AGGREGATES on the money rule (the
+#     ``CAST(round(price * 100) AS BIGINT)`` cents recipe) do NOT
+#     silently filter — dropping a row from a revenue sum is worse
+#     than failing. Inside the |price| < 9.2e16 envelope both engines
+#     agree exactly (identical double round, identical int64 cast);
+#     past it BOTH raise (duck always, Spark via ANSI) — the
+#     fail-identically contract, pinned by
+#     test_cents_recipe_envelope_and_identical_failure.
+
+#: largest double magnitude safely castable to BIGINT on both engines
+FINITE_INT64 = 9.2e18
+
+
+def finite_int64_pred(expr: str) -> str:
+    """Engine-shared SQL predicate: ``expr`` is a non-NaN finite double
+    whose magnitude fits int64. Textually identical in Spark and DuckDB
+    (both have isnan(); both order NaN above every number, so the abs
+    comparison alone already rejects NaN/±Inf — the isnan clause is
+    belt-and-braces and keeps the intent readable)."""
+    return f"((NOT isnan({expr})) AND abs({expr}) < {FINITE_INT64:.1e})"

@@ -161,8 +161,18 @@ FROM enriched WHERE side = 1 ORDER BY id, grid_ms"""
 def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-width value histogram over the interval (all series): one
     codegen'd bucket expression + one shuffle on the ~10-bucket key —
-    map-side partial aggregation makes this scan-bound at any scale."""
-    meas = scan_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0)
+    map-side partial aggregation makes this scan-bound at any scale.
+
+    Screen guard (r17, the Benford class): the bucket cast is
+    ``CAST(double AS BIGINT)`` on an UNBOUNDED measurement value, so
+    NaN/±Inf/≥9.2e18 doctored samples would silently saturate on Spark
+    while DuckDB raises — both engines now FILTER them identically
+    (``finite_int64_pred``, pinned by test_exact_guard.py)."""
+    from dariadb_spark.ext.exact import finite_int64_pred
+
+    meas = scan_interval(
+        measurements(spark, sf), None, FROM_MS, TO_MS, 0
+    ).where(F.expr(finite_int64_pred("value")))
     bucket = F.floor(F.col("value") / HIST_WIDTH).cast("bigint")
     return (
         meas.groupBy(bucket.alias("bucket"))
@@ -181,7 +191,10 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-HISTOGRAM_SQL = f"""WITH {MEAS_CTE_SQL}
+def _histogram_sql() -> str:
+    from dariadb_spark.ext.exact import finite_int64_pred
+
+    return f"""WITH {MEAS_CTE_SQL}
 SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
        CAST(floor(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH} AS bucket_lo,
        count(*) AS n_points,
@@ -189,7 +202,11 @@ SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
        min(value) AS min_value,
        max(value) AS max_value
 FROM measurements WHERE time BETWEEN {FROM_MS} AND {TO_MS}
+  AND {finite_int64_pred("value")}
 GROUP BY bucket ORDER BY bucket"""
+
+
+HISTOGRAM_SQL = _histogram_sql()
 
 
 # --- bucketed range join (bounded-window context) -------------------------

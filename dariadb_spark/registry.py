@@ -983,14 +983,20 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # BI family's "how do customers MOVE between tiers?" verb next to
 # rfm's snapshot and retention's presence; pure integer decile walks
 # on the rfm recipe, nothing floats).
-# Registering all eleven in r17 takes the registry to 228 (217 + 11 —
+# Registering all eleven in r17 took the registry to 228 (217 + 11 —
 # 217, not the 216 the r16 driver saw: merge #7's stale guard name had
 # silently deregistered streaming_hdr_parity, fixed above per ADVICE
-# r16); compute the r17 window with `tools/attestation_ledger.py
-# --plan 50` after CORRECTNESS_r16 lands (all eleven registrations
-# take priority-2 slots, and streaming_hdr_parity re-enters as a
-# must-attest row — its r16 absence means its last driver row is r9
-# vintage).
+# r16), then merge #9 (cms_topk → cms_rollup, a pure projection)
+# brought it to 227. The r17 window is the executed `tools/
+# attestation_ledger.py --plan 50` output (all eleven registrations in
+# priority-2 slots, streaming_hdr_parity re-entering as a stale-5 row
+# — its r16 absence left its last driver row at r9 vintage).
+# STALE-HORIZON ARITHMETIC AT N = 227 (VERDICT r16 item 5): 227 − 50 =
+# 177 unattested per round; the ledger re-verified after both the
+# registrations and the merge — no policy violations, worst leftover
+# staleness stale-4 (policy line: core ≤ 3, all ≤ 5). The 250 ceiling
+# arrives ~r19 at the current ~10/round staging cadence; keep one
+# merge audit per round in flight (audit #10 queued below).
 #
 # CEILING TRAJECTORY (decided r14, BEFORE the arithmetic forces it —
 # VERDICT r13 item 3): 206 now + ~8 staged/round reaches the 250 hard

@@ -89,6 +89,13 @@ def _rate_fold(
             # emit dt_ms <= 0 rows (garbage rate_per_s). The in-order
             # contract is documented in the module docstring; fail
             # loudly instead of corrupting the standing output.
+            # Class note (r17 audit): EQUALITY raises here, unlike the
+            # turning fold which accepts an exact-duplicate key as a
+            # plateau — the difference is principled, not drift: this
+            # fold's batch oracle LWW-DEDUPS on time, so a duplicate
+            # time landing after the state advanced is unresolvable
+            # (the late row might have won LWW retroactively), whereas
+            # turning's batch oracle keeps duplicates as samples.
             raise ValueError(
                 f"counter-rate fold: sample (id={key[0]}, time={ti}) "
                 f"arrived after state already advanced to {last_t}; "

@@ -94,6 +94,11 @@ def _runlen_fold(
         # out-of-order (id, time) arriving in a LATER micro-batch than
         # its successor would be silently folded as a NEW sample,
         # double-counting the episode walk. Fail loudly instead.
+        # Class note (r17 audit): equality raises here for the same
+        # reason as the rate fold — the batch oracle LWW-dedups on
+        # time, so a cross-batch duplicate is unresolvable; the
+        # turning fold's equality-accept is the OTHER correct answer
+        # for a batch oracle that keeps duplicates (see rate.py).
         raise ValueError(
             f"run-length fold: sample (id={key[0]}, time={int(t[0])}) "
             f"arrived after state already advanced to {last_time}; "

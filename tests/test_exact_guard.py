@@ -195,3 +195,106 @@ def test_guarded_closure_batched_fuzz(spark):
         sv = got[i][f"v{d}"]
         dv = duck[i][dpos[d]]
         assert sv == dv == ref, (i, a, b, d, sv, dv, ref)
+
+
+# --- the finite-int64 screen guard (round 17, VERDICT r16 item 6) ----------
+
+def test_finite_int64_pred_filters_identically(spark):
+    """The shared screen guard keeps exactly the same rows on both
+    engines for every member of the doctored-input class (NaN, ±Inf,
+    ±1e19, the in-range extremes), BEFORE any BIGINT cast can run."""
+    from dariadb_spark.ext.exact import finite_int64_pred
+
+    vals = [
+        "double('NaN')", "double('Infinity')", "double('-Infinity')",
+        "1e19", "-1e19", "9e18", "-9e18", "123.4", "0.0",
+    ]
+    tagged = ", ".join(f"({i}, {v})" for i, v in enumerate(vals))
+    pred = finite_int64_pred("v")
+    got_spark = sorted(
+        r.i for r in spark.sql(
+            f"SELECT i FROM VALUES {tagged} AS t(i, v) WHERE {pred}"
+        ).collect()
+    )
+    duck_vals = tagged.replace("double('NaN')", "'NaN'::DOUBLE").replace(
+        "double('Infinity')", "'Infinity'::DOUBLE"
+    ).replace("double('-Infinity')", "'-Infinity'::DOUBLE")
+    got_duck = sorted(
+        r[0] for r in duckdb.sql(
+            f"SELECT i FROM (VALUES {duck_vals}) t(i, v) WHERE {pred}"
+        ).fetchall()
+    )
+    assert got_spark == got_duck == [5, 6, 7, 8]
+
+
+def test_value_histogram_screens_doctored_input_identically(spark):
+    """The histogram's guarded bucket pipeline produces identical rows
+    on both engines over doctored input. The UNGUARDED pipeline is the
+    silent-wrong divergence the guard exists for — and the culprit is
+    ``floor``, not the cast: Spark's floor(double) returns BIGINT and
+    SATURATES silently even under ANSI (NaN→0, 1e21→int64-max; probed,
+    pinned below), while DuckDB's floor stays DOUBLE so its cast
+    RAISES. One engine fabricates buckets, the other dies."""
+    from dariadb_spark.ext.exact import finite_int64_pred
+    from dariadb_spark.ext.timeseries import HIST_WIDTH
+
+    rows = "(1e19), (double('NaN')), (double('-Infinity')), (123.4), (-77.0), (9e18)"
+    duck_rows = rows.replace("double('NaN')", "'NaN'::DOUBLE").replace(
+        "double('-Infinity')", "'-Infinity'::DOUBLE"
+    )
+    core = (
+        f"SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,"
+        " count(*) AS n FROM {src} WHERE " + finite_int64_pred("value")
+        + " GROUP BY bucket ORDER BY bucket"
+    )
+    got_spark = [
+        tuple(r) for r in spark.sql(
+            core.format(src=f"VALUES {rows} AS t(value)")
+        ).collect()
+    ]
+    got_duck = duckdb.sql(
+        core.format(src=f"(VALUES {duck_rows}) t(value)")
+    ).fetchall()
+    assert got_spark == got_duck
+    assert len(got_spark) == 3  # -77, 123.4, 9e18 buckets survive
+
+    unguarded = (
+        f"SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket"
+        " FROM {src} ORDER BY bucket"
+    )
+    # Spark: floor() has already saturated, so the cast is a no-op and
+    # the doctored rows come back as FABRICATED buckets (NaN→0,
+    # -Inf→int64-min, 1e19→2e17) — silent and wrong
+    fabricated = [
+        r.bucket for r in spark.sql(
+            unguarded.format(src=f"VALUES {rows} AS t(value)")
+        ).collect()
+    ]
+    assert -(2**63) in fabricated and 0 in fabricated  # -Inf and NaN
+    # DuckDB: the same pipeline RAISES — the cross-engine divergence
+    with pytest.raises(duckdb.Error):
+        duckdb.sql(unguarded.format(src=f"(VALUES {duck_rows}) t(value)")).fetchall()
+
+
+def test_cents_recipe_envelope_and_identical_failure(spark):
+    """The money rule's envelope, pinned: inside |price| < 9.2e16 both
+    engines produce the IDENTICAL int64 cents (same double round, same
+    cast) — and past the envelope both RAISE (duck's cast always
+    checks; Spark's does via ANSI, the Spark 4 default), so the
+    aggregate class fails identically rather than silently filtering.
+    This is the class decision for why the cents recipes do NOT carry
+    the screen guard (ext/exact.py)."""
+    from pyspark.errors import ArithmeticException
+    from py4j.protocol import Py4JJavaError
+
+    inside = ["90000000000000.0", "9e15", "9.2e15", "92160000000000000.0"]
+    expr = "CAST(round(p * 100) AS BIGINT)"
+    for p in inside:
+        s = spark.sql(f"SELECT {expr} AS c FROM VALUES ({p}) t(p)").collect()[0].c
+        d = duckdb.sql(f"SELECT {expr} AS c FROM (VALUES ({p}::DOUBLE)) t(p)").fetchone()[0]
+        assert s == d, p
+    for p in ("1e17", "-1e17"):
+        with pytest.raises((ArithmeticException, Py4JJavaError)):
+            spark.sql(f"SELECT {expr} AS c FROM VALUES ({p}) t(p)").collect()
+        with pytest.raises(duckdb.Error):
+            duckdb.sql(f"SELECT {expr} AS c FROM (VALUES ({p}::DOUBLE)) t(p)").fetchone()
