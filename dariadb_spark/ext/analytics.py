@@ -1155,3 +1155,130 @@ FROM swept GROUP BY day ORDER BY day_ms"""
 # Registered round 17 (staged round 16; the segmented endpoint prefix
 # sum with a cross-day carry — never a global single-partition window).
 register("ext_session_concurrency", session_concurrency, SESSION_CONCURRENCY_SQL)
+
+
+# --- event burstiness (inter-arrival dispersion) ----------------------------------
+# STAGED for the round-18 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). The cadence-SHAPE verb next to
+# ext_order_interarrival's per-segment gap distribution: per event type
+# (the flag code), is arrival Poisson-like, periodic, or bursty? The
+# classic reading is the squared coefficient of variation of
+# inter-arrival gaps — CV² = 1 for Poisson, < 1 for regular/periodic,
+# > 1 for bursty — computable as an EXACT rational from (n, Σg, Σg²),
+# unlike the (σ−μ)/(σ+μ) form whose sqrt would cost cross-engine ULP
+# parity. Gaps are whole SECONDS (integer ms DIV 1000): keeps
+# Σg² inside int64 up to ~10⁶ gaps/group at month-long spans (the
+# envelope the docstring pins) and makes the streaming twin's state
+# four plain int64s.
+
+
+def events_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r18 window (:func:`events_burstiness_op`)."""
+    return events_burstiness_op(
+        scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    )
+
+
+def events_burstiness_op(meas: DataFrame) -> DataFrame:
+    """(flag, n_gaps, sum_gap_s, mean_gap_s, cv2_micro) per event type.
+
+    Gaps are consecutive same-(id, flag) arrival deltas in whole
+    seconds ((t₂−t₁) DIV 1000 — both engines floor nonnegative ints
+    identically); the per-type stats POOL the per-(id, flag) gap
+    multisets (sums are commutative, so the pooling is exact and the
+    streaming twin can carry per-group partials). Equal-time
+    duplicates contribute a legitimate 0 gap — the batch semantic the
+    streaming twin's equality-accept mirrors (the r17 fold-contract
+    taxonomy: no LWW dedup here, so duplicates are samples).
+
+    Exactness: n, Σg, Σg² are exact int64 (envelope: gaps ≤ a month ≈
+    2.6e6 s squared is 6.9e12, so Σg² holds ~10⁶ such gaps per TYPE;
+    past that pre-scale gaps to minutes); mean is HALF_UP 3-dp;
+    CV² = n(nΣg² − (Σg)²) / ((n−1)(Σg)²) rides DECIMAL(38,0)/HUGEINT
+    through the n² products (Cauchy–Schwarz keeps the numerator
+    nonneg) and lands as the wide HALF_UP 6-dp double. Types with
+    fewer than 2 gaps or zero mean are excluded (CV² does not
+    exist).
+
+    Plan shape (100 TB): one pruned scan → the lag window shuffles
+    once on (id, flag) — id is the storage clustering key, so a
+    bucketed layout runs it shuffle-free — → a partial-aggregated
+    ≤|types|-key shuffle of 3 sums; the ratio is a stateless
+    projection on the |types|-row summary."""
+    from dariadb_spark.ext.exact import (
+        ratio_round_signed_wide_spark,
+        ratio_round_spark,
+    )
+
+    w = Window.partitionBy("id", "flag").orderBy(*_ORD)
+    gaps = (
+        meas.select(
+            "id", "flag", "time", "value",
+            F.expr("time DIV 1000").alias("ts"),
+        )
+        .select(
+            "flag",
+            (F.col("ts") - F.lag("ts", 1).over(w)).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    sums = gaps.groupBy("flag").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("sum_gap_s"),
+        F.sum(F.col("g") * F.col("g")).alias("sum_gap2"),
+    )
+    # Cauchy–Schwarz gives n·Σg² ≥ (Σg)², so the numerator is nonneg —
+    # the signed wide form is used only for its DECIMAL(38,0) width
+    num = (
+        "n_gaps * (n_gaps * CAST(sum_gap2 AS DECIMAL(38,0))"
+        " - CAST(sum_gap_s AS DECIMAL(38,0)) * sum_gap_s)"
+    )
+    den = (
+        "(n_gaps - 1) * (CAST(sum_gap_s AS DECIMAL(38,0)) * sum_gap_s)"
+    )
+    return (
+        sums.where((F.col("n_gaps") >= 2) & (F.col("sum_gap_s") > 0))
+        .selectExpr(
+            "flag",
+            "n_gaps",
+            "sum_gap_s",
+            ratio_round_spark("sum_gap_s", "n_gaps", 3) + " AS mean_gap_s",
+            ratio_round_signed_wide_spark(num, den, 6) + " AS cv2",
+        )
+        .orderBy("flag")
+    )
+
+
+def _burstiness_sql() -> str:
+    from dariadb_spark.ext.exact import (
+        ratio_round_duck,
+        ratio_round_signed_wide_duck,
+    )
+
+    num = (
+        "n_gaps * (n_gaps * CAST(sum_gap2 AS HUGEINT)"
+        " - CAST(sum_gap_s AS HUGEINT) * sum_gap_s)"
+    )
+    den = "(n_gaps - 1) * (CAST(sum_gap_s AS HUGEINT) * sum_gap_s)"
+    return f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, flag, time // 1000 AS ts, time, value
+        FROM measurements
+        WHERE id IN {_ids_sql(IDS)}
+          AND time BETWEEN {FROM_MS} AND {TO_MS}),
+g0 AS (SELECT flag,
+              ts - lag(ts, 1) OVER (PARTITION BY id, flag
+                                    ORDER BY time, value, flag) AS g
+       FROM pts),
+sums AS (SELECT flag, count(*) AS n_gaps,
+                CAST(sum(g) AS BIGINT) AS sum_gap_s,
+                CAST(sum(g * g) AS BIGINT) AS sum_gap2
+         FROM g0 WHERE g IS NOT NULL GROUP BY flag)
+SELECT flag, n_gaps, sum_gap_s,
+       {ratio_round_duck("sum_gap_s", "n_gaps", 3)} AS mean_gap_s,
+       {ratio_round_signed_wide_duck(num, den, 6)} AS cv2
+FROM sums WHERE n_gaps >= 2 AND sum_gap_s > 0
+ORDER BY flag"""
+
+
+EVENTS_BURSTINESS_SQL = _burstiness_sql()

@@ -2177,3 +2177,440 @@ ORDER BY decile_a, decile_b"""
 
 # Registered round 17 (staged round 16; the BI family's mobility verb).
 register("ext_customer_migration", customer_migration, CUSTOMER_MIGRATION_SQL)
+
+
+# --- edge neighborhood Jaccard (graph family, fifth verb) -------------------------
+# STAGED for the round-18 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). link_pred scores the NON-edges; this
+# scores the EDGES: neighborhood Jaccard J(x,y) = |N(x)∩N(y)| /
+# |N(x)∪N(y)| for adjacent pairs — "how redundant is this edge?", the
+# tie-strength screen (an edge whose endpoints share most neighbors is
+# embedded in a community; one with J≈0 is a bridge). Convention pinned
+# here and in the oracle: the union term is deg_x + deg_y − cn, i.e.
+# neighborhoods as-is (each endpoint is a member of the other's
+# neighborhood) — stated because the "exclude the endpoints" variant
+# differs by 2 in the denominator.
+
+JACCARD_TOP = 20
+
+
+def part_jaccard_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r18 window (:func:`part_jaccard_sim_op`)."""
+    return part_jaccard_sim_op(load_table(spark, sf, "lineitem"))
+
+
+def part_jaccard_sim_op(li: DataFrame) -> DataFrame:
+    """Top adjacent part pairs by neighborhood Jaccard in the
+    support-≥2 co-purchase graph (ties: cn DESC, x ASC, y ASC), each
+    with cn, both degrees, and the HALF_UP micro-scaled score.
+
+    Exactness: cn/degrees are int64 wedge counts; jac_micro =
+    HALF_UP(10⁶·cn / (deg_x + deg_y − cn)) is the shared integer
+    closure — the ORDER BY runs on the integer score, so cross-engine
+    ordering is exact (never a float sort key).
+
+    Plan shape (100 TB): identical candidate volume to the link-pred
+    census (Σ deg² wedges — the definitional cost of exact
+    common-neighbor counting), except the final join is a SEMI join
+    onto the edge set (edge-sized) instead of an anti join, then two
+    broadcast degree joins. Same degree-cap production lever, same
+    documented-option status."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MIN_SUP)
+        .select("x", "y")
+    )
+    adj = pairs.selectExpr("x AS u", "y AS v").unionByName(
+        pairs.selectExpr("y AS u", "x AS v")
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    w1 = adj.selectExpr("u AS c", "v AS p")
+    w2 = adj.selectExpr("u AS c2", "v AS q")
+    cand = (
+        w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("p") < F.col("q")))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("cn"))
+    )
+    edge_cn = cand.join(
+        pairs, (cand.p == pairs.x) & (cand.q == pairs.y), "left_semi"
+    )
+    dx = deg.selectExpr("u AS p", "deg AS deg_x")
+    dy = deg.selectExpr("u AS q", "deg AS deg_y")
+    return (
+        edge_cn.join(F.broadcast(dx), "p")
+        .join(F.broadcast(dy), "q")
+        .selectExpr(
+            "p AS x", "q AS y", "cn", "deg_x", "deg_y",
+            ratio_round_spark("1000000 * cn", "deg_x + deg_y - cn", 0)
+            + " AS jac_micro",
+        )
+        .selectExpr(
+            "x", "y", "cn", "deg_x", "deg_y",
+            "CAST(jac_micro AS BIGINT) AS jac_micro",
+        )
+        .orderBy(
+            F.desc("jac_micro"), F.desc("cn"), F.asc("x"), F.asc("y")
+        )
+        .limit(JACCARD_TOP)
+    )
+
+
+def _jaccard_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY x, y HAVING count(*) >= {BASKET_MIN_SUP}),
+adj AS (SELECT x AS u, y AS v FROM pairs
+        UNION ALL SELECT y AS u, x AS v FROM pairs),
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+cand AS (SELECT a1.v AS p, a2.v AS q, count(*) AS cn
+         FROM adj a1 JOIN adj a2
+           ON a1.u = a2.u AND a1.v < a2.v
+         GROUP BY p, q),
+edge_cn AS (SELECT c.p, c.q, c.cn FROM cand c
+            WHERE EXISTS (SELECT 1 FROM pairs e
+                          WHERE c.p = e.x AND c.q = e.y)),
+scored AS (SELECT o.p AS x, o.q AS y, CAST(o.cn AS BIGINT) AS cn,
+                  CAST(dx.deg AS BIGINT) AS deg_x,
+                  CAST(dy.deg AS BIGINT) AS deg_y
+           FROM edge_cn o
+           JOIN deg dx ON o.p = dx.u
+           JOIN deg dy ON o.q = dy.u)
+SELECT x, y, cn, deg_x, deg_y,
+       CAST({ratio_round_duck("1000000 * cn", "deg_x + deg_y - cn", 0)}
+            AS BIGINT) AS jac_micro
+FROM scored
+ORDER BY jac_micro DESC, cn DESC, x ASC, y ASC
+LIMIT {JACCARD_TOP}"""
+
+
+PART_JACCARD_SIM_SQL = _jaccard_sql()
+
+
+# --- cohort lifetime-value curve ---------------------------------------------------
+# STAGED for the round-18 driver window (same staging discipline). The
+# BI family's VALUE-over-time verb: retention_cohorts counts who is
+# still PRESENT, customer_migration shows how they MOVE between tiers —
+# this is the curve finance actually plots: cumulative revenue per
+# acquisition cohort as the cohort ages (the LTV curve whose flattening
+# point sets the payback window).
+
+
+def orders_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r18 window (:func:`orders_cohort_ltv_op`)."""
+    return orders_cohort_ltv_op(load_table(spark, sf, "orders"))
+
+
+def orders_cohort_ltv_op(orders: DataFrame) -> DataFrame:
+    """(cohort_year, age_years, n_active, rev_cents, cum_rev_cents):
+    cohort = year of the customer's FIRST order; age = order year −
+    cohort year; n_active = distinct cohort customers ordering at that
+    age; cum_rev_cents accumulates per cohort over age.
+
+    Exactness: pure int64 — exact cents (the money rule), exact
+    distinct counts, and the cumulative sum runs over the ≤|years|²-row
+    summary, never the orders.
+
+    Plan shape (100 TB): one orders scan → per-customer min-year
+    partial agg (one shuffle on o_custkey, the same key every
+    customer-grain query shuffles on) → the cohort tag joins back
+    BROADCAST (|customers| rows of (custkey, yr) is dim-sized at any
+    realistic scale; if customers outgrow broadcast the join keys on
+    the SAME o_custkey partitioning and stays co-located) → the
+    (cohort, age) agg is a ≤49-key shuffle with map-side combine → the
+    cumulative window runs on the 49-row summary. Nothing re-reads the
+    corpus."""
+    per = orders.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cohort = per.groupBy("o_custkey").agg(F.min("yr").alias("cohort_year"))
+    tagged = per.join(F.broadcast(cohort), "o_custkey").select(
+        "cohort_year",
+        (F.col("yr") - F.col("cohort_year")).alias("age_years"),
+        "o_custkey",
+        "cents",
+    )
+    summary = tagged.groupBy("cohort_year", "age_years").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    wc = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        summary.select(
+            "cohort_year", "age_years", "n_active", "rev_cents",
+            F.sum("rev_cents").over(wc).alias("cum_rev_cents"),
+        )
+        .orderBy("cohort_year", "age_years")
+    )
+
+
+ORDERS_COHORT_LTV_SQL = """WITH
+per AS (SELECT o_custkey, year(o_orderdate) AS yr,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+cohort AS (SELECT o_custkey, min(yr) AS cohort_year FROM per
+           GROUP BY o_custkey),
+tagged AS (SELECT c.cohort_year, p.yr - c.cohort_year AS age_years,
+                  p.o_custkey, p.cents
+           FROM per p JOIN cohort c ON p.o_custkey = c.o_custkey),
+summary AS (SELECT cohort_year, age_years,
+                   count(DISTINCT o_custkey) AS n_active,
+                   CAST(sum(cents) AS BIGINT) AS rev_cents
+            FROM tagged GROUP BY cohort_year, age_years)
+SELECT cohort_year, age_years, n_active, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cohort_year
+                                 ORDER BY age_years
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_cents
+FROM summary ORDER BY cohort_year, age_years"""
+
+
+# --- order-to-ship latency distribution -------------------------------------------
+# STAGED for the round-18 driver window (same staging discipline). The
+# supply-chain cadence verb: how long from order placement to each line
+# shipping, summarized per order priority — the SLA screen that says
+# whether URGENT actually ships faster (the funnel_latency /
+# interarrival distribution recipe on the one join this repo's BI
+# family hadn't exercised at distribution grain: lineitem ⋈ orders).
+
+
+def ship_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r18 window (:func:`ship_latency_op`)."""
+    return ship_latency_op(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+
+
+def ship_latency_op(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-priority distribution of order→ship day gaps:
+    (priority, n_lines, mean_days, median_days, p90_days, max_days).
+
+    Exactness: gaps are exact integer days (datediff on DATE-truncated
+    endpoints, identical in both engines); mean is the HALF_UP 4-dp
+    ratio; median the doubled-rank walk; p90 the rank-⌈0.9·m⌉ order
+    statistic. Rank ties cannot occur: the rank orders by (gap,
+    l_orderkey, l_linenumber), unique per line.
+
+    Plan shape (100 TB): ONE corpus-sized exchange — the
+    lineitem ⋈ orders equi-join on l_orderkey (the natural co-location
+    key both tables are bucketed on in a production layout, making it
+    shuffle-free there) — then the distribution pass ranks gaps in
+    |priorities| partitions; at billions of lines swap the rank walk
+    for the HDR-sketch quantile over the same column (the
+    funnel_latency note), leaving the join untouched."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    gaps = (
+        li.select("l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("sd"))
+        .join(
+            orders.select(
+                "o_orderkey",
+                F.to_date("o_orderdate").alias("od"),
+                "o_orderpriority",
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("sd", "od").alias("gap_days"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wr = Window.partitionBy("priority").orderBy(
+        "gap_days", "l_orderkey", "l_linenumber"
+    )
+    ranked = gaps.select(
+        "priority", "gap_days",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(Window.partitionBy("priority")).alias("m"),
+    )
+    stats = ranked.groupBy("priority").agg(
+        F.max("m").alias("n_lines"),
+        F.sum("gap_days").alias("sum_days"),
+        F.max("gap_days").alias("max_days"),
+    )
+    med = (
+        ranked.where(F.expr("r = (m + 1) DIV 2 OR r = (m + 2) DIV 2"))
+        .groupBy("priority")
+        .agg(
+            (2 * F.sum("gap_days") / F.count("*"))
+            .cast("bigint").alias("med2")
+        )
+    )
+    p90 = (
+        ranked.where(F.expr("r = (9 * m + 9) DIV 10"))
+        .groupBy("priority")
+        .agg(F.max("gap_days").alias("p90_days"))
+    )
+    return (
+        stats.join(med, "priority")
+        .join(p90, "priority")
+        .selectExpr(
+            "priority",
+            "n_lines",
+            ratio_round_spark("sum_days", "n_lines", 4) + " AS mean_days",
+            "med2 / 2.0d AS median_days",
+            "p90_days",
+            "max_days",
+        )
+        .orderBy("priority")
+    )
+
+
+def _ship_latency_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+gaps AS (SELECT o.o_orderpriority AS priority,
+                date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS gap_days,
+                l.l_orderkey, l.l_linenumber
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+r AS (SELECT priority, gap_days, l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY gap_days, l_orderkey,
+                                         l_linenumber) AS r,
+             count(*) OVER (PARTITION BY priority) AS m
+      FROM gaps),
+st AS (SELECT priority, max(m) AS n_lines,
+              CAST(sum(gap_days) AS BIGINT) AS sum_days,
+              max(gap_days) AS max_days
+       FROM r GROUP BY priority),
+md AS (SELECT priority,
+              CAST(2 * sum(gap_days) / count(*) AS BIGINT) AS med2
+       FROM r WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+       GROUP BY priority),
+p9 AS (SELECT priority, max(gap_days) AS p90_days
+       FROM r WHERE r = (9 * m + 9) // 10 GROUP BY priority)
+SELECT s.priority, s.n_lines,
+       {ratio_round_duck("s.sum_days", "s.n_lines", 4)} AS mean_days,
+       m.med2 / 2.0 AS median_days,
+       CAST(p.p90_days AS BIGINT) AS p90_days,
+       CAST(s.max_days AS BIGINT) AS max_days
+FROM st s JOIN md m ON s.priority = m.priority
+JOIN p9 p ON s.priority = p.priority
+ORDER BY s.priority"""
+
+
+SHIP_LATENCY_SQL = _ship_latency_sql()
+
+
+# --- discount → volume response (OLS slope) ----------------------------------------
+# STAGED for the round-18 driver window (same staging discipline). The
+# BI family's REGRESSION verb: does discounting actually move volume?
+# Per return-flag cohort, the OLS slope of quantity on discount — the
+# price-response reading next to pricing_summary's static margins.
+# ext_series_trend fits value-on-TIME per series; this is the
+# cross-sectional twin on a relational slice, same closed-form sums.
+
+
+def discount_response(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r18 window (:func:`discount_response_op`)."""
+    return discount_response_op(load_table(spark, sf, "lineitem"))
+
+
+def discount_response_op(li: DataFrame) -> DataFrame:
+    """(returnflag, n_lines, sum_disc_points, sum_qty_cents,
+    slope_micro): the exact-integer OLS slope of quantity (cents) on
+    discount (points = hundredths), micro-scaled HALF_UP.
+
+    Exactness: x = round(discount·100) and y = round(quantity·100) are
+    exact int64 (both source columns are hundredth-grain doubles well
+    inside 2⁵³); the four accumulators are int64 sums; the slope
+    numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are widened
+    to DECIMAL(38,0)/HUGEINT BEFORE the products (n² terms outgrow
+    int64 near ~10⁹ lines — the Gini denominator lesson, applied at
+    birth instead of by ADVICE), and the single float per row is the
+    signed wide HALF_UP 6-dp ratio. Groups with zero discount variance
+    are excluded (HAVING den > 0) — the slope does not exist there.
+
+    Plan shape (100 TB): one lineitem scan → ONE partial-aggregated
+    shuffle on the 3-key returnflag (map-side combine collapses each
+    partition to ≤3 rows of 5 sums); the ratio is a stateless
+    projection on the 3-row summary. Scan-bound at any scale."""
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
+
+    sums = (
+        li.selectExpr(
+            "l_returnflag AS returnflag",
+            "CAST(round(l_discount * 100) AS BIGINT) AS x",
+            "CAST(round(l_quantity * 100) AS BIGINT) AS y",
+        )
+        .groupBy("returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = (
+        "n_lines * CAST(sxy AS DECIMAL(38,0))"
+        " - CAST(sx AS DECIMAL(38,0)) * sy"
+    )
+    den = (
+        "n_lines * CAST(sxx AS DECIMAL(38,0))"
+        " - CAST(sx AS DECIMAL(38,0)) * sx"
+    )
+    return (
+        sums.where(F.expr(f"({den}) > 0"))
+        .selectExpr(
+            "returnflag",
+            "n_lines",
+            "sx AS sum_disc_points",
+            "sy AS sum_qty_cents",
+            ratio_round_signed_wide_spark(num, den, 6) + " AS slope",
+        )
+        .orderBy("returnflag")
+    )
+
+
+def _discount_response_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_duck
+
+    num = "n_lines * CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT) * sy"
+    den = "n_lines * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx"
+    return f"""WITH
+pts AS (SELECT l_returnflag AS returnflag,
+               CAST(round(l_discount * 100) AS BIGINT) AS x,
+               CAST(round(l_quantity * 100) AS BIGINT) AS y
+        FROM lineitem),
+sums AS (SELECT returnflag, count(*) AS n_lines,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM pts GROUP BY returnflag)
+SELECT returnflag, n_lines, sx AS sum_disc_points, sy AS sum_qty_cents,
+       {ratio_round_signed_wide_duck(num, den, 6)} AS slope
+FROM sums WHERE ({den}) > 0
+ORDER BY returnflag"""
+
+
+DISCOUNT_RESPONSE_SQL = _discount_response_sql()
