@@ -1206,11 +1206,6 @@ def events_burstiness_op(meas: DataFrame) -> DataFrame:
     bucketed layout runs it shuffle-free — → a partial-aggregated
     ≤|types|-key shuffle of 3 sums; the ratio is a stateless
     projection on the |types|-row summary."""
-    from dariadb_spark.ext.exact import (
-        ratio_round_signed_wide_spark,
-        ratio_round_spark,
-    )
-
     w = Window.partitionBy("id", "flag").orderBy(*_ORD)
     gaps = (
         meas.select(
@@ -1228,6 +1223,19 @@ def events_burstiness_op(meas: DataFrame) -> DataFrame:
         F.sum("g").alias("sum_gap_s"),
         F.sum(F.col("g") * F.col("g")).alias("sum_gap2"),
     )
+    return burstiness_report(sums)
+
+
+def burstiness_report(sums: DataFrame) -> DataFrame:
+    """The finishing projection over per-flag (n_gaps, sum_gap_s,
+    sum_gap2) partials — SHARED verbatim by the batch operator and the
+    streaming twin (streaming/burst.py), so statefulness can only show
+    up in the partials, never in the arithmetic."""
+    from dariadb_spark.ext.exact import (
+        ratio_round_signed_wide_spark,
+        ratio_round_spark,
+    )
+
     # Cauchy–Schwarz gives n·Σg² ≥ (Σg)², so the numerator is nonneg —
     # the signed wide form is used only for its DECIMAL(38,0) width
     num = (

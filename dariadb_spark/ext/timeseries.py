@@ -3647,3 +3647,165 @@ register(
     _streaming_turning_parity,
     SERIES_TURNING_POINTS_SQL,
 )
+
+
+# --- rescaled-range (R/S) long-memory screen -------------------------------------
+# STAGED for the round-18 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted stress now,
+# registered at the next rotation). The family's MEMORY verb, after
+# turning_points' "is it random?" and seq_acf's "how correlated at lag
+# k?": Hurst's rescaled range — how far does the centered cumulative
+# walk wander relative to its dispersion over fixed-size sequence
+# blocks? Persistent series (trends) wander far (RS² grows superlinearly
+# in block size), anti-persistent ones stay pinned. The classic
+# estimator regresses log(R/S) on log(block) — sqrt+log floats; this
+# screen reports the EXACT-rational building block instead: per series,
+# the mean of RS² = R²/σ² over complete blocks, where both R and σ² are
+# integer-exact in the scaled deviation algebra below.
+
+RS_BLOCK = 16  # samples per block (fixture slices hold ~30 samples/id)
+
+
+def series_rs_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r18 window (:func:`series_rs_range_op`)."""
+    return series_rs_range_op(
+        scan_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0),
+        RS_BLOCK,
+    )
+
+
+def series_rs_range_op(meas: DataFrame, m: int) -> DataFrame:
+    """(id, n_blocks, mean_rs2_micro, max_rs2_micro) — per-series mean
+    and max of the squared rescaled range over complete m-sample blocks
+    in the (time, value, flag) sequence order.
+
+    Exact-rational algebra (no sqrt, no float until nothing is left to
+    compute): with block sum S and sum-of-squares Q over cents, the
+    scaled deviation prefix P_j = m·prefix_j − j·S is an exact int64
+    walk whose range (anchored at the j=0 zero, the classic R/S
+    convention) is m·R; and m²·Σ(x−μ)² = m·Q − S² exactly. So
+    RS² = R²/σ² = (m·R)² / (m·(m·Q − S²)) — wait, σ² here is the block
+    POPULATION variance (m·Q − S²)/m², giving RS² = P_range² /
+    (m·Q − S²) · 1 — every factor of m cancels: rs2_micro =
+    HALF_UP(10⁶ · P_range² / (m·Q − S²)), an integer both engines
+    compute identically in DECIMAL(38,0)/HUGEINT. Constant blocks
+    (zero variance) are excluded — RS² does not exist there; series
+    with no complete block drop out.
+
+    The per-series mean is HALF_UP(Σ rs2_micro / n_blocks) — a ratio
+    of exact int64s, never a float sum of per-block doubles (float
+    accumulation order would differ across engines).
+
+    Plan shape (100 TB): one pruned scan → ONE shuffle on id (the
+    storage clustering key) carrying both windows — the per-id rank
+    and the per-(id, block) prefix sort within the same partitioning —
+    → a per-(id, block) partial agg → a per-id agg of ≤n/m rows.
+    Block boundaries are sequence-positional, so the blocks
+    parallelize perfectly; nothing global."""
+    w_id = Window.partitionBy("id").orderBy("time", "value", "flag")
+    ranked = meas.select(
+        "id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        (F.row_number().over(w_id) - 1).alias("rn0"),
+        "time", "value", "flag",
+    ).select(
+        "id", "c",
+        F.expr(f"rn0 DIV {m}").alias("b"),
+        F.expr(f"rn0 % {m} + 1").alias("j"),
+        "time", "value", "flag",
+    )
+    w_blk = Window.partitionBy("id", "b")
+    w_pfx = (
+        Window.partitionBy("id", "b")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = ranked.select(
+        "id", "b", "j", "c",
+        F.sum("c").over(w_blk).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w_blk).alias("q"),
+        F.count("*").over(w_blk).alias("cnt"),
+        F.sum("c").over(w_pfx).alias("pfx"),
+    ).select(
+        "id", "b", "s", "q", "cnt",
+        (F.lit(m) * F.col("pfx") - F.col("j") * F.col("s")).alias("p"),
+    )
+    blocks = (
+        walked.groupBy("id", "b")
+        .agg(
+            F.max("p").alias("pmax"),
+            F.min("p").alias("pmin"),
+            F.max("s").alias("s"),
+            F.max("q").alias("q"),
+            F.max("cnt").alias("cnt"),
+        )
+        .where(F.col("cnt") == m)
+        .selectExpr(
+            "id",
+            "greatest(pmax, 0L) - least(pmin, 0L) AS pr",
+            f"{m} * CAST(q AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s"
+            " AS den",
+        )
+        .where(F.col("den") > 0)
+        .selectExpr(
+            "id",
+            "CAST((2 * CAST(pr AS DECIMAL(38,0)) * pr * 1000000 + den)"
+            " DIV (2 * den) AS BIGINT) AS rs2_micro",
+        )
+    )
+    return (
+        blocks.groupBy("id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("rs2_micro").alias("sum_rs2"),
+            F.max("rs2_micro").alias("max_rs2_micro"),
+        )
+        .selectExpr(
+            "id",
+            "n_blocks",
+            "CAST((2 * sum_rs2 + n_blocks) DIV (2 * n_blocks) AS BIGINT)"
+            " AS mean_rs2_micro",
+            "max_rs2_micro",
+        )
+        .orderBy("id")
+    )
+
+
+def _rs_range_sql() -> str:
+    m = RS_BLOCK
+    return f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, CAST(round(value * 100) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY time, value, flag) - 1 AS rn0
+        FROM measurements
+        WHERE time BETWEEN {FROM_MS} AND {TO_MS}),
+tagged AS (SELECT id, c, rn0 // {m} AS b, rn0 % {m} + 1 AS j FROM pts),
+walked AS (SELECT id, b, j, c,
+                  sum(c) OVER blk AS s,
+                  sum(c * c) OVER blk AS q,
+                  count(*) OVER blk AS cnt,
+                  sum(c) OVER (PARTITION BY id, b ORDER BY j
+                               ROWS UNBOUNDED PRECEDING) AS pfx
+           FROM tagged
+           WINDOW blk AS (PARTITION BY id, b)),
+pwalk AS (SELECT id, b, s, q, cnt,
+                 {m} * pfx - j * s AS p
+          FROM walked),
+blocks AS (SELECT id, b,
+                  greatest(max(p), 0) - least(min(p), 0) AS pr,
+                  {m} * CAST(max(q) AS HUGEINT)
+                    - CAST(max(s) AS HUGEINT) * max(s) AS den
+           FROM pwalk GROUP BY id, b
+           HAVING max(cnt) = {m}),
+scored AS (SELECT id,
+                  CAST((2 * CAST(pr AS HUGEINT) * pr * 1000000 + den)
+                       // (2 * den) AS BIGINT) AS rs2_micro
+           FROM blocks WHERE den > 0)
+SELECT id, count(*) AS n_blocks,
+       CAST((2 * sum(rs2_micro) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_rs2_micro,
+       max(rs2_micro) AS max_rs2_micro
+FROM scored GROUP BY id ORDER BY id"""
+
+
+SERIES_RS_RANGE_SQL = _rs_range_sql()
