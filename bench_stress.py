@@ -2528,6 +2528,13 @@ def main() -> None:
     sturn_s, sturn_batch_s, sturn_n = stress_streaming_turning(spark)
     pfx_win_s, pfx_two_s, pfx_n = stress_prefix_two_pass(spark)
     mig_s, mig_n = stress_customer_migration(spark)
+    jac_s, jac_n = stress_part_jaccard_sim(spark)
+    ltv_s, ltv_n = stress_orders_cohort_ltv(spark)
+    shp_s, shp_n = stress_ship_latency(spark)
+    dsc_s, dsc_n = stress_discount_response(spark)
+    bur_s, bur_n = stress_events_burstiness(spark)
+    rsr_s, rsr_n = stress_series_rs_range(spark)
+    sbur_s, sbur_batch_s, sbur_n = stress_streaming_burst(spark)
     print(
         json.dumps(
             {
@@ -2631,6 +2638,14 @@ def main() -> None:
                     "pareto_window_20m_1m_cust": round(pfx_win_s, 4),
                     "pareto_two_pass_20m_1m_cust": round(pfx_two_s, 4),
                     "customer_migration_20m": round(mig_s, 4),
+                    "part_jaccard_sim_390k_edges": round(jac_s, 4),
+                    "orders_cohort_ltv_18m": round(ltv_s, 4),
+                    "ship_latency_21m": round(shp_s, 4),
+                    "discount_response_19m8": round(dsc_s, 4),
+                    "events_burstiness_20m": round(bur_s, 4),
+                    "series_rs_range_20m": round(rsr_s, 4),
+                    "streaming_burst_2m": round(sbur_s, 4),
+                    "streaming_burst_2m_batch_twin": round(sbur_batch_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -5553,6 +5568,323 @@ def stress_customer_migration(spark) -> tuple[float, int]:
     expect = [(da, db, *v) for (da, db), v in sorted(cells.items())]
     assert got == expect, (got[:3], expect[:3])
     return mig_s, n
+
+
+JAC_CLIQUES = 250
+JAC_CLIQUE_H = 40  # nodes per clique
+
+
+def stress_part_jaccard_sim(spark) -> tuple[float, int]:
+    """Staged r18 edge Jaccard on 250 disjoint 40-cliques (195k edges,
+    780k lineitem rows after the 2x support replication): inside a
+    clique EVERY edge has cn = h-2, deg = h-1, so J = (h-2)/h exactly
+    and the top-20 under the (jac, cn, x, y) tie order is the first
+    clique's lexicographic edge prefix — asserted verbatim."""
+    from dariadb_spark.ext.relational import part_jaccard_sim_op
+
+    h, k = JAC_CLIQUE_H, JAC_CLIQUES
+    # one order per (clique, i<j, rep) holding the two endpoint parts
+    edges = spark.range(k * h * h * 2).selectExpr(
+        "id AS oid",
+        f"(id DIV {h * h * 2}) AS c",
+        f"(id DIV {h * 2}) % {h} AS i",
+        f"(id DIV 2) % {h} AS j",
+    ).where("i < j")
+    li = edges.selectExpr(
+        "oid AS l_orderkey",
+        f"c * {h} + i AS l_partkey",
+        "CAST(1 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity", "100.0d AS l_extendedprice",
+        "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    ).unionByName(edges.selectExpr(
+        "oid AS l_orderkey",
+        f"c * {h} + j AS l_partkey",
+        "CAST(2 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity", "100.0d AS l_extendedprice",
+        "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    ))
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in part_jaccard_sim_op(li).collect()]
+    secs = time.perf_counter() - t0
+    cn, deg = h - 2, h - 1
+    jac = (2 * 10**6 * cn + (2 * deg - cn)) // (2 * (2 * deg - cn))
+    want = [(x, y, cn, deg, deg, jac)
+            for x in range(h) for y in range(x + 1, h)][:20]
+    assert got == want, (got[:3], want[:3])
+    return secs, k * h * (h - 1) // 2
+
+
+LTV_STRESS_ROWS = 18_000_000
+LTV_STRESS_CUSTOMERS = 90_000
+
+
+def stress_orders_cohort_ltv(spark) -> tuple[float, int]:
+    """Staged r18 LTV curve at 18M orders / 90k customers / 3 cohorts:
+    customer i belongs to cohort 1995 + (i % 3) and its 200 orders
+    cycle ages 0,1,2 with per-customer constant cents — the whole
+    9-row curve replays exactly over 90k ints."""
+    from dariadb_spark.ext.relational import orders_cohort_ltv_op
+
+    n, c = LTV_STRESS_ROWS, LTV_STRESS_CUSTOMERS
+    per = n // c  # 200 orders per customer
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        f"id % {c} AS o_custkey",
+        "'O' AS o_orderstatus",
+        f"CAST((id % {c}) % 997 + 1 AS DOUBLE) / 100.0d AS o_totalprice",
+        f"""make_timestamp(1995 + (id % {c}) % 3 + (id DIV {c}) % 3,
+                           6, 1, 0, 0, 0) AS o_orderdate""",
+        "'P' AS o_orderpriority",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in orders_cohort_ltv_op(orders).collect()]
+    secs = time.perf_counter() - t0
+
+    # replay: per customer, orders per age = how many of 0..per-1 hit
+    # each (id DIV c) % 3 residue
+    cnt_age = [(per + 2 - a) // 3 for a in range(3)]
+    cells = {}
+    for i in range(c):
+        fy, cents = 1995 + i % 3, i % 997 + 1
+        for a in range(3):
+            cell = cells.setdefault((fy, a), [0, 0])
+            cell[0] += 1
+            cell[1] += cnt_age[a] * cents
+    expect = []
+    for (fy, a), (na, rev) in sorted(cells.items()):
+        cum = sum(v[1] for (f2, a2), v in cells.items()
+                  if f2 == fy and a2 <= a)
+        expect.append((fy, a, na, rev, cum))
+    assert got == expect, (got[:3], expect[:3])
+    return secs, n
+
+
+SHIP_STRESS_ROWS = 21_000_000
+
+
+def stress_ship_latency(spark) -> tuple[float, int]:
+    """Staged r18 ship latency at 21M lines / 4.2M orders per priority:
+    gap v = j %% 30 days lands priority v %% 5 exactly 6 distinct gap
+    values x 700k each, so mean/median/p90/max are closed-form
+    (p + 12.5 / p + 12.5 / p + 25 / p + 25)."""
+    from dariadb_spark.ext.relational import ship_latency_op
+
+    n = SHIP_STRESS_ROWS
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        "id AS o_custkey",
+        "'O' AS o_orderstatus", "1.0d AS o_totalprice",
+        "timestamp_millis(1704067200000) AS o_orderdate",
+        "concat(CAST(id % 30 % 5 AS STRING), '-P') AS o_orderpriority",
+    )
+    li = spark.range(n).selectExpr(
+        "id AS l_orderkey", "id AS l_partkey", "id AS l_suppkey",
+        "CAST(1 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity", "100.0d AS l_extendedprice",
+        "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "timestamp_millis(1704067200000 + (id % 30) * 86400000)"
+        " AS l_shipdate",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in ship_latency_op(li, orders).collect()]
+    secs = time.perf_counter() - t0
+    m = n // 5
+    expect = [(f"{p}-P", m, p + 12.5, p + 12.5, p + 25, p + 25)
+              for p in range(5)]
+    assert got == expect, (got[:2], expect[:2])
+    return secs, n
+
+
+DISC_STRESS_ROWS = 19_800_000  # divisible by the 33-period
+
+
+def stress_discount_response(spark) -> tuple[float, int]:
+    """Staged r18 discount-response OLS at 19.8M lines: x = j %% 11
+    discount points, y = 100*(x + 1) + (j %% 3) quantity cents — the
+    period-33 grid's exact big-int slope replays from ONE period."""
+    from dariadb_spark.ext.relational import discount_response_op
+
+    n = DISC_STRESS_ROWS
+    li = spark.range(n).selectExpr(
+        "id AS l_orderkey", "id AS l_partkey", "id AS l_suppkey",
+        "CAST(1 AS INT) AS l_linenumber",
+        "CAST((id % 11) + 1 + (id % 3) / 100.0d AS DOUBLE) AS l_quantity",
+        "100.0d AS l_extendedprice",
+        "CAST(id % 11 AS DOUBLE) / 100.0d AS l_discount",
+        "0.0d AS l_tax", "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "timestamp_millis(1704067200000) AS l_shipdate",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in discount_response_op(li).collect()]
+    secs = time.perf_counter() - t0
+
+    reps = n // 33
+    xs = [j % 11 for j in range(33)]
+    ys = [100 * (j % 11 + 1) + j % 3 for j in range(33)]
+    sx, sy = reps * sum(xs), reps * sum(ys)
+    sxy = reps * sum(x * y for x, y in zip(xs, ys))
+    sxx = reps * sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    q_, _ = divmod(2 * abs(num) * 10**6 + den, 2 * den)
+    slope = (q_ if num >= 0 else -q_) / 10**6
+    expect = [("N", n, sx, sy, slope)]
+    assert got == expect, (got, expect)
+    return secs, n
+
+
+BURST_STRESS_ROWS = 20_000_000
+BURST_STRESS_GROUPS = 100_000
+
+
+def stress_events_burstiness(spark) -> tuple[float, int]:
+    """Staged r18 burstiness at 20M events / 100k (id, flag) groups of
+    200 arrivals whose gaps cycle [1, 1, 1, 7] seconds — the pooled
+    (n, S, Q) and the exact CV2 replay from the single cycle."""
+    from dariadb_spark.ext.analytics import events_burstiness_op
+
+    n, g = BURST_STRESS_ROWS, BURST_STRESS_GROUPS
+    per = n // g  # 200 arrivals per group
+    gaps_cycle = [1, 1, 1, 7]
+    # arrival k of a group sits at prefix(k) seconds: cumsum of cycles
+    cyc = sum(gaps_cycle)  # 10 s per 4 arrivals
+    meas = spark.range(n).selectExpr(
+        f"id % {g} AS id",
+        # prefix seconds: full cycles + the in-cycle prefix [0,1,2,3]->0,1,2,3
+        f"""(((id DIV {g}) DIV 4) * {cyc}
+             + CASE (id DIV {g}) % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                    WHEN 2 THEN 2 ELSE 3 END) * 1000 AS time""",
+        "1.0d AS value",
+        "CAST(1 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in events_burstiness_op(meas).collect()]
+    secs = time.perf_counter() - t0
+
+    gaps = []
+    pref = [0, 1, 2, 3]
+    for k in range(1, per):
+        sk = (k // 4) * cyc + pref[k % 4]
+        sk1 = ((k - 1) // 4) * cyc + pref[(k - 1) % 4]
+        gaps.append(sk - sk1)
+    ng, s = g * len(gaps), g * sum(gaps)
+    q = g * sum(x * x for x in gaps)
+    mq, _ = divmod(2 * s * 10**3 + ng, 2 * ng)
+    num, den = ng * (ng * q - s * s), (ng - 1) * s * s
+    cq, _ = divmod(2 * abs(num) * 10**6 + den, 2 * den)
+    expect = [(1, ng, s, mq / 10**3, (cq if num >= 0 else -cq) / 10**6)]
+    assert got == expect, (got, expect)
+    return secs, n
+
+
+RS_STRESS_ROWS = 20_000_000
+RS_STRESS_SERIES = 10_000
+
+
+def stress_series_rs_range(spark) -> tuple[float, int]:
+    """Staged r18 R/S screen at 20M samples / 10k series x 2000: every
+    series replays the same period-free pseudo-random cent walk, so ONE
+    2000-step big-int replay predicts all 10k rows."""
+    from dariadb_spark.ext.timeseries import series_rs_range_op
+
+    n, s = RS_STRESS_ROWS, RS_STRESS_SERIES
+    per = n // s
+    m = 16
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        f"CAST(((id DIV {s}) * 48271) % 1000 AS DOUBLE) / 100.0d AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in series_rs_range_op(meas, m).collect()]
+    secs = time.perf_counter() - t0
+
+    cs = [(i * 48271) % 1000 for i in range(per)]
+    micros = []
+    for b0 in range(0, per - m + 1, m):
+        blk = cs[b0:b0 + m]
+        bs, bq = sum(blk), sum(x * x for x in blk)
+        den = m * bq - bs * bs
+        if den <= 0:
+            continue
+        pfx, ps = 0, []
+        for j, x in enumerate(blk, start=1):
+            pfx += x
+            ps.append(m * pfx - j * bs)
+        pr = max(max(ps), 0) - min(min(ps), 0)
+        micros.append((2 * pr * pr * 10**6 + den) // (2 * den))
+    nb, sm = len(micros), sum(micros)
+    row = (nb, (2 * sm + nb) // (2 * nb), max(micros))
+    assert len(got) == s
+    bad = sum(1 for r in got if (r[1], r[2], r[3]) != row)
+    assert bad == 0, (got[0], row)
+    return secs, n
+
+
+BURST_STREAM_ROWS = 2_000_000
+BURST_STREAM_GROUPS = 1_000
+
+
+def stress_streaming_burst(spark) -> tuple[float, float, int]:
+    """Staged r18 streaming burstiness twin at 2M rows / 1k groups
+    landed as THREE time-cut drops folded one file per micro-batch (the
+    gap accumulators must bridge both cuts): the standing report must
+    be row-identical to the batch operator on the same files."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.analytics import events_burstiness_op
+    from dariadb_spark.streaming.burst import (
+        burst_from_log,
+        streaming_burst_log,
+    )
+    from dariadb_spark.streaming.scratch import await_parity_termination
+
+    n, s = BURST_STREAM_ROWS, BURST_STREAM_GROUPS
+    per = n // s
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 3000 + (id % 7) * 250 AS time",
+        "1.0d AS value",
+        f"CAST(1 + (id % {s}) % 4 AS BIGINT) AS flag",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_burst_stress_")
+    data_dir = f"{base}/meas"
+    qname = "burst_stress_" + base.rsplit("_", 1)[-1]
+    try:
+        c1, c2 = (per // 3) * 3000, (2 * per // 3) * 3000
+        for lo, hi in ((None, c1), (c1, c2), (c2, None)):
+            part = meas
+            if lo is not None:
+                part = part.where(f"time > {lo}")
+            if hi is not None:
+                part = part.where(f"time <= {hi}")
+            part.coalesce(1).write.mode("append").parquet(data_dir)
+        t0 = time.perf_counter()
+        q = streaming_burst_log(
+            spark, data_dir, qname, max_files_per_trigger=1
+        )
+        await_parity_termination(q)
+        got = [
+            tuple(r) for r in burst_from_log(spark.table(qname)).collect()
+        ]
+        stream_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        want = [
+            tuple(r)
+            for r in events_burstiness_op(
+                spark.read.parquet(data_dir)
+            ).collect()
+        ]
+        batch_s = time.perf_counter() - t0
+        assert len(got) == 4 and got == want, (got[:2], want[:2])
+        return stream_s, batch_s, n
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

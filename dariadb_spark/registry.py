@@ -938,6 +938,32 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # pytest-pinned (exact probe replay + PartitionFilters) and
 # stress-measured at 500k vectors (BASELINE.md row).
 #
+# Round 17 staged SEVEN operators for r18 (each implemented + oracled +
+# pytest parity + planted closed-form grid + python-reference replay +
+# ≥100k-row stress + the r18 plan pre-pin in tests/test_plans.py; THIS
+# COMMENT is the staged-count source of truth): ext_part_jaccard_sim
+# (ext/relational.py: neighborhood Jaccard for ADJACENT pairs on the
+# support-≥2 co-purchase graph — the graph family's tie-strength verb;
+# the planted grid caught the zero-cn-bridge omission before any
+# driver saw it), ext_orders_cohort_ltv (ext/relational.py: cumulative
+# revenue per acquisition cohort by age — the LTV curve next to
+# retention's presence and migration's mobility), ext_ship_latency
+# (ext/relational.py: order→ship day-gap distribution per priority on
+# the lineitem⋈orders join, the funnel/interarrival recipe),
+# ext_discount_response (ext/relational.py: per-returnflag OLS slope
+# of quantity on discount, n² products DECIMAL(38,0)-wide at birth),
+# ext_events_burstiness (ext/analytics.py: per-type inter-arrival CV²
+# as an exact rational on whole-second gaps), ext_series_rs_range
+# (ext/timeseries.py: squared rescaled range over 16-sample blocks in
+# the scaled-deviation integer algebra — the family's long-memory
+# verb, no sqrt/log anywhere), and streaming_burst_parity
+# (streaming/burst.py, oracle = EVENTS_BURSTINESS_SQL: the stateful
+# cadence-monitor twin with a four-int64 state and the
+# equality-accept in-order contract — the r17 fold-contract taxonomy
+# applied at birth). Registering all seven in r18 takes the registry
+# to 234 (227 + 7); compute the r18 window with
+# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r17 lands.
+#
 # Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and
 # hypothesis/brute-force property tests + planted ≥100k-row stress +

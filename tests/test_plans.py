@@ -897,3 +897,47 @@ def test_no_cartesian_product_in_staged_r17_plans(spark, oracle_sf_dir):
     # share it); formatted mode prints each node twice (tree + details)
     mig = plans["customer_migration"]
     assert len(_re.findall(r"Scan parquet", mig)) <= 2, mig
+
+
+def test_no_cartesian_product_in_staged_r18_plans(spark, oracle_sf_dir):
+    """The round-17 staged operators get the same physical-plan sweep
+    BEFORE their r18 registration: no CartesianProduct anywhere, and
+    each op's headline shape holds — the Jaccard screen's degree joins
+    broadcast, the LTV cohort tag broadcasts, the latency join is an
+    equi join, and the three aggregate screens join nothing at all."""
+    from dariadb_spark.ext.analytics import events_burstiness
+    from dariadb_spark.ext.relational import (
+        discount_response,
+        orders_cohort_ltv,
+        part_jaccard_sim,
+        ship_latency,
+    )
+    from dariadb_spark.ext.timeseries import series_rs_range
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    plans = {}
+    for fn in (
+        part_jaccard_sim, orders_cohort_ltv, ship_latency,
+        discount_response, events_burstiness, series_rs_range,
+    ):
+        plan = (
+            fn(spark, oracle_sf_dir)._jdf.queryExecution()
+            .explainString(mode)
+        )
+        plans[fn.__name__] = plan
+        if "CartesianProduct" in plan:
+            offenders.append(fn.__name__)
+    assert not offenders, offenders
+    # Jaccard: wedge/edge joins hash, degree joins broadcast
+    assert "BroadcastHashJoin" in plans["part_jaccard_sim"]
+    # LTV: the per-customer cohort tag joins back broadcast
+    assert "BroadcastHashJoin" in plans["orders_cohort_ltv"]
+    # latency: an equi join (never a nested loop)
+    assert "NestedLoop" not in plans["ship_latency"]
+    # the three aggregate screens: no join machinery at all
+    assert "Join" not in plans["discount_response"]
+    assert "Join" not in plans["events_burstiness"]
+    assert "Join" not in plans["series_rs_range"]

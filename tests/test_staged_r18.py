@@ -1,0 +1,511 @@
+"""Staged round-18 operators: parity + planted closed-form fixtures +
+python-reference replays (the staging discipline every late operator
+goes through BEFORE its registration round — registry.py's staged-count
+comment is the source of truth for what is staged)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from tests.parity import compare, duckdb_connection
+
+_D = datetime.datetime(2024, 1, 1)
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string,"
+    " l_shipdate timestamp"
+)
+_MEAS_SCHEMA = "id long, time long, value double, flag long"
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, _ORDERS_SCHEMA)
+
+
+def _li(spark, rows):
+    """rows: (orderkey, partkey, linenumber, quantity, discount,
+    returnflag, shipdate)"""
+    return spark.createDataFrame(
+        [
+            (o, p, 1, ln, q, 100.0, d, 0.0, rf, "O", sd)
+            for o, p, ln, q, d, rf, sd in rows
+        ],
+        _LI_SCHEMA,
+    )
+
+
+def _meas(spark, rows):
+    return spark.createDataFrame(rows, _MEAS_SCHEMA)
+
+
+def _half_up(num: int, den: int) -> int:
+    """HALF_UP(num/den) on nonneg ints — the integer closure both
+    engines compute."""
+    return (2 * num + den) // (2 * den)
+
+
+# --- ext_part_jaccard_sim ---------------------------------------------------------
+
+def test_part_jaccard_sim_parity_and_planted_graph(spark, oracle_sf_dir):
+    """Fixture parity, then the planted triangle+pendant graph where
+    every Jaccard value is a hand-checkable rational."""
+    from dariadb_spark.ext.relational import (
+        PART_JACCARD_SIM_SQL,
+        part_jaccard_sim,
+        part_jaccard_sim_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_jaccard_sim", part_jaccard_sim(spark, oracle_sf_dir),
+        con, PART_JACCARD_SIM_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 20
+
+    # support-2 edges: A-B, B-C, A-C (triangle) + C-D (pendant).
+    # basket pairs appear in 2 orders each to clear BASKET_MIN_SUP.
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    rows = []
+    ok = 100
+    for x, y in edges:
+        for _ in range(2):
+            rows.append((ok, x, 1, 1.0, 0.0, "N", _D))
+            rows.append((ok, y, 2, 1.0, 0.0, "N", _D))
+            ok += 1
+    got = [
+        tuple(r)
+        for r in part_jaccard_sim_op(_li(spark, rows)).collect()
+    ]
+    # N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+    # (1,2): cn=1 union=2+2-1=3 → J=1/3; (1,3): cn=1 union=2+3-1=4;
+    # (2,3): cn=1 union=4; (3,4): cn=0 → J=0
+    want = sorted(
+        [
+            (1, 2, 1, 2, 2, _half_up(10**6 * 1, 3)),
+            (1, 3, 1, 2, 3, _half_up(10**6 * 1, 4)),
+            (2, 3, 1, 2, 3, _half_up(10**6 * 1, 4)),
+            (3, 4, 0, 3, 1, 0),
+        ],
+        key=lambda r: (-r[5], -r[2], r[0], r[1]),
+    )
+    assert got == want
+
+
+def test_part_jaccard_sim_matches_brute_force_random_graphs(spark):
+    """Pseudo-random co-purchase tables vs a pure-Python neighborhood
+    Jaccard replay (same support threshold, same micro closure)."""
+    from dariadb_spark.ext.relational import (
+        BASKET_MIN_SUP,
+        JACCARD_TOP,
+        part_jaccard_sim_op,
+    )
+
+    rows = []
+    ok = 0
+    for trial in range(120):
+        ok += 1
+        a = (trial * 48271) % 11
+        b = (trial * 69621) % 11
+        if a == b:
+            continue
+        rows.append((ok, a, 1, 1.0, 0.0, "N", _D))
+        rows.append((ok, b, 2, 1.0, 0.0, "N", _D))
+    got = [
+        tuple(r) for r in part_jaccard_sim_op(_li(spark, rows)).collect()
+    ]
+
+    from collections import Counter, defaultdict
+
+    pair_sup = Counter()
+    for o, p, *_ in rows:
+        pass
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r[0]].add(r[1])
+    for parts in baskets.values():
+        for x in parts:
+            for y in parts:
+                if x < y:
+                    pair_sup[(x, y)] += 1
+    edges = {e for e, s in pair_sup.items() if s >= BASKET_MIN_SUP}
+    nbr = defaultdict(set)
+    for x, y in edges:
+        nbr[x].add(y)
+        nbr[y].add(x)
+    want = []
+    for x, y in edges:
+        cn = len(nbr[x] & nbr[y])
+        dx, dy = len(nbr[x]), len(nbr[y])
+        want.append(
+            (x, y, cn, dx, dy, _half_up(10**6 * cn, dx + dy - cn))
+        )
+    want.sort(key=lambda r: (-r[5], -r[2], r[0], r[1]))
+    assert got == want[:JACCARD_TOP]
+    assert len(got) > 0
+
+
+# --- ext_orders_cohort_ltv --------------------------------------------------------
+
+def test_orders_cohort_ltv_parity_and_planted_curve(spark, oracle_sf_dir):
+    """Fixture parity, then a planted two-cohort history whose LTV
+    curve is hand-checkable (including the cumulative walk)."""
+    from dariadb_spark.ext.relational import (
+        ORDERS_COHORT_LTV_SQL,
+        orders_cohort_ltv,
+        orders_cohort_ltv_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_orders_cohort_ltv", orders_cohort_ltv(spark, oracle_sf_dir),
+        con, ORDERS_COHORT_LTV_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+    d95 = datetime.datetime(1995, 6, 1)
+    d96 = datetime.datetime(1996, 6, 1)
+    d97 = datetime.datetime(1997, 6, 1)
+    got = [tuple(r) for r in orders_cohort_ltv_op(_orders(spark, [
+        (1, 10, "O", 100.0, d95, "P"),   # cust 10: cohort 1995
+        (2, 10, "O", 50.0, d96, "P"),
+        (3, 10, "O", 25.0, d97, "P"),
+        (4, 20, "O", 200.0, d96, "P"),   # cust 20: cohort 1996
+        (5, 20, "O", 10.0, d96, "P"),    # same-year second order
+    ])).collect()]
+    want = [
+        (1995, 0, 1, 10000, 10000),
+        (1995, 1, 1, 5000, 15000),
+        (1995, 2, 1, 2500, 17500),
+        (1996, 0, 1, 21000, 21000),
+    ]
+    assert got == want
+
+
+# --- ext_ship_latency -------------------------------------------------------------
+
+def test_ship_latency_parity_and_planted_distribution(
+    spark, oracle_sf_dir
+):
+    """Fixture parity, then planted gaps [1, 2, 4, 8, 100] whose mean /
+    median / p90 / max are the exact distribution-recipe values."""
+    from dariadb_spark.ext.relational import (
+        SHIP_LATENCY_SQL,
+        ship_latency,
+        ship_latency_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_ship_latency", ship_latency(spark, oracle_sf_dir),
+        con, SHIP_LATENCY_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 5
+
+    orders = _orders(spark, [(k, 1, "O", 1.0, _D, "1-URGENT")
+                             for k in (1, 2, 3, 4, 5)])
+    li = _li(spark, [
+        (k, 1, 1, 1.0, 0.0, "N", _D + datetime.timedelta(days=g))
+        for k, g in zip((1, 2, 3, 4, 5), (1, 2, 4, 8, 100))
+    ])
+    got = [tuple(r) for r in ship_latency_op(li, orders).collect()]
+    # n=5, sum=115 → mean HALF_UP(115/5, 4dp) = 23.0; m=5 → both middle
+    # ranks are r=3 → median = gap 4; p90 rank = (45+9)//10 = 5 → 100
+    assert got == [("1-URGENT", 5, 23.0, 4.0, 100, 100)]
+
+
+# --- ext_discount_response --------------------------------------------------------
+
+def test_discount_response_parity_and_planted_slopes(
+    spark, oracle_sf_dir
+):
+    """Fixture parity, then planted exact-line and zero-variance
+    cohorts: a perfect y = 100x line scores slope 100 exactly; a
+    single-discount cohort is excluded (the slope does not exist)."""
+    from dariadb_spark.ext.relational import (
+        DISCOUNT_RESPONSE_SQL,
+        discount_response,
+        discount_response_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_discount_response", discount_response(spark, oracle_sf_dir),
+        con, DISCOUNT_RESPONSE_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 3
+
+    li = _li(spark, [
+        # returnflag A: quantity = 1, 2, 3 at discounts 0, .01, .02
+        (1, 1, 1, 1.0, 0.00, "A", _D),
+        (2, 1, 1, 2.0, 0.01, "A", _D),
+        (3, 1, 1, 3.0, 0.02, "A", _D),
+        # returnflag B: constant discount → zero variance → excluded
+        (4, 1, 1, 5.0, 0.05, "B", _D),
+        (5, 1, 1, 9.0, 0.05, "B", _D),
+    ])
+    got = [tuple(r) for r in discount_response_op(li).collect()]
+    # A: x = [0,1,2] pts, y = [100,200,300] cents → slope exactly 100
+    assert got == [("A", 3, 3, 600, 100.0)]
+
+
+def test_discount_response_matches_python_reference(spark):
+    """Deterministic pseudo-random lines vs the big-int OLS replay."""
+    from dariadb_spark.ext.relational import discount_response_op
+
+    n = 400
+    rows = []
+    for i in range(n):
+        d = ((i * 2654435761) % 11) / 100.0       # 0.00 .. 0.10
+        q = float(((i * 48271) % 50) + 1)         # 1 .. 50
+        rows.append((i, 1, 1, q, d, "N", _D))
+    got = [tuple(r) for r in discount_response_op(_li(spark, rows)).collect()]
+
+    xs = [round(r[4] * 100) for r in rows]
+    ys = [round(r[3] * 100) for r in rows]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    q_, _ = divmod(2 * abs(num) * 10**6 + den, 2 * den)
+    slope = (q_ if num >= 0 else -q_) / 10**6
+    assert got == [("N", n, sx, sy, slope)]
+
+
+# --- ext_events_burstiness --------------------------------------------------------
+
+def test_events_burstiness_parity_and_planted_cadences(
+    spark, oracle_sf_dir
+):
+    """Fixture parity, then planted cadences: a perfectly regular clock
+    scores CV² = 0 exactly; gaps [0, 20] score CV² = 1 exactly (the
+    Poisson boundary from the two-point construction)."""
+    from dariadb_spark.ext.analytics import (
+        EVENTS_BURSTINESS_SQL,
+        events_burstiness,
+        events_burstiness_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_events_burstiness", events_burstiness(spark, oracle_sf_dir),
+        con, EVENTS_BURSTINESS_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 5
+
+    rows = [(1, t * 10_000, 1.0, 1) for t in range(4)]     # gaps 10,10,10
+    rows += [(2, 0, 1.0, 2), (2, 0, 2.0, 2), (2, 20_000, 1.0, 2)]
+    got = [tuple(r) for r in
+           events_burstiness_op(_meas(spark, rows)).collect()]
+    # flag 1: n=3 S=30 Q=300 → num = 3(900-900) = 0 → cv2 = 0
+    # flag 2: gaps [0, 20]: n=2 S=20 Q=400 →
+    #   cv2 = 2(2·400-400)/(1·400) = 2 → wait: n(nQ−S²)/((n−1)S²)
+    #       = 2(800−400)/400 = 2.0
+    assert got == [(1, 3, 30, 10.0, 0.0), (2, 2, 20, 10.0, 2.0)]
+
+
+def test_events_burstiness_matches_python_reference(spark):
+    """Pseudo-random arrival times vs the big-int CV² replay, pooling
+    across series exactly like the operator."""
+    from dariadb_spark.ext.analytics import events_burstiness_op
+
+    rows = []
+    for i in range(600):
+        sid = i % 4
+        t = ((i * 2654435761) % 97) * 1000 + sid * 10_000_000
+        rows.append((sid, t, float(i % 7), 3))
+    got = [tuple(r) for r in
+           events_burstiness_op(_meas(spark, rows)).collect()]
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for sid, t, v, fl in rows:
+        per[(sid, fl)].append((t, v, fl))
+    gaps = []
+    for k, pts in per.items():
+        pts.sort()
+        ts = [t // 1000 for t, _, _ in pts]
+        gaps.extend(b - a for a, b in zip(ts, ts[1:]))
+    n, s, q = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    mq, _ = divmod(2 * s * 10**3 + n, 2 * n)
+    num, den = n * (n * q - s * s), (n - 1) * s * s
+    cq, _ = divmod(2 * abs(num) * 10**6 + den, 2 * den)
+    want = [(3, n, s, mq / 10**3, (cq if num >= 0 else -cq) / 10**6)]
+    assert got == want
+
+
+# --- ext_series_rs_range ----------------------------------------------------------
+
+def _rs_python(cents_by_id: dict[int, list[int]], m: int):
+    """Pure big-int replay of the scaled-deviation R/S algebra."""
+    out = []
+    for sid, cs in sorted(cents_by_id.items()):
+        micros = []
+        for b0 in range(0, len(cs) - m + 1, m):
+            blk = cs[b0:b0 + m]
+            s, q = sum(blk), sum(c * c for c in blk)
+            den = m * q - s * s
+            if den <= 0:
+                continue
+            pfx, ps = 0, []
+            for j, c in enumerate(blk, start=1):
+                pfx += c
+                ps.append(m * pfx - j * s)
+            pr = max(max(ps), 0) - min(min(ps), 0)
+            micros.append((2 * pr * pr * 10**6 + den) // (2 * den))
+        if micros:
+            nb, sm = len(micros), sum(micros)
+            out.append(
+                (sid, nb, (2 * sm + nb) // (2 * nb), max(micros))
+            )
+    return out
+
+
+def test_series_rs_range_parity_and_planted_walks(spark, oracle_sf_dir):
+    """Fixture parity, then planted walks: the linear ramp's scaled
+    prefix is the exact parabola 8j(j−m); a constant block (zero
+    variance) is excluded; an incomplete block is dropped."""
+    from dariadb_spark.ext.timeseries import (
+        RS_BLOCK,
+        SERIES_RS_RANGE_SQL,
+        series_rs_range,
+        series_rs_range_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_rs_range", series_rs_range(spark, oracle_sf_dir),
+        con, SERIES_RS_RANGE_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 150
+
+    m = RS_BLOCK
+    rows = [(1, t * 1000, t / 100.0, 0) for t in range(m)]       # ramp
+    rows += [(1, (m + 0) * 1000, 99.0, 0)]                        # partial
+    rows += [(2, t * 1000, 7.0, 0) for t in range(m)]             # constant
+    got = [tuple(r) for r in
+           series_rs_range_op(_meas(spark, rows), m).collect()]
+    want = _rs_python({1: list(range(m))}, m)
+    assert got == want
+    assert len(got) == 1  # constant series excluded entirely
+
+
+def test_series_rs_range_matches_python_reference(spark):
+    """Pseudo-random cent walks (several complete blocks + a remainder)
+    vs the big-int replay — trending vs alternating series must order
+    as persistence predicts (trend wanders further)."""
+    from dariadb_spark.ext.timeseries import series_rs_range_op
+
+    m = 16
+    cents = {
+        1: [t * 3 + ((t * 48271) % 5) for t in range(m * 4 + 7)],  # trend
+        2: [((-1) ** t) * 10 + ((t * 69621) % 3)
+            for t in range(m * 3 + 2)],                            # flip
+    }
+    rows = [
+        (sid, i * 1000, c / 100.0, 0)
+        for sid, cs in cents.items()
+        for i, c in enumerate(cs)
+    ]
+    got = [tuple(r) for r in
+           series_rs_range_op(_meas(spark, rows), m).collect()]
+    want = _rs_python(cents, m)
+    assert got == want
+    by_id = {r[0]: r[2] for r in got}
+    assert by_id[1] > by_id[2]  # persistence reads through
+
+
+# --- streaming_burst_parity -------------------------------------------------------
+
+def test_streaming_burst_parity_vs_batch_oracle(spark, oracle_sf_dir):
+    """The three-drop stateful fold lands on the batch oracle exactly
+    (the registered-shape parity the driver will run)."""
+    from dariadb_spark.ext.analytics import EVENTS_BURSTINESS_SQL
+    from dariadb_spark.streaming.burst import streaming_burst_parity
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_burst_parity",
+        streaming_burst_parity(spark, oracle_sf_dir),
+        con, EVENTS_BURSTINESS_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 5
+
+
+class _FakeState:
+    def __init__(self):
+        self._v, self.exists = None, False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = tuple(v), True
+
+
+def test_burst_fold_bridges_cuts_and_accepts_duplicates():
+    """In-process fold properties: random in-order batch cuts reproduce
+    the one-shot gap census (cuts INSIDE plateaus included); an
+    exact-duplicate arrival in a later batch is a 0-gap sample; a
+    strictly-before arrival raises."""
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.streaming.burst import _burst_fold
+
+    def batch(ts):
+        return pd.DataFrame({
+            "id": 9,
+            "time": np.array(ts, dtype=np.int64),
+            "value": np.zeros(len(ts)),
+            "flag": np.ones(len(ts), dtype=np.int64),
+        })
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n = int(rng.integers(3, 60))
+        t = np.sort(rng.integers(0, 50, size=n).astype(np.int64) * 1000)
+        st = _FakeState()
+        cuts = sorted(set(rng.integers(1, n, size=2).tolist()))
+        lo, last = 0, None
+        for hi in cuts + [n]:
+            if hi <= lo:
+                continue
+            out = list(_burst_fold((9, 1), iter([batch(t[lo:hi])]), st))
+            last = out[-1]
+            lo = hi
+        ts = t // 1000
+        gaps = (ts[1:] - ts[:-1]).tolist()
+        row = last.iloc[0]
+        assert (row["n_gaps"], row["sum_gap_s"], row["sum_gap2"]) == (
+            len(gaps), sum(gaps), sum(g * g for g in gaps)
+        ), trial
+
+    # duplicate arrival time across the cut: accepted as a 0 gap
+    st = _FakeState()
+    list(_burst_fold((9, 1), iter([batch([1000, 2000])]), st))
+    out = list(_burst_fold((9, 1), iter([batch([2000, 5000])]), st))
+    row = out[-1].iloc[0]
+    assert (row["n_gaps"], row["sum_gap_s"], row["sum_gap2"]) == (3, 4, 10)
+
+    # strictly-before raises
+    st2 = _FakeState()
+    list(_burst_fold((9, 1), iter([batch([1000, 2000])]), st2))
+    with pytest.raises(ValueError, match="in-order ingest contract"):
+        list(_burst_fold((9, 1), iter([batch([1500])]), st2))
