@@ -1847,18 +1847,21 @@ def order_interarrival_op(
     o_orderdate values in the (o_orderdate, o_orderkey) total order
     per customer (the orderkey tiebreak pins same-day pairs to gap 0
     deterministically); mean is the HALF_UP 4-dp integer ratio; median
-    is the doubled rank walk (sum of the two middle order statistics,
-    /2.0 at the output); p90 is the rank-⌈0.9·m⌉ order statistic — an
-    exact int64. Rank ties cannot occur: row_number orders by
-    (gap, custkey, rn) and (custkey, rn) is unique.
+    is the doubled rank walk and p90 the rank-⌈0.9·m⌉ order statistic —
+    both read off the WEIGHTED (segment, gap) count table, so they are
+    exact order statistics of the full gap multiset.
 
-    Plan shape (100 TB): one orders scan → the per-customer lag window
-    partitions on o_custkey (the natural clustering key; one shuffle)
-    → broadcast segment join → the distribution pass ranks gaps in 5
-    segment partitions — at billions of gaps swap the rank walk for
-    the HDR-sketch quantile over the same column (the funnel_latency
-    note); the per-customer windowing, which carries the volume, is
-    unchanged."""
+    Plan shape (100 TB) — the weighted-distribution design (r17, the
+    ship_latency lesson measured at 11× on 21M rows): one orders scan →
+    the per-customer lag window partitions on o_custkey (the natural
+    clustering key; one shuffle — this carries the volume) → broadcast
+    segment join → integer day gaps live in a tiny domain (thousands of
+    values), so the distribution collapses to a map-side-combined
+    (segment, gap) COUNT table and median/p90 become a cumulative walk
+    over those few thousand rows. The previous per-row rank window
+    sorted every gap through |segments| partitions — the sequential
+    tail this removes; the per-row recipe stays right only for
+    unbounded value domains (funnel_latency's ms latencies)."""
     from dariadb_spark.ext.exact import ratio_round_spark
 
     w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
@@ -1871,7 +1874,6 @@ def order_interarrival_op(
         .select(
             "o_custkey",
             F.datediff(F.col("d"), F.lag("d", 1).over(w)).alias("gap_days"),
-            F.row_number().over(w).alias("rn"),
         )
         .where(F.col("gap_days").isNotNull())
     )
@@ -1879,41 +1881,48 @@ def order_interarrival_op(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("mktsegment"),
     )
-    tagged = gaps.join(F.broadcast(seg), "o_custkey")
-    wr = Window.partitionBy("mktsegment").orderBy(
-        "gap_days", "o_custkey", "rn"
+    counts = (
+        gaps.join(F.broadcast(seg), "o_custkey")
+        .groupBy("mktsegment", "gap_days")
+        .agg(F.count("*").alias("cnt"))
     )
-    ranked = tagged.select(
-        "mktsegment", "gap_days",
-        F.row_number().over(wr).alias("r"),
-        F.count("*").over(Window.partitionBy("mktsegment")).alias("m"),
+    wcum = (
+        Window.partitionBy("mktsegment")
+        .orderBy("gap_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    stats = ranked.groupBy("mktsegment").agg(
-        F.max("m").alias("n_gaps"),
-        F.sum("gap_days").alias("sum_days"),
-        F.max("gap_days").alias("max_days"),
-    )
-    med = (
-        ranked.where(F.expr("r = (m + 1) DIV 2 OR r = (m + 2) DIV 2"))
-        .groupBy("mktsegment")
-        .agg(
-            (2 * F.sum("gap_days") / F.count("*"))
-            .cast("bigint").alias("med2")
-        )
-    )
-    p90 = (
-        ranked.where(F.expr("r = (9 * m + 9) DIV 10"))
-        .groupBy("mktsegment")
-        .agg(F.max("gap_days").alias("p90_days"))
+    wtot = Window.partitionBy("mktsegment")
+    picked = counts.select(
+        "mktsegment", "gap_days", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("m"),
+    ).selectExpr(
+        "mktsegment",
+        "m AS n_gaps",
+        "gap_days * cnt AS wsum",
+        "gap_days AS max_cand",
+        "CASE WHEN cum - cnt < (m + 1) DIV 2 AND (m + 1) DIV 2 <= cum"
+        " THEN gap_days ELSE 0 END AS med_lo",
+        "CASE WHEN cum - cnt < (m + 2) DIV 2 AND (m + 2) DIV 2 <= cum"
+        " THEN gap_days ELSE 0 END AS med_hi",
+        "CASE WHEN cum - cnt < (9 * m + 9) DIV 10"
+        " AND (9 * m + 9) DIV 10 <= cum THEN gap_days ELSE 0 END AS p90",
     )
     return (
-        stats.join(med, "mktsegment")
-        .join(p90, "mktsegment")
+        picked.groupBy("mktsegment")
+        .agg(
+            F.max("n_gaps").alias("n_gaps"),
+            F.sum("wsum").alias("sum_days"),
+            F.sum("med_lo").alias("mlo"),
+            F.sum("med_hi").alias("mhi"),
+            F.sum("p90").alias("p90_days"),
+            F.max("max_cand").alias("max_days"),
+        )
         .selectExpr(
             "mktsegment",
             "n_gaps",
             ratio_round_spark("sum_days", "n_gaps", 4) + " AS mean_days",
-            "med2 / 2.0d AS median_days",
+            "(mlo + mhi) / 2.0d AS median_days",
             "p90_days",
             "max_days",
         )
@@ -1930,35 +1939,42 @@ g0 AS (SELECT o_custkey,
                         lag(CAST(o_orderdate AS DATE), 1) OVER (
                           PARTITION BY o_custkey
                           ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
-                        CAST(o_orderdate AS DATE)) AS gap_days,
-              row_number() OVER (PARTITION BY o_custkey
-                                 ORDER BY CAST(o_orderdate AS DATE),
-                                          o_orderkey) AS rn
+                        CAST(o_orderdate AS DATE)) AS gap_days
        FROM orders),
-gaps AS (SELECT * FROM g0 WHERE gap_days IS NOT NULL),
-r AS (SELECT c.c_mktsegment AS mktsegment, gap_days, g.o_custkey, rn,
-             row_number() OVER (PARTITION BY c.c_mktsegment
-                                ORDER BY gap_days, g.o_custkey, rn) AS r,
-             count(*) OVER (PARTITION BY c.c_mktsegment) AS m
-      FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey),
-st AS (SELECT mktsegment, max(m) AS n_gaps,
-              CAST(sum(gap_days) AS BIGINT) AS sum_days,
-              max(gap_days) AS max_days
-       FROM r GROUP BY mktsegment),
-md AS (SELECT mktsegment,
-              CAST(2 * sum(gap_days) / count(*) AS BIGINT) AS med2
-       FROM r WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
-       GROUP BY mktsegment),
-p9 AS (SELECT mktsegment, max(gap_days) AS p90_days
-       FROM r WHERE r = (9 * m + 9) // 10 GROUP BY mktsegment)
-SELECT s.mktsegment, s.n_gaps,
-       {ratio_round_duck("s.sum_days", "s.n_gaps", 4)} AS mean_days,
-       m.med2 / 2.0 AS median_days,
-       CAST(p.p90_days AS BIGINT) AS p90_days,
-       CAST(s.max_days AS BIGINT) AS max_days
-FROM st s JOIN md m ON s.mktsegment = m.mktsegment
-JOIN p9 p ON s.mktsegment = p.mktsegment
-ORDER BY s.mktsegment"""
+counts AS (SELECT c.c_mktsegment AS mktsegment, gap_days,
+                  count(*) AS cnt
+           FROM g0 g JOIN customer c ON g.o_custkey = c.c_custkey
+           WHERE gap_days IS NOT NULL
+           GROUP BY mktsegment, gap_days),
+walked AS (SELECT mktsegment, gap_days, cnt,
+                  sum(cnt) OVER (PARTITION BY mktsegment ORDER BY gap_days
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY mktsegment) AS m
+           FROM counts),
+picked AS (SELECT mktsegment, m AS n_gaps, gap_days * cnt AS wsum,
+                  gap_days AS max_cand,
+                  CASE WHEN cum - cnt < (m + 1) // 2
+                        AND (m + 1) // 2 <= cum
+                       THEN gap_days ELSE 0 END AS med_lo,
+                  CASE WHEN cum - cnt < (m + 2) // 2
+                        AND (m + 2) // 2 <= cum
+                       THEN gap_days ELSE 0 END AS med_hi,
+                  CASE WHEN cum - cnt < (9 * m + 9) // 10
+                        AND (9 * m + 9) // 10 <= cum
+                       THEN gap_days ELSE 0 END AS p90
+           FROM walked),
+agg AS (SELECT mktsegment, CAST(max(n_gaps) AS BIGINT) AS n_gaps,
+               CAST(sum(wsum) AS BIGINT) AS sum_days,
+               CAST(sum(med_lo) AS BIGINT) AS mlo,
+               CAST(sum(med_hi) AS BIGINT) AS mhi,
+               CAST(sum(p90) AS BIGINT) AS p90_days,
+               max(max_cand) AS max_days
+        FROM picked GROUP BY mktsegment)
+SELECT mktsegment, n_gaps,
+       {ratio_round_duck("sum_days", "n_gaps", 4)} AS mean_days,
+       (mlo + mhi) / 2.0 AS median_days, p90_days,
+       CAST(max_days AS BIGINT) AS max_days
+FROM agg ORDER BY mktsegment"""
 
 
 ORDER_INTERARRIVAL_SQL = _interarrival_sql()
