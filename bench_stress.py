@@ -2535,6 +2535,8 @@ def main() -> None:
     bur_s, bur_n = stress_events_burstiness(spark)
     rsr_s, rsr_n = stress_series_rs_range(spark)
     sbur_s, sbur_batch_s, sbur_n = stress_streaming_burst(spark)
+    kc_s, kc_n = stress_part_kcore(spark)
+    sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
     print(
         json.dumps(
             {
@@ -2646,6 +2648,9 @@ def main() -> None:
                     "series_rs_range_20m": round(rsr_s, 4),
                     "streaming_burst_2m": round(sbur_s, 4),
                     "streaming_burst_2m_batch_twin": round(sbur_batch_s, 4),
+                    "part_kcore_195k_edges": round(kc_s, 4),
+                    "streaming_ltv_2m": round(sltv_s, 4),
+                    "streaming_ltv_2m_batch_twin": round(sltv_batch_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
@@ -5881,6 +5886,147 @@ def stress_streaming_burst(spark) -> tuple[float, float, int]:
         ]
         batch_s = time.perf_counter() - t0
         assert len(got) == 4 and got == want, (got[:2], want[:2])
+        return stream_s, batch_s, n
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def stress_part_kcore(spark) -> tuple[float, int]:
+    """Staged r18 k-core at 250 disjoint 40-cliques (195k core edges)
+    plus a 3-node pendant chain per clique: the chains peel over three
+    rounds, the cliques survive whole with core_deg = h-1, and the
+    top-30 under the (core_deg, deg0, part) order is the 30 smallest
+    chain anchors (deg0 = h) — asserted verbatim."""
+    from dariadb_spark.ext.relational import part_kcore_op
+
+    h, k = JAC_CLIQUE_H, JAC_CLIQUES
+    base = k * h  # first chain node id
+    edges = spark.range(k * h * h * 2).selectExpr(
+        "id AS oid",
+        f"(id DIV {h * h * 2}) AS c",
+        f"(id DIV {h * 2}) % {h} AS i",
+        f"(id DIV 2) % {h} AS j",
+    ).where("i < j")
+    clique_li = edges.selectExpr(
+        "oid AS l_orderkey", f"c * {h} + i AS l_partkey",
+        "CAST(1 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity", "100.0d AS l_extendedprice",
+        "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    ).unionByName(edges.selectExpr(
+        "oid AS l_orderkey", f"c * {h} + j AS l_partkey",
+        "CAST(2 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity", "100.0d AS l_extendedprice",
+        "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    ))
+    # chain edges per clique c: (anchor c*h, base+3c), (base+3c, +1), (+1, +2),
+    # each doubled for support 2; order keys live above the clique range
+    okbase = k * h * h * 2
+    chain = spark.range(k * 3 * 2).selectExpr(
+        f"{okbase} + id AS oid",
+        "id DIV 6 AS c",
+        "(id DIV 2) % 3 AS leg",
+    )
+    chain_li = chain.selectExpr(
+        "oid AS l_orderkey",
+        f"CASE WHEN leg = 0 THEN c * {h} ELSE {base} + c * 3 + leg - 1 END"
+        " AS l_partkey",
+        "CAST(1 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity", "100.0d AS l_extendedprice",
+        "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    ).unionByName(chain.selectExpr(
+        "oid AS l_orderkey",
+        f"{base} + c * 3 + leg AS l_partkey",
+        "CAST(2 AS INT) AS l_linenumber",
+        "1.0d AS l_quantity", "100.0d AS l_extendedprice",
+        "0.0d AS l_discount", "0.0d AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+    ))
+    li = clique_li.unionByName(chain_li)
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in part_kcore_op(li).collect()]
+    secs = time.perf_counter() - t0
+    want = [(c * h, h, h - 1) for c in range(30)]
+    assert got == want, (got[:3], want[:3])
+    return secs, k * h * (h - 1) // 2
+
+
+LTV_STREAM_ROWS = 2_000_000
+LTV_STREAM_CUSTOMERS = 50_000
+
+
+def stress_streaming_ltv(spark) -> tuple[float, float, int]:
+    """Staged r18 streaming LTV twin at 2M orders / 50k customers
+    landed as THREE date-cut drops folded one file per micro-batch (the
+    cohort assignment must bridge both cuts): the standing curve must
+    be row-identical to the batch operator on the same files, and the
+    closed-form 3-row curve replays from per-customer integers."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.relational import orders_cohort_ltv_op
+    from dariadb_spark.streaming.ltv import ltv_from_log, streaming_ltv_log
+    from dariadb_spark.streaming.scratch import await_parity_termination
+
+    n, c = LTV_STREAM_ROWS, LTV_STREAM_CUSTOMERS
+    per = n // c  # 40 orders per customer
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey",
+        f"id % {c} AS o_custkey",
+        "'O' AS o_orderstatus",
+        f"CAST((id % {c}) % 997 + 1 AS DOUBLE) / 100.0d AS o_totalprice",
+        f"""make_timestamp(1995 + (id DIV {c}) % 3, 6,
+                           1 + (id DIV {c}) DIV 3, 0, 0, 0)
+           AS o_orderdate""",
+        "'P' AS o_orderpriority",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_ltv_stress_")
+    data_dir = f"{base}/orders"
+    qname = "ltv_stress_" + base.rsplit("_", 1)[-1]
+    try:
+        slim = orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        for pred in (
+            "year(o_orderdate) = 1995",
+            "year(o_orderdate) = 1996",
+            "year(o_orderdate) = 1997",
+        ):
+            slim.where(pred).coalesce(4).write.mode("append").parquet(
+                data_dir
+            )
+        t0 = time.perf_counter()
+        q = streaming_ltv_log(
+            spark, data_dir, qname, max_files_per_trigger=4
+        )
+        await_parity_termination(q)
+        got = [
+            tuple(r) for r in ltv_from_log(spark.table(qname)).collect()
+        ]
+        stream_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        batch_src = spark.read.parquet(data_dir).selectExpr(
+            "o_orderkey", "o_custkey", "'O' AS o_orderstatus",
+            "o_totalprice", "o_orderdate", "'P' AS o_orderpriority",
+        )
+        want = [
+            tuple(r) for r in orders_cohort_ltv_op(batch_src).collect()
+        ]
+        batch_s = time.perf_counter() - t0
+        assert got == want, (got[:2], want[:2])
+        # closed form: one 1995 cohort, ages 0..2, n_active = c each
+        cnt_age = [(per + 2 - a) // 3 for a in range(3)]
+        cents_total = sum(i % 997 + 1 for i in range(c))
+        cum = 0
+        expect = []
+        for a in range(3):
+            rev = cnt_age[a] * cents_total
+            cum += rev
+            expect.append((1995, a, c, rev, cum))
+        assert got == expect, (got, expect)
         return stream_s, batch_s, n
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")

@@ -2374,6 +2374,15 @@ def orders_cohort_ltv_op(orders: DataFrame) -> DataFrame:
         "o_custkey",
         "cents",
     )
+    return ltv_curve(tagged)
+
+
+def ltv_curve(tagged: DataFrame) -> DataFrame:
+    """The finishing summary over (cohort_year, age_years, o_custkey,
+    cents) rows — SHARED verbatim by the batch operator and the
+    streaming twin (streaming/ltv.py), whose per-batch delta rows have
+    exactly this shape; exact distinct counts and int64 cents survive
+    any per-batch pre-aggregation because custkey rides along."""
     summary = tagged.groupBy("cohort_year", "age_years").agg(
         F.countDistinct("o_custkey").alias("n_active"),
         F.sum("cents").alias("rev_cents"),
@@ -2659,3 +2668,145 @@ ORDER BY returnflag"""
 
 
 DISCOUNT_RESPONSE_SQL = _discount_response_sql()
+
+
+# --- k-core decomposition (graph family, sixth verb) -------------------------------
+# STAGED for the round-18 driver window (second pass, same staging
+# discipline). After "which nodes matter" (pagerank/HITS), the census
+# (triangles), the per-node texture (clustering), the forward screen
+# (link_pred) and the edge screen (jaccard_sim), this is the COHESION
+# verb: the k-core — the maximal subgraph where every node keeps ≥ k
+# neighbors — found by iteratively peeling under-degree nodes. The
+# recommender reading: parts in the 3-core sell in a self-reinforcing
+# bundle; parts peeled in round 1 only ever tag along.
+
+KCORE_K = 3
+#: previous call's lazy checkpoints, released on the next call (the
+#: _rotate_cms_checkpoint precedent in ext/sketches.py)
+_KCORE_PREV_CHECKPOINTS: list = []
+#: unrolled peeling rounds — the fixpoint bound for every fixture and
+#: stress input (asserted by the planted tests: one more round changes
+#: nothing). The pagerank/HITS fixed-iteration precedent: both engines
+#: run EXACTLY this many rounds, so the oracle is replayable even when
+#: a pathological input hasn't converged (peeling is monotone, so an
+#: unconverged answer is a superset of the true core on both engines —
+#: identical on both, which is what the driver checks).
+KCORE_ROUNDS = 8
+KCORE_TOP = 30
+
+
+def part_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r18 window (:func:`part_kcore_op`)."""
+    return part_kcore_op(load_table(spark, sf, "lineitem"))
+
+
+def part_kcore_op(li: DataFrame) -> DataFrame:
+    """Top parts surviving KCORE_ROUNDS rounds of degree-< K peeling on
+    the support-≥2 co-purchase graph: (part, deg0, core_deg), ordered
+    core_deg DESC, deg0 DESC, part ASC, limit KCORE_TOP.
+
+    Exactness: pure int64 degree counts — nothing to round.
+
+    Plan shape (100 TB): the pair build is the one corpus-sized
+    shuffle, materialized ONCE (lazy localCheckpoint, the cms_rollup
+    rotation pattern); each peeling round is an edge-linear degree
+    aggregate plus TWO semi joins of that edge table against the
+    surviving node set (node-sized build side → broadcast at any
+    realistic core size) — O(rounds · |E|) total, the textbook
+    distributed peel. The survivor set is ALSO lazily checkpointed per
+    round: unlike pagerank, where a fixed edge table carries an
+    iterating VECTOR (linear lineage), peeling iterates the EDGE
+    predicate itself, so an uncheckpointed unroll nests the previous
+    round twice per round — a 2⁸-subtree logical plan that stalls
+    Catalyst before execution even starts (measured: the naive unroll
+    never finished planning at sf0.001; the checkpointed form runs in
+    seconds). Checkpoints are node-/edge-sized and rotation-released
+    on the next call."""
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MIN_SUP)
+        .select("x", "y")
+    )
+    edges = pairs.selectExpr("x AS src", "y AS dst").unionByName(
+        pairs.selectExpr("y AS src", "x AS dst")
+    )
+    while _KCORE_PREV_CHECKPOINTS:
+        try:
+            _KCORE_PREV_CHECKPOINTS.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing retained anyway
+    ed0 = edges.localCheckpoint(eager=False)
+    _KCORE_PREV_CHECKPOINTS.append(ed0)
+    deg0 = ed0.groupBy("src").agg(F.count("*").alias("deg0"))
+    ed = ed0
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            ed.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select("src")
+            .localCheckpoint(eager=False)
+        )
+        _KCORE_PREV_CHECKPOINTS.append(keep)
+        ed = ed0.join(F.broadcast(keep), "src", "left_semi").join(
+            F.broadcast(keep.selectExpr("src AS dst")), "dst", "left_semi"
+        )
+    core_deg = ed.groupBy("src").agg(F.count("*").alias("core_deg"))
+    return (
+        core_deg.where(F.col("core_deg") >= KCORE_K)
+        .join(F.broadcast(deg0), "src")
+        .selectExpr("src AS part", "deg0", "core_deg")
+        .orderBy(F.desc("core_deg"), F.desc("deg0"), F.asc("part"))
+        .limit(KCORE_TOP)
+    )
+
+
+def _kcore_sql() -> str:
+    # Every CTE in the peel chain is AS MATERIALIZED: DuckDB inlines
+    # plain CTEs per reference, and e_r references e_{r-1} three times
+    # (twice through k_r) — an un-materialized chain expands 3^ROUNDS
+    # plans deep and exhausts file handles on the repeated parquet
+    # scans, the exact Spark-side blowup the lazy checkpoints fix.
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""k{r} AS MATERIALIZED (SELECT src FROM {prev}
+       GROUP BY src HAVING count(*) >= {KCORE_K}),
+e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e
+         JOIN k{r} a ON e.src = a.src
+         JOIN k{r} b ON e.dst = b.src)"""
+        )
+        prev = f"e{r}"
+    chain = ",\n".join(rounds)
+    return f"""WITH
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY x, y HAVING count(*) >= {BASKET_MIN_SUP}),
+e0 AS MATERIALIZED (SELECT x AS src, y AS dst FROM pairs
+       UNION ALL SELECT y AS src, x AS dst FROM pairs),
+deg0 AS (SELECT src, count(*) AS deg0 FROM e0 GROUP BY src),
+{chain},
+core AS (SELECT src, count(*) AS core_deg FROM {prev}
+         GROUP BY src HAVING count(*) >= {KCORE_K})
+SELECT c.src AS part, CAST(d.deg0 AS BIGINT) AS deg0,
+       CAST(c.core_deg AS BIGINT) AS core_deg
+FROM core c JOIN deg0 d ON c.src = d.src
+ORDER BY core_deg DESC, deg0 DESC, part ASC
+LIMIT {KCORE_TOP}"""
+
+
+PART_KCORE_SQL = _kcore_sql()

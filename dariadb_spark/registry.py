@@ -938,7 +938,7 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # pytest-pinned (exact probe replay + PartitionFilters) and
 # stress-measured at 500k vectors (BASELINE.md row).
 #
-# Round 17 staged SEVEN operators for r18 (each implemented + oracled +
+# Round 17 staged NINE operators for r18 (each implemented + oracled +
 # pytest parity + planted closed-form grid + python-reference replay +
 # ≥100k-row stress + the r18 plan pre-pin in tests/test_plans.py; THIS
 # COMMENT is the staged-count source of truth): ext_part_jaccard_sim
@@ -960,9 +960,21 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # (streaming/burst.py, oracle = EVENTS_BURSTINESS_SQL: the stateful
 # cadence-monitor twin with a four-int64 state and the
 # equality-accept in-order contract — the r17 fold-contract taxonomy
-# applied at birth). Registering all seven in r18 takes the registry
-# to 234 (227 + 7); compute the r18 window with
-# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r17 lands.
+# applied at birth). The round's SECOND staging pass added two more:
+# ext_part_kcore (ext/relational.py: the graph family's COHESION verb
+# — fixed-round degree peeling where BOTH engines needed the same
+# anti-blowup fix, per-round lazy checkpoints on the Spark side and
+# AS MATERIALIZED CTEs on the DuckDB side, because peeling iterates
+# the EDGE PREDICATE and an uncheckpointed unroll nests 3^rounds
+# deep), and streaming_ltv_parity (streaming/ltv.py, oracle =
+# ORDERS_COHORT_LTV_SQL: the stateful cohort-curve twin whose
+# 3-int64 per-customer state carries the cohort year + last order
+# key; emits append-mode delta rows finished through the SHARED
+# ltv_curve projection; in-order contract with equality-accept —
+# strictly-before would rewrite the cohort retroactively).
+# Registering all nine in r18 takes the registry to 236 (227 + 9);
+# compute the r18 window with `tools/attestation_ledger.py --plan 50`
+# after CORRECTNESS_r17 lands.
 #
 # Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and

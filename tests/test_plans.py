@@ -910,6 +910,7 @@ def test_no_cartesian_product_in_staged_r18_plans(spark, oracle_sf_dir):
         discount_response,
         orders_cohort_ltv,
         part_jaccard_sim,
+        part_kcore,
         ship_latency,
     )
     from dariadb_spark.ext.timeseries import series_rs_range
@@ -922,6 +923,7 @@ def test_no_cartesian_product_in_staged_r18_plans(spark, oracle_sf_dir):
     for fn in (
         part_jaccard_sim, orders_cohort_ltv, ship_latency,
         discount_response, events_burstiness, series_rs_range,
+        part_kcore,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -941,3 +943,5 @@ def test_no_cartesian_product_in_staged_r18_plans(spark, oracle_sf_dir):
     assert "Join" not in plans["discount_response"]
     assert "Join" not in plans["events_burstiness"]
     assert "Join" not in plans["series_rs_range"]
+    # k-core: survivor-set joins broadcast (node-sized build sides)
+    assert "BroadcastHashJoin" in plans["part_kcore"]

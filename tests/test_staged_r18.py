@@ -509,3 +509,191 @@ def test_burst_fold_bridges_cuts_and_accepts_duplicates():
     list(_burst_fold((9, 1), iter([batch([1000, 2000])]), st2))
     with pytest.raises(ValueError, match="in-order ingest contract"):
         list(_burst_fold((9, 1), iter([batch([1500])]), st2))
+
+
+# --- ext_part_kcore ---------------------------------------------------------------
+
+def _kcore_python(edges_set, k):
+    """Exact fixpoint peel; returns ({node: core_deg}, rounds_used)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for x, y in edges_set:
+        adj[x].add(y)
+        adj[y].add(x)
+    rounds = 0
+    while True:
+        drop = [u for u, ns in adj.items() if len(ns) < k]
+        if not drop:
+            break
+        rounds += 1
+        for u in drop:
+            for v in adj[u]:
+                adj[v].discard(u)
+            del adj[u]
+    return {u: len(ns) for u, ns in adj.items() if ns}, rounds
+
+
+def test_part_kcore_parity_and_planted_graph(spark, oracle_sf_dir):
+    """Fixture parity, then the planted K5 + pendant chain: the clique
+    IS the 3-core (core_deg 4); the chain peels entirely — and the
+    python fixpoint confirms KCORE_ROUNDS covers it with room."""
+    from dariadb_spark.ext.relational import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        PART_KCORE_SQL,
+        part_kcore,
+        part_kcore_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_kcore", part_kcore(spark, oracle_sf_dir),
+        con, PART_KCORE_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 30
+
+    # K5 on parts 0-4; chain 4-10-11-12 dangles off the clique
+    edges = [(x, y) for x in range(5) for y in range(x + 1, 5)]
+    edges += [(4, 10), (10, 11), (11, 12)]
+    rows, ok = [], 100
+    for x, y in edges:
+        for _ in range(2):  # clear BASKET_MIN_SUP
+            rows.append((ok, x, 1, 1.0, 0.0, "N", _D))
+            rows.append((ok, y, 2, 1.0, 0.0, "N", _D))
+            ok += 1
+    got = [tuple(r) for r in part_kcore_op(_li(spark, rows)).collect()]
+    want_core, rounds = _kcore_python(set(edges), KCORE_K)
+    assert rounds <= KCORE_ROUNDS
+    deg0 = {u: 0 for u in range(5)}
+    deg0.update({10: 0, 11: 0, 12: 0})
+    for x, y in edges:
+        deg0[x] += 1
+        deg0[y] += 1
+    want = sorted(
+        [(u, deg0[u], cd) for u, cd in want_core.items()],
+        key=lambda r: (-r[2], -r[1], r[0]),
+    )
+    assert got == want
+    assert {r[0] for r in got} == {0, 1, 2, 3, 4}  # chain peeled
+
+
+def test_part_kcore_matches_python_fixpoint_random_graphs(spark):
+    """Pseudo-random co-purchase graphs vs the exact python peel — the
+    planted fixpoint check that licenses the fixed KCORE_ROUNDS unroll
+    (every trial must converge within the unroll, and the results must
+    be identical)."""
+    from collections import defaultdict
+
+    from dariadb_spark.ext.relational import (
+        BASKET_MIN_SUP,
+        KCORE_K,
+        KCORE_ROUNDS,
+        KCORE_TOP,
+        part_kcore_op,
+    )
+
+    # dense 3-part baskets (a rich core) + a pendant chain off node 0
+    # (peels over several rounds — the peel itself is exercised, not
+    # just the final degree count)
+    rows, ok = [], 0
+    for trial in range(100):
+        ok += 1
+        s = {(trial * 48271) % 17, (trial * 69621) % 17,
+             (trial * 2654435761) % 17}
+        for ln, pk in enumerate(sorted(s), start=1):
+            rows.append((ok, pk, ln, 1.0, 0.0, "N", _D))
+    for x, y in ((0, 100), (100, 101), (101, 102)):
+        for _ in range(2):  # clear the support threshold
+            ok += 1
+            rows.append((ok, x, 1, 1.0, 0.0, "N", _D))
+            rows.append((ok, y, 2, 1.0, 0.0, "N", _D))
+    got = [tuple(r) for r in part_kcore_op(_li(spark, rows)).collect()]
+
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r[0]].add(r[1])
+    from collections import Counter
+
+    sup = Counter()
+    for parts in baskets.values():
+        for x in parts:
+            for y in parts:
+                if x < y:
+                    sup[(x, y)] += 1
+    edges = {e for e, s in sup.items() if s >= BASKET_MIN_SUP}
+    core, rounds = _kcore_python(edges, KCORE_K)
+    assert 1 <= rounds <= KCORE_ROUNDS  # the peel actually fires
+    deg0 = Counter()
+    for x, y in edges:
+        deg0[x] += 1
+        deg0[y] += 1
+    want = sorted(
+        [(u, deg0[u], cd) for u, cd in core.items() if cd >= KCORE_K],
+        key=lambda r: (-r[2], -r[1], r[0]),
+    )[:KCORE_TOP]
+    assert got == want
+    assert len(got) > 0
+    assert not {100, 101, 102} & {r[0] for r in got}  # the chain peeled
+
+
+# --- streaming_ltv_parity ---------------------------------------------------------
+
+def test_streaming_ltv_parity_vs_batch_oracle(spark, oracle_sf_dir):
+    """The three-drop stateful curve lands on the batch oracle exactly
+    (the registered-shape parity the driver will run)."""
+    from dariadb_spark.ext.relational import ORDERS_COHORT_LTV_SQL
+    from dariadb_spark.streaming.ltv import streaming_ltv_parity
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_ltv_parity",
+        streaming_ltv_parity(spark, oracle_sf_dir),
+        con, ORDERS_COHORT_LTV_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+
+def test_ltv_fold_bridges_cohort_and_enforces_order():
+    """In-process fold properties: the cohort assigned in batch 1
+    sticks (later years age against it); a duplicate order key in a
+    later batch is accepted as an in-order sample; a strictly-before
+    order raises (it would rewrite the cohort retroactively)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from dariadb_spark.streaming.ltv import _ltv_fold
+
+    def batch(rows):  # rows: (orderkey, year, price)
+        return pd.DataFrame({
+            "o_orderkey": np.array([r[0] for r in rows], dtype=np.int64),
+            "o_custkey": 7,
+            "o_totalprice": np.array(
+                [r[2] for r in rows], dtype=np.float64
+            ),
+            "o_orderdate": pd.to_datetime(
+                [f"{r[1]}-06-01" for r in rows]
+            ),
+        })
+
+    st = _FakeState()
+    out1 = list(_ltv_fold((7,), iter([batch([(1, 1995, 100.0)])]), st))
+    out2 = list(_ltv_fold(
+        (7,), iter([batch([(2, 1996, 50.0), (3, 1997, 25.0)])]), st
+    ))
+    d1 = [tuple(r) for r in out1[-1].itertuples(index=False)]
+    d2 = [tuple(r) for r in out2[-1].itertuples(index=False)]
+    assert d1 == [(7, 1995, 0, 10000)]
+    assert d2 == [(7, 1995, 1, 5000), (7, 1995, 2, 2500)]
+
+    # duplicate key accepted (same date+orderkey re-lands)
+    out3 = list(_ltv_fold((7,), iter([batch([(3, 1997, 25.0)])]), st))
+    d3 = [tuple(r) for r in out3[-1].itertuples(index=False)]
+    assert d3 == [(7, 1995, 2, 2500)]
+
+    # strictly-before raises
+    with pytest.raises(ValueError, match="in-order ingest contract"):
+        list(_ltv_fold((7,), iter([batch([(1, 1995, 10.0)])]), st))
