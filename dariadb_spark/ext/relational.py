@@ -2401,10 +2401,11 @@ def ltv_curve(tagged: DataFrame) -> DataFrame:
     )
 
 
-ORDERS_COHORT_LTV_SQL = """WITH
+def _ltv_sql(where: str = "") -> str:
+    return f"""WITH
 per AS (SELECT o_custkey, year(o_orderdate) AS yr,
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders),
+        FROM orders{where}),
 cohort AS (SELECT o_custkey, min(yr) AS cohort_year FROM per
            GROUP BY o_custkey),
 tagged AS (SELECT c.cohort_year, p.yr - c.cohort_year AS age_years,
@@ -2421,6 +2422,19 @@ SELECT cohort_year, age_years, n_active, rev_cents,
          AS cum_rev_cents
 FROM summary ORDER BY cohort_year, age_years"""
 
+
+ORDERS_COHORT_LTV_SQL = _ltv_sql()
+
+#: the streaming twin folds a 1-in-LTV_PARITY_MOD customer slice — the
+#: IDS-slice convention every stateful parity row uses: the fold cost
+#: is per-GROUP python overhead, so an unsliced fold over every
+#: customer measures the harness, not the operator (27 s vs ~3 s at
+#: sf0.1). The oracle is the SAME curve SQL over the same slice.
+LTV_PARITY_MOD = 20
+LTV_PARITY_RESIDUE = 7
+ORDERS_COHORT_LTV_PARITY_SQL = _ltv_sql(
+    f" WHERE o_custkey % {LTV_PARITY_MOD} = {LTV_PARITY_RESIDUE}"
+)
 
 # --- order-to-ship latency distribution -------------------------------------------
 # STAGED for the round-18 driver window (same staging discipline). The
@@ -2677,10 +2691,18 @@ DISCOUNT_RESPONSE_SQL = _discount_response_sql()
 # (link_pred) and the edge screen (jaccard_sim), this is the COHESION
 # verb: the k-core — the maximal subgraph where every node keeps ≥ k
 # neighbors — found by iteratively peeling under-degree nodes. The
-# recommender reading: parts in the 3-core sell in a self-reinforcing
-# bundle; parts peeled in round 1 only ever tag along.
+# recommender reading: parts in the core sell in a self-reinforcing
+# bundle (every member keeps ≥ k co-purchase partners after the
+# hangers-on are peeled away); parts peeled in round 1 only tag along.
 
-KCORE_K = 3
+#: k = 2 — the cycle-bound core. The co-purchase graph THINS with
+#: scale (per-pair repeat probability falls as the part domain grows),
+#: and the sf0.1 support-≥2 graph's 3-core is EMPTY (probed: degree
+#: histogram collapses to 83% degree-1); its 2-core holds 3 nodes at
+#: sf0.1, 1535 at sf0.01, 200 at sf0.001 — nonempty at every driver
+#: scale, peeling in ≤5 rounds everywhere (probed against the exact
+#: python fixpoint).
+KCORE_K = 2
 #: previous call's lazy checkpoints, released on the next call (the
 #: _rotate_cms_checkpoint precedent in ext/sketches.py)
 _KCORE_PREV_CHECKPOINTS: list = []

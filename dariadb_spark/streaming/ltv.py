@@ -162,14 +162,22 @@ def ltv_from_log(log: DataFrame) -> DataFrame:
 
 
 def streaming_ltv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible stateful-curve parity: land the orders table in
-    THREE parquet drops cut at the order-date terciles (the cohort
-    assignment must bridge both cuts), fold one file per micro-batch,
-    and report the standing curve. Oracle = the batch
-    ``ORDERS_COHORT_LTV_SQL``."""
+    """Driver-visible stateful-curve parity: land a 1-in-LTV_PARITY_MOD
+    customer slice of the orders table in THREE parquet drops cut at
+    the order-date terciles (the cohort assignment must bridge both
+    cuts), fold one file per micro-batch, and report the standing
+    curve. Oracle = ``ORDERS_COHORT_LTV_PARITY_SQL`` — the batch curve
+    SQL over the SAME slice (the IDS-slice convention every stateful
+    parity row uses: fold cost is per-group python overhead, so the
+    slice measures the operator, not the harness; the 2M-row stress
+    covers volume)."""
     import shutil
     import tempfile
 
+    from dariadb_spark.ext.relational import (
+        LTV_PARITY_MOD,
+        LTV_PARITY_RESIDUE,
+    )
     from dariadb_spark.model import load_table
     from dariadb_spark.streaming.scratch import (
         await_parity_termination,
@@ -181,7 +189,9 @@ def streaming_ltv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = f"{base}/orders"
     qname = "ltv_parity_" + base.rsplit("_", 1)[-1]
     try:
-        orders = load_table(spark, sf_dir, "orders").select(
+        orders = load_table(spark, sf_dir, "orders").where(
+            f"o_custkey % {LTV_PARITY_MOD} = {LTV_PARITY_RESIDUE}"
+        ).select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
         )
         cuts = orders.agg(

@@ -643,14 +643,16 @@ def test_part_kcore_matches_python_fixpoint_random_graphs(spark):
 def test_streaming_ltv_parity_vs_batch_oracle(spark, oracle_sf_dir):
     """The three-drop stateful curve lands on the batch oracle exactly
     (the registered-shape parity the driver will run)."""
-    from dariadb_spark.ext.relational import ORDERS_COHORT_LTV_SQL
+    from dariadb_spark.ext.relational import (
+        ORDERS_COHORT_LTV_PARITY_SQL,
+    )
     from dariadb_spark.streaming.ltv import streaming_ltv_parity
 
     con = duckdb_connection(oracle_sf_dir)
     res = compare(
         "streaming_ltv_parity",
         streaming_ltv_parity(spark, oracle_sf_dir),
-        con, ORDERS_COHORT_LTV_SQL,
+        con, ORDERS_COHORT_LTV_PARITY_SQL,
     )
     assert res.ok, res.problems
     assert res.rows_spark > 0
