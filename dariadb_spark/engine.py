@@ -435,14 +435,14 @@ class TsEngine:
         )
 
         if self.store is None:
-            raise ValueError("streaming requires a parquet-backed store")
+            raise ValueError("streaming requires a writable store")
         return _ssb(self.spark, str(self.store.data_dir), interval, **kwargs)
 
     def subscribe(self, ids, flag, callback, **kwargs):
         from dariadb_spark.streaming.subscribe import subscribe as _subscribe
 
         if self.store is None:
-            raise ValueError("subscribe requires a parquet-backed store")
+            raise ValueError("subscribe requires a writable store")
         return _subscribe(
             self.spark, str(self.store.data_dir), ids, flag, callback, **kwargs
         )

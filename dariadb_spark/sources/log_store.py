@@ -121,6 +121,20 @@ class LogTsStore:
         self.files_dir.mkdir(parents=True, exist_ok=True)
         self.log_dir.mkdir(parents=True, exist_ok=True)
 
+    @property
+    def data_dir(self) -> Path:
+        """The directory the engine's streaming verbs (subscribe /
+        streaming_stat_blocks) tail — same role as ParquetTsStore's.
+        For the APPEND path the semantics match exactly: every commit
+        publishes new unique file names under ``files/`` and the file
+        stream's checkpoint is the subscription cursor. Maintenance
+        caveat (shared verbatim with the parquet backend): compaction
+        publishes MERGED files that a directory tail would deliver as
+        new rows — run subscriptions against append-only stores or
+        pause them over maintenance windows (subscribe.py's no-replay
+        contract is about appends, the reference semantics)."""
+        return self.files_dir
+
     # -- log machinery ----------------------------------------------------
     def _version_files(self) -> list[Path]:
         return sorted(

@@ -342,8 +342,9 @@ def test_store_interval_scan_prunes_partitions(engine):
     ]
 
 
-def test_subscribe_pushes_only_matching(spark, tmp_path):
-    eng = TsEngine.open(spark, str(tmp_path / "s"))
+@pytest.mark.parametrize("backend", ["parquet", "log"])
+def test_subscribe_pushes_only_matching(spark, tmp_path, backend):
+    eng = TsEngine.open(spark, str(tmp_path / "s"), backend=backend)
     eng.append(_grid())
     got: list[tuple] = []
     q = eng.subscribe(
