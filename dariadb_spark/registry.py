@@ -170,16 +170,23 @@ def _make_fn_query(fname: str) -> QueryFn:
     return q
 
 
-for _fname, (_, _oracle_agg) in FUNCTION_REGISTRY.items():
-    register(
-        f"fn_{_fname}",
-        _make_fn_query(_fname),
-        f"""WITH {MEAS_CTE_SQL}
-SELECT id, {_oracle_agg} AS {_fname}
-FROM measurements
-WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
-GROUP BY id ORDER BY id""",
-    )
+# MERGE #10 (executed r17): the nine per-function driver rows fn_avg …
+# fn_sum folded into fn_all — the registry's purest projection merge:
+# fn_X was apply_functions(meas, [X], …) and fn_all is
+# apply_functions(meas, ALL, …) over the IDENTICAL slice, grouping, and
+# aggregate expressions (the same code path, parameterized), so each
+# original is fn_all projected to (id, X) — verified value-identical
+# per function and pinned by tests/test_oracle_parity.py::
+# test_fn_single_queries_are_fn_all_projections, which ALSO keeps every
+# single-function oracle-parity check alive in pytest (the per-function
+# DuckDB compare the driver rows used to carry). The Calculator surface
+# (FUNCTION_REGISTRY + apply_functions([one])) stays fully public —
+# only the driver rows consolidated. NINE slots freed (the ceiling
+# arithmetic: 218 + 9 r18-staged = 227 at r18, ~235 at r19, ~243 at
+# r20 — the 250 line clears through the build's end without another
+# forced merge). A5–A11 coverage now attests through fn_all's columns;
+# COVERAGE.md maps each row explicitly. _make_fn_query above stays as
+# the per-function query builder the projection-pin test drives.
 
 # --- A12: full Calculator block (all functions in one pass) --------------
 
@@ -972,7 +979,8 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # key; emits append-mode delta rows finished through the SHARED
 # ltv_curve projection; in-order contract with equality-accept —
 # strictly-before would rewrite the cohort retroactively).
-# Registering all nine in r18 takes the registry to 236 (227 + 9);
+# Registering all nine in r18 takes the registry to 227 (218 + 9 —
+# 218 after merge #10 folded the nine fn_* rows into fn_all);
 # compute the r18 window with `tools/attestation_ledger.py --plan 50`
 # after CORRECTNESS_r17 lands.
 #
@@ -1109,9 +1117,19 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      row-identical at sf0.001 and sf0.01 and pinned by
 #      tests/test_sketches.py::test_cms_topk_is_rollup_projection.
 #      One slot freed; the operator stays implemented + pytest-covered.
-#   10. NEXT to audit (r18, when slots are needed): the two Bloom rows
-#      (ext_decontaminate_bloom gate vs any future standalone Bloom
-#      verb) — currently no concrete pair; revisit after the r18
+#   10. EXECUTED r17 (same round as #9 — the ceiling arithmetic at
+#      236-post-r18 forced the pace): the NINE fn_* per-function rows
+#      → fn_all. The purest projection merge in the registry: fn_X was
+#      apply_functions(meas, [X]) and fn_all is apply_functions(meas,
+#      ALL) over the identical slice — the same code path,
+#      parameterized — so each original is a column projection of the
+#      composite; pinned (with the per-function DuckDB parity kept
+#      alive) by tests/test_oracle_parity.py::
+#      test_fn_single_queries_are_fn_all_projections. NINE slots
+#      freed; the 250 ceiling now clears through r20.
+#   11. NEXT to audit (r18, when slots are needed): no concrete pair
+#      currently — the remaining registry has no same-slice
+#      projection/filter subsumption after #10; revisit after the r19
 #      staging pass lands.
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.

@@ -89,3 +89,42 @@ def test_pii_roundtrip_clears_all_spans(spark, oracle_sf_dir):
     rows = text_pii_roundtrip(spark, oracle_sf_dir).collect()
     assert sum(r.n_found for r in rows) > 0
     assert all(r.n_residual == 0 for r in rows)
+
+
+def test_fn_single_queries_are_fn_all_projections(spark, oracle_sf_dir, con):
+    """Merge #10 (r17): the nine per-function driver rows folded into
+    fn_all because each was apply_functions over the IDENTICAL slice —
+    this pin (a) proves every single-function query IS fn_all projected
+    to (id, fname), value-identical, and (b) keeps the per-function
+    DuckDB oracle parity alive in pytest (the check the driver rows
+    used to carry). If either half breaks, the merge premise breaks
+    loudly here."""
+    from dariadb_spark.functions.statistics import FUNCTION_REGISTRY
+    from dariadb_spark.model import MEAS_CTE_SQL
+    from dariadb_spark.registry import (
+        FROM_MS,
+        IDS,
+        TO_MS,
+        _ids_sql,
+        _make_fn_query,
+    )
+
+    all_rows = {
+        r["id"]: r.asDict()
+        for r in REGISTRY["fn_all"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert len(all_rows) > 0
+    for fname, (_, oracle_agg) in FUNCTION_REGISTRY.items():
+        single = _make_fn_query(fname)(spark, oracle_sf_dir)
+        got = [tuple(r) for r in single.collect()]
+        # (a) the projection identity vs fn_all
+        want = sorted((i, row[fname]) for i, row in all_rows.items())
+        assert got == want, fname
+        # (b) the per-function oracle parity the old driver row carried
+        sql = f"""WITH {MEAS_CTE_SQL}
+SELECT id, {oracle_agg} AS {fname}
+FROM measurements
+WHERE id IN {_ids_sql(IDS)} AND time BETWEEN {FROM_MS} AND {TO_MS}
+GROUP BY id ORDER BY id"""
+        res = compare(f"fn_{fname}", single, con, sql)
+        assert res.ok, (fname, res.problems)

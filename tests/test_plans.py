@@ -233,7 +233,10 @@ def test_check_window_is_first_50_harness_queries():
                         "ext_ann_recall_eval", "ext_ann_recall_lsh",
                         "ext_sketch_quantile", "ext_sketch_quantile_hdr",
                         "ext_sketch_quantile_hist",
-                        "ext_sketch_cms_topk"):
+                        "ext_sketch_cms_topk",
+                        "fn_average", "fn_median", "fn_percentile90",
+                        "fn_percentile99", "fn_sigma", "fn_minimum",
+                        "fn_maximum", "fn_count", "fn_sum"):
         assert merged_away not in REGISTRY, merged_away
     # merges #3, #4, and #5's composite rows; the audit kept pq OUT of
     # merge #5 (L2 baseline, two-variant row shape)
