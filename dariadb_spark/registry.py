@@ -1229,7 +1229,8 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # row at r9 vintage — then the ten oldest stale-4 [EXT] rows.
 # 6 + 11 + 23 + 10 = exactly 50. Ledger verdict: no policy violations;
 # worst leftover staleness stale-4 (policy line: core ≤ 3, all ≤ 5 at
-# N = 228).
+# N = 228; re-verified violation-free after merge #9 at N = 227 and
+# after merge #10 at N = 218 — neither merge touched a window row).
 CHECK_WINDOW = [
     # priority 1: the six core reference rows at stale-3
     "bucket_day", "bucket_hour_salted", "bucket_month", "bucket_week",
