@@ -2536,6 +2536,7 @@ def main() -> None:
     rsr_s, rsr_n = stress_series_rs_range(spark)
     sbur_s, sbur_batch_s, sbur_n = stress_streaming_burst(spark)
     kc_s, kc_n = stress_part_kcore(spark)
+    tx_s, tx_n = stress_series_tail_excess(spark)
     sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
     print(
         json.dumps(
@@ -2649,6 +2650,7 @@ def main() -> None:
                     "streaming_burst_2m": round(sbur_s, 4),
                     "streaming_burst_2m_batch_twin": round(sbur_batch_s, 4),
                     "part_kcore_195k_edges": round(kc_s, 4),
+                    "series_tail_excess_20m": round(tx_s, 4),
                     "streaming_ltv_2m": round(sltv_s, 4),
                     "streaming_ltv_2m_batch_twin": round(sltv_batch_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
@@ -6031,6 +6033,41 @@ def stress_streaming_ltv(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+TAIL_STRESS_ROWS = 20_000_000
+TAIL_STRESS_SERIES = 10_000
+
+
+def stress_series_tail_excess(spark) -> tuple[float, int]:
+    """Staged r18 mean-excess screen at 20M samples / 10k series x
+    2000: every series replays the same periodic cent pattern, so ONE
+    2000-value big-int replay predicts all 10k rows (thr = the exact
+    rank-1800 order statistic, excess sums over the strict tail)."""
+    from dariadb_spark.ext.timeseries import series_tail_excess_op
+
+    n, s = TAIL_STRESS_ROWS, TAIL_STRESS_SERIES
+    per = n // s
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        f"CAST(((id DIV {s}) * 48271) % 100000 AS DOUBLE) / 100.0d"
+        " AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in series_tail_excess_op(meas).collect()]
+    secs = time.perf_counter() - t0
+
+    cs = [(i * 48271) % 100000 for i in range(per)]
+    thr = sorted(cs)[(9 * per + 9) // 10 - 1]
+    exc = [c - thr for c in cs if c > thr]
+    q, _ = divmod(2 * sum(exc) * 10**4 + len(exc), 2 * len(exc))
+    row = (per, thr, len(exc), q / 10**4, max(exc))
+    assert len(got) == s
+    bad = sum(1 for r in got if tuple(r[1:]) != row)
+    assert bad == 0, (got[0], row)
+    return secs, n
 
 
 if __name__ == "__main__":

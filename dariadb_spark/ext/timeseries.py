@@ -3809,3 +3809,132 @@ FROM scored GROUP BY id ORDER BY id"""
 
 
 SERIES_RS_RANGE_SQL = _rs_range_sql()
+
+
+# --- peaks-over-threshold mean-excess screen -------------------------------------
+# STAGED for the round-18 driver window (third pass, same staging
+# discipline). The family's EXTREME-VALUE verb, downstream of the
+# histogram's bulk shape and anomaly_zscore's point alarms: how heavy
+# is the tail ABOVE a high quantile? The mean-excess function
+# e(u) = E[X − u | X > u] is the classic POT reading — roughly flat for
+# exponential tails, growing in u for heavy (Pareto-like) tails,
+# shrinking for bounded ones. One fixed threshold per series (the exact
+# rank-⌈q·n⌉ order statistic, q = 0.9) keeps the statistic an exact
+# integer rational: thresholds, exceedance counts, and excess sums are
+# all int64 cents.
+
+TAIL_Q_NUM, TAIL_Q_DEN = 9, 10  # threshold = the rank-⌈0.9·n⌉ order stat
+
+
+def series_tail_excess(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r18 window (:func:`series_tail_excess_op`)."""
+    return series_tail_excess_op(
+        scan_interval(measurements(spark, sf), IDS, FROM_MS, TO_MS, 0)
+    )
+
+
+def series_tail_excess_op(meas: DataFrame) -> DataFrame:
+    """(id, n, thr_cents, n_exceed, mean_excess_cents, max_excess_cents)
+    per series: threshold = the exact rank-⌈0.9·n⌉ cent order statistic
+    (ties broken by the (cents, time, flag) total order so the rank is
+    unique), exceedances are the STRICTLY-above samples, mean excess is
+    the HALF_UP 4-dp ratio of two exact int64s. Series with zero strict
+    exceedances (the max ties the threshold) report 0/0-free rows with
+    n_exceed = 0 and both excess columns 0 — the bounded-tail reading,
+    not a dropped row.
+
+    Plan shape (100 TB): ONE shuffle on id carries everything — the
+    rank window, the threshold pick (a per-id scalar joined back
+    BROADCAST from the id-sized threshold table), and the conditional
+    aggregate all run inside the same partitioning; at extreme
+    per-series cardinality the exact rank swaps for the HDR-sketch
+    quantile over the same column (the funnel_latency note), leaving
+    the excess aggregate untouched."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    cents = meas.select(
+        "id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        "time", "flag",
+    )
+    w = Window.partitionBy("id").orderBy("c", "time", "flag")
+    ranked = cents.select(
+        "id", "c",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("id")).alias("n"),
+    )
+    thr = (
+        ranked.where(
+            F.expr(
+                f"r = ({TAIL_Q_NUM} * n + {TAIL_Q_DEN} - 1)"
+                f" DIV {TAIL_Q_DEN}"
+            )
+        )
+        .selectExpr("id", "c AS thr_cents", "n")
+    )
+    return (
+        cents.join(F.broadcast(thr), "id")
+        .groupBy("id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("thr_cents").alias("thr_cents"),
+            F.sum(F.expr("CASE WHEN c > thr_cents THEN 1 ELSE 0 END"))
+            .alias("n_exceed"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN c > thr_cents THEN c - thr_cents"
+                    " ELSE 0 END"
+                )
+            ).alias("sum_excess"),
+            F.max(
+                F.expr(
+                    "CASE WHEN c > thr_cents THEN c - thr_cents"
+                    " ELSE 0 END"
+                )
+            ).alias("max_excess_cents"),
+        )
+        .selectExpr(
+            "id", "n", "thr_cents", "n_exceed",
+            "CASE WHEN n_exceed > 0 THEN "
+            + ratio_round_spark("sum_excess", "n_exceed", 4)
+            + " ELSE 0.0d END AS mean_excess_cents",
+            "max_excess_cents",
+        )
+        .orderBy("id")
+    )
+
+
+def _tail_excess_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, CAST(round(value * 100) AS BIGINT) AS c, time, flag
+        FROM measurements
+        WHERE id IN {_ids_sql(IDS)}
+          AND time BETWEEN {FROM_MS} AND {TO_MS}),
+ranked AS (SELECT id, c,
+                  row_number() OVER (PARTITION BY id
+                                     ORDER BY c, time, flag) AS r,
+                  count(*) OVER (PARTITION BY id) AS n
+           FROM pts),
+thr AS (SELECT id, c AS thr_cents, n FROM ranked
+        WHERE r = ({TAIL_Q_NUM} * n + {TAIL_Q_DEN} - 1) // {TAIL_Q_DEN}),
+agg AS (SELECT p.id, max(t.n) AS n, max(t.thr_cents) AS thr_cents,
+               CAST(sum(CASE WHEN p.c > t.thr_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exceed,
+               CAST(sum(CASE WHEN p.c > t.thr_cents
+                             THEN p.c - t.thr_cents ELSE 0 END)
+                    AS BIGINT) AS sum_excess,
+               CAST(max(CASE WHEN p.c > t.thr_cents
+                             THEN p.c - t.thr_cents ELSE 0 END)
+                    AS BIGINT) AS max_excess_cents
+        FROM pts p JOIN thr t ON p.id = t.id GROUP BY p.id)
+SELECT id, CAST(n AS BIGINT) AS n, thr_cents, n_exceed,
+       CASE WHEN n_exceed > 0
+            THEN {ratio_round_duck("sum_excess", "n_exceed", 4)}
+            ELSE 0.0 END AS mean_excess_cents,
+       max_excess_cents
+FROM agg ORDER BY id"""
+
+
+SERIES_TAIL_EXCESS_SQL = _tail_excess_sql()

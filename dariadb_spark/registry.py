@@ -945,7 +945,7 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # pytest-pinned (exact probe replay + PartitionFilters) and
 # stress-measured at 500k vectors (BASELINE.md row).
 #
-# Round 17 staged NINE operators for r18 (each implemented + oracled +
+# Round 17 staged TEN operators for r18 (each implemented + oracled +
 # pytest parity + planted closed-form grid + python-reference replay +
 # ≥100k-row stress + the r18 plan pre-pin in tests/test_plans.py; THIS
 # COMMENT is the staged-count source of truth): ext_part_jaccard_sim
@@ -979,10 +979,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # key; emits append-mode delta rows finished through the SHARED
 # ltv_curve projection; in-order contract with equality-accept —
 # strictly-before would rewrite the cohort retroactively).
-# Registering all nine in r18 takes the registry to 227 (218 + 9 —
-# 218 after merge #10 folded the nine fn_* rows into fn_all);
-# compute the r18 window with `tools/attestation_ledger.py --plan 50`
-# after CORRECTNESS_r17 lands.
+# A THIRD pass added ext_series_tail_excess (ext/timeseries.py: the
+# peaks-over-threshold mean-excess screen — the family's extreme-value
+# verb; per-series exact rank-⌈0.9n⌉ cent threshold, strict
+# exceedances, HALF_UP mean excess; zero-exceedance series report an
+# explicit bounded-tail row). Registering all ten in r18 takes the
+# registry to 228 (218 + 10 — 218 after merge #10 folded the nine
+# fn_* rows into fn_all); compute the r18 window with
+# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r17 lands.
 #
 # Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and

@@ -916,7 +916,10 @@ def test_no_cartesian_product_in_staged_r18_plans(spark, oracle_sf_dir):
         part_kcore,
         ship_latency,
     )
-    from dariadb_spark.ext.timeseries import series_rs_range
+    from dariadb_spark.ext.timeseries import (
+        series_rs_range,
+        series_tail_excess,
+    )
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
@@ -926,7 +929,7 @@ def test_no_cartesian_product_in_staged_r18_plans(spark, oracle_sf_dir):
     for fn in (
         part_jaccard_sim, orders_cohort_ltv, ship_latency,
         discount_response, events_burstiness, series_rs_range,
-        part_kcore,
+        part_kcore, series_tail_excess,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -948,3 +951,5 @@ def test_no_cartesian_product_in_staged_r18_plans(spark, oracle_sf_dir):
     assert "Join" not in plans["series_rs_range"]
     # k-core: survivor-set joins broadcast (node-sized build sides)
     assert "BroadcastHashJoin" in plans["part_kcore"]
+    # tail excess: the per-id threshold table joins back broadcast
+    assert "BroadcastHashJoin" in plans["series_tail_excess"]

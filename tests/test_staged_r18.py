@@ -699,3 +699,76 @@ def test_ltv_fold_bridges_cohort_and_enforces_order():
     # strictly-before raises
     with pytest.raises(ValueError, match="in-order ingest contract"):
         list(_ltv_fold((7,), iter([batch([(1, 1995, 10.0)])]), st))
+
+
+# --- ext_series_tail_excess -------------------------------------------------------
+
+def _tail_python(cents_by_id: dict[int, list[int]]):
+    out = []
+    for sid, cs in sorted(cents_by_id.items()):
+        n = len(cs)
+        thr = sorted(cs)[(9 * n + 9) // 10 - 1]
+        exc = [c - thr for c in cs if c > thr]
+        if exc:
+            q, _ = divmod(2 * sum(exc) * 10**4 + len(exc), 2 * len(exc))
+            mean_e = q / 10**4
+        else:
+            mean_e = 0.0
+        out.append(
+            (sid, n, thr, len(exc), mean_e, max(exc) if exc else 0)
+        )
+    return out
+
+
+def test_series_tail_excess_parity_and_planted_tails(
+    spark, oracle_sf_dir
+):
+    """Fixture parity, then planted tails: the 1..10 ramp (thr = 9,
+    one exceedance of 1), the constant series (bounded tail — zero
+    exceedances reported as an explicit row, never dropped), and the
+    planted heavy tail (nine 1-cent samples + one 1000 → mean excess
+    999 over thr 1)."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_TAIL_EXCESS_SQL,
+        series_tail_excess,
+        series_tail_excess_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_tail_excess", series_tail_excess(spark, oracle_sf_dir),
+        con, SERIES_TAIL_EXCESS_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 15
+
+    rows = [(1, t * 1000, (t + 1) / 100.0, 0) for t in range(10)]
+    rows += [(2, t * 1000, 5.0, 0) for t in range(8)]
+    rows += [(3, t * 1000, 0.01, 0) for t in range(9)]
+    rows += [(3, 9_000, 10.0, 0)]
+    got = [tuple(r) for r in
+           series_tail_excess_op(_meas(spark, rows)).collect()]
+    want = [
+        (1, 10, 9, 1, 1.0, 1),
+        (2, 8, 500, 0, 0.0, 0),
+        (3, 10, 1, 1, 999.0, 999),
+    ]
+    assert got == want
+
+
+def test_series_tail_excess_matches_python_reference(spark):
+    """Pseudo-random cent walks (ties included) vs the big-int replay."""
+    from dariadb_spark.ext.timeseries import series_tail_excess_op
+
+    cents = {
+        sid: [((i * 48271 + sid * 7) % 250) for i in range(137 + sid)]
+        for sid in range(4)
+    }
+    rows = [
+        (sid, i * 1000, c / 100.0, 0)
+        for sid, cs in cents.items()
+        for i, c in enumerate(cs)
+    ]
+    got = [tuple(r) for r in
+           series_tail_excess_op(_meas(spark, rows)).collect()]
+    assert got == _tail_python(cents)
