@@ -1181,7 +1181,7 @@ def events_burstiness(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def events_burstiness_op(meas: DataFrame) -> DataFrame:
-    """(flag, n_gaps, sum_gap_s, mean_gap_s, cv2_micro) per event type.
+    """(flag, n_gaps, sum_gap_s, mean_gap_s, cv2) per event type.
 
     Gaps are consecutive same-(id, flag) arrival deltas in whole
     seconds ((t₂−t₁) DIV 1000 — both engines floor nonnegative ints
@@ -1290,3 +1290,28 @@ ORDER BY flag"""
 
 
 EVENTS_BURSTINESS_SQL = _burstiness_sql()
+
+# Registered round 18 (staged round 17).
+register("ext_events_burstiness", events_burstiness, EVENTS_BURSTINESS_SQL)
+
+
+def _streaming_burst_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import — same circularity guard as the timeseries twins.
+    from dariadb_spark.streaming.burst import streaming_burst_parity
+
+    return streaming_burst_parity(spark, sf)
+
+
+# Registered round 18 (staged round 17). The stateful cadence-monitor
+# twin: four-int64 per-(id, flag) state (last arrival + n/Σg/Σg²);
+# equality-accept in-order contract (a duplicate arrival is a 0-gap
+# sample, matching the batch semantic); the finish runs the SHARED
+# burstiness_report projection. Per-batch Σg² accumulates exactly —
+# numpy fast path under a provable 2⁶² envelope, Python bigints past
+# it, OverflowError past int64 (loud, like the batch twin's ANSI sum;
+# ADVICE r17). Oracle = the batch EVENTS_BURSTINESS_SQL (same slice).
+register(
+    "streaming_burst_parity",
+    _streaming_burst_parity,
+    EVENTS_BURSTINESS_SQL,
+)

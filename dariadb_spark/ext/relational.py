@@ -2328,6 +2328,9 @@ LIMIT {JACCARD_TOP}"""
 
 PART_JACCARD_SIM_SQL = _jaccard_sql()
 
+# Registered round 18 (staged round 17).
+register("ext_part_jaccard_sim", part_jaccard_sim, PART_JACCARD_SIM_SQL)
+
 
 # --- cohort lifetime-value curve ---------------------------------------------------
 # STAGED for the round-18 driver window (same staging discipline). The
@@ -2434,6 +2437,31 @@ LTV_PARITY_MOD = 20
 LTV_PARITY_RESIDUE = 7
 ORDERS_COHORT_LTV_PARITY_SQL = _ltv_sql(
     f" WHERE o_custkey % {LTV_PARITY_MOD} = {LTV_PARITY_RESIDUE}"
+)
+
+# Registered round 18 (staged round 17).
+register("ext_orders_cohort_ltv", orders_cohort_ltv, ORDERS_COHORT_LTV_SQL)
+
+
+def _streaming_ltv_parity(spark: SparkSession, sf: str) -> DataFrame:
+    # Lazy import — same circularity guard as the timeseries twins.
+    from dariadb_spark.streaming.ltv import streaming_ltv_parity
+
+    return streaming_ltv_parity(spark, sf)
+
+
+# Registered round 18 (staged round 17, second pass). The stateful
+# cohort-curve twin: 3-int64 per-customer state (cohort year + last
+# (epoch-day, orderkey)); append-mode delta rows finish through the
+# SHARED ltv_curve projection; in-order contract with equality-accept
+# (strictly-before would rewrite the cohort retroactively). Cents are
+# rounded HALF-UP in the Spark projection BEFORE the fold (ADVICE r17:
+# numpy's banker's rounding diverges on exact .5 cents). Oracle = the
+# batch curve SQL over the same 1-in-LTV_PARITY_MOD customer slice.
+register(
+    "streaming_ltv_parity",
+    _streaming_ltv_parity,
+    ORDERS_COHORT_LTV_PARITY_SQL,
 )
 
 # --- order-to-ship latency distribution -------------------------------------------
@@ -2587,6 +2615,9 @@ FROM agg ORDER BY priority"""
 
 SHIP_LATENCY_SQL = _ship_latency_sql()
 
+# Registered round 18 (staged round 17).
+register("ext_ship_latency", ship_latency, SHIP_LATENCY_SQL)
+
 
 # --- discount → volume response (OLS slope) ----------------------------------------
 # STAGED for the round-18 driver window (same staging discipline). The
@@ -2682,6 +2713,9 @@ ORDER BY returnflag"""
 
 
 DISCOUNT_RESPONSE_SQL = _discount_response_sql()
+
+# Registered round 18 (staged round 17).
+register("ext_discount_response", discount_response, DISCOUNT_RESPONSE_SQL)
 
 
 # --- k-core decomposition (graph family, sixth verb) -------------------------------
@@ -2832,3 +2866,6 @@ LIMIT {KCORE_TOP}"""
 
 
 PART_KCORE_SQL = _kcore_sql()
+
+# Registered round 18 (staged round 17, second pass).
+register("ext_part_kcore", part_kcore, PART_KCORE_SQL)

@@ -3810,6 +3810,9 @@ FROM scored GROUP BY id ORDER BY id"""
 
 SERIES_RS_RANGE_SQL = _rs_range_sql()
 
+# Registered round 18 (staged round 17).
+register("ext_series_rs_range", series_rs_range, SERIES_RS_RANGE_SQL)
+
 
 # --- peaks-over-threshold mean-excess screen -------------------------------------
 # STAGED for the round-18 driver window (third pass, same staging
@@ -3938,3 +3941,6 @@ FROM agg ORDER BY id"""
 
 
 SERIES_TAIL_EXCESS_SQL = _tail_excess_sql()
+
+# Registered round 18 (staged round 17, third pass).
+register("ext_series_tail_excess", series_tail_excess, SERIES_TAIL_EXCESS_SQL)

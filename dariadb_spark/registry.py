@@ -182,9 +182,10 @@ def _make_fn_query(fname: str) -> QueryFn:
 # DuckDB compare the driver rows used to carry). The Calculator surface
 # (FUNCTION_REGISTRY + apply_functions([one])) stays fully public —
 # only the driver rows consolidated. NINE slots freed (the ceiling
-# arithmetic: 218 + 9 r18-staged = 227 at r18, ~235 at r19, ~243 at
-# r20 — the 250 line clears through the build's end without another
-# forced merge). A5–A11 coverage now attests through fn_all's columns;
+# arithmetic, updated r18: 218 + 10 r17-staged = 228 at r18 (the third
+# staging pass added ext_series_tail_excess after this note was first
+# written), ~236 at r19, ~244 at r20 — the 250 line clears through the
+# build's end without another forced merge). A5–A11 coverage now attests through fn_all's columns;
 # COVERAGE.md maps each row explicitly. _make_fn_query above stays as
 # the per-function query builder the projection-pin test drives.
 
@@ -983,10 +984,11 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # peaks-over-threshold mean-excess screen — the family's extreme-value
 # verb; per-series exact rank-⌈0.9n⌉ cent threshold, strict
 # exceedances, HALF_UP mean excess; zero-exceedance series report an
-# explicit bounded-tail row). Registering all ten in r18 takes the
-# registry to 228 (218 + 10 — 218 after merge #10 folded the nine
-# fn_* rows into fn_all); compute the r18 window with
-# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r17 lands.
+# explicit bounded-tail row). EXECUTED r18: all ten registered at
+# their definition sites (registry 228 = 218 + 10), each hash-matched
+# against its oracle at sf0.01 in the pre-registration mini-driver
+# sweep; the r18 window below is the `tools/attestation_ledger.py
+# --plan 50` output at N = 228, verified violation-free.
 #
 # Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and
@@ -1224,44 +1226,43 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # Round-16 composition (EXECUTED — `tools/attestation_ledger.py --plan
 # 50` output at N = 219 after merge #5, verified identical to
 # CHECK_WINDOW below): ONE core row at stale-3 (partition_stats — the
-# R17 WINDOW (ledger --plan 50 at N = 228): six core rows at stale-3
-# (the bucket cohort + partition_file_stats + scheme_pattern_scan),
-# the ELEVEN round-16-staged registrations (priority 2, driver-checked
-# from day one), then the 23 stale-5 [EXT] rows in ledger order —
-# which include streaming_hdr_parity, whose r16 deregistration (the
-# merge-#7 guard bug, ADVICE r16, fixed above) left its last driver
-# row at r9 vintage — then the ten oldest stale-4 [EXT] rows.
-# 6 + 11 + 23 + 10 = exactly 50. Ledger verdict: no policy violations;
-# worst leftover staleness stale-4 (policy line: core ≤ 3, all ≤ 5 at
-# N = 228; re-verified violation-free after merge #9 at N = 227 and
-# after merge #10 at N = 218 — neither merge touched a window row).
+# R17 WINDOW (superseded; kept for the audit trail): six core rows at
+# stale-3, the eleven r16-staged registrations, the 23 stale-5 [EXT]
+# rows (incl. the restored streaming_hdr_parity), the ten oldest
+# stale-4 [EXT] rows — 6 + 11 + 23 + 10 = 50; ran 50/50 green
+# (CORRECTNESS_r17, zero err).
+# R18 WINDOW (ledger --plan 50 at N = 228 after the ten r17-staged
+# registrations landed): THIRTEEN core rows at stale-3 (the ledger
+# rotates the core cohort ahead of policy — core ≤ 3), then the TEN
+# round-18 registrations (never driver-attested — priority over every
+# stale [EXT] row), then the 27 oldest stale-5 [EXT] rows in ledger
+# order. 13 + 10 + 27 = exactly 50. Ledger verdict: no policy
+# violations; worst leftover staleness stale-5 (policy line: core ≤ 3,
+# all ≤ 5 at N = 228; the per-round full sf0.1 sweep remains the
+# HEAD-attestation closer for the 178 rows outside the window).
 CHECK_WINDOW = [
-    # priority 1: the six core reference rows at stale-3
-    "bucket_day", "bucket_hour_salted", "bucket_month", "bucket_week",
-    "partition_file_stats", "scheme_pattern_scan",
-    # priority 2: round-17 registrations (the eleven r16-staged ops) —
+    # priority 1: the thirteen core reference rows at stale-3
+    "bucket_hour", "bucket_minute30", "current_value", "erase_old_check",
+    "fn_all", "interval_scan", "interval_scan_flag", "load_min_max",
+    "min_max_time", "partition_file_stats_multi", "scheme_resolve",
+    "stat_block", "timepoint_asof",
+    # priority 2: round-18 registrations (the ten r17-staged ops) —
     # driver-checked from day one
-    "ext_customer_migration", "ext_order_interarrival",
-    "ext_orders_gini", "ext_orders_pareto", "ext_part_clustering",
-    "ext_part_link_pred", "ext_series_seq_acf",
-    "ext_series_turning_points", "ext_session_concurrency",
-    "ext_supplier_hhi", "streaming_turning_parity",
-    # priority 3a: the 23 stale-5 [EXT] rows, ledger order
-    "ext_dedup_keep_best", "ext_dedup_passages", "ext_doremi_reweight",
-    "ext_media_caption_align", "ext_media_keyframes",
-    "ext_select_excess_loss", "ext_session_window", "ext_sessionize",
-    "ext_sim_ann_pq", "ext_sketch_cms_rollup",
-    "ext_sketch_rollup_quantile", "ext_text_diversity",
-    "ext_text_kn_lm", "ext_text_pii_scan", "ext_text_zipf",
-    "ext_token_budget_plan", "ext_train_quality_lr", "ext_train_shuffle",
-    "ext_unigram_lm", "ext_unigram_token_stats", "streaming_hdr_parity",
-    "streaming_hll_parity", "streaming_quality_gate_parity",
-    # priority 3b: the ten oldest stale-4 [EXT] rows (ledger order)
-    "ext_corpus_drift_tvd", "ext_curate_corpus", "ext_decontaminate",
-    "ext_dedup_embedding_cosine", "ext_dedup_minhash_lsh",
-    "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
-    "ext_downsample_lttb", "ext_embedding_centroids",
-    "ext_embedding_pca",
+    "ext_discount_response", "ext_events_burstiness",
+    "ext_orders_cohort_ltv", "ext_part_jaccard_sim", "ext_part_kcore",
+    "ext_series_rs_range", "ext_series_tail_excess", "ext_ship_latency",
+    "streaming_burst_parity", "streaming_ltv_parity",
+    # priority 3: the 27 stale-5 [EXT] rows, ledger order
+    "ext_event_markov", "ext_ewma", "ext_gap_fill",
+    "ext_media_audio_dedup", "ext_media_frames", "ext_media_meta",
+    "ext_ngram_novelty", "ext_pack_shards", "ext_profile_documents",
+    "ext_rate", "ext_rollup_cascade", "ext_sample_stratified",
+    "ext_series_acf", "ext_series_mase", "ext_series_perm_entropy",
+    "ext_series_psi", "ext_series_sax", "ext_sim_ann_ivf",
+    "ext_sim_kmeans", "ext_sim_topk_cosine", "ext_split_train_test",
+    "ext_text_bm25", "ext_text_bpe_tokens", "ext_text_fingerprint",
+    "ext_text_gopher_quality", "ext_text_lang_histogram",
+    "ext_text_langid",
 ]
 
 

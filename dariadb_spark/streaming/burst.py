@@ -95,8 +95,27 @@ def _burst_fold(
     else:
         g = (ts - prev)[1:]
     n += int(g.size)
-    s += int(g.sum())
-    q += int((g * g).sum())
+    # Exact accumulation: numpy int64 would wrap SILENTLY past the
+    # Σg² envelope while the batch twin's ANSI sum raises LOUD — the
+    # asymmetry exact.py warns about. Fast numpy path only when
+    # provably safe (max|g|²·count < 2⁶²), else Python bigints; a
+    # final int64-fit check raises like ANSI does.
+    if g.size:
+        gmax = float(np.abs(g).max())
+        if gmax * gmax * g.size < float(2**62):
+            ds, dq = int(g.sum()), int((g * g).sum())
+        else:
+            ds = sum(int(x) for x in g)
+            dq = sum(int(x) * int(x) for x in g)
+        s += ds
+        q += dq
+    if not (-(2**63) <= s < 2**63 and 0 <= q < 2**63):
+        raise OverflowError(
+            f"burstiness fold: accumulator overflow for (id={key[0]}, "
+            f"flag={key[1]}) — sum_gap_s={s}, sum_gap2={q} exceed the "
+            "int64 state envelope (the batch twin raises here too, "
+            "under ANSI)"
+        )
     state.update((int(t[-1]), n, s, q))
     yield pd.DataFrame(
         {

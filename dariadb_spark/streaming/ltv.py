@@ -77,9 +77,10 @@ def _ltv_fold(
     days = (d.values.astype("datetime64[D]").astype(np.int64))
     years = pd.DatetimeIndex(d).year.to_numpy(np.int64)
     keys = pdf["o_orderkey"].to_numpy(np.int64)
-    cents = np.round(pdf["o_totalprice"].to_numpy(np.float64) * 100).astype(
-        np.int64
-    )
+    # cents arrive pre-rounded from the Spark projection (HALF-UP
+    # ``round`` — numpy's banker's rounding would diverge on exact
+    # .5 cents, same guard as levelshift/turning).
+    cents = pdf["cents"].to_numpy(np.int64)
     order = np.lexsort((keys, days))
     days, years, keys, cents = (
         days[order], years[order], keys[order], cents[order]
@@ -133,7 +134,12 @@ def streaming_ltv_log(
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )
-    stream = reader.parquet(orders_dir)
+    stream = reader.parquet(orders_dir).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "o_orderdate",
+    )
     log = stream.groupBy("o_custkey").applyInPandasWithState(
         _ltv_fold,
         outputStructType=_OUT_DDL,

@@ -202,29 +202,27 @@ def test_check_window_is_first_50_harness_queries():
     assert ordered[:50] == CHECK_WINDOW
     assert sorted(ordered) == sorted(REGISTRY)
     assert list(entrymod.queries())[:50] == CHECK_WINDOW
-    # round-17 (the executed ledger plan — tools/attestation_ledger.py
-    # --plan 50, verified violation-free at N = 228 after the eleven
-    # r16-staged registrations): SIX core rows at stale-3 (priority 1
-    # — the bucket cohort + partition_file_stats + scheme_pattern_scan),
-    # then the ELEVEN round-17 registrations (priority 2 — never ship a
-    # NEW query outside the window), then the 23 stale-5 [EXT] rows in
-    # ledger order — which include streaming_hdr_parity, the row merge
-    # #7's stale guard name silently deregistered for r16 (ADVICE r16,
-    # fixed; its last driver row is r9 vintage, so it re-enters here) —
-    # then the ten oldest stale-4 [EXT] rows. 6 + 11 + 23 + 10 = 50.
-    assert CHECK_WINDOW[:6] == [
-        "bucket_day", "bucket_hour_salted", "bucket_month",
-        "bucket_week", "partition_file_stats", "scheme_pattern_scan",
+    # round-18 (the executed ledger plan — tools/attestation_ledger.py
+    # --plan 50, verified violation-free at N = 228 after the ten
+    # r17-staged registrations): THIRTEEN core rows at stale-3
+    # (priority 1 — the ledger rotates the core cohort ahead of the
+    # core ≤ 3 policy line), then the TEN round-18 registrations
+    # (priority 2 — never ship a NEW query outside the window), then
+    # the 27 stale-5 [EXT] rows in ledger order. 13 + 10 + 27 = 50.
+    assert CHECK_WINDOW[:13] == [
+        "bucket_hour", "bucket_minute30", "current_value",
+        "erase_old_check", "fn_all", "interval_scan",
+        "interval_scan_flag", "load_min_max", "min_max_time",
+        "partition_file_stats_multi", "scheme_resolve", "stat_block",
+        "timepoint_asof",
     ]
-    assert set(CHECK_WINDOW[6:17]) == {
-        "ext_customer_migration", "ext_order_interarrival",
-        "ext_orders_gini", "ext_orders_pareto", "ext_part_clustering",
-        "ext_part_link_pred", "ext_series_seq_acf",
-        "ext_series_turning_points", "ext_session_concurrency",
-        "ext_supplier_hhi", "streaming_turning_parity",
+    assert set(CHECK_WINDOW[13:23]) == {
+        "ext_discount_response", "ext_events_burstiness",
+        "ext_orders_cohort_ltv", "ext_part_jaccard_sim",
+        "ext_part_kcore", "ext_series_rs_range",
+        "ext_series_tail_excess", "ext_ship_latency",
+        "streaming_burst_parity", "streaming_ltv_parity",
     }
-    # the guard-bug casualty re-enters the hard signal this round
-    assert "streaming_hdr_parity" in CHECK_WINDOW
     for merged_away in ("ext_sketch_kmv_distinct", "ext_sketch_kmv_union",
                         "ext_set_intersect", "ext_set_except",
                         "ext_asof_join", "ext_asof_nearest",
@@ -253,15 +251,15 @@ def test_check_window_is_first_50_harness_queries():
     assert "streaming_kmv_parity" in REGISTRY
     assert "streaming_sketch_parity" in REGISTRY
     assert CHECK_WINDOW[-3:] == [
-        "ext_downsample_lttb", "ext_embedding_centroids",
-        "ext_embedding_pca",
+        "ext_text_gopher_quality", "ext_text_lang_histogram",
+        "ext_text_langid",
     ]
-    # the r16 window (partition_stats + 11 r16 registrations + stale
+    # the r17 window (bucket cohort + 11 r17 registrations + stale
     # rows) rotated OUT — re-attested last round, stale-1 now
-    for fresh in ("partition_stats", "timepoint_asof",
-                  "ext_ann_recall_report", "ext_part_triangles",
-                  "ext_sketch_quantile_report",
-                  "streaming_ohlc_parity"):
+    for fresh in ("bucket_day", "bucket_hour_salted",
+                  "partition_file_stats", "scheme_pattern_scan",
+                  "ext_customer_migration", "streaming_turning_parity",
+                  "streaming_hdr_parity"):
         assert fresh not in CHECK_WINDOW, fresh
     # registration order is stable: core verbs register before EXT modules
     assert list(REGISTRY)[0] == "interval_scan"

@@ -511,6 +511,40 @@ def test_burst_fold_bridges_cuts_and_accepts_duplicates():
         list(_burst_fold((9, 1), iter([batch([1500])]), st2))
 
 
+def test_burst_fold_overflow_is_loud_and_bigint_path_exact():
+    """Past the numpy-provable Σg² envelope the fold takes the Python
+    bigint path and stays EXACT; past int64 it raises OverflowError
+    (loud, like the batch twin's ANSI sum) instead of wrapping."""
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.streaming.burst import _burst_fold
+
+    def batch(ts):
+        return pd.DataFrame({
+            "id": 9,
+            "time": np.array(ts, dtype=np.int64),
+            "value": np.zeros(len(ts)),
+            "flag": np.ones(len(ts), dtype=np.int64),
+        })
+
+    # one huge gap: g = 2.2e9 s → g² ≈ 4.84e18, above the 2⁶² numpy
+    # guard but inside int64 — the bigint path must land the exact
+    # value where naive int64 (g*g) would already be suspect at 2 gaps
+    big = 2_200_000_000
+    st = _FakeState()
+    out = list(_burst_fold(
+        (9, 1), iter([batch([0, big * 1000])]), st
+    ))
+    row = out[-1].iloc[0]
+    assert int(row["sum_gap2"]) == big * big
+
+    # a second identical gap pushes Σg² = 2·(2.2e9)² ≈ 9.68e18 > 2⁶³−1:
+    # must raise, not wrap negative
+    with pytest.raises(OverflowError, match="int64 state envelope"):
+        list(_burst_fold((9, 1), iter([batch([2 * big * 1000])]), st))
+
+
 # --- ext_part_kcore ---------------------------------------------------------------
 
 def _kcore_python(edges_set, k):
@@ -670,11 +704,13 @@ def test_ltv_fold_bridges_cohort_and_enforces_order():
     from dariadb_spark.streaming.ltv import _ltv_fold
 
     def batch(rows):  # rows: (orderkey, year, price)
+        # cents pre-rounded, as the Spark-side HALF-UP projection
+        # delivers them to the fold (streaming_ltv_log's selectExpr)
         return pd.DataFrame({
             "o_orderkey": np.array([r[0] for r in rows], dtype=np.int64),
             "o_custkey": 7,
-            "o_totalprice": np.array(
-                [r[2] for r in rows], dtype=np.float64
+            "cents": np.array(
+                [round(r[2] * 100) for r in rows], dtype=np.int64
             ),
             "o_orderdate": pd.to_datetime(
                 [f"{r[1]}-06-01" for r in rows]
