@@ -23,9 +23,13 @@ State model (100 TB / unbounded-stream argument): ≤20 (time, value)
 pairs per series — independent of throughput and history; RocksDB-backed
 in production exactly like the other stateful twins. In-order arrival
 per series is the module contract (the parity lands drops cut on an
-epoch-ms boundary, so LWW-duplicate times never straddle a batch); an
-out-of-order production feed puts a watermarked sort buffer in front,
-which changes nothing here.
+epoch-ms boundary, so LWW-duplicate times never straddle a batch), and
+the fold ENFORCES it (r18, the r17 fold-contract taxonomy): this is an
+LWW-class fold like rate.py — its batch oracle LWW-dedups on time, so
+a cross-batch duplicate-or-before time raises (it would rewrite
+already-emitted smoothed rows); in-batch duplicates are LWW'd
+silently, matching the batch plan. An out-of-order production feed
+puts a watermarked sort buffer in front, which changes nothing here.
 """
 
 from __future__ import annotations
@@ -86,6 +90,20 @@ def _ewma_fold(
     keep = np.ones(len(t), dtype=bool)
     keep[:-1] = t[1:] != t[:-1]
     t, v = t[keep], v[keep]
+    if times and int(t[0]) <= times[-1]:
+        # LWW-class in-order contract (the r17 fold taxonomy, rate.py
+        # precedent): EQUALITY raises too — this fold's batch oracle
+        # LWW-DEDUPS on time, so a duplicate time arriving in a LATER
+        # trigger would have to rewrite already-emitted smoothed rows
+        # (unlike turning/burst, whose batch oracles keep duplicates
+        # as samples). In-batch duplicates are LWW'd above; only the
+        # cross-batch case is disorder.
+        raise ValueError(
+            f"ewma fold: sample (id={key[0]}, time={int(t[0])}) does "
+            f"not advance past the carried buffer tail ({times[-1]}); "
+            "cross-batch duplicate-or-before input violates the "
+            "in-order ingest contract"
+        )
     out_num = np.empty(len(t), dtype=np.float64)
     out_den = np.empty(len(t), dtype=np.float64)
     for i in range(len(t)):

@@ -12,12 +12,17 @@ boundaries — the one part of the batch plan (a ``lead`` window) that a
 stream cannot replay without state.
 
 State model (100 TB / unbounded-stream argument): ONE row per user —
-the last event type seen — independent of throughput and history
-length; transitions leave the operator as an append-style log the
-moment they are known, so the sink can be a parquet/Delta transition
-table compacted downstream (the memory sink here is the parity
-harness). Late events are scored against the state as-of arrival (the
-streaming/stateful.py alert-fold policy; the batch path is the
+the last event type seen plus its (ts, event_id) order key —
+independent of throughput and history length; transitions leave the
+operator as an append-style log the moment they are known, so the
+sink can be a parquet/Delta transition table compacted downstream
+(the memory sink here is the parity harness). The fold carries the
+sample-class in-order contract (r18, the r17 taxonomy): transition
+chains read the SEQUENCE, so a cross-batch strictly-before event
+raises (it would silently rewrite the chain); an exact-duplicate
+(ts, event_id) key is an in-order sample — the batch lag window
+pairs duplicate rows too. An out-of-order production feed puts a
+watermarked sort buffer in front (the batch path stays the
 reconciliation of record — SCALE.md §5).
 
 Plan shape per micro-batch: one shuffle on ``user_id`` (stable state
@@ -51,8 +56,11 @@ _EVENTS_DDL = (
 #: emitted transition-log row
 _TRANSITION_DDL = "event_type STRING, next_type STRING"
 
-#: state: the user's last seen event type
-_STATE_DDL = "last_type STRING"
+#: state: the user's last seen event type + its (ts-ns, event_id) key
+#: — the key exists to make cross-batch disorder DETECTABLE (r18, the
+#: r17 fold-contract taxonomy): transition chains read the sequence,
+#: so a strictly-before arrival would silently rewrite the chain.
+_STATE_DDL = "last_type STRING, last_ts BIGINT, last_eid BIGINT"
 
 
 def _transition_fold(
@@ -60,10 +68,16 @@ def _transition_fold(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Per-user fold: sort the batch slice by (ts, event_id), chain it
-    onto the carried last type, emit one row per adjacent pair, carry
-    the new last type forward."""
-    last = state.get[0] if state.exists else None
+    """Per-user fold: sort the batch slice by (ts, event_id), enforce
+    the cross-batch in-order contract (sample-class, the turning/burst
+    taxonomy: an exact-duplicate key is an in-order sample — the batch
+    lag window pairs duplicate rows too — strictly-before raises),
+    chain it onto the carried last type, emit one row per adjacent
+    pair, carry the new last type forward."""
+    if state.exists:
+        last, last_ts, last_eid = state.get
+    else:
+        last, last_ts, last_eid = None, None, None
     parts = [p for p in pdfs if len(p)]
     if not parts:
         # state-timeout path unused (NoTimeout) but keep the generator
@@ -81,9 +95,18 @@ def _transition_fold(
     eid = np.concatenate([p["event_id"].to_numpy(np.int64) for p in parts])
     typ = np.concatenate([p["event_type"].to_numpy(object) for p in parts])
     order = np.lexsort((eid, ts))
-    typ = typ[order]
+    ts, eid, typ = ts[order], eid[order], typ[order]
+    if last_ts is not None and (
+        (int(ts[0]), int(eid[0])) < (int(last_ts), int(last_eid))
+    ):
+        raise ValueError(
+            f"markov fold: event (user={key[0]}, id={int(eid[0])}) "
+            f"sorts before the standing last event (ts={int(last_ts)}, "
+            f"id={int(last_eid)}); cross-batch out-of-order input "
+            "violates the in-order ingest contract"
+        )
     chain = ([last] if last is not None else []) + list(typ)
-    state.update((str(typ[-1]),))
+    state.update((str(typ[-1]), int(ts[-1]), int(eid[-1])))
     yield pd.DataFrame(
         {"event_type": chain[:-1], "next_type": chain[1:]}
     )

@@ -359,6 +359,38 @@ def streaming_hdr_parity(spark: SparkSession, sf_dir: str):
         raise
 
 
+def _hll_fold(key, pdfs, state):
+    """Per-language register merge (module-level so the fold-contract
+    pytest can drive it): pure per-index max over the occurrence
+    stream. Commutative-class (the r17 fold taxonomy): max is
+    associative/commutative AND idempotent, so re-ordered or duplicate
+    occurrences can never change the registers — no in-order contract,
+    by construction rather than by enforcement."""
+    import pandas as pd
+
+    (lang,) = key
+    if state.exists:
+        upd, regs = state.get
+        regs = list(regs)
+    else:
+        upd, regs = 0, [0] * 16
+    for pdf in pdfs:
+        for idx, rho in zip(pdf["idx"], pdf["rho"]):
+            i = int(idx)
+            if rho > regs[i]:
+                regs[i] = int(rho)
+    upd += 1
+    state.update((upd, regs))
+    yield pd.DataFrame(
+        {
+            "lang": [lang] * 16,
+            "upd": [upd] * 16,
+            "idx": list(range(16)),
+            "m": regs,
+        }
+    )
+
+
 def streaming_hll_state(
     spark: SparkSession,
     docs_dir: str,
@@ -407,33 +439,8 @@ def streaming_hll_state(
         )
     )
 
-    def update(key, pdfs, state):
-        import pandas as pd
-
-        (lang,) = key
-        if state.exists:
-            upd, regs = state.get
-            regs = list(regs)
-        else:
-            upd, regs = 0, [0] * 16
-        for pdf in pdfs:
-            for idx, rho in zip(pdf["idx"], pdf["rho"]):
-                i = int(idx)
-                if rho > regs[i]:
-                    regs[i] = int(rho)
-        upd += 1
-        state.update((upd, regs))
-        yield pd.DataFrame(
-            {
-                "lang": [lang] * 16,
-                "upd": [upd] * 16,
-                "idx": list(range(16)),
-                "m": regs,
-            }
-        )
-
     updated = ranked.groupBy("lang").applyInPandasWithState(
-        update,
+        _hll_fold,
         outputStructType="lang string, upd int, idx int, m int",
         stateStructType="upd int, regs array<int>",
         outputMode="update",

@@ -28,51 +28,60 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dariadb_spark.registry import REGISTRY  # noqa: E402
 from dariadb_spark.session import get_spark  # noqa: E402
 
-# r17 adjudication (VERDICT r16 item 2): the four paths the driver's
-# r16 control block flagged >2x with >=1 s absolute deltas. Judge-
+# r18 adjudication (VERDICT r17 item 2): the five paths the driver's
+# r17 run read >2x against the builder's committed HEAD map. Builder-
 # verified byte-identical since the committed map (git diff
-# 055daf7..HEAD over streaming/rollup.py, streaming/stateful.py,
-# operators/, functions/, sources/parquet_store.py, model.py is
-# EMPTY), so the prior is machine-epoch — but the house protocol is
-# to measure, not assume. The CONTROLS are byte-identical-code
-# queries of the same execution classes (checkpointed stateful
-# streaming parities, the temp-store file-stats sibling, a windowed
-# batch sibling), also untouched since 055daf7.
+# f551c08..HEAD over operators/, model.py, sources/, functions/,
+# ext/relational.py, ext/analytics.py shows ONLY the additive r18
+# register() blocks — no flagged function's body changed), so the
+# prior is machine-epoch (the r17 driver run's uniform shift: median
+# 1.177 over 218 queries) — but the house protocol is to measure, not
+# assume. ext_derived_series is on its THIRD consecutive flag: if it
+# reads >1.3x isolated, profile the stage breakdown
+# (operators/downsample.py id-allocator join + row_number) instead of
+# filing another epoch exoneration. The CONTROLS are
+# byte-identical-code queries of the same execution classes (pruned
+# interval scan, broadcast-join batch sibling, bucket downsample
+# sibling, temp-store sibling, windowed batch sibling), all untouched
+# since f551c08 and none flagged by the r17 driver run.
 FLAGGED = [
-    "partition_file_stats_multi",     # driver r16: 3.25x (1.55 -> 5.03 s)
-    "streaming_rollup_parity",        # driver r16: 2.31x (2.30 -> 5.32 s)
-    "streaming_current_value_parity",  # driver r16: 2.41x (1.12 -> 2.71 s)
-    "ext_derived_series",             # driver r16: 1.99x (1.03 -> 2.06 s)
+    "interval_scan_flag",        # driver r17: 2.36x (0.137 -> 0.323 s)
+    "ext_revenue_yoy",           # driver r17: 2.27x (0.273 -> 0.622 s)
+    "ext_derived_series",        # driver r17: 2.21x (0.824 -> 1.821 s); 3rd flag
+    "partition_file_stats",      # driver r17: 2.03x (0.248 -> 0.504 s)
+    "ext_top_orders_per_cust",   # driver r17: 2.03x (0.162 -> 0.328 s)
 ]
 CONTROLS = [
-    "streaming_markov_parity",     # heaviest checkpointed stateful twin
-    "streaming_sessionize_parity",  # stateful streaming sibling
-    "streaming_ewma_parity",       # stateful streaming sibling
-    "partition_file_stats",        # same temp-store layout machinery
-    "ext_moving_avg",              # windowed batch sibling
+    "interval_scan",             # same pruned-scan path, no bitmask
+    "ext_revenue_by_nation",     # broadcast star-join sibling
+    "bucket_week",               # bucket downsample sibling
+    "partition_stats",           # same temp-store layout machinery
+    "ext_moving_avg",            # windowed batch sibling
 ]
 
-# The committed-map epoch the driver's r16 control block compared
-# against: commit 055daf7, the builder's post-merge 216-query refresh.
-# (The repo's CURRENT BENCH_FULL.json was overwritten by the driver's
-# own r16 run — which CONTAINS the flagged values — so ratios must be
-# taken against the builder epoch, pinned here.)
-COMMITTED_055DAF7 = {
-    "partition_file_stats_multi": 1.5487,
-    "streaming_rollup_parity": 2.3043,
-    "streaming_current_value_parity": 1.1214,
-    "ext_derived_series": 1.0319,
-    "streaming_markov_parity": 4.5686,
-    "streaming_sessionize_parity": 1.0249,
-    "streaming_ewma_parity": 1.9534,
-    "partition_file_stats": 0.3392,
-    "ext_moving_avg": 0.1648,
+# The committed-map epoch the driver's r17 control block compared
+# against: commit f551c08, the builder's post-merge-#10 218-query
+# refresh (carried unchanged into 4049f17, the builder's last r17
+# commit). (The repo's CURRENT BENCH_FULL.json was overwritten by the
+# driver's own r17 run — which CONTAINS the flagged values — so ratios
+# must be taken against the builder epoch, pinned here.)
+COMMITTED_F551C08 = {
+    "interval_scan_flag": 0.1368,
+    "ext_revenue_yoy": 0.2734,
+    "ext_derived_series": 0.8238,
+    "partition_file_stats": 0.2479,
+    "ext_top_orders_per_cust": 0.1616,
+    "interval_scan": 0.1353,
+    "ext_revenue_by_nation": 0.3996,
+    "bucket_week": 0.1629,
+    "partition_stats": 0.146,
+    "ext_moving_avg": 0.1745,
 }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    committed = COMMITTED_055DAF7
+    committed = COMMITTED_F551C08
     spark = get_spark("dariadb-remeasure")
     spark.sparkContext.setLogLevel("ERROR")
     names = FLAGGED + CONTROLS
