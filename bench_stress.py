@@ -2538,6 +2538,7 @@ def main() -> None:
     kc_s, kc_n = stress_part_kcore(spark)
     tx_s, tx_n = stress_series_tail_excess(spark)
     sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
+    fhe_s, fhh_s, fh_n = stress_funnel_hdr_swap(spark)
     print(
         json.dumps(
             {
@@ -2651,6 +2652,8 @@ def main() -> None:
                     "streaming_burst_2m_batch_twin": round(sbur_batch_s, 4),
                     "part_kcore_195k_edges": round(kc_s, 4),
                     "series_tail_excess_20m": round(tx_s, 4),
+                    "funnel_hdr_swap_10m_exact": round(fhe_s, 4),
+                    "funnel_hdr_swap_10m_sketch": round(fhh_s, 4),
                     "streaming_ltv_2m": round(sltv_s, 4),
                     "streaming_ltv_2m_batch_twin": round(sltv_batch_s, 4),
                     "streaming_runlen_2m": round(srl_s, 4),
@@ -6068,6 +6071,63 @@ def stress_series_tail_excess(spark) -> tuple[float, int]:
     bad = sum(1 for r in got if tuple(r[1:]) != row)
     assert bad == 0, (got[0], row)
     return secs, n
+
+
+FUNNEL_HDR_USERS = 4_000_000
+
+
+def stress_funnel_hdr_swap(spark) -> tuple[float, float, int]:
+    """The rank→sketch swap A/B (VERDICT r17 item 4): funnel latency at
+    10M input rows (4M users view+click, 2M purchase), run through BOTH
+    branches of ``funnel_latency_op`` — the exact per-row rank window
+    (rank_threshold above the data) and the HDR log₂×16 weighted-count
+    walk (rank_threshold=0) — with the BOUND-ERROR assertion: count and
+    mean are branch-identical (both are plain sums), and each HDR
+    median/p90 estimate sits within the documented ≤ 1/16 relative
+    error of the exact order statistic (+1 ms absolute slack for the
+    sub-16 linear range). Lags ride a hashed wide domain (1..9973 ms
+    view→click, up to ~60 s click→purchase) so buckets span octaves —
+    the unbounded-domain shape the swap exists for."""
+    from dariadb_spark.ext.analytics import funnel_latency_op
+
+    u = FUNNEL_HDR_USERS
+    views = spark.range(u).selectExpr(
+        "id AS id", "id AS time", "0.0d AS value", "CAST(2 AS BIGINT) AS flag"
+    )
+    clicks = spark.range(u).selectExpr(
+        "id AS id",
+        "id + (id * 2654435761) % 9973 + 1 AS time",
+        "0.0d AS value",
+        "CAST(1 AS BIGINT) AS flag",
+    )
+    buys = spark.range(u).where("id % 2 = 0").selectExpr(
+        "id AS id",
+        "id + (id * 2654435761) % 9973 + 1"
+        " + ((id * 998244353) % 241 + 1) * 250 AS time",
+        "0.0d AS value",
+        "CAST(8 AS BIGINT) AS flag",
+    )
+    meas = views.unionByName(clicks).unionByName(buys)
+    t0 = time.perf_counter()
+    exact = {
+        r.transition: tuple(r)[1:]
+        for r in funnel_latency_op(meas, rank_threshold=10 * u).collect()
+    }
+    exact_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hdr = {
+        r.transition: tuple(r)[1:]
+        for r in funnel_latency_op(meas, rank_threshold=0).collect()
+    }
+    hdr_s = time.perf_counter() - t0
+    assert set(exact) == {"view_to_click", "click_to_purchase"} == set(hdr)
+    for tr in exact:
+        en, emean, emed, ep90 = exact[tr]
+        hn, hmean, hmed, hp90 = hdr[tr]
+        assert (en, emean) == (hn, hmean), (tr, exact[tr], hdr[tr])
+        assert abs(hmed - emed) <= emed / 16 + 1, (tr, emed, hmed)
+        assert abs(hp90 - ep90) <= ep90 / 16 + 1, (tr, ep90, hp90)
+    return exact_s, hdr_s, 2 * u + u // 2
 
 
 if __name__ == "__main__":

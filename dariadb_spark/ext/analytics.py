@@ -881,7 +881,91 @@ def funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_latency_op(measurements(spark, sf))
 
 
-def funnel_latency_op(meas: DataFrame) -> DataFrame:
+#: per-transition row count above which the rank-statistic percentiles
+#: route through the HDR log₂×16 weighted-count walk instead of the
+#: per-row rank window — the documented 100 TB escape hatch for
+#: unbounded-domain distribution queries (BASELINE.md; the
+#: _cc_union_find / _cc_label_propagation adaptive precedent in
+#: ext/dedup.py). Fixture and sf0.1 sizes sit far below it, so the
+#: registered driver row always takes the EXACT branch.
+FUNNEL_RANK_SKETCH_THRESHOLD = 50_000_000
+
+
+def _hdr_rank_walk(lags: DataFrame, rank_specs: dict[str, str]) -> DataFrame:
+    """Approximate per-transition rank statistics off HDR log₂×16
+    weighted bucket counts (the exact integer binning of
+    ext/sketches.py sketch_quantile_hdr — ``length(bin(x))`` is an
+    exact floor(log₂), no transcendental).
+
+    ``rank_specs`` maps an output column name to a 1-based target-rank
+    SQL expression over ``m`` (the group row count), e.g. p90 →
+    ``(9 * m + 9) DIV 10``. For each spec the walk finds the bucket
+    holding that rank in the cumulative count and linearly
+    interpolates inside it: the true order statistic lies in
+    [lo_edge, lo_edge + width), and width ≤ lo_edge/16 above the
+    linear range, so the estimate carries a BOUNDED ≤ 1/16 RELATIVE
+    error regardless of the lag domain — the property that lets this
+    replace a per-row rank window whose single cumulative task is the
+    sequential bottleneck at billions of rows.
+
+    Plan shape: one map-side-combined (transition, bucket) aggregate —
+    ≤ 16·63 buckets per transition regardless of input size — then
+    dimension-sized windows and joins on the bucket table only.
+    """
+    sub = 16  # 2^HDR_SUB_BITS, ext/sketches.py
+    bucket = (
+        f"CASE WHEN lag_ms < {sub} THEN lag_ms "
+        f"ELSE (length(bin(lag_ms)) - 4) * {sub} "
+        f"  + (shiftright(lag_ms, length(bin(lag_ms)) - 5) & {sub - 1}) "
+        "END"
+    )
+    lo_edge = (
+        f"CASE WHEN bucket < {sub} THEN bucket "
+        f"ELSE shiftleft({sub} + bucket % {sub}, "
+        f"CAST(bucket / {sub} AS INT) - 1) END"
+    )
+    width = (
+        f"CASE WHEN bucket < {sub} THEN 1L "
+        f"ELSE shiftleft(1L, CAST(bucket / {sub} AS INT) - 1) END"
+    )
+    binned = (
+        lags.selectExpr("transition", f"{bucket} AS bucket")
+        .groupBy("transition", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .selectExpr(
+            "transition", "bucket", "cnt",
+            f"{lo_edge} AS lo_edge", f"{width} AS width",
+        )
+    )
+    wc = (
+        Window.partitionBy("transition")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        "*",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("transition")).alias("m"),
+    )
+    out = None
+    for name, r_expr in rank_specs.items():
+        est = (
+            cum.selectExpr("*", f"({r_expr}) AS r")
+            .where("cum >= r AND cum - cnt < r")
+            .selectExpr(
+                "transition",
+                "lo_edge + width * ((r - (cum - cnt)) / cnt)"
+                f" AS {name}",
+            )
+        )
+        out = est if out is None else out.join(est, "transition")
+    return out
+
+
+def funnel_latency_op(
+    meas: DataFrame,
+    rank_threshold: int = FUNNEL_RANK_SKETCH_THRESHOLD,
+) -> DataFrame:
     """Per stage transition (view→click, click→purchase): converted-user
     count, mean, median, and p90 conversion lag in ms.
 
@@ -894,10 +978,17 @@ def funnel_latency_op(meas: DataFrame) -> DataFrame:
 
     Plan shape (100 TB): the funnel's three per-user min-aggregates
     partition on `id` (the clustering key); the distribution pass ranks
-    n_converted rows in TWO partitions (one per transition) — at
-    billions of users swap that final rank walk for the HDR-sketch
-    quantile (`ext_sketch_quantile_hdr`) over the same lag column; the
-    per-user reduction, which carries the data volume, is unchanged.
+    n_converted rows in TWO partitions (one per transition). ABOVE
+    ``rank_threshold`` converted rows per transition, that rank window
+    — whose single cumulative task per transition is the sequential
+    bottleneck at billions of users — is SWAPPED for the HDR log₂×16
+    weighted-count walk (:func:`_hdr_rank_walk`): median and p90
+    become bounded-error (≤ 1/16 relative) estimates off a
+    dimension-sized bucket table, while count and mean stay exact
+    (plain sums). The branch decision is one dimension-sized count,
+    the adaptive pattern of ext/dedup.py's union-find/label-prop
+    split; a production pipeline persists ``lags`` across the count
+    and the stats pass.
     """
     s1 = meas.where(F.col("flag") == _FUNNEL[0]).groupBy("id").agg(
         F.min("time").alias("t1")
@@ -927,6 +1018,37 @@ def funnel_latency_op(meas: DataFrame) -> DataFrame:
         (F.col("t3") - F.col("t2")).alias("lag_ms"),
     )
     lags = lag12.unionByName(lag23)
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    # dimension-sized branch decision (2 rows), the CC adaptive pattern
+    max_m = (
+        lags.groupBy("transition").count().agg(F.max("count")).collect()
+    )[0][0] or 0
+    if max_m > rank_threshold:
+        stats = lags.groupBy("transition").agg(
+            F.count("*").alias("n_users"),
+            F.sum("lag_ms").alias("sum_lag"),
+        )
+        ests = _hdr_rank_walk(
+            lags,
+            {
+                "med_lo": "(m + 1) DIV 2",
+                "med_hi": "(m + 2) DIV 2",
+                "p90_est": "(9 * m + 9) DIV 10",
+            },
+        )
+        return (
+            stats.join(ests, "transition")
+            .selectExpr(
+                "transition",
+                "n_users",
+                ratio_round_spark("sum_lag", "n_users", 1)
+                + " AS mean_lag_ms",
+                "(med_lo + med_hi) / 2.0d AS median_lag_ms",
+                "CAST(round(p90_est) AS BIGINT) AS p90_ms",
+            )
+            .orderBy("transition")
+        )
     wr = Window.partitionBy("transition").orderBy("lag_ms", "id")
     ranked = lags.select(
         "transition", "lag_ms",
@@ -947,8 +1069,6 @@ def funnel_latency_op(meas: DataFrame) -> DataFrame:
         .groupBy("transition")
         .agg(F.max("lag_ms").alias("p90_ms"))
     )
-    from dariadb_spark.ext.exact import ratio_round_spark
-
     return (
         stats.join(med, "transition")
         .join(p90, "transition")

@@ -2869,3 +2869,211 @@ PART_KCORE_SQL = _kcore_sql()
 
 # Registered round 18 (staged round 17, second pass).
 register("ext_part_kcore", part_kcore, PART_KCORE_SQL)
+
+
+# --- degree assortativity (graph family, eighth verb) ------------------------------
+# STAGED for the round-19 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted closed-form
+# grid + ≥100k-row stress now, registered at the next rotation). After
+# importance (pagerank/HITS), census (triangles), texture (clustering),
+# screens (link_pred/jaccard_sim) and cohesion (kcore), this is the
+# MIXING verb: Newman's degree assortativity — do high-degree parts
+# co-purchase with other high-degree parts (r > 0, a hub club) or with
+# leaves (r < 0, hub-and-spoke)? One scale-free number a recommender
+# planner reads next to the clustering histogram.
+
+
+def part_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`part_assortativity_op`)."""
+    return part_assortativity_op(load_table(spark, sf, "lineitem"))
+
+
+def part_assortativity_op(li: DataFrame) -> DataFrame:
+    """One-row degree-mixing summary of the support-≥2 co-purchase
+    graph: (n_nodes, n_edges, sum_deg, assort).
+
+    Newman's r over the symmetrized edge list (each undirected edge
+    contributes both (dx, dy) and (dy, dx); M = 2·|E|):
+    r = (M·Σdxdy·2 − S1²) / (M·Sq − S1²) with S1 = Σ(dx+dy),
+    Sq = Σ(dx²+dy²) — an EXACT rational: degrees are int64, the n²
+    products ride DECIMAL(38,0)/HUGEINT (the Gini/HHI wide recipe), and
+    the output is the HALF_UP 6-dp signed wide ratio. A
+    degree-regular graph has den = 0 (r undefined); the row reports an
+    explicit 0.0 there (documented, matched in the oracle) rather than
+    NULL — assortativity of a regular graph is conventionally 0.
+
+    Plan shape (100 TB): one basket-pair shuffle (the graph family's
+    shared cost), two BROADCAST degree joins (dimension-sized), then a
+    single 1-row global aggregate — no window, no iteration, no
+    cartesian (the 1-row × 1-row combine is a broadcast join)."""
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
+
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MIN_SUP)
+        .select("x", "y")
+    )
+    deg = (
+        pairs.selectExpr("x AS node").unionByName(pairs.selectExpr("y AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    dx = deg.selectExpr("node AS nx", "deg AS degx")
+    dy = deg.selectExpr("node AS ny", "deg AS degy")
+    edges = (
+        pairs.join(F.broadcast(dx), pairs.x == F.col("nx"))
+        .join(F.broadcast(dy), pairs.y == F.col("ny"))
+        .selectExpr(
+            "CAST(degx AS DECIMAL(38,0)) AS wx",
+            "CAST(degy AS DECIMAL(38,0)) AS wy",
+            "degx + degy AS s1_term",
+        )
+    )
+    sums = edges.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("s1_term").alias("s1"),
+        F.sum(F.expr("wx * wy")).alias("sxy_half"),
+        F.sum(F.expr("wx * wx + wy * wy")).alias("sq"),
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    num = (
+        "2 * n_edges * (2 * sxy_half)"
+        " - CAST(s1 AS DECIMAL(38,0)) * s1"
+    )
+    den = (
+        "2 * n_edges * sq - CAST(s1 AS DECIMAL(38,0)) * s1"
+    )
+    return (
+        F.broadcast(nn).crossJoin(sums)
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "s1 AS sum_deg",
+            f"CASE WHEN ({den}) = 0 THEN 0.0d ELSE "
+            + ratio_round_signed_wide_spark(num, den, 6)
+            + " END AS assort",
+        )
+    )
+
+
+def _assortativity_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_duck
+
+    num = "2 * n_edges * (2 * sxy_half) - CAST(s1 AS HUGEINT) * s1"
+    den = "2 * n_edges * sq - CAST(s1 AS HUGEINT) * s1"
+    return f"""WITH
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY x, y HAVING count(*) >= {BASKET_MIN_SUP}),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT x AS node FROM pairs
+          UNION ALL SELECT y AS node FROM pairs)
+        GROUP BY node),
+e AS (SELECT dx.deg AS degx, dy.deg AS degy
+      FROM pairs p
+      JOIN deg dx ON p.x = dx.node
+      JOIN deg dy ON p.y = dy.node),
+sums AS (SELECT count(*) AS n_edges,
+                CAST(sum(degx + degy) AS BIGINT) AS s1,
+                sum(CAST(degx AS HUGEINT) * degy) AS sxy_half,
+                sum(CAST(degx AS HUGEINT) * degx
+                    + CAST(degy AS HUGEINT) * degy) AS sq
+         FROM e),
+nn AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       s1 AS sum_deg,
+       CASE WHEN ({den}) = 0 THEN 0.0 ELSE
+       {ratio_round_signed_wide_duck(num, den, 6)} END AS assort
+FROM nn, sums"""
+
+
+PART_ASSORTATIVITY_SQL = _assortativity_sql()
+
+
+# --- order seasonality (calendar mix) -----------------------------------------------
+# STAGED for the round-19 driver window (same staging discipline). The
+# BI family's CALENDAR verb: how do orders and revenue distribute over
+# the month-of-year? The demand-planning baseline read before any
+# forecast (Holt) or drift screen (PSI) makes sense — a 12-row summary
+# whose shares are exact HALF_UP micro rationals of int64 cents.
+
+
+def orders_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`orders_seasonality_op`)."""
+    return orders_seasonality_op(load_table(spark, sf, "orders"))
+
+
+def orders_seasonality_op(orders: DataFrame) -> DataFrame:
+    """(month, n_orders, cents, orders_share_micro, cents_share_micro)
+    — calendar-month mix of order count and revenue.
+
+    Exactness: cents are the HALF_UP int64 projection of o_totalprice
+    (the house money convention); shares are HALF_UP(10⁶·part/total)
+    integer rationals — both engines compute the identical closure, no
+    float accumulation anywhere. Months with no orders are absent (an
+    explicit 12-row calendar would fabricate zero rows the oracle
+    cannot distinguish from data).
+
+    Plan shape (100 TB): one pruned scan (ReadSchema: o_orderdate,
+    o_totalprice) → a map-side-combined 12-key aggregate → totals as a
+    1-row broadcast join → a stateless share projection. No window, no
+    per-row rank, nothing driver-side."""
+    monthly = (
+        orders.selectExpr(
+            "month(o_orderdate) AS month",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    totals = monthly.agg(
+        F.sum("n_orders").alias("t_orders"),
+        F.sum("cents").alias("t_cents"),
+    )
+    return (
+        monthly.join(F.broadcast(totals))
+        .selectExpr(
+            "month",
+            "n_orders",
+            "cents",
+            "CAST((2 * n_orders * 1000000 + t_orders)"
+            " DIV (2 * t_orders) AS BIGINT) AS orders_share_micro",
+            "CAST((2 * cents * 1000000 + t_cents)"
+            " DIV (2 * t_cents) AS BIGINT) AS cents_share_micro",
+        )
+        .orderBy("month")
+    )
+
+
+ORDERS_SEASONALITY_SQL = """WITH
+monthly AS (SELECT month(o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY month),
+tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t_orders,
+               CAST(sum(cents) AS BIGINT) AS t_cents FROM monthly)
+SELECT CAST(month AS BIGINT) AS month, n_orders, cents,
+       (2 * n_orders * 1000000 + t_orders) // (2 * t_orders)
+         AS orders_share_micro,
+       (2 * cents * 1000000 + t_cents) // (2 * t_cents)
+         AS cents_share_micro
+FROM monthly, tot
+ORDER BY month"""

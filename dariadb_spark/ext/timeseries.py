@@ -3944,3 +3944,139 @@ SERIES_TAIL_EXCESS_SQL = _tail_excess_sql()
 
 # Registered round 18 (staged round 17, third pass).
 register("ext_series_tail_excess", series_tail_excess, SERIES_TAIL_EXCESS_SQL)
+
+
+# --- variance-ratio random-walk screen ---------------------------------------------
+# STAGED for the round-19 driver window (the staging every late operator
+# follows: implemented + oracled + pytest parity + planted closed-form
+# grid + ≥100k-row stress now, registered at the next rotation). The
+# long-memory family's HYPOTHESIS verb, next to rs_range's descriptive
+# wander ratio: Lo–MacKinlay's variance ratio — is the series a random
+# walk? For iid increments the variance of q-period sums is q× the
+# 1-period variance, so VR ≈ 1; VR > 1 reads persistence (trending),
+# VR < 1 mean reversion. Computed on sequence-positional q-sample
+# blocks as an EXACT rational (the rs_range integer algebra — no float
+# until the final 6-dp division).
+
+VR_BLOCK = 4  # samples per block (fixture slices hold ~30 samples/id)
+
+
+def series_vr_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`series_vr_test_op`)."""
+    return series_vr_test_op(
+        scan_interval(measurements(spark, sf), None, FROM_MS, TO_MS, 0),
+        VR_BLOCK,
+    )
+
+
+def series_vr_test_op(meas: DataFrame, q: int) -> DataFrame:
+    """(id, n_blocks, vr) — the per-series variance ratio over complete
+    q-sample blocks in the (time, value, flag) sequence order.
+
+    Both variances run over the SAME n' = n_b·q complete-block samples
+    (a trailing partial block is excluded from both sides, so the two
+    sums see an identical multiset): with cents c, singles carry
+    S1 = Σc, Q1 = Σc² and blocks carry B_j = block sums, SB = ΣB,
+    QB = ΣB². Sample variances cancel into the single exact rational
+    VR = (n_b·QB − SB²)·n'·(n'−1) / (q·(n'·Q1 − S1²)·n_b·(n_b−1)),
+    emitted as the HALF_UP 6-dp wide ratio (DECIMAL(38,0)/HUGEINT
+    through the products). Series need n_b ≥ 2 and a nonzero 1-period
+    variance (n'·Q1 − S1² > 0), else VR does not exist and the series
+    drops out. Envelope: |cents| ≤ 10⁶ with ≤ 10⁵ samples/series keeps
+    every product inside DECIMAL(38,0); past that pre-scale cents
+    (the burstiness convention).
+
+    Plan shape (100 TB): one pruned scan → ONE shuffle on id carrying
+    the rank window → a per-(id, block) partial agg → a per-id agg of
+    ≤ n/q rows → a stateless 6-dp projection. Nothing global, no
+    iteration."""
+    w_id = Window.partitionBy("id").orderBy("time", "value", "flag")
+    ranked = meas.select(
+        "id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        (F.row_number().over(w_id) - 1).alias("rn0"),
+    ).select("id", "c", F.expr(f"rn0 DIV {q}").alias("b"))
+    blocks = (
+        ranked.groupBy("id", "b")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("c").alias("bs"),
+            F.sum(F.col("c") * F.col("c")).alias("bq"),
+        )
+        .where(F.col("cnt") == q)
+    )
+    per_id = blocks.groupBy("id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("bs").alias("s1"),
+        F.sum("bq").alias("q1"),
+        F.sum(F.expr("CAST(bs AS DECIMAL(38,0)) * bs")).alias("qb"),
+    )
+    num = (
+        "(n_blocks * qb - CAST(s1 AS DECIMAL(38,0)) * s1)"
+        f" * ({q} * n_blocks) * ({q} * n_blocks - 1)"
+    )
+    den = (
+        f"{q} * (({q} * n_blocks) * CAST(q1 AS DECIMAL(38,0))"
+        " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+        " * n_blocks * (n_blocks - 1)"
+    )
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
+
+    return (
+        per_id.where(
+            (F.col("n_blocks") >= 2)
+            & (
+                F.expr(
+                    f"({q} * n_blocks) * CAST(q1 AS DECIMAL(38,0))"
+                    " - CAST(s1 AS DECIMAL(38,0)) * s1"
+                )
+                > 0
+            )
+        )
+        .selectExpr(
+            "id",
+            "n_blocks",
+            ratio_round_signed_wide_spark(num, den, 6) + " AS vr",
+        )
+        .orderBy("id")
+    )
+
+
+def _vr_test_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_duck
+
+    q = VR_BLOCK
+    num = (
+        "(n_blocks * qb - CAST(s1 AS HUGEINT) * s1)"
+        f" * ({q} * n_blocks) * ({q} * n_blocks - 1)"
+    )
+    den = (
+        f"{q} * (({q} * n_blocks) * CAST(q1 AS HUGEINT)"
+        " - CAST(s1 AS HUGEINT) * s1)"
+        " * n_blocks * (n_blocks - 1)"
+    )
+    return f"""WITH {MEAS_CTE_SQL},
+pts AS (SELECT id, CAST(round(value * 100) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY time, value, flag) - 1 AS rn0
+        FROM measurements
+        WHERE time BETWEEN {FROM_MS} AND {TO_MS}),
+blocks AS (SELECT id, rn0 // {q} AS b, count(*) AS cnt,
+                  CAST(sum(c) AS BIGINT) AS bs,
+                  CAST(sum(c * c) AS BIGINT) AS bq
+           FROM pts GROUP BY id, b HAVING count(*) = {q}),
+per_id AS (SELECT id, count(*) AS n_blocks,
+                  CAST(sum(bs) AS BIGINT) AS s1,
+                  CAST(sum(bq) AS BIGINT) AS q1,
+                  sum(CAST(bs AS HUGEINT) * bs) AS qb
+           FROM blocks GROUP BY id)
+SELECT id, n_blocks,
+       {ratio_round_signed_wide_duck(num, den, 6)} AS vr
+FROM per_id
+WHERE n_blocks >= 2
+  AND ({q} * n_blocks) * CAST(q1 AS HUGEINT)
+      - CAST(s1 AS HUGEINT) * s1 > 0
+ORDER BY id"""
+
+
+SERIES_VR_TEST_SQL = _vr_test_sql()

@@ -105,8 +105,12 @@ def derived_id_mapping(
         F.col("name").alias("dname"), F.col("id").alias("existing_id")
     )
     with_existing = named.join(F.broadcast(existing), "dname", "left")
+    # max over RAW source ids equals max over distinct ids — reading
+    # meas directly keeps the distinct+window subtree out of this
+    # branch (r18 profile: the old named-based subtree re-executed the
+    # full scan + distinct shuffle a second time inside one plan)
     max_id = (
-        named.select(F.col("id").alias("m"))
+        meas.select(F.col("id").alias("m"))
         .unionByName(cat_df.select(F.col("id").alias("m")))
         .agg(F.coalesce(F.max("m"), F.lit(-1)).cast("bigint").alias("max_id"))
     )
@@ -158,6 +162,11 @@ def downsample_to_series(
         raise ValueError(f"unknown statistic function {fn_name!r}")
     map_df = derived_id_mapping(meas, catalog, fn_name, interval)
     if sync_catalog:
+        # the mapping is series-cardinality (dimension-sized); pin it
+        # once so the register_bulk collect and the broadcast join
+        # below don't each re-execute the scan + distinct + allocation
+        # window (r18 profile: 3 recomputations of the same subtree)
+        map_df = map_df.localCheckpoint()
         catalog.register_bulk(map_df)
     return (
         meas.groupBy("id", bucket_column(interval))

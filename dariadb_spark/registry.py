@@ -1133,10 +1133,28 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      alive) by tests/test_oracle_parity.py::
 #      test_fn_single_queries_are_fn_all_projections. NINE slots
 #      freed; the 250 ceiling now clears through r20.
-#   11. NEXT to audit (r18, when slots are needed): no concrete pair
-#      currently — the remaining registry has no same-slice
-#      projection/filter subsumption after #10; revisit after the r19
-#      staging pass lands.
+#   11. AUDITED r18 (VERDICT r17 item 3), decision: NO MERGE. Two
+#      candidate pairs examined:
+#      (a) partition_file_stats vs partition_file_stats_multi — NOT a
+#      subsumption: different INPUTS (whole fixture table vs an
+#      interval slice landed as a 2-append multi-file temp store),
+#      different grains (one whole-table row vs rank-keyed per-file
+#      rows), different properties under test (whole-table bounds vs
+#      the torn-file bounds_ok over a physical _p_date layout). A
+#      union-composite with a tag column is mechanically possible but
+#      is not a projection merge — it would trade two orthogonal
+#      failure signals for one slot the ceiling does not need.
+#      (b) the bucket family (minute30/hour/day/week/month) — IS a
+#      legitimate fn_all-shaped composite (bucket_all = union of the
+#      five grains with a grain column; each row = filter+projection;
+#      per-grain DuckDB parity would stay in pytest). DEFERRED on the
+#      ceiling arithmetic: post-#10 the registry lands ~236 at r19 /
+#      ~244 at r20 — the 250 line clears without it — and the five
+#      rows are CORE reference surface (SURVEY §2 W1) where per-grain
+#      driver rows isolate faults per trunc path. RECIPE RECORDED: if
+#      an r19 staging pass overshoots (>6 rows above plan), execute
+#      (b) exactly as #10 — register bucket_all, drop the five, pin
+#      with a test_bucket_single_queries_are_bucket_all_projections.
 # Each merge frees a slot while keeping the operator IMPLEMENTED and
 # pytest-covered — only the driver row consolidates.
 #
