@@ -2537,8 +2537,24 @@ def main() -> None:
     sbur_s, sbur_batch_s, sbur_n = stress_streaming_burst(spark)
     kc_s, kc_n = stress_part_kcore(spark)
     tx_s, tx_n = stress_series_tail_excess(spark)
-    sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
-    fhe_s, fhh_s, fh_n = stress_funnel_hdr_swap(spark)
+    # SLOW TIER (VERDICT r17 item 7: the suite budget is 500 s; tier
+    # the heaviest entries behind an opt-in env rather than trimming
+    # assertions — and report the skip loudly, never silently): the
+    # 2M-row streaming-LTV three-drop fold (15.7 s) and the 10M-row
+    # funnel rank→HDR A/B (~63 s: the exact branch's per-row rank
+    # window IS the cost being measured). Run per-round with
+    # DARIADB_SLOW_STRESS=1; evidence recorded in BASELINE.md.
+    slow_tier = os.environ.get("DARIADB_SLOW_STRESS") == "1"
+    if slow_tier:
+        sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
+        fhe_s, fhh_s, fh_n = stress_funnel_hdr_swap(spark)
+    else:
+        sltv_s = sltv_batch_s = fhe_s = fhh_s = None
+        print(
+            "SLOW TIER SKIPPED (set DARIADB_SLOW_STRESS=1): "
+            "stress_streaming_ltv, stress_funnel_hdr_swap",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -2652,10 +2668,19 @@ def main() -> None:
                     "streaming_burst_2m_batch_twin": round(sbur_batch_s, 4),
                     "part_kcore_195k_edges": round(kc_s, 4),
                     "series_tail_excess_20m": round(tx_s, 4),
-                    "funnel_hdr_swap_10m_exact": round(fhe_s, 4),
-                    "funnel_hdr_swap_10m_sketch": round(fhh_s, 4),
-                    "streaming_ltv_2m": round(sltv_s, 4),
-                    "streaming_ltv_2m_batch_twin": round(sltv_batch_s, 4),
+                    "funnel_hdr_swap_10m_exact": (
+                        round(fhe_s, 4) if slow_tier else "slow-tier skipped"
+                    ),
+                    "funnel_hdr_swap_10m_sketch": (
+                        round(fhh_s, 4) if slow_tier else "slow-tier skipped"
+                    ),
+                    "streaming_ltv_2m": (
+                        round(sltv_s, 4) if slow_tier else "slow-tier skipped"
+                    ),
+                    "streaming_ltv_2m_batch_twin": (
+                        round(sltv_batch_s, 4)
+                        if slow_tier else "slow-tier skipped"
+                    ),
                     "streaming_runlen_2m": round(srl_s, 4),
                     "batch_runlen_same_rows": round(srl_batch_s, 4),
                     "streaming_rate_2m": round(srate_s, 4),
