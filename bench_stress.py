@@ -2544,6 +2544,11 @@ def main() -> None:
     # funnel rank→HDR A/B (~63 s: the exact branch's per-row rank
     # window IS the cost being measured). Run per-round with
     # DARIADB_SLOW_STRESS=1; evidence recorded in BASELINE.md.
+    ast_s, ast_n = stress_part_assortativity(spark)
+    vrt_s, vrt_n = stress_series_vr_test(spark)
+    sea_s, sea_n = stress_orders_seasonality(spark)
+    bsk_s, bsk_n = stress_basket_size_mix(spark)
+    ssea_s, ssea_batch_s, ssea_n = stress_streaming_seasonality(spark)
     slow_tier = os.environ.get("DARIADB_SLOW_STRESS") == "1"
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2668,6 +2673,14 @@ def main() -> None:
                     "streaming_burst_2m_batch_twin": round(sbur_batch_s, 4),
                     "part_kcore_195k_edges": round(kc_s, 4),
                     "series_tail_excess_20m": round(tx_s, 4),
+                    "part_assortativity_150k_nodes": round(ast_s, 4),
+                    "series_vr_test_20m": round(vrt_s, 4),
+                    "orders_seasonality_20m": round(sea_s, 4),
+                    "basket_size_mix_11m": round(bsk_s, 4),
+                    "streaming_seasonality_2m": round(ssea_s, 4),
+                    "streaming_seasonality_2m_batch_twin": round(
+                        ssea_batch_s, 4
+                    ),
                     "funnel_hdr_swap_10m_exact": (
                         round(fhe_s, 4) if slow_tier else "slow-tier skipped"
                     ),
@@ -6153,6 +6166,219 @@ def stress_funnel_hdr_swap(spark) -> tuple[float, float, int]:
         assert abs(hmed - emed) <= emed / 16 + 1, (tr, emed, hmed)
         assert abs(hp90 - ep90) <= ep90 / 16 + 1, (tr, ep90, hp90)
     return exact_s, hdr_s, 2 * u + u // 2
+
+
+ASSORT_COPIES = 30_000
+
+
+def stress_part_assortativity(spark) -> tuple[float, int]:
+    """Staged r19 assortativity at 150k nodes / 150k support-2 edges
+    (600k lineitem rows): 30k identical star+leaf-edge motifs — center
+    degree 4, two leaves tied (degree 2), two pendant (degree 1) — so
+    every sum scales by K and Newman's r is the K-free closed form
+    −29/36 → HALF_UP 6-dp −0.805556."""
+    from dariadb_spark.ext.relational import part_assortativity_op
+
+    k = ASSORT_COPIES
+    # per copy: 5 edges, each landed as 2 two-line orders (support 2)
+    # node ids: center = 5c, leaves = 5c+1..5c+4
+    edges = spark.range(k).selectExpr(
+        "id AS c",
+        "explode(array"
+        "(array(5*id, 5*id+1), array(5*id, 5*id+2),"
+        " array(5*id, 5*id+3), array(5*id, 5*id+4),"
+        " array(5*id+1, 5*id+2))) AS e",
+    ).selectExpr("c", "e[0] AS x", "e[1] AS y",
+                 "monotonically_increasing_id() AS eid")
+    li = edges.selectExpr(
+        "explode(array"
+        "(array(2*eid, x), array(2*eid, y),"
+        " array(2*eid+1, x), array(2*eid+1, y))) AS r"
+    ).selectExpr(
+        "r[0] AS l_orderkey", "r[1] AS l_partkey",
+        "1 AS l_linenumber", "1.0d AS l_quantity",
+        "100.0d AS l_extendedprice", "0.0d AS l_discount",
+        "0.0d AS l_tax", "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "TIMESTAMP '2024-01-01' AS l_shipdate",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in part_assortativity_op(li).collect()]
+    secs = time.perf_counter() - t0
+    assert got == [(5 * k, 5 * k, 26 * k, -0.805556)], got
+    return secs, 5 * k
+
+
+VR_STRESS_ROWS = 20_000_000
+VR_STRESS_SERIES = 10_000
+
+
+def stress_series_vr_test(spark) -> tuple[float, int]:
+    """Staged r19 variance ratio at 20M samples / 10k series × 2000:
+    every series replays the identical unit ramp (cents 1..2000), so
+    ONE exact-Fraction python replay predicts all 10k rows — a strongly
+    persistent walk (VR ≫ 1)."""
+    from dariadb_spark.ext.timeseries import series_vr_test_op
+
+    n, s = VR_STRESS_ROWS, VR_STRESS_SERIES
+    per, q = n // s, 4
+    meas = spark.range(n).selectExpr(
+        f"id % {s} AS id",
+        f"(id DIV {s}) * 1000 AS time",
+        f"CAST((id DIV {s}) + 1 AS DOUBLE) / 100.0d AS value",
+        "CAST(0 AS BIGINT) AS flag",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in series_vr_test_op(meas, q).collect()]
+    secs = time.perf_counter() - t0
+    cs = list(range(1, per + 1))
+    nb = per // q
+    used = cs[: nb * q]
+    bs = [sum(used[j * q:(j + 1) * q]) for j in range(nb)]
+    n2 = nb * q
+    ss1 = n2 * sum(c * c for c in used) - sum(used) ** 2
+    ssq = nb * sum(b * b for b in bs) - sum(bs) ** 2
+    num, den = ssq * n2 * (n2 - 1), q * ss1 * nb * (nb - 1)
+    vr = ((2 * num * 10**6 + den) // (2 * den)) / 10**6
+    row = (nb, vr)
+    assert len(got) == s
+    bad = sum(1 for r in got if tuple(r[1:]) != row)
+    assert bad == 0, (got[0], row)
+    return secs, n
+
+
+SEASON_STRESS_BLOCKS = 1_672  # × lcm(12, 997) = 11 964 → ~20M orders
+
+
+def stress_orders_seasonality(spark) -> tuple[float, int]:
+    """Staged r19 seasonality at ~20M orders: month = (i mod 12)+1,
+    cents = (i mod 997)+1 — 12 and 997 are coprime, so within each
+    lcm-block every month sees every cent residue exactly once and all
+    24 share cells are closed forms."""
+    from dariadb_spark.ext.relational import orders_seasonality_op
+
+    blocks = SEASON_STRESS_BLOCKS
+    n = blocks * 11_964
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey", "id AS o_custkey",
+        "CAST((id % 997) + 1 AS DOUBLE) / 100.0d AS o_totalprice",
+        "make_timestamp(1995, CAST(id % 12 AS INT) + 1, 15, 0, 0, 0)"
+        " AS o_orderdate",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in orders_seasonality_op(orders).collect()]
+    secs = time.perf_counter() - t0
+    per_month_n = n // 12
+    per_month_c = blocks * (997 * 998 // 2)
+    t_o, t_c = n, 12 * per_month_c
+    def hu(a, b):
+        return (2 * a * 10**6 + b) // (2 * b)
+    want = [
+        (m, per_month_n, per_month_c,
+         hu(per_month_n, t_o), hu(per_month_c, t_c))
+        for m in range(1, 13)
+    ]
+    assert got == want, (got[0], want[0])
+    return secs, n
+
+
+BASKET_STRESS_ORDERS = 2_000_000
+
+
+def stress_basket_size_mix(spark) -> tuple[float, int]:
+    """Staged r19 basket mix at 11M lineitem rows / 2M orders: order o
+    carries (o mod 10)+1 lines and priority 'P<o mod 5>', so each
+    priority holds two sizes (p+1, p+6) in equal halves and every walk
+    cell is closed-form (median (2p+7)/2, p90 = p+6)."""
+    from dariadb_spark.ext.relational import basket_size_mix_op
+
+    n = BASKET_STRESS_ORDERS
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey", "id AS o_custkey",
+        "1.0d AS o_totalprice",
+        "TIMESTAMP '1995-01-01' AS o_orderdate",
+        "concat('P', id % 5) AS o_orderpriority",
+    )
+    li = spark.range(n).selectExpr(
+        "id AS o", "explode(sequence(1, CAST(id % 10 AS INT) + 1)) AS ln"
+    ).selectExpr(
+        "o AS l_orderkey", "ln AS l_partkey",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in basket_size_mix_op(li, orders).collect()]
+    secs = time.perf_counter() - t0
+    m = n // 5
+    want = [
+        (f"P{p}", m, p + 3.5, p + 3.5, p + 6, p + 6)
+        for p in range(5)
+    ]
+    assert got == want, (got[0], want[0])
+    return secs, n + n // 10 * 55  # orders + lineitem rows
+
+
+SEASON_STREAM_BLOCKS = 167  # ≈ 2M orders in three drops
+
+
+def stress_streaming_seasonality(spark) -> tuple[float, float, int]:
+    """Staged r19 streaming seasonality at ~2M orders landed as THREE
+    id-range drops folded one file per micro-batch (every month group
+    bridges both cuts), vs the batch twin on the same rows — both
+    asserted against the same closed form."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.relational import orders_seasonality_op
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        parity_stream_partitions,
+    )
+    from dariadb_spark.streaming.seasonality import (
+        seasonality_from_state,
+        streaming_seasonality_state,
+    )
+
+    blocks = SEASON_STREAM_BLOCKS
+    n = blocks * 11_964
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey", "id AS o_custkey",
+        "CAST((id % 997) + 1 AS DOUBLE) / 100.0d AS o_totalprice",
+        "make_timestamp(1995, CAST(id % 12 AS INT) + 1, 15, 0, 0, 0)"
+        " AS o_orderdate",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_season_stress_")
+    qname = "season_stress_" + base.rsplit("_", 1)[-1]
+    try:
+        for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)):
+            orders.where(
+                f"o_orderkey >= {lo} AND o_orderkey < {hi}"
+            ).coalesce(1).write.mode("append").parquet(f"{base}/orders")
+        t0 = time.perf_counter()
+        with parity_stream_partitions(spark):
+            q = streaming_seasonality_state(
+                spark, f"{base}/orders", qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        got = [
+            tuple(r)
+            for r in seasonality_from_state(spark.table(qname)).collect()
+        ]
+        stream_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        want = [tuple(r) for r in orders_seasonality_op(orders).collect()]
+        batch_s = time.perf_counter() - t0
+        assert got == want, (got[0], want[0])
+        per_month_c = blocks * (997 * 998 // 2)
+        def hu(a, b):
+            return (2 * a * 10**6 + b) // (2 * b)
+        expect = [
+            (m, n // 12, per_month_c,
+             hu(n // 12, n), hu(per_month_c, 12 * per_month_c))
+            for m in range(1, 13)
+        ]
+        assert got == expect
+        return stream_s, batch_s, n
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

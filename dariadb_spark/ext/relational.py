@@ -3043,6 +3043,14 @@ def orders_seasonality_op(orders: DataFrame) -> DataFrame:
             F.sum("cents").alias("cents"),
         )
     )
+    return seasonality_report(monthly)
+
+
+def seasonality_report(monthly: DataFrame) -> DataFrame:
+    """The finishing share projection over per-month (n_orders, cents)
+    partials — SHARED verbatim by the batch operator and the streaming
+    twin (streaming/seasonality.py), so statefulness can only show up
+    in the partials, never in the arithmetic."""
     totals = monthly.agg(
         F.sum("n_orders").alias("t_orders"),
         F.sum("cents").alias("t_cents"),
@@ -3077,3 +3085,133 @@ SELECT CAST(month AS BIGINT) AS month, n_orders, cents,
          AS cents_share_micro
 FROM monthly, tot
 ORDER BY month"""
+
+
+# --- basket-size mix (lines per order) ----------------------------------------------
+# STAGED for the round-19 driver window (same staging discipline). The
+# BI family's ORDER-SHAPE verb: how many lineitems does an order carry,
+# per priority class? The operational sizing read (pick/pack capacity,
+# batching policy) next to ship_latency's WHEN and market_basket's
+# WHAT-TOGETHER — and a second exercise of the weighted-distribution
+# design on a genuinely tiny domain (basket sizes are single digits).
+
+
+def basket_size_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`basket_size_mix_op`)."""
+    return basket_size_mix_op(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+
+
+def basket_size_mix_op(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """(priority, n_orders, mean_lines, median_lines, p90_lines,
+    max_lines) — the lines-per-order distribution per order priority.
+
+    Exactness: per-order line counts are int64; mean is the HALF_UP
+    4-dp ratio; median is the doubled-rank walk and p90 the
+    rank-⌈0.9·m⌉ order statistic, both read off the WEIGHTED
+    (priority, n_lines) count table — exact order statistics of the
+    full multiset (the ship_latency recipe).
+
+    Plan shape (100 TB): one per-order aggregate on l_orderkey (the
+    natural bucketing key — shuffle-free on a bucketed layout), the
+    equi-join to orders on the same key (co-located there too), then
+    a map-side-combined count table of |priorities| × |distinct basket
+    sizes| rows — single digits by tens — and a cumulative walk over
+    that tiny table. No per-row rank anywhere."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines")
+    )
+    sized = per_order.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"), "n_lines"
+    )
+    counts = sized.groupBy("priority", "n_lines").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("n_lines")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("priority")
+    walked = counts.select(
+        "priority", "n_lines", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("m"),
+    )
+    picked = walked.selectExpr(
+        "priority",
+        "m AS n_orders",
+        "n_lines * cnt AS wsum",
+        "n_lines AS max_cand",
+        "CASE WHEN cum - cnt < (m + 1) DIV 2 AND (m + 1) DIV 2 <= cum"
+        " THEN n_lines ELSE 0 END AS med_lo",
+        "CASE WHEN cum - cnt < (m + 2) DIV 2 AND (m + 2) DIV 2 <= cum"
+        " THEN n_lines ELSE 0 END AS med_hi",
+        "CASE WHEN cum - cnt < (9 * m + 9) DIV 10"
+        " AND (9 * m + 9) DIV 10 <= cum THEN n_lines ELSE 0 END AS p90",
+    )
+    return (
+        picked.groupBy("priority")
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            F.sum("wsum").alias("sum_lines"),
+            F.sum("med_lo").alias("mlo"),
+            F.sum("med_hi").alias("mhi"),
+            F.sum("p90").alias("p90_lines"),
+            F.max("max_cand").alias("max_lines"),
+        )
+        .selectExpr(
+            "priority",
+            "n_orders",
+            ratio_round_spark("sum_lines", "n_orders", 4) + " AS mean_lines",
+            "(mlo + mhi) / 2.0d AS median_lines",
+            "p90_lines",
+            "max_lines",
+        )
+        .orderBy("priority")
+    )
+
+
+def _basket_size_mix_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+per_order AS (SELECT l_orderkey, count(*) AS n_lines
+              FROM lineitem GROUP BY l_orderkey),
+sized AS (SELECT o.o_orderpriority AS priority, p.n_lines
+          FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey),
+counts AS (SELECT priority, n_lines, count(*) AS cnt
+           FROM sized GROUP BY priority, n_lines),
+walked AS (SELECT priority, n_lines, cnt,
+                  sum(cnt) OVER (PARTITION BY priority ORDER BY n_lines
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY priority) AS m
+           FROM counts),
+picked AS (SELECT priority, m AS n_orders, n_lines * cnt AS wsum,
+                  n_lines AS max_cand,
+                  CASE WHEN cum - cnt < (m + 1) // 2
+                        AND (m + 1) // 2 <= cum
+                       THEN n_lines ELSE 0 END AS med_lo,
+                  CASE WHEN cum - cnt < (m + 2) // 2
+                        AND (m + 2) // 2 <= cum
+                       THEN n_lines ELSE 0 END AS med_hi,
+                  CASE WHEN cum - cnt < (9 * m + 9) // 10
+                        AND (9 * m + 9) // 10 <= cum
+                       THEN n_lines ELSE 0 END AS p90
+           FROM walked)
+SELECT priority, CAST(n_orders AS BIGINT) AS n_orders,
+       {ratio_round_duck("sum(wsum)", "max(n_orders)", 4)} AS mean_lines,
+       (sum(med_lo) + sum(med_hi)) / 2.0 AS median_lines,
+       CAST(sum(p90) AS BIGINT) AS p90_lines,
+       CAST(max(max_cand) AS BIGINT) AS max_lines
+FROM picked GROUP BY priority, n_orders
+ORDER BY priority"""
+
+
+BASKET_SIZE_MIX_SQL = _basket_size_mix_sql()

@@ -990,6 +990,33 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # sweep; the r18 window below is the `tools/attestation_ledger.py
 # --plan 50` output at N = 228, verified violation-free.
 #
+# Round 18 staged FIVE operators for r19 (each implemented + oracled +
+# pytest parity + planted closed-form grid + python-reference replay +
+# ≥100k-row stress + the r19 plan pre-pin in tests/test_plans.py +
+# 5/5 sf0.1 hash-match in the staged sweep; THIS COMMENT is the
+# staged-count source of truth): ext_part_assortativity
+# (ext/relational.py: Newman degree-mixing r over the support-≥2
+# co-purchase graph as an exact signed wide rational — the graph
+# family's eighth verb; planted star+leaf-edge motif grid has the
+# K-free closed form −29/36), ext_series_vr_test (ext/timeseries.py:
+# Lo–MacKinlay variance ratio over 4-sample sequence blocks, both
+# variances over the same complete-block multiset, exact
+# DECIMAL(38,0)/HUGEINT rational — the long-memory family's hypothesis
+# verb next to rs_range), ext_orders_seasonality (ext/relational.py:
+# month-of-year order/revenue mix with exact HALF_UP micro shares —
+# the BI calendar verb; shares finish through the SHARED
+# seasonality_report projection), ext_basket_size_mix
+# (ext/relational.py: lines-per-order distribution per priority on
+# the weighted-count walk — the ship_latency small-domain recipe on
+# the order-shape question), and streaming_seasonality_parity
+# (streaming/seasonality.py, oracle = ORDERS_SEASONALITY_SQL: the
+# commutative-class stateful twin — 12 groups × two int64s, the
+# tightest state bound in the repo; cents rounded HALF-UP Spark-side
+# before the fold, per the r17 ADVICE lesson; finishes through the
+# SHARED seasonality_report). Registering all five in r19 takes the
+# registry to 233; compute the r19 window with
+# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18 lands.
+#
 # Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and
 # hypothesis/brute-force property tests + planted ≥100k-row stress +

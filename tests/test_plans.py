@@ -951,3 +951,45 @@ def test_no_cartesian_product_in_staged_r18_plans(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in plans["part_kcore"]
     # tail excess: the per-id threshold table joins back broadcast
     assert "BroadcastHashJoin" in plans["series_tail_excess"]
+
+
+def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
+    """The round-18 staged operators get the same physical-plan sweep
+    BEFORE their r19 registration: no CartesianProduct anywhere, and
+    each op's headline shape holds — the assortativity degree joins
+    broadcast (its 1-row × 1-row combine is a broadcast nested loop,
+    never a cartesian), the basket join is an equi join, the two
+    aggregate screens join only their dimension-sized broadcast."""
+    from dariadb_spark.ext.relational import (
+        basket_size_mix,
+        orders_seasonality,
+        part_assortativity,
+    )
+    from dariadb_spark.ext.timeseries import series_vr_test
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    plans = {}
+    for fn in (
+        part_assortativity, orders_seasonality, basket_size_mix,
+        series_vr_test,
+    ):
+        plan = (
+            fn(spark, oracle_sf_dir)._jdf.queryExecution()
+            .explainString(mode)
+        )
+        plans[fn.__name__] = plan
+        if "CartesianProduct" in plan:
+            offenders.append(fn.__name__)
+    assert not offenders, offenders
+    # assortativity: degree joins broadcast; the summary combine is a
+    # broadcast nested loop over two 1-row sides, not a cartesian
+    assert "BroadcastHashJoin" in plans["part_assortativity"]
+    # seasonality: the 1-row totals ride a broadcast join
+    assert "Broadcast" in plans["orders_seasonality"]
+    # basket mix: the per-order → orders join is an equi join
+    assert "NestedLoop" not in plans["basket_size_mix"]
+    # VR: one id-partitioned window + aggregates, no join at all
+    assert "Join" not in plans["series_vr_test"]

@@ -1,0 +1,358 @@
+"""Staged round-19 operators: parity + planted closed-form fixtures +
+python-reference replays (the staging discipline every late operator
+goes through BEFORE its registration round — registry.py's staged-count
+comment is the source of truth for what is staged)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from tests.parity import compare, duckdb_connection
+
+_D = datetime.datetime(2024, 1, 1)
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+_LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+    " l_quantity double, l_extendedprice double, l_discount double,"
+    " l_tax double, l_returnflag string, l_linestatus string,"
+    " l_shipdate timestamp"
+)
+_MEAS_SCHEMA = "id long, time long, value double, flag long"
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, _ORDERS_SCHEMA)
+
+
+def _li(spark, rows):
+    """rows: (orderkey, partkey, linenumber, quantity, discount,
+    returnflag, shipdate)"""
+    return spark.createDataFrame(
+        [
+            (o, p, 1, ln, q, 100.0, d, 0.0, rf, "O", sd)
+            for o, p, ln, q, d, rf, sd in rows
+        ],
+        _LI_SCHEMA,
+    )
+
+
+def _meas(spark, rows):
+    return spark.createDataFrame(rows, _MEAS_SCHEMA)
+
+
+def _half_up(num: int, den: int) -> int:
+    return (2 * num + den) // (2 * den)
+
+
+def _half_up_signed(num: int, den: int, d: int) -> float:
+    """HALF_UP(num/den, d) with num possibly negative, den > 0 — the
+    signed wide rational both engines emit."""
+    p = 10**d
+    mag = (2 * abs(num) * p + den) // (2 * den)
+    return (-mag if num < 0 else mag) / p
+
+
+# --- ext_part_assortativity ---------------------------------------------------------
+
+def test_part_assortativity_parity_and_planted_graph(spark, oracle_sf_dir):
+    """Fixture parity, then the triangle+pendant graph where Newman's r
+    is a hand-checkable rational, then the degree-regular degenerate
+    (den = 0 → explicit 0.0)."""
+    from dariadb_spark.ext.relational import (
+        PART_ASSORTATIVITY_SQL,
+        part_assortativity,
+        part_assortativity_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_assortativity",
+        part_assortativity(spark, oracle_sf_dir),
+        con, PART_ASSORTATIVITY_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 1
+
+    def graph(edges):
+        rows, ok = [], 100
+        for x, y in edges:
+            for _ in range(2):  # clear support >= 2
+                rows.append((ok, x, 1, 1.0, 0.0, "N", _D))
+                rows.append((ok, y, 2, 1.0, 0.0, "N", _D))
+                ok += 1
+        return _li(spark, rows)
+
+    # triangle 1-2-3 + pendant 3-4: degrees 2,2,3,1
+    # edges (dx,dy): (2,2) (2,3) (2,3) (3,1); M=8, S1=18,
+    # 2*Sxy_half=38, Sq=44 → num = 8*38-324 = -20, den = 8*44-324 = 28
+    got = [tuple(r) for r in part_assortativity_op(
+        graph([(1, 2), (1, 3), (2, 3), (3, 4)])
+    ).collect()]
+    assert got == [(4, 4, 18, _half_up_signed(-20, 28, 6))]
+
+    # 4-cycle: degree-regular → den = 0 → explicit 0.0
+    got = [tuple(r) for r in part_assortativity_op(
+        graph([(1, 2), (2, 3), (3, 4), (1, 4)])
+    ).collect()]
+    assert got == [(4, 4, 16, 0.0)]
+
+
+def test_part_assortativity_matches_python_replay(spark):
+    """Pseudo-random co-purchase tables vs a pure-Python Newman replay
+    (same support threshold, same signed wide HALF_UP closure)."""
+    from collections import Counter, defaultdict
+
+    from dariadb_spark.ext.relational import (
+        BASKET_MIN_SUP,
+        part_assortativity_op,
+    )
+
+    rows = []
+    for trial in range(160):
+        a = (trial * 48271) % 13
+        b = (trial * 69621) % 13
+        if a == b:
+            continue
+        rows.append((trial + 1, a, 1, 1.0, 0.0, "N", _D))
+        rows.append((trial + 1, b, 2, 1.0, 0.0, "N", _D))
+    got = [
+        tuple(r) for r in part_assortativity_op(_li(spark, rows)).collect()
+    ]
+
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r[0]].add(r[1])
+    sup = Counter()
+    for parts in baskets.values():
+        for x in parts:
+            for y in parts:
+                if x < y:
+                    sup[(x, y)] += 1
+    edges = sorted(e for e, s in sup.items() if s >= BASKET_MIN_SUP)
+    deg = Counter()
+    for x, y in edges:
+        deg[x] += 1
+        deg[y] += 1
+    m = 2 * len(edges)
+    s1 = sum(deg[x] + deg[y] for x, y in edges)
+    sxy2 = 2 * sum(deg[x] * deg[y] for x, y in edges)
+    sq = sum(deg[x] ** 2 + deg[y] ** 2 for x, y in edges)
+    num, den = m * sxy2 - s1 * s1, m * sq - s1 * s1
+    want_r = 0.0 if den == 0 else _half_up_signed(num, den, 6)
+    assert got == [(len(deg), len(edges), s1, want_r)]
+
+
+# --- ext_series_vr_test -------------------------------------------------------------
+
+def test_series_vr_test_parity_and_planted_grids(spark, oracle_sf_dir):
+    """Fixture parity, then two closed-form grids: a unit ramp (VR is
+    an exact rational — persistence reads > 1) and an alternator
+    (block sums vanish → VR = 0, strong mean reversion)."""
+    from dariadb_spark.ext.timeseries import (
+        SERIES_VR_TEST_SQL,
+        VR_BLOCK,
+        series_vr_test,
+        series_vr_test_op,
+    )
+
+    assert VR_BLOCK == 4
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_series_vr_test", series_vr_test(spark, oracle_sf_dir),
+        con, SERIES_VR_TEST_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+    # ramp c=1..8 (two 4-blocks): B=(10,26) → SSq = 2*776-36² = 256;
+    # SS1 = 8*204-36² = 336 → VR = 256*8*7/(4*336*2*1) = 16/3
+    rows = [(1, i * 1000, (i + 1) / 100.0, 0) for i in range(8)]
+    # alternator ±1.00 over 8 samples: every 4-block sums to 0 → VR = 0
+    rows += [(2, i * 1000, 1.0 if i % 2 == 0 else -1.0, 0)
+             for i in range(8)]
+    got = [tuple(r) for r in series_vr_test_op(
+        _meas(spark, rows), 4
+    ).collect()]
+    assert got == [
+        (1, 2, _half_up_signed(16, 3, 6)),
+        (2, 2, 0.0),
+    ]
+
+
+def test_series_vr_test_matches_python_replay(spark):
+    """Pseudo-random cent walks vs the exact-rational python replay
+    (complete blocks only, both variances over the same n' samples)."""
+    from dariadb_spark.ext.timeseries import series_vr_test_op
+
+    q = 4
+    cents = {
+        sid: [((i * 48271 + sid * 911) % 500) - 250
+              for i in range(23 + 5 * sid)]
+        for sid in range(5)
+    }
+    rows = [
+        (sid, i * 1000, c / 100.0, 0)
+        for sid, cs in cents.items()
+        for i, c in enumerate(cs)
+    ]
+    got = [tuple(r) for r in series_vr_test_op(
+        _meas(spark, rows), q
+    ).collect()]
+
+    want = []
+    for sid in sorted(cents):
+        cs = cents[sid]
+        nb = len(cs) // q
+        if nb < 2:
+            continue
+        used = cs[: nb * q]
+        bs = [sum(used[j * q:(j + 1) * q]) for j in range(nb)]
+        n2 = nb * q
+        ss1 = n2 * sum(c * c for c in used) - sum(used) ** 2
+        ssq = nb * sum(b * b for b in bs) - sum(bs) ** 2
+        if ss1 <= 0:
+            continue
+        num = ssq * n2 * (n2 - 1)
+        den = q * ss1 * nb * (nb - 1)
+        want.append((sid, nb, _half_up_signed(num, den, 6)))
+    assert got == want
+    assert len(got) >= 4
+
+
+# --- ext_orders_seasonality ---------------------------------------------------------
+
+def test_orders_seasonality_parity_and_planted_mix(spark, oracle_sf_dir):
+    """Fixture parity, then a planted 3-order mix including the exact
+    .5-cent HALF_UP case (0.125 → 13 cents, where banker's rounding
+    would give 12)."""
+    from dariadb_spark.ext.relational import (
+        ORDERS_SEASONALITY_SQL,
+        orders_seasonality,
+        orders_seasonality_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_orders_seasonality",
+        orders_seasonality(spark, oracle_sf_dir),
+        con, ORDERS_SEASONALITY_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 12
+
+    jan, feb = datetime.datetime(1995, 1, 15), datetime.datetime(1996, 2, 1)
+    got = [tuple(r) for r in orders_seasonality_op(_orders(spark, [
+        (1, 10, "O", 0.125, jan, "P"),   # 12.5 cents → HALF_UP 13
+        (2, 11, "O", 1.0, jan, "P"),     # 100
+        (3, 12, "O", 3.0, feb, "P"),     # 300
+    ])).collect()]
+    t_o, t_c = 3, 413
+    want = [
+        (1, 2, 113, _half_up(2 * 10**6, t_o), _half_up(113 * 10**6, t_c)),
+        (2, 1, 300, _half_up(1 * 10**6, t_o), _half_up(300 * 10**6, t_c)),
+    ]
+    assert got == want
+
+
+# --- ext_basket_size_mix ------------------------------------------------------------
+
+def test_basket_size_mix_parity_and_planted_walk(spark, oracle_sf_dir):
+    """Fixture parity, then planted baskets [1,2,2,3,10] whose mean /
+    median / p90 / max replay the weighted-count walk by hand."""
+    from dariadb_spark.ext.relational import (
+        BASKET_SIZE_MIX_SQL,
+        basket_size_mix,
+        basket_size_mix_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_basket_size_mix", basket_size_mix(spark, oracle_sf_dir),
+        con, BASKET_SIZE_MIX_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 5
+
+    sizes = {1: 1, 2: 2, 3: 2, 4: 3, 5: 10}
+    orders = _orders(spark, [
+        (k, 1, "O", 1.0, _D, "1-URGENT") for k in sizes
+    ])
+    li = _li(spark, [
+        (k, p, 1, 1.0, 0.0, "N", _D)
+        for k, n in sizes.items()
+        for p in range(1, n + 1)
+    ])
+    got = [tuple(r) for r in basket_size_mix_op(li, orders).collect()]
+    # m=5, Σ=18 → mean 3.6; ranks 3,3 → median 2.0; p90 rank
+    # (45+9)//10 = 5 → 10; max 10
+    assert got == [("1-URGENT", 5, 3.6, 2.0, 10, 10)]
+
+
+# --- streaming_seasonality_parity ---------------------------------------------------
+
+class _FakeState:
+    def __init__(self):
+        self._v, self.exists = None, False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = tuple(v), True
+
+
+def test_season_fold_is_commutative_across_triggers():
+    """Commutative-class pin (the r17 taxonomy): the same input
+    multiset — including duplicate cents rows — folded one-shot or
+    split across triggers lands identical standing pairs; there is no
+    in-order contract by construction."""
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.streaming.seasonality import _season_fold
+
+    def batch(cents):
+        return pd.DataFrame({
+            "month": np.full(len(cents), 3, dtype=np.int32),
+            "cents": np.array(cents, dtype=np.int64),
+        })
+
+    def run(batches):
+        st = _FakeState()
+        last = None
+        for b in batches:
+            out = list(_season_fold((3,), iter([batch(b)]), st))
+            last = out[-1]
+        return tuple(last.iloc[0])
+
+    rows = [100, 250, 250, 13]
+    assert run([rows]) == run([rows[:2], rows[2:]])
+    assert run([rows]) == run([rows[2:], rows[:2]])  # order-free
+    assert run([rows]) == (3, 4, 613)
+
+
+def test_streaming_seasonality_parity_matches_batch_oracle(
+    spark, oracle_sf_dir
+):
+    """The driver-style check: the three-drop fold vs the batch
+    ORDERS_SEASONALITY_SQL oracle."""
+    from dariadb_spark.ext.relational import ORDERS_SEASONALITY_SQL
+    from dariadb_spark.streaming.seasonality import (
+        streaming_seasonality_parity,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_seasonality_parity",
+        streaming_seasonality_parity(spark, oracle_sf_dir),
+        con, ORDERS_SEASONALITY_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 12
