@@ -2549,6 +2549,7 @@ def main() -> None:
     sea_s, sea_n = stress_orders_seasonality(spark)
     bsk_s, bsk_n = stress_basket_size_mix(spark)
     ssea_s, ssea_batch_s, ssea_n = stress_streaming_seasonality(spark)
+    ten_s, ten_n = stress_customer_tenure(spark)
     slow_tier = os.environ.get("DARIADB_SLOW_STRESS") == "1"
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2681,6 +2682,7 @@ def main() -> None:
                     "streaming_seasonality_2m_batch_twin": round(
                         ssea_batch_s, 4
                     ),
+                    "customer_tenure_4m_orders": round(ten_s, 4),
                     "funnel_hdr_swap_10m_exact": (
                         round(fhe_s, 4) if slow_tier else "slow-tier skipped"
                     ),
@@ -6379,6 +6381,41 @@ def stress_streaming_seasonality(spark) -> tuple[float, float, int]:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+TENURE_STRESS_CUSTS = 2_000_000
+
+
+def stress_customer_tenure(spark) -> tuple[float, int]:
+    """Staged r19 tenure at 2M customers / 4M orders: customer c spans
+    exactly (c mod 1000) days and sits in segment S(c mod 5), so each
+    segment holds 200 spans {s, s+5, …, s+995} with 2000 customers
+    each — every walk cell is closed-form (mean = median = s + 497.5,
+    p90 = s + 895, max = s + 995)."""
+    from dariadb_spark.ext.relational import customer_tenure_op
+
+    n = TENURE_STRESS_CUSTS
+    customer = spark.range(n).selectExpr(
+        "id AS c_custkey", "concat('S', id % 5) AS c_mktsegment",
+    )
+    orders = spark.range(n).selectExpr(
+        "2 * id AS o_orderkey", "id AS o_custkey",
+        "TIMESTAMP '1995-01-01' AS o_orderdate",
+    ).unionByName(spark.range(n).selectExpr(
+        "2 * id + 1 AS o_orderkey", "id AS o_custkey",
+        "CAST(date_add(DATE '1995-01-01', CAST(id % 1000 AS INT))"
+        " AS TIMESTAMP) AS o_orderdate",
+    ))
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in customer_tenure_op(orders, customer).collect()]
+    secs = time.perf_counter() - t0
+    m = n // 5
+    want = [
+        (f"S{s}", m, s + 497.5, s + 497.5, s + 895, s + 995)
+        for s in range(5)
+    ]
+    assert got == want, (got[0], want[0])
+    return secs, 3 * n
 
 
 if __name__ == "__main__":

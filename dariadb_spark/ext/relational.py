@@ -3215,3 +3215,143 @@ ORDER BY priority"""
 
 
 BASKET_SIZE_MIX_SQL = _basket_size_mix_sql()
+
+
+# --- customer tenure span (lifetime length) -----------------------------------------
+# STAGED for the round-19 driver window (same staging discipline). The
+# BI family's LIFETIME-LENGTH verb, orthogonal to the LTV curve's
+# value-over-age: how LONG does a customer relationship last, per
+# market segment? Span = days between first and last order — a
+# single-order customer spans 0 days (a real cohort, not noise). Day
+# spans live in a small integer domain (the fixture's calendar is a
+# few years), so the distribution rides the weighted-count walk — the
+# ship_latency/basket_size recipe, never a per-row rank window.
+
+
+def customer_tenure(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`customer_tenure_op`)."""
+    return customer_tenure_op(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "customer")
+    )
+
+
+def customer_tenure_op(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, n_customers, mean_days, median_days, p90_days,
+    max_days) — the first-to-last-order span distribution per market
+    segment.
+
+    Exactness: spans are int64 day counts (datediff of DATE-truncated
+    timestamps — both engines truncate identically); mean is the
+    HALF_UP 4-dp ratio; median is the doubled-rank walk and p90 the
+    rank-⌈0.9·m⌉ order statistic off the WEIGHTED (segment, span)
+    count table.
+
+    Plan shape (100 TB): one per-customer min/max aggregate on
+    o_custkey (the natural bucketing key), the equi-join to customer
+    on the same key (co-located on a bucketed layout), then a
+    map-side-combined count table of |segments| × |distinct spans|
+    rows — thousands — and the cumulative walk over that tiny table."""
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    spans = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("first_d"),
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+        )
+        .join(
+            customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("last_d", "first_d").alias("span_days"),
+        )
+    )
+    counts = spans.groupBy("segment", "span_days").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("span_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("segment")
+    walked = counts.select(
+        "segment", "span_days", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("m"),
+    )
+    picked = walked.selectExpr(
+        "segment",
+        "m AS n_customers",
+        "span_days * cnt AS wsum",
+        "span_days AS max_cand",
+        "CASE WHEN cum - cnt < (m + 1) DIV 2 AND (m + 1) DIV 2 <= cum"
+        " THEN span_days ELSE 0 END AS med_lo",
+        "CASE WHEN cum - cnt < (m + 2) DIV 2 AND (m + 2) DIV 2 <= cum"
+        " THEN span_days ELSE 0 END AS med_hi",
+        "CASE WHEN cum - cnt < (9 * m + 9) DIV 10"
+        " AND (9 * m + 9) DIV 10 <= cum THEN span_days ELSE 0 END AS p90",
+    )
+    return (
+        picked.groupBy("segment")
+        .agg(
+            F.max("n_customers").alias("n_customers"),
+            F.sum("wsum").alias("sum_days"),
+            F.sum("med_lo").alias("mlo"),
+            F.sum("med_hi").alias("mhi"),
+            F.sum("p90").alias("p90_days"),
+            F.max("max_cand").alias("max_days"),
+        )
+        .selectExpr(
+            "segment",
+            "n_customers",
+            ratio_round_spark("sum_days", "n_customers", 4)
+            + " AS mean_days",
+            "(mlo + mhi) / 2.0d AS median_days",
+            "p90_days",
+            "max_days",
+        )
+        .orderBy("segment")
+    )
+
+
+def _customer_tenure_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+spans AS (SELECT c.c_mktsegment AS segment,
+                 date_diff('day', min(CAST(o.o_orderdate AS DATE)),
+                           max(CAST(o.o_orderdate AS DATE))) AS span_days
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY o.o_custkey, c.c_mktsegment),
+counts AS (SELECT segment, span_days, count(*) AS cnt
+           FROM spans GROUP BY segment, span_days),
+walked AS (SELECT segment, span_days, cnt,
+                  sum(cnt) OVER (PARTITION BY segment ORDER BY span_days
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY segment) AS m
+           FROM counts),
+picked AS (SELECT segment, m AS n_customers, span_days * cnt AS wsum,
+                  span_days AS max_cand,
+                  CASE WHEN cum - cnt < (m + 1) // 2
+                        AND (m + 1) // 2 <= cum
+                       THEN span_days ELSE 0 END AS med_lo,
+                  CASE WHEN cum - cnt < (m + 2) // 2
+                        AND (m + 2) // 2 <= cum
+                       THEN span_days ELSE 0 END AS med_hi,
+                  CASE WHEN cum - cnt < (9 * m + 9) // 10
+                        AND (9 * m + 9) // 10 <= cum
+                       THEN span_days ELSE 0 END AS p90
+           FROM walked)
+SELECT segment, CAST(n_customers AS BIGINT) AS n_customers,
+       {ratio_round_duck("sum(wsum)", "max(n_customers)", 4)} AS mean_days,
+       (sum(med_lo) + sum(med_hi)) / 2.0 AS median_days,
+       CAST(sum(p90) AS BIGINT) AS p90_days,
+       CAST(max(max_cand) AS BIGINT) AS max_days
+FROM picked GROUP BY segment, n_customers
+ORDER BY segment"""
+
+
+CUSTOMER_TENURE_SQL = _customer_tenure_sql()

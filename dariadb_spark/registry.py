@@ -1013,9 +1013,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # commutative-class stateful twin — 12 groups × two int64s, the
 # tightest state bound in the repo; cents rounded HALF-UP Spark-side
 # before the fold, per the r17 ADVICE lesson; finishes through the
-# SHARED seasonality_report). Registering all five in r19 takes the
-# registry to 233; compute the r19 window with
-# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18 lands.
+# SHARED seasonality_report). A SECOND pass added ext_customer_tenure
+# (ext/relational.py: first-to-last-order span distribution per
+# market segment on the weighted-count walk — the BI family's
+# lifetime-LENGTH verb next to the LTV curve's value-over-age; 2M-
+# customer stress closed-form, sf0.1 hash-matched, 0.9 s pre-measure).
+# Registering all six in r19 takes the registry to 234; compute the
+# r19 window with `tools/attestation_ledger.py --plan 50` after
+# CORRECTNESS_r18 lands.
 #
 # Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and

@@ -962,6 +962,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     aggregate screens join only their dimension-sized broadcast."""
     from dariadb_spark.ext.relational import (
         basket_size_mix,
+        customer_tenure,
         orders_seasonality,
         part_assortativity,
     )
@@ -974,7 +975,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     plans = {}
     for fn in (
         part_assortativity, orders_seasonality, basket_size_mix,
-        series_vr_test,
+        series_vr_test, customer_tenure,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -993,3 +994,6 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     assert "NestedLoop" not in plans["basket_size_mix"]
     # VR: one id-partitioned window + aggregates, no join at all
     assert "Join" not in plans["series_vr_test"]
+    # tenure: the per-customer spans → customer join is an equi join
+    assert "NestedLoop" not in plans["customer_tenure"]
+    assert "CartesianProduct" not in plans["customer_tenure"]

@@ -356,3 +356,49 @@ def test_streaming_seasonality_parity_matches_batch_oracle(
     )
     assert res.ok, res.problems
     assert res.rows_spark == 12
+
+
+# --- ext_customer_tenure ------------------------------------------------------------
+
+def test_customer_tenure_parity_and_planted_spans(spark, oracle_sf_dir):
+    """Fixture parity, then planted spans [0, 10, 10, 20, 100] whose
+    mean / median / p90 / max replay the weighted-count walk by hand
+    (the single-order customer is a real 0-day cohort)."""
+    from dariadb_spark.ext.relational import (
+        CUSTOMER_TENURE_SQL,
+        customer_tenure,
+        customer_tenure_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_customer_tenure", customer_tenure(spark, oracle_sf_dir),
+        con, CUSTOMER_TENURE_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 5
+
+    cust_schema = (
+        "c_custkey long, c_name string, c_address string, c_nationkey long,"
+        " c_phone string, c_acctbal double, c_mktsegment string,"
+        " c_comment string"
+    )
+    customer = spark.createDataFrame(
+        [(c, "n", "a", 0, "p", 0.0, "SEG", "x") for c in range(1, 6)],
+        cust_schema,
+    )
+    spans = {1: 0, 2: 10, 3: 10, 4: 20, 5: 100}
+    rows, ok = [], 1
+    for c, s in spans.items():
+        rows.append((ok, c, "O", 1.0, _D, "P"))
+        ok += 1
+        if s:
+            rows.append((ok, c, "O", 1.0,
+                         _D + datetime.timedelta(days=s), "P"))
+            ok += 1
+    got = [tuple(r) for r in customer_tenure_op(
+        _orders(spark, rows), customer
+    ).collect()]
+    # m=5, Σ=140 → mean 28.0; ranks 3,3 → 10 → median 10.0;
+    # p90 rank (45+9)//10 = 5 → 100; max 100
+    assert got == [("SEG", 5, 28.0, 10.0, 100, 100)]
