@@ -2550,6 +2550,7 @@ def main() -> None:
     bsk_s, bsk_n = stress_basket_size_mix(spark)
     ssea_s, ssea_batch_s, ssea_n = stress_streaming_seasonality(spark)
     ten_s, ten_n = stress_customer_tenure(spark)
+    tf_s, tf_n = stress_trade_flows(spark)
     slow_tier = os.environ.get("DARIADB_SLOW_STRESS") == "1"
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2683,6 +2684,7 @@ def main() -> None:
                         ssea_batch_s, 4
                     ),
                     "customer_tenure_4m_orders": round(ten_s, 4),
+                    "trade_flows_20m": round(tf_s, 4),
                     "funnel_hdr_swap_10m_exact": (
                         round(fhe_s, 4) if slow_tier else "slow-tier skipped"
                     ),
@@ -6283,7 +6285,10 @@ def stress_orders_seasonality(spark) -> tuple[float, int]:
     return secs, n
 
 
-BASKET_STRESS_ORDERS = 2_000_000
+BSIZE_STRESS_ORDERS = 2_000_000  # NOT "BASKET_STRESS_ORDERS" — that
+# name belongs to stress_market_basket above; a same-name module-level
+# constant here would silently override it at import time (caught by
+# the r18 full-suite run: market basket's support quadrupled)
 
 
 def stress_basket_size_mix(spark) -> tuple[float, int]:
@@ -6293,7 +6298,7 @@ def stress_basket_size_mix(spark) -> tuple[float, int]:
     cell is closed-form (median (2p+7)/2, p90 = p+6)."""
     from dariadb_spark.ext.relational import basket_size_mix_op
 
-    n = BASKET_STRESS_ORDERS
+    n = BSIZE_STRESS_ORDERS
     orders = spark.range(n).selectExpr(
         "id AS o_orderkey", "id AS o_custkey",
         "1.0d AS o_totalprice",
@@ -6416,6 +6421,57 @@ def stress_customer_tenure(spark) -> tuple[float, int]:
     ]
     assert got == want, (got[0], want[0])
     return secs, 3 * n
+
+
+FLOWS_STRESS_BLOCKS = 4_012  # × lcm(5, 997) = 4 985 → ~20M lineitems
+
+
+def stress_trade_flows(spark) -> tuple[float, int]:
+    """Staged r19 trade flows at ~20M lineitems / 20M orders / 100k
+    customers / 1k suppliers / 5 nations: line L routes supplier
+    nation 2L mod 5 → customer nation L mod 5, so exactly FOUR
+    off-diagonal flows exist (L ≡ 0 is domestic, excluded) with equal
+    line counts and — 5 ⊥ 997 — identical closed-form cent masses
+    (shares exactly 250000 micro each)."""
+    from dariadb_spark.ext.relational import trade_flows_op
+
+    n = FLOWS_STRESS_BLOCKS * 4_985
+    li = spark.range(n).selectExpr(
+        "id AS l_orderkey",
+        "(id * 7) % 1000 AS l_suppkey",
+        "CAST((id % 997) + 1 AS DOUBLE) / 100.0d AS l_extendedprice",
+        "0.0d AS l_discount",
+    )
+    orders = spark.range(n).selectExpr(
+        "id AS o_orderkey", "id % 100000 AS o_custkey",
+    )
+    customer = spark.range(100_000).selectExpr(
+        "id AS c_custkey", "CAST(id % 5 AS INT) AS c_nationkey",
+    )
+    supplier = spark.range(1_000).selectExpr(
+        "id AS s_suppkey", "CAST(id % 5 AS INT) AS s_nationkey",
+    )
+    nation = spark.createDataFrame(
+        [(i, f"N{i}") for i in range(5)],
+        "n_nationkey int, n_name string",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in trade_flows_op(
+        li, orders, customer, supplier, nation
+    ).collect()]
+    secs = time.perf_counter() - t0
+    per_n = n // 5
+    per_c = FLOWS_STRESS_BLOCKS * (997 * 998 // 2)
+    flows = sorted(
+        (f"N{(2 * r) % 5}", f"N{r % 5}") for r in range(1, 5)
+    )
+    want = sorted(
+        [(s, c, per_n, per_c, 250_000) for s, c in flows],
+        key=lambda t: (t[0], t[1]),
+    )
+    assert sorted(got) == want, (sorted(got)[0], want[0])
+    assert len(got) == 4
+    return secs, 2 * n
 
 
 if __name__ == "__main__":

@@ -3355,3 +3355,133 @@ ORDER BY segment"""
 
 
 CUSTOMER_TENURE_SQL = _customer_tenure_sql()
+
+
+# --- cross-nation trade flows (Q7 volume-shipping class) -----------------------------
+# STAGED for the round-19 driver window (third pass, same staging
+# discipline). The BI family's FLOW verb — the classic TPC-H Q7
+# question re-asked at matrix grain: how much revenue moves from
+# supplier nation X to customer nation Y? The import/export screen a
+# trade planner reads as a matrix; top flows by exact cent mass with
+# HALF_UP micro shares of the world total.
+
+TRADE_FLOWS_TOP = 25
+
+
+def trade_flows(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`trade_flows_op`)."""
+    return trade_flows_op(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def trade_flows_op(
+    li: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """(supp_nation, cust_nation, n_lines, cents, share_micro) — the
+    top cross-nation revenue flows (ties: supp, cust ASC), EXCLUDING
+    the domestic diagonal (supp = cust; Q7's cross-border convention).
+
+    Exactness: per-line revenue is the HALF_UP int64 cent projection
+    (the supplier-HHI convention — never a float sum); shares are
+    HALF_UP(10⁶·flow/total) integer rationals of the OFF-DIAGONAL
+    total, so the matrix shares sum to ~10⁶ independent of the
+    domestic mass.
+
+    Plan shape (100 TB): lineitem⋈orders shuffles on l_orderkey (the
+    co-location key both carry in a bucketed layout); orders⋈customer
+    rides o_custkey the same way; supplier and nation (twice) are
+    broadcast dims; the flow aggregate is ≤ |nations|² = 625 rows with
+    map-side combine; the total is a 1-row broadcast. No window on
+    anything corpus-sized."""
+    rev = li.select(
+        "l_orderkey", "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)"
+        ).alias("rc"),
+    )
+    sup_nat = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "supp_nation")
+    )
+    cust_nat = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "cust_nation")
+    )
+    flows = (
+        rev.join(
+            orders.select("o_orderkey", "o_custkey"),
+            rev.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(cust_nat, "o_custkey")
+        .join(F.broadcast(sup_nat), "l_suppkey")
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.count("*").alias("n_lines"), F.sum("rc").alias("cents"))
+    )
+    total = flows.agg(F.sum("cents").alias("t_cents"))
+    return (
+        flows.join(F.broadcast(total))
+        .selectExpr(
+            "supp_nation",
+            "cust_nation",
+            "n_lines",
+            "cents",
+            "CAST((2 * cents * 1000000 + t_cents)"
+            " DIV (2 * t_cents) AS BIGINT) AS share_micro",
+        )
+        .orderBy(
+            F.desc("cents"), F.asc("supp_nation"), F.asc("cust_nation")
+        )
+        .limit(TRADE_FLOWS_TOP)
+    )
+
+
+TRADE_FLOWS_SQL = f"""WITH
+rev AS (SELECT l_orderkey, l_suppkey,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS rc
+        FROM lineitem),
+flows AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                 count(*) AS n_lines, CAST(sum(r.rc) AS BIGINT) AS cents
+          FROM rev r
+          JOIN orders o ON r.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN supplier s ON r.l_suppkey = s.s_suppkey
+          JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+          WHERE sn.n_name <> cn.n_name
+          GROUP BY supp_nation, cust_nation),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t_cents FROM flows)
+SELECT supp_nation, cust_nation, n_lines, cents,
+       (2 * cents * 1000000 + t_cents) // (2 * t_cents) AS share_micro
+FROM flows, tot
+ORDER BY cents DESC, supp_nation ASC, cust_nation ASC
+LIMIT {TRADE_FLOWS_TOP}"""

@@ -1018,9 +1018,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # market segment on the weighted-count walk — the BI family's
 # lifetime-LENGTH verb next to the LTV curve's value-over-age; 2M-
 # customer stress closed-form, sf0.1 hash-matched, 0.9 s pre-measure).
-# Registering all six in r19 takes the registry to 234; compute the
-# r19 window with `tools/attestation_ledger.py --plan 50` after
-# CORRECTNESS_r18 lands.
+# A THIRD pass added ext_trade_flows (ext/relational.py: the TPC-H
+# Q7-class cross-nation revenue matrix — top off-diagonal flows by
+# exact cent mass with HALF_UP micro shares; lineitem⋈orders⋈customer
+# ride their natural co-location keys, supplier/nation broadcast;
+# 20M-line stress closed-form — exactly four equal flows at share
+# 250000 — sf0.1 hash-matched, 2.42 s pre-measure). Registering all
+# SEVEN in r19 takes the registry to 235; compute the r19 window with
+# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18 lands.
 #
 # Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and

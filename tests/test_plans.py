@@ -965,6 +965,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
         customer_tenure,
         orders_seasonality,
         part_assortativity,
+        trade_flows,
     )
     from dariadb_spark.ext.timeseries import series_vr_test
 
@@ -975,7 +976,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     plans = {}
     for fn in (
         part_assortativity, orders_seasonality, basket_size_mix,
-        series_vr_test, customer_tenure,
+        series_vr_test, customer_tenure, trade_flows,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -997,3 +998,6 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     # tenure: the per-customer spans → customer join is an equi join
     assert "NestedLoop" not in plans["customer_tenure"]
     assert "CartesianProduct" not in plans["customer_tenure"]
+    # trade flows: supplier/nation dims broadcast; fact joins are equi
+    assert "BroadcastHashJoin" in plans["trade_flows"]
+    assert "CartesianProduct" not in plans["trade_flows"]

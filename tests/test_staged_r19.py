@@ -402,3 +402,83 @@ def test_customer_tenure_parity_and_planted_spans(spark, oracle_sf_dir):
     # m=5, Σ=140 → mean 28.0; ranks 3,3 → 10 → median 10.0;
     # p90 rank (45+9)//10 = 5 → 100; max 100
     assert got == [("SEG", 5, 28.0, 10.0, 100, 100)]
+
+
+# --- ext_trade_flows ----------------------------------------------------------------
+
+def test_trade_flows_parity_and_planted_matrix(spark, oracle_sf_dir):
+    """Fixture parity, then a planted 2-nation world where both
+    off-diagonal flows and the domestic exclusion are hand-checkable."""
+    from dariadb_spark.ext.relational import (
+        TRADE_FLOWS_SQL,
+        trade_flows,
+        trade_flows_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_trade_flows", trade_flows(spark, oracle_sf_dir),
+        con, TRADE_FLOWS_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+    nation = spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    customer = spark.createDataFrame(
+        [(10, "c1", 0, 0.0, "SEG"), (20, "c2", 1, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    orders = _orders(spark, [
+        (100, 10, "O", 1.0, _D, "P"),   # cust c1 (ALPHA)
+        (200, 20, "O", 1.0, _D, "P"),   # cust c2 (BETA)
+    ])
+    # (orderkey, suppkey, price, discount):
+    # o100/s2 → BETA→ALPHA 10.00 - 10% = 900 cents
+    # o100/s2 again → +0.125 → 13 cents (HALF_UP, banker's would say 12)
+    # o200/s1 → ALPHA→BETA 20.00 → 2000 cents
+    # o100/s1 → ALPHA→ALPHA domestic: EXCLUDED
+    li = spark.createDataFrame(
+        [
+            (100, 1, 2, 1, 1.0, 10.0, 0.10, 0.0, "N", "O", _D),
+            (100, 1, 2, 2, 1.0, 0.125, 0.0, 0.0, "N", "O", _D),
+            (200, 1, 1, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", _D),
+            (100, 1, 1, 3, 1.0, 99.0, 0.0, 0.0, "N", "O", _D),
+        ],
+        _LI_SCHEMA,
+    )
+    got = [tuple(r) for r in trade_flows_op(
+        li, orders, customer, supplier, nation
+    ).collect()]
+    t = 913 + 2000
+    want = [
+        ("ALPHA", "BETA", 1, 2000, _half_up(2000 * 10**6, t)),
+        ("BETA", "ALPHA", 2, 913, _half_up(913 * 10**6, t)),
+    ]
+    assert got == want
+
+
+def test_bench_stress_module_constants_are_unique():
+    """Guard for the r18 constant-shadowing bug: a module-level
+    ALL_CAPS constant defined twice in bench_stress.py silently
+    overrides the earlier stress's sizing at import time (the second
+    BASKET_STRESS_ORDERS quadrupled market basket's input before the
+    full-suite run caught it). Module-level constant names must be
+    unique."""
+    import collections
+    import pathlib
+    import re
+
+    src = (pathlib.Path(__file__).parent.parent / "bench_stress.py").read_text()
+    names = collections.Counter(
+        m.group(1) for m in re.finditer(r"^([A-Z][A-Z0-9_]+) = ", src, re.M)
+    )
+    dups = {k: v for k, v in names.items() if v > 1}
+    assert not dups, dups
