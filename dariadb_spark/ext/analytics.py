@@ -911,6 +911,11 @@ def _hdr_rank_walk(lags: DataFrame, rank_specs: dict[str, str]) -> DataFrame:
     Plan shape: one map-side-combined (transition, bucket) aggregate —
     ≤ 16·63 buckets per transition regardless of input size — then
     dimension-sized windows and joins on the bucket table only.
+
+    Callers guarantee NONNEGATIVE values (funnel lags are, by the
+    ``time >= t1`` construction); a negative input would misbin in the
+    ``length(bin(x))`` octave expression — split signed measures first,
+    the sketch_quantile_hdr convention.
     """
     sub = 16  # 2^HDR_SUB_BITS, ext/sketches.py
     bucket = (

@@ -61,7 +61,19 @@ def _season_fold(
         if not len(pdf):
             continue
         n += int(len(pdf))
+        # per-batch cent sums stay far inside int64 (month revenue at
+        # 10⁶-cent orders needs ~10¹² orders to threaten 2⁶³), but the
+        # running total must fail LOUD like the batch twin's ANSI sum,
+        # never wrap (the burst.py convention) — numpy's int64 sum is
+        # exact here because the batch is bounded; the standing total
+        # is re-checked each trigger
         cents += int(pdf["cents"].to_numpy(np.int64).sum())
+    if not (0 <= n < 2**63 and -(2**63) <= cents < 2**63):
+        raise OverflowError(
+            f"seasonality fold: accumulator overflow for month "
+            f"{key[0]} — n={n}, cents={cents} exceed the int64 state "
+            "envelope (the batch twin raises here too, under ANSI)"
+        )
     state.update((n, cents))
     yield pd.DataFrame(
         {
