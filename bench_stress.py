@@ -2551,6 +2551,7 @@ def main() -> None:
     ssea_s, ssea_batch_s, ssea_n = stress_streaming_seasonality(spark)
     ten_s, ten_n = stress_customer_tenure(spark)
     tf_s, tf_n = stress_trade_flows(spark)
+    fs_s, fs_n = stress_referential_fsck(spark)
     slow_tier = os.environ.get("DARIADB_SLOW_STRESS") == "1"
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2685,6 +2686,7 @@ def main() -> None:
                     ),
                     "customer_tenure_4m_orders": round(ten_s, 4),
                     "trade_flows_20m": round(tf_s, 4),
+                    "referential_fsck_40m": round(fs_s, 4),
                     "funnel_hdr_swap_10m_exact": (
                         round(fhe_s, 4) if slow_tier else "slow-tier skipped"
                     ),
@@ -6471,6 +6473,40 @@ def stress_trade_flows(spark) -> tuple[float, int]:
     )
     assert sorted(got) == want, (sorted(got)[0], want[0])
     assert len(got) == 4
+    return secs, 2 * n
+
+
+FSCK_STRESS_ORDERS = 20_000_000
+FSCK_STRESS_ORPHANS = 50_000
+
+
+def stress_referential_fsck(spark) -> tuple[float, int]:
+    """Staged r19 referential fsck at 20M orders / ~20M lines: orders
+    ≡ 3 (mod 1000) are planted LINE-LESS (20k of them) and 50k orphan
+    orderkeys land with TWO lines each (counted once — the counter is
+    over distinct keys) — all four counters are closed forms through
+    the two anti joins."""
+    from dariadb_spark.ext.relational import referential_fsck_op
+
+    n, k = FSCK_STRESS_ORDERS, FSCK_STRESS_ORPHANS
+    orders = spark.range(n).selectExpr("id AS o_orderkey")
+    li = spark.range(n).where("id % 1000 != 3").selectExpr(
+        "id AS l_orderkey"
+    ).unionByName(
+        spark.range(k).selectExpr(
+            f"explode(array({n} + id, {n} + id)) AS l_orderkey"
+        )
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in referential_fsck_op(orders, li).collect()]
+    secs = time.perf_counter() - t0
+    lineless = n // 1000
+    assert got == [
+        ("lines_total", (n - lineless) + 2 * k),
+        ("orders_total", n),
+        ("orders_without_lines", lineless),
+        ("orphan_line_orderkeys", k),
+    ], got
     return secs, 2 * n
 
 

@@ -3485,3 +3485,76 @@ SELECT supp_nation, cust_nation, n_lines, cents,
 FROM flows, tot
 ORDER BY cents DESC, supp_nation ASC, cust_nation ASC
 LIMIT {TRADE_FLOWS_TOP}"""
+
+
+# --- referential fsck (cross-table integrity census) --------------------------------
+# STAGED for the round-19 driver window (fourth pass, same staging
+# discipline). The DATA-QUALITY verb the storage-level fsck
+# (partition_file_stats) doesn't cover: referential integrity between
+# the fact tables — orders that never shipped a line, lines whose
+# order vanished (a torn ingest's signature), plus the base counts
+# that make the two anti-join verdicts auditable. At 100 TB this is
+# the nightly pipeline-health query; its plan class (two anti joins on
+# the co-location key) is otherwise unrepresented in the registry.
+
+
+def referential_fsck(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`referential_fsck_op`)."""
+    return referential_fsck_op(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
+def referential_fsck_op(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """(metric, cnt) — four exact integrity counters: ``orders_total``,
+    ``lines_total``, ``orders_without_lines`` (left-anti orders →
+    lineitem), ``orphan_lines`` (left-anti lineitem → orders).
+
+    Plan shape (100 TB): both anti joins hash on the orderkey — the
+    key both tables are bucketed on in a production layout, so they
+    run co-located and shuffle-free there; the distinct on the
+    lineitem side partial-aggregates before the exchange. Output is
+    four 1-row aggregates unioned — each row an independent, exactly
+    reproducible counter (no sampling, no approximation: an fsck that
+    guesses is not an fsck)."""
+    li_keys = li.select("l_orderkey").distinct()
+    o_keys = orders.select("o_orderkey")
+    rows = [
+        orders.agg(F.count("*").alias("cnt")).selectExpr(
+            "'orders_total' AS metric", "cnt"
+        ),
+        li.agg(F.count("*").alias("cnt")).selectExpr(
+            "'lines_total' AS metric", "cnt"
+        ),
+        o_keys.join(
+            li_keys, o_keys.o_orderkey == li_keys.l_orderkey, "left_anti"
+        ).agg(F.count("*").alias("cnt")).selectExpr(
+            "'orders_without_lines' AS metric", "cnt"
+        ),
+        li_keys.join(
+            o_keys, li_keys.l_orderkey == o_keys.o_orderkey, "left_anti"
+        ).agg(F.count("*").alias("cnt")).selectExpr(
+            "'orphan_line_orderkeys' AS metric", "cnt"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("metric")
+
+
+REFERENTIAL_FSCK_SQL = """
+SELECT * FROM (
+  SELECT 'orders_total' AS metric, count(*) AS cnt FROM orders
+  UNION ALL
+  SELECT 'lines_total', count(*) FROM lineitem
+  UNION ALL
+  SELECT 'orders_without_lines', count(*)
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT 'orphan_line_orderkeys', count(*)
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+) ORDER BY metric"""

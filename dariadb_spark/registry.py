@@ -1023,8 +1023,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # exact cent mass with HALF_UP micro shares; lineitem⋈orders⋈customer
 # ride their natural co-location keys, supplier/nation broadcast;
 # 20M-line stress closed-form — exactly four equal flows at share
-# 250000 — sf0.1 hash-matched, 2.42 s pre-measure). Registering all
-# SEVEN in r19 takes the registry to 235; compute the r19 window with
+# 250000 — sf0.1 hash-matched, 2.42 s pre-measure). A FOURTH pass
+# added ext_referential_fsck (ext/relational.py: the cross-table
+# integrity census — line-less orders and orphan orderkeys via two
+# hash ANTI joins on the co-location key, a plan class otherwise
+# unrepresented; the sf0.1 fixture reports a REAL 2764 line-less
+# orders, so the row is non-degenerate; 40M-row stress closed-form,
+# 0.86 s pre-measure). Registering all EIGHT in r19 takes the
+# registry to 236; compute the r19 window with
 # `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18 lands.
 #
 # Round 16 staged ELEVEN operators for r17 (each implemented +

@@ -965,6 +965,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
         customer_tenure,
         orders_seasonality,
         part_assortativity,
+        referential_fsck,
         trade_flows,
     )
     from dariadb_spark.ext.timeseries import series_vr_test
@@ -976,7 +977,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     plans = {}
     for fn in (
         part_assortativity, orders_seasonality, basket_size_mix,
-        series_vr_test, customer_tenure, trade_flows,
+        series_vr_test, customer_tenure, trade_flows, referential_fsck,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -1001,3 +1002,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     # trade flows: supplier/nation dims broadcast; fact joins are equi
     assert "BroadcastHashJoin" in plans["trade_flows"]
     assert "CartesianProduct" not in plans["trade_flows"]
+    # fsck: both integrity checks are hash ANTI joins on the orderkey,
+    # never a nested loop
+    assert "LeftAnti" in plans["referential_fsck"]
+    assert "NestedLoop" not in plans["referential_fsck"]

@@ -482,3 +482,42 @@ def test_bench_stress_module_constants_are_unique():
     )
     dups = {k: v for k, v in names.items() if v > 1}
     assert not dups, dups
+
+
+# --- ext_referential_fsck -----------------------------------------------------------
+
+def test_referential_fsck_parity_and_planted_tears(spark, oracle_sf_dir):
+    """Fixture parity (the fixture should be clean: both anti-join
+    counters 0), then a planted torn world: one line-less order and
+    one orphan orderkey with TWO lines (counted once — the counter is
+    over distinct orphan keys, not orphan rows)."""
+    from dariadb_spark.ext.relational import (
+        REFERENTIAL_FSCK_SQL,
+        referential_fsck,
+        referential_fsck_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_referential_fsck", referential_fsck(spark, oracle_sf_dir),
+        con, REFERENTIAL_FSCK_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 4
+
+    orders = _orders(spark, [
+        (1, 10, "O", 1.0, _D, "P"),   # has lines
+        (2, 10, "O", 1.0, _D, "P"),   # line-less
+    ])
+    li = _li(spark, [
+        (1, 7, 1, 1.0, 0.0, "N", _D),
+        (9, 7, 1, 1.0, 0.0, "N", _D),  # orphan key 9, line 1
+        (9, 8, 2, 1.0, 0.0, "N", _D),  # orphan key 9, line 2
+    ])
+    got = [tuple(r) for r in referential_fsck_op(orders, li).collect()]
+    assert got == [
+        ("lines_total", 3),
+        ("orders_total", 2),
+        ("orders_without_lines", 1),
+        ("orphan_line_orderkeys", 1),
+    ]
