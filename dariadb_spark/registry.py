@@ -1301,6 +1301,49 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # violations; worst leftover staleness stale-5 (policy line: core ≤ 3,
 # all ≤ 5 at N = 228; the per-round full sf0.1 sweep remains the
 # HEAD-attestation closer for the 178 rows outside the window).
+#: The staged cohort for the NEXT registration round, as CODE (r18:
+#: the prose staged-count comments above remain the narrative record,
+#: but this list is the machine-checked source of truth —
+#: tools/stage_check.py verifies each name carries the full staging
+#: discipline: op function + SQL oracle + a pytest reference + a
+#: bench_stress entry + plan-pin membership; pinned by
+#: tests/test_plans.py::test_staged_cohort_discipline_is_complete).
+#: Maps query name -> (module, op callable name, oracle constant name).
+STAGED_NEXT = {
+    "ext_part_assortativity": (
+        "dariadb_spark.ext.relational",
+        "part_assortativity", "PART_ASSORTATIVITY_SQL",
+    ),
+    "ext_series_vr_test": (
+        "dariadb_spark.ext.timeseries",
+        "series_vr_test", "SERIES_VR_TEST_SQL",
+    ),
+    "ext_orders_seasonality": (
+        "dariadb_spark.ext.relational",
+        "orders_seasonality", "ORDERS_SEASONALITY_SQL",
+    ),
+    "ext_basket_size_mix": (
+        "dariadb_spark.ext.relational",
+        "basket_size_mix", "BASKET_SIZE_MIX_SQL",
+    ),
+    "streaming_seasonality_parity": (
+        "dariadb_spark.streaming.seasonality",
+        "streaming_seasonality_parity", None,  # oracle: the batch SQL
+    ),
+    "ext_customer_tenure": (
+        "dariadb_spark.ext.relational",
+        "customer_tenure", "CUSTOMER_TENURE_SQL",
+    ),
+    "ext_trade_flows": (
+        "dariadb_spark.ext.relational",
+        "trade_flows", "TRADE_FLOWS_SQL",
+    ),
+    "ext_referential_fsck": (
+        "dariadb_spark.ext.relational",
+        "referential_fsck", "REFERENTIAL_FSCK_SQL",
+    ),
+}
+
 CHECK_WINDOW = [
     # priority 1: the thirteen core reference rows at stale-3
     "bucket_hour", "bucket_minute30", "current_value", "erase_old_check",

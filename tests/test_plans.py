@@ -1006,3 +1006,36 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     # never a nested loop
     assert "LeftAnti" in plans["referential_fsck"]
     assert "NestedLoop" not in plans["referential_fsck"]
+
+
+def test_staged_cohort_discipline_is_complete():
+    """registry.STAGED_NEXT is the machine-checked staged-cohort source
+    of truth (r18): every staged name must carry the op callable, the
+    DuckDB oracle, a referencing pytest, and a bench_stress entry
+    BEFORE its registration round — and must leave the list the round
+    it registers (tools/stage_check.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import stage_check
+
+    problems = stage_check.check()
+    assert problems == [], problems
+
+
+def test_staged_cohort_matches_plan_pin():
+    """The staged plan pre-pin and STAGED_NEXT must cover the same
+    batch ops (streaming parities are excluded from the pin — building
+    their DataFrame executes a stream)."""
+    import inspect
+
+    from dariadb_spark.registry import STAGED_NEXT
+
+    src = inspect.getsource(test_no_cartesian_product_in_staged_r19_plans)
+    missing = [
+        fn_name
+        for name, (_, fn_name, _) in STAGED_NEXT.items()
+        if not name.startswith("streaming_") and fn_name not in src
+    ]
+    assert missing == [], missing
