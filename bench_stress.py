@@ -2552,6 +2552,7 @@ def main() -> None:
     ten_s, ten_n = stress_customer_tenure(spark)
     tf_s, tf_n = stress_trade_flows(spark)
     fs_s, fs_n = stress_referential_fsck(spark)
+    skp_s, sks_s, sk_n = stress_skew_join_ab(spark)
     slow_tier = os.environ.get("DARIADB_SLOW_STRESS") == "1"
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2687,6 +2688,8 @@ def main() -> None:
                     "customer_tenure_4m_orders": round(ten_s, 4),
                     "trade_flows_20m": round(tf_s, 4),
                     "referential_fsck_40m": round(fs_s, 4),
+                    "skew_join_10m_plain_aqe": round(skp_s, 4),
+                    "skew_join_10m_salted": round(sks_s, 4),
                     "funnel_hdr_swap_10m_exact": (
                         round(fhe_s, 4) if slow_tier else "slow-tier skipped"
                     ),
@@ -6508,6 +6511,45 @@ def stress_referential_fsck(spark) -> tuple[float, int]:
         ("orphan_line_orderkeys", k),
     ], got
     return secs, 2 * n
+
+
+SKEW_AB_ROWS = 10_000_000
+SKEW_AB_DIM = 4_000_000  # big enough that the dim side cannot broadcast
+
+
+def stress_skew_join_ab(spark) -> tuple[float, float, int]:
+    """A/B of the repo's two skew levers on a PLANTED hot key (50% of
+    10M fact rows share key 0 — a 2,000,000× hot spot over the 4M-key
+    dim): the plain sort-merge join under AQE's runtime skew-split vs
+    `plans/skew.salted_join` (the manual lever for joins AQE can't
+    reach). Both sides must produce the IDENTICAL row multiset (count
+    + value checksum asserted); the times price the levers honestly —
+    neither is claimed faster, the claim is that BOTH retire the
+    single-straggler hot task."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.plans.skew import salted_join
+
+    n, d = SKEW_AB_ROWS, SKEW_AB_DIM
+    big = spark.range(n).selectExpr(
+        f"CASE WHEN id % 2 = 0 THEN 0L ELSE id % {d} END AS id",
+        "id AS time", "CAST(id % 97 AS DOUBLE) AS value",
+        "CAST(id % 5 AS BIGINT) AS flag",
+    )
+    dim = spark.range(d).selectExpr("id", "id * 3 AS weight")
+    t0 = time.perf_counter()
+    plain = big.join(dim, "id").agg(
+        F.count("*").alias("c"), F.sum(F.expr("weight + flag")).alias("s")
+    ).collect()[0]
+    plain_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    salted = salted_join(big, dim, "id").agg(
+        F.count("*").alias("c"), F.sum(F.expr("weight + flag")).alias("s")
+    ).collect()[0]
+    salted_s = time.perf_counter() - t0
+    assert (plain.c, plain.s) == (salted.c, salted.s), (plain, salted)
+    assert plain.c == n  # every fact row matches exactly one dim row
+    return plain_s, salted_s, n
 
 
 if __name__ == "__main__":
