@@ -2437,6 +2437,23 @@ def stress_hll_onepass(spark) -> tuple[float, int, float, float]:
 def main() -> None:
     spark = get_spark("dariadb-bench-stress")
     spark.sparkContext.setLogLevel("ERROR")
+    # SLOW TIER (VERDICT r17 item 7: the suite budget is 500 s; tier
+    # the ≥15 s entries behind an opt-in env rather than trimming
+    # assertions, and report skips loudly). Tiered r18: the two
+    # original entries (streaming LTV, the funnel rank→HDR A/B) plus —
+    # after the 470.2 s final run left no headroom for the r19 staging
+    # additions — the three ≥15 s veterans (train-LR 37 s, cross-corr
+    # 17 s, session-concurrency 17 s). Run per-round with
+    # DARIADB_SLOW_STRESS=1; evidence recorded in BASELINE.md.
+    slow_tier = os.environ.get("DARIADB_SLOW_STRESS") == "1"
+    if not slow_tier:
+        print(
+            "SLOW TIER SKIPPED (set DARIADB_SLOW_STRESS=1): "
+            "stress_train_lr_convergence, stress_cross_corr, "
+            "stress_session_concurrency, stress_streaming_ltv, "
+            "stress_funnel_hdr_swap",
+            file=sys.stderr,
+        )
     cc_s, cc_n = stress_cc(spark)
     pp_s, pp_n = stress_ppjoin(spark)
     al_s, al_n = stress_alert_fold(spark)
@@ -2472,7 +2489,10 @@ def main() -> None:
         net_bin_append_rps,
         net_bin_read_rps,
     ) = stress_net_protocol(spark)
-    lr_s, lr_loss, lr_acc = stress_train_lr_convergence(spark)
+    if slow_tier:
+        lr_s, lr_loss, lr_acc = stress_train_lr_convergence(spark)
+    else:
+        lr_s = lr_loss = lr_acc = None
     cp_pre, cp_post, cp_fpre, cp_fpost = stress_store_compaction(spark)
     bk_write_s, bk_plain_s, bk_bucket_s = stress_bucketed_layout(spark)
     hll_s, hll_n, hll_rel, hll_rel64 = stress_hll_onepass(spark)
@@ -2486,7 +2506,10 @@ def main() -> None:
     smkv_stream_s, smkv_batch_s, smkv_transitions = stress_streaming_markov(
         spark
     )
-    xc_s, xc_rows = stress_cross_corr(spark)
+    if slow_tier:
+        xc_s, xc_rows = stress_cross_corr(spark)
+    else:
+        xc_s = xc_rows = None
     bl_s, bl_fp, bl_fpr = stress_bloom(spark)
     se_s, se_rows = stress_seasonal(spark)
     ou_s, ou_rows = stress_embedding_outliers(spark)
@@ -2518,7 +2541,10 @@ def main() -> None:
     slsh_s, slsh_batch_s, slsh_n = stress_streaming_level_shift(spark)
     sacf_s, sacf_n = stress_series_seq_acf(spark)
     par_s, par_n = stress_orders_pareto(spark)
-    conc_s, conc_n = stress_session_concurrency(spark)
+    if slow_tier:
+        conc_s, conc_n = stress_session_concurrency(spark)
+    else:
+        conc_s = conc_n = None
     clu_s, clu_n = stress_part_clustering(spark)
     gini_s, gini_n = stress_orders_gini(spark)
     hhi_s, hhi_n = stress_supplier_hhi(spark)
@@ -2537,13 +2563,6 @@ def main() -> None:
     sbur_s, sbur_batch_s, sbur_n = stress_streaming_burst(spark)
     kc_s, kc_n = stress_part_kcore(spark)
     tx_s, tx_n = stress_series_tail_excess(spark)
-    # SLOW TIER (VERDICT r17 item 7: the suite budget is 500 s; tier
-    # the heaviest entries behind an opt-in env rather than trimming
-    # assertions — and report the skip loudly, never silently): the
-    # 2M-row streaming-LTV three-drop fold (15.7 s) and the 10M-row
-    # funnel rank→HDR A/B (~63 s: the exact branch's per-row rank
-    # window IS the cost being measured). Run per-round with
-    # DARIADB_SLOW_STRESS=1; evidence recorded in BASELINE.md.
     ast_s, ast_n = stress_part_assortativity(spark)
     vrt_s, vrt_n = stress_series_vr_test(spark)
     sea_s, sea_n = stress_orders_seasonality(spark)
@@ -2553,17 +2572,11 @@ def main() -> None:
     tf_s, tf_n = stress_trade_flows(spark)
     fs_s, fs_n = stress_referential_fsck(spark)
     skp_s, sks_s, sk_n = stress_skew_join_ab(spark)
-    slow_tier = os.environ.get("DARIADB_SLOW_STRESS") == "1"
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
         fhe_s, fhh_s, fh_n = stress_funnel_hdr_swap(spark)
     else:
         sltv_s = sltv_batch_s = fhe_s = fhh_s = None
-        print(
-            "SLOW TIER SKIPPED (set DARIADB_SLOW_STRESS=1): "
-            "stress_streaming_ltv, stress_funnel_hdr_swap",
-            file=sys.stderr,
-        )
     print(
         json.dumps(
             {
@@ -2605,7 +2618,9 @@ def main() -> None:
                     "quality_calibrate_1m_docs": round(calib_s, 4),
                     "streaming_pq_ingest_500k": round(pqi_stream_s, 4),
                     "batch_pq_encode_same_files": round(pqi_batch_s, 4),
-                    "train_lr_12step_200k": round(lr_s, 4),
+                    "train_lr_12step_200k": (
+                        round(lr_s, 4) if slow_tier else "slow-tier skipped"
+                    ),
                     "store_read_precompact_1m2": round(cp_pre, 4),
                     "store_read_postcompact_1m2": round(cp_post, 4),
                     "lttb_downsample_20m": round(lttb_s, 4),
@@ -2621,7 +2636,9 @@ def main() -> None:
                     "series_psi_10m": round(psi_s, 4),
                     "streaming_markov_1m": round(smkv_stream_s, 4),
                     "batch_markov_same_events": round(smkv_batch_s, 4),
-                    "cross_corr_9m6_100series": round(xc_s, 4),
+                    "cross_corr_9m6_100series": (
+                        round(xc_s, 4) if slow_tier else "slow-tier skipped"
+                    ),
                     "bloom_gate_150k_docs": round(bl_s, 4),
                     "seasonal_profile_20m": round(se_s, 4),
                     "embedding_outliers_100k": round(ou_s, 4),
@@ -2655,7 +2672,9 @@ def main() -> None:
                     ),
                     "series_seq_acf_20m": round(sacf_s, 4),
                     "orders_pareto_20m": round(par_s, 4),
-                    "session_concurrency_20m": round(conc_s, 4),
+                    "session_concurrency_20m": (
+                        round(conc_s, 4) if slow_tier else "slow-tier skipped"
+                    ),
                     "part_clustering_300k_edges": round(clu_s, 4),
                     "orders_gini_20m": round(gini_s, 4),
                     "supplier_hhi_20m": round(hhi_s, 4),
