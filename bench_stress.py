@@ -2571,6 +2571,7 @@ def main() -> None:
     ten_s, ten_n = stress_customer_tenure(spark)
     tf_s, tf_n = stress_trade_flows(spark)
     fs_s, fs_n = stress_referential_fsck(spark)
+    prm_s, prm_n = stress_promo_revenue(spark)
     skp_s, sks_s, sk_n = stress_skew_join_ab(spark)
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2707,6 +2708,7 @@ def main() -> None:
                     "customer_tenure_4m_orders": round(ten_s, 4),
                     "trade_flows_20m": round(tf_s, 4),
                     "referential_fsck_40m": round(fs_s, 4),
+                    "promo_revenue_20m": round(prm_s, 4),
                     "skew_join_10m_plain_aqe": round(skp_s, 4),
                     "skew_join_10m_salted": round(sks_s, 4),
                     "funnel_hdr_swap_10m_exact": (
@@ -6530,6 +6532,43 @@ def stress_referential_fsck(spark) -> tuple[float, int]:
         ("orphan_line_orderkeys", k),
     ], got
     return secs, 2 * n
+
+
+PROMO_STRESS_BLOCKS = 1_672  # × lcm(12, 997) = 11 964 → ~20M lines
+
+
+def stress_promo_revenue(spark) -> tuple[float, int]:
+    """Staged r19 promo share at ~20M lineitems / 997 parts: line L
+    ships in month (L mod 12)+1 carrying part L mod 997 at a flat
+    100-cent revenue; parts 0..249 are PROMO — 12 ⊥ 997, so every
+    month sees every part residue equally and all 12 rows read the
+    identical closed form (share = HALF_UP(10⁶·250/997))."""
+    from dariadb_spark.ext.relational import promo_revenue_op
+
+    n = PROMO_STRESS_BLOCKS * 11_964
+    li = spark.range(n).selectExpr(
+        "id % 997 AS l_partkey",
+        "1.0d AS l_extendedprice",
+        "0.0d AS l_discount",
+        "make_timestamp(1995, CAST(id % 12 AS INT) + 1, 15, 0, 0, 0)"
+        " AS l_shipdate",
+    )
+    part = spark.range(997).selectExpr(
+        "id AS p_partkey",
+        "CASE WHEN id < 250 THEN 'PROMO' ELSE 'LARGE' END AS p_type",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in promo_revenue_op(li, part).collect()]
+    secs = time.perf_counter() - t0
+    # per month: blocks × 997 lines, of which 250 are promo, 100¢ each
+    blocks = n // 11_964
+    per_n = n // 12
+    promo_c = blocks * 250 * 100
+    total_c = blocks * 997 * 100
+    share = (2 * promo_c * 10**6 + total_c) // (2 * total_c)
+    want = [(m, per_n, promo_c, total_c, share) for m in range(1, 13)]
+    assert got == want, (got[0], want[0])
+    return secs, n
 
 
 SKEW_AB_ROWS = 10_000_000

@@ -3558,3 +3558,82 @@ SELECT * FROM (
   WHERE NOT EXISTS (
     SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 ) ORDER BY metric"""
+
+
+# --- promo revenue share (Q14 class) -------------------------------------------------
+# STAGED for the round-19 driver window (fifth pass, same staging
+# discipline). The TPC-H Q14 question at calendar grain: what share of
+# each ship-month's revenue moved through PROMO-class parts? The
+# campaign-effect read next to seasonality's raw mix — and the first
+# registry use of the part TYPE attribute (p_type).
+
+
+def promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`promo_revenue_op`)."""
+    return promo_revenue_op(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+
+
+def promo_revenue_op(li: DataFrame, part: DataFrame) -> DataFrame:
+    """(month, n_lines, promo_cents, total_cents, promo_share_micro) —
+    per ship month, the PROMO-type slice of revenue.
+
+    Exactness: per-line revenue is the HALF_UP int64 cent projection
+    at the scan stage (the supplier-HHI convention); the share is the
+    HALF_UP(10⁶·promo/total) integer rational. Months with zero total
+    revenue cannot occur (cents ≥ 1 per line); months with no lines
+    are absent.
+
+    Plan shape (100 TB): one lineitem scan (ReadSchema: l_shipdate,
+    l_partkey, l_extendedprice, l_discount) → the part join is a
+    BROADCAST (the dimension table, KBs per million parts for the two
+    carried columns) → a map-side-combined 12-key aggregate → a
+    stateless share projection. No shuffle beyond the 12-key agg."""
+    rev = li.select(
+        F.month(F.to_date("l_shipdate")).alias("month"),
+        "l_partkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)"
+        ).alias("rc"),
+    )
+    dim = part.select(
+        F.col("p_partkey").alias("l_partkey"),
+        (F.col("p_type") == "PROMO").cast("int").alias("is_promo"),
+    )
+    return (
+        rev.join(F.broadcast(dim), "l_partkey")
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.expr("rc * is_promo")).alias("promo_cents"),
+            F.sum("rc").alias("total_cents"),
+        )
+        .selectExpr(
+            "month",
+            "n_lines",
+            "promo_cents",
+            "total_cents",
+            "CAST((2 * promo_cents * 1000000 + total_cents)"
+            " DIV (2 * total_cents) AS BIGINT) AS promo_share_micro",
+        )
+        .orderBy("month")
+    )
+
+
+PROMO_REVENUE_SQL = """WITH
+rev AS (SELECT month(CAST(l_shipdate AS DATE)) AS month, l_partkey,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS rc
+        FROM lineitem),
+j AS (SELECT r.month, r.rc,
+             CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+      FROM rev r JOIN part p ON r.l_partkey = p.p_partkey)
+SELECT CAST(month AS BIGINT) AS month, count(*) AS n_lines,
+       CAST(sum(rc * is_promo) AS BIGINT) AS promo_cents,
+       CAST(sum(rc) AS BIGINT) AS total_cents,
+       (2 * CAST(sum(rc * is_promo) AS BIGINT) * 1000000
+        + CAST(sum(rc) AS BIGINT)) // (2 * CAST(sum(rc) AS BIGINT))
+         AS promo_share_micro
+FROM j GROUP BY month ORDER BY month"""

@@ -1029,9 +1029,15 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # hash ANTI joins on the co-location key, a plan class otherwise
 # unrepresented; the sf0.1 fixture reports a REAL 2764 line-less
 # orders, so the row is non-degenerate; 40M-row stress closed-form,
-# 0.86 s pre-measure). Registering all EIGHT in r19 takes the
-# registry to 236; compute the r19 window with
-# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18 lands.
+# 0.86 s pre-measure). A FIFTH pass added ext_promo_revenue
+# (ext/relational.py: the TPC-H Q14-class promo revenue share per
+# ship month — the first registry use of p_type; broadcast part dim,
+# one 12-key agg; ~20M-line stress closed-form via the 12 ⊥ 997
+# residue grid, sf0.1 hash-matched, 1.0 s pre-measure). Registering
+# all NINE in r19 takes the registry to 237; compute the r19 window
+# with `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18
+# lands. The cohort is ALSO code now: registry.STAGED_NEXT below is
+# the machine-checked source of truth (tools/stage_check.py).
 #
 # Round 16 staged ELEVEN operators for r17 (each implemented +
 # oracled + pytest parity incl. planted closed-form fixtures and
@@ -1341,6 +1347,10 @@ STAGED_NEXT = {
     "ext_referential_fsck": (
         "dariadb_spark.ext.relational",
         "referential_fsck", "REFERENTIAL_FSCK_SQL",
+    ),
+    "ext_promo_revenue": (
+        "dariadb_spark.ext.relational",
+        "promo_revenue", "PROMO_REVENUE_SQL",
     ),
 }
 

@@ -965,6 +965,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
         customer_tenure,
         orders_seasonality,
         part_assortativity,
+        promo_revenue,
         referential_fsck,
         trade_flows,
     )
@@ -978,6 +979,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     for fn in (
         part_assortativity, orders_seasonality, basket_size_mix,
         series_vr_test, customer_tenure, trade_flows, referential_fsck,
+        promo_revenue,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -1006,6 +1008,9 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     # never a nested loop
     assert "LeftAnti" in plans["referential_fsck"]
     assert "NestedLoop" not in plans["referential_fsck"]
+    # promo: the part dim join is a broadcast
+    assert "BroadcastHashJoin" in plans["promo_revenue"]
+    assert "CartesianProduct" not in plans["promo_revenue"]
 
 
 def test_staged_cohort_discipline_is_complete():

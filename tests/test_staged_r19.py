@@ -521,3 +521,46 @@ def test_referential_fsck_parity_and_planted_tears(spark, oracle_sf_dir):
         ("orders_without_lines", 1),
         ("orphan_line_orderkeys", 1),
     ]
+
+
+# --- ext_promo_revenue --------------------------------------------------------------
+
+def test_promo_revenue_parity_and_planted_share(spark, oracle_sf_dir):
+    """Fixture parity, then a planted month where the promo slice and
+    the HALF_UP micro share (including the exact .5-cent projection)
+    are hand-checkable."""
+    from dariadb_spark.ext.relational import (
+        PROMO_REVENUE_SQL,
+        promo_revenue,
+        promo_revenue_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_promo_revenue", promo_revenue(spark, oracle_sf_dir),
+        con, PROMO_REVENUE_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark == 12
+
+    part = spark.createDataFrame(
+        [(1, "n", "B", "PROMO", 1, 1.0), (2, "n", "B", "LARGE", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    jan = datetime.datetime(2024, 1, 10)
+    feb = datetime.datetime(2024, 2, 10)
+    li = _li(spark, [
+        # (orderkey, partkey, linenumber, qty, discount, flag, shipdate)
+        (1, 1, 1, 1.0, 0.10, "N", jan),   # promo: 100*0.9 = 90.00 → 9000
+        (2, 2, 1, 1.0, 0.0, "N", jan),    # plain: 100.00 → 10000
+        (3, 1, 1, 1.0, 0.999875, "N", feb),  # promo: 0.0125 → 1.25¢ → 1? no:
+        # 100*(1-0.999875)=0.0125 dollars → 1.25 cents → HALF_UP 1
+    ])
+    got = [tuple(r) for r in promo_revenue_op(li, part).collect()]
+    t_jan = 9000 + 10000
+    want = [
+        (1, 2, 9000, t_jan, _half_up(9000 * 10**6, t_jan)),
+        (2, 1, 1, 1, 1000000),
+    ]
+    assert got == want
