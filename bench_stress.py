@@ -2572,6 +2572,7 @@ def main() -> None:
     tf_s, tf_n = stress_trade_flows(spark)
     fs_s, fs_n = stress_referential_fsck(spark)
     prm_s, prm_n = stress_promo_revenue(spark)
+    lmx_s, lmx_n = stress_docs_length_mix(spark)
     skp_s, sks_s, sk_n = stress_skew_join_ab(spark)
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2709,6 +2710,7 @@ def main() -> None:
                     "trade_flows_20m": round(tf_s, 4),
                     "referential_fsck_40m": round(fs_s, 4),
                     "promo_revenue_20m": round(prm_s, 4),
+                    "docs_length_mix_10m": round(lmx_s, 4),
                     "skew_join_10m_plain_aqe": round(skp_s, 4),
                     "skew_join_10m_salted": round(sks_s, 4),
                     "funnel_hdr_swap_10m_exact": (
@@ -6532,6 +6534,37 @@ def stress_referential_fsck(spark) -> tuple[float, int]:
         ("orphan_line_orderkeys", k),
     ], got
     return secs, 2 * n
+
+
+LENMIX_STRESS_DOCS = 10_000_000
+
+
+def stress_docs_length_mix(spark) -> tuple[float, int]:
+    """Staged r19 length mix at 10M docs / 5 sources: source S(d mod 5)
+    holds lengths {s+5k : k < 200} (d mod 1000 decorrelated through
+    the mod-5 residue) with equal counts — the tenure stress's residue
+    grid on the documents grain, every walk cell closed-form."""
+    from dariadb_spark.ext.curation import docs_length_mix_op
+
+    n = LENMIX_STRESS_DOCS
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id", "CAST(NULL AS STRING) AS text",
+        "'en' AS lang", "concat('S', id % 5) AS source",
+        "100 + (id % 1000) AS n_chars", "CAST(0 AS BIGINT) AS n_tokens",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in docs_length_mix_op(docs).collect()]
+    secs = time.perf_counter() - t0
+    m = n // 5
+    # source s holds lengths 100+s+5k, k=0..199, m/200 docs each:
+    # mean = median = 100+s+497.5, p90 = 100+s+895, max = 100+s+995
+    want = [
+        (f"S{s}", m, 100 + s + 497.5, 100 + s + 497.5,
+         100 + s + 895, 100 + s + 995)
+        for s in range(5)
+    ]
+    assert got == want, (got[0], want[0])
+    return secs, n
 
 
 PROMO_STRESS_BLOCKS = 1_672  # × lcm(12, 997) = 11 964 → ~20M lines

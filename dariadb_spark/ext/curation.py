@@ -1820,3 +1820,121 @@ def _register_dedup_keep_best() -> None:
 
 
 _register_dedup_keep_best()
+
+
+# --- per-source document-length mix --------------------------------------------------
+# STAGED for the round-19 driver window (sixth pass, same staging
+# discipline). The corpus-report staple profile_documents' one-row
+# min/max/avg can't give: the per-SOURCE length DISTRIBUTION —
+# median/p90 doc length is the first thing a data curator reads when
+# comparing sources (a source whose median collapses is truncating; a
+# fat p90 tail is concatenation junk). Char counts live in a bounded
+# integer domain, so the order statistics ride the weighted-count walk
+# (the ship_latency/basket/tenure recipe), never a per-row rank.
+
+
+def docs_length_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`docs_length_mix_op`)."""
+    return docs_length_mix_op(load_table(spark, sf, "documents"))
+
+
+def docs_length_mix_op(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, mean_chars, median_chars, p90_chars, max_chars)
+    — the doc-length distribution per source.
+
+    Exactness: n_chars is int64; mean is the HALF_UP 4-dp ratio;
+    median is the doubled-rank walk and p90 the rank-⌈0.9·m⌉ order
+    statistic off the WEIGHTED (source, n_chars) count table — exact
+    order statistics of the full multiset. NULL-text docs still carry
+    their n_chars metadata and are counted (the profile row tracks
+    null_text separately).
+
+    Plan shape (100 TB): one documents scan (ReadSchema: source,
+    n_chars only — text never read) → a map-side-combined
+    (source, n_chars) count table — |sources| × |distinct lengths|,
+    thousands — → the cumulative walk over that tiny table."""
+    from pyspark.sql import Window
+
+    from dariadb_spark.ext.exact import ratio_round_spark
+
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("source")
+    walked = counts.select(
+        "source", "n_chars", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("m"),
+    )
+    picked = walked.selectExpr(
+        "source",
+        "m AS n_docs",
+        "n_chars * cnt AS wsum",
+        "n_chars AS max_cand",
+        "CASE WHEN cum - cnt < (m + 1) DIV 2 AND (m + 1) DIV 2 <= cum"
+        " THEN n_chars ELSE 0 END AS med_lo",
+        "CASE WHEN cum - cnt < (m + 2) DIV 2 AND (m + 2) DIV 2 <= cum"
+        " THEN n_chars ELSE 0 END AS med_hi",
+        "CASE WHEN cum - cnt < (9 * m + 9) DIV 10"
+        " AND (9 * m + 9) DIV 10 <= cum THEN n_chars ELSE 0 END AS p90",
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum("wsum").alias("sum_chars"),
+            F.sum("med_lo").alias("mlo"),
+            F.sum("med_hi").alias("mhi"),
+            F.sum("p90").alias("p90_chars"),
+            F.max("max_cand").alias("max_chars"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            ratio_round_spark("sum_chars", "n_docs", 4) + " AS mean_chars",
+            "(mlo + mhi) / 2.0d AS median_chars",
+            "p90_chars",
+            "max_chars",
+        )
+        .orderBy("source")
+    )
+
+
+def _docs_length_mix_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_duck
+
+    return f"""WITH
+counts AS (SELECT source, n_chars, count(*) AS cnt
+           FROM documents GROUP BY source, n_chars),
+walked AS (SELECT source, n_chars, cnt,
+                  sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY source) AS m
+           FROM counts),
+picked AS (SELECT source, m AS n_docs, n_chars * cnt AS wsum,
+                  n_chars AS max_cand,
+                  CASE WHEN cum - cnt < (m + 1) // 2
+                        AND (m + 1) // 2 <= cum
+                       THEN n_chars ELSE 0 END AS med_lo,
+                  CASE WHEN cum - cnt < (m + 2) // 2
+                        AND (m + 2) // 2 <= cum
+                       THEN n_chars ELSE 0 END AS med_hi,
+                  CASE WHEN cum - cnt < (9 * m + 9) // 10
+                        AND (9 * m + 9) // 10 <= cum
+                       THEN n_chars ELSE 0 END AS p90
+           FROM walked)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       {ratio_round_duck("sum(wsum)", "max(n_docs)", 4)} AS mean_chars,
+       (sum(med_lo) + sum(med_hi)) / 2.0 AS median_chars,
+       CAST(sum(p90) AS BIGINT) AS p90_chars,
+       CAST(max(max_cand) AS BIGINT) AS max_chars
+FROM picked GROUP BY source, n_docs
+ORDER BY source"""
+
+
+DOCS_LENGTH_MIX_SQL = _docs_length_mix_sql()

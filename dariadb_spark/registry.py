@@ -1033,9 +1033,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # (ext/relational.py: the TPC-H Q14-class promo revenue share per
 # ship month — the first registry use of p_type; broadcast part dim,
 # one 12-key agg; ~20M-line stress closed-form via the 12 ⊥ 997
-# residue grid, sf0.1 hash-matched, 1.0 s pre-measure). Registering
-# all NINE in r19 takes the registry to 237; compute the r19 window
-# with `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18
+# residue grid, sf0.1 hash-matched, 1.0 s pre-measure). A SIXTH pass
+# added ext_docs_length_mix (ext/curation.py: the per-SOURCE doc-
+# length distribution — median/p90 off the weighted-count walk, the
+# corpus-report staple profile_documents' one-row min/max/avg can't
+# give; ReadSchema pins text never read; 10M-doc stress closed-form,
+# sf0.1 hash-matched, 0.75 s pre-measure). Registering all TEN in r19
+# takes the registry to 238; compute the r19 window with
+# `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18
 # lands. The cohort is ALSO code now: registry.STAGED_NEXT below is
 # the machine-checked source of truth (tools/stage_check.py).
 #
@@ -1351,6 +1356,10 @@ STAGED_NEXT = {
     "ext_promo_revenue": (
         "dariadb_spark.ext.relational",
         "promo_revenue", "PROMO_REVENUE_SQL",
+    ),
+    "ext_docs_length_mix": (
+        "dariadb_spark.ext.curation",
+        "docs_length_mix", "DOCS_LENGTH_MIX_SQL",
     ),
 }
 

@@ -969,6 +969,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
         referential_fsck,
         trade_flows,
     )
+    from dariadb_spark.ext.curation import docs_length_mix
     from dariadb_spark.ext.timeseries import series_vr_test
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -979,7 +980,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     for fn in (
         part_assortativity, orders_seasonality, basket_size_mix,
         series_vr_test, customer_tenure, trade_flows, referential_fsck,
-        promo_revenue,
+        promo_revenue, docs_length_mix,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -1011,6 +1012,9 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     # promo: the part dim join is a broadcast
     assert "BroadcastHashJoin" in plans["promo_revenue"]
     assert "CartesianProduct" not in plans["promo_revenue"]
+    # length mix: count-table walk only — no join, text never read
+    assert "Join" not in plans["docs_length_mix"]
+    assert "text" not in plans["docs_length_mix"].split("ReadSchema")[-1][:200]
 
 
 def test_staged_cohort_discipline_is_complete():

@@ -564,3 +564,34 @@ def test_promo_revenue_parity_and_planted_share(spark, oracle_sf_dir):
         (2, 1, 1, 1, 1000000),
     ]
     assert got == want
+
+
+# --- ext_docs_length_mix ------------------------------------------------------------
+
+def test_docs_length_mix_parity_and_planted_walk(spark, oracle_sf_dir):
+    """Fixture parity, then planted lengths [10, 20, 20, 30, 100] whose
+    mean / median / p90 / max replay the weighted-count walk by hand."""
+    from dariadb_spark.ext.curation import (
+        DOCS_LENGTH_MIX_SQL,
+        docs_length_mix,
+        docs_length_mix_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_docs_length_mix", docs_length_mix(spark, oracle_sf_dir),
+        con, DOCS_LENGTH_MIX_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "web", n, 0) for i, n in
+         enumerate([10, 20, 20, 30, 100])],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, n_tokens long",
+    )
+    got = [tuple(r) for r in docs_length_mix_op(docs).collect()]
+    # m=5, Σ=180 → mean 36.0; ranks 3,3 → 20 → median 20.0;
+    # p90 rank (45+9)//10 = 5 → 100; max 100
+    assert got == [("web", 5, 36.0, 20.0, 100, 100)]
