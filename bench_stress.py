@@ -2573,6 +2573,7 @@ def main() -> None:
     fs_s, fs_n = stress_referential_fsck(spark)
     prm_s, prm_n = stress_promo_revenue(spark)
     lmx_s, lmx_n = stress_docs_length_mix(spark)
+    psz_s, psz_n = stress_part_price_size(spark)
     skp_s, sks_s, sk_n = stress_skew_join_ab(spark)
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2711,6 +2712,7 @@ def main() -> None:
                     "referential_fsck_40m": round(fs_s, 4),
                     "promo_revenue_20m": round(prm_s, 4),
                     "docs_length_mix_10m": round(lmx_s, 4),
+                    "part_price_size_3m": round(psz_s, 4),
                     "skew_join_10m_plain_aqe": round(skp_s, 4),
                     "skew_join_10m_salted": round(sks_s, 4),
                     "funnel_hdr_swap_10m_exact": (
@@ -6534,6 +6536,37 @@ def stress_referential_fsck(spark) -> tuple[float, int]:
         ("orphan_line_orderkeys", k),
     ], got
     return secs, 2 * n
+
+
+PSIZE_STRESS_PARTS = 3_000_000
+
+
+def stress_part_price_size(spark) -> tuple[float, int]:
+    """Staged r19 size→price correlation at 3M parts / 6 type classes:
+    five classes ride the perfect line price = (size + t) dollars
+    (slope exactly 100 cents/size, signed r² = +1) and the sixth the
+    perfect anti-line price = (60 − size) dollars (slope −100,
+    signed r² = −1) — every cell closed-form through the wide
+    rationals."""
+    from dariadb_spark.ext.relational import part_price_size_op
+
+    n = PSIZE_STRESS_PARTS
+    part = spark.range(n).selectExpr(
+        "id AS p_partkey", "'n' AS p_name", "'B' AS p_brand",
+        "concat('T', id % 6) AS p_type",
+        "CAST((id % 50) + 1 AS INT) AS p_size",
+        "CASE WHEN id % 6 = 5 THEN CAST(60 - ((id % 50) + 1) AS DOUBLE)"
+        " ELSE CAST((id % 50) + 1 + id % 6 AS DOUBLE) END"
+        " AS p_retailprice",
+    )
+    t0 = time.perf_counter()
+    got = [tuple(r) for r in part_price_size_op(part).collect()]
+    secs = time.perf_counter() - t0
+    m = n // 6
+    want = [(f"T{t}", m, 100.0, 1.0) for t in range(5)]
+    want.append(("T5", m, -100.0, -1.0))
+    assert got == want, (got, want[:2])
+    return secs, n
 
 
 LENMIX_STRESS_DOCS = 10_000_000

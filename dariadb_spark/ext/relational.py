@@ -3637,3 +3637,116 @@ SELECT CAST(month AS BIGINT) AS month, count(*) AS n_lines,
         + CAST(sum(rc) AS BIGINT)) // (2 * CAST(sum(rc) AS BIGINT))
          AS promo_share_micro
 FROM j GROUP BY month ORDER BY month"""
+
+
+# --- part size→price correlation (signed r²) -----------------------------------------
+# STAGED for the round-19 driver window (seventh pass, same staging
+# discipline). The CORRELATION verb next to discount_response's OLS
+# slope: per part-type class, does physical size actually predict list
+# price? Pearson's r needs a sqrt the exact-arithmetic contract
+# forbids, so the emitted statistic is SIGNED r² — sign(cov)·r², an
+# exact rational (the seq-ACF trick) carrying the same direction and
+# strength reading. First registry use of p_size.
+
+
+def part_price_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`part_price_size_op`)."""
+    return part_price_size_op(load_table(spark, sf, "part"))
+
+
+def part_price_size_op(part: DataFrame) -> DataFrame:
+    """(p_type, n_parts, slope_micro, signed_r2_micro) — per type
+    class, the OLS slope of price (cents) on size plus the signed
+    squared correlation.
+
+    Exactness: x = p_size (int), y = round(p_retailprice·100) int64
+    cents; the five accumulators are int64; slope = HALF_UP 6-dp of
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in DECIMAL(38,0)/HUGEINT;
+    signed_r2 = sign(num)·HALF_UP 6-dp of num²/(den_x·den_y).
+    Envelope: num² needs n ≤ ~10⁶ parts per type at 50-size/$2000
+    prices to stay inside DECIMAL(38,0) — past that pre-scale cents to
+    dollars (the burstiness pre-scale convention). Types with zero
+    size or price variance drop out (neither statistic exists).
+
+    Plan shape (100 TB): one part-dim scan → ONE partial-aggregated
+    shuffle on the ≤|types|-key class → a stateless projection on the
+    6-row summary. Scan-bound; no join, no window."""
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_spark
+
+    sums = (
+        part.selectExpr(
+            "p_type",
+            "CAST(p_size AS BIGINT) AS x",
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS y",
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        )
+    )
+    num = (
+        "n_parts * CAST(sxy AS DECIMAL(38,0))"
+        " - CAST(sx AS DECIMAL(38,0)) * sy"
+    )
+    denx = (
+        "n_parts * CAST(sxx AS DECIMAL(38,0))"
+        " - CAST(sx AS DECIMAL(38,0)) * sx"
+    )
+    deny = (
+        "n_parts * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+    )
+    return (
+        sums.where(F.expr(f"({denx}) > 0 AND ({deny}) > 0"))
+        .selectExpr(
+            "p_type",
+            "n_parts",
+            ratio_round_signed_wide_spark(num, denx, 6)
+            + " AS slope_micro",
+            "CASE WHEN (" + num + ") < 0 THEN -1.0d ELSE 1.0d END * "
+            + ratio_round_signed_wide_spark(
+                f"({num}) * ({num})", f"({denx}) * ({deny})", 6
+            )
+            + " AS signed_r2_micro",
+        )
+        .orderBy("p_type")
+    )
+
+
+def _part_price_size_sql() -> str:
+    from dariadb_spark.ext.exact import ratio_round_signed_wide_duck
+
+    num = (
+        "n_parts * CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT) * sy"
+    )
+    denx = (
+        "n_parts * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx"
+    )
+    deny = "n_parts * syy - CAST(sy AS HUGEINT) * sy"
+    return f"""WITH
+sums AS (SELECT p_type, count(*) AS n_parts,
+                CAST(sum(p_size) AS BIGINT) AS sx,
+                CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                     AS BIGINT) AS sy,
+                CAST(sum(p_size * CAST(round(p_retailprice * 100)
+                                       AS BIGINT)) AS BIGINT) AS sxy,
+                CAST(sum(p_size * p_size) AS BIGINT) AS sxx,
+                sum(CAST(round(p_retailprice * 100) AS HUGEINT)
+                    * CAST(round(p_retailprice * 100) AS BIGINT)) AS syy
+         FROM part GROUP BY p_type)
+SELECT p_type, n_parts,
+       {ratio_round_signed_wide_duck(num, denx, 6)} AS slope_micro,
+       (CASE WHEN ({num}) < 0 THEN -1.0 ELSE 1.0 END) *
+       {ratio_round_signed_wide_duck(
+           f"({num}) * ({num})", f"({denx}) * ({deny})", 6
+       )} AS signed_r2_micro
+FROM sums
+WHERE ({denx}) > 0 AND ({deny}) > 0
+ORDER BY p_type"""
+
+
+PART_PRICE_SIZE_SQL = _part_price_size_sql()

@@ -1038,8 +1038,14 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # length distribution — median/p90 off the weighted-count walk, the
 # corpus-report staple profile_documents' one-row min/max/avg can't
 # give; ReadSchema pins text never read; 10M-doc stress closed-form,
-# sf0.1 hash-matched, 0.75 s pre-measure). Registering all TEN in r19
-# takes the registry to 238; compute the r19 window with
+# sf0.1 hash-matched, 0.75 s pre-measure). A SEVENTH pass added
+# ext_part_price_size (ext/relational.py: per-type OLS slope of price
+# on size PLUS signed r² — Pearson needs a sqrt the exact contract
+# forbids, so the emitted strength is sign(cov)·r², an exact wide
+# rational; first registry use of p_size; 3M-part stress closed-form
+# — five perfect lines at +1, one anti-line at −1 — sf0.1
+# hash-matched, 0.74 s pre-measure). Registering all ELEVEN in r19
+# takes the registry to 239; compute the r19 window with
 # `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18
 # lands. The cohort is ALSO code now: registry.STAGED_NEXT below is
 # the machine-checked source of truth (tools/stage_check.py).
@@ -1360,6 +1366,10 @@ STAGED_NEXT = {
     "ext_docs_length_mix": (
         "dariadb_spark.ext.curation",
         "docs_length_mix", "DOCS_LENGTH_MIX_SQL",
+    ),
+    "ext_part_price_size": (
+        "dariadb_spark.ext.relational",
+        "part_price_size", "PART_PRICE_SIZE_SQL",
     ),
 }
 

@@ -965,6 +965,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
         customer_tenure,
         orders_seasonality,
         part_assortativity,
+        part_price_size,
         promo_revenue,
         referential_fsck,
         trade_flows,
@@ -980,7 +981,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     for fn in (
         part_assortativity, orders_seasonality, basket_size_mix,
         series_vr_test, customer_tenure, trade_flows, referential_fsck,
-        promo_revenue, docs_length_mix,
+        promo_revenue, docs_length_mix, part_price_size,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -1015,6 +1016,8 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     # length mix: count-table walk only — no join, text never read
     assert "Join" not in plans["docs_length_mix"]
     assert "text" not in plans["docs_length_mix"].split("ReadSchema")[-1][:200]
+    # price-size correlation: one dim-scan aggregate, no join anywhere
+    assert "Join" not in plans["part_price_size"]
 
 
 def test_staged_cohort_discipline_is_complete():

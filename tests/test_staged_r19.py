@@ -595,3 +595,68 @@ def test_docs_length_mix_parity_and_planted_walk(spark, oracle_sf_dir):
     # m=5, Σ=180 → mean 36.0; ranks 3,3 → 20 → median 20.0;
     # p90 rank (45+9)//10 = 5 → 100; max 100
     assert got == [("web", 5, 36.0, 20.0, 100, 100)]
+
+
+# --- ext_part_price_size ------------------------------------------------------------
+
+def test_part_price_size_parity_and_planted_correlation(
+    spark, oracle_sf_dir
+):
+    """Fixture parity, then three planted classes: a perfect positive
+    line (signed r² = +1), a perfect negative line (−1), and a planted
+    partial correlation replayed exactly in python."""
+    from fractions import Fraction
+
+    from dariadb_spark.ext.relational import (
+        PART_PRICE_SIZE_SQL,
+        part_price_size,
+        part_price_size_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_price_size", part_price_size(spark, oracle_sf_dir),
+        con, PART_PRICE_SIZE_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+    schema = (
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double"
+    )
+    rows = []
+    # UP: price = size dollars (exact line, slope 100 cents/size)
+    for i, s in enumerate((1, 2, 3, 4)):
+        rows.append((100 + i, "n", "B", "UP", s, float(s)))
+    # DOWN: price = (10 − size) dollars
+    for i, s in enumerate((1, 2, 3, 4)):
+        rows.append((200 + i, "n", "B", "DOWN", s, float(10 - s)))
+    # MIX: sizes (1,2,3), prices (1.00, 3.00, 2.00) — partial r
+    for i, (s, p) in enumerate(((1, 1.0), (2, 3.0), (3, 2.0))):
+        rows.append((300 + i, "n", "B", "MIX", s, p))
+    got = [tuple(r) for r in part_price_size_op(
+        spark.createDataFrame(rows, schema)
+    ).collect()]
+
+    def signed_stats(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        num = n * sxy - sx * sy
+        denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+        slope = _half_up_signed(num, denx, 6)
+        mag = _half_up_signed(num * num, denx * deny, 6)
+        return slope, (-mag if num < 0 else mag)
+
+    up = signed_stats([(s, 100 * s) for s in (1, 2, 3, 4)])
+    down = signed_stats([(s, 100 * (10 - s)) for s in (1, 2, 3, 4)])
+    mix = signed_stats([(1, 100), (2, 300), (3, 200)])
+    assert got == [
+        ("DOWN", 4, down[0], down[1]),
+        ("MIX", 3, mix[0], mix[1]),
+        ("UP", 4, up[0], up[1]),
+    ]
+    assert up[1] == 1.0 and down[1] == -1.0  # perfect lines
+    assert 0 < mix[1] < 1  # partial positive
