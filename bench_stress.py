@@ -2574,6 +2574,7 @@ def main() -> None:
     prm_s, prm_n = stress_promo_revenue(spark)
     lmx_s, lmx_n = stress_docs_length_mix(spark)
     psz_s, psz_n = stress_part_price_size(spark)
+    sky_s, sky_n = stress_part_skyline(spark)
     skp_s, sks_s, sk_n = stress_skew_join_ab(spark)
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2713,6 +2714,7 @@ def main() -> None:
                     "promo_revenue_20m": round(prm_s, 4),
                     "docs_length_mix_10m": round(lmx_s, 4),
                     "part_price_size_3m": round(psz_s, 4),
+                    "part_skyline_5m": round(sky_s, 4),
                     "skew_join_10m_plain_aqe": round(skp_s, 4),
                     "skew_join_10m_salted": round(sks_s, 4),
                     "funnel_hdr_swap_10m_exact": (
@@ -6633,6 +6635,61 @@ def stress_promo_revenue(spark) -> tuple[float, int]:
     total_c = blocks * 997 * 100
     share = (2 * promo_c * 10**6 + total_c) // (2 * total_c)
     want = [(m, per_n, promo_c, total_c, share) for m in range(1, 13)]
+    assert got == want, (got[0], want[0])
+    return secs, n
+
+
+SKYLINE_STRESS_PARTS = 5_000_000
+
+
+def stress_part_skyline(spark) -> tuple[float, int]:
+    """Staged r19 dominance skyline at 5M parts / 8 brands: each brand
+    carries the full 1000-step anti-diagonal staircase (size x, price
+    1001−x dollars) plus 49 dominated offset copies of it (price
+    1001−x+o dollars, o = 1..49) — the skyline is EXACTLY the o = 0
+    staircase, each step appearing once per o = 0 block. Every check
+    closed-form: per brand 13 blocks × 1000 steps survive, every
+    surviving cell sits on cents + 100·size = 100100, and the step
+    grid is complete."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.ext.relational import part_skyline_op
+
+    n = SKYLINE_STRESS_PARTS
+    part = spark.range(n).selectExpr(
+        "id AS p_partkey", "'n' AS p_name",
+        "concat('B', id % 8) AS p_brand", "'t' AS p_type",
+        "CAST((CAST(id / 8 AS BIGINT) % 1000) + 1 AS INT) AS p_size",
+        "CAST(1001 - ((CAST(id / 8 AS BIGINT) % 1000) + 1)"
+        " + ((CAST(id / 8 AS BIGINT) DIV 1000) % 50) AS DOUBLE)"
+        " AS p_retailprice",
+    )
+    t0 = time.perf_counter()
+    got = [
+        tuple(r)
+        for r in part_skyline_op(part)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("price_cents", "p_size").alias("n_cells"),
+            F.min(F.expr("price_cents + 100 * p_size")).alias("lo"),
+            F.max(F.expr("price_cents + 100 * p_size")).alias("hi"),
+            F.sum("p_size").alias("sum_size"),
+        )
+        .orderBy("p_brand")
+        .collect()
+    ]
+    secs = time.perf_counter() - t0
+    # per brand: j = id DIV 8 runs 0..624999 → 625 thousand-blocks, of
+    # which those with (block % 50 == 0) are the o = 0 staircase: 13
+    # blocks (0, 50, ..., 600) × 1000 steps; sum of sizes = 13·Σ1..1000
+    blocks = (n // 8) // 1000
+    dups = (blocks + 49) // 50
+    want = [
+        (f"B{b}", dups * 1000, 1000, 100100, 100100,
+         dups * (1000 * 1001) // 2)
+        for b in range(8)
+    ]
     assert got == want, (got[0], want[0])
     return secs, n
 

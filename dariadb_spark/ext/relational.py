@@ -3750,3 +3750,104 @@ ORDER BY p_type"""
 
 
 PART_PRICE_SIZE_SQL = _part_price_size_sql()
+
+
+# --- part dominance skyline (2-D Pareto front) ---------------------------------
+# STAGED for the round-19 driver window (eighth pass, same staging
+# discipline). The SKYLINE operator family (Börzsönyi et al., ICDE
+# 2001) — "which parts are Pareto-optimal on (price, size)?" — a
+# classic DB verb the registry lacked: orders_pareto is the 80/20
+# concentration CURVE, this is the dominance FRONT. Per brand, a part
+# is on the skyline iff no other part of the brand is ≤ on BOTH price
+# cents and size with at least one strict <. Duplicated optima all
+# stay (distinct-value dominance — a point never dominates its twin).
+#
+# Plan shape is the published two-phase distributed skyline: phase 1
+# filters each (brand, salt) slice to its LOCAL skyline (the global
+# front survives any partition-local filter, and dominance is
+# transitive so removing dominated points never removes evidence);
+# phase 2 re-filters the union per brand. Each phase is ONE window
+# sort — two min() frames over the SAME (partition, order) spec
+# (RANGE < cents and RANGE ≤ cents), so Catalyst plans a single
+# WindowExec per phase, no join anywhere. At 100 TB the brand-level
+# phase sorts only local-front survivors (staircase-sized, bounded by
+# the distinct-price domain), not the raw scan — the salt is what
+# keeps a 5-brand partition spec from becoming 5 straggler tasks.
+
+
+#: phase-1 fan-out: local skylines per (brand, salt) slice
+SKYLINE_SALT = 16
+
+
+def skyline_filter(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Filter ``df`` to the (price_cents, p_size)-minimizing skyline
+    within each ``keys`` group. Shared by both phases of the batch
+    operator and the streaming twin's finishing pass.
+
+    A row survives iff min(size) over rows with cents ≤ mine is not
+    BELOW mine (no cheaper-or-equal part is strictly smaller) AND
+    min(size) over rows with cents < mine is strictly above mine (no
+    strictly-cheaper part is as small). Both frames share one
+    (partition, order) spec → a single WindowExec, one sort, no join."""
+    w = Window.partitionBy(*keys).orderBy("price_cents")
+    w_lt = w.rangeBetween(Window.unboundedPreceding, -1)
+    w_le = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("_m_lt", F.min("p_size").over(w_lt))
+        .withColumn("_m_le", F.min("p_size").over(w_le))
+        .where("_m_le >= p_size AND (_m_lt IS NULL OR _m_lt > p_size)")
+        .drop("_m_lt", "_m_le")
+    )
+
+
+def part_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`part_skyline_op`)."""
+    return part_skyline_op(load_table(spark, sf, "part"))
+
+
+def part_skyline_op(
+    part: DataFrame, n_salt: int = SKYLINE_SALT
+) -> DataFrame:
+    """(p_brand, p_partkey, price_cents, p_size) — the per-brand
+    Pareto front minimizing (price, size), every optimum kept
+    (duplicates included).
+
+    Exactness: pure integer comparisons — price quantized to int64
+    cents HALF-UP once in the scan projection, size cast to int64; no
+    arithmetic beyond min(), so no rounding surface at all.
+
+    Plan shape (100 TB): scan projection → phase-1 window over
+    (brand, pmod(hash(partkey), n_salt)) → phase-2 window over brand
+    on the survivors. Two sorts, zero joins, zero cartesians; text of
+    the dominance test is monotone so the phases compose exactly."""
+    pts = part.selectExpr(
+        "p_brand",
+        "p_partkey",
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents",
+        "CAST(p_size AS BIGINT) AS p_size",
+    )
+    local = skyline_filter(
+        pts.withColumn(
+            "_salt", F.pmod(F.hash("p_partkey"), F.lit(n_salt))
+        ),
+        ["p_brand", "_salt"],
+    ).drop("_salt")
+    return skyline_filter(local, ["p_brand"]).orderBy(
+        "p_brand", "price_cents", "p_size", "p_partkey"
+    )
+
+
+PART_SKYLINE_SQL = """WITH pts AS (
+  SELECT p_brand, p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT p.p_brand, p.p_partkey, p.price_cents, p.p_size
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.p_brand = p.p_brand
+    AND q.price_cents <= p.price_cents
+    AND q.p_size <= p.p_size
+    AND (q.price_cents < p.price_cents OR q.p_size < p.p_size))
+ORDER BY p_brand, price_cents, p_size, p_partkey"""

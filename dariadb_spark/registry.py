@@ -1044,8 +1044,20 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # forbids, so the emitted strength is sign(cov)·r², an exact wide
 # rational; first registry use of p_size; 3M-part stress closed-form
 # — five perfect lines at +1, one anti-line at −1 — sf0.1
-# hash-matched, 0.74 s pre-measure). Registering all ELEVEN in r19
-# takes the registry to 239; compute the r19 window with
+# hash-matched, 0.74 s pre-measure). An EIGHTH pass added
+# ext_part_skyline (ext/relational.py: the per-brand 2-D Pareto
+# DOMINANCE front on (price cents, size) — the skyline operator
+# family, Börzsönyi ICDE'01, a classic DB verb next to orders_pareto's
+# concentration CURVE; the published two-phase distributed plan —
+# local fronts per (brand, salt) slice, then a brand-level re-filter
+# over the survivors — each phase ONE WindowExec carrying two min()
+# RANGE frames on the same sort, zero joins; oracle is the
+# DEFINITIONAL quadratic NOT-EXISTS dominance test, so the driver's
+# hash-compare proves the window formulation against first principles
+# every round; pure integer comparisons, no rounding surface; 5M-part
+# stress closed-form — each brand's skyline is exactly its 13-dup
+# 1000-step anti-diagonal staircase). Registering all TWELVE in r19
+# takes the registry to 240; compute the r19 window with
 # `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18
 # lands. The cohort is ALSO code now: registry.STAGED_NEXT below is
 # the machine-checked source of truth (tools/stage_check.py).
@@ -1370,6 +1382,10 @@ STAGED_NEXT = {
     "ext_part_price_size": (
         "dariadb_spark.ext.relational",
         "part_price_size", "PART_PRICE_SIZE_SQL",
+    ),
+    "ext_part_skyline": (
+        "dariadb_spark.ext.relational",
+        "part_skyline", "PART_SKYLINE_SQL",
     ),
 }
 

@@ -966,6 +966,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
         orders_seasonality,
         part_assortativity,
         part_price_size,
+        part_skyline,
         promo_revenue,
         referential_fsck,
         trade_flows,
@@ -981,7 +982,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     for fn in (
         part_assortativity, orders_seasonality, basket_size_mix,
         series_vr_test, customer_tenure, trade_flows, referential_fsck,
-        promo_revenue, docs_length_mix, part_price_size,
+        promo_revenue, docs_length_mix, part_price_size, part_skyline,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -1018,6 +1019,9 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     assert "text" not in plans["docs_length_mix"].split("ReadSchema")[-1][:200]
     # price-size correlation: one dim-scan aggregate, no join anywhere
     assert "Join" not in plans["part_price_size"]
+    # skyline: two window phases, one sort each — no join of any kind
+    assert "Join" not in plans["part_skyline"]
+    assert plans["part_skyline"].count("Window") >= 2
 
 
 def test_staged_cohort_discipline_is_complete():

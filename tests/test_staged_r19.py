@@ -660,3 +660,112 @@ def test_part_price_size_parity_and_planted_correlation(
     ]
     assert up[1] == 1.0 and down[1] == -1.0  # perfect lines
     assert 0 < mix[1] < 1  # partial positive
+
+
+_PART_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_type string,"
+    " p_size int, p_retailprice double"
+)
+
+
+def _skyline_brute(pts):
+    """Definitional dominance filter: (key, cents, size) survive iff
+    no same-brand point is <= on both axes with one strict <."""
+    out = []
+    for b, k, c, s in pts:
+        dominated = any(
+            qb == b and qc <= c and qs <= s and (qc < c or qs < s)
+            for qb, _, qc, qs in pts
+        )
+        if not dominated:
+            out.append((b, k, c, s))
+    return sorted(out, key=lambda r: (r[0], r[2], r[3], r[1]))
+
+
+def test_part_skyline_parity_and_planted_front(spark, oracle_sf_dir):
+    """Fixture parity, then a planted grid exercising every dominance
+    case: a 3-step staircase, a duplicated optimum (both kept), same-
+    price smaller-size dominance, same-size cheaper dominance, and a
+    singleton brand."""
+    from dariadb_spark.ext.relational import (
+        PART_SKYLINE_SQL,
+        part_skyline,
+        part_skyline_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_part_skyline", part_skyline(spark, oracle_sf_dir),
+        con, PART_SKYLINE_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+    rows = [
+        # brand A: staircase (100,5) (200,4)x2 (300,3); dominated:
+        # (200,5) by (100,5) [cheaper, same size], (300,4) by (200,4)
+        # [cheaper, same size], (100,6) by (100,5) [same price,
+        # smaller size]
+        (1, "n", "A", "t", 5, 1.00),
+        (2, "n", "A", "t", 4, 2.00),
+        (3, "n", "A", "t", 4, 2.00),
+        (4, "n", "A", "t", 3, 3.00),
+        (5, "n", "A", "t", 5, 2.00),
+        (6, "n", "A", "t", 4, 3.00),
+        (7, "n", "A", "t", 6, 1.00),
+        # brand B: singleton
+        (8, "n", "B", "t", 50, 9.99),
+        # brand C: three exact twins — none dominates another
+        (9, "n", "C", "t", 7, 1.50),
+        (10, "n", "C", "t", 7, 1.50),
+        (11, "n", "C", "t", 7, 1.50),
+    ]
+    got = [
+        tuple(r)
+        for r in part_skyline_op(
+            spark.createDataFrame(rows, _PART_SCHEMA)
+        ).collect()
+    ]
+    assert got == [
+        ("A", 1, 100, 5),
+        ("A", 2, 200, 4),
+        ("A", 3, 200, 4),
+        ("A", 4, 300, 3),
+        ("B", 8, 999, 50),
+        ("C", 9, 150, 7),
+        ("C", 10, 150, 7),
+        ("C", 11, 150, 7),
+    ]
+
+
+def test_part_skyline_matches_brute_force_replay(spark):
+    """A seeded random 240-point cloud on a deliberately tiny value
+    grid (heavy ties on both axes) must match the definitional
+    brute-force dominance filter point for point — and the two-phase
+    salted plan must agree with a single-phase (n_salt=1) run."""
+    import random
+
+    from dariadb_spark.ext.relational import part_skyline_op
+
+    rng = random.Random(19)
+    pts = [
+        (
+            rng.choice(("A", "B", "C")),
+            k,
+            rng.randrange(1, 13),     # cents grid: 12 values
+            rng.randrange(1, 9),      # size grid: 8 values
+        )
+        for k in range(240)
+    ]
+    df = spark.createDataFrame(
+        [
+            (k, "n", b, "t", s, c / 100.0)
+            for b, k, c, s in pts
+        ],
+        _PART_SCHEMA,
+    )
+    want = _skyline_brute(pts)
+    got = [tuple(r) for r in part_skyline_op(df).collect()]
+    assert got == want
+    got1 = [tuple(r) for r in part_skyline_op(df, n_salt=1).collect()]
+    assert got1 == want
