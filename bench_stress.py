@@ -2575,6 +2575,7 @@ def main() -> None:
     lmx_s, lmx_n = stress_docs_length_mix(spark)
     psz_s, psz_n = stress_part_price_size(spark)
     sky_s, sky_n = stress_part_skyline(spark)
+    chk_s, chk_n = stress_docs_chunk_plan(spark)
     skp_s, sks_s, sk_n = stress_skew_join_ab(spark)
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2715,6 +2716,7 @@ def main() -> None:
                     "docs_length_mix_10m": round(lmx_s, 4),
                     "part_price_size_3m": round(psz_s, 4),
                     "part_skyline_5m": round(sky_s, 4),
+                    "docs_chunk_plan_20m": round(chk_s, 4),
                     "skew_join_10m_plain_aqe": round(skp_s, 4),
                     "skew_join_10m_salted": round(sks_s, 4),
                     "funnel_hdr_swap_10m_exact": (
@@ -6635,6 +6637,65 @@ def stress_promo_revenue(spark) -> tuple[float, int]:
     total_c = blocks * 997 * 100
     share = (2 * promo_c * 10**6 + total_c) // (2 * total_c)
     want = [(m, per_n, promo_c, total_c, share) for m in range(1, 13)]
+    assert got == want, (got[0], want[0])
+    return secs, n
+
+
+CHUNK_STRESS_DOCS = 20_000_000
+
+
+def stress_docs_chunk_plan(spark) -> tuple[float, int]:
+    """Staged r19 chunk planner at 20M docs / 5 sources: doc d has
+    source S(d mod 5) and length ((d DIV 5) mod 1000) + 1 — the DIV
+    decorrelates the two residues (5 divides 1000, so a plain d mod
+    1000 would hand each source only every fifth length; the
+    docs_length_mix stress hit the same trap) — so every source sees
+    every length exactly n/5000 times and the whole plan is
+    closed-form from the 1000-length residue grid:
+    per source, chunk-row count, char mass, start mass, and exactly
+    one tail per doc. Output stays chunk-row-sized (never collected
+    raw): the op result is post-aggregated in Spark to 5 rows."""
+    from pyspark.sql import functions as F
+
+    from dariadb_spark.ext.sampling import (
+        CHUNK_CHARS,
+        CHUNK_STRIDE,
+        docs_chunk_plan_op,
+    )
+
+    n = CHUNK_STRESS_DOCS
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id", "CAST(NULL AS STRING) AS text",
+        "'en' AS lang", "concat('S', id % 5) AS source",
+        "((id DIV 5) % 1000) + 1 AS n_chars",
+    )
+    t0 = time.perf_counter()
+    got = [
+        tuple(r)
+        for r in docs_chunk_plan_op(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunk_rows"),
+            F.sum("len_chars").alias("char_mass"),
+            F.sum("start_char").alias("start_mass"),
+            F.sum("is_tail").cast("long").alias("n_tails"),
+        )
+        .orderBy("source")
+        .collect()
+    ]
+    secs = time.perf_counter() - t0
+    w, s = CHUNK_CHARS, CHUNK_STRIDE
+    m = n // 5 // 1000  # docs per (source, length) cell
+    rows_l = chars_l = starts_l = 0
+    for ln in range(1, 1001):
+        nc = 1 + (max(ln - w, 0) + s - 1) // s
+        rows_l += nc
+        chars_l += sum(min(w, ln - i * s) for i in range(nc))
+        starts_l += s * nc * (nc - 1) // 2
+    want = [
+        (f"S{b}", m * rows_l, m * chars_l, m * starts_l, m * 1000)
+        for b in range(5)
+    ]
     assert got == want, (got[0], want[0])
     return secs, n
 

@@ -1138,3 +1138,103 @@ FROM keyed ORDER BY epoch, position"""
 # tests/test_sketches.py since r11; window discipline per registry.py).
 register("ext_token_budget_plan", token_budget_plan, TOKEN_BUDGET_PLAN_SQL)
 register("ext_train_shuffle", train_shuffle, TRAIN_SHUFFLE_SQL)
+
+
+# --- per-document overlapping chunk plan (RAG/eval ingest) -----------------
+# STAGED for the round-19 driver window (ninth pass, same staging
+# discipline). pack_context audits CONCAT-and-chunk packing (documents
+# merged into one token stream, windows slice across docs); this is
+# the OTHER chunking a pipeline runs — the document-PRESERVING
+# sliding-window split every retrieval/eval ingest uses: each doc
+# yields ceil-spaced windows of CHUNK_CHARS chars advancing by
+# CHUNK_STRIDE (overlap = CHUNK_CHARS − CHUNK_STRIDE), the final
+# window clipped at the doc end, never crossing a document boundary.
+# The plan is pure integer arithmetic over (doc_id, source, n_chars) —
+# the text column is never read, so at 100 TB the planner shuffles
+# 24-byte rows while the payload stays in place (the length-mix /
+# media-fingerprint convention). Every expression is TOTAL on the
+# domain (greatest() before the ceil-div, the SCALE.md §total lesson):
+# short docs (n_chars ≤ CHUNK_CHARS) emit exactly one clipped chunk,
+# zero-length docs one empty chunk — the planner never drops a doc.
+#
+# Coverage invariants (pinned in pytest): with stride ≤ window every
+# char of every doc lands in ≥ 1 chunk; chunk starts are i·stride; the
+# last chunk always reaches the doc end.
+
+#: retrieval chunk window, in chars (the fixture's n_chars run 48–553,
+#: so 1-, 2- and 3-chunk docs all exist at every scale factor)
+CHUNK_CHARS = 256
+#: chunk-to-chunk advance; overlap = CHUNK_CHARS - CHUNK_STRIDE = 64
+CHUNK_STRIDE = 192
+
+
+def docs_chunk_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixture query for the r19 window (:func:`docs_chunk_plan_op`)."""
+    return docs_chunk_plan_op(load_table(spark, sf, "documents"))
+
+
+def docs_chunk_plan_op(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_chunks, chunk_idx, start_char, len_chars,
+    is_tail) — one row per planned chunk.
+
+    n_chunks = 1 + ceil(max(n_chars − W, 0) / S) with W = CHUNK_CHARS,
+    S = CHUNK_STRIDE; chunk i covers [i·S, i·S + min(W, n_chars − i·S)).
+    All integer; the greatest() keeps the ceil-div total on short docs
+    (a bare (n_chars − W + S − 1) DIV S diverges between engines on
+    negative dividends: Spark DIV truncates toward zero, DuckDB //
+    floors).
+
+    Plan shape (100 TB): stateless per-row projection → explode to
+    chunk rows (output-sized, ≤ n_chars/S per doc) — no shuffle, no
+    join, no window; text never read."""
+    w, s = CHUNK_CHARS, CHUNK_STRIDE
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "source",
+            f"CAST(1 + (greatest(n_chars - {w}, 0) + {s} - 1)"
+            f" DIV {s} AS BIGINT) AS n_chunks",
+            "n_chars",
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_chunks",
+            "explode(sequence(CAST(0 AS BIGINT), n_chunks - 1))"
+            " AS chunk_idx",
+            "n_chars",
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_chunks",
+            "chunk_idx",
+            f"chunk_idx * {s} AS start_char",
+            f"least(CAST({w} AS BIGINT),"
+            f" n_chars - chunk_idx * {s}) AS len_chars",
+            "CAST(chunk_idx = n_chunks - 1 AS INT) AS is_tail",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+DOCS_CHUNK_PLAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(1 + (greatest(n_chars - {CHUNK_CHARS}, 0)
+                   + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} AS BIGINT)
+           AS n_chunks,
+         n_chars
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_chunks,
+         unnest(range(0, n_chunks)) AS chunk_idx, n_chars
+  FROM d)
+SELECT doc_id, source, n_chunks, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_char,
+       CAST(least({CHUNK_CHARS},
+                  n_chars - chunk_idx * {CHUNK_STRIDE}) AS BIGINT)
+         AS len_chars,
+       CAST(CASE WHEN chunk_idx = n_chunks - 1 THEN 1 ELSE 0 END AS INT)
+         AS is_tail
+FROM c ORDER BY doc_id, chunk_idx"""

@@ -1056,8 +1056,19 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # hash-compare proves the window formulation against first principles
 # every round; pure integer comparisons, no rounding surface; 5M-part
 # stress closed-form — each brand's skyline is exactly its 13-dup
-# 1000-step anti-diagonal staircase). Registering all TWELVE in r19
-# takes the registry to 240; compute the r19 window with
+# 1000-step anti-diagonal staircase). A NINTH pass added
+# ext_docs_chunk_plan (ext/sampling.py: the document-PRESERVING
+# sliding-window chunk planner every retrieval/eval ingest runs —
+# pack_context audits CONCAT-and-chunk packing across docs, this
+# plans per-doc overlapping windows (256 chars advancing 192) that
+# never cross a doc boundary; pure integer arithmetic over
+# (doc_id, source, n_chars), text never read, the greatest()-guarded
+# ceil-div keeps the expression TOTAL on short docs where Spark DIV
+# and DuckDB // disagree on negative dividends; coverage invariants —
+# every char in ≥1 chunk, tail reaches the doc end — pinned in
+# pytest; 20M-doc stress closed-form off the 1000-length residue
+# grid). Registering all THIRTEEN in r19 takes the registry to 241;
+# compute the r19 window with
 # `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18
 # lands. The cohort is ALSO code now: registry.STAGED_NEXT below is
 # the machine-checked source of truth (tools/stage_check.py).
@@ -1386,6 +1397,10 @@ STAGED_NEXT = {
     "ext_part_skyline": (
         "dariadb_spark.ext.relational",
         "part_skyline", "PART_SKYLINE_SQL",
+    ),
+    "ext_docs_chunk_plan": (
+        "dariadb_spark.ext.sampling",
+        "docs_chunk_plan", "DOCS_CHUNK_PLAN_SQL",
     ),
 }
 

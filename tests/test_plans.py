@@ -972,6 +972,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
         trade_flows,
     )
     from dariadb_spark.ext.curation import docs_length_mix
+    from dariadb_spark.ext.sampling import docs_chunk_plan
     from dariadb_spark.ext.timeseries import series_vr_test
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -983,6 +984,7 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
         part_assortativity, orders_seasonality, basket_size_mix,
         series_vr_test, customer_tenure, trade_flows, referential_fsck,
         promo_revenue, docs_length_mix, part_price_size, part_skyline,
+        docs_chunk_plan,
     ):
         plan = (
             fn(spark, oracle_sf_dir)._jdf.queryExecution()
@@ -1022,6 +1024,12 @@ def test_no_cartesian_product_in_staged_r19_plans(spark, oracle_sf_dir):
     # skyline: two window phases, one sort each — no join of any kind
     assert "Join" not in plans["part_skyline"]
     assert plans["part_skyline"].count("Window") >= 2
+    # chunk plan: projection + generate only — no join, no window, no
+    # exchange before the explode, and the text column is never read
+    assert "Join" not in plans["docs_chunk_plan"]
+    assert "Window" not in plans["docs_chunk_plan"]
+    assert "Generate" in plans["docs_chunk_plan"]
+    assert "text" not in plans["docs_chunk_plan"].split("ReadSchema")[-1][:200]
 
 
 def test_staged_cohort_discipline_is_complete():

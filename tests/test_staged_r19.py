@@ -769,3 +769,99 @@ def test_part_skyline_matches_brute_force_replay(spark):
     assert got == want
     got1 = [tuple(r) for r in part_skyline_op(df, n_salt=1).collect()]
     assert got1 == want
+
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _chunk_plan_ref(n_chars, w=256, s=192):
+    """Definitional per-doc chunk plan."""
+    extra = max(n_chars - w, 0)
+    n_chunks = 1 + (extra + s - 1) // s
+    return [
+        (n_chunks, i, i * s, min(w, n_chars - i * s),
+         1 if i == n_chunks - 1 else 0)
+        for i in range(n_chunks)
+    ]
+
+
+def test_docs_chunk_plan_parity_and_planted_lengths(spark, oracle_sf_dir):
+    """Fixture parity, then planted boundary lengths: exactly one
+    window (256), one char over (257), a three-chunk doc (553), a
+    short doc (48), a zero-length doc (one empty chunk), and the
+    stride-boundary length 448 = 256 + 192 (tail chunk of exactly
+    256: the ceil-div lands on an exact block)."""
+    from dariadb_spark.ext.sampling import (
+        DOCS_CHUNK_PLAN_SQL,
+        docs_chunk_plan,
+        docs_chunk_plan_op,
+    )
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "ext_docs_chunk_plan", docs_chunk_plan(spark, oracle_sf_dir),
+        con, DOCS_CHUNK_PLAN_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
+
+    lengths = {1: 256, 2: 257, 3: 553, 4: 48, 5: 0, 6: 448}
+    docs = spark.createDataFrame(
+        [(d, None, "en", "S", n) for d, n in lengths.items()],
+        _DOCS_SCHEMA,
+    )
+    got = [tuple(r) for r in docs_chunk_plan_op(docs).collect()]
+    want = [
+        (d, "S", nc, ci, st, ln, tl)
+        for d in sorted(lengths)
+        for nc, ci, st, ln, tl in _chunk_plan_ref(lengths[d])
+    ]
+    assert got == want
+    # hand-checked anchors on top of the reference replay
+    by_doc = {}
+    for d, _, nc, ci, st, ln, tl in got:
+        by_doc.setdefault(d, []).append((ci, st, ln, tl))
+    assert by_doc[1] == [(0, 0, 256, 1)]
+    assert by_doc[2] == [(0, 0, 256, 0), (1, 192, 65, 1)]
+    assert by_doc[3] == [
+        (0, 0, 256, 0), (1, 192, 256, 0), (2, 384, 169, 1)
+    ]
+    assert by_doc[5] == [(0, 0, 0, 1)]
+    assert by_doc[6] == [(0, 0, 256, 0), (1, 192, 256, 1)]
+
+
+def test_docs_chunk_plan_covers_every_char(spark):
+    """Random lengths: the union of [start, start+len) chunk spans
+    must cover [0, n_chars) exactly per doc (stride ≤ window), the
+    last chunk must end at the doc end, and every doc must appear."""
+    import random
+
+    from dariadb_spark.ext.sampling import docs_chunk_plan_op
+
+    rng = random.Random(47)
+    lengths = {d: rng.randrange(0, 1200) for d in range(120)}
+    docs = spark.createDataFrame(
+        [(d, None, "en", "S", n) for d, n in lengths.items()],
+        _DOCS_SCHEMA,
+    )
+    rows = docs_chunk_plan_op(docs).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_char, r.len_chars, r.is_tail)
+        )
+    assert set(spans) == set(lengths)
+    for d, n in lengths.items():
+        ch = sorted(spans[d])
+        assert [c[0] for c in ch] == list(range(len(ch)))
+        assert ch[-1][1] + ch[-1][2] == n  # tail reaches the end
+        assert sum(c[3] for c in ch) == 1 and ch[-1][3] == 1
+        covered = 0
+        for _, st, ln, _ in ch:
+            assert st <= covered  # no gap (stride <= window)
+            covered = max(covered, st + ln)
+        assert covered == n or (n == 0 and covered == 0)
+        # full reference replay
+        assert [(c[1], c[2], c[3]) for c in ch] == [
+            (st, ln, tl) for _, _, st, ln, tl in _chunk_plan_ref(n)
+        ]
