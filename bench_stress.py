@@ -2576,6 +2576,7 @@ def main() -> None:
     psz_s, psz_n = stress_part_price_size(spark)
     sky_s, sky_n = stress_part_skyline(spark)
     chk_s, chk_n = stress_docs_chunk_plan(spark)
+    ssky_s, ssky_batch_s, ssky_n = stress_streaming_skyline(spark)
     skp_s, sks_s, sk_n = stress_skew_join_ab(spark)
     if slow_tier:
         sltv_s, sltv_batch_s, sltv_n = stress_streaming_ltv(spark)
@@ -2717,6 +2718,10 @@ def main() -> None:
                     "part_price_size_3m": round(psz_s, 4),
                     "part_skyline_5m": round(sky_s, 4),
                     "docs_chunk_plan_20m": round(chk_s, 4),
+                    "streaming_skyline_2m": round(ssky_s, 4),
+                    "streaming_skyline_2m_batch_twin": round(
+                        ssky_batch_s, 4
+                    ),
                     "skew_join_10m_plain_aqe": round(skp_s, 4),
                     "skew_join_10m_salted": round(sks_s, 4),
                     "funnel_hdr_swap_10m_exact": (
@@ -6639,6 +6644,80 @@ def stress_promo_revenue(spark) -> tuple[float, int]:
     want = [(m, per_n, promo_c, total_c, share) for m in range(1, 13)]
     assert got == want, (got[0], want[0])
     return secs, n
+
+
+SKYLINE_STREAM_PARTS = 2_000_000
+
+
+def stress_streaming_skyline(spark) -> tuple[float, float, int]:
+    """Staged r19 streaming skyline at 2M parts landed as THREE
+    id-range drops folded one file per micro-batch (id order
+    interleaves brands and offset blocks, so every brand's front
+    bridges both cuts), vs the batch twin on the same rows — both
+    asserted against the same closed form: per brand the front is its
+    5-dup 1000-step anti-diagonal staircase, every cell on
+    cents + 100·size = 100100."""
+    import shutil
+    import tempfile
+
+    from dariadb_spark.ext.relational import part_skyline_op
+    from dariadb_spark.streaming.scratch import (
+        await_parity_termination,
+        parity_stream_partitions,
+    )
+    from dariadb_spark.streaming.skyline import (
+        skyline_from_log,
+        streaming_skyline_log,
+    )
+
+    n = SKYLINE_STREAM_PARTS
+    part = spark.range(n).selectExpr(
+        "id AS p_partkey",
+        "concat('B', id % 8) AS p_brand",
+        "CAST((CAST(id / 8 AS BIGINT) % 1000) + 1 AS INT) AS p_size",
+        "CAST(1001 - ((CAST(id / 8 AS BIGINT) % 1000) + 1)"
+        " + ((CAST(id / 8 AS BIGINT) DIV 1000) % 50) AS DOUBLE)"
+        " AS p_retailprice",
+    )
+    base = tempfile.mkdtemp(prefix="dariadb_skyline_stress_")
+    qname = "skyline_stress_" + base.rsplit("_", 1)[-1]
+    try:
+        for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)):
+            part.where(
+                f"p_partkey >= {lo} AND p_partkey < {hi}"
+            ).coalesce(1).write.mode("append").parquet(f"{base}/part")
+        t0 = time.perf_counter()
+        with parity_stream_partitions(spark):
+            q = streaming_skyline_log(
+                spark, f"{base}/part", qname, max_files_per_trigger=1
+            )
+        await_parity_termination(q)
+        got = [
+            tuple(r)
+            for r in skyline_from_log(spark.table(qname)).collect()
+        ]
+        stream_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        want = [
+            tuple(r)
+            for r in part_skyline_op(
+                part.selectExpr(
+                    "p_partkey", "'n' AS p_name", "p_brand",
+                    "'t' AS p_type", "p_size", "p_retailprice",
+                )
+            ).collect()
+        ]
+        batch_s = time.perf_counter() - t0
+        assert got == want, (len(got), len(want))
+        # closed form: 250 blocks per brand, every 50th is o = 0 → 5
+        # dups per staircase step; all front cells on the 100100 line
+        dups = ((n // 8) // 1000 + 49) // 50
+        assert len(got) == 8 * dups * 1000
+        assert all(c + 100 * s == 100100 for _, _, c, s in got)
+        return stream_s, batch_s, n
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 CHUNK_STRESS_DOCS = 20_000_000

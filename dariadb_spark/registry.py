@@ -1067,7 +1067,18 @@ if "ext_sketch_kmv_report" in REGISTRY:
 # and DuckDB // disagree on negative dividends; coverage invariants —
 # every char in ≥1 chunk, tail reaches the doc end — pinned in
 # pytest; 20M-doc stress closed-form off the 1000-length residue
-# grid). Registering all THIRTEEN in r19 takes the registry to 241;
+# grid). A TENTH pass added streaming_skyline_parity
+# (streaming/skyline.py, oracle = PART_SKYLINE_SQL: the stateful
+# Pareto-front twin — commutative-class (a front is a SET statistic,
+# no in-order contract by construction, batching-invariance pinned);
+# state per brand is the staircase ITSELF (cents ascending / sizes
+# strictly descending, value-domain bounded, never throughput
+# bounded); each batch probes one vectorized searchsorted against the
+# standing front, emits undominated arrivals append-mode (a provable
+# SUPERSET of the final front — append cannot retract, so the front
+# is never emitted directly), and the log finishes through the SHARED
+# skyline_filter; 2M-part three-drop stress closed-form vs the batch
+# twin). Registering all FOURTEEN in r19 takes the registry to 242;
 # compute the r19 window with
 # `tools/attestation_ledger.py --plan 50` after CORRECTNESS_r18
 # lands. The cohort is ALSO code now: registry.STAGED_NEXT below is
@@ -1401,6 +1412,10 @@ STAGED_NEXT = {
     "ext_docs_chunk_plan": (
         "dariadb_spark.ext.sampling",
         "docs_chunk_plan", "DOCS_CHUNK_PLAN_SQL",
+    ),
+    "streaming_skyline_parity": (
+        "dariadb_spark.streaming.skyline",
+        "streaming_skyline_parity", None,  # oracle: the batch SQL
     ),
 }
 

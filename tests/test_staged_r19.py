@@ -865,3 +865,76 @@ def test_docs_chunk_plan_covers_every_char(spark):
         assert [(c[1], c[2], c[3]) for c in ch] == [
             (st, ln, tl) for _, _, st, ln, tl in _chunk_plan_ref(n)
         ]
+
+
+def test_skyline_fold_is_commutative_and_maintains_staircase():
+    """Commutative-class pin: however the same point multiset is cut
+    into triggers (including reversed order), the standing staircase
+    state is identical, and the emitted candidate log is always a
+    SUPERSET of the true front (the finishing-filter contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from dariadb_spark.streaming.skyline import _skyline_fold
+
+    pts = [
+        (1, 100, 5), (2, 200, 4), (3, 200, 4), (4, 300, 3),
+        (5, 200, 5), (6, 300, 4), (7, 100, 6), (8, 150, 7),
+    ]
+    front = {(100, 5), (200, 4), (300, 3)}
+
+    def batch(rows):
+        return pd.DataFrame({
+            "p_partkey": np.array([r[0] for r in rows], dtype=np.int64),
+            "price_cents": np.array([r[1] for r in rows], dtype=np.int64),
+            "p_size": np.array([r[2] for r in rows], dtype=np.int64),
+        })
+
+    def run(batches):
+        st = _FakeState()
+        emitted = []
+        for b in batches:
+            out = list(_skyline_fold(("A",), iter([batch(b)]), st))
+            emitted.extend(
+                (int(k), int(c), int(s))
+                for k, c, s in zip(
+                    out[-1]["p_partkey"], out[-1]["price_cents"],
+                    out[-1]["p_size"],
+                )
+            )
+        return st._v, emitted
+
+    one, em1 = run([pts])
+    split, em2 = run([pts[:3], pts[3:6], pts[6:]])
+    rev, em3 = run([pts[::-1]])
+    assert one == split == rev
+    assert one == ([100, 200, 300], [5, 4, 3])  # the staircase
+    for em in (em1, em2, em3):
+        assert {(c, s) for _, c, s in em} >= front  # superset contract
+    # duplicates of a front cell are always emitted (both twins kept)
+    assert sum(1 for _, c, s in em1 if (c, s) == (200, 4)) == 2
+    # a point dominated by the STANDING front is never emitted: replay
+    # the staircase then probe a strictly-worse point
+    st = _FakeState()
+    list(_skyline_fold(("A",), iter([batch(pts)]), st))
+    out = list(_skyline_fold(("A",), iter([batch([(99, 250, 5)])]), st))
+    assert len(out[-1]) == 0
+    assert st._v == ([100, 200, 300], [5, 4, 3])  # staircase unchanged
+
+
+def test_streaming_skyline_parity_matches_batch_oracle(
+    spark, oracle_sf_dir
+):
+    """The driver-style check: the three-drop fold + shared finishing
+    filter vs the batch PART_SKYLINE_SQL definitional oracle."""
+    from dariadb_spark.ext.relational import PART_SKYLINE_SQL
+    from dariadb_spark.streaming.skyline import streaming_skyline_parity
+
+    con = duckdb_connection(oracle_sf_dir)
+    res = compare(
+        "streaming_skyline_parity",
+        streaming_skyline_parity(spark, oracle_sf_dir),
+        con, PART_SKYLINE_SQL,
+    )
+    assert res.ok, res.problems
+    assert res.rows_spark > 0
