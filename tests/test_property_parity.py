@@ -2874,3 +2874,79 @@ def test_order_interarrival_matches_reference(spark, rows):
             (seg, m, mean, med, vals[(9 * m + 9) // 10 - 1], vals[-1])
         )
     assert got == want
+
+
+_sky_pts = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),   # brand
+        st.integers(1, 8),             # cents (tiny grid → heavy ties)
+        st.integers(1, 6),             # size
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pts=_sky_pts)
+@_SETTINGS
+def test_part_skyline_property(spark, pts):
+    """Randomized dominance: the two-phase window skyline must equal
+    the definitional brute-force filter on clouds dense with exact
+    ties and duplicate points (the cases the fixture's 2000-part
+    spread can't reach)."""
+    from dariadb_spark.ext.relational import part_skyline_op
+
+    df = spark.createDataFrame(
+        [
+            (k, "n", b, "t", s, c / 100.0)
+            for k, (b, c, s) in enumerate(pts)
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    got = [tuple(r) for r in part_skyline_op(df).collect()]
+    want = sorted(
+        (
+            (b, k, c, s)
+            for k, (b, c, s) in enumerate(pts)
+            if not any(
+                qb == b and qc <= c and qs <= s and (qc < c or qs < s)
+                for qb, qc, qs in pts
+            )
+        ),
+        key=lambda r: (r[0], r[2], r[3], r[1]),
+    )
+    assert got == want
+
+
+_chunk_lens = st.lists(st.integers(0, 1200), min_size=1, max_size=30)
+
+
+@given(lens=_chunk_lens)
+@_SETTINGS
+def test_docs_chunk_plan_property(spark, lens):
+    """Randomized chunk planning: the explode plan must equal the
+    per-doc python reference on arbitrary lengths, including 0 and the
+    exact window/stride block boundaries."""
+    from dariadb_spark.ext.sampling import (
+        CHUNK_CHARS,
+        CHUNK_STRIDE,
+        docs_chunk_plan_op,
+    )
+
+    w, s = CHUNK_CHARS, CHUNK_STRIDE
+    df = spark.createDataFrame(
+        [(d, None, "en", "S", n) for d, n in enumerate(lens)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = [tuple(r) for r in docs_chunk_plan_op(df).collect()]
+    want = []
+    for d, n in enumerate(lens):
+        nc = 1 + (max(n - w, 0) + s - 1) // s
+        for i in range(nc):
+            want.append(
+                (d, "S", nc, i, i * s, min(w, n - i * s),
+                 1 if i == nc - 1 else 0)
+            )
+    assert got == want
