@@ -3837,6 +3837,13 @@ def part_skyline_op(
     )
 
 
+#: The brand match is IS NOT DISTINCT FROM, not `=`: the Spark side
+#: partitions a NULL brand into ONE window group (SQL window-partition
+#: semantics), so the definitional oracle must group NULL brands the
+#: same way — a bare `=` would exempt every NULL-brand row from
+#: dominance and diverge on data the fixture happens not to contain
+#: (the totality lesson: parity on a benign fixture says nothing about
+#: the error domain).
 PART_SKYLINE_SQL = """WITH pts AS (
   SELECT p_brand, p_partkey,
          CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
@@ -3846,7 +3853,7 @@ SELECT p.p_brand, p.p_partkey, p.price_cents, p.p_size
 FROM pts p
 WHERE NOT EXISTS (
   SELECT 1 FROM pts q
-  WHERE q.p_brand = p.p_brand
+  WHERE q.p_brand IS NOT DISTINCT FROM p.p_brand
     AND q.price_cents <= p.price_cents
     AND q.p_size <= p.p_size
     AND (q.price_cents < p.price_cents OR q.p_size < p.p_size))

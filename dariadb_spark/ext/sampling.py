@@ -1179,6 +1179,8 @@ def docs_chunk_plan_op(docs: DataFrame) -> DataFrame:
 
     n_chunks = 1 + ceil(max(n_chars − W, 0) / S) with W = CHUNK_CHARS,
     S = CHUNK_STRIDE; chunk i covers [i·S, i·S + min(W, n_chars − i·S)).
+    A NULL n_chars plans like 0 (one empty chunk) — never a dropped
+    doc.
     All integer; the greatest() keeps the ceil-div total on short docs
     (a bare (n_chars − W + S − 1) DIV S diverges between engines on
     negative dividends: Spark DIV truncates toward zero, DuckDB //
@@ -1189,12 +1191,16 @@ def docs_chunk_plan_op(docs: DataFrame) -> DataFrame:
     join, no window; text never read."""
     w, s = CHUNK_CHARS, CHUNK_STRIDE
     return (
+        # coalesce keeps the planner TOTAL on a NULL n_chars: without
+        # it n_chunks goes NULL and explode(sequence(0, NULL)) DROPS
+        # the doc silently in both engines — parity would stay green
+        # while the "never drops a doc" contract broke
         docs.selectExpr(
             "doc_id",
             "source",
-            f"CAST(1 + (greatest(n_chars - {w}, 0) + {s} - 1)"
-            f" DIV {s} AS BIGINT) AS n_chunks",
-            "n_chars",
+            f"CAST(1 + (greatest(coalesce(n_chars, 0) - {w}, 0)"
+            f" + {s} - 1) DIV {s} AS BIGINT) AS n_chunks",
+            "coalesce(n_chars, 0) AS n_chars",
         )
         .selectExpr(
             "doc_id",
@@ -1221,10 +1227,10 @@ def docs_chunk_plan_op(docs: DataFrame) -> DataFrame:
 DOCS_CHUNK_PLAN_SQL = f"""
 WITH d AS (
   SELECT doc_id, source,
-         CAST(1 + (greatest(n_chars - {CHUNK_CHARS}, 0)
+         CAST(1 + (greatest(coalesce(n_chars, 0) - {CHUNK_CHARS}, 0)
                    + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} AS BIGINT)
            AS n_chunks,
-         n_chars
+         coalesce(n_chars, 0) AS n_chars
   FROM documents),
 c AS (
   SELECT doc_id, source, n_chunks,

@@ -719,6 +719,12 @@ def test_part_skyline_parity_and_planted_front(spark, oracle_sf_dir):
         (9, "n", "C", "t", 7, 1.50),
         (10, "n", "C", "t", 7, 1.50),
         (11, "n", "C", "t", 7, 1.50),
+        # NULL brand: one SQL group (window-partition semantics; the
+        # oracle matches via IS NOT DISTINCT FROM) — (21) dominates
+        # both others
+        (20, "n", None, "t", 5, 1.00),
+        (21, "n", None, "t", 4, 1.00),
+        (22, "n", None, "t", 4, 2.00),
     ]
     got = [
         tuple(r)
@@ -727,6 +733,7 @@ def test_part_skyline_parity_and_planted_front(spark, oracle_sf_dir):
         ).collect()
     ]
     assert got == [
+        (None, 21, 100, 4),  # Spark ASC sorts NULL brand first
         ("A", 1, 100, 5),
         ("A", 2, 200, 4),
         ("A", 3, 200, 4),
@@ -805,7 +812,7 @@ def test_docs_chunk_plan_parity_and_planted_lengths(spark, oracle_sf_dir):
     assert res.ok, res.problems
     assert res.rows_spark > 0
 
-    lengths = {1: 256, 2: 257, 3: 553, 4: 48, 5: 0, 6: 448}
+    lengths = {1: 256, 2: 257, 3: 553, 4: 48, 5: 0, 6: 448, 7: None}
     docs = spark.createDataFrame(
         [(d, None, "en", "S", n) for d, n in lengths.items()],
         _DOCS_SCHEMA,
@@ -814,7 +821,7 @@ def test_docs_chunk_plan_parity_and_planted_lengths(spark, oracle_sf_dir):
     want = [
         (d, "S", nc, ci, st, ln, tl)
         for d in sorted(lengths)
-        for nc, ci, st, ln, tl in _chunk_plan_ref(lengths[d])
+        for nc, ci, st, ln, tl in _chunk_plan_ref(lengths[d] or 0)
     ]
     assert got == want
     # hand-checked anchors on top of the reference replay
