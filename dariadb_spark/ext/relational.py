@@ -3814,7 +3814,12 @@ def part_skyline_op(
 
     Exactness: pure integer comparisons — price quantized to int64
     cents HALF-UP once in the scan projection, size cast to int64; no
-    arithmetic beyond min(), so no rounding surface at all.
+    arithmetic beyond min(), so no rounding surface at all. A row with
+    a NULL price or size is NOT a point in the dominance plane and is
+    excluded in the scan projection on BOTH engines (dominance against
+    a NULL coordinate is undefined: the window filter would drop such
+    rows while a bare NOT-EXISTS would keep every one of them — the
+    NULL-brand totality class, closed the same way).
 
     Plan shape (100 TB): scan projection → phase-1 window over
     (brand, pmod(hash(partkey), n_salt)) → phase-2 window over brand
@@ -3825,7 +3830,7 @@ def part_skyline_op(
         "p_partkey",
         "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents",
         "CAST(p_size AS BIGINT) AS p_size",
-    )
+    ).where("price_cents IS NOT NULL AND p_size IS NOT NULL")
     local = skyline_filter(
         pts.withColumn(
             "_salt", F.pmod(F.hash("p_partkey"), F.lit(n_salt))
@@ -3848,7 +3853,8 @@ PART_SKYLINE_SQL = """WITH pts AS (
   SELECT p_brand, p_partkey,
          CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
          CAST(p_size AS BIGINT) AS p_size
-  FROM part)
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
 SELECT p.p_brand, p.p_partkey, p.price_cents, p.p_size
 FROM pts p
 WHERE NOT EXISTS (

@@ -1187,8 +1187,11 @@ def docs_chunk_plan_op(docs: DataFrame) -> DataFrame:
     floors).
 
     Plan shape (100 TB): stateless per-row projection → explode to
-    chunk rows (output-sized, ≤ n_chars/S per doc) — no shuffle, no
-    join, no window; text never read."""
+    chunk rows (output-sized, ≤ n_chars/S per doc) — no join, no
+    window, and no exchange anywhere in the planning core; the one
+    shuffle is the final presentation ORDER BY over the 24-byte
+    output rows (drop the sort for a pipeline consumer and the plan
+    is exchange-free); text never read."""
     w, s = CHUNK_CHARS, CHUNK_STRIDE
     return (
         # coalesce keeps the planner TOTAL on a NULL n_chars: without

@@ -148,12 +148,15 @@ def streaming_skyline_log(
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )
+    # the batch operator's NULL-coordinate contract, applied BEFORE
+    # the fold: a row without both measures is not a point (and a NaN
+    # reaching the fold's to_numpy(int64) would kill the stream)
     stream = reader.parquet(part_dir).selectExpr(
         "p_brand",
         "p_partkey",
         "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents",
         "CAST(p_size AS BIGINT) AS p_size",
-    )
+    ).where("price_cents IS NOT NULL AND p_size IS NOT NULL")
     log = stream.groupBy("p_brand").applyInPandasWithState(
         _skyline_fold,
         outputStructType=_OUT_DDL,
@@ -219,7 +222,9 @@ def streaming_skyline_parity(
         for pred in (
             f"p_partkey <= {c1}",
             f"p_partkey > {c1} AND p_partkey <= {c2}",
-            f"p_partkey > {c2}",
+            # a NULL partkey fails every range predicate; it rides the
+            # last drop so the three cuts partition the WHOLE table
+            f"p_partkey > {c2} OR p_partkey IS NULL",
         ):
             part.where(pred).coalesce(1).write.mode("append").parquet(
                 data_dir

@@ -2895,6 +2895,7 @@ def test_part_skyline_property(spark, pts):
     ties and duplicate points (the cases the fixture's 2000-part
     spread can't reach)."""
     from dariadb_spark.ext.relational import part_skyline_op
+    from tests.test_staged_r19 import _skyline_brute
 
     df = spark.createDataFrame(
         [
@@ -2905,16 +2906,9 @@ def test_part_skyline_property(spark, pts):
         " p_size int, p_retailprice double",
     )
     got = [tuple(r) for r in part_skyline_op(df).collect()]
-    want = sorted(
-        (
-            (b, k, c, s)
-            for k, (b, c, s) in enumerate(pts)
-            if not any(
-                qb == b and qc <= c and qs <= s and (qc < c or qs < s)
-                for qb, qc, qs in pts
-            )
-        ),
-        key=lambda r: (r[0], r[2], r[3], r[1]),
+    # ONE definitional reference for dominance across the test suite
+    want = _skyline_brute(
+        [(b, k, c, s) for k, (b, c, s) in enumerate(pts)]
     )
     assert got == want
 

@@ -725,6 +725,11 @@ def test_part_skyline_parity_and_planted_front(spark, oracle_sf_dir):
         (20, "n", None, "t", 5, 1.00),
         (21, "n", None, "t", 4, 1.00),
         (22, "n", None, "t", 4, 2.00),
+        # NULL coordinates are NOT points (excluded on both engines):
+        # if (30) leaked through it would "dominate" all of brand A on
+        # price alone; if (31) leaked it would sit on the front
+        (30, "n", "A", "t", None, 0.50),
+        (31, "n", "A", "t", 1, None),
     ]
     got = [
         tuple(r)
