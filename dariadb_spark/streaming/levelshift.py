@@ -180,6 +180,7 @@ def streaming_level_shift_parity(
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.streaming.scratch import (
         await_parity_termination,
+        land_time_split,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -189,20 +190,7 @@ def streaming_level_shift_parity(
     qname = "lshift_parity_" + base.rsplit("_", 1)[-1]
     try:
         sl = scan_interval(measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0)
-        cuts = sl.agg(
-            F.expr(
-                "percentile_approx(time, array(0.33, 0.66), 10000)"
-            ).alias("c")
-        ).collect()[0]["c"]
-        c1, c2 = int(cuts[0]), int(cuts[1])
-        for pred in (
-            F.col("time") <= c1,
-            (F.col("time") > c1) & (F.col("time") <= c2),
-            F.col("time") > c2,
-        ):
-            sl.where(pred).orderBy("id", "time").coalesce(1).write.mode(
-                "append"
-            ).parquet(data_dir)
+        land_time_split(sl, data_dir, n_drops=3)
         with parity_stream_partitions(spark):
             q = streaming_level_shift_log(
                 spark,

@@ -187,36 +187,46 @@ def streaming_ltv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.model import load_table
     from dariadb_spark.streaming.scratch import (
         await_parity_termination,
+        land_sorted,
         localize_and_cleanup,
         parity_stream_partitions,
+        persisted_slice,
     )
 
     base = tempfile.mkdtemp(prefix="dariadb_ltv_parity_")
     data_dir = f"{base}/orders"
     qname = "ltv_parity_" + base.rsplit("_", 1)[-1]
     try:
-        orders = load_table(spark, sf_dir, "orders").where(
+        sl = load_table(spark, sf_dir, "orders").where(
             f"o_custkey % {LTV_PARITY_MOD} = {LTV_PARITY_RESIDUE}"
         ).select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
         )
-        cuts = orders.agg(
-            F.expr(
-                "percentile_approx(unix_millis(CAST(o_orderdate AS"
-                " TIMESTAMP)), array(0.33, 0.66), 10000)"
-            ).alias("c")
-        ).collect()[0]["c"]
-        c1, c2 = int(cuts[0]), int(cuts[1])
-        ms = "unix_millis(CAST(o_orderdate AS TIMESTAMP))"
-        for pred in (
-            f"{ms} <= {c1}",
-            f"{ms} > {c1} AND {ms} <= {c2}",
-            f"{ms} > {c2}",
-        ):
-            orders.where(pred).orderBy(
-                "o_custkey", "o_orderdate", "o_orderkey"
-            ).coalesce(1).write.mode("append").parquet(data_dir)
-        with parity_stream_partitions(spark):
+        with persisted_slice(sl) as orders:
+            cuts = orders.agg(
+                F.expr(
+                    "percentile_approx(unix_millis(CAST(o_orderdate AS"
+                    " TIMESTAMP)), array(0.33, 0.66), 10000)"
+                ).alias("c")
+            ).collect()[0]["c"]
+            c1, c2 = int(cuts[0]), int(cuts[1])
+            ms = "unix_millis(CAST(o_orderdate AS TIMESTAMP))"
+            for pred in (
+                f"{ms} <= {c1}",
+                f"{ms} > {c1} AND {ms} <= {c2}",
+                f"{ms} > {c2}",
+            ):
+                land_sorted(
+                    orders.where(pred), data_dir,
+                    ("o_custkey", "o_orderdate", "o_orderkey"),
+                )
+        # n=32: ~750 customer groups per batch — the fold's cost is
+        # per-group python overhead, so the state layer is sized to
+        # group cardinality, not the 15-series parity default (r19 A/B
+        # at sf0.1 best-of-3: 5.94 s at n=4 vs 5.40 s at 32; explicit
+        # so an externally-built session's default, e.g. 200, cannot
+        # schedule 200 near-empty state tasks per batch)
+        with parity_stream_partitions(spark, 32):
             q = streaming_ltv_log(
                 spark, data_dir, qname, max_files_per_trigger=1
             )

@@ -193,6 +193,7 @@ def streaming_markov_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
+        persisted_slice,
     )
 
     base = tempfile.mkdtemp(prefix="dariadb_markov_parity_")
@@ -210,9 +211,6 @@ def streaming_markov_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts" if ts_type == "bigint"
             else "unix_millis(CAST(ts AS TIMESTAMP))"
         )
-        cut = ev.agg(
-            F.expr(f"percentile_approx({ms}, 0.5, 10000)").alias("c")
-        ).collect()[0]["c"]
         # normalize ts to µs TIMESTAMP so the landed files always match
         # the stream reader's declared schema regardless of fixture
         # build (ntz/ltz casts; a raw-ns bigint build floors to µs —
@@ -240,13 +238,23 @@ def streaming_markov_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # it does NOT change the 5.8 s sf0.1 parity time — the cost is
         # the two landing writes + the checkpointed stateful fold, the
         # machinery this parity exists to exercise.)
-        ev.where(F.col("_ms") <= cut).drop("_ms").coalesce(
-            1
-        ).write.parquet(data_dir)
-        ev.where(F.col("_ms") > cut).drop("_ms").coalesce(
-            1
-        ).write.mode("append").parquet(data_dir)
-        with parity_stream_partitions(spark):
+        with persisted_slice(ev) as evp:
+            cut = evp.agg(
+                F.expr("percentile_approx(_ms, 0.5, 10000)").alias("c")
+            ).collect()[0]["c"]
+            evp.where(F.col("_ms") <= cut).drop("_ms").coalesce(
+                1
+            ).write.parquet(data_dir)
+            evp.where(F.col("_ms") > cut).drop("_ms").coalesce(
+                1
+            ).write.mode("append").parquet(data_dir)
+        # n=32: ~1.5k user groups per batch — size the state layer to
+        # group cardinality (the r12 stress lesson), not the 15-series
+        # parity default (r19 A/B at sf0.1: 6.7 s at n=4 → 4.6 s after
+        # this + the persisted landing; explicit so an externally-built
+        # session's default, e.g. 200, cannot schedule 200 near-empty
+        # state tasks per batch)
+        with parity_stream_partitions(spark, 32):
             q = streaming_transition_log(
                 spark, data_dir, qname, max_files_per_trigger=1
             )

@@ -174,6 +174,7 @@ def streaming_ohlc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.streaming.scratch import (
         await_parity_termination,
+        land_time_split,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -183,15 +184,7 @@ def streaming_ohlc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "ohlc_parity_" + base.rsplit("_", 1)[-1]
     try:
         sl = scan_interval(measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0)
-        cut = sl.agg(
-            F.expr("percentile_approx(time, 0.5, 10000)").alias("c")
-        ).collect()[0]["c"]
-        sl.where(F.col("time") <= cut).orderBy("id", "time").coalesce(
-            1
-        ).write.parquet(data_dir)
-        sl.where(F.col("time") > cut).orderBy("id", "time").coalesce(
-            1
-        ).write.mode("append").parquet(data_dir)
+        land_time_split(sl, data_dir, n_drops=2)
         with parity_stream_partitions(spark):
             q = streaming_ohlc_log(
                 spark, data_dir, HOUR_MS, qname, max_files_per_trigger=1

@@ -142,6 +142,7 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
+        persisted_slice,
     )
 
     base = tempfile.mkdtemp(prefix="dariadb_stream_parity_")
@@ -150,15 +151,18 @@ def streaming_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = f"{base}/ckpt"
     split_ms = 1_705_276_800_000  # 2024-01-15 — mid-fixture
     try:
-        m = measurements(spark, sf_dir).select("id", "time", "value", "flag")
-        m.where(F.col("time") < split_ms).write.parquet(data_dir)
-        # 15-series harness slice → small state layer (see scratch.py);
-        # the checkpoint pins partitioning at first start, so both runs
-        # are wrapped for consistency
-        with parity_stream_partitions(spark):
-            q = streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day")
-        await_parity_termination(q)
-        m.where(F.col("time") >= split_ms).write.mode("append").parquet(data_dir)
+        sl = measurements(spark, sf_dir).select("id", "time", "value", "flag")
+        with persisted_slice(sl) as m:
+            m.where(F.col("time") < split_ms).write.parquet(data_dir)
+            # 15-series harness slice → small state layer (see
+            # scratch.py); the checkpoint pins partitioning at first
+            # start, so both runs are wrapped for consistency
+            with parity_stream_partitions(spark):
+                q = streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day")
+            await_parity_termination(q)
+            m.where(F.col("time") >= split_ms).write.mode("append").parquet(
+                data_dir
+            )
         with parity_stream_partitions(spark):
             q = streaming_rollup(spark, data_dir, rollup_dir, ckpt, "day")
         await_parity_termination(q)

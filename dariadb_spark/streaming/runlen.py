@@ -207,6 +207,7 @@ def streaming_run_lengths_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.operators.interval import scan_interval
     from dariadb_spark.streaming.scratch import (
         await_parity_termination,
+        land_time_split,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -216,15 +217,7 @@ def streaming_run_lengths_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "runlen_parity_" + base.rsplit("_", 1)[-1]
     try:
         sl = scan_interval(measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0)
-        cut = sl.agg(
-            F.expr("percentile_approx(time, 0.5, 10000)").alias("c")
-        ).collect()[0]["c"]
-        sl.where(F.col("time") <= cut).orderBy("id", "time").coalesce(
-            1
-        ).write.parquet(data_dir)
-        sl.where(F.col("time") > cut).orderBy("id", "time").coalesce(
-            1
-        ).write.mode("append").parquet(data_dir)
+        land_time_split(sl, data_dir, n_drops=2)
         with parity_stream_partitions(spark):
             q = streaming_run_lengths_log(
                 spark, data_dir, qname, max_files_per_trigger=1

@@ -28,9 +28,10 @@ from __future__ import annotations
 
 import shutil
 from contextlib import contextmanager
-from typing import Iterator
+from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Hard ceiling on rows materialized through the driver by
 #: :func:`localize_and_cleanup`. Parity results are tens-to-hundreds of
@@ -96,19 +97,107 @@ def await_parity_termination(q, timeout_s: int = 600) -> None:
 
 
 @contextmanager
+def persisted_slice(df: DataFrame) -> Iterator[DataFrame]:
+    """Persist a parity-slice DataFrame for the duration of the landing
+    phase (cut computation + drop writes), unpersisting on exit.
+
+    The landing phase of a streaming parity reads its slice 2–4 times
+    (one quantile-cut aggregate plus one write per drop); without the
+    persist each pass re-runs the fixture scan + filter (exchange reuse
+    only applies within one action). Slices are parity-sized by
+    construction (the same smallness contract ``localize_and_cleanup``
+    enforces on results), so MEMORY_AND_DISK holds them trivially.
+    Measured at sf0.1 (r19 optimization round, best-of-3): the ltv
+    landing drops ~0.5 s and markov ~0.4 s — one base-table scan
+    instead of four (guide §1.2 step 1: don't recompute what you
+    already have)."""
+    df = df.persist()
+    try:
+        yield df
+    finally:
+        df.unpersist()
+
+
+def land_sorted(
+    df: DataFrame, path: str, sort_cols: Sequence[str]
+) -> None:
+    """Append ``df`` to ``path`` as ONE totally-ordered parquet file.
+
+    ``repartition(1).sortWithinPartitions(...)`` produces a file with
+    content identical to the previous ``orderBy(...).coalesce(1)``
+    recipe (a total order inside a single partition) while skipping the
+    range-partitioner sampling job a global sort submits per write —
+    one Spark job instead of two for every landed drop (guide §2.4:
+    remove shuffles/jobs outright). Measured at sf0.1 (r19 optimization
+    round): ~0.15 s saved per two-drop landing, identical streamed
+    bytes."""
+    (
+        df.repartition(1)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def land_time_split(
+    sl: DataFrame,
+    data_dir: str,
+    n_drops: int = 2,
+    sort_cols: Sequence[str] = ("id", "time"),
+) -> None:
+    """Land a measurement slice as ``n_drops`` sorted single-file drops
+    cut at the ``time`` quantiles (median for 2 drops, terciles for 3 —
+    the exact cut expressions the parity modules previously inlined;
+    ms-integer cuts never split sub-ms ties, so drop k strictly
+    precedes drop k+1 in the batch total order). One slice scan total:
+    the slice is persisted across the quantile pass and every write
+    (:func:`persisted_slice`), and each drop lands via
+    :func:`land_sorted` — the r19 landing-phase recipe."""
+    # the exact literals the modules previously inlined (0.33/0.66 for
+    # terciles, NOT 1/3, 2/3 — the landed split stays byte-identical)
+    if n_drops not in (2, 3):
+        raise ValueError(f"land_time_split: n_drops must be 2 or 3, got {n_drops}")
+    arr = "0.5" if n_drops == 2 else "0.33, 0.66"
+    with persisted_slice(sl) as s:
+        cuts = s.agg(
+            F.expr(
+                f"percentile_approx(time, array({arr}), 10000)"
+            ).alias("c")
+        ).collect()[0]["c"]
+        cuts = [int(c) for c in cuts]
+        bounds = [None, *cuts, None]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            d = s
+            if lo is not None:
+                d = d.where(F.col("time") > lo)
+            if hi is not None:
+                d = d.where(F.col("time") <= hi)
+            land_sorted(d, data_dir, sort_cols)
+
+
+@contextmanager
 def parity_stream_partitions(
-    spark: SparkSession, n: int = 4
+    spark: SparkSession, n: int | None = 4
 ) -> Iterator[None]:
     """Scope ``spark.sql.shuffle.partitions`` to ``n`` while a parity
     stream STARTS (Structured Streaming pins its state partitioning
     from the session conf at stream start; later restores don't affect
     a running stream). The previous value is always restored.
+    ``n=None`` is a no-op: the stream keeps the session conf — for
+    parity folds whose group cardinality is NOT parity-small (markov's
+    ~1.5k users, ltv's ~750 customers at sf0.1), where shrinking the
+    state layer serializes the per-group python folds (the r12 stress
+    lesson: size state partitions to group cardinality; r19 A/B at
+    sf0.1 best-of-3: ltv 5.94 s at n=4 vs 5.40 s at the session's 32).
 
     Harness-only: the bench/test sweeps run queries sequentially on one
     session, so the temporary session-conf mutation cannot leak into a
     concurrent query's plan. A production deployment sizes state
     partitions once, at stream creation, to its real series
     cardinality."""
+    if n is None:
+        yield
+        return
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

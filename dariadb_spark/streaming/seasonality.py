@@ -157,31 +157,33 @@ def streaming_seasonality_parity(
         await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
+        persisted_slice,
     )
 
     base = tempfile.mkdtemp(prefix="dariadb_season_parity_")
     data_dir = f"{base}/orders"
     qname = "season_parity_" + base.rsplit("_", 1)[-1]
     try:
-        orders = load_table(spark, sf_dir, "orders").select(
+        sl = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
         )
-        cuts = orders.agg(
+        with persisted_slice(sl) as orders:
+            cuts = orders.agg(
             F.expr(
-                "percentile_approx(unix_millis(CAST(o_orderdate AS"
-                " TIMESTAMP)), array(0.33, 0.66), 10000)"
-            ).alias("c")
-        ).collect()[0]["c"]
-        c1, c2 = int(cuts[0]), int(cuts[1])
-        ms = "unix_millis(CAST(o_orderdate AS TIMESTAMP))"
-        for pred in (
-            f"{ms} <= {c1}",
-            f"{ms} > {c1} AND {ms} <= {c2}",
-            f"{ms} > {c2}",
-        ):
-            orders.where(pred).coalesce(1).write.mode("append").parquet(
-                data_dir
-            )
+                    "percentile_approx(unix_millis(CAST(o_orderdate AS"
+                    " TIMESTAMP)), array(0.33, 0.66), 10000)"
+                ).alias("c")
+            ).collect()[0]["c"]
+            c1, c2 = int(cuts[0]), int(cuts[1])
+            ms = "unix_millis(CAST(o_orderdate AS TIMESTAMP))"
+            for pred in (
+                f"{ms} <= {c1}",
+                f"{ms} > {c1} AND {ms} <= {c2}",
+                f"{ms} > {c2}",
+            ):
+                orders.where(pred).coalesce(1).write.mode("append").parquet(
+                    data_dir
+                )
         with parity_stream_partitions(spark):
             q = streaming_seasonality_state(
                 spark, data_dir, qname, max_files_per_trigger=1

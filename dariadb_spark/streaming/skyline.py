@@ -203,32 +203,34 @@ def streaming_skyline_parity(
         await_parity_termination,
         localize_and_cleanup,
         parity_stream_partitions,
+        persisted_slice,
     )
 
     base = tempfile.mkdtemp(prefix="dariadb_skyline_parity_")
     data_dir = f"{base}/part"
     qname = "skyline_parity_" + base.rsplit("_", 1)[-1]
     try:
-        part = load_table(spark, sf_dir, "part").select(
+        sl = load_table(spark, sf_dir, "part").select(
             "p_partkey", "p_brand", "p_size", "p_retailprice"
         )
-        cuts = part.agg(
-            F.expr(
-                "percentile_approx(p_partkey, array(0.33, 0.66),"
-                " 10000)"
-            ).alias("c")
-        ).collect()[0]["c"]
-        c1, c2 = int(cuts[0]), int(cuts[1])
-        for pred in (
-            f"p_partkey <= {c1}",
-            f"p_partkey > {c1} AND p_partkey <= {c2}",
-            # a NULL partkey fails every range predicate; it rides the
-            # last drop so the three cuts partition the WHOLE table
-            f"p_partkey > {c2} OR p_partkey IS NULL",
-        ):
-            part.where(pred).coalesce(1).write.mode("append").parquet(
-                data_dir
-            )
+        with persisted_slice(sl) as part:
+            cuts = part.agg(
+                F.expr(
+                    "percentile_approx(p_partkey, array(0.33, 0.66),"
+                    " 10000)"
+                ).alias("c")
+            ).collect()[0]["c"]
+            c1, c2 = int(cuts[0]), int(cuts[1])
+            for pred in (
+                f"p_partkey <= {c1}",
+                f"p_partkey > {c1} AND p_partkey <= {c2}",
+                # a NULL partkey fails every range predicate; it rides the
+                # last drop so the three cuts partition the WHOLE table
+                f"p_partkey > {c2} OR p_partkey IS NULL",
+            ):
+                part.where(pred).coalesce(1).write.mode("append").parquet(
+                    data_dir
+                )
         with parity_stream_partitions(spark):
             q = streaming_skyline_log(
                 spark, data_dir, qname, max_files_per_trigger=1

@@ -377,6 +377,7 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dariadb_spark.registry import FROM_MS, IDS, TO_MS
     from dariadb_spark.streaming.scratch import (
         await_parity_termination,
+        land_sorted,
         localize_and_cleanup,
         parity_stream_partitions,
     )
@@ -388,10 +389,10 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE sorted file → the availableNow replay feeds each series its
         # points in (time, value, flag) order, the precondition for exact
         # batch parity (out-of-order arrival is policy-scored, not parity)
-        scan_interval(
-            measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0
-        ).orderBy("id", "time", "value", "flag").coalesce(1).write.parquet(
-            data_dir
+        land_sorted(
+            scan_interval(measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0),
+            data_dir,
+            ("id", "time", "value", "flag"),
         )
         # 15-series harness slice → 4 state partitions, not the session's
         # OLAP default (VERDICT r6 item 1: addBatch ~2× faster; stage

@@ -433,8 +433,11 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = "dedup_parity_" + base.rsplit("_", 1)[-1]
     try:
         sl = scan_interval(measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0)
-        sl.write.parquet(data_dir)
-        sl.write.mode("append").parquet(data_dir)  # the replay
+        from dariadb_spark.streaming.scratch import persisted_slice
+
+        with persisted_slice(sl) as s:
+            s.write.parquet(data_dir)
+            s.write.mode("append").parquet(data_dir)  # the replay
         with parity_stream_partitions(spark):
             q = streaming_dedup_exact(spark, data_dir, qname)
         await_parity_termination(q)
