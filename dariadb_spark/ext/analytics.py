@@ -992,8 +992,8 @@ def funnel_latency_op(
     dimension-sized bucket table, while count and mean stay exact
     (plain sums). The branch decision is one dimension-sized count,
     the adaptive pattern of ext/dedup.py's union-find/label-prop
-    split; a production pipeline persists ``lags`` across the count
-    and the stats pass.
+    split; ``lags`` is localCheckpoint-pinned across the count and the
+    stats pass so the funnel reduction runs once per invocation.
     """
     s1 = meas.where(F.col("flag") == _FUNNEL[0]).groupBy("id").agg(
         F.min("time").alias("t1")
@@ -1022,7 +1022,12 @@ def funnel_latency_op(
         F.col("id"),
         (F.col("t3") - F.col("t2")).alias("lag_ms"),
     )
-    lags = lag12.unionByName(lag23)
+    # localCheckpoint pins the three-stage funnel reduction ONCE before
+    # the eager branch-decision count — without it the count job and the
+    # stats pass each re-ran the whole reduction (exchange reuse only
+    # applies within one action; the downsample/kcore rotation
+    # precedent, ADVICE r18). lags is n_converted rows of 3 columns.
+    lags = lag12.unionByName(lag23).localCheckpoint(eager=True)
     from dariadb_spark.ext.exact import ratio_round_spark
 
     # dimension-sized branch decision (2 rows), the CC adaptive pattern

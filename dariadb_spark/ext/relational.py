@@ -1431,6 +1431,12 @@ def orders_pareto_op(orders: DataFrame) -> DataFrame:
             "abc_class",
             "n_customers",
             "class_cents",
+            # int64 envelope (ADVICE r18): the 2·mass·10⁶ term caps the
+            # per-group mass at ~4.6e12 (≈ $46B in cents) before int64
+            # wraps — past it DuckDB errors loudly while non-ANSI Spark
+            # wraps silently; route through ext/exact.py's
+            # ratio_round_wide / DECIMAL(38,0) when a deployment can
+            # approach that mass (part_price_size/vr_test convention)
             "(2 * class_cents * 1000000 + total) DIV (2 * total)"
             " AS share_micro",
         )
@@ -3061,6 +3067,12 @@ def seasonality_report(monthly: DataFrame) -> DataFrame:
             "month",
             "n_orders",
             "cents",
+            # int64 envelope (ADVICE r18): the 2·mass·10⁶ term caps the
+            # per-group mass at ~4.6e12 (≈ $46B in cents) before int64
+            # wraps — past it DuckDB errors loudly while non-ANSI Spark
+            # wraps silently; route through ext/exact.py's
+            # ratio_round_wide / DECIMAL(38,0) when a deployment can
+            # approach that mass (part_price_size/vr_test convention)
             "CAST((2 * n_orders * 1000000 + t_orders)"
             " DIV (2 * t_orders) AS BIGINT) AS orders_share_micro",
             "CAST((2 * cents * 1000000 + t_cents)"
@@ -3454,6 +3466,12 @@ def trade_flows_op(
             "cust_nation",
             "n_lines",
             "cents",
+            # int64 envelope (ADVICE r18): the 2·mass·10⁶ term caps the
+            # per-group mass at ~4.6e12 (≈ $46B in cents) before int64
+            # wraps — past it DuckDB errors loudly while non-ANSI Spark
+            # wraps silently; route through ext/exact.py's
+            # ratio_round_wide / DECIMAL(38,0) when a deployment can
+            # approach that mass (part_price_size/vr_test convention)
             "CAST((2 * cents * 1000000 + t_cents)"
             " DIV (2 * t_cents) AS BIGINT) AS share_micro",
         )
@@ -3615,6 +3633,12 @@ def promo_revenue_op(li: DataFrame, part: DataFrame) -> DataFrame:
             "n_lines",
             "promo_cents",
             "total_cents",
+            # int64 envelope (ADVICE r18): the 2·mass·10⁶ term caps the
+            # per-group mass at ~4.6e12 (≈ $46B in cents) before int64
+            # wraps — past it DuckDB errors loudly while non-ANSI Spark
+            # wraps silently; route through ext/exact.py's
+            # ratio_round_wide / DECIMAL(38,0) when a deployment can
+            # approach that mass (part_price_size/vr_test convention)
             "CAST((2 * promo_cents * 1000000 + total_cents)"
             " DIV (2 * total_cents) AS BIGINT) AS promo_share_micro",
         )

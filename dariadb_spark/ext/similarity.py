@@ -974,7 +974,15 @@ def sample_diverse(spark: SparkSession, sf: str) -> DataFrame:
     (rank ≤ quota). Flattens the cluster histogram: over-represented
     semantic regions are capped at ~budget/K while rare cells keep
     everything they have."""
-    asg = sim_kmeans(spark, sf).select("vec_id", "cid")
+    # localCheckpoint pins the k-means assignment ONCE: the quota
+    # aggregate and the priority projection below are DIVERGING
+    # consumers (different projections defeat exchange reuse), so the
+    # lazy form re-ran the full zero-shuffle E-step scan per consumer
+    # (r19 A/B at sf0.1 best-of-3: 3.81 s -> 2.78 s). The pinned frame
+    # is (vec_id, cid) — 16 bytes/vector at any scale.
+    asg = sim_kmeans(spark, sf).select("vec_id", "cid").localCheckpoint(
+        eager=True
+    )
     wall = Window.partitionBy()
     worder = Window.orderBy(F.desc("cell_n"), F.asc("cid"))
     quotas = (

@@ -184,8 +184,9 @@ def _make_fn_query(fname: str) -> QueryFn:
 # only the driver rows consolidated. NINE slots freed (the ceiling
 # arithmetic, updated r18: 218 + 10 r17-staged = 228 at r18 (the third
 # staging pass added ext_series_tail_excess after this note was first
-# written), ~236 at r19, ~244 at r20 — the 250 line clears through the
-# build's end without another forced merge). A5–A11 coverage now attests through fn_all's columns;
+# written); registering the full fourteen-op STAGED_NEXT cohort lands
+# 242 at r19 — the 250 line clears through the build's end without
+# another forced merge). A5–A11 coverage now attests through fn_all's columns;
 # COVERAGE.md maps each row explicitly. _make_fn_query above stays as
 # the per-function query builder the projection-pin test drives.
 
@@ -443,6 +444,11 @@ def _partition_file_stats_multi(spark: SparkSession, sf: str) -> DataFrame:
         sl = meas.where(
             ids_predicate(IDS) & pushdown_time_bounds(meas, FROM_MS, TO_MS)
         ).select("id", "time", "value", "flag")
+        # one fixture scan for the whole landing: the slice feeds two
+        # store appends plus the expected-counts aggregate below (r19
+        # optimization round — same persisted_slice recipe as the
+        # streaming parity landings)
+        sl = sl.persist()
         day = F.date_format(F.timestamp_millis(F.col("time")), "yyyy-MM-dd")
         store = ParquetTsStore(spark, base)
         store.append(sl.where(F.col("id") == IDS[0]).repartition(day))
@@ -474,6 +480,7 @@ def _partition_file_stats_multi(spark: SparkSession, sf: str) -> DataFrame:
             f"files per day {dict(per_day)} != append groups {expected} "
             "— writer config drift, the oracle below no longer matches"
         )
+        sl.unpersist()  # landing done; the stats op reads the store
         stats = partition_file_stats_op(store.read())
         w = Window.partitionBy("p_date").orderBy(
             "n_series", "n_rows", "min_time", "max_time"
@@ -1242,8 +1249,9 @@ if "ext_sketch_kmv_report" in REGISTRY:
 #      legitimate fn_all-shaped composite (bucket_all = union of the
 #      five grains with a grain column; each row = filter+projection;
 #      per-grain DuckDB parity would stay in pytest). DEFERRED on the
-#      ceiling arithmetic: post-#10 the registry lands ~236 at r19 /
-#      ~244 at r20 — the 250 line clears without it — and the five
+#      ceiling arithmetic: post-#10 the registry lands 242 at r19
+#      (the fourteen-op STAGED_NEXT cohort) — the 250 line clears
+#      without it — and the five
 #      rows are CORE reference surface (SURVEY §2 W1) where per-grain
 #      driver rows isolate faults per trunc path. RECIPE RECORDED: if
 #      an r19 staging pass overshoots (>6 rows above plan), execute

@@ -113,8 +113,9 @@ def _burst_fold(
         raise OverflowError(
             f"burstiness fold: accumulator overflow for (id={key[0]}, "
             f"flag={key[1]}) — sum_gap_s={s}, sum_gap2={q} exceed the "
-            "int64 state envelope (the batch twin raises here too, "
-            "under ANSI)"
+            "int64 state envelope (the fold is STRICTER than the "
+            "non-ANSI batch twin, whose sum would wrap silently past "
+            "int64)"
         )
     state.update((int(t[-1]), n, s, q))
     yield pd.DataFrame(

@@ -72,7 +72,8 @@ def _season_fold(
         raise OverflowError(
             f"seasonality fold: accumulator overflow for month "
             f"{key[0]} — n={n}, cents={cents} exceed the int64 state "
-            "envelope (the batch twin raises here too, under ANSI)"
+            "envelope (the fold is STRICTER than the non-ANSI batch "
+            "twin, whose sum would wrap silently past int64)"
         )
     state.update((n, cents))
     yield pd.DataFrame(
