@@ -63,7 +63,16 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     fraction. Join on the engine-agnostic 60-bit shingle hash (8-byte
     keys — the text never shuffles); the eval shingle set is distinct-ed
     first, so the join is |train shingles| × (tiny broadcast)."""
-    sh = _shingled(load_table(spark, sf, "documents"))
+    # localCheckpoint pins the shingling projection ONCE across the
+    # diverging consumers below (r19 optimization round; A/B numbers in
+    # OPTIMIZATION_r19.md). MEMORY_AND_DISK, spills; a 100 TB
+    # deployment that can't hold the shingle table swaps this for an
+    # explicit signature-artifact write. (dedup_incremental measured
+    # SLOWER with this pin - its %4 scan-pushdown design wins - so the
+    # pin is per-operator, not in _shingled itself.)
+    sh = _shingled(load_table(spark, sf, "documents")).localCheckpoint(
+        eager=True
+    )
     ex = sh.select(
         "doc_id",
         # bigint: DuckDB len() is BIGINT while F.size is int32 — a driver
@@ -804,7 +813,16 @@ def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     checks signed shift overflow on 1<<63 and Spark would wrap silently) (both engines compute
     the same m from the same count), and clamped to at least one word so
     an empty holdout cannot zero the modulus."""
-    sh = _shingled(load_table(spark, sf, "documents"))
+    # localCheckpoint pins the shingling projection ONCE across the
+    # diverging consumers below (r19 optimization round; A/B numbers in
+    # OPTIMIZATION_r19.md). MEMORY_AND_DISK, spills; a 100 TB
+    # deployment that can't hold the shingle table swaps this for an
+    # explicit signature-artifact write. (dedup_incremental measured
+    # SLOWER with this pin - its %4 scan-pushdown design wins - so the
+    # pin is per-operator, not in _shingled itself.)
+    sh = _shingled(load_table(spark, sf, "documents")).localCheckpoint(
+        eager=True
+    )
     ex = sh.select(
         "doc_id",
         F.size("shingles").cast("long").alias("n_shingles"),

@@ -118,7 +118,15 @@ def _ngram_jaccard_inverted(docs: DataFrame) -> DataFrame:
     and count on 64-bit shingle hashes, not strings: 8-byte shuffle
     keys; collisions (~|vocab|²/2⁶⁴) are billions of times below the
     oracle's tolerance."""
-    sh = _shingled(docs)
+    # localCheckpoint pins the shingling projection ONCE: the sizes
+    # branch and the exploded-posting branch are diverging consumers
+    # (different projections defeat exchange reuse), so the lazy form
+    # re-ran the per-doc shingle build per consumer (r19 A/B at sf0.1
+    # best-of-3: 3.39 s -> 1.93 s). Safe to materialize by
+    # construction: this path only runs for corpora at or below
+    # NGRAM_PREFIX_DOC_THRESHOLD (the prefix path caches its own hash
+    # arrays for the same reason).
+    sh = _shingled(docs).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("shingles").alias("nsh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s")).selectExpr(
         "doc_id", "xxhash64(s) AS sh"
@@ -281,7 +289,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     bands join on the raw 4-tuples of minhash values, not an
     engine-specific hash of them).
     """
-    sh = _shingled(load_table(spark, sf, "documents"))
+    # localCheckpoint pins the shingling projection ONCE across the
+    # diverging consumers below (r19 optimization round; A/B numbers in
+    # OPTIMIZATION_r19.md). MEMORY_AND_DISK, spills; a 100 TB
+    # deployment that can't hold the shingle table swaps this for an
+    # explicit signature-artifact write. (dedup_incremental measured
+    # SLOWER with this pin - its %4 scan-pushdown design wins - so the
+    # pin is per-operator, not in _shingled itself.)
+    sh = _shingled(load_table(spark, sf, "documents")).localCheckpoint(
+        eager=True
+    )
     bands, key = _minhash_bands(sh)
     cand = (
         bands.withColumnRenamed("doc_id", "doc_a")
@@ -672,7 +689,17 @@ def decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     100 TB the eval side's band table is benchmark-sized and broadcasts,
     so the corpus is one scan + one signature shuffle, same as LSH dedup.
     """
-    sh = _shingled(load_table(spark, sf, "documents"))
+    # localCheckpoint pins the shingling projection ONCE: it feeds four
+    # diverging consumers (train/eval band builds + train/eval verify
+    # projections — two of them corpus-wide), so the lazy form re-ran
+    # the per-doc shingle build per consumer (r19 A/B at sf0.1
+    # best-of-3: 2.54 s -> 1.92 s). The pin is MEMORY_AND_DISK and
+    # spills; a 100 TB deployment that can't hold the shingle table
+    # swaps this for the explicit signature-artifact write the module
+    # docstring already describes.
+    sh = _shingled(load_table(spark, sf, "documents")).localCheckpoint(
+        eager=True
+    )
     # split BEFORE the signature build: per-doc computation is
     # independent, so the eval pipeline's scan + signature shuffle touch
     # only the benchmark-sized eval slice (the % predicate pushes into
