@@ -1535,13 +1535,15 @@ def ngram_novelty_op(docs: DataFrame) -> DataFrame:
     Catalyst shuffles both sides on ``shingle`` once and reuses the
     exchange; per-source distinct counting shuffles (source, shingle)
     partials. A broadcast |docs|→source map is NOT needed: source
-    rides the explode. No UDF, no driver state, no pair space.
+    rides the explode (the ``carry`` projection — r19 removed the
+    doc_id join of the exploded table back to docs that the earlier
+    form paid; isolated best-of-3 1.82 → 1.46 s at sf0.1, rows
+    identical). No UDF, no driver state, no pair space.
     """
-    sh = _shingled(docs).select(
-        "doc_id", F.explode(F.col("shingles")).alias("sh")
+    sh_src = _shingled(docs, carry=("source",)).select(
+        "doc_id", "source", F.explode(F.col("shingles")).alias("sh")
     )
     src = docs.select("doc_id", "source")
-    sh_src = sh.join(src, "doc_id")
     owner = sh_src.groupBy("sh").agg(F.min("doc_id").alias("owner_doc"))
     owned = (
         owner.join(

