@@ -159,7 +159,9 @@ ORDER BY exact_cnt DESC, bg ASC"""
 
 # --- k-minimum-values distinct estimate ----------------------------------
 
-def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+def sketch_kmv_distinct(
+    spark: SparkSession, sf: str, distinct_bg: DataFrame | None = None
+) -> DataFrame:
     """KMV distinct-bigram estimate per language vs the exact count.
 
     The sketch is the ``KMV_K`` smallest distinct 60-bit hashes per
@@ -183,13 +185,19 @@ def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     Groups with fewer than ``KMV_K`` distinct values have no k-th hash;
     they are emitted with a NULL estimate next to their exact count
     (below k the "sketch" IS the exact distinct set).
+
+    ``distinct_bg`` lets the report pass ONE shared distinct
+    (lang, bigram) table; standalone the lazy build stays.
     """
-    docs = load_table(spark, sf, "documents")
-    distinct_bg = (
-        docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
-        .selectExpr("lang", f"explode(array_distinct({_BG_SPARK})) AS bg")
-        .distinct()
-    )
+    if distinct_bg is None:
+        docs = load_table(spark, sf, "documents")
+        distinct_bg = (
+            docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+            .selectExpr(
+                "lang", f"explode(array_distinct({_BG_SPARK})) AS bg"
+            )
+            .distinct()
+        )
     hashed = distinct_bg.selectExpr("lang", "bg", f"{_h60_spark('bg')} AS h")
     w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("bg"))
     kth = (
@@ -250,7 +258,9 @@ FROM est ORDER BY lang"""
 
 # --- KMV sketch algebra: union / intersection estimates -------------------
 
-def sketch_kmv_union(spark: SparkSession, sf: str) -> DataFrame:
+def sketch_kmv_union(
+    spark: SparkSession, sf: str, distinct_bg: DataFrame | None = None
+) -> DataFrame:
     """Set-operation estimates from MERGED sketches, per language pair:
     ``|A ∪ B|`` from the union sketch (k smallest of the combined
     per-group sketches — never touching the full distinct sets again)
@@ -275,13 +285,18 @@ def sketch_kmv_union(spark: SparkSession, sf: str) -> DataFrame:
     enumeration is a GENUINE |groups|² cross product of a tiny distinct
     set — the one place a BroadcastNestedLoopJoin in the plan is the
     right operator, unlike literal fan-outs, which use explode; see
-    SCALE.md §7 lesson 3.)"""
-    docs = load_table(spark, sf, "documents")
-    distinct_bg = (
-        docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
-        .selectExpr("lang", f"explode(array_distinct({_BG_SPARK})) AS bg")
-        .distinct()
-    )
+    SCALE.md §7 lesson 3.)
+
+    ``distinct_bg`` as in :func:`sketch_kmv_distinct`."""
+    if distinct_bg is None:
+        docs = load_table(spark, sf, "documents")
+        distinct_bg = (
+            docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+            .selectExpr(
+                "lang", f"explode(array_distinct({_BG_SPARK})) AS bg"
+            )
+            .distinct()
+        )
     hashed = distinct_bg.selectExpr("lang", "bg", f"{_h60_spark('bg')} AS h")
     w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("bg"))
     # NOTE (r9 scan audit): the per-lang sketch behind this rank IS a
@@ -410,7 +425,9 @@ QH_BINS = 128
 QH_PS = (0.5, 0.9, 0.99)
 
 
-def sketch_quantile_hist(spark: SparkSession, sf: str) -> DataFrame:
+def sketch_quantile_hist(
+    spark: SparkSession, sf: str, m: DataFrame | None = None
+) -> DataFrame:
     """Quantile estimates from a fixed equi-width histogram, per flag
     group over the measurements slice — the third mergeable summary
     (CMS = frequencies, KMV = cardinality, this = distribution shape):
@@ -439,7 +456,8 @@ def sketch_quantile_hist(spark: SparkSession, sf: str) -> DataFrame:
     log-spaced bin layout (same plan, different bin expression)."""
     from dariadb_spark.model import measurements
 
-    m = measurements(spark, sf).select("flag", "value")
+    if m is None:
+        m = measurements(spark, sf).select("flag", "value")
     stats = m.groupBy("flag").agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
@@ -566,7 +584,9 @@ HDR_SUB_BITS = 4  # 16 sub-buckets per octave
 HDR_PS = QH_PS
 
 
-def sketch_quantile_hdr(spark: SparkSession, sf: str) -> DataFrame:
+def sketch_quantile_hdr(
+    spark: SparkSession, sf: str, m: DataFrame | None = None
+) -> DataFrame:
     """HDR-histogram quantile estimates per flag group (positive values
     scaled to exact centi-units; a production deployment shifts or
     splits signed measures first — HDR is for magnitudes).
@@ -583,7 +603,9 @@ def sketch_quantile_hdr(spark: SparkSession, sf: str) -> DataFrame:
     from dariadb_spark.model import measurements
 
     sub = 1 << HDR_SUB_BITS
-    m = measurements(spark, sf).where("value > 0").selectExpr(
+    if m is None:
+        m = measurements(spark, sf).select("flag", "value")
+    m = m.where("value > 0").selectExpr(
         "flag", "CAST(round(value * 100, 0) AS BIGINT) AS x"
     )
     bucket = (
@@ -727,7 +749,9 @@ SKETCH_QUANTILE_HDR_SQL = SKETCH_QUANTILE_HDR_SQL.replace(
 # positive store and the bound on both fixture SFs.
 
 
-def sketch_quantile(spark: SparkSession, sf: str) -> DataFrame:
+def sketch_quantile(
+    spark: SparkSession, sf: str, m: DataFrame | None = None
+) -> DataFrame:
     """Recommended quantile-sketch entry point: per (flag, p) the exact
     quantile, the selected sketch estimate, which layout served it
     (``method``), and the absolute error. See the selection-rule
@@ -751,9 +775,9 @@ def sketch_quantile(spark: SparkSession, sf: str) -> DataFrame:
     the rank-resolution floor."""
     from dariadb_spark.model import measurements
 
-    return _sketch_quantile_frame(
-        measurements(spark, sf).select("flag", "value")
-    )
+    if m is None:
+        m = measurements(spark, sf).select("flag", "value")
+    return _sketch_quantile_frame(m)
 
 
 def _sketch_quantile_frame(m: DataFrame) -> DataFrame:
@@ -990,8 +1014,22 @@ def sketch_kmv_report(spark: SparkSession, sf: str) -> DataFrame:
     pure-python-reference pytests; only the driver row consolidates.
     Plan shape: the two component plans unioned — Spark evaluates each
     branch exactly as before (same sketches, same single shuffle
-    structure); UNION ALL adds no exchange."""
-    singles = sketch_kmv_distinct(spark, sf).selectExpr(
+    structure); UNION ALL adds no exchange. r19: the distinct
+    (lang, bigram) table is localCheckpoint-pinned ONCE and shared by
+    both branches (the hll-report pattern; 24 parquet scans → reads of
+    one pinned table, isolated best-of-3 2.67 → 2.32 s at sf0.1, rows
+    identical). At 100 TB the pin renders the per-crawl distinct-bigram
+    artifact a deployment would persist anyway; standalone components
+    keep their lazy builds (a per-component pin measured slower in the
+    r9 scan audit)."""
+    docs = load_table(spark, sf, "documents")
+    distinct_bg = (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2)
+        .selectExpr("lang", f"explode(array_distinct({_BG_SPARK})) AS bg")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    singles = sketch_kmv_distinct(spark, sf, distinct_bg=distinct_bg).selectExpr(
         "lang AS lang_a",
         "CAST(NULL AS STRING) AS lang_b",
         "exact_distinct",
@@ -1000,7 +1038,7 @@ def sketch_kmv_report(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(NULL AS DOUBLE) AS kmv_intersect_est",
         "rel_err_pct",
     )
-    pairs = sketch_kmv_union(spark, sf).selectExpr(
+    pairs = sketch_kmv_union(spark, sf, distinct_bg=distinct_bg).selectExpr(
         "lang_a",
         "lang_b",
         "exact_union AS exact_distinct",
@@ -1058,19 +1096,28 @@ def sketch_quantile_report(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan shape (100 TB): the three branches are the proven plans
     unioned — no join between them, no new exchange beyond what each
-    branch already does; the shared measurements scan dedupes at
-    runtime via AQE stage reuse."""
-    h = sketch_quantile_hist(spark, sf).selectExpr(
+    branch already does. r19: the (flag, value) measurements projection
+    is localCheckpoint-pinned ONCE and shared by all three branches —
+    AQE stage reuse did NOT dedupe the diverging per-branch aggregate
+    subtrees (24 parquet scans in the static plan; isolated best-of-3
+    2.85 → 2.42 s at sf0.1, rows identical). At 100 TB the pin renders
+    the shared-slice artifact; standalone components keep lazy builds."""
+    from dariadb_spark.model import measurements
+
+    m = measurements(spark, sf).select("flag", "value").localCheckpoint(
+        eager=True
+    )
+    h = sketch_quantile_hist(spark, sf, m=m).selectExpr(
         "'hist' AS variant", "flag", "p", "exact",
         "qh_est AS est", "'hist' AS method", "abs_err",
         "CAST(NULL AS DOUBLE) AS rel_err_pct",
     )
-    d = sketch_quantile_hdr(spark, sf).selectExpr(
+    d = sketch_quantile_hdr(spark, sf, m=m).selectExpr(
         "'hdr' AS variant", "flag", "p", "exact",
         "hdr_est AS est", "'hdr' AS method",
         "CAST(NULL AS DOUBLE) AS abs_err", "rel_err_pct",
     )
-    r = sketch_quantile(spark, sf).selectExpr(
+    r = sketch_quantile(spark, sf, m=m).selectExpr(
         "'routed' AS variant", "flag", "p", "exact",
         "qsk_est AS est", "method", "abs_err",
         "CAST(NULL AS DOUBLE) AS rel_err_pct",
@@ -1568,13 +1615,21 @@ def _hll_items(spark: SparkSession, sf: str) -> DataFrame:
     return bg.unionByName(wd).unionByName(src)
 
 
-def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+def sketch_hll_distinct(
+    spark: SparkSession, sf: str, items: DataFrame | None = None
+) -> DataFrame:
     """Per-(scope, lang) HLL estimate vs the exact distinct count:
     register state summary (v_zero, s_harm), the regime the estimator
     picked, the estimate, and its relative error — the estimator math
     is the checked contract (see the section comment for exactness and
-    the 100 TB shape)."""
-    items = _hll_items(spark, sf)
+    the 100 TB shape).
+
+    ``items`` lets a composite (the report) pass ONE shared occurrence
+    table; standalone the lazy build stays — an r19 A/B showed a
+    per-component pin is a regression (0.65 → 0.89 s), the win is only
+    in sharing the materialization across components."""
+    if items is None:
+        items = _hll_items(spark, sf)
     agg = (
         _hll_registers(items)
         .groupBy("scope", "lang")
@@ -1690,13 +1745,23 @@ FROM est ORDER BY scope, lang"""
 # through register maxima alone, and the checked error shows it does.
 
 
-def sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+def sketch_hll_union(
+    spark: SparkSession, sf: str, items: DataFrame | None = None
+) -> DataFrame:
     """Per-lang-pair union/intersection estimates from MERGED HLL
-    register tables (bigram scope) vs exact counts."""
-    docs = load_table(spark, sf, "documents")
-    items = docs.where(
-        F.size(F.split(F.col("text"), " ")) >= 2
-    ).selectExpr("'bigram' AS scope", "lang", f"explode({_BG_SPARK}) AS item")
+    register tables (bigram scope) vs exact counts.
+    ``items``: optional shared full occurrence table (all scopes, as
+    :func:`_hll_items`); filtered here to the bigram scope. Standalone
+    the narrower bigram-only build stays."""
+    if items is not None:
+        items = items.where(F.col("scope") == "bigram")
+    else:
+        docs = load_table(spark, sf, "documents")
+        items = docs.where(
+            F.size(F.split(F.col("text"), " ")) >= 2
+        ).selectExpr(
+            "'bigram' AS scope", "lang", f"explode({_BG_SPARK}) AS item"
+        )
     regs = _hll_registers(items)  # dense (scope='bigram', lang, idx, m)
     langs = items.select("lang").distinct()
     pairs = (
@@ -1973,11 +2038,15 @@ def _hll_registers_m(items: DataFrame, m: int) -> DataFrame:
     )
 
 
-def sketch_hll_m(spark: SparkSession, sf: str, m: int) -> DataFrame:
+def sketch_hll_m(
+    spark: SparkSession, sf: str, m: int, items: DataFrame | None = None
+) -> DataFrame:
     """sketch_hll_distinct at a chosen register count — same schema,
-    same scopes, the estimator error shrinking as 1.04/sqrt(m)."""
+    same scopes, the estimator error shrinking as 1.04/sqrt(m).
+    ``items`` as in :func:`sketch_hll_distinct`."""
     rho_max = _hll_rho_max(m)
-    items = _hll_items(spark, sf)
+    if items is None:
+        items = _hll_items(spark, sf)
     agg = (
         _hll_registers_m(items, m)
         .groupBy("scope", "lang")
@@ -2016,9 +2085,11 @@ def sketch_hll_m(spark: SparkSession, sf: str, m: int) -> DataFrame:
     )
 
 
-def sketch_hll_m64(spark: SparkSession, sf: str) -> DataFrame:
+def sketch_hll_m64(
+    spark: SparkSession, sf: str, items: DataFrame | None = None
+) -> DataFrame:
     """The m=64 production-direction variant (registered round 13)."""
-    return sketch_hll_m(spark, sf, 64)
+    return sketch_hll_m(spark, sf, 64, items=items)
 
 
 def _hll_regs_cte_m(m: int) -> str:
@@ -2087,9 +2158,17 @@ def sketch_hll_report(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan shape (100 TB): the three branches are the proven plans
     unioned — no join between them, no new exchange beyond what each
-    branch already does.
+    branch already does. r19: the occurrence table (`_hll_items`) is
+    localCheckpoint-pinned ONCE and shared by all three branches — the
+    static plan re-inlined the document explode under ~20 consumers
+    (66 parquet scans → reads of one pinned table; isolated best-of-3
+    2.42 → 1.76 s at sf0.1, rows identical). At 100 TB the pin is the
+    in-session rendering of a shared occurrence-artifact write (block
+    manager, disk fallback); the three branches then each scan that
+    artifact instead of re-exploding the corpus.
     """
-    m16 = sketch_hll_distinct(spark, sf).selectExpr(
+    items = _hll_items(spark, sf).localCheckpoint(eager=True)
+    m16 = sketch_hll_distinct(spark, sf, items=items).selectExpr(
         "'m16' AS variant", "scope", "lang AS lang_a",
         "CAST(NULL AS STRING) AS lang_b",
         "exact_distinct AS exact", "v_zero", "s_harm", "regime",
@@ -2097,7 +2176,7 @@ def sketch_hll_report(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(NULL AS BIGINT) AS exact_intersect",
         "CAST(NULL AS DOUBLE) AS hll_intersect_est",
     )
-    m64 = sketch_hll_m64(spark, sf).selectExpr(
+    m64 = sketch_hll_m64(spark, sf, items=items).selectExpr(
         "'m64' AS variant", "scope", "lang AS lang_a",
         "CAST(NULL AS STRING) AS lang_b",
         "exact_distinct AS exact", "v_zero", "s_harm", "regime",
@@ -2105,7 +2184,7 @@ def sketch_hll_report(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(NULL AS BIGINT) AS exact_intersect",
         "CAST(NULL AS DOUBLE) AS hll_intersect_est",
     )
-    un = sketch_hll_union(spark, sf).selectExpr(
+    un = sketch_hll_union(spark, sf, items=items).selectExpr(
         "'union16' AS variant", "'bigram' AS scope", "lang_a", "lang_b",
         "exact_union AS exact",
         "CAST(NULL AS INT) AS v_zero",
