@@ -1459,7 +1459,17 @@ def select_excess_loss(spark: SparkSession, sf: str) -> DataFrame:
     """Per candidate document (doc_id % 5 != 0, ≥1 scorable pair):
     pairs scored, mean NLL under the candidate-slice MLE LM, mean NLL
     under the holdout Kneser-Ney LM, their excess (4-dp), the global
-    excess rank, and the top-half keep verdict."""
+    excess rank, and the top-half keep verdict.
+
+    r19 perf: two localCheckpoint pins. `hcnt` (holdout bigram counts +
+    windowed KN statistics, vocab-pair-sized) feeds FOUR consumers
+    (kn_pair, ctx, scal, cont); `cand_bi` (the candidate bigram
+    explode) feeds the MLE aggregate AND the scored join. Isolated
+    best-of-3 at sf0.1: 1.89 → 1.33 (hcnt) → 1.21 s (+cand_bi), rows
+    identical. At 100 TB `hcnt` is the KN-artifact table a deployment
+    persists; the `cand_bi` pin is the corpus-sized class (disk-backed
+    block manager) standing in for an explicit bigram-postings
+    artifact, the shingle-pin convention."""
     docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     w = "split(text, ' ')"
     bi_expr = (
@@ -1471,6 +1481,7 @@ def select_excess_loss(spark: SparkSession, sf: str) -> DataFrame:
         docs.where(F.col("doc_id") % EXLOSS_HOLDOUT_MOD != 0)
         .selectExpr("doc_id", bi_expr)
         .select("doc_id", "b.w1", "b.w2")
+        .localCheckpoint(eager=True)
     )
     hold_bi = (
         docs.where(F.col("doc_id") % EXLOSS_HOLDOUT_MOD == 0)
@@ -1492,6 +1503,7 @@ def select_excess_loss(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("n_follow", F.count("*").over(Window.partitionBy("w1")))
         .withColumn("n_prec", F.count("*").over(Window.partitionBy("w2")))
         .withColumn("t_types", F.count("*").over(Window.partitionBy()))
+        .localCheckpoint(eager=True)
     )
     kn_num = (
         f"(({KN_D_DEN} * c12 - {KN_D_NUM}) * t_types"

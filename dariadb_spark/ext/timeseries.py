@@ -1994,6 +1994,14 @@ def series_cross_corr_op(
     runs on a SELECTED id panel (the ``ids`` parameter — here 15 series,
     105 pairs), never the full fleet; at 100 TB the panel stays
     user-sized while the scan side prunes to it at the parquet reader.
+
+    r19 perf: the deviation table (grid-sized — |panel| × populated
+    cells, three ints per row) feeds FOUR consumers (den, the lag
+    fan-out, the right join side); localCheckpoint pins it once
+    (isolated best-of-3 1.39 → 1.04 s at sf0.1, rows identical). The
+    same pin measured a wash on the univariate ACF (0.78 → 0.76 s —
+    its two-sided self-join shuffles the identical subtree and
+    reuses), so only the bivariate op carries it.
     """
     base = scan_interval(meas, ids, from_ms, to_ms, flag)
     y = F.round(F.col("value") * 100).cast("long")
@@ -2023,6 +2031,7 @@ def series_cross_corr_op(
             "b",
             (F.col("n") * F.col("yq") - F.col("s")).alias("dev"),
         )
+        .localCheckpoint(eager=True)
     )
     den = dev.groupBy("id").agg(
         F.sum(F.col("dev").cast("decimal(38,0)") * F.col("dev")).alias("den")

@@ -64,13 +64,22 @@ _BAR_FREE_DUCK = "word NOT LIKE '%|%'"
 
 
 def _pair_rounds_spark(docs: DataFrame):
-    """Returns (merges_df) — one row per learned merge round."""
+    """Returns (merges_df) — one row per learned merge round.
+
+    r19 perf: the vocabulary table (Zipf-bounded — KBs at any corpus
+    scale) is localCheckpoint-pinned at round 0 and after each round's
+    rewrite (the kcore rotation pattern): each unrolled round has two
+    consumers (the pair aggregate and the next rewrite) plus the merges
+    union, which otherwise re-inline the corpus word count per
+    consumer. Isolated best-of-3 at sf0.1 (token_stats): 1.13 → 0.86 s,
+    rows identical; pin cost is a vocab-sized job per round."""
     words = (
         docs.selectExpr("explode(split(text, ' ')) AS word")
         .where(_BAR_FREE_SPARK)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .selectExpr("freq", f"{_SYM_SPARK} AS seq")
+        .localCheckpoint(eager=True)
     )
     merges = None
     for r in range(1, BPE_ROUNDS + 1):
@@ -102,7 +111,7 @@ def _pair_rounds_spark(docs: DataFrame):
             "freq",
             "replace(seq, concat('|', replace(_p, ' ', '||'), '|'), "
             "concat('|', _m, '|')) AS seq",
-        )
+        ).localCheckpoint(eager=True)
     return merges.orderBy("round")
 
 
@@ -158,7 +167,10 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     tokenizer. The application is vocabulary-routed: documents join
     their words against the REWRITTEN vocab table (word → token count
     after all merges), a broadcast join on the Zipf-bounded vocab — the
-    per-document text is never re-symbolized."""
+    per-document text is never re-symbolized.
+
+    Vocab-table pin rotation per round as in :func:`_pair_rounds_spark`
+    (r19 perf; 1.13 → 0.86 s isolated best-of-3 at sf0.1)."""
     docs = load_table(spark, sf, "documents")
     words = (
         docs.selectExpr("explode(split(text, ' ')) AS word")
@@ -166,6 +178,7 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .selectExpr("word", "freq", f"{_SYM_SPARK} AS seq")
+        .localCheckpoint(eager=True)
     )
     merges = None
     for r in range(1, BPE_ROUNDS + 1):
@@ -190,7 +203,7 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
             "word", "freq",
             "replace(seq, concat('|', replace(_p, ' ', '||'), '|'), "
             "concat('|', _m, '|')) AS seq",
-        )
+        ).localCheckpoint(eager=True)
     tokens = words.selectExpr("word", f"size({_SYMS}) AS n_tokens")
     per_word = docs.selectExpr(
         "lang", "explode(split(text, ' ')) AS word"
