@@ -1908,7 +1908,13 @@ def _pca_power_from_gram(gram: DataFrame) -> DataFrame:
     from the all-ones start, DECIMAL(38,0) throughout, sign-decomposed
     magnitude scale-down between steps, one float per output row
     (round(v_i/√S, 6)). Input contract: (i, j, g) — the exact integer
-    Gram cell table from either builder."""
+    Gram cell table from either builder.
+
+    r19 audit: the gram feeds both power steps, but the final adaptive
+    plan shows the second consumer reading a ReusedExchange of the
+    gram aggregate — the corpus scan runs ONCE at runtime, so an eager
+    pin here is pure overhead (A/B was a wash both orders). Left
+    lazy; see OPTIMIZATION_r19.md."""
     sdiv = (
         "CAST(CASE WHEN {v} < 0 THEN -(abs({v}) DIV {d})"
         " ELSE abs({v}) DIV {d} END AS BIGINT)"
