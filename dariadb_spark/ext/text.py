@@ -243,9 +243,17 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("doc_len"),
         F.explode(F.split("text", " ")).alias("word"),
     )
+    # r19 pin: tf feeds the df aggregate AND the scored join with
+    # different column pruning, which breaks exchange reuse — the
+    # final adaptive plan re-ran the explode+count corpus scan per
+    # consumer (3 documents scans, 0 ReusedExchange). Pinned, the
+    # corpus explodes once; tf is the (doc, word) postings artifact a
+    # tf-idf pipeline persists at 100 TB (the excess_loss cand_bi
+    # class, disk-backed). Isolated best-of-3 at sf0.1: 2.57 → 2.40
+    # (pin second) / 2.41 vs 2.71 (pin first) — wins both orders.
     tf = words.groupBy("doc_id", "word", "doc_len").agg(
         F.count("*").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     # tf rows are already unique per (doc_id, word): a plain count gives
     # the document frequency without countDistinct's two-phase expand
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
@@ -361,7 +369,14 @@ def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("dl"),
         F.explode(F.split("text", " ")).alias("word"),
     ).where(F.col("word").isin(*BM25_QUERY))
-    tf = words.groupBy("doc_id", "word", "dl").agg(F.count("*").alias("tf"))
+    # r19 pin: same two-consumer shape as text_tfidf's tf (df_ +
+    # contrib prune differently → no exchange reuse → the full-corpus
+    # explode ran twice); here tf is TINY (query-term postings only),
+    # so the pin is all win: 1.13 → 0.93 / 0.87 vs 1.16 s (both
+    # orders, isolated best-of-3, sf0.1).
+    tf = words.groupBy("doc_id", "word", "dl").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=True)
     # tf rows are already unique per (doc_id, word): a plain count gives
     # the document frequency without countDistinct's two-phase expand
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))

@@ -1063,3 +1063,25 @@ def test_staged_cohort_matches_plan_pin():
         if not name.startswith("streaming_") and fn_name not in src
     ]
     assert missing == [], missing
+
+
+def test_r19_session_pins_materialize_shared_subtrees(spark, oracle_sf_dir):
+    """The r19 multi-consumer pins (token_pmi's bigram counts, tfidf's
+    and bm25's tf postings) must materialize their shared subtree: the
+    pinned table reads back as Scan ExistingRDD and the corpus-scan
+    fan-out is gone from the static plan (token_pmi 8→0 parquet scans,
+    tfidf/bm25 6→2 — only the corpus-scalar aggregate still scans).
+    A regression to the lazy form re-runs the corpus explode once per
+    consumer (final-plan census r19: 3–4 real scans, 0 ReusedExchange)."""
+    from dariadb_spark.ext.text import text_bm25, text_tfidf, token_pmi
+
+    for fn, max_scans in ((token_pmi, 0), (text_tfidf, 2), (text_bm25, 2)):
+        plan = (
+            fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Scan ExistingRDD" in plan, (fn.__name__, plan)
+        n_scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+        assert n_scans <= max_scans, (fn.__name__, n_scans)
