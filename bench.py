@@ -28,6 +28,23 @@ from dariadb_spark.session import get_spark  # noqa: E402
 #: headline queries: every registered query benches unless listed here.
 EXCLUDE: set[str] = set()
 
+#: Pinned 5-query control set (VERDICT r19 item 3): byte-identical,
+#: deliberately-untouched mid-weight paths whose committed reference
+#: times (the previous round's BENCH_FULL.json map) are refreshed every
+#: round. The per-run median of now/ref over this set is the EPOCH
+#: normalizer: a machine-epoch shift moves all five together, so
+#: (query time ÷ ctl5 median seconds) is comparable across rounds even
+#: when absolute wall-clock is not. Membership only changes when a
+#: member's code is touched (then swap in another untouched query and
+#: say so in the round's OPTIMIZATION doc).
+CTL5: tuple[str, ...] = (
+    "ext_market_basket",
+    "ext_sample_diverse",
+    "ext_sim_ann_pq",
+    "ext_unigram_lm",
+    "ext_media_phash_dedup",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,11 +155,43 @@ def control_block(timings, prev):
     }
 
 
+def ctl5_block(timings, prev):
+    """Epoch-normalizer block over the pinned CTL5 control set (VERDICT
+    r19 item 3 — cross-epoch comparisons first-class instead of
+    archaeology). ``epoch`` is the median now/ref ratio over the five
+    byte-identical control queries: ~1.0 means this run's machine epoch
+    matches the committed reference; a uniform shift reads directly as
+    the epoch factor. ``median_sec`` (this run's median control time)
+    is the denominator for the per-query normalized map."""
+    now = {n: timings[n] for n in CTL5 if n in timings}
+    if len(now) < 3:
+        return None
+    med_now = sorted(now.values())[len(now) // 2]
+    block = {
+        "set": sorted(now),
+        "now_sec": {n: round(v, 4) for n, v in now.items()},
+        "median_sec": round(med_now, 4),
+    }
+    if prev:
+        ratios = sorted(
+            timings[n] / prev[n]
+            for n in now
+            if n in prev and prev[n] > 1e-4
+        )
+        if ratios:
+            block["ref_sec"] = {
+                n: prev[n] for n in sorted(now) if n in prev
+            }
+            block["epoch"] = round(ratios[len(ratios) // 2], 3)
+    return block
+
+
 def emit_payloads(timings, total, sf_val, prev=None):
     """(full BENCH_FULL.json dict, one-line stdout JSON) — split out so
     tests can pin that the line parses and fits the tail capture for
     any registry size."""
     ctl = control_block(timings, prev)
+    ctl5 = ctl5_block(timings, prev)
     full = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -152,6 +201,15 @@ def emit_payloads(timings, total, sf_val, prev=None):
     }
     if ctl is not None:
         full["control"] = ctl
+    if ctl5 is not None:
+        full["ctl5"] = ctl5
+        med = ctl5["median_sec"]
+        if med > 1e-4:
+            # each query as (time ÷ control median) — the epoch-free
+            # per-query number future rounds compare against
+            full["queries_over_ctl5_median"] = {
+                n: round(t / med, 3) for n, t in timings.items()
+            }
     ctl_slim = None
     if ctl is not None:
         ctl_slim = {
@@ -161,10 +219,17 @@ def emit_payloads(timings, total, sf_val, prev=None):
             "p75": ctl["ratio_p75"],
             "n_flagged": len(ctl["flagged"]),
         }
+    ctl5_slim = None
+    if ctl5 is not None:
+        ctl5_slim = {"med_sec": ctl5["median_sec"]}
+        if "epoch" in ctl5:
+            ctl5_slim["epoch"] = ctl5["epoch"]
     slim: dict[str, float] = {}
     budget = _LINE_BUDGET
     if ctl_slim is not None:  # the control payload spends line budget too
         budget -= len(json.dumps(ctl_slim, separators=(",", ":"))) + 20
+    if ctl5_slim is not None:
+        budget -= len(json.dumps(ctl5_slim, separators=(",", ":"))) + 20
     for name in sorted(timings, key=timings.get, reverse=True):
         entry_len = len(name) + len(f"{timings[name]:.2f}") + 4
         if budget - entry_len < 0:
@@ -183,6 +248,8 @@ def emit_payloads(timings, total, sf_val, prev=None):
     }
     if ctl_slim is not None:
         payload["ctl"] = ctl_slim
+    if ctl5_slim is not None:
+        payload["c5"] = ctl5_slim
     line = json.dumps(payload, separators=(",", ":"))
     return full, line
 

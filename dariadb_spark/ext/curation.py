@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dariadb_spark.ext.hashes import _h60_duck, _h60_spark
-from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
+from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled, pin_corpus
 from dariadb_spark.ext.exact import (  # noqa: E402
     ratio_round_duck as _rr_d,
     ratio_round_spark as _rr_s,
@@ -63,16 +63,17 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     fraction. Join on the engine-agnostic 60-bit shingle hash (8-byte
     keys — the text never shuffles); the eval shingle set is distinct-ed
     first, so the join is |train shingles| × (tiny broadcast)."""
-    # localCheckpoint pins the shingling projection ONCE across the
+    # pin_corpus materializes the shingling projection ONCE across the
     # diverging consumers below (r19 optimization round; A/B numbers in
-    # OPTIMIZATION_r19.md). MEMORY_AND_DISK, spills; a 100 TB
-    # deployment that can't hold the shingle table swaps this for an
-    # explicit signature-artifact write. (dedup_incremental measured
-    # SLOWER with this pin - its %4 scan-pushdown design wins - so the
-    # pin is per-operator, not in _shingled itself.)
-    sh = _shingled(load_table(spark, sf, "documents")).localCheckpoint(
-        eager=True
-    )
+    # OPTIMIZATION_r19.md), r20: persist(MEMORY_AND_DISK) with rotation
+    # instead of localCheckpoint — same single materialization, lineage
+    # kept (executor loss recomputes instead of failing the job at
+    # 100 TB); a deployment that can't hold the shingle table swaps
+    # this for an explicit signature-artifact write.
+    # (dedup_incremental measured SLOWER with this pin - its %4
+    # scan-pushdown design wins - so the pin is per-operator, not in
+    # _shingled itself.)
+    sh = pin_corpus(_shingled(load_table(spark, sf, "documents")))
     ex = sh.select(
         "doc_id",
         # bigint: DuckDB len() is BIGINT while F.size is int32 — a driver
@@ -813,16 +814,15 @@ def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     checks signed shift overflow on 1<<63 and Spark would wrap silently) (both engines compute
     the same m from the same count), and clamped to at least one word so
     an empty holdout cannot zero the modulus."""
-    # localCheckpoint pins the shingling projection ONCE across the
+    # pin_corpus materializes the shingling projection ONCE across the
     # diverging consumers below (r19 optimization round; A/B numbers in
-    # OPTIMIZATION_r19.md). MEMORY_AND_DISK, spills; a 100 TB
+    # OPTIMIZATION_r19.md), r20: persist-with-rotation instead of
+    # localCheckpoint — lineage kept, see shingles.pin_corpus. A 100 TB
     # deployment that can't hold the shingle table swaps this for an
     # explicit signature-artifact write. (dedup_incremental measured
     # SLOWER with this pin - its %4 scan-pushdown design wins - so the
     # pin is per-operator, not in _shingled itself.)
-    sh = _shingled(load_table(spark, sf, "documents")).localCheckpoint(
-        eager=True
-    )
+    sh = pin_corpus(_shingled(load_table(spark, sf, "documents")))
     ex = sh.select(
         "doc_id",
         F.size("shingles").cast("long").alias("n_shingles"),
@@ -1461,15 +1461,15 @@ def select_excess_loss(spark: SparkSession, sf: str) -> DataFrame:
     under the holdout Kneser-Ney LM, their excess (4-dp), the global
     excess rank, and the top-half keep verdict.
 
-    r19 perf: two localCheckpoint pins. `hcnt` (holdout bigram counts +
-    windowed KN statistics, vocab-pair-sized) feeds FOUR consumers
-    (kn_pair, ctx, scal, cont); `cand_bi` (the candidate bigram
-    explode) feeds the MLE aggregate AND the scored join. Isolated
-    best-of-3 at sf0.1: 1.89 → 1.33 (hcnt) → 1.21 s (+cand_bi), rows
-    identical. At 100 TB `hcnt` is the KN-artifact table a deployment
-    persists; the `cand_bi` pin is the corpus-sized class (disk-backed
-    block manager) standing in for an explicit bigram-postings
-    artifact, the shingle-pin convention."""
+    r19 perf: two pins. `hcnt` (holdout bigram counts + windowed KN
+    statistics, vocab-pair-sized) feeds FOUR consumers (kn_pair, ctx,
+    scal, cont) and stays an eager localCheckpoint; `cand_bi` (the
+    candidate bigram explode) feeds the MLE aggregate AND the scored
+    join. Isolated best-of-3 at sf0.1: 1.89 → 1.33 (hcnt) → 1.21 s
+    (+cand_bi), rows identical. At 100 TB `hcnt` is the KN-artifact
+    table a deployment persists; `cand_bi` is corpus-sized, so r20
+    moved it to the lineage-keeping persist pin (shingles.pin_corpus)
+    standing in for an explicit bigram-postings artifact."""
     docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     w = "split(text, ' ')"
     bi_expr = (
@@ -1477,11 +1477,10 @@ def select_excess_loss(spark: SparkSession, sf: str) -> DataFrame:
         f"slice({w}, 2, size({w}) - 1), (x, y) -> struct(x AS w1, y AS w2)))"
         " AS b"
     )
-    cand_bi = (
+    cand_bi = pin_corpus(
         docs.where(F.col("doc_id") % EXLOSS_HOLDOUT_MOD != 0)
         .selectExpr("doc_id", bi_expr)
         .select("doc_id", "b.w1", "b.w2")
-        .localCheckpoint(eager=True)
     )
     hold_bi = (
         docs.where(F.col("doc_id") % EXLOSS_HOLDOUT_MOD == 0)

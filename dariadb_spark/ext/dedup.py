@@ -27,7 +27,7 @@ from dariadb_spark.ext.exact import (
     ratio_round_duck as _rr_d,
     ratio_round_spark as _rr_s,
 )
-from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled
+from dariadb_spark.ext.shingles import _SHINGLE_CTE, _shingled, pin_corpus
 from dariadb_spark.model import load_table
 from dariadb_spark.registry import register
 
@@ -289,16 +289,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     bands join on the raw 4-tuples of minhash values, not an
     engine-specific hash of them).
     """
-    # localCheckpoint pins the shingling projection ONCE across the
+    # pin_corpus materializes the shingling projection ONCE across the
     # diverging consumers below (r19 optimization round; A/B numbers in
-    # OPTIMIZATION_r19.md). MEMORY_AND_DISK, spills; a 100 TB
+    # OPTIMIZATION_r19.md), r20: persist-with-rotation instead of
+    # localCheckpoint — lineage kept, see shingles.pin_corpus. A 100 TB
     # deployment that can't hold the shingle table swaps this for an
     # explicit signature-artifact write. (dedup_incremental measured
     # SLOWER with this pin - its %4 scan-pushdown design wins - so the
     # pin is per-operator, not in _shingled itself.)
-    sh = _shingled(load_table(spark, sf, "documents")).localCheckpoint(
-        eager=True
-    )
+    sh = pin_corpus(_shingled(load_table(spark, sf, "documents")))
     bands, key = _minhash_bands(sh)
     cand = (
         bands.withColumnRenamed("doc_id", "doc_a")
@@ -689,17 +688,16 @@ def decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     100 TB the eval side's band table is benchmark-sized and broadcasts,
     so the corpus is one scan + one signature shuffle, same as LSH dedup.
     """
-    # localCheckpoint pins the shingling projection ONCE: it feeds four
-    # diverging consumers (train/eval band builds + train/eval verify
-    # projections — two of them corpus-wide), so the lazy form re-ran
-    # the per-doc shingle build per consumer (r19 A/B at sf0.1
-    # best-of-3: 2.54 s -> 1.92 s). The pin is MEMORY_AND_DISK and
-    # spills; a 100 TB deployment that can't hold the shingle table
-    # swaps this for the explicit signature-artifact write the module
-    # docstring already describes.
-    sh = _shingled(load_table(spark, sf, "documents")).localCheckpoint(
-        eager=True
-    )
+    # pin_corpus materializes the shingling projection ONCE: it feeds
+    # four diverging consumers (train/eval band builds + train/eval
+    # verify projections — two of them corpus-wide), so the lazy form
+    # re-ran the per-doc shingle build per consumer (r19 A/B at sf0.1
+    # best-of-3: 2.54 s -> 1.92 s). r20: persist-with-rotation instead
+    # of localCheckpoint — lineage kept, see shingles.pin_corpus. A
+    # 100 TB deployment that can't hold the shingle table swaps this
+    # for the explicit signature-artifact write the module docstring
+    # already describes.
+    sh = pin_corpus(_shingled(load_table(spark, sf, "documents")))
     # split BEFORE the signature build: per-doc computation is
     # independent, so the eval pipeline's scan + signature shuffle touch
     # only the benchmark-sized eval slice (the % predicate pushes into

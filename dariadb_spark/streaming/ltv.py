@@ -211,14 +211,15 @@ def streaming_ltv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0]["c"]
             c1, c2 = int(cuts[0]), int(cuts[1])
             ms = "unix_millis(CAST(o_orderdate AS TIMESTAMP))"
-            for pred in (
+            for i, pred in enumerate((
                 f"{ms} <= {c1}",
                 f"{ms} > {c1} AND {ms} <= {c2}",
                 f"{ms} > {c2}",
-            ):
+            )):
                 land_sorted(
                     orders.where(pred), data_dir,
                     ("o_custkey", "o_orderdate", "o_orderkey"),
+                    mode="append" if i else "error",  # ADVICE r19
                 )
         # n=32: ~750 customer groups per batch — the fold's cost is
         # per-group python overhead, so the state layer is sized to

@@ -119,9 +119,9 @@ def persisted_slice(df: DataFrame) -> Iterator[DataFrame]:
 
 
 def land_sorted(
-    df: DataFrame, path: str, sort_cols: Sequence[str]
+    df: DataFrame, path: str, sort_cols: Sequence[str], mode: str = "append"
 ) -> None:
-    """Append ``df`` to ``path`` as ONE totally-ordered parquet file.
+    """Land ``df`` at ``path`` as ONE totally-ordered parquet file.
 
     ``repartition(1).sortWithinPartitions(...)`` produces a file with
     content identical to the previous ``orderBy(...).coalesce(1)``
@@ -130,11 +130,17 @@ def land_sorted(
     one Spark job instead of two for every landed drop (guide §2.4:
     remove shuffles/jobs outright). Measured at sf0.1 (r19 optimization
     round): ~0.15 s saved per two-drop landing, identical streamed
-    bytes."""
+    bytes.
+
+    ``mode``: pass ``"error"`` for the FIRST drop of a landing (ADVICE
+    r19 — a stale or double-landed data_dir would otherwise silently
+    double the streamed input; error-if-exists restores the original
+    recipes' first-write guard) and leave the default ``"append"`` for
+    subsequent drops."""
     (
         df.repartition(1)
         .sortWithinPartitions(*sort_cols)
-        .write.mode("append")
+        .write.mode(mode)
         .parquet(path)
     )
 
@@ -166,13 +172,15 @@ def land_time_split(
         ).collect()[0]["c"]
         cuts = [int(c) for c in cuts]
         bounds = [None, *cuts, None]
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
+        for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
             d = s
             if lo is not None:
                 d = d.where(F.col("time") > lo)
             if hi is not None:
                 d = d.where(F.col("time") <= hi)
-            land_sorted(d, data_dir, sort_cols)
+            # first drop error-if-exists: a stale/double-landed dir
+            # fails loudly instead of doubling the stream (ADVICE r19)
+            land_sorted(d, data_dir, sort_cols, mode="append" if i else "error")
 
 
 @contextmanager

@@ -393,6 +393,7 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             scan_interval(measurements(spark, sf_dir), IDS, FROM_MS, TO_MS, 0),
             data_dir,
             ("id", "time", "value", "flag"),
+            mode="error",  # single drop: stale dir fails loudly (ADVICE r19)
         )
         # 15-series harness slice → 4 state partitions, not the session's
         # OLAP default (VERDICT r6 item 1: addBatch ~2× faster; stage

@@ -1,7 +1,18 @@
 """Every registered query with an oracle must hash-match DuckDB at sf0.01 —
-the same gate the driver applies (CORRECTNESS_r{N}.json)."""
+the same gate the driver applies (CORRECTNESS_r{N}.json).
+
+Tiering (VERDICT r19 item 2 — the full 228-query sweep grew the default
+suite past the driver harness's pytest time budget, leaving the repo's
+verification signal dark): the DEFAULT run compares a deterministic
+~1-in-5 smoke sample of the registry (every family is name-prefixed, so
+the sorted stride covers all of them); ``DARIADB_SLOW_TESTS=1`` restores
+the full per-query sweep (the tier the builder's round-close evidence
+uses, same flag as test_slow_differential). The full sf0.1 sweep remains
+available via tools/full_sweep.py."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -9,6 +20,16 @@ from dariadb_spark.registry import REGISTRY
 from tests.parity import compare, duckdb_connection
 
 _WITH_ORACLE = [n for n, s in REGISTRY.items() if s.oracle]
+
+#: default tier: deterministic stride over the sorted registry — stable
+#: across runs, ~20% of queries, every name-prefixed family sampled
+_SMOKE_ORACLE = sorted(_WITH_ORACLE)[::5]
+
+_PARITY_TIER = (
+    _WITH_ORACLE
+    if os.environ.get("DARIADB_SLOW_TESTS")
+    else _SMOKE_ORACLE
+)
 
 
 @pytest.fixture(scope="module")
@@ -18,7 +39,7 @@ def con(oracle_sf_dir):
     c.close()
 
 
-@pytest.mark.parametrize("name", _WITH_ORACLE)
+@pytest.mark.parametrize("name", _PARITY_TIER)
 def test_oracle_parity(name, spark, oracle_sf_dir, con):
     spec = REGISTRY[name]
     df = spec.fn(spark, oracle_sf_dir)

@@ -498,14 +498,25 @@ def test_bench_emission_fits_driver_tail_capture():
         [f"ext_very_long_query_name_number_{i:04d}" for i in range(400)],
     ):
         timings = {n: 0.1234 + (i % 7) for i, n in enumerate(names)}
-        full, line = bench.emit_payloads(timings, 99.9, 0.1)
-        assert len(line) <= bench.TAIL_CAPTURE - 400, len(line)
-        parsed = _json.loads(line)
-        assert parsed["n_queries"] == len(names)
-        assert set(full["queries"]) == set(names)
-        # the slim map leads with the slowest queries
-        slowest = max(timings, key=timings.get)
-        assert slowest in parsed["queries"]
+        # with AND without a previous map: the prev path additionally
+        # emits the ctl + ctl5 epoch-normalizer blocks (r20), which
+        # spend line budget too and must still fit the tail capture
+        prev = {n: t * 1.07 for n, t in timings.items()}
+        for p in (None, prev):
+            full, line = bench.emit_payloads(timings, 99.9, 0.1, p)
+            assert len(line) <= bench.TAIL_CAPTURE - 400, len(line)
+            parsed = _json.loads(line)
+            assert parsed["n_queries"] == len(names)
+            assert set(full["queries"]) == set(names)
+            # the slim map leads with the slowest queries
+            slowest = max(timings, key=timings.get)
+            assert slowest in parsed["queries"]
+        # real registry: the pinned CTL5 control set must emit the
+        # epoch normalizer (median now/ref over byte-identical paths)
+        if set(bench.CTL5) <= set(names):
+            assert full["ctl5"]["epoch"] == round(1 / 1.07, 3)
+            assert "queries_over_ctl5_median" in full
+            assert parsed["c5"]["epoch"] == full["ctl5"]["epoch"]
 
 
 def test_coverage_md_matches_registry():
