@@ -65,11 +65,12 @@ def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     first, so the join is |train shingles| × (tiny broadcast)."""
     # pin_corpus materializes the shingling projection ONCE across the
     # diverging consumers below (r19 optimization round; A/B numbers in
-    # OPTIMIZATION_r19.md), r20: persist(MEMORY_AND_DISK) with rotation
-    # instead of localCheckpoint — same single materialization, lineage
-    # kept (executor loss recomputes instead of failing the job at
-    # 100 TB); a deployment that can't hold the shingle table swaps
-    # this for an explicit signature-artifact write.
+    # OPTIMIZATION_r19.md), r20: mode-gated pin (see
+    # shingles.pin_corpus): default = eager localCheckpoint (fastest
+    # single-node, the bench-comparable form); fault-tolerant mode
+    # (spark.dariadb.pins.faultTolerant=true) = lineage-keeping persist
+    # for clusters; a deployment that can't hold the shingle table
+    # swaps this for an explicit signature-artifact write.
     # (dedup_incremental measured SLOWER with this pin - its %4
     # scan-pushdown design wins - so the pin is per-operator, not in
     # _shingled itself.)
@@ -816,8 +817,9 @@ def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     an empty holdout cannot zero the modulus."""
     # pin_corpus materializes the shingling projection ONCE across the
     # diverging consumers below (r19 optimization round; A/B numbers in
-    # OPTIMIZATION_r19.md), r20: persist-with-rotation instead of
-    # localCheckpoint — lineage kept, see shingles.pin_corpus. A 100 TB
+    # OPTIMIZATION_r19.md), r20: mode-gated pin, see
+    # shingles.pin_corpus (default localCheckpoint; conf-selected
+    # lineage-keeping persist for clusters). A 100 TB
     # deployment that can't hold the shingle table swaps this for an
     # explicit signature-artifact write. (dedup_incremental measured
     # SLOWER with this pin - its %4 scan-pushdown design wins - so the
@@ -1468,8 +1470,9 @@ def select_excess_loss(spark: SparkSession, sf: str) -> DataFrame:
     join. Isolated best-of-3 at sf0.1: 1.89 → 1.33 (hcnt) → 1.21 s
     (+cand_bi), rows identical. At 100 TB `hcnt` is the KN-artifact
     table a deployment persists; `cand_bi` is corpus-sized, so r20
-    moved it to the lineage-keeping persist pin (shingles.pin_corpus)
-    standing in for an explicit bigram-postings artifact."""
+    routed it through the mode-gated pin (shingles.pin_corpus: default
+    localCheckpoint, conf-selected lineage-keeping persist for
+    clusters) standing in for an explicit bigram-postings artifact."""
     docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     w = "split(text, ' ')"
     bi_expr = (

@@ -291,8 +291,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """
     # pin_corpus materializes the shingling projection ONCE across the
     # diverging consumers below (r19 optimization round; A/B numbers in
-    # OPTIMIZATION_r19.md), r20: persist-with-rotation instead of
-    # localCheckpoint — lineage kept, see shingles.pin_corpus. A 100 TB
+    # OPTIMIZATION_r19.md), r20: mode-gated pin, see
+    # shingles.pin_corpus (default localCheckpoint; conf-selected
+    # lineage-keeping persist for clusters). A 100 TB
     # deployment that can't hold the shingle table swaps this for an
     # explicit signature-artifact write. (dedup_incremental measured
     # SLOWER with this pin - its %4 scan-pushdown design wins - so the
@@ -692,8 +693,9 @@ def decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     # four diverging consumers (train/eval band builds + train/eval
     # verify projections — two of them corpus-wide), so the lazy form
     # re-ran the per-doc shingle build per consumer (r19 A/B at sf0.1
-    # best-of-3: 2.54 s -> 1.92 s). r20: persist-with-rotation instead
-    # of localCheckpoint — lineage kept, see shingles.pin_corpus. A
+    # best-of-3: 2.54 s -> 1.92 s). r20: mode-gated pin, see
+    # shingles.pin_corpus (default localCheckpoint; conf-selected
+    # lineage-keeping persist for clusters). A
     # 100 TB deployment that can't hold the shingle table swaps this
     # for the explicit signature-artifact write the module docstring
     # already describes.

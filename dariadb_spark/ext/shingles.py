@@ -17,39 +17,58 @@ NGRAM = 3
 #: operator pins — see :func:`pin_corpus`.
 _CORPUS_PIN_REGISTRY: list[DataFrame] = []
 
+#: Runtime-settable conf selecting the pin mechanism (ADVICE r19's
+#: "gate the pin behind a harness/deployment flag").
+FT_PINS_CONF = "spark.dariadb.pins.faultTolerant"
+
 
 def pin_corpus(df: DataFrame) -> DataFrame:
-    """Materialize a corpus-sized shared subtree once across diverging
-    consumers while KEEPING lineage (VERDICT/ADVICE r19 item: the r19
-    ``localCheckpoint(eager=True)`` pins truncated lineage into
-    executor-local blocks, so on a real cluster one executor loss makes
-    the query unrecoverable instead of recomputed, and plan-only
-    callers — ``explain``, tools/capture_plans.py — paid a full
-    materialization job at construction time).
+    """Materialize a corpus-sized shared subtree once across its
+    diverging consumers (different projections defeat exchange reuse,
+    so the lazy form re-runs the corpus scan per consumer — the r19
+    measurement).
 
-    ``persist(MEMORY_AND_DISK)`` gives the same single-materialization
-    plan shape (every consumer reads the InMemoryRelation; the shared
-    subtree computes once per invocation) with recomputable lineage and
-    lazy construction. Scope discipline: the PREVIOUS pin — any
-    operator's — is unpersisted before the new one registers, so
-    repeated invocations (bench best-of-2, oracle sweeps) and
-    plan-identical sibling operators (the decontaminate/fuzzy/lsh
-    family all pin the same shingle projection) never read data cached
-    by an earlier query: each invocation computes its pin from the
-    parquet inputs. Harness-safe for the same reason as
-    ``parity_stream_partitions``: queries run sequentially per session;
-    a still-unconsumed result whose pin was rotated out silently
-    recomputes through the kept lineage (correctness unaffected).
-    Vocab-/grid-sized pins (token_pmi counts, BPE vocab, k-means
-    assignments, …) stay eager localCheckpoints — for KB-sized tables
-    the lineage-truncation concern does not apply and the eager pin is
-    measured faster."""
+    Two mechanisms, selected by the runtime conf
+    ``spark.dariadb.pins.faultTolerant`` (VERDICT/ADVICE r19 item 6):
+
+    - default (``false``): ``localCheckpoint(eager=True)`` — the r19
+      form, measured fastest on a single node (best-of-3 at sf0.1:
+      decontaminate 0.93 s vs 1.33 persist / 1.37 artifact-write;
+      excess_loss 1.00 vs 1.27 / 1.40; minhash_lsh 1.39 vs 1.99 /
+      1.74 — the columnar cache encode of array<string> shingles costs
+      ~0.4 s/query the executor-local row blocks don't). Keeps the
+      driver's bench comparable.
+    - ``true`` (cluster deployments): ``persist(MEMORY_AND_DISK)`` —
+      same single-materialization plan shape (consumers read the
+      InMemoryRelation) with lineage KEPT, so an executor loss
+      recomputes the partition instead of failing the job, and plan
+      construction stays job-free. A deployment that cannot hold the
+      table swaps this for the explicit signature-artifact write the
+      call sites document.
+
+    Rotation discipline (both modes): the PREVIOUS pin — any
+    operator's — is released before the new one registers, so repeated
+    invocations (bench best-of-2, oracle sweeps) and plan-identical
+    sibling operators (decontaminate/fuzzy/lsh all pin the same shingle
+    projection) never read data cached by an earlier query: each
+    invocation computes its pin from the parquet inputs. Harness-safe
+    for the same reason as ``parity_stream_partitions``: queries run
+    sequentially per session; in fault-tolerant mode a still-unconsumed
+    result whose pin was rotated out silently recomputes through the
+    kept lineage. Vocab-/grid-sized pins (token_pmi counts, BPE vocab,
+    k-means assignments, …) stay unconditional eager localCheckpoints —
+    for KB-sized tables the lineage-truncation concern does not
+    apply."""
     while _CORPUS_PIN_REGISTRY:
         try:
             _CORPUS_PIN_REGISTRY.pop().unpersist(blocking=False)
         except Exception:
             pass  # session already stopped — nothing retained anyway
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    spark = df.sparkSession
+    if spark.conf.get(FT_PINS_CONF, "false").lower() == "true":
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        df = df.localCheckpoint(eager=True)
     _CORPUS_PIN_REGISTRY.append(df)
     return df
 

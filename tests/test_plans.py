@@ -1114,16 +1114,16 @@ def test_r19_session_pins_materialize_shared_subtrees(spark, oracle_sf_dir):
         assert n_scans <= max_scans, (fn.__name__, n_scans)
 
 
-def test_r20_corpus_pins_materialize_with_lineage(spark, oracle_sf_dir):
-    """The r20 corpus-sized pins (VERDICT r19 item 6) swap eager
-    localCheckpoint for persist-with-rotation (shingles.pin_corpus):
-    the shared subtree must STILL materialize once — the pinned table
-    reads back through an InMemoryRelation in every consumer instead of
-    re-inlined parquet scans — while keeping lineage (the plan carries
-    the cached child plan, not a truncated `Scan ExistingRDD`). Guard
-    both halves by comparing each query's plan against itself with the
-    pin disabled: pinned must show the cache AND strictly fewer
-    consumer-level corpus scans than lazy."""
+def test_r20_corpus_pins_materialize_in_both_modes(spark, oracle_sf_dir):
+    """The r20 corpus-sized pin gate (VERDICT/ADVICE r19 item 6,
+    shingles.pin_corpus): in the DEFAULT mode the shared subtree
+    materializes as the r19 eager localCheckpoint (`Scan ExistingRDD`,
+    the single-node-fastest form the bench compares); with
+    `spark.dariadb.pins.faultTolerant=true` it materializes as a
+    lineage-keeping persist (InMemoryRelation shared by >=2 consumers,
+    recomputable on executor loss). Either way the corpus fan-out must
+    be gone — a regression to the lazy form re-runs the shingle scan
+    per consumer."""
     from dariadb_spark.ext import curation, dedup, shingles
 
     cases = (
@@ -1133,25 +1133,35 @@ def test_r20_corpus_pins_materialize_with_lineage(spark, oracle_sf_dir):
         dedup.decontaminate_fuzzy,
         dedup.dedup_minhash_lsh,
     )
-    for fn in cases:
-        plan = (
+
+    def plan_of(fn):
+        return (
             fn(spark, oracle_sf_dir)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        # (1) the pin materializes: consumers read the cache, more than
-        # one of them (that sharing is the whole point of the pin)
-        assert plan.count("InMemoryTableScan") >= 2, (
-            fn.__name__,
-            plan.count("InMemoryTableScan"),
+
+    assert spark.conf.get(shingles.FT_PINS_CONF, "false") == "false"
+    for fn in cases:
+        plan = plan_of(fn)
+        assert plan.count("Scan ExistingRDD") >= 2, (
+            fn.__name__, "default-mode pin did not materialize"
         )
-        # (2) the pin kept lineage: it is a persist (rotation registry
-        # holds a DataFrame whose storage level spills to disk), not a
-        # lineage-truncating checkpoint
-        assert shingles._CORPUS_PIN_REGISTRY, fn.__name__
-        lvl = shingles._CORPUS_PIN_REGISTRY[-1].storageLevel
-        assert lvl.useMemory and lvl.useDisk, (fn.__name__, str(lvl))
-        # (3) the cached child plan is present in-plan (recomputable on
-        # executor loss), it still scans the real corpus
-        assert "InMemoryRelation" in plan, fn.__name__
+        assert "InMemoryTableScan" not in plan, fn.__name__
+
+    spark.conf.set(shingles.FT_PINS_CONF, "true")
+    try:
+        for fn in cases:
+            plan = plan_of(fn)
+            assert plan.count("InMemoryTableScan") >= 2, (
+                fn.__name__, "fault-tolerant pin did not materialize"
+            )
+            assert shingles._CORPUS_PIN_REGISTRY, fn.__name__
+            lvl = shingles._CORPUS_PIN_REGISTRY[-1].storageLevel
+            assert lvl.useMemory and lvl.useDisk, (fn.__name__, str(lvl))
+            # lineage present in-plan: the cached child still scans the
+            # corpus (recomputable), rather than a truncated RDD leaf
+            assert "InMemoryRelation" in plan, fn.__name__
+    finally:
+        spark.conf.set(shingles.FT_PINS_CONF, "false")

@@ -196,12 +196,20 @@ CASES = {
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    order = "ba" if "--order" in sys.argv and "ba" in sys.argv else "ab"
-    reps = 3
-    if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
-    names = args or list(CASES)
+    argv = sys.argv[1:]
+    order, reps, names = "ab", 3, []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--order":
+            order = argv[i + 1]
+            i += 2
+        elif argv[i] == "--reps":
+            reps = int(argv[i + 1])
+            i += 2
+        else:
+            names.append(argv[i])
+            i += 1
+    names = names or list(CASES)
     spark = get_spark("r20-stress-ab")
     spark.sparkContext.setLogLevel("ERROR")
     sf = synth_sf_dir(spark)
