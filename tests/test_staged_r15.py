@@ -5,6 +5,8 @@ rules, label separability, the trend screen (OLS + Mann–Kendall), the
 exact-integer co-purchase PageRank, and the two new stateful ingest
 twins (run-length counters, counter rate)."""
 
+from __future__ import annotations
+
 # ARCHIVAL TIER (r20, VERDICT r19 item 2): every operator this module
 # stages has long since REGISTERED, so its oracle parity and plan shape
 # are re-proven every run by the registered-surface sweeps
@@ -20,8 +22,6 @@ pytestmark = _pytest.mark.skipif(
     reason="archival staged-cohort depth; set DARIADB_SLOW_TESTS=1",
 )
 
-
-from __future__ import annotations
 
 import pytest
 

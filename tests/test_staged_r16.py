@@ -3,6 +3,8 @@ plus planted closed-form cases for each — the degree-oriented
 co-purchase triangle census, the Holt level/trend/forecast screen, the
 LIX readability screen, and the streaming OHLC ingest twin."""
 
+from __future__ import annotations
+
 # ARCHIVAL TIER (r20, VERDICT r19 item 2): every operator this module
 # stages has long since REGISTERED, so its oracle parity and plan shape
 # are re-proven every run by the registered-surface sweeps
@@ -18,8 +20,6 @@ pytestmark = _pytest.mark.skipif(
     reason="archival staged-cohort depth; set DARIADB_SLOW_TESTS=1",
 )
 
-
-from __future__ import annotations
 
 import numpy as np
 import pytest

@@ -4,6 +4,8 @@ prediction. Each operator gets (a) fixture parity vs its DuckDB oracle
 at sf0.01 and (b) a planted closed-form grid pinning the contract
 points the fixtures cannot reach."""
 
+from __future__ import annotations
+
 # ARCHIVAL TIER (r20, VERDICT r19 item 2): every operator this module
 # stages has long since REGISTERED, so its oracle parity and plan shape
 # are re-proven every run by the registered-surface sweeps
@@ -19,8 +21,6 @@ pytestmark = _pytest.mark.skipif(
     reason="archival staged-cohort depth; set DARIADB_SLOW_TESTS=1",
 )
 
-
-from __future__ import annotations
 
 import datetime
 

@@ -3,6 +3,8 @@ python-reference replays (the staging discipline every late operator
 goes through BEFORE its registration round — registry.py's staged-count
 comment is the source of truth for what is staged)."""
 
+from __future__ import annotations
+
 # ARCHIVAL TIER (r20, VERDICT r19 item 2): every operator this module
 # stages has long since REGISTERED, so its oracle parity and plan shape
 # are re-proven every run by the registered-surface sweeps
@@ -18,8 +20,6 @@ pytestmark = _pytest.mark.skipif(
     reason="archival staged-cohort depth; set DARIADB_SLOW_TESTS=1",
 )
 
-
-from __future__ import annotations
 
 import datetime
 
